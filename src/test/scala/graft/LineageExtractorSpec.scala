@@ -1,0 +1,168 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.LineageExtractor
+import graft.model.LineageParseException
+
+/** DDL corpus for lineage-extractor parity (FIXTURES.md §4), one case per
+  * grammar feature affecting table extraction
+  * (reference ch_view_dependencies.py:105-258). */
+class LineageExtractorSpec extends AnyFunSuite {
+
+  private def t(ddl: String, db: String = "test"): Seq[String] =
+    LineageExtractor.tables(ddl, Some(db))
+
+  test("plain qualified ref") {
+    assert(t("CREATE VIEW test.v AS SELECT * FROM test.car") == Seq("test.car"))
+  }
+
+  test("unqualified ref gets view's database") {
+    assert(t("CREATE VIEW test.v AS SELECT * FROM car") == Seq("test.car"))
+  }
+
+  test("backtick and quoted identifiers cleaned") {
+    assert(t("CREATE VIEW test.v AS SELECT * FROM `test`.`car`") == Seq("test.car"))
+    assert(t("CREATE VIEW test.v AS SELECT * FROM \"other\".\"pet\"") == Seq("other.pet"))
+  }
+
+  test("multi-join view: JOIN, LEFT JOIN, comma cross join") {
+    val ddl =
+      """CREATE VIEW test.v AS
+        |SELECT * FROM test.a
+        |JOIN test.b ON a.x = b.x
+        |LEFT JOIN c ON c.x = a.x""".stripMargin
+    assert(t(ddl) == Seq("test.a", "test.b", "test.c"))
+    assert(t("CREATE VIEW test.v AS SELECT * FROM a, b, other.c WHERE a.x = b.x") ==
+      Seq("other.c", "test.a", "test.b"))
+  }
+
+  test("every join flavor is captured") {
+    val ddl =
+      """CREATE VIEW test.v AS SELECT * FROM t1
+        |INNER JOIN t2 ON t1.k = t2.k
+        |LEFT OUTER JOIN t3 ON t1.k = t3.k
+        |RIGHT ANTI JOIN t4 ON t1.k = t4.k
+        |LEFT SEMI JOIN t5 ON t1.k = t5.k
+        |ASOF JOIN t6 ON t1.k = t6.k AND t1.ts >= t6.ts
+        |GLOBAL ANY JOIN t7 USING k
+        |CROSS JOIN t8
+        |FULL JOIN t9 ON t1.k = t9.k""".stripMargin
+    assert(t(ddl) == (1 to 9).map(i => s"test.t$i"))
+  }
+
+  test("CTE name excluded, even when referenced qualified (reference quirk)") {
+    val ddl =
+      """CREATE VIEW test.v AS
+        |WITH cte AS (SELECT * FROM test.base)
+        |SELECT * FROM cte JOIN test.other ON cte.x = other.x""".stripMargin
+    assert(t(ddl) == Seq("test.base", "test.other"))
+    // unqualified compare quirk: db2.cte also excluded
+    val ddl2 =
+      """CREATE VIEW test.v AS
+        |WITH cte AS (SELECT 1)
+        |SELECT * FROM db2.cte""".stripMargin
+    assert(t(ddl2) == Seq())
+  }
+
+  test("multiple CTEs") {
+    val ddl =
+      """CREATE VIEW test.v AS
+        |WITH a AS (SELECT * FROM t1), b AS (SELECT * FROM t2)
+        |SELECT * FROM a JOIN b USING x JOIN t3 USING y""".stripMargin
+    assert(t(ddl) == Seq("test.t1", "test.t2", "test.t3"))
+  }
+
+  test("table function excluded (paren rule)") {
+    assert(t("CREATE VIEW test.v AS SELECT * FROM s3('http://x/y.csv', 'CSV')") == Seq())
+    assert(t("CREATE VIEW test.v AS SELECT * FROM numbers(10)") == Seq())
+    assert(t(
+      "CREATE VIEW test.v AS SELECT * FROM remote('host', db.t) JOIN test.real ON 1=1"
+    ) == Seq("test.real"))
+  }
+
+  test("UNION ALL of two selects") {
+    val ddl =
+      """CREATE VIEW test.v AS
+        |SELECT x FROM test.a
+        |UNION ALL
+        |SELECT x FROM test.b""".stripMargin
+    assert(t(ddl) == Seq("test.a", "test.b"))
+  }
+
+  test("subquery in FROM: inner tables found, no phantom ref") {
+    val ddl =
+      """CREATE VIEW test.v AS
+        |SELECT * FROM (SELECT x FROM test.inner1 JOIN inner2 USING k) AS sub""".stripMargin
+    assert(t(ddl) == Seq("test.inner1", "test.inner2"))
+  }
+
+  test("IN-subquery tables found") {
+    val ddl = "CREATE VIEW test.v AS SELECT * FROM test.a WHERE x IN (SELECT x FROM test.b)"
+    assert(t(ddl) == Seq("test.a", "test.b"))
+  }
+
+  test("ARRAY JOIN does not produce a table ref") {
+    val ddl =
+      """CREATE VIEW test.v AS
+        |SELECT x, arr_elem FROM test.a
+        |ARRAY JOIN arr AS arr_elem""".stripMargin
+    assert(t(ddl) == Seq("test.a"))
+    val ddl2 = "CREATE VIEW test.v AS SELECT * FROM test.a LEFT ARRAY JOIN tags"
+    assert(t(ddl2) == Seq("test.a"))
+  }
+
+  test("EXTRACT/SUBSTRING/TRIM FROM is not a table ref") {
+    val ddl =
+      """CREATE VIEW test.v AS
+        |SELECT EXTRACT(YEAR FROM d), SUBSTRING(s FROM 2 FOR 3), TRIM(BOTH ' ' FROM s)
+        |FROM test.a""".stripMargin
+    assert(t(ddl) == Seq("test.a"))
+  }
+
+  test("materialized view with TO target") {
+    val ddl =
+      """CREATE MATERIALIZED VIEW test.mv TO test.dest AS
+        |SELECT * FROM test.src""".stripMargin
+    // the reference's collector only sees FROM/JOIN refs; TO target is not
+    // captured (ch_view_dependencies.py:205-211 regex covers FROM|JOIN only)
+    assert(t(ddl) == Seq("test.src"))
+  }
+
+  test("aliases not captured as tables") {
+    val ddl = "CREATE VIEW test.v AS SELECT t.x FROM test.car AS t WHERE t.x > 1"
+    assert(t(ddl) == Seq("test.car"))
+    val ddl2 = "CREATE VIEW test.v AS SELECT t.x FROM test.car t FINAL"
+    assert(t(ddl2) == Seq("test.car"))
+  }
+
+  test("comments and strings do not confuse the scanner") {
+    val ddl =
+      """CREATE VIEW test.v AS
+        |-- FROM fake.table1
+        |/* JOIN fake.table2 */
+        |SELECT 'FROM fake.table3' AS s FROM test.real""".stripMargin
+    assert(t(ddl) == Seq("test.real"))
+  }
+
+  test("distinct + sorted output") {
+    val ddl =
+      """CREATE VIEW test.v AS
+        |SELECT * FROM test.b JOIN test.a ON 1=1 JOIN test.b ON 1=1""".stripMargin
+    assert(t(ddl) == Seq("test.a", "test.b"))
+  }
+
+  test("unparseable DDL raises; extract() traps per-row") {
+    intercept[LineageParseException](LineageExtractor.tables("", Some("test")))
+    intercept[LineageParseException](
+      LineageExtractor.tables("SELECT 'unterminated FROM x", Some("test")))
+    val (deps, err) = LineageExtractor.extract("", Some("test"))
+    assert(deps.isEmpty && err.isDefined)
+    val (d2, e2) = LineageExtractor.extract(
+      "CREATE VIEW test.v AS SELECT * FROM test.ok", Some("test"))
+    assert(d2 == Seq("test.ok") && e2.isEmpty)
+  }
+
+  test("no default db: unqualified stays bare") {
+    assert(LineageExtractor.tables("SELECT * FROM car", None) == Seq("car"))
+  }
+}
