@@ -23,6 +23,16 @@ object Queries {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The events table carries TIMESTAMP(NANOS) parquet values, which Spark's
+    * vectorized reader rejects; read nanos as long and convert to µs
+    * TimestampType with integer division (the values are µs-aligned, and
+    * `div` avoids double-precision loss on ~1.7e18 nanos). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tbl(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   private def decimal(c: Column, p: Int = 18, sc: Int = 2): Column =
     c.cast(DecimalType(p, sc))
 
@@ -64,7 +74,10 @@ object Queries {
 
   // ---- query registry ---------------------------------------------------
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def all: Map[String, (SparkSession, String) => DataFrame] = batch1 ++ batch2
+  def oracles: Map[String, String] = oracles1 ++ oracles2
+
+  private val batch1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ===== metadata analysis (reference's own dataflow, SURVEY.md §2.1) =====
 
@@ -203,7 +216,7 @@ object Queries {
 
   // ---- DuckDB oracles ---------------------------------------------------
 
-  val oracles: Map[String, String] = Map(
+  private val oracles1: Map[String, String] = Map(
 
     "m1_views_catalog" ->
       viewNames.map(v => s"('test','$v','View')")
@@ -312,4 +325,375 @@ object Queries {
         |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)
+
+  // ===== batch 2: grouping analytics, CH-specific operators, events =====
+
+  import graft.operators.ChOps
+
+  private val batch2: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // GROUP BY ROLLUP (ClickHouseParser.py:9841-9867)
+    "q11_rollup" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // GROUP BY CUBE
+    "q12_cube" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(decimal(col("o_totalprice"))).cast(DoubleType).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+
+    // GROUP BY GROUPING SETS (ClickHouseParser.py:9812-9838)
+    "q13_grouping_sets" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // WITH TOTALS (ClickHouseParser.py:9129-9137): groups + grand-total row
+    "q14_with_totals" -> ((s, dir) =>
+      ChOps.withTotals(tbl(s, dir, "orders"), Seq("o_orderstatus"),
+          Seq(count(lit(1)).as("n"),
+            sum(decimal(col("o_totalprice"))).cast(DoubleType).as("total")))
+        .orderBy(col("o_orderstatus").asc_nulls_last)),
+
+    // HAVING
+    "q15_having" -> ((s, dir) =>
+      tbl(s, dir, "orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 20)
+        .orderBy("o_custkey")),
+
+    // CH aggregate combinators (`countIf`/`sumIf`) as conditional aggs
+    "q16_conditional_agg" -> ((s, dir) =>
+      tbl(s, dir, "orders").groupBy("o_orderpriority")
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+          sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+          sum(when(col("o_orderstatus") === "F", decimal(col("o_totalprice")))
+            .otherwise(lit(0).cast(DecimalType(18, 2)))).cast(DoubleType).as("total_f"))
+        .orderBy("o_orderpriority")),
+
+    // scalar subquery (ColumnExprSubquery, ClickHouseParser.py:14920-14939)
+    "q17_scalar_subquery" -> ((s, dir) => {
+      val p = tbl(s, dir, "part")
+      val avgRow = p.agg(
+        (sum(decimal(col("p_retailprice"))).cast(DoubleType) / count(lit(1))).as("a"))
+      p.crossJoin(broadcast(avgRow))
+        .filter(col("p_retailprice") > col("a"))
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_partkey")
+    }),
+
+    // IN-subquery → left-semi join
+    "q18_in_subquery" -> ((s, dir) => {
+      val rich = tbl(s, dir, "customer").filter(col("c_acctbal") > 9000)
+        .select("c_custkey")
+      tbl(s, dir, "orders")
+        .join(rich, col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // CROSS JOIN (JoinOpCross, ClickHouseParser.py:10855-10934)
+    "q19_cross_join" -> ((s, dir) =>
+      tbl(s, dir, "region").crossJoin(tbl(s, dir, "nation"))
+        .select("r_name", "n_name").orderBy("r_name", "n_name")),
+
+    // LIMIT n BY cols (limitByClause, ClickHouseParser.py:10153-10206)
+    "q20_limit_by" -> ((s, dir) =>
+      ChOps.limitBy(tbl(s, dir, "part"), Seq(col("p_brand")),
+          Seq(desc("p_retailprice"), col("p_partkey")), 2)
+        .select("p_brand", "p_partkey", "p_retailprice")
+        .orderBy(col("p_brand"), desc("p_retailprice"), col("p_partkey"))),
+
+    // LIMIT n WITH TIES (ClickHouseParser.py:10223-10259)
+    "q21_limit_ties" -> ((s, dir) =>
+      ChOps.limitWithTies(tbl(s, dir, "part").select("p_partkey", "p_retailprice"),
+          Seq(desc("p_retailprice")), 5)
+        .orderBy(desc("p_retailprice"), col("p_partkey"))),
+
+    // SAMPLE k/m (sampleClause, ClickHouseParser.py:11016-11083)
+    "q22_sample" -> ((s, dir) =>
+      ChOps.sampleBuckets(tbl(s, dir, "lineitem"), col("l_orderkey"), 2, 10)
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))),
+
+    // ORDER BY ... WITH FILL (ClickHouseParser.py:11317-11352)
+    "q23_with_fill" -> ((s, dir) => {
+      val daily = tbl(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast(DateType).as("d"))
+        .agg(count(lit(1)).as("n"))
+      ChOps.withFillDays(daily, "d", Map("n" -> lit(0L))).orderBy("d")
+    }),
+
+    // ASOF LEFT JOIN (JoinOpLeftRight ASOF, ClickHouseParser.py:10618-10645)
+    "q24_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir).select("event_id", "user_id", "ts")
+      val ord = tbl(s, dir, "orders")
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+        .agg(max("o_orderkey").as("o_orderkey"))
+      ChOps.asofJoinLeft(ev, ord, "user_id", "ts", "o_orderdate", Seq("o_orderkey"))
+        .select("event_id", "o_orderkey").orderBy("event_id")
+    }),
+
+    // ANY LEFT JOIN (ANY modifier, ClickHouseParser.py:10574-10645)
+    "q25_any_join" -> ((s, dir) => {
+      val cust = tbl(s, dir, "customer").select("c_custkey", "c_name")
+      val ord = tbl(s, dir, "orders").select(
+        col("o_custkey").as("c_custkey"), col("o_orderkey"), col("o_orderdate"))
+      ChOps.anyJoinLeft(cust, ord, Seq("c_custkey"),
+          Seq(col("o_orderdate"), col("o_orderkey")))
+        .select("c_custkey", "c_name", "o_orderkey")
+        .orderBy("c_custkey")
+    }),
+
+    // date bucketing (toStartOfMonth-family → date_trunc)
+    "q26_monthly_revenue" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast(DateType).as("month"))
+        .agg(sum(decimal(col("o_totalprice"))).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("month")),
+
+    // string functions (upper/substring/length — ColumnExprFunction surface)
+    "q27_string_funcs" -> ((s, dir) =>
+      tbl(s, dir, "part")
+        .groupBy(upper(substring(col("p_type"), 1, 5)).as("prefix"))
+        .agg(count(lit(1)).as("n"),
+          min(length(col("p_name"))).as("min_name_len"),
+          max(upper(col("p_brand"))).as("max_brand"))
+        .orderBy("prefix")),
+
+    // ARRAY JOIN / unnest (arrayJoinClause, ClickHouseParser.py:9528-9596)
+    "q28_explode_tokens" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("tok")).limit(20)),
+
+    // higher-order functions: lambdas → transform/filter/aggregate
+    // (columnLambdaExpr, ClickHouseParser.py:16465-16560)
+    "q29_higher_order" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_quantity"))).as("qs"))
+        .select(col("l_orderkey"),
+          aggregate(col("qs"), lit(0.0), (acc, x) => acc + x * x).as("sumsq"),
+          size(filter(col("qs"), _ > 30)).as("n_big"))
+        .orderBy("l_orderkey")),
+
+    // ===== events-table analytics =====
+
+    // tumbling window aggregation (batch form of streaming windows)
+    "e1_tumbling_window" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(decimal(col("value"), 18, 6)).cast(DoubleType).as("v"))
+        .orderBy("h", "event_type")),
+
+    // sessionization: lag + gap flag + running sum (30-min timeout)
+    "e2_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev").isNull ||
+            (col("ts").cast(DoubleType) - col("prev").cast(DoubleType)) > 1800.0, 1)
+            .otherwise(0))
+        .withColumn("sid", sum("new_s").over(wRun))
+        .groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("n_events"), min("ts").as("start_ts"), max("ts").as("end_ts"))
+        .orderBy("user_id", "sid")
+    }),
+
+    // semi-structured extraction from JSON props
+    "e3_json_props" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(sum(regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast(LongType))
+          .as("sum_k"), count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // funnel: users whose first signup is followed by a purchase
+    "e4_funnel" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val s0 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("s_ts"))
+      val p = ev.filter(col("event_type") === "purchase").select(
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+      s0.join(p, col("p_user") === col("user_id") && col("p_ts") >= col("s_ts"),
+          "left_semi")
+        .agg(count(lit(1)).as("n_converted"))
+    }))
+
+  private val oracles2: Map[String, String] = Map(
+
+    "q11_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q12_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q13_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q14_with_totals" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), ())
+        |ORDER BY o_orderstatus NULLS LAST""".stripMargin,
+
+    "q15_having" ->
+      """SELECT o_custkey, count(*) AS n_orders FROM orders
+        |GROUP BY o_custkey HAVING count(*) >= 20 ORDER BY o_custkey""".stripMargin,
+
+    "q16_conditional_agg" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |           THEN CAST(o_totalprice AS DECIMAL(18,2))
+        |           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS total_f
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q17_scalar_subquery" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |WHERE p_retailprice > (
+        |  SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |  FROM part)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q18_in_subquery" ->
+      """SELECT o_orderstatus, count(*) AS n FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q19_cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q20_limit_by" ->
+      """SELECT p_brand, p_partkey, p_retailprice FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    row_number() OVER (PARTITION BY p_brand
+        |                       ORDER BY p_retailprice DESC, p_partkey) AS rn
+        |  FROM part) WHERE rn <= 2
+        |ORDER BY p_brand, p_retailprice DESC, p_partkey""".stripMargin,
+
+    "q21_limit_ties" ->
+      """SELECT p_partkey, p_retailprice FROM (
+        |  SELECT p_partkey, p_retailprice,
+        |    rank() OVER (ORDER BY p_retailprice DESC) AS rk
+        |  FROM part) WHERE rk <= 5
+        |ORDER BY p_retailprice DESC, p_partkey""".stripMargin,
+
+    "q22_sample" ->
+      """SELECT count(*) AS n, sum(l_quantity) AS sum_qty FROM lineitem
+        |WHERE l_orderkey % 10 >= 0 AND l_orderkey % 10 < 2""".stripMargin,
+
+    "q23_with_fill" ->
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n
+        |           FROM orders GROUP BY 1),
+        |axis AS (SELECT CAST(unnest(generate_series(
+        |  (SELECT min(d) FROM d), (SELECT max(d) FROM d), INTERVAL 1 DAY)) AS DATE) AS d)
+        |SELECT axis.d AS d, coalesce(n, 0) AS n
+        |FROM axis LEFT JOIN d USING (d) ORDER BY d""".stripMargin,
+
+    "q24_asof_join" ->
+      """WITH r AS (SELECT o_custkey AS user_id, o_orderdate,
+        |                  max(o_orderkey) AS o_orderkey
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT event_id, o_orderkey
+        |FROM events ASOF LEFT JOIN r
+        |  ON events.user_id = r.user_id AND r.o_orderdate <= events.ts
+        |ORDER BY event_id""".stripMargin,
+
+    "q25_any_join" ->
+      """WITH one AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT c_custkey, c_name, o_orderkey
+        |FROM customer LEFT JOIN (SELECT o_custkey, o_orderkey FROM one WHERE rn = 1)
+        |  ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q26_monthly_revenue" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+
+    "q27_string_funcs" ->
+      """SELECT upper(substr(p_type, 1, 5)) AS prefix, count(*) AS n,
+        |  min(length(p_name)) AS min_name_len, max(upper(p_brand)) AS max_brand
+        |FROM part GROUP BY 1 ORDER BY prefix""".stripMargin,
+
+    "q28_explode_tokens" ->
+      """SELECT tok, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |WHERE length(tok) > 0
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+
+    "q29_higher_order" ->
+      """SELECT l_orderkey,
+        |  list_sum(list_transform(qs, x -> x * x)) AS sumsq,
+        |  CAST(len(list_filter(qs, x -> x > 30)) AS INTEGER) AS n_big
+        |FROM (SELECT l_orderkey, list_sort(list(l_quantity)) AS qs
+        |      FROM lineitem GROUP BY l_orderkey)
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "e1_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin,
+
+    "e2_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, CAST(sid AS BIGINT) AS sid, count(*) AS n_events,
+        |  min(ts) AS start_ts, max(ts) AS end_ts
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin,
+
+    "e3_json_props" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT)
+        |    AS sum_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "e4_funnel" ->
+      """SELECT count(*) AS n_converted FROM (
+        |  SELECT user_id, min(ts) AS s_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id) s
+        |WHERE EXISTS (SELECT 1 FROM events e
+        |              WHERE e.event_type = 'purchase'
+        |                AND e.user_id = s.user_id AND e.ts >= s.s_ts)""".stripMargin)
 }

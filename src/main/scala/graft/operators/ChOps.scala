@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** ClickHouse SELECT constructs that Spark has no single operator for,
+  * re-expressed as composed built-ins (preference (a) of the build rules —
+  * every rewrite here stays inside whole-stage codegen and shuffles at most
+  * once on the semantic key).
+  *
+  * Grammar surface covered (citations into /root/reference/generated_ch_parser/):
+  *  - ASOF JOIN     — ClickHouseParser.py:10596-10645 (JoinOpInner/LeftRight ASOF)
+  *  - ANY JOIN      — ClickHouseParser.py:10574-10645 (ANY modifier)
+  *  - LIMIT n BY    — ClickHouseParser.py:10153-10206 (limitByClause)
+  *  - WITH TOTALS   — ClickHouseParser.py:9129-9137
+  *  - WITH FILL     — ClickHouseParser.py:11317-11352 + interpolate 10048-10102
+  *  - SAMPLE k/m    — ClickHouseParser.py:11016-11083 (sampleClause)
+  *  - LIMIT WITH TIES — ClickHouseParser.py:10223-10259
+  */
+object ChOps {
+
+  /** ASOF LEFT JOIN: for each left row, the single right row with the
+    * greatest `rightTs <= leftTs` within the same key group (ClickHouse
+    * resolves the nearest match; ties on ts take the last right row in
+    * (ts, tieBreak) order).
+    *
+    * Scale design: the naive formulation (range join + per-row max) is a
+    * cartesian blow-up; this union-and-window form shuffles each side ONCE
+    * on the key, sorts within partitions, and streams — the plan a
+    * sort-merge asof join would produce natively. Skewed keys fall out of
+    * AQE's skew handling since it is a plain window over a shuffle.
+    *
+    * Left columns are preserved; right value columns arrive as
+    * `rightVals` struct fields (null when no match — LEFT semantics).
+    */
+  def asofJoinLeft(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightVals: Seq[String]
+  ): DataFrame = {
+    val leftCols = left.columns
+    val l = left.select(
+      col(key).as("__k"), col(leftTs).as("__ts"), lit(1).as("__side"),
+      struct(leftCols.map(col): _*).as("__l"),
+      lit(null).cast(right.select(rightVals.map(col): _*).schema
+        .fields.foldLeft(new org.apache.spark.sql.types.StructType())((s, f) => s.add(f)))
+        .as("__r"))
+    val r = right.select(
+      col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
+      lit(null).cast(l.schema("__l").dataType).as("__l"),
+      struct(rightVals.map(col): _*).as("__r"))
+    // right rows sort before left rows at equal ts (side 0 < 1) so an
+    // exact-ts right row is visible to the left row — CH `<=` semantics.
+    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(c => col(s"__l.$c").as(c)) ++
+        rightVals.map(c => col(s"__match.$c").as(c)): _*)
+  }
+
+  /** ANY LEFT JOIN: at most one right match per left row — ClickHouse keeps
+    * a single arbitrary match; we make it deterministic by ranking the
+    * right side on `pick` and keeping rank 1 (one shuffle of the right
+    * side; the join itself then behaves like a 1:1 join). */
+  def anyJoinLeft(
+      left: DataFrame,
+      right: DataFrame,
+      usingKey: Seq[String],
+      pick: Seq[Column]
+  ): DataFrame = {
+    val w = Window.partitionBy(usingKey.map(col): _*).orderBy(pick: _*)
+    val one = right.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    left.join(one, usingKey, "left")
+  }
+
+  /** LIMIT n BY cols: top-n rows per group in `ord` order — the canonical
+    * top-k-per-group window rewrite. */
+  def limitBy(df: DataFrame, by: Seq[Column], ord: Seq[Column], n: Int): DataFrame = {
+    val w = Window.partitionBy(by: _*).orderBy(ord: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
+  }
+
+  /** LIMIT n WITH TIES: rank() (not row_number) keeps tied rows. */
+  def limitWithTies(df: DataFrame, ord: Seq[Column], n: Int): DataFrame = {
+    val w = Window.orderBy(ord: _*)
+    df.withColumn("__rk", rank().over(w)).filter(col("__rk") <= n).drop("__rk")
+  }
+
+  /** GROUP BY ... WITH TOTALS: the per-group rows plus one grand-total row
+    * (group columns null), i.e. ROLLUP restricted to {all, none} grouping
+    * sets. Map-side partials still apply — one aggregation pass. */
+  def withTotals(df: DataFrame, groupCols: Seq[String], aggs: Seq[Column]): DataFrame = {
+    val sets = groupCols.map(col)
+    df.groupingSets(Seq(sets, Seq.empty), sets: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** ORDER BY ... WITH FILL for a date axis: generate the complete day
+    * sequence [min, max] with `sequence()` + explode (distributed — no
+    * driver-side range materialization), left-join the data, fill gaps
+    * with `fillValue`. `df` must have a DateType column `dateCol`. */
+  def withFillDays(df: DataFrame, dateCol: String, fills: Map[String, Column]): DataFrame = {
+    val bounds = df.agg(min(col(dateCol)).as("lo"), max(col(dateCol)).as("hi"))
+    val axis = bounds.select(
+      explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as(dateCol))
+    val filled = axis.join(df, Seq(dateCol), "left")
+    fills.foldLeft(filled) { case (acc, (c, v)) =>
+      acc.withColumn(c, coalesce(col(c), v))
+    }
+  }
+
+  /** SAMPLE k/m [OFFSET o/m]: deterministic bucket sampling on an integer
+    * key — row kept iff `key % m ∈ [o, o+k)`. ClickHouse samples on a hash
+    * of the sampling key; modulo buckets keep the same contract
+    * (deterministic, repeatable, disjoint offsets) and are reproducible
+    * across engines. */
+  def sampleBuckets(df: DataFrame, key: Column, k: Int, m: Int, offset: Int = 0): DataFrame =
+    df.filter(pmod(key, lit(m)) >= offset && pmod(key, lit(m)) < offset + k)
+}
