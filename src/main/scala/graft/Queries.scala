@@ -74,8 +74,8 @@ object Queries {
 
   // ---- query registry ---------------------------------------------------
 
-  def all: Map[String, (SparkSession, String) => DataFrame] = batch1 ++ batch2
-  def oracles: Map[String, String] = oracles1 ++ oracles2
+  def all: Map[String, (SparkSession, String) => DataFrame] = batch1 ++ batch2 ++ batch3
+  def oracles: Map[String, String] = oracles1 ++ oracles2 ++ oracles3
 
   private val batch1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -696,4 +696,294 @@ object Queries {
         |WHERE EXISTS (SELECT 1 FROM events e
         |              WHERE e.event_type = 'purchase'
         |                AND e.user_id = s.user_id AND e.ts >= s.s_ts)""".stripMargin)
+
+  // ===== batch 3: training-data pipeline operators =====
+  // (dedup, text analysis, similarity search, multimodal plumbing)
+
+  import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+  /** charFold re-derivation in DuckDB (see PortableHash.charFold). */
+  private def sqlCharFold(expr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split($expr, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+       |      (acc, x) -> (acc * 1315423911 + x) % 2147483647)""".stripMargin
+
+  /** Sequential-fold dot product in DuckDB (bit-identical to
+    * Similarity.dot's aggregate fold). */
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), p -> p[1] * p[2])), (acc, x) -> acc + x)"
+
+  private def sqlNormSq(a: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform($a, x -> x * x)), (acc, x) -> acc + x)"
+
+  private val batch3: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact dedup: hash-groupBy on content digest (corpus doubled to plant
+    // exact duplicates; keeps the query self-contained on read-only data)
+    "t1_exact_dedup" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      Dedup.exactGroups(d.unionByName(d), "text", "doc_id").orderBy("keeper")
+    }),
+
+    // document fingerprint: portable polynomial rolling hash
+    "t2_fingerprint" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // MinHash signatures (8 permutations over 3-gram shingles), exploded
+    "t3_minhash_sig" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), posexplode(
+          Dedup.minhashSignature(Dedup.shingleHashes(col("text"), 3), 8))
+          .as(Seq("perm", "h")))
+        .orderBy("doc_id", "perm")),
+
+    // exact n-gram Jaccard between each doc and a perturbed copy
+    "t4_jaccard_pairs" -> ((s, dir) =>
+      tbl(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), round(Dedup.jaccard(
+          Dedup.shingles(col("text"), 3),
+          Dedup.shingles(concat(col("text"), lit(" graft extra token")), 3)), 6)
+          .as("j"))
+        .orderBy("doc_id")),
+
+    // full MinHash+LSH near-dup pipeline: plant near-dups, sign, band,
+    // bucket-join candidates, verify with exact Jaccard
+    "t5_lsh_dedup" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val pert = d.select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" graft extra token")).as("text"))
+      val all = d.unionByName(pert)
+      val sigs = all.select(col("doc_id"),
+        Dedup.minhashSignature(Dedup.shingleHashes(col("text"), 3), 16).as("sig"))
+      val cands = Dedup.lshCandidatePairs(
+        Dedup.lshBands(sigs, "doc_id", "sig", 4, 4), "doc_id")
+      val sh1 = all.select(col("doc_id").as("id1"), Dedup.shingles(col("text"), 3).as("sh1"))
+      val sh2 = all.select(col("doc_id").as("id2"), Dedup.shingles(col("text"), 3).as("sh2"))
+      cands.join(sh1, "id1").join(sh2, "id2")
+        .select(col("id1"), col("id2"),
+          round(Dedup.jaccard(col("sh1"), col("sh2")), 6).as("j"))
+        .filter(col("j") >= 0.5)
+        .orderBy("id1", "id2")
+    }),
+
+    // SimHash (32-bit) over whitespace-token hashes
+    "t6_simhash" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash32(
+          transform(split(col("text"), " "), t => graft.functions.PortableHash.charFold(t)))
+          .as("sh"))
+        .orderBy("doc_id")),
+
+    // language-ID by stopword vote: confusion matrix vs labeled lang
+    "t7_langid" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred")),
+
+    // per-document quality scores
+    "t8_quality" -> ((s, dir) => {
+      val cols = TextAnalysis.qualityColumns(col("text"))
+        .map { case (n, c) => c.as(n) }
+      tbl(s, dir, "documents")
+        .select(col("doc_id") +: cols: _*)
+        .orderBy("doc_id")
+    }),
+
+    // multimodal plumbing: binary payload -> batched (stub) decode -> meta
+    "x1_media_meta" -> ((s, dir) =>
+      Multimodal.extractMeta(
+          Multimodal.withPayload(tbl(s, dir, "documents"), "text"), "doc_id")
+        .toDF().orderBy("doc_id")),
+
+    // brute-force cosine top-5 neighbors for 10 query vectors
+    "v1_cosine_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.topKNeighbors(
+          emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 5)
+        .orderBy(col("query_id"), desc("sim"), col("neighbor_id"))
+    }),
+
+    // k-NN majority-label classification via top-10 neighbors
+    "v2_knn_label" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val topk = Similarity.topKNeighbors(
+        emb.filter(col("vec_id") < 50), emb, "vec_id", "embedding", 10)
+      val votes = topk
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("label")), "neighbor_id")
+        .groupBy("query_id", "label").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("query_id").orderBy(desc("c"), col("label"))
+      votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("query_id"), col("label").as("pred_label"))
+        .orderBy("query_id")
+    }))
+
+  private val oracles3: Map[String, String] = Map(
+
+    "t1_exact_dedup" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS keeper, count(*) AS n_copies
+        |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+        |GROUP BY md5(text) HAVING count(*) > 1 ORDER BY keeper""".stripMargin,
+
+    "t2_fingerprint" ->
+      s"""SELECT doc_id, ${sqlCharFold("text")} AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t3_minhash_sig" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(0, greatest(len(t) - 3, 0) + 1),
+         |    i -> array_to_string(t[i+1:i+3], ' '))) AS shingles FROM toks),
+         |hs AS (SELECT doc_id, list_transform(shingles, s -> ${sqlCharFold("s")}) AS hashes FROM sh)
+         |SELECT doc_id, CAST(perm AS INTEGER) AS perm,
+         |  list_min(list_transform(hashes,
+         |    h -> (h * (2 * perm + 1) + (12345 * perm + 1)) % 2147483647)) AS h
+         |FROM hs, range(8) r(perm) ORDER BY doc_id, perm""".stripMargin,
+
+    "t4_jaccard_pairs" ->
+      s"""WITH pair_toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t1,
+         |         string_split(text || ' graft extra token', ' ') AS t2
+         |  FROM documents WHERE doc_id < 100),
+         |sh AS (SELECT doc_id,
+         |  list_distinct(list_transform(range(0, greatest(len(t1)-3,0)+1),
+         |    i -> array_to_string(t1[i+1:i+3], ' '))) AS s1,
+         |  list_distinct(list_transform(range(0, greatest(len(t2)-3,0)+1),
+         |    i -> array_to_string(t2[i+1:i+3], ' '))) AS s2
+         |  FROM pair_toks)
+         |SELECT doc_id, round(CAST(len(list_intersect(s1, s2)) AS DOUBLE) /
+         |  len(list_distinct(list_concat(s1, s2))), 6) AS j
+         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "t5_lsh_dedup" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text || ' graft extra token' FROM documents),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM base),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(0, greatest(len(t) - 3, 0) + 1),
+         |    i -> array_to_string(t[i+1:i+3], ' '))) AS shingles FROM toks),
+         |hs AS (SELECT doc_id, shingles,
+         |  list_transform(shingles, s -> ${sqlCharFold("s")}) AS hashes FROM sh),
+         |sig AS (SELECT doc_id, shingles, list_transform(range(16), p ->
+         |  list_min(list_transform(hashes,
+         |    h -> (h * (2 * p + 1) + (12345 * p + 1)) % 2147483647))) AS sig FROM hs),
+         |bands AS (SELECT doc_id, b AS band_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1:b*4+4]),
+         |    (acc, x) -> (acc * 1000003 + x) % 2147483647) AS band_hash
+         |  FROM sig, range(4) r(b)),
+         |cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id)
+         |SELECT id1, id2, round(CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
+         |    len(list_distinct(list_concat(s1.shingles, s2.shingles))), 6) AS j
+         |FROM cands
+         |JOIN sh s1 ON s1.doc_id = id1
+         |JOIN sh s2 ON s2.doc_id = id2
+         |WHERE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(s1.shingles, s2.shingles))) >= 0.4999995
+         |ORDER BY id1, id2""".stripMargin,
+
+    "t6_simhash" ->
+      s"""WITH hs AS (SELECT doc_id, list_transform(string_split(text, ' '),
+         |    tk -> ${sqlCharFold("tk")}) AS h FROM documents)
+         |SELECT doc_id, CAST(list_sum(list_transform(range(32), b -> CASE WHEN
+         |    list_sum(list_transform(h, v ->
+         |      CASE WHEN CAST(floor(v / pow(2, b)) AS BIGINT) % 2 = 1
+         |           THEN 1 ELSE -1 END)) > 0
+         |    THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS sh
+         |FROM hs ORDER BY doc_id""".stripMargin,
+
+    "t7_langid" ->
+      """WITH c AS (SELECT lang,
+        |  len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      t -> t IN ('der','die','und','das','ist'))) AS cde,
+        |  len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      t -> t IN ('the','and','of','to','a'))) AS cen,
+        |  len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      t -> t IN ('el','los','y','de','que'))) AS ces,
+        |  len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      t -> t IN ('le','la','et','les','des'))) AS cfr
+        |  FROM documents),
+        |p AS (SELECT lang,
+        |  CASE WHEN greatest(cde, cen, ces, cfr) = 0 THEN 'unknown'
+        |       WHEN cde = greatest(cde, cen, ces, cfr) THEN 'de'
+        |       WHEN cen = greatest(cde, cen, ces, cfr) THEN 'en'
+        |       WHEN ces = greatest(cde, cen, ces, cfr) THEN 'es'
+        |       ELSE 'fr' END AS pred FROM c)
+        |SELECT lang, pred, count(*) AS n FROM p
+        |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin,
+
+    "t8_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  round(CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> length(t))) AS DOUBLE) /
+        |    greatest(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0), 6)
+        |    AS mean_token_len,
+        |  round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) /
+        |    greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS punct_ratio,
+        |  round(CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      t -> t IN ('the','and','of','to','a'))) AS DOUBLE) /
+        |    greatest(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0), 6)
+        |    AS stopword_ratio,
+        |  round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) /
+        |    greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS upper_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x1_media_meta" ->
+      """SELECT doc_id,
+        |  CASE octet_length(CAST(text AS BLOB)) % 3
+        |    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+        |  CAST(octet_length(CAST(text AS BLOB)) % 640 + 1 AS INTEGER) AS width,
+        |  CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 + 1 AS INTEGER) AS height,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "v1_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+         |  FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+         |  FROM embeddings),
+         |scored AS (SELECT query_id, neighbor_id,
+         |  round(${sqlDot("qv", "cv")} /
+         |    (sqrt(${sqlNormSq("qv")}) * sqrt(${sqlNormSq("cv")})), 6) AS sim
+         |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+         |rk AS (SELECT query_id, neighbor_id, sim,
+         |  row_number() OVER (PARTITION BY query_id
+         |                     ORDER BY sim DESC, neighbor_id) AS rn
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, sim FROM rk WHERE rn <= 5
+         |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin,
+
+    "v2_knn_label" ->
+      s"""WITH q AS (SELECT vec_id AS query_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+         |  FROM embeddings WHERE vec_id < 50),
+         |c AS (SELECT vec_id AS neighbor_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv, label
+         |  FROM embeddings),
+         |scored AS (SELECT query_id, neighbor_id, label,
+         |  round(${sqlDot("qv", "cv")} /
+         |    (sqrt(${sqlNormSq("qv")}) * sqrt(${sqlNormSq("cv")})), 6) AS sim
+         |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+         |rk AS (SELECT query_id, neighbor_id, label,
+         |  row_number() OVER (PARTITION BY query_id
+         |                     ORDER BY sim DESC, neighbor_id) AS rn
+         |  FROM scored),
+         |votes AS (SELECT query_id, label, count(*) AS cnt FROM rk
+         |  WHERE rn <= 10 GROUP BY query_id, label),
+         |best AS (SELECT query_id, label,
+         |  row_number() OVER (PARTITION BY query_id
+         |                     ORDER BY cnt DESC, label) AS rn
+         |  FROM votes)
+         |SELECT query_id, label AS pred_label FROM best WHERE rn = 1
+         |ORDER BY query_id""".stripMargin)
 }

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
+
+/** Document deduplication for large-scale training-data pipelines:
+  * exact (hash-groupBy), MinHash+LSH banding, SimHash, and exact n-gram
+  * Jaccard verification.
+  *
+  * Scale design notes (100 TB corpus):
+  *  - exact dedup is one shuffle on a 128-bit digest — no text comparison
+  *    crosses the wire, only (digest, id);
+  *  - MinHash signatures are computed row-local (no shuffle); the LSH
+  *    band join shuffles (band_id, band_hash) key pairs only, so the
+  *    candidate join never materializes the O(n²) pair space — only
+  *    same-bucket pairs;
+  *  - candidate verification (exact Jaccard) joins texts back by id for
+  *    the (tiny) candidate set — two broadcast-able joins at typical
+  *    near-dup rates;
+  *  - the base hash is pluggable: PortableHash.charFold for cross-engine
+  *    verifiable runs, xxhash64 for production throughput.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content digest: one row per duplicated
+    * digest with the keeper (min id) and the group size. */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("digest"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+
+  /** Word n-gram shingles of a text column as an array column (distinct,
+    * order preserved by first occurrence position then de-dup via
+    * array_distinct). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** MinHash signature: for permutation i in [0,k): min over shingles of
+    * h_i(baseHash(shingle)). Row-local — no shuffle. */
+  def minhashSignature(shingleHashes: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingleHashes, h =>
+        pmod(h * (i * lit(2L) + lit(1L)) + (i * lit(12345L) + lit(1L)),
+          lit(PortableHash.Mod)))))
+
+  /** Column of base-hashed shingles (portable hash by default). */
+  def shingleHashes(text: Column, n: Int,
+      baseHash: Column => Column = PortableHash.charFold(_)): Column =
+    transform(shingles(text, n), baseHash)
+
+  /** LSH banding: (id, band_id, band_hash) rows; docs sharing any band
+    * bucket are near-dup candidates. bandHash folds the band's signature
+    * slice arithmetically (portable). */
+  def lshBands(df: DataFrame, idCol: String, sigCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame =
+    df.select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)), b =>
+          aggregate(slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)),
+            lit(0L),
+            (acc, x) => pmod(acc * lit(1000003L) + x, lit(PortableHash.Mod)))))
+        .as(Seq("band_id", "band_hash")))
+
+  /** Candidate near-duplicate pairs (id1 < id2) from shared LSH buckets,
+    * deduplicated across bands. */
+  def lshCandidatePairs(bandsDf: DataFrame, idCol: String): DataFrame = {
+    val a = bandsDf.select(col("band_id"), col("band_hash"), col(idCol).as("id1"))
+    val b = bandsDf.select(col("band_id"), col("band_hash"), col(idCol).as("id2"))
+    a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity between two shingle-array columns. */
+  def jaccard(sh1: Column, sh2: Column): Column = {
+    val inter = size(array_intersect(sh1, sh2)).cast("double")
+    val uni = size(array_union(sh1, sh2)).cast("double")
+    when(uni === 0, 0.0).otherwise(inter / uni)
+  }
+
+  /** SimHash (32-bit): per bit b, sign of Σ_tokens (bit_b(h(token)) ? +1 : -1);
+    * packed little-endian into a long. Row-local arithmetic only —
+    * 2^b via pow (exact in double below 2^53). */
+  def simhash32(tokenHashes: Column): Column =
+    aggregate(
+      sequence(lit(0), lit(31)),
+      lit(0L),
+      (acc, b) => {
+        val p2 = pow(lit(2.0), b).cast("long")
+        val bitSum = aggregate(tokenHashes, lit(0L),
+          (s, h) => s + when(pmod(floor(h / p2), lit(2)) === 1, lit(1L))
+            .otherwise(lit(-1L)))
+        acc + when(bitSum > 0, p2).otherwise(lit(0L))
+      })
+
+  /** Hamming distance between two simhash values (counts differing bits). */
+  def hamming32(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Tiers:
+  *  - [[cosine]] / [[topKNeighbors]] — exact brute-force: the baseline and
+  *    the verification target. All-pairs is a self-join; at 100 TB you
+  *    never run it unbucketed — hence:
+  *  - [[hyperplaneBuckets]] — random-hyperplane LSH: vectors are bucketed
+  *    by the sign pattern of dot products with `nPlanes` deterministic
+  *    pseudo-random hyperplanes; the all-pairs join then runs per bucket
+  *    (shuffle key = bucket id), turning O(n²) into Σ O(b²) per bucket.
+  *    Hyperplane components derive from an arithmetic PRNG so any SQL
+  *    engine can re-derive them (no stored random state).
+  */
+object Similarity {
+
+  /** Element-wise dot product of two double-array columns (sequential
+    * fold — deterministic accumulation order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either norm is 0. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = norm(a) * norm(b)
+    when(n === 0, 0.0).otherwise(d / n)
+  }
+
+  /** Cast a float-array embedding to double (so every engine computes in
+    * the same precision). */
+  def asDouble(a: Column): Column = transform(a, _.cast("double"))
+
+  /** Exact top-k neighbors for each query row: broadcast the (small) query
+    * set against the corpus, rank by (sim desc, id) — deterministic ties.
+    * Output: (query_id, neighbor_id, sim) with sim rounded to `roundTo`. */
+  def topKNeighbors(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      k: Int, roundTo: Int = 6
+  ): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), roundTo).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
+    * an LCG step mapped to [-0.5, 0.5). Pure arithmetic — portable. */
+  private def planeComponent(p: Int, d: Column): Column =
+    (pmod((lit(p * 64L + 1L) + d) * lit(2654435761L), lit(2147483647L))
+      .cast("double") / lit(2147483647.0)) - 0.5
+
+  /** Sign-pattern LSH bucket id from `nPlanes` hyperplanes (bit i = sign of
+    * dot(v, plane_i)). Row-local. */
+  def hyperplaneBucket(vec: Column, nPlanes: Int): Column =
+    (0 until nPlanes).map { p =>
+      val d = aggregate(zip_with(vec,
+        transform(sequence(lit(0), size(vec) - 1), i => planeComponent(p, i)),
+        (x, y) => x * y), lit(0.0), (a, v) => a + v)
+      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Bucketed approximate all-pairs: candidate pairs share a bucket;
+    * exact cosine verifies. Returns (id1, id2, sim) with id1 < id2 and
+    * sim ≥ threshold. */
+  def nearDuplicatesLsh(
+      df: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int, threshold: Double, roundTo: Int = 6
+  ): DataFrame = {
+    val b = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+      hyperplaneBucket(asDouble(col(vecCol)), nPlanes).as("bucket"))
+    val l = b.select(col("bucket"), col("id").as("id1"), col("v").as("v1"))
+    val r = b.select(col("bucket"), col("id").as("id2"), col("v").as("v2"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        round(cosine(col("v1"), col("v2")), roundTo).as("sim"))
+      .filter(col("sim") >= threshold)
+      .distinct()
+  }
+}

@@ -1,0 +1,136 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
+import graft.operators.{ChOps, Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Invariant tests for the training-data pipeline operators (the
+  * cross-engine value checks live in the DuckDB oracle gate; these pin
+  * semantic properties). */
+class TrainingOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"),
+    (2L, "der hund und die katze und das pferd ist gross"),
+    (3L, "le chat et le chien et les oiseaux des bois"),
+    (4L, "completely different words about spark engines here"),
+    (5L, "the quick brown fox jumps over the lazy dog")) // dup of 0
+    .toDF("doc_id", "text")
+
+  test("exact dedup finds the planted duplicate group") {
+    val groups = Dedup.exactGroups(docs, "text", "doc_id").collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("keeper") == 0L)
+    assert(groups(0).getAs[Long]("n_copies") == 2L)
+  }
+
+  test("minhash: identical texts → identical signatures; near-dups agree more") {
+    val sigs = docs.select(col("doc_id"),
+      Dedup.minhashSignature(Dedup.shingleHashes(col("text"), 3), 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L) == sigs(5L))
+    def agree(a: Seq[Long], b: Seq[Long]) = a.zip(b).count(p => p._1 == p._2)
+    assert(agree(sigs(0L), sigs(1L)) > agree(sigs(0L), sigs(4L)))
+  }
+
+  test("lsh pipeline surfaces the exact-dup pair") {
+    val sigs = docs.select(col("doc_id"),
+      Dedup.minhashSignature(Dedup.shingleHashes(col("text"), 3), 16).as("sig"))
+    val pairs = Dedup.lshCandidatePairs(
+      Dedup.lshBands(sigs, "doc_id", "sig", 4, 4), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 5L)))
+  }
+
+  test("jaccard: identity 1.0, disjoint 0.0, near-dup in between") {
+    val j = docs.as("a").crossJoin(docs.as("b"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        Dedup.jaccard(Dedup.shingles(col("a.text"), 3),
+          Dedup.shingles(col("b.text"), 3)).as("jac"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((0L, 5L)) == 1.0)
+    assert(j((0L, 4L)) == 0.0)
+    assert(j((0L, 1L)) > 0.5 && j((0L, 1L)) < 1.0)
+  }
+
+  test("simhash: hamming(identical)=0, near-dup < dissimilar") {
+    val sh = docs.select(col("doc_id"), Dedup.simhash32(
+      transform(split(col("text"), " "), PortableHash.charFold(_))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(5L)) == 0)
+    assert(ham(sh(0L), sh(1L)) < ham(sh(0L), sh(4L)))
+  }
+
+  test("langId votes correctly on clear-cut texts") {
+    val preds = docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds(0L) == "en")
+    assert(preds(2L) == "de")
+    assert(preds(3L) == "fr")
+  }
+
+  test("cosine: self-similarity 1.0, symmetry") {
+    val v = Seq((0L, Seq(1.0f, 2.0f, 3.0f)), (1L, Seq(3.0f, 2.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val nn = Similarity.topKNeighbors(v, v, "vec_id", "embedding", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(nn((0L, 1L)) == nn((1L, 0L)))
+    val self = v.select(Similarity.cosine(
+      Similarity.asDouble(col("embedding")), Similarity.asDouble(col("embedding"))))
+      .collect().map(_.getDouble(0))
+    assert(self.forall(s => math.abs(s - 1.0) < 1e-12))
+  }
+
+  test("hyperplane LSH buckets identical vectors together") {
+    val v = Seq((0L, Seq(1.0f, 2.0f, 3.0f, 4.0f)), (1L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
+      (2L, Seq(-1.0f, -2.0f, -3.0f, -4.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDuplicatesLsh(v, "vec_id", "embedding", 8, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("asof join picks latest right row at-or-before left ts") {
+    val left = Seq((1L, 10L, 100), (1L, 25L, 200), (2L, 5L, 300))
+      .toDF("k", "ts", "payload")
+    val right = Seq((1L, 5L, "a"), (1L, 20L, "b"), (1L, 30L, "c"), (3L, 1L, "z"))
+      .toDF("k", "rts", "v")
+    val out = ChOps.asofJoinLeft(left, right, "k", "ts", "rts", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(3)).toMap
+    assert(out((1L, 10L)) == "a")   // rts=5 latest <= 10
+    assert(out((1L, 25L)) == "b")   // rts=20
+    assert(out((2L, 5L)) == null)   // no right rows for k=2
+  }
+
+  test("withFillDays produces a dense axis") {
+    val df = Seq(("2024-01-01", 5L), ("2024-01-04", 7L))
+      .toDF("d", "n").select(col("d").cast("date").as("d"), col("n"))
+    val filled = ChOps.withFillDays(df, "d", Map("n" -> lit(0L)))
+      .orderBy("d").collect().map(r => r.getDate(0).toString -> r.getLong(1))
+    assert(filled.toSeq == Seq("2024-01-01" -> 5L, "2024-01-02" -> 0L,
+      "2024-01-03" -> 0L, "2024-01-04" -> 7L))
+  }
+
+  test("multimodal batch decode is deterministic and schema-typed") {
+    val meta = Multimodal.extractMeta(
+      Multimodal.withPayload(docs, "text"), "doc_id", batchSize = 2)
+    val rows = meta.collect()
+    assert(rows.length == 6)
+    val r0 = rows.find(_.doc_id == 0L).get
+    assert(r0.n_bytes == "the quick brown fox jumps over the lazy dog".length)
+    assert(Set("png", "jpeg", "webp").contains(r0.format))
+    assert(r0.width >= 1 && r0.height >= 1)
+  }
+}
