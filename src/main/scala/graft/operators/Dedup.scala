@@ -41,12 +41,12 @@ object Dedup {
   }
 
   /** MinHash signature: for permutation i in [0,k): min over shingles of
-    * h_i(baseHash(shingle)). Row-local — no shuffle. */
+    * h_i(baseHash(shingle)). Row-local — no shuffle. Codegen'd native
+    * expression; equivalent HOF form:
+    * `transform(sequence(0,k-1), i -> array_min(transform(hashes,
+    *    h -> (h*(2i+1) + 12345i+1) % Mod)))`. */
   def minhashSignature(shingleHashes: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleHashes, h =>
-        pmod(h * (i * lit(2L) + lit(1L)) + (i * lit(12345L) + lit(1L)),
-          lit(PortableHash.Mod)))))
+    graft.plans.NativeExpressions.minhash_signature(shingleHashes, k, PortableHash.Mod)
 
   /** Column of base-hashed shingles (portable hash by default). */
   def shingleHashes(text: Column, n: Int,

@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Element-wise dot product of two double-array columns (sequential
-    * fold — deterministic accumulation order). */
+    * fold — deterministic accumulation order). Codegen'd native expression;
+    * identical to `aggregate(zip_with(a,b,*), 0.0, +)`. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.plans.NativeExpressions.dot_product(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -34,12 +34,12 @@ object TextAnalysis {
     size(filter(toks, t => sw.map(t === _).reduce(_ || _)))
   }
 
-  /** Language ID by stopword vote: the language with the highest stopword
-    * count wins; ties resolve alphabetically ('unknown' when all zero).
-    * An n-gram-profile classifier would shuffle nothing either — this
-    * keeps the decision portable for the oracle. */
-  def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
+  /** Language ID by stopword vote over a pre-split token array: the
+    * language with the highest stopword count wins; ties resolve
+    * alphabetically ('unknown' when all zero). Take lowercased tokens —
+    * callers should materialize the token split once (splitting inside
+    * each language's count octuples the regex work). */
+  def langIdFromTokens(toks: Column): Column = {
     val counts = stopwords.keys.toSeq.sorted.map(l => l -> stopwordCount(toks, l))
     // fold: keep (bestLang, bestCount); strict > keeps alphabetical tie-break
     val best = counts.foldLeft((lit("unknown"), lit(0))) {
@@ -48,6 +48,9 @@ object TextAnalysis {
     }
     best._1
   }
+
+  /** Convenience form over raw text (one split, reused by every vote). */
+  def langId(text: Column): Column = langIdFromTokens(tokens(lower(text)))
 
   /** Quality score components: char length, token count, mean token
     * length, punctuation ratio, stopword ratio (English), uppercase ratio.
