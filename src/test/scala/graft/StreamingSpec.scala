@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.MaterializedView
+
+/** Streaming semantics: the MV transform must produce identical results in
+  * batch (POPULATE) and streaming (refresh) mode — the consistency contract
+  * that makes the MV a materialization rather than an approximation. */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("ts", TimestampType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  private def writeBatch(dir: String): Unit =
+    Seq(
+      ("2024-01-01 00:10:00", "click", 1.0),
+      ("2024-01-01 00:20:00", "click", 2.0),
+      ("2024-01-01 00:40:00", "view", 3.0),
+      ("2024-01-01 01:05:00", "click", 4.0),
+      ("2024-01-01 01:30:00", "view", 5.0))
+      .toDF("ts", "event_type", "value")
+      .select(col("ts").cast(TimestampType), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(dir)
+
+  test("MV: batch populate == streaming refresh (Kappa consistency)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    writeBatch(dir)
+    val mv = MaterializedView("mv_hourly", StreamingOps.windowedCounts(_))
+
+    val batch = StreamingOps.populate(mv, spark.read.schema(schema).parquet(dir))
+      .orderBy("h", "event_type").collect().map(_.toString)
+
+    val q = StreamingOps.refresh(spark, mv, dir, schema)
+    q.awaitTermination(60000)
+    val streamed = spark.table("mv_hourly")
+      .orderBy("h", "event_type").collect().map(_.toString)
+
+    assert(batch.nonEmpty)
+    assert(batch.toSeq == streamed.toSeq)
+  }
+
+  test("stateful sessionization groups by 30-min gaps") {
+    val ev = Seq((1L, 0L), (1L, 100L), (1L, 3000L), (2L, 50L)).toDS()
+    val out = StreamingOps.sessionize(ev).collect()
+      .map(s => s.user_id -> (s.session_id, s.n_events)).toMap
+    // user 1: events at 0,100 (session 1), 3000 (gap > 1800 → session 2)
+    assert(out(1L) == (2L, 1L))
+    assert(out(2L) == (1L, 1L))
+  }
+}
