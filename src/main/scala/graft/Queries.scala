@@ -74,8 +74,9 @@ object Queries {
 
   // ---- query registry ---------------------------------------------------
 
-  def all: Map[String, (SparkSession, String) => DataFrame] = batch1 ++ batch2 ++ batch3
-  def oracles: Map[String, String] = oracles1 ++ oracles2 ++ oracles3
+  def all: Map[String, (SparkSession, String) => DataFrame] =
+    batch1 ++ batch2 ++ batch3 ++ batch4
+  def oracles: Map[String, String] = oracles1 ++ oracles2 ++ oracles3 ++ oracles4
 
   private val batch1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -995,4 +996,205 @@ object Queries {
          |  FROM votes)
          |SELECT query_id, label AS pred_label FROM best WHERE rn = 1
          |ORDER BY query_id""".stripMargin)
+
+  // ===== batch 4: remaining SURVEY §2.2 surface + ANN scale path =====
+
+  private val batch4: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // uniq family: exact tier (CH uniqExact → count_distinct)
+    "q30_uniq_exact" -> ((s, dir) =>
+      tbl(s, dir, "lineitem").agg(
+        countDistinct(col("l_orderkey")).as("u_orders"),
+        countDistinct(col("l_partkey")).as("u_parts"),
+        count(lit(1)).as("n"))),
+
+    // uniq family: sketch tier (CH uniq/uniqHLL12 → approx_count_distinct);
+    // estimates are engine-specific → no SQL oracle (rows-only check)
+    "q30b_uniq_approx" -> ((s, dir) =>
+      tbl(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_orderkey")).as("u_orders_approx"),
+        approx_count_distinct(col("l_partkey")).as("u_parts_approx"))),
+
+    // quantiles (CH quantile/quantiles → percentile, linear interpolation)
+    "q31_quantiles" -> ((s, dir) =>
+      tbl(s, dir, "orders").groupBy("o_orderpriority")
+        .agg(
+          round(percentile(col("o_totalprice"), lit(0.25)), 6).as("p25"),
+          round(percentile(col("o_totalprice"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("o_totalprice"), lit(0.75)), 6).as("p75"))
+        .orderBy("o_orderpriority")),
+
+    // argMax (CH argMax(x, y) → lexicographic max of struct — deterministic
+    // even under value ties, unlike bare max_by)
+    "q32_argmax" -> ((s, dir) =>
+      tbl(s, dir, "customer").groupBy("c_nationkey")
+        .agg(max(struct(col("c_acctbal"), col("c_custkey"))).as("m"))
+        .select(col("c_nationkey"), col("m.c_acctbal").as("best_bal"),
+          col("m.c_custkey").as("best_cust"))
+        .orderBy("c_nationkey")),
+
+    // PREWHERE + WHERE: two chained filters AND-combined into one scan
+    // predicate by Catalyst (reference semantics: prewhereClause
+    // ClickHouseParser.py:9664-9708; both reach PushedFilters)
+    "q34_prewhere" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType))
+        .filter(col("l_extendedprice") * (lit(1.0) - col("l_discount")) > 50000)
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))),
+
+    // COLUMNS('regex') projection (ColumnsExprRegexp,
+    // ClickHouseParser.py:16708-16729) → colRegex
+    "q35_colregex" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      li.select(li.colRegex("`l_.*key`"))
+        .agg(sum("l_orderkey").as("s_ok"), sum("l_partkey").as("s_pk"),
+          sum("l_suppkey").as("s_sk"))
+    }),
+
+    // WITH FILL ... INTERPOLATE (ClickHouseParser.py:11317-11352,
+    // 10048-10102): dense date axis + carry-forward interpolation
+    "q36_fill_interpolate" -> ((s, dir) => {
+      val daily = tbl(s, dir, "orders")
+        .filter(col("o_custkey") < 100) // sparse → real gaps to fill
+        .groupBy(col("o_orderdate").cast(DateType).as("d"))
+        .agg(sum(decimal(col("o_totalprice"))).cast(DoubleType).as("rev"))
+      val axis = ChOps.withFillDays(daily, "d", Map.empty)
+      val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+      axis.select(col("d"),
+          coalesce(last(col("rev"), ignoreNulls = true).over(w), lit(0.0))
+            .as("rev"))
+        .orderBy("d")
+    }),
+
+    // GROUP BY ALL (GroupByClauseAll, ClickHouseParser.py:9771-9788)
+    "q37_group_by_all" -> ((s, dir) => {
+      tbl(s, dir, "lineitem").createOrReplaceTempView("graft_li")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n
+          |FROM graft_li GROUP BY ALL
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    }),
+
+    // INTERSECT / EXCEPT (beyond the CH grammar — Spark-native extension)
+    "q38_intersect" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val y96 = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+      val y99 = o.filter(year(col("o_orderdate")) === 1999).select("o_custkey")
+      y96.intersect(y99).orderBy("o_custkey")
+    }),
+
+    "q39_except" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val y96 = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+      val y99 = o.filter(year(col("o_orderdate")) === 1999).select("o_custkey")
+      y96.except(y99).orderBy("o_custkey")
+    }),
+
+    // event dedup: first event per (user, type) — streaming-dedup batch twin
+    "e5_first_event" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+      events(s, dir)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("user_id", "event_type", "event_id")
+        .orderBy("user_id", "event_type")
+    }),
+
+    // IVF-style ANN: deterministic coarse quantizer + cell-local search
+    "v3_ivf_topk" -> ((s, dir) =>
+      graft.operators.Similarity.ivfTopK(
+          tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          centroidEvery = 50, queryPred = col("id") < 10, k = 3)
+        .orderBy(col("query_id"), desc("sim"), col("neighbor_id"))))
+
+  private val oracles4: Map[String, String] = Map(
+
+    "q30_uniq_exact" ->
+      """SELECT count(DISTINCT l_orderkey) AS u_orders,
+        |  count(DISTINCT l_partkey) AS u_parts, count(*) AS n
+        |FROM lineitem""".stripMargin,
+
+    "q31_quantiles" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.75), 6) AS p75
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q32_argmax" ->
+      """WITH m AS (SELECT c_nationkey, max((c_acctbal, c_custkey)) AS mx
+        |           FROM customer GROUP BY c_nationkey)
+        |SELECT c_nationkey, mx[1] AS best_bal, mx[2] AS best_cust
+        |FROM m ORDER BY c_nationkey""".stripMargin,
+
+    "q34_prewhere" ->
+      """SELECT count(*) AS n, sum(l_quantity) AS sum_qty FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_extendedprice * (1.0 - l_discount) > 50000""".stripMargin,
+
+    "q35_colregex" ->
+      """SELECT CAST(sum(l_orderkey) AS BIGINT) AS s_ok,
+        |  CAST(sum(l_partkey) AS BIGINT) AS s_pk,
+        |  CAST(sum(l_suppkey) AS BIGINT) AS s_sk
+        |FROM lineitem""".stripMargin,
+
+    "q36_fill_interpolate" ->
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |  FROM orders WHERE o_custkey < 100 GROUP BY 1),
+        |axis AS (SELECT CAST(unnest(generate_series(
+        |  (SELECT min(d) FROM d), (SELECT max(d) FROM d), INTERVAL 1 DAY)) AS DATE) AS d),
+        |joined AS (SELECT axis.d AS d, rev FROM axis LEFT JOIN d USING (d))
+        |SELECT d, coalesce(last_value(rev IGNORE NULLS)
+        |    OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  0.0) AS rev
+        |FROM joined ORDER BY d""".stripMargin,
+
+    "q37_group_by_all" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY ALL
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q38_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1999
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q39_except" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1999
+        |ORDER BY o_custkey""".stripMargin,
+
+    "e5_first_event" ->
+      """SELECT user_id, event_type, event_id FROM (
+        |  SELECT user_id, event_type, event_id,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "v3_ivf_topk" ->
+      s"""WITH vecs AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |cents AS (SELECT id AS cid, v AS cv FROM vecs WHERE id % 50 = 0),
+         |assign AS (SELECT id, v, cid,
+         |  round(${sqlDot("v", "cv")} /
+         |    (sqrt(${sqlNormSq("v")}) * sqrt(${sqlNormSq("cv")})), 6) AS csim
+         |  FROM vecs CROSS JOIN cents),
+         |cells AS (SELECT id, v, cid AS cell FROM (
+         |  SELECT id, v, cid, row_number() OVER (PARTITION BY id
+         |    ORDER BY csim DESC, cid) AS rn FROM assign) WHERE rn = 1),
+         |q AS (SELECT id AS query_id, v AS qv, cell FROM cells WHERE id < 10),
+         |scored AS (SELECT query_id, c.id AS neighbor_id,
+         |  round(${sqlDot("qv", "c.v")} /
+         |    (sqrt(${sqlNormSq("qv")}) * sqrt(${sqlNormSq("c.v")})), 6) AS sim
+         |  FROM q JOIN cells c USING (cell) WHERE query_id <> c.id),
+         |rk AS (SELECT query_id, neighbor_id, sim, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, sim FROM rk WHERE rn <= 3
+         |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin)
 }

@@ -72,6 +72,40 @@ object Similarity {
       when(d >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF-style ANN: a deterministic coarse quantizer (every `centroidEvery`-th
+    * vector by id is a centroid — in production, k-means centroids) assigns
+    * each vector to its nearest cell; queries search only their own cell
+    * (nprobe=1). Turns brute-force O(n·q) into O(n·C + q·n/C) with the
+    * cell assignment broadcast-joined (centroid set is small).
+    * Returns (query_id, neighbor_id, sim) top-k within the query's cell. */
+  def ivfTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroidEvery: Int, queryPred: Column, k: Int, roundTo: Int = 6
+  ): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val centroids = vecs.filter(pmod(col("id"), lit(centroidEvery)) === 0)
+      .select(col("id").as("cid"), col("v").as("cv"))
+    // cell assignment: nearest centroid by (sim desc, cid) — one broadcast join
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(desc("csim"), col("cid"))
+    val cells = vecs.crossJoin(broadcast(centroids))
+      .select(col("id"), col("v"), col("cid"),
+        round(cosine(col("v"), col("cv")), roundTo).as("csim"))
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .select(col("id"), col("v"), col("cid").as("cell"))
+    val queries = cells.filter(queryPred)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("cell"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))
+    broadcast(queries)
+      .join(cells.select(col("id").as("neighbor_id"), col("v").as("cv"), col("cell")),
+        "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), roundTo).as("sim"))
+      .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= k).drop("rn")
+  }
+
   /** Bucketed approximate all-pairs: candidate pairs share a bucket;
     * exact cosine verifies. Returns (id1, id2, sim) with id1 < id2 and
     * sim ≥ threshold. */
