@@ -75,8 +75,9 @@ object Queries {
   // ---- query registry ---------------------------------------------------
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
-    batch1 ++ batch2 ++ batch3 ++ batch4
-  def oracles: Map[String, String] = oracles1 ++ oracles2 ++ oracles3 ++ oracles4
+    batch1 ++ batch2 ++ batch3 ++ batch4 ++ batch5
+  def oracles: Map[String, String] =
+    oracles1 ++ oracles2 ++ oracles3 ++ oracles4 ++ oracles5
 
   private val batch1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1197,4 +1198,72 @@ object Queries {
          |  FROM scored)
          |SELECT query_id, neighbor_id, sim FROM rk WHERE rn <= 3
          |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin)
+
+  // ===== batch 5: dictionaries, predicates, retention, vector aggregation =====
+
+  private val batch5: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // CH dictGet: broadcast dictionary lookup (no fact-side shuffle)
+    "q33_dict_lookup" -> ((s, dir) =>
+      ChOps.dictGet(
+          tbl(s, dir, "customer").filter(col("c_custkey") < 100),
+          tbl(s, dir, "nation"),
+          "c_nationkey", "n_nationkey", Map("n_name" -> "nation"))
+        .select("c_custkey", "c_name", "nation")
+        .orderBy("c_custkey")),
+
+    // ILIKE / LIKE / NOT LIKE predicate family (ColumnExprPrecedence3)
+    "q40_like_family" -> ((s, dir) =>
+      tbl(s, dir, "part").agg(
+        sum(when(col("p_type").like("%BRASS%"), 1).otherwise(0)).as("n_like"),
+        sum(when(col("p_type").ilike("%brass%"), 1).otherwise(0)).as("n_ilike"),
+        sum(when(!col("p_type").like("%BRASS%"), 1).otherwise(0)).as("n_notlike"))),
+
+    // week-over-week retention from the events stream
+    "e6_retention" -> ((s, dir) => {
+      val wk = events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).cast(DateType).as("wk"))
+        .distinct()
+      val nxt = wk.select(col("user_id"), col("wk").as("wk2"))
+      wk.join(nxt, col("wk2") === date_add(col("wk"), 7) &&
+          wk("user_id") === nxt("user_id"))
+        .groupBy("wk").agg(count(lit(1)).as("retained"))
+        .orderBy("wk")
+    }),
+
+    // label centroids: element-wise mean of embeddings per label
+    // (the k-means/IVF training step as a relational aggregation)
+    "v4_label_centroids" -> ((s, dir) =>
+      tbl(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(round(avg(col("x").cast(DoubleType)), 6).as("c"))
+        .orderBy("label", "pos")))
+
+  private val oracles5: Map[String, String] = Map(
+
+    "q33_dict_lookup" ->
+      """SELECT c_custkey, c_name, n_name AS nation
+        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_custkey < 100 ORDER BY c_custkey""".stripMargin,
+
+    "q40_like_family" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN p_type LIKE '%BRASS%' THEN 1 ELSE 0 END) AS BIGINT) AS n_like,
+        |  CAST(sum(CASE WHEN p_type ILIKE '%brass%' THEN 1 ELSE 0 END) AS BIGINT) AS n_ilike,
+        |  CAST(sum(CASE WHEN p_type NOT LIKE '%BRASS%' THEN 1 ELSE 0 END) AS BIGINT) AS n_notlike
+        |FROM part""".stripMargin,
+
+    "e6_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS wk FROM events)
+        |SELECT a.wk AS wk, count(*) AS retained
+        |FROM wk a JOIN wk b ON b.wk = a.wk + 7 AND a.user_id = b.user_id
+        |GROUP BY a.wk ORDER BY a.wk""".stripMargin,
+
+    "v4_label_centroids" ->
+      """SELECT label, CAST(i AS INTEGER) AS pos,
+        |  round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) AS c
+        |FROM embeddings, range(64) r(i)
+        |GROUP BY label, i ORDER BY label, pos""".stripMargin)
 }

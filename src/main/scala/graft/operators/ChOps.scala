@@ -122,4 +122,54 @@ object ChOps {
     * across engines. */
   def sampleBuckets(df: DataFrame, key: Column, k: Int, m: Int, offset: Int = 0): DataFrame =
     df.filter(pmod(key, lit(m)) >= offset && pmod(key, lit(m)) < offset + k)
+
+  /** CH external dictionary lookup (`dictGet('d', 'attr', key)` —
+    * CreateDictionaryStmt ClickHouseParser.py:4005-4048): the dictionary is
+    * a broadcast hash map; the lookup is a broadcast left join, so the fact
+    * side never shuffles. */
+  def dictGet(
+      facts: DataFrame, dict: DataFrame,
+      factKey: String, dictKey: String,
+      attrs: Map[String, String]
+  ): DataFrame = {
+    val d = dict.select(
+      (col(dictKey).as("__dk") +:
+        attrs.toSeq.map { case (src, dst) => col(src).as(dst) }): _*)
+    facts.join(broadcast(d), facts(factKey) === col("__dk"), "left").drop("__dk")
+  }
+
+  /** Distributed LIMIT n WITH TIES on a single ordering value — the
+    * scale-safe form of [[limitWithTies]] (whose global window moves ALL
+    * rows to one partition). Two passes:
+    *   1. `orderBy(v).limit(n)` plans as TakeOrderedAndProject — each
+    *      partition keeps its local top-n, the driver merges n·p rows —
+    *      and yields the n-th (cutoff) value;
+    *   2. a plain filter `v ≥ cutoff` (ties included) that pushes down to
+    *      the scan.
+    * Total data movement: O(n·partitions) + matched rows, never the table. */
+  def distributedTopKWithTies(df: DataFrame, valueCol: Column, n: Int,
+      descending: Boolean = true): DataFrame = {
+    val ordered = if (descending) valueCol.desc else valueCol.asc
+    val topVals = df.select(valueCol.as("__v")).orderBy(ordered).limit(n)
+    val cutRow = topVals.agg(
+      (if (descending) min(col("__v")) else max(col("__v"))).as("c")).head()
+    if (cutRow.isNullAt(0)) df.limit(0)
+    else {
+      val cut = cutRow.get(0)
+      df.filter(if (descending) valueCol >= lit(cut) else valueCol <= lit(cut))
+    }
+  }
+
+  /** Skew-safe equi-join: salt the skewed (left) side's key into `salts`
+    * sub-keys and replicate the right side per salt. Use when AQE's skew
+    * handling isn't enough (e.g. one key is >10% of all rows). */
+  def saltedJoin(
+      left: DataFrame, right: DataFrame,
+      key: String, salts: Int
+  ): DataFrame = {
+    val l = left.withColumn("__salt", pmod(monotonically_increasing_id(), lit(salts)))
+    val r = right.crossJoin(
+        broadcast(left.sparkSession.range(salts).select(col("id").as("__salt"))))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
 }
