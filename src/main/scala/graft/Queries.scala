@@ -761,9 +761,8 @@ object Queries {
       // (bands, both sides of the verify join) would otherwise recompute
       // the whole hash pipeline
       val pre = all
-        .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
-        .withColumn("sig", Dedup.minhashSignature(
-          transform(col("sh"), graft.functions.PortableHash.charFold(_)), 16))
+        .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"),
+          Dedup.minhashSignature(Dedup.shingleHashes(col("text"), 3), 16).as("sig"))
         .persist()
       val cands = Dedup.lshCandidatePairs(
         Dedup.lshBands(pre, "doc_id", "sig", 2, 8), "doc_id")

@@ -48,9 +48,16 @@ object Dedup {
   def minhashSignature(shingleHashes: Column, k: Int): Column =
     graft.plans.NativeExpressions.minhash_signature(shingleHashes, k, PortableHash.Mod)
 
-  /** Column of base-hashed shingles (portable hash by default). */
-  def shingleHashes(text: Column, n: Int,
-      baseHash: Column => Column = PortableHash.charFold(_)): Column =
+  /** Column of portable-hashed shingles — single-pass native expression
+    * (tokenize → distinct shingles → charFold), identical to
+    * `transform(shingles(text, n), PortableHash.charFold(_))`. */
+  def shingleHashes(text: Column, n: Int): Column =
+    graft.plans.NativeExpressions.shingle_hashes(
+      text, n, PortableHash.Mult, PortableHash.Mod)
+
+  /** Pluggable-hash variant (e.g. `PortableHash.fastHash` for production
+    * throughput when cross-engine verifiability isn't needed). */
+  def shingleHashesWith(text: Column, n: Int, baseHash: Column => Column): Column =
     transform(shingles(text, n), baseHash)
 
   /** LSH banding: (id, band_id, band_hash) rows; docs sharing any band

@@ -68,6 +68,55 @@ object NativeExpressions {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 
+  /** Word n-gram shingle hashes straight from text: tokenize on single
+    * spaces (Java split semantics: trailing empties kept, like the SQL
+    * `split(text,' ')`), first-occurrence-distinct the shingle *strings*,
+    * charFold-hash each — identical to
+    * `transform(array_distinct(shingles(text,n)), charFold)` but in one
+    * pass without materializing shingle strings per row twice. Collision
+    * semantics preserved: distinctness is by string, so two distinct
+    * shingles hashing equal still contribute two array entries. */
+  def shingleHashesCompute(text: UTF8String, n: Int, mult: Long, mod: Long): ArrayData = {
+    val tokens = text.toString.split(" ", -1)
+    val last = math.max(tokens.length - n, 0)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= last) {
+      val end = math.min(i + n, tokens.length)
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(tokens(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) {
+      out(k) = charFoldCompute(UTF8String.fromString(it.next()), mult, mod)
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  case class ShingleHashes(child: Expression, n: Int, mult: Long, mod: Long)
+      extends UnaryExpression {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(input: Any): Any =
+      shingleHashesCompute(input.asInstanceOf[UTF8String], n, mult, mod)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.NativeExpressions.shingleHashesCompute($c, $n, ${mult}L, ${mod}L)")
+    override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+      copy(child = newChild)
+  }
+
   case class CharFoldHash(child: Expression, mult: Long, mod: Long)
       extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -116,4 +165,6 @@ object NativeExpressions {
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def minhash_signature(hashes: Column, k: Int, mod: Long): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(hashes), k, mod))
+  def shingle_hashes(text: Column, n: Int, mult: Long, mod: Long): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), n, mult, mod))
 }

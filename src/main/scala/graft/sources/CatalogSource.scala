@@ -35,6 +35,18 @@ object CatalogSource {
   def readJson(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Live-server catalog source over JDBC (the snapshot-free mode; the
+    * reference connects over HTTP with clickhouse_connect,
+    * ch_view_dependencies.py:283-291). Filters on database/engine push
+    * down to the server exactly as the reference's WHERE clauses do. Not
+    * exercisable in this offline environment — requires a ClickHouse
+    * JDBC driver on the classpath and a reachable server. */
+  def readJdbc(spark: SparkSession, url: String,
+      properties: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url,
+      "(SELECT database, name, engine, create_table_query FROM system.tables) t",
+      properties)
+
   /** S1: view-kind catalog objects, system DBs excluded, ordered. */
   def views(catalog: DataFrame, includeSystem: Boolean = false): DataFrame = {
     val base = catalog.filter(
