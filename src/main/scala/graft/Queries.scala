@@ -1237,7 +1237,21 @@ object Queries {
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("label", "pos")
         .agg(round(avg(col("x").cast(DoubleType)), 6).as("c"))
-        .orderBy("label", "pos")))
+        .orderBy("label", "pos")),
+
+    // KMV distinct sketch: custom typed Aggregator (uniq-family middle tier)
+    "q42_kmv_distinct" -> ((s, dir) =>
+      tbl(s, dir, "lineitem").agg(
+        round(graft.functions.KmvSketch.kmvDistinct(
+          graft.functions.PortableHash.charFold(col("l_partkey").cast(StringType)),
+          256), 6).as("est"))),
+
+    // IVF with multi-cell probing (nprobe=2): recall/latency trade dial
+    "v5_ivf_nprobe2" -> ((s, dir) =>
+      graft.operators.Similarity.ivfTopK(
+          tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          centroidEvery = 50, queryPred = col("id") < 10, k = 3, nprobe = 2)
+        .orderBy(col("query_id"), desc("sim"), col("neighbor_id"))))
 
   private val oracles5: Map[String, String] = Map(
 
@@ -1264,5 +1278,37 @@ object Queries {
       """SELECT label, CAST(i AS INTEGER) AS pos,
         |  round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) AS c
         |FROM embeddings, range(64) r(i)
-        |GROUP BY label, i ORDER BY label, pos""".stripMargin)
+        |GROUP BY label, i ORDER BY label, pos""".stripMargin,
+
+    "q42_kmv_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT ${sqlCharFold("CAST(l_partkey AS VARCHAR)")} AS hv
+         |  FROM lineitem),
+         |k AS (SELECT hv FROM h ORDER BY hv LIMIT 256),
+         |a AS (SELECT count(*) AS n, max(hv) AS hk FROM k)
+         |SELECT CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+         |  ELSE round(255 * 2147483647.0 / hk, 6) END AS est FROM a""".stripMargin,
+
+    "v5_ivf_nprobe2" ->
+      s"""WITH vecs AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |cents AS (SELECT id AS cid, v AS cv FROM vecs WHERE id % 50 = 0),
+         |assign AS (SELECT id, v, cid,
+         |  round(${sqlDot("v", "cv")} /
+         |    (sqrt(${sqlNormSq("v")}) * sqrt(${sqlNormSq("cv")})), 6) AS csim
+         |  FROM vecs CROSS JOIN cents),
+         |ranked AS (SELECT id, v, cid, row_number() OVER (PARTITION BY id
+         |    ORDER BY csim DESC, cid) AS rn FROM assign),
+         |cells AS (SELECT id, v, cid AS cell FROM ranked WHERE rn = 1),
+         |q AS (SELECT id AS query_id, v AS qv, cid AS cell FROM ranked
+         |  WHERE rn <= 2 AND id < 10),
+         |scored AS (SELECT query_id, c.id AS neighbor_id,
+         |  round(${sqlDot("qv", "c.v")} /
+         |    (sqrt(${sqlNormSq("qv")}) * sqrt(${sqlNormSq("c.v")})), 6) AS sim
+         |  FROM q JOIN cells c USING (cell) WHERE query_id <> c.id),
+         |rk AS (SELECT query_id, neighbor_id, sim, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, sim FROM rk WHERE rn <= 3
+         |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin)
 }

@@ -80,21 +80,25 @@ object Similarity {
     * Returns (query_id, neighbor_id, sim) top-k within the query's cell. */
   def ivfTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
-      centroidEvery: Int, queryPred: Column, k: Int, roundTo: Int = 6
+      centroidEvery: Int, queryPred: Column, k: Int,
+      roundTo: Int = 6, nprobe: Int = 1
   ): DataFrame = {
     val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val centroids = vecs.filter(pmod(col("id"), lit(centroidEvery)) === 0)
       .select(col("id").as("cid"), col("v").as("cv"))
-    // cell assignment: nearest centroid by (sim desc, cid) — one broadcast join
+    // centroid affinity ranking — one broadcast join, no corpus shuffle
     val wAssign = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(desc("csim"), col("cid"))
-    val cells = vecs.crossJoin(broadcast(centroids))
+    val affinity = vecs.crossJoin(broadcast(centroids))
       .select(col("id"), col("v"), col("cid"),
         round(cosine(col("v"), col("cv")), roundTo).as("csim"))
-      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .withColumn("rn", row_number().over(wAssign))
+    // corpus vectors live in exactly their nearest cell (rn=1); queries
+    // probe their nprobe nearest cells
+    val cells = affinity.filter(col("rn") === 1)
       .select(col("id"), col("v"), col("cid").as("cell"))
-    val queries = cells.filter(queryPred)
-      .select(col("id").as("query_id"), col("v").as("qv"), col("cell"))
+    val queries = affinity.filter(col("rn") <= nprobe).filter(queryPred)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("cid").as("cell"))
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))
     broadcast(queries)

@@ -67,6 +67,16 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
       .select(col("window.start").as("h"), col("event_type"), col("n"), col("v"))
 
+  /** Streaming exact-dedup — the continuous twin of `Dedup.exactGroups`:
+    * drop records whose digest was already seen, with the watermark
+    * bounding the dedup state (records older than the watermark are
+    * forgotten — at 100 TB/day the state store would otherwise grow
+    * without bound). */
+  def dedupStream(df: DataFrame, digestCols: Seq[String],
+      tsCol: String, watermark: String = "1 hour"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicates(digestCols :+ tsCol)
+
   /** Session state for [[sessionize]]. */
   final case class SessionState(sessionId: Long, lastTs: Long, count: Long)
   final case class SessionOut(user_id: Long, session_id: Long, n_events: Long)

@@ -53,6 +53,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.toSeq == streamed.toSeq)
   }
 
+  test("streaming dedup drops repeated digests within the watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup").toString
+    Seq(
+      ("2024-01-01 00:10:00", "click", 1.0),
+      ("2024-01-01 00:10:00", "click", 1.0), // exact dup
+      ("2024-01-01 00:20:00", "view", 2.0))
+      .toDF("ts", "event_type", "value")
+      .select(col("ts").cast(TimestampType), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(dir)
+    val src = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamingOps.dedupStream(src, Seq("event_type", "value"), "ts")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("dedup_out").count() == 2)
+  }
+
   test("stateful sessionization groups by 30-min gaps") {
     val ev = Seq((1L, 0L), (1L, 100L), (1L, 3000L), (2L, 50L)).toDS()
     val out = StreamingOps.sessionize(ev).collect()
