@@ -201,6 +201,17 @@ object LineageExtractor {
       }
     }
 
+    // Depths at which a FROM clause's join-expression list is still open:
+    // a `,` seen at such a depth continues the comma-join list
+    // (JoinExprCrossOp, ClickHouseParser.py:10407-10429) even after an
+    // ON condition — `FROM a JOIN b ON x = 1, c` references c.
+    val fromDepths = mutable.Stack[Int]()
+    // keywords that close the FROM clause at its own depth
+    val fromEnders = Set("WHERE", "GROUP", "ORDER", "LIMIT", "HAVING",
+      "SETTINGS", "UNION", "INTERSECT", "EXCEPT", "SELECT", "WINDOW",
+      "PREWHERE", "FORMAT", "INTO", "ARRAY")
+
+    var depth2 = 0
     var i = 0
     while (i < toks.length) {
       val t = toks(i)
@@ -208,12 +219,16 @@ object LineageExtractor {
         val owner =
           if (i > 0 && toks(i - 1).kind == Ident) toks(i - 1).text.toLowerCase else ""
         owners.push(owner)
+        depth2 += 1
         i += 1
       } else if (t.kind == Punct && t.text == ")") {
         if (owners.nonEmpty) owners.pop()
+        depth2 -= 1
+        while (fromDepths.nonEmpty && fromDepths.top > depth2) fromDepths.pop()
         i += 1
       } else if (t.is("FROM") &&
         !(owners.nonEmpty && scalarFromFns.contains(owners.top))) {
+        if (!fromDepths.contains(depth2)) fromDepths.push(depth2)
         // FROM <ref> [, <ref>]*  — comma list = cross join
         // (ClickHouseParser.py:10855-10934)
         var j = i + 1
@@ -228,6 +243,15 @@ object LineageExtractor {
       } else if (t.is("JOIN") && !(i > 0 && toks(i - 1).is("ARRAY"))) {
         val j = i + 1
         if (j < toks.length && toks(j).kind == Ident && !isStop(toks(j))) tableRef(j)
+        i += 1
+      } else if (t.kind == Punct && t.text == "," &&
+        fromDepths.nonEmpty && fromDepths.top == depth2) {
+        val j = i + 1
+        if (j < toks.length && toks(j).kind == Ident && !isStop(toks(j))) tableRef(j)
+        i += 1
+      } else if (t.kind == Ident && fromEnders.contains(t.upper) &&
+        fromDepths.nonEmpty && fromDepths.top == depth2) {
+        fromDepths.pop()
         i += 1
       } else i += 1
     }

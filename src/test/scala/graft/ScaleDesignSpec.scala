@@ -39,12 +39,14 @@ class ScaleDesignSpec extends AnyFunSuite {
   test("bucketed join is shuffle-free; unbucketed join shuffles both sides") {
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")
+    // external tables with explicit fresh paths — immune to leftover
+    // managed-table locations from earlier runs/sessions
     spark.read.parquet(s"$sf/lineitem.parquet")
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .mode("overwrite").saveAsTable("li_b")
+      .option("path", s"$wh/li_b").mode("overwrite").saveAsTable("li_b")
     spark.read.parquet(s"$sf/orders.parquet")
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .mode("overwrite").saveAsTable("ord_b")
+      .option("path", s"$wh/ord_b").mode("overwrite").saveAsTable("ord_b")
 
     val bucketed = spark.table("li_b")
       .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
