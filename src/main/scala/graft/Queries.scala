@@ -60,8 +60,9 @@ object Queries {
     ("test.pet", "test.v_pet_ownership"))
     .map { case (s, d) => s"('$s','$d')" }.mkString(", ")
 
-  private val viewNames = Seq("v_car_inventory", "v_city_household_flag_stats",
-    "v_household_flags", "v_household_health_score", "v_household_roster",
+  private val viewNames = Seq("v_broken", "v_car_inventory",
+    "v_city_household_flag_stats", "v_household_flags",
+    "v_household_health_score", "v_household_roster",
     "v_human_profile", "v_pet_ownership")
   private val tableNames =
     Seq("car", "household", "household_member", "human", "orphan", "pet")
@@ -1239,6 +1240,22 @@ object Queries {
         .agg(round(avg(col("x").cast(DoubleType)), 6).as("c"))
         .orderBy("label", "pos")),
 
+    // refresh order: topological levels over the dependency DAG
+    "m7_refresh_levels" -> ((s, _) => {
+      val catalog = CatalogSource.fixtureCatalog(s).toDF()
+        .filter(!col("database").isin("system", "INFORMATION_SCHEMA", "information_schema"))
+      val objs = catalog.select(concat_ws(".", col("database"), col("name")).as("id"))
+      graft.operators.DependencyGraph.refreshLevels(objs, fixtureEdges(s))
+        .orderBy("id")
+    }),
+
+    // per-view error channel (P1 keep-going contract) as a queryable result
+    "m8_lineage_errors" -> ((s, _) => {
+      val (_, errs) = LineagePipeline.dependencies(
+        CatalogSource.fixtureCatalog(s).toDF())
+      errs.orderBy("view")
+    }),
+
     // KMV distinct sketch: custom typed Aggregator (uniq-family middle tier)
     "q42_kmv_distinct" -> ((s, dir) =>
       tbl(s, dir, "lineitem").agg(
@@ -1279,6 +1296,23 @@ object Queries {
         |  round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) AS c
         |FROM embeddings, range(64) r(i)
         |GROUP BY label, i ORDER BY label, pos""".stripMargin,
+
+    "m7_refresh_levels" ->
+      (tableNames.map(t => s"('test.$t')") ++ viewNames.map(v => s"('test.$v')"))
+        .mkString("WITH RECURSIVE objs(id) AS (SELECT * FROM (VALUES ", ", ",
+          s"""))
+             |, e(src, dst) AS (VALUES $edgeValues),
+             |lv(id, level) AS (
+             |  SELECT id, 0 FROM objs WHERE id NOT IN (SELECT dst FROM e)
+             |  UNION ALL
+             |  SELECT e.dst, lv.level + 1 FROM lv JOIN e ON e.src = lv.id)
+             |SELECT id, CAST(max(level) AS INTEGER) AS level
+             |FROM lv GROUP BY id ORDER BY id""".stripMargin),
+
+    "m8_lineage_errors" ->
+      """SELECT * FROM (VALUES
+        |  ('test.v_broken', 'LineageParseException: Unterminated string literal'))
+        |AS t(view, error) ORDER BY view""".stripMargin,
 
     "q42_kmv_distinct" ->
       s"""WITH h AS (SELECT DISTINCT ${sqlCharFold("CAST(l_partkey AS VARCHAR)")} AS hv

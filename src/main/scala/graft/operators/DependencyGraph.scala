@@ -71,6 +71,37 @@ object DependencyGraph {
   def fanIn(edges: DataFrame): DataFrame =
     edges.groupBy("dst").agg(count("*").as("fan_in")).orderBy(desc("fan_in"), col("dst"))
 
+  /** Refresh order: topological levels over the dependency DAG — level 0 =
+    * objects that depend on nothing (base tables, isolated objects),
+    * level(v) = 1 + max(level of v's dependencies). The order in which
+    * materialized views must be rebuilt. Iterative frontier propagation,
+    * same cost shape as [[transitiveClosure]] (bounded by DAG depth). */
+  def refreshLevels(allObjects: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sinks = edges.select(col("dst").as("id")).distinct()
+    var levels = allObjects.select(col("id"))
+      .join(sinks, Seq("id"), "left_anti")
+      .withColumn("level", lit(0))
+    var frontier = levels
+    var i = 0
+    var done = false
+    while (i < maxIter && !done) {
+      val next = frontier.alias("f")
+        .join(edges.alias("e"), col("f.id") === col("e.src"))
+        .select(col("e.dst").as("id"), (col("f.level") + 1).as("level"))
+        .groupBy("id").agg(max("level").as("level"))
+      val n = next.count()
+      if (n == 0) done = true
+      else {
+        // keep the max level seen per node (longest path semantics)
+        levels = levels.union(next).groupBy("id").agg(max("level").as("level"))
+          .localCheckpoint(true)
+        frontier = next.localCheckpoint(true)
+      }
+      i += 1
+    }
+    levels
+  }
+
   /** Multi-hop lineage: transitive closure by iterative self-join.
     * Cycle-safe (distinct per iteration, bounded by `maxIter`); checkpoint
     * every few rounds would cut plan growth on a huge catalog — here the

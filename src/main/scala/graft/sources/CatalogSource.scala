@@ -134,6 +134,10 @@ object CatalogSource {
           |SELECT hu.name, inv.model
           |FROM test.human AS hu
           |LEFT JOIN test.v_car_inventory AS inv ON inv.owner = hu.name""".stripMargin)),
+      // unparseable DDL — exercises the per-view error channel (P1:
+      // processing must continue, the failure lands in `errors`)
+      CatalogObject("test", "v_broken", "View", Some(
+        "CREATE VIEW test.v_broken AS SELECT 'oops")),
       // system objects — must be excluded by S1/S2 filters
       CatalogObject("system", "tables", "SystemTables", None),
       CatalogObject("INFORMATION_SCHEMA", "TABLES", "View", None))

@@ -54,6 +54,27 @@ class DdlSurfaceSpec extends AnyFunSuite {
     assert(!names.contains("t2") && !names.contains("v"))
   }
 
+  test("INTO OUTFILE sinks: parquet, CSVWithNames, JSONEachRow round-trip") {
+    import graft.sources.Sinks
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val df = spark.sql("SELECT id, name FROM graft_ddl.t")
+    val n = df.count()
+    Sinks.intoOutfile(df, s"$dir/p")
+    Sinks.intoOutfile(df, s"$dir/c", "CSVWithNames")
+    Sinks.intoOutfile(df, s"$dir/j", "JSONEachRow")
+    assert(spark.read.parquet(s"$dir/p").count() == n)
+    assert(spark.read.option("header", "true").csv(s"$dir/c").count() == n)
+    assert(spark.read.json(s"$dir/j").count() == n)
+    // partitioned layout
+    Sinks.intoOutfile(df.withColumn("b",
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.lit(2))), s"$dir/part",
+      partitionBy = Seq("b"))
+    assert(new java.io.File(s"$dir/part").listFiles()
+      .exists(_.getName.startsWith("b=")))
+  }
+
   test("INSERT OVERWRITE is the TRUNCATE+reload mutation path") {
     spark.sql("INSERT OVERWRITE graft_ddl.t VALUES (99, 'only')")
     val rows = spark.sql("SELECT id, name FROM graft_ddl.t").collect()

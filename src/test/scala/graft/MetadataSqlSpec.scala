@@ -31,7 +31,7 @@ class MetadataSqlSpec extends AnyFunSuite {
     registered
     val iso = spark.sql("SELECT id FROM graft_isolated_objects").collect()
       .map(_.getString(0))
-    assert(iso.toSeq == Seq("test.orphan"))
+    assert(iso.toSeq == Seq("test.orphan", "test.v_broken"))
     val cls = spark.sql(
       "SELECT cls FROM graft_node_classes WHERE id = 'test.v_household_flags'")
       .head().getString(0)
@@ -53,6 +53,6 @@ class MetadataSqlSpec extends AnyFunSuite {
       "SELECT engine, n FROM graft_objects_by_engine ORDER BY engine").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(m("MergeTree") == 6L)
-    assert(m("View") == 7L)
+    assert(m("View") == 8L)
   }
 }

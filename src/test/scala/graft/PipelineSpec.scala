@@ -23,8 +23,9 @@ class PipelineSpec extends AnyFunSuite {
 
   test("S1/S2: view-vs-table split excludes system dbs, ordered") {
     val v = CatalogSource.views(catalog).select("name").collect().map(_.getString(0))
-    assert(v.toSeq == Seq("v_car_inventory", "v_city_household_flag_stats",
-      "v_household_flags", "v_household_health_score", "v_household_roster",
+    assert(v.toSeq == Seq("v_broken", "v_car_inventory",
+      "v_city_household_flag_stats", "v_household_flags",
+      "v_household_health_score", "v_household_roster",
       "v_human_profile", "v_pet_ownership"))
     val tbl = CatalogSource.tables(catalog).select("name").collect().map(_.getString(0))
     assert(tbl.toSeq == Seq("car", "household", "household_member", "human", "orphan", "pet"))
@@ -33,7 +34,8 @@ class PipelineSpec extends AnyFunSuite {
   test("lineage matches FIXTURES.md expected dependency map") {
     val (deps, errs) = LineagePipeline.dependencies(catalog)
     val m = deps.collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
-    assert(errs.count() == 0)
+    assert(errs.count() == 1) // v_broken routes to the error channel
+    assert(errs.head().getString(0) == "test.v_broken")
     assert(m("test.v_car_inventory") == List("test.car", "test.household", "test.human"))
     assert(m("test.v_household_flags") == List(
       "test.car", "test.household", "test.household_member", "test.pet"))
