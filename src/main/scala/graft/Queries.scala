@@ -1263,6 +1263,55 @@ object Queries {
           graft.functions.PortableHash.charFold(col("l_partkey").cast(StringType)),
           256), 6).as("est"))),
 
+    // ASOF with tolerance window: stale matches become NULL
+    "e7_asof_tolerance" -> ((s, dir) => {
+      val ev = events(s, dir).select("event_id", "user_id", "ts")
+      val ord = tbl(s, dir, "orders")
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+        .agg(max("o_orderkey").as("o_orderkey"))
+      ChOps.asofJoinLeftTolerance(ev, ord, "user_id", "ts", "o_orderdate",
+          Seq("o_orderkey"), 800000000L)
+        .select("event_id", "o_orderkey").orderBy("event_id")
+    }),
+
+    // correlated scalar subquery -> Catalyst decorrelation  [TPC-H Q17 shape]
+    "q43_correlated" -> ((s, dir) => {
+      tbl(s, dir, "lineitem").createOrReplaceTempView("graft_li43")
+      s.sql(
+        """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          |  AS total
+          |FROM graft_li43 l1
+          |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM graft_li43 l2
+          |                    WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)
+    }),
+
+    // null-handling scalar functions
+    "q45_null_funcs" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .selectExpr("nullif(o_orderstatus, 'O') AS s",
+          "coalesce(nullif(o_orderstatus, 'F'), 'fallback') AS c")
+        .agg(count(col("s")).as("n_not_o"),
+          sum(when(col("c") === "fallback", 1).otherwise(0)).cast(LongType)
+            .as("n_fell_back"),
+          count(lit(1)).as("n"))),
+
+    // approximate percentile (sketch tier — estimates are engine-specific,
+    // rows-only check like q30b)
+    "q31b_quantiles_approx" -> ((s, dir) =>
+      tbl(s, dir, "orders").agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50_approx"))),
+
+    // multimodal frame sampling: fixed-size frames -> digest per frame
+    // (video frame-extraction batch shape; stub digests the bytes)
+    "x2_frame_sample" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0),
+            floor((length(col("text")) + 63) / lit(64)).cast(IntegerType) - 1),
+          i => md5(col("text").substr(i * 64 + 1, lit(64)))))
+          .as(Seq("frame_id", "digest")))
+        .orderBy("doc_id", "frame_id")),
+
     // IVF with multi-cell probing (nprobe=2): recall/latency trade dial
     "v5_ivf_nprobe2" -> ((s, dir) =>
       graft.operators.Similarity.ivfTopK(
@@ -1321,6 +1370,40 @@ object Queries {
          |a AS (SELECT count(*) AS n, max(hv) AS hk FROM k)
          |SELECT CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
          |  ELSE round(255 * 2147483647.0 / hk, 6) END AS est FROM a""".stripMargin,
+
+    "e7_asof_tolerance" ->
+      """WITH r AS (SELECT o_custkey AS user_id, o_orderdate,
+        |                  max(o_orderkey) AS o_orderkey
+        |           FROM orders GROUP BY 1, 2),
+        |m AS (SELECT event_id, ts, o_orderkey, o_orderdate
+        |      FROM events ASOF LEFT JOIN r
+        |        ON events.user_id = r.user_id AND r.o_orderdate <= events.ts)
+        |SELECT event_id,
+        |  CASE WHEN epoch(o_orderdate) >= epoch(ts) - 800000000
+        |       THEN o_orderkey END AS o_orderkey
+        |FROM m ORDER BY event_id""".stripMargin,
+
+    "q43_correlated" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  AS total
+        |FROM lineitem l1
+        |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = l1.l_partkey)""".stripMargin,
+
+    "q45_null_funcs" ->
+      """SELECT count(nullif(o_orderstatus, 'O')) AS n_not_o,
+        |  CAST(sum(CASE WHEN coalesce(nullif(o_orderstatus, 'F'), 'fallback')
+        |                     = 'fallback' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_fell_back,
+        |  count(*) AS n
+        |FROM orders""".stripMargin,
+
+    "x2_frame_sample" ->
+      """SELECT doc_id, CAST(i AS INTEGER) AS frame_id,
+        |  md5(substr(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS digest
+        |FROM documents, range(0, 64) r(i)
+        |WHERE i < floor((length(text) + 63) / 64.0)
+        |ORDER BY doc_id, frame_id""".stripMargin,
 
     "v5_ivf_nprobe2" ->
       s"""WITH vecs AS (SELECT vec_id AS id,

@@ -64,6 +64,26 @@ object ChOps {
         rightVals.map(c => col(s"__match.$c").as(c)): _*)
   }
 
+  /** ASOF LEFT JOIN with a tolerance window: like [[asofJoinLeft]] but a
+    * match older than `toleranceSeconds` before the left timestamp is
+    * discarded (CH `ASOF JOIN ... ON k AND rts > lts - INTERVAL n`).
+    * Implemented as the plain asof join + a post-match recency filter —
+    * same single-shuffle plan. Emits the matched right timestamp as
+    * `__match_ts` for the filter, then drops it. */
+  def asofJoinLeftTolerance(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      rightVals: Seq[String], toleranceSeconds: Long
+  ): DataFrame = {
+    val joined = asofJoinLeft(left, right, key, leftTs, rightTs,
+      rightVals :+ rightTs)
+    val recent = col(rightTs).cast("timestamp").cast("double") >=
+      col(leftTs).cast("timestamp").cast("double") - toleranceSeconds
+    rightVals.foldLeft(joined) { (df, c) =>
+      df.withColumn(c, when(recent, col(c)))
+    }.drop(rightTs)
+  }
+
   /** ANY LEFT JOIN: at most one right match per left row — ClickHouse keeps
     * a single arbitrary match; we make it deterministic by ranking the
     * right side on `pick` and keeping rank 1 (one shuffle of the right
