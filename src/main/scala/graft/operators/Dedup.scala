@@ -30,15 +30,13 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
 
-  /** Word n-gram shingles of a text column as an array column (distinct,
-    * order preserved by first occurrence position then de-dup via
-    * array_distinct). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
-    array_distinct(
-      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+  /** Word n-gram shingles of a text column as an array column
+    * (first-occurrence distinct). Native single-pass expression; the
+    * equivalent HOF form is
+    * `array_distinct(transform(sequence(0, greatest(size(toks)-n, 0)),
+    *    i -> concat_ws(' ', slice(toks, i+1, n))))`. */
+  def shingles(text: Column, n: Int): Column =
+    graft.plans.NativeExpressions.word_shingles(text, n)
 
   /** MinHash signature: for permutation i in [0,k): min over shingles of
     * h_i(baseHash(shingle)). Row-local — no shuffle. Codegen'd native

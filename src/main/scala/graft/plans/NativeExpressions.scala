@@ -103,6 +103,45 @@ object NativeExpressions {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 
+  /** The shingle *strings* (for exact-Jaccard verification) — same
+    * tokenization/distinctness as [[shingleHashesCompute]]. */
+  def wordShinglesCompute(text: UTF8String, n: Int): ArrayData = {
+    val tokens = text.toString.split(" ", -1)
+    val last = math.max(tokens.length - n, 0)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= last) {
+      val end = math.min(i + n, tokens.length)
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(tokens(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[UTF8String](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(input: Any): Any =
+      wordShinglesCompute(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.NativeExpressions.wordShinglesCompute($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): WordShingles =
+      copy(child = newChild)
+  }
+
   case class ShingleHashes(child: Expression, n: Int, mult: Long, mod: Long)
       extends UnaryExpression {
     override def dataType: DataType =
@@ -167,4 +206,6 @@ object NativeExpressions {
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(hashes), k, mod))
   def shingle_hashes(text: Column, n: Int, mult: Long, mod: Long): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), n, mult, mod))
+  def word_shingles(text: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
 }
