@@ -1485,6 +1485,30 @@ object Queries {
         .orderBy("o_orderpriority", "o_orderkey")
     }),
 
+    // array function family: sort/reverse/contains/slice over built arrays
+    "q51_array_funcs" -> ((s, dir) =>
+      tbl(s, dir, "lineitem").filter(col("l_orderkey") < 1000)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("lns"))
+        .select(col("l_orderkey"),
+          reverse(col("lns")).as("rev"),
+          array_contains(col("lns"), 3).as("has3"),
+          slice(col("lns"), 1, 2).as("first2"),
+          size(col("lns")).as("n"))
+        .select(col("l_orderkey"),
+          concat_ws(",", col("rev")).as("rev_s"),
+          col("has3"),
+          concat_ws(",", col("first2")).as("first2_s"),
+          col("n"))
+        .orderBy("l_orderkey")),
+
+    // exact distinct users per hour (windowed cardinality)
+    "e8_hourly_uniques" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(countDistinct(col("user_id")).as("u"), count(lit(1)).as("n"))
+        .orderBy("h")),
+
     // regex predicate (CH match() / LIKE-regex family)
     "q50_regex_match" -> ((s, dir) =>
       tbl(s, dir, "part").agg(
@@ -1529,6 +1553,20 @@ object Queries {
         |  ntile(4) OVER (PARTITION BY o_orderpriority
         |                 ORDER BY o_totalprice, o_orderkey) AS quartile
         |FROM orders ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "q51_array_funcs" ->
+      """SELECT l_orderkey,
+        |  array_to_string(list_reverse(list_sort(list(l_linenumber))), ',') AS rev_s,
+        |  list_contains(list_sort(list(l_linenumber)), 3) AS has3,
+        |  array_to_string(list_sort(list(l_linenumber))[1:2], ',') AS first2_s,
+        |  CAST(len(list(l_linenumber)) AS INTEGER) AS n
+        |FROM lineitem WHERE l_orderkey < 1000
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "e8_hourly_uniques" ->
+      """SELECT date_trunc('hour', ts) AS h,
+        |  count(DISTINCT user_id) AS u, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY h""".stripMargin,
 
     "q50_regex_match" ->
       """SELECT
