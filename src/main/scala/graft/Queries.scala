@@ -1485,6 +1485,28 @@ object Queries {
         .orderBy("o_orderpriority", "o_orderkey")
     }),
 
+    // PIVOT: status x priority matrix (CH would use sumIf columns)
+    "q53_pivot" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("f"),
+          coalesce(col("O"), lit(0L)).as("o"),
+          coalesce(col("P"), lit(0L)).as("p"))
+        .orderBy("o_orderpriority")),
+
+    // UNPIVOT / melt: wide measures -> long (metric, value) pairs
+    "q54_unpivot" -> ((s, dir) =>
+      tbl(s, dir, "lineitem").filter(col("l_orderkey") < 100)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric")),
+
     // array function family: sort/reverse/contains/slice over built arrays
     "q51_array_funcs" -> ((s, dir) =>
       tbl(s, dir, "lineitem").filter(col("l_orderkey") < 1000)
@@ -1553,6 +1575,24 @@ object Queries {
         |  ntile(4) OVER (PARTITION BY o_orderpriority
         |                 ORDER BY o_totalprice, o_orderkey) AS quartile
         |FROM orders ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "q53_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q54_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+        |         l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+        |WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
 
     "q51_array_funcs" ->
       """SELECT l_orderkey,
