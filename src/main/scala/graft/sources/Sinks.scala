@@ -34,4 +34,42 @@ object Sinks {
   def toTable(df: DataFrame, table: String,
       mode: SaveMode = SaveMode.Append): Unit =
     df.write.mode(mode).saveAsTable(table)
+
+  /** MergeTree `ORDER BY` mapping (engineClause,
+    * ClickHouseParser.py:5807-5962): sort within partitions before writing
+    * so parquet row-group min/max stats become selective — the Spark
+    * equivalent of ClickHouse's primary-key data skipping. Combine with
+    * `partitionBy` for the PARTITION BY clause. */
+  def writeSorted(
+      df: DataFrame, path: String, sortCols: Seq[String],
+      partitionBy: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.Overwrite
+  ): Unit = {
+    val sorted = df.sortWithinPartitions(
+      sortCols.map(org.apache.spark.sql.functions.col): _*)
+    val w = sorted.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** MergeTree `TTL` mapping (ttlClause, ClickHouseParser.py:6113): a
+    * retention job over a date-partitioned layout — partitions older than
+    * the cutoff are dropped wholesale (directory delete, no data rewrite;
+    * O(partitions) driver work, zero executor work). `partitionCol` must be
+    * the physical partition column (e.g. written via partitionBy("dt")). */
+  def applyTtl(spark: org.apache.spark.sql.SparkSession, path: String,
+      partitionCol: String, cutoff: String): Seq[String] = {
+    val root = new java.io.File(path)
+    val victims = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .filter(_.getName.startsWith(s"$partitionCol="))
+      .filter(_.getName.stripPrefix(s"$partitionCol=") < cutoff)
+    victims.foreach { d =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(d)
+    }
+    victims.map(_.getName).toSeq.sorted
+  }
 }

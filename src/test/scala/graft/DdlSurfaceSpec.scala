@@ -75,6 +75,23 @@ class DdlSurfaceSpec extends AnyFunSuite {
       .exists(_.getName.startsWith("b=")))
   }
 
+  test("ORDER BY (sorted write) and TTL (partition retention) mappings") {
+    import graft.sources.Sinks
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ttl").toString
+    val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumn("dt", date_format(col("o_orderdate"), "yyyy-MM"))
+    Sinks.writeSorted(df, s"$dir/orders", Seq("o_custkey", "o_orderdate"),
+      partitionBy = Seq("dt"))
+    val before = spark.read.parquet(s"$dir/orders")
+      .select("dt").distinct().count()
+    val dropped = Sinks.applyTtl(spark, s"$dir/orders", "dt", "1997-01")
+    assert(dropped.nonEmpty && dropped.forall(_ < "dt=1997-01"))
+    val after = spark.read.parquet(s"$dir/orders")
+    assert(after.select("dt").distinct().count() == before - dropped.length)
+    assert(after.agg(min("dt")).head().getString(0) >= "1997-01")
+  }
+
   test("INSERT OVERWRITE is the TRUNCATE+reload mutation path") {
     spark.sql("INSERT OVERWRITE graft_ddl.t VALUES (99, 'only')")
     val rows = spark.sql("SELECT id, name FROM graft_ddl.t").collect()
