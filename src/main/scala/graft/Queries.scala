@@ -1531,6 +1531,37 @@ object Queries {
         .agg(countDistinct(col("user_id")).as("u"), count(lit(1)).as("n"))
         .orderBy("h")),
 
+    // tuple construction + element access (ColumnExprTuple/TupleAccess,
+    // ClickHouseParser.py:15285-15304, 15418-15443)
+    "q55_tuple_access" -> ((s, dir) =>
+      tbl(s, dir, "orders").filter(col("o_orderkey") < 100)
+        .select(struct(col("o_orderkey").as("k"),
+          col("o_totalprice").as("v")).as("t"))
+        .select(col("t.k").as("k"), col("t.v").as("v"))
+        .orderBy("k")),
+
+    // valued CASE (CASE x WHEN v THEN ...) + searched CASE
+    "q56_case_forms" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .select(
+          when(col("o_orderstatus") === "F", "done")
+            .when(col("o_orderstatus") === "O", "open")
+            .otherwise("other").as("valued"),
+          when(col("o_totalprice") > 300000, "big").otherwise("small")
+            .as("searched"))
+        .groupBy("valued", "searched").agg(count(lit(1)).as("n"))
+        .orderBy("valued", "searched")),
+
+    // INTERVAL arithmetic (ColumnExprInterval, ClickHouseParser.py:15177-15197)
+    "q57_interval_arith" -> ((s, dir) =>
+      tbl(s, dir, "orders").filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey"),
+          add_months(col("o_orderdate").cast(DateType), 2).as("plus_2m"),
+          date_add(col("o_orderdate").cast(DateType), 90).as("plus_90d"),
+          (col("o_orderdate") + expr("INTERVAL 1 HOUR")).cast(TimestampType)
+            .as("plus_1h"))
+        .orderBy("o_orderkey")),
+
     // regex predicate (CH match() / LIKE-regex family)
     "q50_regex_match" -> ((s, dir) =>
       tbl(s, dir, "part").agg(
@@ -1575,6 +1606,24 @@ object Queries {
         |  ntile(4) OVER (PARTITION BY o_orderpriority
         |                 ORDER BY o_totalprice, o_orderkey) AS quartile
         |FROM orders ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "q55_tuple_access" ->
+      """SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+        |WHERE o_orderkey < 100 ORDER BY k""".stripMargin,
+
+    "q56_case_forms" ->
+      """SELECT CASE o_orderstatus WHEN 'F' THEN 'done' WHEN 'O' THEN 'open'
+        |            ELSE 'other' END AS valued,
+        |  CASE WHEN o_totalprice > 300000 THEN 'big' ELSE 'small' END AS searched,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1, 2 ORDER BY valued, searched""".stripMargin,
+
+    "q57_interval_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_2m,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS DATE) AS plus_90d,
+        |  o_orderdate + INTERVAL 1 HOUR AS plus_1h
+        |FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""".stripMargin,
 
     "q53_pivot" ->
       """SELECT o_orderpriority,
