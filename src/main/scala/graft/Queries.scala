@@ -422,10 +422,15 @@ object Queries {
         .select("p_brand", "p_partkey", "p_retailprice")
         .orderBy(col("p_brand"), desc("p_retailprice"), col("p_partkey"))),
 
-    // LIMIT n WITH TIES (ClickHouseParser.py:10223-10259)
+    // LIMIT n WITH TIES (ClickHouseParser.py:10223-10259) — distributed
+    // form: per-partition top-n merge (TakeOrderedAndProject) + a pushed
+    // cutoff filter; rank()<=n ⟺ value ≥ n-th largest, so the result is
+    // identical to the global-window form without its single-partition
+    // shuffle (ScaleDesignSpec pins the plan shape).
     "q21_limit_ties" -> ((s, dir) =>
-      ChOps.limitWithTies(tbl(s, dir, "part").select("p_partkey", "p_retailprice"),
-          Seq(desc("p_retailprice")), 5)
+      ChOps.distributedTopKWithTies(
+          tbl(s, dir, "part").select("p_partkey", "p_retailprice"),
+          col("p_retailprice"), 5)
         .orderBy(desc("p_retailprice"), col("p_partkey"))),
 
     // SAMPLE k/m (sampleClause, ClickHouseParser.py:11016-11083)
@@ -1059,17 +1064,17 @@ object Queries {
     }),
 
     // WITH FILL ... INTERPOLATE (ClickHouseParser.py:11317-11352,
-    // 10048-10102): dense date axis + carry-forward interpolation
+    // 10048-10102): dense date axis + carry-forward interpolation.
+    // Partition-and-stitch: per-month windows carry within the bucket, a
+    // broadcast bucket summary (1 row/month) stitches across — no global
+    // window over the axis (ScaleDesignSpec pins the plan shape).
     "q36_fill_interpolate" -> ((s, dir) => {
       val daily = tbl(s, dir, "orders")
         .filter(col("o_custkey") < 100) // sparse → real gaps to fill
         .groupBy(col("o_orderdate").cast(DateType).as("d"))
         .agg(sum(decimal(col("o_totalprice"))).cast(DoubleType).as("rev"))
       val axis = ChOps.withFillDays(daily, "d", Map.empty)
-      val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
-      axis.select(col("d"),
-          coalesce(last(col("rev"), ignoreNulls = true).over(w), lit(0.0))
-            .as("rev"))
+      ChOps.carryForwardFill(axis, "d", "rev", trunc(_, "month"), lit(0.0))
         .orderBy("d")
     }),
 

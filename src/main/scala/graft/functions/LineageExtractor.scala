@@ -18,7 +18,17 @@ import graft.model.LineageParseException
   *  - CTE names declared `name AS (` in a WITH clause are dropped, matched
   *    UNQUALIFIED (ch_view_dependencies.py:132-141, 226-228) — so a qualified
   *    ref whose table part collides with a CTE name is also dropped (quirk
-  *    preserved);
+  *    preserved). DELIBERATE DIVERGENCE: the reference's CTE regex runs on
+  *    whitespace-free `getText`, so the FIRST CTE of each WITH clause is
+  *    captured as `WITHcte` and never excluded — `WITH flags AS (...)
+  *    SELECT ... FROM flags` yields a spurious `db.flags` edge there. We
+  *    exclude ALL declared CTEs (the saner behavior; pinned by
+  *    LineageExtractorSpec "divergence: first CTE of a WITH clause");
+  *  - DELIBERATE DIVERGENCE: a comma-joined table AFTER an ON clause
+  *    (`FROM a JOIN b ON a.x = b.x, c`) IS collected here — comma = cross
+  *    join, so `c` is a real dependency — whereas the reference's regex
+  *    stops at the ON expression and misses `c` (pinned by
+  *    LineageExtractorSpec "divergence: comma join after ON");
   *  - unqualified refs are qualified with the view's own database
   *    (ch_view_dependencies.py:86-98, call site 354);
   *  - `ARRAY JOIN col` does NOT contribute a table ref (the reference's

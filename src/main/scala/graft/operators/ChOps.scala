@@ -22,8 +22,12 @@ object ChOps {
 
   /** ASOF LEFT JOIN: for each left row, the single right row with the
     * greatest `rightTs <= leftTs` within the same key group (ClickHouse
-    * resolves the nearest match; ties on ts take the last right row in
-    * (ts, tieBreak) order).
+    * resolves the nearest match). With multiple right rows at an equal
+    * (key, ts), the winner is the last in `tieBreak` ascending order when
+    * `tieBreak` is given; with `tieBreak = Nil` the choice among exact
+    * duplicates is NONDETERMINISTIC across runs — pass a tie-break (or
+    * pre-aggregate the right side to one row per (key, ts), as the
+    * shipped queries do) when the right side can carry such ties.
     *
     * Scale design: the naive formulation (range join + per-row max) is a
     * cartesian blow-up; this union-and-window form shuffles each side ONCE
@@ -40,22 +44,32 @@ object ChOps {
       key: String,
       leftTs: String,
       rightTs: String,
-      rightVals: Seq[String]
+      rightVals: Seq[String],
+      tieBreak: Seq[String] = Nil
   ): DataFrame = {
     val leftCols = left.columns
+    val tieType = right.select(tieBreak.map(col): _*).schema
+      .fields.foldLeft(new org.apache.spark.sql.types.StructType())((s, f) => s.add(f))
+    val leftTie = if (tieBreak.isEmpty) lit(0) else lit(null).cast(tieType)
+    val rightTie = if (tieBreak.isEmpty) lit(0) else struct(tieBreak.map(col): _*)
     val l = left.select(
       col(key).as("__k"), col(leftTs).as("__ts"), lit(1).as("__side"),
+      leftTie.as("__tie"),
       struct(leftCols.map(col): _*).as("__l"),
       lit(null).cast(right.select(rightVals.map(col): _*).schema
         .fields.foldLeft(new org.apache.spark.sql.types.StructType())((s, f) => s.add(f)))
         .as("__r"))
     val r = right.select(
       col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
+      rightTie.as("__tie"),
       lit(null).cast(l.schema("__l").dataType).as("__l"),
       struct(rightVals.map(col): _*).as("__r"))
     // right rows sort before left rows at equal ts (side 0 < 1) so an
-    // exact-ts right row is visible to the left row — CH `<=` semantics.
-    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__side"))
+    // exact-ts right row is visible to the left row — CH `<=` semantics;
+    // __tie makes the winner among equal-(key, ts) right rows deterministic
+    // (last in tie order wins, nulls-first keeps left rows unaffected).
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__ts"), col("__side"), col("__tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
@@ -107,7 +121,10 @@ object ChOps {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
   }
 
-  /** LIMIT n WITH TIES: rank() (not row_number) keeps tied rows. */
+  /** LIMIT n WITH TIES via a global rank() window: correct on any ordering
+    * tuple but moves EVERY row to one partition — use only on inputs already
+    * known tiny (post-aggregation). For a single ordering value the default
+    * is [[distributedTopKWithTies]], which never shuffles the table. */
   def limitWithTies(df: DataFrame, ord: Seq[Column], n: Int): DataFrame = {
     val w = Window.orderBy(ord: _*)
     df.withColumn("__rk", rank().over(w)).filter(col("__rk") <= n).drop("__rk")
@@ -121,18 +138,60 @@ object ChOps {
     df.groupingSets(Seq(sets, Seq.empty), sets: _*).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** ORDER BY ... WITH FILL for a date axis: generate the complete day
-    * sequence [min, max] with `sequence()` + explode (distributed — no
-    * driver-side range materialization), left-join the data, fill gaps
-    * with `fillValue`. `df` must have a DateType column `dateCol`. */
-  def withFillDays(df: DataFrame, dateCol: String, fills: Map[String, Column]): DataFrame = {
-    val bounds = df.agg(min(col(dateCol)).as("lo"), max(col(dateCol)).as("hi"))
+  /** ORDER BY ... WITH FILL [STEP step] for any axis `sequence()` supports
+    * (integers with a numeric step, dates/timestamps with an interval step —
+    * the full fillStep grammar, ClickHouseParser.py:11317-11352): generate
+    * the complete axis [min, max] with `sequence()` + explode (distributed —
+    * no driver-side range materialization), left-join the data, fill gaps
+    * with the given per-column defaults. */
+  def withFillStep(df: DataFrame, axisCol: String, step: Column,
+      fills: Map[String, Column]): DataFrame = {
+    val bounds = df.agg(min(col(axisCol)).as("lo"), max(col(axisCol)).as("hi"))
     val axis = bounds.select(
-      explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as(dateCol))
-    val filled = axis.join(df, Seq(dateCol), "left")
+      explode(sequence(col("lo"), col("hi"), step)).as(axisCol))
+    val filled = axis.join(df, Seq(axisCol), "left")
     fills.foldLeft(filled) { case (acc, (c, v)) =>
       acc.withColumn(c, coalesce(col(c), v))
     }
+  }
+
+  /** WITH FILL specialization for a day-step date axis. `df` must have a
+    * DateType column `dateCol`. */
+  def withFillDays(df: DataFrame, dateCol: String, fills: Map[String, Column]): DataFrame =
+    withFillStep(df, dateCol, expr("interval 1 day"), fills)
+
+  /** Carry-forward interpolation (WITH FILL ... INTERPOLATE) without a
+    * global window. The naive form — `last(value, ignoreNulls) OVER
+    * (ORDER BY ord)` — moves the whole axis to ONE partition. Instead:
+    *   1. bucket the axis by a coarse key (e.g. month for a day axis) and
+    *      carry forward *within* each bucket — a partitioned window,
+    *      parallel across buckets;
+    *   2. reduce each bucket to its last non-null value (map-side-combined
+    *      aggregation), run the carry across the *bucket summary* — one row
+    *      per bucket, ~30-1000× smaller than the axis by construction — and
+    *      broadcast it back;
+    *   3. a row's value = its in-bucket carry, else the latest previous
+    *      bucket's last value, else `default`.
+    * The only ordered window over unbounded data is per-bucket; the global
+    * pass touches one row per bucket. */
+  def carryForwardFill(df: DataFrame, ordCol: String, valueCol: String,
+      bucket: Column => Column, default: Column): DataFrame = {
+    val b = df.withColumn("__b", bucket(col(ordCol)))
+    val wIn = Window.partitionBy("__b").orderBy(ordCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = b.withColumn("__local",
+      last(col(valueCol), ignoreNulls = true).over(wIn))
+    val bucketLast = b.filter(col(valueCol).isNotNull)
+      .groupBy("__b").agg(max_by(col(valueCol), col(ordCol)).as("__blast"))
+    val wB = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = b.select("__b").distinct()
+      .join(bucketLast, Seq("__b"), "left")
+      .withColumn("__prev", last(col("__blast"), ignoreNulls = true).over(wB))
+      .select(col("__b"), col("__prev"))
+    local.join(broadcast(carry), Seq("__b"))
+      .withColumn(valueCol, coalesce(col("__local"), col("__prev"), default))
+      .drop("__b", "__local", "__prev")
   }
 
   /** SAMPLE k/m [OFFSET o/m]: deterministic bucket sampling on an integer

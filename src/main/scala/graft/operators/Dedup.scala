@@ -71,10 +71,28 @@ object Dedup {
         .as(Seq("band_id", "band_hash")))
 
   /** Candidate near-duplicate pairs (id1 < id2) from shared LSH buckets,
-    * deduplicated across bands. */
-  def lshCandidatePairs(bandsDf: DataFrame, idCol: String): DataFrame = {
-    val a = bandsDf.select(col("band_id"), col("band_hash"), col(idCol).as("id1"))
-    val b = bandsDf.select(col("band_id"), col("band_hash"), col(idCol).as("id2"))
+    * deduplicated across bands.
+    *
+    * `maxBucketSize` is the hot-bucket guard for skewed corpora: a bucket
+    * of b docs yields b² candidate rows, so one boilerplate-heavy bucket
+    * (empty strings, license headers) can dominate the whole job at 100 TB.
+    * Buckets above the cap are DROPPED before the self-join (their members
+    * still pair up through their other, more selective bands — the standard
+    * MinHash-LSH skew mitigation). Costs one extra shuffle of (band_id,
+    * band_hash, id) key triples to size the buckets; the default
+    * `Int.MaxValue` skips the sizing pass entirely. */
+  def lshCandidatePairs(bandsDf: DataFrame, idCol: String,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val kept =
+      if (maxBucketSize == Int.MaxValue) bandsDf
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("band_id", "band_hash")
+        bandsDf.withColumn("__bn", count(lit(1)).over(w))
+          .filter(col("__bn") <= maxBucketSize).drop("__bn")
+      }
+    val a = kept.select(col("band_id"), col("band_hash"), col(idCol).as("id1"))
+    val b = kept.select(col("band_id"), col("band_hash"), col(idCol).as("id2"))
     a.join(b, Seq("band_id", "band_hash"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
@@ -88,19 +106,13 @@ object Dedup {
   }
 
   /** SimHash (32-bit): per bit b, sign of Σ_tokens (bit_b(h(token)) ? +1 : -1);
-    * packed little-endian into a long. Row-local arithmetic only —
-    * 2^b via pow (exact in double below 2^53). */
+    * packed little-endian into a long. Row-local, codegen'd native
+    * expression (single pass); the equivalent HOF form is
+    * `aggregate(sequence(0,31), 0L, (acc,b) -> acc + if(
+    *    aggregate(hashes, 0L, (s,h) -> s + if(pmod(floor(h/2^b),2)=1,1,-1))
+    *    > 0, 2^b, 0))` — 32 interpreted passes over the token hashes. */
   def simhash32(tokenHashes: Column): Column =
-    aggregate(
-      sequence(lit(0), lit(31)),
-      lit(0L),
-      (acc, b) => {
-        val p2 = pow(lit(2.0), b).cast("long")
-        val bitSum = aggregate(tokenHashes, lit(0L),
-          (s, h) => s + when(pmod(floor(h / p2), lit(2)) === 1, lit(1L))
-            .otherwise(lit(-1L)))
-        acc + when(bitSum > 0, p2).otherwise(lit(0L))
-      })
+    graft.plans.NativeExpressions.simhash_32(tokenHashes)
 
   /** Hamming distance between two simhash values (counts differing bits). */
   def hamming32(a: Column, b: Column): Column =

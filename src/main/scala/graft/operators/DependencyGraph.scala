@@ -71,64 +71,68 @@ object DependencyGraph {
   def fanIn(edges: DataFrame): DataFrame =
     edges.groupBy("dst").agg(count("*").as("fan_in")).orderBy(desc("fan_in"), col("dst"))
 
-  /** Refresh order: topological levels over the dependency DAG — level 0 =
-    * objects that depend on nothing (base tables, isolated objects),
-    * level(v) = 1 + max(level of v's dependencies). The order in which
-    * materialized views must be rebuilt. Iterative frontier propagation,
-    * same cost shape as [[transitiveClosure]] (bounded by DAG depth). */
-  def refreshLevels(allObjects: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sinks = edges.select(col("dst").as("id")).distinct()
-    var levels = allObjects.select(col("id"))
-      .join(sinks, Seq("id"), "left_anti")
-      .withColumn("level", lit(0))
-    var frontier = levels
+  /** Pointer-doubling reachability core: after round k, `reach` holds every
+    * (src, dst) connected by a path of ≤ 2^k edges, with depth = the
+    * `shortest`-or-longest such path (min-plus / max-plus matrix squaring).
+    * O(log diameter) rounds instead of the frontier form's O(diameter),
+    * and exactly ONE materializing action per round: the eager
+    * `localCheckpoint` pins the round's result, and the convergence stats
+    * (pair count + depth sum) read the pinned blocks — no recompute.
+    * Convergence: depths only shrink (min) / grow (max) and the pair set
+    * only grows, so an unchanged (count, sum) fixes the point. For min,
+    * an unchanged pair set already implies every shortest path ≤ 2^(k-1),
+    * which round k measures exactly; for max (longest path, DAG-safe) the
+    * sum catches depths still stretching after the pair set fills.
+    * `maxRounds = 10` admits paths of 2^10 hops — far past any real
+    * catalog's depth; cycles (a malformed catalog) terminate via the cap. */
+  private def doubledClosure(edges: DataFrame, shortest: Boolean,
+      maxRounds: Int): DataFrame = {
+    val aggDepth = if (shortest) min(col("depth")) else max(col("depth"))
+    var reach = edges.select(col("src"), col("dst"), lit(1).as("depth"))
+      .localCheckpoint(true)
+    def stats(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum("depth")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prev = stats(reach)
     var i = 0
-    var done = false
-    while (i < maxIter && !done) {
-      val next = frontier.alias("f")
-        .join(edges.alias("e"), col("f.id") === col("e.src"))
-        .select(col("e.dst").as("id"), (col("f.level") + 1).as("level"))
-        .groupBy("id").agg(max("level").as("level"))
-      val n = next.count()
-      if (n == 0) done = true
-      else {
-        // keep the max level seen per node (longest path semantics)
-        levels = levels.union(next).groupBy("id").agg(max("level").as("level"))
-          .localCheckpoint(true)
-        frontier = next.localCheckpoint(true)
-      }
+    var done = prev._1 == 0
+    while (i < maxRounds && !done) {
+      val hop = reach.alias("a")
+        .join(reach.alias("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"),
+          (col("a.depth") + col("b.depth")).as("depth"))
+      val combined = reach.union(hop)
+        .groupBy("src", "dst").agg(aggDepth.as("depth"))
+        .localCheckpoint(true)
+      val cur = stats(combined)
+      if (cur == prev) done = true
+      prev = cur
+      reach = combined
       i += 1
     }
-    levels
+    reach
   }
 
-  /** Multi-hop lineage: transitive closure by iterative self-join.
-    * Cycle-safe (distinct per iteration, bounded by `maxIter`); checkpoint
-    * every few rounds would cut plan growth on a huge catalog — here the
-    * closure is bounded by graph diameter. Returns (src, dst, depth) with
-    * depth = shortest hop count. */
-  def transitiveClosure(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    var closure = edges.select(col("src"), col("dst"), lit(1).as("depth"))
-    var frontier = closure
-    var i = 0
-    var done = false
-    while (i < maxIter && !done) {
-      // new paths: frontier ⋈ base edges
-      val next = frontier.alias("f")
-        .join(edges.alias("e"), col("f.dst") === col("e.src"))
-        .select(col("f.src"), col("e.dst"), (col("f.depth") + 1).as("depth"))
-        // drop pairs already reached (shortest depth wins)
-        .join(closure.select(col("src").as("cs"), col("dst").as("cd")),
-          col("src") === col("cs") && col("dst") === col("cd"), "left_anti")
-        .distinct()
-      val n = next.count()
-      if (n == 0) done = true
-      else {
-        closure = closure.union(next).localCheckpoint(true)
-        frontier = next
-      }
-      i += 1
-    }
-    closure
+  /** Refresh order: topological levels over the dependency DAG — level 0 =
+    * objects that depend on nothing (base tables, isolated objects),
+    * level(v) = 1 + max(level of v's dependencies) = the longest path
+    * ending at v (any path ending at v extends backward to an in-degree-0
+    * node, so the max over ALL paths ending at v is the level). Runs the
+    * max-plus pointer-doubling closure, then one aggregation — O(log depth)
+    * rounds. */
+  def refreshLevels(allObjects: DataFrame, edges: DataFrame, maxRounds: Int = 10): DataFrame = {
+    val lv = doubledClosure(edges, shortest = false, maxRounds)
+      .groupBy(col("dst").as("id")).agg(max("depth").as("level"))
+    val zeros = allObjects.select(col("id"))
+      .join(lv, Seq("id"), "left_anti")
+      .withColumn("level", lit(0))
+    zeros.union(lv.select(col("id"), col("level")))
   }
+
+  /** Multi-hop lineage: transitive closure with depth = shortest hop count,
+    * via min-plus pointer doubling — O(log diameter) rounds, one action per
+    * round (see [[doubledClosure]]). */
+  def transitiveClosure(edges: DataFrame, maxRounds: Int = 10): DataFrame =
+    doubledClosure(edges, shortest = true, maxRounds)
 }

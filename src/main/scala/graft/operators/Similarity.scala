@@ -75,30 +75,38 @@ object Similarity {
   /** IVF-style ANN: a deterministic coarse quantizer (every `centroidEvery`-th
     * vector by id is a centroid — in production, k-means centroids) assigns
     * each vector to its nearest cell; queries search only their own cell
-    * (nprobe=1). Turns brute-force O(n·q) into O(n·C + q·n/C) with the
-    * cell assignment broadcast-joined (centroid set is small).
-    * Returns (query_id, neighbor_id, sim) top-k within the query's cell. */
+    * (nprobe=1). Turns brute-force O(n·q) into O(n·C + q·n/C).
+    *
+    * Scale design: cell assignment is ROW-LOCAL — the centroid codebook is
+    * collected once (small by construction: C ≈ √n vectors is the IVF
+    * operating point, and faiss keeps the same codebook driver-side) and
+    * embedded as literal arrays in a codegen'd argmax expression
+    * ([[graft.plans.NativeExpressions.NearestCentroids]]). The corpus is
+    * scanned once with ZERO joins and ZERO shuffles for assignment — the
+    * previous crossJoin×window form expanded n·C rows through an exchange.
+    * The only shuffle left is the final per-query top-k window over
+    * candidate rows. Returns (query_id, neighbor_id, sim) top-k within the
+    * query's probed cells. */
   def ivfTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       centroidEvery: Int, queryPred: Column, k: Int,
       roundTo: Int = 6, nprobe: Int = 1
   ): DataFrame = {
     val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val centroids = vecs.filter(pmod(col("id"), lit(centroidEvery)) === 0)
-      .select(col("id").as("cid"), col("v").as("cv"))
-    // centroid affinity ranking — one broadcast join, no corpus shuffle
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(desc("csim"), col("cid"))
-    val affinity = vecs.crossJoin(broadcast(centroids))
-      .select(col("id"), col("v"), col("cid"),
-        round(cosine(col("v"), col("cv")), roundTo).as("csim"))
-      .withColumn("rn", row_number().over(wAssign))
-    // corpus vectors live in exactly their nearest cell (rn=1); queries
-    // probe their nprobe nearest cells
-    val cells = affinity.filter(col("rn") === 1)
-      .select(col("id"), col("v"), col("cid").as("cell"))
-    val queries = affinity.filter(col("rn") <= nprobe).filter(queryPred)
-      .select(col("id").as("query_id"), col("v").as("qv"), col("cid").as("cell"))
+    val centRows = vecs.filter(pmod(col("id"), lit(centroidEvery)) === 0)
+      .orderBy("id").collect()
+    val cidsLit = typedLit(centRows.map(_.getLong(0)).toSeq)
+    val cvsLit = typedLit(centRows.map(_.getSeq[Double](1)).toSeq)
+    val probed = graft.plans.NativeExpressions.nearest_centroids(
+      col("v"), cidsLit, cvsLit, nprobe, roundTo)
+    val assigned = vecs.withColumn("__cells", probed)
+    // corpus vectors live in exactly their nearest cell (element 1);
+    // queries probe their nprobe nearest cells
+    val cells = assigned
+      .select(col("id"), col("v"), element_at(col("__cells"), 1).as("cell"))
+    val queries = assigned.filter(queryPred)
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        explode(col("__cells")).as("cell"))
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))
     broadcast(queries)

@@ -46,8 +46,90 @@ object NativeExpressions {
     acc
   }
 
+  /** SimHash (32-bit) inner loop: per bit b, sign of Σ_tokens
+    * (bit_b(h) ? +1 : -1), packed little-endian — identical to the nested
+    * `aggregate` HOF form on its exact domain: the bit test
+    * floorMod(h >> b, 2) equals pmod(floor(h / 2^b), 2) wherever the HOF's
+    * double division is exact (|h| < 2^53; shipped callers hash mod 2^31-1,
+    * far inside — pinned by NativeExpressionsSpec), negative hashes
+    * included, because arithmetic shift IS floor division by 2^b. One pass
+    * over the token hashes instead of the HOF form's 32. */
+  def simhash32Compute(tokenHashes: ArrayData): Long = {
+    val counts = new Array[Int](32)
+    val n = tokenHashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = tokenHashes.getLong(i)
+      var b = 0
+      while (b < 32) {
+        if (java.lang.Math.floorMod(h >> b, 2L) == 1L) counts(b) += 1
+        else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 32) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Round-half-up to `scale` decimals — Spark's `round(double, s)`
+    * semantics (BigDecimal HALF_UP), used so native similarity ranking
+    * compares exactly the values the SQL surface would. */
+  def roundHalfUp(x: Double, scale: Int): Double = {
+    if (x.isNaN || x.isInfinite) x
+    else BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** Top-`nprobe` nearest centroids of `vec` by rounded cosine similarity,
+    * tie-broken by centroid id ascending — ROW-LOCAL: the centroid set
+    * rides along as two literal arrays (ids, vectors), so cell assignment
+    * needs no join and no shuffle at all (the expression is the IVF coarse
+    * quantizer; faiss ships the same thing as a driver-side codebook).
+    * Returns the centroid ids, best first. */
+  def nearestCentroidsCompute(vec: ArrayData, cids: ArrayData, cvs: ArrayData,
+      nprobe: Int, roundTo: Int): ArrayData = {
+    val c = cids.numElements()
+    val keep = math.min(nprobe, c)
+    val topSim = new Array[Double](keep)
+    val topCid = new Array[Long](keep)
+    var filled = 0
+    val vNorm = math.sqrt(dotCompute(vec, vec))
+    var i = 0
+    while (i < c) {
+      val cv = cvs.getArray(i)
+      val cid = cids.getLong(i)
+      val denom = vNorm * math.sqrt(dotCompute(cv, cv))
+      val sim = roundHalfUp(
+        if (denom == 0) 0.0 else dotCompute(vec, cv) / denom, roundTo)
+      // insertion position: ranked by (sim desc, cid asc)
+      var pos = filled
+      while (pos > 0 && (sim > topSim(pos - 1) ||
+          (sim == topSim(pos - 1) && cid < topCid(pos - 1)))) pos -= 1
+      if (pos < keep) {
+        val end = math.min(filled, keep - 1)
+        var j = end
+        while (j > pos) { topSim(j) = topSim(j - 1); topCid(j) = topCid(j - 1); j -= 1 }
+        topSim(pos) = sim
+        topCid(pos) = cid
+        if (filled < keep) filled += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(topCid.take(filled))
+  }
+
   /** MinHash signature inner loop: for perm i in [0,k):
-    * min over hashes of (h·(2i+1) + 12345·i + 1) mod `mod`. */
+    * min over hashes of (h·(2i+1) + 12345·i + 1) mod `mod`.
+    * Empty input yields Long.MaxValue sentinels per permutation — a
+    * DELIBERATE divergence from the HOF form (whose array_min over an
+    * empty array is null per element): deterministic, and never reached
+    * by the shipped callers (shingleHashes emits ≥1 hash even for empty
+    * text). Pinned by NativeExpressionsSpec. */
   def minhashCompute(hashes: ArrayData, k: Int, mod: Long): ArrayData = {
     val out = new Array[Long](k)
     val n = hashes.numElements()
@@ -197,6 +279,35 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  case class SimHash32(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(input: Any): Any =
+      simhash32Compute(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.NativeExpressions.simhash32Compute($c)")
+    override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+      copy(child = newChild)
+  }
+
+  case class NearestCentroids(first: Expression, second: Expression,
+      third: Expression, nprobe: Int, roundTo: Int)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(vec: Any, cids: Any, cvs: Any): Any =
+      nearestCentroidsCompute(vec.asInstanceOf[ArrayData],
+        cids.asInstanceOf[ArrayData], cvs.asInstanceOf[ArrayData], nprobe, roundTo)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (v, ci, cv) =>
+        s"graft.plans.NativeExpressions.nearestCentroidsCompute($v, $ci, $cv, $nprobe, $roundTo)")
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression, newThird: Expression): NearestCentroids =
+      copy(first = newFirst, second = newSecond, third = newThird)
+  }
+
   // Column wrappers
   def char_fold(c: Column, mult: Long, mod: Long): Column =
     ColumnBridge.column(CharFoldHash(ColumnBridge.expression(c), mult, mod))
@@ -208,4 +319,10 @@ object NativeExpressions {
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), n, mult, mod))
   def word_shingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+  def simhash_32(hashes: Column): Column =
+    ColumnBridge.column(SimHash32(ColumnBridge.expression(hashes)))
+  def nearest_centroids(vec: Column, cids: Column, cvs: Column,
+      nprobe: Int, roundTo: Int): Column =
+    ColumnBridge.column(NearestCentroids(ColumnBridge.expression(vec),
+      ColumnBridge.expression(cids), ColumnBridge.expression(cvs), nprobe, roundTo))
 }

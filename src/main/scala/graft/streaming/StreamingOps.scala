@@ -68,14 +68,15 @@ object StreamingOps {
       .select(col("window.start").as("h"), col("event_type"), col("n"), col("v"))
 
   /** Streaming exact-dedup — the continuous twin of `Dedup.exactGroups`:
-    * drop records whose digest was already seen, with the watermark
-    * bounding the dedup state (records older than the watermark are
-    * forgotten — at 100 TB/day the state store would otherwise grow
-    * without bound). */
+    * drop records whose digest was already seen, keyed on the digest ALONE
+    * (a duplicate arriving at a different event time is still a duplicate),
+    * with the watermark bounding the dedup state — digests older than the
+    * watermark are forgotten, so at 100 TB/day the state store stays
+    * bounded by the watermark horizon, not the stream history. */
   def dedupStream(df: DataFrame, digestCols: Seq[String],
       tsCol: String, watermark: String = "1 hour"): DataFrame =
     df.withWatermark(tsCol, watermark)
-      .dropDuplicates(digestCols :+ tsCol)
+      .dropDuplicatesWithinWatermark(digestCols)
 
   /** Session state for [[sessionize]]. */
   final case class SessionState(sessionId: Long, lastTs: Long, count: Long)
@@ -83,7 +84,11 @@ object StreamingOps {
 
   /** Stateful sessionization with mapGroupsWithState — the streaming twin
     * of the batch `e2_sessionize` query (30-min gap → new session).
-    * State per user is O(1); timeout reaps idle users. */
+    * State per user is O(1), and a processing-time timeout REAPS idle
+    * users (state.remove() on timeout) — without it, per-user state grows
+    * with the user population forever, the classic unbounded-state leak.
+    * In batch execution the timeout branch never fires (there is no
+    * second micro-batch), which is exactly the batch semantics wanted. */
   def sessionize(
       events: Dataset[(Long, Long)], // (user_id, epoch_seconds)
       gapSeconds: Long = 1800
@@ -91,17 +96,26 @@ object StreamingOps {
     import events.sparkSession.implicits._
     events.groupByKey(_._1)
       .mapGroupsWithState[SessionState, SessionOut](
-        GroupStateTimeout.NoTimeout()) {
+        GroupStateTimeout.ProcessingTimeTimeout()) {
         case (userId, rows, state: GroupState[SessionState]) =>
-          val sorted = rows.map(_._2).toSeq.sorted
-          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
-          sorted.foreach { ts =>
-            st = if (st.lastTs == Long.MinValue || ts - st.lastTs > gapSeconds)
-              SessionState(st.sessionId + 1, ts, 1L)
-            else st.copy(lastTs = ts, count = st.count + 1)
+          if (state.hasTimedOut) {
+            // idle user: emit the closed session and free the state slot
+            val st = state.get
+            state.remove()
+            SessionOut(userId, st.sessionId, st.count)
+          } else {
+            val sorted = rows.map(_._2).toSeq.sorted
+            var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+            sorted.foreach { ts =>
+              st = if (st.lastTs == Long.MinValue || ts - st.lastTs > gapSeconds)
+                SessionState(st.sessionId + 1, ts, 1L)
+              else st.copy(lastTs = ts, count = st.count + 1)
+            }
+            state.update(st)
+            // reap after 2 gap lengths with no events for this user
+            state.setTimeoutDuration(gapSeconds * 2 * 1000)
+            SessionOut(userId, st.sessionId, st.count)
           }
-          state.update(st)
-          SessionOut(userId, st.sessionId, st.count)
       }
   }
 }

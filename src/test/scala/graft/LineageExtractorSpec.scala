@@ -64,6 +64,24 @@ class LineageExtractorSpec extends AnyFunSuite {
     assert(t(ddl2) == Seq())
   }
 
+  test("divergence: first CTE of a WITH clause is excluded (reference's regex misses it)") {
+    // the reference runs its CTE regex on whitespace-free getText, so the
+    // first CTE is captured as `WITHflags` and never excluded — it would
+    // emit a spurious test.flags edge here. We exclude all declared CTEs.
+    val ddl =
+      """CREATE VIEW test.v AS
+        |WITH flags AS (SELECT * FROM test.base)
+        |SELECT * FROM flags JOIN test.other ON flags.x = other.x""".stripMargin
+    assert(t(ddl) == Seq("test.base", "test.other"))
+  }
+
+  test("divergence: comma join after ON is collected (reference's regex misses it)") {
+    // comma = cross join, so c is a real dependency; the reference's
+    // FROM/JOIN regex stops inside the ON expression and drops it
+    val ddl = "CREATE VIEW test.v AS SELECT * FROM a JOIN b ON a.x = b.x, c"
+    assert(t(ddl) == Seq("test.a", "test.b", "test.c"))
+  }
+
   test("multiple CTEs") {
     val ddl =
       """CREATE VIEW test.v AS

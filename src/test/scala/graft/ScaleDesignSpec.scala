@@ -86,4 +86,80 @@ class ScaleDesignSpec extends AnyFunSuite {
     }.head
     assert(scan.requiredSchema.fieldNames.toSet == Set("l_orderkey", "l_quantity"))
   }
+
+  // ---- scale-killer fixes: plan-shape proof per fix (VERDICT r1 item 1) ----
+
+  import org.apache.spark.sql.execution.window.WindowExec
+  import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+  import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+  import graft.operators.{ChOps, DependencyGraph, Similarity}
+
+  test("LIMIT WITH TIES: distributed form has no window at all, matches global-window form") {
+    val part = spark.read.parquet(s"$sf/part.parquet")
+      .select("p_partkey", "p_retailprice")
+    val dist = ChOps.distributedTopKWithTies(part, col("p_retailprice"), 5)
+    // no WindowExec anywhere — the global-window form would put every row
+    // of the table into ONE partition
+    assert(dist.queryExecution.executedPlan.collect {
+      case w: WindowExec => w }.isEmpty)
+    val glob = ChOps.limitWithTies(part, Seq(desc("p_retailprice")), 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(desc("p_retailprice"), col("p_partkey"))
+        .collect().map(r => (r.get(0), r.get(1))).toSeq
+    assert(rows(dist) == rows(glob))
+  }
+
+  test("carry-forward fill: the only unpartitioned window runs on the broadcast bucket summary") {
+    import spark.implicits._
+    val daily = Seq(("2024-01-03", Some(5.0)), ("2024-02-20", None),
+      ("2024-04-02", Some(9.0)))
+      .toDF("d", "rev").select(col("d").cast("date").as("d"), col("rev"))
+    val axis = ChOps.withFillDays(daily, "d", Map.empty)
+    val filled = ChOps.carryForwardFill(axis, "d", "rev", trunc(_, "month"), lit(0.0))
+    val plan = filled.queryExecution.executedPlan
+    val globalW = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    val inBroadcast = plan.collect { case b: BroadcastExchangeExec => b }
+      .flatMap(_.collect { case w: WindowExec if w.partitionSpec.isEmpty => w })
+    // the bucket-summary carry is global BUT broadcast-side (1 row/month);
+    // every window over the full axis is partitioned by bucket
+    assert(globalW.nonEmpty && globalW.size == inBroadcast.size)
+    // semantics: identical to the naive global-window carry-forward
+    val w = org.apache.spark.sql.expressions.Window.orderBy("d")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val naive = axis.select(col("d"),
+      coalesce(last(col("rev"), ignoreNulls = true).over(w), lit(0.0)).as("rev"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("d").collect().map(r => (r.getDate(0).toString, r.getDouble(1))).toSeq
+    assert(rows(filled) == rows(naive))
+  }
+
+  test("IVF top-k: row-local assignment — no nested-loop join, exactly one shuffle") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val out = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      centroidEvery = 20, queryPred = col("id") < 5, k = 3)
+    val plan = out.queryExecution.executedPlan
+    // the old crossJoin(broadcast(centroids)) assignment planned as a
+    // BroadcastNestedLoopJoin expanding n·C rows through the window shuffle
+    assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+    // one shuffle total: the final per-query top-k window
+    assert(shuffleCount(out) == 1)
+    assert(out.count() > 0)
+  }
+
+  test("pointer-doubling closure: 40-hop chain closes within the default 10 rounds") {
+    import spark.implicits._
+    // frontier propagation needs 40 rounds (one per hop); matrix squaring
+    // needs ceil(log2(40)) = 6 — default maxRounds=10 only suffices if the
+    // doubling actually happens
+    val edges = (0 until 40).map(i => (f"n$i%02d", f"n${i + 1}%02d")).toDF("src", "dst")
+    val c = DependencyGraph.transitiveClosure(edges)
+    assert(c.count() == 41L * 40 / 2)
+    val d = c.filter(col("src") === "n00" && col("dst") === "n40")
+      .head().getAs[Int]("depth")
+    assert(d == 40) // min-plus: shortest-path depth survives the squaring
+    val levels = DependencyGraph.refreshLevels(
+      (0 to 40).map(i => f"n$i%02d").toDF("id"), edges)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert((0 to 40).forall(i => levels(f"n$i%02d") == i))
+  }
 }

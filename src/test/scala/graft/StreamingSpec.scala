@@ -58,6 +58,7 @@ class StreamingSpec extends AnyFunSuite {
     Seq(
       ("2024-01-01 00:10:00", "click", 1.0),
       ("2024-01-01 00:10:00", "click", 1.0), // exact dup
+      ("2024-01-01 00:15:00", "click", 1.0), // same digest, LATER ts — still a dup
       ("2024-01-01 00:20:00", "view", 2.0))
       .toDF("ts", "event_type", "value")
       .select(col("ts").cast(TimestampType), col("event_type"), col("value"))

@@ -53,6 +53,20 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 5L)))
   }
 
+  test("lsh hot-bucket cap drops oversize buckets; selective bands still pair") {
+    // planted skew: ids 0-9 all collide in band 0 (a boilerplate bucket —
+    // 45 quadratic pairs); only ids 0,1 share the selective band 1 bucket
+    val hot = (0L to 9L).map(id => (0, 77L, id))
+    val selective = Seq((1, 88L, 0L), (1, 88L, 1L))
+    val bands = (hot ++ selective).toDF("band_id", "band_hash", "doc_id")
+    val uncapped = Dedup.lshCandidatePairs(bands, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 45) // (0,1) also in the hot bucket — no extra pair
+    val capped = Dedup.lshCandidatePairs(bands, "doc_id", maxBucketSize = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((0L, 1L))) // hot bucket dropped, selective band kept
+  }
+
   test("jaccard: identity 1.0, disjoint 0.0, near-dup in between") {
     val j = docs.as("a").crossJoin(docs.as("b"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
@@ -112,6 +126,16 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out((1L, 10L)) == "a")   // rts=5 latest <= 10
     assert(out((1L, 25L)) == "b")   // rts=20
     assert(out((2L, 5L)) == null)   // no right rows for k=2
+  }
+
+  test("asof join: equal-ts right rows resolve deterministically via tieBreak") {
+    val left = Seq((1L, 10L)).toDF("k", "ts")
+    val right = Seq((1L, 10L, 2L, "first"), (1L, 10L, 5L, "last"), (1L, 10L, 3L, "mid"))
+      .toDF("k", "rts", "rid", "v")
+    val out = ChOps.asofJoinLeft(left, right, "k", "ts", "rts", Seq("v"),
+      tieBreak = Seq("rid"))
+    // last in tieBreak ascending order wins: rid=5 → "last"
+    assert(out.head().getAs[String]("v") == "last")
   }
 
   test("withFillDays produces a dense axis") {
