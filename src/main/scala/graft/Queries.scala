@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
-import graft.operators.{DependencyGraph, LineagePipeline}
-import graft.sources.CatalogSource
+import graft.operators.{DependencyGraph, LineagePipeline, Mutations}
+import graft.sources.{CatalogSource, TableFunctions}
 
 /** The operator inventory (SURVEY.md §2) as named queries with DuckDB
   * oracles. Every entry keeps column names identical between the Spark
@@ -82,9 +82,9 @@ object Queries {
   // ---- query registry ---------------------------------------------------
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
-    batch1 ++ batch2 ++ batch3 ++ batch4 ++ batch5 ++ batch6
+    batch1 ++ batch2 ++ batch3 ++ batch4 ++ batch5 ++ batch6 ++ batch7
   def oracles: Map[String, String] =
-    oracles1 ++ oracles2 ++ oracles3 ++ oracles4 ++ oracles5 ++ oracles6
+    oracles1 ++ oracles2 ++ oracles3 ++ oracles4 ++ oracles5 ++ oracles6 ++ oracles7
 
   private val batch1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1669,4 +1669,100 @@ object Queries {
         |  CAST(sum(CASE WHEN regexp_matches(p_type, '(BRASS|STEEL)$') THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_metal_suffix
         |FROM part""".stripMargin)
+
+  // ===== batch 7: ALTER mutations, table functions, FILL STEP, COLLATE =====
+
+  private val batch7: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ALTER TABLE ... DELETE WHERE (ClickHouseParser.py:2324-2344) as the
+    // real mutation job: copy → distributed rewrite → read the result.
+    // The transform is a row-local anti-filter — no shuffle, codegen'd.
+    "d1_mutation_delete" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_d1").toString
+      Mutations.rewriteTable(s, s"$dir/orders.parquet", out,
+        df => Mutations.delete(df,
+          col("o_orderstatus") === "F" && col("o_totalprice") < 50000.0))
+      s.read.parquet(out)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+
+    // ALTER TABLE ... UPDATE col = expr WHERE (ClickHouseParser.py:2242-2263):
+    // conditional column replacement, rewrite-on-write. +100.0 is IEEE-exact
+    // on both engines (no rounding divergence).
+    "d2_mutation_update" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_d2").toString
+      Mutations.rewriteTable(s, s"$dir/orders.parquet", out,
+        df => Mutations.update(df,
+          Seq("o_totalprice" -> (col("o_totalprice") + lit(100.0))),
+          col("o_orderpriority") === "1-URGENT"))
+      s.read.parquet(out)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+
+    // numbers(n) table-function source (tableFunctionExpr,
+    // ClickHouseParser.py:17027-17087) → spark.range: generation itself is
+    // distributed, nothing materializes on the driver.
+    "q58_numbers_source" -> ((s, _) =>
+      TableFunctions.numbers(s, 100L)
+        .select(col("number"), (col("number") * 2).as("dbl"),
+          pmod(col("number"), lit(7L)).as("m"))
+        .orderBy("number")),
+
+    // ORDER BY ... WITH FILL STEP 3 on a NUMERIC axis
+    // (fillStep grammar, ClickHouseParser.py:11317-11352) — the dense axis
+    // is sequence()+explode, distributed, never a driver-side range.
+    "q59_fill_step" -> ((s, dir) => {
+      val d = tbl(s, dir, "lineitem")
+        .filter(col("l_partkey") < 3 && col("l_linenumber") >= 6)
+        .groupBy((lit(3) * floor(col("l_quantity") / 3)).cast(LongType).as("qb"))
+        .agg(count(lit(1)).as("n"))
+      ChOps.withFillStep(d, "qb", lit(3L), Map("n" -> lit(0L))).orderBy("qb")
+    }),
+
+    // ORDER BY expr COLLATE 'ci' (ClickHouseParser.py:11307-11314): Spark 4
+    // native string collation changes the comparator, not the value; raw
+    // binary tie-break keeps the order total.
+    "q60_collate" -> ((s, dir) =>
+      tbl(s, dir, "nation")
+        .select(when(pmod(col("n_nationkey"), lit(2)) === 0, lower(col("n_name")))
+          .otherwise(col("n_name")).as("name_mixed"))
+        .orderBy(ChOps.collateKey(col("name_mixed"), "ci"), col("name_mixed"))))
+
+  private val oracles7: Map[String, String] = Map(
+
+    "d1_mutation_delete" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000.0)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "d2_mutation_update" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice + 100.0
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q58_numbers_source" ->
+      """SELECT number, number * 2 AS dbl, number % 7 AS m
+        |FROM (SELECT range AS number FROM range(100))
+        |ORDER BY number""".stripMargin,
+
+    "q59_fill_step" ->
+      """WITH d AS (SELECT CAST(3 * floor(l_quantity / 3) AS BIGINT) AS qb,
+        |    count(*) AS n
+        |  FROM lineitem WHERE l_partkey < 3 AND l_linenumber >= 6 GROUP BY 1),
+        |axis AS (SELECT gs AS qb FROM generate_series(0, 200, 3) t(gs)
+        |  WHERE gs BETWEEN (SELECT min(qb) FROM d) AND (SELECT max(qb) FROM d))
+        |SELECT axis.qb AS qb, coalesce(n, CAST(0 AS BIGINT)) AS n
+        |FROM axis LEFT JOIN d USING (qb) ORDER BY qb""".stripMargin,
+
+    "q60_collate" ->
+      """SELECT name_mixed FROM (
+        |  SELECT CASE WHEN n_nationkey % 2 = 0 THEN lower(n_name) ELSE n_name END
+        |    AS name_mixed FROM nation)
+        |ORDER BY lower(name_mixed), name_mixed""".stripMargin)
 }

@@ -194,6 +194,20 @@ object ChOps {
       .drop("__b", "__local", "__prev")
   }
 
+  /** `ORDER BY expr COLLATE 'name'` (ClickHouseParser.py:11307-11314):
+    * Spark 4 strings are natively collatable, so the mapping is the
+    * built-in `collate` — the sort comparator changes, the value doesn't.
+    * CH/SQLite-style names map onto Spark's collation catalog; unknown
+    * names pass through to it verbatim (ICU locale collations like
+    * 'en_US_CI' resolve there). */
+  def collateKey(c: Column, collation: String): Column = collation.toLowerCase match {
+    case "ci" | "nocase" => collate(c, "UTF8_LCASE")  // ASCII-stable: == lower()
+    case "bin" | "binary" => collate(c, "UTF8_BINARY")
+    case "unicode" => collate(c, "UNICODE")
+    case "unicode_ci" => collate(c, "UNICODE_CI")
+    case other => collate(c, other)
+  }
+
   /** SAMPLE k/m [OFFSET o/m]: deterministic bucket sampling on an integer
     * key — row kept iff `key % m ∈ [o, o+k)`. ClickHouse samples on a hash
     * of the sampling key; modulo buckets keep the same contract

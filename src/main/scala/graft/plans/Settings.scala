@@ -1,0 +1,91 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+
+/** `SET` statements (setStmt, ClickHouseParser.py:11949-12010) and
+  * per-query `SETTINGS` clauses (settingsClause,
+  * ClickHouseParser.py:10271-10314) mapped onto Spark's runtime SQL
+  * configuration.
+  *
+  * ClickHouse settings are session- or query-scoped knobs; Spark's
+  * equivalents are `spark.conf` entries (session-scoped, runtime-settable).
+  * The translation table below covers the settings that have a faithful
+  * Spark twin — each row is (CH setting → Spark conf, value mapping).
+  * Settings with no Spark counterpart (e.g. MergeTree part knobs) are
+  * reported via [[translate]] returning None so callers can warn rather
+  * than silently drop them.
+  *
+  * Query-scoped `SETTINGS` (CH applies them to one statement only) maps to
+  * [[withSettings]]: set → run → restore, so the session state is
+  * untouched afterwards — the same observable contract.
+  */
+object Settings {
+
+  /** CH setting name → (Spark conf key, value translator). */
+  val mapping: Map[String, (String, String => String)] = Map(
+    // parallelism: CH max_threads bounds query threads; the Spark twin for
+    // the exchange-side degree is the shuffle partition count
+    "max_threads" -> (("spark.sql.shuffle.partitions", identity[String] _)),
+    // CH distributed_product_mode=allow ⇔ permitting cross joins
+    "distributed_product_mode" ->
+      (("spark.sql.crossJoin.enabled", v => if (v == "deny") "false" else "true")),
+    // join_algorithm: 'hash' prefers broadcast/shuffled-hash,
+    // 'full_sorting_merge' prefers sort-merge
+    "join_algorithm" ->
+      (("spark.sql.join.preferSortMergeJoin",
+        v => if (v == "full_sorting_merge" || v == "partial_merge") "true" else "false")),
+    // input block sizing ⇔ input split sizing
+    "max_block_size" -> (("spark.sql.files.maxPartitionBytes", identity[String] _)),
+    // query-result limits: CH caps result rows, Spark has no direct cap —
+    // nearest is driver-protection via maxResultSize (bytes, not rows);
+    // deliberately unmapped (None) rather than a lying approximation
+    // timezone
+    "session_timezone" -> (("spark.sql.session.timeZone", identity[String] _)),
+    // CH optimize_read_in_order ⇔ radix/codegen sort toggles are internal;
+    // the honest Spark twin for scan-order optimization:
+    "optimize_read_in_order" ->
+      (("spark.sql.sources.bucketing.enabled", identity[String] _)),
+    // aggregation memory ceiling before spill
+    "max_bytes_before_external_group_by" ->
+      (("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        identity[String] _)))
+
+  /** Translate one CH setting; None = no faithful Spark twin. */
+  def translate(name: String, value: String): Option[(String, String)] =
+    mapping.get(name).map { case (key, f) => key -> f(value) }
+
+  /** Apply a `SET name = value, ...` statement to the session. Returns the
+    * (sparkKey → value) pairs applied and the names skipped as unmappable. */
+  def applySet(spark: SparkSession, settings: Map[String, String])
+      : (Map[String, String], Seq[String]) = {
+    val (mapped, unmapped) = settings.partition { case (k, _) => mapping.contains(k) }
+    val applied = mapped.map { case (k, v) =>
+      val (key, value) = translate(k, v).get
+      spark.conf.set(key, value)
+      key -> value
+    }
+    (applied, unmapped.keys.toSeq.sorted)
+  }
+
+  /** Parse the textual form `SET a = 1, b = 'x'` (setStmt grammar). */
+  def parseSet(stmt: String): Map[String, String] = {
+    val body = stmt.trim.replaceAll("(?i)^SET\\s+", "")
+    body.split(",").iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
+      val Array(k, v) = kv.split("=", 2).map(_.trim)
+      k -> v.stripPrefix("'").stripSuffix("'")
+    }.toMap
+  }
+
+  /** Query-scoped `SETTINGS`: apply, run, restore — the statement-local
+    * scope of a CH settings clause. */
+  def withSettings[T](spark: SparkSession, settings: Map[String, String])(body: => T): T = {
+    val sparkKeys = settings.keys.flatMap(k => mapping.get(k).map(_._1)).toSeq
+    val saved = sparkKeys.map(k => k -> spark.conf.getOption(k)).toMap
+    applySet(spark, settings)
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}

@@ -97,4 +97,75 @@ class DdlSurfaceSpec extends AnyFunSuite {
     val rows = spark.sql("SELECT id, name FROM graft_ddl.t").collect()
     assert(rows.length == 1 && rows(0).getLong(0) == 99L)
   }
+
+  test("SET / SETTINGS map to spark.conf, affect the plan, and restore on exit") {
+    import graft.plans.Settings
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    // SET statement text round-trips through the parser + translation table
+    val parsed = Settings.parseSet("SET max_threads = 8, unknown_knob = 'x'")
+    assert(parsed == Map("max_threads" -> "8", "unknown_knob" -> "x"))
+    val (applied, skipped) = Settings.applySet(s, parsed)
+    assert(applied == Map("spark.sql.shuffle.partitions" -> "8"))
+    assert(skipped == Seq("unknown_knob")) // unmappable: reported, not dropped silently
+    assert(s.conf.get("spark.sql.shuffle.partitions") == "8")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    // query-scoped SETTINGS: visible to the statement's plan, restored after
+    import org.apache.spark.sql.functions._
+    val df = s.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val parts = Settings.withSettings(s, Map("max_threads" -> "7")) {
+      assert(s.conf.get("spark.sql.shuffle.partitions") == "7")
+      df.groupBy("o_orderstatus").count().rdd.getNumPartitions
+    }
+    assert(parts == 7) // the setting reached the executed plan
+    assert(s.conf.get("spark.sql.shuffle.partitions") == "2") // restored
+  }
+
+  test("EXPLAIN variants map to distinct plan layers") {
+    import graft.plans.ExplainOps
+    val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .filter(org.apache.spark.sql.functions.col("o_custkey") < 10)
+      .groupBy("o_orderstatus").count()
+    val byVariant = Seq("AST", "SYNTAX", "PLAN", "PIPELINE", "ESTIMATE")
+      .map(v => v -> ExplainOps.explainText(df, v)).toMap
+    assert(byVariant.values.forall(_.nonEmpty))
+    assert(byVariant("PIPELINE").contains("Scan parquet")) // physical
+    assert(byVariant("ESTIMATE").contains("sizeInBytes"))
+    assert(!byVariant("AST").contains("Scan parquet")) // logical layers aren't physical
+    intercept[IllegalArgumentException](ExplainOps.explainText(df, "NOPE"))
+  }
+
+  test("table functions: numbers/zeros/one/file/generateRandom execute as sources") {
+    import graft.sources.TableFunctions
+    assert(TableFunctions.numbers(spark, 5).collect().map(_.getLong(0)).toSeq ==
+      Seq(0L, 1L, 2L, 3L, 4L))
+    assert(TableFunctions.numbersFrom(spark, 10, 3).collect().map(_.getLong(0)).toSeq ==
+      Seq(10L, 11L, 12L))
+    assert(TableFunctions.zeros(spark, 3).collect().forall(_.getInt(0) == 0))
+    assert(TableFunctions.one(spark).count() == 1)
+    val f = TableFunctions.fileSource(spark,
+      "/root/testdata/sf0.001/nation.parquet", "parquet")
+    assert(f.count() == 25)
+    val r = TableFunctions.generateRandom(spark, 4, 2)
+    assert(r.columns.toSeq == Seq("number", "r0", "r1"))
+    // deterministic: same call, same values
+    assert(r.collect().map(_.toString).toSeq ==
+      TableFunctions.generateRandom(spark, 4, 2).collect().map(_.toString).toSeq)
+  }
+
+  test("lightweight DELETE: mask column, implicit read filter, compaction") {
+    import graft.operators.Mutations
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val t = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val masked = Mutations.lightweightDelete(t, col("id") === 2L)
+    assert(masked.filter(!col("_row_exists")).count() == 1) // O(changed rows) mask
+    assert(Mutations.readVisible(masked).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L))
+    // a second delete composes with the existing mask
+    val masked2 = Mutations.lightweightDelete(masked, col("id") === 1L)
+    assert(Mutations.compactDeletes(masked2).collect().map(_.getLong(0)).toSeq ==
+      Seq(3L))
+  }
 }
