@@ -82,9 +82,10 @@ object Queries {
   // ---- query registry ---------------------------------------------------
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
-    batch1 ++ batch2 ++ batch3 ++ batch4 ++ batch5 ++ batch6 ++ batch7
+    batch1 ++ batch2 ++ batch3 ++ batch4 ++ batch5 ++ batch6 ++ batch7 ++ batch8
   def oracles: Map[String, String] =
-    oracles1 ++ oracles2 ++ oracles3 ++ oracles4 ++ oracles5 ++ oracles6 ++ oracles7
+    oracles1 ++ oracles2 ++ oracles3 ++ oracles4 ++ oracles5 ++ oracles6 ++
+      oracles7 ++ oracles8
 
   private val batch1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1765,4 +1766,134 @@ object Queries {
         |  SELECT CASE WHEN n_nationkey % 2 = 0 THEN lower(n_name) ELSE n_name END
         |    AS name_mixed FROM nation)
         |ORDER BY lower(name_mixed), name_mixed""".stripMargin)
+
+  // ===== batch 8: SELECT FINAL, dedup clusters, embedding near-dup =====
+
+  /** DuckDB re-derivation of Similarity.hyperplaneBucket: the plane
+    * component is pure LCG arithmetic, the dot is a sequential fold —
+    * bit-identical doubles, so the sign pattern (bucket id) matches. */
+  private def sqlHyperBucket(v: String, nPlanes: Int): String =
+    (0 until nPlanes).map { p =>
+      val dot = s"""list_reduce(list_prepend(0.0, list_transform(range(len($v)),
+         | i -> $v[i+1] * (CAST((($p*64 + 1 + i) * 2654435761) % 2147483647
+         |   AS DOUBLE) / 2147483647.0 - 0.5))), (acc, x) -> acc + x)""".stripMargin
+      s"(CASE WHEN $dot >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private val batch8: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // SELECT ... FROM t FINAL (ReplacingMergeTree read-time collapse,
+    // FINAL modifier ClickHouseParser.py:12756): latest version per key —
+    // here "version" = l_linenumber, key = l_orderkey, so FINAL yields each
+    // order's newest line. One partial-aggregable shuffle, no window.
+    "q62_final" -> ((s, dir) =>
+      ChOps.selectFinal(
+          tbl(s, dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+          keys = Seq("l_orderkey"), versionCol = "l_linenumber")
+        .orderBy("l_orderkey")),
+
+    // duplicate clusters: the t5 LSH pipeline's verified pairs, closed into
+    // connected components (cluster_id = min reachable doc_id = keeper).
+    // Three planted generations per doc (original, near-dup, near-dup of
+    // the near-dup) make transitivity do real work.
+    "t9_dedup_clusters" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val p1 = d.select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" graft extra token")).as("text"))
+      val p2 = d.select((col("doc_id") + 20000).as("doc_id"),
+        concat(col("text"), lit(" graft extra token and more")).as("text"))
+      val all = d.unionByName(p1).unionByName(p2)
+      val pre = all
+        .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"),
+          Dedup.minhashSignature(Dedup.shingleHashes(col("text"), 3), 16).as("sig"))
+        .persist()
+      val cands = Dedup.lshCandidatePairs(
+        Dedup.lshBands(pre, "doc_id", "sig", 2, 8), "doc_id")
+      val sh1 = pre.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+      val sh2 = pre.select(col("doc_id").as("id2"), col("sh").as("sh2"))
+      val verified = cands.join(sh1, "id1").join(sh2, "id2")
+        .filter(Dedup.jaccard(col("sh1"), col("sh2")) >= 0.5)
+        .select("id1", "id2")
+      Dedup.connectedComponents(verified)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
+    // embedding-cosine near-dup via hyperplane LSH buckets: candidate pairs
+    // share a sign-pattern bucket, exact cosine verifies. Planted exact
+    // copies (vec_id+10000) guarantee hits; naturals come along free.
+    "v6_embed_neardup" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val copies = emb.select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+      graft.operators.Similarity.nearDuplicatesLsh(
+          emb.unionByName(copies), "vec_id", "embedding",
+          nPlanes = 8, threshold = 0.9)
+        .orderBy("id1", "id2")
+    }))
+
+  private val oracles8: Map[String, String] = Map(
+
+    "q62_final" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |        ORDER BY l_linenumber DESC, l_quantity DESC, l_extendedprice DESC)
+        |        AS rn FROM lineitem)
+        |WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+
+    "t9_dedup_clusters" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text || ' graft extra token' FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 20000, text || ' graft extra token and more' FROM documents),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM base),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(0, greatest(len(t) - 3, 0) + 1),
+         |    i -> array_to_string(t[i+1:i+3], ' '))) AS shingles FROM toks),
+         |hs AS (SELECT doc_id, shingles,
+         |  list_transform(shingles, s -> ${sqlCharFold("s")}) AS hashes FROM sh),
+         |sig AS (SELECT doc_id, shingles, list_transform(range(16), p ->
+         |  list_min(list_transform(hashes,
+         |    h -> (h * (2 * p + 1) + (12345 * p + 1)) % 2147483647))) AS sig FROM hs),
+         |bands AS (SELECT doc_id, b AS band_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*8+1:b*8+8]),
+         |    (acc, x) -> (acc * 1000003 + x) % 2147483647) AS band_hash
+         |  FROM sig, range(2) r(b)),
+         |cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id),
+         |verified AS (SELECT id1, id2 FROM cands
+         |  JOIN sh s1 ON s1.doc_id = id1
+         |  JOIN sh s2 ON s2.doc_id = id2
+         |  WHERE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
+         |        len(list_distinct(list_concat(s1.shingles, s2.shingles))) >= 0.5),
+         |edges AS (SELECT id1 AS a, id2 AS b FROM verified
+         |  UNION SELECT id2, id1 FROM verified),
+         |reach AS (
+         |  WITH RECURSIVE r(src, dst) AS (
+         |    SELECT a, b FROM edges UNION SELECT a, a FROM edges
+         |    UNION
+         |    SELECT r.src, e.b FROM r JOIN edges e ON r.dst = e.a)
+         |  SELECT src, dst FROM r)
+         |SELECT src AS doc_id, min(dst) AS cluster_id
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    "v6_embed_neardup" ->
+      s"""WITH base AS (
+         |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+         |  FROM embeddings),
+         |b AS (SELECT id, v, ${sqlHyperBucket("v", 8)} AS bucket FROM base)
+         |SELECT DISTINCT l.id AS id1, r.id AS id2,
+         |  round(${sqlDot("l.v", "r.v")} /
+         |    (sqrt(${sqlNormSq("l.v")}) * sqrt(${sqlNormSq("r.v")})), 6) AS sim
+         |FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id
+         |WHERE round(${sqlDot("l.v", "r.v")} /
+         |    (sqrt(${sqlNormSq("l.v")}) * sqrt(${sqlNormSq("r.v")})), 6) >= 0.9
+         |ORDER BY id1, id2""".stripMargin)
 }

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Admin statement surface: `OPTIMIZE TABLE` (optimizeStmt,
+  * ClickHouseParser.py:8366-8460) and the `SYSTEM ...` family (systemStmt,
+  * ClickHouseParser.py:13902-14040), mapped to their honest Spark
+  * equivalents. Statements whose CH semantics have no Spark counterpart
+  * (replication queues, merges scheduling) are intentionally absent rather
+  * than mapped to something misleading.
+  */
+object AdminOps {
+
+  /** `OPTIMIZE TABLE ... [FINAL]`: ClickHouse merges data parts (and with
+    * FINAL collapses row versions). The Spark twin is small-file
+    * compaction: rewrite the table directory to `targetFiles` sorted
+    * files. At 100 TB the small-files problem IS the read performance —
+    * file-open overhead and non-contiguous scans dominate once parts
+    * shrink below ~128 MB; this is the standard maintenance job.
+    *
+    * `finalKeys` = Some((sortingKeys, versionCol)) additionally applies
+    * the ReplacingMergeTree FINAL collapse ([[ChOps.selectFinal]]) during
+    * the rewrite. Returns (filesBefore, filesAfter). */
+  def optimizeTable(
+      spark: SparkSession, path: String, outPath: String,
+      sortCols: Seq[String], targetFiles: Int,
+      finalKeys: Option[(Seq[String], String)] = None
+  ): (Int, Int) = {
+    def parquetFiles(p: String): Int =
+      Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val before = parquetFiles(path)
+    val base = spark.read.parquet(path)
+    val collapsed = finalKeys match {
+      case Some((keys, version)) => ChOps.selectFinal(base, keys, version)
+      case None => base
+    }
+    collapsed.repartition(targetFiles)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    (before, parquetFiles(outPath))
+  }
+
+  /** `SYSTEM ...` dispatch. Returns a description of the action taken so
+    * callers (and tests) can see the mapping explicitly. */
+  def system(spark: SparkSession, command: String, arg: Option[String] = None): String =
+    command.trim.toUpperCase match {
+      case "DROP CACHE" | "DROP UNCOMPRESSED CACHE" | "DROP MARK CACHE" =>
+        spark.catalog.clearCache()
+        "cleared in-memory table cache (spark.catalog.clearCache)"
+      case "RELOAD DICTIONARY" | "RELOAD DICTIONARIES" =>
+        // dictionaries are broadcast lookup tables read per query
+        // (ChOps.dictGet); reload = invalidate the cached source relation
+        arg.foreach(spark.catalog.refreshByPath)
+        s"refreshed dictionary source ${arg.getOrElse("(all)")}"
+      case "FLUSH LOGS" =>
+        "no-op: Spark writes eagerly, there is no async insert buffer"
+      case "RESTART REPLICA" | "SYNC REPLICA" =>
+        "unmapped: replication is the storage layer's concern (HDFS/S3)"
+      case other =>
+        throw new IllegalArgumentException(s"unknown SYSTEM command: $other")
+    }
+}

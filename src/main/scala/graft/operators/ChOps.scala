@@ -194,6 +194,21 @@ object ChOps {
       .drop("__b", "__local", "__prev")
   }
 
+  /** `SELECT ... FROM t FINAL` (the FINAL table modifier,
+    * ClickHouseParser.py:12756): ReplacingMergeTree read-time collapse —
+    * one row per sorting key, the one with the greatest version. A struct
+    * max with the version leading (then the payload columns, so exact
+    * version ties stay deterministic): a plain aggregate, partial
+    * (map-side) combinable, one shuffle on the key — the same cost shape
+    * as any groupBy, no window. */
+  def selectFinal(df: DataFrame, keys: Seq[String], versionCol: String): DataFrame = {
+    val payload = df.columns.filterNot(keys.contains)
+    val ordered = versionCol +: payload.filterNot(_ == versionCol).toSeq
+    df.groupBy(keys.map(col): _*)
+      .agg(max(struct(ordered.map(col): _*)).as("__f"))
+      .select(keys.map(col) ++ ordered.map(c => col(s"__f.$c").as(c)): _*)
+  }
+
   /** `ORDER BY expr COLLATE 'name'` (ClickHouseParser.py:11307-11314):
     * Spark 4 strings are natively collatable, so the mapping is the
     * built-in `collate` — the sort comparator changes, the value doesn't.

@@ -117,4 +117,50 @@ object Dedup {
   /** Hamming distance between two simhash values (counts differing bits). */
   def hamming32(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Duplicate CLUSTERS from verified candidate pairs: connected
+    * components by min-label propagation — every member gets the smallest
+    * id reachable through the pair graph as `cluster_id` (which is also
+    * the canonical keeper). Returns (id, cluster_id).
+    *
+    * Scale design: one shuffle-join + one aggregate per round, labels only
+    * ever DECREASE, so an unchanged (count, sum(label)) is a fixpoint —
+    * checked on the round's localCheckpoint, one materializing action per
+    * round (same discipline as DependencyGraph.doubledClosure). LSH/exact
+    * dup clusters are near-cliques (every member pairs with most others),
+    * so propagation converges in 2-3 rounds regardless of corpus size;
+    * `maxRounds` guards the adversarial chain case. */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 15): DataFrame = {
+    val sym = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .distinct()
+      .persist()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .localCheckpoint(true)
+    def stats(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum("cluster_id")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prev = stats(labels)
+    var done = false
+    var i = 0
+    while (i < maxRounds && !done) {
+      // neighbor's best label, folded into own
+      val viaNeighbor = sym.join(labels, sym("b") === labels("id"))
+        .groupBy(col("a").as("id2")).agg(min("cluster_id").as("nl"))
+      val next = labels.join(viaNeighbor, labels("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nl"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true)
+      val cur = stats(next)
+      done = cur == prev
+      prev = cur
+      labels = next
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
 }

@@ -154,6 +154,39 @@ class DdlSurfaceSpec extends AnyFunSuite {
       TableFunctions.generateRandom(spark, 4, 2).collect().map(_.toString).toSeq)
   }
 
+  test("OPTIMIZE TABLE [FINAL]: small-file compaction + version collapse") {
+    import graft.operators.AdminOps
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_opt").toString
+    // a fragmented table: 16 small files, 2 versions per key
+    val df = spark.range(100).select(
+      (col("id") % 50).as("k"), expr("id div 50").as("ver"), (col("id") * 10).as("v"))
+    df.repartition(16).write.parquet(s"$dir/frag")
+    val (before, after) = AdminOps.optimizeTable(
+      spark, s"$dir/frag", s"$dir/opt", sortCols = Seq("k"), targetFiles = 2)
+    assert(before == 16 && after == 2)
+    assert(spark.read.parquet(s"$dir/opt").count() == 100) // lossless
+    // FINAL: one row per key, the max-version one survives
+    val (_, _) = AdminOps.optimizeTable(
+      spark, s"$dir/frag", s"$dir/optf", Seq("k"), 2,
+      finalKeys = Some((Seq("k"), "ver")))
+    val fin = spark.read.parquet(s"$dir/optf")
+    assert(fin.count() == 50)
+    assert(fin.agg(min("ver")).head().getLong(0) == 1L) // only ver=1 rows remain
+  }
+
+  test("SYSTEM statements map to catalog actions (or honestly refuse)") {
+    import graft.operators.AdminOps
+    val t = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    t.cache(); t.count()
+    assert(AdminOps.system(spark, "DROP CACHE").contains("clearCache"))
+    assert(AdminOps.system(spark, "RELOAD DICTIONARY",
+      Some("/root/testdata/sf0.001/nation.parquet")).contains("refreshed"))
+    assert(AdminOps.system(spark, "FLUSH LOGS").startsWith("no-op"))
+    assert(AdminOps.system(spark, "SYNC REPLICA").startsWith("unmapped"))
+    intercept[IllegalArgumentException](AdminOps.system(spark, "EXPLODE"))
+  }
+
   test("lightweight DELETE: mask column, implicit read filter, compaction") {
     import graft.operators.Mutations
     import org.apache.spark.sql.functions._

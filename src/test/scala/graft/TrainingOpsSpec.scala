@@ -67,6 +67,14 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(capped == Set((0L, 1L))) // hot bucket dropped, selective band kept
   }
 
+  test("connected components: chain transitivity, min-id labels, disjoint clusters") {
+    // chain 1-2-3 (transitive: 3 never pairs with 1 directly) + island 7-8
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id1", "id2")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("jaccard: identity 1.0, disjoint 0.0, near-dup in between") {
     val j = docs.as("a").crossJoin(docs.as("b"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
