@@ -82,10 +82,11 @@ object Queries {
   // ---- query registry ---------------------------------------------------
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
-    batch1 ++ batch2 ++ batch3 ++ batch4 ++ batch5 ++ batch6 ++ batch7 ++ batch8
+    batch1 ++ batch2 ++ batch3 ++ batch4 ++ batch5 ++ batch6 ++ batch7 ++
+      batch8 ++ batch9
   def oracles: Map[String, String] =
     oracles1 ++ oracles2 ++ oracles3 ++ oracles4 ++ oracles5 ++ oracles6 ++
-      oracles7 ++ oracles8
+      oracles7 ++ oracles8 ++ oracles9
 
   private val batch1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1896,4 +1897,103 @@ object Queries {
          |WHERE round(${sqlDot("l.v", "r.v")} /
          |    (sqrt(${sqlNormSq("l.v")}) * sqrt(${sqlNormSq("r.v")})), 6) >= 0.9
          |ORDER BY id1, id2""".stripMargin)
+
+  // ===== batch 9: aggregate/scalar function families =====
+
+  private val batch9: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // topK(k)(col) — exact tier of CH's frequent-items aggregate: partial
+    // count + TakeOrderedAndProject; the count shrinks to |distinct| rows
+    // map-side, then k·partitions rows merge on the driver.
+    "q63_topk_freq" -> ((s, dir) =>
+      tbl(s, dir, "part")
+        .groupBy("p_type").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("p_type")).limit(5)),
+
+    // avgWeighted(x, w): decimal-internal sums (order-independent), double
+    // out — a single partial-aggregable pass.
+    "q64_avg_weighted" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg((sum(decimal(col("l_extendedprice") * col("l_quantity"), 28, 4))
+                .cast(DoubleType) /
+              sum(decimal(col("l_quantity"), 28, 4)).cast(DoubleType))
+          .as("w_avg"))
+        .orderBy("l_returnflag")),
+
+    // ARRAY JOIN with position (arrayEnumerate / posexplode)
+    "q65_array_join_pos" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 200)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
+        .select(col("l_orderkey"), posexplode(col("lines")))
+        .select(col("l_orderkey"), col("pos").cast(LongType).as("pos"),
+          col("col").as("ln"))
+        .orderBy("l_orderkey", "pos")),
+
+    // JSON extraction family: string + typed paths over the props column
+    "q66_json_funcs" -> ((s, dir) =>
+      events(s, dir)
+        .filter(col("event_id") < 200)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k_int"),
+          get_json_object(col("props"), "$.missing").as("absent"))
+        .orderBy("event_id")),
+
+    // URL function family (domain / path / extractURLParameter): URLs
+    // synthesized deterministically from part attributes, parsed with the
+    // codegen'd parse_url — no UDF.
+    "q67_url_funcs" -> ((s, dir) =>
+      tbl(s, dir, "part")
+        .filter(col("p_partkey") < 300)
+        .select(col("p_partkey"),
+          concat(lit("https://"),
+            regexp_replace(lower(col("p_brand")), "#", "-"), lit(".example.com/"),
+            regexp_replace(lower(col("p_type")), " ", "/"),
+            lit("?q="), col("p_partkey")).as("url"))
+        .select(col("p_partkey"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY"), lit("q")).as("q"))
+        .orderBy("p_partkey")))
+
+  private val oracles9: Map[String, String] = Map(
+
+    "q63_topk_freq" ->
+      """SELECT p_type, count(*) AS n FROM part
+        |GROUP BY p_type ORDER BY n DESC, p_type LIMIT 5""".stripMargin,
+
+    "q64_avg_weighted" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(28,4))) AS DOUBLE) /
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS w_avg
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q65_array_join_pos" ->
+      """WITH lines AS (SELECT l_orderkey,
+        |    list_sort(list(l_linenumber)) AS ls
+        |  FROM lineitem WHERE l_orderkey < 200 GROUP BY l_orderkey)
+        |SELECT l_orderkey, CAST(i AS BIGINT) AS pos, ls[i + 1] AS ln
+        |FROM lines, range(32) r(i) WHERE i < len(ls)
+        |ORDER BY l_orderkey, pos""".stripMargin,
+
+    "q66_json_funcs" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+        |  json_extract_string(props, '$.missing') AS absent
+        |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,
+
+    "q67_url_funcs" ->
+      """WITH u AS (SELECT p_partkey,
+        |    'https://' || replace(lower(p_brand), '#', '-') || '.example.com/' ||
+        |    replace(lower(p_type), ' ', '/') || '?q=' || p_partkey AS url
+        |  FROM part WHERE p_partkey < 300)
+        |SELECT p_partkey,
+        |  split_part(split_part(url, '//', 2), '/', 1) AS host,
+        |  regexp_extract(url, '//[^/]+(/[^?]*)', 1) AS path,
+        |  regexp_extract(url, 'q=([0-9]+)', 1) AS q
+        |FROM u ORDER BY p_partkey""".stripMargin)
 }
