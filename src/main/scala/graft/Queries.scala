@@ -1942,6 +1942,15 @@ object Queries {
           get_json_object(col("props"), "$.missing").as("absent"))
         .orderBy("event_id")),
 
+    // windowFunnel (CH funnel-depth aggregate): per-user deepest
+    // signup→click→purchase chain within 3 days, as a codegen'd fold over
+    // each user's sorted (ts,step)-encoded events; output = depth histogram.
+    "e9_window_funnel" -> ((s, dir) =>
+      ChOps.windowFunnel(events(s, dir), "user_id", "ts", "event_type",
+          Seq("signup", "click", "purchase"), 259200000000L)
+        .groupBy("level").agg(count(lit(1)).as("n"))
+        .orderBy("level")),
+
     // URL function family (domain / path / extractURLParameter): URLs
     // synthesized deterministically from part attributes, parsed with the
     // codegen'd parse_url — no UDF.
@@ -1985,6 +1994,30 @@ object Queries {
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
         |  json_extract_string(props, '$.missing') AS absent
         |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,
+
+    // identical fold re-derived in DuckDB over the same encoded longs:
+    // the accumulator is the per-level latest-chain-start list, -1 = unset
+    "e9_window_funnel" ->
+      """WITH ev AS (SELECT user_id,
+        |    epoch_us(ts) * 10 + (CASE event_type WHEN 'signup' THEN 0
+        |      WHEN 'click' THEN 1 WHEN 'purchase' THEN 2 END) AS e
+        |  FROM events WHERE event_type IN ('signup', 'click', 'purchase')),
+        |agg AS (SELECT user_id, list_sort(list(e)) AS evs FROM ev GROUP BY user_id),
+        |st AS (SELECT user_id, list_reduce(
+        |  list_prepend([CAST(-1 AS BIGINT), -1, -1], list_transform(evs, x -> [x])),
+        |  (acc, xx) -> CASE
+        |    WHEN xx[1] % 10 = 0 THEN [greatest(acc[1], xx[1] // 10), acc[2], acc[3]]
+        |    WHEN xx[1] % 10 = 1 AND acc[1] >= 0
+        |         AND xx[1] // 10 - acc[1] <= 259200000000
+        |      THEN [acc[1], greatest(acc[2], acc[1]), acc[3]]
+        |    WHEN xx[1] % 10 = 2 AND acc[2] >= 0
+        |         AND xx[1] // 10 - acc[2] <= 259200000000
+        |      THEN [acc[1], acc[2], greatest(acc[3], acc[2])]
+        |    ELSE acc END) AS f FROM agg)
+        |SELECT CAST(CASE WHEN f[3] >= 0 THEN 3 WHEN f[2] >= 0 THEN 2
+        |    WHEN f[1] >= 0 THEN 1 ELSE 0 END AS INTEGER) AS level,
+        |  count(*) AS n
+        |FROM st GROUP BY 1 ORDER BY level""".stripMargin,
 
     "q67_url_funcs" ->
       """WITH u AS (SELECT p_partkey,

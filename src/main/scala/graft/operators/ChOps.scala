@@ -194,6 +194,32 @@ object ChOps {
       .drop("__b", "__local", "__prev")
   }
 
+  /** windowFunnel(window)(ts, cond1..condN) — CH's funnel-depth aggregate:
+    * per key, the deepest step n such that matching events for steps 1..n
+    * occur in order with step-n's chain starting within `windowMicros`.
+    * Spark-first shape: map event type → step index (row-local), encode
+    * (ts, step) into one long, collect + sort per key (ONE shuffle, the
+    * same cost as any groupBy), and run the fold as a codegen'd native
+    * expression over the sorted array. Sessions are bounded (a user's
+    * events fit in memory by the same argument as sessionize); corpus
+    * size never matters. Returns (key, level). */
+  def windowFunnel(
+      df: DataFrame, keyCol: String, tsCol: String, typeCol: String,
+      steps: Seq[String], windowMicros: Long
+  ): DataFrame = {
+    val stepIdx = steps.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (t, i)) =>
+        when(col(typeCol) === t, lit(i)).otherwise(acc) }
+    df.select(col(keyCol), unix_micros(col(tsCol)).as("__t"), stepIdx.as("__s"))
+      .filter(col("__s") >= 0)
+      .select(col(keyCol), (col("__t") * 10 + col("__s")).as("__e"))
+      .groupBy(keyCol)
+      .agg(sort_array(collect_list(col("__e"))).as("__evs"))
+      .select(col(keyCol),
+        graft.plans.NativeExpressions.window_funnel_level(
+          col("__evs"), steps.length, windowMicros).as("level"))
+  }
+
   /** `SELECT ... FROM t FINAL` (the FINAL table modifier,
     * ClickHouseParser.py:12756): ReplacingMergeTree read-time collapse —
     * one row per sorting key, the one with the greatest version. A struct

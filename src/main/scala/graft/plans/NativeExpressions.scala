@@ -123,6 +123,35 @@ object NativeExpressions {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(topCid.take(filled))
   }
 
+  /** windowFunnel fold (CH's funnel-analysis aggregate, re-expressed as a
+    * row-local expression over a user's SORTED event array). Events are
+    * encoded `t * 10 + step` (step < 10), so ascending numeric order IS
+    * (time, step) order and any engine can reproduce the fold on plain
+    * integers. State: per level, the LATEST chain-start time (maximizing
+    * window slack — the standard funnel DP); an event at level k extends a
+    * chain iff level k-1 was reached within `window` of its start.
+    * Returns the deepest level reached (0 = no step-0 event). */
+  def windowFunnelCompute(sortedEncoded: ArrayData, nSteps: Int, window: Long): Int = {
+    val start = Array.fill(nSteps)(Long.MinValue)
+    val n = sortedEncoded.numElements()
+    var i = 0
+    while (i < n) {
+      val x = sortedEncoded.getLong(i)
+      val step = java.lang.Math.floorMod(x, 10L).toInt
+      val t = java.lang.Math.floorDiv(x, 10L)
+      if (step == 0) {
+        if (t > start(0)) start(0) = t
+      } else if (step < nSteps && start(step - 1) != Long.MinValue &&
+          t - start(step - 1) <= window) {
+        if (start(step - 1) > start(step)) start(step) = start(step - 1)
+      }
+      i += 1
+    }
+    var level = 0
+    while (level < nSteps && start(level) != Long.MinValue) level += 1
+    level
+  }
+
   /** MinHash signature inner loop: for perm i in [0,k):
     * min over hashes of (h·(2i+1) + 12345·i + 1) mod `mod`.
     * Empty input yields Long.MaxValue sentinels per permutation — a
@@ -291,6 +320,19 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  case class WindowFunnelLevel(child: Expression, nSteps: Int, window: Long)
+      extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(input: Any): Any =
+      windowFunnelCompute(input.asInstanceOf[ArrayData], nSteps, window)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.NativeExpressions.windowFunnelCompute($c, $nSteps, ${window}L)")
+    override protected def withNewChildInternal(newChild: Expression): WindowFunnelLevel =
+      copy(child = newChild)
+  }
+
   case class NearestCentroids(first: Expression, second: Expression,
       third: Expression, nprobe: Int, roundTo: Int)
       extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
@@ -321,6 +363,9 @@ object NativeExpressions {
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
   def simhash_32(hashes: Column): Column =
     ColumnBridge.column(SimHash32(ColumnBridge.expression(hashes)))
+  def window_funnel_level(sortedEncoded: Column, nSteps: Int, window: Long): Column =
+    ColumnBridge.column(WindowFunnelLevel(
+      ColumnBridge.expression(sortedEncoded), nSteps, window))
   def nearest_centroids(vec: Column, cids: Column, cvs: Column,
       nprobe: Int, roundTo: Int): Column =
     ColumnBridge.column(NearestCentroids(ColumnBridge.expression(vec),

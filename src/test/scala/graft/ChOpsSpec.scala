@@ -16,6 +16,27 @@ class ChOpsSpec extends AnyFunSuite {
     .getOrCreate()
   import spark.implicits._
 
+  test("windowFunnel: depth respects order and window") {
+    val ev = Seq(
+      // user 1: full funnel within window → 3
+      (1L, 100L, "signup"), (1L, 200L, "click"), (1L, 300L, "purchase"),
+      // user 2: purchase BEFORE click → depth 2
+      (2L, 100L, "signup"), (2L, 150L, "purchase"), (2L, 200L, "click"),
+      // user 3: click outside the 1000-µs window → depth 1
+      (3L, 100L, "signup"), (3L, 5000L, "click"),
+      // user 4: restart resets the window — late signup rescues the chain
+      (4L, 100L, "signup"), (4L, 4000L, "signup"), (4L, 4500L, "click"),
+      (4L, 4800L, "purchase"),
+      // user 5: no signup at all → 0
+      (5L, 100L, "click"), (5L, 200L, "purchase"))
+      .toDF("user_id", "t", "event_type")
+      .select(col("user_id"), timestamp_micros(col("t")).as("ts"), col("event_type"))
+    val out = ChOps.windowFunnel(ev, "user_id", "ts", "event_type",
+        Seq("signup", "click", "purchase"), windowMicros = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 3, 5L -> 0))
+  }
+
   test("dictGet: broadcast lookup preserves fact rows, missing keys null") {
     val facts = Seq((1L, 10), (2L, 20), (3L, 99)).toDF("id", "k")
     val dict = Seq((10, "a"), (20, "b")).toDF("dk", "v")
