@@ -771,20 +771,24 @@ object Queries {
       val pert = d.select((col("doc_id") + 10000).as("doc_id"),
         concat(col("text"), lit(" graft extra token")).as("text"))
       val all = d.unionByName(pert)
-      // shingles + signature computed ONCE and cached — three consumers
-      // (bands, both sides of the verify join) would otherwise recompute
-      // the whole hash pipeline
+      // shingle hashes computed ONCE (single tokenize pass) and cached —
+      // the signature derives from them and the verify stage compares THEM
+      // (hashed-shingle Jaccard: long arrays, not strings — half the
+      // shuffle bytes and integer set-intersection; MinHash is already
+      // hash-based, so the verify tier measuring the same hash space is
+      // the standard pipeline shape)
       val pre = all
-        .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"),
-          Dedup.minhashSignature(Dedup.shingleHashes(col("text"), 3), 16).as("sig"))
+        .select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("hs"))
+        .select(col("doc_id"), col("hs"),
+          Dedup.minhashSignature(col("hs"), 16).as("sig"))
         .persist()
       val cands = Dedup.lshCandidatePairs(
         Dedup.lshBands(pre, "doc_id", "sig", 2, 8), "doc_id")
-      val sh1 = pre.select(col("doc_id").as("id1"), col("sh").as("sh1"))
-      val sh2 = pre.select(col("doc_id").as("id2"), col("sh").as("sh2"))
-      cands.join(sh1, "id1").join(sh2, "id2")
+      val h1 = pre.select(col("doc_id").as("id1"), col("hs").as("h1"))
+      val h2 = pre.select(col("doc_id").as("id2"), col("hs").as("h2"))
+      cands.join(h1, "id1").join(h2, "id2")
         .select(col("id1"), col("id2"),
-          round(Dedup.jaccard(col("sh1"), col("sh2")), 6).as("j"))
+          round(Dedup.jaccard(col("h1"), col("h2")), 6).as("j"))
         .filter(col("j") >= 0.5)
         .orderBy("id1", "id2")
     }),
@@ -903,13 +907,14 @@ object Queries {
          |  FROM bands a JOIN bands b
          |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
          |   AND a.doc_id < b.doc_id)
-         |SELECT id1, id2, round(CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
-         |    len(list_distinct(list_concat(s1.shingles, s2.shingles))), 6) AS j
+         |SELECT id1, id2,
+         |  round(CAST(len(list_distinct(list_intersect(h1.hashes, h2.hashes))) AS DOUBLE) /
+         |    len(list_distinct(list_concat(h1.hashes, h2.hashes))), 6) AS j
          |FROM cands
-         |JOIN sh s1 ON s1.doc_id = id1
-         |JOIN sh s2 ON s2.doc_id = id2
-         |WHERE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
-         |      len(list_distinct(list_concat(s1.shingles, s2.shingles))) >= 0.4999995
+         |JOIN hs h1 ON h1.doc_id = id1
+         |JOIN hs h2 ON h2.doc_id = id2
+         |WHERE CAST(len(list_distinct(list_intersect(h1.hashes, h2.hashes))) AS DOUBLE) /
+         |      len(list_distinct(list_concat(h1.hashes, h2.hashes))) >= 0.4999995
          |ORDER BY id1, id2""".stripMargin,
 
     "t6_simhash" ->
@@ -1806,15 +1811,16 @@ object Queries {
         concat(col("text"), lit(" graft extra token and more")).as("text"))
       val all = d.unionByName(p1).unionByName(p2)
       val pre = all
-        .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"),
-          Dedup.minhashSignature(Dedup.shingleHashes(col("text"), 3), 16).as("sig"))
+        .select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("hs"))
+        .select(col("doc_id"), col("hs"),
+          Dedup.minhashSignature(col("hs"), 16).as("sig"))
         .persist()
       val cands = Dedup.lshCandidatePairs(
         Dedup.lshBands(pre, "doc_id", "sig", 2, 8), "doc_id")
-      val sh1 = pre.select(col("doc_id").as("id1"), col("sh").as("sh1"))
-      val sh2 = pre.select(col("doc_id").as("id2"), col("sh").as("sh2"))
-      val verified = cands.join(sh1, "id1").join(sh2, "id2")
-        .filter(Dedup.jaccard(col("sh1"), col("sh2")) >= 0.5)
+      val h1 = pre.select(col("doc_id").as("id1"), col("hs").as("h1"))
+      val h2 = pre.select(col("doc_id").as("id2"), col("hs").as("h2"))
+      val verified = cands.join(h1, "id1").join(h2, "id2")
+        .filter(Dedup.jaccard(col("h1"), col("h2")) >= 0.5)
         .select("id1", "id2")
       Dedup.connectedComponents(verified)
         .select(col("id").as("doc_id"), col("cluster_id"))
@@ -1867,10 +1873,10 @@ object Queries {
          |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
          |   AND a.doc_id < b.doc_id),
          |verified AS (SELECT id1, id2 FROM cands
-         |  JOIN sh s1 ON s1.doc_id = id1
-         |  JOIN sh s2 ON s2.doc_id = id2
-         |  WHERE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
-         |        len(list_distinct(list_concat(s1.shingles, s2.shingles))) >= 0.5),
+         |  JOIN hs h1 ON h1.doc_id = id1
+         |  JOIN hs h2 ON h2.doc_id = id2
+         |  WHERE CAST(len(list_distinct(list_intersect(h1.hashes, h2.hashes))) AS DOUBLE) /
+         |        len(list_distinct(list_concat(h1.hashes, h2.hashes))) >= 0.5),
          |edges AS (SELECT id1 AS a, id2 AS b FROM verified
          |  UNION SELECT id2, id1 FROM verified),
          |reach AS (
