@@ -146,6 +146,30 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("topK plans as TakeOrderedAndProject; funnel and FINAL are aggregates, not windows") {
+    val part = spark.read.parquet(s"$sf/part.parquet")
+    val topk = part.groupBy("p_type").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("p_type")).limit(5)
+    // limit-after-sort must fold into a top-k merge, never a full sort
+    assert(topk.queryExecution.executedPlan.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t }.nonEmpty)
+    import spark.implicits._
+    val ev = Seq((1L, 100L, "signup"), (1L, 200L, "click"))
+      .toDF("user_id", "t", "event_type")
+      .select(col("user_id"), timestamp_micros(col("t")).as("ts"), col("event_type"))
+    val funnel = ChOps.windowFunnel(ev, "user_id", "ts", "event_type",
+      Seq("signup", "click"), 1000L)
+    val fin = ChOps.selectFinal(
+      spark.read.parquet(s"$sf/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber", "l_quantity"),
+      Seq("l_orderkey"), "l_linenumber")
+    // both collapse per key via aggregation — a WindowExec would mean a
+    // per-key sort pipeline that can't partial-aggregate map-side
+    for (df <- Seq(funnel, fin))
+      assert(df.queryExecution.executedPlan.collect {
+        case w: WindowExec => w }.isEmpty)
+  }
+
   test("pointer-doubling closure: 40-hop chain closes within the default 10 rounds") {
     import spark.implicits._
     // frontier propagation needs 40 rounds (one per hop); matrix squaring

@@ -72,6 +72,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("dedup_out").count() == 2)
   }
 
+  test("stream-static broadcast enrichment (streaming dictGet twin)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_enrich").toString
+    writeBatch(dir)
+    val dict = Seq(("click", "interaction"), ("view", "passive"))
+      .toDF("et", "category")
+    val src = spark.readStream.schema(schema).parquet(dir)
+    // static side broadcasts to every micro-batch — no stream-side shuffle
+    val q = src.join(org.apache.spark.sql.functions.broadcast(dict),
+        src("event_type") === dict("et"), "left")
+      .select(col("event_type"), col("category"))
+      .writeStream.outputMode("append").format("memory").queryName("enrich_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("enrich_out").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows("click") == "interaction" && rows("view") == "passive")
+  }
+
   test("stateful sessionization groups by 30-min gaps") {
     val ev = Seq((1L, 0L), (1L, 100L), (1L, 3000L), (2L, 50L)).toDS()
     val out = StreamingOps.sessionize(ev).collect()
