@@ -52,6 +52,29 @@ object Mutations {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(outPath)
   }
 
+  /** `ALTER TABLE ... RENAME COLUMN a TO b` (AlterTableClause,
+    * ClickHouseParser.py:2178-2896). On an immutable-file layout this is a
+    * rewrite; on a table format (Delta/Iceberg) the same transform is
+    * metadata-only — the operator is the transform either way. */
+  def renameColumn(df: DataFrame, from: String, to: String): DataFrame =
+    df.withColumnRenamed(from, to)
+
+  /** `ALTER TABLE ... DROP COLUMN c`. */
+  def dropColumn(df: DataFrame, c: String): DataFrame = df.drop(c)
+
+  /** `ALTER TABLE ... MODIFY COLUMN c type`: a cast rewrite — the only
+    * ALTER variant that always touches data, on any storage format. */
+  def modifyColumnType(df: DataFrame, c: String,
+      to: org.apache.spark.sql.types.DataType): DataFrame =
+    df.withColumn(c, col(c).cast(to))
+
+  /** `ALTER TABLE ... COMMENT COLUMN c 'text'`: metadata-only. */
+  def commentColumn(df: DataFrame, c: String, comment: String): DataFrame = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("comment", comment).build()
+    df.withColumn(c, col(c).as(c, meta))
+  }
+
   /** Lightweight `DELETE FROM t WHERE pred`: O(changed rows) — a boolean
     * `_row_exists` mask column, false where deleted. Readers must filter on
     * it (ClickHouse does this implicitly; [[readVisible]] is that reader). */

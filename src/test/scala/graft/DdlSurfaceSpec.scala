@@ -187,6 +187,49 @@ class DdlSurfaceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](AdminOps.system(spark, "EXPLODE"))
   }
 
+  test("ALTER column variants: RENAME / DROP / MODIFY type / COMMENT") {
+    import graft.operators.Mutations
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val t = Seq((1L, "a", "1.5"), (2L, "b", "2.5")).toDF("id", "name", "amount")
+    val renamed = Mutations.renameColumn(t, "name", "label")
+    assert(renamed.columns.toSeq == Seq("id", "label", "amount"))
+    assert(Mutations.dropColumn(t, "amount").columns.toSeq == Seq("id", "name"))
+    val typed = Mutations.modifyColumnType(t, "amount", DoubleType)
+    assert(typed.schema("amount").dataType == DoubleType)
+    assert(typed.agg(sum("amount")).head().getDouble(0) == 4.0)
+    val commented = Mutations.commentColumn(t, "id", "primary key")
+    assert(commented.schema("id").metadata.getString("comment") == "primary key")
+  }
+
+  test("CREATE DICTIONARY: registered source, broadcast dictGet, reload sees updates") {
+    import graft.sources.Dictionaries
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dict").toString
+    Seq((10L, "alpha"), (20L, "beta")).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$dir/d")
+    Dictionaries.createFromPath("labels", s"$dir/d", "parquet",
+      keyCol = "k", attrs = Map("v" -> "label"))
+    assert(Dictionaries.exists("labels"))
+    val facts = Seq((1L, 10L), (2L, 20L), (3L, 99L)).toDF("id", "fk")
+    val out = Dictionaries.dictGet(facts, "labels", col("fk"))
+      .orderBy("id").collect().map(_.getAs[String]("label"))
+    assert(out.toSeq == Seq("alpha", "beta", null))
+    // LIFETIME refresh: rewrite the source, reload, lookup sees new values
+    Seq((10L, "ALPHA2"), (20L, "beta")).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$dir/d")
+    Dictionaries.reload(spark, "labels")
+    val out2 = Dictionaries.dictGet(facts, "labels", col("fk"))
+      .orderBy("id").collect().map(_.getAs[String]("label"))
+    assert(out2.toSeq == Seq("ALPHA2", "beta", null))
+    Dictionaries.drop("labels")
+    assert(!Dictionaries.exists("labels"))
+    intercept[IllegalArgumentException](
+      Dictionaries.dictGet(facts, "labels", col("fk")))
+  }
+
   test("lightweight DELETE: mask column, implicit read filter, compaction") {
     import graft.operators.Mutations
     import org.apache.spark.sql.functions._
