@@ -145,8 +145,13 @@ object ChOps {
     * no driver-side range materialization), left-join the data, fill gaps
     * with the given per-column defaults. */
   def withFillStep(df: DataFrame, axisCol: String, step: Column,
-      fills: Map[String, Column]): DataFrame = {
-    val bounds = df.agg(min(col(axisCol)).as("lo"), max(col(axisCol)).as("hi"))
+      fills: Map[String, Column],
+      from: Option[Column] = None, to: Option[Column] = None): DataFrame = {
+    // explicit FROM e / TO e override the data bounds (fillFrom/fillTo in
+    // the grammar); either side may still come from the data
+    val bounds = df.agg(
+      from.getOrElse(min(col(axisCol))).as("lo"),
+      to.getOrElse(max(col(axisCol))).as("hi"))
     val axis = bounds.select(
       explode(sequence(col("lo"), col("hi"), step)).as(axisCol))
     val filled = axis.join(df, Seq(axisCol), "left")
