@@ -83,10 +83,10 @@ object Queries {
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     batch1 ++ batch2 ++ batch3 ++ batch4 ++ batch5 ++ batch6 ++ batch7 ++
-      batch8 ++ batch9
+      batch8 ++ batch9 ++ batch10
   def oracles: Map[String, String] =
     oracles1 ++ oracles2 ++ oracles3 ++ oracles4 ++ oracles5 ++ oracles6 ++
-      oracles7 ++ oracles8 ++ oracles9
+      oracles7 ++ oracles8 ++ oracles9 ++ oracles10
 
   private val batch1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -2035,4 +2035,141 @@ object Queries {
         |  regexp_extract(url, '//[^/]+(/[^?]*)', 1) AS path,
         |  regexp_extract(url, 'q=([0-9]+)', 1) AS q
         |FROM u ORDER BY p_partkey""".stripMargin)
+
+  // ===== batch 10: join-matrix closure, LIMIT OFFSET, CH type mapping =====
+
+  private val batch10: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // FULL [OUTER] JOIN (JoinOpFull, ClickHouseParser.py:10574-10593):
+    // customers missing from one side and per-customer order rollups from
+    // the other, so BOTH null sides are exercised; the full join shuffles
+    // each side once on the key, then a tiny 3-row aggregate.
+    "q68_full_join" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer").filter(col("c_custkey") % 3 =!= 0)
+        .select("c_custkey")
+      val o = tbl(s, dir, "orders").filter(col("o_custkey") % 4 =!= 1)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(decimal(col("o_totalprice"), 28, 2)).as("spend"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(
+          when(col("c_custkey").isNull, lit("order_only"))
+            .when(col("o_custkey").isNull, lit("customer_only"))
+            .otherwise(lit("both")).as("side"),
+          col("n_orders"), col("spend"))
+        .groupBy("side")
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("n_orders")), lit(0L)).as("orders"),
+          coalesce(sum(col("spend")).cast(DoubleType), lit(0.0)).as("spend"))
+        .orderBy("side")
+    }),
+
+    // RIGHT SEMI / RIGHT ANTI / RIGHT OUTER (JoinOpLeftRight,
+    // ClickHouseParser.py:10618-10645) via the side-swap rewrite; the
+    // right-outer null-probe branch re-derives the anti set independently.
+    "q69_right_semi_anti" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders").filter(col("o_totalprice") > 150000.0)
+      val c = tbl(s, dir, "customer")
+      val cond = o("o_custkey") === c("c_custkey")
+      val semi = ChOps.rightSemiJoin(o, c, cond).withColumn("kind", lit("semi"))
+      val anti = ChOps.rightAntiJoin(o, c, cond).withColumn("kind", lit("anti"))
+      val outer = o.join(c, cond, "right_outer")
+        .filter(col("o_orderkey").isNull)
+        .withColumn("kind", lit("outer_unmatched"))
+      Seq(semi, anti, outer)
+        .map(_.select(col("c_custkey"), col("kind")))
+        .reduce(_ unionByName _)
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n"),
+          min("c_custkey").as("lo"), max("c_custkey").as("hi"))
+        .orderBy("kind")
+    }),
+
+    // LIMIT n OFFSET m (limitExpr, ClickHouseParser.py:11077-11139, OFFSET
+    // at 11094; comma form LIMIT m, n is the same helper) on a
+    // deterministic total order.
+    "q70_limit_offset" -> ((s, dir) =>
+      ChOps.limitOffset(
+        tbl(s, dir, "orders").select("o_orderkey", "o_totalprice")
+          .orderBy("o_orderkey"),
+        offset = 100, n = 10)),
+
+    // LIMIT n WITH TIES on a COMPOUND ordering (limitExpr WITH TIES,
+    // ClickHouseParser.py:10223-10259): the distributed cutoff-tuple form —
+    // no global window, the table never shuffles (plan pinned in
+    // ScaleDesignSpec).
+    "q71_ties_compound" -> ((s, dir) =>
+      ChOps.distributedTopKWithTiesCompound(
+          tbl(s, dir, "part").select("p_partkey", "p_brand", "p_retailprice"),
+          Seq(col("p_retailprice") -> true, col("p_brand") -> false), 5)
+        .orderBy(desc("p_retailprice"), col("p_brand"), col("p_partkey"))),
+
+    // CH column-type runtime mapping (columnTypeExpr,
+    // ClickHouseParser.py:14339-14477): a Nested(...)+Enum8 type string is
+    // translated by ChTypes.toSpark and APPLIED — the collected line items
+    // are cast to the translated Array(Struct) type (UInt32→long widening
+    // comes from the translator, not hand-written), then unnested back.
+    "q72_ch_types" -> ((s, dir) => {
+      val nestedT = graft.model.ChTypes.relaxed(graft.model.ChTypes.toSpark(
+        "Nested(ln UInt32, qty Float64, flag Enum8('A' = 1, 'N' = 2, 'R' = 3))"))
+      tbl(s, dir, "lineitem").filter(col("l_orderkey") < 100)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(struct(
+          col("l_linenumber").as("ln"), col("l_quantity").as("qty"),
+          col("l_returnflag").as("flag")))).as("items"))
+        .select(col("l_orderkey"), col("items").cast(nestedT).as("items"))
+        .select(col("l_orderkey"), explode(col("items")).as("it"))
+        .select(col("l_orderkey"), col("it.ln").as("ln"),
+          col("it.qty").as("qty"), col("it.flag").as("flag"))
+        .orderBy("l_orderkey", "ln", "qty", "flag")
+    }))
+
+  private val oracles10: Map[String, String] = Map(
+
+    "q68_full_join" ->
+      """WITH c AS (SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 0),
+        |o AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |    sum(CAST(o_totalprice AS DECIMAL(28,2))) AS spend
+        |  FROM orders WHERE o_custkey % 4 <> 1 GROUP BY o_custkey)
+        |SELECT CASE WHEN c_custkey IS NULL THEN 'order_only'
+        |            WHEN o_custkey IS NULL THEN 'customer_only'
+        |            ELSE 'both' END AS side,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(coalesce(sum(n_orders), 0) AS BIGINT) AS orders,
+        |  coalesce(CAST(sum(spend) AS DOUBLE), 0.0) AS spend
+        |FROM c FULL JOIN o ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY side""".stripMargin,
+
+    "q69_right_semi_anti" ->
+      """WITH big AS (SELECT o_custkey, o_orderkey FROM orders
+        |  WHERE o_totalprice > 150000.0),
+        |matched AS (SELECT c_custkey, 'semi' AS kind FROM customer c
+        |  WHERE EXISTS (SELECT 1 FROM big b WHERE b.o_custkey = c.c_custkey)),
+        |unmatched AS (SELECT c_custkey, 'anti' AS kind FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM big b WHERE b.o_custkey = c.c_custkey)),
+        |outerun AS (SELECT c_custkey, 'outer_unmatched' AS kind
+        |  FROM big b RIGHT JOIN customer c ON b.o_custkey = c.c_custkey
+        |  WHERE b.o_orderkey IS NULL)
+        |SELECT kind, CAST(count(*) AS BIGINT) AS n,
+        |  min(c_custkey) AS lo, max(c_custkey) AS hi
+        |FROM (SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+        |      UNION ALL SELECT * FROM outerun)
+        |GROUP BY kind ORDER BY kind""".stripMargin,
+
+    "q70_limit_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 10 OFFSET 100""".stripMargin,
+
+    "q71_ties_compound" ->
+      """SELECT p_partkey, p_brand, p_retailprice FROM (
+        |  SELECT p_partkey, p_brand, p_retailprice,
+        |    rank() OVER (ORDER BY p_retailprice DESC, p_brand) AS rk
+        |  FROM part) WHERE rk <= 5
+        |ORDER BY p_retailprice DESC, p_brand, p_partkey""".stripMargin,
+
+    "q72_ch_types" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+        |  CAST(l_quantity AS DOUBLE) AS qty, l_returnflag AS flag
+        |FROM lineitem WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, ln, qty, flag""".stripMargin)
 }

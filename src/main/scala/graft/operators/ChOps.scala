@@ -212,6 +212,13 @@ object ChOps {
       df: DataFrame, keyCol: String, tsCol: String, typeCol: String,
       steps: Seq[String], windowMicros: Long
   ): DataFrame = {
+    // (ts, step) packs as ts*10+step: base 10 caps the chain at 10 steps.
+    // An event type listed in multiple steps is assigned its FIRST matching
+    // step only (CH can let one event satisfy several conditions; this
+    // mapping is single-step-per-event) — so duplicates are rejected too.
+    require(steps.length <= 10, s"windowFunnel supports at most 10 steps, got ${steps.length}")
+    require(steps.distinct.size == steps.length,
+      "windowFunnel steps must be distinct event types (single-step-per-event mapping)")
     val stepIdx = steps.zipWithIndex
       .foldLeft(lit(-1)) { case (acc, (t, i)) =>
         when(col(typeCol) === t, lit(i)).otherwise(acc) }
@@ -296,6 +303,86 @@ object ChOps {
     else {
       val cut = cutRow.get(0)
       df.filter(if (descending) valueCol >= lit(cut) else valueCol <= lit(cut))
+    }
+  }
+
+  /** RIGHT SEMI JOIN (JoinOpLeftRight, ClickHouseParser.py:10618-10645):
+    * rows of the RIGHT table that have a match on the left. Spark's Dataset
+    * API only exposes left_semi, so the rewrite is the side swap —
+    * identical semantics, and Catalyst still plans a hash semi join with
+    * the (typically smaller) probe side broadcastable. */
+  def rightSemiJoin(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
+    right.join(left, cond, "left_semi")
+
+  /** RIGHT ANTI JOIN: rows of the RIGHT table with NO match on the left —
+    * the same side-swap rewrite as [[rightSemiJoin]]. */
+  def rightAntiJoin(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
+    right.join(left, cond, "left_anti")
+
+  /** ANY RIGHT JOIN: mirror of [[anyJoinLeft]] — at most one LEFT match per
+    * right row, deterministic via the `pick` ranking on the left side. */
+  def anyJoinRight(
+      left: DataFrame, right: DataFrame,
+      usingKey: Seq[String], pick: Seq[Column]
+  ): DataFrame = {
+    val w = Window.partitionBy(usingKey.map(col): _*).orderBy(pick: _*)
+    val one = left.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    one.join(right, usingKey, "right")
+  }
+
+  /** FULL ANY JOIN (JoinOpFull + ANY, ClickHouseParser.py:10574-10593):
+    * CH's ANY strictness on a full join keeps at most one match per key on
+    * EACH side — i.e. dedup both sides to one row per key (deterministic
+    * via `pick`), then a plain full outer join. */
+  def fullAnyJoin(
+      left: DataFrame, right: DataFrame,
+      usingKey: Seq[String],
+      pickLeft: Seq[Column], pickRight: Seq[Column]
+  ): DataFrame = {
+    def onePerKey(df: DataFrame, pick: Seq[Column]): DataFrame = {
+      val w = Window.partitionBy(usingKey.map(col): _*).orderBy(pick: _*)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+    onePerKey(left, pickLeft).join(onePerKey(right, pickRight), usingKey, "full_outer")
+  }
+
+  /** LIMIT n OFFSET m / the comma form LIMIT m, n (limitExpr,
+    * ClickHouseParser.py:11077-11139): skip `offset` rows of the given
+    * ordering, keep the next `n`. Spark plans offset+limit together as a
+    * single GlobalLimit(skip, take) over a TakeOrdered-style merge — only
+    * offset+n rows per partition ever move. The input must carry a
+    * deterministic ordering (as in CH, OFFSET without ORDER BY is
+    * nondeterministic). */
+  def limitOffset(df: DataFrame, offset: Int, n: Int): DataFrame =
+    df.offset(offset).limit(n)
+
+  /** Distributed LIMIT n WITH TIES on a COMPOUND ordering tuple — extends
+    * [[distributedTopKWithTies]] to multi-column orderings (each with its
+    * own direction; `true` = descending). Pass 1 computes the n-th ordering
+    * tuple via `orderBy(...).limit(n)` (TakeOrderedAndProject: each
+    * partition ships only its local top-n). Pass 2 keeps rows whose tuple
+    * sorts at-or-before the cutoff — a plain lexicographic filter that
+    * pushes to the scan. Ordering columns must be non-null (CH sorts nulls
+    * into a fixed edge; pre-coalesce if needed). */
+  def distributedTopKWithTiesCompound(
+      df: DataFrame, ord: Seq[(Column, Boolean)], n: Int): DataFrame = {
+    val proj = ord.zipWithIndex.map { case ((c, _), i) => c.as(s"__o$i") }
+    val sorts = ord.zipWithIndex.map { case ((_, desc), i) =>
+      if (desc) col(s"__o$i").desc else col(s"__o$i").asc }
+    val top = df.select(proj: _*).orderBy(sorts: _*).limit(n).collect()
+    if (top.isEmpty) df.limit(0)
+    else {
+      val cut = top.last // the n-th (or last available) ordering tuple
+      def atOrBefore(i: Int): Column = {
+        val (c, desc) = ord(i)
+        val kv = lit(cut.get(i))
+        val strict = if (desc) c > kv else c < kv
+        if (i == ord.length - 1) strict || (c === kv)
+        else strict || (c === kv && atOrBefore(i + 1))
+      }
+      df.filter(atOrBefore(0))
     }
   }
 

@@ -21,6 +21,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Settings {
 
+  /** CH boolean settings use 0/1; Spark registered boolean confs accept
+    * only "true"/"false" (conf.set validates and throws on "1"). */
+  private val asBool: String => String =
+    v => if (v == "0" || v.equalsIgnoreCase("false")) "false" else "true"
+
   /** CH setting name → (Spark conf key, value translator). */
   val mapping: Map[String, (String, String => String)] = Map(
     // parallelism: CH max_threads bounds query threads; the Spark twin for
@@ -34,8 +39,9 @@ object Settings {
     "join_algorithm" ->
       (("spark.sql.join.preferSortMergeJoin",
         v => if (v == "full_sorting_merge" || v == "partial_merge") "true" else "false")),
-    // input block sizing ⇔ input split sizing
-    "max_block_size" -> (("spark.sql.files.maxPartitionBytes", identity[String] _)),
+    // max_block_size is a ROW-count knob (default 65536); Spark's input
+    // split sizing is bytes — no faithful twin, so it is deliberately
+    // unmapped (translate returns None) rather than a unit-confusing map.
     // query-result limits: CH caps result rows, Spark has no direct cap —
     // nearest is driver-protection via maxResultSize (bytes, not rows);
     // deliberately unmapped (None) rather than a lying approximation
@@ -44,7 +50,7 @@ object Settings {
     // CH optimize_read_in_order ⇔ radix/codegen sort toggles are internal;
     // the honest Spark twin for scan-order optimization:
     "optimize_read_in_order" ->
-      (("spark.sql.sources.bucketing.enabled", identity[String] _)),
+      (("spark.sql.sources.bucketing.enabled", asBool)),
     // aggregation memory ceiling before spill
     "max_bytes_before_external_group_by" ->
       (("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
@@ -67,12 +73,31 @@ object Settings {
     (applied, unmapped.keys.toSeq.sorted)
   }
 
-  /** Parse the textual form `SET a = 1, b = 'x'` (setStmt grammar). */
+  /** Parse the textual form `SET a = 1, b = 'x'` (setStmt grammar).
+    * Quote-aware: a comma inside a quoted value (e.g.
+    * `session_timezone = 'America/Argentina,...'`) does not split the
+    * pair. Malformed pairs (no `=`) raise a clear error instead of a
+    * MatchError. */
   def parseSet(stmt: String): Map[String, String] = {
     val body = stmt.trim.replaceAll("(?i)^SET\\s+", "")
-    body.split(",").iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
-      val Array(k, v) = kv.split("=", 2).map(_.trim)
-      k -> v.stripPrefix("'").stripSuffix("'")
+    // split on commas that are outside single quotes
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    body.foreach {
+      case '\'' => inQuote = !inQuote; cur += '\''
+      case ',' if !inQuote => parts += cur.toString; cur.clear()
+      case ch => cur += ch
+    }
+    if (cur.nonEmpty) parts += cur.toString
+    parts.iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
+      kv.split("=", 2).map(_.trim) match {
+        case Array(k, v) if k.nonEmpty =>
+          k -> v.stripPrefix("'").stripSuffix("'")
+        case _ =>
+          throw new IllegalArgumentException(
+            s"malformed SET pair (expected name = value): '$kv'")
+      }
     }.toMap
   }
 

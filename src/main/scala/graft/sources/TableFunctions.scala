@@ -71,12 +71,14 @@ object TableFunctions {
     val base = spark.range(n)
     val m = 1L << 31
     (0 until cols).foldLeft(base.toDF()) { (df, c) =>
-      // LCG over Z_2^31 with the multiplicand pre-reduced so every
-      // intermediate stays < 2^62 (ANSI mode: no silent overflow)
-      val mixed = pmod(
-        pmod(col("id"), lit(m)) * lit(1103515245L) + lit(12345L * (c + 1)),
-        lit(m))
-      df.withColumn(s"r$c", mixed.cast("double") / lit(m.toDouble))
+      // Mix the column index into the LCG STATE before multiplying (not as
+      // a post-hoc additive constant, which left r0..rN spaced ~5.7e-6
+      // apart and near-perfectly correlated). Two LCG rounds over Z_2^31;
+      // every intermediate stays < 2^62 (ANSI mode: no silent overflow).
+      val seeded = pmod(col("id") + lit((c + 1) * 2654435761L), lit(m))
+      val r1 = pmod(seeded * lit(1103515245L) + lit(12345L), lit(m))
+      val r2 = pmod(r1 * lit(32310901L) + lit(11L), lit(m))
+      df.withColumn(s"r$c", r2.cast("double") / lit(m.toDouble))
     }.withColumnRenamed("id", "number")
   }
 }

@@ -60,6 +60,52 @@ class ChOpsSpec extends AnyFunSuite {
     assert(dist == Seq(5, 5, 5))
   }
 
+  test("windowFunnel rejects >10 or duplicate steps (encoding guard)") {
+    val ev = Seq((1L, 100L, "a")).toDF("user_id", "t", "event_type")
+      .select(col("user_id"), timestamp_micros(col("t")).as("ts"), col("event_type"))
+    intercept[IllegalArgumentException] {
+      ChOps.windowFunnel(ev, "user_id", "ts", "event_type",
+        (0 to 10).map(i => s"s$i"), 1000L)
+    }
+    intercept[IllegalArgumentException] {
+      ChOps.windowFunnel(ev, "user_id", "ts", "event_type",
+        Seq("a", "b", "a"), 1000L)
+    }
+  }
+
+  test("rightSemi/rightAnti partition the right table; fullAny dedups both sides") {
+    val l = Seq((1, "x"), (1, "y"), (3, "z")).toDF("k", "lv")
+    val r = Seq((1, "p"), (2, "q")).toDF("k", "rv")
+    val cond = l("k") === r("k")
+    val semi = ChOps.rightSemiJoin(l, r, cond).collect().map(_.getInt(0)).toSeq
+    val anti = ChOps.rightAntiJoin(l, r, cond).collect().map(_.getInt(0)).toSeq
+    assert(semi == Seq(1) && anti == Seq(2)) // multiplicity 1 despite two l-matches
+    val full = ChOps.fullAnyJoin(l, r, Seq("k"),
+        pickLeft = Seq(col("lv")), pickRight = Seq(col("rv")))
+      .orderBy("k").collect()
+      .map(row => (row.getInt(0), row.getAs[String]("lv"), row.getAs[String]("rv")))
+    assert(full.toSeq == Seq((1, "x", "p"), (2, null, "q"), (3, "z", null)))
+  }
+
+  test("limitOffset: skip-then-take over a deterministic ordering") {
+    val df = (1 to 20).toDF("v").repartition(4).orderBy("v")
+    val out = ChOps.limitOffset(df, offset = 5, n = 3).collect().map(_.getInt(0)).toSeq
+    assert(out == Seq(6, 7, 8))
+  }
+
+  test("distributedTopKWithTiesCompound matches the global-window form") {
+    val df = Seq((5, "b"), (5, "a"), (5, "a"), (4, "z"), (5, "b"), (3, "c"))
+      .toDF("v", "s").repartition(4)
+    val dist = ChOps.distributedTopKWithTiesCompound(
+        df, Seq(col("v") -> true, col("s") -> false), 2)
+      .collect().map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+    val global = ChOps.limitWithTies(df, Seq(desc("v"), asc("s")), 2)
+      .collect().map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+    // ordering (v desc, s asc): (5,a),(5,a) rank 1; (5,b),(5,b) rank 3 > 2
+    assert(global == Seq((5, "a"), (5, "a")))
+    assert(dist == global)
+  }
+
   test("saltedJoin equals plain join") {
     val left = Seq((1, "x"), (1, "y"), (2, "z")).toDF("key", "lv")
     val right = Seq((1, 100), (2, 200)).toDF("key", "rv")

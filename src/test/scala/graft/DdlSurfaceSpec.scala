@@ -122,6 +122,38 @@ class DdlSurfaceSpec extends AnyFunSuite {
     assert(s.conf.get("spark.sql.shuffle.partitions") == "2") // restored
   }
 
+  test("SET parsing: quoted commas survive, 0/1 booleans translate, malformed errors") {
+    import graft.plans.Settings
+    // quote-aware comma split (a timezone value containing a comma)
+    val tz = Settings.parseSet(
+      "SET session_timezone = 'America/Argentina,Buenos_Aires', max_threads = 4")
+    assert(tz == Map("session_timezone" -> "America/Argentina,Buenos_Aires",
+      "max_threads" -> "4"))
+    // malformed pair: clear error, not a MatchError
+    val e = intercept[IllegalArgumentException](Settings.parseSet("SET max_threads"))
+    assert(e.getMessage.contains("max_threads"))
+    // CH 0/1 boolean reaches a registered Spark boolean conf without throwing
+    val s = spark.newSession()
+    val (applied, _) = Settings.applySet(s, Map("optimize_read_in_order" -> "1"))
+    assert(applied == Map("spark.sql.sources.bucketing.enabled" -> "true"))
+    val (applied0, _) = Settings.applySet(s, Map("optimize_read_in_order" -> "0"))
+    assert(applied0 == Map("spark.sql.sources.bucketing.enabled" -> "false"))
+    // max_block_size is a row-count knob with no byte-sized Spark twin:
+    // honestly unmappable, reported as skipped
+    val (_, skipped) = Settings.applySet(s, Map("max_block_size" -> "65536"))
+    assert(skipped == Seq("max_block_size"))
+  }
+
+  test("generateRandom columns are decorrelated across the column index") {
+    import graft.sources.TableFunctions
+    val rows = TableFunctions.generateRandom(spark, 256, 2).collect()
+    val r0 = rows.map(_.getDouble(1)); val r1 = rows.map(_.getDouble(2))
+    // columns must not be near-identical (the old additive-constant mix
+    // kept |r0-r1| ~ 5.7e-6); require genuinely divergent values
+    val meanAbsDiff = r0.zip(r1).map { case (a, b) => math.abs(a - b) }.sum / 256
+    assert(meanAbsDiff > 0.1, s"columns still correlated: meanAbsDiff=$meanAbsDiff")
+  }
+
   test("EXPLAIN variants map to distinct plan layers") {
     import graft.plans.ExplainOps
     val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")

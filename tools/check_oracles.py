@@ -32,8 +32,11 @@ def main(sf_dir: str, out_dir: str) -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
+    prefixes = sys.argv[3].split(",") if len(sys.argv) > 3 else None
     n_pass = n_fail = 0
     for name in sorted(oracles):
+        if prefixes and not any(name.startswith(p) for p in prefixes):
+            continue
         sql = oracles[name]
         res_dir = os.path.join(out_dir, name)
         files = glob.glob(os.path.join(res_dir, "*.parquet"))
