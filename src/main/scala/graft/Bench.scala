@@ -1,9 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // min-of-N timing (default 3): run 1 pays codegen/compile, and a single
+    // repeat was not enough to kill scheduler/JIT noise on sub-second
+    // queries (the r2 q16/q13 "regressions" were exactly that).
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // full per-query JSON also goes to a file: stdout tail capture truncated
+    // the r2 results to 65 of 101 queries.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,10 +29,6 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
-    // Two timed runs per query, report the min: the first run of a query
-    // pays its codegen/compile cost, which otherwise lands on whichever
-    // query first touches an expression class (bench-order attribution
-    // noise, not plan cost).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -31,14 +36,18 @@ object Bench {
                  catch { case _: Throwable => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      val a = once()
-      val b = once()
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
-    }.toMap
+      val times = Seq.fill(runs)(once())
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}"""
+    println(json)
+    try Files.writeString(Paths.get(outFile), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     spark.stop()
   }
 }

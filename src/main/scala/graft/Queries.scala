@@ -2104,6 +2104,22 @@ object Queries {
           Seq(col("p_retailprice") -> true, col("p_brand") -> false), 5)
         .orderBy(desc("p_retailprice"), col("p_brand"), col("p_partkey"))),
 
+    // REAL image decode (javax.imageio): the fixture writes one genuine
+    // PNG per document (dimensions a pure function of doc_id), the codec
+    // sniffs + decodes it, and the oracle re-derives the dimensions the
+    // decoder MUST find — a real decode checked by SQL. Distributed end to
+    // end: PNG encode and decode both run per-partition.
+    "x3_image_decode" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val ids = tbl(s, dir, "documents").select("doc_id")
+      Multimodal.extractMetaImage(
+          Multimodal.syntheticPngs(ids, "doc_id"), "doc_id")
+        .toDF()
+        .filter(col("err").isNull)
+        .select(col("doc_id"), col("format"), col("width"), col("height"))
+        .orderBy("doc_id")
+    }),
+
     // CH column-type runtime mapping (columnTypeExpr,
     // ClickHouseParser.py:14339-14477): a Nested(...)+Enum8 type string is
     // translated by ChTypes.toSpark and APPLIED — the collected line items
@@ -2166,6 +2182,12 @@ object Queries {
         |    rank() OVER (ORDER BY p_retailprice DESC, p_brand) AS rk
         |  FROM part) WHERE rk <= 5
         |ORDER BY p_retailprice DESC, p_brand, p_partkey""".stripMargin,
+
+    "x3_image_decode" ->
+      """SELECT doc_id, 'png' AS format,
+        |  CAST(doc_id % 64 + 1 AS INTEGER) AS width,
+        |  CAST(doc_id * 7 % 48 + 1 AS INTEGER) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q72_ch_types" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,

@@ -6,11 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling: image/audio/video payloads ride as opaque
   * `binary` columns with typed metadata extracted by a *batched* per-
   * partition decode — the Scala analog of `mapInPandas` (buffer a batch,
-  * run the codec over the batch, emit rows). The decode itself is STUBBED
-  * (this container has no image/audio libraries): [[StubCodec.decode]] is a
-  * deterministic fake keyed on the payload bytes. The Spark-side plumbing —
-  * schema, binary column, batch shape, partition parallelism — is real and
-  * oracle-tested (the stub's arithmetic is reproducible in SQL).
+  * run the codec over the batch, emit rows).
+  *
+  * Two codecs: [[ImageIoCodec]] is a REAL image decoder over the JDK's
+  * `javax.imageio` (PNG/JPEG/GIF/BMP — magic-byte sniff, full decode,
+  * per-row error channel for corrupt payloads); [[StubCodec]] remains the
+  * deterministic fallback for media the JDK can't decode (audio/video
+  * frames), keyed on the payload bytes so its arithmetic is reproducible
+  * in the SQL oracle. The plumbing — schema, binary column, batch shape,
+  * partition parallelism — is shared and identical.
   */
 object Multimodal {
 
@@ -33,10 +37,96 @@ object Multimodal {
     }
   }
 
+  /** REAL image codec over `javax.imageio` (ships in the JDK — no external
+    * deps). Magic-byte sniff first (cheap reject of non-image payloads),
+    * then a full decode; every failure mode lands in the Left error
+    * channel instead of throwing mid-task. */
+  object ImageIoCodec {
+    def sniffFormat(b: Array[Byte]): Option[String] =
+      if (b.length >= 8 && b(0) == 0x89.toByte && b(1) == 'P'.toByte &&
+          b(2) == 'N'.toByte && b(3) == 'G'.toByte) Some("png")
+      else if (b.length >= 3 && b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) Some("jpeg")
+      else if (b.length >= 6 && b(0) == 'G'.toByte && b(1) == 'I'.toByte &&
+          b(2) == 'F'.toByte && b(3) == '8'.toByte) Some("gif")
+      else if (b.length >= 2 && b(0) == 'B'.toByte && b(1) == 'M'.toByte) Some("bmp")
+      else None
+
+    /** Decode to (format, width, height) or an error message. */
+    def decode(payload: Array[Byte]): Either[String, (String, Int, Int)] =
+      sniffFormat(payload) match {
+        case None => Left("unrecognized magic bytes")
+        case Some(fmt) =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload))
+            if (img == null) Left(s"undecodable $fmt payload")
+            else Right((fmt, img.getWidth, img.getHeight))
+          } catch {
+            case e: Exception => Left(s"decode error: ${e.getMessage}")
+          }
+      }
+  }
+
   /** Attach the opaque binary payload column (here derived from text —
     * in production this is the raw media bytes column). */
   def withPayload(df: DataFrame, srcCol: String): DataFrame =
     df.withColumn("payload", col(srcCol).cast("binary"))
+
+  /** Synthetic image fixture: one REAL tiny PNG per row, encoded with
+    * ImageIO, dimensions a pure function of the id (width = id%64+1,
+    * height = id*7%48+1) so a SQL oracle re-derives what the decoder must
+    * find. Runs per-partition (distributed generation — no driver loop). */
+  def syntheticPngs(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (id % 64 + 1).toInt
+        val h = (id * 7 % 48 + 1).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var x = 0
+        while (x < w) { // deterministic pixel pattern, no RNG
+          var y = 0
+          while (y < h) { img.setRGB(x, y, ((id + x * 31 + y * 7) % 0xFFFFFF).toInt); y += 1 }
+          x += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        (id, out.toByteArray)
+      }
+    }.toDF(idCol, "payload")
+  }
+
+  /** Decoded row with the error channel: exactly one of
+    * (width/height) or `err` is meaningful. */
+  final case class MediaDecoded(
+      doc_id: Long, format: String, width: Int, height: Int,
+      n_bytes: Long, err: String)
+
+  /** Batched REAL metadata extraction through [[ImageIoCodec]]: same
+    * partition-streaming batch shape as [[extractMeta]], but failures go
+    * to the `err` column (per-row error channel, the pipeline never
+    * dies on one corrupt payload). */
+  def extractMetaImage(df: DataFrame, idCol: String,
+      batchSize: Int = 256): Dataset[MediaDecoded] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, payload) =>
+            ImageIoCodec.decode(payload) match {
+              case Right((fmt, w, h)) =>
+                MediaDecoded(id, fmt, w, h, payload.length.toLong, null)
+              case Left(msg) =>
+                MediaDecoded(id, null, -1, -1, payload.length.toLong, msg)
+            }
+          }
+        }
+      }
+  }
 
   /** Batched metadata extraction: partitions stream through the codec in
     * `batchSize` groups (bounded memory per batch, codec amortization —

@@ -90,15 +90,32 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       centroidEvery: Int, queryPred: Column, k: Int,
-      roundTo: Int = 6, nprobe: Int = 1
+      roundTo: Int = 6, nprobe: Int = 1,
+      maxLiteralCentroids: Int = 1024
   ): DataFrame = {
     val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val centRows = vecs.filter(pmod(col("id"), lit(centroidEvery)) === 0)
       .orderBy("id").collect()
-    val cidsLit = typedLit(centRows.map(_.getLong(0)).toSeq)
-    val cvsLit = typedLit(centRows.map(_.getSeq[Double](1)).toSeq)
-    val probed = graft.plans.NativeExpressions.nearest_centroids(
-      col("v"), cidsLit, cvsLit, nprobe, roundTo)
+    // Codebook transport: small codebooks ride as plan literals (zero
+    // set-up cost); past `maxLiteralCentroids` the literals would bloat
+    // EVERY serialized plan/task by the full codebook (tens of MB at
+    // C≈√n for billion-vector corpora), so the codebook ships once per
+    // executor as a broadcast variable referenced from the same codegen'd
+    // argmax — still zero joins/shuffles for assignment.
+    val probed =
+      if (centRows.length <= maxLiteralCentroids) {
+        val cidsLit = typedLit(centRows.map(_.getLong(0)).toSeq)
+        val cvsLit = typedLit(centRows.map(_.getSeq[Double](1)).toSeq)
+        graft.plans.NativeExpressions.nearest_centroids(
+          col("v"), cidsLit, cvsLit, nprobe, roundTo)
+      } else {
+        val cb = new graft.plans.Codebook(
+          centRows.map(_.getLong(0)),
+          centRows.map(_.getSeq[Double](1).toArray))
+        val bc = corpus.sparkSession.sparkContext.broadcast(cb)
+        graft.plans.NativeExpressions.nearest_centroids_bc(
+          col("v"), bc, nprobe, roundTo)
+      }
     val assigned = vecs.withColumn("__cells", probed)
     // corpus vectors live in exactly their nearest cell (element 1);
     // queries probe their nprobe nearest cells

@@ -123,6 +123,52 @@ object NativeExpressions {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(topCid.take(filled))
   }
 
+  /** Broadcast-codebook variant of [[nearestCentroidsCompute]]: identical
+    * ranking arithmetic, but the codebook arrives as plain JVM arrays from
+    * a broadcast variable instead of per-row ArrayData literals — above a
+    * few thousand centroids the literal form bloats every serialized plan
+    * by the whole codebook (tens of MB at C≈√n for billions of vectors);
+    * the broadcast ships once per executor. */
+  def nearestCentroidsBcCompute(vec: ArrayData, cb: Codebook,
+      nprobe: Int, roundTo: Int): ArrayData = {
+    val c = cb.cids.length
+    val keep = math.min(nprobe, c)
+    val topSim = new Array[Double](keep)
+    val topCid = new Array[Long](keep)
+    var filled = 0
+    var vNormSq = 0.0
+    val d = vec.numElements()
+    var t = 0
+    while (t < d) { val x = vec.getDouble(t); vNormSq += x * x; t += 1 }
+    val vNorm = math.sqrt(vNormSq)
+    var i = 0
+    while (i < c) {
+      val cv = cb.cvs(i)
+      val cid = cb.cids(i)
+      val m = math.min(d, cv.length)
+      var dot = 0.0; var nsq = 0.0
+      var j = 0
+      while (j < m) { dot += vec.getDouble(j) * cv(j); j += 1 }
+      j = 0
+      while (j < cv.length) { nsq += cv(j) * cv(j); j += 1 }
+      val denom = vNorm * math.sqrt(nsq)
+      val sim = roundHalfUp(if (denom == 0) 0.0 else dot / denom, roundTo)
+      var pos = filled
+      while (pos > 0 && (sim > topSim(pos - 1) ||
+          (sim == topSim(pos - 1) && cid < topCid(pos - 1)))) pos -= 1
+      if (pos < keep) {
+        val end = math.min(filled, keep - 1)
+        var k = end
+        while (k > pos) { topSim(k) = topSim(k - 1); topCid(k) = topCid(k - 1); k -= 1 }
+        topSim(pos) = sim
+        topCid(pos) = cid
+        if (filled < keep) filled += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(topCid.take(filled))
+  }
+
   /** windowFunnel fold (CH's funnel-analysis aggregate, re-expressed as a
     * row-local expression over a user's SORTED event array). Events are
     * encoded `t * 10 + step` (step < 10), so ascending numeric order IS
@@ -333,6 +379,30 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** Broadcast-codebook coarse quantizer: holds the `Broadcast` handle
+    * directly (codegen embeds it via `addReferenceObj` — the executor
+    * fetches the codebook once, NOT per task serialization like the
+    * literal form). Same output contract as [[NearestCentroids]]. */
+  case class NearestCentroidsBC(child: Expression,
+      codebook: org.apache.spark.broadcast.Broadcast[Codebook],
+      nprobe: Int, roundTo: Int) extends UnaryExpression {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(input: Any): Any =
+      nearestCentroidsBcCompute(input.asInstanceOf[ArrayData],
+        codebook.value, nprobe, roundTo)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bcRef = ctx.addReferenceObj("ivfCodebook", codebook,
+        classOf[org.apache.spark.broadcast.Broadcast[Codebook]].getName)
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.NativeExpressions.nearestCentroidsBcCompute(" +
+          s"$c, (graft.plans.Codebook) $bcRef.value(), $nprobe, $roundTo)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): NearestCentroidsBC =
+      copy(child = newChild)
+  }
+
   case class NearestCentroids(first: Expression, second: Expression,
       third: Expression, nprobe: Int, roundTo: Int)
       extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
@@ -370,4 +440,14 @@ object NativeExpressions {
       nprobe: Int, roundTo: Int): Column =
     ColumnBridge.column(NearestCentroids(ColumnBridge.expression(vec),
       ColumnBridge.expression(cids), ColumnBridge.expression(cvs), nprobe, roundTo))
+  def nearest_centroids_bc(vec: Column,
+      codebook: org.apache.spark.broadcast.Broadcast[Codebook],
+      nprobe: Int, roundTo: Int): Column =
+    ColumnBridge.column(NearestCentroidsBC(
+      ColumnBridge.expression(vec), codebook, nprobe, roundTo))
 }
+
+/** IVF codebook as plain JVM arrays (top-level class so generated Java can
+  * name it; parallel arrays avoid per-row ArrayData unwrapping). */
+final class Codebook(val cids: Array[Long], val cvs: Array[Array[Double]])
+  extends Serializable

@@ -165,4 +165,29 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(Set("png", "jpeg", "webp").contains(r0.format))
     assert(r0.width >= 1 && r0.height >= 1)
   }
+
+  test("ImageIo codec: real PNG round-trip, corrupt payloads hit the error channel") {
+    import spark.implicits._
+    // 3 real PNGs with id-derived dimensions + 2 corrupt payloads: garbage
+    // magic, and a PNG header with a truncated body
+    val ids = Seq(5L, 63L, 100L).toDF("doc_id")
+    val pngs = Multimodal.syntheticPngs(ids, "doc_id")
+    val goodPng = pngs.filter(col("doc_id") === 5L)
+      .select("payload").head().getAs[Array[Byte]](0)
+    val corrupt = Seq(
+      (900L, "not an image at all".getBytes("UTF-8")),
+      (901L, goodPng.take(20))).toDF("doc_id", "payload")
+    val out = Multimodal.extractMetaImage(
+        pngs.unionByName(corrupt), "doc_id", batchSize = 2)
+      .collect().map(m => m.doc_id -> m).toMap
+    // real decode: ImageIO must read back exactly the encoded dimensions
+    for (id <- Seq(5L, 63L, 100L)) {
+      val m = out(id)
+      assert(m.err == null && m.format == "png")
+      assert(m.width == (id % 64 + 1).toInt && m.height == (id * 7 % 48 + 1).toInt)
+    }
+    // corrupt rows: error channel carries a reason, the task never throws
+    assert(out(900L).err.contains("unrecognized magic bytes"))
+    assert(out(901L).err != null && out(901L).format == null)
+  }
 }
