@@ -732,6 +732,40 @@ object Queries {
   private def sqlNormSq(a: String): String =
     s"list_reduce(list_prepend(0.0, list_transform($a, x -> x * x)), (acc, x) -> acc + x)"
 
+  /** t7 oracle, generated from the SAME stopword/script tables the
+    * operator uses (they are the operator's spec): DuckDB replays the
+    * script-count pass, the 25% decision threshold, and the alphabetical
+    * first-wins CASE order of the Spark fold. */
+  private val t7Oracle: String = {
+    val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+    val swCounts = langs.map { l =>
+      val inList = TextAnalysis.stopwords(l).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, t -> t IN ($inList))) AS c_$l"
+    }.mkString(",\n  ")
+    val scripts = TextAnalysis.scriptRanges.map { case (l, _, re2) =>
+      s"length(text) - length(regexp_replace(text, '$re2', '', 'g')) AS s_$l"
+    }.mkString(",\n  ")
+    val scriptLangs = TextAnalysis.scriptRanges.map(_._1) // alphabetical
+    val sMax = scriptLangs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val scriptCase = scriptLangs.map(l => s"WHEN s_$l = smax THEN '$l'").mkString(" ")
+    val cMax = langs.map(l => s"c_$l").mkString("greatest(", ", ", ")")
+    val swCase = langs.map(l => s"WHEN c_$l = cmax THEN '$l'").mkString(" ")
+    s"""WITH base AS (SELECT lang, text,
+       |  regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents),
+       |cnt AS (SELECT lang, length(text) AS nch,
+       |  $scripts,
+       |  $swCounts
+       |  FROM base),
+       |m AS (SELECT *, $sMax AS smax, $cMax AS cmax FROM cnt),
+       |p AS (SELECT lang,
+       |  CASE WHEN smax > 0 AND smax * 4 >= nch THEN CASE $scriptCase END
+       |       WHEN cmax = 0 THEN 'unknown'
+       |       $swCase END AS pred
+       |  FROM m)
+       |SELECT lang, pred, count(*) AS n FROM p
+       |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
+  }
+
   private val batch3: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // exact dedup: hash-groupBy on content digest (corpus doubled to plant
@@ -802,12 +836,11 @@ object Queries {
         .orderBy("doc_id")),
 
     // language-ID by stopword vote: confusion matrix vs labeled lang
+    // two-stage language ID: 8 non-Latin script signals + 12-language
+    // Latin stopword vote (confusion matrix vs the labeled lang)
     "t7_langid" -> ((s, dir) =>
       tbl(s, dir, "documents")
-        // token split materialized once; the vote reads the array 4×
-        .select(col("lang"),
-          TextAnalysis.tokens(lower(col("text"))).as("toks"))
-        .select(col("lang"), TextAnalysis.langIdFromTokens(col("toks")).as("pred"))
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
         .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
         .orderBy("lang", "pred")),
 
@@ -927,25 +960,7 @@ object Queries {
          |    THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS sh
          |FROM hs ORDER BY doc_id""".stripMargin,
 
-    "t7_langid" ->
-      """WITH c AS (SELECT lang,
-        |  len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |      t -> t IN ('der','die','und','das','ist'))) AS cde,
-        |  len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |      t -> t IN ('the','and','of','to','a'))) AS cen,
-        |  len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |      t -> t IN ('el','los','y','de','que'))) AS ces,
-        |  len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |      t -> t IN ('le','la','et','les','des'))) AS cfr
-        |  FROM documents),
-        |p AS (SELECT lang,
-        |  CASE WHEN greatest(cde, cen, ces, cfr) = 0 THEN 'unknown'
-        |       WHEN cde = greatest(cde, cen, ces, cfr) THEN 'de'
-        |       WHEN cen = greatest(cde, cen, ces, cfr) THEN 'en'
-        |       WHEN ces = greatest(cde, cen, ces, cfr) THEN 'es'
-        |       ELSE 'fr' END AS pred FROM c)
-        |SELECT lang, pred, count(*) AS n FROM p
-        |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin,
+    "t7_langid" -> t7Oracle,
 
     "t8_quality" ->
       """SELECT doc_id,

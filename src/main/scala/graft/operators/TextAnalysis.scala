@@ -22,11 +22,42 @@ object TextAnalysis {
   def roughPieceCount(text: Column): Column =
     size(filter(split(text, "(?=[ .,!?;:])|\\s+"), t => length(t) > 0))
 
-  private val stopwords = Map(
+  /** Per-language stopword lists for the Latin-script vote. Public: the
+    * SQL oracle re-derives the identical vote from the same lists (they
+    * are the operator's spec, not an implementation detail). */
+  val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "a"),
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "fr" -> Seq("le", "la", "et", "les", "des"),
-    "es" -> Seq("el", "los", "y", "de", "que"))
+    "es" -> Seq("el", "los", "y", "de", "que"),
+    "it" -> Seq("il", "che", "di", "per", "con"),
+    "pt" -> Seq("o", "os", "uma", "em", "como"),
+    "nl" -> Seq("het", "een", "van", "dat", "niet"),
+    "sv" -> Seq("och", "att", "det", "som", "ett"),
+    "pl" -> Seq("w", "na", "nie", "jest", "do"),
+    "tr" -> Seq("ve", "bir", "bu", "ne", "gibi"),
+    "id" -> Seq("yang", "dan", "di", "itu", "dengan"),
+    "ro" -> Seq("si", "la", "cu", "un", "este"))
+
+  /** Unicode script ranges for the non-Latin signal: (lang, char class).
+    * A script is a much stronger signal than stopwords — one CJK-heavy
+    * line identifies zh with no tokenization at all. Regex char classes
+    * are portable (Java `[\uXXXX-\uXXXX]` ⇔ RE2 `[\x{XXXX}-\x{XXXX}]`). */
+  val scriptRanges: Seq[(String, String, String)] = Seq(
+    // (lang, java regex class, RE2/DuckDB regex class) — \uXXXX escapes
+    // are resolved by the regex engines, not the source encoding
+    ("ar", "[\\u0600-\\u06FF]", "[\\x{0600}-\\x{06FF}]"),
+    ("el", "[\\u0370-\\u03FF]", "[\\x{0370}-\\x{03FF}]"),
+    ("he", "[\\u0590-\\u05FF]", "[\\x{0590}-\\x{05FF}]"),
+    ("hi", "[\\u0900-\\u097F]", "[\\x{0900}-\\x{097F}]"),
+    ("ja", "[\\u3040-\\u30FF]", "[\\x{3040}-\\x{30FF}]"),
+    ("ko", "[\\uAC00-\\uD7AF]", "[\\x{AC00}-\\x{D7AF}]"),
+    ("ru", "[\\u0400-\\u04FF]", "[\\x{0400}-\\x{04FF}]"),
+    ("zh", "[\\u4E00-\\u9FFF]", "[\\x{4E00}-\\x{9FFF}]"))
+
+  /** Count of characters in a script's range — row-local regex strip. */
+  def scriptCount(text: Column, charClass: String): Column =
+    length(text) - length(regexp_replace(text, charClass, ""))
 
   /** Count of tokens that belong to `lang`'s stopword list. */
   def stopwordCount(toks: Column, lang: String): Column = {
@@ -38,7 +69,7 @@ object TextAnalysis {
     * language with the highest stopword count wins; ties resolve
     * alphabetically ('unknown' when all zero). Take lowercased tokens —
     * callers should materialize the token split once (splitting inside
-    * each language's count octuples the regex work). */
+    * each language's count multiplies the regex work per language). */
   def langIdFromTokens(toks: Column): Column = {
     val counts = stopwords.keys.toSeq.sorted.map(l => l -> stopwordCount(toks, l))
     // fold: keep (bestLang, bestCount); strict > keeps alphabetical tie-break
@@ -49,8 +80,24 @@ object TextAnalysis {
     best._1
   }
 
-  /** Convenience form over raw text (one split, reused by every vote). */
-  def langId(text: Column): Column = langIdFromTokens(tokens(lower(text)))
+  /** Two-stage language ID (12 Latin languages + 8 script languages),
+    * fully row-local:
+    *  1. SCRIPT signal: count characters per non-Latin script range; if
+    *     the winning script covers ≥¼ of the text it decides outright
+    *     (ties resolve alphabetically, strict > keeps the first).
+    *  2. else the Latin stopword vote over [[stopwords]].
+    * Deterministic column arithmetic end to end — the DuckDB oracle
+    * replays the same counts and CASE order. */
+  def langId(text: Column): Column = {
+    val (bestScriptLang, bestScriptCount) =
+      scriptRanges.foldLeft((lit("unknown"), lit(0))) {
+        case ((bl, bc), (l, cls, _)) =>
+          val c = scriptCount(text, cls)
+          (when(c > bc, lit(l)).otherwise(bl), when(c > bc, c).otherwise(bc))
+      }
+    when(bestScriptCount > 0 && bestScriptCount * 4 >= length(text), bestScriptLang)
+      .otherwise(langIdFromTokens(tokens(lower(text))))
+  }
 
   /** Quality score components: char length, token count, mean token
     * length, punctuation ratio, stopword ratio (English), uppercase ratio.

@@ -56,6 +56,33 @@ object StreamingOps {
       .start()
   }
 
+  /** MV registry backing [[watch]] — CH registers MVs in the catalog; the
+    * WATCH statement subscribes by name. */
+  private val mvRegistry =
+    scala.collection.concurrent.TrieMap.empty[String, MaterializedView]
+
+  def register(mv: MaterializedView): Unit = mvRegistry.put(mv.name, mv)
+
+  def dropView(name: String): Unit = mvRegistry.remove(name)
+
+  /** `WATCH view` (watchStmt, ClickHouseParser.py:14249-14321): a
+    * client-facing subscription to a registered view's continuous
+    * refreshes. Returns the STREAMING twin of the registered transform
+    * over the view's source — each micro-batch emits the refreshed rows,
+    * which is CH's WATCH contract (a result-version stream; add `.limit`
+    * on the caller side for WATCH ... LIMIT n). The caller attaches the
+    * sink (console for an interactive client, memory for tests). */
+  def watch(
+      spark: SparkSession,
+      viewName: String,
+      sourceDir: String,
+      schema: StructType
+  ): DataFrame = {
+    val mv = mvRegistry.getOrElse(viewName,
+      throw new IllegalArgumentException(s"WATCH: unknown view '$viewName'"))
+    mv.transform(spark.readStream.schema(schema).parquet(sourceDir))
+  }
+
   /** Tumbling-window event aggregation with late-data handling — the
     * streaming twin of the batch `e1_tumbling_window` query. Watermark
     * bounds state: at 100 TB/day ingest, unbounded window state is the

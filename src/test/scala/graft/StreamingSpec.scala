@@ -53,6 +53,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.toSeq == streamed.toSeq)
   }
 
+  test("WATCH view: registered MV yields a streaming subscription with MV results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_watch").toString
+    writeBatch(dir)
+    val mv = MaterializedView("mv_watch", StreamingOps.windowedCounts(_))
+    StreamingOps.register(mv)
+    try {
+      val sub = StreamingOps.watch(spark, "mv_watch", dir, schema)
+      assert(sub.isStreaming) // a subscription, not a one-shot query
+      val q = sub.writeStream.outputMode("complete").format("memory")
+        .queryName("watch_out")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      val watched = spark.table("watch_out")
+        .orderBy("h", "event_type").collect().map(_.toString).toSeq
+      val batch = StreamingOps.populate(mv, spark.read.schema(schema).parquet(dir))
+        .orderBy("h", "event_type").collect().map(_.toString).toSeq
+      assert(watched == batch) // the subscription carries the MV's rows
+      // unknown view: clear refusal
+      intercept[IllegalArgumentException](
+        StreamingOps.watch(spark, "nope", dir, schema))
+    } finally StreamingOps.dropView("mv_watch")
+  }
+
   test("streaming dedup drops repeated digests within the watermark") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dedup").toString
     Seq(

@@ -103,6 +103,24 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(preds(3L) == "fr")
   }
 
+  test("langId script signal: non-Latin scripts decide before the stopword vote") {
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "今天天气很好 and some latin"), // CJK-heavy
+      (2L, "привет мир"), // Cyrillic
+      (3L, "こんにちは世界"), // Hiragana beats CJK count
+      (4L, "il che di per con testo"), // Latin: falls through to stopwords
+      (5L, "zzz qqq vvv")) // nothing matches → unknown
+      .toDF("id", "text")
+    val out = texts.select(col("id"), TextAnalysis.langId(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "zh")
+    assert(out(2L) == "ru")
+    assert(out(3L) == "ja")
+    assert(out(4L) == "it")
+    assert(out(5L) == "unknown")
+  }
+
   test("cosine: self-similarity 1.0, symmetry") {
     val v = Seq((0L, Seq(1.0f, 2.0f, 3.0f)), (1L, Seq(3.0f, 2.0f, 1.0f)))
       .toDF("vec_id", "embedding")
