@@ -29,7 +29,14 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated name-prefix filter (local iteration only;
+    // the driver always runs the full set)
+    val nameFilter: String => Boolean = sys.env.get("SPARK_GRAFT_BENCH_FILTER") match {
+      case Some(p) => val ps = p.split(","); s => ps.exists(s.startsWith)
+      case None => _ => true
+    }
+    val results = SparkEntry.queries.toSeq.filter(kv => nameFilter(kv._1))
+      .sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }

@@ -2135,6 +2135,50 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // FULL ANY JOIN (JoinOpFull + ANY strictness): one row per key per
+    // side (deterministic pick), then full outer — CH's ANY-strictness
+    // contract on both null sides.
+    "q73_full_any" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders").filter(col("o_custkey") % 4 === 1)
+        .select(col("o_custkey").as("custkey"), col("o_orderkey"))
+      val c = tbl(s, dir, "customer").filter(col("c_custkey") % 3 === 1)
+        .select(col("c_custkey").as("custkey"), col("c_acctbal"))
+      ChOps.fullAnyJoin(o, c, Seq("custkey"),
+          pickLeft = Seq(col("o_orderkey")), pickRight = Seq(col("c_acctbal")))
+        .orderBy("custkey")
+    }),
+
+    // CH array math family: arrayDifference / arrayCumSum / arrayCompact
+    // over per-order line-number arrays — composed codegen'd HOFs.
+    "q74_array_math" -> ((s, dir) =>
+      tbl(s, dir, "lineitem").filter(col("l_orderkey") < 100)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_linenumber").cast(LongType)))
+          .as("lns"))
+        .select(col("l_orderkey"),
+          ChOps.arrayDifference(col("lns")).as("diffs"),
+          ChOps.arrayCumSum(col("lns")).as("cums"),
+          ChOps.arrayCompact(col("lns")).as("compacted"))
+        .orderBy("l_orderkey")),
+
+    // bit aggregate family (groupBitAnd/Or/Xor)
+    "q75_bit_aggs" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(bit_and(col("l_linenumber").cast(LongType)).as("b_and"),
+          bit_or(col("l_linenumber").cast(LongType)).as("b_or"),
+          bit_xor(col("l_linenumber").cast(LongType)).as("b_xor"))
+        .orderBy("l_returnflag")),
+
+    // groupArray / groupUniqArray (CH's collect aggregates), sorted for
+    // cross-engine determinism
+    "q76_group_array" -> ((s, dir) =>
+      tbl(s, dir, "orders").filter(col("o_custkey") < 50)
+        .groupBy("o_custkey")
+        .agg(sort_array(collect_list(col("o_orderstatus"))).as("statuses"),
+          sort_array(collect_set(col("o_orderstatus"))).as("uniq_statuses"))
+        .orderBy("o_custkey")),
+
     // CH column-type runtime mapping (columnTypeExpr,
     // ClickHouseParser.py:14339-14477): a Nested(...)+Enum8 type string is
     // translated by ChTypes.toSpark and APPLIED — the collected line items
@@ -2197,6 +2241,46 @@ object Queries {
         |    rank() OVER (ORDER BY p_retailprice DESC, p_brand) AS rk
         |  FROM part) WHERE rk <= 5
         |ORDER BY p_retailprice DESC, p_brand, p_partkey""".stripMargin,
+
+    "q73_full_any" ->
+      """WITH o1 AS (SELECT custkey, o_orderkey FROM (
+        |    SELECT o_custkey AS custkey, o_orderkey,
+        |      row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+        |    FROM orders WHERE o_custkey % 4 = 1) WHERE rn = 1),
+        |c1 AS (SELECT custkey, c_acctbal FROM (
+        |    SELECT c_custkey AS custkey, c_acctbal,
+        |      row_number() OVER (PARTITION BY c_custkey ORDER BY c_acctbal) AS rn
+        |    FROM customer WHERE c_custkey % 3 = 1) WHERE rn = 1)
+        |SELECT coalesce(o1.custkey, c1.custkey) AS custkey, o_orderkey, c_acctbal
+        |FROM o1 FULL JOIN c1 ON o1.custkey = c1.custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "q74_array_math" ->
+      """WITH g AS (SELECT l_orderkey,
+        |    list_sort(list(CAST(l_linenumber AS BIGINT))) AS lns
+        |  FROM lineitem WHERE l_orderkey < 100 GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        |  list_transform(range(len(lns)), i ->
+        |    CASE WHEN i = 0 THEN 0 ELSE lns[i + 1] - lns[i] END) AS diffs,
+        |  list_transform(range(1, len(lns) + 1), i ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), lns[1:i]),
+        |      (acc, x) -> acc + x)) AS cums,
+        |  list_filter(lns, (x, i) -> i = 1 OR x <> lns[i - 1]) AS compacted
+        |FROM g ORDER BY l_orderkey""".stripMargin,
+
+    "q75_bit_aggs" ->
+      """SELECT l_returnflag,
+        |  bit_and(CAST(l_linenumber AS BIGINT)) AS b_and,
+        |  bit_or(CAST(l_linenumber AS BIGINT)) AS b_or,
+        |  bit_xor(CAST(l_linenumber AS BIGINT)) AS b_xor
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q76_group_array" ->
+      """SELECT o_custkey,
+        |  list_sort(list(o_orderstatus)) AS statuses,
+        |  list_sort(list(DISTINCT o_orderstatus)) AS uniq_statuses
+        |FROM orders WHERE o_custkey < 50
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "x3_image_decode" ->
       """SELECT doc_id, 'png' AS format,

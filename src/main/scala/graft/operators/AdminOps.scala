@@ -42,6 +42,49 @@ object AdminOps {
     (before, parquetFiles(outPath))
   }
 
+  /** `CHECK TABLE t` (checkStmt, ClickHouseParser.py:3807-3837): CH
+    * verifies part checksums; the Spark twin is a full-scan validation —
+    * decoding every page of every file IS the parquet checksum/structure
+    * check (corrupt footers, truncated pages and bad magic bytes all
+    * surface as read errors). Returns (ok, rowsRead, error). */
+  def checkTable(spark: SparkSession, path: String): (Boolean, Long, Option[String]) =
+    try {
+      val n = spark.read.parquet(path).count()
+      (true, n, None)
+    } catch {
+      case e: Throwable => (false, 0L, Some(e.getMessage))
+    }
+
+  /** `ATTACH TABLE name` (attachStmt, ClickHouseParser.py:3779-3804): CH
+    * registers existing on-disk data in the catalog without writing data.
+    * Spark twin: an EXTERNAL table over the existing location — metadata
+    * only, the data files are untouched. */
+  def attachTable(spark: SparkSession, name: String, path: String): Unit =
+    spark.sql(
+      s"CREATE TABLE $name USING parquet LOCATION '${path.replace("'", "''")}'")
+
+  /** `DETACH TABLE name` (detachStmt, ClickHouseParser.py:14105-14130):
+    * the inverse — drop the catalog entry, KEEP the data (CH's detached
+    * parts stay on disk; an external-table DROP has exactly that
+    * contract). Re-ATTACH restores it. */
+  def detachTable(spark: SparkSession, name: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+
+  /** `KILL QUERY WHERE query_id = ...` (killStmt,
+    * ClickHouseParser.py:8366-8462): CH cancels by query id; Spark's unit
+    * of cancellation is the job group — run each user query under
+    * `withQueryId` and kill by the same id. */
+  def withQueryId[T](spark: SparkSession, queryId: String)(body: => T): T = {
+    spark.sparkContext.setJobGroup(queryId, s"graft query $queryId",
+      interruptOnCancel = true)
+    try body finally spark.sparkContext.clearJobGroup()
+  }
+
+  def killQuery(spark: SparkSession, queryId: String): String = {
+    spark.sparkContext.cancelJobGroup(queryId)
+    s"cancelled job group '$queryId'"
+  }
+
   /** `SYSTEM ...` dispatch. Returns a description of the action taken so
     * callers (and tests) can see the mapping explicitly. */
   def system(spark: SparkSession, command: String, arg: Option[String] = None): String =

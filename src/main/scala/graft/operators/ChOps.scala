@@ -386,6 +386,23 @@ object ChOps {
     }
   }
 
+  /** CH `arrayDifference` (adjacent deltas, first element 0) — composed
+    * HOFs, codegen'd, no UDF. */
+  def arrayDifference(a: Column): Column =
+    transform(sequence(lit(0), size(a) - 1), i =>
+      when(i === 0, element_at(a, 1) - element_at(a, 1))
+        .otherwise(element_at(a, i + 1) - element_at(a, i)))
+
+  /** CH `arrayCumSum` — per-prefix fold. O(n²) in the array length, which
+    * is the portable formulation; arrays here are row-local (bounded). */
+  def arrayCumSum(a: Column): Column =
+    transform(sequence(lit(1), size(a)), i =>
+      aggregate(slice(a, lit(1), i), lit(0L), (acc, x) => acc + x))
+
+  /** CH `arrayCompact` — drop CONSECUTIVE duplicates (not a distinct). */
+  def arrayCompact(a: Column): Column =
+    filter(a, (x, i) => i === 0 || x =!= element_at(a, i))
+
   /** Skew-safe equi-join: salt the skewed (left) side's key into `salts`
     * sub-keys and replicate the right side per salt. Use when AQE's skew
     * handling isn't enough (e.g. one key is >10% of all rows). */

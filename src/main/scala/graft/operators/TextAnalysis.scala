@@ -65,20 +65,33 @@ object TextAnalysis {
     size(filter(toks, t => sw.map(t === _).reduce(_ || _)))
   }
 
+  /** argmax over (count, label) pairs as `array_max` of structs — each
+    * count subexpression appears ONCE in the plan. (A `when`-fold over N
+    * candidates duplicates every earlier count inside each branch: the
+    * tree doubles per language, and at 12+8 languages the result was a
+    * ~20 MiB task binary and a 330 s bench entry. Struct comparison is
+    * (count, reverseIdx) lexicographic, so the max among count-ties is the
+    * smallest alphabetical index — the same first-wins tie-break.) Returns
+    * the winning label, or `ifZero` when every count is 0. */
+  private def argmaxLabel(counts: Seq[(String, Column)], ifZero: Column): Column = {
+    val n = counts.size
+    val entries = counts.zipWithIndex.map { case ((_, c), i) =>
+      struct(c.as("c"), lit(n - 1 - i).as("ri"))
+    }
+    val names = array(counts.map(_._1).reverse.map(lit): _*)
+    val best = array_max(array(entries: _*))
+    when(best.getField("c") > 0, get(names, best.getField("ri"))).otherwise(ifZero)
+  }
+
   /** Language ID by stopword vote over a pre-split token array: the
     * language with the highest stopword count wins; ties resolve
     * alphabetically ('unknown' when all zero). Take lowercased tokens —
     * callers should materialize the token split once (splitting inside
     * each language's count multiplies the regex work per language). */
-  def langIdFromTokens(toks: Column): Column = {
-    val counts = stopwords.keys.toSeq.sorted.map(l => l -> stopwordCount(toks, l))
-    // fold: keep (bestLang, bestCount); strict > keeps alphabetical tie-break
-    val best = counts.foldLeft((lit("unknown"), lit(0))) {
-      case ((bl, bc), (l, c)) => (when(c > bc, lit(l)).otherwise(bl),
-        when(c > bc, c).otherwise(bc))
-    }
-    best._1
-  }
+  def langIdFromTokens(toks: Column): Column =
+    argmaxLabel(
+      stopwords.keys.toSeq.sorted.map(l => l -> stopwordCount(toks, l)),
+      lit("unknown"))
 
   /** Two-stage language ID (12 Latin languages + 8 script languages),
     * fully row-local:
@@ -89,14 +102,14 @@ object TextAnalysis {
     * Deterministic column arithmetic end to end — the DuckDB oracle
     * replays the same counts and CASE order. */
   def langId(text: Column): Column = {
-    val (bestScriptLang, bestScriptCount) =
-      scriptRanges.foldLeft((lit("unknown"), lit(0))) {
-        case ((bl, bc), (l, cls, _)) =>
-          val c = scriptCount(text, cls)
-          (when(c > bc, lit(l)).otherwise(bl), when(c > bc, c).otherwise(bc))
-      }
-    when(bestScriptCount > 0 && bestScriptCount * 4 >= length(text), bestScriptLang)
-      .otherwise(langIdFromTokens(tokens(lower(text))))
+    // script decision folded into the same argmax shape: a script entry
+    // only counts when it clears the 25% threshold, so "no script fired"
+    // falls through to the stopword vote with every count at 0
+    val scriptEntries = scriptRanges.map { case (l, cls, _) =>
+      val c = scriptCount(text, cls)
+      l -> when(c * 4 >= length(text), c).otherwise(lit(0))
+    }
+    argmaxLabel(scriptEntries, langIdFromTokens(tokens(lower(text))))
   }
 
   /** Quality score components: char length, token count, mean token

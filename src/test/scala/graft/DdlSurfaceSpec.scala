@@ -186,6 +186,52 @@ class DdlSurfaceSpec extends AnyFunSuite {
       TableFunctions.generateRandom(spark, 4, 2).collect().map(_.toString).toSeq)
   }
 
+  test("CHECK TABLE: valid parquet passes, corrupt file fails with a reason") {
+    import graft.operators.AdminOps
+    val (ok, n, err) = AdminOps.checkTable(spark, "/root/testdata/sf0.001/nation.parquet")
+    assert(ok && n == 25 && err.isEmpty)
+    val bad = java.nio.file.Files.createTempDirectory("graft_check").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$bad/part-0.parquet"),
+      "this is not parquet".getBytes)
+    val (ok2, _, err2) = AdminOps.checkTable(spark, bad)
+    assert(!ok2 && err2.nonEmpty)
+  }
+
+  test("ATTACH/DETACH: catalog-only registration, data untouched") {
+    import graft.operators.AdminOps
+    val dir = java.nio.file.Files.createTempDirectory("graft_attach").toString
+    spark.range(7).write.mode("overwrite").parquet(dir)
+    AdminOps.attachTable(spark, "graft_ddl.attached", dir)
+    assert(spark.table("graft_ddl.attached").count() == 7)
+    AdminOps.detachTable(spark, "graft_ddl.attached")
+    assert(!spark.catalog.tableExists("graft_ddl.attached"))
+    // detach kept the data: re-attach restores the table
+    assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(".parquet")))
+    AdminOps.attachTable(spark, "graft_ddl.attached", dir)
+    assert(spark.table("graft_ddl.attached").count() == 7)
+    AdminOps.detachTable(spark, "graft_ddl.attached")
+  }
+
+  test("KILL QUERY cancels a running job group; the session survives") {
+    import graft.operators.AdminOps
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val t = new Thread(() => {
+      try AdminOps.withQueryId(spark, "q_kill_me") {
+        // a deliberately slow aggregation — enough work to still be
+        // running when the kill lands
+        spark.range(Long.MaxValue / 4).selectExpr("sum(id * 2 + 1)").collect()
+      } catch { case e: Throwable => err.set(e) }
+    })
+    t.start()
+    Thread.sleep(1500) // let tasks start
+    AdminOps.killQuery(spark, "q_kill_me")
+    t.join(30000)
+    assert(!t.isAlive, "killed job did not terminate")
+    assert(err.get() != null, "cancellation should surface as an exception")
+    // the session is healthy afterwards
+    assert(spark.range(5).count() == 5)
+  }
+
   test("OPTIMIZE TABLE [FINAL]: small-file compaction + version collapse") {
     import graft.operators.AdminOps
     import org.apache.spark.sql.functions._

@@ -230,6 +230,18 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(scans.exists(_.metadata.get("PushedFilters").exists(_ != "[]")))
   }
 
+  test("langId expression stays compact (the when-fold doubled per language)") {
+    // the original when-fold over 12+8 languages duplicated every earlier
+    // count in each branch: ~2^12-node trees, 20 MiB task binaries and a
+    // 330 s bench entry; the argmax-over-struct-array form keeps each
+    // count subexpression once (t7 back to ~2 s)
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select(graft.operators.TextAnalysis.langId(col("text")).as("p"))
+    val nodes = df.queryExecution.analyzed.expressions
+      .map(_.collect { case e => e }.size).sum
+    assert(nodes < 2000, s"langId expression tree blew up: $nodes nodes")
+  }
+
   test("pointer-doubling closure: 40-hop chain closes within the default 10 rounds") {
     import spark.implicits._
     // frontier propagation needs 40 rounds (one per hop); matrix squaring
