@@ -2179,6 +2179,71 @@ object Queries {
           sort_array(collect_set(col("o_orderstatus"))).as("uniq_statuses"))
         .orderBy("o_custkey")),
 
+    // CH encoding/hash function family (hex / base64Encode / MD5 / SHA256)
+    "q77_encoding_funcs" -> ((s, dir) =>
+      tbl(s, dir, "part").filter(col("p_partkey") < 100)
+        .select(col("p_partkey"),
+          lower(hex(col("p_brand").cast(BinaryType))).as("hexed"),
+          base64(col("p_brand").cast(BinaryType)).as("b64"),
+          md5(col("p_brand").cast(BinaryType)).as("md5h"),
+          sha2(col("p_brand").cast(BinaryType), 256).as("sha256h"))
+        .orderBy("p_partkey")),
+
+    // CH math/bit scalar families restricted to IEEE-exact operations
+    // (sqrt/abs/floor/ceil/sign/modulo/shifts are bit-identical across
+    // engines; libm-backed exp/log are deliberately excluded from the
+    // hash gate)
+    "q78_math_funcs" -> ((s, dir) =>
+      tbl(s, dir, "lineitem").filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          sqrt(col("l_quantity")).as("sq"),
+          abs(col("l_quantity") - 25.0).as("ab"),
+          floor(col("l_quantity") / 7.0).cast(LongType).as("fl"),
+          ceil(col("l_quantity") / 7.0).cast(LongType).as("ce"),
+          signum(col("l_quantity") - 25.0).cast(IntegerType).as("sg"),
+          pmod(col("l_linenumber"), lit(3)).as("pm"),
+          shiftleft(col("l_linenumber"), 2).as("shl"),
+          (col("l_linenumber").bitwiseXOR(5)).as("bxor"))
+        .orderBy("l_orderkey", "l_linenumber", "sq")),
+
+    // CH date/time function family (toStartOfMonth/Quarter/Week, date
+    // parts, dateDiff-style arithmetic) — all integer/date-exact
+    "q79_date_funcs" -> ((s, dir) =>
+      tbl(s, dir, "orders").filter(col("o_orderkey") < 200)
+        .select(col("o_orderkey"),
+          date_trunc("month", col("o_orderdate")).cast(DateType).as("som"),
+          date_trunc("quarter", col("o_orderdate")).cast(DateType).as("soq"),
+          date_trunc("week", col("o_orderdate")).cast(DateType).as("sow"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          quarter(col("o_orderdate")).as("q"),
+          datediff(lit("1998-12-31").cast(DateType),
+            col("o_orderdate").cast(DateType)).as("days_to_end"))
+        .orderBy("o_orderkey")),
+
+    // CH IPv4 function family (IPv4NumToString / IPv4StringToNum /
+    // isIPv4String) — pure integer arithmetic + string ops, exact
+    "q80_ip_funcs" -> ((s, dir) => {
+      val n = col("ipnum")
+      tbl(s, dir, "part").filter(col("p_partkey") < 200)
+        .select(col("p_partkey"),
+          (col("p_partkey") * 16909321L % 4294967296L).as("ipnum"))
+        .select(col("p_partkey"), n,
+          concat_ws(".",
+            (n / 16777216L).cast(LongType), (n / 65536L % 256L).cast(LongType),
+            (n / 256L % 256L).cast(LongType), (n % 256L).cast(LongType))
+            .as("ip_str"))
+        .withColumn("roundtrip",
+          element_at(split(col("ip_str"), "\\."), 1).cast(LongType) * 16777216L +
+          element_at(split(col("ip_str"), "\\."), 2).cast(LongType) * 65536L +
+          element_at(split(col("ip_str"), "\\."), 3).cast(LongType) * 256L +
+          element_at(split(col("ip_str"), "\\."), 4).cast(LongType))
+        .withColumn("is_ipv4",
+          col("ip_str").rlike("^([0-9]{1,3}\\.){3}[0-9]{1,3}$"))
+        .orderBy("p_partkey")
+    }),
+
     // CH column-type runtime mapping (columnTypeExpr,
     // ClickHouseParser.py:14339-14477): a Nested(...)+Enum8 type string is
     // translated by ChTypes.toSpark and APPLIED — the collected line items
@@ -2281,6 +2346,58 @@ object Queries {
         |  list_sort(list(DISTINCT o_orderstatus)) AS uniq_statuses
         |FROM orders WHERE o_custkey < 50
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q77_encoding_funcs" ->
+      """SELECT p_partkey,
+        |  lower(hex(CAST(p_brand AS BLOB))) AS hexed,
+        |  to_base64(CAST(p_brand AS BLOB)) AS b64,
+        |  md5(p_brand) AS md5h,
+        |  sha256(p_brand) AS sha256h
+        |FROM part WHERE p_partkey < 100 ORDER BY p_partkey""".stripMargin,
+
+    "q78_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  sqrt(l_quantity) AS sq,
+        |  abs(l_quantity - 25.0) AS ab,
+        |  CAST(floor(l_quantity / 7.0) AS BIGINT) AS fl,
+        |  CAST(ceil(l_quantity / 7.0) AS BIGINT) AS ce,
+        |  CAST(sign(l_quantity - 25.0) AS INTEGER) AS sg,
+        |  l_linenumber % 3 AS pm,
+        |  l_linenumber << 2 AS shl,
+        |  xor(l_linenumber, 5) AS bxor
+        |FROM lineitem WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber, sq""".stripMargin,
+
+    "q79_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS som,
+        |  CAST(date_trunc('quarter', o_orderdate) AS DATE) AS soq,
+        |  CAST(date_trunc('week', o_orderdate) AS DATE) AS sow,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(day(o_orderdate) AS INTEGER) AS d,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS q,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+        |    AS INTEGER) AS days_to_end
+        |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin,
+
+    "q80_ip_funcs" ->
+      """WITH b AS (SELECT p_partkey,
+        |    p_partkey * 16909321 % 4294967296 AS ipnum
+        |  FROM part WHERE p_partkey < 200),
+        |s AS (SELECT p_partkey, ipnum,
+        |    CAST(ipnum // 16777216 AS BIGINT) || '.' ||
+        |    CAST(ipnum // 65536 % 256 AS BIGINT) || '.' ||
+        |    CAST(ipnum // 256 % 256 AS BIGINT) || '.' ||
+        |    CAST(ipnum % 256 AS BIGINT) AS ip_str
+        |  FROM b)
+        |SELECT p_partkey, ipnum, ip_str,
+        |  CAST(string_split(ip_str, '.')[1] AS BIGINT) * 16777216 +
+        |  CAST(string_split(ip_str, '.')[2] AS BIGINT) * 65536 +
+        |  CAST(string_split(ip_str, '.')[3] AS BIGINT) * 256 +
+        |  CAST(string_split(ip_str, '.')[4] AS BIGINT) AS roundtrip,
+        |  regexp_full_match(ip_str, '([0-9]{1,3}\.){3}[0-9]{1,3}') AS is_ipv4
+        |FROM s ORDER BY p_partkey""".stripMargin,
 
     "x3_image_decode" ->
       """SELECT doc_id, 'png' AS format,

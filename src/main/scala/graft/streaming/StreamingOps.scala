@@ -105,6 +105,48 @@ object StreamingOps {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(digestCols)
 
+  /** Funnel state for [[funnelStream]]: per level, the latest chain-start
+    * time (µs) — Long.MinValue = level not reached. Identical DP state to
+    * the batch fold (`NativeExpressions.windowFunnelCompute`). */
+  final case class FunnelState(starts: Seq[Long])
+  final case class FunnelOut(user_id: Long, level: Int)
+
+  /** Streaming twin of [[graft.operators.ChOps.windowFunnel]]: per-user
+    * funnel depth maintained continuously with flatMapGroupsWithState.
+    * Each micro-batch folds its events (ts order, lower step first on
+    * ties — the batch fold's encoded order) into the per-user chain-start
+    * state and emits the user's current depth; in batch execution one
+    * "micro-batch" holds everything and the result equals the batch
+    * operator (StreamingSpec pins that equivalence). State is O(steps)
+    * per user. */
+  def funnelStream(
+      events: Dataset[(Long, Long, String)], // (user_id, ts_micros, event_type)
+      steps: Seq[String],
+      windowMicros: Long
+  ): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    require(steps.distinct.size == steps.length, "funnel steps must be distinct")
+    val stepIdx = steps.zipWithIndex.toMap
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[FunnelState]) =>
+          val starts = state.getOption.map(_.starts.toArray)
+            .getOrElse(Array.fill(steps.length)(Long.MinValue))
+          rows.toSeq
+            .flatMap { case (_, ts, et) => stepIdx.get(et).map(i => (ts, i)) }
+            .sortBy(identity)
+            .foreach { case (ts, i) =>
+              if (i == 0) starts(0) = math.max(starts(0), ts)
+              else if (starts(i - 1) != Long.MinValue &&
+                  ts - starts(i - 1) <= windowMicros)
+                starts(i) = math.max(starts(i), starts(i - 1))
+            }
+          state.update(FunnelState(starts.toSeq))
+          Iterator.single(FunnelOut(uid, starts.lastIndexWhere(_ != Long.MinValue) + 1))
+      }
+  }
+
   /** Session state for [[sessionize]]. */
   final case class SessionState(sessionId: Long, lastTs: Long, count: Long)
   final case class SessionOut(user_id: Long, session_id: Long, n_events: Long)

@@ -114,6 +114,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows("click") == "interaction" && rows("view") == "passive")
   }
 
+  test("funnelStream equals the batch windowFunnel operator") {
+    import graft.operators.ChOps
+    // the ChOpsSpec scenario: full funnel, out-of-order, window break,
+    // restart rescue, missing first step
+    val raw = Seq(
+      (1L, 100L, "signup"), (1L, 200L, "click"), (1L, 300L, "purchase"),
+      (2L, 100L, "signup"), (2L, 150L, "purchase"), (2L, 200L, "click"),
+      (3L, 100L, "signup"), (3L, 5000L, "click"),
+      (4L, 100L, "signup"), (4L, 4000L, "signup"), (4L, 4500L, "click"),
+      (4L, 4800L, "purchase"),
+      (5L, 100L, "click"), (5L, 200L, "purchase"))
+    val steps = Seq("signup", "click", "purchase")
+    val streamed = StreamingOps.funnelStream(
+        raw.toDS(), steps, windowMicros = 1000L)
+      .collect().map(o => o.user_id -> o.level).toMap
+    val batch = ChOps.windowFunnel(
+        raw.toDF("user_id", "t", "event_type")
+          .select(col("user_id"), timestamp_micros(col("t")).as("ts"),
+            col("event_type")),
+        "user_id", "ts", "event_type", steps, 1000L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(streamed == batch)
+    assert(batch == Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 3, 5L -> 0))
+  }
+
   test("stateful sessionization groups by 30-min gaps") {
     val ev = Seq((1L, 0L), (1L, 100L), (1L, 3000L), (2L, 50L)).toDS()
     val out = StreamingOps.sessionize(ev).collect()
