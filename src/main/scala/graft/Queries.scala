@@ -2244,6 +2244,36 @@ object Queries {
         .orderBy("p_partkey")
     }),
 
+    // CH array predicate family: has / hasAll / hasAny / indexOf /
+    // countEqual over per-order line-number arrays
+    "q81_array_predicates" -> ((s, dir) =>
+      tbl(s, dir, "lineitem").filter(col("l_orderkey") < 100)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_linenumber").cast(LongType)))
+          .as("lns"))
+        .select(col("l_orderkey"),
+          array_contains(col("lns"), 3L).as("has3"),
+          forall(array(lit(1L), lit(2L)), x => array_contains(col("lns"), x))
+            .as("has_all_12"),
+          arrays_overlap(col("lns"), array(lit(6L), lit(7L))).as("has_any_67"),
+          array_position(col("lns"), 2L).as("idx2"),
+          size(filter(col("lns"), _ === 1L)).cast(LongType).as("count_eq_1"))
+        .orderBy("l_orderkey")),
+
+    // sequenceMatch('(?1).*(?2).*(?3)') — ordered-subsequence event
+    // pattern per user (funnel DP, unbounded window); depth histogram
+    "e10_sequence_match" -> ((s, dir) =>
+      ChOps.sequenceMatch(events(s, dir), "user_id", "ts", "event_type",
+          Seq("signup", "click", "purchase"))
+        .groupBy("matched").agg(count(lit(1)).as("n"))
+        .orderBy("matched")),
+
+    // uniqUpTo(N): exact distinct while <= N, else N+1
+    "q82_uniq_upto" -> ((s, dir) =>
+      ChOps.uniqUpTo(tbl(s, dir, "lineitem"), Seq("l_returnflag"),
+          "l_suppkey", 50)
+        .orderBy("l_returnflag")),
+
     // CH column-type runtime mapping (columnTypeExpr,
     // ClickHouseParser.py:14339-14477): a Nested(...)+Enum8 type string is
     // translated by ChTypes.toSpark and APPLIED — the collected line items
@@ -2398,6 +2428,40 @@ object Queries {
         |  CAST(string_split(ip_str, '.')[4] AS BIGINT) AS roundtrip,
         |  regexp_full_match(ip_str, '([0-9]{1,3}\.){3}[0-9]{1,3}') AS is_ipv4
         |FROM s ORDER BY p_partkey""".stripMargin,
+
+    "q81_array_predicates" ->
+      """WITH g AS (SELECT l_orderkey,
+        |    list_sort(list(CAST(l_linenumber AS BIGINT))) AS lns
+        |  FROM lineitem WHERE l_orderkey < 100 GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        |  list_contains(lns, 3) AS has3,
+        |  list_has_all(lns, [1, 2]) AS has_all_12,
+        |  list_has_any(lns, [6, 7]) AS has_any_67,
+        |  CAST(coalesce(list_position(lns, 2), 0) AS BIGINT) AS idx2,
+        |  CAST(len(list_filter(lns, x -> x = 1)) AS BIGINT) AS count_eq_1
+        |FROM g ORDER BY l_orderkey""".stripMargin,
+
+    // greedy ordered-subsequence existence == the unbounded-window funnel
+    // DP (chain starts propagate, so >= with (ts, step)-sorted processing)
+    "e10_sequence_match" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+        |  WHERE event_type IN ('signup', 'click', 'purchase')),
+        |s AS (SELECT user_id, min(t) AS t0 FROM ev
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |c AS (SELECT ev.user_id, min(t) AS t1 FROM ev JOIN s USING (user_id)
+        |  WHERE event_type = 'click' AND t >= t0 GROUP BY ev.user_id),
+        |p AS (SELECT ev.user_id, min(t) AS t2 FROM ev JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND t >= t1 GROUP BY ev.user_id),
+        |u AS (SELECT DISTINCT user_id FROM ev),
+        |m AS (SELECT u.user_id, p.user_id IS NOT NULL AS matched
+        |  FROM u LEFT JOIN p USING (user_id))
+        |SELECT matched, count(*) AS n FROM m
+        |GROUP BY matched ORDER BY matched""".stripMargin,
+
+    "q82_uniq_upto" ->
+      """SELECT l_returnflag,
+        |  CAST(least(count(DISTINCT l_suppkey), 51) AS BIGINT) AS uniq_upto
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "x3_image_decode" ->
       """SELECT doc_id, 'png' AS format,

@@ -386,6 +386,28 @@ object ChOps {
     }
   }
 
+  /** CH `sequenceMatch('(?1).*(?2)...')` for the any-gap pattern family:
+    * an ordered subsequence of the step conditions exists ⟺ the funnel
+    * depth with an UNBOUNDED window reaches every step (the `.*` pattern
+    * imposes order but no time bound — exactly windowFunnel's chain DP
+    * with window = ∞). Returns (key, matched). Adjacency patterns
+    * (`(?1)(?2)` with no gap) are out of scope — documented divergence. */
+  def sequenceMatch(
+      df: DataFrame, keyCol: String, tsCol: String, typeCol: String,
+      steps: Seq[String]
+  ): DataFrame =
+    windowFunnel(df, keyCol, tsCol, typeCol, steps, Long.MaxValue / 16)
+      .select(col(keyCol), (col("level") === steps.length).as("matched"))
+
+  /** CH `uniqUpTo(N)(x)`: exact distinct count while ≤ N, else N+1 —
+    * the bounded-cardinality probe (a plain capped exact count: the
+    * N-bounded early-out is a single-node optimization Spark's
+    * distributed exact count subsumes). */
+  def uniqUpTo(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      n: Int): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(least(countDistinct(col(valueCol)), lit(n.toLong + 1)).as("uniq_upto"))
+
   /** CH `arrayDifference` (adjacent deltas, first element 0) — composed
     * HOFs, codegen'd, no UDF. */
   def arrayDifference(a: Column): Column =
