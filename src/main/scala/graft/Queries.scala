@@ -2268,6 +2268,12 @@ object Queries {
         .groupBy("matched").agg(count(lit(1)).as("n"))
         .orderBy("matched")),
 
+    // sequenceCount: greedy non-overlapping complete-chain count per user
+    "e11_sequence_count" -> ((s, dir) =>
+      ChOps.sequenceCount(events(s, dir), "user_id", "ts", "event_type",
+          Seq("signup", "click", "purchase"))
+        .orderBy("user_id")),
+
     // uniqUpTo(N): exact distinct while <= N, else N+1
     "q82_uniq_upto" -> ((s, dir) =>
       ChOps.uniqUpTo(tbl(s, dir, "lineitem"), Seq("l_returnflag"),
@@ -2457,6 +2463,22 @@ object Queries {
         |  FROM u LEFT JOIN p USING (user_id))
         |SELECT matched, count(*) AS n FROM m
         |GROUP BY matched ORDER BY matched""".stripMargin,
+
+    // the same greedy automaton replayed in DuckDB: accumulator =
+    // [chains, next-needed-step]; completing step 3 resets
+    "e11_sequence_count" ->
+      """WITH ev AS (SELECT user_id,
+        |    epoch_us(ts) * 10 + (CASE event_type WHEN 'signup' THEN 0
+        |      WHEN 'click' THEN 1 WHEN 'purchase' THEN 2 END) AS e
+        |  FROM events WHERE event_type IN ('signup', 'click', 'purchase')),
+        |agg AS (SELECT user_id, list_sort(list(e)) AS evs FROM ev GROUP BY user_id),
+        |st AS (SELECT user_id, list_reduce(
+        |  list_prepend([CAST(0 AS BIGINT), 0], list_transform(evs, x -> [x, 0])),
+        |  (acc, xx) -> CASE WHEN xx[1] % 10 = acc[2]
+        |    THEN CASE WHEN acc[2] = 2 THEN [acc[1] + 1, 0]
+        |              ELSE [acc[1], acc[2] + 1] END
+        |    ELSE acc END) AS f FROM agg)
+        |SELECT user_id, f[1] AS n_chains FROM st ORDER BY user_id""".stripMargin,
 
     "q82_uniq_upto" ->
       """SELECT l_returnflag,

@@ -399,6 +399,29 @@ object ChOps {
     windowFunnel(df, keyCol, tsCol, typeCol, steps, Long.MaxValue / 16)
       .select(col(keyCol), (col("level") === steps.length).as("matched"))
 
+  /** CH `sequenceCount('(?1).*(?2)...')`: greedy NON-OVERLAPPING count of
+    * complete ordered chains per key — the same one-shuffle
+    * collect-sorted-encode shape as [[windowFunnel]], with a codegen'd
+    * automaton fold. Returns (key, n_chains). */
+  def sequenceCount(
+      df: DataFrame, keyCol: String, tsCol: String, typeCol: String,
+      steps: Seq[String]
+  ): DataFrame = {
+    require(steps.length <= 10, s"sequenceCount supports at most 10 steps, got ${steps.length}")
+    require(steps.distinct.size == steps.length, "sequenceCount steps must be distinct")
+    val stepIdx = steps.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (t, i)) =>
+        when(col(typeCol) === t, lit(i)).otherwise(acc) }
+    df.select(col(keyCol), unix_micros(col(tsCol)).as("__t"), stepIdx.as("__s"))
+      .filter(col("__s") >= 0)
+      .select(col(keyCol), (col("__t") * 10 + col("__s")).as("__e"))
+      .groupBy(keyCol)
+      .agg(sort_array(collect_list(col("__e"))).as("__evs"))
+      .select(col(keyCol),
+        graft.plans.NativeExpressions.sequence_count(
+          col("__evs"), steps.length).as("n_chains"))
+  }
+
   /** CH `uniqUpTo(N)(x)`: exact distinct count while ≤ N, else N+1 —
     * the bounded-cardinality probe (a plain capped exact count: the
     * N-bounded early-out is a single-node optimization Spark's

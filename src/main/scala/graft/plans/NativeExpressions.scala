@@ -198,6 +198,27 @@ object NativeExpressions {
     level
   }
 
+  /** sequenceCount fold: greedy NON-OVERLAPPING count of complete step
+    * chains over a user's sorted (t*10+step)-encoded events — the
+    * standard automaton (advance on the next-needed step; a completed
+    * chain resets), deterministic and replayable on plain integers in any
+    * engine. */
+  def sequenceCountCompute(sortedEncoded: ArrayData, nSteps: Int): Long = {
+    var lvl = 0
+    var count = 0L
+    val n = sortedEncoded.numElements()
+    var i = 0
+    while (i < n) {
+      val step = java.lang.Math.floorMod(sortedEncoded.getLong(i), 10L).toInt
+      if (step == lvl) {
+        lvl += 1
+        if (lvl == nSteps) { count += 1; lvl = 0 }
+      }
+      i += 1
+    }
+    count
+  }
+
   /** MinHash signature inner loop: for perm i in [0,k):
     * min over hashes of (h·(2i+1) + 12345·i + 1) mod `mod`.
     * Empty input yields Long.MaxValue sentinels per permutation — a
@@ -379,6 +400,19 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  case class SequenceCountAgg(child: Expression, nSteps: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(input: Any): Any =
+      sequenceCountCompute(input.asInstanceOf[ArrayData], nSteps)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.NativeExpressions.sequenceCountCompute($c, $nSteps)")
+    override protected def withNewChildInternal(newChild: Expression): SequenceCountAgg =
+      copy(child = newChild)
+  }
+
   /** Broadcast-codebook coarse quantizer: holds the `Broadcast` handle
     * directly (codegen embeds it via `addReferenceObj` — the executor
     * fetches the codebook once, NOT per task serialization like the
@@ -436,6 +470,9 @@ object NativeExpressions {
   def window_funnel_level(sortedEncoded: Column, nSteps: Int, window: Long): Column =
     ColumnBridge.column(WindowFunnelLevel(
       ColumnBridge.expression(sortedEncoded), nSteps, window))
+  def sequence_count(sortedEncoded: Column, nSteps: Int): Column =
+    ColumnBridge.column(SequenceCountAgg(
+      ColumnBridge.expression(sortedEncoded), nSteps))
   def nearest_centroids(vec: Column, cids: Column, cvs: Column,
       nprobe: Int, roundTo: Int): Column =
     ColumnBridge.column(NearestCentroids(ColumnBridge.expression(vec),

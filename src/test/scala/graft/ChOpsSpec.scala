@@ -73,6 +73,29 @@ class ChOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sequenceCount: greedy non-overlapping chains; sequenceMatch is depth==N") {
+    val ev = Seq(
+      // user 1: two complete chains + a dangling signup → 2
+      (1L, 100L, "signup"), (1L, 200L, "click"), (1L, 300L, "purchase"),
+      (1L, 400L, "signup"), (1L, 500L, "click"), (1L, 600L, "purchase"),
+      (1L, 700L, "signup"),
+      // user 2: interleaved but only one completion (greedy consumes the
+      // first signup; the second signup before click does not restart) → 1
+      (2L, 100L, "signup"), (2L, 150L, "signup"), (2L, 200L, "click"),
+      (2L, 300L, "purchase"),
+      // user 3: never completes → 0, and matched=false
+      (3L, 100L, "click"), (3L, 200L, "purchase"))
+      .toDF("user_id", "t", "event_type")
+      .select(col("user_id"), timestamp_micros(col("t")).as("ts"), col("event_type"))
+    val steps = Seq("signup", "click", "purchase")
+    val counts = ChOps.sequenceCount(ev, "user_id", "ts", "event_type", steps)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 2L, 2L -> 1L, 3L -> 0L))
+    val matched = ChOps.sequenceMatch(ev, "user_id", "ts", "event_type", steps)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(matched == Map(1L -> true, 2L -> true, 3L -> false))
+  }
+
   test("rightSemi/rightAnti partition the right table; fullAny dedups both sides") {
     val l = Seq((1, "x"), (1, "y"), (3, "z")).toDF("k", "lv")
     val r = Seq((1, "p"), (2, "q")).toDF("k", "rv")
