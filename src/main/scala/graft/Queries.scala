@@ -2280,6 +2280,53 @@ object Queries {
           "l_suppkey", 50)
         .orderBy("l_returnflag")),
 
+    // quantileExactWeighted(0.5)(x, w): smallest x whose cumulative weight
+    // reaches q·W — exact, deterministic, windowed cumsum on both engines.
+    // Scale note: the per-group ordered cumsum concentrates each group in
+    // one task; with low-cardinality groups at 100 TB use the iterative
+    // threshold-search form instead (per candidate value a plain
+    // conditional aggregate — k log-rounds, no window); this entry is the
+    // exact-tier contract.
+    "q83_weighted_quantile" -> ((s, dir) => {
+      // full ordering incl. extendedprice: (okey, ln) duplicates exist in
+      // the synthetic data, and cumulative sums need a total order on
+      // every referenced column for cross-engine determinism
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice"))
+        .withColumn("cumw", sum(decimal(col("l_extendedprice"), 28, 2)).over(w))
+        .withColumn("totw", sum(decimal(col("l_extendedprice"), 28, 2))
+          .over(Window.partitionBy("l_returnflag")))
+        .filter(col("cumw") * 2 >= col("totw"))
+        .groupBy("l_returnflag")
+        .agg(min(col("l_quantity")).as("median_weighted"))
+        .orderBy("l_returnflag")
+    }),
+
+    // topKWeighted + argMin (weight-summed frequent items; struct-min)
+    "q84_topk_weighted_argmin" -> ((s, dir) =>
+      tbl(s, dir, "part")
+        .groupBy("p_type")
+        .agg(sum(decimal(col("p_retailprice"), 28, 2)).cast(DoubleType).as("wsum"),
+          min_by(col("p_partkey"), struct(col("p_retailprice"), col("p_partkey")))
+            .as("cheapest_key"))
+        .orderBy(desc("wsum"), col("p_type")).limit(5)),
+
+    // moment statistics family (stddevPop/varPop/covarPop/corr) — rounded
+    // to 6: the partial-merge accumulation order differs across engines
+    // only at ~1e-12 relative
+    "q85_stats_aggs" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(stddev_pop(col("l_quantity")), 6).as("sd"),
+          round(var_pop(col("l_quantity")), 6).as("vp"),
+          round(covar_pop(col("l_quantity"), col("l_discount")), 6).as("cv"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("cr"))
+        .orderBy("l_returnflag")),
+
     // CH column-type runtime mapping (columnTypeExpr,
     // ClickHouseParser.py:14339-14477): a Nested(...)+Enum8 type string is
     // translated by ChTypes.toSpark and APPLIED — the collected line items
@@ -2463,6 +2510,39 @@ object Queries {
         |  FROM u LEFT JOIN p USING (user_id))
         |SELECT matched, count(*) AS n FROM m
         |GROUP BY matched ORDER BY matched""".stripMargin,
+
+    "q83_weighted_quantile" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity,
+        |    sum(CAST(l_extendedprice AS DECIMAL(28,2))) OVER (
+        |      PARTITION BY l_returnflag
+        |      ORDER BY l_quantity, l_orderkey, l_linenumber, l_extendedprice
+        |      ROWS UNBOUNDED PRECEDING) AS cumw,
+        |    sum(CAST(l_extendedprice AS DECIMAL(28,2))) OVER (
+        |      PARTITION BY l_returnflag) AS totw
+        |  FROM lineitem)
+        |SELECT l_returnflag, min(l_quantity) AS median_weighted
+        |FROM c WHERE cumw * 2 >= totw
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q84_topk_weighted_argmin" ->
+      """WITH r AS (SELECT p_type,
+        |    CAST(sum(CAST(p_retailprice AS DECIMAL(28,2))) AS DOUBLE) AS wsum
+        |  FROM part GROUP BY p_type),
+        |ck AS (SELECT p_type, p_partkey AS cheapest_key FROM (
+        |    SELECT p_type, p_partkey,
+        |      row_number() OVER (PARTITION BY p_type
+        |        ORDER BY p_retailprice, p_partkey) AS rn
+        |    FROM part) WHERE rn = 1)
+        |SELECT p_type, wsum, cheapest_key FROM r JOIN ck USING (p_type)
+        |ORDER BY wsum DESC, p_type LIMIT 5""".stripMargin,
+
+    "q85_stats_aggs" ->
+      """SELECT l_returnflag,
+        |  round(stddev_pop(l_quantity), 6) AS sd,
+        |  round(var_pop(l_quantity), 6) AS vp,
+        |  round(covar_pop(l_quantity, l_discount), 6) AS cv,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS cr
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // the same greedy automaton replayed in DuckDB: accumulator =
     // [chains, next-needed-step]; completing step 3 resets
