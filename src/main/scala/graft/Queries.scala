@@ -2327,6 +2327,34 @@ object Queries {
           round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("cr"))
         .orderBy("l_returnflag")),
 
+    // formatDateTime + toYYYYMM/toYYYYMMDD numeric date keys (CH's
+    // partition-key idiom) — string formatting and integer arithmetic,
+    // both exact
+    "q86_datetime_format" -> ((s, dir) =>
+      tbl(s, dir, "orders").filter(col("o_orderkey") < 200)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("fmt_date"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("fmt_month"),
+          date_format(col("o_orderdate"), "HH:mm:ss").as("fmt_time"),
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .as("yyyymm"),
+          (year(col("o_orderdate")) * 10000 + month(col("o_orderdate")) * 100
+            + dayofmonth(col("o_orderdate"))).as("yyyymmdd"))
+        .orderBy("o_orderkey")),
+
+    // string pad/repeat/position family (leftPad/rightPad/repeat/
+    // position/substringIndex)
+    "q87_string_pad" -> ((s, dir) =>
+      tbl(s, dir, "part").filter(col("p_partkey") < 100)
+        .select(col("p_partkey"),
+          lpad(col("p_brand"), 12, "*").as("lp"),
+          rpad(col("p_brand"), 12, "-").as("rp"),
+          repeat(col("p_brand"), 2).as("rep"),
+          instr(col("p_type"), "BRASS").cast(LongType).as("pos_brass"),
+          substring_index(col("p_type"), " ", 2).as("first_two"),
+          reverse(col("p_brand")).as("rev"))
+        .orderBy("p_partkey")),
+
     // CH column-type runtime mapping (columnTypeExpr,
     // ClickHouseParser.py:14339-14477): a Nested(...)+Enum8 type string is
     // translated by ChTypes.toSpark and APPLIED — the collected line items
@@ -2510,6 +2538,26 @@ object Queries {
         |  FROM u LEFT JOIN p USING (user_id))
         |SELECT matched, count(*) AS n FROM m
         |GROUP BY matched ORDER BY matched""".stripMargin,
+
+    "q86_datetime_format" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS fmt_date,
+        |  strftime(o_orderdate, '%Y-%m') AS fmt_month,
+        |  strftime(o_orderdate, '%H:%M:%S') AS fmt_time,
+        |  CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS yyyymm,
+        |  CAST(year(o_orderdate) * 10000 + month(o_orderdate) * 100
+        |    + day(o_orderdate) AS INTEGER) AS yyyymmdd
+        |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin,
+
+    "q87_string_pad" ->
+      """SELECT p_partkey,
+        |  lpad(p_brand, 12, '*') AS lp,
+        |  rpad(p_brand, 12, '-') AS rp,
+        |  repeat(p_brand, 2) AS rep,
+        |  CAST(strpos(p_type, 'BRASS') AS BIGINT) AS pos_brass,
+        |  array_to_string(string_split(p_type, ' ')[1:2], ' ') AS first_two,
+        |  reverse(p_brand) AS rev
+        |FROM part WHERE p_partkey < 100 ORDER BY p_partkey""".stripMargin,
 
     "q83_weighted_quantile" ->
       """WITH c AS (SELECT l_returnflag, l_quantity,

@@ -44,7 +44,25 @@ object GraftFunctions {
     ("graft_minhash",
       info("graft_minhash", "minhash signature of a hash array"),
       (es: Seq[Expression]) => MinHashSignature(es(0),
-        es(1).eval().asInstanceOf[Int], PortableHash.Mod)))
+        es(1).eval().asInstanceOf[Int], PortableHash.Mod)),
+    ("graft_simhash",
+      info("graft_simhash", "32-bit simhash of a token-hash array"),
+      (es: Seq[Expression]) => SimHash32(es(0))),
+    ("graft_shingle_hashes",
+      info("graft_shingle_hashes", "hashed word n-gram shingles of a text"),
+      (es: Seq[Expression]) => ShingleHashes(es(0),
+        es(1).eval().asInstanceOf[Int], PortableHash.Mult, PortableHash.Mod)),
+    ("graft_funnel_level",
+      info("graft_funnel_level",
+        "funnel depth over a sorted (ts*10+step)-encoded event array"),
+      (es: Seq[Expression]) => WindowFunnelLevel(es(0),
+        es(1).eval().asInstanceOf[Int],
+        es(2).eval() match { case i: Int => i.toLong; case l: Long => l })),
+    ("graft_sequence_count",
+      info("graft_sequence_count",
+        "non-overlapping complete-chain count over a sorted encoded event array"),
+      (es: Seq[Expression]) => SequenceCountAgg(es(0),
+        es(1).eval().asInstanceOf[Int])))
 
   /** Register into a live session's function registry. */
   def register(spark: SparkSession): Unit =

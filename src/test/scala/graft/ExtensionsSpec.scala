@@ -39,4 +39,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sig.length == 4)
     assert(sig.head == 3L) // min of (h*1+1) % Mod over {5,9,2} = 2*1+1
   }
+
+  test("graft_simhash / graft_shingle_hashes / funnel + sequence folds in SQL") {
+    GraftFunctions.register(spark)
+    // simhash of a single hash = its low 32 bits' set pattern
+    val sh = spark.sql("SELECT graft_simhash(array(5L))").head().getLong(0)
+    assert(sh == 5L) // bits 0 and 2 positive, rest negative
+    val sg = spark.sql("SELECT graft_shingle_hashes('a b c', 2)")
+      .head().getSeq[Long](0)
+    assert(sg.length == 2) // "a b", "b c"
+    // signup(t=1) click(t=2) → depth 2 within window 100
+    val lvl = spark.sql(
+      "SELECT graft_funnel_level(array(10L, 21L), 2, 100L)").head().getInt(0)
+    assert(lvl == 2)
+    // two complete 2-step chains
+    val nc = spark.sql(
+      "SELECT graft_sequence_count(array(10L, 21L, 30L, 41L), 2)")
+      .head().getLong(0)
+    assert(nc == 2L)
+  }
 }
