@@ -2281,25 +2281,21 @@ object Queries {
         .orderBy("l_returnflag")),
 
     // quantileExactWeighted(0.5)(x, w): smallest x whose cumulative weight
-    // reaches q·W — exact, deterministic, windowed cumsum on both engines.
-    // Scale note: the per-group ordered cumsum concentrates each group in
-    // one task; with low-cardinality groups at 100 TB use the iterative
-    // threshold-search form instead (per candidate value a plain
-    // conditional aggregate — k log-rounds, no window); this entry is the
-    // exact-tier contract.
+    // reaches q·W. Scale shape: per-(group, value) weights aggregate FIRST
+    // (one balanced map-side-combinable shuffle over the full table), and
+    // only then the ordered cumsum window runs — over |distinct values|
+    // rows per group, not |rows| (ScaleDesignSpec pins Aggregate-below-
+    // Window). Value is the sole order key, so no tie-break columns are
+    // needed for cross-engine determinism.
     "q83_weighted_quantile" -> ((s, dir) => {
-      // full ordering incl. extendedprice: (okey, ln) duplicates exist in
-      // the synthetic data, and cumulative sums need a total order on
-      // every referenced column for cross-engine determinism
-      val w = Window.partitionBy("l_returnflag")
-        .orderBy("l_quantity", "l_orderkey", "l_linenumber", "l_extendedprice")
+      val w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       tbl(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"),
-          col("l_linenumber"), col("l_extendedprice"))
-        .withColumn("cumw", sum(decimal(col("l_extendedprice"), 28, 2)).over(w))
-        .withColumn("totw", sum(decimal(col("l_extendedprice"), 28, 2))
-          .over(Window.partitionBy("l_returnflag")))
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(sum(decimal(col("l_extendedprice"), 28, 2)).as("w"))
+        .withColumn("cumw", sum(col("w")).over(w))
+        .withColumn("totw",
+          sum(col("w")).over(Window.partitionBy("l_returnflag")))
         .filter(col("cumw") * 2 >= col("totw"))
         .groupBy("l_returnflag")
         .agg(min(col("l_quantity")).as("median_weighted"))
@@ -2354,6 +2350,29 @@ object Queries {
           substring_index(col("p_type"), " ", 2).as("first_two"),
           reverse(col("p_brand")).as("rev"))
         .orderBy("p_partkey")),
+
+    // histogram over fixed-width bins (the deterministic tier of CH's
+    // adaptive histogram()) — IEEE division by a representable constant
+    // is correctly rounded on every engine, so bins are exact
+    "q88_histogram" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .select(floor(col("l_quantity") / 10.0).cast(IntegerType).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+        .orderBy("bin")),
+
+    // sumMap: per-key sums emitted as sorted parallel (keys, sums) arrays
+    // — CH's map-aggregate contract; two partial-combinable aggregations
+    "q89_sum_map" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(decimal(col("l_quantity"), 28, 2)).as("q"))
+        .groupBy("l_returnflag")
+        .agg(sort_array(collect_list(struct(col("l_linestatus"), col("q"))))
+          .as("kv"))
+        .select(col("l_returnflag"),
+          col("kv.l_linestatus").as("keys"),
+          transform(col("kv.q"), _.cast(DoubleType)).as("sums"))
+        .orderBy("l_returnflag")),
 
     // CH column-type runtime mapping (columnTypeExpr,
     // ClickHouseParser.py:14339-14477): a Nested(...)+Enum8 type string is
@@ -2539,6 +2558,22 @@ object Queries {
         |SELECT matched, count(*) AS n FROM m
         |GROUP BY matched ORDER BY matched""".stripMargin,
 
+    "q88_histogram" ->
+      """SELECT CAST(floor(l_quantity / 10.0) AS INTEGER) AS bin,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q89_sum_map" ->
+      """WITH g AS (SELECT l_returnflag, l_linestatus,
+        |    sum(CAST(l_quantity AS DECIMAL(28,2))) AS q
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus),
+        |s AS (SELECT l_returnflag, l_linestatus, q FROM g
+        |  ORDER BY l_returnflag, l_linestatus, q)
+        |SELECT l_returnflag,
+        |  list(l_linestatus ORDER BY l_linestatus) AS keys,
+        |  list(CAST(q AS DOUBLE) ORDER BY l_linestatus) AS sums
+        |FROM s GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q86_datetime_format" ->
       """SELECT o_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS fmt_date,
@@ -2560,14 +2595,14 @@ object Queries {
         |FROM part WHERE p_partkey < 100 ORDER BY p_partkey""".stripMargin,
 
     "q83_weighted_quantile" ->
-      """WITH c AS (SELECT l_returnflag, l_quantity,
-        |    sum(CAST(l_extendedprice AS DECIMAL(28,2))) OVER (
-        |      PARTITION BY l_returnflag
-        |      ORDER BY l_quantity, l_orderkey, l_linenumber, l_extendedprice
+      """WITH g AS (SELECT l_returnflag, l_quantity,
+        |    sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS w
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity),
+        |c AS (SELECT l_returnflag, l_quantity,
+        |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
         |      ROWS UNBOUNDED PRECEDING) AS cumw,
-        |    sum(CAST(l_extendedprice AS DECIMAL(28,2))) OVER (
-        |      PARTITION BY l_returnflag) AS totw
-        |  FROM lineitem)
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS totw
+        |  FROM g)
         |SELECT l_returnflag, min(l_quantity) AS median_weighted
         |FROM c WHERE cumw * 2 >= totw
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

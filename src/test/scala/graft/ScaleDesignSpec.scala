@@ -230,6 +230,20 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(scans.exists(_.metadata.get("PushedFilters").exists(_ != "[]")))
   }
 
+  test("weighted quantile: aggregate runs BELOW the window (distinct-value input)") {
+    val df = Queries.all("q83_weighted_quantile")(spark, sf)
+    val plan = df.queryExecution.executedPlan
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    // every window must sit above the (group, value) pre-aggregation so
+    // its input is |distinct values| rows, not the table
+    windows.foreach { w =>
+      val aggsBelow = w.child.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a }
+      assert(aggsBelow.nonEmpty, "window reads raw rows — lost the pre-aggregation")
+    }
+  }
+
   test("langId expression stays compact (the when-fold doubled per language)") {
     // the original when-fold over 12+8 languages duplicated every earlier
     // count in each branch: ~2^12-node trees, 20 MiB task binaries and a
