@@ -2274,6 +2274,37 @@ object Queries {
           Seq("signup", "click", "purchase"))
         .orderBy("user_id")),
 
+    // deltaSum: sum of positive adjacent deltas of the per-user value
+    // sequence in ts order (CH's counter-increase aggregate) — lag window
+    // partitioned by user, then a plain sum
+    "e12_delta_sum" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, dir)
+        .withColumn("d",
+          col("value") - lag(col("value"), 1).over(w))
+        .filter(col("d") > 0)
+        .groupBy("user_id")
+        .agg(sum(decimal(col("d"), 28, 6)).cast(DoubleType).as("delta_sum"))
+        .orderBy("user_id")
+    }),
+
+    // maxIntersections: maximum number of concurrently-open [ts, ts+30min)
+    // intervals per user — the classic +1/-1 sweep as a partitioned
+    // ordered cumsum (ends sort before starts at the same instant:
+    // half-open intervals)
+    "e13_max_intersections" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("t0"),
+        (unix_micros(col("ts")) + 1800000000L).as("t1"))
+      val pts = ev.select(col("user_id"), col("t0").as("t"), lit(1).as("d"))
+        .unionByName(ev.select(col("user_id"), col("t1").as("t"), lit(-1).as("d")))
+      val w = Window.partitionBy("user_id").orderBy(col("t"), col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pts.withColumn("open", sum(col("d")).over(w))
+        .groupBy("user_id").agg(max(col("open")).as("max_open"))
+        .orderBy("user_id")
+    }),
+
     // uniqUpTo(N): exact distinct while <= N, else N+1
     "q82_uniq_upto" -> ((s, dir) =>
       ChOps.uniqUpTo(tbl(s, dir, "lineitem"), Seq("l_returnflag"),
@@ -2642,6 +2673,25 @@ object Queries {
         |              ELSE [acc[1], acc[2] + 1] END
         |    ELSE acc END) AS f FROM agg)
         |SELECT user_id, f[1] AS n_chains FROM st ORDER BY user_id""".stripMargin,
+
+    "e12_delta_sum" ->
+      """WITH w AS (SELECT user_id,
+        |    value - lag(value) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS d
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(sum(CAST(d AS DECIMAL(28,6))) AS DOUBLE) AS delta_sum
+        |FROM w WHERE d > 0 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "e13_max_intersections" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS t0,
+        |    epoch_us(ts) + 1800000000 AS t1 FROM events),
+        |pts AS (SELECT user_id, t0 AS t, 1 AS d FROM ev
+        |  UNION ALL SELECT user_id, t1, -1 FROM ev),
+        |c AS (SELECT user_id, sum(d) OVER (PARTITION BY user_id
+        |    ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS open FROM pts)
+        |SELECT user_id, CAST(max(open) AS BIGINT) AS max_open
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q82_uniq_upto" ->
       """SELECT l_returnflag,
