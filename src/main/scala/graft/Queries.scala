@@ -2405,6 +2405,26 @@ object Queries {
           transform(col("kv.q"), _.cast(DoubleType)).as("sums"))
         .orderBy("l_returnflag")),
 
+    // end-to-end training-data pipeline: exact dedup (md5 digest, min-id
+    // keeper) → quality scoring → token/punctuation filters → typed
+    // output. One digest shuffle + row-local scoring — the integration
+    // shape every stage above was built for.
+    "p1_training_pipeline" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val keepers = docs.groupBy(md5(col("text")).as("digest"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val deduped = docs.join(keepers, Seq("doc_id"), "left_semi")
+      val scored = deduped.select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+        round((length(col("text")).cast(DoubleType) -
+            length(regexp_replace(col("text"), "[.,!?;:]", ""))) /
+          greatest(length(col("text")).cast(DoubleType), lit(1.0)), 6)
+          .as("punct_ratio"))
+      scored.filter(col("n_tokens") >= 20 && col("punct_ratio") < 0.05)
+        .orderBy("doc_id")
+    }),
+
     // CH column-type runtime mapping (columnTypeExpr,
     // ClickHouseParser.py:14339-14477): a Nested(...)+Enum8 type string is
     // translated by ChTypes.toSpark and APPLIED — the collected line items
@@ -2588,6 +2608,22 @@ object Queries {
         |  FROM u LEFT JOIN p USING (user_id))
         |SELECT matched, count(*) AS n FROM m
         |GROUP BY matched ORDER BY matched""".stripMargin,
+
+    "p1_training_pipeline" ->
+      """WITH k AS (SELECT md5(text) AS digest, min(doc_id) AS doc_id
+        |    FROM documents GROUP BY md5(text)),
+        |d AS (SELECT * FROM documents
+        |  WHERE doc_id IN (SELECT doc_id FROM k)),
+        |s AS (SELECT doc_id, lang,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    round((CAST(length(text) AS DOUBLE) -
+        |        length(regexp_replace(text, '[.,!?;:]', '', 'g'))) /
+        |      greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS punct_ratio
+        |  FROM d)
+        |SELECT doc_id, lang, n_tokens, punct_ratio FROM s
+        |WHERE n_tokens >= 20 AND punct_ratio < 0.05
+        |ORDER BY doc_id""".stripMargin,
 
     "q88_histogram" ->
       """SELECT CAST(floor(l_quantity / 10.0) AS INTEGER) AS bin,
