@@ -39,21 +39,22 @@ object TextAnalysis {
     "id" -> Seq("yang", "dan", "di", "itu", "dengan"),
     "ro" -> Seq("si", "la", "cu", "un", "este"))
 
-  /** Unicode script ranges for the non-Latin signal: (lang, char class).
-    * A script is a much stronger signal than stopwords — one CJK-heavy
-    * line identifies zh with no tokenization at all. Regex char classes
-    * are portable (Java `[\uXXXX-\uXXXX]` ⇔ RE2 `[\x{XXXX}-\x{XXXX}]`). */
-  val scriptRanges: Seq[(String, String, String)] = Seq(
-    // (lang, java regex class, RE2/DuckDB regex class) — \uXXXX escapes
-    // are resolved by the regex engines, not the source encoding
-    ("ar", "[\\u0600-\\u06FF]", "[\\x{0600}-\\x{06FF}]"),
-    ("el", "[\\u0370-\\u03FF]", "[\\x{0370}-\\x{03FF}]"),
-    ("he", "[\\u0590-\\u05FF]", "[\\x{0590}-\\x{05FF}]"),
-    ("hi", "[\\u0900-\\u097F]", "[\\x{0900}-\\x{097F}]"),
-    ("ja", "[\\u3040-\\u30FF]", "[\\x{3040}-\\x{30FF}]"),
-    ("ko", "[\\uAC00-\\uD7AF]", "[\\x{AC00}-\\x{D7AF}]"),
-    ("ru", "[\\u0400-\\u04FF]", "[\\x{0400}-\\x{04FF}]"),
-    ("zh", "[\\u4E00-\\u9FFF]", "[\\x{4E00}-\\x{9FFF}]"))
+  /** Unicode script code-point bounds for the non-Latin signal. A script
+    * is a much stronger signal than stopwords — one CJK-heavy line
+    * identifies zh with no tokenization at all. */
+  val scriptBounds: Seq[(String, Int, Int)] = Seq(
+    ("ar", 0x0600, 0x06FF), ("el", 0x0370, 0x03FF), ("he", 0x0590, 0x05FF),
+    ("hi", 0x0900, 0x097F), ("ja", 0x3040, 0x30FF), ("ko", 0xAC00, 0xD7AF),
+    ("ru", 0x0400, 0x04FF), ("zh", 0x4E00, 0x9FFF))
+
+  /** The same ranges as regex char classes — the Java form for column-
+    * level counting ([[scriptCount]]) and the RE2 form the DuckDB oracle
+    * replays (`[\x{XXXX}-\x{XXXX}]`); \u escapes are resolved by the
+    * regex engines, not the source encoding. */
+  val scriptRanges: Seq[(String, String, String)] =
+    scriptBounds.map { case (l, lo, hi) =>
+      (l, f"[\\u$lo%04X-\\u$hi%04X]", f"[\\x{$lo%04X}-\\x{$hi%04X}]")
+    }
 
   /** Count of characters in a script's range — row-local regex strip. */
   def scriptCount(text: Column, charClass: String): Column =
@@ -85,13 +86,17 @@ object TextAnalysis {
 
   /** Language ID by stopword vote over a pre-split token array: the
     * language with the highest stopword count wins; ties resolve
-    * alphabetically ('unknown' when all zero). Take lowercased tokens —
-    * callers should materialize the token split once (splitting inside
-    * each language's count multiplies the regex work per language). */
-  def langIdFromTokens(toks: Column): Column =
+    * alphabetically ('unknown' when all zero). Take lowercased tokens.
+    * All 12 per-language counts come from ONE single-pass native
+    * expression (hash lookup per token) instead of 12 filter passes. */
+  def langIdFromTokens(toks: Column): Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    val counts = graft.plans.NativeExpressions.stopword_counts(
+      toks, langs.map(stopwords))
     argmaxLabel(
-      stopwords.keys.toSeq.sorted.map(l => l -> stopwordCount(toks, l)),
+      langs.zipWithIndex.map { case (l, i) => l -> element_at(counts, i + 1) },
       lit("unknown"))
+  }
 
   /** Two-stage language ID (12 Latin languages + 8 script languages),
     * fully row-local:
@@ -102,11 +107,15 @@ object TextAnalysis {
     * Deterministic column arithmetic end to end — the DuckDB oracle
     * replays the same counts and CASE order. */
   def langId(text: Column): Column = {
-    // script decision folded into the same argmax shape: a script entry
-    // only counts when it clears the 25% threshold, so "no script fired"
-    // falls through to the stopword vote with every count at 0
-    val scriptEntries = scriptRanges.map { case (l, cls, _) =>
-      val c = scriptCount(text, cls)
+    // all 8 script counts come from ONE single-pass native expression
+    // (was: 8 regexp_replace traversals per row — the langId hot loop);
+    // a script entry only counts when it clears the 25% threshold, so
+    // "no script fired" falls through to the stopword vote with every
+    // count at 0
+    val counts = graft.plans.NativeExpressions.script_counts(text,
+      scriptBounds.flatMap { case (_, lo, hi) => Seq(lo, hi) })
+    val scriptEntries = scriptBounds.zipWithIndex.map { case ((l, _, _), i) =>
+      val c = element_at(counts, i + 1)
       l -> when(c * 4 >= length(text), c).otherwise(lit(0))
     }
     argmaxLabel(scriptEntries, langIdFromTokens(tokens(lower(text))))

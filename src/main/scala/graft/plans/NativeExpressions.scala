@@ -198,6 +198,49 @@ object NativeExpressions {
     level
   }
 
+  /** Unicode script-range char counts in ONE pass over the string —
+    * equivalent to 8 separate `length(x) - length(regexp_replace(x,
+    * '[\uLO-\uHI]', ''))` columns but without 8 regex traversals per row
+    * (the langId hot loop at corpus scale). Ranges ride as a flat
+    * [lo0, hi0, lo1, hi1, ...] code-point array. */
+  def scriptCountsCompute(s: UTF8String, flatRanges: Array[Int]): ArrayData = {
+    val k = flatRanges.length / 2
+    val counts = new Array[Int](k)
+    val str = s.toString
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      var r = 0
+      while (r < k) {
+        if (cp >= flatRanges(2 * r) && cp <= flatRanges(2 * r + 1)) counts(r) += 1
+        r += 1
+      }
+      i += Character.charCount(cp)
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(counts)
+  }
+
+  /** Per-language stopword-hit counts in ONE pass over a token array —
+    * equivalent to N separate `size(filter(toks, t -> t IN (...)))`
+    * columns. The lookup map sends each word to EVERY language list
+    * containing it (lists overlap: 'la' is both fr and ro), so the counts
+    * match the per-language filters exactly. */
+  def stopwordCountsCompute(toks: ArrayData,
+      map: java.util.HashMap[UTF8String, Array[Int]], k: Int): ArrayData = {
+    val counts = new Array[Int](k)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val hit = map.get(toks.getUTF8String(i))
+      if (hit != null) {
+        var j = 0
+        while (j < hit.length) { counts(hit(j)) += 1; j += 1 }
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(counts)
+  }
+
   /** sequenceCount fold: greedy NON-OVERLAPPING count of complete step
     * chains over a user's sorted (t*10+step)-encoded events — the
     * standard automaton (advance on the next-needed step; a completed
@@ -400,6 +443,51 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  case class ScriptCounts(child: Expression, flatRanges: Seq[Int])
+      extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    private lazy val rangesArr = flatRanges.toArray
+    override protected def nullSafeEval(input: Any): Any =
+      scriptCountsCompute(input.asInstanceOf[UTF8String], rangesArr)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("scriptRanges", rangesArr, "int[]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.NativeExpressions.scriptCountsCompute($c, $ref)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): ScriptCounts =
+      copy(child = newChild)
+  }
+
+  case class StopwordCounts(child: Expression, wordLists: Seq[Seq[String]])
+      extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    @transient private lazy val lookup: java.util.HashMap[UTF8String, Array[Int]] = {
+      val m = new java.util.HashMap[UTF8String, Array[Int]]()
+      wordLists.zipWithIndex.foreach { case (ws, li) =>
+        ws.foreach { w =>
+          val k = UTF8String.fromString(w)
+          val prev = m.get(k)
+          m.put(k, if (prev == null) Array(li) else prev :+ li)
+        }
+      }
+      m
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      stopwordCountsCompute(input.asInstanceOf[ArrayData], lookup, wordLists.size)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("stopwordMap", lookup, "java.util.HashMap")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.NativeExpressions.stopwordCountsCompute(" +
+          s"$c, (java.util.HashMap) $ref, ${wordLists.size})")
+    }
+    override protected def withNewChildInternal(newChild: Expression): StopwordCounts =
+      copy(child = newChild)
+  }
+
   case class SequenceCountAgg(child: Expression, nSteps: Int)
       extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -473,6 +561,10 @@ object NativeExpressions {
   def sequence_count(sortedEncoded: Column, nSteps: Int): Column =
     ColumnBridge.column(SequenceCountAgg(
       ColumnBridge.expression(sortedEncoded), nSteps))
+  def script_counts(text: Column, flatRanges: Seq[Int]): Column =
+    ColumnBridge.column(ScriptCounts(ColumnBridge.expression(text), flatRanges))
+  def stopword_counts(toks: Column, wordLists: Seq[Seq[String]]): Column =
+    ColumnBridge.column(StopwordCounts(ColumnBridge.expression(toks), wordLists))
   def nearest_centroids(vec: Column, cids: Column, cvs: Column,
       nprobe: Int, roundTo: Int): Column =
     ColumnBridge.column(NearestCentroids(ColumnBridge.expression(vec),
