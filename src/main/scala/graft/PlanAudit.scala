@@ -13,7 +13,11 @@ object PlanAudit {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q1_pricing_summary", "q2_revenue_by_nation", "q6_forecast_revenue",
-        "q24_asof_join", "t5_lsh_dedup", "v1_cosine_topk")
+        "q24_asof_join", "t5_lsh_dedup", "v1_cosine_topk",
+        // round-3 marquee shapes: cutoff-tuple ties (pushed filter),
+        // aggregate-below-window quantile, full-join matrix, IVF broadcast
+        "q71_ties_compound", "q83_weighted_quantile", "q68_full_join",
+        "v3_ivf_topk")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
