@@ -1042,12 +1042,20 @@ object Queries {
         countDistinct(col("l_partkey")).as("u_parts"),
         count(lit(1)).as("n"))),
 
-    // uniq family: sketch tier (CH uniq/uniqHLL12 → approx_count_distinct);
-    // estimates are engine-specific → no SQL oracle (rows-only check)
+    // uniq family: sketch tier. CH's uniq() contract is "a deterministic
+    // approximate distinct count"; we satisfy it with the portable KMV
+    // estimator (k minimum hash values over charFold) so the DuckDB oracle
+    // can replay the exact estimate — hash-matchable, unlike HLL whose
+    // register layout is engine-private. approx_count_distinct (the HLL
+    // tier) stays covered by SketchSpec's relative-error bound.
     "q30b_uniq_approx" -> ((s, dir) =>
       tbl(s, dir, "lineitem").agg(
-        approx_count_distinct(col("l_orderkey")).as("u_orders_approx"),
-        approx_count_distinct(col("l_partkey")).as("u_parts_approx"))),
+        round(graft.functions.KmvSketch.kmvDistinct(
+          graft.functions.PortableHash.charFold(col("l_orderkey").cast(StringType)),
+          256), 6).as("u_orders_approx"),
+        round(graft.functions.KmvSketch.kmvDistinct(
+          graft.functions.PortableHash.charFold(col("l_partkey").cast(StringType)),
+          256), 6).as("u_parts_approx"))),
 
     // quantiles (CH quantile/quantiles → percentile, linear interpolation)
     "q31_quantiles" -> ((s, dir) =>
@@ -1154,6 +1162,30 @@ object Queries {
         |  round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
         |  round(quantile_cont(o_totalprice, 0.75), 6) AS p75
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // KMV replay ×2 (see q42): distinct portable hashes, keep the k=256
+    // smallest, estimate (k-1)·M/h_k — deterministic, so hash-matchable.
+    "q30b_uniq_approx" ->
+      s"""WITH h1 AS (SELECT DISTINCT ${sqlCharFold("CAST(l_orderkey AS VARCHAR)")} AS hv
+         |  FROM lineitem),
+         |k1 AS (SELECT hv FROM h1 ORDER BY hv LIMIT 256),
+         |a1 AS (SELECT count(*) AS n, max(hv) AS hk FROM k1),
+         |h2 AS (SELECT DISTINCT ${sqlCharFold("CAST(l_partkey AS VARCHAR)")} AS hv
+         |  FROM lineitem),
+         |k2 AS (SELECT hv FROM h2 ORDER BY hv LIMIT 256),
+         |a2 AS (SELECT count(*) AS n, max(hv) AS hk FROM k2)
+         |SELECT
+         |  CASE WHEN a1.n < 256 THEN CAST(a1.n AS DOUBLE)
+         |    ELSE round(255 * 2147483647.0 / a1.hk, 6) END AS u_orders_approx,
+         |  CASE WHEN a2.n < 256 THEN CAST(a2.n AS DOUBLE)
+         |    ELSE round(255 * 2147483647.0 / a2.hk, 6) END AS u_parts_approx
+         |FROM a1, a2""".stripMargin,
+
+    // deterministic hash-sample median: same rows selected in both engines
+    "q31b_quantiles_approx" ->
+      s"""SELECT round(quantile_cont(o_totalprice, 0.5), 6) AS p50_approx
+         |FROM orders
+         |WHERE ${sqlCharFold("CAST(o_orderkey AS VARCHAR)")} % 10 = 0""".stripMargin,
 
     "q32_argmax" ->
       """WITH m AS (SELECT c_nationkey, max((c_acctbal, c_custkey)) AS mx
@@ -1328,11 +1360,17 @@ object Queries {
             .as("n_fell_back"),
           count(lit(1)).as("n"))),
 
-    // approximate percentile (sketch tier — estimates are engine-specific,
-    // rows-only check like q30b)
+    // approximate percentile: deterministic hash-sample tier. A ~10%
+    // sample selected by portable hash (charFold % 10 == 0 — the same
+    // rows in every engine) + exact interpolated quantile over the
+    // sample. Unlike t-digest/GK sketches the estimate is reproducible
+    // bit-for-bit in DuckDB, so this rides the hash gate;
+    // percentile_approx (the GK tier) stays covered by SketchSpec.
     "q31b_quantiles_approx" -> ((s, dir) =>
-      tbl(s, dir, "orders").agg(
-        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50_approx"))),
+      tbl(s, dir, "orders")
+        .filter(pmod(graft.functions.PortableHash.charFold(
+          col("o_orderkey").cast(StringType)), lit(10L)) === 0)
+        .agg(round(percentile(col("o_totalprice"), lit(0.5)), 6).as("p50_approx"))),
 
     // multimodal frame sampling: fixed-size frames -> digest per frame
     // (video frame-extraction batch shape; stub digests the bytes)
@@ -2149,16 +2187,19 @@ object Queries {
     }),
 
     // CH array math family: arrayDifference / arrayCumSum / arrayCompact
-    // over per-order line-number arrays — composed codegen'd HOFs.
+    // over per-order line-number arrays — composed codegen'd HOFs. Output
+    // arrays are serialized to comma-joined strings so the driver's
+    // pandas comparator (which sorts column values) can hash them; the
+    // array logic itself is unchanged underneath.
     "q74_array_math" -> ((s, dir) =>
       tbl(s, dir, "lineitem").filter(col("l_orderkey") < 100)
         .groupBy("l_orderkey")
         .agg(sort_array(collect_list(col("l_linenumber").cast(LongType)))
           .as("lns"))
         .select(col("l_orderkey"),
-          ChOps.arrayDifference(col("lns")).as("diffs"),
-          ChOps.arrayCumSum(col("lns")).as("cums"),
-          ChOps.arrayCompact(col("lns")).as("compacted"))
+          array_join(ChOps.arrayDifference(col("lns")).cast("array<string>"), ",").as("diffs"),
+          array_join(ChOps.arrayCumSum(col("lns")).cast("array<string>"), ",").as("cums"),
+          array_join(ChOps.arrayCompact(col("lns")).cast("array<string>"), ",").as("compacted"))
         .orderBy("l_orderkey")),
 
     // bit aggregate family (groupBitAnd/Or/Xor)
@@ -2171,12 +2212,12 @@ object Queries {
         .orderBy("l_returnflag")),
 
     // groupArray / groupUniqArray (CH's collect aggregates), sorted for
-    // cross-engine determinism
+    // cross-engine determinism; comma-joined for the driver's comparator
     "q76_group_array" -> ((s, dir) =>
       tbl(s, dir, "orders").filter(col("o_custkey") < 50)
         .groupBy("o_custkey")
-        .agg(sort_array(collect_list(col("o_orderstatus"))).as("statuses"),
-          sort_array(collect_set(col("o_orderstatus"))).as("uniq_statuses"))
+        .agg(array_join(sort_array(collect_list(col("o_orderstatus"))), ",").as("statuses"),
+          array_join(sort_array(collect_set(col("o_orderstatus"))), ",").as("uniq_statuses"))
         .orderBy("o_custkey")),
 
     // CH encoding/hash function family (hex / base64Encode / MD5 / SHA256)
@@ -2392,7 +2433,9 @@ object Queries {
         .orderBy("bin")),
 
     // sumMap: per-key sums emitted as sorted parallel (keys, sums) arrays
-    // — CH's map-aggregate contract; two partial-combinable aggregations
+    // — CH's map-aggregate contract; two partial-combinable aggregations.
+    // Arrays serialize to comma-joined strings (decimal rendering is
+    // scale-pinned, so the string form is engine-portable).
     "q89_sum_map" -> ((s, dir) =>
       tbl(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
@@ -2401,8 +2444,9 @@ object Queries {
         .agg(sort_array(collect_list(struct(col("l_linestatus"), col("q"))))
           .as("kv"))
         .select(col("l_returnflag"),
-          col("kv.l_linestatus").as("keys"),
-          transform(col("kv.q"), _.cast(DoubleType)).as("sums"))
+          array_join(col("kv.l_linestatus"), ",").as("keys"),
+          array_join(transform(col("kv.q"),
+            _.cast(DecimalType(28, 2)).cast(StringType)), ",").as("sums"))
         .orderBy("l_returnflag")),
 
     // end-to-end training-data pipeline: exact dedup (md5 digest, min-id
@@ -2506,12 +2550,14 @@ object Queries {
         |    list_sort(list(CAST(l_linenumber AS BIGINT))) AS lns
         |  FROM lineitem WHERE l_orderkey < 100 GROUP BY l_orderkey)
         |SELECT l_orderkey,
-        |  list_transform(range(len(lns)), i ->
-        |    CASE WHEN i = 0 THEN 0 ELSE lns[i + 1] - lns[i] END) AS diffs,
-        |  list_transform(range(1, len(lns) + 1), i ->
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT), lns[1:i]),
-        |      (acc, x) -> acc + x)) AS cums,
-        |  list_filter(lns, (x, i) -> i = 1 OR x <> lns[i - 1]) AS compacted
+        |  array_to_string(list_transform(range(len(lns)), i ->
+        |    CAST(CASE WHEN i = 0 THEN 0 ELSE lns[i + 1] - lns[i] END AS VARCHAR)), ',') AS diffs,
+        |  array_to_string(list_transform(range(1, len(lns) + 1), i ->
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), lns[1:i]),
+        |      (acc, x) -> acc + x) AS VARCHAR)), ',') AS cums,
+        |  array_to_string(list_transform(
+        |    list_filter(lns, (x, i) -> i = 1 OR x <> lns[i - 1]),
+        |    x -> CAST(x AS VARCHAR)), ',') AS compacted
         |FROM g ORDER BY l_orderkey""".stripMargin,
 
     "q75_bit_aggs" ->
@@ -2523,8 +2569,8 @@ object Queries {
 
     "q76_group_array" ->
       """SELECT o_custkey,
-        |  list_sort(list(o_orderstatus)) AS statuses,
-        |  list_sort(list(DISTINCT o_orderstatus)) AS uniq_statuses
+        |  array_to_string(list_sort(list(o_orderstatus)), ',') AS statuses,
+        |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS uniq_statuses
         |FROM orders WHERE o_custkey < 50
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
@@ -2633,13 +2679,12 @@ object Queries {
     "q89_sum_map" ->
       """WITH g AS (SELECT l_returnflag, l_linestatus,
         |    sum(CAST(l_quantity AS DECIMAL(28,2))) AS q
-        |  FROM lineitem GROUP BY l_returnflag, l_linestatus),
-        |s AS (SELECT l_returnflag, l_linestatus, q FROM g
-        |  ORDER BY l_returnflag, l_linestatus, q)
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
         |SELECT l_returnflag,
-        |  list(l_linestatus ORDER BY l_linestatus) AS keys,
-        |  list(CAST(q AS DOUBLE) ORDER BY l_linestatus) AS sums
-        |FROM s GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+        |  array_to_string(list(l_linestatus ORDER BY l_linestatus), ',') AS keys,
+        |  array_to_string(list(CAST(CAST(q AS DECIMAL(28,2)) AS VARCHAR)
+        |    ORDER BY l_linestatus), ',') AS sums
+        |FROM g GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q86_datetime_format" ->
       """SELECT o_orderkey,

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{bit_xor, col, count, lit, xxhash64}
 
 /** Admin statement surface: `OPTIMIZE TABLE` (optimizeStmt,
   * ClickHouseParser.py:8366-8460) and the `SYSTEM ...` family (systemStmt,
@@ -46,10 +46,18 @@ object AdminOps {
     * verifies part checksums; the Spark twin is a full-scan validation —
     * decoding every page of every file IS the parquet checksum/structure
     * check (corrupt footers, truncated pages and bad magic bytes all
-    * surface as read errors). Returns (ok, rowsRead, error). */
+    * surface as read errors). A bare count() would be answered from
+    * footer metadata without touching data pages, so the scan hashes
+    * every column to force full materialization. Returns
+    * (ok, rowsRead, error). */
   def checkTable(spark: SparkSession, path: String): (Boolean, Long, Option[String]) =
     try {
-      val n = spark.read.parquet(path).count()
+      val df = spark.read.parquet(path)
+      val n =
+        if (df.columns.isEmpty) df.count() // zero-column file: structure only
+        else df.select(xxhash64(df.columns.map(col): _*).as("h"))
+          .agg(count(lit(1)).as("n"), bit_xor(col("h"))) // xor: no ANSI overflow
+          .head().getLong(0)
       (true, n, None)
     } catch {
       case e: Throwable => (false, 0L, Some(e.getMessage))
@@ -60,8 +68,10 @@ object AdminOps {
     * Spark twin: an EXTERNAL table over the existing location — metadata
     * only, the data files are untouched. */
   def attachTable(spark: SparkSession, name: String, path: String): Unit =
-    spark.sql(
-      s"CREATE TABLE $name USING parquet LOCATION '${path.replace("'", "''")}'")
+    // Spark SQL string literals use backslash escapes (SQL-standard ''
+    // doubling would silently drop the quote)
+    spark.sql(s"CREATE TABLE $name USING parquet LOCATION '${
+      path.replace("\\", "\\\\").replace("'", "\\'")}'")
 
   /** `DETACH TABLE name` (detachStmt, ClickHouseParser.py:14105-14130):
     * the inverse — drop the catalog entry, KEEP the data (CH's detached

@@ -431,17 +431,25 @@ object ChOps {
     df.groupBy(groupCols.map(col): _*)
       .agg(least(countDistinct(col(valueCol)), lit(n.toLong + 1)).as("uniq_upto"))
 
-  /** CH `arrayDifference` (adjacent deltas, first element 0) — composed
-    * HOFs, codegen'd, no UDF. */
+  /** Index array [from..to] that is empty when the input array is empty —
+    * a bare sequence(0, size-1) at size=0 defaults to step -1 and yields
+    * [0,-1], which CH's []-in-[]-out array-math contract must not see. */
+  private def guardedIdx(a: Column, from: Int, toExclusiveOffset: Int): Column =
+    when(size(a) === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(from), size(a) + toExclusiveOffset))
+
+  /** CH `arrayDifference` (adjacent deltas, first element 0; [] → []) —
+    * composed HOFs, codegen'd, no UDF. */
   def arrayDifference(a: Column): Column =
-    transform(sequence(lit(0), size(a) - 1), i =>
+    transform(guardedIdx(a, 0, -1), i =>
       when(i === 0, element_at(a, 1) - element_at(a, 1))
         .otherwise(element_at(a, i + 1) - element_at(a, i)))
 
-  /** CH `arrayCumSum` — per-prefix fold. O(n²) in the array length, which
-    * is the portable formulation; arrays here are row-local (bounded). */
+  /** CH `arrayCumSum` ([] → []) — per-prefix fold. O(n²) in the array
+    * length, which is the portable formulation; arrays here are row-local
+    * (bounded). */
   def arrayCumSum(a: Column): Column =
-    transform(sequence(lit(1), size(a)), i =>
+    transform(guardedIdx(a, 1, 0), i =>
       aggregate(slice(a, lit(1), i), lit(0L), (acc, x) => acc + x))
 
   /** CH `arrayCompact` — drop CONSECUTIVE duplicates (not a distinct). */

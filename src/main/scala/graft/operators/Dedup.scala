@@ -78,18 +78,22 @@ object Dedup {
     * (empty strings, license headers) can dominate the whole job at 100 TB.
     * Buckets above the cap are DROPPED before the self-join (their members
     * still pair up through their other, more selective bands — the standard
-    * MinHash-LSH skew mitigation). Costs one extra shuffle of (band_id,
-    * band_hash, id) key triples to size the buckets; the default
+    * MinHash-LSH skew mitigation). Bucket sizing is a groupBy.count (map-side
+    * partial aggregation — safe on exactly the skewed key) + a broadcast
+    * anti-join against the few oversize keys; a window count would buffer
+    * the whole hot bucket through a sort, defeating the guard. The default
     * `Int.MaxValue` skips the sizing pass entirely. */
   def lshCandidatePairs(bandsDf: DataFrame, idCol: String,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val kept =
       if (maxBucketSize == Int.MaxValue) bandsDf
       else {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("band_id", "band_hash")
-        bandsDf.withColumn("__bn", count(lit(1)).over(w))
-          .filter(col("__bn") <= maxBucketSize).drop("__bn")
+        val oversize = bandsDf.groupBy("band_id", "band_hash")
+          .agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") > maxBucketSize)
+          .select("band_id", "band_hash")
+        bandsDf.join(broadcast(oversize), Seq("band_id", "band_hash"),
+          "left_anti")
       }
     val a = kept.select(col("band_id"), col("band_hash"), col(idCol).as("id1"))
     val b = kept.select(col("band_id"), col("band_hash"), col(idCol).as("id2"))

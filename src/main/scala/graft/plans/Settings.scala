@@ -22,9 +22,14 @@ import org.apache.spark.sql.SparkSession
 object Settings {
 
   /** CH boolean settings use 0/1; Spark registered boolean confs accept
-    * only "true"/"false" (conf.set validates and throws on "1"). */
-  private val asBool: String => String =
-    v => if (v == "0" || v.equalsIgnoreCase("false")) "false" else "true"
+    * only "true"/"false" (conf.set validates and throws on "1"). Anything
+    * outside 0/1/true/false is rejected, matching CH's strict setting
+    * parser — coercing garbage to "true" would silently flip behavior. */
+  private val asBool: String => String = v =>
+    if (v == "1" || v.equalsIgnoreCase("true")) "true"
+    else if (v == "0" || v.equalsIgnoreCase("false")) "false"
+    else throw new IllegalArgumentException(
+      s"invalid boolean setting value '$v' (expected 0/1/true/false)")
 
   /** CH setting name → (Spark conf key, value translator). */
   val mapping: Map[String, (String, String => String)] = Map(

@@ -109,6 +109,22 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(rows(dist) == rows(glob))
   }
 
+  test("LSH hot-bucket cap: sizing is aggregate+broadcast-anti-join, never a window") {
+    // a window count over (band_id, band_hash) would buffer the entire
+    // skewed bucket through one sort task — the exact failure the cap
+    // guards against; groupBy.count partial-aggregates map-side
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), graft.operators.Dedup.minhashSignature(
+        graft.operators.Dedup.shingleHashes(col("text"), 3), 16).as("sig"))
+    val pairs = graft.operators.Dedup.lshCandidatePairs(
+      graft.operators.Dedup.lshBands(docs, "doc_id", "sig", 4, 4),
+      "doc_id", maxBucketSize = 50)
+    val plan = pairs.queryExecution.executedPlan
+    assert(plan.collect { case w: WindowExec => w }.isEmpty)
+    // the oversize-key filter join is broadcast, not a shuffled join
+    assert(plan.collect { case b: BroadcastExchangeExec => b }.nonEmpty)
+  }
+
   test("carry-forward fill: the only unpartitioned window runs on the broadcast bucket summary") {
     import spark.implicits._
     val daily = Seq(("2024-01-03", Some(5.0)), ("2024-02-20", None),
