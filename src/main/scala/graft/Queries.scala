@@ -83,10 +83,10 @@ object Queries {
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     batch1 ++ batch2 ++ batch3 ++ batch4 ++ batch5 ++ batch6 ++ batch7 ++
-      batch8 ++ batch9 ++ batch10
+      batch8 ++ batch9 ++ batch10 ++ batch11
   def oracles: Map[String, String] =
     oracles1 ++ oracles2 ++ oracles3 ++ oracles4 ++ oracles5 ++ oracles6 ++
-      oracles7 ++ oracles8 ++ oracles9 ++ oracles10
+      oracles7 ++ oracles8 ++ oracles9 ++ oracles10 ++ oracles11
 
   private val batch1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -2790,4 +2790,167 @@ object Queries {
         |  CAST(l_quantity AS DOUBLE) AS qty, l_returnflag AS flag
         |FROM lineitem WHERE l_orderkey < 100
         |ORDER BY l_orderkey, ln, qty, flag""".stripMargin)
+
+  // ===== batch 11: the ClickHouse-SQL text front end (graft.chsql.ChSql) =====
+  // Each ch* entry is a CH SELECT *string* parsed and planned by the
+  // translator — the reference's declared query surface (queryStmt,
+  // ClickHouseParser.py:1705-1786) finally accepted as text. The DuckDB
+  // oracles are independent ANSI re-derivations.
+
+  private def chsql(s: SparkSession, dir: String, text: String): DataFrame =
+    graft.chsql.ChSql.sql(s, text)(n => tbl(s, dir, n))
+
+  private val batch11: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // scan → filter → group → agg, decimal-exact sums (q1 shape, as text)
+    "ch1_sql_agg" -> ((s, dir) => chsql(s, dir,
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS Decimal(18, 2))) AS Float64) AS sum_qty,
+        |  count() AS n
+        |FROM lineitem
+        |WHERE l_shipdate <= toDateTime('1998-09-01')
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // PREWHERE + ORDER BY + LIMIT n BY group + global LIMIT
+    "ch2_sql_limit_by" -> ((s, dir) => chsql(s, dir,
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM orders
+        |PREWHERE o_totalprice > 150000
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+        |LIMIT 2 BY o_custkey
+        |LIMIT 100""".stripMargin)),
+
+    // join + aggregate + HAVING with an aggregate predicate
+    "ch3_sql_join" -> ((s, dir) => chsql(s, dir,
+      """SELECT n_name, count() AS cnt,
+        |  CAST(sum(CAST(c_acctbal AS Decimal(18, 2))) AS Float64) AS total_bal
+        |FROM customer
+        |INNER JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |HAVING count() > 10
+        |ORDER BY n_name""".stripMargin)),
+
+    // scalar-function surface: dates, strings, multiIf, BETWEEN, IN
+    "ch4_sql_funcs" -> ((s, dir) => chsql(s, dir,
+      """SELECT o_orderkey,
+        |  toYear(o_orderdate) AS yr,
+        |  toYYYYMM(o_orderdate) AS ym,
+        |  concat(upper(substring(o_orderpriority, 1, 1)), '-',
+        |         toString(o_orderkey % 7)) AS tag,
+        |  multiIf(o_totalprice > 200000, 'hi',
+        |          o_totalprice > 100000, 'mid', 'lo') AS bucket
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 1 AND 4000 AND o_orderstatus IN ('O', 'F')
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // parametric quantile + countIf + deterministic argMax
+    "ch5_sql_quantile" -> ((s, dir) => chsql(s, dir,
+      """SELECT o_orderpriority,
+        |  round(quantile(0.5)(o_totalprice), 6) AS med,
+        |  countIf(o_totalprice > 150000) AS n_big,
+        |  argMax(o_orderkey, o_totalprice) AS top_order
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ARRAY JOIN over a computed array (token explosion as text)
+    "ch6_sql_arrayjoin" -> ((s, dir) => chsql(s, dir,
+      """SELECT tok, count() AS n
+        |FROM (SELECT splitByChar(' ', text) AS toks FROM documents)
+        |ARRAY JOIN toks AS tok
+        |GROUP BY tok
+        |ORDER BY n DESC, tok
+        |LIMIT 20""".stripMargin)),
+
+    // IN (subquery) — planned as a semi join, CH's execution strategy
+    "ch7_sql_in_sub" -> ((s, dir) => chsql(s, dir,
+      """SELECT count() AS n,
+        |  CAST(sum(CAST(o_totalprice AS Decimal(18, 2))) AS Float64) AS total
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)""".stripMargin)),
+
+    // UNION ALL of two aggregated branches (set-op inside FROM, ordered)
+    "ch8_sql_union" -> ((s, dir) => chsql(s, dir,
+      """SELECT st, n FROM (
+        |  SELECT o_orderstatus AS st, count() AS n
+        |  FROM orders WHERE o_totalprice > 300000 GROUP BY st
+        |  UNION ALL
+        |  SELECT o_orderstatus AS st, count() AS n
+        |  FROM orders WHERE o_totalprice < 5000 GROUP BY st)
+        |ORDER BY st, n""".stripMargin)),
+
+    // scalar subquery threshold + SETTINGS clause
+    "ch9_sql_scalar_sub" -> ((s, dir) => chsql(s, dir,
+      """SELECT count() AS n FROM orders
+        |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) / 2
+        |SETTINGS max_threads = 32""".stripMargin)))
+
+  private val oracles11: Map[String, String] = Map(
+
+    "ch1_sql_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "ch2_sql_limit_by" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders WHERE o_totalprice > 150000)
+        |SELECT o_custkey, o_orderkey, o_totalprice FROM r WHERE rn <= 2
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "ch3_sql_join" ->
+      """SELECT n_name, count(*) AS cnt,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name HAVING count(*) > 10 ORDER BY n_name""".stripMargin,
+
+    "ch4_sql_funcs" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS yr,
+        |  CAST(strftime(o_orderdate, '%Y%m') AS INTEGER) AS ym,
+        |  upper(substring(o_orderpriority, 1, 1)) || '-' ||
+        |    CAST(o_orderkey % 7 AS VARCHAR) AS tag,
+        |  CASE WHEN o_totalprice > 200000 THEN 'hi'
+        |       WHEN o_totalprice > 100000 THEN 'mid' ELSE 'lo' END AS bucket
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 1 AND 4000 AND o_orderstatus IN ('O', 'F')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "ch5_sql_quantile" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 6) AS med,
+        |  CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+        |  max((o_totalprice, o_orderkey))[2] AS top_order
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "ch6_sql_arrayjoin" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |SELECT tok, count(*) AS n FROM t GROUP BY tok
+        |ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+
+    "ch7_sql_in_sub" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)""".stripMargin,
+
+    "ch8_sql_union" ->
+      """SELECT st, n FROM (
+        |  SELECT o_orderstatus AS st, count(*) AS n
+        |  FROM orders WHERE o_totalprice > 300000 GROUP BY st
+        |  UNION ALL
+        |  SELECT o_orderstatus AS st, count(*) AS n
+        |  FROM orders WHERE o_totalprice < 5000 GROUP BY st)
+        |ORDER BY st, n""".stripMargin,
+
+    "ch9_sql_scalar_sub" ->
+      """SELECT count(*) AS n FROM orders
+        |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) / 2""".stripMargin)
 }

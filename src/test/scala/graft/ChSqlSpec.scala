@@ -1,0 +1,212 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.chsql.ChSql
+
+/** The CH-SQL text front end: parse + plan checks against hand-built
+  * DataFrame equivalents on in-memory data. Cross-engine value checks for
+  * the ch* entries live in the DuckDB oracle gate. */
+class ChSqlSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private lazy val orders = Seq(
+    (1L, 10L, "A", 100.0, "1997-01-05"),
+    (2L, 10L, "B", 250.0, "1997-02-10"),
+    (3L, 20L, "A", 50.0, "1997-02-11"),
+    (4L, 20L, "A", 75.0, "1998-03-01"),
+    (5L, 30L, "C", 500.0, "1998-03-02"),
+    (6L, 30L, "A", 120.0, "1998-04-01"))
+    .toDF("okey", "cust", "status", "price", "d")
+    .select(col("okey"), col("cust"), col("status"), col("price"),
+      col("d").cast("date").as("d"))
+
+  private lazy val custs = Seq((10L, "alice", 1), (20L, "bob", 1), (30L, "carol", 2))
+    .toDF("cust", "name", "nat")
+
+  private def resolve(n: String): DataFrame = n match {
+    case "orders" => orders
+    case "custs" => custs
+    case other => fail(s"unknown table $other")
+  }
+
+  private def run(q: String): Seq[Seq[Any]] =
+    ChSql.sql(spark, q)(resolve).collect().toSeq.map(_.toSeq)
+
+  test("scan + where + order + limit") {
+    val r = run("SELECT okey, price FROM orders WHERE price >= 100 ORDER BY price DESC LIMIT 2")
+    assert(r == Seq(Seq(5L, 500.0), Seq(2L, 250.0)))
+  }
+
+  test("prewhere and where combine") {
+    val r = run("SELECT okey FROM orders PREWHERE status = 'A' WHERE price < 100 ORDER BY okey")
+    assert(r == Seq(Seq(3L), Seq(4L)))
+  }
+
+  test("group by with aggregates, having, order by alias") {
+    val r = run(
+      """SELECT cust, sum(price) AS total, count() AS n
+        |FROM orders GROUP BY cust HAVING count() >= 2 ORDER BY total DESC""".stripMargin)
+    assert(r == Seq(Seq(30L, 620.0, 2L), Seq(2L * 5, 350.0, 2L), Seq(20L, 125.0, 2L)))
+  }
+
+  test("group by expression + select alias reuse in GROUP BY") {
+    val r = run(
+      """SELECT toYear(d) AS yr, count() AS n FROM orders GROUP BY yr ORDER BY yr""")
+    assert(r == Seq(Seq(1997, 3L), Seq(1998, 3L)))
+  }
+
+  test("countIf/sumIf/if/multiIf and arithmetic") {
+    val r = run(
+      """SELECT countIf(status = 'A') AS na, sumIf(price, status = 'A') AS sa,
+        |  if(1 = 1, 'y', 'n') AS flag
+        |FROM orders""".stripMargin)
+    assert(r == Seq(Seq(4L, 345.0, "y")))
+  }
+
+  test("argMax picks value at max of ordering column") {
+    val r = run("SELECT argMax(okey, price) AS best FROM orders")
+    assert(r == Seq(Seq(5L)))
+  }
+
+  test("parametric quantile") {
+    val r = run("SELECT quantile(0.5)(price) AS med FROM orders")
+    assert(r == Seq(Seq(110.0)))
+  }
+
+  test("join using + group") {
+    val r = run(
+      """SELECT name, count() AS n FROM orders
+        |INNER JOIN custs USING (cust)
+        |GROUP BY name ORDER BY name""".stripMargin)
+    assert(r == Seq(Seq("alice", 2L), Seq("bob", 2L), Seq("carol", 2L)))
+  }
+
+  test("join on condition with qualified names") {
+    val r = run(
+      """SELECT o.okey FROM orders AS o
+        |INNER JOIN custs AS c ON o.cust = c.cust AND c.nat = 2
+        |ORDER BY o.okey""".stripMargin)
+    assert(r == Seq(Seq(5L), Seq(6L)))
+  }
+
+  test("IN subquery becomes a semi join; NOT IN an anti join") {
+    val r = run(
+      "SELECT okey FROM orders WHERE cust IN (SELECT cust FROM custs WHERE nat = 2) ORDER BY okey")
+    assert(r == Seq(Seq(5L), Seq(6L)))
+    val r2 = run(
+      "SELECT okey FROM orders WHERE cust NOT IN (SELECT cust FROM custs WHERE nat = 2) AND price > 100 ORDER BY okey")
+    assert(r2 == Seq(Seq(2L)))
+  }
+
+  test("scalar subquery evaluates once") {
+    val r = run(
+      "SELECT okey FROM orders WHERE price > (SELECT avg(price) FROM orders) ORDER BY okey")
+    assert(r == Seq(Seq(2L), Seq(5L)))
+  }
+
+  test("LIMIT BY per-group cap") {
+    val r = run(
+      """SELECT cust, okey, price FROM orders
+        |ORDER BY cust, price DESC LIMIT 1 BY cust""".stripMargin)
+    assert(r.map(_.head) == Seq(10L, 20L, 30L))
+    assert(r.map(_(2)) == Seq(250.0, 75.0, 500.0))
+  }
+
+  test("array join explodes with alias; left array join keeps empties") {
+    val r = run(
+      """SELECT okey, tok FROM (
+        |  SELECT okey, arrayMap(x -> x * 2, [1, 2]) AS arr FROM orders WHERE okey = 1)
+        |ARRAY JOIN arr AS tok ORDER BY tok""".stripMargin)
+    assert(r == Seq(Seq(1L, 2), Seq(1L, 4)))
+  }
+
+  test("subquery in FROM + WITH cte") {
+    val r = run(
+      """WITH big AS (SELECT okey, price FROM orders WHERE price >= 200)
+        |SELECT count() AS n FROM big""".stripMargin)
+    assert(r == Seq(Seq(2L)))
+  }
+
+  test("scalar WITH alias") {
+    val r = run("WITH 100 AS thresh SELECT okey FROM orders WHERE price < thresh ORDER BY okey")
+    assert(r == Seq(Seq(3L), Seq(4L)))
+  }
+
+  test("union all / distinct") {
+    val r = run(
+      """SELECT status FROM orders WHERE cust = 10
+        |UNION DISTINCT SELECT status FROM orders WHERE cust = 20
+        |ORDER BY status""".stripMargin)
+    assert(r == Seq(Seq("A"), Seq("B")))
+  }
+
+  test("case both forms, between, in list, like") {
+    val r = run(
+      """SELECT okey,
+        |  CASE WHEN price > 200 THEN 'hi' ELSE 'lo' END AS bucket,
+        |  CASE status WHEN 'A' THEN 1 ELSE 0 END AS isa
+        |FROM orders WHERE okey BETWEEN 1 AND 3 AND status IN ('A', 'B')
+        |  AND 'abc' LIKE 'a%' ORDER BY okey""".stripMargin)
+    assert(r == Seq(Seq(1L, "lo", 1), Seq(2L, "hi", 0), Seq(3L, "lo", 1)))
+  }
+
+  test("string/date/math function mappings") {
+    val r = run(
+      """SELECT lower('AbC') AS lo, substring('hello', 2, 3) AS sub,
+        |  position('hello', 'll') AS p, toYYYYMM(toDate('1997-03-05')) AS ym,
+        |  round(sqrt(16.0)) AS sq, intDiv(7, 2) AS idiv, 7 % 3 AS m
+        |FROM orders LIMIT 1""".stripMargin)
+    assert(r == Seq(Seq("abc", "ell", 3, 199703, 4.0, 3L, 1)))
+  }
+
+  test("tuple literal + element access, array literal + index") {
+    val r = run("SELECT (1, 'x').1 AS t1, [10, 20, 30][2] AS a2 FROM orders LIMIT 1")
+    assert(r == Seq(Seq(1, 20)))
+  }
+
+  test("with totals adds the grand-total row") {
+    val r = run(
+      """SELECT status, sum(price) AS s FROM orders
+        |GROUP BY status WITH TOTALS ORDER BY s""".stripMargin)
+    assert(r.size == 4)
+    assert(r.map(_(1)).contains(1095.0)) // grand total
+  }
+
+  test("group by all infers non-aggregate keys") {
+    val r = run(
+      "SELECT status, count() AS n FROM orders GROUP BY ALL ORDER BY status")
+    assert(r == Seq(Seq("A", 4L), Seq("B", 1L), Seq("C", 1L)))
+  }
+
+  test("settings clause is accepted and applied") {
+    val r = run(
+      "SELECT count() AS n FROM orders SETTINGS max_threads = 4")
+    assert(r == Seq(Seq(6L)))
+  }
+
+  test("unknown function fails loudly") {
+    intercept[IllegalArgumentException] {
+      run("SELECT frobnicate(okey) FROM orders")
+    }
+  }
+
+  test("distributed: translated plan pushes filter to scan on parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("chsql").toString
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val df = ChSql.sql(spark, "SELECT okey, price FROM orders WHERE price > 100")(
+      n => spark.read.parquet(s"$dir/$n.parquet"))
+    val scan = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.head
+    assert(scan.metadata.get("PushedFilters").exists(_.contains("GreaterThan")))
+    assert(scan.requiredSchema.fieldNames.toSet == Set("okey", "price"))
+  }
+}
