@@ -35,17 +35,33 @@ object Bench {
       case Some(p) => val ps = p.split(","); s => ps.exists(s.startsWith)
       case None => _ => true
     }
-    val results = SparkEntry.queries.toSeq.filter(kv => nameFilter(kv._1))
-      .sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => false }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      }
-      val times = Seq.fill(runs)(once())
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+    val queries = SparkEntry.queries.toSeq.filter(kv => nameFilter(kv._1))
+      .sortBy(_._1)
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
+    // INTERLEAVED passes: run the whole suite N times and take each query's
+    // min across passes, instead of back-to-back min-of-N per query. With
+    // back-to-back repeats a query's GC/codegen-cache debt lands on its
+    // alphabetical neighbor every single run, so the min can't escape it —
+    // the r3 q11/q12/x1 numbers were 3-5× their isolated times for exactly
+    // that reason. Across interleaved passes the neighborhood pressure
+    // differs per pass, so the min approaches the isolated time.
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    for (pass <- 1 to runs) {
+      for ((name, fn) <- queries) {
+        val t = once(fn)
+        val prev = best.getOrElse(name, Double.MaxValue)
+        best(name) =
+          if (t < 0 || prev < 0) -1.0
+          else math.min(prev, t)
+      }
+      System.gc() // reset GC debt at the pass boundary, not mid-pass
+    }
+    val results = queries.map { case (name, _) => name -> best(name) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

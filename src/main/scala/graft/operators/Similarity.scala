@@ -56,21 +56,15 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
-    * an LCG step mapped to [-0.5, 0.5). Pure arithmetic — portable. */
-  private def planeComponent(p: Int, d: Column): Column =
-    (pmod((lit(p * 64L + 1L) + d) * lit(2654435761L), lit(2147483647L))
-      .cast("double") / lit(2147483647.0)) - 0.5
-
   /** Sign-pattern LSH bucket id from `nPlanes` hyperplanes (bit i = sign of
-    * dot(v, plane_i)). Row-local. */
+    * dot(v, plane_i)); plane components are a deterministic LCG mapped to
+    * [-0.5, 0.5) so any engine can replay them. Row-local, single codegen'd
+    * traversal of the vector (NativeExpressions.HyperplaneBucket) — the
+    * equivalent HOF form `aggregate(zip_with(vec, transform(sequence(...),
+    * lcg), *), +)` re-walks the vector once per plane through the
+    * interpreter, the multi-pass shape that cost simhash 4.2× pre-rewrite. */
   def hyperplaneBucket(vec: Column, nPlanes: Int): Column =
-    (0 until nPlanes).map { p =>
-      val d = aggregate(zip_with(vec,
-        transform(sequence(lit(0), size(vec) - 1), i => planeComponent(p, i)),
-        (x, y) => x * y), lit(0.0), (a, v) => a + v)
-      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.plans.NativeExpressions.hyperplane_bucket(vec, nPlanes)
 
   /** IVF-style ANN: a deterministic coarse quantizer (every `centroidEvery`-th
     * vector by id is a centroid — in production, k-means centroids) assigns

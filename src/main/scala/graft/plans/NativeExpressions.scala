@@ -46,6 +46,28 @@ object NativeExpressions {
     acc
   }
 
+  /** Hyperplane-LSH bucket inner loop (see HyperplaneBucket). The LCG
+    * component and fold order replicate the original HOF formulation
+    * exactly so DuckDB oracles that replay the arithmetic still match. */
+  def hyperplaneBucketCompute(vec: ArrayData, nPlanes: Int): Long = {
+    val n = vec.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      val base = p * 64L + 1L
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        val h = java.lang.Math.floorMod((base + d) * 2654435761L, 2147483647L)
+        acc += vec.getDouble(d) * (h.toDouble / 2147483647.0 - 0.5)
+        d += 1
+      }
+      if (acc >= 0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
+
   /** SimHash (32-bit) inner loop: per bit b, sign of Σ_tokens
     * (bit_b(h) ? +1 : -1), packed little-endian — identical to the nested
     * `aggregate` HOF form on its exact domain: the bit test
@@ -430,6 +452,26 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** All nPlanes hyperplane sign bits in ONE traversal of the vector —
+    * the interpreted HOF form (per plane: sequence + transform + zip_with
+    * + aggregate) walks the vector nPlanes times through the Catalyst
+    * interpreter; this is the same multi-pass shape that cost simhash 4.2×
+    * before its native rewrite. Bit-for-bit identical to the HOF math:
+    * component(p,d) = pmod((p·64+1+d)·2654435761, 2^31−1)/(2^31−1) − 0.5,
+    * dot folded in array order, bit p set iff dot ≥ 0. */
+  case class HyperplaneBucket(child: Expression, nPlanes: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(input: Any): Any =
+      hyperplaneBucketCompute(input.asInstanceOf[ArrayData], nPlanes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.NativeExpressions.hyperplaneBucketCompute($c, $nPlanes)")
+    override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+      copy(child = newChild)
+  }
+
   case class WindowFunnelLevel(child: Expression, nSteps: Int, window: Long)
       extends UnaryExpression {
     override def dataType: DataType = org.apache.spark.sql.types.IntegerType
@@ -555,6 +597,8 @@ object NativeExpressions {
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
   def simhash_32(hashes: Column): Column =
     ColumnBridge.column(SimHash32(ColumnBridge.expression(hashes)))
+  def hyperplane_bucket(vec: Column, nPlanes: Int): Column =
+    ColumnBridge.column(HyperplaneBucket(ColumnBridge.expression(vec), nPlanes))
   def window_funnel_level(sortedEncoded: Column, nSteps: Int, window: Long): Column =
     ColumnBridge.column(WindowFunnelLevel(
       ColumnBridge.expression(sortedEncoded), nSteps, window))

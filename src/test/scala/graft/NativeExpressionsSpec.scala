@@ -91,4 +91,27 @@ class NativeExpressionsSpec extends AnyFunSuite {
     }.toMap
     assert(native == local)
   }
+
+  test("hyperplane_bucket matches the interpreted HOF formulation bit-for-bit") {
+    import org.apache.spark.sql.Column
+    val vecs = spark.range(64).select(col("id"),
+      transform(sequence(lit(0), lit(15)),
+        i => sin(col("id") * 31 + i).cast("double")).as("v"))
+    // original multi-pass HOF form, kept here as the reference semantics
+    def planeComponent(p: Int, d: Column): Column =
+      (pmod((lit(p * 64L + 1L) + d) * lit(2654435761L), lit(2147483647L))
+        .cast("double") / lit(2147483647.0)) - 0.5
+    def hofBucket(vec: Column, nPlanes: Int): Column =
+      (0 until nPlanes).map { p =>
+        val dt = aggregate(zip_with(vec,
+          transform(sequence(lit(0), size(vec) - 1), i => planeComponent(p, i)),
+          (x, y) => x * y), lit(0.0), (a, v) => a + v)
+        when(dt >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val rows = vecs.select(
+      NativeExpressions.hyperplane_bucket(col("v"), 12).as("native"),
+      hofBucket(col("v"), 12).as("hof")).collect()
+    assert(rows.forall(r => r.getLong(0) == r.getLong(1)))
+    assert(rows.map(_.getLong(0)).distinct.length > 1) // buckets do vary
+  }
 }
