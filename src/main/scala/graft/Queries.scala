@@ -2884,7 +2884,39 @@ object Queries {
     "ch9_sql_scalar_sub" -> ((s, dir) => chsql(s, dir,
       """SELECT count() AS n FROM orders
         |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) / 2
-        |SETTINGS max_threads = 32""".stripMargin)))
+        |SETTINGS max_threads = 32""".stripMargin)),
+
+    // REAL WAV decode: synthesize PCM-16 WAVs distributed (params are pure
+    // functions of the id), parse them back through javax.sound.sampled —
+    // the oracle re-derives rate/channels/frames/duration from the id, so
+    // a header mis-parse cannot hash-match. StubCodec is now video-only.
+    "x4_audio_decode" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val ids = tbl(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 500)
+      Multimodal.extractMetaAudio(
+          Multimodal.syntheticWavs(ids, "doc_id"), "doc_id")
+        .toDF()
+        .filter(col("err").isNull)
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+          col("n_frames"), col("duration_us"))
+        .orderBy("doc_id")
+    }),
+
+    // sequenceMatch separator sublanguage: strict adjacency (?1)(?2) and
+    // time-bounded (?1)(?t<=2h)(?2), per user over the full event stream
+    // (non-matching events break adjacency, as in CH)
+    "e14_sequence_patterns" -> ((s, dir) => {
+      import graft.operators.ChOps
+      val ev = events(s, dir)
+      val adj = ChOps.sequenceMatchPattern(ev, "user_id", "ts", "event_type",
+          Seq("view", "click"), Seq(ChOps.Adjacent))
+        .withColumnRenamed("matched", "m_adj")
+      val tb = ChOps.sequenceMatchPattern(ev, "user_id", "ts", "event_type",
+          Seq("view", "purchase"), Seq(ChOps.MaxGapMicros(7200L * 1000000L)))
+        .withColumnRenamed("matched", "m_tb")
+      adj.join(tb, Seq("user_id")).orderBy("user_id")
+    }))
 
   private val oracles11: Map[String, String] = Map(
 
@@ -2952,5 +2984,40 @@ object Queries {
 
     "ch9_sql_scalar_sub" ->
       """SELECT count(*) AS n FROM orders
-        |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) / 2""".stripMargin)
+        |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) / 2""".stripMargin,
+
+    "x4_audio_decode" ->
+      """SELECT doc_id,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |       ELSE 44100 END AS INTEGER) AS sample_rate,
+        |  CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+        |  CAST(doc_id % 500 + 100 AS BIGINT) AS n_frames,
+        |  CAST((doc_id % 500 + 100) * 1000000 //
+        |    (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |     ELSE 44100 END) AS BIGINT) AS duration_us
+        |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin,
+
+    // adjacency: lead() over the SAME (ts, encoded-step) tie order the
+    // operator sorts by; time-bound: an existence join within the window
+    "e14_sequence_patterns" ->
+      """WITH ev AS (SELECT user_id, ts, event_type,
+        |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 ELSE 0 END AS s_adj
+        |  FROM events),
+        |nx AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, s_adj) AS nxt
+        |  FROM ev),
+        |adj AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'view' AND nxt = 'click' THEN 1 ELSE 0 END) AS m
+        |  FROM nx GROUP BY user_id),
+        |tb AS (SELECT DISTINCT a.user_id FROM events a JOIN events b
+        |    ON a.user_id = b.user_id
+        |   AND a.event_type = 'view' AND b.event_type = 'purchase'
+        |   AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR)
+        |SELECT u.user_id,
+        |  coalesce(adj.m, 0) = 1 AS m_adj,
+        |  tb.user_id IS NOT NULL AS m_tb
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN adj ON u.user_id = adj.user_id
+        |LEFT JOIN tb ON u.user_id = tb.user_id
+        |ORDER BY u.user_id""".stripMargin)
 }

@@ -390,14 +390,57 @@ object ChOps {
     * an ordered subsequence of the step conditions exists ⟺ the funnel
     * depth with an UNBOUNDED window reaches every step (the `.*` pattern
     * imposes order but no time bound — exactly windowFunnel's chain DP
-    * with window = ∞). Returns (key, matched). Adjacency patterns
-    * (`(?1)(?2)` with no gap) are out of scope — documented divergence. */
+    * with window = ∞). Returns (key, matched). For adjacency `(?1)(?2)`
+    * and time-bound `(?t<=n)` forms use [[sequenceMatchPattern]]. */
   def sequenceMatch(
       df: DataFrame, keyCol: String, tsCol: String, typeCol: String,
       steps: Seq[String]
   ): DataFrame =
     windowFunnel(df, keyCol, tsCol, typeCol, steps, Long.MaxValue / 16)
       .select(col(keyCol), (col("level") === steps.length).as("matched"))
+
+  /** Gap constraint between two consecutive matched pattern steps (the
+    * separators of CH's sequenceMatch pattern sublanguage, parsed by the
+    * grammar as plain function args — ClickHouseParser.py:15571-15603). */
+  sealed trait StepGap
+  /** `.*` — any number of any events between the two matches. */
+  case object AnyGap extends StepGap
+  /** `(?1)(?2)` — NO event of any kind between the two matches. */
+  case object Adjacent extends StepGap
+  /** `(?t<=n)` — any events between, but the matched events at most
+    * `us` microseconds apart. */
+  final case class MaxGapMicros(us: Long) extends StepGap
+
+  /** CH `sequenceMatch` with the full separator sublanguage: `gaps(j)`
+    * constrains matched step j → j+1. Same one-shuffle
+    * collect-sorted-encode shape as [[windowFunnel]]; the stream keeps
+    * NON-matching events too (encoded step −1) because adjacency counts
+    * any event as a separator, and the codegen'd automaton backtracks
+    * (greedy scans miss [s1, s1, s2] for an adjacent pattern). Scale: one
+    * shuffle of (key, 8-byte encoded event); state is per-key row-local. */
+  def sequenceMatchPattern(
+      df: DataFrame, keyCol: String, tsCol: String, typeCol: String,
+      steps: Seq[String], gaps: Seq[StepGap]
+  ): DataFrame = {
+    require(steps.length <= 14, s"at most 14 steps, got ${steps.length}")
+    require(gaps.length == steps.length - 1,
+      s"need ${steps.length - 1} gap constraints, got ${gaps.length}")
+    val stepIdx = steps.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (t, i)) =>
+        when(col(typeCol) === t, lit(i)).otherwise(acc) }
+    val gapLongs = gaps.map {
+      case AnyGap => -1L
+      case Adjacent => 0L
+      case MaxGapMicros(us) => require(us > 0, "max gap must be positive"); us
+    }
+    df.select(col(keyCol),
+        (unix_micros(col(tsCol)) * 16 + stepIdx + 1).as("__e"))
+      .groupBy(keyCol)
+      .agg(sort_array(collect_list(col("__e"))).as("__evs"))
+      .select(col(keyCol),
+        graft.plans.NativeExpressions.sequence_match_pattern(
+          col("__evs"), steps.length, gapLongs).as("matched"))
+  }
 
   /** CH `sequenceCount('(?1).*(?2)...')`: greedy NON-OVERLAPPING count of
     * complete ordered chains per key — the same one-shuffle

@@ -67,6 +67,99 @@ object Multimodal {
       }
   }
 
+  /** REAL audio codec over `javax.sound.sampled` (ships in the JDK — the
+    * same zero-dep move as ImageIO). RIFF/WAVE magic sniff, then a full
+    * header parse; failures land in the Left error channel. Duration is
+    * integer microseconds (frames·10⁶ ÷ rate, integer division) so a SQL
+    * oracle can re-derive it exactly. */
+  object WavCodec {
+    def sniffWav(b: Array[Byte]): Boolean =
+      b.length >= 12 && b(0) == 'R'.toByte && b(1) == 'I'.toByte &&
+        b(2) == 'F'.toByte && b(3) == 'F'.toByte &&
+        b(8) == 'W'.toByte && b(9) == 'A'.toByte &&
+        b(10) == 'V'.toByte && b(11) == 'E'.toByte
+
+    /** Decode to (sampleRate, channels, frames, durationMicros) or error. */
+    def decode(payload: Array[Byte]): Either[String, (Int, Int, Long, Long)] =
+      if (!sniffWav(payload)) Left("not a RIFF/WAVE payload")
+      else try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = in.getFormat
+          val rate = fmt.getSampleRate.toInt
+          val frames = in.getFrameLength
+          if (rate <= 0 || frames < 0) Left(s"bad header: rate=$rate frames=$frames")
+          else Right((rate, fmt.getChannels, frames, frames * 1000000L / rate))
+        } finally in.close()
+      } catch {
+        case e: Exception => Left(s"decode error: ${e.getMessage}")
+      }
+  }
+
+  /** Synthetic audio fixture: one REAL little PCM-16 WAV per row, written
+    * with AudioSystem, parameters a pure function of the id
+    * (rate ∈ {8000, 16000, 44100} by id%3, channels = id%2+1,
+    * frames = id%500+100) so a SQL oracle re-derives what the decoder
+    * must find. Distributed generation, like [[syntheticPngs]]. */
+  def syntheticWavs(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val rate = (id % 3) match {
+          case 0 => 8000; case 1 => 16000; case _ => 44100
+        }
+        val channels = (id % 2 + 1).toInt
+        val frames = (id % 500 + 100).toInt
+        val fmt = new javax.sound.sampled.AudioFormat(
+          rate.toFloat, 16, channels, true, false)
+        val pcm = new Array[Byte](frames * channels * 2)
+        var i = 0
+        while (i < frames * channels) { // deterministic samples, no RNG
+          val s = ((id + i * 31) % 65536 - 32768).toShort
+          pcm(2 * i) = (s & 0xFF).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        (id, out.toByteArray)
+      }
+    }.toDF(idCol, "payload")
+  }
+
+  /** Decoded audio row with the per-row error channel. */
+  final case class AudioDecoded(
+      doc_id: Long, sample_rate: Int, channels: Int, n_frames: Long,
+      duration_us: Long, n_bytes: Long, err: String)
+
+  /** Batched REAL audio metadata extraction through [[WavCodec]] — same
+    * partition-streaming batch shape and error-channel contract as
+    * [[extractMetaImage]]. */
+  def extractMetaAudio(df: DataFrame, idCol: String,
+      batchSize: Int = 256): Dataset[AudioDecoded] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, payload) =>
+            WavCodec.decode(payload) match {
+              case Right((rate, ch, frames, durUs)) =>
+                AudioDecoded(id, rate, ch, frames, durUs, payload.length.toLong, null)
+              case Left(msg) =>
+                AudioDecoded(id, -1, -1, -1L, -1L, payload.length.toLong, msg)
+            }
+          }
+        }
+      }
+  }
+
   /** Attach the opaque binary payload column (here derived from text —
     * in production this is the raw media bytes column). */
   def withPayload(df: DataFrame, srcCol: String): DataFrame =

@@ -284,6 +284,47 @@ object NativeExpressions {
     count
   }
 
+  /** sequenceMatch with per-transition gap constraints over a user's
+    * sorted (t·16 + step+1)-encoded events (step −1 = event matching no
+    * condition — REQUIRED in the stream, because CH adjacency counts any
+    * event as a separator). `gaps(j)` constrains matched step j → j+1:
+    * −1 any gap (`.*`), 0 strict adjacency (`(?1)(?2)` — no event of any
+    * kind between), >0 max time gap in micros (`(?t<=n)` — any events
+    * between, time-bounded). Backtracking DFS with a failed-state memo:
+    * greedy scans miss matches like [1,1,2] for an adjacent (?1)(?2). */
+  def sequenceMatchPatternCompute(
+      arr: ArrayData, nSteps: Int, gaps: Array[Long]): Boolean = {
+    val n = arr.numElements()
+    def stepOf(enc: Long): Int = (java.lang.Math.floorMod(enc, 16L) - 1).toInt
+    def tOf(enc: Long): Long = java.lang.Math.floorDiv(enc, 16L)
+    val failed = new java.util.HashSet[Long]()
+    def search(j: Int, prevPos: Int): Boolean = {
+      if (j == nSteps) return true
+      val key = j.toLong * (n + 1) + (prevPos + 1)
+      if (failed.contains(key)) return false
+      val gap = if (j == 0) -1L else gaps(j - 1)
+      val prevT = if (prevPos >= 0) tOf(arr.getLong(prevPos)) else 0L
+      var q = prevPos + 1
+      var ok = false
+      var stop = false
+      while (q < n && !ok && !stop) {
+        val enc = arr.getLong(q)
+        if (gap == 0L) { // adjacency: only the immediately-next event
+          if (stepOf(enc) == j) ok = search(j + 1, q)
+          stop = true
+        } else if (gap > 0L && tOf(enc) - prevT > gap) {
+          stop = true // sorted by time: all later events also exceed
+        } else if (stepOf(enc) == j) {
+          ok = search(j + 1, q)
+        }
+        q += 1
+      }
+      if (!ok) failed.add(key)
+      ok
+    }
+    search(0, -1)
+  }
+
   /** MinHash signature inner loop: for perm i in [0,k):
     * min over hashes of (h·(2i+1) + 12345·i + 1) mod `mod`.
     * Empty input yields Long.MaxValue sentinels per permutation — a
@@ -472,6 +513,22 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  case class SequenceMatchPattern(child: Expression, nSteps: Int, gaps: Seq[Long])
+      extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+    override def nullIntolerant: Boolean = true
+    private lazy val gapsArr = gaps.toArray
+    override protected def nullSafeEval(input: Any): Any =
+      sequenceMatchPatternCompute(input.asInstanceOf[ArrayData], nSteps, gapsArr)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("seqGaps", gapsArr, "long[]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.NativeExpressions.sequenceMatchPatternCompute($c, $nSteps, $ref)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): SequenceMatchPattern =
+      copy(child = newChild)
+  }
+
   case class WindowFunnelLevel(child: Expression, nSteps: Int, window: Long)
       extends UnaryExpression {
     override def dataType: DataType = org.apache.spark.sql.types.IntegerType
@@ -605,6 +662,10 @@ object NativeExpressions {
   def sequence_count(sortedEncoded: Column, nSteps: Int): Column =
     ColumnBridge.column(SequenceCountAgg(
       ColumnBridge.expression(sortedEncoded), nSteps))
+  def sequence_match_pattern(sortedEncoded: Column, nSteps: Int,
+      gaps: Seq[Long]): Column =
+    ColumnBridge.column(SequenceMatchPattern(
+      ColumnBridge.expression(sortedEncoded), nSteps, gaps))
   def script_counts(text: Column, flatRanges: Seq[Int]): Column =
     ColumnBridge.column(ScriptCounts(ColumnBridge.expression(text), flatRanges))
   def stopword_counts(toks: Column, wordLists: Seq[Seq[String]]): Column =

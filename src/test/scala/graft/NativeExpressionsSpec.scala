@@ -114,4 +114,33 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(0) == r.getLong(1)))
     assert(rows.map(_.getLong(0)).distinct.length > 1) // buckets do vary
   }
+
+  test("sequenceMatchPattern: adjacency backtracks, time bounds honored") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    // events encoded t*16 + step+1; step -1 = non-matching event
+    def enc(ts: Long, step: Int): Long = ts * 16 + step + 1
+    def m(events: Seq[Long], gaps: Seq[Long]): Boolean =
+      NativeExpressions.sequenceMatchPatternCompute(
+        ArrayData.toArrayData(events.toArray), gaps.length + 1, gaps.toArray)
+    val adj = Seq(0L)
+    // [s0, s0, s1]: greedy-from-first fails, backtracking matches 2nd..3rd
+    assert(m(Seq(enc(1, 0), enc(2, 0), enc(3, 1)), adj))
+    // a non-matching event between breaks adjacency
+    assert(!m(Seq(enc(1, 0), enc(2, -1), enc(3, 1)), adj))
+    // any-gap tolerates the same separator
+    assert(m(Seq(enc(1, 0), enc(2, -1), enc(3, 1)), Seq(-1L)))
+    // time bound: 10us window, delta 10 passes, 11 fails
+    assert(m(Seq(enc(100, 0), enc(110, 1)), Seq(10L)))
+    assert(!m(Seq(enc(100, 0), enc(111, 1)), Seq(10L)))
+    // time bound allows unrelated events inside the window
+    assert(m(Seq(enc(100, 0), enc(105, -1), enc(110, 1)), Seq(10L)))
+    // 3-step mixed: s0 adjacent s1, then any-gap s2
+    assert(m(Seq(enc(1, 0), enc(2, 1), enc(9, -1), enc(12, 2)), Seq(0L, -1L)))
+    assert(!m(Seq(enc(1, 0), enc(2, -1), enc(3, 1), enc(12, 2)), Seq(0L, -1L)))
+    // backtracking across restarts: adjacency pair appears late
+    assert(m(Seq(enc(1, 0), enc(3, -1), enc(5, 0), enc(6, 1)), adj))
+    // empty stream and missing steps
+    assert(!m(Nil, adj))
+    assert(!m(Seq(enc(1, 0)), adj))
+  }
 }

@@ -208,4 +208,29 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out(900L).err.contains("unrecognized magic bytes"))
     assert(out(901L).err != null && out(901L).format == null)
   }
+
+  test("Wav codec: real PCM-16 round-trip, corrupt payloads hit the error channel") {
+    import spark.implicits._
+    val ids = Seq(0L, 7L, 44L).toDF("doc_id")
+    val wavs = Multimodal.syntheticWavs(ids, "doc_id")
+    val goodWav = wavs.filter(col("doc_id") === 7L)
+      .select("payload").head().getAs[Array[Byte]](0)
+    val corrupt = Seq(
+      (900L, "definitely not audio".getBytes("UTF-8")),
+      (901L, goodWav.take(16))).toDF("doc_id", "payload")
+    val out = Multimodal.extractMetaAudio(
+        wavs.unionByName(corrupt), "doc_id", batchSize = 2)
+      .collect().map(m => m.doc_id -> m).toMap
+    // real decode: header fields must match the synthesis parameters
+    for (id <- Seq(0L, 7L, 44L)) {
+      val m = out(id)
+      val rate = (id % 3) match { case 0 => 8000; case 1 => 16000; case _ => 44100 }
+      assert(m.err == null)
+      assert(m.sample_rate == rate && m.channels == (id % 2 + 1).toInt)
+      assert(m.n_frames == id % 500 + 100)
+      assert(m.duration_us == (id % 500 + 100) * 1000000L / rate)
+    }
+    assert(out(900L).err.contains("not a RIFF/WAVE payload"))
+    assert(out(901L).err != null && out(901L).sample_rate == -1)
+  }
 }
