@@ -736,7 +736,10 @@ object Queries {
     * operator uses (they are the operator's spec): DuckDB replays the
     * script-count pass, the 25% decision threshold, and the alphabetical
     * first-wins CASE order of the Spark fold. */
-  private val t7Oracle: String = {
+  /** langId replay as a reusable CTE chain over `src` (must expose
+    * doc_id, lang, text); ends in `lp(doc_id, lang, pred)`. Shared by the
+    * t7 oracle and the p1 pipeline oracle's language-filter stage. */
+  private def langPredCtes(src: String): String = {
     val langs = TextAnalysis.stopwords.keys.toSeq.sorted
     val swCounts = langs.map { l =>
       val inList = TextAnalysis.stopwords(l).map(w => s"'$w'").mkString(", ")
@@ -750,21 +753,24 @@ object Queries {
     val scriptCase = scriptLangs.map(l => s"WHEN s_$l = smax THEN '$l'").mkString(" ")
     val cMax = langs.map(l => s"c_$l").mkString("greatest(", ", ", ")")
     val swCase = langs.map(l => s"WHEN c_$l = cmax THEN '$l'").mkString(" ")
-    s"""WITH base AS (SELECT lang, text,
-       |  regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents),
-       |cnt AS (SELECT lang, length(text) AS nch,
+    s"""lbase AS (SELECT doc_id, lang, text,
+       |  regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM $src),
+       |lcnt AS (SELECT doc_id, lang, length(text) AS nch,
        |  $scripts,
        |  $swCounts
-       |  FROM base),
-       |m AS (SELECT *, $sMax AS smax, $cMax AS cmax FROM cnt),
-       |p AS (SELECT lang,
+       |  FROM lbase),
+       |lm AS (SELECT *, $sMax AS smax, $cMax AS cmax FROM lcnt),
+       |lp AS (SELECT doc_id, lang,
        |  CASE WHEN smax > 0 AND smax * 4 >= nch THEN CASE $scriptCase END
        |       WHEN cmax = 0 THEN 'unknown'
        |       $swCase END AS pred
-       |  FROM m)
-       |SELECT lang, pred, count(*) AS n FROM p
-       |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
+       |  FROM lm)""".stripMargin
   }
+
+  private val t7Oracle: String =
+    s"""WITH ${langPredCtes("documents")}
+       |SELECT lang, pred, count(*) AS n FROM lp
+       |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
 
   private val batch3: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -2450,15 +2456,32 @@ object Queries {
         .orderBy("l_returnflag")),
 
     // end-to-end training-data pipeline: exact dedup (md5 digest, min-id
-    // keeper) → quality scoring → token/punctuation filters → typed
-    // output. One digest shuffle + row-local scoring — the integration
-    // shape every stage above was built for.
+    // keeper) → NEAR-dup removal (MinHash/LSH candidates, hashed-shingle
+    // Jaccard verify, larger-id partner dropped) → language filter
+    // (single-pass native langId must agree with the label) → quality
+    // scoring → token/punctuation filters → typed output. One digest
+    // shuffle + one LSH band shuffle; language/quality stages are
+    // row-local — the integration shape every stage above was built for.
     "p1_training_pipeline" -> ((s, dir) => {
+      import graft.operators.Dedup
       val docs = tbl(s, dir, "documents")
       val keepers = docs.groupBy(md5(col("text")).as("digest"))
         .agg(min(col("doc_id")).as("doc_id"))
       val deduped = docs.join(keepers, Seq("doc_id"), "left_semi")
-      val scored = deduped.select(
+      val pre = deduped
+        .select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("hs"))
+        .select(col("doc_id"), col("hs"),
+          Dedup.minhashSignature(col("hs"), 16).as("sig"))
+      val cands = Dedup.lshCandidatePairs(
+        Dedup.lshBands(pre, "doc_id", "sig", 2, 8), "doc_id")
+      val nearDrops = cands
+        .join(pre.select(col("doc_id").as("id1"), col("hs").as("h1")), "id1")
+        .join(pre.select(col("doc_id").as("id2"), col("hs").as("h2")), "id2")
+        .filter(round(Dedup.jaccard(col("h1"), col("h2")), 6) >= 0.5)
+        .select(col("id2").as("doc_id")).distinct()
+      val kept = deduped.join(nearDrops, Seq("doc_id"), "left_anti")
+        .filter(TextAnalysis.langId(col("text")) === col("lang"))
+      val scored = kept.select(
         col("doc_id"), col("lang"),
         TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"),
         round((length(col("text")).cast(DoubleType) -
@@ -2656,20 +2679,47 @@ object Queries {
         |GROUP BY matched ORDER BY matched""".stripMargin,
 
     "p1_training_pipeline" ->
-      """WITH k AS (SELECT md5(text) AS digest, min(doc_id) AS doc_id
-        |    FROM documents GROUP BY md5(text)),
-        |d AS (SELECT * FROM documents
-        |  WHERE doc_id IN (SELECT doc_id FROM k)),
-        |s AS (SELECT doc_id, lang,
-        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-        |      AS n_tokens,
-        |    round((CAST(length(text) AS DOUBLE) -
-        |        length(regexp_replace(text, '[.,!?;:]', '', 'g'))) /
-        |      greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS punct_ratio
-        |  FROM d)
-        |SELECT doc_id, lang, n_tokens, punct_ratio FROM s
-        |WHERE n_tokens >= 20 AND punct_ratio < 0.05
-        |ORDER BY doc_id""".stripMargin,
+      s"""WITH k AS (SELECT md5(text) AS digest, min(doc_id) AS doc_id
+         |    FROM documents GROUP BY md5(text)),
+         |d AS (SELECT * FROM documents
+         |  WHERE doc_id IN (SELECT doc_id FROM k)),
+         |dtoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM d),
+         |dsh AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(0, greatest(len(t) - 3, 0) + 1),
+         |    i -> array_to_string(t[i+1:i+3], ' '))) AS shingles FROM dtoks),
+         |dhs AS (SELECT doc_id,
+         |  list_transform(shingles, s -> ${sqlCharFold("s")}) AS hashes FROM dsh),
+         |dsig AS (SELECT doc_id, list_transform(range(16), p ->
+         |  list_min(list_transform(hashes,
+         |    h -> (h * (2 * p + 1) + (12345 * p + 1)) % 2147483647))) AS sig FROM dhs),
+         |dbands AS (SELECT doc_id, b AS band_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*8+1:b*8+8]),
+         |    (acc, x) -> (acc * 1000003 + x) % 2147483647) AS band_hash
+         |  FROM dsig, range(2) r(b)),
+         |dcands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM dbands a JOIN dbands b
+         |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id),
+         |drops AS (SELECT DISTINCT id2 AS doc_id FROM dcands
+         |  JOIN dhs h1 ON h1.doc_id = id1
+         |  JOIN dhs h2 ON h2.doc_id = id2
+         |  WHERE CAST(len(list_distinct(list_intersect(h1.hashes, h2.hashes))) AS DOUBLE) /
+         |        len(list_distinct(list_concat(h1.hashes, h2.hashes))) >= 0.4999995),
+         |dd AS (SELECT * FROM d
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+         |${langPredCtes("dd")},
+         |lk AS (SELECT dd.* FROM dd JOIN lp ON dd.doc_id = lp.doc_id
+         |  AND lp.pred = dd.lang),
+         |s AS (SELECT doc_id, lang,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+         |      AS n_tokens,
+         |    round((CAST(length(text) AS DOUBLE) -
+         |        length(regexp_replace(text, '[.,!?;:]', '', 'g'))) /
+         |      greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS punct_ratio
+         |  FROM lk)
+         |SELECT doc_id, lang, n_tokens, punct_ratio FROM s
+         |WHERE n_tokens >= 20 AND punct_ratio < 0.05
+         |ORDER BY doc_id""".stripMargin,
 
     "q88_histogram" ->
       """SELECT CAST(floor(l_quantity / 10.0) AS INTEGER) AS bin,
@@ -2886,6 +2936,12 @@ object Queries {
         |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) / 2
         |SETTINGS max_threads = 32""".stripMargin)),
 
+    // adaptive histogram tier: quantile-seeded equi-depth bins — the
+    // deterministic twin of CH's merge-order-dependent streaming bins
+    "q90_adaptive_histogram" -> ((s, dir) =>
+      graft.operators.ChOps.adaptiveHistogram(
+        tbl(s, dir, "lineitem"), "l_quantity", 6).orderBy("bin")),
+
     // REAL WAV decode: synthesize PCM-16 WAVs distributed (params are pure
     // functions of the id), parse them back through javax.sound.sampled —
     // the oracle re-derives rate/channels/frames/duration from the id, so
@@ -2985,6 +3041,22 @@ object Queries {
     "ch9_sql_scalar_sub" ->
       """SELECT count(*) AS n FROM orders
         |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) / 2""".stripMargin,
+
+    "q90_adaptive_histogram" -> {
+      val qList = (1 until 6).map(k => (k.toDouble / 6).toString)
+        .mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT quantile_cont(l_quantity, $qList) AS edges,
+         |    CAST(min(l_quantity) AS DOUBLE) AS lo0,
+         |    CAST(max(l_quantity) AS DOUBLE) AS hi0 FROM lineitem),
+         |b AS (SELECT CAST(len(list_filter(e.edges, x -> l_quantity > x)) AS INTEGER) AS bin,
+         |    e.edges AS edges, e.lo0 AS lo0, e.hi0 AS hi0
+         |  FROM lineitem, e)
+         |SELECT bin,
+         |  round(CASE WHEN bin = 0 THEN lo0 ELSE edges[bin] END, 6) AS lo,
+         |  round(CASE WHEN bin = 5 THEN hi0 ELSE edges[bin + 1] END, 6) AS hi,
+         |  count(*) AS n
+         |FROM b GROUP BY bin, lo, hi ORDER BY bin""".stripMargin
+    },
 
     "x4_audio_decode" ->
       """SELECT doc_id,

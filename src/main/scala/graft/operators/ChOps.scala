@@ -465,6 +465,37 @@ object ChOps {
           col("__evs"), steps.length).as("n_chains"))
   }
 
+  /** CH `histogram(N)(x)` adaptive tier: equi-depth bins seeded by exact
+    * quantiles — two passes instead of CH's single-pass streaming
+    * bin-merge, trading one extra scan for a DETERMINISTIC result (CH's
+    * adaptive histogram depends on merge order, so two runs can disagree;
+    * this one is replayable bit-for-bit by a SQL oracle). Returns
+    * (bin, lo, hi, n) with lo/hi rounded to 6.
+    *
+    * Scale: pass 1 is a single all-reduce aggregate (the quantile);
+    * pass 2 broadcasts the (nBins−1)-edge array and bins row-locally,
+    * then partial+final counts — no data-scale shuffle beyond the
+    * groupBy on nBins keys. At 100 TB swap the exact percentile for
+    * approx_percentile; the binning pass is unchanged. */
+  def adaptiveHistogram(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 2, "need at least 2 bins")
+    val qs = (1 until nBins).map(_.toDouble / nBins)
+    val edges = df.agg(
+      percentile(col(valueCol), array(qs.map(lit): _*)).as("__edges"),
+      min(col(valueCol)).cast("double").as("__lo"),
+      max(col(valueCol)).cast("double").as("__hi"))
+    df.select(col(valueCol).cast("double").as("__v"))
+      .crossJoin(broadcast(edges))
+      .withColumn("bin",
+        size(filter(col("__edges"), e => col("__v") > e)).cast("int"))
+      .withColumn("lo", round(when(col("bin") === 0, col("__lo"))
+        .otherwise(element_at(col("__edges"), col("bin"))), 6))
+      .withColumn("hi", round(when(col("bin") === nBins - 1, col("__hi"))
+        .otherwise(element_at(col("__edges"), col("bin") + 1)), 6))
+      .groupBy("bin", "lo", "hi")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** CH `uniqUpTo(N)(x)`: exact distinct count while ≤ N, else N+1 —
     * the bounded-cardinality probe (a plain capped exact count: the
     * N-bounded early-out is a single-node optimization Spark's
