@@ -54,14 +54,16 @@ object Bench {
     for (pass <- 1 to runs) {
       for ((name, fn) <- queries) {
         val t = once(fn)
-        val prev = best.getOrElse(name, Double.MaxValue)
-        best(name) =
-          if (t < 0 || prev < 0) -1.0
-          else math.min(prev, t)
+        // min over SUCCESSFUL passes; -1 only if every pass failed (a
+        // single transient task failure must not erase real timings)
+        if (t >= 0)
+          best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+        else
+          System.err.println(s"[bench] $name failed pass $pass")
       }
       System.gc() // reset GC debt at the pass boundary, not mid-pass
     }
-    val results = queries.map { case (name, _) => name -> best(name) }
+    val results = queries.map { case (name, _) => name -> best.getOrElse(name, -1.0) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -17,7 +17,12 @@ object PlanAudit {
         // round-3 marquee shapes: cutoff-tuple ties (pushed filter),
         // aggregate-below-window quantile, full-join matrix, IVF broadcast
         "q71_ties_compound", "q83_weighted_quantile", "q68_full_join",
-        "v3_ivf_topk")
+        "v3_ivf_topk",
+        // round-4 marquee shapes: CH-SQL text plans must look identical to
+        // their hand-built twins (pushdown through the translator), the
+        // broadcast-edge adaptive histogram, the widened p1 pipeline
+        "ch1_sql_agg", "ch10_sql_window", "q90_adaptive_histogram",
+        "p1_training_pipeline")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

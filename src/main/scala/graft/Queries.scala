@@ -2936,6 +2936,19 @@ object Queries {
         |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) / 2
         |SETTINGS max_threads = 32""".stripMargin)),
 
+    // window functions as CH text: ranking + framed running sum + lag
+    "ch10_sql_window" -> ((s, dir) => chsql(s, dir,
+      """SELECT o_custkey, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |  CAST(sum(CAST(o_totalprice AS Decimal(18, 2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS Float64) AS running,
+        |  lag(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev
+        |FROM orders
+        |WHERE o_custkey < 200
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // adaptive histogram tier: quantile-seeded equi-depth bins — the
     // deterministic twin of CH's merge-order-dependent streaming bins
     "q90_adaptive_histogram" -> ((s, dir) =>
@@ -3041,6 +3054,18 @@ object Queries {
     "ch9_sql_scalar_sub" ->
       """SELECT count(*) AS n FROM orders
         |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) / 2""".stripMargin,
+
+    "ch10_sql_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running,
+        |  lag(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev
+        |FROM orders
+        |WHERE o_custkey < 200
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q90_adaptive_histogram" -> {
       val qList = (1 until 6).map(k => (k.toDouble / 6).toString)

@@ -199,6 +199,27 @@ class ChSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("window functions: row_number, rank, running sum with frame, lag") {
+    val r = run(
+      """SELECT okey,
+        |  row_number() OVER (PARTITION BY cust ORDER BY price DESC, okey) AS rn,
+        |  CAST(sum(price) OVER (PARTITION BY cust ORDER BY okey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS Float64) AS running,
+        |  lag(okey, 1) OVER (PARTITION BY cust ORDER BY okey) AS prev
+        |FROM orders ORDER BY okey""".stripMargin)
+    assert(r.map(_(1)) == Seq(2, 1, 2, 1, 1, 2)) // rn per cust by price desc
+    assert(r.map(_(2)) == Seq(100.0, 350.0, 50.0, 125.0, 500.0, 620.0))
+    assert(r.map(_(3)) == Seq(null, 1L, null, 3L, null, 5L))
+  }
+
+  test("global window (no partition) and ntile") {
+    val r = run(
+      """SELECT okey, rank() OVER (ORDER BY price DESC) AS rk,
+        |  ntile(2) OVER (ORDER BY price) AS half
+        |FROM orders ORDER BY okey""".stripMargin)
+    assert(r.map(_(1)) == Seq(4, 2, 6, 5, 1, 3))
+  }
+
   test("distributed: translated plan pushes filter to scan on parquet") {
     val dir = java.nio.file.Files.createTempDirectory("chsql").toString
     orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
