@@ -2936,6 +2936,21 @@ object Queries {
         |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) / 2
         |SETTINGS max_threads = 32""".stripMargin)),
 
+    // ASOF LEFT JOIN as CH text (join strictness in the grammar) over a
+    // pre-aggregated right side built by the same translator
+    "ch11_sql_asof" -> ((s, dir) => graft.chsql.ChSql.sql(s,
+      """SELECT event_id, o_orderkey
+        |FROM events
+        |ASOF LEFT JOIN (
+        |  SELECT o_custkey AS user_id, o_orderdate,
+        |         max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY user_id, o_orderdate) AS r
+        |  ON user_id = user_id AND ts >= o_orderdate
+        |ORDER BY event_id""".stripMargin) {
+        case "events" => events(s, dir).select("event_id", "user_id", "ts")
+        case n => tbl(s, dir, n)
+      }),
+
     // window functions as CH text: ranking + framed running sum + lag
     "ch10_sql_window" -> ((s, dir) => chsql(s, dir,
       """SELECT o_custkey, o_orderkey,
@@ -3054,6 +3069,15 @@ object Queries {
     "ch9_sql_scalar_sub" ->
       """SELECT count(*) AS n FROM orders
         |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) / 2""".stripMargin,
+
+    "ch11_sql_asof" ->
+      """WITH r AS (SELECT o_custkey AS user_id, o_orderdate,
+        |                  max(o_orderkey) AS o_orderkey
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT event_id, o_orderkey
+        |FROM events ASOF LEFT JOIN r
+        |  ON events.user_id = r.user_id AND r.o_orderdate <= events.ts
+        |ORDER BY event_id""".stripMargin,
 
     "ch10_sql_window" ->
       """SELECT o_custkey, o_orderkey,

@@ -220,6 +220,24 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.map(_(1)) == Seq(4, 2, 6, 5, 1, 3))
   }
 
+  test("ASOF LEFT JOIN: nearest right row at or before the left timestamp") {
+    import spark.implicits._
+    val quotes = Seq((10L, 100L, 1.0), (10L, 200L, 2.0), (20L, 150L, 9.0))
+      .toDF("cust", "qts", "px")
+    val r = ChSql.sql(spark,
+      """SELECT okey, px FROM trades
+        |ASOF LEFT JOIN quotes ON cust = cust AND tts >= qts
+        |ORDER BY okey""".stripMargin) {
+      case "trades" => Seq((1L, 10L, 150L), (2L, 10L, 250L), (3L, 20L, 100L))
+        .toDF("okey", "cust", "tts")
+      case "quotes" => quotes
+      case other => fail(s"unknown $other")
+    }.collect().map(row => (row.getLong(0), Option(row.get(1)))).toSeq
+    // trade 1 at 150 sees quote at 100; trade 2 at 250 sees 200; trade 3
+    // at 100 precedes all cust-20 quotes → null (LEFT semantics)
+    assert(r == Seq((1L, Some(1.0)), (2L, Some(2.0)), (3L, None)))
+  }
+
   test("distributed: translated plan pushes filter to scan on parquet") {
     val dir = java.nio.file.Files.createTempDirectory("chsql").toString
     orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
