@@ -2467,11 +2467,14 @@ object Queries {
       val docs = tbl(s, dir, "documents")
       val keepers = docs.groupBy(md5(col("text")).as("digest"))
         .agg(min(col("doc_id")).as("doc_id"))
-      val deduped = docs.join(keepers, Seq("doc_id"), "left_semi")
+      // referenced by both the LSH stage and the final keep-set: persist
+      // so the parquet scan + digest shuffle run once, not three times
+      val deduped = docs.join(keepers, Seq("doc_id"), "left_semi").persist()
       val pre = deduped
         .select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("hs"))
         .select(col("doc_id"), col("hs"),
           Dedup.minhashSignature(col("hs"), 16).as("sig"))
+        .persist() // three consumers: bands, h1, h2
       val cands = Dedup.lshCandidatePairs(
         Dedup.lshBands(pre, "doc_id", "sig", 2, 8), "doc_id")
       val nearDrops = cands

@@ -9,25 +9,50 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   * consumer. */
 object Sinks {
 
-  /** INTO OUTFILE: write in the given format; CH FORMAT names map to Spark
-    * datasource names (Parquet/CSV[WithNames]/JSONEachRow → json). */
+  /** INTO OUTFILE: write in the given format. The CH FORMAT family
+    * (formatClause, ClickHouseParser.py:1765-1775) maps onto Spark
+    * datasources where a faithful twin exists:
+    *  - Parquet / Native → parquet (Native is CH's binary columnar wire
+    *    format; parquet is the Spark-native columnar equivalent)
+    *  - CSV / CSVWithNames → csv (header on for WithNames)
+    *  - TabSeparated|TSV / TabSeparatedWithNames|TSVWithNames → csv with
+    *    a tab separator (CH's default text format)
+    *  - JSONEachRow → json (newline-delimited objects, same contract)
+    * `Pretty*` is a terminal rendering, not a storage format — use
+    * [[pretty]]. */
   def intoOutfile(
       df: DataFrame, path: String, format: String = "parquet",
       partitionBy: Seq[String] = Nil,
       mode: SaveMode = SaveMode.Overwrite,
       options: Map[String, String] = Map.empty
   ): Unit = {
-    val fmt = format.toLowerCase match {
+    val lower = format.toLowerCase
+    val fmt = lower match {
       case "csvwithnames" => "csv"
+      case "tabseparated" | "tsv" | "tabseparatedwithnames" |
+           "tsvwithnames" => "csv"
       case "jsoneachrow" => "json"
+      case "native" => "parquet"
       case f => f
     }
-    val w0 = df.write.mode(mode).options(options)
-    val w1 = if (format.toLowerCase == "csvwithnames")
-      w0.option("header", "true") else w0
-    val w2 = if (partitionBy.nonEmpty) w1.partitionBy(partitionBy: _*) else w1
-    w2.format(fmt).save(path)
+    val extra: Map[String, String] = lower match {
+      case "csvwithnames" => Map("header" -> "true")
+      case "tabseparated" | "tsv" => Map("sep" -> "\t")
+      case "tabseparatedwithnames" | "tsvwithnames" =>
+        Map("sep" -> "\t", "header" -> "true")
+      case _ => Map.empty
+    }
+    val w0 = df.write.mode(mode).options(options ++ extra)
+    val w1 = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
+    w1.format(fmt).save(path)
   }
+
+  /** CH `FORMAT Pretty` twin: the bordered ASCII table as a string (CH
+    * renders to the terminal; Spark's showString is the same contract).
+    * Driver-side by design — a terminal rendering is inherently a
+    * small-result surface, so `maxRows` caps the collect. */
+  def pretty(df: DataFrame, maxRows: Int = 100): String =
+    org.apache.spark.sql.graftbridge.ColumnBridge.showString(df, maxRows, 0)
 
   /** MV `TO db.table` destination: append into a (bucketed/partitioned)
     * table — the batch leg of StreamingOps.MaterializedView. */

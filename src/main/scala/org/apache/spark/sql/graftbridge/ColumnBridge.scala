@@ -10,4 +10,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Bridge to Dataset.showString (private[sql] in Spark 4) — the ASCII
+    * table renderer behind df.show(), needed for the FORMAT Pretty twin. */
+  def showString(df: org.apache.spark.sql.DataFrame, numRows: Int,
+      truncate: Int): String =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .showString(numRows, truncate, vertical = false)
 }

@@ -105,6 +105,10 @@ class ChSqlSpec extends AnyFunSuite {
     val r2 = run(
       "SELECT okey FROM orders WHERE cust NOT IN (SELECT cust FROM custs WHERE nat = 2) AND price > 100 ORDER BY okey")
     assert(r2 == Seq(Seq(2L)))
+    // GLOBAL IN is the distributed-subquery spelling of the same thing
+    val r3 = run(
+      "SELECT okey FROM orders WHERE cust GLOBAL IN (SELECT cust FROM custs WHERE nat = 2) ORDER BY okey")
+    assert(r3 == Seq(Seq(5L), Seq(6L)))
   }
 
   test("scalar subquery evaluates once") {

@@ -75,6 +75,29 @@ class DdlSurfaceSpec extends AnyFunSuite {
       .exists(_.getName.startsWith("b=")))
   }
 
+  test("FORMAT family: TabSeparated[WithNames], Native alias, Pretty render") {
+    import graft.sources.Sinks
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    val df = spark.sql("SELECT id, name FROM graft_ddl.t")
+    val n = df.count()
+    Sinks.intoOutfile(df, s"$dir/tsv", "TabSeparated")
+    Sinks.intoOutfile(df, s"$dir/tsvn", "TSVWithNames")
+    Sinks.intoOutfile(df, s"$dir/nat", "Native")
+    assert(spark.read.option("sep", "\t").csv(s"$dir/tsv").count() == n)
+    val tsvn = spark.read.options(Map("sep" -> "\t", "header" -> "true"))
+      .csv(s"$dir/tsvn")
+    assert(tsvn.count() == n && tsvn.columns.toSeq == Seq("id", "name"))
+    assert(spark.read.parquet(s"$dir/nat").count() == n)
+    // the raw file really is tab-separated text
+    val tsvFile = new java.io.File(s"$dir/tsv").listFiles()
+      .filter(_.getName.endsWith(".csv")).head
+    val firstLine = scala.io.Source.fromFile(tsvFile).getLines().next()
+    assert(firstLine.contains("\t"))
+    val rendered = Sinks.pretty(df.orderBy("id"), 10)
+    assert(rendered.contains("+") && rendered.contains("id") &&
+      rendered.contains("name"))
+  }
+
   test("ORDER BY (sorted write) and TTL (partition retention) mappings") {
     import graft.sources.Sinks
     import org.apache.spark.sql.functions._

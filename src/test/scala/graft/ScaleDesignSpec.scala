@@ -109,6 +109,25 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(rows(dist) == rows(glob))
   }
 
+  test("CH-SQL translator emits the hand-built plan shape: pushdown + partial agg") {
+    // the text front end must add ZERO execution overhead — the plan for
+    // ch1 (CH text) has to look like the plan a hand-authored DataFrame
+    // chain would get: filter pushed into the scan, pruned read schema,
+    // partial+final aggregation, nothing extra
+    val df = Queries.all("ch1_sql_agg")(spark, sf)
+    val plan = df.queryExecution.executedPlan
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    assert(scans.head.metadata.get("PushedFilters").exists(_.contains("LessThanOrEqual")))
+    assert(scans.head.requiredSchema.fieldNames.toSet ==
+      Set("l_returnflag", "l_linestatus", "l_quantity", "l_shipdate"))
+    val aggs = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a }
+    assert(aggs.size == 2, s"expected partial+final aggregate, got ${aggs.size}")
+    assert(shuffleCount(df) <= 2) // one for the groupBy, one for the orderBy
+  }
+
   test("LSH hot-bucket cap: sizing is aggregate+broadcast-anti-join, never a window") {
     // a window count over (band_id, band_hash) would buffer the entire
     // skewed bucket through one sort task — the exact failure the cap
