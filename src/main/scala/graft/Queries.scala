@@ -2954,6 +2954,14 @@ object Queries {
         case n => tbl(s, dir, n)
       }),
 
+    // ORDER BY ... WITH FILL STEP as CH text: densify a sparse key axis
+    "ch12_sql_with_fill" -> ((s, dir) => chsql(s, dir,
+      """SELECT o_custkey AS k, count() AS n
+        |FROM orders
+        |WHERE o_custkey % 97 = 0
+        |GROUP BY k
+        |ORDER BY k WITH FILL STEP 97""".stripMargin)),
+
     // window functions as CH text: ranking + framed running sum + lag
     "ch10_sql_window" -> ((s, dir) => chsql(s, dir,
       """SELECT o_custkey, o_orderkey,
@@ -3072,6 +3080,14 @@ object Queries {
     "ch9_sql_scalar_sub" ->
       """SELECT count(*) AS n FROM orders
         |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) / 2""".stripMargin,
+
+    "ch12_sql_with_fill" ->
+      """WITH g AS (SELECT o_custkey AS k, count(*) AS n
+        |  FROM orders WHERE o_custkey % 97 = 0 GROUP BY 1),
+        |b AS (SELECT min(k) AS lo, max(k) AS hi FROM g),
+        |axis AS (SELECT unnest(generate_series(lo, hi, 97)) AS k FROM b)
+        |SELECT axis.k AS k, g.n AS n
+        |FROM axis LEFT JOIN g ON axis.k = g.k ORDER BY k""".stripMargin,
 
     "ch11_sql_asof" ->
       """WITH r AS (SELECT o_custkey AS user_id, o_orderdate,

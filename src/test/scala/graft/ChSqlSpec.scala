@@ -224,6 +224,40 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.map(_(1)) == Seq(4, 2, 6, 5, 1, 3))
   }
 
+  test("ORDER BY WITH FILL densifies the axis; FROM/TO override bounds") {
+    val r = run(
+      """SELECT cust AS k, count() AS n FROM orders GROUP BY k
+        |ORDER BY k WITH FILL STEP 10""".stripMargin)
+    assert(r.map(_.head) == Seq(10L, 20L, 30L))
+    val r2 = run(
+      """SELECT cust AS k, count() AS n FROM orders GROUP BY k
+        |ORDER BY k WITH FILL FROM 10 TO 51 STEP 10""".stripMargin)
+    assert(r2.map(_.head) == Seq(10L, 20L, 30L, 40L, 50L))
+    assert(r2.map(_(1)) == Seq(2L, 2L, 2L, null, null))
+  }
+
+  test("ANY LEFT JOIN keeps exactly one deterministic match per key") {
+    import spark.implicits._
+    val multi = Seq((10L, "x"), (10L, "a"), (20L, "z")).toDF("cust", "tag")
+    val r = ChSql.sql(spark,
+      "SELECT okey, tag FROM orders ANY LEFT JOIN tags USING (cust) ORDER BY okey") {
+      case "orders" => orders
+      case "tags" => multi
+      case other => fail(s"unknown $other")
+    }.collect().map(row => (row.getLong(0), row.getString(1))).toSeq
+    // cust 10 has two right rows; the pick-ascending winner is "a"
+    assert(r.filter(_._1 <= 2) == Seq((1L, "a"), (2L, "a")))
+    assert(r.count(_._1 == 1L) == 1) // no fan-out
+  }
+
+  test("sum(DISTINCT) maps, DISTINCT inside unsupported aggregates fails loudly") {
+    val r = run("SELECT CAST(sum(DISTINCT price) AS Float64) AS s FROM orders")
+    assert(r == Seq(Seq(1095.0)))
+    intercept[IllegalArgumentException] {
+      run("SELECT avg(DISTINCT price) FROM orders")
+    }
+  }
+
   test("ASOF LEFT JOIN: nearest right row at or before the left timestamp") {
     import spark.implicits._
     val quotes = Seq((10L, 100L, 1.0), (10L, 200L, 2.0), (20L, 150L, 9.0))
