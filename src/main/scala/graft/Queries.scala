@@ -2954,6 +2954,16 @@ object Queries {
         case n => tbl(s, dir, n)
       }),
 
+    // parametric topK(k)(x) as CH text — TypedImperativeAggregate (exact
+    // tier: freq desc, value asc, so cross-engine hash-verifiable)
+    "ch13_sql_topk" -> ((s, dir) => chsql(s, dir,
+      """SELECT l_returnflag,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    topK(3)(CAST(l_quantity AS Int64))), ',') AS top_q
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)),
+
     // ORDER BY ... WITH FILL STEP as CH text: densify a sparse key axis
     "ch12_sql_with_fill" -> ((s, dir) => chsql(s, dir,
       """SELECT o_custkey AS k, count() AS n
@@ -3080,6 +3090,16 @@ object Queries {
     "ch9_sql_scalar_sub" ->
       """SELECT count(*) AS n FROM orders
         |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) / 2""".stripMargin,
+
+    "ch13_sql_topk" ->
+      """WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v,
+        |    count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT l_returnflag, v, row_number() OVER (
+        |    PARTITION BY l_returnflag ORDER BY n DESC, v) AS rn FROM c)
+        |SELECT l_returnflag,
+        |  array_to_string(list(CAST(v AS VARCHAR) ORDER BY rn), ',') AS top_q
+        |FROM r WHERE rn <= 3 GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "ch12_sql_with_fill" ->
       """WITH g AS (SELECT o_custkey AS k, count(*) AS n

@@ -62,7 +62,12 @@ object GraftFunctions {
       info("graft_sequence_count",
         "non-overlapping complete-chain count over a sorted encoded event array"),
       (es: Seq[Expression]) => SequenceCountAgg(es(0),
-        es(1).eval().asInstanceOf[Int])))
+        es(1).eval().asInstanceOf[Int])),
+    ("graft_top_k",
+      info("graft_top_k",
+        "k most frequent values (freq desc, value asc) — CH topK exact tier"),
+      (es: Seq[Expression]) => TopKAgg(es(0),
+        es(1).eval().asInstanceOf[Int]).toAggregateExpression()))
 
   /** Register into a live session's function registry. */
   def register(spark: SparkSession): Unit =

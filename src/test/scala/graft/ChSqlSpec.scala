@@ -236,6 +236,19 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r2.map(_(1)) == Seq(2L, 2L, 2L, null, null))
   }
 
+  test("topK aggregate: freq desc then value asc, exercised across partitions") {
+    import spark.implicits._
+    // 4 partitions force serialize/merge of the partial count maps
+    val vals = spark.sparkContext
+      .parallelize(Seq("b", "b", "b", "a", "a", "c", "c", "d"), 4).toDF("v")
+    val r = ChSql.sql(spark,
+      "SELECT arrayStringConcat(topK(3)(v), ',') AS t FROM vals") {
+      case "vals" => vals
+      case other => fail(s"unknown $other")
+    }.head().getString(0)
+    assert(r == "b,a,c") // b:3, then a:2 before c:2 (value asc), d dropped
+  }
+
   test("ANY LEFT JOIN keeps exactly one deterministic match per key") {
     import spark.implicits._
     val multi = Seq((10L, "x"), (10L, "a"), (20L, "z")).toDF("cust", "tag")

@@ -58,4 +58,12 @@ class ExtensionsSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(nc == 2L)
   }
+
+  test("graft_top_k aggregate in SQL") {
+    GraftFunctions.register(spark)
+    val top = spark.sql(
+      "SELECT graft_top_k(v, 2) FROM VALUES ('a'), ('b'), ('a'), ('c') AS t(v)")
+      .head().getSeq[String](0)
+    assert(top == Seq("a", "b")) // a:2, then b before c at count 1
+  }
 }
