@@ -77,6 +77,18 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r == Seq(Seq(5L)))
   }
 
+  test("generic -If combinator works on any aggregate name") {
+    val r = run(
+      """SELECT uniqIf(cust, status = 'A') AS u,
+        |  argMaxIf(okey, price, status = 'A') AS am,
+        |  groupUniqArrayIf(status, price > 200) AS gs
+        |FROM orders""".stripMargin)
+    // custs with an 'A' order: 10, 20, 30 → 3; best 'A' price is okey 6
+    assert(r.head.take(2) == Seq(3L, 6L))
+    assert(r.head(2).asInstanceOf[scala.collection.Seq[String]].toSeq.sorted ==
+      Seq("B", "C"))
+  }
+
   test("parametric quantile") {
     val r = run("SELECT quantile(0.5)(price) AS med FROM orders")
     assert(r == Seq(Seq(110.0)))
