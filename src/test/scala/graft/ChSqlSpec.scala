@@ -215,6 +215,27 @@ class ChSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("malformed inputs fail with parse errors, not obscure crashes") {
+    for (bad <- Seq(
+      "",                                       // empty
+      "SELEC okey FROM orders",                 // typo keyword
+      "SELECT FROM orders",                     // missing select list
+      "SELECT okey FROM",                       // missing relation
+      "SELECT okey FROM orders WHERE",          // dangling clause
+      "SELECT (okey FROM orders",               // unbalanced paren
+      "SELECT okey FROM orders GROUP BY",       // dangling group by
+      "SELECT okey FROM orders LIMIT x",        // non-integer limit
+      "SELECT okey FROM orders trailing junk ;" // trailing tokens
+    )) {
+      val e = intercept[IllegalArgumentException] { run(bad) }
+      assert(e.getMessage.contains("ChSql") || e.getMessage.nonEmpty)
+    }
+    // non-aggregate item outside GROUP BY is a planning error
+    intercept[IllegalArgumentException] {
+      run("SELECT okey, sum(price) AS s FROM orders GROUP BY cust")
+    }
+  }
+
   test("window functions: row_number, rank, running sum with frame, lag") {
     val r = run(
       """SELECT okey,
