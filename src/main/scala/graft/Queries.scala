@@ -2954,6 +2954,23 @@ object Queries {
         case n => tbl(s, dir, n)
       }),
 
+    // composite text query: FROM-subquery + IN-subquery + date function +
+    // generic -If + HAVING + LIMIT in one statement — the realistic shape
+    // a reference user would paste in
+    "ch14_sql_integration" -> ((s, dir) => chsql(s, dir,
+      """SELECT yr, status, count() AS n,
+        |  CAST(sum(CAST(o_totalprice AS Decimal(18, 2))) AS Float64) AS rev,
+        |  uniqIf(o_custkey, o_totalprice > 200000) AS big_custs
+        |FROM (SELECT toYear(o_orderdate) AS yr, o_orderstatus AS status,
+        |        o_totalprice, o_custkey
+        |      FROM orders
+        |      WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                          WHERE c_acctbal > 0))
+        |GROUP BY yr, status
+        |HAVING count() > 50
+        |ORDER BY yr, status
+        |LIMIT 20""".stripMargin)),
+
     // parametric topK(k)(x) as CH text — TypedImperativeAggregate (exact
     // tier: freq desc, value asc, so cross-engine hash-verifiable)
     "ch13_sql_topk" -> ((s, dir) => chsql(s, dir,
@@ -3090,6 +3107,19 @@ object Queries {
     "ch9_sql_scalar_sub" ->
       """SELECT count(*) AS n FROM orders
         |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) / 2""".stripMargin,
+
+    "ch14_sql_integration" ->
+      """SELECT year(o_orderdate) AS yr, o_orderstatus AS status,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+        |  count(DISTINCT CASE WHEN o_totalprice > 200000
+        |    THEN o_custkey END) AS big_custs
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+        |GROUP BY yr, status
+        |HAVING count(*) > 50
+        |ORDER BY yr, status
+        |LIMIT 20""".stripMargin,
 
     "ch13_sql_topk" ->
       """WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v,
