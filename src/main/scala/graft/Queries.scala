@@ -2954,6 +2954,15 @@ object Queries {
         case n => tbl(s, dir, n)
       }),
 
+    // WITH FILL ... INTERPOLATE as CH text: carry counts forward across
+    // the filled gaps (bucketed carry, no global window)
+    "ch15_sql_interpolate" -> ((s, dir) => chsql(s, dir,
+      """SELECT o_custkey AS k, count() AS n
+        |FROM orders
+        |WHERE o_custkey % 97 = 0
+        |GROUP BY k
+        |ORDER BY k WITH FILL STEP 97 INTERPOLATE (n)""".stripMargin)),
+
     // composite text query: FROM-subquery + IN-subquery + date function +
     // generic -If + HAVING + LIMIT in one statement — the realistic shape
     // a reference user would paste in
@@ -3107,6 +3116,17 @@ object Queries {
     "ch9_sql_scalar_sub" ->
       """SELECT count(*) AS n FROM orders
         |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) / 2""".stripMargin,
+
+    "ch15_sql_interpolate" ->
+      """WITH g AS (SELECT o_custkey AS k, count(*) AS n
+        |  FROM orders WHERE o_custkey % 97 = 0 GROUP BY 1),
+        |b AS (SELECT min(k) AS lo, max(k) AS hi FROM g),
+        |axis AS (SELECT unnest(generate_series(lo, hi, 97)) AS k FROM b),
+        |j AS (SELECT axis.k AS k, g.n AS n FROM axis LEFT JOIN g ON axis.k = g.k)
+        |SELECT k, coalesce(last_value(n IGNORE NULLS) OVER (
+        |    ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  0) AS n
+        |FROM j ORDER BY k""".stripMargin,
 
     "ch14_sql_integration" ->
       """SELECT year(o_orderdate) AS yr, o_orderstatus AS status,

@@ -184,6 +184,18 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r == Seq(Seq("abc", "ell", 3, 199703, 4.0, 3L, 1)))
   }
 
+  test("ternary operator and extended function mappings") {
+    val r = run(
+      """SELECT okey, price > 200 ? 'hi' : 'lo' AS bucket,
+        |  toQuarter(d) AS q, toDayOfYear(d) AS doy,
+        |  intDivOrZero(10, 0) AS z, moduloOrZero(10, 0) AS mz,
+        |  round(exp2(3.0)) AS e2
+        |FROM orders WHERE okey <= 2 ORDER BY okey""".stripMargin)
+    assert(r == Seq(
+      Seq(1L, "lo", 1, 5, 0L, 0L, 8.0),
+      Seq(2L, "hi", 1, 41, 0L, 0L, 8.0)))
+  }
+
   test("tuple literal + element access, array literal + index") {
     val r = run("SELECT (1, 'x').1 AS t1, [10, 20, 30][2] AS a2 FROM orders LIMIT 1")
     assert(r == Seq(Seq(1, 20)))
@@ -280,6 +292,14 @@ class ChSqlSpec extends AnyFunSuite {
       case other => fail(s"unknown $other")
     }.head().getString(0)
     assert(r == "b,a,c") // b:3, then a:2 before c:2 (value asc), d dropped
+  }
+
+  test("WITH FILL INTERPOLATE carries values across filled gaps") {
+    val r = run(
+      """SELECT cust AS k, count() AS n FROM orders GROUP BY k
+        |ORDER BY k WITH FILL FROM 10 TO 51 STEP 10 INTERPOLATE (n)""".stripMargin)
+    assert(r.map(_.head) == Seq(10L, 20L, 30L, 40L, 50L))
+    assert(r.map(_(1)) == Seq(2L, 2L, 2L, 2L, 2L)) // 40/50 carry 30's count
   }
 
   test("ANY LEFT JOIN keeps exactly one deterministic match per key") {
