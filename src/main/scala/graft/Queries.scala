@@ -2954,6 +2954,13 @@ object Queries {
         case n => tbl(s, dir, n)
       }),
 
+    // date-axis WITH FILL via an INTERVAL step, as CH text
+    "ch16_sql_fill_dates" -> ((s, dir) => chsql(s, dir,
+      """SELECT d, n FROM (
+        |  SELECT toDate(o_orderdate) AS d, count() AS n
+        |  FROM orders WHERE o_custkey < 20 GROUP BY d)
+        |ORDER BY d WITH FILL STEP INTERVAL 1 day""".stripMargin)),
+
     // WITH FILL ... INTERPOLATE as CH text: carry counts forward across
     // the filled gaps (bucketed carry, no global window)
     "ch15_sql_interpolate" -> ((s, dir) => chsql(s, dir,
@@ -3116,6 +3123,15 @@ object Queries {
     "ch9_sql_scalar_sub" ->
       """SELECT count(*) AS n FROM orders
         |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) / 2""".stripMargin,
+
+    "ch16_sql_fill_dates" ->
+      """WITH g AS (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n
+        |  FROM orders WHERE o_custkey < 20 GROUP BY 1),
+        |b AS (SELECT min(d) AS lo, max(d) AS hi FROM g),
+        |axis AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+        |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d FROM b)
+        |SELECT axis.d AS d, g.n AS n
+        |FROM axis LEFT JOIN g ON axis.d = g.d ORDER BY d""".stripMargin,
 
     "ch15_sql_interpolate" ->
       """WITH g AS (SELECT o_custkey AS k, count(*) AS n
