@@ -157,6 +157,37 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r == Seq(Seq(3L), Seq(4L)))
   }
 
+  test("intersect / except set operations") {
+    // A-status custs {10,20,30} ∩ price>100 custs {10,30} = {10,30}
+    val r = run(
+      """SELECT cust FROM orders WHERE status = 'A'
+        |INTERSECT SELECT cust FROM orders WHERE price > 100
+        |ORDER BY cust""".stripMargin)
+    assert(r == Seq(Seq(10L), Seq(30L)))
+    // and the complement via EXCEPT
+    val r2 = run(
+      """SELECT cust FROM orders WHERE status = 'A'
+        |EXCEPT SELECT cust FROM orders WHERE price > 100
+        |ORDER BY cust""".stripMargin)
+    assert(r2 == Seq(Seq(20L)))
+  }
+
+  test("limit comma form and OFFSET") {
+    // CH `LIMIT offset, count`
+    val r = run("SELECT okey FROM orders ORDER BY okey LIMIT 2, 3")
+    assert(r == Seq(Seq(3L), Seq(4L), Seq(5L)))
+    val r2 = run("SELECT okey FROM orders ORDER BY okey LIMIT 2 OFFSET 4")
+    assert(r2 == Seq(Seq(5L), Seq(6L)))
+  }
+
+  test("PREWHERE accepts IN-subquery conjuncts") {
+    val r = run(
+      """SELECT okey FROM orders
+        |PREWHERE cust IN (SELECT cust FROM custs WHERE nat = 1) AND price < 100
+        |ORDER BY okey""".stripMargin)
+    assert(r == Seq(Seq(3L), Seq(4L)))
+  }
+
   test("union all / distinct") {
     val r = run(
       """SELECT status FROM orders WHERE cust = 10

@@ -128,6 +128,15 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(shuffleCount(df) <= 2) // one for the groupBy, one for the orderBy
   }
 
+  test("hyperplane bucketing is the single native expression, not per-plane HOFs") {
+    // the interpreted form ran nPlanes zip_with+aggregate passes per row;
+    // the native HyperplaneBucket computes every sign bit in one traversal
+    val plan = Queries.all("v6_embed_neardup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("hyperplanebucket"))
+    assert(!plan.contains("zip_with"), "per-plane interpreted HOF pass is back")
+  }
+
   test("LSH hot-bucket cap: sizing is aggregate+broadcast-anti-join, never a window") {
     // a window count over (band_id, band_hash) would buffer the entire
     // skewed bucket through one sort task — the exact failure the cap
