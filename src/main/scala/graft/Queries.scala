@@ -2954,6 +2954,25 @@ object Queries {
         case n => tbl(s, dir, n)
       }),
 
+    // behavioral aggregates as CH text: the sequenceMatch pattern
+    // sublanguage (adjacency, time-bound) + any-gap sequenceCount, per
+    // user in one GROUP BY — the reference grammar's parametric-function
+    // form end-to-end
+    "ch17_sql_sequence" -> ((s, dir) => graft.chsql.ChSql.sql(s,
+      """SELECT user_id,
+        |  sequenceMatch('(?1)(?2)')(ts,
+        |    event_type = 'view', event_type = 'click') AS m_adj,
+        |  sequenceMatch('(?1)(?t<=7200)(?2)')(ts,
+        |    event_type = 'view', event_type = 'purchase') AS m_tb,
+        |  sequenceCount('(?1).*(?2)')(ts,
+        |    event_type = 'signup', event_type = 'purchase') AS n_chains
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) {
+        case "events" => events(s, dir).select("user_id", "ts", "event_type")
+        case n => tbl(s, dir, n)
+      }),
+
     // date-axis WITH FILL via an INTERVAL step, as CH text
     "ch16_sql_fill_dates" -> ((s, dir) => chsql(s, dir,
       """SELECT d, n FROM (
@@ -3123,6 +3142,43 @@ object Queries {
     "ch9_sql_scalar_sub" ->
       """SELECT count(*) AS n FROM orders
         |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) / 2""".stripMargin,
+
+    // adjacency + time-bound replay borrowed from e14; 2-step greedy
+    // automaton replay borrowed from e11 (completion at level 1)
+    "ch17_sql_sequence" ->
+      """WITH ev AS (SELECT user_id, ts, event_type,
+        |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 ELSE 0 END AS s_adj
+        |  FROM events),
+        |nx AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, s_adj) AS nxt
+        |  FROM ev),
+        |adj AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'view' AND nxt = 'click' THEN 1 ELSE 0 END) AS m
+        |  FROM nx GROUP BY user_id),
+        |tb AS (SELECT DISTINCT a.user_id FROM events a JOIN events b
+        |    ON a.user_id = b.user_id
+        |   AND a.event_type = 'view' AND b.event_type = 'purchase'
+        |   AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR),
+        |sc AS (SELECT user_id,
+        |    epoch_us(ts) * 10 + (CASE event_type WHEN 'signup' THEN 0
+        |      WHEN 'purchase' THEN 1 END) AS e
+        |  FROM events WHERE event_type IN ('signup', 'purchase')),
+        |scagg AS (SELECT user_id, list_sort(list(e)) AS evs FROM sc GROUP BY user_id),
+        |scst AS (SELECT user_id, list_reduce(
+        |  list_prepend([CAST(0 AS BIGINT), 0], list_transform(evs, x -> [x, 0])),
+        |  (acc, xx) -> CASE WHEN xx[1] % 10 = acc[2]
+        |    THEN CASE WHEN acc[2] = 1 THEN [acc[1] + 1, 0]
+        |              ELSE [acc[1], acc[2] + 1] END
+        |    ELSE acc END) AS f FROM scagg)
+        |SELECT u.user_id,
+        |  coalesce(adj.m, 0) = 1 AS m_adj,
+        |  tb.user_id IS NOT NULL AS m_tb,
+        |  coalesce(scst.f[1], 0) AS n_chains
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN adj ON u.user_id = adj.user_id
+        |LEFT JOIN tb ON u.user_id = tb.user_id
+        |LEFT JOIN scst ON u.user_id = scst.user_id
+        |ORDER BY u.user_id""".stripMargin,
 
     "ch16_sql_fill_dates" ->
       """WITH g AS (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n

@@ -227,6 +227,30 @@ class ChSqlSpec extends AnyFunSuite {
       Seq(2L, "hi", 1, 41, 0L, 0L, 8.0)))
   }
 
+  test("sequenceMatch pattern sublanguage as a text aggregate") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 100L, "a"), (1L, 200L, "b"),               // adjacent a,b
+      (2L, 100L, "a"), (2L, 150L, "x"), (2L, 200L, "b"), // x breaks adjacency
+      (3L, 100L, "a"))
+      .toDF("u", "t", "et")
+      .select(col("u"), timestamp_micros(col("t")).as("ts"), col("et"))
+    def q(pat: String) = ChSql.sql(spark,
+      s"""SELECT u, sequenceMatch('$pat')(ts, et = 'a', et = 'b') AS m
+         |FROM ev GROUP BY u ORDER BY u""".stripMargin) {
+      case "ev" => ev
+      case other => fail(s"unknown $other")
+    }.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(q("(?1)(?2)") == Map(1L -> true, 2L -> false, 3L -> false))
+    assert(q("(?1).*(?2)") == Map(1L -> true, 2L -> true, 3L -> false))
+    // 1s time bound: u1 delta is 100us, passes; u2 any-gap within bound
+    assert(q("(?1)(?t<=1)(?2)") == Map(1L -> true, 2L -> true, 3L -> false))
+    // malformed patterns fail loudly
+    intercept[IllegalArgumentException] { q("(?2)(?1)") }
+    intercept[IllegalArgumentException] { q("") }
+    intercept[IllegalArgumentException] { q("(?1)(?t<=") }
+  }
+
   test("tuple literal + element access, array literal + index") {
     val r = run("SELECT (1, 'x').1 AS t1, [10, 20, 30][2] AS a2 FROM orders LIMIT 1")
     assert(r == Seq(Seq(1, 20)))
