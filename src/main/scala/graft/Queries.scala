@@ -2954,6 +2954,19 @@ object Queries {
         case n => tbl(s, dir, n)
       }),
 
+    // windowFunnel as CH text: per-user funnel depth within a 3-day
+    // window, distribution over levels — e9's query via the front end
+    "ch18_sql_funnel" -> ((s, dir) => graft.chsql.ChSql.sql(s,
+      """SELECT level, count() AS n FROM (
+        |  SELECT user_id, windowFunnel(259200)(ts,
+        |    event_type = 'signup', event_type = 'click',
+        |    event_type = 'purchase') AS level
+        |  FROM events GROUP BY user_id)
+        |GROUP BY level ORDER BY level""".stripMargin) {
+        case "events" => events(s, dir).select("user_id", "ts", "event_type")
+        case n => tbl(s, dir, n)
+      }),
+
     // behavioral aggregates as CH text: the sequenceMatch pattern
     // sublanguage (adjacency, time-bound) + any-gap sequenceCount, per
     // user in one GROUP BY — the reference grammar's parametric-function
@@ -3142,6 +3155,10 @@ object Queries {
     "ch9_sql_scalar_sub" ->
       """SELECT count(*) AS n FROM orders
         |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) / 2""".stripMargin,
+
+    // identical result contract to the operator-level entry — the text
+    // form must reproduce e9's funnel distribution exactly
+    "ch18_sql_funnel" -> oracles9("e9_window_funnel"),
 
     // adjacency + time-bound replay borrowed from e14; 2-step greedy
     // automaton replay borrowed from e11 (completion at level 1)
