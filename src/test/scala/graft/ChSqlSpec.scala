@@ -397,6 +397,18 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r == Seq((1L, Some(1.0)), (2L, Some(2.0)), (3L, None)))
   }
 
+  test("INTO OUTFILE ... FORMAT writes through the sink and returns rows") {
+    val dir = java.nio.file.Files.createTempDirectory("chsql_out").toString
+    val r = run(
+      s"""SELECT okey, price FROM orders WHERE price > 100
+         |ORDER BY okey
+         |INTO OUTFILE '$dir/hi' FORMAT TSVWithNames""".stripMargin)
+    assert(r.map(_.head) == Seq(2L, 5L, 6L))
+    val back = spark.read.options(Map("sep" -> "\t", "header" -> "true"))
+      .csv(s"$dir/hi")
+    assert(back.count() == 3 && back.columns.toSeq == Seq("okey", "price"))
+  }
+
   test("distributed: translated plan pushes filter to scan on parquet") {
     val dir = java.nio.file.Files.createTempDirectory("chsql").toString
     orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
