@@ -3050,6 +3050,63 @@ object Queries {
         |WHERE o_custkey < 200
         |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    // GROUP BY ROLLUP(...) as CH text — lowers onto Spark's grouping-set
+    // aggregation, super-aggregate rows carry NULL keys
+    "ch19_sql_rollup" -> ((s, dir) => chsql(s, dir,
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS Decimal(18, 2))) AS Float64) AS sum_qty,
+        |  count() AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    // the WITH CUBE modifier form (GROUP BY a, b WITH CUBE)
+    "ch20_sql_cube" -> ((s, dir) => chsql(s, dir,
+      """SELECT o_orderstatus, o_orderpriority, count() AS n,
+        |  CAST(sum(CAST(o_totalprice AS Decimal(18, 2))) AS Float64) AS total
+        |FROM orders
+        |GROUP BY o_orderstatus, o_orderpriority WITH CUBE
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
+    // GROUP BY GROUPING SETS ((..), (..), ()) as CH text
+    "ch21_sql_grouping_sets" -> ((s, dir) => chsql(s, dir,
+      """SELECT l_returnflag, l_linestatus, count() AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    // LIMIT n WITH TIES as CH text (two-pass cutoff, no global window);
+    // outer query pins a total output order for the gate
+    "ch22_sql_ties" -> ((s, dir) => chsql(s, dir,
+      """SELECT pk, price FROM (
+        |  SELECT p_partkey AS pk, p_retailprice AS price FROM part
+        |  ORDER BY price DESC LIMIT 5 WITH TIES)
+        |ORDER BY price DESC, pk""".stripMargin)),
+
+    // SAMPLE k/m as CH text — deterministic key-bucket sampling; the key
+    // column rides in SETTINGS (parquet has no SAMPLE BY clause)
+    "ch23_sql_sample" -> ((s, dir) => chsql(s, dir,
+      """SELECT count() AS n,
+        |  CAST(sum(CAST(l_quantity AS Decimal(18, 2))) AS Float64) AS sum_qty
+        |FROM lineitem SAMPLE 2/10
+        |SETTINGS graft_sample_key = 'l_orderkey'""".stripMargin)),
+
+    // EXISTS / NOT EXISTS subqueries (uncorrelated, eager boolean)
+    "ch24_sql_exists" -> ((s, dir) => chsql(s, dir,
+      """SELECT o_orderstatus, count() AS n FROM orders
+        |WHERE EXISTS (SELECT 1 FROM customer WHERE c_acctbal > 9999)
+        |  AND NOT EXISTS (SELECT 1 FROM customer WHERE c_acctbal > 999999)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // ORDER BY ... COLLATE 'ci' as CH text — case-insensitive ordering on
+    // a mixed-case computed column, partkey tiebreak for a total order
+    "ch25_sql_collate" -> ((s, dir) => chsql(s, dir,
+      """SELECT s, pk FROM (
+        |  SELECT if(p_partkey % 2 = 0, upper(p_name), p_name) AS s,
+        |         p_partkey AS pk
+        |  FROM part WHERE p_partkey <= 200)
+        |ORDER BY s COLLATE 'ci', pk""".stripMargin)),
+
     // adaptive histogram tier: quantile-seeded equi-depth bins — the
     // deterministic twin of CH's merge-order-dependent streaming bins
     "q90_adaptive_histogram" -> ((s, dir) =>
@@ -3155,6 +3212,52 @@ object Queries {
     "ch9_sql_scalar_sub" ->
       """SELECT count(*) AS n FROM orders
         |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) / 2""".stripMargin,
+
+    "ch19_sql_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "ch20_sql_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "ch21_sql_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "ch22_sql_ties" ->
+      """SELECT pk, price FROM (
+        |  SELECT p_partkey AS pk, p_retailprice AS price,
+        |    rank() OVER (ORDER BY p_retailprice DESC) AS rk FROM part)
+        |WHERE rk <= 5 ORDER BY price DESC, pk""".stripMargin,
+
+    "ch23_sql_sample" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey % 10 >= 0 AND l_orderkey % 10 < 2""".stripMargin,
+
+    "ch24_sql_exists" ->
+      """SELECT o_orderstatus, count(*) AS n FROM orders
+        |WHERE EXISTS (SELECT 1 FROM customer WHERE c_acctbal > 9999)
+        |  AND NOT EXISTS (SELECT 1 FROM customer WHERE c_acctbal > 999999)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "ch25_sql_collate" ->
+      """SELECT s, pk FROM (
+        |  SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_name) ELSE p_name END AS s,
+        |         p_partkey AS pk
+        |  FROM part WHERE p_partkey <= 200)
+        |ORDER BY lower(s), pk""".stripMargin,
 
     // identical result contract to the operator-level entry — the text
     // form must reproduce e9's funnel distribution exactly

@@ -397,6 +397,79 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r == Seq((1L, Some(1.0)), (2L, Some(2.0)), (3L, None)))
   }
 
+  test("GROUP BY ROLLUP adds super-aggregate rows with NULL keys") {
+    val r = run(
+      """SELECT status, count() AS n FROM orders
+        |GROUP BY ROLLUP(status) ORDER BY status NULLS FIRST""".stripMargin)
+    assert(r == Seq(Seq(null, 6L), Seq("A", 4L), Seq("B", 1L), Seq("C", 1L)))
+  }
+
+  test("GROUP BY ... WITH ROLLUP modifier form matches ROLLUP(...)") {
+    val a = run("SELECT status, count() AS n FROM orders GROUP BY status WITH ROLLUP ORDER BY status NULLS FIRST")
+    val b = run("SELECT status, count() AS n FROM orders GROUP BY ROLLUP(status) ORDER BY status NULLS FIRST")
+    assert(a == b)
+  }
+
+  test("GROUP BY CUBE over two keys emits all 2^2 grouping combinations") {
+    val r = run(
+      """SELECT status, cust, count() AS n FROM orders
+        |WHERE status IN ('B', 'C')
+        |GROUP BY CUBE(status, cust)
+        |ORDER BY status NULLS FIRST, cust NULLS FIRST""".stripMargin)
+    assert(r == Seq(
+      Seq(null, null, 2L), Seq(null, 10L, 1L), Seq(null, 30L, 1L),
+      Seq("B", null, 1L), Seq("B", 10L, 1L),
+      Seq("C", null, 1L), Seq("C", 30L, 1L)))
+  }
+
+  test("GROUP BY GROUPING SETS picks exactly the listed sets") {
+    val r = run(
+      """SELECT status, cust, count() AS n FROM orders
+        |GROUP BY GROUPING SETS ((status), (cust), ())
+        |ORDER BY status NULLS FIRST, cust NULLS FIRST""".stripMargin)
+    // sets: by status (3 rows), by cust (3 rows), grand total (1 row)
+    assert(r.length == 7)
+    assert(r.head == Seq(null, null, 6L))
+    assert(r.count(x => x(0) == null && x(1) != null) == 3)
+    assert(r.count(x => x(0) != null && x(1) == null) == 3)
+  }
+
+  test("LIMIT n WITH TIES extends past n over equal ordering tuples") {
+    val r = run("SELECT okey, cust FROM orders ORDER BY cust LIMIT 3 WITH TIES")
+    // 3rd row is cust=20; its tie (okey 4) comes along
+    assert(r.map(_.head).toSet == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("SAMPLE k/m keeps the deterministic key buckets") {
+    val r = run(
+      """SELECT okey FROM orders SAMPLE 1/2 ORDER BY okey
+        |SETTINGS graft_sample_key = 'okey'""".stripMargin)
+    assert(r.map(_.head) == Seq(2L, 4L, 6L))
+  }
+
+  test("SAMPLE without graft_sample_key fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      run("SELECT okey FROM orders SAMPLE 1/2")
+    }
+    assert(e.getMessage.contains("graft_sample_key"))
+  }
+
+  test("EXISTS (subquery) is an eager query-constant boolean") {
+    val hit = run("SELECT okey FROM orders WHERE EXISTS (SELECT 1 FROM custs WHERE nat = 2) ORDER BY okey")
+    assert(hit.map(_.head) == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    val miss = run("SELECT okey FROM orders WHERE EXISTS (SELECT 1 FROM custs WHERE nat = 5)")
+    assert(miss.isEmpty)
+    val neg = run("SELECT count() AS n FROM orders WHERE NOT EXISTS (SELECT 1 FROM custs WHERE nat = 5)")
+    assert(neg == Seq(Seq(6L)))
+  }
+
+  test("ORDER BY ... COLLATE 'ci' sorts case-insensitively") {
+    val r = run(
+      """SELECT s FROM (SELECT 'B' AS s UNION ALL SELECT 'a' AS s)
+        |ORDER BY s COLLATE 'ci'""".stripMargin)
+    assert(r.map(_.head) == Seq("a", "B")) // binary order would be B, a
+  }
+
   test("INTO OUTFILE ... FORMAT writes through the sink and returns rows") {
     val dir = java.nio.file.Files.createTempDirectory("chsql_out").toString
     val r = run(
