@@ -3107,6 +3107,21 @@ object Queries {
         |  FROM part WHERE p_partkey <= 200)
         |ORDER BY s COLLATE 'ci', pk""".stripMargin)),
 
+    // FROM t FINAL as CH text: ReplacingMergeTree read-time collapse; the
+    // engine's sorting key + version ride in SETTINGS (parquet carries no
+    // engine clause). Snapshot-with-updates shape: base rows at v=1, a
+    // sparse overlay at v=2, FINAL keeps the latest per key.
+    "ch26_sql_final" -> ((s, dir) => chsql(s, dir,
+      """WITH snap AS (
+        |  SELECT o_orderkey AS k, 1 AS v, o_totalprice AS price FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey AS k, 2 AS v, o_totalprice * 2 AS price
+        |  FROM orders WHERE o_orderkey % 100 = 0)
+        |SELECT count() AS n,
+        |  CAST(sum(CAST(price AS Decimal(18, 2))) AS Float64) AS total
+        |FROM snap FINAL
+        |SETTINGS graft_final_keys = 'k', graft_final_version = 'v'""".stripMargin)),
+
     // adaptive histogram tier: quantile-seeded equi-depth bins — the
     // deterministic twin of CH's merge-order-dependent streaming bins
     "q90_adaptive_histogram" -> ((s, dir) =>
@@ -3258,6 +3273,19 @@ object Queries {
         |         p_partkey AS pk
         |  FROM part WHERE p_partkey <= 200)
         |ORDER BY lower(s), pk""".stripMargin,
+
+    "ch26_sql_final" ->
+      """WITH snap AS (
+        |  SELECT o_orderkey AS k, 1 AS v, o_totalprice AS price FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey AS k, 2 AS v, o_totalprice * 2 AS price
+        |  FROM orders WHERE o_orderkey % 100 = 0),
+        |fin AS (SELECT k, price,
+        |    row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rn
+        |  FROM snap)
+        |SELECT count(*) AS n,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM fin WHERE rn = 1""".stripMargin,
 
     // identical result contract to the operator-level entry — the text
     // form must reproduce e9's funnel distribution exactly

@@ -25,9 +25,25 @@ object Sql {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = chsql.ChSql.sql(spark, query)(
+    val (df, fmt) = chsql.ChSql.sqlWithFormat(spark, query)(
       n => spark.read.parquet(s"$dir/$n.parquet"))
-    df.show(maxRows, truncate = false)
+    // standalone `FORMAT f` (formatClause, ClickHouseParser.py:1765-1775)
+    // picks the wire rendering; default is the Pretty-style ASCII table
+    fmt.map(_.toLowerCase).getOrElse("pretty") match {
+      case "jsoneachrow" =>
+        df.toJSON.take(maxRows).foreach(println)
+      case "tabseparated" | "tsv" =>
+        df.take(maxRows).foreach(r => println(r.toSeq.mkString("\t")))
+      case "tabseparatedwithnames" | "tsvwithnames" =>
+        println(df.columns.mkString("\t"))
+        df.take(maxRows).foreach(r => println(r.toSeq.mkString("\t")))
+      case "csvwithnames" =>
+        println(df.columns.mkString(","))
+        df.take(maxRows).foreach(r => println(r.toSeq.mkString(",")))
+      case "csv" =>
+        df.take(maxRows).foreach(r => println(r.toSeq.mkString(",")))
+      case _ => df.show(maxRows, truncate = false)
+    }
     spark.stop()
   }
 }

@@ -470,6 +470,36 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.map(_.head) == Seq("a", "B")) // binary order would be B, a
   }
 
+  test("FROM t FINAL collapses to the latest version when keys ride in SETTINGS") {
+    val r = run(
+      """WITH snap AS (
+        |  SELECT okey, 1 AS v, price FROM orders
+        |  UNION ALL
+        |  SELECT okey, 2 AS v, price * 2 AS price FROM orders WHERE okey <= 2)
+        |SELECT okey, v, price FROM snap FINAL
+        |ORDER BY okey
+        |SETTINGS graft_final_keys = 'okey', graft_final_version = 'v'""".stripMargin)
+    assert(r == Seq(
+      Seq(1L, 2, 200.0), Seq(2L, 2, 500.0), Seq(3L, 1, 50.0),
+      Seq(4L, 1, 75.0), Seq(5L, 1, 500.0), Seq(6L, 1, 120.0)))
+  }
+
+  test("FINAL without the settings stays a no-op; missing version fails loudly") {
+    val r = run("SELECT count() AS n FROM orders FINAL")
+    assert(r == Seq(Seq(6L)))
+    val e = intercept[IllegalArgumentException] {
+      run("SELECT count() AS n FROM orders FINAL SETTINGS graft_final_keys = 'okey'")
+    }
+    assert(e.getMessage.contains("graft_final_version"))
+  }
+
+  test("standalone FORMAT clause is surfaced to the caller, not the plan") {
+    val (df, fmt) = ChSql.sqlWithFormat(spark,
+      "SELECT okey FROM orders ORDER BY okey LIMIT 1 FORMAT JSONEachRow")(resolve)
+    assert(fmt == Some("JSONEachRow"))
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("INTO OUTFILE ... FORMAT writes through the sink and returns rows") {
     val dir = java.nio.file.Files.createTempDirectory("chsql_out").toString
     val r = run(
