@@ -3122,6 +3122,16 @@ object Queries {
         |FROM snap FINAL
         |SETTINGS graft_final_keys = 'k', graft_final_version = 'v'""".stripMargin)),
 
+    // COLUMNS('re') APPLY(f) as CH text: regex projection + per-column
+    // aggregate wrap, expanded at plan time against the scan schema
+    "ch27_sql_columns_apply" -> ((s, dir) => chsql(s, dir,
+      """SELECT COLUMNS('^l_(quantity|discount|tax)$') APPLY(max)
+        |FROM lineitem""".stripMargin)),
+
+    // SELECT * EXCEPT (cols) as CH text — schema-driven projection
+    "ch28_sql_star_except" -> ((s, dir) => chsql(s, dir,
+      """SELECT * EXCEPT (r_comment) FROM region ORDER BY r_regionkey""")),
+
     // adaptive histogram tier: quantile-seeded equi-depth bins — the
     // deterministic twin of CH's merge-order-dependent streaming bins
     "q90_adaptive_histogram" -> ((s, dir) =>
@@ -3273,6 +3283,15 @@ object Queries {
         |         p_partkey AS pk
         |  FROM part WHERE p_partkey <= 200)
         |ORDER BY lower(s), pk""".stripMargin,
+
+    "ch27_sql_columns_apply" ->
+      """SELECT max(l_quantity) AS max_l_quantity,
+        |  max(l_discount) AS max_l_discount,
+        |  max(l_tax) AS max_l_tax
+        |FROM lineitem""".stripMargin,
+
+    "ch28_sql_star_except" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
 
     "ch26_sql_final" ->
       """WITH snap AS (

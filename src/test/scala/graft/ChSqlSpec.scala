@@ -470,6 +470,37 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.map(_.head) == Seq("a", "B")) // binary order would be B, a
   }
 
+  test("SELECT * EXCEPT (cols) drops the listed columns, keeps order") {
+    val r = ChSql.sql(spark,
+      "SELECT * EXCEPT (d, status) FROM orders ORDER BY okey LIMIT 1")(resolve)
+    assert(r.columns.toSeq == Seq("okey", "cust", "price"))
+    assert(r.collect().head.toSeq == Seq(1L, 10L, 100.0))
+  }
+
+  test("COLUMNS('re') projects regex-matched columns; APPLY(f) wraps them") {
+    val r = ChSql.sql(spark,
+      "SELECT COLUMNS('^c') FROM custs ORDER BY cust LIMIT 1")(resolve)
+    assert(r.columns.toSeq == Seq("cust"))
+    val agg = run("SELECT COLUMNS('price|cust') APPLY(max) FROM orders")
+    assert(agg == Seq(Seq(30L, 500.0)))
+  }
+
+  test("* EXCEPT ... APPLY(sum) aggregates every remaining column") {
+    val r = ChSql.sql(spark,
+      "SELECT * EXCEPT (okey, status, d) APPLY(sum) FROM orders")(resolve)
+    assert(r.columns.toSeq == Seq("sum_cust", "sum_price"))
+    assert(r.collect().head.toSeq == Seq(120L, 1095.0))
+  }
+
+  test("* EXCEPT select modifier does not shadow the EXCEPT set operation") {
+    val r = run(
+      """SELECT okey FROM orders WHERE price > 100
+        |EXCEPT
+        |SELECT okey FROM orders WHERE status = 'C'
+        |ORDER BY okey""".stripMargin)
+    assert(r.map(_.head) == Seq(2L, 6L))
+  }
+
   test("FROM t FINAL collapses to the latest version when keys ride in SETTINGS") {
     val r = run(
       """WITH snap AS (
