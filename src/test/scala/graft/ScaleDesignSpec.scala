@@ -128,6 +128,33 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(shuffleCount(df) <= 2) // one for the groupBy, one for the orderBy
   }
 
+  test("CH-SQL new clauses keep scale-safe shapes: rollup expands, ties avoid windows, sample prunes") {
+    // ROLLUP via text lowers onto Expand + partial/final aggregation —
+    // the same one-shuffle shape as the hand-built q11
+    val rollup = Queries.all("ch19_sql_rollup")(spark, sf)
+    val rplan = rollup.queryExecution.executedPlan
+    assert(rplan.collect {
+      case e: org.apache.spark.sql.execution.ExpandExec => e }.nonEmpty)
+    assert(rplan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }.size == 2)
+
+    // LIMIT WITH TIES via text uses the two-pass cutoff — a global
+    // window here would single-partition 100 TB
+    val ties = Queries.all("ch22_sql_ties")(spark, sf)
+    assert(ties.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty)
+
+    // SAMPLE via text is a deterministic key-bucket filter; the scan
+    // reads only the key and the aggregated column
+    val sample = Queries.all("ch23_sql_sample")(spark, sf)
+    val scans = sample.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    assert(scans.head.requiredSchema.fieldNames.toSet ==
+      Set("l_orderkey", "l_quantity"))
+  }
+
   test("hyperplane bucketing is the single native expression, not per-plane HOFs") {
     // the interpreted form ran nPlanes zip_with+aggregate passes per row;
     // the native HyperplaneBucket computes every sign bit in one traversal
