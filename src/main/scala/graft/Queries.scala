@@ -3132,6 +3132,19 @@ object Queries {
     "ch28_sql_star_except" -> ((s, dir) => chsql(s, dir,
       """SELECT * EXCEPT (r_comment) FROM region ORDER BY r_regionkey""")),
 
+    // WINDOW clause as CH text: one named spec, three OVER refs — Spark
+    // plans a single WindowExec pass for all three (shared partitioning)
+    "ch29_sql_named_window" -> ((s, dir) => chsql(s, dir,
+      """SELECT o_custkey, o_orderkey,
+        |  row_number() OVER w AS rn,
+        |  CAST(sum(CAST(o_totalprice AS Decimal(18, 2))) OVER w AS Float64) AS running,
+        |  lag(o_orderkey, 1) OVER w AS prev
+        |FROM orders
+        |WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // adaptive histogram tier: quantile-seeded equi-depth bins — the
     // deterministic twin of CH's merge-order-dependent streaming bins
     "q90_adaptive_histogram" -> ((s, dir) =>
@@ -3292,6 +3305,17 @@ object Queries {
 
     "ch28_sql_star_except" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "ch29_sql_named_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  row_number() OVER w AS rn,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running,
+        |  lag(o_orderkey, 1) OVER w AS prev
+        |FROM orders
+        |WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "ch26_sql_final" ->
       """WITH snap AS (

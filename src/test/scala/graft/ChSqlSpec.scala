@@ -501,6 +501,24 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.map(_.head) == Seq(2L, 6L))
   }
 
+  test("WINDOW clause defines named windows shared by multiple OVER refs") {
+    val r = run(
+      """SELECT okey,
+        |  row_number() OVER w AS rn,
+        |  sum(price) OVER w AS running
+        |FROM orders
+        |WINDOW w AS (PARTITION BY cust ORDER BY okey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY okey""".stripMargin)
+    assert(r == Seq(
+      Seq(1L, 1, 100.0), Seq(2L, 2, 350.0), Seq(3L, 1, 50.0),
+      Seq(4L, 2, 125.0), Seq(5L, 1, 500.0), Seq(6L, 2, 620.0)))
+    val e = intercept[IllegalArgumentException] {
+      run("SELECT rank() OVER nope AS r FROM orders")
+    }
+    assert(e.getMessage.contains("unknown named window"))
+  }
+
   test("FROM t FINAL collapses to the latest version when keys ride in SETTINGS") {
     val r = run(
       """WITH snap AS (
