@@ -501,6 +501,52 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.map(_.head) == Seq(2L, 6L))
   }
 
+  test("round-4 function batch: string/math/array/map/json parity names") {
+    val r = run(
+      """SELECT
+        |  levenshteinDistance('kitten', 'sitting') AS lev,
+        |  positionCaseInsensitive('Hello World', 'WORLD') AS posci,
+        |  countSubstrings('abcabcabc', 'ab') AS nsub,
+        |  multiSearchAny('haystack', ['xyz', 'stack']) AS msa,
+        |  roundBankers(2.5) AS rb,
+        |  bitCount(255) AS bc,
+        |  bitTest(5, 0) AS bt0,
+        |  bitTest(5, 1) AS bt1,
+        |  isFinite(1.0) AS fin,
+        |  isInfinite(exp(1000.0)) AS inf,
+        |  toString(dateTrunc('month', toDateTime('1997-03-15'))) AS dtr,
+        |  toString(toLastDayOfMonth(toDate('1997-02-03'))) AS ldm,
+        |  toString(toDecimal64('12.345', 2)) AS dec,
+        |  arrayReverseSort([3, 1, 2]) AS ars,
+        |  arrayPushBack([1, 2], 3) AS apb,
+        |  arrayPushFront([1, 2], 0) AS apf,
+        |  arrayPopBack([1, 2, 3]) AS apob,
+        |  arrayPopFront([1, 2, 3]) AS apof,
+        |  arrayFirst(x -> x > 1, [1, 2, 3]) AS af,
+        |  arrayLast(x -> x > 1, [1, 2, 3]) AS al,
+        |  JSONExtractBool('{"a": true}', 'a') AS jb,
+        |  JSONLength('[1,2,3]') AS jl""".stripMargin)
+    val row = r.head
+    assert(row(0) == 3 && row(1) == 7 && row(2) == 3L && row(3) == true)
+    assert(row(4) == 2.0 && row(5) == 8 && row(6) == true && row(7) == false)
+    assert(row(8) == true && row(9) == true)
+    assert(row(10) == "1997-03-01 00:00:00" && row(11) == "1997-02-28")
+    assert(row(12) == "12.35")
+    assert(row(13) == Seq(3, 2, 1) && row(14) == Seq(1, 2, 3) && row(15) == Seq(0, 1, 2))
+    assert(row(16) == Seq(1, 2) && row(17) == Seq(2, 3))
+    assert(row(18) == 2 && row(19) == 3)
+    assert(row(20) == true && row(21) == 3L)
+  }
+
+  test("map functions: keys/values/contains/fromArrays") {
+    val r = run(
+      """SELECT
+        |  mapKeys(mapFromArrays(['a', 'b'], [1, 2])) AS ks,
+        |  mapValues(mapFromArrays(['a', 'b'], [1, 2])) AS vs,
+        |  mapContains(mapFromArrays(['a', 'b'], [1, 2]), 'b') AS has_b""".stripMargin)
+    assert(r.head == Seq(Seq("a", "b"), Seq(1, 2), true))
+  }
+
   test("WINDOW clause defines named windows shared by multiple OVER refs") {
     val r = run(
       """SELECT okey,
