@@ -25,8 +25,34 @@ object Sql {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val (df, fmt) = chsql.ChSql.sqlWithFormat(spark, query)(
-      n => spark.read.parquet(s"$dir/$n.parquet"))
+    // catalog-first resolution so CREATE VIEW results are queryable;
+    // otherwise table t reads <dir>/t.parquet
+    def resolve(n: String): org.apache.spark.sql.DataFrame =
+      if (spark.catalog.tableExists(n)) spark.table(n)
+      else spark.read.parquet(s"$dir/$n.parquet")
+    // ';'-separated statements (quote-aware split), each dispatched
+    // through the statement layer (SELECT / EXPLAIN / CREATE VIEW / SET)
+    val stmts = {
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      var inQuote = false
+      query.foreach {
+        case '\'' => inQuote = !inQuote; cur += '\''
+        case ';' if !inQuote => parts += cur.toString; cur.clear()
+        case c => cur += c
+      }
+      if (cur.toString.trim.nonEmpty) parts += cur.toString
+      parts.toSeq.map(_.trim).filter(_.nonEmpty)
+    }
+    for (stmt <- stmts) {
+      val (df, fmt) = chsql.ChSql.statement(spark, stmt)(resolve)
+      render(df, fmt, maxRows)
+    }
+    spark.stop()
+  }
+
+  private def render(df: org.apache.spark.sql.DataFrame,
+      fmt: Option[String], maxRows: Int): Unit = {
     // standalone `FORMAT f` (formatClause, ClickHouseParser.py:1765-1775)
     // picks the wire rendering; default is the Pretty-style ASCII table
     fmt.map(_.toLowerCase).getOrElse("pretty") match {
@@ -44,6 +70,5 @@ object Sql {
         df.take(maxRows).foreach(r => println(r.toSeq.mkString(",")))
       case _ => df.show(maxRows, truncate = false)
     }
-    spark.stop()
   }
 }

@@ -547,6 +547,44 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r.head == Seq(Seq("a", "b"), Seq(1, 2), true))
   }
 
+  test("statement layer: EXPLAIN variants, CREATE VIEW, SET") {
+    val (ex, _) = ChSql.statement(spark,
+      "EXPLAIN SYNTAX SELECT okey FROM orders WHERE price > 100")(resolve)
+    assert(ex.columns.toSeq == Seq("explain"))
+    // analyzed layer retains the Filter (the optimized plan would fold a
+    // LocalRelation input entirely)
+    assert(ex.collect().map(_.getString(0)).mkString("\n").contains("Filter"))
+
+    val (ast, _) = ChSql.statement(spark,
+      "EXPLAIN AST SELECT okey FROM orders")(resolve)
+    assert(ast.collect().nonEmpty)
+
+    // CREATE VIEW then query it through a catalog-first resolver
+    ChSql.statement(spark,
+      "CREATE OR REPLACE VIEW big_orders AS SELECT okey, price FROM orders WHERE price > 200")(resolve)
+    def catalogFirst(n: String) =
+      if (spark.catalog.tableExists(n)) spark.table(n) else resolve(n)
+    val r = ChSql.statement(spark,
+      "SELECT okey FROM big_orders ORDER BY okey")(catalogFirst)._1
+      .collect().map(_.getLong(0)).toSeq
+    assert(r == Seq(2L, 5L))
+
+    val (st, _) = ChSql.statement(spark, "SET max_threads = 4")(resolve)
+    assert(st.collect().head.getString(0).contains("shuffle.partitions"))
+    spark.conf.set("spark.sql.shuffle.partitions", "4") // restore
+  }
+
+  test("tuple IN list matches composite keys") {
+    val r = run(
+      """SELECT okey FROM orders
+        |WHERE (cust, status) IN ((10, 'A'), (30, 'C'))
+        |ORDER BY okey""".stripMargin)
+    assert(r.map(_.head) == Seq(1L, 5L))
+    val neg = run(
+      "SELECT count() AS n FROM orders WHERE (cust, status) NOT IN ((10, 'A'), (30, 'C'))")
+    assert(neg == Seq(Seq(4L)))
+  }
+
   test("WINDOW clause defines named windows shared by multiple OVER refs") {
     val r = run(
       """SELECT okey,
