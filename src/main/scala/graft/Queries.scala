@@ -3132,6 +3132,21 @@ object Queries {
     "ch28_sql_star_except" -> ((s, dir) => chsql(s, dir,
       """SELECT * EXCEPT (r_comment) FROM region ORDER BY r_regionkey""")),
 
+    // retention() as CH text: the behavioral cohort aggregate — anchor
+    // condition + pairwise follow-ups, one partial-combinable agg pass
+    // (array output stringified for the gate comparator)
+    "ch30_sql_retention" -> ((s, dir) => graft.chsql.ChSql.sql(s,
+      """SELECT user_id,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    retention(event_type = 'signup', event_type = 'click',
+        |              event_type = 'purchase')), ',') AS r
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) {
+        case "events" => events(s, dir).select("user_id", "event_type")
+        case n => tbl(s, dir, n)
+      }),
+
     // WINDOW clause as CH text: one named spec, three OVER refs — Spark
     // plans a single WindowExec pass for all three (shared partitioning)
     "ch29_sql_named_window" -> ((s, dir) => chsql(s, dir,
@@ -3305,6 +3320,17 @@ object Queries {
 
     "ch28_sql_star_except" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "ch30_sql_retention" ->
+      """WITH m AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS s,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |  CAST(s AS VARCHAR) || ',' || CAST(least(s, c) AS VARCHAR) || ',' ||
+        |  CAST(least(s, p) AS VARCHAR) AS r
+        |FROM m ORDER BY user_id""".stripMargin,
 
     "ch29_sql_named_window" ->
       """SELECT o_custkey, o_orderkey,

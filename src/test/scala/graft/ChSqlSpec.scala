@@ -574,6 +574,16 @@ class ChSqlSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.shuffle.partitions", "4") // restore
   }
 
+  test("retention(): anchor + pairwise follow-up indicators per group") {
+    // cust 10: statuses A, B → anchor A yes, B yes, C no → [1,1,0]
+    // cust 20: statuses A, A → [1,0,0]; cust 30: C, A → [1,0,1]
+    val r = run(
+      """SELECT cust, retention(status = 'A', status = 'B', status = 'C') AS r
+        |FROM orders GROUP BY cust ORDER BY cust""".stripMargin)
+    assert(r == Seq(
+      Seq(10L, Seq(1, 1, 0)), Seq(20L, Seq(1, 0, 0)), Seq(30L, Seq(1, 0, 1))))
+  }
+
   test("tuple IN list matches composite keys") {
     val r = run(
       """SELECT okey FROM orders
