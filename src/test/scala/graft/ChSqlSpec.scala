@@ -574,6 +574,33 @@ class ChSqlSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.shuffle.partitions", "4") // restore
   }
 
+  test("table functions in FROM: numbers, zeros, one, file round-trip") {
+    val n = run("SELECT sum(number) AS s, count() AS c FROM numbers(10)")
+    assert(n == Seq(Seq(45L, 10L)))
+    val n2 = run("SELECT min(number) AS lo, max(number) AS hi FROM numbers(5, 3)")
+    assert(n2 == Seq(Seq(5L, 7L)))
+    val z = run("SELECT count() AS c FROM zeros(4)")
+    assert(z == Seq(Seq(4L)))
+    val o = run("SELECT count() AS c FROM one()")
+    assert(o == Seq(Seq(1L)))
+    // numbers joins like any relation
+    val j = run(
+      """SELECT count() AS c FROM numbers(3) AS a
+        |CROSS JOIN (SELECT number AS m FROM numbers(4)) AS b""".stripMargin)
+    assert(j == Seq(Seq(12L)))
+  }
+
+  test("INSERT INTO FUNCTION file(...) writes; FROM file(...) reads it back") {
+    val dir = java.nio.file.Files.createTempDirectory("chsql_ins").toString
+    val (st, _) = ChSql.statement(spark,
+      s"""INSERT INTO FUNCTION file('$dir/out', 'Parquet')
+         |SELECT okey, price FROM orders WHERE price > 100""".stripMargin)(resolve)
+    assert(st.collect().head.getString(0).startsWith("wrote"))
+    val back = run(
+      s"SELECT okey FROM file('$dir/out', 'Parquet') ORDER BY okey")
+    assert(back.map(_.head) == Seq(2L, 5L, 6L))
+  }
+
   test("retention(): anchor + pairwise follow-up indicators per group") {
     // cust 10: statuses A, B → anchor A yes, B yes, C no → [1,1,0]
     // cust 20: statuses A, A → [1,0,0]; cust 30: C, A → [1,0,1]
