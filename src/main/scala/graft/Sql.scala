@@ -45,8 +45,19 @@ object Sql {
       parts.toSeq.map(_.trim).filter(_.nonEmpty)
     }
     for (stmt <- stmts) {
-      val (df, fmt) = chsql.ChSql.statement(spark, stmt)(resolve)
-      render(df, fmt, maxRows)
+      // SHOW TABLES needs the directory listing — a CLI concern, so it
+      // lives here rather than in the resolver-based statement layer
+      if (stmt.toUpperCase(java.util.Locale.ROOT).startsWith("SHOW TABLES")) {
+        import spark.implicits._
+        val files = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+          .filter(_.getName.endsWith(".parquet"))
+          .map(_.getName.stripSuffix(".parquet"))
+        val views = spark.catalog.listTables().collect().map(_.name).toSeq
+        render((files ++ views).distinct.sorted.toDF("name"), None, maxRows)
+      } else {
+        val (df, fmt) = chsql.ChSql.statement(spark, stmt)(resolve)
+        render(df, fmt, maxRows)
+      }
     }
     spark.stop()
   }

@@ -1017,6 +1017,17 @@ object ChSql {
         case _ => fail(
           "only CREATE [OR REPLACE] VIEW name AS SELECT ... is supported")
       }
+    } else if (up.startsWith("DESCRIBE") || up.startsWith("DESC ")) {
+      // DESCRIBE [TABLE] t (describeStmt) — CH type names via the
+      // canonical inverse mapping (ChTypes.toCh)
+      val name = trimmed.split("\\s+").filterNot(w =>
+        Set("DESCRIBE", "DESC", "TABLE").contains(
+          w.toUpperCase(java.util.Locale.ROOT))).headOption
+        .getOrElse(fail("DESCRIBE needs a table name"))
+      val fields = resolve(name).schema.fields.toSeq
+      (fields.map(fld =>
+        (fld.name, graft.model.ChTypes.toCh(fld.dataType, fld.nullable)))
+        .toDF("name", "type"), None)
     } else if (up.startsWith("INSERT")) {
       // INSERT INTO FUNCTION file('path'[, 'Format']) select — the
       // table-function write path (insertStmt → tableFunctionExpr)

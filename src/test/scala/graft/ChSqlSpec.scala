@@ -601,6 +601,13 @@ class ChSqlSpec extends AnyFunSuite {
     assert(back.map(_.head) == Seq(2L, 5L, 6L))
   }
 
+  test("DESCRIBE prints ClickHouse type names via the canonical inverse") {
+    val (d, _) = ChSql.statement(spark, "DESCRIBE TABLE orders")(resolve)
+    val m = d.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("okey") == "Int64" && m("status") == "Nullable(String)")
+    assert(m("price") == "Float64" && m("d") == "Nullable(Date)")
+  }
+
   test("retention(): anchor + pairwise follow-up indicators per group") {
     // cust 10: statuses A, B → anchor A yes, B yes, C no → [1,1,0]
     // cust 20: statuses A, A → [1,0,0]; cust 30: C, A → [1,0,1]
