@@ -199,7 +199,7 @@ object ChSql {
       groupBy: Seq[Expr], groupByAll: Boolean, withTotals: Boolean,
       having: Option[Expr],
       orderBy: Seq[OrderItem],
-      limitBy: Option[(Long, Seq[Expr])],
+      limitBy: Option[(Long, Long, Seq[Expr])], // (offset, n, by exprs)
       limit: Option[Long], offset: Option[Long],
       settings: Seq[(String, String)],
       ctes: Map[String, SetOp], exprCtes: Map[String, Expr],
@@ -767,17 +767,18 @@ object ChSql {
         }
         orderBy = b.result()
       }
-      var limitBy: Option[(Long, Seq[Expr])] = None
+      var limitBy: Option[(Long, Long, Seq[Expr])] = None
       var limit: Option[Long] = None
       var offset: Option[Long] = None
       var limitTies = false
       while (eatKw("LIMIT")) {
         val a = parseLong()
-        if (eatP(",")) { // CH: LIMIT offset, count
+        if (eatP(",")) { // CH: LIMIT offset, count [BY exprs]
           val b = parseLong()
-          offset = Some(a); limit = Some(b)
+          if (eatKw("BY")) limitBy = Some((a, b, parseExprList()))
+          else { offset = Some(a); limit = Some(b) }
         } else if (eatKw("BY")) {
-          limitBy = Some((a, parseExprList()))
+          limitBy = Some((0L, a, parseExprList()))
         } else {
           limit = Some(a)
           // LIMIT n WITH TIES (limitClause, ClickHouseParser.py:9918-9960)
@@ -1266,6 +1267,11 @@ object ChSql {
     })
 
     var aliasCols = Map.empty[String, Column] // output name -> column (for ORDER BY)
+    // sort sources dropped by the projection (CH: ORDER BY / LIMIT BY may
+    // reference unselected source columns) ride as hidden __ordN columns,
+    // dropped after the final sort/limit
+    var hiddenOrd = Map.empty[Expr, Column]
+    var hiddenNames = Seq.empty[String]
 
     if (!isAggQuery) {
       // plain projection
@@ -1277,7 +1283,21 @@ object ChSql {
           aliasCols += nm -> col(nm)
           Seq(c)
       }
-      df = df.select(cols: _*)
+      val hasStar = items.exists(_.e == Star)
+      val outNames = items.zipWithIndex.collect {
+        case (it, i) if it.e != Star => outName(it, i) }.toSet
+      // DISTINCT pins output-only resolution (a hidden column would
+      // change the distinct key); with a bare * every source col survives
+      val hidden: Seq[(Expr, String)] =
+        if (s.distinct || hasStar) Nil
+        else (s.orderBy.map(o => substAlias(o.e)) ++
+            s.limitBy.toSeq.flatMap(_._3.map(substAlias))).distinct
+          .filter(e => collectIdents(e).exists(n => !outNames.contains(n)))
+          .zipWithIndex.map { case (e, i) => (e, s"__ord$i") }
+      val hiddenCols = hidden.map { case (e, nm) => tr(e).as(nm) }
+      df = df.select(cols ++ hiddenCols: _*)
+      hiddenOrd = hidden.map { case (e, nm) => (e, col(nm)) }.toMap
+      hiddenNames = hidden.map(_._2)
     } else {
       // aggregation: pre-project group keys (arbitrary expressions) as
       // __kN, then a single partial+final hash aggregation pass
@@ -1356,8 +1376,9 @@ object ChSql {
 
     if (s.distinct) df = df.distinct()
 
-    // ORDER BY — may reference select aliases; CH default is NULLS LAST
-    val trOrd = tr.withAliases(aliasCols)
+    // ORDER BY — may reference select aliases or hidden sort columns;
+    // CH default is NULLS LAST
+    val trOrd = tr.withAliases(aliasCols).withSubst(hiddenOrd)
     def ordCol(o: OrderItem): Column = {
       val raw = trOrd(o.e)
       val base = o.collate.fold(raw)(c =>
@@ -1372,12 +1393,12 @@ object ChSql {
 
     // LIMIT BY runs on the ORDER BY ordering (CH: rows kept per group are
     // the first n in query order), before the global ORDER BY + LIMIT
-    s.limitBy.foreach { case (n, byExprs) =>
+    s.limitBy.foreach { case (off, n, byExprs) =>
       val by = byExprs.map(e => trOrd(e))
       val ord =
         if (s.orderBy.nonEmpty) s.orderBy.map(ordCol)
         else by
-      df = graft.operators.ChOps.limitBy(df, by, ord, n.toInt)
+      df = graft.operators.ChOps.limitBy(df, by, ord, n.toInt, off.toInt)
     }
     // WITH FILL: densify the (single) fill axis before the final sort;
     // INTERPOLATE carries listed columns forward over the filled gaps via
@@ -1439,6 +1460,7 @@ object ChSql {
         df = df.offset(off.toInt)
       case _ =>
     }
+    if (hiddenNames.nonEmpty) df = df.drop(hiddenNames: _*)
     // INTO OUTFILE writes eagerly through the FORMAT-family sink and
     // still returns the result for the caller
     s.outfile.foreach { case (path, fmt) =>
@@ -1530,6 +1552,31 @@ object ChSql {
   }
 
   /** Maximal aggregate subtrees, left-to-right (for HAVING rewriting). */
+  /** Column names an expression references (top-level, for deciding
+    * whether a sort expression survives the output projection). */
+  private def collectIdents(e: Expr): Seq[String] = e match {
+    case Ident(parts) => Seq(parts.last)
+    case Bin(_, l, r) => collectIdents(l) ++ collectIdents(r)
+    case Neg(x) => collectIdents(x)
+    case NotE(x) => collectIdents(x)
+    case IsNullE(x, _) => collectIdents(x)
+    case CastE(x, _) => collectIdents(x)
+    case InList(x, items, _) => collectIdents(x) ++ items.flatMap(collectIdents)
+    case BetweenE(x, lo, hi, _) =>
+      collectIdents(x) ++ collectIdents(lo) ++ collectIdents(hi)
+    case CaseE(op, br, el) =>
+      (op.toSeq ++ br.flatMap(b => Seq(b._1, b._2)) ++ el.toSeq)
+        .flatMap(collectIdents)
+    case IntervalE(n, _) => collectIdents(n)
+    case ArrayLit(items) => items.flatMap(collectIdents)
+    case TupleLit(items) => items.flatMap(collectIdents)
+    case Idx(x, i) => collectIdents(x) ++ collectIdents(i)
+    case FuncCall(_, _, args, _) => args.flatMap(collectIdents)
+    case LambdaE(params, body) =>
+      collectIdents(body).filterNot(params.contains)
+    case _ => Nil
+  }
+
   private def collectAggs(e: Expr): Seq[Expr] = e match {
     case f @ FuncCall(n, _, _, _) if isAggName(n) => Seq(f)
     case FuncCall(_, _, args, _) => args.flatMap(collectAggs)

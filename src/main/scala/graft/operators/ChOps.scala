@@ -116,9 +116,12 @@ object ChOps {
 
   /** LIMIT n BY cols: top-n rows per group in `ord` order — the canonical
     * top-k-per-group window rewrite. */
-  def limitBy(df: DataFrame, by: Seq[Column], ord: Seq[Column], n: Int): DataFrame = {
+  def limitBy(df: DataFrame, by: Seq[Column], ord: Seq[Column], n: Int,
+      offset: Int = 0): DataFrame = {
     val w = Window.partitionBy(by: _*).orderBy(ord: _*)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > offset && col("__rn") <= offset + n)
+      .drop("__rn")
   }
 
   /** LIMIT n WITH TIES via a global rank() window: correct on any ordering

@@ -618,6 +618,23 @@ class ChSqlSpec extends AnyFunSuite {
       Seq(10L, Seq(1, 1, 0)), Seq(20L, Seq(1, 0, 0)), Seq(30L, Seq(1, 0, 1))))
   }
 
+  test("ORDER BY references a column dropped by the projection") {
+    val r = run("SELECT okey FROM orders WHERE cust = 30 ORDER BY price DESC")
+    assert(r.map(_.head) == Seq(5L, 6L))
+    assert(ChSql.sql(spark,
+      "SELECT okey FROM orders ORDER BY price DESC LIMIT 2")(resolve)
+      .columns.toSeq == Seq("okey")) // hidden sort col dropped
+  }
+
+  test("LIMIT offset, n BY skips the first rows per group") {
+    val r = run(
+      """SELECT cust, okey FROM orders
+        |ORDER BY cust, price DESC
+        |LIMIT 1, 1 BY cust""".stripMargin)
+    // per cust, skip the highest-price row, keep the next one
+    assert(r == Seq(Seq(10L, 1L), Seq(20L, 3L), Seq(30L, 6L)))
+  }
+
   test("tuple IN list matches composite keys") {
     val r = run(
       """SELECT okey FROM orders
