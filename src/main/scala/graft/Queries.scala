@@ -3132,6 +3132,18 @@ object Queries {
     "ch28_sql_star_except" -> ((s, dir) => chsql(s, dir,
       """SELECT * EXCEPT (r_comment) FROM region ORDER BY r_regionkey""")),
 
+    // sumMap as CH text: per-key sums in ONE aggregation pass (the typed
+    // imperative aggregate; contrast q89's two-level groupBy shape)
+    "ch31_sql_summap" -> ((s, dir) => chsql(s, dir,
+      """SELECT l_returnflag,
+        |  arrayStringConcat(
+        |    sumMap(l_linestatus, CAST(l_quantity AS Int64)).1, ',') AS keys,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    sumMap(l_linestatus, CAST(l_quantity AS Int64)).2), ',') AS sums
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)),
+
     // retention() as CH text: the behavioral cohort aggregate — anchor
     // condition + pairwise follow-ups, one partial-combinable agg pass
     // (array output stringified for the gate comparator)
@@ -3320,6 +3332,15 @@ object Queries {
 
     "ch28_sql_star_except" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "ch31_sql_summap" ->
+      """WITH g AS (SELECT l_returnflag, l_linestatus,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+        |SELECT l_returnflag,
+        |  string_agg(l_linestatus, ',' ORDER BY l_linestatus) AS keys,
+        |  string_agg(CAST(q AS VARCHAR), ',' ORDER BY l_linestatus) AS sums
+        |FROM g GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "ch30_sql_retention" ->
       """WITH m AS (SELECT user_id,

@@ -2268,6 +2268,11 @@ object ChSql {
             case other => throw new IllegalArgumentException(s"topK param: $other")
           }
           graft.plans.TopKAgg.topK(a(0), kk)
+        case "summap" =>
+          // scalar-pair form sumMap(k, v) ≡ CH sumMap([k], [v]); result is
+          // a (sorted keys, sums) tuple addressable as .1 / .2
+          graft.plans.SumMapAgg.sumMap(a(0), a(1))
+        case "countdistinct" => countDistinct(a(0), f.args.tail.map(t): _*)
         case other =>
           throw new IllegalArgumentException(s"ChSql: unknown function $other")
       }

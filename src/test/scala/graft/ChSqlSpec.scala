@@ -608,6 +608,19 @@ class ChSqlSpec extends AnyFunSuite {
     assert(m("price") == "Float64" && m("d") == "Nullable(Date)")
   }
 
+  test("sumMap(k, v): per-key sums as a sorted (keys, sums) tuple") {
+    val r = run(
+      """SELECT cust, sumMap(status, CAST(price AS Int64)).1 AS ks,
+        |  sumMap(status, CAST(price AS Int64)).2 AS vs
+        |FROM orders GROUP BY cust ORDER BY cust""".stripMargin)
+    assert(r == Seq(
+      Seq(10L, Seq("A", "B"), Seq(100L, 250L)),
+      Seq(20L, Seq("A"), Seq(125L)),
+      Seq(30L, Seq("A", "C"), Seq(120L, 500L))))
+    val cd = run("SELECT countDistinct(status) AS n FROM orders")
+    assert(cd == Seq(Seq(3L)))
+  }
+
   test("retention(): anchor + pairwise follow-up indicators per group") {
     // cust 10: statuses A, B → anchor A yes, B yes, C no → [1,1,0]
     // cust 20: statuses A, A → [1,0,0]; cust 30: C, A → [1,0,1]
