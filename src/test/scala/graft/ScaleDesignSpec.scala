@@ -155,6 +155,17 @@ class ScaleDesignSpec extends AnyFunSuite {
       Set("l_orderkey", "l_quantity"))
   }
 
+  test("sumMap text plan: one partial+final aggregation pass, no second groupBy") {
+    // the typed imperative aggregate gives per-key sums in a single
+    // map-side-combinable pass — the q89 two-level groupBy costs a second
+    // shuffle at 100 TB
+    val df = Queries.all("ch31_sql_summap")(spark, sf)
+    val aggs = df.queryExecution.executedPlan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a }
+    assert(aggs.size == 2, s"expected partial+final, got ${aggs.size}")
+    assert(shuffleCount(df) <= 2) // groupBy + orderBy
+  }
+
   test("hyperplane bucketing is the single native expression, not per-plane HOFs") {
     // the interpreted form ran nPlanes zip_with+aggregate passes per row;
     // the native HyperplaneBucket computes every sign bit in one traversal
