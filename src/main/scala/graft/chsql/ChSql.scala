@@ -1070,11 +1070,22 @@ object ChSql {
         }
     }
 
+  /** CH `SETTINGS` is statement-scoped; Spark confs are session-scoped.
+    * Wrapping the build in set→run→restore keeps the session clean and
+    * gives plan-time confs (timezone resolution, cross-join permission,
+    * join-strategy preference: Spark analyzes eagerly at Dataset
+    * construction) the statement-local scope CH has. Confs consumed only
+    * at action time (e.g. shuffle partition count) see the restored
+    * session values — documented divergence, the honest Spark scoping. */
   private def buildSelect(spark: SparkSession, s: SelectStmt,
-      resolve: String => DataFrame, outerCtes: Map[String, DataFrame]): DataFrame = {
-    if (s.settings.nonEmpty)
-      graft.plans.Settings.applySet(spark, s.settings.toMap)
+      resolve: String => DataFrame, outerCtes: Map[String, DataFrame]): DataFrame =
+    if (s.settings.isEmpty) buildSelectBody(spark, s, resolve, outerCtes)
+    else graft.plans.Settings.withSettings(spark, s.settings.toMap) {
+      buildSelectBody(spark, s, resolve, outerCtes)
+    }
 
+  private def buildSelectBody(spark: SparkSession, s: SelectStmt,
+      resolve: String => DataFrame, outerCtes: Map[String, DataFrame]): DataFrame = {
     val ctes = outerCtes ++ s.ctes.map { case (n, sub) =>
       n -> buildSetOp(spark, sub, resolve, outerCtes)
     }
@@ -1592,6 +1603,11 @@ object ChSql {
         el.toSeq.flatMap(collectAggs)
     case CastE(x, _) => collectAggs(x)
     case Idx(x, i) => collectAggs(x) ++ collectAggs(i)
+    // mirror hasAgg: aggregates under IN / array / tuple literals must be
+    // lifted too, or HAVING count() IN (...) dies in analysis
+    case InList(x, items, _) => collectAggs(x) ++ items.flatMap(collectAggs)
+    case ArrayLit(items) => items.flatMap(collectAggs)
+    case TupleLit(items) => items.flatMap(collectAggs)
     case _ => Nil
   }
 
@@ -1908,6 +1924,9 @@ object ChSql {
               s"windowFunnel window param: $other")
           }
           val conds = f.args.tail.map(t)
+          // base-10 step digit in the encoding below — same cap as ChOps
+          require(conds.size <= 10,
+            s"windowFunnel supports at most 10 steps, got ${conds.size}")
           val stepIdx = conds.zipWithIndex.reverse
             .foldLeft(lit(-1): Column) { case (acc, (c, i)) =>
               when(c, lit(i)).otherwise(acc)
@@ -1926,6 +1945,11 @@ object ChSql {
           val conds = f.args.tail.map(t)
           require(conds.size == nSteps,
             s"$nm pattern has $nSteps steps but ${conds.size} conditions")
+          // step digit is base-16 (match) / base-10 (count) in the encodings
+          // below — same caps as ChOps
+          require(nSteps <= (if (nm == "sequencematch") 14 else 10),
+            s"$nm supports at most ${if (nm == "sequencematch") 14 else 10} " +
+              s"steps, got $nSteps")
           val stepIdx = conds.zipWithIndex.reverse
             .foldLeft(lit(-1): Column) { case (acc, (c, i)) =>
               when(c, lit(i)).otherwise(acc)
@@ -2213,9 +2237,15 @@ object ChSql {
         case "indexof" => array_position(a(0), t(f.args(1)))
         case "arrayelement" => element_at(a(0), t(f.args(1)))
         case "range" =>
-          if (f.args.size == 2) sequence(a(0), a(1) - 1)
-          else sequence(lit(0), a(0) - 1)
-        case "arrayenumerate" => sequence(lit(1), size(a(0)))
+          // guard the empty case: Spark's sequence defaults to step -1 when
+          // hi < lo, so range(0) would yield [0,-1] instead of CH's []
+          val (lo, hi) =
+            if (f.args.size == 2) (a(0), a(1)) else (lit(0), a(0))
+          when(hi <= lo, array().cast("array<int>"))
+            .otherwise(sequence(lo, hi - 1))
+        case "arrayenumerate" =>
+          when(size(a(0)) === 0, array().cast("array<int>"))
+            .otherwise(sequence(lit(1), size(a(0))))
         case "arrayslice" =>
           if (f.args.size == 3) slice(a(0), a(1), a(2))
           else slice(a(0), a(1), size(a(0)))

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{bit_xor, col, count, lit, xxhash64}
+import org.apache.spark.sql.functions.{bit_xor, col, count, lit, to_json, xxhash64}
 
 /** Admin statement surface: `OPTIMIZE TABLE` (optimizeStmt,
   * ClickHouseParser.py:8366-8460) and the `SYSTEM ...` family (systemStmt,
@@ -53,9 +53,21 @@ object AdminOps {
   def checkTable(spark: SparkSession, path: String): (Boolean, Long, Option[String]) =
     try {
       val df = spark.read.parquet(path)
+      // Spark hash expressions reject MapType (non-deterministic entry
+      // order); casting to a JSON string still decodes every page, which is
+      // all the check needs.
+      val hashable = df.schema.fields.map { f =>
+        def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+          case _: org.apache.spark.sql.types.MapType => true
+          case s: org.apache.spark.sql.types.StructType => s.fields.exists(x => hasMap(x.dataType))
+          case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+          case _ => false
+        }
+        if (hasMap(f.dataType)) to_json(col(f.name)) else col(f.name)
+      }
       val n =
         if (df.columns.isEmpty) df.count() // zero-column file: structure only
-        else df.select(xxhash64(df.columns.map(col): _*).as("h"))
+        else df.select(xxhash64(hashable: _*).as("h"))
           .agg(count(lit(1)).as("n"), bit_xor(col("h"))) // xor: no ANSI overflow
           .head().getLong(0)
       (true, n, None)

@@ -719,6 +719,42 @@ class ChSqlSpec extends AnyFunSuite {
     assert(back.count() == 3 && back.columns.toSeq == Seq("okey", "price"))
   }
 
+  test("range/arrayEnumerate: empty cases yield [], not a descending artifact") {
+    val r = run(
+      """SELECT range(0) AS e, range(3) AS r3, range(2, 2) AS e2,
+        |  arrayEnumerate(arrayFilter(x -> x > 9, [1, 2])) AS ee,
+        |  arrayEnumerate([7, 8]) AS en
+        |FROM orders LIMIT 1""".stripMargin)
+    assert(r == Seq(Seq(Seq(), Seq(0, 1, 2), Seq(), Seq(), Seq(1, 2))))
+  }
+
+  test("HAVING with an aggregate inside IN lifts the aggregate") {
+    val r = run(
+      """SELECT cust, count() AS n FROM orders
+        |GROUP BY cust HAVING count() IN (2, 5) ORDER BY cust""".stripMargin)
+    assert(r == Seq(Seq(10L, 2L), Seq(20L, 2L), Seq(30L, 2L)))
+  }
+
+  test("SETTINGS is statement-scoped: session conf restored after sql()") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    val r = run("SELECT count() AS n FROM orders SETTINGS max_threads = 7")
+    assert(r == Seq(Seq(6L)))
+    assert(spark.conf.get(key) == before)
+  }
+
+  test("funnel/sequence step caps are enforced on the text path") {
+    val conds = (1 to 11).map(i => s"okey = $i").mkString(", ")
+    intercept[IllegalArgumentException] {
+      run(s"SELECT windowFunnel(3600)(d, $conds) AS lvl FROM orders")
+    }
+    val pat = (1 to 15).map(i => s"(?$i)").mkString(".*")
+    val conds15 = (1 to 15).map(i => s"okey = $i").mkString(", ")
+    intercept[IllegalArgumentException] {
+      run(s"SELECT sequenceMatch('$pat')(d, $conds15) AS m FROM orders")
+    }
+  }
+
   test("distributed: translated plan pushes filter to scan on parquet") {
     val dir = java.nio.file.Files.createTempDirectory("chsql").toString
     orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")

@@ -220,6 +220,18 @@ class DdlSurfaceSpec extends AnyFunSuite {
     assert(!ok2 && err2.nonEmpty)
   }
 
+  test("CHECK TABLE: healthy file with a map column is not a false corruption") {
+    import graft.operators.AdminOps
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_check_map").toString
+    spark.range(5)
+      .select(col("id"), map(lit("k"), col("id")).as("m"),
+        array(map(lit("n"), col("id") * 2)).as("am"))
+      .write.mode("overwrite").parquet(dir)
+    val (ok, n, err) = AdminOps.checkTable(spark, dir)
+    assert(ok && n == 5 && err.isEmpty, s"err=$err")
+  }
+
   test("ATTACH/DETACH: catalog-only registration, data untouched") {
     import graft.operators.AdminOps
     val dir = java.nio.file.Files.createTempDirectory("graft_attach").toString
