@@ -2853,6 +2853,18 @@ object Queries {
   private def chsql(s: SparkSession, dir: String, text: String): DataFrame =
     graft.chsql.ChSql.sql(s, text)(n => tbl(s, dir, n))
 
+  /** Statement-sequence runner for the DDL/DML text surface (ch32+):
+    * each statement goes through [[graft.chsql.ChSql.statement]] with
+    * catalog-first resolution (tables the sequence CREATEs shadow the
+    * parquet dir), and the last statement's frame is the entry result. */
+  private def chstmts(s: SparkSession, dir: String, stmts: Seq[String]): DataFrame = {
+    val resolve: String => DataFrame = n =>
+      if (s.catalog.tableExists(n)) s.table(n) else tbl(s, dir, n)
+    // DDL/DML side effects run eagerly inside statement(); only the final
+    // SELECT stays a lazy frame for the caller
+    stmts.map(t => graft.chsql.ChSql.statement(s, t)(resolve)._1).last
+  }
+
   private val batch11: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // scan → filter → group → agg, decimal-exact sums (q1 shape, as text)
@@ -3134,6 +3146,66 @@ object Queries {
 
     // sumMap as CH text: per-key sums in ONE aggregation pass (the typed
     // imperative aggregate; contrast q89's two-level groupBy shape)
+    // ===== the DDL/DML statement surface as text (ChDdl) =====
+
+    // INSERT INTO table SELECT|VALUES (insertStmt, the most common DML):
+    // CREATE a managed table, append a filtered scan + literal tuples as
+    // distributed writes, read the union back through a SELECT
+    "ch32_sql_insert_select" -> ((s, dir) => chstmts(s, dir, Seq(
+      "DROP TABLE IF EXISTS ch32_big",
+      """CREATE TABLE ch32_big (k Int64, price Float64, status String)
+        |ENGINE = MergeTree ORDER BY k""".stripMargin,
+      """INSERT INTO ch32_big
+        |SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_totalprice > 200000""".stripMargin,
+      "INSERT INTO ch32_big VALUES (-1, 123.5, 'X'), (-2, 47.25, 'X')",
+      """SELECT status, count() AS n,
+        |  CAST(sum(CAST(price AS Decimal(18, 2))) AS Float64) AS total
+        |FROM ch32_big GROUP BY status ORDER BY status""".stripMargin))),
+
+    // CREATE TABLE through the ChTypes column sublanguage (Nullable /
+    // LowCardinality / Decimal) + INSERT VALUES with NULLs and an
+    // explicit column list (unlisted columns fill NULL)
+    "ch33_sql_create_insert" -> ((s, dir) => chstmts(s, dir, Seq(
+      "DROP TABLE IF EXISTS ch33_t",
+      """CREATE TABLE ch33_t (id Int64, tag LowCardinality(String),
+        |  val Nullable(Float64), qty Decimal(18, 2))
+        |ENGINE = MergeTree ORDER BY id""".stripMargin,
+      """INSERT INTO ch33_t VALUES (1, 'a', 1.5, 10.25), (2, 'b', NULL, 20.5),
+        |  (3, 'a', 2.75, 0.01)""".stripMargin,
+      "INSERT INTO ch33_t (id, tag, qty) VALUES (4, 'b', 5.5)",
+      """SELECT tag, count() AS n, CAST(sum(qty) AS Float64) AS qsum,
+        |  CAST(sum(val) AS Float64) AS vsum
+        |FROM ch33_t GROUP BY tag ORDER BY tag""".stripMargin))),
+
+    // ALTER TABLE DELETE / UPDATE as text → Mutations rewrite-and-swap
+    "ch34_sql_alter_delete" -> ((s, dir) => chstmts(s, dir, Seq(
+      "DROP TABLE IF EXISTS ch34_t",
+      """CREATE TABLE ch34_t (k Int64, price Float64, flag String)
+        |ENGINE = MergeTree ORDER BY k""".stripMargin,
+      """INSERT INTO ch34_t SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderkey < 5000""".stripMargin,
+      "ALTER TABLE ch34_t DELETE WHERE flag = 'F'",
+      "ALTER TABLE ch34_t UPDATE price = price * 2 WHERE k % 10 = 0",
+      """SELECT flag, count() AS n,
+        |  CAST(sum(CAST(price AS Decimal(18, 2))) AS Float64) AS total
+        |FROM ch34_t GROUP BY flag ORDER BY flag""".stripMargin))),
+
+    // OPTIMIZE TABLE FINAL as text: ReplacingMergeTree(v) version collapse
+    // driven by the engine keys recorded at CREATE TABLE time
+    "ch35_sql_optimize_final" -> ((s, dir) => chstmts(s, dir, Seq(
+      "DROP TABLE IF EXISTS ch35_t",
+      """CREATE TABLE ch35_t (k Int64, v Int64, price Float64)
+        |ENGINE = ReplacingMergeTree(v) ORDER BY k""".stripMargin,
+      """INSERT INTO ch35_t SELECT o_orderkey, 1, o_totalprice
+        |FROM orders WHERE o_orderkey < 2000""".stripMargin,
+      """INSERT INTO ch35_t SELECT o_orderkey, 2, o_totalprice * 2
+        |FROM orders WHERE o_orderkey < 1000""".stripMargin,
+      "OPTIMIZE TABLE ch35_t FINAL",
+      """SELECT count() AS n,
+        |  CAST(sum(CAST(price AS Decimal(18, 2))) AS Float64) AS total
+        |FROM ch35_t""".stripMargin))),
+
     "ch31_sql_summap" -> ((s, dir) => chsql(s, dir,
       """SELECT l_returnflag,
         |  arrayStringConcat(
@@ -3220,6 +3292,51 @@ object Queries {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "ch32_sql_insert_select" ->
+      """WITH big AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status
+        |  FROM orders WHERE o_totalprice > 200000
+        |  UNION ALL
+        |  SELECT * FROM (VALUES (-1, 123.5, 'X'), (-2, 47.25, 'X'))
+        |    AS v(k, price, status))
+        |SELECT status, count(*) AS n,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM big GROUP BY status ORDER BY status""".stripMargin,
+
+    "ch33_sql_create_insert" ->
+      """WITH t(id, tag, val, qty) AS (VALUES
+        |  (1, 'a', 1.5, CAST(10.25 AS DECIMAL(18,2))),
+        |  (2, 'b', NULL, CAST(20.5 AS DECIMAL(18,2))),
+        |  (3, 'a', 2.75, CAST(0.01 AS DECIMAL(18,2))),
+        |  (4, 'b', NULL, CAST(5.5 AS DECIMAL(18,2))))
+        |SELECT tag, count(*) AS n, CAST(sum(qty) AS DOUBLE) AS qsum,
+        |  CAST(sum(val) AS DOUBLE) AS vsum
+        |FROM t GROUP BY tag ORDER BY tag""".stripMargin,
+
+    "ch34_sql_alter_delete" ->
+      """WITH t AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS flag
+        |  FROM orders WHERE o_orderkey < 5000),
+        |d AS (SELECT * FROM t WHERE flag <> 'F'),
+        |u AS (SELECT k, CASE WHEN k % 10 = 0 THEN price * 2 ELSE price END AS price,
+        |    flag FROM d)
+        |SELECT flag, count(*) AS n,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM u GROUP BY flag ORDER BY flag""".stripMargin,
+
+    "ch35_sql_optimize_final" ->
+      """WITH s AS (
+        |  SELECT o_orderkey AS k, 1 AS v, o_totalprice AS price
+        |  FROM orders WHERE o_orderkey < 2000
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, o_totalprice * 2
+        |  FROM orders WHERE o_orderkey < 1000),
+        |fin AS (SELECT k, price,
+        |    row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rn FROM s)
+        |SELECT count(*) AS n,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM fin WHERE rn = 1""".stripMargin,
 
     "ch2_sql_limit_by" ->
       """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,

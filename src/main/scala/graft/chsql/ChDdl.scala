@@ -1,0 +1,444 @@
+package graft.chsql
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The DDL/DML statement surface of the CH grammar as *text*, planned onto
+  * the operators that already implement the semantics:
+  *
+  *  - `CREATE TABLE name (cols) ENGINE = E[(v)] [ORDER BY ...] [PARTITION
+  *    BY ...]` (createTableStmt, ClickHouseParser.py:4136-4183; schema
+  *    5662-5806) → a managed Spark catalog table, column types through
+  *    [[graft.model.ChTypes]], engine sorting key / version / partition
+  *    key carried as table properties (`graft.order_by`, `graft.version`,
+  *    partition key as real Spark partitioning).
+  *  - `INSERT INTO t [(cols)] VALUES|SELECT` (insertStmt,
+  *    ClickHouseParser.py:7607-7706, data clauses 7796-7856) → a
+  *    distributed append (`insertInto`) — new parquet files next to the
+  *    existing ones, exactly CH's new-part shape. Unlisted columns fill
+  *    with NULL (CH fills defaults).
+  *  - `ALTER TABLE t DELETE|UPDATE ... WHERE` (alterStmt,
+  *    ClickHouseParser.py:2242-2344) → [[graft.operators.Mutations]]
+  *    transforms inside a rewrite-and-swap: write rewritten data as a new
+  *    table, then swap names — CH rewrites parts in the background and
+  *    commits a metadata swap, same two phases. Column ALTERs
+  *    (ADD/DROP/RENAME/MODIFY/COMMENT COLUMN, 2178-2896) ride the same
+  *    rewrite.
+  *  - `OPTIMIZE TABLE t [FINAL] [DEDUPLICATE]` (optimizeStmt, 8274-8365)
+  *    → part-merge compaction (coalesce to few files per partition);
+  *    FINAL applies the ReplacingMergeTree collapse
+  *    ([[graft.operators.ChOps.selectFinal]]) using the engine keys from
+  *    CREATE TABLE.
+  *  - `DROP TABLE|VIEW`, `TRUNCATE`, `RENAME TABLE a TO b`, `USE db`,
+  *    `SHOW DATABASES|TABLES|CREATE TABLE` (7149-7357, 8463-8690,
+  *    14204-14248, 11994-13901) → Spark catalog operations.
+  *
+  * Scale note: every data-touching verb here is a distributed job — the
+  * driver never materializes rows. INSERT appends files; mutations are a
+  * single read→row-local-transform→write pass (no shuffle unless the
+  * table is partitioned, in which case the write re-uses the partition
+  * columns); OPTIMIZE is the standard small-file compaction job.
+  */
+object ChDdl {
+
+  /** Try to dispatch `text` as a DDL/DML statement. None = not a DDL head,
+    * caller falls through to the SELECT path. Each Some result is a
+    * one-column status frame (or a result frame for SHOW/metadata verbs). */
+  def dispatch(spark: SparkSession, text: String)(
+      resolve: String => DataFrame): Option[DataFrame] = {
+    import spark.implicits._
+    val trimmed = text.trim
+    def status(msg: String): DataFrame = Seq(msg).toDF("status")
+
+    val createTableRe =
+      ("(?is)^CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)\\s*" +
+        "\\((.*)\\)\\s*ENGINE\\s*=\\s*(\\w+)\\s*(?:\\(([^)]*)\\))?(.*)$").r
+    val insertRe =
+      ("(?is)^INSERT\\s+INTO\\s+(?!FUNCTION)(?:TABLE\\s+)?([\\w.]+)\\s*" +
+        "(?:\\(([\\w\\s,`]*)\\)\\s*)?(VALUES\\s*(.*)|(?:SELECT|WITH)\\s+.*)$").r
+    val alterRe = "(?is)^ALTER\\s+TABLE\\s+([\\w.]+)\\s+(.*)$".r
+    val dropRe = "(?is)^DROP\\s+(TABLE|VIEW)\\s+(IF\\s+EXISTS\\s+)?([\\w.]+)\\s*$".r
+    val truncateRe = "(?is)^TRUNCATE\\s+(?:TABLE\\s+)?([\\w.]+)\\s*$".r
+    val renameRe = "(?is)^RENAME\\s+TABLE\\s+(.*)$".r
+    val useRe = "(?is)^USE\\s+([\\w]+)\\s*$".r
+    val optimizeRe =
+      ("(?is)^OPTIMIZE\\s+TABLE\\s+([\\w.]+)" +
+        "(\\s+FINAL)?(\\s+DEDUPLICATE)?\\s*$").r
+    val showCreateRe = "(?is)^SHOW\\s+CREATE\\s+(?:TABLE\\s+)?([\\w.]+)\\s*$".r
+
+    trimmed match {
+      case createTableRe(ifNot, name, cols, engine, engineArgs, tail) =>
+        Some(createTable(spark, Option(ifNot).isDefined, name, cols,
+          engine, Option(engineArgs).getOrElse(""),
+          Option(tail).getOrElse(""), status))
+
+      case insertRe(name, colsOrNull, body, valuesOrNull) =>
+        val cols = Option(colsOrNull).toSeq
+          .flatMap(_.split(",")).map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty)
+        val rows = Option(valuesOrNull) match {
+          case Some(values) => // VALUES (...), (...)
+            valuesFrame(spark, values, resolve)
+          case None => // INSERT ... SELECT
+            ChSql.sql(spark, body)(resolve)
+        }
+        appendInto(spark, name, cols, rows)
+        Some(status(s"inserted into $name"))
+
+      case alterRe(name, clause) =>
+        Some(alterTable(spark, name, clause.trim, resolve, status))
+
+      case dropRe(kind, ifExists, name) =>
+        val exists = spark.catalog.tableExists(name)
+        if (!exists && Option(ifExists).isEmpty)
+          throw new IllegalArgumentException(s"ChSql: $kind $name does not exist")
+        if (exists) {
+          // temp views (CREATE VIEW path) and catalog tables drop differently
+          if (!spark.catalog.dropTempView(name) &&
+            !spark.catalog.dropGlobalTempView(name))
+            spark.sql(s"DROP TABLE $name")
+          graft.streaming.StreamingOps.dropView(name)
+        }
+        Some(status(s"dropped $name"))
+
+      case truncateRe(name) =>
+        spark.sql(s"TRUNCATE TABLE $name")
+        Some(status(s"truncated $name"))
+
+      case renameRe(list) =>
+        // RENAME TABLE a TO b [, c TO d ...] (renameStmt, 8463-8530)
+        val pairs = list.split(",").map(_.trim).map { p =>
+          val m = "(?is)([\\w.]+)\\s+TO\\s+([\\w.]+)".r
+            .findFirstMatchIn(p).getOrElse(throw new IllegalArgumentException(
+              s"ChSql: RENAME expects 'a TO b', got '$p'"))
+          (m.group(1), m.group(2))
+        }
+        pairs.foreach { case (a, b) => spark.sql(s"ALTER TABLE $a RENAME TO $b") }
+        Some(status(pairs.map { case (a, b) => s"renamed $a to $b" }.mkString("; ")))
+
+      case useRe(db) =>
+        spark.sql(s"USE $db")
+        Some(status(s"using $db"))
+
+      case optimizeRe(name, fin, dedup) =>
+        Some(optimizeTable(spark, name,
+          Option(fin).isDefined, Option(dedup).isDefined, status))
+
+      case showCreateRe(name) =>
+        Some(Seq(showCreate(spark, name, resolve)).toDF("statement"))
+
+      case t if t.toUpperCase(java.util.Locale.ROOT).startsWith("SHOW DATABASES") =>
+        Some(spark.catalog.listDatabases().toDF.select(col("name")))
+
+      case t if t.toUpperCase(java.util.Locale.ROOT).startsWith("SHOW TABLES") =>
+        Some(spark.catalog.listTables().toDF
+          .select(col("name")).orderBy("name"))
+
+      case _ => None
+    }
+  }
+
+  // ===================== CREATE TABLE =====================
+
+  private def createTable(spark: SparkSession, ifNotExists: Boolean,
+      name: String, colsText: String, engine: String, engineArgs: String,
+      tail: String, status: String => DataFrame): DataFrame = {
+    val schema = graft.model.ChTypes.toSparkSchema(colsText)
+    // engine tail: ORDER BY k / ORDER BY (k1, k2) / PARTITION BY c / TTL ...
+    def clause(kw: String): Option[String] = {
+      val re = ("(?is)" + kw +
+        "\\s+(\\([^)]*\\)|[\\w()]+(?:\\s*,\\s*[\\w()]+)*?)" +
+        "(?=\\s+(?:ORDER|PARTITION|PRIMARY|SAMPLE|TTL|SETTINGS)\\s|\\s*$)").r
+      re.findFirstMatchIn(tail)
+        .map(_.group(1).stripPrefix("(").stripSuffix(")").trim)
+    }
+    val orderBy = clause("ORDER\\s+BY")
+    val partitionBy = clause("PARTITION\\s+BY")
+    // ReplacingMergeTree(v): the engine argument is the version column
+    val version = if (engine.equalsIgnoreCase("ReplacingMergeTree"))
+      Some(engineArgs.trim).filter(_.nonEmpty) else None
+
+    if (ifNotExists && spark.catalog.tableExists(name))
+      return status(s"table $name already exists")
+    if (!spark.catalog.tableExists(name)) dropStaleLocation(spark, name)
+
+    val partCols = partitionBy.toSeq.flatMap(_.split(",")).map(_.trim)
+      .filter(_.nonEmpty)
+      // PARTITION BY toYYYYMM(d)-style expressions have no direct Spark
+      // DDL twin; only plain column partitioning maps to real layout
+      .filter(schema.fieldNames.contains)
+    val props = Seq(
+      "graft.engine" -> engine) ++
+      orderBy.map("graft.order_by" -> _) ++
+      version.map("graft.version" -> _)
+    val propsSql = props.map { case (k, v) => s"'$k'='$v'" }.mkString(", ")
+    val partSql =
+      if (partCols.isEmpty) "" else partCols.mkString(" PARTITIONED BY (", ", ", ")")
+    spark.sql(
+      s"CREATE TABLE ${if (ifNotExists) "IF NOT EXISTS " else ""}$name " +
+        s"(${schema.toDDL}) USING parquet$partSql TBLPROPERTIES ($propsSql)")
+    status(s"table $name created")
+  }
+
+  // ===================== INSERT =====================
+
+  /** Parse `(...), (...)` VALUES tuples through the shared expression
+    * grammar; each scalar is compiled by [[ChSql.compileExpr]], so
+    * function calls (`toDate('...')`, `now()`) work, not just literals. */
+  private def valuesFrame(spark: SparkSession, values: String,
+      resolve: String => DataFrame): DataFrame = {
+    val tuples = splitTuples(values)
+    require(tuples.nonEmpty, "ChSql: INSERT VALUES needs at least one tuple")
+    val frames = tuples.map { t =>
+      val cols = splitTop(t).zipWithIndex.map { case (e, i) =>
+        ChSql.compileExpr(spark, e, resolve).as(s"c$i")
+      }
+      spark.range(1).select(cols: _*)
+    }
+    frames.reduce(_.union(_))
+  }
+
+  /** Align `rows` to the target table schema (by the given column list,
+    * or positionally when absent; missing columns become typed NULLs —
+    * CH fills column defaults) and append distributedly — one lazy plan,
+    * no extra pass over the data. */
+  private def appendInto(spark: SparkSession, name: String,
+      cols: Seq[String], rows: DataFrame): Unit = {
+    require(spark.catalog.tableExists(name),
+      s"ChSql: INSERT INTO unknown table '$name' (CREATE TABLE it first)")
+    val target = spark.table(name).schema
+    val byName = cols.nonEmpty
+    if (byName) require(cols.size == rows.columns.length,
+      s"ChSql: INSERT column list has ${cols.size} names but the data has " +
+        s"${rows.columns.length} columns")
+    else require(target.size == rows.columns.length,
+      s"ChSql: table $name has ${target.size} columns but the data has " +
+        s"${rows.columns.length} (use an explicit column list)")
+    val src = rows.columns
+    val aligned = rows.select(target.fields.map { f =>
+      val idx = if (byName) cols.indexOf(f.name) else target.fieldIndex(f.name)
+      if (idx < 0) lit(null).cast(f.dataType).as(f.name)
+      else col(src(idx)).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+    aligned.write.mode(SaveMode.Append).insertInto(name)
+  }
+
+  // ===================== ALTER =====================
+
+  private def alterTable(spark: SparkSession, name: String, clause: String,
+      resolve: String => DataFrame, status: String => DataFrame): DataFrame = {
+    import graft.operators.Mutations
+    val up = clause.toUpperCase(java.util.Locale.ROOT)
+    // resolve columns of the target table during predicate compilation
+    def pred(text: String): Column = ChSql.compileExpr(spark, text, resolve)
+
+    if (up.startsWith("DELETE")) {
+      val where = "(?is)^DELETE\\s+WHERE\\s+(.*)$".r.findFirstMatchIn(clause)
+        .map(_.group(1)).getOrElse(throw new IllegalArgumentException(
+          "ChSql: ALTER ... DELETE needs WHERE"))
+      rewriteSwap(spark, name)(Mutations.delete(_, pred(where)))
+      status(s"mutation applied to $name (delete)")
+    } else if (up.startsWith("UPDATE")) {
+      val m = "(?is)^UPDATE\\s+(.*)\\s+WHERE\\s+(.*)$".r.findFirstMatchIn(clause)
+        .getOrElse(throw new IllegalArgumentException(
+          "ChSql: ALTER ... UPDATE needs assignments and WHERE"))
+      val assignments = splitTop(m.group(1)).map { a =>
+        val eq = topLevelEq(a)
+        require(eq > 0, s"ChSql: malformed UPDATE assignment '$a'")
+        val c = a.substring(0, eq).trim.stripPrefix("`").stripSuffix("`")
+        val e = a.substring(eq + 1).trim
+        c -> ChSql.compileExpr(spark, e, resolve)
+      }
+      rewriteSwap(spark, name)(Mutations.update(_, assignments, pred(m.group(2))))
+      status(s"mutation applied to $name (update ${assignments.map(_._1).mkString(",")})")
+    } else if (up.startsWith("ADD COLUMN")) {
+      val m = "(?is)^ADD\\s+COLUMN\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(\\w+)\\s+(.*)$".r
+        .findFirstMatchIn(clause).get
+      val dt = graft.model.ChTypes.toSpark(m.group(2).trim)
+      rewriteSwap(spark, name)(_.withColumn(m.group(1), lit(null).cast(dt)))
+      status(s"added column ${m.group(1)} to $name")
+    } else if (up.startsWith("DROP COLUMN")) {
+      val c = clause.split("\\s+").last
+      rewriteSwap(spark, name)(Mutations.dropColumn(_, c))
+      status(s"dropped column $c from $name")
+    } else if (up.startsWith("RENAME COLUMN")) {
+      val m = "(?is)^RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)$".r
+        .findFirstMatchIn(clause).get
+      rewriteSwap(spark, name)(Mutations.renameColumn(_, m.group(1), m.group(2)))
+      status(s"renamed column ${m.group(1)} to ${m.group(2)} in $name")
+    } else if (up.startsWith("MODIFY COLUMN")) {
+      val m = "(?is)^MODIFY\\s+COLUMN\\s+(\\w+)\\s+(.*)$".r
+        .findFirstMatchIn(clause).get
+      val dt = graft.model.ChTypes.toSpark(m.group(2).trim)
+      rewriteSwap(spark, name)(Mutations.modifyColumnType(_, m.group(1), dt))
+      status(s"modified column ${m.group(1)} in $name")
+    } else if (up.startsWith("COMMENT COLUMN")) {
+      val m = "(?is)^COMMENT\\s+COLUMN\\s+(\\w+)\\s+'(.*)'$".r
+        .findFirstMatchIn(clause).get
+      rewriteSwap(spark, name)(Mutations.commentColumn(_, m.group(1), m.group(2)))
+      status(s"commented column ${m.group(1)} in $name")
+    } else throw new IllegalArgumentException(
+      s"ChSql: unsupported ALTER TABLE clause: $clause")
+  }
+
+  /** The mutation job: rewrite the table through `transform` into a new
+    * table, then swap names — the same two phases as a CH mutation
+    * (background part rewrite, then metadata commit). Engine properties
+    * survive the swap. Distributed end to end; the transforms themselves
+    * (filter / conditional withColumn) are row-local, no shuffle. */
+  private def rewriteSwap(spark: SparkSession, name: String)(
+      transform: DataFrame => DataFrame): Unit = {
+    require(spark.catalog.tableExists(name),
+      s"ChSql: unknown table '$name'")
+    val props = tableProps(spark, name)
+    // preserve the physical layout: partition columns pass through, so
+    // downstream partition pruning is unaffected by the mutation
+    val partCols = spark.catalog.listColumns(name).collect()
+      .filter(_.isPartition).map(_.name).toSeq
+    val tmp = "graft_rewrite_tmp"
+    if (!spark.catalog.tableExists(tmp)) dropStaleLocation(spark, tmp)
+    val w = transform(spark.table(name)).write.mode(SaveMode.Overwrite)
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).saveAsTable(tmp)
+    spark.sql(s"DROP TABLE $name")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $name")
+    if (props.nonEmpty)
+      spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES (" +
+        props.map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")")
+  }
+
+  /** The session catalog is in-memory but managed-table directories
+    * persist in the warehouse — a table CREATEd by a previous session is
+    * unknown to this catalog yet its location blocks CREATE. When the
+    * catalog does not know the name, the directory is an orphan: remove
+    * it so CREATE TABLE is re-runnable across sessions. */
+  private def dropStaleLocation(spark: SparkSession, name: String): Unit = {
+    val parts = name.split("\\.")
+    val (db, tbl) =
+      if (parts.length == 2) (parts(0), parts(1))
+      else (spark.catalog.currentDatabase, parts(0))
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val dbPath = if (db == "default") wh else s"$wh/$db.db"
+    val loc = new org.apache.hadoop.fs.Path(s"$dbPath/$tbl")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
+  private def tableProps(spark: SparkSession, name: String): Map[String, String] =
+    spark.sql(s"SHOW TBLPROPERTIES $name").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .filter(_._1.startsWith("graft.")).toMap
+
+  // ===================== OPTIMIZE =====================
+
+  /** Part-merge compaction; FINAL adds the ReplacingMergeTree collapse
+    * using the engine keys recorded by CREATE TABLE. The rewrite coalesces
+    * to a bounded file count — at 100 TB this is the standard maintenance
+    * job that keeps scan-side file-open overhead sane. */
+  private def optimizeTable(spark: SparkSession, name: String,
+      fin: Boolean, dedup: Boolean, status: String => DataFrame): DataFrame = {
+    val props = tableProps(spark, name)
+    val targetFiles = math.max(1, spark.sparkContext.defaultParallelism / 4)
+    rewriteSwap(spark, name) { df0 =>
+      val df1 = if (dedup) df0.dropDuplicates() else df0
+      val df2 = if (!fin) df1 else (props.get("graft.order_by"), props.get("graft.version")) match {
+        case (Some(keys), Some(v)) =>
+          graft.operators.ChOps.selectFinal(
+            df1, keys.split(",").map(_.trim).toSeq, v)
+        case _ => df1 // FINAL on a non-replacing engine is a no-op
+      }
+      df2.coalesce(targetFiles)
+    }
+    status(s"optimized $name" + (if (fin) " final" else "") +
+      (if (dedup) " deduplicate" else ""))
+  }
+
+  // ===================== SHOW CREATE =====================
+
+  private def showCreate(spark: SparkSession, name: String,
+      resolve: String => DataFrame): String = {
+    val (schema, props) =
+      if (spark.catalog.tableExists(name))
+        (spark.table(name).schema, tableProps(spark, name))
+      else (resolve(name).schema, Map.empty[String, String])
+    val cols = schema.fields.map(f =>
+      s"  ${f.name} ${graft.model.ChTypes.toCh(f.dataType, f.nullable)}")
+      .mkString(",\n")
+    val engine = props.getOrElse("graft.engine", "MergeTree")
+    val engineArgs = props.get("graft.version").map(v => s"($v)").getOrElse("")
+    val orderBy = props.get("graft.order_by").map(k => s"\nORDER BY ($k)").getOrElse("")
+    s"CREATE TABLE $name\n(\n$cols\n)\nENGINE = $engine$engineArgs$orderBy"
+  }
+
+  // ===================== small text utilities =====================
+
+  /** Split `(...), (...)` into tuple bodies — quote- and paren-aware. */
+  private def splitTuples(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var inQ = false; var start = -1
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (inQ) { if (c == '\\') i += 1 else if (c == '\'') inQ = false }
+      else c match {
+        case '\'' => inQ = true
+        case '(' => depth += 1; if (depth == 1) start = i + 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) { out += s.substring(start, i); start = -1 }
+        case _ =>
+      }
+      i += 1
+    }
+    require(depth == 0 && !inQ, s"ChSql: unbalanced VALUES tuples in '$s'")
+    out.toSeq
+  }
+
+  /** Split on top-level commas (quote- and paren/bracket-aware). */
+  private def splitTop(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0; var inQ = false
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (inQ) {
+        cur += c
+        if (c == '\\' && i + 1 < s.length) { cur += s(i + 1); i += 1 }
+        else if (c == '\'') inQ = false
+      } else c match {
+        case '\'' => inQ = true; cur += c
+        case '(' | '[' => depth += 1; cur += c
+        case ')' | ']' => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+      i += 1
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Index of the first top-level `=` that is an assignment (not `==`,
+    * `!=`, `<=`, `>=`). */
+  private def topLevelEq(s: String): Int = {
+    var depth = 0; var inQ = false
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (inQ) { if (c == '\\') i += 1 else if (c == '\'') inQ = false }
+      else c match {
+        case '\'' => inQ = true
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case '=' if depth == 0 =>
+          val prev = if (i > 0) s(i - 1) else ' '
+          val next = if (i + 1 < s.length) s(i + 1) else ' '
+          if (prev != '!' && prev != '<' && prev != '>' && prev != '=' && next != '=')
+            return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+}

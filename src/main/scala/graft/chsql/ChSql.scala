@@ -997,6 +997,13 @@ object ChSql {
     import spark.implicits._
     val trimmed = text.trim
     val up = trimmed.toUpperCase(java.util.Locale.ROOT)
+    // DDL/DML heads (CREATE TABLE, INSERT INTO table, ALTER, DROP,
+    // TRUNCATE, RENAME, USE, OPTIMIZE, SHOW ...) → [[ChDdl]]; None falls
+    // through to the SELECT-family dispatch below
+    ChDdl.dispatch(spark, trimmed)(resolve) match {
+      case Some(df) => return (df, None)
+      case None =>
+    }
     if (up.startsWith("EXPLAIN")) {
       val rest0 = trimmed.drop("EXPLAIN".length).trim
       val parts = rest0.split("\\s+", 2)
@@ -1055,6 +1062,18 @@ object ChSql {
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"ChSql: $msg")
+
+  /** Compile one standalone CH expression string to a Column — the hook
+    * the DDL/DML layer ([[ChDdl]]) uses for ALTER predicates, UPDATE
+    * assignments and VALUES literals. Shares the full expression grammar
+    * (and translator registry) with the SELECT path. */
+  private[chsql] def compileExpr(spark: SparkSession, text: String,
+      resolve: String => DataFrame): Column = {
+    val p = new P(lex(text))
+    val e = p.parseExpr()
+    if (p.cur != TEnd) p.fail(s"trailing input in expression '$text'")
+    new Translator(spark, resolve, Map.empty, Map.empty, buildSetOp).apply(e)
+  }
 
   private def buildSetOp(spark: SparkSession, op: SetOp,
       resolve: String => DataFrame, ctes: Map[String, DataFrame]): DataFrame =

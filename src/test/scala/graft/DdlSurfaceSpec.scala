@@ -343,6 +343,78 @@ class DdlSurfaceSpec extends AnyFunSuite {
       Dictionaries.dictGet(facts, "labels", col("fk")))
   }
 
+  test("CH-text DDL/DML: CREATE TABLE → INSERT → ALTER mutations → round-trip") {
+    import graft.chsql.ChSql
+    def run(stmt: String): Seq[org.apache.spark.sql.Row] =
+      ChSql.statement(spark, stmt)(n => spark.table(n))._1.collect().toSeq
+    def q(sel: String): Seq[Seq[Any]] =
+      ChSql.sql(spark, sel)(spark.table).collect().toSeq.map(_.toSeq)
+
+    run("DROP TABLE IF EXISTS cht")
+    run("""CREATE TABLE cht (k Int64, price Nullable(Float64), status String)
+          |ENGINE = MergeTree ORDER BY k""".stripMargin)
+    assert(spark.catalog.tableExists("cht"))
+    run("INSERT INTO cht VALUES (1, 10.5, 'A'), (2, 20.0, 'B'), (3, 30.0, 'A')")
+    run("INSERT INTO cht (k, status) VALUES (4, 'C')") // price fills NULL
+    run("INSERT INTO cht SELECT k + 100, price * 2, status FROM cht")
+    assert(q("SELECT count() AS n FROM cht") == Seq(Seq(8L)))
+    assert(q("SELECT price FROM cht WHERE k = 101") == Seq(Seq(21.0)))
+    assert(q("SELECT price FROM cht WHERE k = 4") == Seq(Seq(null)))
+
+    run("ALTER TABLE cht DELETE WHERE status = 'C'") // kills k=4 and k=104
+    assert(q("SELECT count() AS n FROM cht") == Seq(Seq(6L)))
+    run("ALTER TABLE cht UPDATE price = price + 1 WHERE status = 'A'")
+    assert(q("SELECT price FROM cht WHERE k = 1") == Seq(Seq(11.5)))
+    assert(q("SELECT price FROM cht WHERE k = 2") == Seq(Seq(20.0)))
+
+    run("ALTER TABLE cht ADD COLUMN note Nullable(String)")
+    assert(spark.table("cht").columns.contains("note"))
+    run("ALTER TABLE cht RENAME COLUMN note TO remark")
+    assert(spark.table("cht").columns.contains("remark"))
+    run("ALTER TABLE cht DROP COLUMN remark")
+    assert(!spark.table("cht").columns.contains("remark"))
+    run("ALTER TABLE cht MODIFY COLUMN k Int32")
+    assert(spark.table("cht").schema("k").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+
+    // engine props survive the mutation swaps: SHOW CREATE reconstructs
+    val ddl = run("SHOW CREATE TABLE cht").head.getString(0)
+    assert(ddl.contains("ENGINE = MergeTree") && ddl.contains("ORDER BY (k)"))
+
+    run("RENAME TABLE cht TO cht2")
+    assert(!spark.catalog.tableExists("cht") && spark.catalog.tableExists("cht2"))
+    run("TRUNCATE TABLE cht2")
+    assert(q("SELECT count() AS n FROM cht2") == Seq(Seq(0L)))
+    run("DROP TABLE cht2")
+    assert(!spark.catalog.tableExists("cht2"))
+    intercept[IllegalArgumentException](run("DROP TABLE cht2"))
+  }
+
+  test("CH-text OPTIMIZE FINAL: ReplacingMergeTree collapse via engine keys") {
+    import graft.chsql.ChSql
+    def run(stmt: String): Unit =
+      ChSql.statement(spark, stmt)(n => spark.table(n))._1.collect()
+    def q(sel: String): Seq[Seq[Any]] =
+      ChSql.sql(spark, sel)(spark.table).collect().toSeq.map(_.toSeq)
+
+    run("DROP TABLE IF EXISTS chrep")
+    run("""CREATE TABLE chrep (k Int64, v Int64, price Float64)
+          |ENGINE = ReplacingMergeTree(v) ORDER BY k""".stripMargin)
+    run("INSERT INTO chrep VALUES (1, 1, 10.0), (2, 1, 20.0), (3, 1, 30.0)")
+    run("INSERT INTO chrep VALUES (1, 2, 11.0), (3, 2, 33.0)") // newer versions
+    assert(q("SELECT count() AS n FROM chrep") == Seq(Seq(5L)))
+    run("OPTIMIZE TABLE chrep FINAL")
+    assert(q("SELECT count() AS n FROM chrep") == Seq(Seq(3L)))
+    assert(q("SELECT price FROM chrep WHERE k = 1") == Seq(Seq(11.0)))
+    assert(q("SELECT price FROM chrep WHERE k = 2") == Seq(Seq(20.0)))
+    // DEDUPLICATE drops full-row duplicates
+    run("INSERT INTO chrep SELECT k, v, price FROM chrep")
+    assert(q("SELECT count() AS n FROM chrep") == Seq(Seq(6L)))
+    run("OPTIMIZE TABLE chrep DEDUPLICATE")
+    assert(q("SELECT count() AS n FROM chrep") == Seq(Seq(3L)))
+    run("DROP TABLE chrep")
+  }
+
   test("lightweight DELETE: mask column, implicit read filter, compaction") {
     import graft.operators.Mutations
     import org.apache.spark.sql.functions._
