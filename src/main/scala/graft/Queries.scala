@@ -3607,21 +3607,32 @@ object Queries {
         |WHERE o_custkey < 200
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
-    "q90_adaptive_histogram" -> {
-      val qList = (1 until 6).map(k => (k.toDouble / 6).toString)
-        .mkString("[", ", ", "]")
-      s"""WITH e AS (SELECT quantile_cont(l_quantity, $qList) AS edges,
-         |    CAST(min(l_quantity) AS DOUBLE) AS lo0,
-         |    CAST(max(l_quantity) AS DOUBLE) AS hi0 FROM lineitem),
-         |b AS (SELECT CAST(len(list_filter(e.edges, x -> l_quantity > x)) AS INTEGER) AS bin,
-         |    e.edges AS edges, e.lo0 AS lo0, e.hi0 AS hi0
-         |  FROM lineitem, e)
-         |SELECT bin,
-         |  round(CASE WHEN bin = 0 THEN lo0 ELSE edges[bin] END, 6) AS lo,
-         |  round(CASE WHEN bin = 5 THEN hi0 ELSE edges[bin + 1] END, 6) AS hi,
-         |  count(*) AS n
-         |FROM b GROUP BY bin, lo, hi ORDER BY bin""".stripMargin
-    },
+    // same micro-histogram edge derivation as ChOps.adaptiveHistogram:
+    // min/max/count → 4096-bin grid counts → cumulative → equi-depth
+    // edges on grid boundaries → row-local binning
+    "q90_adaptive_histogram" ->
+      """WITH s AS (SELECT CAST(min(l_quantity) AS DOUBLE) AS lo0,
+        |    CAST(max(l_quantity) AS DOUBLE) AS hi0, count(*) AS n FROM lineitem),
+        |m AS (SELECT LEAST(4095, CAST(floor(
+        |      (CAST(l_quantity AS DOUBLE) - s.lo0) / (s.hi0 - s.lo0) * 4096)
+        |      AS INTEGER)) AS mb, count(*) AS cnt
+        |  FROM lineitem, s GROUP BY mb),
+        |c AS (SELECT mb, CAST(sum(cnt) OVER (ORDER BY mb) AS DOUBLE) AS cum FROM m),
+        |ed AS (SELECT k.k, min(c.mb) AS b
+        |  FROM c, (SELECT unnest([1, 2, 3, 4, 5]) AS k) k, s
+        |  WHERE c.cum >= k.k * s.n / 6.0 GROUP BY k.k),
+        |e AS (SELECT list(s.lo0 + (ed.b + 1) * (s.hi0 - s.lo0) / 4096
+        |      ORDER BY ed.k) AS edges,
+        |    any_value(s.lo0) AS lo0, any_value(s.hi0) AS hi0 FROM ed, s),
+        |b2 AS (SELECT CAST(len(list_filter(e.edges,
+        |      x -> CAST(l_quantity AS DOUBLE) > x)) AS INTEGER) AS bin,
+        |    e.edges AS edges, e.lo0 AS lo0, e.hi0 AS hi0
+        |  FROM lineitem, e)
+        |SELECT bin,
+        |  round(CASE WHEN bin = 0 THEN lo0 ELSE edges[bin] END, 6) AS lo,
+        |  round(CASE WHEN bin = 5 THEN hi0 ELSE edges[bin + 1] END, 6) AS hi,
+        |  count(*) AS n
+        |FROM b2 GROUP BY bin, lo, hi ORDER BY bin""".stripMargin,
 
     "x4_audio_decode" ->
       """SELECT doc_id,

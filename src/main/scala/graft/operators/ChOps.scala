@@ -468,33 +468,54 @@ object ChOps {
           col("__evs"), steps.length).as("n_chains"))
   }
 
-  /** CH `histogram(N)(x)` adaptive tier: equi-depth bins seeded by exact
-    * quantiles — two passes instead of CH's single-pass streaming
-    * bin-merge, trading one extra scan for a DETERMINISTIC result (CH's
-    * adaptive histogram depends on merge order, so two runs can disagree;
-    * this one is replayable bit-for-bit by a SQL oracle). Returns
-    * (bin, lo, hi, n) with lo/hi rounded to 6.
+  /** CH `histogram(N)(x)` adaptive tier: equi-depth bins seeded by
+    * quantile edges derived from a fixed-resolution micro-histogram —
+    * deterministic (CH's streaming bin-merge is merge-order dependent, so
+    * two runs can disagree; this is replayable bit-for-bit by a SQL
+    * oracle) AND bounded: no aggregation buffer ever exceeds `microBins`
+    * entries, unlike an exact percentile whose final buffer holds every
+    * value. Returns (bin, lo, hi, n) with lo/hi rounded to 6.
     *
-    * Scale: pass 1 is a single all-reduce aggregate (the quantile);
-    * pass 2 broadcasts the (nBins−1)-edge array and bins row-locally,
-    * then partial+final counts — no data-scale shuffle beyond the
-    * groupBy on nBins keys. At 100 TB swap the exact percentile for
-    * approx_percentile; the binning pass is unchanged. */
-  def adaptiveHistogram(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
+    * Scale: pass 1 is a 3-scalar all-reduce (min/max/count); pass 2 is a
+    * partial+final count over ≤`microBins` grid keys (the only collect is
+    * the ≤4096-row micro-histogram — same bounded-probe shape as the IVF
+    * codebook); pass 3 broadcasts the (nBins−1)-edge array as literals
+    * and bins row-locally. No data-scale shuffle beyond a groupBy on
+    * nBins keys. Edge precision is (max−min)/microBins — the equi-depth
+    * split lands on the nearest grid boundary, the honest streaming-
+    * approximation contract of an adaptive histogram. */
+  def adaptiveHistogram(df: DataFrame, valueCol: String, nBins: Int,
+      microBins: Int = 4096): DataFrame = {
     require(nBins >= 2, "need at least 2 bins")
-    val qs = (1 until nBins).map(_.toDouble / nBins)
-    val edges = df.agg(
-      percentile(col(valueCol), array(qs.map(lit): _*)).as("__edges"),
-      min(col(valueCol)).cast("double").as("__lo"),
-      max(col(valueCol)).cast("double").as("__hi"))
-    df.select(col(valueCol).cast("double").as("__v"))
-      .crossJoin(broadcast(edges))
+    val v = col(valueCol).cast("double")
+    val head = df.agg(min(v).as("lo"), max(v).as("hi"),
+      count(lit(1)).as("n")).head()
+    val (lo0, hi0, n) = (head.getDouble(0), head.getDouble(1), head.getLong(2))
+    val edgeVals: Seq[Double] =
+      if (hi0 == lo0) Seq.fill(nBins - 1)(hi0) // degenerate: one occupied bin
+      else {
+        val micro = df
+          .select(least(lit(microBins - 1),
+            floor((v - lit(lo0)) / lit(hi0 - lo0) * lit(microBins)))
+            .cast("int").as("mb"))
+          .groupBy("mb").agg(count(lit(1)).as("cnt"))
+          .orderBy("mb").collect() // bounded: ≤ microBins rows
+        var cum = 0L
+        val cums = micro.map { r => cum += r.getLong(1); (r.getInt(0), cum) }
+        (1 until nBins).map { k =>
+          val target = k.toDouble * n / nBins
+          val b = cums.find(_._2 >= target).get._1
+          lo0 + (b + 1) * (hi0 - lo0) / microBins
+        }
+      }
+    val edges = array(edgeVals.map(lit): _*)
+    df.select(v.as("__v"))
       .withColumn("bin",
-        size(filter(col("__edges"), e => col("__v") > e)).cast("int"))
-      .withColumn("lo", round(when(col("bin") === 0, col("__lo"))
-        .otherwise(element_at(col("__edges"), col("bin"))), 6))
-      .withColumn("hi", round(when(col("bin") === nBins - 1, col("__hi"))
-        .otherwise(element_at(col("__edges"), col("bin") + 1)), 6))
+        size(filter(edges, e => col("__v") > e)).cast("int"))
+      .withColumn("lo", round(when(col("bin") === 0, lit(lo0))
+        .otherwise(element_at(edges, col("bin"))), 6))
+      .withColumn("hi", round(when(col("bin") === nBins - 1, lit(hi0))
+        .otherwise(element_at(edges, col("bin") + 1)), 6))
       .groupBy("bin", "lo", "hi")
       .agg(count(lit(1)).as("n"))
   }

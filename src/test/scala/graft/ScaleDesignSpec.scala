@@ -326,6 +326,26 @@ class ScaleDesignSpec extends AnyFunSuite {
     }
   }
 
+  test("adaptive histogram: every aggregation buffer is bounded (no exact percentile)") {
+    // the previous edge pass used exact `percentile`, whose final buffer
+    // holds every value of the column — a scale-killer at 100 TB; the
+    // micro-histogram derivation caps every aggregate at ≤4096 grid keys
+    val df = graft.operators.ChOps.adaptiveHistogram(
+      spark.read.parquet(s"$sf/lineitem.parquet"), "l_quantity", 6)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("percentile"),
+      "unbounded exact-percentile buffer is back in the edge pass")
+    // binning pass carries the edges as broadcast literals: no join at all
+    assert(df.queryExecution.executedPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }.isEmpty,
+      "edge pass should ride in as literals, not a join")
+    // and the result is still the equi-depth shape: 6 bins covering n rows
+    val rows = df.collect()
+    assert(rows.length == 6)
+    val total = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+  }
+
   test("langId expression stays compact (the when-fold doubled per language)") {
     // the original when-fold over 12+8 languages duplicated every earlier
     // count in each branch: ~2^12-node trees, 20 MiB task binaries and a
