@@ -3206,6 +3206,20 @@ object Queries {
         |  CAST(sum(CAST(price AS Decimal(18, 2))) AS Float64) AS total
         |FROM ch35_t""".stripMargin))),
 
+    // SQL-standard keyword spellings in one entry: EXTRACT(unit FROM e),
+    // SUBSTRING(e FROM a FOR b), TRIM(BOTH s FROM e), the :: cast
+    // operator, DATE/TIMESTAMP typed literals, hex literals
+    "ch36_sql_keyword_forms" -> ((s, dir) => chsql(s, dir,
+      """SELECT o_orderkey AS k,
+        |  EXTRACT(YEAR FROM o_orderdate) AS yr,
+        |  SUBSTRING(o_orderpriority FROM 1 FOR 4) AS pri,
+        |  TRIM(BOTH 'x' FROM concat('xx', o_orderstatus, 'x')) AS st,
+        |  o_orderkey :: Float64 AS kf,
+        |  0xFF AS hx,
+        |  EXTRACT(MONTH FROM DATE '1997-06-15') AS mo,
+        |  toYear(TIMESTAMP '1998-02-03 04:05:06') AS ty
+        |FROM orders WHERE o_orderkey < 100 ORDER BY k""".stripMargin)),
+
     "ch31_sql_summap" -> ((s, dir) => chsql(s, dir,
       """SELECT l_returnflag,
         |  arrayStringConcat(
@@ -3337,6 +3351,17 @@ object Queries {
         |SELECT count(*) AS n,
         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM fin WHERE rn = 1""".stripMargin,
+
+    "ch36_sql_keyword_forms" ->
+      """SELECT o_orderkey AS k,
+        |  CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yr,
+        |  SUBSTRING(o_orderpriority FROM 1 FOR 4) AS pri,
+        |  TRIM(BOTH 'x' FROM concat('xx', o_orderstatus, 'x')) AS st,
+        |  CAST(o_orderkey AS DOUBLE) AS kf,
+        |  CAST(255 AS INTEGER) AS hx,
+        |  CAST(EXTRACT(MONTH FROM DATE '1997-06-15') AS INTEGER) AS mo,
+        |  CAST(EXTRACT(YEAR FROM TIMESTAMP '1998-02-03 04:05:06') AS INTEGER) AS ty
+        |FROM orders WHERE o_orderkey < 100 ORDER BY k""".stripMargin,
 
     "ch2_sql_limit_by" ->
       """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,

@@ -91,6 +91,21 @@ object ChSql {
         while (i < n && input(i) != '`') i += 1
         out += TId(input.substring(st, i)); i += 1
       }
+      else if (c == '0' && (peek(1) == 'x' || peek(1) == 'X') &&
+          (peek(2).isDigit || "abcdefABCDEF".indexOf(peek(2)) >= 0)) {
+        // hex literal (lexer HEXADECIMAL_LITERAL) — normalized to decimal
+        val st = i + 2; i += 2
+        while (i < n && (input(i).isDigit ||
+          "abcdefABCDEF".indexOf(input(i)) >= 0)) i += 1
+        out += TNum(java.lang.Long.parseLong(input.substring(st, i), 16).toString)
+      }
+      else if (c == '0' && (peek(1) == 'b' || peek(1) == 'B') &&
+          (peek(2) == '0' || peek(2) == '1')) {
+        // binary literal (lexer BINARY_LITERAL)
+        val st = i + 2; i += 2
+        while (i < n && (input(i) == '0' || input(i) == '1')) i += 1
+        out += TNum(java.lang.Long.parseLong(input.substring(st, i), 2).toString)
+      }
       else if (c.isDigit || (c == '.' && peek(1).isDigit)) {
         val st = i
         while (i < n && (input(i).isDigit || input(i) == '.' || input(i) == 'e' ||
@@ -109,7 +124,7 @@ object ChSql {
       }
       else {
         val two = if (i + 1 < n) input.substring(i, i + 2) else ""
-        if (Set("==", "!=", "<>", "<=", ">=", "||", "->").contains(two)) {
+        if (Set("==", "!=", "<>", "<=", ">=", "||", "->", "::").contains(two)) {
           out += TP(two); i += 2
         } else { out += TP(c.toString); i += 1 }
       }
@@ -346,6 +361,8 @@ object ChSql {
       var go = true
       while (go) {
         if (eatP("[")) { val i = parseExpr(); expectP("]"); e = Idx(e, i) }
+        // `e :: Type` cast operator (ClickHouseParser.py:15059-15079)
+        else if (eatP("::")) e = CastE(e, parseTypeName())
         else if (isP(".") && toks(pos + 1).isInstanceOf[TNum]) {
           pos += 1
           val i = advance().asInstanceOf[TNum].s.toInt
@@ -409,6 +426,14 @@ object ChSql {
         else { val items = parseExprList(); expectP("]"); ArrayLit(items) }
       case TP("*") => pos += 1; Star
       case t: TId if t.up == "NULL" => pos += 1; NullLit
+      // `DATE 'yyyy-mm-dd'` / `TIMESTAMP 'yyyy-mm-dd hh:mm:ss'` typed
+      // literals (ClickHouseParser.py:15481-15498, 15377-15394)
+      case t: TId if (t.up == "DATE" || t.up == "TIMESTAMP") &&
+          toks(pos + 1).isInstanceOf[TStr] =>
+        pos += 1
+        val s = advance().asInstanceOf[TStr].s
+        FuncCall(if (t.up == "DATE") "toDate" else "toDateTime",
+          Nil, Seq(StrLit(s)))
       case t: TId if t.up == "CASE" => parseCase()
       case t: TId if t.up == "CAST" => parseCast()
       case t: TId if t.up == "INTERVAL" =>
@@ -436,6 +461,57 @@ object ChSql {
 
     private def parseCallAfterName(name: String): Expr = {
       expectP("(")
+      val up0 = name.toUpperCase(java.util.Locale.ROOT)
+      // SQL-standard keyword call forms (the function-call spellings of
+      // all three already work through the generic path below):
+      // EXTRACT(unit FROM e) — ClickHouseParser.py:14873-14899
+      if (up0 == "EXTRACT" && cur.isInstanceOf[TId] && kwAt(1, "FROM")) {
+        val fn = ident().toUpperCase(java.util.Locale.ROOT) match {
+          case "YEAR" => "toYear"
+          case "QUARTER" => "toQuarter"
+          case "MONTH" => "toMonth"
+          case "WEEK" => "toISOWeek"
+          case "DAY" => "toDayOfMonth"
+          case "HOUR" => "toHour"
+          case "MINUTE" => "toMinute"
+          case "SECOND" => "toSecond"
+          case other => fail(s"EXTRACT: unsupported unit $other")
+        }
+        expectKw("FROM")
+        val e = parseExpr(); expectP(")")
+        return FuncCall(fn, Nil, Seq(e))
+      }
+      // SUBSTRING(e FROM a [FOR b]) — ClickHouseParser.py:14979-15007
+      if ((up0 == "SUBSTRING" || up0 == "SUBSTR") && !isP(")")) {
+        val e0 = parseExpr()
+        if (eatKw("FROM")) {
+          val a = parseExpr()
+          val b = if (eatKw("FOR")) Some(parseExpr()) else None
+          expectP(")")
+          return FuncCall("substring", Nil, Seq(e0, a) ++ b.toSeq)
+        }
+        // comma spelling: finish the list the generic way
+        val rest =
+          if (eatP(")")) Seq(e0)
+          else { expectP(","); val a = parseExprList(); expectP(")"); e0 +: a }
+        return FuncCall("substring", Nil, rest)
+      }
+      // TRIM([BOTH|LEADING|TRAILING] ['x'] FROM e) — 15251-15283
+      if (up0 == "TRIM" &&
+          (isKw("BOTH") || isKw("LEADING") || isKw("TRAILING"))) {
+        val fn = ident().toUpperCase(java.util.Locale.ROOT) match {
+          case "BOTH" => "trimBoth"
+          case "LEADING" => "trimLeft"
+          case "TRAILING" => "trimRight"
+        }
+        val what = cur match {
+          case TStr(s) => pos += 1; Some(StrLit(s))
+          case _ => None
+        }
+        expectKw("FROM")
+        val e0 = parseExpr(); expectP(")")
+        return FuncCall(fn, Nil, Seq(e0) ++ what.toSeq)
+      }
       val distinct = eatKw("DISTINCT")
       val args: Seq[Expr] =
         if (eatP(")")) Nil
@@ -2069,9 +2145,18 @@ object ChSql {
         case "concat" => concat(f.args.map(t): _*)
         case "startswith" => a(0).startsWith(a(1))
         case "endswith" => a(0).endsWith(a(1))
-        case "trim" | "trimboth" => trim(a(0))
-        case "trimleft" => ltrim(a(0))
-        case "trimright" => rtrim(a(0))
+        case "trim" | "trimboth" =>
+          if (f.args.size == 2)
+            trim(a(0), f.args(1).asInstanceOf[StrLit].v)
+          else trim(a(0))
+        case "trimleft" =>
+          if (f.args.size == 2)
+            ltrim(a(0), f.args(1).asInstanceOf[StrLit].v)
+          else ltrim(a(0))
+        case "trimright" =>
+          if (f.args.size == 2)
+            rtrim(a(0), f.args(1).asInstanceOf[StrLit].v)
+          else rtrim(a(0))
         case "replaceall" | "replace" =>
           // CH replaceAll is LITERAL replace
           regexp_replace(a(0),

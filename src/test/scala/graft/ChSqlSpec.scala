@@ -755,6 +755,32 @@ class ChSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL keyword forms: EXTRACT, SUBSTRING FROM FOR, TRIM BOTH, :: cast, typed and hex literals") {
+    val r = run(
+      """SELECT EXTRACT(YEAR FROM d) AS yr,
+        |  EXTRACT(MONTH FROM DATE '1997-06-15') AS mo,
+        |  SUBSTRING(status FROM 1 FOR 1) AS s1,
+        |  SUBSTRING('abcdef' FROM 3) AS s2,
+        |  TRIM(BOTH 'x' FROM 'xxhixx') AS tb,
+        |  TRIM(LEADING FROM '  hi') AS tl,
+        |  TRIM(TRAILING 'y' FROM 'hiyy') AS tr2,
+        |  okey :: Float64 AS kf,
+        |  price :: String AS ps,
+        |  0xFF AS hx, 0b101 AS bn,
+        |  toYear(TIMESTAMP '1998-02-03 04:05:06') AS ty
+        |FROM orders WHERE okey = 1""".stripMargin)
+    assert(r == Seq(Seq(1997, 6, "A", "cdef", "hi", "hi", "hi",
+      1.0, "100.0", 255, 5, 1998)))
+  }
+
+  test("keyword-form fallbacks: comma spellings and EXTRACT(h, re) still work") {
+    val r = run(
+      """SELECT substring('abcdef', 2, 3) AS s, trim(' hi ') AS t,
+        |  extract('a1b22c', '\\d+') AS e
+        |FROM orders LIMIT 1""".stripMargin)
+    assert(r == Seq(Seq("bcd", "hi", "1")))
+  }
+
   test("distributed: translated plan pushes filter to scan on parquet") {
     val dir = java.nio.file.Files.createTempDirectory("chsql").toString
     orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
