@@ -1811,11 +1811,19 @@ object ChSql {
         case TupleLit(items) => // CH tuples access fields as t.1, t.2 ...
           struct(items.zipWithIndex.map { case (x, i) => t(x).as(s"col${i + 1}") }: _*)
         case Idx(x, i) => element_at(t(x), t(i)) // CH arrays are 1-based, like element_at
+        // CH subqueries are uncorrelated; they used to be evaluated
+        // EAGERLY here (.head()/.isEmpty at translate time — Spark jobs
+        // during parsing, result invisible to Catalyst). Now they ride
+        // into the outer plan as real Catalyst subquery expressions:
+        // sql() is side-effect-free until an action, and the optimizer
+        // sees (and can reuse) the subplan. Runtime divergence from the
+        // eager form: zero-row scalar subquery yields NULL (CH throws).
         case ScalarSub(sub) =>
-          val row = buildSub(spark, sub, resolve, ctes).head()
-          lit(row.get(0))
+          org.apache.spark.sql.graftbridge.ColumnBridge.scalarSubquery(
+            buildSub(spark, sub, resolve, ctes))
         case ExistsSub(sub) =>
-          lit(!buildSub(spark, sub, resolve, ctes).isEmpty)
+          org.apache.spark.sql.graftbridge.ColumnBridge.existsSubquery(
+            buildSub(spark, sub, resolve, ctes))
         case LambdaE(_, _) =>
           throw new IllegalArgumentException(
             "ChSql: lambda outside a higher-order function argument")

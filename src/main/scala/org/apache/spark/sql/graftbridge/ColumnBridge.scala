@@ -11,6 +11,23 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** An uncorrelated scalar subquery as a lazy Catalyst expression — the
+    * subplan stays inside the outer query's plan (visible to the
+    * optimizer, reusable, no jobs until an action). Runtime contract:
+    * null on zero rows, error on >1 row. */
+  def scalarSubquery(df: org.apache.spark.sql.DataFrame): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+        df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+          .queryExecution.analyzed))
+
+  /** `EXISTS (subquery)` as a lazy Catalyst predicate. */
+  def existsSubquery(df: org.apache.spark.sql.DataFrame): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.Exists(
+        df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+          .queryExecution.analyzed))
+
   /** Bridge to Dataset.showString (private[sql] in Spark 4) — the ASCII
     * table renderer behind df.show(), needed for the FORMAT Pretty twin. */
   def showString(df: org.apache.spark.sql.DataFrame, numRows: Int,

@@ -781,6 +781,36 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r == Seq(Seq("bcd", "hi", "1")))
   }
 
+  test("translation is side-effect-free: scalar/EXISTS subqueries fire zero jobs") {
+    orders.count() // warm the session so lazy-init jobs don't pollute the count
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = ChSql.sql(spark,
+        """SELECT okey, price / (SELECT max(price) FROM orders) AS rel
+          |FROM orders
+          |WHERE EXISTS (SELECT 1 FROM custs WHERE nat = 1)
+          |  AND price > (SELECT avg(price) FROM orders)
+          |ORDER BY okey""".stripMargin)(resolve)
+      org.apache.spark.sql.graftbridge.TestBridge.waitListenerBus(spark)
+      assert(jobs.get() == 0,
+        s"translation launched ${jobs.get()} Spark job(s) — subqueries are eager again")
+      // the subplans are INSIDE the outer plan, visible to the optimizer
+      val planStr = df.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(planStr.contains("subquery"))
+      // and the values still match the eager semantics
+      val r = df.collect().map(_.toSeq)
+      // avg(price) = 182.5 → okey 2 (250) and 5 (500) qualify
+      assert(r.map(_.head) sameElements Array(2L, 5L).map(_.asInstanceOf[Any]))
+      assert(r.head(1) == 250.0 / 500.0)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("distributed: translated plan pushes filter to scan on parquet") {
     val dir = java.nio.file.Files.createTempDirectory("chsql").toString
     orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
