@@ -1389,6 +1389,18 @@ object Queries {
           .as(Seq("frame_id", "digest")))
         .orderBy("doc_id", "frame_id")),
 
+    // REAL video-frame decode: synthesize animated GIFs distributed
+    // (params are pure functions of the id), decode them back through
+    // javax.imageio's sequence reader — frame count from the true index
+    // scan, pixel sums from the decoded rasters; the oracle re-derives
+    // every column (including the sums) from the generator formulas
+    "x5_video_frames" -> ((s, dir) =>
+      Multimodal.sampleGifFrames(
+          Multimodal.syntheticGifs(
+            tbl(s, dir, "documents").filter(col("doc_id") < 300), "doc_id"),
+          "doc_id")
+        .toDF().drop("err").orderBy("doc_id", "frame_id")),
+
     // IVF with multi-cell probing (nprobe=2): recall/latency trade dial
     "v5_ivf_nprobe2" -> ((s, dir) =>
       graft.operators.Similarity.ivfTopK(
@@ -1474,6 +1486,26 @@ object Queries {
         |    AS n_fell_back,
         |  count(*) AS n
         |FROM orders""".stripMargin,
+
+    // every column re-derived from the GIF generator's pure functions —
+    // a header mis-parse or raster mis-decode cannot match pixel_sum
+    "x5_video_frames" ->
+      """WITH p AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 8 + 2 AS INTEGER) AS n,
+        |    CAST(doc_id % 32 + 8 AS INTEGER) AS w,
+        |    CAST(doc_id * 3 % 24 + 8 AS INTEGER) AS h,
+        |    CAST((doc_id % 8 + 2 + 3) // 4 AS INTEGER) AS s
+        |  FROM documents WHERE doc_id < 300),
+        |f AS (SELECT id, n, w, h, CAST(j.j * s AS INTEGER) AS frame_id
+        |  FROM p, range(0, 4) j(j) WHERE j.j * s < n),
+        |px AS (SELECT f.id, f.frame_id, f.n, f.w, f.h,
+        |    sum((f.id + f.frame_id * 17 + x.x * 31 + y.y * 7) % 256) AS pixel_sum
+        |  FROM f, range(0, 40) x(x), range(0, 32) y(y)
+        |  WHERE x.x < f.w AND y.y < f.h
+        |  GROUP BY f.id, f.frame_id, f.n, f.w, f.h)
+        |SELECT id AS doc_id, frame_id, n AS n_frames, w AS width, h AS height,
+        |  CAST(pixel_sum AS BIGINT) AS pixel_sum
+        |FROM px ORDER BY doc_id, frame_id""".stripMargin,
 
     "x2_frame_sample" ->
       """SELECT doc_id, CAST(i AS INTEGER) AS frame_id,

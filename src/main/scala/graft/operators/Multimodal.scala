@@ -8,13 +8,16 @@ import org.apache.spark.sql.functions._
   * partition decode — the Scala analog of `mapInPandas` (buffer a batch,
   * run the codec over the batch, emit rows).
   *
-  * Two codecs: [[ImageIoCodec]] is a REAL image decoder over the JDK's
+  * Codecs, all REAL and all in-JDK: [[ImageIoCodec]] decodes images over
   * `javax.imageio` (PNG/JPEG/GIF/BMP — magic-byte sniff, full decode,
-  * per-row error channel for corrupt payloads); [[StubCodec]] remains the
-  * deterministic fallback for media the JDK can't decode (audio/video
-  * frames), keyed on the payload bytes so its arithmetic is reproducible
-  * in the SQL oracle. The plumbing — schema, binary column, batch shape,
-  * partition parallelism — is shared and identical.
+  * per-row error channel for corrupt payloads); [[WavCodec]] decodes
+  * audio over `javax.sound.sampled`; [[GifFramesCodec]] decodes
+  * multi-frame animated GIF as the video twin (frame count, per-frame
+  * raster decode, evenly-spaced frame sampling). [[StubCodec]] remains
+  * only as the arithmetic stand-in used by the x1 metadata-plumbing
+  * entry, keyed on the payload bytes so its output is reproducible in
+  * the SQL oracle. The plumbing — schema, binary column, batch shape,
+  * partition parallelism — is shared and identical across codecs.
   */
 object Multimodal {
 
@@ -215,6 +218,137 @@ object Multimodal {
                 MediaDecoded(id, fmt, w, h, payload.length.toLong, null)
               case Left(msg) =>
                 MediaDecoded(id, null, -1, -1, payload.length.toLong, msg)
+            }
+          }
+        }
+      }
+  }
+
+  /** REAL multi-frame "video" codec over animated GIF — the one moving-
+    * picture container the JDK decodes natively (`javax.imageio` image
+    * sequences). Frame count from the reader's true index scan, per-frame
+    * full decode, evenly-spaced frame sampling — the frame-extraction
+    * batch shape of a production video pipeline, with an in-JDK codec
+    * instead of an FFmpeg JNI binding. */
+  object GifFramesCodec {
+    def sniffGif(b: Array[Byte]): Boolean =
+      b.length >= 6 && b(0) == 'G'.toByte && b(1) == 'I'.toByte &&
+        b(2) == 'F'.toByte && b(3) == '8'.toByte
+
+    /** Decode to (nFrames, width, height, sampled (frameId, pixelSum))
+      * or an error. Sampling picks ≤ `maxSamples` evenly-spaced frames
+      * (step = ceil(n/maxSamples)); pixelSum sums the decoded gray
+      * channel over every pixel of the frame — a value only obtainable
+      * by actually decoding the frame raster. */
+    def decode(payload: Array[Byte], maxSamples: Int = 4)
+        : Either[String, (Int, Int, Int, Seq[(Int, Long)])] =
+      if (!sniffGif(payload)) Left("not a GIF payload")
+      else try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) Left("no GIF reader")
+          else {
+            val r = readers.next()
+            r.setInput(iis)
+            val n = r.getNumImages(true) // true frame scan, not a header guess
+            val step = (n + maxSamples - 1) / maxSamples
+            val sampled = (0 until maxSamples).map(_ * step).filter(_ < n)
+              .map { i =>
+                val img = r.read(i)
+                var sum = 0L
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    sum += (img.getRGB(x, y) & 0xFF) // gray = blue channel
+                    x += 1
+                  }
+                  y += 1
+                }
+                (i, sum)
+              }
+            val f0 = r.read(0)
+            r.dispose()
+            Right((n, f0.getWidth, f0.getHeight, sampled))
+          }
+        } finally iis.close()
+      } catch {
+        case e: Exception => Left(s"decode error: ${e.getMessage}")
+      }
+  }
+
+  /** Synthetic video fixture: one REAL animated GIF per row (multi-frame,
+    * written with the JDK's GIF sequence writer), every parameter a pure
+    * function of the id — nFrames = id%8+2, width = id%32+8,
+    * height = id*3%24+8, pixel(f, x, y) = (id + f*17 + x*31 + y*7) % 256
+    * grayscale — so a SQL oracle re-derives both the metadata AND the
+    * per-frame pixel sums the decoder must find. 256 gray levels fit a
+    * GIF palette exactly, so the round-trip is lossless. Distributed
+    * generation, like [[syntheticPngs]]. */
+  def syntheticGifs(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      it.map { id =>
+        val n = (id % 8 + 2).toInt
+        val w = (id % 32 + 8).toInt
+        val h = (id * 3 % 24 + 8).toInt
+        val out = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < n) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0, ((id + f * 17 + x * 31 + y * 7) % 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        ios.close()
+        (id, out.toByteArray)
+      }
+    }.toDF(idCol, "payload")
+  }
+
+  /** One sampled frame with the decode evidence (pixel_sum) and the
+    * error channel. */
+  final case class VideoFrame(
+      doc_id: Long, frame_id: Int, n_frames: Int, width: Int, height: Int,
+      pixel_sum: Long, err: String)
+
+  /** Batched REAL frame sampling through [[GifFramesCodec]]: same
+    * partition-streaming batch shape as the image/audio decoders; emits
+    * one row per sampled frame (≤ `maxSamples` per video). */
+  def sampleGifFrames(df: DataFrame, idCol: String, maxSamples: Int = 4,
+      batchSize: Int = 64): Dataset[VideoFrame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, payload) =>
+            GifFramesCodec.decode(payload, maxSamples) match {
+              case Right((n, w, h, frames)) =>
+                frames.map { case (fid, sum) =>
+                  VideoFrame(id, fid, n, w, h, sum, null)
+                }
+              case Left(msg) =>
+                Seq(VideoFrame(id, -1, -1, -1, -1, -1L, msg))
             }
           }
         }

@@ -233,4 +233,38 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out(900L).err.contains("not a RIFF/WAVE payload"))
     assert(out(901L).err != null && out(901L).sample_rate == -1)
   }
+
+  test("Gif frames codec: real multi-frame decode, lossless pixel round-trip, error channel") {
+    import spark.implicits._
+    val ids = Seq(3L, 12L, 150L).toDF("doc_id")
+    val gifs = Multimodal.syntheticGifs(ids, "doc_id")
+    val goodGif = gifs.filter(col("doc_id") === 12L)
+      .select("payload").head().getAs[Array[Byte]](0)
+    val corrupt = Seq(
+      (900L, "not a gif at all".getBytes("UTF-8")),
+      (901L, goodGif.take(20))).toDF("doc_id", "payload")
+    val rows = Multimodal.sampleGifFrames(
+        gifs.unionByName(corrupt), "doc_id", batchSize = 2)
+      .collect().groupBy(_.doc_id)
+    for (id <- Seq(3L, 12L, 150L)) {
+      val n = (id % 8 + 2).toInt
+      val w = (id % 32 + 8).toInt
+      val h = (id * 3 % 24 + 8).toInt
+      val step = (n + 3) / 4
+      val expected = (0 until 4).map(_ * step).filter(_ < n)
+      val fs = rows(id).sortBy(_.frame_id)
+      assert(fs.forall(f => f.err == null && f.n_frames == n &&
+        f.width == w && f.height == h))
+      assert(fs.map(_.frame_id).toSeq == expected)
+      // the decoded raster must reproduce the generator's pixels exactly
+      for (f <- fs) {
+        var sum = 0L
+        for (x <- 0 until w; y <- 0 until h)
+          sum += (id + f.frame_id * 17 + x * 31 + y * 7) % 256
+        assert(f.pixel_sum == sum, s"id=$id frame=${f.frame_id}")
+      }
+    }
+    assert(rows(900L).head.err.contains("not a GIF payload"))
+    assert(rows(901L).head.err != null && rows(901L).head.n_frames == -1)
+  }
 }
