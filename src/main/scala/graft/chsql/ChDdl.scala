@@ -53,6 +53,18 @@ object ChDdl {
     val createTableRe =
       ("(?is)^CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)\\s*" +
         "\\((.*)\\)\\s*ENGINE\\s*=\\s*(\\w+)\\s*(?:\\(([^)]*)\\))?(.*)$").r
+    // CREATE MATERIALIZED VIEW name [TO target] [POPULATE] AS SELECT
+    // (ClickHouseParser.py:4085-4133); LIVE VIEW (livе-view kind) rides
+    // the same registry with complete-mode refresh semantics
+    val createMvRe =
+      ("(?is)^CREATE\\s+(MATERIALIZED|LIVE)\\s+VIEW\\s+" +
+        "(?:IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)" +
+        "(?:\\s+TO\\s+([\\w.]+))?(\\s+POPULATE)?\\s+AS\\s+" +
+        "((?:SELECT|WITH)\\s+.*)$").r
+    // WATCH view [LIMIT n] (watchStmt, 14249-14321); the LIMIT (number of
+    // refresh generations to emit) is accepted and left to the caller's
+    // sink, which owns the subscription lifetime
+    val watchRe = "(?is)^WATCH\\s+([\\w.]+)(?:\\s+LIMIT\\s+\\d+)?\\s*$".r
     val insertRe =
       ("(?is)^INSERT\\s+INTO\\s+(?!FUNCTION)(?:TABLE\\s+)?([\\w.]+)\\s*" +
         "(?:\\(([\\w\\s,`]*)\\)\\s*)?(VALUES\\s*(.*)|(?:SELECT|WITH)\\s+.*)$").r
@@ -67,6 +79,14 @@ object ChDdl {
     val showCreateRe = "(?is)^SHOW\\s+CREATE\\s+(?:TABLE\\s+)?([\\w.]+)\\s*$".r
 
     trimmed match {
+      case createMvRe(kind, name, targetOrNull, populateOrNull, sel) =>
+        Some(createMaterializedView(spark, kind.toUpperCase(
+          java.util.Locale.ROOT) == "LIVE", name, Option(targetOrNull),
+          Option(populateOrNull).isDefined, sel, resolve, status))
+
+      case watchRe(name) =>
+        Some(watchView(spark, name, resolve))
+
       case createTableRe(ifNot, name, cols, engine, engineArgs, tail) =>
         Some(createTable(spark, Option(ifNot).isDefined, name, cols,
           engine, Option(engineArgs).getOrElse(""),
@@ -89,16 +109,18 @@ object ChDdl {
         Some(alterTable(spark, name, clause.trim, resolve, status))
 
       case dropRe(kind, ifExists, name) =>
-        val exists = spark.catalog.tableExists(name)
-        if (!exists && Option(ifExists).isEmpty)
+        val inCatalog = spark.catalog.tableExists(name)
+        val isMv = mvMeta.contains(name)
+        if (!inCatalog && !isMv && Option(ifExists).isEmpty)
           throw new IllegalArgumentException(s"ChSql: $kind $name does not exist")
-        if (exists) {
+        if (inCatalog) {
           // temp views (CREATE VIEW path) and catalog tables drop differently
           if (!spark.catalog.dropTempView(name) &&
             !spark.catalog.dropGlobalTempView(name))
             spark.sql(s"DROP TABLE $name")
-          graft.streaming.StreamingOps.dropView(name)
         }
+        graft.streaming.StreamingOps.dropView(name)
+        mvMeta.remove(name)
         Some(status(s"dropped $name"))
 
       case truncateRe(name) =>
@@ -136,6 +158,68 @@ object ChDdl {
 
       case _ => None
     }
+  }
+
+  // ===================== MATERIALIZED / LIVE VIEW =====================
+
+  /** Text-layer MV metadata: source table + select text + TO target, so
+    * WATCH can rebuild the stream twin from the registered name. */
+  private final case class MvMeta(src: String, sel: String,
+      target: Option[String])
+  private val mvMeta =
+    scala.collection.concurrent.TrieMap.empty[String, MvMeta]
+
+  /** `CREATE MATERIALIZED VIEW v [TO t] [POPULATE] AS SELECT`: register
+    * the transform in the [[graft.streaming.StreamingOps]] MV registry
+    * (one function, applied identically in batch backfill and streaming
+    * refresh — the Kappa contract). POPULATE runs the batch backfill now:
+    * into the TO target when it is a writable catalog table, else as a
+    * queryable temp view named after the MV (CH's implicit inner table). */
+  private def createMaterializedView(spark: SparkSession, live: Boolean,
+      name: String, target: Option[String], populate: Boolean, sel: String,
+      resolve: String => DataFrame, status: String => DataFrame): DataFrame = {
+    import graft.streaming.StreamingOps
+    val src = ChSql.firstTable(sel).getOrElse(throw new IllegalArgumentException(
+      s"ChSql: materialized view $name has no source table in its SELECT"))
+    val transform: DataFrame => DataFrame =
+      in => ChSql.sql(spark, sel)(n => if (n == src) in else resolve(n))
+    StreamingOps.register(StreamingOps.MaterializedView(name, transform))
+    mvMeta.put(name, MvMeta(src, sel, target))
+    if (populate) {
+      val out = StreamingOps.populate(
+        StreamingOps.MaterializedView(name, transform), resolve(src))
+      target match {
+        case Some(t) if spark.catalog.tableExists(t) =>
+          out.write.mode(SaveMode.Append).insertInto(t)
+        case _ => out.createOrReplaceTempView(target.getOrElse(name))
+      }
+    }
+    status(s"${if (live) "live" else "materialized"} view $name created" +
+      (if (populate) " and populated" else ""))
+  }
+
+  /** `WATCH v`: the client-facing subscription — returns the STREAMING
+    * twin of the registered transform over the view's file-backed source
+    * (the path is recovered from the batch resolver's scan relation, so
+    * the same statement works wherever tables are parquet-backed). The
+    * caller attaches the sink and owns the query lifetime. */
+  private def watchView(spark: SparkSession, name: String,
+      resolve: String => DataFrame): DataFrame = {
+    import graft.streaming.StreamingOps
+    val meta = mvMeta.getOrElse(name, throw new IllegalArgumentException(
+      s"ChSql: WATCH: unknown view '$name' (CREATE MATERIALIZED VIEW first)"))
+    val srcBatch = resolve(meta.src)
+    val paths = srcBatch.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+    require(paths.nonEmpty,
+      s"ChSql: WATCH $name: source table '${meta.src}' is not file-backed")
+    StreamingOps.watch(spark, name, paths.head, srcBatch.schema)
   }
 
   // ===================== CREATE TABLE =====================

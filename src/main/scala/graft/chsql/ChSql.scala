@@ -1139,6 +1139,25 @@ object ChSql {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"ChSql: $msg")
 
+  /** First table referenced in a SELECT's FROM chain — the MV source
+    * table ([[ChDdl]] binds it to the stream input; a CH MV has exactly
+    * one source). */
+  private[chsql] def firstTable(text: String): Option[String] = {
+    val ast = new P(lex(text)).parseSetOp()
+    def fromRel(r: Relation): Option[String] = r match {
+      case TableRef(n, _, _) => Some(n)
+      case SubqueryRel(sel, _) => walk(sel)
+      case _ => None
+    }
+    def walk(op: SetOp): Option[String] = op match {
+      case One(s) =>
+        s.from.flatMap(fromRel)
+          .orElse(s.ctes.values.flatMap(walk).headOption)
+      case Combine(_, _, l, r) => walk(l).orElse(walk(r))
+    }
+    walk(ast)
+  }
+
   /** Compile one standalone CH expression string to a Column — the hook
     * the DDL/DML layer ([[ChDdl]]) uses for ALTER predicates, UPDATE
     * assignments and VALUES literals. Shares the full expression grammar

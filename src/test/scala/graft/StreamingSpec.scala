@@ -76,6 +76,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally StreamingOps.dropView("mv_watch")
   }
 
+  test("CH-text MV/WATCH: register via statement, POPULATE backfills, WATCH streams") {
+    import graft.chsql.ChSql
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvtext").toString
+    writeBatch(s"$dir/events.parquet")
+    def resolve(n: String) = spark.read.parquet(s"$dir/$n.parquet")
+    def stmt(s: String) = ChSql.statement(spark, s)(resolve)._1
+    try {
+      // register + POPULATE through text; the backfill is queryable
+      stmt("""CREATE MATERIALIZED VIEW mv_text AS
+             |SELECT event_type, count() AS n, sum(value) AS total
+             |FROM events GROUP BY event_type""".stripMargin)
+        .collect()
+      intercept[org.apache.spark.sql.AnalysisException]( // not yet populated
+        spark.table("mv_text"))
+      stmt("""CREATE MATERIALIZED VIEW mv_text POPULATE AS
+             |SELECT event_type, count() AS n, sum(value) AS total
+             |FROM events GROUP BY event_type""".stripMargin)
+        .collect()
+      val pop = spark.table("mv_text").orderBy("event_type")
+        .collect().map(_.toSeq)
+      assert(pop.toSeq == Seq(Seq("click", 3L, 7.0), Seq("view", 2L, 8.0)))
+
+      // WATCH returns the STREAMING twin of the same transform
+      val sub = stmt("WATCH mv_text")
+      assert(sub.isStreaming)
+      val q = sub.writeStream.outputMode("complete").format("memory")
+        .queryName("mv_text_watch")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      val watched = spark.table("mv_text_watch").orderBy("event_type")
+        .collect().map(_.toSeq)
+      assert(watched.toSeq == pop.toSeq) // stream twin == batch backfill
+      // WATCH of an unregistered name refuses clearly
+      intercept[IllegalArgumentException](stmt("WATCH nope"))
+      // DROP unregisters from both the registry and the temp-view twin
+      stmt("DROP VIEW mv_text").collect()
+      intercept[IllegalArgumentException](stmt("WATCH mv_text"))
+    } finally {
+      spark.catalog.dropTempView("mv_text")
+      graft.streaming.StreamingOps.dropView("mv_text")
+    }
+  }
+
   test("streaming dedup drops repeated digests within the watermark") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dedup").toString
     Seq(
