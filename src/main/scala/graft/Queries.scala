@@ -105,6 +105,20 @@ object Queries {
     // E3+G2+G3: lineage UDF → explode to edges → first-seen dedup
     "m3_lineage_edges" -> ((s, _) => fixtureEdges(s).orderBy("src", "dst")),
 
+    // AST-exact lineage tier: the real CH parser (heuristic fallback)
+    // must reproduce the corpus's known-true edge set — same oracle as
+    // m3, independently derived through a different extractor
+    "m9_lineage_exact" -> ((s, _) => {
+      val (deps, _) = {
+        val lin = LineagePipeline.lineageExact(
+          CatalogSource.views(CatalogSource.fixtureCatalog(s).toDF()))
+        (lin.filter(col("error").isNull).select("view", "deps"),
+          lin.filter(col("error").isNotNull))
+      }
+      DependencyGraph.dedupEdges(DependencyGraph.edges(deps))
+        .select("src", "dst").orderBy("src", "dst")
+    }),
+
     // aggregation over edges: fan-out per source object
     "m4_fanout" -> ((s, _) =>
       fixtureEdges(s).groupBy("src").agg(count(lit(1)).as("fan_out"))
@@ -240,6 +254,9 @@ object Queries {
           ") AS t(database, name, engine) ORDER BY database, name"),
 
     "m3_lineage_edges" ->
+      s"SELECT * FROM (VALUES $edgeValues) AS t(src, dst) ORDER BY src, dst",
+
+    "m9_lineage_exact" ->
       s"SELECT * FROM (VALUES $edgeValues) AS t(src, dst) ORDER BY src, dst",
 
     "m4_fanout" ->

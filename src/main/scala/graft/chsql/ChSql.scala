@@ -119,6 +119,8 @@ object ChSql {
           if (input(i) == '\\' && i + 1 < n) { sb.append(unescape(input(i + 1))); i += 2 }
           else { sb.append(input(i)); i += 1 }
         }
+        if (i >= n) throw new IllegalArgumentException(
+          "ChSql: unterminated string literal")
         i += 1
         out += TStr(sb.toString)
       }
@@ -1156,6 +1158,69 @@ object ChSql {
       case Combine(_, _, l, r) => walk(l).orElse(walk(r))
     }
     walk(ast)
+  }
+
+  /** Every real table referenced anywhere in a SELECT/WITH statement —
+    * the AST-exact lineage source ([[graft.functions.LineageExtractor]]'s
+    * exact tier). Walks relations (FROM + every JOIN), subqueries in
+    * relations AND expressions (IN/scalar/EXISTS), and CTE bodies. CTE
+    * names shadow unqualified refs in their scope (and, unlike the
+    * best-effort heuristic, a *qualified* `db.x` is kept even when a CTE
+    * is also named `x` — qualified refs bypass CTEs in CH). Table
+    * functions are relations but not tables — excluded. Sorted distinct. */
+  def referencedTables(text: String): Seq[String] = {
+    val ast = new P(lex(text)).parseSetOp()
+    val out = scala.collection.mutable.Set[String]()
+    def walkSetOp(op: SetOp, scope: Set[String]): Unit = op match {
+      case One(s) => walkSelect(s, scope)
+      case Combine(_, _, l, r) => walkSetOp(l, scope); walkSetOp(r, scope)
+    }
+    def walkSelect(s: SelectStmt, outer: Set[String]): Unit = {
+      val scope = outer ++ s.ctes.keys
+      s.ctes.values.foreach(walkSetOp(_, scope))
+      def rel(r: Relation): Unit = r match {
+        case TableRef(n, _, _) =>
+          if (n.contains('.') || !scope.contains(n)) out += n
+        case SubqueryRel(sel, _) => walkSetOp(sel, scope)
+        case _: TableFuncRel => // parens rule: a table function is no table
+      }
+      s.from.foreach(rel)
+      s.joins.foreach(j => rel(j.rel))
+      val exprs: Seq[Expr] =
+        s.items.map(_.e) ++ s.prewhere ++ s.where ++ s.groupBy ++
+          s.having ++ s.orderBy.map(_.e) ++ s.arrayJoins.map(_.e) ++
+          s.groupSets.flatten ++ s.limitBy.toSeq.flatMap(_._3) ++
+          s.exprCtes.values
+      exprs.foreach(walkExpr(_, scope))
+    }
+    def walkExpr(e: Expr, scope: Set[String]): Unit = e match {
+      case InSub(x, sub, _) => walkExpr(x, scope); walkSetOp(sub, scope)
+      case ScalarSub(sub) => walkSetOp(sub, scope)
+      case ExistsSub(sub) => walkSetOp(sub, scope)
+      case FuncCall(_, ps, as, _) => (ps ++ as).foreach(walkExpr(_, scope))
+      case Bin(_, l, r) => walkExpr(l, scope); walkExpr(r, scope)
+      case Neg(x) => walkExpr(x, scope)
+      case NotE(x) => walkExpr(x, scope)
+      case IsNullE(x, _) => walkExpr(x, scope)
+      case InList(x, items, _) => (x +: items).foreach(walkExpr(_, scope))
+      case BetweenE(x, lo, hi, _) =>
+        Seq(x, lo, hi).foreach(walkExpr(_, scope))
+      case CaseE(op, br, el) =>
+        (op.toSeq ++ br.flatMap(b => Seq(b._1, b._2)) ++ el.toSeq)
+          .foreach(walkExpr(_, scope))
+      case LambdaE(_, body) => walkExpr(body, scope)
+      case ArrayLit(items) => items.foreach(walkExpr(_, scope))
+      case TupleLit(items) => items.foreach(walkExpr(_, scope))
+      case CastE(x, _) => walkExpr(x, scope)
+      case IntervalE(nE, _) => walkExpr(nE, scope)
+      case Idx(x, i) => walkExpr(x, scope); walkExpr(i, scope)
+      case WindowE(fn, partBy, ordBy, _) =>
+        (fn +: partBy) ++ ordBy.map(_.e) foreach (walkExpr(_, scope))
+      case WindowERef(fn, _) => walkExpr(fn, scope)
+      case _ =>
+    }
+    walkSetOp(ast, Set.empty)
+    out.toSeq.sorted
   }
 
   /** Compile one standalone CH expression string to a Column — the hook

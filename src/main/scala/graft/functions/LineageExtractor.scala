@@ -274,4 +274,39 @@ object LineageExtractor {
   def extract(ddl: String, defaultDb: Option[String]): (Seq[String], Option[String]) =
     try (tables(ddl, defaultDb), None)
     catch { case e: Exception => (Seq.empty, Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")) }
+
+  /** AST-EXACT tier: parse the view body with the repo's real CH SELECT
+    * parser ([[graft.chsql.ChSql.referencedTables]]) and walk the
+    * relation/subquery tree — exceeds the reference where its own
+    * docstring admits best-effort (ch_view_dependencies.py:109-123):
+    * qualified refs that collide with a CTE name are kept (qualified refs
+    * bypass CTEs in CH), and nothing outside a genuine table context can
+    * leak in. Falls back to the [[tables]] heuristic when the body does
+    * not parse (the heuristic's whole point is surviving odd DDL).
+    * Returns (tables, tier) with tier ∈ {"exact", "heuristic"}. */
+  def tablesExact(ddl: String, defaultDb: Option[String]): (Seq[String], String) = {
+    if (ddl == null || ddl.trim.isEmpty)
+      return (tables(ddl, defaultDb), "heuristic") // throws the parity error
+    val trimmed = ddl.trim
+    val up = trimmed.toUpperCase
+    // the SELECT body: the DDL itself when it IS a select, else the text
+    // after the view definition's top-level `AS SELECT|WITH`
+    val body =
+      if (up.startsWith("SELECT") || up.startsWith("WITH")) Some(trimmed)
+      else "(?is)\\bAS\\s+((?:SELECT|WITH)\\b.*)$".r
+        .findFirstMatchIn(trimmed).map(_.group(1))
+    body.flatMap { b =>
+      try Some((graft.chsql.ChSql.referencedTables(b)
+        .map(Names.normalize(_, defaultDb)).distinct.sorted, "exact"))
+      catch { case _: Exception => None }
+    }.getOrElse((tables(ddl, defaultDb), "heuristic"))
+  }
+
+  /** Keep-going wrapper for the exact tier: (deps, tier, error). */
+  def extractExact(ddl: String, defaultDb: Option[String])
+      : (Seq[String], String, Option[String]) =
+    try { val (deps, tier) = tablesExact(ddl, defaultDb); (deps, tier, None) }
+    catch { case e: Exception =>
+      (Seq.empty, "error", Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+    }
 }

@@ -31,6 +31,24 @@ object LineagePipeline {
           .as("r"))
       .select(col("view"), col("r._1").as("deps"), col("r._2").as("error"))
 
+  /** AST-exact tier of the same op: the real CH parser with per-row
+    * heuristic fallback ([[LineageExtractor.extractExact]]); adds the
+    * `tier` column so callers can audit which rows got the exact parse.
+    * Same shape, same no-shuffle parallelism. */
+  val lineageExactUdf = udf { (ddl: String, db: String) =>
+    val (deps, tier, err) = LineageExtractor.extractExact(ddl, Option(db))
+    (deps, tier, err.orNull)
+  }
+
+  /** views → (view, deps, tier, error) through the exact tier. */
+  def lineageExact(views: DataFrame): DataFrame =
+    views.select(
+        concat_ws(".", col("database"), col("name")).as("view"),
+        lineageExactUdf(coalesce(col("create_table_query"), lit("")), col("database"))
+          .as("r"))
+      .select(col("view"), col("r._1").as("deps"), col("r._2").as("tier"),
+        col("r._3").as("error"))
+
   /** The reference's JSON payload shape `{"view_dependencies", "errors"}`
     * as two DataFrames. */
   def dependencies(catalog: DataFrame): (DataFrame, DataFrame) = {

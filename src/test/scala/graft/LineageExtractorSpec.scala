@@ -183,4 +183,60 @@ class LineageExtractorSpec extends AnyFunSuite {
   test("no default db: unqualified stays bare") {
     assert(LineageExtractor.tables("SELECT * FROM car", None) == Seq("car"))
   }
+
+  test("exact tier: real parser agrees with the heuristic on plain shapes") {
+    for (ddl <- Seq(
+      "CREATE VIEW test.v AS SELECT * FROM test.a JOIN b ON a.x = b.x",
+      """CREATE VIEW test.v AS
+        |WITH flags AS (SELECT * FROM test.base)
+        |SELECT household_id FROM flags""".stripMargin,
+      "CREATE VIEW test.v AS SELECT (SELECT max(x) FROM test.m) AS mx FROM test.a",
+      "CREATE VIEW test.v AS SELECT * FROM a WHERE x IN (SELECT x FROM test.allow)")) {
+      val (exact, tier) = LineageExtractor.tablesExact(ddl, Some("test"))
+      assert(tier == "exact", ddl)
+      assert(exact == LineageExtractor.tables(ddl, Some("test")), ddl)
+    }
+  }
+
+  test("exact tier: qualified ref colliding with a CTE name is kept (heuristic drops it)") {
+    val ddl =
+      """CREATE VIEW test.v AS
+        |WITH x AS (SELECT 1 AS k)
+        |SELECT * FROM db.x JOIN x ON 1 = 1""".stripMargin
+    // heuristic: CTE exclusion matches the unqualified table part → db.x lost
+    assert(LineageExtractor.tables(ddl, Some("test")) == Nil)
+    // exact: qualified refs bypass CTEs in CH → db.x is a real dependency
+    val (exact, tier) = LineageExtractor.tablesExact(ddl, Some("test"))
+    assert(tier == "exact" && exact == Seq("db.x"))
+  }
+
+  test("exact tier: unparseable body falls back to the heuristic, keep-going contract holds") {
+    val odd = "CREATE VIEW test.v AS SELECT FROM FROM test.a %%%"
+    val (deps, tier) = LineageExtractor.tablesExact(odd, Some("test"))
+    assert(tier == "heuristic")
+    assert(deps == LineageExtractor.tables(odd, Some("test")))
+    val (d2, t2, e2) = LineageExtractor.extractExact("", Some("test"))
+    assert(d2.isEmpty && t2 == "error" && e2.isDefined)
+  }
+
+  test("exact tier: the whole fixture corpus parses exactly (no silent fallback)") {
+    // if a grammar gap sneaks in, m9 would silently ride the heuristic —
+    // pin that every well-formed corpus view gets the real parse
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    val views = graft.sources.CatalogSource.views(
+      graft.sources.CatalogSource.fixtureCatalog(spark).toDF()).collect()
+    val tiers = views.map { r =>
+      val ddl = Option(r.getAs[String]("create_table_query")).getOrElse("")
+      val name = r.getAs[String]("name")
+      val (_, tier, _) = LineageExtractor.extractExact(
+        ddl, Some(r.getAs[String]("database")))
+      name -> tier
+    }.toMap
+    val expectHeuristic = Set("v_broken") // deliberately malformed fixture
+    tiers.foreach { case (name, tier) =>
+      if (expectHeuristic.contains(name)) assert(tier != "exact", name)
+      else assert(tier == "exact", s"$name fell back to $tier")
+    }
+  }
 }
