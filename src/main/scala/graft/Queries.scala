@@ -2109,29 +2109,40 @@ object Queries {
         |  json_extract_string(props, '$.missing') AS absent
         |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,
 
-    // identical fold re-derived in DuckDB over the same encoded longs:
-    // the accumulator is the per-level latest-chain-start list, -1 = unset
+    // identical fold re-derived in DuckDB over the same encoded longs, as
+    // a RECURSIVE CTE stepping each user's sorted stream one event per
+    // iteration (a1..a3 = per-level latest-chain timestamps, -1 = unset).
+    // NOT a list_reduce lambda: DuckDB 1.0's vectorized list_reduce can
+    // cross accumulator lanes between rows under branching CASE (seen as
+    // swapped per-user results at sf0.001) — the recursion is lane-safe.
     "e9_window_funnel" ->
-      """WITH ev AS (SELECT user_id,
+      """WITH RECURSIVE ev AS (SELECT user_id,
         |    epoch_us(ts) * 10 + (CASE event_type WHEN 'signup' THEN 0
         |      WHEN 'click' THEN 1 WHEN 'purchase' THEN 2 END) AS e
         |  FROM events WHERE event_type IN ('signup', 'click', 'purchase')),
-        |agg AS (SELECT user_id, list_sort(list(e)) AS evs FROM ev GROUP BY user_id),
-        |st AS (SELECT user_id, list_reduce(
-        |  list_prepend([CAST(-1 AS BIGINT), -1, -1], list_transform(evs, x -> [x])),
-        |  (acc, xx) -> CASE
-        |    WHEN xx[1] % 10 = 0 THEN [greatest(acc[1], xx[1] // 10), acc[2], acc[3]]
-        |    WHEN xx[1] % 10 = 1 AND acc[1] >= 0
-        |         AND xx[1] // 10 - acc[1] <= 259200000000
-        |      THEN [acc[1], greatest(acc[2], acc[1]), acc[3]]
-        |    WHEN xx[1] % 10 = 2 AND acc[2] >= 0
-        |         AND xx[1] // 10 - acc[2] <= 259200000000
-        |      THEN [acc[1], acc[2], greatest(acc[3], acc[2])]
-        |    ELSE acc END) AS f FROM agg)
-        |SELECT CAST(CASE WHEN f[3] >= 0 THEN 3 WHEN f[2] >= 0 THEN 2
-        |    WHEN f[1] >= 0 THEN 1 ELSE 0 END AS INTEGER) AS level,
+        |ord AS (SELECT user_id, e,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY e) AS i FROM ev),
+        |n AS (SELECT user_id, count(*) AS cnt FROM ord GROUP BY user_id),
+        |st(user_id, i, a1, a2, a3) AS (
+        |  SELECT user_id, CAST(0 AS BIGINT), CAST(-1 AS BIGINT),
+        |    CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) FROM n
+        |  UNION ALL
+        |  SELECT st.user_id, st.i + 1,
+        |    CASE WHEN o.e % 10 = 0 THEN greatest(st.a1, o.e // 10)
+        |         ELSE st.a1 END,
+        |    CASE WHEN o.e % 10 = 1 AND st.a1 >= 0
+        |          AND o.e // 10 - st.a1 <= 259200000000
+        |         THEN greatest(st.a2, st.a1) ELSE st.a2 END,
+        |    CASE WHEN o.e % 10 = 2 AND st.a2 >= 0
+        |          AND o.e // 10 - st.a2 <= 259200000000
+        |         THEN greatest(st.a3, st.a2) ELSE st.a3 END
+        |  FROM st JOIN ord o ON o.user_id = st.user_id AND o.i = st.i + 1),
+        |fin AS (SELECT st.user_id, st.a1, st.a2, st.a3
+        |  FROM st JOIN n ON st.user_id = n.user_id AND st.i = n.cnt)
+        |SELECT CAST(CASE WHEN a3 >= 0 THEN 3 WHEN a2 >= 0 THEN 2
+        |    WHEN a1 >= 0 THEN 1 ELSE 0 END AS INTEGER) AS level,
         |  count(*) AS n
-        |FROM st GROUP BY 1 ORDER BY level""".stripMargin,
+        |FROM fin GROUP BY 1 ORDER BY level""".stripMargin,
 
     "q67_url_funcs" ->
       """WITH u AS (SELECT p_partkey,
@@ -2841,21 +2852,30 @@ object Queries {
         |  round(corr(l_quantity, l_extendedprice), 6) AS cr
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
-    // the same greedy automaton replayed in DuckDB: accumulator =
-    // [chains, next-needed-step]; completing step 3 resets
+    // the same greedy automaton replayed in DuckDB as a RECURSIVE CTE
+    // (state = chains + next-needed-step; completing step 3 resets) —
+    // lane-safe, see the e9 note on the list_reduce vectorization bug
     "e11_sequence_count" ->
-      """WITH ev AS (SELECT user_id,
+      """WITH RECURSIVE ev AS (SELECT user_id,
         |    epoch_us(ts) * 10 + (CASE event_type WHEN 'signup' THEN 0
         |      WHEN 'click' THEN 1 WHEN 'purchase' THEN 2 END) AS e
         |  FROM events WHERE event_type IN ('signup', 'click', 'purchase')),
-        |agg AS (SELECT user_id, list_sort(list(e)) AS evs FROM ev GROUP BY user_id),
-        |st AS (SELECT user_id, list_reduce(
-        |  list_prepend([CAST(0 AS BIGINT), 0], list_transform(evs, x -> [x, 0])),
-        |  (acc, xx) -> CASE WHEN xx[1] % 10 = acc[2]
-        |    THEN CASE WHEN acc[2] = 2 THEN [acc[1] + 1, 0]
-        |              ELSE [acc[1], acc[2] + 1] END
-        |    ELSE acc END) AS f FROM agg)
-        |SELECT user_id, f[1] AS n_chains FROM st ORDER BY user_id""".stripMargin,
+        |ord AS (SELECT user_id, e,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY e) AS i FROM ev),
+        |n AS (SELECT user_id, count(*) AS cnt FROM ord GROUP BY user_id),
+        |st(user_id, i, chains, need) AS (
+        |  SELECT user_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0 FROM n
+        |  UNION ALL
+        |  SELECT st.user_id, st.i + 1,
+        |    st.chains + CASE WHEN o.e % 10 = st.need AND st.need = 2
+        |                     THEN 1 ELSE 0 END,
+        |    CASE WHEN o.e % 10 = st.need
+        |         THEN CASE WHEN st.need = 2 THEN 0 ELSE st.need + 1 END
+        |         ELSE st.need END
+        |  FROM st JOIN ord o ON o.user_id = st.user_id AND o.i = st.i + 1)
+        |SELECT st.user_id, st.chains AS n_chains
+        |FROM st JOIN n ON st.user_id = n.user_id AND st.i = n.cnt
+        |ORDER BY st.user_id""".stripMargin,
 
     "e12_delta_sum" ->
       """WITH w AS (SELECT user_id,
@@ -3573,9 +3593,10 @@ object Queries {
     "ch18_sql_funnel" -> oracles9("e9_window_funnel"),
 
     // adjacency + time-bound replay borrowed from e14; 2-step greedy
-    // automaton replay borrowed from e11 (completion at level 1)
+    // automaton replay as a RECURSIVE CTE (completion at level 1) —
+    // lane-safe, see the e9 note on the list_reduce vectorization bug
     "ch17_sql_sequence" ->
-      """WITH ev AS (SELECT user_id, ts, event_type,
+      """WITH RECURSIVE ev AS (SELECT user_id, ts, event_type,
         |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 ELSE 0 END AS s_adj
         |  FROM events),
         |nx AS (SELECT user_id, event_type,
@@ -3592,13 +3613,21 @@ object Queries {
         |    epoch_us(ts) * 10 + (CASE event_type WHEN 'signup' THEN 0
         |      WHEN 'purchase' THEN 1 END) AS e
         |  FROM events WHERE event_type IN ('signup', 'purchase')),
-        |scagg AS (SELECT user_id, list_sort(list(e)) AS evs FROM sc GROUP BY user_id),
-        |scst AS (SELECT user_id, list_reduce(
-        |  list_prepend([CAST(0 AS BIGINT), 0], list_transform(evs, x -> [x, 0])),
-        |  (acc, xx) -> CASE WHEN xx[1] % 10 = acc[2]
-        |    THEN CASE WHEN acc[2] = 1 THEN [acc[1] + 1, 0]
-        |              ELSE [acc[1], acc[2] + 1] END
-        |    ELSE acc END) AS f FROM scagg)
+        |scord AS (SELECT user_id, e,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY e) AS i FROM sc),
+        |scn AS (SELECT user_id, count(*) AS cnt FROM scord GROUP BY user_id),
+        |screc(user_id, i, chains, need) AS (
+        |  SELECT user_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0 FROM scn
+        |  UNION ALL
+        |  SELECT s.user_id, s.i + 1,
+        |    s.chains + CASE WHEN o.e % 10 = s.need AND s.need = 1
+        |                    THEN 1 ELSE 0 END,
+        |    CASE WHEN o.e % 10 = s.need
+        |         THEN CASE WHEN s.need = 1 THEN 0 ELSE s.need + 1 END
+        |         ELSE s.need END
+        |  FROM screc s JOIN scord o ON o.user_id = s.user_id AND o.i = s.i + 1),
+        |scst AS (SELECT s.user_id, [s.chains, CAST(s.need AS BIGINT)] AS f
+        |  FROM screc s JOIN scn ON s.user_id = scn.user_id AND s.i = scn.cnt)
         |SELECT u.user_id,
         |  coalesce(adj.m, 0) = 1 AS m_adj,
         |  tb.user_id IS NOT NULL AS m_tb,

@@ -77,6 +77,13 @@ object ChDdl {
       ("(?is)^OPTIMIZE\\s+TABLE\\s+([\\w.]+)" +
         "(\\s+FINAL)?(\\s+DEDUPLICATE)?\\s*$").r
     val showCreateRe = "(?is)^SHOW\\s+CREATE\\s+(?:TABLE\\s+)?([\\w.]+)\\s*$".r
+    // admin verbs (checkStmt 3807-3837, existsStmt 7358-7419,
+    // killStmt 8274-8365, systemStmt 13902-14107)
+    val checkRe = "(?is)^CHECK\\s+TABLE\\s+([\\w.]+)\\s*$".r
+    val existsRe = "(?is)^EXISTS\\s+(?:TABLE\\s+)?([\\w.]+)\\s*$".r
+    val killRe =
+      "(?is)^KILL\\s+QUERY\\s+WHERE\\s+query_id\\s*=\\s*'([^']*)'\\s*$".r
+    val systemRe = "(?is)^SYSTEM\\s+(\\w+(?:\\s+\\w+)*?)(?:\\s+'([^']*)')?\\s*$".r
 
     trimmed match {
       case createMvRe(kind, name, targetOrNull, populateOrNull, sel) =>
@@ -149,6 +156,27 @@ object ChDdl {
       case showCreateRe(name) =>
         Some(Seq(showCreate(spark, name, resolve)).toDF("statement"))
 
+      case checkRe(name) =>
+        // full-scan validation over the table's file location (the path
+        // rides out of the resolver's scan relation, same as WATCH)
+        val paths = filePaths(spark, resolve(name))
+        require(paths.nonEmpty,
+          s"ChSql: CHECK TABLE $name: not a file-backed table")
+        val (ok, n, err) = graft.operators.AdminOps.checkTable(spark, paths.head)
+        Some(Seq((name, ok, n, err.orNull)).toDF("table", "ok", "rows", "error"))
+
+      case existsRe(name) =>
+        val exists = spark.catalog.tableExists(name) ||
+          (try { resolve(name); true } catch { case _: Exception => false })
+        Some(Seq(if (exists) 1 else 0).toDF("result"))
+
+      case killRe(queryId) =>
+        Some(status(graft.operators.AdminOps.killQuery(spark, queryId)))
+
+      case systemRe(cmd, argOrNull) =>
+        Some(status(graft.operators.AdminOps.system(
+          spark, cmd, Option(argOrNull))))
+
       case t if t.toUpperCase(java.util.Locale.ROOT).startsWith("SHOW DATABASES") =>
         Some(spark.catalog.listDatabases().toDF.select(col("name")))
 
@@ -209,14 +237,7 @@ object ChDdl {
     val meta = mvMeta.getOrElse(name, throw new IllegalArgumentException(
       s"ChSql: WATCH: unknown view '$name' (CREATE MATERIALIZED VIEW first)"))
     val srcBatch = resolve(meta.src)
-    val paths = srcBatch.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        lr.relation match {
-          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            fs.location.rootPaths.map(_.toString)
-          case _ => Nil
-        }
-    }.flatten
+    val paths = filePaths(spark, srcBatch)
     require(paths.nonEmpty,
       s"ChSql: WATCH $name: source table '${meta.src}' is not file-backed")
     StreamingOps.watch(spark, name, paths.head, srcBatch.schema)
@@ -389,6 +410,19 @@ object ChDdl {
       spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES (" +
         props.map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")")
   }
+
+  /** Root file paths behind a (file-backed) batch DataFrame — recovered
+    * from the resolver's scan relation, so text statements that need a
+    * path (CHECK TABLE, WATCH) work wherever tables are parquet-backed. */
+  private def filePaths(spark: SparkSession, df: DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
 
   /** The session catalog is in-memory but managed-table directories
     * persist in the warehouse — a table CREATEd by a previous session is

@@ -415,6 +415,24 @@ class DdlSurfaceSpec extends AnyFunSuite {
     run("DROP TABLE chrep")
   }
 
+  test("CH-text admin verbs: CHECK TABLE, EXISTS, SYSTEM, KILL QUERY as statements") {
+    import graft.chsql.ChSql
+    def resolve(n: String) = n match {
+      case "nation" => spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      case other => spark.table(other)
+    }
+    def run(s: String) = ChSql.statement(spark, s)(resolve)._1.collect().toSeq
+
+    val chk = run("CHECK TABLE nation").head
+    assert(chk.getBoolean(1) && chk.getLong(2) == 25 && chk.isNullAt(3))
+    assert(run("EXISTS TABLE nation").head.getInt(0) == 1)
+    assert(run("EXISTS TABLE no_such_thing").head.getInt(0) == 0)
+    assert(run("SYSTEM DROP CACHE").head.getString(0).contains("cleared"))
+    assert(run("SYSTEM FLUSH LOGS").head.getString(0).contains("no-op"))
+    assert(run("KILL QUERY WHERE query_id = 'q42'").head.getString(0)
+      .contains("q42"))
+  }
+
   test("lightweight DELETE: mask column, implicit read filter, compaction") {
     import graft.operators.Mutations
     import org.apache.spark.sql.functions._
