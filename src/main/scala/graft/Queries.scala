@@ -3275,6 +3275,21 @@ object Queries {
         |  CAST(sum(CAST(price AS Decimal(18, 2))) AS Float64) AS total
         |FROM ch35_t""".stripMargin))),
 
+    // CTAS + lightweight DELETE FROM + inline FORMAT JSONEachRow data —
+    // the remaining insertStmt/createTableStmt/deleteStmt text forms
+    "ch37_sql_ctas_delete" -> ((s, dir) => chstmts(s, dir, Seq(
+      "DROP TABLE IF EXISTS ch37_t",
+      """CREATE TABLE ch37_t ENGINE = MergeTree ORDER BY k AS
+        |SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS flag
+        |FROM orders WHERE o_orderkey < 3000""".stripMargin,
+      "DELETE FROM ch37_t WHERE flag = 'O'",
+      """INSERT INTO ch37_t FORMAT JSONEachRow
+        |{"k": -1, "price": 10.5, "flag": "Z"}
+        |{"flag": "Z", "k": -2, "price": 20.25}""".stripMargin,
+      """SELECT flag, count() AS n,
+        |  CAST(sum(CAST(price AS Decimal(18, 2))) AS Float64) AS total
+        |FROM ch37_t GROUP BY flag ORDER BY flag""".stripMargin))),
+
     // SQL-standard keyword spellings in one entry: EXTRACT(unit FROM e),
     // SUBSTRING(e FROM a FOR b), TRIM(BOTH s FROM e), the :: cast
     // operator, DATE/TIMESTAMP typed literals, hex literals
@@ -3420,6 +3435,17 @@ object Queries {
         |SELECT count(*) AS n,
         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM fin WHERE rn = 1""".stripMargin,
+
+    "ch37_sql_ctas_delete" ->
+      """WITH t AS (SELECT o_orderkey AS k, o_totalprice AS price,
+        |    o_orderstatus AS flag FROM orders WHERE o_orderkey < 3000),
+        |d AS (SELECT * FROM t WHERE flag <> 'O'
+        |  UNION ALL
+        |  SELECT * FROM (VALUES (-1, 10.5, 'Z'), (-2, 20.25, 'Z'))
+        |    AS v(k, price, flag))
+        |SELECT flag, count(*) AS n,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM d GROUP BY flag ORDER BY flag""".stripMargin,
 
     "ch36_sql_keyword_forms" ->
       """SELECT o_orderkey AS k,

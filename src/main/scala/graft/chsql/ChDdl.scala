@@ -65,9 +65,27 @@ object ChDdl {
     // refresh generations to emit) is accepted and left to the caller's
     // sink, which owns the subscription lifetime
     val watchRe = "(?is)^WATCH\\s+([\\w.]+)(?:\\s+LIMIT\\s+\\d+)?\\s*$".r
+    // CTAS (createTableStmt subquery form, 4136-4183): no column list —
+    // the schema comes from the SELECT
+    val ctasRe =
+      ("(?is)^CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)\\s*" +
+        "(?:ENGINE\\s*=\\s*(\\w+)\\s*(?:\\(([^)]*)\\))?\\s*)?" +
+        "((?:ORDER|PARTITION)\\s+BY\\s+[^;]*?)?\\s*AS\\s+" +
+        "((?:SELECT|WITH)\\s+.*)$").r
     val insertRe =
       ("(?is)^INSERT\\s+INTO\\s+(?!FUNCTION)(?:TABLE\\s+)?([\\w.]+)\\s*" +
         "(?:\\(([\\w\\s,`]*)\\)\\s*)?(VALUES\\s*(.*)|(?:SELECT|WITH)\\s+.*)$").r
+    // INSERT ... FORMAT <fmt> <inline rows> (insertStmt data clause,
+    // ClickHouseParser.py:7796-7856): the rows ride inline after FORMAT
+    val insertFormatRe =
+      ("(?is)^INSERT\\s+INTO\\s+(?!FUNCTION)(?:TABLE\\s+)?([\\w.]+)\\s*" +
+        "(?:\\(([\\w\\s,`]*)\\)\\s*)?FORMAT\\s+(\\w+)\\s+(.*)$").r
+    // lightweight DELETE statement (deleteStmt — CH's `DELETE FROM t
+    // WHERE p` is the mask-based mutation; the text layer runs the same
+    // rewrite the heavy mutation uses, which is the mask's compacted end
+    // state)
+    val deleteFromRe =
+      "(?is)^DELETE\\s+FROM\\s+([\\w.]+)\\s+WHERE\\s+(.*)$".r
     val alterRe = "(?is)^ALTER\\s+TABLE\\s+([\\w.]+)\\s+(.*)$".r
     val dropRe = "(?is)^DROP\\s+(TABLE|VIEW)\\s+(IF\\s+EXISTS\\s+)?([\\w.]+)\\s*$".r
     val truncateRe = "(?is)^TRUNCATE\\s+(?:TABLE\\s+)?([\\w.]+)\\s*$".r
@@ -99,6 +117,42 @@ object ChDdl {
           engine, Option(engineArgs).getOrElse(""),
           Option(tail).getOrElse(""), status))
 
+      case ctasRe(ifNot, name, engineOrNull, engineArgsOrNull, tailOrNull, sel) =>
+        if (Option(ifNot).isDefined && spark.catalog.tableExists(name))
+          Some(status(s"table $name already exists"))
+        else {
+          if (!spark.catalog.tableExists(name)) dropStaleLocation(spark, name)
+          val df = ChSql.sql(spark, sel)(resolve)
+          val props = Seq(
+            "graft.engine" -> Option(engineOrNull).getOrElse("MergeTree")) ++
+            Option(tailOrNull).flatMap(t =>
+              "(?is)ORDER\\s+BY\\s+(\\([^)]*\\)|[\\w]+)".r.findFirstMatchIn(t)
+                .map(m => "graft.order_by" ->
+                  m.group(1).stripPrefix("(").stripSuffix(")"))) ++
+            Option(engineArgsOrNull).filter(_ =>
+              Option(engineOrNull).exists(_.equalsIgnoreCase("ReplacingMergeTree")))
+              .map("graft.version" -> _.trim)
+          val partCols = Option(tailOrNull).flatMap(t =>
+            "(?is)PARTITION\\s+BY\\s+(\\([^)]*\\)|[\\w]+)".r
+              .findFirstMatchIn(t).map(_.group(1)
+                .stripPrefix("(").stripSuffix(")")))
+            .toSeq.flatMap(_.split(",")).map(_.trim)
+            .filter(df.columns.contains)
+          val w = df.write.mode(SaveMode.ErrorIfExists)
+          (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+            .saveAsTable(name)
+          spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES (" +
+            props.map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")")
+          Some(status(s"table $name created from select"))
+        }
+
+      case insertFormatRe(name, colsOrNull, fmt, data) =>
+        val cols = Option(colsOrNull).toSeq
+          .flatMap(_.split(",")).map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty)
+        appendInto(spark, name, cols, inlineRows(spark, name, cols, fmt, data))
+        Some(status(s"inserted into $name ($fmt)"))
+
       case insertRe(name, colsOrNull, body, valuesOrNull) =>
         val cols = Option(colsOrNull).toSeq
           .flatMap(_.split(",")).map(_.trim.stripPrefix("`").stripSuffix("`"))
@@ -111,6 +165,11 @@ object ChDdl {
         }
         appendInto(spark, name, cols, rows)
         Some(status(s"inserted into $name"))
+
+      case deleteFromRe(name, pred) =>
+        rewriteSwap(spark, name)(graft.operators.Mutations.delete(
+          _, ChSql.compileExpr(spark, pred, resolve)))
+        Some(status(s"deleted from $name"))
 
       case alterRe(name, clause) =>
         Some(alterTable(spark, name, clause.trim, resolve, status))
@@ -328,6 +387,35 @@ object ChDdl {
     aligned.write.mode(SaveMode.Append).insertInto(name)
   }
 
+  /** Inline `FORMAT <fmt>` data rows → a typed DataFrame against the
+    * target's (possibly column-subset) schema. JSONEachRow parses through
+    * Spark's JSON reader; CSV/TSV[WithNames] through the CSV reader —
+    * both distributed readers over a Dataset[String], not driver loops. */
+  private def inlineRows(spark: SparkSession, name: String,
+      cols: Seq[String], fmt: String, data: String): DataFrame = {
+    import spark.implicits._
+    require(spark.catalog.tableExists(name),
+      s"ChSql: INSERT INTO unknown table '$name'")
+    val target = spark.table(name).schema
+    val schema = org.apache.spark.sql.types.StructType(
+      if (cols.isEmpty) target.fields.toSeq
+      else cols.map(c => target(target.fieldIndex(c))))
+    val lines = data.split("\n").map(_.trim).filter(_.nonEmpty).toSeq.toDS()
+    fmt.toLowerCase(java.util.Locale.ROOT) match {
+      case "jsoneachrow" =>
+        spark.read.schema(schema).json(lines)
+          .select(schema.fieldNames.map(col): _*) // JSON is order-free
+      case "csv" | "csvwithnames" =>
+        spark.read.schema(schema)
+          .option("header", fmt.equalsIgnoreCase("CSVWithNames")).csv(lines)
+      case "tabseparated" | "tsv" | "tabseparatedwithnames" | "tsvwithnames" =>
+        spark.read.schema(schema).option("sep", "\t")
+          .option("header", fmt.toLowerCase.endsWith("withnames")).csv(lines)
+      case other => throw new IllegalArgumentException(
+        s"ChSql: unsupported inline INSERT FORMAT '$other'")
+    }
+  }
+
   // ===================== ALTER =====================
 
   private def alterTable(spark: SparkSession, name: String, clause: String,
@@ -400,7 +488,11 @@ object ChDdl {
     // downstream partition pruning is unaffected by the mutation
     val partCols = spark.catalog.listColumns(name).collect()
       .filter(_.isPartition).map(_.name).toSeq
-    val tmp = "graft_rewrite_tmp"
+    // tmp lives in the SAME database: ALTER ... RENAME cannot cross dbs
+    val tmp = name.split("\\.").toSeq match {
+      case Seq(db, _) => s"$db.graft_rewrite_tmp"
+      case _ => "graft_rewrite_tmp"
+    }
     if (!spark.catalog.tableExists(tmp)) dropStaleLocation(spark, tmp)
     val w = transform(spark.table(name)).write.mode(SaveMode.Overwrite)
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).saveAsTable(tmp)

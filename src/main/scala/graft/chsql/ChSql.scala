@@ -498,6 +498,20 @@ object ChSql {
           else { expectP(","); val a = parseExprList(); expectP(")"); e0 +: a }
         return FuncCall("substring", Nil, rest)
       }
+      // POSITION(needle IN haystack) — 15008-15058; CH position() takes
+      // (haystack, needle), so the keyword form swaps the arguments
+      if (up0 == "POSITION" && !isP(")")) {
+        // parse below the comparison level so the IN keyword stays visible
+        val e0 = parseAdd()
+        if (eatKw("IN")) {
+          val hay = parseExpr(); expectP(")")
+          return FuncCall("position", Nil, Seq(hay, e0))
+        }
+        val rest =
+          if (eatP(")")) Seq(e0)
+          else { expectP(","); val a = parseExprList(); expectP(")"); e0 +: a }
+        return FuncCall("position", Nil, rest)
+      }
       // TRIM([BOTH|LEADING|TRAILING] ['x'] FROM e) — 15251-15283
       if (up0 == "TRIM" &&
           (isKw("BOTH") || isKw("LEADING") || isKw("TRAILING"))) {

@@ -781,6 +781,13 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r == Seq(Seq("bcd", "hi", "1")))
   }
 
+  test("POSITION keyword form swaps to CH argument order; comma form unchanged") {
+    val r = run(
+      """SELECT POSITION('C' IN status) AS p1, position(status, 'C') AS p2
+        |FROM orders WHERE okey = 5""".stripMargin)
+    assert(r == Seq(Seq(1, 1)))
+  }
+
   test("translation is side-effect-free: scalar/EXISTS subqueries fire zero jobs") {
     orders.count() // warm the session so lazy-init jobs don't pollute the count
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -415,6 +415,50 @@ class DdlSurfaceSpec extends AnyFunSuite {
     run("DROP TABLE chrep")
   }
 
+  test("CH-text CTAS, DELETE FROM, INSERT FORMAT inline data") {
+    import graft.chsql.ChSql
+    def resolve(n: String) = spark.table(n)
+    def run(s: String): Seq[org.apache.spark.sql.Row] =
+      ChSql.statement(spark, s)(resolve)._1.collect().toSeq
+    def q(sel: String): Seq[Seq[Any]] =
+      ChSql.sql(spark, sel)(resolve).collect().toSeq.map(_.toSeq)
+
+    run("DROP TABLE IF EXISTS ctas_src")
+    run("""CREATE TABLE ctas_src (k Int64, grp String, price Float64)
+          |ENGINE = MergeTree ORDER BY k""".stripMargin)
+    run("""INSERT INTO ctas_src VALUES (1, 'a', 10.0), (2, 'b', 20.0),
+          |  (3, 'a', 30.0), (4, 'b', 40.0)""".stripMargin)
+
+    // CTAS: schema from the SELECT; engine clause optional
+    run("DROP TABLE IF EXISTS ctas_agg")
+    run("""CREATE TABLE ctas_agg ENGINE = MergeTree ORDER BY grp AS
+          |SELECT grp, count() AS n, sum(price) AS total
+          |FROM ctas_src GROUP BY grp""".stripMargin)
+    assert(q("SELECT grp, n, total FROM ctas_agg ORDER BY grp") ==
+      Seq(Seq("a", 2L, 40.0), Seq("b", 2L, 60.0)))
+    val ddl = run("SHOW CREATE TABLE ctas_agg").head.getString(0)
+    assert(ddl.contains("ENGINE = MergeTree") && ddl.contains("ORDER BY (grp)"))
+
+    // lightweight DELETE statement
+    run("DELETE FROM ctas_src WHERE grp = 'b'")
+    assert(q("SELECT count() AS n FROM ctas_src") == Seq(Seq(2L)))
+
+    // INSERT ... FORMAT JSONEachRow (inline, order-free keys)
+    run("""INSERT INTO ctas_src FORMAT JSONEachRow
+          |{"k": 10, "grp": "j", "price": 1.5}
+          |{"price": 2.5, "k": 11, "grp": "j"}""".stripMargin)
+    assert(q("SELECT count() AS n, sum(price) AS s FROM ctas_src WHERE grp = 'j'")
+      == Seq(Seq(2L, 4.0)))
+    // INSERT ... FORMAT CSV with a column subset (price fills NULL)
+    run("""INSERT INTO ctas_src (k, grp) FORMAT CSV
+          |20,c
+          |21,c""".stripMargin)
+    assert(q("SELECT count() AS n FROM ctas_src WHERE grp = 'c' AND price IS NULL")
+      == Seq(Seq(2L)))
+    run("DROP TABLE ctas_src")
+    run("DROP TABLE ctas_agg")
+  }
+
   test("CH-text admin verbs: CHECK TABLE, EXISTS, SYSTEM, KILL QUERY as statements") {
     import graft.chsql.ChSql
     def resolve(n: String) = n match {
