@@ -3275,6 +3275,20 @@ object Queries {
         |  CAST(sum(CAST(price AS Decimal(18, 2))) AS Float64) AS total
         |FROM ch35_t""".stripMargin))),
 
+    // dictionary DDL + the scalar dictGet/dictHas expression tier as
+    // text: plan-time load into a broadcast map literal (the CH
+    // RAM-resident-dictionary model), per-row GetMapValue lookup
+    "ch38_sql_dictget" -> ((s, dir) => chstmts(s, dir, Seq(
+      "DROP DICTIONARY IF EXISTS ch38_nations",
+      s"""CREATE DICTIONARY ch38_nations (n_nationkey Int64, n_name String)
+         |PRIMARY KEY n_nationkey
+         |SOURCE(FILE(path '$dir/nation.parquet' format 'parquet'))""".stripMargin,
+      """SELECT dictGet('ch38_nations', 'n_name', c_nationkey) AS nation,
+        |  count() AS cnt
+        |FROM customer
+        |WHERE dictHas('ch38_nations', c_nationkey)
+        |GROUP BY nation ORDER BY nation""".stripMargin))),
+
     // CTAS + lightweight DELETE FROM + inline FORMAT JSONEachRow data —
     // the remaining insertStmt/createTableStmt/deleteStmt text forms
     "ch37_sql_ctas_delete" -> ((s, dir) => chstmts(s, dir, Seq(
@@ -3435,6 +3449,11 @@ object Queries {
         |SELECT count(*) AS n,
         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM fin WHERE rn = 1""".stripMargin,
+
+    "ch38_sql_dictget" ->
+      """SELECT n_name AS nation, count(*) AS cnt
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "ch37_sql_ctas_delete" ->
       """WITH t AS (SELECT o_orderkey AS k, o_totalprice AS price,

@@ -95,6 +95,17 @@ object ChDdl {
       ("(?is)^OPTIMIZE\\s+TABLE\\s+([\\w.]+)" +
         "(\\s+FINAL)?(\\s+DEDUPLICATE)?\\s*$").r
     val showCreateRe = "(?is)^SHOW\\s+CREATE\\s+(?:TABLE\\s+)?([\\w.]+)\\s*$".r
+    // dictionary DDL (dictionaryStmt — CREATE DICTIONARY name (schema)
+    // PRIMARY KEY k SOURCE(FILE(path '...' [format '...'])) [LAYOUT/
+    // LIFETIME ignored: layout is always the broadcast hash, lifetime is
+    // SYSTEM RELOAD DICTIONARY])
+    val createDictRe =
+      ("(?is)^CREATE\\s+DICTIONARY\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)\\s*" +
+        "\\((.*?)\\)\\s*PRIMARY\\s+KEY\\s+(\\w+)\\s*" +
+        "SOURCE\\s*\\(\\s*FILE\\s*\\(\\s*path\\s+'([^']+)'" +
+        "(?:\\s+format\\s+'(\\w+)')?\\s*\\)\\s*\\).*$").r
+    val dropDictRe =
+      "(?is)^DROP\\s+DICTIONARY\\s+(IF\\s+EXISTS\\s+)?([\\w.]+)\\s*$".r
     // admin verbs (checkStmt 3807-3837, existsStmt 7358-7419,
     // killStmt 8274-8365, systemStmt 13902-14107)
     val checkRe = "(?is)^CHECK\\s+TABLE\\s+([\\w.]+)\\s*$".r
@@ -214,6 +225,33 @@ object ChDdl {
 
       case showCreateRe(name) =>
         Some(Seq(showCreate(spark, name, resolve)).toDF("statement"))
+
+      case createDictRe(ifNot, name, cols, key, path, fmtOrNull) =>
+        import graft.sources.Dictionaries
+        if (Option(ifNot).isDefined && Dictionaries.exists(name))
+          Some(status(s"dictionary $name already exists"))
+        else {
+          val schema = graft.model.ChTypes.toSparkSchema(cols)
+          require(schema.fieldNames.contains(key),
+            s"ChSql: PRIMARY KEY $key is not a dictionary column")
+          val attrs = schema.fieldNames.filterNot(_ == key)
+            .map(c => c -> c).toMap
+          Dictionaries.createFromPath(name, path,
+            Option(fmtOrNull).getOrElse("parquet").toLowerCase, key, attrs)
+          Some(status(s"dictionary $name created"))
+        }
+
+      case dropDictRe(ifExists, name) =>
+        import graft.sources.Dictionaries
+        if (!Dictionaries.exists(name) && Option(ifExists).isEmpty)
+          throw new IllegalArgumentException(
+            s"ChSql: DICTIONARY $name does not exist")
+        Dictionaries.drop(name)
+        Some(status(s"dropped dictionary $name"))
+
+      case t if t.toUpperCase(java.util.Locale.ROOT)
+          .startsWith("SHOW DICTIONARIES") =>
+        Some(graft.sources.Dictionaries.names.toDF("name"))
 
       case checkRe(name) =>
         // full-scan validation over the table's file location (the path

@@ -2168,6 +2168,29 @@ object ChSql {
           }
 
         // ---- conditionals / null handling ----
+        // dictGet('dict', 'attr', key) — the scalar dictionary lookup
+        // (plan-time load into a broadcast map literal; the CH model is a
+        // RAM-resident dict on every node). dictGetOrDefault adds the
+        // miss fallback.
+        case "dictget" | "dictgetordefault" =>
+          val dictName = f.args(0) match {
+            case StrLit(s) => s
+            case other => throw new IllegalArgumentException(
+              s"dictGet needs a dictionary name string, got $other")
+          }
+          val attr = f.args(1) match {
+            case StrLit(s) => s
+            case other => throw new IllegalArgumentException(
+              s"dictGet needs an attribute name string, got $other")
+          }
+          val looked = graft.sources.Dictionaries.dictGetLiteral(
+            spark, dictName, attr, t(f.args(2)))
+          if (nm == "dictgetordefault") coalesce(looked, t(f.args(3)))
+          else looked
+        case "dicthas" =>
+          val dictName = f.args(0).asInstanceOf[StrLit].v
+          graft.sources.Dictionaries.dictHasLiteral(spark, dictName, t(f.args(1)))
+
         case "if" => when(a(0), a(1)).otherwise(a(2))
         case "multiif" =>
           val pairs = f.args.dropRight(1).grouped(2).toSeq

@@ -2,7 +2,7 @@ package graft.sources
 
 import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col}
+import org.apache.spark.sql.functions.{broadcast, col, element_at, lit, map}
 
 /** `CREATE DICTIONARY` execution (createDictionaryStmt,
   * ClickHouseParser.py:4005-4048): a named external lookup table with a
@@ -47,6 +47,41 @@ object Dictionaries {
   def drop(name: String): Unit = registry.remove(name)
 
   def exists(name: String): Boolean = registry.contains(name)
+
+  def names: Seq[String] = registry.keys.toSeq.sorted
+
+  /** Scalar `dictHas('d', key)`: key-membership probe against the
+    * RAM-resident key set (In/InSet after Catalyst optimization). */
+  def dictHasLiteral(spark: SparkSession, dictName: String, key: Column): Column = {
+    val d = registry.getOrElse(dictName,
+      throw new IllegalArgumentException(s"unknown dictionary: $dictName"))
+    val keys = d.load(spark).select(col(d.keyCol)).collect().map(_.get(0))
+    require(keys.length <= 100000,
+      s"dictionary $dictName too large for the scalar tier")
+    if (keys.isEmpty) lit(false) else key.isin(keys.toSeq: _*)
+  }
+
+  /** Scalar `dictGet('d', 'attr', key)` (the CH expression form): CH
+    * dictionaries are fully RAM-resident on every node, so the scalar
+    * tier mirrors that exactly — the dictionary loads once at plan time
+    * into a broadcast map literal and each row does a hash lookup
+    * (GetMapValue, codegen'd). Bounded: literal maps cap at 100k entries;
+    * past that use [[dictGet]], the broadcast-join tier. */
+  def dictGetLiteral(spark: SparkSession, dictName: String, attr: String,
+      key: Column): Column = {
+    val d = registry.getOrElse(dictName,
+      throw new IllegalArgumentException(s"unknown dictionary: $dictName"))
+    val src = d.attrs.collectFirst { case (s, a) if a == attr => s }
+      .getOrElse(throw new IllegalArgumentException(
+        s"dictionary $dictName has no attribute '$attr'"))
+    val rows = d.load(spark).select(col(d.keyCol), col(src)).collect()
+    require(rows.length <= 100000,
+      s"dictionary $dictName too large for the scalar tier " +
+        s"(${rows.length} entries > 100k): use the dictGet join tier")
+    if (rows.isEmpty) lit(null)
+    else element_at(
+      map(rows.toSeq.flatMap(r => Seq(lit(r.get(0)), lit(r.get(1)))): _*), key)
+  }
 
   /** LIFETIME refresh / SYSTEM RELOAD DICTIONARY: invalidate any cached
     * file listing so the next lookup sees the current source. */

@@ -459,6 +459,44 @@ class DdlSurfaceSpec extends AnyFunSuite {
     run("DROP TABLE ctas_agg")
   }
 
+  test("CH-text dictionary DDL + scalar dictGet/dictHas (map-literal, no join)") {
+    import graft.chsql.ChSql
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dicttext").toString
+    Seq((10L, "alpha", 1.5), (20L, "beta", 2.5)).toDF("k", "v", "w")
+      .write.mode("overwrite").parquet(s"$dir/d.parquet")
+    def resolve(n: String) = spark.table(n)
+    def run(s: String) = ChSql.statement(spark, s)(resolve)._1.collect().toSeq
+
+    run("DROP DICTIONARY IF EXISTS labels_txt")
+    run(s"""CREATE DICTIONARY labels_txt (k Int64, v String, w Float64)
+           |PRIMARY KEY k
+           |SOURCE(FILE(path '$dir/d.parquet' format 'parquet'))
+           |LAYOUT(FLAT()) LIFETIME(300)""".stripMargin)
+    assert(run("SHOW DICTIONARIES").map(_.getString(0)).contains("labels_txt"))
+
+    val facts = Seq(10L, 20L, 99L).toDF("fk")
+    val df = ChSql.sql(spark,
+      """SELECT fk, dictGet('labels_txt', 'v', fk) AS label,
+        |  dictGetOrDefault('labels_txt', 'v', fk, 'none') AS label2,
+        |  dictHas('labels_txt', fk) AS present
+        |FROM facts ORDER BY fk""".stripMargin) {
+      case "facts" => facts
+      case n => spark.table(n)
+    }
+    // the scalar tier is a literal-map lookup: NO join in the plan
+    assert(df.queryExecution.executedPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }.isEmpty)
+    assert(df.collect().map(_.toSeq).toSeq == Seq(
+      Seq(10L, "alpha", "alpha", true),
+      Seq(20L, "beta", "beta", true),
+      Seq(99L, null, "none", false)))
+
+    run("DROP DICTIONARY labels_txt")
+    intercept[IllegalArgumentException](run("DROP DICTIONARY labels_txt"))
+  }
+
   test("CH-text admin verbs: CHECK TABLE, EXISTS, SYSTEM, KILL QUERY as statements") {
     import graft.chsql.ChSql
     def resolve(n: String) = n match {
