@@ -41,6 +41,74 @@ import org.apache.spark.sql.functions._
   */
 object ChDdl {
 
+  // ---- statement-head patterns (compiled once; dispatch() is on the
+  // hot path for every statement, including plain SELECTs) ----
+
+  private val createTableRe =
+    ("(?is)^CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)\\s*" +
+      "\\((.*)\\)\\s*ENGINE\\s*=\\s*(\\w+)\\s*(?:\\(([^)]*)\\))?(.*)$").r
+  // CREATE MATERIALIZED VIEW name [TO target] [POPULATE] AS SELECT
+  // (ClickHouseParser.py:4085-4133); LIVE VIEW (livе-view kind) rides
+  // the same registry with complete-mode refresh semantics
+  private val createMvRe =
+    ("(?is)^CREATE\\s+(MATERIALIZED|LIVE)\\s+VIEW\\s+" +
+      "(?:IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)" +
+      "(?:\\s+TO\\s+([\\w.]+))?(\\s+POPULATE)?\\s+AS\\s+" +
+      "((?:SELECT|WITH)\\s+.*)$").r
+  // WATCH view [LIMIT n] (watchStmt, 14249-14321); the LIMIT (number of
+  // refresh generations to emit) is accepted and left to the caller's
+  // sink, which owns the subscription lifetime
+  private val watchRe = "(?is)^WATCH\\s+([\\w.]+)(?:\\s+LIMIT\\s+\\d+)?\\s*$".r
+  // CTAS (createTableStmt subquery form, 4136-4183): no column list —
+  // the schema comes from the SELECT
+  private val ctasRe =
+    ("(?is)^CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)\\s*" +
+      "(?:ENGINE\\s*=\\s*(\\w+)\\s*(?:\\(([^)]*)\\))?\\s*)?" +
+      "((?:ORDER|PARTITION)\\s+BY\\s+[^;]*?)?\\s*AS\\s+" +
+      "((?:SELECT|WITH)\\s+.*)$").r
+  private val insertRe =
+    ("(?is)^INSERT\\s+INTO\\s+(?!FUNCTION)(?:TABLE\\s+)?([\\w.]+)\\s*" +
+      "(?:\\(([\\w\\s,`]*)\\)\\s*)?(VALUES\\s*(.*)|(?:SELECT|WITH)\\s+.*)$").r
+  // INSERT ... FORMAT <fmt> <inline rows> (insertStmt data clause,
+  // ClickHouseParser.py:7796-7856): the rows ride inline after FORMAT
+  private val insertFormatRe =
+    ("(?is)^INSERT\\s+INTO\\s+(?!FUNCTION)(?:TABLE\\s+)?([\\w.]+)\\s*" +
+      "(?:\\(([\\w\\s,`]*)\\)\\s*)?FORMAT\\s+(\\w+)\\s+(.*)$").r
+  // lightweight DELETE statement (deleteStmt — CH's `DELETE FROM t
+  // WHERE p` is the mask-based mutation; the text layer runs the same
+  // rewrite the heavy mutation uses, which is the mask's compacted end
+  // state)
+  private val deleteFromRe =
+    "(?is)^DELETE\\s+FROM\\s+([\\w.]+)\\s+WHERE\\s+(.*)$".r
+  private val alterRe = "(?is)^ALTER\\s+TABLE\\s+([\\w.]+)\\s+(.*)$".r
+  private val dropRe = "(?is)^DROP\\s+(TABLE|VIEW)\\s+(IF\\s+EXISTS\\s+)?([\\w.]+)\\s*$".r
+  private val truncateRe = "(?is)^TRUNCATE\\s+(?:TABLE\\s+)?([\\w.]+)\\s*$".r
+  private val renameRe = "(?is)^RENAME\\s+TABLE\\s+(.*)$".r
+  private val useRe = "(?is)^USE\\s+([\\w]+)\\s*$".r
+  private val optimizeRe =
+    ("(?is)^OPTIMIZE\\s+TABLE\\s+([\\w.]+)" +
+      "(\\s+FINAL)?(\\s+DEDUPLICATE)?\\s*$").r
+  private val showCreateRe = "(?is)^SHOW\\s+CREATE\\s+(?:TABLE\\s+)?([\\w.]+)\\s*$".r
+  // dictionary DDL (dictionaryStmt — CREATE DICTIONARY name (schema)
+  // PRIMARY KEY k SOURCE(FILE(path '...' [format '...'])) [LAYOUT/
+  // LIFETIME ignored: layout is always the broadcast hash, lifetime is
+  // SYSTEM RELOAD DICTIONARY])
+  private val createDictRe =
+    ("(?is)^CREATE\\s+DICTIONARY\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)\\s*" +
+      "\\((.*?)\\)\\s*PRIMARY\\s+KEY\\s+(\\w+)\\s*" +
+      "SOURCE\\s*\\(\\s*FILE\\s*\\(\\s*path\\s+'([^']+)'" +
+      "(?:\\s+format\\s+'(\\w+)')?\\s*\\)\\s*\\).*$").r
+  private val dropDictRe =
+    "(?is)^DROP\\s+DICTIONARY\\s+(IF\\s+EXISTS\\s+)?([\\w.]+)\\s*$".r
+  // admin verbs (checkStmt 3807-3837, existsStmt 7358-7419,
+  // killStmt 8274-8365, systemStmt 13902-14107)
+  private val checkRe = "(?is)^CHECK\\s+TABLE\\s+([\\w.]+)\\s*$".r
+  private val existsRe = "(?is)^EXISTS\\s+(?:TABLE\\s+)?([\\w.]+)\\s*$".r
+  private val killRe =
+    "(?is)^KILL\\s+QUERY\\s+WHERE\\s+query_id\\s*=\\s*'([^']*)'\\s*$".r
+  private val systemRe = "(?is)^SYSTEM\\s+(\\w+(?:\\s+\\w+)*?)(?:\\s+'([^']*)')?\\s*$".r
+
+
   /** Try to dispatch `text` as a DDL/DML statement. None = not a DDL head,
     * caller falls through to the SELECT path. Each Some result is a
     * one-column status frame (or a result frame for SHOW/metadata verbs). */
@@ -49,70 +117,6 @@ object ChDdl {
     import spark.implicits._
     val trimmed = text.trim
     def status(msg: String): DataFrame = Seq(msg).toDF("status")
-
-    val createTableRe =
-      ("(?is)^CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)\\s*" +
-        "\\((.*)\\)\\s*ENGINE\\s*=\\s*(\\w+)\\s*(?:\\(([^)]*)\\))?(.*)$").r
-    // CREATE MATERIALIZED VIEW name [TO target] [POPULATE] AS SELECT
-    // (ClickHouseParser.py:4085-4133); LIVE VIEW (livе-view kind) rides
-    // the same registry with complete-mode refresh semantics
-    val createMvRe =
-      ("(?is)^CREATE\\s+(MATERIALIZED|LIVE)\\s+VIEW\\s+" +
-        "(?:IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)" +
-        "(?:\\s+TO\\s+([\\w.]+))?(\\s+POPULATE)?\\s+AS\\s+" +
-        "((?:SELECT|WITH)\\s+.*)$").r
-    // WATCH view [LIMIT n] (watchStmt, 14249-14321); the LIMIT (number of
-    // refresh generations to emit) is accepted and left to the caller's
-    // sink, which owns the subscription lifetime
-    val watchRe = "(?is)^WATCH\\s+([\\w.]+)(?:\\s+LIMIT\\s+\\d+)?\\s*$".r
-    // CTAS (createTableStmt subquery form, 4136-4183): no column list —
-    // the schema comes from the SELECT
-    val ctasRe =
-      ("(?is)^CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)\\s*" +
-        "(?:ENGINE\\s*=\\s*(\\w+)\\s*(?:\\(([^)]*)\\))?\\s*)?" +
-        "((?:ORDER|PARTITION)\\s+BY\\s+[^;]*?)?\\s*AS\\s+" +
-        "((?:SELECT|WITH)\\s+.*)$").r
-    val insertRe =
-      ("(?is)^INSERT\\s+INTO\\s+(?!FUNCTION)(?:TABLE\\s+)?([\\w.]+)\\s*" +
-        "(?:\\(([\\w\\s,`]*)\\)\\s*)?(VALUES\\s*(.*)|(?:SELECT|WITH)\\s+.*)$").r
-    // INSERT ... FORMAT <fmt> <inline rows> (insertStmt data clause,
-    // ClickHouseParser.py:7796-7856): the rows ride inline after FORMAT
-    val insertFormatRe =
-      ("(?is)^INSERT\\s+INTO\\s+(?!FUNCTION)(?:TABLE\\s+)?([\\w.]+)\\s*" +
-        "(?:\\(([\\w\\s,`]*)\\)\\s*)?FORMAT\\s+(\\w+)\\s+(.*)$").r
-    // lightweight DELETE statement (deleteStmt — CH's `DELETE FROM t
-    // WHERE p` is the mask-based mutation; the text layer runs the same
-    // rewrite the heavy mutation uses, which is the mask's compacted end
-    // state)
-    val deleteFromRe =
-      "(?is)^DELETE\\s+FROM\\s+([\\w.]+)\\s+WHERE\\s+(.*)$".r
-    val alterRe = "(?is)^ALTER\\s+TABLE\\s+([\\w.]+)\\s+(.*)$".r
-    val dropRe = "(?is)^DROP\\s+(TABLE|VIEW)\\s+(IF\\s+EXISTS\\s+)?([\\w.]+)\\s*$".r
-    val truncateRe = "(?is)^TRUNCATE\\s+(?:TABLE\\s+)?([\\w.]+)\\s*$".r
-    val renameRe = "(?is)^RENAME\\s+TABLE\\s+(.*)$".r
-    val useRe = "(?is)^USE\\s+([\\w]+)\\s*$".r
-    val optimizeRe =
-      ("(?is)^OPTIMIZE\\s+TABLE\\s+([\\w.]+)" +
-        "(\\s+FINAL)?(\\s+DEDUPLICATE)?\\s*$").r
-    val showCreateRe = "(?is)^SHOW\\s+CREATE\\s+(?:TABLE\\s+)?([\\w.]+)\\s*$".r
-    // dictionary DDL (dictionaryStmt — CREATE DICTIONARY name (schema)
-    // PRIMARY KEY k SOURCE(FILE(path '...' [format '...'])) [LAYOUT/
-    // LIFETIME ignored: layout is always the broadcast hash, lifetime is
-    // SYSTEM RELOAD DICTIONARY])
-    val createDictRe =
-      ("(?is)^CREATE\\s+DICTIONARY\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)\\s*" +
-        "\\((.*?)\\)\\s*PRIMARY\\s+KEY\\s+(\\w+)\\s*" +
-        "SOURCE\\s*\\(\\s*FILE\\s*\\(\\s*path\\s+'([^']+)'" +
-        "(?:\\s+format\\s+'(\\w+)')?\\s*\\)\\s*\\).*$").r
-    val dropDictRe =
-      "(?is)^DROP\\s+DICTIONARY\\s+(IF\\s+EXISTS\\s+)?([\\w.]+)\\s*$".r
-    // admin verbs (checkStmt 3807-3837, existsStmt 7358-7419,
-    // killStmt 8274-8365, systemStmt 13902-14107)
-    val checkRe = "(?is)^CHECK\\s+TABLE\\s+([\\w.]+)\\s*$".r
-    val existsRe = "(?is)^EXISTS\\s+(?:TABLE\\s+)?([\\w.]+)\\s*$".r
-    val killRe =
-      "(?is)^KILL\\s+QUERY\\s+WHERE\\s+query_id\\s*=\\s*'([^']*)'\\s*$".r
-    val systemRe = "(?is)^SYSTEM\\s+(\\w+(?:\\s+\\w+)*?)(?:\\s+'([^']*)')?\\s*$".r
 
     trimmed match {
       case createMvRe(kind, name, targetOrNull, populateOrNull, sel) =>
@@ -124,9 +128,23 @@ object ChDdl {
         Some(watchView(spark, name, resolve))
 
       case createTableRe(ifNot, name, cols, engine, engineArgs, tail) =>
-        Some(createTable(spark, Option(ifNot).isDefined, name, cols,
-          engine, Option(engineArgs).getOrElse(""),
-          Option(tail).getOrElse(""), status))
+        // the tail may carry a trailing `AS SELECT` (schema + data form):
+        // split it off so the engine clauses parse clean and the data
+        // lands via the INSERT path instead of being silently dropped
+        val (engineTail, asSelect) = {
+          val t = Option(tail).getOrElse("")
+          "(?is)\\bAS\\s+((?:SELECT|WITH)\\b.*)$".r.findFirstMatchIn(t) match {
+            case Some(m) => (t.substring(0, m.start), Some(m.group(1)))
+            case None => (t, None)
+          }
+        }
+        val preExisting = spark.catalog.tableExists(name)
+        val created = createTable(spark, Option(ifNot).isDefined, name, cols,
+          engine, Option(engineArgs).getOrElse(""), engineTail, status)
+        if (!(Option(ifNot).isDefined && preExisting))
+          asSelect.foreach(sel =>
+            appendInto(spark, name, Nil, ChSql.sql(spark, sel)(resolve)))
+        Some(created)
 
       case ctasRe(ifNot, name, engineOrNull, engineArgsOrNull, tailOrNull, sel) =>
         if (Option(ifNot).isDefined && spark.catalog.tableExists(name))
@@ -410,9 +428,15 @@ object ChDdl {
       s"ChSql: INSERT INTO unknown table '$name' (CREATE TABLE it first)")
     val target = spark.table(name).schema
     val byName = cols.nonEmpty
-    if (byName) require(cols.size == rows.columns.length,
-      s"ChSql: INSERT column list has ${cols.size} names but the data has " +
-        s"${rows.columns.length} columns")
+    if (byName) {
+      require(cols.size == rows.columns.length,
+        s"ChSql: INSERT column list has ${cols.size} names but the data has " +
+          s"${rows.columns.length} columns")
+      val unknown = cols.filterNot(target.fieldNames.contains)
+      require(unknown.isEmpty,
+        s"ChSql: INSERT INTO $name: no such column(s) ${
+          unknown.mkString(", ")} (table has ${target.fieldNames.mkString(", ")})")
+    }
     else require(target.size == rows.columns.length,
       s"ChSql: table $name has ${target.size} columns but the data has " +
         s"${rows.columns.length} (use an explicit column list)")
@@ -439,15 +463,17 @@ object ChDdl {
       if (cols.isEmpty) target.fields.toSeq
       else cols.map(c => target(target.fieldIndex(c))))
     val lines = data.split("\n").map(_.trim).filter(_.nonEmpty).toSeq.toDS()
+    // FAILFAST: a malformed inline row must reject the INSERT (CH does),
+    // not silently append a row of NULLs (Spark's default PERMISSIVE)
     fmt.toLowerCase(java.util.Locale.ROOT) match {
       case "jsoneachrow" =>
-        spark.read.schema(schema).json(lines)
+        spark.read.schema(schema).option("mode", "FAILFAST").json(lines)
           .select(schema.fieldNames.map(col): _*) // JSON is order-free
       case "csv" | "csvwithnames" =>
-        spark.read.schema(schema)
+        spark.read.schema(schema).option("mode", "FAILFAST")
           .option("header", fmt.equalsIgnoreCase("CSVWithNames")).csv(lines)
       case "tabseparated" | "tsv" | "tabseparatedwithnames" | "tsvwithnames" =>
-        spark.read.schema(schema).option("sep", "\t")
+        spark.read.schema(schema).option("mode", "FAILFAST").option("sep", "\t")
           .option("header", fmt.toLowerCase.endsWith("withnames")).csv(lines)
       case other => throw new IllegalArgumentException(
         s"ChSql: unsupported inline INSERT FORMAT '$other'")
@@ -526,16 +552,25 @@ object ChDdl {
     // downstream partition pruning is unaffected by the mutation
     val partCols = spark.catalog.listColumns(name).collect()
       .filter(_.isPartition).map(_.name).toSeq
-    // tmp lives in the SAME database: ALTER ... RENAME cannot cross dbs
-    val tmp = name.split("\\.").toSeq match {
-      case Seq(db, _) => s"$db.graft_rewrite_tmp"
-      case _ => "graft_rewrite_tmp"
+    // unique per-invocation suffix: concurrent mutations on different
+    // tables must not share a staging name; tmp lives in the SAME
+    // database (ALTER ... RENAME cannot cross dbs)
+    val suffix = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val (db, bare) = name.split("\\.").toSeq match {
+      case Seq(d, t) => (s"$d.", t)
+      case _ => ("", name)
     }
+    val tmp = s"${db}graft_rw_${suffix}"
+    val bak = s"${db}${bare}__graft_old_$suffix"
     if (!spark.catalog.tableExists(tmp)) dropStaleLocation(spark, tmp)
     val w = transform(spark.table(name)).write.mode(SaveMode.Overwrite)
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).saveAsTable(tmp)
-    spark.sql(s"DROP TABLE $name")
+    // rename-aside instead of drop-then-rename: a failure between the two
+    // renames leaves the data recoverable under the __graft_old name
+    // instead of lost
+    spark.sql(s"ALTER TABLE $name RENAME TO $bak")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $name")
+    spark.sql(s"DROP TABLE $bak")
     if (props.nonEmpty)
       spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES (" +
         props.map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")")

@@ -1155,23 +1155,29 @@ object ChSql {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"ChSql: $msg")
 
-  /** First table referenced in a SELECT's FROM chain — the MV source
+  /** First REAL table referenced in a SELECT's FROM chain — the MV source
     * table ([[ChDdl]] binds it to the stream input; a CH MV has exactly
-    * one source). */
+    * one source). CTE names are not tables: a FROM that references a CTE
+    * resolves through the CTE's body to the underlying table. */
   private[chsql] def firstTable(text: String): Option[String] = {
     val ast = new P(lex(text)).parseSetOp()
-    def fromRel(r: Relation): Option[String] = r match {
-      case TableRef(n, _, _) => Some(n)
-      case SubqueryRel(sel, _) => walk(sel)
-      case _ => None
-    }
-    def walk(op: SetOp): Option[String] = op match {
+    def walk(op: SetOp, ctes: Map[String, SetOp]): Option[String] = op match {
       case One(s) =>
+        val scope = ctes ++ s.ctes
+        def fromRel(r: Relation): Option[String] = r match {
+          case TableRef(n, _, _) =>
+            scope.get(n) match {
+              case Some(body) => walk(body, scope - n) // resolve through the CTE
+              case None => Some(n)
+            }
+          case SubqueryRel(sel, _) => walk(sel, scope)
+          case _ => None
+        }
         s.from.flatMap(fromRel)
-          .orElse(s.ctes.values.flatMap(walk).headOption)
-      case Combine(_, _, l, r) => walk(l).orElse(walk(r))
+          .orElse(s.ctes.values.flatMap(walk(_, scope)).headOption)
+      case Combine(_, _, l, r) => walk(l, ctes).orElse(walk(r, ctes))
     }
-    walk(ast)
+    walk(ast, Map.empty)
   }
 
   /** Every real table referenced anywhere in a SELECT/WITH statement —
@@ -1204,7 +1210,7 @@ object ChSql {
         s.items.map(_.e) ++ s.prewhere ++ s.where ++ s.groupBy ++
           s.having ++ s.orderBy.map(_.e) ++ s.arrayJoins.map(_.e) ++
           s.groupSets.flatten ++ s.limitBy.toSeq.flatMap(_._3) ++
-          s.exprCtes.values
+          s.exprCtes.values ++ s.joins.flatMap(_.on) // ON-clause subqueries
       exprs.foreach(walkExpr(_, scope))
     }
     def walkExpr(e: Expr, scope: Set[String]): Unit = e match {

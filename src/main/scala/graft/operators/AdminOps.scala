@@ -109,16 +109,32 @@ object AdminOps {
 
   /** `SYSTEM ...` dispatch. Returns a description of the action taken so
     * callers (and tests) can see the mapping explicitly. */
-  def system(spark: SparkSession, command: String, arg: Option[String] = None): String =
-    command.trim.toUpperCase match {
+  def system(spark: SparkSession, command: String, arg: Option[String] = None): String = {
+    val original = command.trim
+    original.toUpperCase match {
       case "DROP CACHE" | "DROP UNCOMPRESSED CACHE" | "DROP MARK CACHE" =>
         spark.catalog.clearCache()
         "cleared in-memory table cache (spark.catalog.clearCache)"
-      case "RELOAD DICTIONARY" | "RELOAD DICTIONARIES" =>
-        // dictionaries are broadcast lookup tables read per query
-        // (ChOps.dictGet); reload = invalidate the cached source relation
-        arg.foreach(spark.catalog.refreshByPath)
-        s"refreshed dictionary source ${arg.getOrElse("(all)")}"
+      // dictionaries are broadcast lookup tables read per query; reload =
+      // invalidate cached relations so the next lookup sees the current
+      // source. The CH syntax carries the name UNQUOTED after the verb
+      // (`SYSTEM RELOAD DICTIONARY d`), so it may arrive folded into the
+      // command text rather than as `arg`.
+      case c if c.startsWith("RELOAD DICTIONAR") =>
+        val name = arg.orElse( // extract from the ORIGINAL casing
+          "(?i)^RELOAD\\s+DICTIONARY\\s+(\\S+)$".r.findFirstMatchIn(original)
+            .map(_.group(1)))
+        name match {
+          case Some(n) if graft.sources.Dictionaries.exists(n) =>
+            graft.sources.Dictionaries.reload(spark, n)
+            s"reloaded dictionary $n"
+          case Some(n) =>
+            spark.catalog.refreshByPath(n) // path-registered source
+            s"refreshed dictionary source $n"
+          case None =>
+            spark.catalog.clearCache()
+            "refreshed dictionary source (all)"
+        }
       case "FLUSH LOGS" =>
         "no-op: Spark writes eagerly, there is no async insert buffer"
       case "RESTART REPLICA" | "SYNC REPLICA" =>
@@ -126,4 +142,5 @@ object AdminOps {
       case other =>
         throw new IllegalArgumentException(s"unknown SYSTEM command: $other")
     }
+  }
 }

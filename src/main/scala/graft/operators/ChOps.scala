@@ -488,13 +488,20 @@ object ChOps {
       microBins: Int = 4096): DataFrame = {
     require(nBins >= 2, "need at least 2 bins")
     val v = col(valueCol).cast("double")
-    val head = df.agg(min(v).as("lo"), max(v).as("hi"),
+    // NULLs never enter a histogram (the exact-percentile predecessor
+    // skipped them implicitly; least() would otherwise shove them into
+    // the top micro-bin); count() counts only non-null values here too
+    val dfv = df.filter(v.isNotNull)
+    val head = dfv.agg(min(v).as("lo"), max(v).as("hi"),
       count(lit(1)).as("n")).head()
+    if (head.isNullAt(0)) // empty / all-null input: zero bins
+      return dfv.select(lit(0).as("bin"), lit(0.0).as("lo"),
+        lit(0.0).as("hi"), lit(0L).as("n")).limit(0)
     val (lo0, hi0, n) = (head.getDouble(0), head.getDouble(1), head.getLong(2))
     val edgeVals: Seq[Double] =
       if (hi0 == lo0) Seq.fill(nBins - 1)(hi0) // degenerate: one occupied bin
       else {
-        val micro = df
+        val micro = dfv
           .select(least(lit(microBins - 1),
             floor((v - lit(lo0)) / lit(hi0 - lo0) * lit(microBins)))
             .cast("int").as("mb"))
@@ -509,7 +516,7 @@ object ChOps {
         }
       }
     val edges = array(edgeVals.map(lit): _*)
-    df.select(v.as("__v"))
+    dfv.select(v.as("__v"))
       .withColumn("bin",
         size(filter(edges, e => col("__v") > e)).cast("int"))
       .withColumn("lo", round(when(col("bin") === 0, lit(lo0))

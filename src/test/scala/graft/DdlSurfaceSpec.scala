@@ -497,6 +497,39 @@ class DdlSurfaceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](run("DROP DICTIONARY labels_txt"))
   }
 
+  test("CH-text DDL edge cases: schema+AS SELECT, bad column list, malformed inline rows") {
+    import graft.chsql.ChSql
+    import spark.implicits._
+    def resolve(n: String) = n match {
+      case "src6" => Seq((1L, "x"), (2L, "y")).toDF("k", "s")
+      case other => spark.table(other)
+    }
+    def run(s: String) = ChSql.statement(spark, s)(resolve)._1.collect().toSeq
+    def q(sel: String) = ChSql.sql(spark, sel)(resolve).collect().toSeq.map(_.toSeq)
+
+    // CREATE TABLE with BOTH a column list AND AS SELECT loads the data
+    run("DROP TABLE IF EXISTS edge_t")
+    run("""CREATE TABLE edge_t (k Int64, s String) ENGINE = MergeTree
+          |ORDER BY k AS SELECT k, s FROM src6""".stripMargin)
+    assert(q("SELECT count() AS n FROM edge_t") == Seq(Seq(2L)))
+    val ddl = run("SHOW CREATE TABLE edge_t").head.getString(0)
+    assert(ddl.contains("ORDER BY (k)"), ddl) // engine clause parsed clean
+
+    // unknown INSERT column name refuses loudly (no silent NULL row)
+    val e = intercept[IllegalArgumentException](
+      run("INSERT INTO edge_t (nope) VALUES (9)"))
+    assert(e.getMessage.contains("no such column"))
+    // malformed inline JSON rejects the whole INSERT (FAILFAST)
+    intercept[Exception](
+      run("INSERT INTO edge_t FORMAT JSONEachRow\n{\"k\": oops}"))
+    assert(q("SELECT count() AS n FROM edge_t") == Seq(Seq(2L)))
+    run("DROP TABLE edge_t")
+
+    // SYSTEM RELOAD DICTIONARY with the unquoted CH spelling
+    assert(run("SYSTEM RELOAD DICTIONARY no_such_dict").head.getString(0)
+      .contains("no_such_dict"))
+  }
+
   test("CH-text admin verbs: CHECK TABLE, EXISTS, SYSTEM, KILL QUERY as statements") {
     import graft.chsql.ChSql
     def resolve(n: String) = n match {

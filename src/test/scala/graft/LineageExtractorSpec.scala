@@ -219,6 +219,15 @@ class LineageExtractorSpec extends AnyFunSuite {
     assert(d2.isEmpty && t2 == "error" && e2.isDefined)
   }
 
+  test("exact tier: JOIN ON subqueries contribute dependencies") {
+    val ddl =
+      """CREATE VIEW test.v AS
+        |SELECT * FROM a JOIN b ON a.k = b.k AND b.x IN (SELECT x FROM c)""".stripMargin
+    val (exact, tier) = LineageExtractor.tablesExact(ddl, Some("test"))
+    assert(tier == "exact")
+    assert(exact == Seq("test.a", "test.b", "test.c"))
+  }
+
   test("exact tier: the whole fixture corpus parses exactly (no silent fallback)") {
     // if a grammar gap sneaks in, m9 would silently ride the heuristic —
     // pin that every well-formed corpus view gets the real parse

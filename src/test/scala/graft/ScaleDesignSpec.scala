@@ -344,6 +344,15 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(rows.length == 6)
     val total = spark.read.parquet(s"$sf/lineitem.parquet").count()
     assert(rows.map(_.getAs[Long]("n")).sum == total)
+    // NULLs never enter the histogram; empty input yields zero bins
+    import spark.implicits._
+    val withNulls = Seq[java.lang.Double](1.0, 2.0, null, 3.0, null, 4.0)
+      .toDF("x")
+    val hn = graft.operators.ChOps.adaptiveHistogram(withNulls, "x", 2)
+    assert(hn.collect().map(_.getAs[Long]("n")).sum == 4)
+    val he = graft.operators.ChOps.adaptiveHistogram(
+      Seq.empty[java.lang.Double].toDF("x"), "x", 3)
+    assert(he.collect().isEmpty)
   }
 
   test("langId expression stays compact (the when-fold doubled per language)") {

@@ -110,6 +110,17 @@ class StreamingSpec extends AnyFunSuite {
       assert(watched.toSeq == pop.toSeq) // stream twin == batch backfill
       // WATCH of an unregistered name refuses clearly
       intercept[IllegalArgumentException](stmt("WATCH nope"))
+
+      // MV whose SELECT goes through a CTE: the source resolves THROUGH
+      // the CTE to the real table, not to the CTE's name
+      stmt("""CREATE MATERIALIZED VIEW mv_cte POPULATE AS
+             |WITH f AS (SELECT event_type, value FROM events)
+             |SELECT event_type, count() AS n FROM f GROUP BY event_type""".stripMargin)
+        .collect()
+      val cte = spark.table("mv_cte").orderBy("event_type")
+        .collect().map(_.toSeq)
+      assert(cte.toSeq == Seq(Seq("click", 3L), Seq("view", 2L)))
+      stmt("DROP VIEW mv_cte").collect()
       // DROP unregisters from both the registry and the temp-view twin
       stmt("DROP VIEW mv_text").collect()
       intercept[IllegalArgumentException](stmt("WATCH mv_text"))
