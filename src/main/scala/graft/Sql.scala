@@ -44,7 +44,7 @@ object Sql {
       if (cur.toString.trim.nonEmpty) parts += cur.toString
       parts.toSeq.map(_.trim).filter(_.nonEmpty)
     }
-    for (stmt <- stmts) {
+    for ((stmt, i) <- stmts.zipWithIndex) {
       // SHOW TABLES needs the directory listing — a CLI concern, so it
       // lives here rather than in the resolver-based statement layer
       if (stmt.toUpperCase(java.util.Locale.ROOT).startsWith("SHOW TABLES")) {
@@ -55,8 +55,11 @@ object Sql {
         val views = spark.catalog.listTables().collect().map(_.name).toSeq
         render((files ++ views).distinct.sorted.toDF("name"), None, maxRows)
       } else {
-        val (df, fmt) = chsql.ChSql.statement(spark, stmt)(resolve)
-        render(df, fmt, maxRows)
+        // run under a query id so KILL QUERY / SHOW PROCESSLIST see it
+        operators.AdminOps.withQueryId(spark, s"cli-$i", stmt) {
+          val (df, fmt) = chsql.ChSql.statement(spark, stmt)(resolve)
+          render(df, fmt, maxRows)
+        }
       }
     }
     spark.stop()

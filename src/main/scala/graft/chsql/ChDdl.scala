@@ -106,6 +106,8 @@ object ChDdl {
   private val existsRe = "(?is)^EXISTS\\s+(?:TABLE\\s+)?([\\w.]+)\\s*$".r
   private val killRe =
     "(?is)^KILL\\s+QUERY\\s+WHERE\\s+query_id\\s*=\\s*'([^']*)'\\s*$".r
+  private val killMutationRe =
+    "(?is)^KILL\\s+MUTATION\\s+WHERE\\s+(.+?)\\s*$".r
   private val systemRe = "(?is)^SYSTEM\\s+(\\w+(?:\\s+\\w+)*?)(?:\\s+'([^']*)')?\\s*$".r
 
 
@@ -287,6 +289,16 @@ object ChDdl {
 
       case killRe(queryId) =>
         Some(status(graft.operators.AdminOps.killQuery(spark, queryId)))
+
+      case killMutationRe(where) =>
+        Some(status(graft.operators.AdminOps.killMutation(where)))
+
+      case t if t.toUpperCase(java.util.Locale.ROOT)
+          .startsWith("SHOW PROCESSLIST") =>
+        // showStmt PROCESSLIST alternative (ClickHouseParser.py:11994-13901):
+        // live queries registered via AdminOps.withQueryId
+        Some(graft.operators.AdminOps.processList()
+          .toDF("query_id", "query", "elapsed_sec"))
 
       case systemRe(cmd, argOrNull) =>
         Some(status(graft.operators.AdminOps.system(

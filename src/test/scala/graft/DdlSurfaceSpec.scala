@@ -546,6 +546,33 @@ class DdlSurfaceSpec extends AnyFunSuite {
     assert(run("SYSTEM FLUSH LOGS").head.getString(0).contains("no-op"))
     assert(run("KILL QUERY WHERE query_id = 'q42'").head.getString(0)
       .contains("q42"))
+    assert(run("KILL MUTATION WHERE database = 'db'").head.getString(0)
+      .contains("synchronously"))
+  }
+
+  test("SHOW PROCESSLIST: live queries registered via withQueryId") {
+    import graft.chsql.ChSql
+    import graft.operators.AdminOps
+    def resolve(n: String) = spark.table(n)
+    def run(s: String) = ChSql.statement(spark, s)(resolve)._1.collect().toSeq
+
+    // outside any registered query the list is empty
+    assert(run("SHOW PROCESSLIST").isEmpty)
+    // a statement running under withQueryId is visible, with its text
+    AdminOps.withQueryId(spark, "q_pl_1", "SELECT sleep(1)") {
+      val rows = run("SHOW PROCESSLIST")
+      assert(rows.map(_.getString(0)) == Seq("q_pl_1"))
+      assert(rows.head.getString(1) == "SELECT sleep(1)")
+      assert(rows.head.getDouble(2) >= 0.0)
+    }
+    // and gone once the query finishes (finally-cleanup, even on failure)
+    assert(run("SHOW PROCESSLIST").isEmpty)
+    intercept[RuntimeException] {
+      AdminOps.withQueryId(spark, "q_pl_2", "boom") {
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(run("SHOW PROCESSLIST").isEmpty)
   }
 
   test("lightweight DELETE: mask column, implicit read filter, compaction") {
