@@ -109,6 +109,41 @@ object ChDdl {
   private val killMutationRe =
     "(?is)^KILL\\s+MUTATION\\s+WHERE\\s+(.+?)\\s*$".r
   private val systemRe = "(?is)^SYSTEM\\s+(\\w+(?:\\s+\\w+)*?)(?:\\s+'([^']*)')?\\s*$".r
+  // showStmt family (ClickHouseParser.py:11994-13901): metadata, settings
+  // and access introspection. Single-user engine — the access surfaces
+  // report the implicit all-powerful `default` user, the cluster
+  // surfaces the one local "cluster" Spark local mode is.
+  private val showColumnsRe =
+    ("(?is)^SHOW\\s+(?:EXTENDED\\s+)?(?:FULL\\s+)?(?:COLUMNS|FIELDS)\\s+" +
+      "(?:FROM|IN)\\s+([\\w.]+)(?:\\s+(NOT\\s+)?(ILIKE|LIKE)\\s+'([^']*)')?\\s*$").r
+  private val showIndexRe =
+    ("(?is)^SHOW\\s+(?:EXTENDED\\s+)?(?:INDEX|INDEXES|INDICES|KEYS)\\s+" +
+      "(?:FROM|IN)\\s+([\\w.]+)\\s*$").r
+  private val showGrantsRe =
+    ("(?is)^SHOW\\s+GRANTS(?:\\s+FOR\\s+(\\w+))?" +
+      "(?:\\s+WITH\\s+IMPLICIT)?(?:\\s+FINAL)?\\s*$").r
+  private val showSettingsRe =
+    "(?is)^SHOW\\s+(CHANGED\\s+)?SETTINGS(?:\\s+(ILIKE|LIKE)\\s+'([^']*)')?\\s*$".r
+  private val showSettingRe = "(?is)^SHOW\\s+SETTING\\s+(\\w+)\\s*$".r
+  private val showFunctionsRe =
+    "(?is)^SHOW\\s+FUNCTIONS(?:\\s+(ILIKE|LIKE)\\s+'([^']*)')?\\s*$".r
+  private val showClusterRe = "(?is)^SHOW\\s+CLUSTER\\s+'([^']*)'\\s*$".r
+  private val showClustersRe =
+    "(?is)^SHOW\\s+CLUSTERS(?:\\s+(ILIKE|LIKE)\\s+'([^']*)')?\\s*$".r
+  private val showCreateAccessRe =
+    ("(?is)^SHOW\\s+CREATE\\s+(USER|ROLE|(?:ROW\\s+)?POLICY|QUOTA|" +
+      "(?:SETTINGS\\s+)?PROFILE)\\s+(\\w+)\\s*$").r
+  private val showCreateDbRe =
+    "(?is)^SHOW\\s+CREATE\\s+DATABASE\\s+(\\w+)\\s*$".r
+  private val showCreateDictRe =
+    "(?is)^SHOW\\s+CREATE\\s+DICTIONARY\\s+([\\w.]+)\\s*$".r
+  private val showRolesRe =
+    "(?is)^SHOW\\s+(?:CURRENT\\s+|ENABLED\\s+)?ROLES\\s*$".r
+  private val showProfilesRe =
+    "(?is)^SHOW\\s+(?:SETTINGS\\s+)?PROFILES\\s*$".r
+  private val showPoliciesRe =
+    "(?is)^SHOW\\s+(?:ROW\\s+)?POLICIES(?:\\s+.*)?$".r
+  private val showQuotaRe = "(?is)^SHOW\\s+(?:CURRENT\\s+)?QUOTA\\s*$".r
 
 
   /** Try to dispatch `text` as a DDL/DML statement. None = not a DDL head,
@@ -243,8 +278,84 @@ object ChDdl {
         Some(optimizeTable(spark, name,
           Option(fin).isDefined, Option(dedup).isDefined, status))
 
+      // ---- showStmt family (order: multi-word SHOW CREATE forms must
+      // precede the generic SHOW CREATE TABLE pattern) ----
+
+      case showCreateDbRe(name) =>
+        require(spark.catalog.databaseExists(name),
+          s"ChSql: database $name does not exist")
+        Some(Seq(s"CREATE DATABASE $name").toDF("statement"))
+
+      case showCreateDictRe(name) =>
+        val d = graft.sources.Dictionaries.get(name).getOrElse(
+          throw new IllegalArgumentException(
+            s"ChSql: DICTIONARY $name does not exist"))
+        val attrCols = d.attrs.keys.toSeq.sorted.filterNot(_ == d.keyCol)
+        Some(Seq(s"CREATE DICTIONARY $name " +
+          s"(${(d.keyCol +: attrCols).mkString(", ")}) " +
+          s"PRIMARY KEY ${d.keyCol} LAYOUT(HASHED)").toDF("statement"))
+
+      case showCreateAccessRe(kind, name) =>
+        Some(Seq(showCreateAccess(kind, name)).toDF("statement"))
+
       case showCreateRe(name) =>
         Some(Seq(showCreate(spark, name, resolve)).toDF("statement"))
+
+      case showColumnsRe(name, notOrNull, kwOrNull, patOrNull) =>
+        Some(showColumns(spark, name, resolve,
+          Option(notOrNull).isDefined, Option(kwOrNull), Option(patOrNull)))
+
+      case showIndexRe(name) =>
+        Some(showIndex(spark, name))
+
+      case showGrantsRe(userOrNull) =>
+        // single-user model: the implicit `default` user owns everything
+        val u = Option(userOrNull).getOrElse("default")
+        require(u.equalsIgnoreCase("default"),
+          s"ChSql: there is no user named $u (single-user engine: only 'default')")
+        Some(Seq(s"GRANT ALL ON *.* TO $u WITH GRANT OPTION").toDF("grants"))
+
+      case showSettingsRe(changedOrNull, kwOrNull, patOrNull) =>
+        val df0 = graft.plans.Settings.settingsRows(spark)
+          .toDF("name", "value", "changed", "spark_key")
+        val df1 = if (Option(changedOrNull).isDefined)
+          df0.filter(col("changed")) else df0
+        Some(likeFilter(df1, "name", Option(kwOrNull), Option(patOrNull)))
+
+      case showSettingRe(name) =>
+        val row = graft.plans.Settings.settingsRows(spark)
+          .find(_._1 == name).getOrElse(throw new IllegalArgumentException(
+            s"ChSql: unknown setting $name (no Spark twin — see Settings.mapping)"))
+        Some(Seq((row._1, row._2)).toDF("name", "value"))
+
+      case showFunctionsRe(kwOrNull, patOrNull) =>
+        val df = FunctionCatalog.names
+          .map(n => (n, FunctionCatalog.isAggregate(n)))
+          .toDF("name", "is_aggregate")
+        Some(likeFilter(df, "name", Option(kwOrNull), Option(patOrNull)))
+
+      case showClusterRe(name) =>
+        // Spark local mode is one "cluster" named local; a real deploy
+        // would surface the executor topology here
+        Some(Seq(("local", 1, 1, "localhost"))
+          .toDF("cluster", "shard_num", "replica_num", "host_name")
+          .filter(col("cluster") === name))
+
+      case showClustersRe(kwOrNull, patOrNull) =>
+        Some(likeFilter(Seq("local").toDF("cluster"), "cluster",
+          Option(kwOrNull), Option(patOrNull)))
+
+      case showRolesRe() =>
+        Some(Seq.empty[String].toDF("name")) // no roles defined
+
+      case showProfilesRe() =>
+        Some(Seq("default").toDF("name"))
+
+      case showPoliciesRe() =>
+        Some(Seq.empty[String].toDF("name")) // no row policies defined
+
+      case showQuotaRe() =>
+        Some(Seq(("default", "default")).toDF("quota_name", "quota_key"))
 
       case createDictRe(ifNot, name, cols, key, path, fmtOrNull) =>
         import graft.sources.Dictionaries
@@ -303,6 +414,55 @@ object ChDdl {
       case systemRe(cmd, argOrNull) =>
         Some(status(graft.operators.AdminOps.system(
           spark, cmd, Option(argOrNull))))
+
+      case t if t.toUpperCase(java.util.Locale.ROOT).trim == "SHOW USERS" =>
+        Some(Seq("default").toDF("name"))
+
+      case t if t.toUpperCase(java.util.Locale.ROOT).startsWith("SHOW QUOTAS") =>
+        Some(Seq("default").toDF("name"))
+
+      case t if t.toUpperCase(java.util.Locale.ROOT).trim == "SHOW ACCESS" =>
+        // the concatenated access-entity dump (showStmt ACCESS,
+        // ClickHouseParser.py:12295-12312)
+        Some(Seq("CREATE USER default",
+          "CREATE SETTINGS PROFILE default",
+          "CREATE QUOTA default",
+          "GRANT ALL ON *.* TO default WITH GRANT OPTION").toDF("access"))
+
+      case t if t.toUpperCase(java.util.Locale.ROOT).trim == "SHOW PRIVILEGES" =>
+        // the privilege vocabulary this engine's statement layer exposes
+        Some(Seq(
+          ("SELECT", "TABLE"), ("INSERT", "TABLE"), ("ALTER", "TABLE"),
+          ("CREATE TABLE", "TABLE"), ("CREATE VIEW", "VIEW"),
+          ("CREATE DICTIONARY", "DICTIONARY"), ("DROP", "TABLE"),
+          ("TRUNCATE", "TABLE"), ("OPTIMIZE", "TABLE"), ("SHOW", "GLOBAL"),
+          ("KILL QUERY", "GLOBAL"), ("SYSTEM", "GLOBAL"),
+          ("dictGet", "DICTIONARY")).toDF("privilege", "level"))
+
+      case t if t.toUpperCase(java.util.Locale.ROOT).trim == "SHOW ENGINES" =>
+        // system.table_engines shape, restricted to engines with mapped
+        // semantics (MergeTree family props, view/stream registry,
+        // dictionary registry, file sources)
+        Some(Seq(
+          ("MergeTree", true, true, false),
+          ("ReplacingMergeTree", true, true, true),
+          ("View", false, false, false),
+          ("MaterializedView", false, false, false),
+          ("LiveView", false, false, false),
+          ("Dictionary", false, false, false),
+          ("File", false, false, false))
+          .toDF("name", "supports_sort_order", "supports_partition_by",
+            "supports_final"))
+
+      case t if t.toUpperCase(java.util.Locale.ROOT).startsWith("SHOW MERGES") =>
+        // merges/mutations run synchronously inside OPTIMIZE/ALTER here,
+        // so the in-flight set is always empty — honest, not a stub
+        Some(Seq.empty[(String, String, Double, Double, Boolean)]
+          .toDF("database", "table", "elapsed", "progress", "is_mutation"))
+
+      case t if t.toUpperCase(java.util.Locale.ROOT)
+          .startsWith("SHOW FILESYSTEM CACHES") =>
+        Some(Seq.empty[String].toDF("name")) // no fs cache layer
 
       case t if t.toUpperCase(java.util.Locale.ROOT).startsWith("SHOW DATABASES") =>
         Some(spark.catalog.listDatabases().toDF.select(col("name")))
@@ -662,6 +822,89 @@ object ChDdl {
     val engineArgs = props.get("graft.version").map(v => s"($v)").getOrElse("")
     val orderBy = props.get("graft.order_by").map(k => s"\nORDER BY ($k)").getOrElse("")
     s"CREATE TABLE $name\n(\n$cols\n)\nENGINE = $engine$engineArgs$orderBy"
+  }
+
+  // ===================== SHOW family helpers =====================
+
+  /** CH LIKE/ILIKE pattern filter over a metadata frame's name column
+    * (the optional tail of the SHOW list forms). Spark's like/ilike use
+    * the same `%`/`_` wildcards as CH. */
+  private def likeFilter(df: DataFrame, colName: String,
+      kw: Option[String], pat: Option[String],
+      negate: Boolean = false): DataFrame =
+    pat match {
+      case None => df
+      case Some(p) =>
+        val c = if (kw.exists(_.equalsIgnoreCase("ILIKE")))
+          col(colName).ilike(p) else col(colName).like(p)
+        df.filter(if (negate) !c else c)
+    }
+
+  /** `SHOW COLUMNS FROM t` (showStmt COLUMNS, ClickHouseParser.py:
+    * 12122-12203): CH's MySQL-compatible column frame — field / type /
+    * null / key / default / extra. `key` marks sorting-key membership for
+    * tables created through the DDL layer (CH reports PRI there too). */
+  private def showColumns(spark: SparkSession, name: String,
+      resolve: String => DataFrame, negate: Boolean,
+      kw: Option[String], pat: Option[String]): DataFrame = {
+    import spark.implicits._
+    val (schema, props) =
+      if (spark.catalog.tableExists(name))
+        (spark.table(name).schema, tableProps(spark, name))
+      else (resolve(name).schema, Map.empty[String, String])
+    val keyCols = props.get("graft.order_by")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val rows = schema.fields.toSeq.map { f =>
+      (f.name, graft.model.ChTypes.toCh(f.dataType, f.nullable),
+        if (f.nullable) "YES" else "NO",
+        if (keyCols.contains(f.name)) "PRI" else "",
+        null: String, "")
+    }
+    likeFilter(rows.toDF("field", "type", "null", "key", "default", "extra"),
+      "field", kw, pat, negate)
+  }
+
+  /** `SHOW INDEX FROM t` (showStmt INDEX, 12344-12393): the one index a
+    * MergeTree-shaped table has here is its sorting key — CH reports it
+    * as the composite `PRIMARY` key, one row per component. Data-skipping
+    * indexes have no explicit twin: parquet min/max column stats play
+    * that role implicitly at scan time. */
+  private def showIndex(spark: SparkSession, name: String): DataFrame = {
+    import spark.implicits._
+    val keys: Seq[String] =
+      if (spark.catalog.tableExists(name))
+        tableProps(spark, name).get("graft.order_by")
+          .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+      else Nil
+    keys.zipWithIndex.map { case (c, i) =>
+      (name, 1, "PRIMARY", i + 1, c, "A")
+    }.toDF("table", "non_unique", "key_name", "seq_in_index",
+      "column_name", "collation")
+  }
+
+  /** `SHOW CREATE USER|ROLE|ROW POLICY|QUOTA|SETTINGS PROFILE name`
+    * (12011-12043, 12885-12917, ...): single-user model — the implicit
+    * `default` user/profile/quota exist; roles and row policies have no
+    * members, so asking for one is an error, same as CH for an unknown
+    * entity. */
+  private def showCreateAccess(kind0: String, name: String): String = {
+    val kind = kind0.toUpperCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ").trim
+    val normalized =
+      if (kind.endsWith("PROFILE")) "SETTINGS PROFILE"
+      else if (kind.endsWith("POLICY")) "ROW POLICY"
+      else kind
+    normalized match {
+      case "USER" | "QUOTA" | "SETTINGS PROFILE" =>
+        require(name.equalsIgnoreCase("default"),
+          s"ChSql: there is no ${normalized.toLowerCase} named $name " +
+            "(single-user engine: only 'default')")
+        s"CREATE $normalized default"
+      case _ =>
+        throw new IllegalArgumentException(
+          s"ChSql: there is no ${normalized.toLowerCase} named $name " +
+            "(single-user engine defines none)")
+    }
   }
 
   // ===================== small text utilities =====================

@@ -1034,7 +1034,7 @@ object ChSql {
 
   /** CH aggregate-function names (lowercase) — used both by the builder
     * and by the aggregate-detection walk. */
-  private val AggNames: Set[String] = Set(
+  private[chsql] val AggNames: Set[String] = Set(
     "count", "countif", "countdistinct", "sum", "sumif", "avg", "avgif",
     "min", "minif", "max", "maxif", "any", "anylast", "argmax", "argmin",
     "uniq", "uniqexact", "uniqcombined", "uniqhll12", "grouparray",

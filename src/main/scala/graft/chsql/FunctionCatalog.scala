@@ -1,0 +1,80 @@
+package graft.chsql
+
+/** Enumerable function registry for `SHOW FUNCTIONS` (showStmt FUNCTIONS
+  * alternative, ClickHouseParser.py:12394-12443 — CH's system.functions).
+  *
+  * The list mirrors the `case "..."` arms of the expression dispatcher in
+  * [[ChSql]] (funcCall + windowFn). It is pinned to the dispatcher source
+  * by a ChSqlSpec test that re-extracts the case literals from
+  * ChSql.scala and asserts set equality — adding a function to the match
+  * without updating this catalog fails the test suite, so the catalog
+  * cannot drift. Names are the lowercase forms the dispatcher matches on
+  * (lookup in the engine is case-insensitive: `toYear` ≡ `toyear`).
+  */
+object FunctionCatalog {
+
+  val names: Seq[String] = Seq(
+    "abs", "acos", "adddays", "addhours", "addmonths", "any", "anylast",
+    "argmax", "argmin", "array", "arrayall", "arrayavg", "arraycompact",
+    "arrayconcat", "arraycount", "arraycumsum", "arraydifference",
+    "arraydistinct", "arrayelement", "arrayenumerate", "arrayexists",
+    "arrayfilter", "arrayfirst", "arrayflatten", "arrayintersect",
+    "arraylast", "arraymap", "arraymax", "arraymin", "arraypopback",
+    "arraypopfront", "arraypushback", "arraypushfront", "arrayreverse",
+    "arrayreversesort", "arrayslice", "arraysort", "arraystringconcat",
+    "arraysum", "arrayuniq", "arrayzip", "asin", "assumenotnull", "atan",
+    "atan2", "avg", "avgif", "avgweighted", "base64decode",
+    "base64encode", "bitand", "bitcount", "bitor", "bitshiftleft",
+    "bitshiftright", "bittest", "bitxor", "cbrt", "ceil", "ceiling",
+    "char_length", "character_length", "ciphash64", "coalesce", "concat",
+    "corr", "cos", "cosh", "count", "countdistinct", "countif",
+    "countsubstrings", "covarpop", "covarsamp", "date_diff", "date_trunc",
+    "datediff", "datetrunc", "day", "degrees", "dense_rank", "denserank",
+    "dictget", "dictgetordefault", "dicthas", "divide", "domain", "e",
+    "editdistance", "empty", "emptyarraytosingle", "endswith", "exp",
+    "exp10", "exp2", "expm1", "extract", "extracturlparameter",
+    "first_value", "flatten", "floor", "formatdatetime", "frombase64",
+    "fromunixtimestamp", "generateuuidv4", "greatest", "grouparray",
+    "groupbitand", "groupbitor", "groupbitxor", "groupuniqarray", "has",
+    "hasany", "hex", "if", "ifnull", "indexof", "intdiv", "intdivorzero",
+    "ipv4numtostring", "ipv4stringtonum", "isfinite", "isinfinite",
+    "isnan", "isnotnull", "isnull", "json_value", "jsonextractbool",
+    "jsonextractfloat", "jsonextractint", "jsonextractstring", "jsonhas",
+    "jsonlength", "kurtpop", "lag", "last_value", "lcase", "lead",
+    "least", "leftpad", "length", "lengthutf8", "levenshteindistance",
+    "ln", "locate", "log", "log10", "log1p", "log2", "lower", "lowerutf8",
+    "lpad", "mapcontains", "mapfromarrays", "mapkeys", "mapvalues",
+    "match", "max", "maxif", "md5", "median", "mid", "min", "minif",
+    "minus", "modulo", "moduloorzero", "month", "multiif", "multiply",
+    "multisearchany", "negate", "notempty", "now", "ntile", "nullif",
+    "path", "pi", "plus", "position", "positioncaseinsensitive", "pow",
+    "power", "protocol", "quantile", "quantileexact", "quantiles",
+    "radians", "rand", "range", "rank", "repeat", "replace", "replaceall",
+    "replaceregexpall", "retention", "reverse", "rightpad", "round",
+    "roundbankers", "row_number", "rownumber", "rpad", "sequencecount",
+    "sequencematch", "sha256", "sign", "sin", "sinh", "siphash64",
+    "skewpop", "soundex", "splitbychar", "splitbystring", "sqrt",
+    "startswith", "stddevpop", "stddevsamp", "substr", "substring",
+    "substringutf8", "subtractdays", "sum", "sumif", "summap", "tan",
+    "tanh", "tobase64", "todate", "todatetime", "today", "todayofmonth",
+    "todayofweek", "todayofyear", "todecimal128", "todecimal32",
+    "todecimal64", "tofloat32", "tofloat64", "tohour", "toint16",
+    "toint32", "toint64", "toint8", "toisoweek", "tolastdayofmonth",
+    "tominute", "tomonday", "tomonth", "topk", "toquarter", "tosecond",
+    "tostartofday", "tostartofhour", "tostartofminute", "tostartofmonth",
+    "tostartofquarter", "tostartofweek", "tostartofyear", "tostring",
+    "touint16", "touint32", "touint64", "touint8", "tounixtimestamp",
+    "toyear", "toyyyymm", "toyyyymmdd", "trim", "trimboth", "trimleft",
+    "trimright", "tuple", "tupleelement", "ucase", "unhex", "uniq",
+    "uniqcombined", "uniqexact", "uniqhll12", "uniqupto", "upper",
+    "upperutf8", "varpop", "varsamp", "windowfunnel", "xxhash64", "year")
+
+  /** Aggregate-ness as SHOW FUNCTIONS reports it (system.functions
+    * `is_aggregate`): the dispatcher's own aggregate-name set, plus the
+    * OVER-only ranking/navigation functions which CH also files there. */
+  def isAggregate(name: String): Boolean = {
+    val n = name.toLowerCase
+    ChSql.AggNames.contains(n) ||
+      (n.endsWith("if") && n.length > 2 && ChSql.AggNames.contains(n.dropRight(2)))
+  }
+}

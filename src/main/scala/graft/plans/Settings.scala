@@ -65,18 +65,41 @@ object Settings {
   def translate(name: String, value: String): Option[(String, String)] =
     mapping.get(name).map { case (key, f) => key -> f(value) }
 
+  /** Session-level `SET` history, backing `SHOW CHANGED SETTINGS`
+    * (showStmt SETTINGS alternative, ClickHouseParser.py:12204-12273).
+    * Statement-scoped `SETTINGS` clauses go through [[withSettings]] and
+    * are restored, so they do not count as changed. */
+  private val sessionChanged = scala.collection.mutable.Set.empty[String]
+
+  def changedNames: Set[String] =
+    sessionChanged.synchronized(sessionChanged.toSet)
+
   /** Apply a `SET name = value, ...` statement to the session. Returns the
-    * (sparkKey → value) pairs applied and the names skipped as unmappable. */
-  def applySet(spark: SparkSession, settings: Map[String, String])
-      : (Map[String, String], Seq[String]) = {
+    * (sparkKey → value) pairs applied and the names skipped as unmappable.
+    * `record=false` (the [[withSettings]] path) keeps the change out of
+    * the `SHOW CHANGED SETTINGS` history. */
+  def applySet(spark: SparkSession, settings: Map[String, String],
+      record: Boolean = true): (Map[String, String], Seq[String]) = {
     val (mapped, unmapped) = settings.partition { case (k, _) => mapping.contains(k) }
     val applied = mapped.map { case (k, v) =>
       val (key, value) = translate(k, v).get
       spark.conf.set(key, value)
+      if (record) sessionChanged.synchronized(sessionChanged += k)
       key -> value
     }
     (applied, unmapped.keys.toSeq.sorted)
   }
+
+  /** Rows for `SHOW [CHANGED] SETTINGS`: every CH setting with a Spark
+    * twin, its current session value (read back through the mapped conf
+    * key), whether a session-level SET touched it, and the conf key it
+    * maps to — the honest rendering of this engine's settings model. */
+  def settingsRows(spark: SparkSession): Seq[(String, String, Boolean, String)] =
+    mapping.keys.toSeq.sorted.map { name =>
+      val key = mapping(name)._1
+      (name, spark.conf.getOption(key).orNull,
+        changedNames.contains(name), key)
+    }
 
   /** Parse the textual form `SET a = 1, b = 'x'` (setStmt grammar).
     * Quote-aware: a comma inside a quoted value (e.g.
@@ -111,7 +134,7 @@ object Settings {
   def withSettings[T](spark: SparkSession, settings: Map[String, String])(body: => T): T = {
     val sparkKeys = settings.keys.flatMap(k => mapping.get(k).map(_._1)).toSeq
     val saved = sparkKeys.map(k => k -> spark.conf.getOption(k)).toMap
-    applySet(spark, settings)
+    applySet(spark, settings, record = false)
     try body
     finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)

@@ -50,6 +50,8 @@ object Dictionaries {
 
   def names: Seq[String] = registry.keys.toSeq.sorted
 
+  def get(name: String): Option[DictDef] = registry.get(name)
+
   /** Scalar `dictHas('d', key)`: key-membership probe against the
     * RAM-resident key set (In/InSet after Catalyst optimization). */
   def dictHasLiteral(spark: SparkSession, dictName: String, key: Column): Column = {

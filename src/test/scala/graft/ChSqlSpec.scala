@@ -828,4 +828,36 @@ class ChSqlSpec extends AnyFunSuite {
     assert(scan.metadata.get("PushedFilters").exists(_.contains("GreaterThan")))
     assert(scan.requiredSchema.fieldNames.toSet == Set("okey", "price"))
   }
+
+  test("FunctionCatalog is pinned to the dispatcher source (no drift)") {
+    // Re-extract the `case "..."` arms of funcCall + windowFn from the
+    // ChSql source and assert set equality with the published catalog —
+    // a function added to the match without a catalog row fails here.
+    val src = scala.io.Source.fromFile(
+      "src/main/scala/graft/chsql/ChSql.scala", "UTF-8")
+    val lines = try src.getLines().toVector finally src.close()
+    def extract(start: String, end: String): Seq[String] = {
+      val from = lines.indexWhere(_.contains(start))
+      val to = lines.indexWhere(_.contains(end), from)
+      assert(from >= 0 && to > from, s"sentinels '$start'/'$end' not found")
+      val caseRe = """case ("[^"]+"(?:\s*\|\s*"[^"]+")*)""".r
+      val litRe = """"([^"]+)"""".r
+      lines.slice(from, to).flatMap(ln =>
+        caseRe.findAllMatchIn(ln).flatMap(m =>
+          litRe.findAllMatchIn(m.group(1)).map(_.group(1))))
+    }
+    val fromSource =
+      (extract("// ---- aggregates ----", "ChSql: unknown function") ++
+        extract("private def windowFn", "case _ => funcCall")).toSet
+    val catalog = graft.chsql.FunctionCatalog.names.toSet
+    assert(graft.chsql.FunctionCatalog.names.distinct.size == catalog.size)
+    val missing = fromSource -- catalog
+    val stale = catalog -- fromSource
+    assert(missing.isEmpty && stale.isEmpty,
+      s"FunctionCatalog drift — missing: $missing, stale: $stale")
+    // aggregate flags agree with the dispatcher's own classification
+    assert(graft.chsql.FunctionCatalog.isAggregate("sumIf"))
+    assert(graft.chsql.FunctionCatalog.isAggregate("windowFunnel"))
+    assert(!graft.chsql.FunctionCatalog.isAggregate("toYear"))
+  }
 }

@@ -575,6 +575,79 @@ class DdlSurfaceSpec extends AnyFunSuite {
     assert(run("SHOW PROCESSLIST").isEmpty)
   }
 
+  test("SHOW family: columns/index/functions/settings/access/cluster/engines") {
+    import graft.chsql.ChSql
+    def resolve(n: String) = n match {
+      case "nation" => spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      case other => spark.table(other)
+    }
+    def run(s: String) = ChSql.statement(spark, s)(resolve)._1.collect().toSeq
+
+    // a DDL-created table so COLUMNS/INDEX see the sorting key
+    run("CREATE TABLE show_t (a UInt64, b String, c Nullable(Float64)) " +
+      "ENGINE = MergeTree ORDER BY (a, b)")
+    try {
+      val cols = run("SHOW COLUMNS FROM show_t")
+      assert(cols.map(r => (r.getString(0), r.getString(3))) ==
+        Seq(("a", "PRI"), ("b", "PRI"), ("c", "")))
+      assert(cols.find(_.getString(0) == "c").get.getString(2) == "YES")
+      // LIKE tail filters on field name
+      assert(run("SHOW COLUMNS FROM show_t LIKE 'a%'").map(_.getString(0))
+        == Seq("a"))
+      assert(run("SHOW COLUMNS FROM show_t NOT LIKE 'a%'").size == 2)
+      val idx = run("SHOW INDEX FROM show_t")
+      assert(idx.map(r => (r.getString(2), r.getInt(3), r.getString(4))) ==
+        Seq(("PRIMARY", 1, "a"), ("PRIMARY", 2, "b")))
+      // a plain parquet table: no sorting key → no index rows, all cols plain
+      assert(run("SHOW INDEX FROM nation").isEmpty)
+      assert(run("SHOW COLUMNS FROM nation").forall(_.getString(3) == ""))
+    } finally run("DROP TABLE show_t")
+
+    // functions: catalog-backed, LIKE-filterable, aggregate flag set
+    val fns = run("SHOW FUNCTIONS")
+    assert(fns.size > 250)
+    val byName = fns.map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(byName("sum") && byName("windowfunnel") && !byName("toyear"))
+    assert(run("SHOW FUNCTIONS LIKE 'array%'").size > 20)
+
+    // settings: full list, single SETTING, CHANGED after a session SET
+    assert(run("SHOW SETTINGS").map(_.getString(0)).contains("max_threads"))
+    assert(run("SHOW SETTING session_timezone").head.getString(1) == "UTC")
+    run("SET session_timezone = 'UTC'")
+    assert(run("SHOW CHANGED SETTINGS").map(_.getString(0))
+      .contains("session_timezone"))
+    intercept[IllegalArgumentException](run("SHOW SETTING no_such_setting"))
+
+    // access surfaces: the single-user model
+    assert(run("SHOW GRANTS").head.getString(0).contains("GRANT ALL"))
+    assert(run("SHOW GRANTS FOR default").nonEmpty)
+    intercept[IllegalArgumentException](run("SHOW GRANTS FOR bob"))
+    assert(run("SHOW USERS").map(_.getString(0)) == Seq("default"))
+    assert(run("SHOW ROLES").isEmpty)
+    assert(run("SHOW PROFILES").map(_.getString(0)) == Seq("default"))
+    assert(run("SHOW CREATE USER default").head.getString(0)
+      == "CREATE USER default")
+    assert(run("SHOW CREATE SETTINGS PROFILE default").head.getString(0)
+      == "CREATE SETTINGS PROFILE default")
+    intercept[IllegalArgumentException](run("SHOW CREATE ROLE admin"))
+    assert(run("SHOW ACCESS").size == 4)
+    assert(run("SHOW PRIVILEGES").map(_.getString(0)).contains("SELECT"))
+    assert(run("SHOW QUOTA").head.getString(0) == "default")
+    assert(run("SHOW QUOTAS").map(_.getString(0)) == Seq("default"))
+
+    // topology + engines + merges
+    assert(run("SHOW CLUSTERS").map(_.getString(0)) == Seq("local"))
+    assert(run("SHOW CLUSTER 'local'").head.getString(3) == "localhost")
+    assert(run("SHOW CLUSTER 'prod'").isEmpty)
+    val engines = run("SHOW ENGINES").map(_.getString(0))
+    assert(engines.contains("MergeTree") && engines.contains("ReplacingMergeTree"))
+    assert(run("SHOW MERGES").isEmpty)
+    assert(run("SHOW FILESYSTEM CACHES").isEmpty)
+    assert(run("SHOW CREATE DATABASE default").head.getString(0)
+      == "CREATE DATABASE default")
+    intercept[Exception](run("SHOW CREATE DATABASE nope"))
+  }
+
   test("lightweight DELETE: mask column, implicit read filter, compaction") {
     import graft.operators.Mutations
     import org.apache.spark.sql.functions._
