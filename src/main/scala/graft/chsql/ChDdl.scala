@@ -102,6 +102,13 @@ object ChDdl {
     "(?is)^DROP\\s+DICTIONARY\\s+(IF\\s+EXISTS\\s+)?([\\w.]+)\\s*$".r
   // admin verbs (checkStmt 3807-3837, existsStmt 7358-7419,
   // killStmt 8274-8365, systemStmt 13902-14107)
+  // ATTACH/DETACH (attachStmt 3843-3879; the DETACH alternatives of
+  // dropStmt 7149-7357): CH moves detached parts to a `detached/`
+  // directory and forgets the table; ATTACH re-registers it from there.
+  private val detachRe =
+    "(?is)^DETACH\\s+(TABLE|VIEW|DICTIONARY)\\s+(IF\\s+EXISTS\\s+)?([\\w.]+)\\s*$".r
+  private val attachRe =
+    "(?is)^ATTACH\\s+(TABLE|DICTIONARY)\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)\\s*$".r
   private val checkRe = "(?is)^CHECK\\s+TABLE\\s+([\\w.]+)\\s*$".r
   private val existsRe = "(?is)^EXISTS\\s+(?:TABLE\\s+)?([\\w.]+)\\s*$".r
   private val killRe =
@@ -383,6 +390,14 @@ object ChDdl {
       case t if t.toUpperCase(java.util.Locale.ROOT)
           .startsWith("SHOW DICTIONARIES") =>
         Some(graft.sources.Dictionaries.names.toDF("name"))
+
+      case detachRe(kind, ifExists, name) =>
+        Some(detach(spark, kind.toUpperCase(java.util.Locale.ROOT),
+          Option(ifExists).isDefined, name, status))
+
+      case attachRe(kind, ifNot, name) =>
+        Some(attach(spark, kind.toUpperCase(java.util.Locale.ROOT),
+          Option(ifNot).isDefined, name, status))
 
       case checkRe(name) =>
         // full-scan validation over the table's file location (the path
@@ -822,6 +837,127 @@ object ChDdl {
     val engineArgs = props.get("graft.version").map(v => s"($v)").getOrElse("")
     val orderBy = props.get("graft.order_by").map(k => s"\nORDER BY ($k)").getOrElse("")
     s"CREATE TABLE $name\n(\n$cols\n)\nENGINE = $engine$engineArgs$orderBy"
+  }
+
+  // ===================== ATTACH / DETACH =====================
+
+  /** DETACHed dictionaries keep their definition here until re-ATTACHed
+    * (dictionaries are session objects — no files to move). */
+  private val detachedDicts = scala.collection.concurrent.TrieMap
+    .empty[String, graft.sources.Dictionaries.DictDef]
+
+  /** (db path, table name) for a possibly-qualified identifier, matching
+    * the warehouse layout the managed DDL tables use. */
+  private def dbPathAndTable(spark: SparkSession, name: String): (String, String) = {
+    val parts = name.split("\\.")
+    val (db, tbl) =
+      if (parts.length == 2) (parts(0), parts(1))
+      else (spark.catalog.currentDatabase, parts(0))
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    (if (db == "default") wh else s"$wh/$db.db", tbl)
+  }
+
+  /** `DETACH TABLE t`: move the data directory to `<db>/detached/<t>`
+    * (CH's literal detached-parts model) and drop the catalog entry. The
+    * graft table properties ride along in an underscore-prefixed metadata
+    * file — parquet readers ignore `_*` files, so the directory stays a
+    * valid table payload. DETACH VIEW/DICTIONARY are catalog/registry
+    * moves with nothing on disk. */
+  private def detach(spark: SparkSession, kind: String, ifExists: Boolean,
+      name: String, status: String => DataFrame): DataFrame = kind match {
+    case "DICTIONARY" =>
+      graft.sources.Dictionaries.get(name) match {
+        case Some(d) =>
+          detachedDicts.put(name, d)
+          graft.sources.Dictionaries.drop(name)
+          status(s"detached dictionary $name")
+        case None if ifExists => status(s"dictionary $name does not exist")
+        case None => throw new IllegalArgumentException(
+          s"ChSql: DICTIONARY $name does not exist")
+      }
+    case "VIEW" =>
+      if (!spark.catalog.tableExists(name) && ifExists)
+        status(s"view $name does not exist")
+      else { spark.sql(s"DROP VIEW $name"); status(s"detached view $name") }
+    case _ =>
+      if (!spark.catalog.tableExists(name)) {
+        if (ifExists) return status(s"table $name does not exist")
+        throw new IllegalArgumentException(s"ChSql: TABLE $name does not exist")
+      }
+      val props = tableProps(spark, name)
+      val (dbPath, tbl) = dbPathAndTable(spark, name)
+      val loc = filePaths(spark, spark.table(name)).headOption
+        .map(new org.apache.hadoop.fs.Path(_))
+        .getOrElse(throw new IllegalArgumentException(
+          s"ChSql: DETACH TABLE $name: not a file-backed table"))
+      val dst = new org.apache.hadoop.fs.Path(s"$dbPath/detached/$tbl")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(dst)) fs.delete(dst, true)
+      fs.mkdirs(dst.getParent)
+      require(fs.rename(loc, dst),
+        s"ChSql: DETACH TABLE $name: could not move $loc aside")
+      val out = fs.create(new org.apache.hadoop.fs.Path(dst, "_graft_props"))
+      try out.write(props.map { case (k, v) => s"$k=$v" }
+        .mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      // the data directory is gone, so the managed-table drop removes
+      // only the catalog entry
+      spark.sql(s"DROP TABLE $name")
+      status(s"detached table $name (data kept under $dst)")
+  }
+
+  /** `ATTACH TABLE t`: the inverse — move `<db>/detached/<t>` back into
+    * the warehouse and re-register the table (external, pointing at its
+    * own files) with the preserved graft properties. Works across
+    * sessions: the detached directory, not session memory, is the source
+    * of truth. */
+  private def attach(spark: SparkSession, kind: String, ifNot: Boolean,
+      name: String, status: String => DataFrame): DataFrame = kind match {
+    case "DICTIONARY" =>
+      detachedDicts.remove(name) match {
+        case Some(d) =>
+          graft.sources.Dictionaries.create(name, d.load, d.keyCol, d.attrs)
+          status(s"attached dictionary $name")
+        case None if ifNot && graft.sources.Dictionaries.exists(name) =>
+          status(s"dictionary $name already attached")
+        case None => throw new IllegalArgumentException(
+          s"ChSql: no detached dictionary $name")
+      }
+    case _ =>
+      if (spark.catalog.tableExists(name)) {
+        if (ifNot) return status(s"table $name already exists")
+        throw new IllegalArgumentException(s"ChSql: TABLE $name already exists")
+      }
+      val (dbPath, tbl) = dbPathAndTable(spark, name)
+      val src = new org.apache.hadoop.fs.Path(s"$dbPath/detached/$tbl")
+      val dst = new org.apache.hadoop.fs.Path(s"$dbPath/$tbl")
+      val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(fs.exists(src),
+        s"ChSql: no detached data for $name (expected $src)")
+      val propsFile = new org.apache.hadoop.fs.Path(src, "_graft_props")
+      val props: Map[String, String] =
+        if (!fs.exists(propsFile)) Map.empty
+        else {
+          val in = fs.open(propsFile)
+          val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          fs.delete(propsFile, false)
+          text.split("\n").filter(_.contains("="))
+            .map { ln => val Array(k, v) = ln.split("=", 2); k -> v }.toMap
+        }
+      if (fs.exists(dst)) fs.delete(dst, true) // orphan from a stale create
+      require(fs.rename(src, dst),
+        s"ChSql: ATTACH TABLE $name: could not restore $src")
+      val propsSql =
+        if (props.isEmpty) ""
+        else props.map { case (k, v) => s"'$k'='$v'" }
+          .mkString(" TBLPROPERTIES (", ", ", ")")
+      spark.sql(s"CREATE TABLE $name USING parquet LOCATION '${
+        dst.toString.replace("\\", "\\\\").replace("'", "\\'")}'$propsSql")
+      // partitioned layouts need their partition entries recovered
+      try spark.sql(s"ALTER TABLE $name RECOVER PARTITIONS")
+      catch { case _: Exception => () } // not partitioned
+      status(s"attached table $name")
   }
 
   // ===================== SHOW family helpers =====================

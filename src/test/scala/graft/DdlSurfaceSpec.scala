@@ -575,6 +575,50 @@ class DdlSurfaceSpec extends AnyFunSuite {
     assert(run("SHOW PROCESSLIST").isEmpty)
   }
 
+  test("DETACH/ATTACH TABLE as text: data survives in detached/, props restored") {
+    import graft.chsql.ChSql
+    def resolve(n: String) = spark.table(n)
+    def run(s: String) = ChSql.statement(spark, s)(resolve)._1.collect().toSeq
+
+    run("CREATE TABLE det_t (a UInt64, b String) " +
+      "ENGINE = ReplacingMergeTree(a) ORDER BY (a)")
+    run("INSERT INTO det_t VALUES (1, 'x'), (2, 'y')")
+    val msg = run("DETACH TABLE det_t").head.getString(0)
+    assert(msg.contains("detached") && msg.contains("detached/det_t"))
+    assert(!spark.catalog.tableExists("det_t"))
+    // the data is still on disk, in the detached directory
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    assert(new java.io.File(s"$wh/detached/det_t").exists())
+    // DETACH again: IF EXISTS tolerates, bare form errors
+    assert(run("DETACH TABLE IF EXISTS det_t").head.getString(0)
+      .contains("does not exist"))
+    intercept[IllegalArgumentException](run("DETACH TABLE det_t"))
+
+    run("ATTACH TABLE det_t")
+    assert(spark.table("det_t").count() == 2)
+    // engine properties survived the round trip
+    assert(run("SHOW CREATE TABLE det_t").head.getString(0)
+      .contains("ReplacingMergeTree"))
+    assert(run("SHOW INDEX FROM det_t").map(_.getString(4)) == Seq("a"))
+    // and the detached directory is gone
+    assert(!new java.io.File(s"$wh/detached/det_t").exists())
+    intercept[IllegalArgumentException](run("ATTACH TABLE det_t"))
+    run("DROP TABLE det_t")
+
+    // dictionary detach/attach rides the registry
+    val dictSrc = java.nio.file.Files.createTempDirectory("graft_dict").toString
+    spark.range(3).selectExpr("id AS k", "concat('v', id) AS v")
+      .write.mode("overwrite").parquet(dictSrc)
+    run(s"CREATE DICTIONARY det_d (k UInt64, v String) PRIMARY KEY k " +
+      s"SOURCE(FILE(path '$dictSrc' format 'parquet'))")
+    run("DETACH DICTIONARY det_d")
+    assert(!graft.sources.Dictionaries.exists("det_d"))
+    run("ATTACH DICTIONARY det_d")
+    assert(graft.sources.Dictionaries.exists("det_d"))
+    run("DROP DICTIONARY det_d")
+  }
+
   test("SHOW family: columns/index/functions/settings/access/cluster/engines") {
     import graft.chsql.ChSql
     def resolve(n: String) = n match {
