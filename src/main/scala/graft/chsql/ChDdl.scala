@@ -376,6 +376,9 @@ object ChDdl {
             .map(c => c -> c).toMap
           Dictionaries.createFromPath(name, path,
             Option(fmtOrNull).getOrElse("parquet").toLowerCase, key, attrs)
+          // CH loads FLAT/HASHED dictionaries at create time; warming the
+          // resolved frame here keeps later dictGet translation zero-job
+          Dictionaries.loaded(spark, name)
           Some(status(s"dictionary $name created"))
         }
 

@@ -2,7 +2,8 @@ package graft.sources
 
 import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, element_at, lit, map}
+import org.apache.spark.sql.functions.{array_contains, broadcast, coalesce,
+  col, collect_list, count, element_at, lit, map_from_arrays, raise_error, when}
 
 /** `CREATE DICTIONARY` execution (createDictionaryStmt,
   * ClickHouseParser.py:4005-4048): a named external lookup table with a
@@ -32,19 +33,37 @@ object Dictionaries {
 
   private val registry = TrieMap.empty[String, DictDef]
 
+  /** CH dictionaries are loaded once and RAM-resident until reload; the
+    * Spark twin of "loaded" is a resolved DataFrame (schema inference —
+    * a small Spark job for file sources — already done). Caching it here
+    * keeps dictGet translation side-effect-free: referencing a
+    * dictionary in a query fires zero jobs. */
+  private val frameCache = TrieMap.empty[String, DataFrame]
+
+  /** The dictionary's resolved source frame (cached until reload/drop). */
+  def loaded(spark: SparkSession, name: String): DataFrame = {
+    val d = registry.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown dictionary: $name"))
+    frameCache.getOrElseUpdate(name, d.load(spark))
+  }
+
   /** CREATE DICTIONARY from a parquet/csv/json path SOURCE. */
   def createFromPath(name: String, path: String, format: String,
-      keyCol: String, attrs: Map[String, String]): Unit =
+      keyCol: String, attrs: Map[String, String]): Unit = {
+    frameCache.remove(name)
     registry.put(name,
       DictDef(name, s => TableFunctions.fileSource(s, path, format), keyCol, attrs))
+  }
 
   /** CREATE DICTIONARY from an arbitrary relation (CH `SOURCE(CLICKHOUSE)`
     * ≈ a catalog query). */
   def create(name: String, load: SparkSession => DataFrame,
-      keyCol: String, attrs: Map[String, String]): Unit =
+      keyCol: String, attrs: Map[String, String]): Unit = {
+    frameCache.remove(name)
     registry.put(name, DictDef(name, load, keyCol, attrs))
+  }
 
-  def drop(name: String): Unit = registry.remove(name)
+  def drop(name: String): Unit = { frameCache.remove(name); registry.remove(name) }
 
   def exists(name: String): Boolean = registry.contains(name)
 
@@ -52,23 +71,40 @@ object Dictionaries {
 
   def get(name: String): Option[DictDef] = registry.get(name)
 
-  /** Scalar `dictHas('d', key)`: key-membership probe against the
-    * RAM-resident key set (In/InSet after Catalyst optimization). */
+  /** The scalar tier caps at CH's RAM-resident-dictionary scale; past
+    * this, [[dictGet]] (the broadcast-join tier) is the right shape. The
+    * cap is enforced INSIDE the subquery (raise_error), so an oversized
+    * dictionary fails at action time with a clear message instead of
+    * OOMing the driver. */
+  private val ScalarCap = 100000
+
+  private def capGuard(dictName: String, payload: Column): Column =
+    when(count(lit(1)) > ScalarCap, raise_error(lit(
+      s"dictionary $dictName too large for the scalar tier " +
+        s"(> $ScalarCap entries): use the dictGet join tier")))
+      .otherwise(payload)
+
+  /** Scalar `dictHas('d', key)`: key-membership probe. Lazy — the key
+    * set rides as a one-row array scalar subquery inside the plan (zero
+    * jobs at translate time; Catalyst executes the subplan once per
+    * action and reuses it across references). */
   def dictHasLiteral(spark: SparkSession, dictName: String, key: Column): Column = {
     val d = registry.getOrElse(dictName,
       throw new IllegalArgumentException(s"unknown dictionary: $dictName"))
-    val keys = d.load(spark).select(col(d.keyCol)).collect().map(_.get(0))
-    require(keys.length <= 100000,
-      s"dictionary $dictName too large for the scalar tier")
-    if (keys.isEmpty) lit(false) else key.isin(keys.toSeq: _*)
+    val keysDf = loaded(spark, dictName)
+      .agg(capGuard(dictName, collect_list(col(d.keyCol))).as("ks"))
+    coalesce(array_contains(
+      org.apache.spark.sql.graftbridge.ColumnBridge.scalarSubquery(keysDf),
+      key), lit(false))
   }
 
   /** Scalar `dictGet('d', 'attr', key)` (the CH expression form): CH
-    * dictionaries are fully RAM-resident on every node, so the scalar
-    * tier mirrors that exactly — the dictionary loads once at plan time
-    * into a broadcast map literal and each row does a hash lookup
-    * (GetMapValue, codegen'd). Bounded: literal maps cap at 100k entries;
-    * past that use [[dictGet]], the broadcast-join tier. */
+    * dictionaries are fully RAM-resident on every node; the scalar tier
+    * mirrors that as a one-row map scalar subquery — the whole dictionary
+    * folds to a map once per action, each row does a hash lookup
+    * (GetMapValue, codegen'd). Planning stays side-effect-free: no data
+    * is touched until the outer query runs (same contract as the lazy
+    * scalar/EXISTS subqueries). */
   def dictGetLiteral(spark: SparkSession, dictName: String, attr: String,
       key: Column): Column = {
     val d = registry.getOrElse(dictName,
@@ -76,19 +112,20 @@ object Dictionaries {
     val src = d.attrs.collectFirst { case (s, a) if a == attr => s }
       .getOrElse(throw new IllegalArgumentException(
         s"dictionary $dictName has no attribute '$attr'"))
-    val rows = d.load(spark).select(col(d.keyCol), col(src)).collect()
-    require(rows.length <= 100000,
-      s"dictionary $dictName too large for the scalar tier " +
-        s"(${rows.length} entries > 100k): use the dictGet join tier")
-    if (rows.isEmpty) lit(null)
-    else element_at(
-      map(rows.toSeq.flatMap(r => Seq(lit(r.get(0)), lit(r.get(1)))): _*), key)
+    val mapDf = loaded(spark, dictName).agg(capGuard(dictName,
+      map_from_arrays(collect_list(col(d.keyCol)), collect_list(col(src))))
+      .as("m"))
+    element_at(
+      org.apache.spark.sql.graftbridge.ColumnBridge.scalarSubquery(mapDf), key)
   }
 
   /** LIFETIME refresh / SYSTEM RELOAD DICTIONARY: invalidate any cached
     * file listing so the next lookup sees the current source. */
   def reload(spark: SparkSession, name: String): Unit =
-    registry.get(name).foreach(_ => spark.catalog.clearCache())
+    registry.get(name).foreach { _ =>
+      frameCache.remove(name) // next reference re-lists + re-resolves
+      spark.catalog.clearCache()
+    }
 
   /** dictGet('name', attrs..., key): broadcast-hash left join against the
     * registered dictionary — zero fact-side shuffle. */
@@ -96,7 +133,7 @@ object Dictionaries {
     val d = registry.getOrElse(dictName,
       throw new IllegalArgumentException(s"unknown dictionary: $dictName"))
     val spark = facts.sparkSession
-    val dict = d.load(spark).select(
+    val dict = loaded(spark, dictName).select(
       (col(d.keyCol).as("__dk") +:
         d.attrs.toSeq.map { case (src, dst) => col(src).as(dst) }): _*)
     facts.join(broadcast(dict), factKey === col("__dk"), "left").drop("__dk")

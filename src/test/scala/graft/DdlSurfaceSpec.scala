@@ -477,15 +477,30 @@ class DdlSurfaceSpec extends AnyFunSuite {
     assert(run("SHOW DICTIONARIES").map(_.getString(0)).contains("labels_txt"))
 
     val facts = Seq(10L, 20L, 99L).toDF("fk")
-    val df = ChSql.sql(spark,
-      """SELECT fk, dictGet('labels_txt', 'v', fk) AS label,
-        |  dictGetOrDefault('labels_txt', 'v', fk, 'none') AS label2,
-        |  dictHas('labels_txt', fk) AS present
-        |FROM facts ORDER BY fk""".stripMargin) {
-      case "facts" => facts
-      case n => spark.table(n)
+    facts.count() // warm lazy session init so the jobs pin below is clean
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
     }
-    // the scalar tier is a literal-map lookup: NO join in the plan
+    spark.sparkContext.addSparkListener(listener)
+    val df = try {
+      val d = ChSql.sql(spark,
+        """SELECT fk, dictGet('labels_txt', 'v', fk) AS label,
+          |  dictGetOrDefault('labels_txt', 'v', fk, 'none') AS label2,
+          |  dictHas('labels_txt', fk) AS present
+          |FROM facts ORDER BY fk""".stripMargin) {
+        case "facts" => facts
+        case n => spark.table(n)
+      }
+      Thread.sleep(200) // let any stray job-start events drain to the listener
+      // lazy scalar tier: translating dictGet touches no data
+      assert(jobs.get() == 0,
+        s"dictGet translation launched ${jobs.get()} Spark job(s) — eager again")
+      d
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // the scalar tier is a map lookup: NO join in the plan
     assert(df.queryExecution.executedPlan.collect {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }.isEmpty)
     assert(df.collect().map(_.toSeq).toSeq == Seq(
