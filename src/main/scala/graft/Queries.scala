@@ -2928,7 +2928,8 @@ object Queries {
     * parquet dir), and the last statement's frame is the entry result. */
   private def chstmts(s: SparkSession, dir: String, stmts: Seq[String]): DataFrame = {
     val resolve: String => DataFrame = n =>
-      if (s.catalog.tableExists(n)) s.table(n) else tbl(s, dir, n)
+      if (s.catalog.tableExists(n)) graft.chsql.ChDdl.readTable(s, n)
+      else tbl(s, dir, n)
     // DDL/DML side effects run eagerly inside statement(); only the final
     // SELECT stays a lazy frame for the caller
     stmts.map(t => graft.chsql.ChSql.statement(s, t)(resolve)._1).last
@@ -3304,6 +3305,57 @@ object Queries {
         |  CAST(sum(CAST(price AS Decimal(18, 2))) AS Float64) AS total
         |FROM ch37_t GROUP BY flag ORDER BY flag""".stripMargin))),
 
+    // partition-level ALTER verbs as text (the CH retention/data-management
+    // workhorses): DROP PARTITION is a metadata directory delete; DETACH
+    // moves the partition dir to detached/ and ATTACH restores it — file
+    // renames, zero data rewrite (O(parts), never O(table))
+    "ch39_sql_partition_ops" -> ((s, dir) => chstmts(s, dir, Seq(
+      "DROP TABLE IF EXISTS ch39_t",
+      """CREATE TABLE ch39_t (k Int64, price Float64, flag String)
+        |ENGINE = MergeTree ORDER BY k PARTITION BY flag""".stripMargin,
+      """INSERT INTO ch39_t SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderkey < 4000""".stripMargin,
+      "ALTER TABLE ch39_t DROP PARTITION 'F'",
+      "ALTER TABLE ch39_t DETACH PARTITION 'O'",
+      "ALTER TABLE ch39_t ATTACH PARTITION 'O'",
+      """SELECT flag, count() AS n,
+        |  CAST(sum(CAST(price AS Decimal(18, 2))) AS Float64) AS total
+        |FROM ch39_t GROUP BY flag ORDER BY flag""".stripMargin))),
+
+    // per-column DEFAULT / MATERIALIZED / ALIAS expressions in CREATE
+    // TABLE text (tableColumnDfnt): INSERTs omitting defaulted columns
+    // fill from the expression (which may reference other inserted
+    // columns), MATERIALIZED always computes, ALIAS is projection-time
+    "ch40_sql_column_defaults" -> ((s, dir) => chstmts(s, dir, Seq(
+      "DROP TABLE IF EXISTS ch40_t",
+      """CREATE TABLE ch40_t (id Int64, name String,
+        |  upper_name String MATERIALIZED upper(name),
+        |  score Float64 DEFAULT 1.5,
+        |  tag String DEFAULT concat(name, '!'),
+        |  label String ALIAS concat('L:', name))
+        |ENGINE = MergeTree ORDER BY id""".stripMargin,
+      "INSERT INTO ch40_t (id, name) VALUES (1, 'ann'), (2, 'bob')",
+      "INSERT INTO ch40_t (id, name, score) VALUES (3, 'cy', 9.25)",
+      """SELECT id, name, upper_name, score, tag, label
+        |FROM ch40_t ORDER BY id""".stripMargin))),
+
+    // projections as substitutable MVs: ADD registers, MATERIALIZE builds
+    // the aggregate table, and a SELECT whose shape the projection covers
+    // reads the (tiny) materialized table instead of scanning the base
+    "ch41_sql_projection" -> ((s, dir) => chstmts(s, dir, Seq(
+      "DROP TABLE IF EXISTS ch41_t",
+      """CREATE TABLE ch41_t ENGINE = MergeTree ORDER BY k AS
+        |SELECT o_orderkey AS k, o_orderstatus AS flag, o_totalprice AS price
+        |FROM orders""".stripMargin,
+      """ALTER TABLE ch41_t ADD PROJECTION p_agg (SELECT flag,
+        |  count() AS n,
+        |  CAST(sum(CAST(price AS Decimal(18, 2))) AS Float64) AS total
+        |  GROUP BY flag)""".stripMargin,
+      "ALTER TABLE ch41_t MATERIALIZE PROJECTION p_agg",
+      """SELECT flag, count() AS n,
+        |  CAST(sum(CAST(price AS Decimal(18, 2))) AS Float64) AS total
+        |FROM ch41_t GROUP BY flag ORDER BY flag""".stripMargin))),
+
     // SQL-standard keyword spellings in one entry: EXTRACT(unit FROM e),
     // SUBSTRING(e FROM a FOR b), TRIM(BOTH s FROM e), the :: cast
     // operator, DATE/TIMESTAMP typed literals, hex literals
@@ -3465,6 +3517,26 @@ object Queries {
         |SELECT flag, count(*) AS n,
         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM d GROUP BY flag ORDER BY flag""".stripMargin,
+
+    "ch39_sql_partition_ops" ->
+      """WITH t AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS flag
+        |  FROM orders WHERE o_orderkey < 4000)
+        |SELECT flag, count(*) AS n,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM t WHERE flag <> 'F' GROUP BY flag ORDER BY flag""".stripMargin,
+
+    "ch40_sql_column_defaults" ->
+      """WITH t(id, name, score) AS (VALUES
+        |  (1, 'ann', 1.5), (2, 'bob', 1.5), (3, 'cy', 9.25))
+        |SELECT id, name, upper(name) AS upper_name, score,
+        |  name || '!' AS tag, 'L:' || name AS label
+        |FROM t ORDER BY id""".stripMargin,
+
+    "ch41_sql_projection" ->
+      """SELECT o_orderstatus AS flag, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY flag ORDER BY flag""".stripMargin,
 
     "ch36_sql_keyword_forms" ->
       """SELECT o_orderkey AS k,

@@ -44,9 +44,11 @@ object ChDdl {
   // ---- statement-head patterns (compiled once; dispatch() is on the
   // hot path for every statement, including plain SELECTs) ----
 
-  private val createTableRe =
-    ("(?is)^CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)\\s*" +
-      "\\((.*)\\)\\s*ENGINE\\s*=\\s*(\\w+)\\s*(?:\\(([^)]*)\\))?(.*)$").r
+  // CREATE TABLE head only — the column list is NOT regex-captured: its
+  // body is cut out by token-level paren matching (matchParenEnd), so a
+  // DEFAULT string literal containing `) ENGINE =` cannot misparse
+  private val createTableHeadRe =
+    "(?is)^CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)\\s*(\\(.*)$".r
   // CREATE MATERIALIZED VIEW name [TO target] [POPULATE] AS SELECT
   // (ClickHouseParser.py:4085-4133); LIVE VIEW (livе-view kind) rides
   // the same registry with complete-mode refresh semantics
@@ -88,7 +90,8 @@ object ChDdl {
   private val optimizeRe =
     ("(?is)^OPTIMIZE\\s+TABLE\\s+([\\w.]+)" +
       "(\\s+FINAL)?(\\s+DEDUPLICATE)?\\s*$").r
-  private val showCreateRe = "(?is)^SHOW\\s+CREATE\\s+(?:TABLE\\s+)?([\\w.]+)\\s*$".r
+  private val showCreateRe =
+    "(?is)^SHOW\\s+CREATE\\s+(?:TABLE\\s+|VIEW\\s+)?([\\w.]+)\\s*$".r
   // dictionary DDL (dictionaryStmt — CREATE DICTIONARY name (schema)
   // PRIMARY KEY k SOURCE(FILE(path '...' [format '...'])) [LAYOUT/
   // LIFETIME ignored: layout is always the broadcast hash, lifetime is
@@ -171,20 +174,26 @@ object ChDdl {
       case watchRe(name) =>
         Some(watchView(spark, name, resolve))
 
-      case createTableRe(ifNot, name, cols, engine, engineArgs, tail) =>
-        // the tail may carry a trailing `AS SELECT` (schema + data form):
-        // split it off so the engine clauses parse clean and the data
-        // lands via the INSERT path instead of being silently dropped
-        val (engineTail, asSelect) = {
-          val t = Option(tail).getOrElse("")
-          "(?is)\\bAS\\s+((?:SELECT|WITH)\\b.*)$".r.findFirstMatchIn(t) match {
-            case Some(m) => (t.substring(0, m.start), Some(m.group(1)))
-            case None => (t, None)
-          }
+      case createTableHeadRe(ifNot, name, rest) =>
+        // cut the column list out with token-level paren matching, then
+        // split the tail into engine clauses and an optional AS SELECT
+        val end = matchParenEnd(rest)
+        require(end > 0, s"ChSql: CREATE TABLE $name: unbalanced column list")
+        val colsText = rest.substring(1, end - 1)
+        val tail0 = rest.substring(end).trim
+        val asPos = topKeywordPos(tail0, "AS")
+        val (engineTail, asSelect) =
+          if (asPos < 0) (tail0, None)
+          else (tail0.substring(0, asPos),
+            Some(tail0.substring(asPos).replaceFirst("(?is)^AS\\s+", "")))
+        val engRe = "(?is)^ENGINE\\s*=\\s*(\\w+)\\s*(?:\\(([^)]*)\\))?(.*)$".r
+        val (engine, engineArgs, clauses) = engineTail.trim match {
+          case engRe(e, a, more) => (e, Option(a).getOrElse(""), more)
+          case other => ("MergeTree", "", other) // ENGINE defaulted
         }
         val preExisting = spark.catalog.tableExists(name)
-        val created = createTable(spark, Option(ifNot).isDefined, name, cols,
-          engine, Option(engineArgs).getOrElse(""), engineTail, status)
+        val created = createTable(spark, Option(ifNot).isDefined, name,
+          colsText, engine, engineArgs, clauses, status)
         if (!(Option(ifNot).isDefined && preExisting))
           asSelect.foreach(sel =>
             appendInto(spark, name, Nil, ChSql.sql(spark, sel)(resolve)))
@@ -215,7 +224,8 @@ object ChDdl {
           (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
             .saveAsTable(name)
           spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES (" +
-            props.map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")")
+            props.map { case (k, v) => s"${sqlLit(k)}=${sqlLit(v)}" }
+              .mkString(", ") + ")")
           Some(status(s"table $name created from select"))
         }
 
@@ -250,17 +260,23 @@ object ChDdl {
       case dropRe(kind, ifExists, name) =>
         val inCatalog = spark.catalog.tableExists(name)
         val isMv = mvMeta.contains(name)
-        if (!inCatalog && !isMv && Option(ifExists).isEmpty)
-          throw new IllegalArgumentException(s"ChSql: $kind $name does not exist")
-        if (inCatalog) {
-          // temp views (CREATE VIEW path) and catalog tables drop differently
-          if (!spark.catalog.dropTempView(name) &&
-            !spark.catalog.dropGlobalTempView(name))
-            spark.sql(s"DROP TABLE $name")
+        if (!inCatalog && !isMv) {
+          if (Option(ifExists).isEmpty) throw new IllegalArgumentException(
+            s"ChSql: $kind $name does not exist")
+          // IF EXISTS no-op must say so, not claim a drop happened
+          Some(status(s"$kind $name does not exist"))
+        } else {
+          if (inCatalog) {
+            // temp views (CREATE VIEW path) and catalog tables drop differently
+            if (!spark.catalog.dropTempView(name) &&
+              !spark.catalog.dropGlobalTempView(name))
+              spark.sql(s"DROP TABLE $name")
+          }
+          graft.streaming.StreamingOps.dropView(name)
+          mvMeta.remove(name)
+          projMeta.keys.filter(_._1 == name).foreach(projMeta.remove)
+          Some(status(s"dropped $name"))
         }
-        graft.streaming.StreamingOps.dropView(name)
-        mvMeta.remove(name)
-        Some(status(s"dropped $name"))
 
       case truncateRe(name) =>
         spark.sql(s"TRUNCATE TABLE $name")
@@ -550,10 +566,76 @@ object ChDdl {
 
   // ===================== CREATE TABLE =====================
 
+  /** One parsed column definition from the CREATE TABLE schema clause
+    * (tableColumnDfnt, ClickHouseParser.py:6418-6743): `name [Type]
+    * [DEFAULT|MATERIALIZED|ALIAS expr] [CODEC(...)] [TTL ...]
+    * [COMMENT 'text']`. CODEC and per-column TTL are accepted and ignored
+    * (parquet compression is table-level; TTL is the engine clause). */
+  private final case class ColDef(name: String, chType: Option[String],
+      modKind: Option[String], modExpr: Option[String], comment: Option[String])
+
+  private val ColMods = Set("DEFAULT", "MATERIALIZED", "ALIAS", "CODEC",
+    "COMMENT", "TTL")
+
+  /** Token-level column-definition parse — the type text and the modifier
+    * expression are substrings of the original text cut at top-level
+    * keyword tokens, so `DEFAULT ') ENGINE = x'` parses as the string
+    * literal it is. */
+  private def parseColDef(defText: String): ColDef = {
+    val toks = ChSql.lexPos(defText)
+    val (name, nameEnd) = toks.headOption match {
+      case Some((id: ChSql.TId, _, e)) => (id.s, e)
+      case _ => throw new IllegalArgumentException(
+        s"ChSql: bad column definition '$defText'")
+    }
+    // top-level modifier keyword marks: (token idx, keyword, char start)
+    val marks = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Int)]
+    var depth = 0
+    var i = 1
+    while (i < toks.length) {
+      toks(i) match {
+        case (ChSql.TP("(") | ChSql.TP("["), _, _) => depth += 1
+        case (ChSql.TP(")") | ChSql.TP("]"), _, _) => depth -= 1
+        case (m: ChSql.TId, b, _) if depth == 0 && ColMods(m.up) =>
+          marks += ((i, m.up, b))
+        case _ =>
+      }
+      i += 1
+    }
+    val typeEnd = marks.headOption.map(_._3).getOrElse(defText.length)
+    val chType = Some(defText.substring(nameEnd, typeEnd).trim).filter(_.nonEmpty)
+    var modKind: Option[String] = None
+    var modExpr: Option[String] = None
+    var comment: Option[String] = None
+    marks.zipWithIndex.foreach { case ((tokIdx, kw, _), k) =>
+      val bodyStart = toks(tokIdx)._3
+      val bodyEnd = marks.lift(k + 1).map(_._3).getOrElse(defText.length)
+      kw match {
+        case "DEFAULT" | "MATERIALIZED" | "ALIAS" =>
+          modKind = Some(kw)
+          modExpr = Some(defText.substring(bodyStart, bodyEnd).trim)
+        case "COMMENT" => toks.lift(tokIdx + 1) match {
+          case Some((ChSql.TStr(v), _, _)) => comment = Some(v)
+          case _ => throw new IllegalArgumentException(
+            s"ChSql: COMMENT on column $name needs a string literal")
+        }
+        case _ => // CODEC(...) / column-level TTL: accepted, no Spark twin
+      }
+    }
+    ColDef(name, chType, modKind, modExpr, comment)
+  }
+
   private def createTable(spark: SparkSession, ifNotExists: Boolean,
       name: String, colsText: String, engine: String, engineArgs: String,
       tail: String, status: String => DataFrame): DataFrame = {
-    val schema = graft.model.ChTypes.toSparkSchema(colsText)
+    val defs = splitTop(colsText).map(parseColDef)
+    // ALIAS columns are never stored (CH computes them at SELECT time);
+    // everything else lands in the physical schema
+    val stored = defs.filterNot(_.modKind.contains("ALIAS"))
+    stored.foreach(d => require(d.chType.nonEmpty,
+      s"ChSql: column ${d.name} needs a type (only ALIAS columns may omit it)"))
+    val schema = graft.model.ChTypes.toSparkSchema(
+      stored.map(d => s"${d.name} ${d.chType.get}").mkString(", "))
     // engine tail: ORDER BY k / ORDER BY (k1, k2) / PARTITION BY c / TTL ...
     def clause(kw: String): Option[String] = {
       val re = ("(?is)" + kw +
@@ -564,6 +646,7 @@ object ChDdl {
     }
     val orderBy = clause("ORDER\\s+BY")
     val partitionBy = clause("PARTITION\\s+BY")
+    val ttl = ttlClause(tail)
     // ReplacingMergeTree(v): the engine argument is the version column
     val version = if (engine.equalsIgnoreCase("ReplacingMergeTree"))
       Some(engineArgs.trim).filter(_.nonEmpty) else None
@@ -578,45 +661,114 @@ object ChDdl {
       // DDL twin; only plain column partitioning maps to real layout
       .filter(schema.fieldNames.contains)
     val props = Seq(
-      "graft.engine" -> engine) ++
+      "graft.engine" -> engine,
+      // the DECLARED column order: the catalog moves partition columns to
+      // the end of its schema, but CH positional INSERT follows the order
+      // the user wrote — appendInto restores it from this property
+      "graft.columns" -> stored.map(_.name).mkString(",")) ++
       orderBy.map("graft.order_by" -> _) ++
-      version.map("graft.version" -> _)
-    val propsSql = props.map { case (k, v) => s"'$k'='$v'" }.mkString(", ")
+      version.map("graft.version" -> _) ++
+      ttl.map("graft.ttl" -> _) ++
+      defs.collect { case d if d.modKind.contains("DEFAULT") =>
+        s"graft.default.${d.name}" -> d.modExpr.get } ++
+      defs.collect { case d if d.modKind.contains("MATERIALIZED") =>
+        s"graft.materialized.${d.name}" -> d.modExpr.get } ++
+      defs.collect { case d if d.modKind.contains("ALIAS") =>
+        s"graft.alias.${d.name}" -> d.modExpr.get } ++
+      defs.collect { case d if d.modKind.contains("ALIAS") && d.chType.nonEmpty =>
+        s"graft.aliastype.${d.name}" -> d.chType.get }
+    val propsSql = props.map { case (k, v) =>
+      s"${sqlLit(k)}=${sqlLit(v)}" }.mkString(", ")
     val partSql =
       if (partCols.isEmpty) "" else partCols.mkString(" PARTITIONED BY (", ", ", ")")
     spark.sql(
       s"CREATE TABLE ${if (ifNotExists) "IF NOT EXISTS " else ""}$name " +
         s"(${schema.toDDL}) USING parquet$partSql TBLPROPERTIES ($propsSql)")
+    // column comments are catalog metadata — zero-job ALTER COLUMN
+    defs.filter(d => d.comment.nonEmpty && !d.modKind.contains("ALIAS"))
+      .foreach { d =>
+        spark.sql(s"ALTER TABLE $name ALTER COLUMN ${d.name} " +
+          s"COMMENT ${sqlLit(d.comment.get)}")
+      }
     status(s"table $name created")
+  }
+
+  /** `TTL <expr>` from the engine tail (ttlClause,
+    * ClickHouseParser.py:6113): recorded as the `graft.ttl` property;
+    * [[optimizeTable]] applies it (CH applies TTL on merges). */
+  private def ttlClause(tail: String): Option[String] = {
+    val toks = ChSql.lexPos(tail)
+    var depth = 0
+    var start = -1
+    var i = 0
+    var iTtl = -1
+    while (i < toks.length && start < 0) {
+      toks(i) match {
+        case (ChSql.TP("(") | ChSql.TP("["), _, _) => depth += 1
+        case (ChSql.TP(")") | ChSql.TP("]"), _, _) => depth -= 1
+        case (id: ChSql.TId, _, e) if depth == 0 && id.up == "TTL" =>
+          start = e; iTtl = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (start < 0) None
+    else {
+      // body runs to SETTINGS or end of tail
+      var end = tail.length
+      var j = iTtl + 1
+      while (j < toks.length && end == tail.length) {
+        toks(j) match {
+          case (id: ChSql.TId, b, _) if id.up == "SETTINGS" => end = b
+          case _ =>
+        }
+        j += 1
+      }
+      Some(tail.substring(start, end).trim).filter(_.nonEmpty)
+    }
   }
 
   // ===================== INSERT =====================
 
   /** Parse `(...), (...)` VALUES tuples through the shared expression
     * grammar; each scalar is compiled by [[ChSql.compileExpr]], so
-    * function calls (`toDate('...')`, `now()`) work, not just literals. */
+    * function calls (`toDate('...')`, `now()`) work, not just literals.
+    * All tuples inline into ONE `explode(array(struct...))` over a
+    * single-row range — O(1) plan depth however many tuples ride the
+    * statement (a per-tuple union builds an O(n)-deep plan that slows
+    * analysis and can overflow the stack on large VALUES lists). */
   private def valuesFrame(spark: SparkSession, values: String,
       resolve: String => DataFrame): DataFrame = {
     val tuples = splitTuples(values)
     require(tuples.nonEmpty, "ChSql: INSERT VALUES needs at least one tuple")
-    val frames = tuples.map { t =>
-      val cols = splitTop(t).zipWithIndex.map { case (e, i) =>
-        ChSql.compileExpr(spark, e, resolve).as(s"c$i")
-      }
-      spark.range(1).select(cols: _*)
-    }
-    frames.reduce(_.union(_))
+    val rows = tuples.map(t =>
+      splitTop(t).map(e => ChSql.compileExpr(spark, e, resolve)))
+    val arity = rows.head.size
+    require(rows.forall(_.size == arity),
+      s"ChSql: INSERT VALUES tuples have mixed arities")
+    val structs = rows.map(cs =>
+      struct(cs.zipWithIndex.map { case (c, i) => c.as(s"c$i") }: _*))
+    spark.range(1).select(explode(array(structs: _*)).as("__t"))
+      .select((0 until arity).map(i => col(s"__t.c$i").as(s"c$i")): _*)
   }
 
   /** Align `rows` to the target table schema (by the given column list,
-    * or positionally when absent; missing columns become typed NULLs —
-    * CH fills column defaults) and append distributedly — one lazy plan,
-    * no extra pass over the data. */
+    * or positionally when absent) and append distributedly — one lazy
+    * plan, no extra pass over the data. Missing columns fill with their
+    * recorded `DEFAULT`/`MATERIALIZED` expression (compiled over the
+    * provided columns — CH defaults may reference other inserted
+    * columns), else typed NULLs. MATERIALIZED columns cannot be inserted
+    * explicitly and are excluded from positional arity (CH's contract). */
   private def appendInto(spark: SparkSession, name: String,
       cols: Seq[String], rows: DataFrame): Unit = {
     require(spark.catalog.tableExists(name),
       s"ChSql: INSERT INTO unknown table '$name' (CREATE TABLE it first)")
     val target = spark.table(name).schema
+    val props = tablePropsSafe(spark, name)
+    val materialized = target.fieldNames
+      .filter(c => props.contains(s"graft.materialized.$c")).toSet
+    def defaultOf(c: String): Option[String] =
+      props.get(s"graft.default.$c").orElse(props.get(s"graft.materialized.$c"))
     val byName = cols.nonEmpty
     if (byName) {
       require(cols.size == rows.columns.length,
@@ -626,17 +778,57 @@ object ChDdl {
       require(unknown.isEmpty,
         s"ChSql: INSERT INTO $name: no such column(s) ${
           unknown.mkString(", ")} (table has ${target.fieldNames.mkString(", ")})")
+      val matExplicit = cols.filter(materialized)
+      require(matExplicit.isEmpty,
+        s"ChSql: cannot INSERT into MATERIALIZED column(s) ${
+          matExplicit.mkString(", ")}")
+    } else {
+      val insertable = target.fields.count(f => !materialized(f.name))
+      require(insertable == rows.columns.length,
+        s"ChSql: table $name takes $insertable insertable columns but the " +
+          s"data has ${rows.columns.length} (use an explicit column list)")
     }
-    else require(target.size == rows.columns.length,
-      s"ChSql: table $name has ${target.size} columns but the data has " +
-        s"${rows.columns.length} (use an explicit column list)")
     val src = rows.columns
-    val aligned = rows.select(target.fields.map { f =>
-      val idx = if (byName) cols.indexOf(f.name) else target.fieldIndex(f.name)
-      if (idx < 0) lit(null).cast(f.dataType).as(f.name)
-      else col(src(idx)).cast(f.dataType).as(f.name)
+    // positional binding follows the DECLARED order (the catalog puts
+    // partition columns last; CH binds by the order the user wrote);
+    // columns added later (metadata ADD COLUMN) append at the end
+    val declared0 = props.get("graft.columns")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
+    val declared = declared0.filter(target.fieldNames.contains) ++
+      target.fieldNames.filterNot(declared0.contains)
+    val provided: Map[String, Int] =
+      if (byName) cols.zipWithIndex.toMap
+      else declared.filterNot(materialized).zipWithIndex.toMap
+    // pass 1: provided columns renamed + cast to their target names, so
+    // default expressions can reference them by name
+    val base = rows.select(target.fields.toSeq.flatMap(f =>
+      provided.get(f.name).map(i => col(src(i)).cast(f.dataType).as(f.name))): _*)
+    val aligned = base.select(target.fields.map { f =>
+      if (provided.contains(f.name)) col(f.name)
+      else defaultOf(f.name) match {
+        case Some(ex) => ChSql.compileExpr(spark, ex, spark.table(_))
+          .cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
     }.toSeq: _*)
     aligned.write.mode(SaveMode.Append).insertInto(name)
+  }
+
+  /** A catalog table read decorated with its ALIAS columns (`c Type ALIAS
+    * expr` — computed at SELECT time, never stored; [[createTable]]
+    * records them as `graft.alias.*` properties). Text-layer resolvers
+    * should prefer this over bare `spark.table`. */
+  def readTable(spark: SparkSession, name: String): DataFrame = {
+    val df = spark.table(name)
+    val props = tablePropsSafe(spark, name)
+    val aliases = props.keys.filter(_.startsWith("graft.alias."))
+      .map(_.stripPrefix("graft.alias.")).toSeq.sorted
+    aliases.foldLeft(df) { (d, c) =>
+      val ex = ChSql.compileExpr(spark, props(s"graft.alias.$c"), spark.table(_))
+      val typed = props.get(s"graft.aliastype.$c")
+        .map(t => ex.cast(graft.model.ChTypes.toSpark(t))).getOrElse(ex)
+      d.withColumn(c, typed)
+    }
   }
 
   /** Inline `FORMAT <fmt>` data rows → a typed DataFrame against the
@@ -683,8 +875,9 @@ object ChDdl {
       val where = "(?is)^DELETE\\s+WHERE\\s+(.*)$".r.findFirstMatchIn(clause)
         .map(_.group(1)).getOrElse(throw new IllegalArgumentException(
           "ChSql: ALTER ... DELETE needs WHERE"))
-      rewriteSwap(spark, name)(Mutations.delete(_, pred(where)))
-      status(s"mutation applied to $name (delete)")
+      val p = pred(where)
+      val scope = mutateWhere(spark, name, p)(Mutations.delete(_, p))
+      status(s"mutation applied to $name (delete; $scope)")
     } else if (up.startsWith("UPDATE")) {
       val m = "(?is)^UPDATE\\s+(.*)\\s+WHERE\\s+(.*)$".r.findFirstMatchIn(clause)
         .getOrElse(throw new IllegalArgumentException(
@@ -696,19 +889,46 @@ object ChDdl {
         val e = a.substring(eq + 1).trim
         c -> ChSql.compileExpr(spark, e, resolve)
       }
-      rewriteSwap(spark, name)(Mutations.update(_, assignments, pred(m.group(2))))
-      status(s"mutation applied to $name (update ${assignments.map(_._1).mkString(",")})")
+      val p = pred(m.group(2))
+      val scope = mutateWhere(spark, name, p)(Mutations.update(_, assignments, p))
+      status(s"mutation applied to $name (update ${
+        assignments.map(_._1).mkString(",")}; $scope)")
     } else if (up.startsWith("ADD COLUMN")) {
-      val m = "(?is)^ADD\\s+COLUMN\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(\\w+)\\s+(.*)$".r
-        .findFirstMatchIn(clause).get
-      val dt = graft.model.ChTypes.toSpark(m.group(2).trim)
-      rewriteSwap(spark, name)(_.withColumn(m.group(1), lit(null).cast(dt)))
-      status(s"added column ${m.group(1)} to $name")
+      // metadata-only in CH AND in Spark: the catalog schema grows, old
+      // parquet files simply read the new column as NULL — zero jobs, no
+      // rewrite (AlterTableAddColumnsCommand). An optional DEFAULT rides
+      // as a graft.default property for future INSERTs.
+      val m = ("(?is)^ADD\\s+COLUMN\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
+        "(\\w+)\\s+(.*)$").r.findFirstMatchIn(clause).get
+      val d = parseColDef(s"${m.group(1)} ${m.group(2).trim}")
+      require(!d.modKind.contains("ALIAS"), // ALIAS add = property only
+        "ChSql: ADD COLUMN ... ALIAS: use CREATE TABLE ALIAS columns")
+      val dt = graft.model.ChTypes.toSpark(d.chType.getOrElse(
+        throw new IllegalArgumentException(
+          s"ChSql: ADD COLUMN ${d.name} needs a type")))
+      if (spark.table(name).columns.contains(d.name))
+        status(s"column ${d.name} already exists in $name")
+      else {
+        spark.sql(s"ALTER TABLE $name ADD COLUMNS (${d.name} ${dt.sql})")
+        d.modExpr.foreach { ex =>
+          val kind = if (d.modKind.contains("MATERIALIZED")) "materialized"
+            else "default"
+          spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES (" +
+            s"${sqlLit(s"graft.$kind.${d.name}")}=${sqlLit(ex)})")
+        }
+        status(s"added column ${d.name} to $name (metadata only)")
+      }
     } else if (up.startsWith("DROP COLUMN")) {
+      // genuinely rewrites data on immutable parquet (no column-mapping
+      // metadata layer); a table format would make it metadata-only
       val c = clause.split("\\s+").last
       rewriteSwap(spark, name)(Mutations.dropColumn(_, c))
       status(s"dropped column $c from $name")
     } else if (up.startsWith("RENAME COLUMN")) {
+      // CH renames are metadata, but plain parquet resolves columns BY
+      // NAME — a catalog-only rename would silently read NULLs from every
+      // existing file. The honest Spark-on-parquet cost is a rewrite; a
+      // field-id table format (Iceberg) would make this metadata-only.
       val m = "(?is)^RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)$".r
         .findFirstMatchIn(clause).get
       rewriteSwap(spark, name)(Mutations.renameColumn(_, m.group(1), m.group(2)))
@@ -720,13 +940,517 @@ object ChDdl {
       rewriteSwap(spark, name)(Mutations.modifyColumnType(_, m.group(1), dt))
       status(s"modified column ${m.group(1)} in $name")
     } else if (up.startsWith("COMMENT COLUMN")) {
+      // pure catalog metadata in both engines — zero-job ALTER COLUMN
       val m = "(?is)^COMMENT\\s+COLUMN\\s+(\\w+)\\s+'(.*)'$".r
         .findFirstMatchIn(clause).get
-      rewriteSwap(spark, name)(Mutations.commentColumn(_, m.group(1), m.group(2)))
-      status(s"commented column ${m.group(1)} in $name")
+      spark.sql(s"ALTER TABLE $name ALTER COLUMN ${m.group(1)} " +
+        s"COMMENT ${sqlLit(m.group(2))}")
+      status(s"commented column ${m.group(1)} in $name (metadata only)")
+    } else if (up.startsWith("DROP PARTITION")) {
+      val vals = partitionValues(clause.substring("DROP PARTITION".length))
+      val spec = partitionSpecSql(spark, name, vals)
+      spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION ($spec)")
+      status(s"dropped partition (${vals.mkString(", ")}) from $name")
+    } else if (up.startsWith("DETACH PARTITION")) {
+      val vals = partitionValues(clause.substring("DETACH PARTITION".length))
+      status(detachPartition(spark, name, vals))
+    } else if (up.startsWith("ATTACH PARTITION")) {
+      val vals = partitionValues(clause.substring("ATTACH PARTITION".length))
+      status(attachPartition(spark, name, vals))
+    } else if (up.startsWith("MOVE PARTITION")) {
+      val m = ("(?is)^MOVE\\s+PARTITION\\s+(.*?)\\s+TO\\s+TABLE\\s+" +
+        "([\\w.]+)\\s*$").r.findFirstMatchIn(clause).getOrElse(
+          throw new IllegalArgumentException(
+            "ChSql: only MOVE PARTITION p TO TABLE t is supported " +
+              "(TO DISK/VOLUME have no Spark twin)"))
+      status(movePartition(spark, name, partitionValues(m.group(1)), m.group(2)))
+    } else if (up.startsWith("REPLACE PARTITION")) {
+      val m = "(?is)^REPLACE\\s+PARTITION\\s+(.*?)\\s+FROM\\s+([\\w.]+)\\s*$".r
+        .findFirstMatchIn(clause).getOrElse(
+          throw new IllegalArgumentException(
+            "ChSql: REPLACE PARTITION needs FROM <table>"))
+      status(replacePartition(spark, name, partitionValues(m.group(1)), m.group(2)))
+    } else if (up.startsWith("FREEZE")) {
+      val vals = "(?is)^FREEZE\\s+PARTITION\\s+(.*)$".r.findFirstMatchIn(clause)
+        .map(m => partitionValues(m.group(1)))
+      status(freezePartitions(spark, name, vals))
+    } else if (up.startsWith("MODIFY TTL")) {
+      val ex = clause.substring("MODIFY TTL".length).trim
+      require(ex.nonEmpty, "ChSql: MODIFY TTL needs an expression")
+      spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES (" +
+        s"'graft.ttl'=${sqlLit(ex)})")
+      status(s"ttl set on $name (applied on OPTIMIZE)")
+    } else if (up.startsWith("REMOVE TTL")) {
+      spark.sql(s"ALTER TABLE $name UNSET TBLPROPERTIES IF EXISTS ('graft.ttl')")
+      status(s"ttl removed from $name")
+    } else if (up.startsWith("ADD INDEX")) {
+      val m = ("(?is)^ADD\\s+INDEX\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(\\w+)\\s+" +
+        "(\\w+)\\s+TYPE\\s+(\\w+)(?:\\s+GRANULARITY\\s+\\d+)?\\s*$").r
+        .findFirstMatchIn(clause).getOrElse(
+          throw new IllegalArgumentException(
+            "ChSql: ADD INDEX expects: name column TYPE type [GRANULARITY n]"))
+      val (idx, c, typ) = (m.group(1), m.group(2), m.group(3))
+      if (!Set("minmax", "set").contains(typ.toLowerCase(java.util.Locale.ROOT)))
+        // the AdminOps.system pattern: refuse honestly, don't fake it
+        status(s"index type $typ has no Spark twin (parquet row-group " +
+          s"min/max stats back minmax/set only) — not created")
+      else {
+        require(spark.table(name).columns.contains(c),
+          s"ChSql: ADD INDEX: no column $c in $name")
+        spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES (" +
+          s"${sqlLit(s"graft.index.$idx")}=${sqlLit(c)})")
+        status(s"index $idx on $name($c) registered — new writes cluster " +
+          s"by it; MATERIALIZE INDEX $idx rewrites existing parts")
+      }
+    } else if (up.startsWith("MATERIALIZE INDEX")) {
+      val idx = clause.split("\\s+").last
+      val c = tablePropsSafe(spark, name).getOrElse(s"graft.index.$idx",
+        throw new IllegalArgumentException(
+          s"ChSql: no index $idx on $name (ADD INDEX first)"))
+      // the Spark twin of a skipping index is CLUSTERED parquet: a
+      // range-repartition + in-file sort by the indexed column makes
+      // row-group/file min-max stats disjoint, so a range predicate
+      // skips parts — same effect as the CH granule index. The partition
+      // count is explicit so AQE cannot coalesce the clustering away
+      // (one merged file = one min-max range = nothing to skip)
+      val nParts = math.max(2, spark.sparkContext.defaultParallelism)
+      rewriteSwap(spark, name)(df =>
+        df.repartitionByRange(nParts, col(c)).sortWithinPartitions(col(c)))
+      status(s"materialized index $idx on $name($c): data re-clustered, " +
+        s"row-group stats now selective")
+    } else if (up.startsWith("DROP INDEX")) {
+      val idx = clause.split("\\s+").last
+      spark.sql(s"ALTER TABLE $name UNSET TBLPROPERTIES IF EXISTS (" +
+        s"${sqlLit(s"graft.index.$idx")})")
+      status(s"dropped index $idx from $name")
+    } else if (up.startsWith("ADD PROJECTION")) {
+      val m = ("(?is)^ADD\\s+PROJECTION\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
+        "(\\w+)\\s+(\\(.*)$").r.findFirstMatchIn(clause).getOrElse(
+          throw new IllegalArgumentException(
+            "ChSql: ADD PROJECTION expects: name (SELECT ...)"))
+      val body = m.group(2)
+      val end = matchParenEnd(body)
+      require(end > 0, "ChSql: ADD PROJECTION: unbalanced body")
+      val sel = body.substring(1, end - 1).trim
+      projMeta.put((name, m.group(1)),
+        ProjMeta(name, m.group(1), sel, None, Nil))
+      status(s"projection ${m.group(1)} added to $name (applies to new " +
+        s"parts; MATERIALIZE PROJECTION builds it for existing data)")
+    } else if (up.startsWith("MATERIALIZE PROJECTION")) {
+      val p = clause.split("\\s+").last
+      status(materializeProjection(spark, name, p, resolve))
+    } else if (up.startsWith("DROP PROJECTION")) {
+      val p = clause.split("\\s+").last
+      projMeta.remove((name, p)).foreach { meta =>
+        meta.projTable.filter(spark.catalog.tableExists)
+          .foreach(t => spark.sql(s"DROP TABLE $t"))
+      }
+      status(s"dropped projection $p from $name")
+    } else if (up.startsWith("CLEAR COLUMN")) {
+      // CLEAR COLUMN c IN PARTITION p (ClickHouseParser.py:2374-2397):
+      // reset the column to default/NULL in one partition — a mutation
+      // pruned to exactly that partition
+      val m = ("(?is)^CLEAR\\s+COLUMN\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)\\s+" +
+        "IN\\s+PARTITION\\s+(.*)$").r.findFirstMatchIn(clause).get
+      val c = m.group(1)
+      val vals = partitionValues(m.group(2))
+      val pcols = partitionCols(spark, name)
+      require(vals.size == pcols.size, s"ChSql: CLEAR COLUMN: partition " +
+        s"value arity ${vals.size} != partition key arity ${pcols.size}")
+      val p = pcols.zip(vals).map { case (pc, v) =>
+        col(pc) === lit(v) }.reduce(_ && _)
+      val props = tablePropsSafe(spark, name)
+      val fill = props.get(s"graft.default.$c")
+        .map(ex => ChSql.compileExpr(spark, ex, spark.table(_)))
+        .getOrElse(lit(null))
+      val dt = spark.table(name).schema(c).dataType
+      val scope = mutateWhere(spark, name, p)(df =>
+        df.withColumn(c, when(p, fill.cast(dt)).otherwise(col(c))))
+      status(s"cleared column $c in partition (${vals.mkString(", ")}); $scope")
     } else throw new IllegalArgumentException(
       s"ChSql: unsupported ALTER TABLE clause: $clause")
   }
+
+  // ===================== partition-level operations =====================
+
+  /** The table's partition columns, in layout order. */
+  private def partitionCols(spark: SparkSession, name: String): Seq[String] =
+    spark.catalog.listColumns(name).collect()
+      .filter(_.isPartition).map(_.name).toSeq
+
+  /** Parse a CH partition expression: `'v'` | `123` | `(v1, v2)` |
+    * `ID 'x'` (partitionClause, ClickHouseParser.py:2449 region). */
+  private def partitionValues(text: String): Seq[String] = {
+    val t = text.trim
+    val toks = ChSql.lexPos(t)
+    toks.headOption match {
+      case Some((ChSql.TP("("), _, _)) =>
+        val end = matchParenEnd(t)
+        require(end > 0, s"ChSql: unbalanced partition tuple '$t'")
+        splitTop(t.substring(1, end - 1)).map(v => partitionValues(v).head)
+      case Some((ChSql.TStr(v), _, _)) => Seq(v)
+      case Some((ChSql.TNum(v), _, _)) => Seq(v)
+      case Some((id: ChSql.TId, _, _)) if id.up == "ID" =>
+        toks.lift(1) match {
+          case Some((ChSql.TStr(v), _, _)) => Seq(v)
+          case _ => throw new IllegalArgumentException(
+            s"ChSql: PARTITION ID needs a string literal")
+        }
+      case _ => throw new IllegalArgumentException(
+        s"ChSql: bad partition expression '$text'")
+    }
+  }
+
+  /** `c1='v1', c2='v2'` partition spec over the table's partition key. */
+  private def partitionSpecSql(spark: SparkSession, name: String,
+      vals: Seq[String]): String = {
+    val pcols = partitionCols(spark, name)
+    require(pcols.nonEmpty, s"ChSql: $name is not partitioned")
+    require(vals.size == pcols.size,
+      s"ChSql: partition value arity ${vals.size} != partition key " +
+        s"(${pcols.mkString(", ")})")
+    pcols.zip(vals).map { case (c, v) => s"$c=${sqlLit(v)}" }.mkString(", ")
+  }
+
+  /** The `<c1>=<v1>[/<c2>=<v2>]` relative directory of one partition. */
+  private def partitionRelDir(spark: SparkSession, name: String,
+      vals: Seq[String]): String = {
+    val pcols = partitionCols(spark, name)
+    require(vals.size == pcols.size,
+      s"ChSql: partition value arity ${vals.size} != partition key " +
+        s"(${pcols.mkString(", ")})")
+    pcols.zip(vals).map { case (c, v) => s"$c=$v" }.mkString("/")
+  }
+
+  private def tableLocation(spark: SparkSession, name: String):
+      org.apache.hadoop.fs.Path =
+    filePaths(spark, spark.table(name)).headOption
+      .map(new org.apache.hadoop.fs.Path(_))
+      .getOrElse(throw new IllegalArgumentException(
+        s"ChSql: $name is not a file-backed table"))
+
+  /** Merge-move every child of `src` into `dst` (rename when `dst` is
+    * absent — O(1); per-file renames when parts already live there, the
+    * CH attach-into-existing-partition case). Metadata-only either way. */
+  private def moveDirInto(fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(dst)) {
+      fs.mkdirs(dst.getParent)
+      require(fs.rename(src, dst), s"ChSql: could not move $src to $dst")
+    } else {
+      fs.listStatus(src).foreach { st =>
+        require(fs.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(dst, st.getPath.getName)),
+          s"ChSql: could not move ${st.getPath} into $dst")
+      }
+      fs.delete(src, true)
+    }
+  }
+
+  /** `DETACH PARTITION p`: move the partition directory to
+    * `<db>/detached/<tbl>/<spec>` (CH's literal detached-parts layout)
+    * and drop the catalog entry — file renames, zero data movement. */
+  private def detachPartition(spark: SparkSession, name: String,
+      vals: Seq[String]): String = {
+    val rel = partitionRelDir(spark, name, vals)
+    val loc = tableLocation(spark, name)
+    val src = new org.apache.hadoop.fs.Path(loc, rel)
+    val (dbPath, tbl) = dbPathAndTable(spark, name)
+    val dst = new org.apache.hadoop.fs.Path(s"$dbPath/detached/$tbl/$rel")
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(src),
+      s"ChSql: DETACH PARTITION: no partition $rel in $name")
+    if (fs.exists(dst)) fs.delete(dst, true)
+    moveDirInto(fs, src, dst)
+    spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION (" +
+      partitionSpecSql(spark, name, vals) + ")")
+    spark.catalog.refreshTable(name)
+    s"detached partition (${vals.mkString(", ")}) from $name (kept under $dst)"
+  }
+
+  /** `ATTACH PARTITION p`: the inverse — move the detached partition back
+    * and re-register the catalog entry. Attaching into a partition that
+    * has live parts merges additively (CH's semantics). */
+  private def attachPartition(spark: SparkSession, name: String,
+      vals: Seq[String]): String = {
+    val rel = partitionRelDir(spark, name, vals)
+    val (dbPath, tbl) = dbPathAndTable(spark, name)
+    val src = new org.apache.hadoop.fs.Path(s"$dbPath/detached/$tbl/$rel")
+    val loc = tableLocation(spark, name)
+    val dst = new org.apache.hadoop.fs.Path(loc, rel)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(src),
+      s"ChSql: no detached partition $rel for $name (expected $src)")
+    moveDirInto(fs, src, dst)
+    spark.sql(s"ALTER TABLE $name ADD IF NOT EXISTS PARTITION (" +
+      partitionSpecSql(spark, name, vals) + ")")
+    spark.catalog.refreshTable(name)
+    s"attached partition (${vals.mkString(", ")}) to $name"
+  }
+
+  /** `MOVE PARTITION p TO TABLE dest`: directory rename between the two
+    * table locations + catalog entries on both sides — O(1) metadata, the
+    * CH part-move contract. Schemas and partition keys must line up. */
+  private def movePartition(spark: SparkSession, name: String,
+      vals: Seq[String], dest: String): String = {
+    require(spark.catalog.tableExists(dest), s"ChSql: unknown table '$dest'")
+    require(partitionCols(spark, name) == partitionCols(spark, dest),
+      s"ChSql: MOVE PARTITION: $name and $dest have different partition keys")
+    require(spark.table(name).schema == spark.table(dest).schema,
+      s"ChSql: MOVE PARTITION: $name and $dest have different schemas")
+    val rel = partitionRelDir(spark, name, vals)
+    val src = new org.apache.hadoop.fs.Path(tableLocation(spark, name), rel)
+    val dst = new org.apache.hadoop.fs.Path(tableLocation(spark, dest), rel)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(src), s"ChSql: MOVE PARTITION: no partition $rel in $name")
+    moveDirInto(fs, src, dst)
+    spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION (" +
+      partitionSpecSql(spark, name, vals) + ")")
+    spark.sql(s"ALTER TABLE $dest ADD IF NOT EXISTS PARTITION (" +
+      partitionSpecSql(spark, dest, vals) + ")")
+    spark.catalog.refreshTable(name); spark.catalog.refreshTable(dest)
+    s"moved partition (${vals.mkString(", ")}) from $name to $dest"
+  }
+
+  /** `REPLACE PARTITION p FROM src`: copy src's partition files over the
+    * target's (src keeps its data — CH copies parts). */
+  private def replacePartition(spark: SparkSession, name: String,
+      vals: Seq[String], from: String): String = {
+    require(spark.catalog.tableExists(from), s"ChSql: unknown table '$from'")
+    require(spark.table(name).schema == spark.table(from).schema,
+      s"ChSql: REPLACE PARTITION: $name and $from have different schemas")
+    val rel = partitionRelDir(spark, name, vals)
+    val src = new org.apache.hadoop.fs.Path(tableLocation(spark, from), rel)
+    val dst = new org.apache.hadoop.fs.Path(tableLocation(spark, name), rel)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = src.getFileSystem(conf)
+    require(fs.exists(src),
+      s"ChSql: REPLACE PARTITION: no partition $rel in $from")
+    if (fs.exists(dst)) fs.delete(dst, true)
+    fs.mkdirs(dst.getParent)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+    spark.sql(s"ALTER TABLE $name ADD IF NOT EXISTS PARTITION (" +
+      partitionSpecSql(spark, name, vals) + ")")
+    spark.catalog.refreshTable(name)
+    s"replaced partition (${vals.mkString(", ")}) in $name from $from"
+  }
+
+  /** `FREEZE [PARTITION p]`: hard-copy the partition (or whole table)
+    * into `<db>/shadow/<n>/<tbl>/` — CH's incremental backup layout. */
+  private def freezePartitions(spark: SparkSession, name: String,
+      vals: Option[Seq[String]]): String = {
+    val loc = tableLocation(spark, name)
+    val (dbPath, tbl) = dbPathAndTable(spark, name)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = loc.getFileSystem(conf)
+    val shadowRoot = new org.apache.hadoop.fs.Path(s"$dbPath/shadow")
+    // CH numbers freeze increments; next = max existing + 1
+    val n = (if (!fs.exists(shadowRoot)) Nil
+      else fs.listStatus(shadowRoot).toSeq.map(_.getPath.getName)
+        .flatMap(s => scala.util.Try(s.toInt).toOption))
+      .foldLeft(0)(math.max) + 1
+    val src = vals match {
+      case Some(v) =>
+        new org.apache.hadoop.fs.Path(loc, partitionRelDir(spark, name, v))
+      case None => loc
+    }
+    require(fs.exists(src), s"ChSql: FREEZE: nothing to freeze at $src")
+    val dst = new org.apache.hadoop.fs.Path(s"$dbPath/shadow/$n/$tbl" +
+      vals.map(v => "/" + partitionRelDir(spark, name, v)).getOrElse(""))
+    fs.mkdirs(dst.getParent)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+    s"froze ${vals.map(v => s"partition (${v.mkString(", ")})")
+      .getOrElse("table")} of $name as backup increment $n (under $dst)"
+  }
+
+  // ===================== mutations (partition-pruned) =====================
+
+  /** Partition-pruned mutation: on a partitioned table, only the
+    * partitions the WHERE can touch are rewritten and dynamically
+    * overwritten in place — CH's actual O(affected parts) mutation cost;
+    * untouched partition directories are never read OR written.
+    * Partitions the mutation empties entirely are dropped (dynamic
+    * overwrite cannot express "this partition became empty").
+    * Unpartitioned tables fall back to the full rewrite-and-swap. */
+  private def mutateWhere(spark: SparkSession, name: String, pred: Column)(
+      transform: DataFrame => DataFrame): String = {
+    val pcols = partitionCols(spark, name)
+    if (pcols.isEmpty) {
+      rewriteSwap(spark, name)(transform)
+      "rewrote table"
+    } else {
+      val full = spark.table(name)
+      // phase 1 (find): which partitions can the predicate touch? When
+      // the WHERE constrains the partition key, Catalyst prunes this scan
+      // to the matching directories — the find phase is then metadata-fast
+      val affected = full.filter(coalesce(pred, lit(false)))
+        .select(pcols.map(col): _*).distinct().collect().toSeq
+      if (affected.isEmpty) "no partitions affected"
+      else {
+        def key(r: org.apache.spark.sql.Row): Seq[String] =
+          pcols.indices.map(i => String.valueOf(r.get(i)))
+        val memberPred = affected.map(r =>
+          pcols.zipWithIndex.map { case (c, i) => col(c) <=> lit(r.get(i)) }
+            .reduce(_ && _)).reduce(_ || _)
+        // phase 2 (rewrite): read ONLY the affected partitions (pruned
+        // scan), transform row-locally, dynamic-overwrite them in place
+        val result = transform(full.filter(memberPred))
+        val remaining = result.select(pcols.map(col): _*)
+          .distinct().collect().map(key).toSet
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try result.write.mode(SaveMode.Overwrite).insertInto(name)
+        finally prev match {
+          case Some(v) =>
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None =>
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+        affected.filterNot(r => remaining.contains(key(r))).foreach { r =>
+          val spec = pcols.zipWithIndex.map { case (c, i) =>
+            s"$c=${sqlLit(String.valueOf(r.get(i)))}" }.mkString(", ")
+          spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION ($spec)")
+        }
+        s"rewrote ${affected.size} affected partition(s), rest untouched"
+      }
+    }
+  }
+
+  // ===================== projections =====================
+
+  /** A registered projection (ADD|MATERIALIZE|DROP PROJECTION,
+    * ClickHouseParser.py:2864/2498/2765; projectionSelectStmt 1288): an
+    * aggregate the optimizer may substitute for a matching SELECT.
+    * `projTable`/`outCols` are set by MATERIALIZE. */
+  private final case class ProjMeta(table: String, name: String, sel: String,
+      projTable: Option[String], outCols: Seq[String])
+  private val projMeta =
+    scala.collection.concurrent.TrieMap.empty[(String, String), ProjMeta]
+
+  /** Inject `FROM table` into a projection SELECT (the CH projection body
+    * has no FROM — it is implicitly over the parent table). */
+  private def withFrom(sel: String, table: String): String =
+    if (topKeywordPos(sel, "FROM") >= 0) sel
+    else {
+      val cut = Seq(topKeywordPos(sel, "GROUP", "BY"),
+        topKeywordPos(sel, "ORDER", "BY")).filter(_ >= 0)
+        .sorted.headOption.getOrElse(sel.length)
+      sel.substring(0, cut) + s" FROM $table " + sel.substring(cut)
+    }
+
+  private def materializeProjection(spark: SparkSession, name: String,
+      p: String, resolve: String => DataFrame): String = {
+    val meta = projMeta.getOrElse((name, p), throw new IllegalArgumentException(
+      s"ChSql: no projection $p on $name (ADD PROJECTION first)"))
+    val projTable = s"${name}__proj_$p"
+    val df = ChSql.sql(spark, withFrom(meta.sel, name))(resolve)
+    if (!spark.catalog.tableExists(projTable)) dropStaleLocation(spark, projTable)
+    df.write.mode(SaveMode.Overwrite).saveAsTable(projTable)
+    projMeta.put((name, p),
+      meta.copy(projTable = Some(projTable), outCols = df.columns.toSeq))
+    s"materialized projection $p of $name into $projTable"
+  }
+
+  /** Projection substitution: when a SELECT's shape is covered by a
+    * registered, materialized projection of its FROM table — same
+    * grouping set, every (aliased) item present in the projection — the
+    * statement answers from the projection's (much smaller) materialized
+    * table instead of scanning the base. Conservative by construction:
+    * any feature outside the covered shape falls through to the normal
+    * path. Called from [[ChSql.statement]]. */
+  private[chsql] def substituteProjection(spark: SparkSession,
+      text: String): Option[DataFrame] = {
+    if (projMeta.isEmpty) None
+    else {
+      val up = text.trim.toUpperCase(java.util.Locale.ROOT)
+      if (!up.startsWith("SELECT")) None
+      else scala.util.Try(ChSql.parseAst(text)).toOption.flatMap {
+        case ChSql.One(q) if q.joins.isEmpty && q.ctes.isEmpty &&
+            q.exprCtes.isEmpty && q.where.isEmpty && q.prewhere.isEmpty &&
+            q.having.isEmpty && q.arrayJoins.isEmpty && q.limitBy.isEmpty &&
+            !q.distinct && q.groupKind == "plain" && !q.withTotals &&
+            !q.groupByAll && q.sample.isEmpty && q.settings.isEmpty &&
+            q.windows.isEmpty && q.offset.isEmpty && q.outfile.isEmpty &&
+            !q.limitTies && q.orderBy.forall(o =>
+              o.fill.isEmpty && o.collate.isEmpty) =>
+          q.from match {
+            case Some(ChSql.TableRef(t, _, false)) =>
+              projMeta.values.toSeq.sortBy(_.name)
+                .filter(m => m.table == t && m.projTable.nonEmpty)
+                .flatMap(m => matchProjection(spark, q, m)).headOption
+            case _ => None
+          }
+        case _ => None
+      }
+    }
+  }
+
+  /** Case-normalize function names so `SUM(x)` matches `sum(x)`. */
+  private def normExpr(e: ChSql.Expr): ChSql.Expr = e match {
+    case ChSql.FuncCall(n, ps, as, d) =>
+      ChSql.FuncCall(n.toLowerCase(java.util.Locale.ROOT),
+        ps.map(normExpr), as.map(normExpr), d)
+    case ChSql.Bin(o, l, r) => ChSql.Bin(o, normExpr(l), normExpr(r))
+    case ChSql.Neg(x) => ChSql.Neg(normExpr(x))
+    case ChSql.NotE(x) => ChSql.NotE(normExpr(x))
+    case ChSql.CastE(x, ty) => ChSql.CastE(normExpr(x), ty)
+    case ChSql.Idx(x, i) => ChSql.Idx(normExpr(x), normExpr(i))
+    case other => other
+  }
+
+  private def matchProjection(spark: SparkSession, q: ChSql.SelectStmt,
+      m: ProjMeta): Option[DataFrame] =
+    scala.util.Try(ChSql.parseAst(withFrom(m.sel, m.table))).toOption.flatMap {
+      case ChSql.One(ps)
+          if q.groupBy.map(normExpr).toSet == ps.groupBy.map(normExpr).toSet =>
+        val pItems: Seq[(ChSql.Expr, String)] =
+          ps.items.map(it => normExpr(it.e)).zip(m.outCols)
+        // every query item must carry an output name (explicit alias, or
+        // a bare column ref named by itself) and be structurally present
+        // in the projection; order-by items must resolve to an output
+        def outName(it: ChSql.SelectItem): Option[String] =
+          it.alias.orElse(it.e match {
+            case ChSql.Ident(Seq(nm)) => Some(nm)
+            case _ => None
+          })
+        val mapped: Seq[Option[(String, String)]] = q.items.map { it =>
+          for {
+            alias <- outName(it)
+            pc <- pItems.find(_._1 == normExpr(it.e)).map(_._2)
+          } yield (pc, alias)
+        }
+        if (mapped.exists(_.isEmpty)) None
+        else {
+          val sel = mapped.flatten
+          val aliasOf: Map[ChSql.Expr, String] =
+            q.items.flatMap(it => outName(it).map(normExpr(it.e) -> _)).toMap
+          val sortCols: Seq[Option[Column]] = q.orderBy.map { oi =>
+            val target = oi.e match {
+              case ChSql.Ident(Seq(nm)) if sel.exists(_._2 == nm) => Some(nm)
+              case other => aliasOf.get(normExpr(other))
+            }
+            target.map { nm =>
+              val base = if (oi.asc) col(nm).asc_nulls_first else
+                col(nm).desc_nulls_last
+              (oi.nullsFirst, oi.asc) match {
+                case (Some(true), false) => col(nm).desc_nulls_first
+                case (Some(false), true) => col(nm).asc_nulls_last
+                case _ => base
+              }
+            }
+          }
+          if (sortCols.exists(_.isEmpty)) None
+          else {
+            val base = spark.table(m.projTable.get)
+              .select(sel.map { case (pc, al) => col(pc).as(al) }: _*)
+            val ordered =
+              if (sortCols.isEmpty) base else base.orderBy(sortCols.flatten: _*)
+            Some(q.limit.fold(ordered)(n => ordered.limit(n.toInt)))
+          }
+        }
+      case _ => None
+    }
 
   /** The mutation job: rewrite the table through `transform` into a new
     * table, then swap names — the same two phases as a CH mutation
@@ -737,6 +1461,13 @@ object ChDdl {
       transform: DataFrame => DataFrame): Unit = {
     require(spark.catalog.tableExists(name),
       s"ChSql: unknown table '$name'")
+    // rename-swap moves MANAGED directories; an external table's rename
+    // keeps its location and the swap would mix old and new files there.
+    // ATTACH re-registers managed, so external targets only arise from
+    // user-created tables — refuse clearly instead of corrupting.
+    require(spark.catalog.getTable(name).tableType != "EXTERNAL",
+      s"ChSql: $name is EXTERNAL — mutations/OPTIMIZE need a managed " +
+        s"table (CTAS it into a managed one first)")
     val props = tableProps(spark, name)
     // preserve the physical layout: partition columns pass through, so
     // downstream partition pruning is unaffected by the mutation
@@ -758,12 +1489,28 @@ object ChDdl {
     // rename-aside instead of drop-then-rename: a failure between the two
     // renames leaves the data recoverable under the __graft_old name
     // instead of lost
-    spark.sql(s"ALTER TABLE $name RENAME TO $bak")
-    spark.sql(s"ALTER TABLE $tmp RENAME TO $name")
-    spark.sql(s"DROP TABLE $bak")
+    if (partCols.isEmpty) {
+      // rename-aside instead of drop-then-rename: a failure between the
+      // two renames leaves the data recoverable under the __graft_old name
+      spark.sql(s"ALTER TABLE $name RENAME TO $bak")
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $name")
+      spark.sql(s"DROP TABLE $bak")
+    } else {
+      // PARTITIONED tables cannot use the rename-aside: catalog partition
+      // entries carry ABSOLUTE locations, so after the renames the aside
+      // table's entries point INTO the new table's directory and dropping
+      // it deletes the fresh data. Drop the original FIRST (its entries
+      // still point at its own directory), then move the tmp in and
+      // rebuild the partition entries from the moved directory.
+      spark.sql(s"DROP TABLE $name")
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $name")
+      spark.sql(s"ALTER TABLE $name RECOVER PARTITIONS")
+      spark.catalog.refreshTable(name)
+    }
     if (props.nonEmpty)
       spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES (" +
-        props.map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")")
+        props.map { case (k, v) => s"${sqlLit(k)}=${sqlLit(v)}" }
+          .mkString(", ") + ")")
   }
 
   /** Root file paths behind a (file-backed) batch DataFrame — recovered
@@ -801,6 +1548,13 @@ object ChDdl {
       .map(r => r.getString(0) -> r.getString(1))
       .filter(_._1.startsWith("graft.")).toMap
 
+  /** [[tableProps]] for names that may be temp views (no TBLPROPERTIES
+    * surface): empty map instead of an error. */
+  private def tablePropsSafe(spark: SparkSession,
+      name: String): Map[String, String] =
+    try tableProps(spark, name)
+    catch { case _: Exception => Map.empty }
+
   // ===================== OPTIMIZE =====================
 
   /** Part-merge compaction; FINAL adds the ReplacingMergeTree collapse
@@ -810,6 +1564,9 @@ object ChDdl {
   private def optimizeTable(spark: SparkSession, name: String,
       fin: Boolean, dedup: Boolean, status: String => DataFrame): DataFrame = {
     val props = tableProps(spark, name)
+    // TTL applies on merges in CH; here the merge is OPTIMIZE. Run it
+    // FIRST so expired data is dropped by metadata, never rewritten.
+    val ttlNote = applyTtlNow(spark, name, props)
     val targetFiles = math.max(1, spark.sparkContext.defaultParallelism / 4)
     rewriteSwap(spark, name) { df0 =>
       val df1 = if (dedup) df0.dropDuplicates() else df0
@@ -822,8 +1579,42 @@ object ChDdl {
       df2.coalesce(targetFiles)
     }
     status(s"optimized $name" + (if (fin) " final" else "") +
-      (if (dedup) " deduplicate" else ""))
+      (if (dedup) " deduplicate" else "") + ttlNote.fold("")("; " + _))
   }
+
+  /** Apply the table's recorded TTL (`graft.ttl`), if any:
+    *  - `col + INTERVAL n unit` where `col` IS the partition key →
+    *    expired partitions drop by metadata (directory delete — CH's
+    *    O(parts) retention, zero data read);
+    *  - any other expression → a partition-pruned delete mutation with
+    *    predicate `ttlExpr <= now()` (rows expire, CH's row TTL). */
+  private def applyTtlNow(spark: SparkSession, name: String,
+      props: Map[String, String]): Option[String] =
+    props.get("graft.ttl").map { ttlText =>
+      val pcols = partitionCols(spark, name)
+      val simple = ("(?is)^\\s*(\\w+)\\s*\\+\\s*INTERVAL\\s+(\\d+)\\s+" +
+        "(\\w+)\\s*$").r.findFirstMatchIn(ttlText)
+      simple match {
+        case Some(m) if pcols == Seq(m.group(1)) =>
+          val (c, nStr, unit) = (m.group(1), m.group(2), m.group(3))
+          // partition values are the directory strings; a date-typed key
+          // compares correctly as its ISO string
+          val cutoff = spark.sql(
+            s"SELECT CAST(CAST(now() - INTERVAL $nStr $unit AS DATE) AS STRING)")
+            .collect()(0).getString(0)
+          val parts = spark.sql(s"SHOW PARTITIONS $name").collect()
+            .map(_.getString(0)).toSeq
+          val victims = parts.map(_.stripPrefix(s"$c=")).filter(_ < cutoff)
+          victims.foreach(v => spark.sql(
+            s"ALTER TABLE $name DROP IF EXISTS PARTITION ($c=${sqlLit(v)})"))
+          s"ttl dropped ${victims.size} expired partition(s)"
+        case _ =>
+          val p = ChSql.compileExpr(spark, s"($ttlText) <= now()", spark.table(_))
+          val scope = mutateWhere(spark, name, p)(
+            graft.operators.Mutations.delete(_, p))
+          s"ttl expired rows deleted ($scope)"
+      }
+    }
 
   // ===================== SHOW CREATE =====================
 
@@ -909,11 +1700,14 @@ object ChDdl {
       status(s"detached table $name (data kept under $dst)")
   }
 
-  /** `ATTACH TABLE t`: the inverse — move `<db>/detached/<t>` back into
-    * the warehouse and re-register the table (external, pointing at its
-    * own files) with the preserved graft properties. Works across
-    * sessions: the detached directory, not session memory, is the source
-    * of truth. */
+  /** `ATTACH TABLE t`: the inverse — re-register the table as MANAGED
+    * from the detached payload's own schema, then move the files back
+    * into the managed location (file renames only, no data rewrite).
+    * Managed matters: the rename-swap in [[rewriteSwap]] and TRUNCATE
+    * both move managed directories; an external re-register at the
+    * managed location would leave stale files behind the next mutation.
+    * Works across sessions: the detached directory, not session memory,
+    * is the source of truth. */
   private def attach(spark: SparkSession, kind: String, ifNot: Boolean,
       name: String, status: String => DataFrame): DataFrame = kind match {
     case "DICTIONARY" =>
@@ -948,18 +1742,37 @@ object ChDdl {
           text.split("\n").filter(_.contains("="))
             .map { ln => val Array(k, v) = ln.split("=", 2); k -> v }.toMap
         }
+      // schema from the payload itself; partition columns from the
+      // directory layout (the `c=v` chain is the truth)
+      val schema = spark.read.parquet(src.toString).schema
+      def partChain(p: org.apache.hadoop.fs.Path): Seq[String] = {
+        val sub = fs.listStatus(p).filter(_.isDirectory)
+          .map(_.getPath).find(_.getName.contains("="))
+        sub match {
+          case Some(d) => d.getName.split("=", 2)(0) +: partChain(d)
+          case None => Nil
+        }
+      }
+      val pcols = partChain(src)
       if (fs.exists(dst)) fs.delete(dst, true) // orphan from a stale create
-      require(fs.rename(src, dst),
-        s"ChSql: ATTACH TABLE $name: could not restore $src")
+      val partSql = if (pcols.isEmpty) ""
+        else pcols.mkString(" PARTITIONED BY (", ", ", ")")
       val propsSql =
         if (props.isEmpty) ""
-        else props.map { case (k, v) => s"'$k'='$v'" }
+        else props.map { case (k, v) => s"${sqlLit(k)}=${sqlLit(v)}" }
           .mkString(" TBLPROPERTIES (", ", ", ")")
-      spark.sql(s"CREATE TABLE $name USING parquet LOCATION '${
-        dst.toString.replace("\\", "\\\\").replace("'", "\\'")}'$propsSql")
-      // partitioned layouts need their partition entries recovered
-      try spark.sql(s"ALTER TABLE $name RECOVER PARTITIONS")
-      catch { case _: Exception => () } // not partitioned
+      spark.sql(s"CREATE TABLE $name (${schema.toDDL}) " +
+        s"USING parquet$partSql$propsSql")
+      // move the payload into the (managed) location the catalog chose
+      fs.mkdirs(dst)
+      fs.listStatus(src).foreach { st =>
+        require(fs.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(dst, st.getPath.getName)),
+          s"ChSql: ATTACH TABLE $name: could not restore ${st.getPath}")
+      }
+      fs.delete(src, true)
+      if (pcols.nonEmpty) spark.sql(s"ALTER TABLE $name RECOVER PARTITIONS")
+      spark.catalog.refreshTable(name)
       status(s"attached table $name")
   }
 
@@ -1047,71 +1860,108 @@ object ChDdl {
   }
 
   // ===================== small text utilities =====================
+  // All clause splitting rides the REAL ChSql lexer ([[ChSql.lexPos]]) —
+  // string literals containing keywords, commas or parens cannot fool a
+  // token-level scan the way a character scan can.
 
-  /** Split `(...), (...)` into tuple bodies — quote- and paren-aware. */
+  /** A Spark-SQL single-quoted string literal with `\` and `'` escaped —
+    * used wherever table properties / identifiers are interpolated into
+    * `spark.sql` text (TBLPROPERTIES, partition specs, comments). */
+  private def sqlLit(v: String): String =
+    "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  /** Split `(...), (...)` into tuple bodies (token-level). */
   private def splitTuples(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    var depth = 0; var inQ = false; var start = -1
-    var i = 0
-    while (i < s.length) {
-      val c = s(i)
-      if (inQ) { if (c == '\\') i += 1 else if (c == '\'') inQ = false }
-      else c match {
-        case '\'' => inQ = true
-        case '(' => depth += 1; if (depth == 1) start = i + 1
-        case ')' =>
-          depth -= 1
-          if (depth == 0) { out += s.substring(start, i); start = -1 }
+    var depth = 0; var start = -1
+    ChSql.lexPos(s).foreach {
+      case (ChSql.TP("("), _, e) =>
+        depth += 1; if (depth == 1) start = e
+      case (ChSql.TP(")"), b, _) =>
+        depth -= 1
+        if (depth == 0) { out += s.substring(start, b); start = -1 }
+      case _ =>
+    }
+    require(depth == 0, s"ChSql: unbalanced VALUES tuples in '$s'")
+    out.toSeq
+  }
+
+  /** Split on top-level commas (token-level; parens/brackets nest,
+    * string literals are opaque). */
+  private def splitTop(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var start = 0
+    ChSql.lexPos(s).foreach {
+      case (ChSql.TP("(") | ChSql.TP("["), _, _) => depth += 1
+      case (ChSql.TP(")") | ChSql.TP("]"), _, _) => depth -= 1
+      case (ChSql.TP(","), b, e) if depth == 0 =>
+        out += s.substring(start, b); start = e
+      case _ =>
+    }
+    out += s.substring(start)
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Index of the first top-level assignment `=` (the lexer already emits
+    * `==`, `!=`, `<=`, `>=` as single two-char tokens, so a bare `=` here
+    * IS the assignment operator). */
+  private def topLevelEq(s: String): Int = {
+    val toks = ChSql.lexPos(s)
+    var depth = 0; var i = 0; var found = -1
+    while (i < toks.length && found < 0) {
+      toks(i) match {
+        case (ChSql.TP("(") | ChSql.TP("["), _, _) => depth += 1
+        case (ChSql.TP(")") | ChSql.TP("]"), _, _) => depth -= 1
+        case (ChSql.TP("="), b, _) if depth == 0 => found = b
         case _ =>
       }
       i += 1
     }
-    require(depth == 0 && !inQ, s"ChSql: unbalanced VALUES tuples in '$s'")
-    out.toSeq
+    found
   }
 
-  /** Split on top-level commas (quote- and paren/bracket-aware). */
-  private def splitTop(s: String): Seq[String] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    val cur = new StringBuilder
-    var depth = 0; var inQ = false
-    var i = 0
-    while (i < s.length) {
-      val c = s(i)
-      if (inQ) {
-        cur += c
-        if (c == '\\' && i + 1 < s.length) { cur += s(i + 1); i += 1 }
-        else if (c == '\'') inQ = false
-      } else c match {
-        case '\'' => inQ = true; cur += c
-        case '(' | '[' => depth += 1; cur += c
-        case ')' | ']' => depth -= 1; cur += c
-        case ',' if depth == 0 => out += cur.toString; cur.clear()
-        case _ => cur += c
-      }
-      i += 1
+  /** Offset just past the close paren matching the FIRST token of `s`
+    * (which must be `(`), or -1 when `s` does not start with a paren
+    * group. Token-level, so literals/nesting are safe. */
+  private def matchParenEnd(s: String): Int = {
+    val toks = ChSql.lexPos(s)
+    toks.headOption match {
+      case Some((ChSql.TP("("), _, _)) =>
+        var depth = 0; var i = 0; var found = -1
+        while (i < toks.length && found < 0) {
+          toks(i) match {
+            case (ChSql.TP("("), _, _) => depth += 1
+            case (ChSql.TP(")"), _, e) =>
+              depth -= 1; if (depth == 0) found = e
+            case _ =>
+          }
+          i += 1
+        }
+        found
+      case _ => -1
     }
-    if (cur.toString.trim.nonEmpty) out += cur.toString
-    out.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
-  /** Index of the first top-level `=` that is an assignment (not `==`,
-    * `!=`, `<=`, `>=`). */
-  private def topLevelEq(s: String): Int = {
-    var depth = 0; var inQ = false
+  /** Start offset of the first TOP-LEVEL occurrence of keyword sequence
+    * `kws` (case-insensitive identifiers), or -1. */
+  private def topKeywordPos(s: String, kws: String*): Int = {
+    val toks = ChSql.lexPos(s)
+    var depth = 0
     var i = 0
-    while (i < s.length) {
-      val c = s(i)
-      if (inQ) { if (c == '\\') i += 1 else if (c == '\'') inQ = false }
-      else c match {
-        case '\'' => inQ = true
-        case '(' | '[' => depth += 1
-        case ')' | ']' => depth -= 1
-        case '=' if depth == 0 =>
-          val prev = if (i > 0) s(i - 1) else ' '
-          val next = if (i + 1 < s.length) s(i + 1) else ' '
-          if (prev != '!' && prev != '<' && prev != '>' && prev != '=' && next != '=')
-            return i
+    while (i < toks.length) {
+      toks(i) match {
+        case (ChSql.TP("(") | ChSql.TP("["), _, _) => depth += 1
+        case (ChSql.TP(")") | ChSql.TP("]"), _, _) => depth -= 1
+        case (id: ChSql.TId, b, _) if depth == 0 &&
+            id.up == kws.head.toUpperCase(java.util.Locale.ROOT) =>
+          val rest = kws.tail.zipWithIndex.forall { case (kw, k) =>
+            toks.lift(i + 1 + k) match {
+              case Some((id2: ChSql.TId, _, _)) =>
+                id2.up == kw.toUpperCase(java.util.Locale.ROOT)
+              case _ => false
+            }
+          }
+          if (rest) return b
         case _ =>
       }
       i += 1

@@ -60,15 +60,25 @@ object ChSql {
 
   // ===================== lexer =====================
 
-  private sealed trait Tok
-  private case class TId(s: String) extends Tok { def up: String = s.toUpperCase }
-  private case class TNum(s: String) extends Tok
-  private case class TStr(s: String) extends Tok
-  private case class TP(s: String) extends Tok
-  private case object TEnd extends Tok
+  private[chsql] sealed trait Tok
+  private[chsql] case class TId(s: String) extends Tok { def up: String = s.toUpperCase }
+  private[chsql] case class TNum(s: String) extends Tok
+  private[chsql] case class TStr(s: String) extends Tok
+  private[chsql] case class TP(s: String) extends Tok
+  private[chsql] case object TEnd extends Tok
 
-  private def lex(input: String): Vector[Tok] = {
-    val out = Vector.newBuilder[Tok]
+  /** Position-tracking lexer: (token, start, end-exclusive) offsets over
+    * the ORIGINAL text. The DDL layer ([[ChDdl]]) splits clause bodies
+    * with this instead of re-deriving tokenizer behavior in regex
+    * scanners — a string literal containing `) ENGINE =` or a keyword
+    * cannot fool token-level splitting. */
+  private[chsql] def lexPos(input: String): Vector[(Tok, Int, Int)] =
+    lexImpl(input)
+
+  private def lex(input: String): Vector[Tok] = lexImpl(input).map(_._1)
+
+  private def lexImpl(input: String): Vector[(Tok, Int, Int)] = {
+    val out = Vector.newBuilder[(Tok, Int, Int)]
     var i = 0
     val n = input.length
     def peek(k: Int) = if (i + k < n) input(i + k) else '\u0000'
@@ -84,12 +94,12 @@ object ChSql {
       else if (c.isLetter || c == '_') {
         val st = i
         while (i < n && (input(i).isLetterOrDigit || input(i) == '_')) i += 1
-        out += TId(input.substring(st, i))
+        out += ((TId(input.substring(st, i)), st, i))
       }
       else if (c == '`') {
         val st = i + 1; i += 1
         while (i < n && input(i) != '`') i += 1
-        out += TId(input.substring(st, i)); i += 1
+        out += ((TId(input.substring(st, i)), st - 1, i + 1)); i += 1
       }
       else if (c == '0' && (peek(1) == 'x' || peek(1) == 'X') &&
           (peek(2).isDigit || "abcdefABCDEF".indexOf(peek(2)) >= 0)) {
@@ -97,23 +107,26 @@ object ChSql {
         val st = i + 2; i += 2
         while (i < n && (input(i).isDigit ||
           "abcdefABCDEF".indexOf(input(i)) >= 0)) i += 1
-        out += TNum(java.lang.Long.parseLong(input.substring(st, i), 16).toString)
+        out += ((TNum(java.lang.Long.parseLong(
+          input.substring(st, i), 16).toString), st - 2, i))
       }
       else if (c == '0' && (peek(1) == 'b' || peek(1) == 'B') &&
           (peek(2) == '0' || peek(2) == '1')) {
         // binary literal (lexer BINARY_LITERAL)
         val st = i + 2; i += 2
         while (i < n && (input(i) == '0' || input(i) == '1')) i += 1
-        out += TNum(java.lang.Long.parseLong(input.substring(st, i), 2).toString)
+        out += ((TNum(java.lang.Long.parseLong(
+          input.substring(st, i), 2).toString), st - 2, i))
       }
       else if (c.isDigit || (c == '.' && peek(1).isDigit)) {
         val st = i
         while (i < n && (input(i).isDigit || input(i) == '.' || input(i) == 'e' ||
           input(i) == 'E' || ((input(i) == '+' || input(i) == '-') &&
             (input(i - 1) == 'e' || input(i - 1) == 'E')))) i += 1
-        out += TNum(input.substring(st, i))
+        out += ((TNum(input.substring(st, i)), st, i))
       }
       else if (c == '\'') {
+        val st = i
         val sb = new StringBuilder; i += 1
         while (i < n && input(i) != '\'') {
           if (input(i) == '\\' && i + 1 < n) { sb.append(unescape(input(i + 1))); i += 2 }
@@ -122,16 +135,16 @@ object ChSql {
         if (i >= n) throw new IllegalArgumentException(
           "ChSql: unterminated string literal")
         i += 1
-        out += TStr(sb.toString)
+        out += ((TStr(sb.toString), st, i))
       }
       else {
         val two = if (i + 1 < n) input.substring(i, i + 2) else ""
         if (Set("==", "!=", "<>", "<=", ">=", "||", "->", "::").contains(two)) {
-          out += TP(two); i += 2
-        } else { out += TP(c.toString); i += 1 }
+          out += ((TP(two), i, i + 2)); i += 2
+        } else { out += ((TP(c.toString), i, i + 1)); i += 1 }
       }
     }
-    out += TEnd
+    out += ((TEnd, n, n))
     out.result()
   }
 
@@ -1149,11 +1162,26 @@ object ChSql {
       val rows = applied.toSeq.sorted.map { case (k, v) => s"set $k=$v" } ++
         skipped.map(s => s"skipped $s (no Spark twin)")
       ((if (rows.isEmpty) Seq("ok") else rows).toDF("status"), None)
-    } else sqlWithFormat(spark, trimmed)(resolve)
+    } else ChDdl.substituteProjection(spark, trimmed) match {
+      // a registered, materialized projection whose shape covers this
+      // SELECT answers from its (much smaller) materialized table — the
+      // CH projection-substitution optimization
+      case Some(df) => (df, None)
+      case None => sqlWithFormat(spark, trimmed)(resolve)
+    }
   }
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"ChSql: $msg")
+
+  /** Parse a SELECT/WITH statement to its AST without planning — the DDL
+    * layer's projection-substitution matcher inspects query shape here. */
+  private[chsql] def parseAst(text: String): SetOp = {
+    val p = new P(lex(text))
+    val ast = p.parseSetOp()
+    if (!p.cur.equals(TEnd)) p.fail("trailing tokens after statement")
+    ast
+  }
 
   /** First REAL table referenced in a SELECT's FROM chain — the MV source
     * table ([[ChDdl]] binds it to the stream input; a CH MV has exactly
@@ -2024,8 +2052,8 @@ object ChSql {
       case "AND" => lc && rc
       case "OR" => lc || rc
       case "||" => concat(lc, rc)
-      case "LIKE" => lc.like(rAst.asInstanceOf[StrLit].v)
-      case "ILIKE" => lc.ilike(rAst.asInstanceOf[StrLit].v)
+      case "LIKE" => lc.like(litStr("LIKE", rAst))
+      case "ILIKE" => lc.ilike(litStr("ILIKE", rAst))
       case other => throw new IllegalArgumentException(s"ChSql: operator $other")
     }
 
@@ -2194,7 +2222,7 @@ object ChSql {
           if (nm == "dictgetordefault") coalesce(looked, t(f.args(3)))
           else looked
         case "dicthas" =>
-          val dictName = f.args(0).asInstanceOf[StrLit].v
+          val dictName = litStr("dictHas", f.args(0))
           graft.sources.Dictionaries.dictHasLiteral(spark, dictName, t(f.args(1)))
 
         case "if" => when(a(0), a(1)).otherwise(a(2))
@@ -2251,7 +2279,7 @@ object ChSql {
         case "addmonths" => add_months(a(0), a(1))
         case "addhours" => a(0) + expr("INTERVAL 1 HOUR") * a(1)
         case "datediff" | "date_diff" =>
-          val unit = f.args.head.asInstanceOf[StrLit].v
+          val unit = litStr("dateDiff", f.args.head)
           val (s0, e0) = (t(f.args(1)), t(f.args(2)))
           unit match {
             case "day" => datediff(e0, s0)
@@ -2260,7 +2288,7 @@ object ChSql {
             case other => throw new IllegalArgumentException(s"dateDiff unit $other")
           }
         case "formatdatetime" =>
-          date_format(a(0), chFormatToJava(f.args(1).asInstanceOf[StrLit].v))
+          date_format(a(0), chFormatToJava(litStr("formatDateTime", f.args(1))))
 
         // ---- strings ----
         case "length" | "lengthutf8" | "char_length" | "character_length" =>
@@ -2282,26 +2310,26 @@ object ChSql {
         case "endswith" => a(0).endsWith(a(1))
         case "trim" | "trimboth" =>
           if (f.args.size == 2)
-            trim(a(0), f.args(1).asInstanceOf[StrLit].v)
+            trim(a(0), litStr("trim", f.args(1)))
           else trim(a(0))
         case "trimleft" =>
           if (f.args.size == 2)
-            ltrim(a(0), f.args(1).asInstanceOf[StrLit].v)
+            ltrim(a(0), litStr("trimLeft", f.args(1)))
           else ltrim(a(0))
         case "trimright" =>
           if (f.args.size == 2)
-            rtrim(a(0), f.args(1).asInstanceOf[StrLit].v)
+            rtrim(a(0), litStr("trimRight", f.args(1)))
           else rtrim(a(0))
         case "replaceall" | "replace" =>
           // CH replaceAll is LITERAL replace
           regexp_replace(a(0),
             lit(java.util.regex.Pattern.quote(
-              f.args(1).asInstanceOf[StrLit].v)), a(2))
+              litStr("replaceAll", f.args(1)))), a(2))
         case "replaceregexpall" => regexp_replace(a(0), a(1), a(2))
-        case "match" => a(0).rlike(f.args(1).asInstanceOf[StrLit].v)
-        case "extract" => regexp_extract(a(0), f.args(1).asInstanceOf[StrLit].v, 0)
+        case "match" => a(0).rlike(litStr("match", f.args(1)))
+        case "extract" => regexp_extract(a(0), litStr("extract", f.args(1)), 0)
         case "splitbychar" | "splitbystring" =>
-          split(a(1), java.util.regex.Pattern.quote(f.args(0).asInstanceOf[StrLit].v))
+          split(a(1), java.util.regex.Pattern.quote(litStr("splitByChar", f.args(0))))
         case "empty" => length(a(0)) === 0
         case "notempty" => length(a(0)) > 0
         case "leftpad" | "lpad" => lpad(a(0), intArg(f.args(1)), strArg(f.args(2)))
@@ -2377,7 +2405,7 @@ object ChSql {
           call_function("instr", lower(a(0)), lower(a(1)))
         case "countsubstrings" =>
           // occurrences of a literal needle: (len - len(without)) / len(needle)
-          val needle = f.args(1).asInstanceOf[StrLit].v
+          val needle = litStr("countSubstrings", f.args(1))
           ((length(a(0)) - length(
             regexp_replace(a(0), java.util.regex.Pattern.quote(needle), ""))) /
             lit(needle.length)).cast(LongType)
@@ -2399,7 +2427,7 @@ object ChSql {
 
         // ---- date parity ----
         case "datetrunc" | "date_trunc" =>
-          date_trunc(f.args.head.asInstanceOf[StrLit].v, a(1))
+          date_trunc(litStr("dateTrunc", f.args.head), a(1))
         case "tolastdayofmonth" => last_day(a(0))
         case "toisoweek" => weekofyear(a(0))
 
@@ -2489,7 +2517,7 @@ object ChSql {
           if (f.args.size == 3) slice(a(0), a(1), a(2))
           else slice(a(0), a(1), size(a(0)))
         case "arraystringconcat" =>
-          if (f.args.size == 2) array_join(a(0), f.args(1).asInstanceOf[StrLit].v)
+          if (f.args.size == 2) array_join(a(0), litStr("arrayStringConcat", f.args(1)))
           else array_join(a(0), "")
         case "arraydifference" => graft.operators.ChOps.arrayDifference(a(0))
         case "arraycumsum" => graft.operators.ChOps.arrayCumSum(a(0))
@@ -2594,6 +2622,16 @@ object ChSql {
     private def strArg(e: Expr): String = e match {
       case StrLit(s) => s
       case other => throw new IllegalArgumentException(s"string literal expected: $other")
+    }
+    /** A function argument that MUST be a string literal (trim set, regex
+      * pattern, format string, dictionary name): pattern-matched so a
+      * column/expression argument surfaces as a clear ChSql error naming
+      * the function, not a raw ClassCastException. */
+    private def litStr(fn: String, e: Expr): String = e match {
+      case StrLit(s) => s
+      case other => throw new IllegalArgumentException(
+        s"ChSql: $fn expects a string literal at this argument " +
+          s"(got expression $other)")
     }
     private def jsonPath(keys: Seq[Expr]): String =
       "$." + keys.map { case StrLit(s) => s

@@ -131,13 +131,32 @@ object Similarity {
 
   /** Bucketed approximate all-pairs: candidate pairs share a bucket;
     * exact cosine verifies. Returns (id1, id2, sim) with id1 < id2 and
-    * sim ≥ threshold. */
+    * sim ≥ threshold.
+    *
+    * `maxBucketSize` is the hot-bucket guard (same contract as
+    * [[Dedup.lshCandidatePairs]]): a degenerate bucket — zero/near-zero
+    * vectors, boilerplate embeddings that all land on the same sign
+    * pattern — yields b² candidate rows from the self-join and can
+    * dominate the whole job at 100 TB. Buckets above the cap are DROPPED
+    * before the join (bucket sizing is a map-side groupBy.count + a
+    * broadcast anti-join against the few oversize keys). The default
+    * `Int.MaxValue` skips the sizing pass entirely. */
   def nearDuplicatesLsh(
       df: DataFrame, idCol: String, vecCol: String,
-      nPlanes: Int, threshold: Double, roundTo: Int = 6
+      nPlanes: Int, threshold: Double, roundTo: Int = 6,
+      maxBucketSize: Int = Int.MaxValue
   ): DataFrame = {
-    val b = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+    val b0 = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
       hyperplaneBucket(asDouble(col(vecCol)), nPlanes).as("bucket"))
+    val b =
+      if (maxBucketSize == Int.MaxValue) b0
+      else {
+        val oversize = b0.groupBy("bucket")
+          .agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") > maxBucketSize)
+          .select("bucket")
+        b0.join(broadcast(oversize), Seq("bucket"), "left_anti")
+      }
     val l = b.select(col("bucket"), col("id").as("id1"), col("v").as("v1"))
     val r = b.select(col("bucket"), col("id").as("id2"), col("v").as("v2"))
     l.join(r, Seq("bucket"))

@@ -721,4 +721,202 @@ class DdlSurfaceSpec extends AnyFunSuite {
     assert(Mutations.compactDeletes(masked2).collect().map(_.getLong(0)).toSeq ==
       Seq(3L))
   }
+
+  // ---- round-6 text surface: metadata-only ALTERs, partition verbs,
+  // TTL, column defaults, indexes, projections ----
+
+  private def chRun(s: String): Seq[org.apache.spark.sql.Row] = {
+    def resolve(n: String) =
+      if (spark.catalog.tableExists(n)) graft.chsql.ChDdl.readTable(spark, n)
+      else spark.table(n)
+    graft.chsql.ChSql.statement(spark, s)(resolve)._1.collect().toSeq
+  }
+
+  test("ALTER ADD/COMMENT COLUMN are metadata-only: zero Spark jobs") {
+    import org.apache.spark.sql.functions._
+    chRun("DROP TABLE IF EXISTS meta_t")
+    chRun("CREATE TABLE meta_t (a UInt64, b String) ENGINE = MergeTree ORDER BY a")
+    chRun("INSERT INTO meta_t VALUES (1, 'x'), (2, 'y')")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val msg = chRun("ALTER TABLE meta_t ADD COLUMN extra Nullable(Float64)")
+        .head.getString(0)
+      assert(msg.contains("metadata only"))
+      chRun("ALTER TABLE meta_t COMMENT COLUMN extra 'the new column'")
+      org.apache.spark.sql.graftbridge.TestBridge.waitListenerBus(spark)
+      assert(jobs.get() == 0,
+        s"metadata-only ALTERs launched ${jobs.get()} Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // old parquet files read the new column as NULL; new inserts carry it
+    assert(spark.table("meta_t").filter(col("extra").isNull).count() == 2)
+    chRun("INSERT INTO meta_t VALUES (3, 'z', 1.5)")
+    assert(spark.table("meta_t").filter(col("extra") === 1.5).count() == 1)
+    chRun("DROP TABLE meta_t")
+  }
+
+  test("column DEFAULT/MATERIALIZED/ALIAS: INSERT fills, ALIAS projects, " +
+      "adversarial literals cannot misparse the schema") {
+    chRun("DROP TABLE IF EXISTS def_t")
+    chRun("""CREATE TABLE def_t (id Int64, name String,
+      |  up String MATERIALIZED upper(name),
+      |  score Float64 DEFAULT 2.5,
+      |  note String DEFAULT ') ENGINE = bogus (',
+      |  lbl String ALIAS concat('L:', name))
+      |ENGINE = MergeTree ORDER BY id""".stripMargin)
+    // the DEFAULT literal containing `) ENGINE =` parsed as the string it
+    // is (token-level split); ALIAS column is not stored
+    assert(spark.table("def_t").columns.toSeq ==
+      Seq("id", "name", "up", "score", "note"))
+    chRun("INSERT INTO def_t (id, name) VALUES (1, 'ann')")
+    chRun("INSERT INTO def_t (id, name, score) VALUES (2, 'bob', 9.0)")
+    val rows = chRun("SELECT id, name, up, score, note, lbl FROM def_t ORDER BY id")
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3),
+        r.getString(4), r.getString(5)))
+    assert(rows == Seq(
+      (1L, "ann", "ANN", 2.5, ") ENGINE = bogus (", "L:ann"),
+      (2L, "bob", "BOB", 9.0, ") ENGINE = bogus (", "L:bob")))
+    // MATERIALIZED columns cannot be inserted explicitly (CH contract)
+    intercept[IllegalArgumentException](
+      chRun("INSERT INTO def_t (id, name, up) VALUES (3, 'x', 'X')"))
+    // positional arity counts only insertable columns (id, name, score, note)
+    chRun("INSERT INTO def_t VALUES (4, 'dee', 1.0, 'n')")
+    assert(chRun("SELECT up FROM def_t WHERE id = 4").head.getString(0) == "DEE")
+    chRun("DROP TABLE def_t")
+  }
+
+  test("INSERT VALUES with 1000 tuples plans flat (no O(n)-deep union)") {
+    chRun("DROP TABLE IF EXISTS big_vals")
+    chRun("CREATE TABLE big_vals (a Int64, b String) ENGINE = MergeTree ORDER BY a")
+    val values = (1 to 1000).map(i => s"($i, 'v$i')").mkString(", ")
+    chRun(s"INSERT INTO big_vals VALUES $values")
+    val r = chRun("SELECT count() AS c, sum(a) AS s FROM big_vals").head
+    assert((r.getLong(0), r.getLong(1)) == (1000L, 500500L))
+    chRun("DROP TABLE big_vals")
+  }
+
+  test("partition ALTER verbs: DROP/DETACH/ATTACH/MOVE/REPLACE/FREEZE") {
+    chRun("DROP TABLE IF EXISTS pt_a")
+    chRun("DROP TABLE IF EXISTS pt_b")
+    chRun("CREATE TABLE pt_a (k Int64, p String) " +
+      "ENGINE = MergeTree ORDER BY k PARTITION BY p")
+    chRun("INSERT INTO pt_a VALUES (1, 'x'), (2, 'x'), (3, 'y')")
+    // DETACH: rows gone from the table, directory kept under detached/
+    assert(chRun("ALTER TABLE pt_a DETACH PARTITION 'x'")
+      .head.getString(0).contains("detached"))
+    assert(chRun("SELECT count() AS c FROM pt_a").head.getLong(0) == 1)
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    assert(new java.io.File(s"$wh/detached/pt_a/p=x").exists())
+    chRun("ALTER TABLE pt_a ATTACH PARTITION 'x'")
+    assert(chRun("SELECT count() AS c FROM pt_a").head.getLong(0) == 3)
+    assert(!new java.io.File(s"$wh/detached/pt_a/p=x").exists())
+    // MOVE drains the partition into a schema-twin table
+    chRun("CREATE TABLE pt_b (k Int64, p String) " +
+      "ENGINE = MergeTree ORDER BY k PARTITION BY p")
+    chRun("ALTER TABLE pt_a MOVE PARTITION 'y' TO TABLE pt_b")
+    assert(chRun("SELECT count() AS c FROM pt_a").head.getLong(0) == 2)
+    assert(chRun("SELECT k FROM pt_b").map(_.getLong(0)) == Seq(3L))
+    // REPLACE copies back without draining the source
+    chRun("ALTER TABLE pt_a REPLACE PARTITION 'y' FROM pt_b")
+    assert(chRun("SELECT count() AS c FROM pt_a").head.getLong(0) == 3)
+    assert(chRun("SELECT count() AS c FROM pt_b").head.getLong(0) == 1)
+    // FREEZE hard-copies into the shadow backup layout (numbered
+    // increments — the warehouse persists across runs, so any increment)
+    assert(chRun("ALTER TABLE pt_a FREEZE PARTITION 'x'")
+      .head.getString(0).contains("increment"))
+    val shadow = new java.io.File(s"$wh/shadow")
+    assert(shadow.isDirectory && shadow.listFiles.exists(inc =>
+      new java.io.File(inc, "pt_a/p=x").exists()))
+    // DROP PARTITION is a metadata directory delete
+    chRun("ALTER TABLE pt_a DROP PARTITION 'x'")
+    assert(chRun("SELECT count() AS c FROM pt_a").head.getLong(0) == 1)
+    chRun("DROP TABLE pt_a")
+    chRun("DROP TABLE pt_b")
+  }
+
+  test("TTL as text: expired partitions drop on OPTIMIZE, survivors intact") {
+    chRun("DROP TABLE IF EXISTS ttl_t")
+    chRun("CREATE TABLE ttl_t (d Date, v Int64) ENGINE = MergeTree " +
+      "ORDER BY v PARTITION BY d TTL d + INTERVAL 30 DAY")
+    chRun("INSERT INTO ttl_t VALUES (toDate('2000-01-01'), 1), " +
+      "(toDate('2000-01-02'), 2), (toDate('2999-01-01'), 3)")
+    val msg = chRun("OPTIMIZE TABLE ttl_t").head.getString(0)
+    assert(msg.contains("ttl dropped 2 expired partition(s)"), msg)
+    assert(chRun("SELECT v FROM ttl_t").map(_.getLong(0)) == Seq(3L))
+    // REMOVE TTL: the next OPTIMIZE leaves everything in place
+    chRun("ALTER TABLE ttl_t REMOVE TTL")
+    chRun("INSERT INTO ttl_t VALUES (toDate('2000-02-01'), 4)")
+    assert(chRun("SELECT count() AS c FROM ttl_t").head.getLong(0) == 2,
+      "insert after rewriteSwap did not land")
+    assert(!chRun("OPTIMIZE TABLE ttl_t").head.getString(0).contains("ttl dropped"))
+    assert(chRun("SELECT count() AS c FROM ttl_t").head.getLong(0) == 2)
+    // MODIFY TTL re-arms retention
+    chRun("ALTER TABLE ttl_t MODIFY TTL d + INTERVAL 30 DAY")
+    assert(chRun("OPTIMIZE TABLE ttl_t").head.getString(0)
+      .contains("ttl dropped 1 expired partition(s)"))
+    assert(chRun("SELECT v FROM ttl_t").map(_.getLong(0)) == Seq(3L))
+    chRun("DROP TABLE ttl_t")
+  }
+
+  test("skipping index: ADD registers, MATERIALIZE clusters files so " +
+      "row-group/file stats become disjoint; unsupported types refuse") {
+    chRun("DROP TABLE IF EXISTS idx_t")
+    chRun("CREATE TABLE idx_t (k Int64, v Float64) ENGINE = MergeTree ORDER BY k")
+    chRun("INSERT INTO idx_t SELECT number, number * 1.5 FROM numbers(4000)")
+    assert(chRun("ALTER TABLE idx_t ADD INDEX bf v TYPE bloom_filter")
+      .head.getString(0).contains("no Spark twin"))
+    chRun("ALTER TABLE idx_t ADD INDEX iv v TYPE minmax")
+    chRun("ALTER TABLE idx_t MATERIALIZE INDEX iv")
+    // per-file [min,max] of the indexed column must now be disjoint — the
+    // parquet-footer shape that lets a range predicate skip whole parts
+    val files = spark.table("idx_t").inputFiles.toSeq
+    assert(files.size >= 2, s"expected multiple files, got ${files.size}")
+    import org.apache.spark.sql.functions._
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("v"), max("v")).head
+      (r.getDouble(0), r.getDouble(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi < lo,
+        s"file ranges overlap after MATERIALIZE INDEX: $ranges")
+      case _ =>
+    }
+    chRun("ALTER TABLE idx_t DROP INDEX iv")
+    intercept[IllegalArgumentException](
+      chRun("ALTER TABLE idx_t MATERIALIZE INDEX iv"))
+    chRun("DROP TABLE idx_t")
+  }
+
+  test("projection substitution: a covered SELECT scans the materialized " +
+      "projection table, an uncovered one falls through") {
+    def resolve(n: String) =
+      if (spark.catalog.tableExists(n)) graft.chsql.ChDdl.readTable(spark, n)
+      else spark.table(n)
+    chRun("DROP TABLE IF EXISTS proj_t")
+    chRun("CREATE TABLE proj_t (k Int64, g String, x Float64) " +
+      "ENGINE = MergeTree ORDER BY k")
+    chRun("INSERT INTO proj_t SELECT number, " +
+      "if(number % 2 = 0, 'a', 'b'), number * 1.0 FROM numbers(100)")
+    chRun("ALTER TABLE proj_t ADD PROJECTION pg (SELECT g, count() AS n GROUP BY g)")
+    chRun("ALTER TABLE proj_t MATERIALIZE PROJECTION pg")
+    val (df, _) = graft.chsql.ChSql.statement(spark,
+      "SELECT g, count() AS n FROM proj_t GROUP BY g ORDER BY g")(resolve)
+    assert(df.inputFiles.nonEmpty &&
+      df.inputFiles.forall(_.contains("proj_t__proj_pg")),
+      s"expected the projection table scan, got ${df.inputFiles.toSeq}")
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 50L), ("b", 50L)))
+    // an uncovered shape (WHERE on a non-projected column) scans the base
+    val (df2, _) = graft.chsql.ChSql.statement(spark,
+      "SELECT g, count() AS n FROM proj_t WHERE x > 10 GROUP BY g")(resolve)
+    assert(df2.inputFiles.exists(!_.contains("__proj_")))
+    chRun("ALTER TABLE proj_t DROP PROJECTION pg")
+    assert(!spark.catalog.tableExists("proj_t__proj_pg"))
+    chRun("DROP TABLE proj_t")
+  }
 }

@@ -191,6 +191,66 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(plan.collect { case b: BroadcastExchangeExec => b }.nonEmpty)
   }
 
+  test("embedding-LSH hot-bucket cap: an all-equal-bucket input stays bounded") {
+    import spark.implicits._
+    // adversarial corpus: every vector identical → ONE bucket holds all n
+    // rows; uncapped, the self-join would emit n·(n-1)/2 candidate rows
+    val n = 200
+    val degenerate = (0 until n).map(i => (i.toLong, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val uncapped = Similarity.nearDuplicatesLsh(
+      degenerate, "vec_id", "embedding", nPlanes = 8, threshold = 0.9)
+    assert(uncapped.count() == n.toLong * (n - 1) / 2) // the blowup is real
+    val capped = Similarity.nearDuplicatesLsh(
+      degenerate, "vec_id", "embedding", nPlanes = 8, threshold = 0.9,
+      maxBucketSize = 50)
+    assert(capped.count() == 0) // oversize bucket dropped before the join
+    // the sizing pass is aggregate + broadcast anti-join, never a window
+    val plan = capped.queryExecution.executedPlan
+    assert(plan.collect { case w: WindowExec => w }.isEmpty)
+    assert(plan.collect { case b: BroadcastExchangeExec => b }.nonEmpty)
+    // a mixed corpus keeps its small-bucket pairs under the same cap
+    val mixed = degenerate.unionByName(
+      Seq((1000L, Array(9.0f, -1.0f, 0.5f)), (1001L, Array(9.1f, -1.0f, 0.5f)))
+        .toDF("vec_id", "embedding"))
+    val kept = Similarity.nearDuplicatesLsh(
+      mixed, "vec_id", "embedding", nPlanes = 8, threshold = 0.9,
+      maxBucketSize = 50)
+    assert(kept.select("id1", "id2").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq == Seq((1000L, 1001L)))
+  }
+
+  test("partition-scoped ALTER DELETE rewrites only the matched partition's files") {
+    def resolve(n: String) = spark.table(n)
+    def run(s: String) = graft.chsql.ChSql.statement(spark, s)(resolve)._1
+      .collect().toSeq
+    run("DROP TABLE IF EXISTS prune_t")
+    run("CREATE TABLE prune_t (k Int64, p String) " +
+      "ENGINE = MergeTree ORDER BY k PARTITION BY p")
+    run("INSERT INTO prune_t SELECT number, if(number % 2 = 0, 'a', 'b') " +
+      "FROM numbers(100)")
+    val filesB = spark.table("prune_t").inputFiles.filter(_.contains("p=b")).toSet
+    val filesA = spark.table("prune_t").inputFiles.filter(_.contains("p=a")).toSet
+    assert(filesB.nonEmpty && filesA.nonEmpty)
+    val msg = run("ALTER TABLE prune_t DELETE WHERE p = 'a' AND k > 10")
+      .head.getString(0)
+    assert(msg.contains("1 affected partition"), msg)
+    // p=b kept its EXACT physical files — never read, never rewritten;
+    // p=a was rewritten in place (new file identities)
+    val after = spark.table("prune_t").inputFiles
+    assert(after.filter(_.contains("p=b")).toSet == filesB)
+    assert(after.filter(_.contains("p=a")).toSet.intersect(filesA).isEmpty)
+    assert(spark.table("prune_t").count() == 50 + 6) // p=b intact + k<=10 evens
+    // a mutation whose WHERE matches nothing touches nothing
+    assert(run("ALTER TABLE prune_t DELETE WHERE p = 'zzz'")
+      .head.getString(0).contains("no partitions affected"))
+    // emptying a partition drops it instead of leaving a ghost entry
+    run("ALTER TABLE prune_t DELETE WHERE p = 'a'")
+    assert(spark.table("prune_t").inputFiles.forall(!_.contains("p=a")))
+    assert(spark.table("prune_t").count() == 50)
+    run("DROP TABLE prune_t")
+  }
+
   test("carry-forward fill: the only unpartitioned window runs on the broadcast bucket summary") {
     import spark.implicits._
     val daily = Seq(("2024-01-03", Some(5.0)), ("2024-02-20", None),
