@@ -3339,6 +3339,22 @@ object Queries {
       """SELECT id, name, upper_name, score, tag, label
         |FROM ch40_t ORDER BY id""".stripMargin))),
 
+    // the standalone lightweight UPDATE statement (updateStmt,
+    // ClickHouseParser.py:8187-8265) and DELETE FROM with IN PARTITION:
+    // mutations pruned to exactly the named partition's directory —
+    // O(one part), the rest of the table is never read or written
+    "ch42_sql_update_stmt" -> ((s, dir) => chstmts(s, dir, Seq(
+      "DROP TABLE IF EXISTS ch42_t",
+      """CREATE TABLE ch42_t (k Int64, price Float64, flag String)
+        |ENGINE = MergeTree ORDER BY k PARTITION BY flag""".stripMargin,
+      """INSERT INTO ch42_t SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderkey < 4000""".stripMargin,
+      "UPDATE ch42_t SET price = price * 2 IN PARTITION 'F' WHERE k % 3 = 0",
+      "DELETE FROM ch42_t IN PARTITION 'O' WHERE k % 5 = 0",
+      """SELECT flag, count() AS n,
+        |  CAST(sum(CAST(price AS Decimal(18, 2))) AS Float64) AS total
+        |FROM ch42_t GROUP BY flag ORDER BY flag""".stripMargin))),
+
     // projections as substitutable MVs: ADD registers, MATERIALIZE builds
     // the aggregate table, and a SELECT whose shape the projection covers
     // reads the (tiny) materialized table instead of scanning the base
@@ -3537,6 +3553,18 @@ object Queries {
       """SELECT o_orderstatus AS flag, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY flag ORDER BY flag""".stripMargin,
+
+    "ch42_sql_update_stmt" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS flag
+        |  FROM orders WHERE o_orderkey < 4000),
+        |mutated AS (
+        |  SELECT k, flag,
+        |    CASE WHEN flag = 'F' AND k % 3 = 0 THEN price * 2 ELSE price END AS price
+        |  FROM base WHERE NOT (flag = 'O' AND k % 5 = 0))
+        |SELECT flag, count(*) AS n,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM mutated GROUP BY flag ORDER BY flag""".stripMargin,
 
     "ch36_sql_keyword_forms" ->
       """SELECT o_orderkey AS k,

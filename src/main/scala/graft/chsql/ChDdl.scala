@@ -81,8 +81,18 @@ object ChDdl {
   // rewrite the heavy mutation uses, which is the mask's compacted end
   // state)
   private val deleteFromRe =
-    "(?is)^DELETE\\s+FROM\\s+([\\w.]+)\\s+WHERE\\s+(.*)$".r
+    "(?is)^DELETE\\s+FROM\\s+([\\w.]+)\\s+((?:IN|WHERE)\\s+.*)$".r
+  // lightweight UPDATE statement (updateStmt, ClickHouseParser.py:8187-
+  // 8265): UPDATE t SET a = e, ... [IN PARTITION p] WHERE pred — the
+  // standalone twin of ALTER ... UPDATE, same partition-pruned mutation
+  private val updateStmtRe =
+    "(?is)^UPDATE\\s+([\\w.]+)\\s+SET\\s+(.*)$".r
   private val alterRe = "(?is)^ALTER\\s+TABLE\\s+([\\w.]+)\\s+(.*)$".r
+  private val createDbRe =
+    ("(?is)^CREATE\\s+DATABASE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w]+)" +
+      "(?:\\s+ENGINE\\s*=\\s*\\w+)?\\s*$").r
+  private val dropDbRe =
+    "(?is)^DROP\\s+DATABASE\\s+(IF\\s+EXISTS\\s+)?([\\w]+)\\s*$".r
   private val dropRe = "(?is)^DROP\\s+(TABLE|VIEW)\\s+(IF\\s+EXISTS\\s+)?([\\w.]+)\\s*$".r
   private val truncateRe = "(?is)^TRUNCATE\\s+(?:TABLE\\s+)?([\\w.]+)\\s*$".r
   private val renameRe = "(?is)^RENAME\\s+TABLE\\s+(.*)$".r
@@ -249,13 +259,48 @@ object ChDdl {
         appendInto(spark, name, cols, rows)
         Some(status(s"inserted into $name"))
 
-      case deleteFromRe(name, pred) =>
-        rewriteSwap(spark, name)(graft.operators.Mutations.delete(
-          _, ChSql.compileExpr(spark, pred, resolve)))
-        Some(status(s"deleted from $name"))
+      case deleteFromRe(name, rest) =>
+        val (inPart, where) = splitInPartitionWhere(rest)
+        val p = withPartitionScope(spark, name, inPart,
+          ChSql.compileExpr(spark, where, resolve))
+        val scope = mutateWhere(spark, name, p)(
+          graft.operators.Mutations.delete(_, p))
+        Some(status(s"deleted from $name ($scope)"))
+
+      case updateStmtRe(name, rest) =>
+        val (inPart, where) = splitInPartitionWhere(rest)
+        val setEnd = Seq(topKeywordPos(rest, "IN", "PARTITION"),
+          topKeywordPos(rest, "WHERE")).filter(_ >= 0).min
+        val assignments = parseAssignments(spark,
+          rest.substring(0, setEnd), resolve)
+        val p = withPartitionScope(spark, name, inPart,
+          ChSql.compileExpr(spark, where, resolve))
+        val scope = mutateWhere(spark, name, p)(
+          graft.operators.Mutations.update(_, assignments, p))
+        Some(status(s"updated $name (${
+          assignments.map(_._1).mkString(",")}; $scope)"))
 
       case alterRe(name, clause) =>
         Some(alterTable(spark, name, clause.trim, resolve, status))
+
+      case createDbRe(ifNot, name) =>
+        if (Option(ifNot).isDefined && spark.catalog.databaseExists(name))
+          Some(status(s"database $name already exists"))
+        else {
+          spark.sql(s"CREATE DATABASE ${
+            if (Option(ifNot).isDefined) "IF NOT EXISTS " else ""}$name")
+          Some(status(s"database $name created"))
+        }
+
+      case dropDbRe(ifExists, name) =>
+        if (!spark.catalog.databaseExists(name)) {
+          if (Option(ifExists).isEmpty) throw new IllegalArgumentException(
+            s"ChSql: database $name does not exist")
+          Some(status(s"database $name does not exist"))
+        } else {
+          spark.sql(s"DROP DATABASE $name CASCADE")
+          Some(status(s"dropped database $name"))
+        }
 
       case dropRe(kind, ifExists, name) =>
         val inCatalog = spark.catalog.tableExists(name)
@@ -274,7 +319,12 @@ object ChDdl {
           }
           graft.streaming.StreamingOps.dropView(name)
           mvMeta.remove(name)
-          projMeta.keys.filter(_._1 == name).foreach(projMeta.remove)
+          // a table's materialized projections die with it
+          projMeta.keys.filter(_._1 == name).foreach { k =>
+            projMeta.remove(k).foreach(_.projTable
+              .filter(spark.catalog.tableExists)
+              .foreach(t => spark.sql(s"DROP TABLE $t")))
+          }
           Some(status(s"dropped $name"))
         }
 
@@ -647,6 +697,30 @@ object ChDdl {
     val orderBy = clause("ORDER\\s+BY")
     val partitionBy = clause("PARTITION\\s+BY")
     val ttl = ttlClause(tail)
+    // PRIMARY KEY (primaryKeyClause, ClickHouseParser.py:6013-6062): CH
+    // requires it to be a prefix of the sorting key — enforce, then
+    // record; SAMPLE BY (sampleByClause, 6063-6112) arms SAMPLE k/m reads
+    // on this table without a per-query SETTINGS override
+    val primaryKey = clause("PRIMARY\\s+KEY")
+    primaryKey.foreach { pk =>
+      val ob = orderBy.getOrElse(pk)
+      require((ob + ",").replaceAll("\\s", "")
+          .startsWith(pk.replaceAll("\\s", "") + ","),
+        s"ChSql: PRIMARY KEY ($pk) must be a prefix of ORDER BY ($ob)")
+    }
+    val sampleBy = clause("SAMPLE\\s+BY")
+    sampleBy.foreach(sb => require(schema.fieldNames.contains(sb),
+      s"ChSql: SAMPLE BY $sb is not a stored column"))
+    // trailing SETTINGS k = v, ... (engine settingsClause region,
+    // 5807-5962): recorded per-key; splitTop/topLevelEq are token-level
+    val tblSettings: Seq[(String, String)] =
+      "(?is)SETTINGS\\s+(.*)$".r.findFirstMatchIn(tail).toSeq
+        .flatMap(m => splitTop(m.group(1)).map { kv =>
+          val eq = topLevelEq(kv)
+          require(eq > 0, s"ChSql: malformed table SETTING '$kv'")
+          kv.substring(0, eq).trim -> kv.substring(eq + 1).trim.stripPrefix("'")
+            .stripSuffix("'")
+        })
     // ReplacingMergeTree(v): the engine argument is the version column
     val version = if (engine.equalsIgnoreCase("ReplacingMergeTree"))
       Some(engineArgs.trim).filter(_.nonEmpty) else None
@@ -669,6 +743,9 @@ object ChDdl {
       orderBy.map("graft.order_by" -> _) ++
       version.map("graft.version" -> _) ++
       ttl.map("graft.ttl" -> _) ++
+      primaryKey.map("graft.primary_key" -> _) ++
+      sampleBy.map("graft.sample_by" -> _) ++
+      tblSettings.map { case (k, v) => s"graft.setting.$k" -> v } ++
       defs.collect { case d if d.modKind.contains("DEFAULT") =>
         s"graft.default.${d.name}" -> d.modExpr.get } ++
       defs.collect { case d if d.modKind.contains("MATERIALIZED") =>
@@ -879,17 +956,11 @@ object ChDdl {
       val scope = mutateWhere(spark, name, p)(Mutations.delete(_, p))
       status(s"mutation applied to $name (delete; $scope)")
     } else if (up.startsWith("UPDATE")) {
-      val m = "(?is)^UPDATE\\s+(.*)\\s+WHERE\\s+(.*)$".r.findFirstMatchIn(clause)
-        .getOrElse(throw new IllegalArgumentException(
-          "ChSql: ALTER ... UPDATE needs assignments and WHERE"))
-      val assignments = splitTop(m.group(1)).map { a =>
-        val eq = topLevelEq(a)
-        require(eq > 0, s"ChSql: malformed UPDATE assignment '$a'")
-        val c = a.substring(0, eq).trim.stripPrefix("`").stripSuffix("`")
-        val e = a.substring(eq + 1).trim
-        c -> ChSql.compileExpr(spark, e, resolve)
-      }
-      val p = pred(m.group(2))
+      val rest = clause.replaceFirst("(?is)^UPDATE\\s+", "")
+      val w = topKeywordPos(rest, "WHERE")
+      require(w >= 0, "ChSql: ALTER ... UPDATE needs assignments and WHERE")
+      val assignments = parseAssignments(spark, rest.substring(0, w), resolve)
+      val p = pred(rest.substring(w).replaceFirst("(?is)^WHERE\\s+", ""))
       val scope = mutateWhere(spark, name, p)(Mutations.update(_, assignments, p))
       status(s"mutation applied to $name (update ${
         assignments.map(_._1).mkString(",")}; $scope)")
@@ -974,6 +1045,22 @@ object ChDdl {
       val vals = "(?is)^FREEZE\\s+PARTITION\\s+(.*)$".r.findFirstMatchIn(clause)
         .map(m => partitionValues(m.group(1)))
       status(freezePartitions(spark, name, vals))
+    } else if (up.startsWith("MODIFY ORDER BY")) {
+      // the sorting key is engine metadata here (drives FINAL/OPTIMIZE
+      // collapse and sorted writes) — a property update, zero jobs; CH
+      // likewise only re-sorts new parts
+      val k = clause.substring("MODIFY ORDER BY".length).trim
+        .stripPrefix("(").stripSuffix(")").trim
+      require(k.nonEmpty, "ChSql: MODIFY ORDER BY needs a key")
+      spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES (" +
+        s"'graft.order_by'=${sqlLit(k)})")
+      status(s"sorting key of $name set to ($k) (metadata; new parts honor it)")
+    } else if (up.startsWith("MODIFY COMMENT")) {
+      val m = "(?is)^MODIFY\\s+COMMENT\\s+'(.*)'\\s*$".r
+        .findFirstMatchIn(clause).getOrElse(throw new IllegalArgumentException(
+          "ChSql: MODIFY COMMENT needs a string literal"))
+      spark.sql(s"COMMENT ON TABLE $name IS ${sqlLit(m.group(1))}")
+      status(s"comment set on $name (metadata only)")
     } else if (up.startsWith("MODIFY TTL")) {
       val ex = clause.substring("MODIFY TTL".length).trim
       require(ex.nonEmpty, "ChSql: MODIFY TTL needs an expression")
@@ -1266,6 +1353,48 @@ object ChDdl {
 
   // ===================== mutations (partition-pruned) =====================
 
+  /** Split a `[IN PARTITION p] WHERE pred` statement tail (token-level,
+    * so literals containing the keywords cannot misparse) into the
+    * optional partition values and the WHERE text. */
+  private def splitInPartitionWhere(rest: String): (Option[Seq[String]], String) = {
+    val ip = topKeywordPos(rest, "IN", "PARTITION")
+    val w = topKeywordPos(rest, "WHERE")
+    require(w >= 0, "ChSql: mutation needs a WHERE clause")
+    val inPart = if (ip >= 0 && ip < w)
+      Some(partitionValues(rest.substring(ip, w)
+        .replaceFirst("(?is)^IN\\s+PARTITION\\s+", "")))
+    else None
+    (inPart, rest.substring(w).replaceFirst("(?is)^WHERE\\s+", ""))
+  }
+
+  /** AND an `IN PARTITION` restriction into a mutation predicate — the
+    * find phase of [[mutateWhere]] then prunes to exactly that partition's
+    * directory (explicit O(one part), the CH IN PARTITION contract). */
+  private def withPartitionScope(spark: SparkSession, name: String,
+      inPart: Option[Seq[String]], pred: Column): Column =
+    inPart match {
+      case None => pred
+      case Some(vals) =>
+        val pcols = partitionCols(spark, name)
+        require(pcols.nonEmpty, s"ChSql: $name is not partitioned")
+        require(vals.size == pcols.size, s"ChSql: partition value arity " +
+          s"${vals.size} != partition key arity ${pcols.size}")
+        pcols.zip(vals).map { case (c, v) => col(c) === lit(v) }
+          .reduce(_ && _) && pred
+    }
+
+  /** `a = e1, b = e2` assignment list (assignmentExprList,
+    * ClickHouseParser.py:8267+) — shared by ALTER ... UPDATE and the
+    * standalone UPDATE statement. */
+  private def parseAssignments(spark: SparkSession, text: String,
+      resolve: String => DataFrame): Seq[(String, Column)] =
+    splitTop(text).map { a =>
+      val eq = topLevelEq(a)
+      require(eq > 0, s"ChSql: malformed UPDATE assignment '$a'")
+      val c = a.substring(0, eq).trim.stripPrefix("`").stripSuffix("`")
+      c -> ChSql.compileExpr(spark, a.substring(eq + 1).trim, resolve)
+    }
+
   /** Partition-pruned mutation: on a partitioned table, only the
     * partitions the WHERE can touch are rewritten and dynamically
     * overwritten in place — CH's actual O(affected parts) mutation cost;
@@ -1555,6 +1684,14 @@ object ChDdl {
     try tableProps(spark, name)
     catch { case _: Exception => Map.empty }
 
+  /** The table's recorded `SAMPLE BY` column (sampleByClause,
+    * ClickHouseParser.py:6063-6112), if any — lets `SAMPLE k/m` reads
+    * resolve their bucketing key from DDL instead of a per-query
+    * SETTINGS override. */
+  private[chsql] def sampleKey(spark: SparkSession, name: String): Option[String] =
+    if (!spark.catalog.tableExists(name)) None
+    else tablePropsSafe(spark, name).get("graft.sample_by")
+
   // ===================== OPTIMIZE =====================
 
   /** Part-merge compaction; FINAL adds the ReplacingMergeTree collapse
@@ -1618,19 +1755,51 @@ object ChDdl {
 
   // ===================== SHOW CREATE =====================
 
+  /** Reconstruct a re-runnable CREATE TABLE statement: declared column
+    * order (not the catalog's partition-cols-last order), per-column
+    * DEFAULT/MATERIALIZED modifiers, ALIAS columns, engine + sorting key,
+    * PARTITION BY and TTL — everything the DDL layer records. */
   private def showCreate(spark: SparkSession, name: String,
       resolve: String => DataFrame): String = {
+    val inCatalog = spark.catalog.tableExists(name)
     val (schema, props) =
-      if (spark.catalog.tableExists(name))
-        (spark.table(name).schema, tableProps(spark, name))
+      if (inCatalog) (spark.table(name).schema, tablePropsSafe(spark, name))
       else (resolve(name).schema, Map.empty[String, String])
-    val cols = schema.fields.map(f =>
-      s"  ${f.name} ${graft.model.ChTypes.toCh(f.dataType, f.nullable)}")
-      .mkString(",\n")
+    val pcols = if (inCatalog)
+      try partitionCols(spark, name) catch { case _: Exception => Nil }
+      else Nil
+    val declared0 = props.get("graft.columns")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
+    val ordered = (declared0.filter(schema.fieldNames.contains) ++
+      schema.fieldNames.filterNot(declared0.contains)).map(schema(_))
+    def modifier(c: String): String =
+      props.get(s"graft.default.$c").map(e => s" DEFAULT $e")
+        .orElse(props.get(s"graft.materialized.$c").map(e => s" MATERIALIZED $e"))
+        .getOrElse("")
+    val aliasCols = props.keys.filter(_.startsWith("graft.alias."))
+      .map(_.stripPrefix("graft.alias.")).toSeq.sorted
+    val cols = (ordered.map(f =>
+      s"  ${f.name} ${graft.model.ChTypes.toCh(f.dataType, f.nullable)}${
+        modifier(f.name)}") ++
+      aliasCols.map(c => s"  $c ${props.getOrElse(s"graft.aliastype.$c",
+        "String")} ALIAS ${props(s"graft.alias.$c")}")).mkString(",\n")
     val engine = props.getOrElse("graft.engine", "MergeTree")
     val engineArgs = props.get("graft.version").map(v => s"($v)").getOrElse("")
     val orderBy = props.get("graft.order_by").map(k => s"\nORDER BY ($k)").getOrElse("")
-    s"CREATE TABLE $name\n(\n$cols\n)\nENGINE = $engine$engineArgs$orderBy"
+    val partBy = if (pcols.isEmpty) "" else s"\nPARTITION BY (${pcols.mkString(", ")})"
+    val primaryKey = props.get("graft.primary_key")
+      .map(k => s"\nPRIMARY KEY ($k)").getOrElse("")
+    val sampleBy = props.get("graft.sample_by")
+      .map(k => s"\nSAMPLE BY $k").getOrElse("")
+    val ttl = props.get("graft.ttl").map(t => s"\nTTL $t").getOrElse("")
+    val settings = {
+      val kvs = props.keys.filter(_.startsWith("graft.setting."))
+        .toSeq.sorted.map(k =>
+          s"${k.stripPrefix("graft.setting.")} = ${props(k)}")
+      if (kvs.isEmpty) "" else s"\nSETTINGS ${kvs.mkString(", ")}"
+    }
+    s"CREATE TABLE $name\n(\n$cols\n)\nENGINE = $engine$engineArgs$orderBy" +
+      s"$primaryKey$partBy$sampleBy$ttl$settings"
   }
 
   // ===================== ATTACH / DETACH =====================

@@ -1387,11 +1387,15 @@ object ChSql {
     // column comes from SETTINGS graft_sample_key — deterministic bucket
     // filter that pushes to the scan.
     s.sample.foreach { case (k, m) =>
+      // key resolution: per-query SETTINGS override first, then the
+      // table's own SAMPLE BY column recorded at CREATE TABLE time
       val keyName = s.settings.collectFirst {
         case ("graft_sample_key", v) => v
-      }.getOrElse(throw new IllegalArgumentException(
-        "ChSql: SAMPLE requires SETTINGS graft_sample_key = '<integer column>' " +
-          "(parquet tables carry no SAMPLE BY clause)"))
+      }.orElse(s.from.collect { case TableRef(n, _, _) => n }
+        .flatMap(ChDdl.sampleKey(spark, _)))
+        .getOrElse(throw new IllegalArgumentException(
+          "ChSql: SAMPLE needs the table created with SAMPLE BY <col> or " +
+            "SETTINGS graft_sample_key = '<integer column>'"))
       df = graft.operators.ChOps.sampleBuckets(df, col(keyName), k.toInt, m.toInt)
     }
 

@@ -892,6 +892,108 @@ class DdlSurfaceSpec extends AnyFunSuite {
     chRun("DROP TABLE idx_t")
   }
 
+  test("SHOW CREATE TABLE round-trips: the emitted DDL re-runs to the same table") {
+    chRun("DROP TABLE IF EXISTS rt_t")
+    chRun("""CREATE TABLE rt_t (d Date, k Int64, name String,
+      |  score Float64 DEFAULT 1.5,
+      |  up String MATERIALIZED upper(name),
+      |  lbl String ALIAS concat('L:', name))
+      |ENGINE = ReplacingMergeTree(k) ORDER BY k PARTITION BY d
+      |TTL d + INTERVAL 90 DAY""".stripMargin)
+    val ddl = chRun("SHOW CREATE TABLE rt_t").head.getString(0)
+    assert(ddl.contains("DEFAULT 1.5") && ddl.contains("MATERIALIZED upper(name)")
+      && ddl.contains("ALIAS concat('L:', name)") && ddl.contains("PARTITION BY (d)")
+      && ddl.contains("TTL d + INTERVAL 90 DAY")
+      && ddl.contains("ENGINE = ReplacingMergeTree(k)"), ddl)
+    // declared order survives (d first, not partition-cols-last)
+    assert(ddl.indexOf(" d ") < ddl.indexOf(" k "), ddl)
+    val schema1 = spark.table("rt_t").schema
+    chRun("DROP TABLE rt_t")
+    // the emitted DDL is a RE-RUNNABLE statement producing the same table
+    chRun(ddl)
+    assert(spark.table("rt_t").schema == schema1)
+    assert(chRun("SHOW CREATE TABLE rt_t").head.getString(0) == ddl)
+    // the re-created table keeps live semantics: defaults fill, TTL armed
+    chRun("INSERT INTO rt_t (d, k, name) VALUES (toDate('2000-01-01'), 1, 'x')")
+    assert(chRun("OPTIMIZE TABLE rt_t").head.getString(0).contains("ttl dropped 1"))
+    chRun("DROP TABLE rt_t")
+  }
+
+  test("MODIFY ORDER BY / MODIFY COMMENT are metadata verbs") {
+    chRun("DROP TABLE IF EXISTS mo_t")
+    chRun("CREATE TABLE mo_t (a Int64, b Int64) ENGINE = MergeTree ORDER BY a")
+    chRun("ALTER TABLE mo_t MODIFY ORDER BY (a, b)")
+    assert(chRun("SHOW CREATE TABLE mo_t").head.getString(0)
+      .contains("ORDER BY (a, b)"))
+    // SHOW INDEX reflects the new composite sorting key
+    assert(chRun("SHOW INDEX FROM mo_t").map(_.getString(4)) == Seq("a", "b"))
+    chRun("ALTER TABLE mo_t MODIFY COMMENT 'metadata table'")
+    chRun("DROP TABLE mo_t")
+  }
+
+  test("standalone UPDATE / DELETE FROM with IN PARTITION prune to one partition") {
+    chRun("DROP TABLE IF EXISTS up_t")
+    chRun("""CREATE TABLE up_t (k Int64, v Float64, part String)
+      |ENGINE = MergeTree ORDER BY k PARTITION BY part""".stripMargin)
+    chRun("""INSERT INTO up_t VALUES (1, 10.0, 'a'), (2, 20.0, 'a'),
+      |  (3, 30.0, 'b'), (4, 40.0, 'b'), (5, 50.0, 'c')""".stripMargin)
+    // updateStmt (ClickHouseParser.py:8187): assignments + WHERE
+    val st1 = chRun("UPDATE up_t SET v = v + 1 WHERE k = 3").head.getString(0)
+    assert(st1.contains("rewrote 1 affected partition"), st1)
+    // IN PARTITION scopes the mutation even when WHERE alone would match
+    // rows elsewhere — the find phase prunes to that one directory
+    val st2 = chRun("UPDATE up_t SET v = 0 IN PARTITION 'a' WHERE k <= 4")
+      .head.getString(0)
+    assert(st2.contains("rewrote 1 affected partition"), st2)
+    assert(chRun("SELECT CAST(sum(v) AS Int64) AS s FROM up_t").head.getLong(0)
+      == (0 + 0 + 31 + 40 + 50))
+    val st3 = chRun("DELETE FROM up_t IN PARTITION 'b' WHERE v > 35")
+      .head.getString(0)
+    assert(st3.contains("rewrote 1 affected partition"), st3)
+    assert(chRun("SELECT count() AS n FROM up_t").head.getLong(0) == 4)
+    chRun("DROP TABLE up_t")
+  }
+
+  test("CREATE / DROP DATABASE as text statements") {
+    chRun("DROP DATABASE IF EXISTS ch_db1")
+    assert(chRun("CREATE DATABASE ch_db1").head.getString(0)
+      .contains("created"))
+    assert(chRun("CREATE DATABASE IF NOT EXISTS ch_db1").head.getString(0)
+      .contains("already exists"))
+    chRun("CREATE TABLE ch_db1.t1 (k Int64) ENGINE = MergeTree ORDER BY k")
+    chRun("INSERT INTO ch_db1.t1 VALUES (1), (2)")
+    assert(chRun("SELECT count() AS n FROM ch_db1.t1").head.getLong(0) == 2)
+    assert(chRun("DROP DATABASE ch_db1").head.getString(0)
+      .contains("dropped"))
+    assert(!spark.catalog.databaseExists("ch_db1"))
+    assert(chRun("DROP DATABASE IF EXISTS ch_db1").head.getString(0)
+      .contains("does not exist"))
+    intercept[IllegalArgumentException](chRun("DROP DATABASE ch_db1"))
+  }
+
+  test("PRIMARY KEY / SAMPLE BY / SETTINGS engine clauses round-trip; " +
+      "SAMPLE reads resolve the DDL key") {
+    chRun("DROP TABLE IF EXISTS pk_t")
+    chRun("""CREATE TABLE pk_t (k Int64, u Int64, v Float64)
+      |ENGINE = MergeTree PRIMARY KEY k ORDER BY (k, u) SAMPLE BY u
+      |SETTINGS index_granularity = 8192""".stripMargin)
+    val ddl = chRun("SHOW CREATE TABLE pk_t").head.getString(0)
+    assert(ddl.contains("PRIMARY KEY (k)") && ddl.contains("SAMPLE BY u")
+      && ddl.contains("SETTINGS index_granularity = 8192"), ddl)
+    chRun("INSERT INTO pk_t SELECT number, number % 97, number * 1.0 " +
+      "FROM numbers(1000)")
+    // SAMPLE 1/2 uses the recorded SAMPLE BY column — no SETTINGS override
+    val n = chRun("SELECT count() AS n FROM pk_t SAMPLE 1/2").head.getLong(0)
+    assert(n > 300 && n < 700, s"sample count $n")
+    // deterministic: the same bucket filter yields the same rows
+    assert(chRun("SELECT count() AS n FROM pk_t SAMPLE 1/2").head.getLong(0) == n)
+    // PRIMARY KEY must be a prefix of ORDER BY (the CH invariant)
+    intercept[IllegalArgumentException](chRun(
+      "CREATE TABLE pk_bad (a Int64, b Int64) ENGINE = MergeTree " +
+        "PRIMARY KEY b ORDER BY (a, b)"))
+    chRun("DROP TABLE pk_t")
+  }
+
   test("projection substitution: a covered SELECT scans the materialized " +
       "projection table, an uncovered one falls through") {
     def resolve(n: String) =
