@@ -169,10 +169,51 @@ object ChDdl {
   /** Try to dispatch `text` as a DDL/DML statement. None = not a DDL head,
     * caller falls through to the SELECT path. Each Some result is a
     * one-column status frame (or a result frame for SHOW/metadata verbs). */
+  /** Statement heads that may carry an `ON CLUSTER` clause
+    * (clusterClause, ClickHouseParser.py:5461-5530). */
+  private val clusterableHeads = Set("CREATE", "ALTER", "DROP", "RENAME",
+    "TRUNCATE", "ATTACH", "DETACH", "OPTIMIZE", "KILL", "UPDATE", "DELETE")
+
+  /** Drop a top-level `ON CLUSTER <id|'str'>` clause from a DDL head:
+    * cluster-wide execution is the only mode a single engine has, so the
+    * topology name is accepted and discarded (the GLOBAL treatment).
+    * Token-level, and only in the statement header (before any top-level
+    * AS/SELECT), so join conditions on a column named `cluster` and
+    * literals containing the words cannot misparse. */
+  private def stripOnCluster(text: String): String = {
+    if (!text.toUpperCase(java.util.Locale.ROOT).contains("CLUSTER"))
+      return text
+    val head = text.split("\\s+", 2)(0).toUpperCase(java.util.Locale.ROOT)
+    if (!clusterableHeads(head)) return text
+    val toks = try ChSql.lexPos(text) catch { case _: Exception => return text }
+    var depth = 0
+    var i = 0
+    while (i < toks.length) {
+      toks(i) match {
+        case (ChSql.TP("(") | ChSql.TP("["), _, _) => depth += 1
+        case (ChSql.TP(")") | ChSql.TP("]"), _, _) => depth -= 1
+        case (id: ChSql.TId, _, _) if depth == 0 &&
+            (id.up == "AS" || id.up == "SELECT") =>
+          return text // clusterClause lives in the header only
+        case (id: ChSql.TId, b, _) if depth == 0 && id.up == "ON" =>
+          (toks.lift(i + 1), toks.lift(i + 2)) match {
+            case (Some((c: ChSql.TId, _, _)),
+                  Some((ChSql.TId(_) | ChSql.TStr(_), _, e)))
+                if c.up == "CLUSTER" =>
+              return text.substring(0, b) + text.substring(e).dropWhile(_ == ' ')
+            case _ =>
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    text
+  }
+
   def dispatch(spark: SparkSession, text: String)(
       resolve: String => DataFrame): Option[DataFrame] = {
     import spark.implicits._
-    val trimmed = text.trim
+    val trimmed = stripOnCluster(text.trim)
     def status(msg: String): DataFrame = Seq(msg).toDF("status")
 
     trimmed match {

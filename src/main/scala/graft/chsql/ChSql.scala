@@ -1367,9 +1367,54 @@ object ChSql {
             case _ => throw new IllegalArgumentException(
               s"ChSql: $name('path'[, 'Format'])")
           }
+          case "remote" | "remotesecure" | "cluster" | "clusterallreplicas" =>
+            // distribution wrappers (tableFunctionExpr,
+            // ClickHouseParser.py:17027-17087): the first argument is the
+            // address/cluster topology; on the one local "cluster" Spark
+            // local mode is, the table resolves to itself — the topology
+            // argument is a distribution hint, like GLOBAL
+            val parts = args.drop(1).flatMap {
+              case StrLit(s) => s.split("\\.").toSeq
+              case Ident(ps) => ps
+              case other => throw new IllegalArgumentException(
+                s"ChSql: $name(): bad table reference $other")
+            }
+            require(parts.nonEmpty,
+              s"ChSql: $name('topology', [db,] table) needs a table")
+            // resolve db.table, falling back to the bare table name (the
+            // remote db namespace need not exist locally)
+            try resolve(parts.takeRight(2).mkString("."))
+            catch { case e: Exception if parts.length >= 2 =>
+              try resolve(parts.last) catch { case _: Exception => throw e }
+            }
+          case "merge" =>
+            // merge([db,] 'tables_regexp'): the union of every table whose
+            // name matches — one unionByName over the matching scans
+            val (db, re) = args match {
+              case Seq(StrLit(r)) => (spark.catalog.currentDatabase, r)
+              case Seq(StrLit(d), StrLit(r)) => (d, r)
+              case Seq(Ident(Seq(d)), StrLit(r)) => (d, r)
+              case _ => throw new IllegalArgumentException(
+                "ChSql: merge([db,] 'tables_regexp')")
+            }
+            val rx = re.r
+            val names = spark.catalog.listTables(db).collect()
+              .map(_.name).filter(n => rx.findFirstIn(n).isDefined).sorted
+            require(names.nonEmpty,
+              s"ChSql: merge(): no table in $db matches '$re'")
+            names.map(n => resolve(n)).reduce(_.unionByName(_))
+          case "generaterandom" => args match {
+            // deterministic stand-in: n rows × c reproducible pseudo-random
+            // doubles (CH generateRandom is seeded-random over a schema)
+            case Seq(n, c) => TableFunctions.generateRandom(
+              spark, lng(n), lng(c).toInt)
+            case _ => throw new IllegalArgumentException(
+              "ChSql: generateRandom(n_rows, n_cols)")
+          }
           case other => throw new IllegalArgumentException(
-            s"ChSql: unknown table function '$other' " +
-              "(supported: numbers, zeros, one, file, s3, url)")
+            s"ChSql: unknown table function '$other' (supported: numbers, " +
+              "zeros, one, file, s3, url, remote, cluster, merge, " +
+              "generateRandom)")
         }
         alias.fold(df)(a => df.as(a))
     }

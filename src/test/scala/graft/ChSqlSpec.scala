@@ -590,6 +590,31 @@ class ChSqlSpec extends AnyFunSuite {
     assert(j == Seq(Seq(12L)))
   }
 
+  test("remote()/cluster() resolve the table locally; merge() unions by regex; " +
+      "generateRandom is deterministic") {
+    // remote('host:9000', db, table) — the topology argument is a hint;
+    // the single local engine IS the cluster
+    val r = run("SELECT count() AS c FROM remote('host:9000', db, orders)")
+    assert(r == Seq(Seq(6L)))
+    val r2 = run("SELECT count() AS c FROM cluster('main', orders)")
+    assert(r2 == Seq(Seq(6L)))
+    // merge: every catalog table matching the regex, unioned by name
+    spark.sql("DROP TABLE IF EXISTS mrg_a")
+    spark.sql("DROP TABLE IF EXISTS mrg_b")
+    spark.range(3).toDF("k").write.saveAsTable("mrg_a")
+    spark.range(4).toDF("k").write.saveAsTable("mrg_b")
+    val m = ChSql.sql(spark, "SELECT count() AS c FROM merge('^mrg_')")(n =>
+      spark.table(n)).collect().map(_.toSeq).toSeq
+    assert(m == Seq(Seq(7L)))
+    spark.sql("DROP TABLE mrg_a"); spark.sql("DROP TABLE mrg_b")
+    // generateRandom: reproducible pseudo-random columns in [0,1)
+    val g = run("SELECT count() AS c, min(r0) >= 0 AND max(r0) < 1 AS inrange " +
+      "FROM generateRandom(100, 2)")
+    assert(g == Seq(Seq(100L, true)))
+    val g1 = run("SELECT sum(r1) AS s FROM generateRandom(50, 2)")
+    assert(g1 == run("SELECT sum(r1) AS s FROM generateRandom(50, 2)"))
+  }
+
   test("INSERT INTO FUNCTION file(...) writes; FROM file(...) reads it back") {
     val dir = java.nio.file.Files.createTempDirectory("chsql_ins").toString
     val (st, _) = ChSql.statement(spark,

@@ -954,6 +954,37 @@ class DdlSurfaceSpec extends AnyFunSuite {
     chRun("DROP TABLE up_t")
   }
 
+  test("ON CLUSTER is accepted and discarded across the DDL surface") {
+    chRun("DROP TABLE IF EXISTS oc_t")
+    chRun("""CREATE TABLE oc_t ON CLUSTER main (k Int64, part String)
+      |ENGINE = MergeTree ORDER BY k PARTITION BY part""".stripMargin)
+    chRun("INSERT INTO oc_t VALUES (1, 'a'), (2, 'b')")
+    chRun("ALTER TABLE oc_t ON CLUSTER main ADD COLUMN extra Int64")
+    assert(spark.table("oc_t").columns.contains("extra"))
+    chRun("UPDATE oc_t SET k = k + 10 ON CLUSTER main WHERE part = 'a'")
+    assert(chRun("SELECT CAST(sum(k) AS Int64) AS s FROM oc_t")
+      .head.getLong(0) == 13)
+    chRun("TRUNCATE TABLE oc_t ON CLUSTER 'main'")
+    assert(chRun("SELECT count() AS n FROM oc_t").head.getLong(0) == 0)
+    chRun("DROP TABLE oc_t ON CLUSTER main")
+    assert(!spark.catalog.tableExists("oc_t"))
+    // a column NAMED cluster survives: the strip is header-only (stops at
+    // the first top-level AS/SELECT), so CTAS bodies referencing it parse
+    chRun("DROP TABLE IF EXISTS oc_c")
+    chRun("CREATE TABLE oc_c ENGINE = MergeTree ORDER BY cluster AS " +
+      "SELECT number AS cluster FROM numbers(3)")
+    assert(chRun("SELECT CAST(sum(cluster) AS Int64) AS s FROM oc_c")
+      .head.getLong(0) == 3)
+    // CTAS whose body contains a top-level-looking `ON cluster` join
+    // condition: the AS guard leaves it alone
+    chRun("DROP TABLE IF EXISTS oc_d")
+    chRun("CREATE TABLE oc_d ENGINE = MergeTree ORDER BY k AS " +
+      "SELECT a.cluster AS k FROM oc_c AS a INNER JOIN oc_c AS b " +
+      "ON a.cluster = b.cluster")
+    assert(chRun("SELECT count() AS n FROM oc_d").head.getLong(0) == 3)
+    chRun("DROP TABLE oc_c"); chRun("DROP TABLE oc_d")
+  }
+
   test("CREATE / DROP DATABASE as text statements") {
     chRun("DROP DATABASE IF EXISTS ch_db1")
     assert(chRun("CREATE DATABASE ch_db1").head.getString(0)
