@@ -99,7 +99,7 @@ object ChDdl {
   private val useRe = "(?is)^USE\\s+([\\w]+)\\s*$".r
   private val optimizeRe =
     ("(?is)^OPTIMIZE\\s+TABLE\\s+([\\w.]+)" +
-      "(\\s+FINAL)?(\\s+DEDUPLICATE)?\\s*$").r
+      "(?:\\s+PARTITION\\s+(.+?))?(\\s+FINAL)?(\\s+DEDUPLICATE)?\\s*$").r
   private val showCreateRe =
     "(?is)^SHOW\\s+CREATE\\s+(?:TABLE\\s+|VIEW\\s+)?([\\w.]+)\\s*$".r
   // dictionary DDL (dictionaryStmt — CREATE DICTIONARY name (schema)
@@ -388,8 +388,9 @@ object ChDdl {
         spark.sql(s"USE $db")
         Some(status(s"using $db"))
 
-      case optimizeRe(name, fin, dedup) =>
+      case optimizeRe(name, partOrNull, fin, dedup) =>
         Some(optimizeTable(spark, name,
+          Option(partOrNull).map(partitionValues),
           Option(fin).isDefined, Option(dedup).isDefined, status))
 
       // ---- showStmt family (order: multi-word SHOW CREATE forms must
@@ -1046,11 +1047,68 @@ object ChDdl {
       rewriteSwap(spark, name)(Mutations.renameColumn(_, m.group(1), m.group(2)))
       status(s"renamed column ${m.group(1)} to ${m.group(2)} in $name")
     } else if (up.startsWith("MODIFY COLUMN")) {
-      val m = "(?is)^MODIFY\\s+COLUMN\\s+(\\w+)\\s+(.*)$".r
+      val m = "(?is)^MODIFY\\s+COLUMN\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)\\s+(.*)$".r
         .findFirstMatchIn(clause).get
-      val dt = graft.model.ChTypes.toSpark(m.group(2).trim)
-      rewriteSwap(spark, name)(Mutations.modifyColumnType(_, m.group(1), dt))
-      status(s"modified column ${m.group(1)} in $name")
+      val (c, rest) = (m.group(1), m.group(2).trim)
+      val restUp = rest.toUpperCase(java.util.Locale.ROOT)
+      val removeRe = ("(?is)^REMOVE\\s+(DEFAULT|MATERIALIZED|ALIAS|CODEC|" +
+        "COMMENT|TTL)\\s*$").r
+      if (restUp.startsWith("REMOVE")) {
+        // MODIFY COLUMN c REMOVE prop (AlterTableClauseModifyRemove,
+        // ClickHouseParser.py:2294-2323): the column expressions live as
+        // graft.* properties — unset is metadata-only, zero jobs
+        val kind = removeRe.findFirstMatchIn(rest).getOrElse(
+          throw new IllegalArgumentException(
+            s"ChSql: MODIFY COLUMN REMOVE expects DEFAULT|MATERIALIZED|" +
+              s"ALIAS|CODEC|COMMENT|TTL, got '$rest'"))
+          .group(1).toLowerCase(java.util.Locale.ROOT)
+        kind match {
+          case "comment" =>
+            spark.sql(s"ALTER TABLE $name ALTER COLUMN $c COMMENT ''")
+          case "codec" | "ttl" => // accepted-and-ignored at CREATE too
+          case "alias" =>
+            Seq(s"graft.alias.$c", s"graft.aliastype.$c").foreach(k =>
+              spark.sql(s"ALTER TABLE $name UNSET TBLPROPERTIES " +
+                s"IF EXISTS (${sqlLit(k)})"))
+          case k =>
+            spark.sql(s"ALTER TABLE $name UNSET TBLPROPERTIES IF EXISTS (" +
+              s"${sqlLit(s"graft.$k.$c")})")
+        }
+        status(s"removed $kind from column $c of $name (metadata only)")
+      } else if (restUp.startsWith("CODEC")) {
+        // column CODEC has no Spark twin (parquet picks its own encoding)
+        // — same accepted-and-ignored contract as the CREATE TABLE path
+        status(s"codec of $c accepted (parquet chooses physical encoding)")
+      } else {
+        val dt = graft.model.ChTypes.toSpark(rest)
+        rewriteSwap(spark, name)(Mutations.modifyColumnType(_, c, dt))
+        status(s"modified column $c in $name")
+      }
+    } else if (up.startsWith("CLEAR INDEX")) {
+      // CLEAR INDEX IN PARTITION (AlterTableClauseClearIndex, 2665-2694):
+      // our "index" IS the data clustering + parquet footer stats — there
+      // is no side file to clear; MATERIALIZE INDEX rebuilds clustering
+      val idx = "(?is)^CLEAR\\s+INDEX\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)".r
+        .findFirstMatchIn(clause).map(_.group(1)).getOrElse("?")
+      status(s"index $idx stats live in parquet footers; nothing to clear " +
+        s"(MATERIALIZE INDEX $idx re-clusters)")
+    } else if (up.startsWith("CLEAR PROJECTION")) {
+      // CLEAR PROJECTION [IN PARTITION] (AlterTableClauseClearProjection,
+      // 2264-2293): cleared parts need a rebuild — drop the materialized
+      // table, keep the registration; substitution stops until the next
+      // MATERIALIZE PROJECTION
+      val p = "(?is)^CLEAR\\s+PROJECTION\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)".r
+        .findFirstMatchIn(clause).map(_.group(1)).getOrElse(
+          throw new IllegalArgumentException(
+            "ChSql: CLEAR PROJECTION needs a name"))
+      projMeta.get((name, p)) match {
+        case None => status(s"no projection $p on $name")
+        case Some(meta) =>
+          meta.projTable.filter(spark.catalog.tableExists)
+            .foreach(t => spark.sql(s"DROP TABLE $t"))
+          projMeta.put((name, p), meta.copy(projTable = None, outCols = Nil))
+          status(s"cleared projection $p of $name (re-MATERIALIZE to rebuild)")
+      }
     } else if (up.startsWith("COMMENT COLUMN")) {
       // pure catalog metadata in both engines — zero-job ALTER COLUMN
       val m = "(?is)^COMMENT\\s+COLUMN\\s+(\\w+)\\s+'(.*)'$".r
@@ -1740,13 +1798,16 @@ object ChDdl {
     * to a bounded file count — at 100 TB this is the standard maintenance
     * job that keeps scan-side file-open overhead sane. */
   private def optimizeTable(spark: SparkSession, name: String,
-      fin: Boolean, dedup: Boolean, status: String => DataFrame): DataFrame = {
+      partVals: Option[Seq[String]], fin: Boolean, dedup: Boolean,
+      status: String => DataFrame): DataFrame = {
     val props = tableProps(spark, name)
     // TTL applies on merges in CH; here the merge is OPTIMIZE. Run it
     // FIRST so expired data is dropped by metadata, never rewritten.
-    val ttlNote = applyTtlNow(spark, name, props)
+    // A partition-scoped OPTIMIZE merges only that partition — TTL too.
+    val ttlNote =
+      if (partVals.isEmpty) applyTtlNow(spark, name, props) else None
     val targetFiles = math.max(1, spark.sparkContext.defaultParallelism / 4)
-    rewriteSwap(spark, name) { df0 =>
+    def transform(df0: DataFrame): DataFrame = {
       val df1 = if (dedup) df0.dropDuplicates() else df0
       val df2 = if (!fin) df1 else (props.get("graft.order_by"), props.get("graft.version")) match {
         case (Some(keys), Some(v)) =>
@@ -1756,8 +1817,22 @@ object ChDdl {
       }
       df2.coalesce(targetFiles)
     }
+    val scopeNote = partVals match {
+      case Some(vals) =>
+        // OPTIMIZE ... PARTITION p (optimizeStmt, ClickHouseParser.py:
+        // 8366-8462): merge exactly one partition — the pruned-mutation
+        // path reads and dynamically overwrites only its directory,
+        // CH's per-partition merge cost
+        val scope = mutateWhere(spark, name,
+          withPartitionScope(spark, name, Some(vals), lit(true)))(transform)
+        s" partition (${vals.mkString(", ")}) — $scope"
+      case None =>
+        rewriteSwap(spark, name)(transform)
+        ""
+    }
     status(s"optimized $name" + (if (fin) " final" else "") +
-      (if (dedup) " deduplicate" else "") + ttlNote.fold("")("; " + _))
+      (if (dedup) " deduplicate" else "") + scopeNote +
+      ttlNote.fold("")("; " + _))
   }
 
   /** Apply the table's recorded TTL (`graft.ttl`), if any:

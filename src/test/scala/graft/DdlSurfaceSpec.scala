@@ -954,6 +954,51 @@ class DdlSurfaceSpec extends AnyFunSuite {
     chRun("DROP TABLE up_t")
   }
 
+  test("OPTIMIZE TABLE ... PARTITION merges only that partition") {
+    chRun("DROP TABLE IF EXISTS op_t")
+    chRun("""CREATE TABLE op_t (k Int64, v Int64, part String)
+      |ENGINE = ReplacingMergeTree(v) ORDER BY k PARTITION BY part""".stripMargin)
+    chRun("INSERT INTO op_t VALUES (1, 1, 'a'), (1, 2, 'a'), (2, 1, 'b'), (2, 2, 'b')")
+    val st = chRun("OPTIMIZE TABLE op_t PARTITION 'a' FINAL").head.getString(0)
+    assert(st.contains("rewrote 1 affected partition"), st)
+    // partition a collapsed to its max-version row; b untouched
+    assert(chRun("SELECT count() AS n FROM op_t WHERE part = 'a'")
+      .head.getLong(0) == 1)
+    assert(chRun("SELECT count() AS n FROM op_t WHERE part = 'b'")
+      .head.getLong(0) == 2)
+    chRun("DROP TABLE op_t")
+  }
+
+  test("MODIFY COLUMN REMOVE / CODEC are metadata verbs; CLEAR INDEX/PROJECTION") {
+    chRun("DROP TABLE IF EXISTS mc_t")
+    chRun("""CREATE TABLE mc_t (id Int64, name String,
+      |  score Float64 DEFAULT 2.5)
+      |ENGINE = MergeTree ORDER BY id""".stripMargin)
+    chRun("INSERT INTO mc_t (id, name) VALUES (1, 'x')")
+    assert(chRun("SELECT score FROM mc_t").head.getDouble(0) == 2.5)
+    chRun("ALTER TABLE mc_t MODIFY COLUMN score REMOVE DEFAULT")
+    // default gone: subsequent short INSERTs fill NULL
+    chRun("INSERT INTO mc_t (id, name) VALUES (2, 'y')")
+    assert(chRun("SELECT score FROM mc_t WHERE id = 2").head.isNullAt(0))
+    assert(!chRun("SHOW CREATE TABLE mc_t").head.getString(0)
+      .contains("DEFAULT"))
+    assert(chRun("ALTER TABLE mc_t MODIFY COLUMN name CODEC(ZSTD(3))")
+      .head.getString(0).contains("codec"))
+    assert(chRun("ALTER TABLE mc_t CLEAR INDEX i1 IN PARTITION tuple()")
+      .head.getString(0).contains("nothing to clear"))
+    chRun("DROP TABLE mc_t")
+    // CLEAR PROJECTION drops the materialized table, keeps registration
+    chRun("DROP TABLE IF EXISTS cp_t")
+    chRun("CREATE TABLE cp_t ENGINE = MergeTree ORDER BY k AS " +
+      "SELECT number AS k, number % 3 AS g FROM numbers(30)")
+    chRun("ALTER TABLE cp_t ADD PROJECTION pg (SELECT g, count() AS n GROUP BY g)")
+    chRun("ALTER TABLE cp_t MATERIALIZE PROJECTION pg")
+    chRun("ALTER TABLE cp_t CLEAR PROJECTION pg")
+    // still registered (MATERIALIZE works again), but not substituted now
+    chRun("ALTER TABLE cp_t MATERIALIZE PROJECTION pg")
+    chRun("DROP TABLE cp_t")
+  }
+
   test("ON CLUSTER is accepted and discarded across the DDL surface") {
     chRun("DROP TABLE IF EXISTS oc_t")
     chRun("""CREATE TABLE oc_t ON CLUSTER main (k Int64, part String)
