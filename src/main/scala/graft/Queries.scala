@@ -821,6 +821,26 @@ object Queries {
           .as("j"))
         .orderBy("doc_id")),
 
+    // PII scrubbing: plant deterministic emails/phones, redact them with
+    // chained native regexp_replace — row-local, codegen'd, zero UDFs
+    "t10_pii_scrub" -> ((s, dir) =>
+      tbl(s, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id"), TextAnalysis.scrubPii(concat(col("text"),
+            lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-"),
+            col("doc_id"))).as("scrubbed"))
+        .orderBy("doc_id")),
+
+    // benchmark decontamination: docs sharing any word 4-gram with the
+    // (broadcast) benchmark set doc_id < 20 — eval-leakage guard; the
+    // corpus side never shuffles
+    "t11_decontaminate" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      TextAnalysis.decontaminate(
+          d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20),
+          "doc_id", "text", 4)
+        .orderBy("doc_id")
+    }),
+
     // full MinHash+LSH near-dup pipeline: plant near-dups, sign, band,
     // bucket-join candidates, verify with exact Jaccard
     "t5_lsh_dedup" -> ((s, dir) => {
@@ -914,6 +934,24 @@ object Queries {
     "t2_fingerprint" ->
       s"""SELECT doc_id, ${sqlCharFold("text")} AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t10_pii_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(
+        |    text || ' contact user' || doc_id || '@example.com or +1-555-' || doc_id,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\+?[0-9]{1,3}-[0-9]{3}-[0-9]+', '[PHONE]', 'g') AS scrubbed
+        |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin,
+
+    "t11_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |idx AS (SELECT doc_id, ws,
+        |  unnest(range(1, greatest(len(ws) - 3, 0) + 1)) AS i FROM t),
+        |sh AS (SELECT doc_id, array_to_string(ws[i:i+3], ' ') AS s FROM idx),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20)
+        |SELECT sh.doc_id, count(DISTINCT sh.s) AS n_shared
+        |FROM sh JOIN bench USING (s) WHERE sh.doc_id >= 20
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
 
     "t3_minhash_sig" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -149,4 +149,53 @@ object TextAnalysis {
     * (portable) — pair with Dedup.minhashSignature for locality-sensitive
     * fingerprints. */
   def fingerprint(text: Column): Column = PortableHash.charFold(text)
+
+  // ===================== PII scrubbing =====================
+
+  /** Email/phone patterns, deliberately simple and portable (same
+    * semantics in Java regex and RE2) — the patterns ARE the spec, shared
+    * with the SQL oracle. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9]{1,3}-[0-9]{3}-[0-9]+"
+
+  /** PII scrubbing: redact email addresses and phone numbers in place.
+    * Two chained native `regexp_replace`s — row-local, codegen'd, zero
+    * UDFs; at 100 TB this runs at scan speed with nothing to shuffle. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "[EMAIL]"),
+      PhoneRe, "[PHONE]")
+
+  // ===================== benchmark decontamination =====================
+
+  /** Word n-gram shingles of `textCol`, one output row per shingle.
+    * Native sequence/slice/array_join — row-local, no UDF. */
+  private def shingleRows(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    val ws = split(col(textCol), " ")
+    df.select(col(idCol), ws.as("__ws"))
+      .withColumn("__i", explode(
+        when(size(col("__ws")) >= n,
+          sequence(lit(1), size(col("__ws")) - (n - 1)))
+          .otherwise(array())))
+      .select(col(idCol),
+        array_join(slice(col("__ws"), col("__i"), lit(n)), " ").as("shingle"))
+  }
+
+  /** Benchmark decontamination (the eval-leakage guard every training
+    * pipeline needs): flag corpus documents sharing any word n-gram with
+    * the benchmark set. The benchmark side is tiny by definition (eval
+    * suites), so its distinct shingles BROADCAST — the 100 TB corpus is
+    * never shuffled; the probe is a map-side broadcast semi-join at scan
+    * speed. Returns (id, n_shared) per contaminated document. */
+  def decontaminate(corpus: org.apache.spark.sql.DataFrame,
+      benchmark: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    val bench = shingleRows(benchmark, idCol, textCol, n)
+      .select("shingle").distinct()
+    shingleRows(corpus, idCol, textCol, n)
+      .join(broadcast(bench), "shingle")
+      .groupBy(idCol)
+      .agg(countDistinct("shingle").as("n_shared"))
+  }
 }
