@@ -841,6 +841,14 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style repetition signal: duplicate word-3-gram fraction per
+    // doc — single-row array arithmetic, codegen'd
+    "t12_repetition" -> ((s, dir) =>
+      tbl(s, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id"),
+          round(TextAnalysis.dupNgramRatio(col("text"), 3), 6).as("dup3"))
+        .orderBy("doc_id")),
+
     // full MinHash+LSH near-dup pipeline: plant near-dups, sign, band,
     // bucket-join candidates, verify with exact Jaccard
     "t5_lsh_dedup" -> ((s, dir) => {
@@ -942,6 +950,18 @@ object Queries {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
         |    '\+?[0-9]{1,3}-[0-9]{3}-[0-9]+', '[PHONE]', 'g') AS scrubbed
         |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin,
+
+    "t12_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE doc_id < 500),
+        |s AS (SELECT doc_id,
+        |  list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+        |    i -> array_to_string(ws[i:i+2], ' ')) AS sh,
+        |  greatest(len(ws) - 2, 0) AS total FROM t)
+        |SELECT doc_id, round(CASE WHEN total > 0
+        |  THEN (total - len(list_distinct(sh))) * 1.0 / total
+        |  ELSE 0 END, 6) AS dup3
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "t11_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -48,7 +48,8 @@ object ChDdl {
   // body is cut out by token-level paren matching (matchParenEnd), so a
   // DEFAULT string literal containing `) ENGINE =` cannot misparse
   private val createTableHeadRe =
-    "(?is)^CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)\\s*(\\(.*)$".r
+    ("(?is)^CREATE\\s+(TEMPORARY\\s+)?TABLE\\s+" +
+      "(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)\\s*(\\(.*)$").r
   // CREATE MATERIALIZED VIEW name [TO target] [POPULATE] AS SELECT
   // (ClickHouseParser.py:4085-4133); LIVE VIEW (livе-view kind) rides
   // the same registry with complete-mode refresh semantics
@@ -64,7 +65,8 @@ object ChDdl {
   // CTAS (createTableStmt subquery form, 4136-4183): no column list —
   // the schema comes from the SELECT
   private val ctasRe =
-    ("(?is)^CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)\\s*" +
+    ("(?is)^CREATE\\s+(TEMPORARY\\s+)?TABLE\\s+" +
+      "(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)\\s*" +
       "(?:ENGINE\\s*=\\s*(\\w+)\\s*(?:\\(([^)]*)\\))?\\s*)?" +
       "((?:ORDER|PARTITION)\\s+BY\\s+[^;]*?)?\\s*AS\\s+" +
       "((?:SELECT|WITH)\\s+.*)$").r
@@ -225,7 +227,7 @@ object ChDdl {
       case watchRe(name) =>
         Some(watchView(spark, name, resolve))
 
-      case createTableHeadRe(ifNot, name, rest) =>
+      case createTableHeadRe(tmp, ifNot, name, rest) =>
         // cut the column list out with token-level paren matching, then
         // split the tail into engine clauses and an optional AS SELECT
         val end = matchParenEnd(rest)
@@ -242,15 +244,42 @@ object ChDdl {
           case engRe(e, a, more) => (e, Option(a).getOrElse(""), more)
           case other => ("MergeTree", "", other) // ENGINE defaulted
         }
-        val preExisting = spark.catalog.tableExists(name)
-        val created = createTable(spark, Option(ifNot).isDefined, name,
-          colsText, engine, engineArgs, clauses, status)
+        // TEMPORARY tables are Memory-engine by default (createTableStmt
+        // TEMPORARY, ClickHouseParser.py:4136-4183); ENGINE = Memory is
+        // the RAM-resident table either way
+        val isMem = Option(tmp).isDefined || engine.equalsIgnoreCase("Memory")
+        val preExisting = if (isMem) memTables.contains(name)
+          else spark.catalog.tableExists(name)
+        val created =
+          if (isMem) createMemoryTable(spark, Option(ifNot).isDefined, name,
+            colsText, Option(tmp).isDefined, status)
+          else createTable(spark, Option(ifNot).isDefined, name,
+            colsText, engine, engineArgs, clauses, status)
         if (!(Option(ifNot).isDefined && preExisting))
           asSelect.foreach(sel =>
             appendInto(spark, name, Nil, ChSql.sql(spark, sel)(resolve)))
         Some(created)
 
-      case ctasRe(ifNot, name, engineOrNull, engineArgsOrNull, tailOrNull, sel) =>
+      case ctasRe(tmp, ifNot, name, engineOrNull, engineArgsOrNull, tailOrNull,
+          sel) if Option(tmp).isDefined ||
+            Option(engineOrNull).exists(_.equalsIgnoreCase("Memory")) =>
+        // TEMPORARY / Memory-engine CTAS: evaluate and hold in RAM
+        if (Option(ifNot).isDefined && memTables.contains(name))
+          Some(status(s"table $name already exists"))
+        else {
+          require(!memTables.contains(name),
+            s"ChSql: table $name already exists")
+          val df = ChSql.sql(spark, sel)(resolve)
+          val mt = MemTable(org.apache.spark.sql.types.StructType(
+              df.schema.fields.map(_.copy(nullable = true))),
+            scala.collection.mutable.ArrayBuffer.empty, Option(tmp).isDefined)
+          memTables.put(name, mt)
+          memAppend(spark, name, mt, Nil, df)
+          Some(status(s"table $name created from select (${
+            if (Option(tmp).isDefined) "temporary, " else ""}Memory engine)"))
+        }
+
+      case ctasRe(_, ifNot, name, engineOrNull, engineArgsOrNull, tailOrNull, sel) =>
         if (Option(ifNot).isDefined && spark.catalog.tableExists(name))
           Some(status(s"table $name already exists"))
         else {
@@ -343,6 +372,11 @@ object ChDdl {
           Some(status(s"dropped database $name"))
         }
 
+      case dropRe(kind, ifExists, name) if memTables.contains(name) =>
+        memTables.remove(name)
+        spark.catalog.dropTempView(name)
+        Some(status(s"dropped $name"))
+
       case dropRe(kind, ifExists, name) =>
         val inCatalog = spark.catalog.tableExists(name)
         val isMv = mvMeta.contains(name)
@@ -368,6 +402,12 @@ object ChDdl {
           }
           Some(status(s"dropped $name"))
         }
+
+      case truncateRe(name) if memTables.contains(name) =>
+        val mt = memTables(name)
+        mt.rows.clear()
+        refreshMemView(spark, name, mt)
+        Some(status(s"truncated $name"))
 
       case truncateRe(name) =>
         spark.sql(s"TRUNCATE TABLE $name")
@@ -599,6 +639,88 @@ object ChDdl {
 
       case _ => None
     }
+  }
+
+  // ===================== Memory engine / TEMPORARY tables ==============
+
+  /** A Memory-engine table (`ENGINE = Memory`, and every `CREATE
+    * TEMPORARY TABLE` — engineClause default, ClickHouseParser.py:
+    * 4136-4183): RAM-resident rows, exactly CH's model where a Memory
+    * table lives unpartitioned in the server's RAM. Reads go through a
+    * temp view refreshed on every mutation, so the whole SELECT surface
+    * (joins, DESCRIBE, SHOW, EXISTS) works unchanged. Bounded by
+    * [[MemRowCap]] — a Memory table is small by contract; the honest
+    * error beats silently spilling what CH would never spill. */
+  private final case class MemTable(
+      schema: org.apache.spark.sql.types.StructType,
+      rows: scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row],
+      temporary: Boolean)
+  private val memTables =
+    scala.collection.concurrent.TrieMap.empty[String, MemTable]
+  private val MemRowCap = 4 << 20 // ~4M rows
+
+  private def refreshMemView(spark: SparkSession, name: String,
+      mt: MemTable): Unit = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(mt.rows.toList.asJava, mt.schema)
+      .createOrReplaceTempView(name)
+  }
+
+  private def createMemoryTable(spark: SparkSession, ifNotExists: Boolean,
+      name: String, colsText: String, temporary: Boolean,
+      status: String => DataFrame): DataFrame = {
+    if (memTables.contains(name)) {
+      if (ifNotExists) return status(s"table $name already exists")
+      throw new IllegalArgumentException(s"ChSql: table $name already exists")
+    }
+    val defs = splitTop(colsText).map(parseColDef)
+    require(defs.forall(_.modKind.isEmpty),
+      "ChSql: Memory/TEMPORARY tables take plain typed columns " +
+        "(no DEFAULT/MATERIALIZED/ALIAS)")
+    val schema0 = graft.model.ChTypes.toSparkSchema(
+      defs.map(d => s"${d.name} ${d.chType.getOrElse(
+        throw new IllegalArgumentException(
+          s"ChSql: column ${d.name} needs a type"))}").mkString(", "))
+    // storage-side nullability matches the parquet tables (short INSERTs
+    // fill NULL even into CH non-Nullable columns there too)
+    val schema = org.apache.spark.sql.types.StructType(
+      schema0.fields.map(_.copy(nullable = true)))
+    val mt = MemTable(schema,
+      scala.collection.mutable.ArrayBuffer.empty, temporary)
+    memTables.put(name, mt)
+    refreshMemView(spark, name, mt)
+    status(s"table $name created (${if (temporary) "temporary, " else ""}" +
+      "Memory engine)")
+  }
+
+  /** INSERT into a Memory table: align, evaluate, append, refresh view. */
+  private def memAppend(spark: SparkSession, name: String, mt: MemTable,
+      cols: Seq[String], rows: DataFrame): Unit = {
+    val target = mt.schema
+    val src = rows.columns
+    val provided: Map[String, Int] =
+      if (cols.nonEmpty) {
+        val unknown = cols.filterNot(target.fieldNames.contains)
+        require(unknown.isEmpty, s"ChSql: INSERT INTO $name: no such " +
+          s"column(s) ${unknown.mkString(", ")}")
+        require(cols.size == src.length, s"ChSql: INSERT column list has " +
+          s"${cols.size} names but the data has ${src.length} columns")
+        cols.zipWithIndex.toMap
+      } else {
+        require(target.size == src.length, s"ChSql: table $name takes " +
+          s"${target.size} columns but the data has ${src.length}")
+        target.fieldNames.zipWithIndex.toMap
+      }
+    val aligned = rows.select(target.fields.map(f =>
+      provided.get(f.name)
+        .map(i => col(src(i)).cast(f.dataType).as(f.name))
+        .getOrElse(lit(null).cast(f.dataType).as(f.name))).toSeq: _*)
+    val fresh = aligned.collect()
+    require(mt.rows.size + fresh.length <= MemRowCap,
+      s"ChSql: Memory table $name would exceed $MemRowCap rows — " +
+        "use a MergeTree (parquet) table for data at scale")
+    mt.rows ++= fresh
+    refreshMemView(spark, name, mt)
   }
 
   // ===================== MATERIALIZED / LIVE VIEW =====================
@@ -880,6 +1002,10 @@ object ChDdl {
     * explicitly and are excluded from positional arity (CH's contract). */
   private def appendInto(spark: SparkSession, name: String,
       cols: Seq[String], rows: DataFrame): Unit = {
+    memTables.get(name).foreach { mt =>
+      memAppend(spark, name, mt, cols, rows)
+      return
+    }
     require(spark.catalog.tableExists(name),
       s"ChSql: INSERT INTO unknown table '$name' (CREATE TABLE it first)")
     val target = spark.table(name).schema
@@ -1877,6 +2003,13 @@ object ChDdl {
     * PARTITION BY and TTL — everything the DDL layer records. */
   private def showCreate(spark: SparkSession, name: String,
       resolve: String => DataFrame): String = {
+    memTables.get(name).foreach { mt =>
+      val cols = mt.schema.fields.map(f =>
+        s"  ${f.name} ${graft.model.ChTypes.toCh(f.dataType, f.nullable)}")
+        .mkString(",\n")
+      return s"CREATE ${if (mt.temporary) "TEMPORARY " else ""}TABLE $name" +
+        s"\n(\n$cols\n)\nENGINE = Memory"
+    }
     val inCatalog = spark.catalog.tableExists(name)
     val (schema, props) =
       if (inCatalog) (spark.table(name).schema, tablePropsSafe(spark, name))

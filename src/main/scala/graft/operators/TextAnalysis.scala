@@ -166,6 +166,21 @@ object TextAnalysis {
       regexp_replace(text, EmailRe, "[EMAIL]"),
       PhoneRe, "[PHONE]")
 
+  /** Duplicate n-gram fraction (the Gopher-style repetition quality
+    * signal): 1 - distinct/total word n-grams. Pure array arithmetic on
+    * one row — codegen'd, no shuffle, no UDF. */
+  def dupNgramRatio(text: Column, n: Int): Column = {
+    val ws = split(text, " ")
+    val total = greatest(size(ws) - (n - 1), lit(0))
+    val sh = when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => array_join(slice(ws, i, lit(n)), " ")))
+      .otherwise(array())
+    when(total > 0,
+      (total - size(array_distinct(sh))).cast("double") / total)
+      .otherwise(lit(0.0))
+  }
+
   // ===================== benchmark decontamination =====================
 
   /** Word n-gram shingles of `textCol`, one output row per shingle.

@@ -954,6 +954,35 @@ class DdlSurfaceSpec extends AnyFunSuite {
     chRun("DROP TABLE up_t")
   }
 
+  test("Memory engine and CREATE TEMPORARY TABLE: RAM-resident DML round-trip") {
+    chRun("DROP TABLE IF EXISTS mem_t")
+    chRun("CREATE TABLE mem_t (k Int64, name String) ENGINE = Memory")
+    assert(chRun("SHOW CREATE TABLE mem_t").head.getString(0)
+      .contains("ENGINE = Memory"))
+    chRun("INSERT INTO mem_t VALUES (1, 'a'), (2, 'b')")
+    chRun("INSERT INTO mem_t (k) VALUES (3)")
+    assert(chRun("SELECT count() AS n FROM mem_t").head.getLong(0) == 3)
+    assert(chRun("SELECT name FROM mem_t WHERE k = 3").head.isNullAt(0))
+    // memory tables join against anything through the view surface
+    assert(chRun("SELECT count() AS n FROM mem_t AS m INNER JOIN numbers(10) " +
+      "AS r ON m.k = r.number").head.getLong(0) == 3)
+    chRun("TRUNCATE TABLE mem_t")
+    assert(chRun("SELECT count() AS n FROM mem_t").head.getLong(0) == 0)
+    chRun("DROP TABLE mem_t")
+    // TEMPORARY defaults to Memory; CTAS form holds the result in RAM
+    chRun("CREATE TEMPORARY TABLE tmp_t (k Int64) ")
+    chRun("INSERT INTO tmp_t SELECT number FROM numbers(5)")
+    assert(chRun("SELECT CAST(sum(k) AS Int64) AS s FROM tmp_t")
+      .head.getLong(0) == 10)
+    assert(chRun("SHOW CREATE TABLE tmp_t").head.getString(0)
+      .contains("TEMPORARY"))
+    chRun("DROP TABLE tmp_t")
+    chRun("CREATE TEMPORARY TABLE tmp_c AS SELECT number AS n FROM numbers(4)")
+    assert(chRun("SELECT count() AS c FROM tmp_c").head.getLong(0) == 4)
+    chRun("DROP TABLE tmp_c")
+    assert(!spark.catalog.tableExists("tmp_c"))
+  }
+
   test("OPTIMIZE TABLE ... PARTITION merges only that partition") {
     chRun("DROP TABLE IF EXISTS op_t")
     chRun("""CREATE TABLE op_t (k Int64, v Int64, part String)
