@@ -1139,7 +1139,16 @@ object ChDdl {
       // as a graft.default property for future INSERTs.
       val m = ("(?is)^ADD\\s+COLUMN\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
         "(\\w+)\\s+(.*)$").r.findFirstMatchIn(clause).get
-      val d = parseColDef(s"${m.group(1)} ${m.group(2).trim}")
+      // optional position clause (AlterTableClauseAddColumn AFTER,
+      // ClickHouseParser.py:2896-2960): placement is declared-order
+      // metadata — the physical parquet schema appends, positional
+      // INSERT and SHOW CREATE follow graft.columns
+      val posRe = "(?is)^(.*?)\\s+(?:AFTER\\s+(\\w+)|(FIRST))\\s*$".r
+      val (defText, afterCol, isFirst) = m.group(2).trim match {
+        case posRe(d0, a, f) => (d0, Option(a), Option(f).isDefined)
+        case other => (other, None, false)
+      }
+      val d = parseColDef(s"${m.group(1)} $defText")
       require(!d.modKind.contains("ALIAS"), // ALIAS add = property only
         "ChSql: ADD COLUMN ... ALIAS: use CREATE TABLE ALIAS columns")
       val dt = graft.model.ChTypes.toSpark(d.chType.getOrElse(
@@ -1154,6 +1163,22 @@ object ChDdl {
             else "default"
           spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES (" +
             s"${sqlLit(s"graft.$kind.${d.name}")}=${sqlLit(ex)})")
+        }
+        if (afterCol.nonEmpty || isFirst) {
+          val props = tablePropsSafe(spark, name)
+          val cur = props.get("graft.columns")
+            .map(_.split(",").map(_.trim).toSeq)
+            .getOrElse(spark.table(name).columns.toSeq)
+            .filterNot(_ == d.name)
+          val ordered = afterCol match {
+            case Some(a) =>
+              require(cur.contains(a),
+                s"ChSql: ADD COLUMN AFTER $a: no such column in $name")
+              cur.flatMap(c => if (c == a) Seq(c, d.name) else Seq(c))
+            case None => d.name +: cur
+          }
+          spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES (" +
+            s"'graft.columns'=${sqlLit(ordered.mkString(","))})")
         }
         status(s"added column ${d.name} to $name (metadata only)")
       }

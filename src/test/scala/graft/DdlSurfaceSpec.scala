@@ -760,6 +760,23 @@ class DdlSurfaceSpec extends AnyFunSuite {
     chRun("DROP TABLE meta_t")
   }
 
+  test("ADD COLUMN AFTER/FIRST places the column in declared order") {
+    chRun("DROP TABLE IF EXISTS pos_t")
+    chRun("CREATE TABLE pos_t (a Int64, b String) ENGINE = MergeTree ORDER BY a")
+    chRun("ALTER TABLE pos_t ADD COLUMN c Int64 AFTER a")
+    chRun("ALTER TABLE pos_t ADD COLUMN z Int64 FIRST")
+    val ddl = chRun("SHOW CREATE TABLE pos_t").head.getString(0)
+    val order = Seq("z", "a", "c", "b").map(c => ddl.indexOf(s"  $c "))
+    assert(order == order.sorted && order.forall(_ >= 0), ddl)
+    // positional INSERT follows the declared order (z, a, c, b)
+    chRun("INSERT INTO pos_t VALUES (0, 1, 2, 'x')")
+    val r = chRun("SELECT z, a, c, b FROM pos_t").head
+    assert(r.getLong(0) == 0 && r.getLong(1) == 1 && r.getLong(2) == 2
+      && r.getString(3) == "x")
+    intercept[Exception](chRun("ALTER TABLE pos_t ADD COLUMN w Int64 AFTER nope"))
+    chRun("DROP TABLE pos_t")
+  }
+
   test("column DEFAULT/MATERIALIZED/ALIAS: INSERT fills, ALIAS projects, " +
       "adversarial literals cannot misparse the schema") {
     chRun("DROP TABLE IF EXISTS def_t")

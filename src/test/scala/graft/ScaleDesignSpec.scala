@@ -427,6 +427,26 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(nodes < 2000, s"langId expression tree blew up: $nodes nodes")
   }
 
+  test("decontaminate probes via broadcast: the corpus side never shuffles") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.operators.TextAnalysis.decontaminate(
+        docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+        "doc_id", "text", 4)
+      .queryExecution.executedPlan
+    val bhj = plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty, s"expected a broadcast probe join:\n$plan")
+    // the STREAMED (corpus) side reaches the probe without any exchange —
+    // the only shuffles are the tiny benchmark distinct and the per-doc
+    // count of joined hits, both negligible next to a 100 TB corpus scan
+    val streamed = bhj.head.children(
+      if (bhj.head.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildRight) 0 else 1)
+    val corpusShuffles = streamed.collect { case s: ShuffleExchangeExec => s }
+    assert(corpusShuffles.isEmpty,
+      s"corpus side shuffled before the probe:\n$streamed")
+  }
+
   test("pointer-doubling closure: 40-hop chain closes within the default 10 rounds") {
     import spark.implicits._
     // frontier propagation needs 40 rounds (one per hop); matrix squaring
