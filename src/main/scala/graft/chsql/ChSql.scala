@@ -458,7 +458,10 @@ object ChSql {
         IntervalE(nTok, unit)
       case t: TId if t.up == "NOT" => pos += 1; NotE(parseNot())
       case t: TId =>
-        if (Reserved.contains(t.up) && t.up != "LEFT" && t.up != "RIGHT")
+        // LEFT/RIGHT are string functions, ANY the aggregate — all three
+        // double as join keywords; a following '(' disambiguates
+        if (Reserved.contains(t.up) && t.up != "LEFT" && t.up != "RIGHT" &&
+            !(t.up == "ANY" && toks(pos + 1) == TP("(")))
           fail(s"unexpected keyword ${t.s} in expression")
         pos += 1
         if (isP("(")) parseCallAfterName(t.s)
@@ -1503,14 +1506,30 @@ object ChSql {
       }
       d
     }
-    s.prewhere.foreach(e => df = applyFilter(df, e))
-    s.where.foreach(e => df = applyFilter(df, e))
+    // CH scope rules allow select aliases inside WHERE/PREWHERE
+    // (`SELECT k*2 AS k2 ... WHERE k2 > 10`). Source columns win on a
+    // name clash (no exception → no substitution); otherwise materialize
+    // the missing aliases, filter, and drop them again.
+    val preAlias: Map[String, Expr] =
+      s.items.collect { case SelectItem(e, Some(a)) => a -> e }.toMap
+    def applyFilterAliased(d0: DataFrame, e: Expr): DataFrame =
+      try applyFilter(d0, e)
+      catch {
+        case ex: org.apache.spark.sql.AnalysisException =>
+          val missing = preAlias.keys.toSeq.filterNot(d0.columns.contains)
+          if (missing.isEmpty) throw ex
+          val d1 = missing.foldLeft(d0)((d, a) =>
+            d.withColumn(a, tr(preAlias(a))))
+          applyFilter(d1, e).drop(missing: _*)
+      }
+    s.prewhere.foreach(e => df = applyFilterAliased(df, e))
+    s.where.foreach(e => df = applyFilterAliased(df, e))
 
     // expand `* EXCEPT/APPLY` and `COLUMNS('re')` against the (post-join,
     // post-filter) input schema — after this, downstream classification
     // sees only ordinary items. CH regex match is partial (find), and an
     // APPLY wraps every expanded column in the named function.
-    val items: Seq[SelectItem] = s.items.flatMap {
+    val items0: Seq[SelectItem] = s.items.flatMap {
       case SelectItem(StarMod(reOpt, exc, ap), _) =>
         val base = reOpt match {
           case Some(re) =>
@@ -1528,6 +1547,25 @@ object ChSql {
               Some(s"${fn}_$c")))
         }
       case other => Seq(other)
+    }
+
+    // arrayJoin(expr) as a select-list FUNCTION (the row-expanding twin
+    // of the ARRAY JOIN clause, parsed as a plain ColumnExprFunction):
+    // explode the argument into a hidden column. Identical arguments
+    // expand in lockstep (one explode), distinct arguments nest — CH's
+    // multiple-arrayJoin semantics.
+    var ajHidden = Map.empty[Expr, String]
+    val items: Seq[SelectItem] = items0.map {
+      case SelectItem(FuncCall(fn, Nil, Seq(arg), false), alias)
+          if fn.equalsIgnoreCase("arrayJoin") =>
+        val h = ajHidden.getOrElse(arg, {
+          val nm = s"__ajf${ajHidden.size}"
+          df = df.withColumn(nm, explode(tr(arg)))
+          ajHidden += arg -> nm
+          nm
+        })
+        SelectItem(Ident(Seq(h)), alias.orElse(Some("arrayJoin")))
+      case other => other
     }
 
     // resolve select-alias references inside GROUP BY/ORDER BY (CH allows
@@ -2298,6 +2336,46 @@ object ChSql {
         case "tofloat32" => a(0).cast(FloatType)
         case "tofloat64" => a(0).cast(DoubleType)
         case "tostring" => a(0).cast(StringType)
+        case "formatreadablesize" | "formatreadablequantity" =>
+          // binary-size / quantity pretty-printer — pure column
+          // arithmetic (log-scale unit pick + format_string)
+          val (units, base) =
+            if (nm == "formatreadablesize")
+              (Seq(" B", " KiB", " MiB", " GiB", " TiB", " PiB", " EiB"), 1024.0)
+            else (Seq("", " thousand", " million", " billion", " trillion",
+              " quadrillion"), 1000.0)
+          val x = a(0).cast("double")
+          val e = least(
+            when(abs(x) < base, lit(0.0))
+              .otherwise(floor(log(base, abs(x)))),
+            lit((units.size - 1).toDouble)).cast("int")
+          concat(
+            format_string("%.2f", x / pow(lit(base), e.cast("double"))),
+            element_at(array(units.map(lit): _*), e + 1))
+        case "bar" =>
+          // bar(x, min, max, width): CH's eighth-block bar chart
+          val width = intArg(f.args(3))
+          val v0 = lit(width.toDouble) * (a(0).cast("double") - a(1)) /
+            (a(2).cast("double") - a(1))
+          val v = greatest(least(v0, lit(width.toDouble)), lit(0.0))
+          val full = floor(v).cast("int")
+          val frac8 = floor((v - floor(v)) * 8).cast("int")
+          val eighths = Seq("", "▏", "▎", "▍", "▌",
+            "▋", "▊", "▉")
+          concat(lit("█" * width).substr(lit(1), full),
+            element_at(array(eighths.map(lit): _*), frac8 + 1))
+        case "transform" if f.args.size == 4 =>
+          // transform(x, [from...], [to...], default): literal mapping —
+          // a folded when-chain, codegen'd
+          (f.args(1), f.args(2)) match {
+            case (ArrayLit(fs), ArrayLit(ts)) if fs.size == ts.size =>
+              fs.zip(ts).foldRight(t(f.args(3))) { case ((fe, te), acc) =>
+                when(a(0) === t(fe), t(te)).otherwise(acc)
+              }
+            case _ => throw new IllegalArgumentException(
+              "ChSql: transform(x, [from...], [to...], default) needs " +
+                "literal arrays of equal length")
+          }
         case "todate" => to_date(a(0))
         case "todatetime" => a(0).cast(TimestampType)
 
@@ -2321,6 +2399,30 @@ object ChSql {
         case "tostartofday" => date_trunc("day", a(0))
         case "tostartofhour" => date_trunc("hour", a(0))
         case "tostartofminute" => date_trunc("minute", a(0))
+        case "tostartofinterval" =>
+          // toStartOfInterval(t, INTERVAL n unit): floor to the n-unit
+          // grid — fixed-length units via epoch arithmetic, calendar
+          // units (n=1) via date_trunc
+          val (n, unit) = f.args(1) match {
+            case IntervalE(NumLit(v), u) => (v.toLong, u.toLowerCase)
+            case _ => throw new IllegalArgumentException(
+              "ChSql: toStartOfInterval needs INTERVAL <n> <unit>")
+          }
+          val fixed = Map("second" -> 1L, "minute" -> 60L, "hour" -> 3600L,
+            "day" -> 86400L)
+          fixed.get(unit) match {
+            case Some(s) =>
+              val step = n * s
+              timestamp_seconds(
+                floor(unix_timestamp(a(0)) / lit(step)).cast("long") * step)
+            case None if n == 1 &&
+                Set("week", "month", "quarter", "year")(unit) =>
+              date_trunc(unit, a(0))
+            case None => throw new IllegalArgumentException(
+              s"ChSql: toStartOfInterval: INTERVAL $n $unit is not a fixed" +
+                "-length grid (supported: n×second/minute/hour/day, " +
+                "1 week/month/quarter/year)")
+          }
         case "toyyyymm" => date_format(a(0), "yyyyMM").cast(IntegerType)
         case "toyyyymmdd" => date_format(a(0), "yyyyMMdd").cast(IntegerType)
         case "adddays" => date_add(a(0), a(1))
@@ -2486,6 +2588,16 @@ object ChSql {
         case "todecimal128" => a(0).cast(DecimalType(38, intArg(f.args(1))))
 
         // ---- array mutation family ----
+        case "arraysort" | "arrayreversesort" if f.args.size == 2 &&
+            f.args.head.isInstanceOf[LambdaE] =>
+          // arraySort(k -> key, arr): sort by the key function — lift to
+          // (key, value) structs, array_sort's natural struct order sorts
+          // by the first field, then strip back to values
+          val lam = f.args.head.asInstanceOf[LambdaE]
+          val sorted = sort_array(transform(a(1), x => struct(
+            translate(lam.body, env + (lam.params.head -> x)).as("k"),
+            x.as("v"))), asc = nm == "arraysort")
+          transform(sorted, s => s.getField("v"))
         case "arrayreversesort" => sort_array(a(0), asc = false)
         case "arraypushback" => concat(a(0), array(a(1)))
         case "arraypushfront" => concat(array(a(1)), a(0))

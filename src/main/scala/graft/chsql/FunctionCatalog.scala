@@ -23,7 +23,7 @@ object FunctionCatalog {
     "arraypopfront", "arraypushback", "arraypushfront", "arrayreverse",
     "arrayreversesort", "arrayslice", "arraysort", "arraystringconcat",
     "arraysum", "arrayuniq", "arrayzip", "asin", "assumenotnull", "atan",
-    "atan2", "avg", "avgif", "avgweighted", "base64decode",
+    "atan2", "avg", "avgif", "avgweighted", "bar", "base64decode",
     "base64encode", "bitand", "bitcount", "bitor", "bitshiftleft",
     "bitshiftright", "bittest", "bitxor", "cbrt", "ceil", "ceiling",
     "char_length", "character_length", "ciphash64", "coalesce", "concat",
@@ -33,7 +33,8 @@ object FunctionCatalog {
     "dictget", "dictgetordefault", "dicthas", "divide", "domain", "e",
     "editdistance", "empty", "emptyarraytosingle", "endswith", "exp",
     "exp10", "exp2", "expm1", "extract", "extracturlparameter",
-    "first_value", "flatten", "floor", "formatdatetime", "frombase64",
+    "first_value", "flatten", "floor", "formatdatetime",
+    "formatreadablequantity", "formatreadablesize", "frombase64",
     "fromunixtimestamp", "generateuuidv4", "greatest", "grouparray",
     "groupbitand", "groupbitor", "groupbitxor", "groupuniqarray", "has",
     "hasany", "hex", "if", "ifnull", "indexof", "intdiv", "intdivorzero",
@@ -61,10 +62,10 @@ object FunctionCatalog {
     "todecimal64", "tofloat32", "tofloat64", "tohour", "toint16",
     "toint32", "toint64", "toint8", "toisoweek", "tolastdayofmonth",
     "tominute", "tomonday", "tomonth", "topk", "toquarter", "tosecond",
-    "tostartofday", "tostartofhour", "tostartofminute", "tostartofmonth",
+    "tostartofday", "tostartofhour", "tostartofinterval", "tostartofminute", "tostartofmonth",
     "tostartofquarter", "tostartofweek", "tostartofyear", "tostring",
     "touint16", "touint32", "touint64", "touint8", "tounixtimestamp",
-    "toyear", "toyyyymm", "toyyyymmdd", "trim", "trimboth", "trimleft",
+    "toyear", "toyyyymm", "toyyyymmdd", "transform", "trim", "trimboth", "trimleft",
     "trimright", "tuple", "tupleelement", "ucase", "unhex", "uniq",
     "uniqcombined", "uniqexact", "uniqhll12", "uniqupto", "upper",
     "upperutf8", "varpop", "varsamp", "windowfunnel", "xxhash64", "year")

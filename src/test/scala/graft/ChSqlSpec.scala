@@ -590,6 +590,43 @@ class ChSqlSpec extends AnyFunSuite {
     assert(j == Seq(Seq(12L)))
   }
 
+  test("select aliases resolve inside WHERE/PREWHERE (CH scope rules)") {
+    val r = run("SELECT okey * 2 AS k2 FROM orders WHERE k2 > 10 ORDER BY k2")
+    assert(r.map(_.head) == Seq(12L))
+    // source column wins on a name clash: price here is the source column
+    val r2 = run("SELECT price / 100 AS price FROM orders WHERE price > 400 ORDER BY price")
+    assert(r2.map(_.head) == Seq(5.0))
+  }
+
+  test("arrayJoin() as a select-list function expands rows; identical args " +
+      "expand in lockstep") {
+    val r = run("SELECT arrayJoin([1, 2, 3]) AS x ORDER BY x")
+    assert(r.map(_.head) == Seq(1, 2, 3))
+    val r2 = run("SELECT arrayJoin([10, 20]) AS a, arrayJoin([10, 20]) AS b ORDER BY a")
+    assert(r2 == Seq(Seq(10, 10), Seq(20, 20))) // lockstep, not cartesian
+    val r3 = run("SELECT okey, arrayJoin([1, 2]) AS t FROM orders WHERE okey = 1 ORDER BY t")
+    assert(r3 == Seq(Seq(1L, 1), Seq(1L, 2)))
+  }
+
+  test("any/anyLast aggregates; toStartOfInterval grids; arraySort by key; " +
+      "transform mapping; readable formats; bar") {
+    val r = run("SELECT any(okey) IS NOT NULL AS a FROM orders")
+    assert(r == Seq(Seq(true)))
+    val g = run("SELECT toStartOfInterval(toDateTime('2024-03-15 10:23:45'), " +
+      "INTERVAL 15 MINUTE) AS t")
+    assert(g.head.head.toString == "2024-03-15 10:15:00.0")
+    val s = run("SELECT arraySort(x -> -x, [3, 1, 2]) AS s")
+    assert(s.head.head.asInstanceOf[scala.collection.Seq[_]].toSeq == Seq(3, 2, 1))
+    val m = run("SELECT transform(2, [1, 2, 3], ['a', 'b', 'c'], 'x') AS t, " +
+      "transform(9, [1, 2], ['a', 'b'], 'x') AS d")
+    assert(m == Seq(Seq("b", "x")))
+    val f = run("SELECT formatReadableSize(1536) AS s, " +
+      "formatReadableQuantity(1234567) AS q")
+    assert(f == Seq(Seq("1.50 KiB", "1.23 million")))
+    val b = run("SELECT bar(5, 0, 10, 10) AS b, length(bar(10, 0, 10, 10)) AS l")
+    assert(b.head.head == "█" * 5 && b.head(1) == 10)
+  }
+
   test("remote()/cluster() resolve the table locally; merge() unions by regex; " +
       "generateRandom is deterministic") {
     // remote('host:9000', db, table) — the topology argument is a hint;
