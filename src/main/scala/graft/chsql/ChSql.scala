@@ -1058,7 +1058,10 @@ object ChSql {
     "stddevpop", "stddevsamp", "varpop", "varsamp", "corr", "covarpop",
     "covarsamp", "avgweighted", "topk", "groupbitand", "groupbitor",
     "groupbitxor", "skewpop", "kurtpop", "summap", "sequencematch",
-    "sequencecount", "uniqupto", "windowfunnel", "retention")
+    "sequencecount", "uniqupto", "windowfunnel", "retention",
+    "sumarray", "minarray", "maxarray", "avgarray", "countarray",
+    "uniqarray", "grouparrayarray", "quantiletiming", "quantilestiming",
+    "quantiletdigest", "quantilestdigest", "quantilebfloat16")
 
   private def isAggName(name: String): Boolean = {
     val n = name.toLowerCase
@@ -2146,6 +2149,27 @@ object ChSql {
 
     /** CH function name (case-insensitive) → Spark Column. Every mapping
       * is a codegen'd builtin — no UDFs anywhere in the translator. */
+    /** AST-level "this expression is an array" check, for CH's
+      * string/array-polymorphic functions (length/empty/notEmpty).
+      * Identifier arguments can't be typed without a schema and default
+      * to the string form. */
+    private def returnsArray(e: Expr): Boolean = e match {
+      case ArrayLit(_) => true
+      case FuncCall(n, _, _, _) =>
+        val l = n.toLowerCase
+        l.startsWith("emptyarray") ||
+          Set("arraymap", "arrayfilter", "arraysort", "arrayreversesort",
+            "arrayconcat", "arrayslice", "arrayresize", "arraydistinct",
+            "arrayreverse", "arraycompact", "arraycumsum",
+            "arraydifference", "arrayenumerate", "arrayintersect",
+            "arraypushback", "arraypushfront", "arraypopback",
+            "arraypopfront", "arrayzip", "arrayflatten", "range",
+            "splitbychar", "splitbystring", "extractall", "grouparray",
+            "groupuniqarray", "grouparrayarray", "quantiles",
+            "quantilestiming", "quantilestdigest", "array")(l)
+      case _ => false
+    }
+
     private def funcCall(f: FuncCall, env: Map[String, Column]): Column = {
       def t(x: Expr): Column = translate(x, env)
       def a(i: Int): Column = t(f.args(i))
@@ -2209,12 +2233,33 @@ object ChSql {
         case "uniq" | "uniqexact" | "uniqcombined" | "uniqhll12" =>
           countDistinct(a(0), f.args.tail.map(t): _*)
         case "grouparray" =>
-          if (f.distinct) collect_set(a(0)) else collect_list(a(0))
+          val base = if (f.distinct) collect_set(a(0)) else collect_list(a(0))
+          // parametric groupArray(n)(x): keep at most n elements
+          if (f.params.nonEmpty) slice(base, 1, paramD(0).toInt) else base
         case "groupuniqarray" => collect_set(a(0))
+        // ---- the -Array combinator (agg over all elements of all rows'
+        // arrays); the common members get direct arms like the -If five
+        case "sumarray" => sum(t(FuncCall("arraySum", Nil, Seq(f.args.head))))
+        case "minarray" => min(t(FuncCall("arrayMin", Nil, Seq(f.args.head))))
+        case "maxarray" => max(t(FuncCall("arrayMax", Nil, Seq(f.args.head))))
+        case "avgarray" =>
+          sum(t(FuncCall("arraySum", Nil, Seq(f.args.head)))) / sum(size(a(0)))
+        case "countarray" => sum(size(a(0))).cast("long")
+        case "uniqarray" =>
+          size(array_distinct(flatten(collect_list(a(0))))).cast("long")
+        case "grouparrayarray" => flatten(collect_list(a(0)))
         case "quantile" | "quantileexact" =>
           percentile(a(0), lit(if (f.params.nonEmpty) paramD(0) else 0.5))
         case "quantiles" =>
           percentile(a(0), array(f.params.indices.map(i => lit(paramD(i))): _*))
+        // timing/t-digest/bfloat16 tiers: the honest Spark twin is the
+        // GK-sketch percentile_approx (approximate, mergeable, bounded)
+        case "quantiletiming" | "quantiletdigest" | "quantilebfloat16" =>
+          percentile_approx(a(0),
+            lit(if (f.params.nonEmpty) paramD(0) else 0.5), lit(10000))
+        case "quantilestiming" | "quantilestdigest" =>
+          percentile_approx(a(0),
+            array(f.params.indices.map(i => lit(paramD(i))): _*), lit(10000))
         case "median" => percentile(a(0), lit(0.5))
         case "stddevpop" => stddev_pop(a(0))
         case "stddevsamp" => stddev_samp(a(0))
@@ -2336,6 +2381,8 @@ object ChSql {
         case "tofloat32" => a(0).cast(FloatType)
         case "tofloat64" => a(0).cast(DoubleType)
         case "tostring" => a(0).cast(StringType)
+        case "tofixedstring" => // pad to width with NUL bytes, as CH does
+          rpad(a(0).cast(StringType), intArg(f.args(1)), "\u0000")
         case "formatreadablesize" | "formatreadablequantity" =>
           // binary-size / quantity pretty-printer — pure column
           // arithmetic (log-scale unit pick + format_string)
@@ -2443,7 +2490,10 @@ object ChSql {
 
         // ---- strings ----
         case "length" | "lengthutf8" | "char_length" | "character_length" =>
-          length(a(0))
+          // CH length() is polymorphic over strings AND arrays; the AST
+          // tells arrays apart for literals and array-returning functions
+          // (identifier arguments default to string length)
+          if (returnsArray(f.args.head)) size(a(0)) else length(a(0))
         case "lower" | "lowerutf8" | "lcase" => lower(a(0))
         case "upper" | "upperutf8" | "ucase" => upper(a(0))
         case "substringutf8" =>
@@ -2481,8 +2531,10 @@ object ChSql {
         case "extract" => regexp_extract(a(0), litStr("extract", f.args(1)), 0)
         case "splitbychar" | "splitbystring" =>
           split(a(1), java.util.regex.Pattern.quote(litStr("splitByChar", f.args(0))))
-        case "empty" => length(a(0)) === 0
-        case "notempty" => length(a(0)) > 0
+        case "empty" =>
+          (if (returnsArray(f.args.head)) size(a(0)) else length(a(0))) === 0
+        case "notempty" =>
+          (if (returnsArray(f.args.head)) size(a(0)) else length(a(0))) > 0
         case "leftpad" | "lpad" => lpad(a(0), intArg(f.args(1)), strArg(f.args(2)))
         case "rightpad" | "rpad" => rpad(a(0), intArg(f.args(1)), strArg(f.args(2)))
         case "repeat" => repeat(a(0), intArg(f.args(1)))
@@ -2541,7 +2593,7 @@ object ChSql {
         case "md5" => md5(a(0).cast(BinaryType))
         case "sha256" => sha2(a(0).cast(BinaryType), 256)
         case "xxhash64" => xxhash64(a(0))
-        case "ciphash64" | "siphash64" => xxhash64(a(0)) // documented stand-in
+        case "cityhash64" | "siphash64" => xxhash64(a(0)) // documented stand-in
 
         // ---- map / struct ----
         case "mapkeys" => map_keys(a(0))
@@ -2660,6 +2712,26 @@ object ChSql {
         case "arraydistinct" => array_distinct(a(0))
         case "arrayconcat" => concat(f.args.map(t): _*)
         case "arrayuniq" => size(array_distinct(a(0)))
+        case "countequal" => size(filter(a(0), x => x === a(1)))
+        case "arrayresize" =>
+          // arrayResize(arr, n[, fill]): truncate or pad to exactly n
+          val n = t(f.args(1)).cast("int")
+          val fill = if (f.args.size >= 3) t(f.args(2))
+            else get(a(0), lit(Int.MaxValue)) // element-typed NULL
+          val padded = concat(a(0),
+            array_repeat(fill, greatest(n - size(a(0)), lit(0))))
+          slice(padded, lit(1), n)
+        case "totypename" =>
+          // toTypeName(x): CH type-name introspection — typeof() mapped
+          // through the canonical Spark→CH name table
+          val sparkToCh = Seq("tinyint" -> "Int8", "smallint" -> "Int16",
+            "int" -> "Int32", "bigint" -> "Int64", "float" -> "Float32",
+            "double" -> "Float64", "string" -> "String", "date" -> "Date",
+            "timestamp" -> "DateTime", "boolean" -> "Bool")
+          val tf = call_function("typeof", a(0))
+          sparkToCh.foldRight(tf: Column) { case ((sp, ch), acc) =>
+            when(tf === sp, lit(ch)).otherwise(acc)
+          }
         case "has" => array_contains(a(0), t(f.args(1)))
         case "hasany" => arrays_overlap(a(0), a(1))
         case "indexof" => array_position(a(0), t(f.args(1)))
@@ -2731,6 +2803,19 @@ object ChSql {
           // a (sorted keys, sums) tuple addressable as .1 / .2
           graft.plans.SumMapAgg.sumMap(a(0), a(1))
         case "countdistinct" => countDistinct(a(0), f.args.tail.map(t): _*)
+        case n2 if n2.startsWith("emptyarray") && f.args.isEmpty =>
+          // emptyArray<Type>() constructors — typed empty array literals
+          val chName = Map(
+            "uint8" -> "UInt8", "uint16" -> "UInt16", "uint32" -> "UInt32",
+            "uint64" -> "UInt64", "int8" -> "Int8", "int16" -> "Int16",
+            "int32" -> "Int32", "int64" -> "Int64", "float32" -> "Float32",
+            "float64" -> "Float64", "string" -> "String", "date" -> "Date",
+            "datetime" -> "DateTime").getOrElse(
+              n2.stripPrefix("emptyarray"),
+              throw new IllegalArgumentException(
+                s"ChSql: unknown function ${f.name}"))
+          array().cast(org.apache.spark.sql.types.ArrayType(
+            graft.model.ChTypes.toSpark(chName)))
         case other =>
           throw new IllegalArgumentException(s"ChSql: unknown function $other")
       }

@@ -21,13 +21,14 @@ object FunctionCatalog {
     "arrayfilter", "arrayfirst", "arrayflatten", "arrayintersect",
     "arraylast", "arraymap", "arraymax", "arraymin", "arraypopback",
     "arraypopfront", "arraypushback", "arraypushfront", "arrayreverse",
-    "arrayreversesort", "arrayslice", "arraysort", "arraystringconcat",
-    "arraysum", "arrayuniq", "arrayzip", "asin", "assumenotnull", "atan",
+    "arrayresize", "arrayreversesort", "arrayslice", "arraysort", "arraystringconcat",
+    "arraysum", "arrayuniq", "arrayzip", "avgarray", "uniqarray", "asin", "assumenotnull", "atan",
     "atan2", "avg", "avgif", "avgweighted", "bar", "base64decode",
     "base64encode", "bitand", "bitcount", "bitor", "bitshiftleft",
     "bitshiftright", "bittest", "bitxor", "cbrt", "ceil", "ceiling",
-    "char_length", "character_length", "ciphash64", "coalesce", "concat",
-    "corr", "cos", "cosh", "count", "countdistinct", "countif",
+    "char_length", "character_length", "cityhash64", "coalesce", "concat",
+    "corr", "cos", "cosh", "count", "countarray", "countdistinct",
+    "countequal", "countif",
     "countsubstrings", "covarpop", "covarsamp", "date_diff", "date_trunc",
     "datediff", "datetrunc", "day", "degrees", "dense_rank", "denserank",
     "dictget", "dictgetordefault", "dicthas", "divide", "domain", "e",
@@ -36,6 +37,7 @@ object FunctionCatalog {
     "first_value", "flatten", "floor", "formatdatetime",
     "formatreadablequantity", "formatreadablesize", "frombase64",
     "fromunixtimestamp", "generateuuidv4", "greatest", "grouparray",
+    "grouparrayarray",
     "groupbitand", "groupbitor", "groupbitxor", "groupuniqarray", "has",
     "hasany", "hex", "if", "ifnull", "indexof", "intdiv", "intdivorzero",
     "ipv4numtostring", "ipv4stringtonum", "isfinite", "isinfinite",
@@ -45,27 +47,31 @@ object FunctionCatalog {
     "least", "leftpad", "length", "lengthutf8", "levenshteindistance",
     "ln", "locate", "log", "log10", "log1p", "log2", "lower", "lowerutf8",
     "lpad", "mapcontains", "mapfromarrays", "mapkeys", "mapvalues",
-    "match", "max", "maxif", "md5", "median", "mid", "min", "minif",
+    "match", "max", "maxarray", "maxif", "md5", "median", "mid", "min",
+    "minarray", "minif",
     "minus", "modulo", "moduloorzero", "month", "multiif", "multiply",
     "multisearchany", "negate", "notempty", "now", "ntile", "nullif",
     "path", "pi", "plus", "position", "positioncaseinsensitive", "pow",
-    "power", "protocol", "quantile", "quantileexact", "quantiles",
+    "power", "protocol", "quantile", "quantilebfloat16", "quantileexact",
+    "quantiles", "quantilestdigest", "quantilestiming", "quantiletdigest",
+    "quantiletiming",
     "radians", "rand", "range", "rank", "repeat", "replace", "replaceall",
     "replaceregexpall", "retention", "reverse", "rightpad", "round",
     "roundbankers", "row_number", "rownumber", "rpad", "sequencecount",
     "sequencematch", "sha256", "sign", "sin", "sinh", "siphash64",
     "skewpop", "soundex", "splitbychar", "splitbystring", "sqrt",
     "startswith", "stddevpop", "stddevsamp", "substr", "substring",
-    "substringutf8", "subtractdays", "sum", "sumif", "summap", "tan",
+    "substringutf8", "subtractdays", "sum", "sumarray", "sumif", "summap",
+    "tan",
     "tanh", "tobase64", "todate", "todatetime", "today", "todayofmonth",
     "todayofweek", "todayofyear", "todecimal128", "todecimal32",
     "todecimal64", "tofloat32", "tofloat64", "tohour", "toint16",
     "toint32", "toint64", "toint8", "toisoweek", "tolastdayofmonth",
     "tominute", "tomonday", "tomonth", "topk", "toquarter", "tosecond",
-    "tostartofday", "tostartofhour", "tostartofinterval", "tostartofminute", "tostartofmonth",
+    "tofixedstring", "tostartofday", "tostartofhour", "tostartofinterval", "tostartofminute", "tostartofmonth",
     "tostartofquarter", "tostartofweek", "tostartofyear", "tostring",
     "touint16", "touint32", "touint64", "touint8", "tounixtimestamp",
-    "toyear", "toyyyymm", "toyyyymmdd", "transform", "trim", "trimboth", "trimleft",
+    "totypename", "toyear", "toyyyymm", "toyyyymmdd", "transform", "trim", "trimboth", "trimleft",
     "trimright", "tuple", "tupleelement", "ucase", "unhex", "uniq",
     "uniqcombined", "uniqexact", "uniqhll12", "uniqupto", "upper",
     "upperutf8", "varpop", "varsamp", "windowfunnel", "xxhash64", "year")

@@ -627,6 +627,27 @@ class ChSqlSpec extends AnyFunSuite {
     assert(b.head.head == "█" * 5 && b.head(1) == 10)
   }
 
+  test("-Array combinator, parametric groupArray(n), approx quantile tiers, " +
+      "array/type utilities") {
+    val r = run("SELECT sumArray(v) AS s, countArray(v) AS c, " +
+      "CAST(avgArray(v) AS Int64) AS av, uniqArray(v) AS u FROM " +
+      "(SELECT [okey, okey] AS v FROM orders)")
+    assert(r == Seq(Seq(42.0, 12L, 3L, 6L))) // 2*(1..6)=42, 12 elems, avg 3.5→3
+    val g = run("SELECT groupArray(2)(okey) AS g FROM orders")
+    assert(g.head.head.asInstanceOf[scala.collection.Seq[_]].size == 2)
+    val q = run("SELECT quantilesTiming(0.5, 0.9)(price) AS q FROM orders")
+    assert(q.head.head.asInstanceOf[scala.collection.Seq[_]].size == 2)
+    val u = run("SELECT countEqual([1, 2, 2, 3], 2) AS c, " +
+      "arrayResize([1, 2], 4, 0) AS r, length(toFixedString('ab', 4)) AS f, " +
+      "toTypeName(1) AS t, length(emptyArrayInt32()) AS e")
+    assert(u.head(0) == 2 && u.head(1).asInstanceOf[scala.collection.Seq[_]]
+      .toSeq == Seq(1, 2, 0, 0) && u.head(2) == 4 && u.head(3) == "Int32"
+      && u.head(4) == 0)
+    // cityHash64 spells city (the old ciphash typo is gone), sipHash64 maps
+    val h = run("SELECT cityHash64('a') = cityHash64('a') AS eq")
+    assert(h == Seq(Seq(true)))
+  }
+
   test("remote()/cluster() resolve the table locally; merge() unions by regex; " +
       "generateRandom is deterministic") {
     // remote('host:9000', db, table) — the topology argument is a hint;
