@@ -3397,6 +3397,28 @@ object Queries {
       """SELECT id, name, upper_name, score, tag, label
         |FROM ch40_t ORDER BY id""".stripMargin))),
 
+    // arrayJoin() as a select-list row expander (the function form of the
+    // ARRAY JOIN clause) feeding an aggregation
+    "ch43_sql_arrayjoin_func" -> ((s, dir) => chsql(s, dir,
+      """SELECT flag, count() AS n,
+        |  CAST(sum(CAST(v AS Decimal(18, 2))) AS Float64) AS total
+        |FROM (
+        |  SELECT o_orderstatus AS flag,
+        |    arrayJoin([o_totalprice, o_totalprice * 2]) AS v
+        |  FROM orders WHERE o_orderkey < 2000)
+        |GROUP BY flag ORDER BY flag""".stripMargin)),
+
+    // the -Array aggregate combinator over per-row arrays + a select
+    // alias resolved inside WHERE (CH scope rules)
+    "ch44_sql_array_combinator" -> ((s, dir) => chsql(s, dir,
+      """SELECT l_returnflag AS flag,
+        |  CAST(CAST(sumArray(vs) AS Decimal(18, 2)) AS Float64) AS sq,
+        |  countArray(vs) AS ne
+        |FROM (SELECT l_returnflag, [l_quantity, l_tax] AS vs,
+        |        l_orderkey * 2 AS k2
+        |      FROM lineitem WHERE k2 < 4000)
+        |GROUP BY flag ORDER BY flag""".stripMargin)),
+
     // the standalone lightweight UPDATE statement (updateStmt,
     // ClickHouseParser.py:8187-8265) and DELETE FROM with IN PARTITION:
     // mutations pruned to exactly the named partition's directory —
@@ -3611,6 +3633,23 @@ object Queries {
       """SELECT o_orderstatus AS flag, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY flag ORDER BY flag""".stripMargin,
+
+    "ch43_sql_arrayjoin_func" ->
+      """WITH ex AS (
+        |  SELECT o_orderstatus AS flag,
+        |    unnest([o_totalprice, o_totalprice * 2]) AS v
+        |  FROM orders WHERE o_orderkey < 2000)
+        |SELECT flag, count(*) AS n,
+        |  CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM ex GROUP BY flag ORDER BY flag""".stripMargin,
+
+    "ch44_sql_array_combinator" ->
+      """WITH t AS (SELECT l_returnflag, [l_quantity, l_tax] AS vs
+        |  FROM lineitem WHERE l_orderkey * 2 < 4000)
+        |SELECT l_returnflag AS flag,
+        |  CAST(CAST(sum(list_sum(vs)) AS DECIMAL(18,2)) AS DOUBLE) AS sq,
+        |  CAST(sum(len(vs)) AS BIGINT) AS ne
+        |FROM t GROUP BY flag ORDER BY flag""".stripMargin,
 
     "ch42_sql_update_stmt" ->
       """WITH base AS (
