@@ -2475,7 +2475,51 @@ object ChSql {
         case "adddays" => date_add(a(0), a(1))
         case "subtractdays" => date_sub(a(0), a(1))
         case "addmonths" => add_months(a(0), a(1))
+        case "subtractmonths" => add_months(a(0), -a(1))
+        case "addyears" => add_months(a(0), a(1) * 12)
+        case "subtractyears" => add_months(a(0), -a(1) * 12)
+        case "addquarters" => add_months(a(0), a(1) * 3)
+        case "subtractquarters" => add_months(a(0), -a(1) * 3)
+        case "addweeks" => date_add(a(0), a(1) * 7)
+        case "subtractweeks" => date_sub(a(0), a(1) * 7)
         case "addhours" => a(0) + expr("INTERVAL 1 HOUR") * a(1)
+        case "subtracthours" => a(0) - expr("INTERVAL 1 HOUR") * a(1)
+        case "addminutes" => a(0) + expr("INTERVAL 1 MINUTE") * a(1)
+        case "subtractminutes" => a(0) - expr("INTERVAL 1 MINUTE") * a(1)
+        case "addseconds" => a(0) + expr("INTERVAL 1 SECOND") * a(1)
+        case "subtractseconds" => a(0) - expr("INTERVAL 1 SECOND") * a(1)
+        case "tointervalsecond" => expr("INTERVAL 1 SECOND") * a(0)
+        case "tointervalminute" => expr("INTERVAL 1 MINUTE") * a(0)
+        case "tointervalhour" => expr("INTERVAL 1 HOUR") * a(0)
+        case "tointervalday" => expr("INTERVAL 1 DAY") * a(0)
+        case "tointervalweek" => expr("INTERVAL 7 DAY") * a(0)
+        case "tointervalmonth" => expr("INTERVAL 1 MONTH") * a(0)
+        case "tointervalquarter" => expr("INTERVAL 3 MONTH") * a(0)
+        case "tointervalyear" => expr("INTERVAL 1 YEAR") * a(0)
+        case "age" =>
+          // age(unit, s, e): COMPLETE units between (CH truncates), vs
+          // dateDiff's boundary crossings — epoch arithmetic for fixed
+          // units, floored months_between for calendar units
+          val unit = litStr("age", f.args.head).toLowerCase(
+            java.util.Locale.ROOT)
+          val (s0, e0) = (a(1), a(2))
+          val fixedSecs = Map("second" -> 1L, "minute" -> 60L,
+            "hour" -> 3600L, "day" -> 86400L, "week" -> 604800L)
+          fixedSecs.get(unit) match {
+            case Some(sec) => floor(
+              (unix_timestamp(e0) - unix_timestamp(s0)) / lit(sec))
+              .cast("long")
+            case None =>
+              val months = floor(months_between(e0, s0)).cast("long")
+              val div = Map("month" -> 1, "quarter" -> 3, "year" -> 12)
+                .getOrElse(unit, throw new IllegalArgumentException(
+                  s"ChSql: age: unknown unit $unit"))
+              (months / div).cast("long")
+          }
+        case "parsedatetimebesteffort" => to_timestamp(a(0))
+        case "parsedatetimebesteffortornull" =>
+          call_function("try_to_timestamp", a(0))
+        case "todatetime64" => to_timestamp(a(0)) // Spark µs precision
         case "datediff" | "date_diff" =>
           val unit = litStr("dateDiff", f.args.head)
           val (s0, e0) = (t(f.args(1)), t(f.args(2)))
@@ -2507,6 +2551,16 @@ object ChSql {
           // CH position(haystack, needle); needle may be a column
           call_function("instr", a(0), a(1))
         case "concat" => concat(f.args.map(t): _*)
+        case "concatwithseparator" | "concat_ws" =>
+          concat_ws(litStr("concatWithSeparator", f.args.head),
+            f.args.tail.map(t): _*)
+        case "left" | "leftutf8" => substring(a(0), 1, intArg(f.args(1)))
+        case "right" | "rightutf8" =>
+          val n = intArg(f.args(1))
+          a(0).substr(greatest(length(a(0)) - (n - 1), lit(1)), lit(n))
+        case "translate" | "translateutf8" =>
+          org.apache.spark.sql.functions.translate(a(0),
+            litStr("translate", f.args(1)), litStr("translate", f.args(2)))
         case "startswith" => a(0).startsWith(a(1))
         case "endswith" => a(0).endsWith(a(1))
         case "trim" | "trimboth" =>

@@ -14,7 +14,8 @@ package graft.chsql
 object FunctionCatalog {
 
   val names: Seq[String] = Seq(
-    "abs", "acos", "adddays", "addhours", "addmonths", "any", "anylast",
+    "abs", "acos", "adddays", "addhours", "addminutes", "addmonths",
+    "addquarters", "addseconds", "addweeks", "addyears", "age", "any", "anylast",
     "argmax", "argmin", "array", "arrayall", "arrayavg", "arraycompact",
     "arrayconcat", "arraycount", "arraycumsum", "arraydifference",
     "arraydistinct", "arrayelement", "arrayenumerate", "arrayexists",
@@ -27,7 +28,7 @@ object FunctionCatalog {
     "base64encode", "bitand", "bitcount", "bitor", "bitshiftleft",
     "bitshiftright", "bittest", "bitxor", "cbrt", "ceil", "ceiling",
     "char_length", "character_length", "cityhash64", "coalesce", "concat",
-    "corr", "cos", "cosh", "count", "countarray", "countdistinct",
+    "concatwithseparator", "concat_ws", "corr", "cos", "cosh", "count", "countarray", "countdistinct",
     "countequal", "countif",
     "countsubstrings", "covarpop", "covarsamp", "date_diff", "date_trunc",
     "datediff", "datetrunc", "day", "degrees", "dense_rank", "denserank",
@@ -47,31 +48,37 @@ object FunctionCatalog {
     "least", "leftpad", "length", "lengthutf8", "levenshteindistance",
     "ln", "locate", "log", "log10", "log1p", "log2", "lower", "lowerutf8",
     "lpad", "mapcontains", "mapfromarrays", "mapkeys", "mapvalues",
-    "match", "max", "maxarray", "maxif", "md5", "median", "mid", "min",
+    "left", "leftutf8", "match", "max", "maxarray", "maxif", "md5", "median", "mid", "min",
     "minarray", "minif",
     "minus", "modulo", "moduloorzero", "month", "multiif", "multiply",
     "multisearchany", "negate", "notempty", "now", "ntile", "nullif",
     "path", "pi", "plus", "position", "positioncaseinsensitive", "pow",
-    "power", "protocol", "quantile", "quantilebfloat16", "quantileexact",
+    "parsedatetimebesteffort", "parsedatetimebesteffortornull", "power",
+    "protocol", "quantile", "quantilebfloat16", "quantileexact",
     "quantiles", "quantilestdigest", "quantilestiming", "quantiletdigest",
     "quantiletiming",
     "radians", "rand", "range", "rank", "repeat", "replace", "replaceall",
     "replaceregexpall", "retention", "reverse", "rightpad", "round",
     "roundbankers", "row_number", "rownumber", "rpad", "sequencecount",
-    "sequencematch", "sha256", "sign", "sin", "sinh", "siphash64",
+    "right", "rightutf8", "sequencematch", "sha256", "sign", "sin", "sinh", "siphash64",
     "skewpop", "soundex", "splitbychar", "splitbystring", "sqrt",
     "startswith", "stddevpop", "stddevsamp", "substr", "substring",
-    "substringutf8", "subtractdays", "sum", "sumarray", "sumif", "summap",
+    "substringutf8", "subtractdays", "subtracthours", "subtractminutes",
+    "subtractmonths", "subtractquarters", "subtractseconds",
+    "subtractweeks", "subtractyears", "sum", "sumarray", "sumif", "summap",
     "tan",
     "tanh", "tobase64", "todate", "todatetime", "today", "todayofmonth",
     "todayofweek", "todayofyear", "todecimal128", "todecimal32",
     "todecimal64", "tofloat32", "tofloat64", "tohour", "toint16",
     "toint32", "toint64", "toint8", "toisoweek", "tolastdayofmonth",
     "tominute", "tomonday", "tomonth", "topk", "toquarter", "tosecond",
-    "tofixedstring", "tostartofday", "tostartofhour", "tostartofinterval", "tostartofminute", "tostartofmonth",
+    "todatetime64", "tofixedstring", "tointervalday", "tointervalhour",
+    "tointervalminute", "tointervalmonth", "tointervalquarter",
+    "tointervalsecond", "tointervalweek", "tointervalyear",
+    "tostartofday", "tostartofhour", "tostartofinterval", "tostartofminute", "tostartofmonth",
     "tostartofquarter", "tostartofweek", "tostartofyear", "tostring",
     "touint16", "touint32", "touint64", "touint8", "tounixtimestamp",
-    "totypename", "toyear", "toyyyymm", "toyyyymmdd", "transform", "trim", "trimboth", "trimleft",
+    "translate", "translateutf8", "totypename", "toyear", "toyyyymm", "toyyyymmdd", "transform", "trim", "trimboth", "trimleft",
     "trimright", "tuple", "tupleelement", "ucase", "unhex", "uniq",
     "uniqcombined", "uniqexact", "uniqhll12", "uniqupto", "upper",
     "upperutf8", "varpop", "varsamp", "windowfunnel", "xxhash64", "year")
