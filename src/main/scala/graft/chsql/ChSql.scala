@@ -221,6 +221,8 @@ object ChSql {
 
   case class SelectStmt(
       distinct: Boolean,
+      // DISTINCT ON (exprs): first row per key set (9048-9088 region)
+      distinctOn: Seq[Expr],
       items: Seq[SelectItem],
       from: Option[Relation],
       joins: Seq[JoinSpec],
@@ -710,6 +712,10 @@ object ChSql {
       }
       expectKw("SELECT")
       val distinct = eatKw("DISTINCT")
+      val distinctOn: Seq[Expr] =
+        if (distinct && eatKw("ON")) {
+          expectP("("); val es = parseExprList(); expectP(")"); es
+        } else Nil
       val items = parseSelectItems()
       var from: Option[Relation] = None
       val joins = Seq.newBuilder[JoinSpec]
@@ -924,7 +930,7 @@ object ChSql {
         val fmt = if (eatKw("FORMAT")) ident() else "parquet"
         outfile = Some((path, fmt))
       } else if (eatKw("FORMAT")) format = Some(ident())
-      SelectStmt(distinct, items, from, joins.result(), arrayJoins,
+      SelectStmt(distinct, distinctOn, items, from, joins.result(), arrayJoins,
         leftArrayJoin, prewhere, where, groupBy, groupByAll, withTotals,
         having, orderBy, limitBy, limit, offset, settings, ctes, exprCtes,
         outfile, groupKind, groupSets, limitTies, sample, format, windows)
@@ -1568,6 +1574,19 @@ object ChSql {
           nm
         })
         SelectItem(Ident(Seq(h)), alias.orElse(Some("arrayJoin")))
+      case SelectItem(InSub(k, sub, neg), alias) =>
+        // `expr IN (subquery)` PROJECTED as a boolean: a lazy left join
+        // against the distinct'd subquery + a found-flag — no plan-time
+        // evaluation (the zero-jobs contract), no row multiplication
+        val nm0 = alias.getOrElse(s"__ins${ajHidden.size}")
+        val sf = buildSetOp(spark, sub, resolve, ctes)
+        val right = sf.select(col(sf.columns.head).as("__in_v")).distinct()
+        df = df.withColumn("__in_k", tr(k))
+          .join(right, col("__in_k") === col("__in_v"), "left")
+        val found = col("__in_v").isNotNull
+        df = df.withColumn(nm0, if (neg) !found else found)
+          .drop("__in_k", "__in_v")
+        SelectItem(Ident(Seq(nm0)), alias.orElse(Some(nm0)))
       case other => other
     }
 
@@ -1702,7 +1721,7 @@ object ChSql {
       df = havinged.select(finalCols: _*)
     }
 
-    if (s.distinct) df = df.distinct()
+    if (s.distinct && s.distinctOn.isEmpty) df = df.distinct()
 
     // ORDER BY — may reference select aliases or hidden sort columns;
     // CH default is NULLS LAST
@@ -1717,6 +1736,14 @@ object ChSql {
         case (false, Some(true)) => base.desc_nulls_first
         case (false, _) => base.desc_nulls_last
       }
+    }
+
+    // DISTINCT ON (keys): first row per key set in query order — exactly
+    // LIMIT 1 BY keys, reusing the same distributed one-per-group pass
+    if (s.distinctOn.nonEmpty) {
+      val by = s.distinctOn.map(e => trOrd(e))
+      val ord = if (s.orderBy.nonEmpty) s.orderBy.map(ordCol) else by
+      df = graft.operators.ChOps.limitBy(df, by, ord, 1, 0)
     }
 
     // LIMIT BY runs on the ORDER BY ordering (CH: rows kept per group are
@@ -2650,6 +2677,8 @@ object ChSql {
         case "cityhash64" | "siphash64" => xxhash64(a(0)) // documented stand-in
 
         // ---- map / struct ----
+        case "map" => map(f.args.map(t): _*)
+        case "mapfromarrays" => map_from_arrays(a(0), a(1))
         case "mapkeys" => map_keys(a(0))
         case "mapvalues" => map_values(a(0))
         case "mapcontains" => map_contains_key(a(0), a(1))

@@ -47,7 +47,7 @@ object FunctionCatalog {
     "jsonlength", "kurtpop", "lag", "last_value", "lcase", "lead",
     "least", "leftpad", "length", "lengthutf8", "levenshteindistance",
     "ln", "locate", "log", "log10", "log1p", "log2", "lower", "lowerutf8",
-    "lpad", "mapcontains", "mapfromarrays", "mapkeys", "mapvalues",
+    "lpad", "mapcontains", "mapfromarrays", "map", "mapfromarrays", "mapkeys", "mapvalues",
     "left", "leftutf8", "match", "max", "maxarray", "maxif", "md5", "median", "mid", "min",
     "minarray", "minif",
     "minus", "modulo", "moduloorzero", "month", "multiif", "multiply",

@@ -648,6 +648,24 @@ class ChSqlSpec extends AnyFunSuite {
     assert(h == Seq(Seq(true)))
   }
 
+  test("DISTINCT ON keeps the first row per key; IN (subquery) projects " +
+      "as a lazy boolean flag") {
+    val r = run("SELECT DISTINCT ON (cust) cust, okey FROM orders " +
+      "ORDER BY cust, okey")
+    assert(r == Seq(Seq(10L, 1L), Seq(20L, 3L), Seq(30L, 5L)))
+    val m = run("SELECT okey, okey IN (SELECT okey FROM orders " +
+      "WHERE price > 200) AS hit FROM orders ORDER BY okey")
+    assert(m.map(_(1)) == Seq(false, true, false, false, true, false))
+    val n = run("SELECT okey, okey NOT IN (SELECT okey FROM orders " +
+      "WHERE price > 200) AS miss FROM orders ORDER BY okey")
+    assert(n.map(_(1)) == Seq(true, false, true, true, false, true))
+    // mixed with aggregation downstream
+    val g = run("SELECT hit, count() AS n FROM (SELECT okey IN (SELECT okey " +
+      "FROM orders WHERE price > 200) AS hit FROM orders) GROUP BY hit " +
+      "ORDER BY hit")
+    assert(g == Seq(Seq(false, 4L), Seq(true, 2L)))
+  }
+
   test("remote()/cluster() resolve the table locally; merge() unions by regex; " +
       "generateRandom is deterministic") {
     // remote('host:9000', db, table) — the topology argument is a hint;
