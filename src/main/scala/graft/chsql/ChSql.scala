@@ -2743,12 +2743,12 @@ object ChSql {
         case "arrayfirst" => element_at(hof1(filter), 1)
         case "arraylast" => element_at(hof1(filter), -1)
 
-        // ---- JSON ----
-        case "jsonextractstring" | "json_value" =>
+        // ---- JSON ---- (visitParam* are CH's legacy simdjson-era names)
+        case "jsonextractstring" | "json_value" | "visitparamextractstring" | "simplejsonextractstring" =>
           get_json_object(a(0), jsonPath(f.args.tail))
-        case "jsonextractint" =>
+        case "jsonextractint" | "visitparamextractint" | "simplejsonextractint" =>
           get_json_object(a(0), jsonPath(f.args.tail)).cast(LongType)
-        case "jsonextractfloat" =>
+        case "jsonextractfloat" | "visitparamextractfloat" | "simplejsonextractfloat" =>
           get_json_object(a(0), jsonPath(f.args.tail)).cast(DoubleType)
         case "jsonhas" =>
           get_json_object(a(0), jsonPath(f.args.tail)).isNotNull

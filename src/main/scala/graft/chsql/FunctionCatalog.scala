@@ -60,7 +60,8 @@ object FunctionCatalog {
     "radians", "rand", "range", "rank", "repeat", "replace", "replaceall",
     "replaceregexpall", "retention", "reverse", "rightpad", "round",
     "roundbankers", "row_number", "rownumber", "rpad", "sequencecount",
-    "right", "rightutf8", "sequencematch", "sha256", "sign", "sin", "sinh", "siphash64",
+    "right", "rightutf8", "sequencematch", "simplejsonextractfloat", "simplejsonextractint",
+    "simplejsonextractstring", "sha256", "sign", "sin", "sinh", "siphash64",
     "skewpop", "soundex", "splitbychar", "splitbystring", "sqrt",
     "startswith", "stddevpop", "stddevsamp", "substr", "substring",
     "substringutf8", "subtractdays", "subtracthours", "subtractminutes",
@@ -81,7 +82,8 @@ object FunctionCatalog {
     "translate", "translateutf8", "totypename", "toyear", "toyyyymm", "toyyyymmdd", "transform", "trim", "trimboth", "trimleft",
     "trimright", "tuple", "tupleelement", "ucase", "unhex", "uniq",
     "uniqcombined", "uniqexact", "uniqhll12", "uniqupto", "upper",
-    "upperutf8", "varpop", "varsamp", "windowfunnel", "xxhash64", "year")
+    "upperutf8", "varpop", "varsamp", "visitparamextractfloat",
+    "visitparamextractint", "visitparamextractstring", "windowfunnel", "xxhash64", "year")
 
   /** Aggregate-ness as SHOW FUNCTIONS reports it (system.functions
     * `is_aggregate`): the dispatcher's own aggregate-name set, plus the
