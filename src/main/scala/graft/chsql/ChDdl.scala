@@ -411,6 +411,7 @@ object ChDdl {
 
       case truncateRe(name) =>
         spark.sql(s"TRUNCATE TABLE $name")
+        invalidateProjections(spark, name)
         Some(status(s"truncated $name"))
 
       case renameRe(list) =>
@@ -669,6 +670,12 @@ object ChDdl {
   private def createMemoryTable(spark: SparkSession, ifNotExists: Boolean,
       name: String, colsText: String, temporary: Boolean,
       status: String => DataFrame): DataFrame = {
+    // Memory tables live behind temp views, which cannot carry a db
+    // qualifier — refuse a dotted name up front with a clear message
+    // instead of surfacing Spark's raw temp-view error
+    require(!name.contains("."),
+      s"ChSql: Memory/TEMPORARY table names cannot be qualified ('$name') — " +
+        "use a bare name (temp-view backed, not attached to a database)")
     if (memTables.contains(name)) {
       if (ifNotExists) return status(s"table $name already exists")
       throw new IllegalArgumentException(s"ChSql: table $name already exists")
@@ -1057,6 +1064,7 @@ object ChDdl {
       }
     }.toSeq: _*)
     aligned.write.mode(SaveMode.Append).insertInto(name)
+    invalidateProjections(spark, name)
   }
 
   /** A catalog table read decorated with its ALIAS columns (`c Type ALIAS
@@ -1691,6 +1699,7 @@ object ChDdl {
             s"$c=${sqlLit(String.valueOf(r.get(i)))}" }.mkString(", ")
           spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION ($spec)")
         }
+        invalidateProjections(spark, name)
         s"rewrote ${affected.size} affected partition(s), rest untouched"
       }
     }
@@ -1706,6 +1715,20 @@ object ChDdl {
       projTable: Option[String], outCols: Seq[String])
   private val projMeta =
     scala.collection.concurrent.TrieMap.empty[(String, String), ProjMeta]
+
+  /** Any write to a table makes its materialized projections stale — CH
+    * maintains projections on insert and rebuilds them on mutation; here
+    * the honest equivalent is to drop the materialized copy so covered
+    * SELECTs fall back to the base scan until the user re-MATERIALIZEs.
+    * The ADD PROJECTION registration itself survives. */
+  private def invalidateProjections(spark: SparkSession, name: String): Unit =
+    projMeta.foreach { case (k, meta) =>
+      if (meta.table == name && meta.projTable.nonEmpty) {
+        meta.projTable.filter(spark.catalog.tableExists)
+          .foreach(t => spark.sql(s"DROP TABLE $t"))
+        projMeta.put(k, meta.copy(projTable = None, outCols = Nil))
+      }
+    }
 
   /** Inject `FROM table` into a projection SELECT (the CH projection body
     * has no FROM — it is implicitly over the parent table). */
@@ -1751,7 +1774,7 @@ object ChDdl {
             !q.distinct && q.groupKind == "plain" && !q.withTotals &&
             !q.groupByAll && q.sample.isEmpty && q.settings.isEmpty &&
             q.windows.isEmpty && q.offset.isEmpty && q.outfile.isEmpty &&
-            !q.limitTies && q.orderBy.forall(o =>
+            q.format.isEmpty && !q.limitTies && q.orderBy.forall(o =>
               o.fill.isEmpty && o.collate.isEmpty) =>
           q.from match {
             case Some(ChSql.TableRef(t, _, false)) =>
@@ -1810,11 +1833,15 @@ object ChDdl {
               case other => aliasOf.get(normExpr(other))
             }
             target.map { nm =>
-              val base = if (oi.asc) col(nm).asc_nulls_first else
+              // CH (and the main translator's ordCol) default to NULLS
+              // LAST for ASC — mirror that exactly
+              val base = if (oi.asc) col(nm).asc_nulls_last else
                 col(nm).desc_nulls_last
               (oi.nullsFirst, oi.asc) match {
+                case (Some(true), true) => col(nm).asc_nulls_first
                 case (Some(true), false) => col(nm).desc_nulls_first
                 case (Some(false), true) => col(nm).asc_nulls_last
+                case (Some(false), false) => col(nm).desc_nulls_last
                 case _ => base
               }
             }
@@ -1890,6 +1917,7 @@ object ChDdl {
       spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES (" +
         props.map { case (k, v) => s"${sqlLit(k)}=${sqlLit(v)}" }
           .mkString(", ") + ")")
+    invalidateProjections(spark, name)
   }
 
   /** Root file paths behind a (file-backed) batch DataFrame — recovered

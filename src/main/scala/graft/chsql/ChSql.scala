@@ -1564,6 +1564,7 @@ object ChSql {
     // expand in lockstep (one explode), distinct arguments nest — CH's
     // multiple-arrayJoin semantics.
     var ajHidden = Map.empty[Expr, String]
+    var insCount = 0
     val items: Seq[SelectItem] = items0.map {
       case SelectItem(FuncCall(fn, Nil, Seq(arg), false), alias)
           if fn.equalsIgnoreCase("arrayJoin") =>
@@ -1578,7 +1579,7 @@ object ChSql {
         // `expr IN (subquery)` PROJECTED as a boolean: a lazy left join
         // against the distinct'd subquery + a found-flag — no plan-time
         // evaluation (the zero-jobs contract), no row multiplication
-        val nm0 = alias.getOrElse(s"__ins${ajHidden.size}")
+        val nm0 = alias.getOrElse { val n = s"__ins$insCount"; insCount += 1; n }
         val sf = buildSetOp(spark, sub, resolve, ctes)
         val right = sf.select(col(sf.columns.head).as("__in_v")).distinct()
         df = df.withColumn("__in_k", tr(k))

@@ -664,6 +664,13 @@ class ChSqlSpec extends AnyFunSuite {
       "FROM orders WHERE price > 200) AS hit FROM orders) GROUP BY hit " +
       "ORDER BY hit")
     assert(g == Seq(Seq(false, 4L), Seq(true, 2L)))
+    // two unaliased IN items get distinct hidden names — each projects
+    // its OWN subquery's membership, not the last one's
+    val two = run("SELECT okey, okey IN (SELECT okey FROM orders " +
+      "WHERE price > 200), okey IN (SELECT okey FROM orders " +
+      "WHERE price < 100) FROM orders ORDER BY okey")
+    assert(two.map(_(1)) == Seq(false, true, false, false, true, false))
+    assert(two.map(_(2)) == Seq(false, false, true, true, false, false))
   }
 
   test("remote()/cluster() resolve the table locally; merge() unions by regex; " +

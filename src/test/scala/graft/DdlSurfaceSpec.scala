@@ -1139,8 +1139,39 @@ class DdlSurfaceSpec extends AnyFunSuite {
     val (df2, _) = graft.chsql.ChSql.statement(spark,
       "SELECT g, count() AS n FROM proj_t WHERE x > 10 GROUP BY g")(resolve)
     assert(df2.inputFiles.exists(!_.contains("__proj_")))
+    // INSERT after MATERIALIZE invalidates the projection: the covered
+    // SELECT must answer from the (fresh) base scan, not stale aggregates
+    chRun("INSERT INTO proj_t SELECT number + 100, 'c', number * 1.0 " +
+      "FROM numbers(10)")
+    val (df3, _) = graft.chsql.ChSql.statement(spark,
+      "SELECT g, count() AS n FROM proj_t GROUP BY g ORDER BY g")(resolve)
+    assert(df3.inputFiles.forall(!_.contains("__proj_")),
+      s"stale projection answered after INSERT: ${df3.inputFiles.toSeq}")
+    assert(df3.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 50L), ("b", 50L), ("c", 10L)))
+    // re-MATERIALIZE restores substitution with the fresh totals
+    chRun("ALTER TABLE proj_t MATERIALIZE PROJECTION pg")
+    val (df4, _) = graft.chsql.ChSql.statement(spark,
+      "SELECT g, count() AS n FROM proj_t GROUP BY g ORDER BY g")(resolve)
+    assert(df4.inputFiles.forall(_.contains("proj_t__proj_pg")))
+    assert(df4.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 50L), ("b", 50L), ("c", 10L)))
+    // a mutation invalidates too
+    chRun("ALTER TABLE proj_t MATERIALIZE PROJECTION pg")
+    chRun("ALTER TABLE proj_t DELETE WHERE g = 'c'")
+    val (df5, _) = graft.chsql.ChSql.statement(spark,
+      "SELECT g, count() AS n FROM proj_t GROUP BY g ORDER BY g")(resolve)
+    assert(df5.inputFiles.forall(!_.contains("__proj_")))
+    assert(df5.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 50L), ("b", 50L)))
     chRun("ALTER TABLE proj_t DROP PROJECTION pg")
     assert(!spark.catalog.tableExists("proj_t__proj_pg"))
     chRun("DROP TABLE proj_t")
+  }
+
+  test("Memory/TEMPORARY tables refuse qualified names with a clear message") {
+    val e = intercept[IllegalArgumentException](chRun(
+      "CREATE TABLE db1.memq (k Int64) ENGINE = Memory"))
+    assert(e.getMessage.contains("cannot be qualified"), e.getMessage)
   }
 }
