@@ -3397,6 +3397,46 @@ object Queries {
       """SELECT id, name, upper_name, score, tag, label
         |FROM ch40_t ORDER BY id""".stripMargin))),
 
+    // DISTINCT ON (first row per key after ORDER BY), a projected
+    // IN (subquery) boolean, and a map constructor probed per-row
+    "ch45_sql_distinct_on" -> ((s, dir) => chsql(s, dir,
+      """SELECT DISTINCT ON (cust) cust, okey, big, is_o
+        |FROM (SELECT o_custkey AS cust, o_orderkey AS okey,
+        |    o_orderkey IN (SELECT o_orderkey FROM orders
+        |      WHERE o_totalprice > 200000) AS big,
+        |    mapContains(mapFromArrays([o_orderstatus], [1]), 'O') AS is_o
+        |  FROM orders WHERE o_orderkey < 4000)
+        |ORDER BY cust, okey""".stripMargin)),
+
+    // the add/subtract date families, interval constructors, and age()
+    // (COMPLETE units between two dates, CH truncation semantics)
+    "ch46_sql_date_arith" -> ((s, dir) => chsql(s, dir,
+      """SELECT o_orderkey AS k,
+        |  addMonths(o_orderdate, 2) AS am,
+        |  subtractDays(o_orderdate, 10) AS sd,
+        |  addWeeks(o_orderdate, 3) AS aw,
+        |  subtractYears(o_orderdate, 1) AS sy,
+        |  toDate(o_orderdate + toIntervalDay(5)) AS tid,
+        |  age('month', o_orderdate, toDate('1998-12-01')) AS agm,
+        |  age('day', o_orderdate, toDate('1998-12-01')) AS agd
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY k""".stripMargin)),
+
+    // legacy visitParam*/simpleJSON* extraction aliases over JSON
+    // synthesized from table columns (round-trips exactly: double→string
+    // →double is identity for Spark's shortest-repr formatting)
+    "ch47_sql_visitparam" -> ((s, dir) => chsql(s, dir,
+      """SELECT k,
+        |  visitParamExtractString(j, 'status') AS st,
+        |  simpleJSONExtractString(j, 'status') AS st2,
+        |  visitParamExtractInt(j, 'key') AS ki,
+        |  simpleJSONExtractFloat(j, 'price') AS pf
+        |FROM (SELECT o_orderkey AS k,
+        |    concat('{"status":"', o_orderstatus, '","key":',
+        |      toString(o_orderkey), ',"price":', toString(o_totalprice),
+        |      '}') AS j
+        |  FROM orders WHERE o_orderkey < 2000)
+        |ORDER BY k""".stripMargin)),
+
     // arrayJoin() as a select-list row expander (the function form of the
     // ARRAY JOIN clause) feeding an aggregation
     "ch43_sql_arrayjoin_func" -> ((s, dir) => chsql(s, dir,
@@ -3650,6 +3690,35 @@ object Queries {
         |  CAST(CAST(sum(list_sum(vs)) AS DECIMAL(18,2)) AS DOUBLE) AS sq,
         |  CAST(sum(len(vs)) AS BIGINT) AS ne
         |FROM t GROUP BY flag ORDER BY flag""".stripMargin,
+
+    "ch45_sql_distinct_on" ->
+      """SELECT DISTINCT ON (o_custkey) o_custkey AS cust,
+        |  o_orderkey AS okey,
+        |  o_orderkey IN (SELECT o_orderkey FROM orders
+        |    WHERE o_totalprice > 200000) AS big,
+        |  (o_orderstatus = 'O') AS is_o
+        |FROM orders WHERE o_orderkey < 4000
+        |ORDER BY cust, okey""".stripMargin,
+
+    "ch46_sql_date_arith" ->
+      """SELECT o_orderkey AS k,
+        |  CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS am,
+        |  CAST(o_orderdate - INTERVAL 10 DAY AS DATE) AS sd,
+        |  CAST(o_orderdate + INTERVAL 21 DAY AS DATE) AS aw,
+        |  CAST(o_orderdate - INTERVAL 1 YEAR AS DATE) AS sy,
+        |  CAST(o_orderdate + INTERVAL 5 DAY AS DATE) AS tid,
+        |  CAST((1998 * 12 + 12) - (year(o_orderdate) * 12 + month(o_orderdate))
+        |    - CASE WHEN day(o_orderdate) > 1 THEN 1 ELSE 0 END AS BIGINT) AS agm,
+        |  date_diff('day', o_orderdate, DATE '1998-12-01') AS agd
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY k""".stripMargin,
+
+    "ch47_sql_visitparam" ->
+      """SELECT o_orderkey AS k,
+        |  o_orderstatus AS st,
+        |  o_orderstatus AS st2,
+        |  o_orderkey AS ki,
+        |  o_totalprice AS pf
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY k""".stripMargin,
 
     "ch42_sql_update_stmt" ->
       """WITH base AS (

@@ -2683,7 +2683,6 @@ object ChSql {
         case "mapkeys" => map_keys(a(0))
         case "mapvalues" => map_values(a(0))
         case "mapcontains" => map_contains_key(a(0), a(1))
-        case "mapfromarrays" => map_from_arrays(a(0), a(1))
 
         // ---- string similarity / search ----
         case "levenshteindistance" | "editdistance" => levenshtein(a(0), a(1))
