@@ -3397,6 +3397,31 @@ object Queries {
       """SELECT id, name, upper_name, score, tag, label
         |FROM ch40_t ORDER BY id""".stripMargin))),
 
+    // -State/-Merge combinators: a CTAS holds typed, parquet-stored
+    // AggregateFunction states at (flag, pri) grain; the merge query
+    // folds them up to per-flag — the CH AggregatingMergeTree MV rollup
+    // shape, one partial+final pass, and the round-trip must equal the
+    // direct aggregates DuckDB computes from the raw table
+    "ch48_sql_state_merge" -> ((s, dir) => chstmts(s, dir, Seq(
+      "DROP TABLE IF EXISTS ch48_mv",
+      """CREATE TABLE ch48_mv ENGINE = MergeTree ORDER BY flag AS
+        |SELECT o_orderstatus AS flag, o_orderpriority AS pri,
+        |  sumState(CAST(o_totalprice AS Decimal(18, 2))) AS ss,
+        |  countState() AS cs,
+        |  uniqState(o_custkey) AS us,
+        |  avgState(o_orderkey) AS avs,
+        |  minState(o_orderdate) AS ms,
+        |  maxState(o_orderdate) AS xs
+        |FROM orders GROUP BY flag, pri""".stripMargin,
+      """SELECT flag,
+        |  CAST(sumMerge(ss) AS Float64) AS total,
+        |  countMerge(cs) AS n,
+        |  uniqMerge(us) AS u,
+        |  avgMerge(avs) AS av,
+        |  minMerge(ms) AS dmin,
+        |  maxMerge(xs) AS dmax
+        |FROM ch48_mv GROUP BY flag ORDER BY flag""".stripMargin))),
+
     // DISTINCT ON (first row per key after ORDER BY), a projected
     // IN (subquery) boolean, and a map constructor probed per-row
     "ch45_sql_distinct_on" -> ((s, dir) => chsql(s, dir,
@@ -3690,6 +3715,16 @@ object Queries {
         |  CAST(CAST(sum(list_sum(vs)) AS DECIMAL(18,2)) AS DOUBLE) AS sq,
         |  CAST(sum(len(vs)) AS BIGINT) AS ne
         |FROM t GROUP BY flag ORDER BY flag""".stripMargin,
+
+    "ch48_sql_state_merge" ->
+      """SELECT o_orderstatus AS flag,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  count(*) AS n,
+        |  count(DISTINCT o_custkey) AS u,
+        |  avg(o_orderkey) AS av,
+        |  min(o_orderdate) AS dmin,
+        |  max(o_orderdate) AS dmax
+        |FROM orders GROUP BY flag ORDER BY flag""".stripMargin,
 
     "ch45_sql_distinct_on" ->
       """SELECT DISTINCT ON (o_custkey) o_custkey AS cust,

@@ -1072,7 +1072,11 @@ object ChSql {
   private def isAggName(name: String): Boolean = {
     val n = name.toLowerCase
     AggNames.contains(n) ||
-      (n.endsWith("if") && n.length > 2 && AggNames.contains(n.dropRight(2)))
+      (n.endsWith("if") && n.length > 2 && AggNames.contains(n.dropRight(2))) ||
+      (n.endsWith("state") && n.length > 5 &&
+        AggNames.contains(n.dropRight(5))) ||
+      (n.endsWith("merge") && n.length > 5 &&
+        AggNames.contains(n.dropRight(5)))
   }
 
   // ===================== planner =====================
@@ -2235,6 +2239,64 @@ object ChSql {
         return funcCall(FuncCall(nm.dropRight(2), f.params, wrapped,
           f.distinct), env)
       }
+      // -State / -Merge combinators (AggregateFunction columns — the CH
+      // materialized-view rollup backbone; they parse as plain function
+      // names, ClickHouseParser.py:15571-15603). A state here is a TYPED,
+      // parquet-storable, mergeable value rather than opaque bytes — the
+      // column schema carries what CH's AggregateFunction(f, T) type
+      // annotation carries: sum/count/min/max states are the partial
+      // itself; avg is a (sum, count) struct; the uniq / groupArray
+      // family carries the exact value set (CH's own uniqExact state is
+      // the same set — and the text surface pins uniq to the exact tier);
+      // topK / sumMap carry the (sorted values, counts) tuple SumMapAgg
+      // emits, folded by graft.plans.{TopKMergeAgg, SumMapMergeAgg}.
+      // Every state merges associatively, so xMerge is one partial+final
+      // aggregation pass with map-side combine — the MV rollup shape.
+      if (nm.endsWith("state") && nm.length > 5 && isAggName(nm.dropRight(5)))
+        return nm.dropRight(5) match {
+          case "count" =>
+            if (f.args.isEmpty || f.args == Seq(Star)) count(lit(1))
+            else count(a(0))
+          case "sum" => sum(a(0))
+          case "min" => min(a(0))
+          case "max" => max(a(0))
+          case "any" => first(a(0))
+          case "avg" => struct(sum(a(0)).as("s"), count(a(0)).as("c"))
+          case "uniq" | "uniqexact" => sort_array(collect_set(a(0)))
+          case "grouparray" => collect_list(a(0))
+          case "groupuniqarray" => sort_array(collect_set(a(0)))
+          case "summap" => t(FuncCall("sumMap", Nil, f.args, distinct = false))
+          // the exact-tier topK state is the full (value, count) map —
+          // k applies at finalize (merge) time, so the param is accepted
+          // and carried by convention, not by the state's shape
+          case "topk" => graft.plans.SumMapAgg.sumMap(a(0), lit(1L))
+          case other => throw new IllegalArgumentException(
+            s"ChSql: ${other}State is not supported (supported stems: " +
+              "count, sum, min, max, avg, any, uniq, uniqExact, " +
+              "groupArray, groupUniqArray, topK, sumMap)")
+        }
+      if (nm.endsWith("merge") && nm.length > 5 && isAggName(nm.dropRight(5)))
+        return nm.dropRight(5) match {
+          case "count" => sum(a(0)).cast(LongType)
+          case "sum" => sum(a(0))
+          case "min" => min(a(0))
+          case "max" => max(a(0))
+          case "any" => first(a(0))
+          case "avg" => sum(a(0).getField("s")) / sum(a(0).getField("c"))
+          case "uniq" | "uniqexact" =>
+            size(array_distinct(flatten(collect_list(a(0))))).cast(LongType)
+          case "grouparray" => flatten(collect_list(a(0)))
+          case "groupuniqarray" =>
+            sort_array(array_distinct(flatten(collect_list(a(0)))))
+          case "summap" => graft.plans.SumMapMergeAgg.sumMapMerge(a(0))
+          case "topk" =>
+            graft.plans.TopKMergeAgg.topKMerge(a(0),
+              if (f.params.nonEmpty) paramD(0).toInt else 10)
+          case other => throw new IllegalArgumentException(
+            s"ChSql: ${other}Merge is not supported (supported stems: " +
+              "count, sum, min, max, avg, any, uniq, uniqExact, " +
+              "groupArray, groupUniqArray, topK, sumMap)")
+        }
       nm match {
         // ---- aggregates ----
         case "count" =>

@@ -673,6 +673,40 @@ class ChSqlSpec extends AnyFunSuite {
     assert(two.map(_(2)) == Seq(false, false, true, true, false, false))
   }
 
+  test("-State/-Merge combinators: state→merge round-trip equals the " +
+      "direct aggregate; states fold across a two-level rollup") {
+    // per-cust states (3 partial groups), merged to the global aggregate
+    val r = run("SELECT CAST(sumMerge(ss) AS Float64) AS s, " +
+      "countMerge(cs) AS c, uniqMerge(us) AS u, avgMerge(avs) AS av, " +
+      "minMerge(ms) AS mn, maxMerge(xs) AS mx FROM (" +
+      "SELECT cust, sumState(price) AS ss, countState() AS cs, " +
+      "uniqState(status) AS us, avgState(price) AS avs, " +
+      "minState(price) AS ms, maxState(price) AS xs " +
+      "FROM orders GROUP BY cust)")
+    val d = run("SELECT sum(price) AS s, count() AS c, uniq(status) AS u, " +
+      "avg(price) AS av, min(price) AS mn, max(price) AS mx FROM orders")
+    assert(r == d)
+    // topK: the (value, count) tuple state folds to the same top-k,
+    // same ordering pin (count desc, value asc) as the direct call
+    val tk = run("SELECT topKMerge(2)(ts) AS t FROM (" +
+      "SELECT cust, topKState(2)(status) AS ts FROM orders GROUP BY cust)")
+    assert(tk == run("SELECT topK(2)(status) AS t FROM orders"))
+    // sumMap: merged tuple equals the direct per-key rollup
+    val sm = run("SELECT sumMapMerge(sm) AS m FROM (" +
+      "SELECT cust, sumMapState(status, CAST(price AS Int64)) AS sm " +
+      "FROM orders GROUP BY cust)")
+    assert(sm == run(
+      "SELECT sumMap(status, CAST(price AS Int64)) AS m FROM orders"))
+    // groupArray family: merged sets equal the direct distinct array
+    val ga = run("SELECT groupUniqArrayMerge(gs) AS g FROM (" +
+      "SELECT cust, groupUniqArrayState(status) AS gs FROM orders GROUP BY cust)")
+    assert(ga == Seq(Seq(Seq("A", "B", "C"))))
+    // an unknown stem refuses honestly
+    val e = intercept[IllegalArgumentException](
+      run("SELECT quantileState(price) FROM orders"))
+    assert(e.getMessage.contains("not supported"))
+  }
+
   test("remote()/cluster() resolve the table locally; merge() unions by regex; " +
       "generateRandom is deterministic") {
     // remote('host:9000', db, table) — the topology argument is a hint;

@@ -1169,6 +1169,25 @@ class DdlSurfaceSpec extends AnyFunSuite {
     chRun("DROP TABLE proj_t")
   }
 
+  test("-State/-Merge through the MV text path: state-producing view, " +
+      "merge query folds states to the direct aggregate") {
+    chRun("DROP TABLE IF EXISTS smm_src")
+    chRun("CREATE TABLE smm_src (k String, sub String, v Int64) " +
+      "ENGINE = MergeTree ORDER BY k")
+    chRun("INSERT INTO smm_src VALUES ('a', 'x', 1), ('a', 'y', 2), " +
+      "('b', 'x', 3), ('b', 'x', 3), ('a', 'x', 5)")
+    // the AggregatingMergeTree shape: an MV holding per-(k, sub) states
+    chRun("CREATE MATERIALIZED VIEW smm_mv POPULATE AS SELECT k, sub, " +
+      "sumState(v) AS sv, uniqState(v) AS uv, countState() AS cv " +
+      "FROM smm_src GROUP BY k, sub")
+    // merging across sub rolls the states up to the per-k aggregate
+    val merged = chRun("SELECT k, sumMerge(sv) AS s, uniqMerge(uv) AS u, " +
+      "countMerge(cv) AS c FROM smm_mv GROUP BY k ORDER BY k")
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(merged == Seq(("a", 8L, 3L, 3L), ("b", 6L, 1L, 2L)))
+    chRun("DROP TABLE smm_src")
+  }
+
   test("Memory/TEMPORARY tables refuse qualified names with a clear message") {
     val e = intercept[IllegalArgumentException](chRun(
       "CREATE TABLE db1.memq (k Int64) ENGINE = Memory"))

@@ -166,6 +166,17 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(shuffleCount(df) <= 2) // groupBy + orderBy
   }
 
+  test("xMerge text plan: one partial+final pass over the state table") {
+    // the -Merge rollup is the AggregatingMergeTree read path — folding
+    // states must stay a single map-side-combinable aggregation, not a
+    // re-expansion of the original rows
+    val df = Queries.all("ch48_sql_state_merge")(spark, sf)
+    val aggs = df.queryExecution.executedPlan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a }
+    assert(aggs.size == 2, s"expected partial+final, got ${aggs.size}")
+    assert(shuffleCount(df) <= 2) // groupBy + orderBy
+  }
+
   test("hyperplane bucketing is the single native expression, not per-plane HOFs") {
     // the interpreted form ran nPlanes zip_with+aggregate passes per row;
     // the native HyperplaneBucket computes every sign bit in one traversal
