@@ -3397,6 +3397,32 @@ object Queries {
       """SELECT id, name, upper_name, score, tag, label
         |FROM ch40_t ORDER BY id""".stripMargin))),
 
+    // SummingMergeTree (per-key sums on merge) and CollapsingMergeTree
+    // (±1 sign cancellation) — insert, OPTIMIZE FINAL, scan back; the
+    // oracle recomputes both collapses from the raw rows
+    "ch49_sql_engine_collapse" -> ((s, dir) => chstmts(s, dir, Seq(
+      "DROP TABLE IF EXISTS ch49_s",
+      "DROP TABLE IF EXISTS ch49_c",
+      """CREATE TABLE ch49_s (flag String, n Int64, amt Decimal(18, 2))
+        |ENGINE = SummingMergeTree ORDER BY flag""".stripMargin,
+      """INSERT INTO ch49_s SELECT o_orderstatus, 1,
+        |  CAST(o_totalprice AS Decimal(18, 2))
+        |FROM orders WHERE o_orderkey < 4000""".stripMargin,
+      "OPTIMIZE TABLE ch49_s FINAL",
+      """CREATE TABLE ch49_c (k Int64, price Decimal(18, 2), sign Int8)
+        |ENGINE = CollapsingMergeTree(sign) ORDER BY k""".stripMargin,
+      """INSERT INTO ch49_c SELECT o_orderkey,
+        |  CAST(o_totalprice AS Decimal(18, 2)), 1
+        |FROM orders WHERE o_orderkey < 4000""".stripMargin,
+      """INSERT INTO ch49_c SELECT o_orderkey,
+        |  CAST(o_totalprice AS Decimal(18, 2)), -1
+        |FROM orders WHERE o_orderkey < 4000 AND o_orderkey % 3 = 0""".stripMargin,
+      "OPTIMIZE TABLE ch49_c FINAL",
+      """SELECT flag, n, CAST(amt AS Float64) AS amt,
+        |  (SELECT count() FROM ch49_c) AS c_rows,
+        |  (SELECT CAST(sum(price) AS Float64) FROM ch49_c) AS c_amt
+        |FROM ch49_s ORDER BY flag""".stripMargin))),
+
     // -State/-Merge combinators: a CTAS holds typed, parquet-stored
     // AggregateFunction states at (flag, pri) grain; the merge query
     // folds them up to per-flag — the CH AggregatingMergeTree MV rollup
@@ -3715,6 +3741,17 @@ object Queries {
         |  CAST(CAST(sum(list_sum(vs)) AS DECIMAL(18,2)) AS DOUBLE) AS sq,
         |  CAST(sum(len(vs)) AS BIGINT) AS ne
         |FROM t GROUP BY flag ORDER BY flag""".stripMargin,
+
+    "ch49_sql_engine_collapse" ->
+      """WITH c AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey < 4000 AND o_orderkey % 3 <> 0)
+        |SELECT o_orderstatus AS flag, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amt,
+        |  (SELECT count(*) FROM c) AS c_rows,
+        |  (SELECT CAST(sum(price) AS DOUBLE) FROM c) AS c_amt
+        |FROM orders WHERE o_orderkey < 4000
+        |GROUP BY flag ORDER BY flag""".stripMargin,
 
     "ch48_sql_state_merge" ->
       """SELECT o_orderstatus AS flag,

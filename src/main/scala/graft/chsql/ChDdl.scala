@@ -293,7 +293,13 @@ object ChDdl {
                   m.group(1).stripPrefix("(").stripSuffix(")"))) ++
             Option(engineArgsOrNull).filter(_ =>
               Option(engineOrNull).exists(_.equalsIgnoreCase("ReplacingMergeTree")))
-              .map("graft.version" -> _.trim)
+              .map("graft.version" -> _.trim) ++
+            Option(engineArgsOrNull).filter(_ =>
+              Option(engineOrNull).exists(_.equalsIgnoreCase("SummingMergeTree")))
+              .map("graft.sum_cols" -> _.trim) ++
+            Option(engineArgsOrNull).filter(_ =>
+              Option(engineOrNull).exists(_.equalsIgnoreCase("CollapsingMergeTree")))
+              .map("graft.sign" -> _.trim)
           val partCols = Option(tailOrNull).flatMap(t =>
             "(?is)PARTITION\\s+BY\\s+(\\([^)]*\\)|[\\w]+)".r
               .findFirstMatchIn(t).map(_.group(1)
@@ -613,6 +619,8 @@ object ChDdl {
         Some(Seq(
           ("MergeTree", true, true, false),
           ("ReplacingMergeTree", true, true, true),
+          ("SummingMergeTree", true, true, true),
+          ("CollapsingMergeTree", true, true, true),
           ("View", false, false, false),
           ("MaterializedView", false, false, false),
           ("LiveView", false, false, false),
@@ -895,6 +903,24 @@ object ChDdl {
     // ReplacingMergeTree(v): the engine argument is the version column
     val version = if (engine.equalsIgnoreCase("ReplacingMergeTree"))
       Some(engineArgs.trim).filter(_.nonEmpty) else None
+    // SummingMergeTree([c, ...]): optional summed-column list (empty =
+    // every numeric non-key column, the CH default) — recorded even when
+    // empty so the engine's collapse stays armed
+    val sumColsProp = if (engine.equalsIgnoreCase("SummingMergeTree")) {
+      val cs = engineArgs.split(",").map(_.trim).filter(_.nonEmpty)
+      cs.foreach(c => require(schema.fieldNames.contains(c),
+        s"ChSql: SummingMergeTree column $c is not a stored column"))
+      Some(cs.mkString(","))
+    } else None
+    // CollapsingMergeTree(sign): the sign column is mandatory
+    val signCol = if (engine.equalsIgnoreCase("CollapsingMergeTree")) {
+      val sc = engineArgs.trim
+      require(sc.nonEmpty && !sc.contains(","),
+        "ChSql: CollapsingMergeTree needs exactly one sign column argument")
+      require(schema.fieldNames.contains(sc),
+        s"ChSql: CollapsingMergeTree sign column $sc is not a stored column")
+      Some(sc)
+    } else None
 
     if (ifNotExists && spark.catalog.tableExists(name))
       return status(s"table $name already exists")
@@ -913,6 +939,8 @@ object ChDdl {
       "graft.columns" -> stored.map(_.name).mkString(",")) ++
       orderBy.map("graft.order_by" -> _) ++
       version.map("graft.version" -> _) ++
+      sumColsProp.map("graft.sum_cols" -> _) ++
+      signCol.map("graft.sign" -> _) ++
       ttl.map("graft.ttl" -> _) ++
       primaryKey.map("graft.primary_key" -> _) ++
       sampleBy.map("graft.sample_by" -> _) ++
@@ -1962,6 +1990,65 @@ object ChDdl {
     try tableProps(spark, name)
     catch { case _: Exception => Map.empty }
 
+  /** Engine-aware row-merging collapse, shared by `OPTIMIZE ... FINAL`
+    * (merge-time, rows rewritten) and `FROM t FINAL` (read-time, rows
+    * collapsed in the plan) — the MergeTree-family semantics the engine
+    * clause declares:
+    *  - ReplacingMergeTree(v): keep the max-version row per sorting key
+    *    ([[graft.operators.ChOps.selectFinal]]); without a version
+    *    column, the deterministic max-payload pin.
+    *  - SummingMergeTree([cols]): sum the declared (or all-numeric)
+    *    columns per key, drop all-zero rows.
+    *  - CollapsingMergeTree(sign): ±1 cancellation per key.
+    *  - MergeTree / Memory: no row-merging semantics — no-op (CH's
+    *    OPTIMIZE FINAL on plain MergeTree just forces the merge).
+    *  - anything else: refuse honestly, never silently no-op.
+    * Every branch is a single partial-combinable aggregate — one shuffle
+    * on the sorting key at any scale. */
+  private[chsql] def engineCollapse(df: DataFrame,
+      props: Map[String, String], name: String): DataFrame = {
+    import graft.operators.ChOps
+    val keys = props.get("graft.order_by").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    def needKeys(): Seq[String] = {
+      require(keys.nonEmpty,
+        s"ChSql: FINAL on $name needs the engine's ORDER BY sorting key")
+      keys
+    }
+    props.getOrElse("graft.engine", "MergeTree").toLowerCase(
+        java.util.Locale.ROOT) match {
+      case "replacingmergetree" => props.get("graft.version") match {
+        case Some(v) => ChOps.selectFinal(df, needKeys(), v)
+        case None => ChOps.selectFinalNoVersion(df, needKeys())
+      }
+      case "summingmergetree" =>
+        ChOps.selectSummed(df, needKeys(),
+          props.getOrElse("graft.sum_cols", "").split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq)
+      case "collapsingmergetree" =>
+        ChOps.selectCollapsed(df, needKeys(), props("graft.sign"))
+      case "mergetree" | "memory" => df
+      case other => throw new UnsupportedOperationException(
+        s"ChSql: FINAL semantics for ENGINE = $other are not implemented " +
+          "(supported: MergeTree (no-op), ReplacingMergeTree, " +
+          "SummingMergeTree, CollapsingMergeTree; for AggregatingMergeTree " +
+          "state columns use the -Merge combinators explicitly)")
+    }
+  }
+
+  /** Read-time `FROM t FINAL` for catalog tables: apply the recorded
+    * engine's collapse; non-catalog names (temp views, resolver-provided
+    * frames) fall through unchanged — their FINAL rides the
+    * graft_final_keys SETTINGS path instead. */
+  private[chsql] def finalCollapse(spark: SparkSession, name: String,
+      df: DataFrame): DataFrame =
+    if (!spark.catalog.tableExists(name)) df
+    else {
+      val props = tablePropsSafe(spark, name)
+      if (props.contains("graft.engine")) engineCollapse(df, props, name)
+      else df
+    }
+
   /** The table's recorded `SAMPLE BY` column (sampleByClause,
     * ClickHouseParser.py:6063-6112), if any — lets `SAMPLE k/m` reads
     * resolve their bucketing key from DDL instead of a per-query
@@ -1988,12 +2075,7 @@ object ChDdl {
     val targetFiles = math.max(1, spark.sparkContext.defaultParallelism / 4)
     def transform(df0: DataFrame): DataFrame = {
       val df1 = if (dedup) df0.dropDuplicates() else df0
-      val df2 = if (!fin) df1 else (props.get("graft.order_by"), props.get("graft.version")) match {
-        case (Some(keys), Some(v)) =>
-          graft.operators.ChOps.selectFinal(
-            df1, keys.split(",").map(_.trim).toSeq, v)
-        case _ => df1 // FINAL on a non-replacing engine is a no-op
-      }
+      val df2 = if (!fin) df1 else engineCollapse(df1, props, name)
       df2.coalesce(targetFiles)
     }
     val scopeNote = partVals match {
@@ -2086,7 +2168,10 @@ object ChDdl {
       aliasCols.map(c => s"  $c ${props.getOrElse(s"graft.aliastype.$c",
         "String")} ALIAS ${props(s"graft.alias.$c")}")).mkString(",\n")
     val engine = props.getOrElse("graft.engine", "MergeTree")
-    val engineArgs = props.get("graft.version").map(v => s"($v)").getOrElse("")
+    val engineArgs = props.get("graft.version").map(v => s"($v)")
+      .orElse(props.get("graft.sign").map(s => s"($s)"))
+      .orElse(props.get("graft.sum_cols").filter(_.nonEmpty).map(s => s"($s)"))
+      .getOrElse("")
     val orderBy = props.get("graft.order_by").map(k => s"\nORDER BY ($k)").getOrElse("")
     val partBy = if (pcols.isEmpty) "" else s"\nPARTITION BY (${pcols.mkString(", ")})"
     val primaryKey = props.get("graft.primary_key")

@@ -1334,12 +1334,14 @@ object ChSql {
     }
     def rel(r: Relation): DataFrame = r match {
       case TableRef(name, alias, fin) =>
-        // FINAL: a parquet table carries no ReplacingMergeTree engine
-        // clause, so the sorting key + version column ride in SETTINGS
-        // (graft_final_keys = 'a,b', graft_final_version = 'v') and FINAL
-        // plans onto the read-time collapse (one partial-combinable
-        // aggregate, ChOps.selectFinal). Without the settings it stays a
-        // no-op — CH FINAL on a non-replacing table is a no-op too.
+        // FINAL: catalog tables created through ChDdl carry their
+        // MergeTree-family engine in table properties, and FINAL applies
+        // that engine's read-time collapse (Replacing / Summing /
+        // Collapsing — ChDdl.finalCollapse). Plain parquet tables carry
+        // no engine clause, so the sorting key + version column may ride
+        // in SETTINGS instead (graft_final_keys = 'a,b',
+        // graft_final_version = 'v') — the settings path wins when
+        // given. With neither, FINAL stays a no-op.
         val raw = ctes.getOrElse(name, resolve(name))
         val base =
           if (!fin) raw
@@ -1354,6 +1356,8 @@ object ChSql {
                   "graft_final_version = '<column>'"))
               graft.operators.ChOps.selectFinal(
                 raw, ks.split(",").map(_.trim).toSeq, version)
+            case None if !ctes.contains(name) =>
+              ChDdl.finalCollapse(spark, name, raw)
             case None => raw
           }
         alias.fold(base)(a => base.as(a))

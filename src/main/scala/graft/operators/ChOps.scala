@@ -250,6 +250,81 @@ object ChOps {
       .select(keys.map(col) ++ ordered.map(c => col(s"__f.$c").as(c)): _*)
   }
 
+  /** ReplacingMergeTree without a version column: CH keeps the
+    * last-inserted row per key; with no insertion-order column to read
+    * that from, the deterministic pin is the max over the whole payload
+    * struct (same policy as [[selectFinal]]'s tie handling). */
+  def selectFinalNoVersion(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val payload = df.columns.filterNot(keys.contains).toSeq
+    if (payload.isEmpty) return df.dropDuplicates(keys)
+    df.groupBy(keys.map(col): _*)
+      .agg(max(struct(payload.map(col): _*)).as("__f"))
+      .select(df.columns.map(c =>
+        if (keys.contains(c)) col(c) else col(s"__f.$c").as(c)): _*)
+  }
+
+  /** SummingMergeTree collapse (engine clause,
+    * ClickHouseParser.py:5807-5962): one row per sorting key with the
+    * summed columns summed — `sumCols` from the engine argument list, or
+    * every numeric non-key column when the list is empty (the CH
+    * default). Non-summed payload keeps a deterministic representative
+    * (min — CH keeps an arbitrary one). Rows whose summed columns are
+    * all zero after the merge are dropped, CH's documented behavior.
+    * Summed results cast back to the declared column type (CH keeps the
+    * declared type and lets it wrap). Plain partial-combinable aggregate:
+    * one shuffle on the key, map-side combine, no window. */
+  def selectSummed(df: DataFrame, keys: Seq[String],
+      sumColsArg: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.NumericType
+    val payload = df.columns.filterNot(keys.contains).toSeq
+    val sumCols =
+      if (sumColsArg.nonEmpty) sumColsArg
+      else payload.filter(c =>
+        df.schema(c).dataType.isInstanceOf[NumericType])
+    require(sumCols.forall(payload.contains),
+      s"ChSql: SummingMergeTree column(s) ${sumCols.filterNot(payload.contains)
+        .mkString(", ")} are not non-key stored columns")
+    val aggs = payload.map { c =>
+      if (sumCols.contains(c)) sum(col(c)).cast(df.schema(c).dataType).as(c)
+      else min(col(c)).as(c)
+    }
+    val grouped = df.groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(df.columns.map(col): _*)
+    if (sumCols.isEmpty) grouped
+    else grouped.filter(!sumCols.map(c => col(c) <=> lit(0).cast(
+      df.schema(c).dataType)).reduce(_ && _))
+  }
+
+  /** CollapsingMergeTree collapse (engine clause, same grammar region):
+    * `signCol` is the engine argument, +1 for state rows and -1 for
+    * cancel rows. Per sorting key the net sign decides: zero → the rows
+    * cancelled out entirely; positive → one surviving +1 row; negative →
+    * one surviving -1 row. CH keeps the last-inserted survivor; with no
+    * insertion order to read, the deterministic pin is the max payload
+    * struct among the surviving sign's rows (same policy as
+    * [[selectFinal]]). One partial-combinable aggregate, one shuffle. */
+  def selectCollapsed(df: DataFrame, keys: Seq[String],
+      signCol: String): DataFrame = {
+    val payload = df.columns.filterNot(keys.contains)
+      .filterNot(_ == signCol).toSeq
+    val signT = df.schema(signCol).dataType
+    val rep = if (payload.isEmpty) lit(null) else struct(payload.map(col): _*)
+    val grouped = df.groupBy(keys.map(col): _*)
+      .agg(
+        sum(col(signCol).cast("long")).as("__net"),
+        max(when(col(signCol) > 0, rep)).as("__p"),
+        min(when(col(signCol) < 0, rep)).as("__m"))
+      .filter(col("__net") =!= 0)
+    val side = col("__net") > 0
+    grouped.select(df.columns.map { c =>
+      if (keys.contains(c)) col(c)
+      else if (c == signCol)
+        when(side, lit(1)).otherwise(lit(-1)).cast(signT).as(c)
+      else when(side, col(s"__p.$c")).otherwise(col(s"__m.$c")).as(c)
+    }: _*)
+  }
+
   /** `ORDER BY expr COLLATE 'name'` (ClickHouseParser.py:11307-11314):
     * Spark 4 strings are natively collatable, so the mapping is the
     * built-in `collate` — the sort comparator changes, the value doesn't.

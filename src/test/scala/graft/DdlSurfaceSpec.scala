@@ -1188,6 +1188,59 @@ class DdlSurfaceSpec extends AnyFunSuite {
     chRun("DROP TABLE smm_src")
   }
 
+  test("SummingMergeTree: FINAL read collapses per key, OPTIMIZE FINAL " +
+      "rewrites, all-zero rows drop, SHOW CREATE round-trips") {
+    chRun("DROP TABLE IF EXISTS sum_t")
+    chRun("CREATE TABLE sum_t (k String, hits Int64, amt Float64, tag String) " +
+      "ENGINE = SummingMergeTree ORDER BY k")
+    chRun("INSERT INTO sum_t VALUES ('a', 1, 1.5, 'x'), ('a', 2, 2.5, 'y'), " +
+      "('b', 5, 1.0, 'z'), ('c', 0, 0.0, 'w')")
+    // read-time FINAL: numeric non-keys summed, the all-zero 'c' row
+    // dropped, the stored rows untouched
+    val f = chRun("SELECT k, hits, amt FROM sum_t FINAL ORDER BY k")
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(f == Seq(("a", 3L, 4.0), ("b", 5L, 1.0)))
+    assert(chRun("SELECT count() AS n FROM sum_t").head.getLong(0) == 4)
+    // merge-time: the rewrite persists the collapse
+    chRun("OPTIMIZE TABLE sum_t FINAL")
+    assert(chRun("SELECT count() AS n FROM sum_t").head.getLong(0) == 2)
+    assert(chRun("SHOW CREATE TABLE sum_t").head.getString(0)
+      .contains("ENGINE = SummingMergeTree"))
+    chRun("DROP TABLE sum_t")
+  }
+
+  test("CollapsingMergeTree: sign cancellation on FINAL read and " +
+      "OPTIMIZE FINAL; unknown merging engines refuse honestly") {
+    chRun("DROP TABLE IF EXISTS col_t")
+    chRun("CREATE TABLE col_t (k Int64, v Float64, sign Int8) " +
+      "ENGINE = CollapsingMergeTree(sign) ORDER BY k")
+    chRun("INSERT INTO col_t VALUES (1, 10.0, 1), (1, 10.0, -1), " +
+      "(1, 11.0, 1), (2, 20.0, 1), (3, 30.0, 1), (3, 30.0, -1)")
+    // k=1 nets +1 (the 11.0 state survives), k=2 stays, k=3 cancels out
+    val c = chRun("SELECT k, v, sign FROM col_t FINAL ORDER BY k")
+      .map(r => (r.getLong(0), r.getDouble(1),
+        r.getAs[Number](2).intValue))
+    assert(c == Seq((1L, 11.0, 1), (2L, 20.0, 1)))
+    chRun("OPTIMIZE TABLE col_t FINAL")
+    assert(chRun("SELECT count() AS n FROM col_t").head.getLong(0) == 2)
+    assert(chRun("SHOW CREATE TABLE col_t").head.getString(0)
+      .contains("CollapsingMergeTree(sign)"))
+    chRun("DROP TABLE col_t")
+    // an engine with declared-but-unimplemented merge semantics must
+    // refuse FINAL, never silently no-op
+    chRun("DROP TABLE IF EXISTS vcol_t")
+    chRun("CREATE TABLE vcol_t (k Int64, sign Int8, ver Int64) " +
+      "ENGINE = VersionedCollapsingMergeTree(sign, ver) ORDER BY k")
+    chRun("INSERT INTO vcol_t VALUES (1, 1, 1)")
+    val e = intercept[UnsupportedOperationException](
+      chRun("SELECT k FROM vcol_t FINAL"))
+    assert(e.getMessage.contains("not implemented"))
+    val e2 = intercept[UnsupportedOperationException](
+      chRun("OPTIMIZE TABLE vcol_t FINAL"))
+    assert(e2.getMessage.contains("not implemented"))
+    chRun("DROP TABLE vcol_t")
+  }
+
   test("Memory/TEMPORARY tables refuse qualified names with a clear message") {
     val e = intercept[IllegalArgumentException](chRun(
       "CREATE TABLE db1.memq (k Int64) ENGINE = Memory"))
