@@ -37,6 +37,24 @@ object Bench {
     }
     val queries = SparkEntry.queries.toSeq.filter(kv => nameFilter(kv._1))
       .sortBy(_._1)
+    // Contamination self-evidence (VERDICT r6 §wrong-2): a loaded machine
+    // inflates wall times uniformly across unrelated queries. Stamp the
+    // 1-min system load before/after and this JVM's cpu-vs-wall ratio so
+    // a contaminated run is readable from the artifact alone: high
+    // loadavg relative to the core count, or cpu/wall far below a clean
+    // run's, means the numbers carry co-resident load, not plan cost.
+    def loadAvg1m(): Double =
+      try Files.readString(Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def processCpuSec(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean =>
+          os.getProcessCpuTime / 1e9
+        case _ => -1.0
+      }
+    val loadBefore = loadAvg1m()
+    val cpu0 = processCpuSec()
+    val wall0 = System.nanoTime()
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
@@ -67,8 +85,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val loadAfter = loadAvg1m()
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+    val cpuSec = { val c = processCpuSec(); if (c >= 0 && cpu0 >= 0) c - cpu0 else -1.0 }
+    val cpuWall = if (cpuSec >= 0 && wallSec > 0)
+      math.round(cpuSec / wallSec * 100) / 100.0 else -1.0
+    val env =
+      s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,""" +
+      s""""bench_wall_sec":${math.round(wallSec * 100) / 100.0},""" +
+      s""""bench_cpu_sec":${math.round(cpuSec * 100) / 100.0},""" +
+      s""""cpu_per_wall":$cpuWall"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,$env}"""
     println(json)
     try Files.writeString(Paths.get(outFile), json + "\n")
     catch { case e: Throwable =>
