@@ -3400,6 +3400,37 @@ object Queries {
     // SummingMergeTree (per-key sums on merge) and CollapsingMergeTree
     // (±1 sign cancellation) — insert, OPTIMIZE FINAL, scan back; the
     // oracle recomputes both collapses from the raw rows
+    // RANGE_HASHED dictionary: interval-keyed lookup — the dictionary
+    // collapses to a key -> sorted-interval-array broadcast map (never a
+    // per-row range join), the probe is a row-local filter HOF; the
+    // DuckDB twin is the equivalent BETWEEN join (ranges are disjoint
+    // per key, so the join is exact)
+    "ch50_sql_range_dict" -> ((s, dir) => chstmts(s, dir, Seq(
+      "DROP DICTIONARY IF EXISTS ch50_disc",
+      "DROP TABLE IF EXISTS ch50_src",
+      """CREATE TABLE ch50_src ENGINE = MergeTree ORDER BY k AS
+        |SELECT n_nationkey AS k,
+        |  addDays(toDate('1995-01-01'), CAST(n_nationkey AS Int32)) AS lo,
+        |  addDays(toDate('1995-01-01'), CAST(n_nationkey + 364 AS Int32)) AS hi,
+        |  (n_nationkey + 1) * 0.5 AS amount
+        |FROM nation
+        |UNION ALL
+        |SELECT n_nationkey AS k,
+        |  addDays(toDate('1996-06-01'), CAST(n_nationkey AS Int32)) AS lo,
+        |  addDays(toDate('1996-06-01'), CAST(n_nationkey + 364 AS Int32)) AS hi,
+        |  (n_nationkey + 1) * 1.5 AS amount
+        |FROM nation""".stripMargin,
+      """CREATE DICTIONARY ch50_disc (k Int64, lo Date, hi Date, amount Float64)
+        |PRIMARY KEY k
+        |SOURCE(CLICKHOUSE(TABLE 'ch50_src'))
+        |LAYOUT(RANGE_HASHED())
+        |RANGE(MIN lo MAX hi)""".stripMargin,
+      """SELECT dictGet('ch50_disc', 'amount', o_custkey % 25, o_orderdate) AS amt,
+        |  count() AS n
+        |FROM orders
+        |WHERE dictHas('ch50_disc', o_custkey % 25, o_orderdate)
+        |GROUP BY amt ORDER BY amt""".stripMargin))),
+
     "ch49_sql_engine_collapse" -> ((s, dir) => chstmts(s, dir, Seq(
       "DROP TABLE IF EXISTS ch49_s",
       "DROP TABLE IF EXISTS ch49_c",
@@ -3741,6 +3772,22 @@ object Queries {
         |  CAST(CAST(sum(list_sum(vs)) AS DECIMAL(18,2)) AS DOUBLE) AS sq,
         |  CAST(sum(len(vs)) AS BIGINT) AS ne
         |FROM t GROUP BY flag ORDER BY flag""".stripMargin,
+
+    "ch50_sql_range_dict" ->
+      """WITH src AS (
+        |  SELECT n_nationkey AS k,
+        |    DATE '1995-01-01' + n_nationkey * INTERVAL 1 DAY AS lo,
+        |    DATE '1995-01-01' + (n_nationkey + 364) * INTERVAL 1 DAY AS hi,
+        |    CAST((n_nationkey + 1) * 0.5 AS DOUBLE) AS amount FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey,
+        |    DATE '1996-06-01' + n_nationkey * INTERVAL 1 DAY,
+        |    DATE '1996-06-01' + (n_nationkey + 364) * INTERVAL 1 DAY,
+        |    CAST((n_nationkey + 1) * 1.5 AS DOUBLE) FROM nation)
+        |SELECT s.amount AS amt, count(*) AS n
+        |FROM orders o JOIN src s
+        |  ON o.o_custkey % 25 = s.k AND o.o_orderdate BETWEEN s.lo AND s.hi
+        |GROUP BY amt ORDER BY amt""".stripMargin,
 
     "ch49_sql_engine_collapse" ->
       """WITH c AS (

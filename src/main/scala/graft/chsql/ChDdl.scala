@@ -105,14 +105,25 @@ object ChDdl {
   private val showCreateRe =
     "(?is)^SHOW\\s+CREATE\\s+(?:TABLE\\s+|VIEW\\s+)?([\\w.]+)\\s*$".r
   // dictionary DDL (dictionaryStmt — CREATE DICTIONARY name (schema)
-  // PRIMARY KEY k SOURCE(FILE(path '...' [format '...'])) [LAYOUT/
-  // LIFETIME ignored: layout is always the broadcast hash, lifetime is
-  // SYSTEM RELOAD DICTIONARY])
+  // PRIMARY KEY k SOURCE(...) [LAYOUT(...)] [RANGE(MIN lo MAX hi)]
+  // [LIFETIME(...)]). Point layouts (FLAT/HASHED/CACHE/DIRECT) are all
+  // the same broadcast hash; RANGE_HASHED adds the interval dimension
+  // (rangeClause, ClickHouseParser.py:4005-4048). LIFETIME is ignored:
+  // refresh is SYSTEM RELOAD DICTIONARY.
   private val createDictRe =
     ("(?is)^CREATE\\s+DICTIONARY\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)\\s*" +
-      "\\((.*?)\\)\\s*PRIMARY\\s+KEY\\s+(\\w+)\\s*" +
-      "SOURCE\\s*\\(\\s*FILE\\s*\\(\\s*path\\s+'([^']+)'" +
-      "(?:\\s+format\\s+'(\\w+)')?\\s*\\)\\s*\\).*$").r
+      "\\((.*?)\\)\\s*PRIMARY\\s+KEY\\s+(\\w+)\\s+(SOURCE\\s*\\(.*)$").r
+  private val dictSourceFileRe =
+    ("(?is)SOURCE\\s*\\(\\s*FILE\\s*\\(\\s*path\\s+'([^']+)'" +
+      "(?:\\s+format\\s+'(\\w+)')?\\s*\\)\\s*\\)").r
+  // SOURCE(CLICKHOUSE(TABLE 'name')): the dictionary is backed by a
+  // table of this engine — the CH self-referential dictionary source.
+  private val dictSourceTableRe =
+    "(?is)SOURCE\\s*\\(\\s*CLICKHOUSE\\s*\\(\\s*TABLE\\s+'([\\w.]+)'\\s*\\)\\s*\\)".r
+  private val dictLayoutRe =
+    "(?is)LAYOUT\\s*\\(\\s*(\\w+)\\s*(?:\\(\\s*\\))?\\s*\\)".r
+  private val dictRangeRe =
+    "(?is)RANGE\\s*\\(\\s*MIN\\s+(\\w+)\\s+MAX\\s+(\\w+)\\s*\\)".r
   private val dropDictRe =
     "(?is)^DROP\\s+DICTIONARY\\s+(IF\\s+EXISTS\\s+)?([\\w.]+)\\s*$".r
   // admin verbs (checkStmt 3807-3837, existsStmt 7358-7419,
@@ -453,9 +464,13 @@ object ChDdl {
           throw new IllegalArgumentException(
             s"ChSql: DICTIONARY $name does not exist"))
         val attrCols = d.attrs.keys.toSeq.sorted.filterNot(_ == d.keyCol)
+        val rangeCols = d.range.toSeq.flatMap(r => Seq(r._1, r._2))
+        val layout = d.range.map { case (lo, hi) =>
+          s"LAYOUT(RANGE_HASHED()) RANGE(MIN $lo MAX $hi)"
+        }.getOrElse("LAYOUT(HASHED)")
         Some(Seq(s"CREATE DICTIONARY $name " +
-          s"(${(d.keyCol +: attrCols).mkString(", ")}) " +
-          s"PRIMARY KEY ${d.keyCol} LAYOUT(HASHED)").toDF("statement"))
+          s"(${(d.keyCol +: (rangeCols ++ attrCols)).mkString(", ")}) " +
+          s"PRIMARY KEY ${d.keyCol} $layout").toDF("statement"))
 
       case showCreateAccessRe(kind, name) =>
         Some(Seq(showCreateAccess(kind, name)).toDF("statement"))
@@ -519,7 +534,7 @@ object ChDdl {
       case showQuotaRe() =>
         Some(Seq(("default", "default")).toDF("quota_name", "quota_key"))
 
-      case createDictRe(ifNot, name, cols, key, path, fmtOrNull) =>
+      case createDictRe(ifNot, name, cols, key, tail) =>
         import graft.sources.Dictionaries
         if (Option(ifNot).isDefined && Dictionaries.exists(name))
           Some(status(s"dictionary $name already exists"))
@@ -527,10 +542,43 @@ object ChDdl {
           val schema = graft.model.ChTypes.toSparkSchema(cols)
           require(schema.fieldNames.contains(key),
             s"ChSql: PRIMARY KEY $key is not a dictionary column")
-          val attrs = schema.fieldNames.filterNot(_ == key)
+          val layout = dictLayoutRe.findFirstMatchIn(tail)
+            .map(_.group(1).toUpperCase(java.util.Locale.ROOT))
+          val range = dictRangeRe.findFirstMatchIn(tail)
+            .map(m => (m.group(1), m.group(2)))
+          // RANGE_HASHED is the one layout with different lookup
+          // semantics; the clause pair must be consistent, and the range
+          // bound columns must exist (they are structure, not attributes).
+          layout match {
+            case Some("RANGE_HASHED") => require(range.isDefined,
+              "ChSql: LAYOUT(RANGE_HASHED()) needs RANGE(MIN lo MAX hi)")
+            case _ => require(range.isEmpty,
+              "ChSql: RANGE(MIN .. MAX ..) needs LAYOUT(RANGE_HASHED())")
+          }
+          range.foreach { case (lo, hi) =>
+            Seq(lo, hi).foreach(c => require(schema.fieldNames.contains(c),
+              s"ChSql: RANGE column $c is not a dictionary column"))
+            require(lo != key && hi != key,
+              "ChSql: RANGE columns cannot be the PRIMARY KEY")
+          }
+          val nonAttr = Set(key) ++ range.toSeq.flatMap(r => Seq(r._1, r._2))
+          val attrs = schema.fieldNames.filterNot(nonAttr)
             .map(c => c -> c).toMap
-          Dictionaries.createFromPath(name, path,
-            Option(fmtOrNull).getOrElse("parquet").toLowerCase, key, attrs)
+          tail match {
+            case t if dictSourceFileRe.findFirstMatchIn(t).isDefined =>
+              val m = dictSourceFileRe.findFirstMatchIn(t).get
+              Dictionaries.createFromPath(name, m.group(1),
+                Option(m.group(2)).getOrElse("parquet").toLowerCase,
+                key, attrs, range)
+            case t if dictSourceTableRe.findFirstMatchIn(t).isDefined =>
+              val src = dictSourceTableRe.findFirstMatchIn(t).get.group(1)
+              // resolve (not spark.table) so Memory/TEMPORARY engine
+              // tables and qualified names work as dictionary sources
+              Dictionaries.create(name, _ => resolve(src), key, attrs, range)
+            case _ => throw new IllegalArgumentException(
+              "ChSql: CREATE DICTIONARY needs SOURCE(FILE(path '...')) " +
+                "or SOURCE(CLICKHOUSE(TABLE '...'))")
+          }
           // CH loads FLAT/HASHED dictionaries at create time; warming the
           // resolved frame here keeps later dictGet translation zero-job
           Dictionaries.loaded(spark, name)
@@ -2269,7 +2317,7 @@ object ChDdl {
     case "DICTIONARY" =>
       detachedDicts.remove(name) match {
         case Some(d) =>
-          graft.sources.Dictionaries.create(name, d.load, d.keyCol, d.attrs)
+          graft.sources.Dictionaries.register(d)
           status(s"attached dictionary $name")
         case None if ifNot && graft.sources.Dictionaries.exists(name) =>
           status(s"dictionary $name already attached")

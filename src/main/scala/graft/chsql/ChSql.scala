@@ -2443,13 +2443,33 @@ object ChSql {
             case other => throw new IllegalArgumentException(
               s"dictGet needs an attribute name string, got $other")
           }
-          val looked = graft.sources.Dictionaries.dictGetLiteral(
-            spark, dictName, attr, t(f.args(2)))
-          if (nm == "dictgetordefault") coalesce(looked, t(f.args(3)))
+          // A RANGE_HASHED dictionary takes one extra argument — the
+          // range point: dictGet(dict, attr, key, point) /
+          // dictGetOrDefault(dict, attr, key, point, default).
+          val isRange = graft.sources.Dictionaries.get(dictName)
+            .exists(_.range.isDefined)
+          val baseArgs = (if (isRange) 4 else 3) +
+            (if (nm == "dictgetordefault") 1 else 0)
+          require(f.args.size == baseArgs,
+            s"$nm over ${if (isRange) "RANGE_HASHED" else "point"} " +
+              s"dictionary $dictName takes $baseArgs arguments, " +
+              s"got ${f.args.size}")
+          val looked =
+            if (isRange) graft.sources.Dictionaries.dictGetRangeLiteral(
+              spark, dictName, attr, t(f.args(2)), t(f.args(3)))
+            else graft.sources.Dictionaries.dictGetLiteral(
+              spark, dictName, attr, t(f.args(2)))
+          val defaultIdx = if (isRange) 4 else 3
+          if (nm == "dictgetordefault") coalesce(looked, t(f.args(defaultIdx)))
           else looked
         case "dicthas" =>
           val dictName = litStr("dictHas", f.args(0))
-          graft.sources.Dictionaries.dictHasLiteral(spark, dictName, t(f.args(1)))
+          if (f.args.size >= 3)
+            graft.sources.Dictionaries.dictHasRangeLiteral(
+              spark, dictName, t(f.args(1)), t(f.args(2)))
+          else
+            graft.sources.Dictionaries.dictHasLiteral(
+              spark, dictName, t(f.args(1)))
 
         case "if" => when(a(0), a(1)).otherwise(a(2))
         case "multiif" =>

@@ -679,6 +679,85 @@ object NativeExpressions {
       nprobe: Int, roundTo: Int): Column =
     ColumnBridge.column(NearestCentroidsBC(
       ColumnBridge.expression(vec), codebook, nprobe, roundTo))
+
+  /** First interval of a lo-ascending-sorted array<struct<lo, hi, ...>>
+    * containing `point` (null if none). Early exit on lo > point — the
+    * array is sorted, so no later interval can match. */
+  def rangeFirstCompute(arr: ArrayData, point: Any,
+      ord: Ordering[Any], boundType: DataType, nFields: Int): Any = {
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, nFields)
+      val lo = row.get(0, boundType)
+      if (lo != null && ord.gt(lo, point)) return null
+      if (lo != null && ord.lteq(lo, point)) {
+        val hi = row.get(1, boundType)
+        if (hi != null && ord.gteq(hi, point)) return row
+      }
+      i += 1
+    }
+    null
+  }
+
+  /** RANGE_HASHED dictionary probe ([[graft.sources.Dictionaries]]): the
+    * interval array rides a scalar subquery, where Spark forbids
+    * higher-order-function lambdas — and a native scan is the faster
+    * shape anyway (one early-exit loop inside whole-stage codegen, no
+    * per-element interpreted lambda). Struct field order contract:
+    * field 0 = lo, field 1 = hi, both the point's type (checked). */
+  case class RangeFirst(left: Expression, right: Expression)
+      extends BinaryExpression {
+    private lazy val elemType =
+      left.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+        .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    override def dataType: DataType = elemType
+    override def nullable: Boolean = true
+    override def nullIntolerant: Boolean = true
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+      left.dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+            s: org.apache.spark.sql.types.StructType, _) if s.size >= 2 =>
+          if (s(0).dataType == right.dataType && s(1).dataType == right.dataType)
+            TypeCheckSuccess
+          else TypeCheckFailure(
+            s"range bounds ${s(0).dataType}/${s(1).dataType} must match " +
+              s"point type ${right.dataType}")
+        case other => TypeCheckFailure(
+          s"range_first needs array<struct<lo, hi, ...>>, got $other")
+      }
+    }
+    private lazy val ordering: Ordering[Any] =
+      org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(right.dataType)
+    override protected def nullSafeEval(a: Any, p: Any): Any =
+      rangeFirstCompute(a.asInstanceOf[ArrayData], p, ordering,
+        right.dataType, elemType.size)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ordRef = ctx.addReferenceObj("ord", ordering,
+        "scala.math.Ordering")
+      val btRef = ctx.addReferenceObj("bt", right.dataType,
+        "org.apache.spark.sql.types.DataType")
+      val nf = elemType.size
+      nullSafeCodeGen(ctx, ev, (a, p) =>
+        s"""
+           |Object r = graft.plans.NativeExpressions.rangeFirstCompute(
+           |  $a, (Object) $p, $ordRef, $btRef, $nf);
+           |if (r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} =
+           |  (org.apache.spark.sql.catalyst.InternalRow) r; }
+         """.stripMargin)
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): RangeFirst =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def range_first(arr: Column, point: Column): Column =
+    ColumnBridge.column(RangeFirst(
+      ColumnBridge.expression(arr), ColumnBridge.expression(point)))
 }
 
 /** IVF codebook as plain JVM arrays (top-level class so generated Java can

@@ -343,6 +343,64 @@ class DdlSurfaceSpec extends AnyFunSuite {
       Dictionaries.dictGet(facts, "labels", col("fk")))
   }
 
+  test("RANGE_HASHED dictionary: interval lookup, min-strategy overlap, round-trip") {
+    import graft.chsql.ChSql
+    import graft.sources.Dictionaries
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def run(stmt: String) =
+      ChSql.statement(spark, stmt)(n => spark.table(n))._1.collect().toSeq
+    def q(sel: String) =
+      ChSql.sql(spark, sel)(spark.table).collect().toSeq.map(_.toSeq)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_rngdict").toString
+    // key 1 has two OVERLAPPING intervals — the pick must be the one with
+    // the smaller lower bound (CH default range_lookup_strategy = 'min')
+    Seq((1L, "2020-01-01", "2020-06-30", 1.0),
+        (1L, "2020-04-01", "2020-12-31", 2.0),
+        (2L, "2020-01-01", "2020-03-31", 5.0))
+      .toDF("k", "lo0", "hi0", "v")
+      .select(col("k"), to_date(col("lo0")).as("lo"),
+        to_date(col("hi0")).as("hi"), col("v"))
+      .write.mode("overwrite").parquet(s"$dir/d")
+    run("DROP DICTIONARY IF EXISTS rngd")
+    run(s"""CREATE DICTIONARY rngd (k Int64, lo Date, hi Date, v Float64)
+           |PRIMARY KEY k
+           |SOURCE(FILE(path '$dir/d' format 'parquet'))
+           |LAYOUT(RANGE_HASHED())
+           |RANGE(MIN lo MAX hi)""".stripMargin)
+    Seq((10L, 1L, "2020-05-01"), (11L, 1L, "2020-08-01"),
+        (12L, 2L, "2020-05-01"), (13L, 9L, "2020-05-01"))
+      .toDF("id", "fk", "d0")
+      .select(col("id"), col("fk"), to_date(col("d0")).as("d"))
+      .createOrReplaceTempView("rngprobe")
+    // overlap → min lo wins (1.0, not 2.0); later interval → 2.0;
+    // key present but no interval → miss; unknown key → miss
+    assert(q("""SELECT id, dictGetOrDefault('rngd', 'v', fk, d, -1.0) AS v,
+               |  dictHas('rngd', fk, d) AS h
+               |FROM rngprobe ORDER BY id""".stripMargin) ==
+      Seq(Seq(10L, 1.0, true), Seq(11L, 2.0, true),
+          Seq(12L, -1.0, false), Seq(13L, -1.0, false)))
+    // SHOW CREATE round-trips the layout + range clause
+    val sc = run("SHOW CREATE DICTIONARY rngd").head.getString(0)
+    assert(sc.contains("LAYOUT(RANGE_HASHED())") &&
+      sc.contains("RANGE(MIN lo MAX hi)"))
+    // join tier: broadcast on key only, point resolved row-locally
+    val facts = spark.table("rngprobe")
+    val out = Dictionaries.dictGetRange(facts, "rngd", col("fk"), col("d"))
+      .orderBy("id").collect().map(r => Option(r.getAs[Any]("v")))
+    assert(out.toSeq == Seq(Some(1.0), Some(2.0), None, None))
+    // point-tier call shapes are rejected on a range dictionary and
+    // vice versa; clause pairing is validated
+    intercept[IllegalArgumentException](
+      q("SELECT dictGet('rngd', 'v', fk) AS v FROM rngprobe"))
+    intercept[IllegalArgumentException](
+      run(s"""CREATE DICTIONARY rngbad (k Int64, lo Date, hi Date, v Float64)
+             |PRIMARY KEY k SOURCE(FILE(path '$dir/d' format 'parquet'))
+             |RANGE(MIN lo MAX hi)""".stripMargin))
+    run("DROP DICTIONARY rngd")
+  }
+
   test("CH-text DDL/DML: CREATE TABLE → INSERT → ALTER mutations → round-trip") {
     import graft.chsql.ChSql
     def run(stmt: String): Seq[org.apache.spark.sql.Row] =
