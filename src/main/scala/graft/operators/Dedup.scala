@@ -83,6 +83,23 @@ object Dedup {
     * anti-join against the few oversize keys; a window count would buffer
     * the whole hot bucket through a sort, defeating the guard. The default
     * `Int.MaxValue` skips the sizing pass entirely. */
+  /** Default hot-bucket cap for [[lshCandidatePairsCapped]]: 1000 members
+    * bounds any one bucket's self-join output at ~5·10^5 pair rows. In a
+    * healthy MinHash-LSH run a bucket is a handful of genuine near-dups;
+    * a 1000-member bucket is degenerate content (empty strings, license
+    * headers, boilerplate) whose members still meet through their other,
+    * more selective bands. Raise it only with evidence from bucket-size
+    * stats — at 100 TB the b² blowup, not the drop, is the real risk. */
+  val DefaultMaxBucketSize: Int = 1000
+
+  /** [[lshCandidatePairs]] with the skew guard ON by default — the
+    * preset a 100 TB pipeline should reach for. The uncapped variant
+    * exists for oracle-exact runs (a cap drops data, which would break
+    * hash-matched comparisons at toy scale). */
+  def lshCandidatePairsCapped(bandsDf: DataFrame, idCol: String,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    lshCandidatePairs(bandsDf, idCol, maxBucketSize)
+
   def lshCandidatePairs(bandsDf: DataFrame, idCol: String,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val kept =

@@ -141,6 +141,18 @@ object Similarity {
     * before the join (bucket sizing is a map-side groupBy.count + a
     * broadcast anti-join against the few oversize keys). The default
     * `Int.MaxValue` skips the sizing pass entirely. */
+  /** [[nearDuplicatesLsh]] with the skew guard ON by default (cap
+    * contract and rationale: [[Dedup.DefaultMaxBucketSize]]) — the
+    * preset a 100 TB pipeline should reach for; the uncapped variant
+    * exists for oracle-exact runs. */
+  def nearDuplicatesLshCapped(
+      df: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int, threshold: Double, roundTo: Int = 6,
+      maxBucketSize: Int = Dedup.DefaultMaxBucketSize
+  ): DataFrame =
+    nearDuplicatesLsh(df, idCol, vecCol, nPlanes, threshold, roundTo,
+      maxBucketSize)
+
   def nearDuplicatesLsh(
       df: DataFrame, idCol: String, vecCol: String,
       nPlanes: Int, threshold: Double, roundTo: Int = 6,

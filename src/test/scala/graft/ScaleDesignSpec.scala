@@ -231,6 +231,29 @@ class ScaleDesignSpec extends AnyFunSuite {
       (r.getLong(0), r.getLong(1))).toSeq == Seq((1000L, 1001L)))
   }
 
+  test("capped presets default the hot-bucket guard on (both LSH paths)") {
+    import spark.implicits._
+    // adversarial: everyone shares one band bucket / one hyperplane
+    // bucket; the capped presets must drop it WITHOUT the caller passing
+    // a cap — the guard is no longer opt-in knowledge
+    val n = graft.operators.Dedup.DefaultMaxBucketSize + 100
+    val bands = (0 until n).map(i => (i.toLong, 0, 7L))
+      .toDF("doc_id", "band_id", "band_hash")
+    assert(graft.operators.Dedup
+      .lshCandidatePairsCapped(bands, "doc_id").count() == 0)
+    // small buckets keep their pairs under the default cap
+    val mixedBands = bands.unionByName(
+      Seq((5000L, 1, 9L), (5001L, 1, 9L)).toDF("doc_id", "band_id", "band_hash"))
+    assert(graft.operators.Dedup.lshCandidatePairsCapped(mixedBands, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((5000L, 5001L)))
+    val degenerate = (0 until n).map(i => (i.toLong, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.nearDuplicatesLshCapped(
+      degenerate, "vec_id", "embedding", nPlanes = 8, threshold = 0.9)
+      .count() == 0)
+  }
+
   test("partition-scoped ALTER DELETE rewrites only the matched partition's files") {
     def resolve(n: String) = spark.table(n)
     def run(s: String) = graft.chsql.ChSql.statement(spark, s)(resolve)._1
