@@ -1127,12 +1127,27 @@ object ChSql {
     }
     if (up.startsWith("EXPLAIN")) {
       val rest0 = trimmed.drop("EXPLAIN".length).trim
+      val restUp = rest0.toUpperCase(java.util.Locale.ROOT)
+      // two-word variants first (explainStmt, ClickHouseParser.py:
+      // 7487-7605): QUERY TREE is the analyzer-IR layer; TABLE OVERRIDE
+      // inspects an external-engine column override this engine does not
+      // have — refuse honestly rather than print something unrelated
+      if (restUp.startsWith("TABLE OVERRIDE"))
+        fail("EXPLAIN TABLE OVERRIDE is not supported: table overrides " +
+          "apply to external database engines (MySQL/MaterializedMySQL); " +
+          "this engine has no external engine to override")
       val parts = rest0.split("\\s+", 2)
-      val (variant, sel) = parts(0).toUpperCase(java.util.Locale.ROOT) match {
-        case v @ ("AST" | "SYNTAX" | "PLAN" | "PIPELINE" | "ESTIMATE") =>
-          (v, parts.lift(1).getOrElse(fail("EXPLAIN needs a SELECT")))
-        case _ => ("PLAN", rest0)
-      }
+      val (variant, sel) =
+        if (restUp.startsWith("QUERY TREE"))
+          ("QUERY TREE", rest0.drop("QUERY TREE".length).trim match {
+            case "" => fail("EXPLAIN needs a SELECT")
+            case s => s
+          })
+        else parts(0).toUpperCase(java.util.Locale.ROOT) match {
+          case v @ ("AST" | "SYNTAX" | "PLAN" | "PIPELINE" | "ESTIMATE") =>
+            (v, parts.lift(1).getOrElse(fail("EXPLAIN needs a SELECT")))
+          case _ => ("PLAN", rest0)
+        }
       val df = sql(spark, sel)(resolve)
       (graft.plans.ExplainOps.explainText(df, variant)
         .split("\n").toSeq.toDF("explain"), None)

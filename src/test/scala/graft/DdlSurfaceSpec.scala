@@ -189,6 +189,17 @@ class DdlSurfaceSpec extends AnyFunSuite {
     assert(byVariant("ESTIMATE").contains("sizeInBytes"))
     assert(!byVariant("AST").contains("Scan parquet")) // logical layers aren't physical
     intercept[IllegalArgumentException](ExplainOps.explainText(df, "NOPE"))
+    // the two-word text forms: QUERY TREE is the analyzer-IR layer
+    // (resolved attributes), TABLE OVERRIDE refuses honestly
+    import graft.chsql.ChSql
+    val qt = ChSql.statement(spark,
+      "EXPLAIN QUERY TREE SELECT count() AS n FROM nation")(
+      n => spark.read.parquet(s"/root/testdata/sf0.001/$n.parquet"))
+      ._1.collect().map(_.getString(0)).mkString("\n")
+    assert(qt.contains("Aggregate") && qt.contains("count"))
+    val e = intercept[IllegalArgumentException](ChSql.statement(spark,
+      "EXPLAIN TABLE OVERRIDE SELECT 1")(spark.table))
+    assert(e.getMessage.contains("TABLE OVERRIDE"))
   }
 
   test("table functions: numbers/zeros/one/file/generateRandom execute as sources") {
