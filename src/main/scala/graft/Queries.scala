@@ -3400,6 +3400,57 @@ object Queries {
     // SummingMergeTree (per-key sums on merge) and CollapsingMergeTree
     // (±1 sign cancellation) — insert, OPTIMIZE FINAL, scan back; the
     // oracle recomputes both collapses from the raw rows
+    // AggregatingMergeTree end-to-end: typed AggregateFunction columns
+    // declared in DDL, two state-batch INSERT SELECTs, OPTIMIZE FINAL
+    // merges states per key WITHOUT finalizing (state-in, state-out),
+    // -Merge reads finalize — the full CH MV-rollup contract. The
+    // `states` scalar pins that the collapse actually ran (rows = keys).
+    "ch51_sql_aggregating" -> ((s, dir) => chstmts(s, dir, Seq(
+      "DROP TABLE IF EXISTS ch51_t",
+      """CREATE TABLE ch51_t (flag String,
+        |  ss AggregateFunction(sum, Decimal(18, 2)),
+        |  cs AggregateFunction(count, Int64),
+        |  us AggregateFunction(uniq, Int64),
+        |  avs AggregateFunction(avg, Int64),
+        |  ms AggregateFunction(min, Date))
+        |ENGINE = AggregatingMergeTree ORDER BY flag""".stripMargin,
+      """INSERT INTO ch51_t SELECT o_orderstatus,
+        |  sumState(CAST(o_totalprice AS Decimal(18, 2))), countState(),
+        |  uniqState(o_custkey), avgState(o_orderkey), minState(o_orderdate)
+        |FROM orders WHERE o_orderkey < 3000 GROUP BY o_orderstatus""".stripMargin,
+      """INSERT INTO ch51_t SELECT o_orderstatus,
+        |  sumState(CAST(o_totalprice AS Decimal(18, 2))), countState(),
+        |  uniqState(o_custkey), avgState(o_orderkey), minState(o_orderdate)
+        |FROM orders WHERE o_orderkey >= 3000 AND o_orderkey < 6000
+        |GROUP BY o_orderstatus""".stripMargin,
+      "OPTIMIZE TABLE ch51_t FINAL",
+      """SELECT flag, CAST(sumMerge(ss) AS Float64) AS total,
+        |  countMerge(cs) AS n, uniqMerge(us) AS u, avgMerge(avs) AS av,
+        |  minMerge(ms) AS dmin,
+        |  (SELECT count() FROM ch51_t) AS states
+        |FROM ch51_t GROUP BY flag ORDER BY flag""".stripMargin))),
+
+    // VersionedCollapsingMergeTree: (sign, version) cancellation — a
+    // (+1, -1) pair with the SAME version cancels, a new version of the
+    // same key survives alongside nothing (the cancelled v1 is gone)
+    "ch52_sql_versioned_collapse" -> ((s, dir) => chstmts(s, dir, Seq(
+      "DROP TABLE IF EXISTS ch52_t",
+      """CREATE TABLE ch52_t (k Int64, price Decimal(18, 2), sign Int8, ver Int64)
+        |ENGINE = VersionedCollapsingMergeTree(sign, ver) ORDER BY k""".stripMargin,
+      """INSERT INTO ch52_t SELECT o_orderkey,
+        |  CAST(o_totalprice AS Decimal(18, 2)), 1, 1
+        |FROM orders WHERE o_orderkey < 4000""".stripMargin,
+      """INSERT INTO ch52_t SELECT o_orderkey,
+        |  CAST(o_totalprice AS Decimal(18, 2)), -1, 1
+        |FROM orders WHERE o_orderkey < 4000 AND o_orderkey % 3 = 0""".stripMargin,
+      """INSERT INTO ch52_t SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS Decimal(18, 2)) * 2 AS Decimal(18, 2)), 1, 2
+        |FROM orders WHERE o_orderkey < 4000 AND o_orderkey % 3 = 0""".stripMargin,
+      "OPTIMIZE TABLE ch52_t FINAL",
+      """SELECT count() AS n, CAST(sum(price) AS Float64) AS total,
+        |  CAST(sum(ver) AS Int64) AS vsum
+        |FROM ch52_t""".stripMargin))),
+
     // RANGE_HASHED dictionary: interval-keyed lookup — the dictionary
     // collapses to a key -> sorted-interval-array broadcast map (never a
     // per-row range join), the probe is a row-local filter HOF; the
@@ -3772,6 +3823,31 @@ object Queries {
         |  CAST(CAST(sum(list_sum(vs)) AS DECIMAL(18,2)) AS DOUBLE) AS sq,
         |  CAST(sum(len(vs)) AS BIGINT) AS ne
         |FROM t GROUP BY flag ORDER BY flag""".stripMargin,
+
+    "ch51_sql_aggregating" ->
+      """SELECT o_orderstatus AS flag,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  count(*) AS n,
+        |  count(DISTINCT o_custkey) AS u,
+        |  avg(o_orderkey) AS av,
+        |  min(o_orderdate) AS dmin,
+        |  (SELECT count(DISTINCT o_orderstatus) FROM orders
+        |   WHERE o_orderkey < 6000) AS states
+        |FROM orders WHERE o_orderkey < 6000
+        |GROUP BY flag ORDER BY flag""".stripMargin,
+
+    "ch52_sql_versioned_collapse" ->
+      """WITH t AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price, 1 AS ver
+        |  FROM orders WHERE o_orderkey < 4000 AND o_orderkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)), 2
+        |  FROM orders WHERE o_orderkey < 4000 AND o_orderkey % 3 = 0)
+        |SELECT count(*) AS n, CAST(sum(price) AS DOUBLE) AS total,
+        |  CAST(sum(ver) AS BIGINT) AS vsum
+        |FROM t""".stripMargin,
 
     "ch50_sql_range_dict" ->
       """WITH src AS (

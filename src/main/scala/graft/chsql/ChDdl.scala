@@ -310,7 +310,15 @@ object ChDdl {
               .map("graft.sum_cols" -> _.trim) ++
             Option(engineArgsOrNull).filter(_ =>
               Option(engineOrNull).exists(_.equalsIgnoreCase("CollapsingMergeTree")))
-              .map("graft.sign" -> _.trim)
+              .map("graft.sign" -> _.trim) ++
+            Option(engineArgsOrNull).filter(_ => Option(engineOrNull).exists(
+                _.equalsIgnoreCase("VersionedCollapsingMergeTree")))
+              .toSeq.flatMap { a =>
+                val cs = a.split(",").map(_.trim).filter(_.nonEmpty)
+                require(cs.length == 2, "ChSql: VersionedCollapsingMergeTree " +
+                  "needs (sign, version) arguments")
+                Seq("graft.sign" -> cs(0), "graft.version" -> cs(1))
+              }
           val partCols = Option(tailOrNull).flatMap(t =>
             "(?is)PARTITION\\s+BY\\s+(\\([^)]*\\)|[\\w]+)".r
               .findFirstMatchIn(t).map(_.group(1)
@@ -669,6 +677,8 @@ object ChDdl {
           ("ReplacingMergeTree", true, true, true),
           ("SummingMergeTree", true, true, true),
           ("CollapsingMergeTree", true, true, true),
+          ("VersionedCollapsingMergeTree", true, true, true),
+          ("AggregatingMergeTree", true, true, true),
           ("View", false, false, false),
           ("MaterializedView", false, false, false),
           ("LiveView", false, false, false),
@@ -969,6 +979,25 @@ object ChDdl {
         s"ChSql: CollapsingMergeTree sign column $sc is not a stored column")
       Some(sc)
     } else None
+    // VersionedCollapsingMergeTree(sign, version): cancellation is scoped
+    // per (key, version) — sign rides graft.sign, version graft.version
+    // (the same property ReplacingMergeTree uses; one engine owns it)
+    val vcCols = if (engine.equalsIgnoreCase("VersionedCollapsingMergeTree")) {
+      val cs = engineArgs.split(",").map(_.trim).filter(_.nonEmpty)
+      require(cs.length == 2,
+        "ChSql: VersionedCollapsingMergeTree needs (sign, version) arguments")
+      cs.foreach(c => require(schema.fieldNames.contains(c),
+        s"ChSql: VersionedCollapsingMergeTree column $c is not a stored column"))
+      Some((cs(0), cs(1)))
+    } else None
+    // AggregatingMergeTree: each AggregateFunction(f, ...) column records
+    // its stem so FINAL/OPTIMIZE knows which state-merge to apply
+    val aggFuncProps = stored.flatMap(d => d.chType
+      .flatMap(graft.model.ChTypes.aggFunctionStem)
+      .map(stem => s"graft.aggfunc.${d.name}" -> stem))
+    require(aggFuncProps.isEmpty ||
+        engine.equalsIgnoreCase("AggregatingMergeTree"),
+      "ChSql: AggregateFunction columns need ENGINE = AggregatingMergeTree")
 
     if (ifNotExists && spark.catalog.tableExists(name))
       return status(s"table $name already exists")
@@ -989,6 +1018,9 @@ object ChDdl {
       version.map("graft.version" -> _) ++
       sumColsProp.map("graft.sum_cols" -> _) ++
       signCol.map("graft.sign" -> _) ++
+      vcCols.toSeq.flatMap { case (sg, ver) =>
+        Seq("graft.sign" -> sg, "graft.version" -> ver) } ++
+      aggFuncProps ++
       ttl.map("graft.ttl" -> _) ++
       primaryKey.map("graft.primary_key" -> _) ++
       sampleBy.map("graft.sample_by" -> _) ++
@@ -2075,12 +2107,30 @@ object ChDdl {
             .filter(_.nonEmpty).toSeq)
       case "collapsingmergetree" =>
         ChOps.selectCollapsed(df, needKeys(), props("graft.sign"))
+      case "versionedcollapsingmergetree" =>
+        // cancellation is per (sorting key, version): the same ±sign
+        // collapse with the version column joining the grouping key —
+        // distinct versions of a key all survive
+        ChOps.selectCollapsed(df,
+          (needKeys() :+ props("graft.version")).distinct, props("graft.sign"))
+      case "aggregatingmergetree" =>
+        val stems = props.collect {
+          case (k, stem) if k.startsWith("graft.aggfunc.") =>
+            k.stripPrefix("graft.aggfunc.") -> stem }
+        // a CTAS-created table has no declared AggregateFunction column
+        // types, so there is nothing to say WHICH merge each column
+        // needs — refuse rather than collapse wrongly
+        require(stems.nonEmpty,
+          s"ChSql: FINAL on AggregatingMergeTree $name needs declared " +
+            "AggregateFunction(f, ...) column types (CREATE TABLE with " +
+            "an explicit column list, not CTAS)")
+        ChOps.selectAggregated(df, needKeys(), stems)
       case "mergetree" | "memory" => df
       case other => throw new UnsupportedOperationException(
         s"ChSql: FINAL semantics for ENGINE = $other are not implemented " +
           "(supported: MergeTree (no-op), ReplacingMergeTree, " +
-          "SummingMergeTree, CollapsingMergeTree; for AggregatingMergeTree " +
-          "state columns use the -Merge combinators explicitly)")
+          "SummingMergeTree, CollapsingMergeTree, " +
+          "VersionedCollapsingMergeTree, AggregatingMergeTree)")
     }
   }
 
@@ -2216,10 +2266,13 @@ object ChDdl {
       aliasCols.map(c => s"  $c ${props.getOrElse(s"graft.aliastype.$c",
         "String")} ALIAS ${props(s"graft.alias.$c")}")).mkString(",\n")
     val engine = props.getOrElse("graft.engine", "MergeTree")
-    val engineArgs = props.get("graft.version").map(v => s"($v)")
-      .orElse(props.get("graft.sign").map(s => s"($s)"))
-      .orElse(props.get("graft.sum_cols").filter(_.nonEmpty).map(s => s"($s)"))
-      .getOrElse("")
+    val engineArgs =
+      if (engine.equalsIgnoreCase("VersionedCollapsingMergeTree"))
+        s"(${props("graft.sign")}, ${props("graft.version")})"
+      else props.get("graft.version").map(v => s"($v)")
+        .orElse(props.get("graft.sign").map(s => s"($s)"))
+        .orElse(props.get("graft.sum_cols").filter(_.nonEmpty).map(s => s"($s)"))
+        .getOrElse("")
     val orderBy = props.get("graft.order_by").map(k => s"\nORDER BY ($k)").getOrElse("")
     val partBy = if (pcols.isEmpty) "" else s"\nPARTITION BY (${pcols.mkString(", ")})"
     val primaryKey = props.get("graft.primary_key")

@@ -102,10 +102,75 @@ object ChTypes {
       case "SimpleAggregateFunction" =>
         parse(args(1)) // state type == value type by definition
       case "AggregateFunction" =>
-        ChField(BinaryType, nullable = false) // opaque partial-aggregate state
+        // NOT opaque bytes: the state's storage type is exactly what the
+        // matching xState combinator emits (graft.chsql.ChSql State arm),
+        // so `CREATE TABLE (s AggregateFunction(sum, Decimal(18,2))) ...`
+        // and `INSERT ... SELECT sumState(...)` line up schema-for-schema
+        // — the typed twin of CH's AggregateFunction(f, T) annotation
+        require(args.nonEmpty,
+          s"AggregateFunction needs a function name: '$s'")
+        ChField(aggStateType(args.head.trim.toLowerCase(java.util.Locale.ROOT),
+          args.tail.map(a => parse(a).dataType), s), nullable = false)
       case other =>
         throw new IllegalArgumentException(s"unsupported ClickHouse type: $other in '$s'")
     }
+  }
+
+  /** Spark's `sum` aggregate result type (what sumState stores). */
+  private def sumResult(t: DataType): DataType = t match {
+    case ByteType | ShortType | IntegerType | LongType => LongType
+    case d: DecimalType => DecimalType(math.min(38, d.precision + 10), d.scale)
+    case _ => DoubleType
+  }
+
+  /** sumMap/topK tuple-state value type (SumMapAgg's sumType: decimals
+    * keep their scale un-widened, integrals fold to Long). */
+  private def sumMapValue(t: DataType): DataType = t match {
+    case ByteType | ShortType | IntegerType | LongType => LongType
+    case d: DecimalType => d
+    case _ => DoubleType
+  }
+
+  /** Storage type of an `AggregateFunction(stem, T...)` column — one
+    * case per supported -State stem, mirroring the combinator's output
+    * shape exactly. */
+  private def aggStateType(stem: String, ts: Seq[DataType],
+      full: String): DataType = {
+    def arg0: DataType = ts.headOption.getOrElse(throw
+      new IllegalArgumentException(s"AggregateFunction($stem) needs a " +
+        s"value type: '$full'"))
+    stem match {
+      case "count" => LongType
+      case "sum" => sumResult(arg0)
+      case "min" | "max" | "any" => arg0
+      case "avg" => StructType(Seq(
+        StructField("s", sumResult(arg0), nullable = true),
+        StructField("c", LongType, nullable = true)))
+      case "uniq" | "uniqexact" | "grouparray" | "groupuniqarray" =>
+        ArrayType(arg0, containsNull = false)
+      case "summap" =>
+        require(ts.length == 2,
+          s"AggregateFunction(sumMap, K, V) needs two types: '$full'")
+        StructType(Seq(
+          StructField("col1", ArrayType(ts(0), containsNull = false)),
+          StructField("col2", ArrayType(sumMapValue(ts(1)), containsNull = false))))
+      case "topk" => StructType(Seq(
+        StructField("col1", ArrayType(arg0, containsNull = false)),
+        StructField("col2", ArrayType(LongType, containsNull = false))))
+      case other => throw new IllegalArgumentException(
+        s"AggregateFunction($other, ...) is not supported (supported " +
+          "stems: count, sum, min, max, avg, any, uniq, uniqExact, " +
+          "groupArray, groupUniqArray, topK, sumMap)")
+    }
+  }
+
+  /** The aggregate-function stem of an `AggregateFunction(f, ...)` type
+    * string, if it is one (case preserved as written) — lets DDL record
+    * which merge an AggregatingMergeTree column needs. */
+  def aggFunctionStem(ch: String): Option[String] = {
+    val (head, args) = splitHead(ch.trim)
+    if (head == "AggregateFunction" && args.nonEmpty) Some(args.head.trim)
+    else None
   }
 
   /** `name Type` (nestedIdentifier columnTypeExpr). */

@@ -325,6 +325,51 @@ object ChOps {
     }: _*)
   }
 
+  /** AggregatingMergeTree collapse (engine clause, same grammar region):
+    * one row per sorting key with every `AggregateFunction(f, ...)`
+    * column's states MERGED INTO A STATE — not finalized; reading still
+    * goes through the -Merge combinators, exactly CH's contract. Which
+    * merge each column needs comes from the recorded stems
+    * (`graft.aggfunc.<col>`, from the declared column types). Ordinary
+    * non-key columns keep a deterministic representative (min — CH keeps
+    * an arbitrary one). Every state merges associatively, so this is one
+    * partial-combinable aggregate: one shuffle on the key at any scale. */
+  def selectAggregated(df: DataFrame, keys: Seq[String],
+      aggFuncs: Map[String, String]): DataFrame = {
+    aggFuncs.keys.foreach(c => require(df.columns.contains(c),
+      s"ChSql: AggregateFunction column $c is not a stored column"))
+    val payload = df.columns.filterNot(keys.contains).toSeq
+    def mergeExpr(c: String, stem: String): Column = {
+      val dt = df.schema(c).dataType
+      stem.toLowerCase(java.util.Locale.ROOT) match {
+        case "count" | "sum" => sum(col(c)).cast(dt)
+        case "min" => min(col(c))
+        case "max" => max(col(c))
+        case "any" => min(col(c)) // deterministic pin for CH's arbitrary pick
+        case "avg" =>
+          val st = dt.asInstanceOf[org.apache.spark.sql.types.StructType]
+          struct(sum(col(c).getField("s")).cast(st("s").dataType).as("s"),
+            sum(col(c).getField("c")).cast(st("c").dataType).as("c"))
+        case "uniq" | "uniqexact" | "groupuniqarray" =>
+          sort_array(array_distinct(flatten(collect_list(col(c)))))
+        case "grouparray" => flatten(collect_list(col(c)))
+        // tuple states fold by key and re-emit the same sorted tuple
+        // shape — topK's k applies at topKMerge finalize time, so its
+        // state merge IS the sumMap state merge
+        case "summap" | "topk" =>
+          graft.plans.SumMapMergeAgg.sumMapMerge(col(c))
+        case other => throw new UnsupportedOperationException(
+          s"ChSql: AggregatingMergeTree merge for stem $other is not implemented")
+      }
+    }
+    val aggs = payload.map { c =>
+      aggFuncs.get(c).map(mergeExpr(c, _)).getOrElse(min(col(c))).as(c)
+    }
+    df.groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(df.columns.map(col): _*)
+  }
+
   /** `ORDER BY expr COLLATE 'name'` (ClickHouseParser.py:11307-11314):
     * Spark 4 strings are natively collatable, so the mapping is the
     * built-in `collate` — the sort comparator changes, the value doesn't.

@@ -1297,17 +1297,67 @@ class DdlSurfaceSpec extends AnyFunSuite {
     chRun("DROP TABLE col_t")
     // an engine with declared-but-unimplemented merge semantics must
     // refuse FINAL, never silently no-op
-    chRun("DROP TABLE IF EXISTS vcol_t")
-    chRun("CREATE TABLE vcol_t (k Int64, sign Int8, ver Int64) " +
-      "ENGINE = VersionedCollapsingMergeTree(sign, ver) ORDER BY k")
-    chRun("INSERT INTO vcol_t VALUES (1, 1, 1)")
+    chRun("DROP TABLE IF EXISTS gmt_t")
+    chRun("CREATE TABLE gmt_t (k Int64) ENGINE = GraphiteMergeTree ORDER BY k")
+    chRun("INSERT INTO gmt_t VALUES (1)")
     val e = intercept[UnsupportedOperationException](
-      chRun("SELECT k FROM vcol_t FINAL"))
+      chRun("SELECT k FROM gmt_t FINAL"))
     assert(e.getMessage.contains("not implemented"))
     val e2 = intercept[UnsupportedOperationException](
-      chRun("OPTIMIZE TABLE vcol_t FINAL"))
+      chRun("OPTIMIZE TABLE gmt_t FINAL"))
     assert(e2.getMessage.contains("not implemented"))
+    chRun("DROP TABLE gmt_t")
+  }
+
+  test("VersionedCollapsingMergeTree: same-version pairs cancel, versions survive") {
+    chRun("DROP TABLE IF EXISTS vcol_t")
+    chRun("CREATE TABLE vcol_t (k Int64, v Float64, sign Int8, ver Int64) " +
+      "ENGINE = VersionedCollapsingMergeTree(sign, ver) ORDER BY k")
+    chRun("INSERT INTO vcol_t VALUES (1, 10.0, 1, 1), (1, 10.0, -1, 1), " +
+      "(1, 12.0, 1, 2), (2, 20.0, 1, 1), (2, 21.0, 1, 2)")
+    // k=1: the v1 (+1, -1) pair cancels, the v2 state survives;
+    // k=2: two distinct versions BOTH survive (the Collapsing difference)
+    val vc = chRun("SELECT k, v, ver FROM vcol_t FINAL ORDER BY k, ver")
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(vc == Seq((1L, 12.0, 2L), (2L, 20.0, 1L), (2L, 21.0, 2L)))
+    chRun("OPTIMIZE TABLE vcol_t FINAL")
+    assert(chRun("SELECT count() AS n FROM vcol_t").head.getLong(0) == 3)
+    assert(chRun("SHOW CREATE TABLE vcol_t").head.getString(0)
+      .contains("VersionedCollapsingMergeTree(sign, ver)"))
     chRun("DROP TABLE vcol_t")
+  }
+
+  test("AggregatingMergeTree: typed state columns merge state-in state-out") {
+    chRun("DROP TABLE IF EXISTS agg_t")
+    chRun("CREATE TABLE agg_t (k String, ss AggregateFunction(sum, Int64), " +
+      "us AggregateFunction(uniq, Int64), " +
+      "tk AggregateFunction(topK, String)) " +
+      "ENGINE = AggregatingMergeTree ORDER BY k")
+    val sel = "sumState(number) AS ss, uniqState(number % 3) AS us, " +
+      "topKState(toString(number % 2)) AS tk"
+    chRun(s"INSERT INTO agg_t SELECT 'a' AS k, $sel FROM numbers(10) GROUP BY k")
+    chRun(s"INSERT INTO agg_t SELECT 'a' AS k, $sel FROM numbers(10) GROUP BY k")
+    chRun(s"INSERT INTO agg_t SELECT 'b' AS k, $sel FROM numbers(5) GROUP BY k")
+    assert(chRun("SELECT count() AS n FROM agg_t").head.getLong(0) == 3)
+    // FINAL read merges states per key WITHOUT finalizing — -Merge still
+    // applies on top (the CH AggregatingMergeTree read contract)
+    val pre = chRun("SELECT k, sumMerge(ss) AS s FROM agg_t FINAL " +
+      "GROUP BY k ORDER BY k").map(r => (r.getString(0), r.getLong(1)))
+    assert(pre == Seq(("a", 90L), ("b", 10L)))
+    chRun("OPTIMIZE TABLE agg_t FINAL")
+    assert(chRun("SELECT count() AS n FROM agg_t").head.getLong(0) == 2)
+    val r = chRun("SELECT k, sumMerge(ss) AS s, uniqMerge(us) AS u, " +
+      "topKMerge(2)(tk) AS t FROM agg_t GROUP BY k ORDER BY k")
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getSeq[String](3)))
+    assert(r == Seq(("a", 90L, 3L, Seq("0", "1")),
+      ("b", 10L, 3L, Seq("0", "1"))))
+    chRun("DROP TABLE agg_t")
+    // AggregateFunction columns demand the matching engine
+    val e = intercept[IllegalArgumentException](chRun(
+      "CREATE TABLE agg_bad (k String, s AggregateFunction(sum, Int64)) " +
+        "ENGINE = MergeTree ORDER BY k"))
+    assert(e.getMessage.contains("AggregatingMergeTree"))
   }
 
   test("Memory/TEMPORARY tables refuse qualified names with a clear message") {
