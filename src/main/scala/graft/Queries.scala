@@ -3400,6 +3400,56 @@ object Queries {
     // SummingMergeTree (per-key sums on merge) and CollapsingMergeTree
     // (±1 sign cancellation) — insert, OPTIMIZE FINAL, scan back; the
     // oracle recomputes both collapses from the raw rows
+    // geo distance family: haversine central angle / mean-radius sphere
+    // distance, coordinates synthesized from keys; the DuckDB twin
+    // replays the identical formula (both engines IEEE doubles, results
+    // rounded) — row-local math, codegen'd, no shuffle
+    "ch53_sql_geo" -> ((s, dir) => chsql(s, dir,
+      """SELECT c_custkey AS k,
+        |  round(greatCircleDistance(lon1, lat1, lon2, lat2), 2) AS dist,
+        |  round(greatCircleAngle(lon1, lat1, lon2, lat2), 6) AS ang
+        |FROM (SELECT c_custkey,
+        |    (c_custkey % 360) - 180 + 0.25 AS lon1,
+        |    (c_custkey % 170) - 85 + 0.5 AS lat1,
+        |    ((c_custkey * 7) % 360) - 180 AS lon2,
+        |    ((c_custkey * 3) % 170) - 85 AS lat2
+        |  FROM customer WHERE c_custkey <= 200)
+        |ORDER BY k""".stripMargin)),
+
+    // bitmap family: a bitmap is its sorted distinct value array; the
+    // set algebra maps to native array_* functions. The DuckDB twin
+    // derives every cardinality from count-distinct + INTERSECT algebra
+    "ch54_sql_bitmap" -> ((s, dir) => chsql(s, dir,
+      """SELECT p,
+        |  bitmapCardinality(b1) AS c1,
+        |  bitmapAndCardinality(b1, b2) AS ci,
+        |  bitmapOrCardinality(b1, b2) AS cu,
+        |  bitmapXorCardinality(b1, b2) AS cx,
+        |  bitmapAndnotCardinality(b1, b2) AS cd,
+        |  bitmapContains(b1, 7) AS has7,
+        |  bitmapHasAny(b1, b2) AS anyov,
+        |  bitmapHasAll(b1, b2) AS allov,
+        |  bitmapMin(b1) AS mn, bitmapMax(b1) AS mx
+        |FROM (SELECT o_orderpriority AS p,
+        |    bitmapBuild(groupArray(o_custkey % 100)) AS b1,
+        |    bitmapBuild(groupArray(o_custkey % 60)) AS b2
+        |  FROM orders WHERE o_orderkey < 8000 GROUP BY p)
+        |ORDER BY p""".stripMargin)),
+
+    // fixed-grid minute floors + the Modified Julian Day pair
+    "ch55_sql_date_extras" -> ((s, dir) => chsql(s, dir,
+      """SELECT k, m5, m10, m15, mjd,
+        |  fromModifiedJulianDay(mjd + 10) AS rt
+        |FROM (SELECT o_orderkey AS k,
+        |    toStartOfFiveMinutes(ts) AS m5,
+        |    toStartOfTenMinutes(ts) AS m10,
+        |    toStartOfFifteenMinutes(ts) AS m15,
+        |    toModifiedJulianDay(o_orderdate) AS mjd
+        |  FROM (SELECT o_orderkey, o_orderdate,
+        |      addSeconds(toDateTime(o_orderdate), o_orderkey % 86400) AS ts
+        |    FROM orders WHERE o_orderkey < 2000))
+        |ORDER BY k""".stripMargin)),
+
     // AggregatingMergeTree end-to-end: typed AggregateFunction columns
     // declared in DDL, two state-batch INSERT SELECTs, OPTIMIZE FINAL
     // merges states per key WITHOUT finalizing (state-in, state-out),
@@ -3823,6 +3873,59 @@ object Queries {
         |  CAST(CAST(sum(list_sum(vs)) AS DECIMAL(18,2)) AS DOUBLE) AS sq,
         |  CAST(sum(len(vs)) AS BIGINT) AS ne
         |FROM t GROUP BY flag ORDER BY flag""".stripMargin,
+
+    "ch53_sql_geo" ->
+      """SELECT c_custkey AS k,
+        |  round(2 * 6371000 * asin(sqrt(
+        |    pow(sin(radians(lat2 - lat1) / 2), 2) +
+        |    cos(radians(lat1)) * cos(radians(lat2)) *
+        |    pow(sin(radians(lon2 - lon1) / 2), 2))), 2) AS dist,
+        |  round(degrees(2 * asin(sqrt(
+        |    pow(sin(radians(lat2 - lat1) / 2), 2) +
+        |    cos(radians(lat1)) * cos(radians(lat2)) *
+        |    pow(sin(radians(lon2 - lon1) / 2), 2)))), 6) AS ang
+        |FROM (SELECT c_custkey,
+        |    (c_custkey % 360) - 180 + 0.25 AS lon1,
+        |    (c_custkey % 170) - 85 + 0.5 AS lat1,
+        |    ((c_custkey * 7) % 360) - 180 AS lon2,
+        |    ((c_custkey * 3) % 170) - 85 AS lat2
+        |  FROM customer WHERE c_custkey <= 200)
+        |ORDER BY k""".stripMargin,
+
+    "ch54_sql_bitmap" ->
+      """WITH t AS (SELECT o_orderpriority AS p, o_custkey % 100 AS v1,
+        |    o_custkey % 60 AS v2 FROM orders WHERE o_orderkey < 8000),
+        |a1 AS (SELECT p, count(DISTINCT v1) AS c1, min(v1) AS mn,
+        |    max(v1) AS mx FROM t GROUP BY p),
+        |a2 AS (SELECT p, count(DISTINCT v2) AS c2 FROM t GROUP BY p),
+        |i AS (SELECT p, count(*) AS ci0 FROM
+        |    (SELECT DISTINCT p, v1 AS v FROM t
+        |     INTERSECT SELECT DISTINCT p, v2 AS v FROM t) GROUP BY p),
+        |h AS (SELECT DISTINCT p, true AS has7a FROM t WHERE v1 = 7)
+        |SELECT a1.p AS p, c1,
+        |  coalesce(ci0, 0) AS ci,
+        |  c1 + c2 - coalesce(ci0, 0) AS cu,
+        |  c1 + c2 - 2 * coalesce(ci0, 0) AS cx,
+        |  c1 - coalesce(ci0, 0) AS cd,
+        |  coalesce(has7a, false) AS has7,
+        |  coalesce(ci0, 0) > 0 AS anyov,
+        |  coalesce(ci0, 0) = c2 AS allov,
+        |  mn, mx
+        |FROM a1 JOIN a2 USING (p) LEFT JOIN i USING (p) LEFT JOIN h USING (p)
+        |ORDER BY p""".stripMargin,
+
+    "ch55_sql_date_extras" ->
+      """WITH s AS (SELECT o_orderkey AS k, o_orderdate,
+        |    CAST(o_orderdate AS TIMESTAMP) +
+        |      (o_orderkey % 86400) * INTERVAL 1 SECOND AS ts
+        |  FROM orders WHERE o_orderkey < 2000)
+        |SELECT k,
+        |  CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP) AS m5,
+        |  CAST(to_timestamp(floor(epoch(ts) / 600) * 600) AS TIMESTAMP) AS m10,
+        |  CAST(to_timestamp(floor(epoch(ts) / 900) * 900) AS TIMESTAMP) AS m15,
+        |  CAST(date_diff('day', DATE '1858-11-17', o_orderdate) AS INTEGER) AS mjd,
+        |  CAST(o_orderdate + INTERVAL 10 DAY AS DATE) AS rt
+        |FROM s ORDER BY k""".stripMargin,
 
     "ch51_sql_aggregating" ->
       """SELECT o_orderstatus AS flag,

@@ -1063,7 +1063,7 @@ object ChSql {
     "groupuniqarray", "quantile", "quantileexact", "quantiles", "median",
     "stddevpop", "stddevsamp", "varpop", "varsamp", "corr", "covarpop",
     "covarsamp", "avgweighted", "topk", "groupbitand", "groupbitor",
-    "groupbitxor", "skewpop", "kurtpop", "summap", "sequencematch",
+    "groupbitmap", "groupbitxor", "skewpop", "kurtpop", "summap", "sequencematch",
     "sequencecount", "uniqupto", "windowfunnel", "retention",
     "sumarray", "minarray", "maxarray", "avgarray", "countarray",
     "uniqarray", "grouparrayarray", "quantiletiming", "quantilestiming",
@@ -2378,6 +2378,10 @@ object ChSql {
         case "covarpop" => covar_pop(a(0), a(1))
         case "covarsamp" => covar_samp(a(0), a(1))
         case "avgweighted" => sum(a(0) * a(1)) / sum(a(1))
+        // groupBitmap: CH builds a roaring bitmap and reports its
+        // cardinality — semantically count-distinct; the bitmap OBJECT
+        // tier is the sorted distinct array (bitmapBuild family below)
+        case "groupbitmap" => countDistinct(a(0))
         case "groupbitand" => bit_and(a(0))
         case "groupbitor" => bit_or(a(0))
         case "groupbitxor" => bit_xor(a(0))
@@ -2441,6 +2445,47 @@ object ChSql {
               sort_array(collect_list(
                 when(stepIdx >= 0, ts * 10 + stepIdx))), nSteps)
           }
+
+        // ---- geo distances (degrees in, meters out) ----
+        // haversine central angle on a spherical Earth; argument order is
+        // CH's (lon1, lat1, lon2, lat2). greatCircleDistance and
+        // geoDistance both map to the mean-radius sphere (R = 6371000 m;
+        // CH's geoDistance refines with an ellipsoid — documented
+        // divergence, same contract class as the uniq sketch tiers)
+        case "greatcircledistance" | "geodistance" | "greatcircleangle" =>
+          val half =
+            pow(sin(radians(a(3) - a(1)) / 2), 2) +
+              cos(radians(a(1))) * cos(radians(a(3))) *
+              pow(sin(radians(a(2) - a(0)) / 2), 2)
+          val centralAngle = asin(sqrt(half)) * 2
+          if (nm == "greatcircleangle") degrees(centralAngle)
+          else centralAngle * lit(6371000.0)
+
+        // ---- bitmap family: a bitmap is its sorted distinct value
+        // array (typed, parquet-storable; CH's roaring bitmap is a
+        // compression detail of the same value set). Set algebra maps to
+        // the native array_* functions — row-local, codegen'd ----
+        case "bitmapbuild" => sort_array(array_distinct(a(0)))
+        case "bitmaptoarray" => a(0)
+        case "bitmapcardinality" => size(a(0)).cast("long")
+        case "bitmapmin" => array_min(a(0))
+        case "bitmapmax" => array_max(a(0))
+        case "bitmapand" => sort_array(array_intersect(a(0), a(1)))
+        case "bitmapor" => sort_array(array_union(a(0), a(1)))
+        case "bitmapxor" => sort_array(array_except(
+          array_union(a(0), a(1)), array_intersect(a(0), a(1))))
+        case "bitmapandnot" => sort_array(array_except(a(0), a(1)))
+        case "bitmapcontains" => array_contains(a(0), a(1))
+        case "bitmaphasany" => arrays_overlap(a(0), a(1))
+        case "bitmaphasall" => size(array_except(a(1), a(0))) === 0
+        case "bitmapandcardinality" =>
+          size(array_intersect(a(0), a(1))).cast("long")
+        case "bitmaporcardinality" =>
+          size(array_union(a(0), a(1))).cast("long")
+        case "bitmapxorcardinality" => size(array_except(
+          array_union(a(0), a(1)), array_intersect(a(0), a(1)))).cast("long")
+        case "bitmapandnotcardinality" =>
+          size(array_except(a(0), a(1))).cast("long")
 
         // ---- conditionals / null handling ----
         // dictGet('dict', 'attr', key) — the scalar dictionary lookup
@@ -2575,6 +2620,20 @@ object ChSql {
         case "tostartofday" => date_trunc("day", a(0))
         case "tostartofhour" => date_trunc("hour", a(0))
         case "tostartofminute" => date_trunc("minute", a(0))
+        // fixed-grid minute floors (toStartOfInterval specializations)
+        case "tostartoffiveminutes" | "tostartoftenminutes" | "tostartoffifteenminutes" =>
+          val step = nm match {
+            case "tostartoffiveminutes" => 300L
+            case "tostartoftenminutes" => 600L
+            case _ => 900L
+          }
+          timestamp_seconds(
+            floor(unix_timestamp(a(0)) / lit(step)).cast("long") * step)
+        // Modified Julian Day: days since 1858-11-17 (the CH pair)
+        case "tomodifiedjulianday" =>
+          datediff(a(0), to_date(lit("1858-11-17"))).cast("int")
+        case "frommodifiedjulianday" =>
+          date_add(to_date(lit("1858-11-17")), a(0).cast("int"))
         case "tostartofinterval" =>
           // toStartOfInterval(t, INTERVAL n unit): floor to the n-unit
           // grid — fixed-length units via epoch arithmetic, calendar

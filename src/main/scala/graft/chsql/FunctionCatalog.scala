@@ -26,7 +26,13 @@ object FunctionCatalog {
     "arraysum", "arrayuniq", "arrayzip", "avgarray", "uniqarray", "asin", "assumenotnull", "atan",
     "atan2", "avg", "avgif", "avgweighted", "bar", "base64decode",
     "base64encode", "bitand", "bitcount", "bitor", "bitshiftleft",
-    "bitshiftright", "bittest", "bitxor", "cbrt", "ceil", "ceiling",
+    "bitshiftright", "bittest", "bitxor",
+    "bitmapand", "bitmapandcardinality", "bitmapandnot",
+    "bitmapandnotcardinality", "bitmapbuild", "bitmapcardinality",
+    "bitmapcontains", "bitmaphasall", "bitmaphasany", "bitmapmax",
+    "bitmapmin", "bitmapor", "bitmaporcardinality", "bitmaptoarray",
+    "bitmapxor", "bitmapxorcardinality",
+    "cbrt", "ceil", "ceiling",
     "char_length", "character_length", "cityhash64", "coalesce", "concat",
     "concatwithseparator", "concat_ws", "corr", "cos", "cosh", "count", "countarray", "countdistinct",
     "countequal", "countif",
@@ -37,9 +43,11 @@ object FunctionCatalog {
     "exp10", "exp2", "expm1", "extract", "extracturlparameter",
     "first_value", "flatten", "floor", "formatdatetime",
     "formatreadablequantity", "formatreadablesize", "frombase64",
-    "fromunixtimestamp", "generateuuidv4", "greatest", "grouparray",
-    "grouparrayarray",
-    "groupbitand", "groupbitor", "groupbitxor", "groupuniqarray", "has",
+    "frommodifiedjulianday", "fromunixtimestamp", "generateuuidv4",
+    "geodistance", "greatcircleangle", "greatcircledistance",
+    "greatest", "grouparray", "grouparrayarray",
+    "groupbitand", "groupbitmap", "groupbitor", "groupbitxor",
+    "groupuniqarray", "has",
     "hasany", "hex", "if", "ifnull", "indexof", "intdiv", "intdivorzero",
     "ipv4numtostring", "ipv4stringtonum", "isfinite", "isinfinite",
     "isnan", "isnotnull", "isnull", "json_value", "jsonextractbool",
@@ -76,8 +84,11 @@ object FunctionCatalog {
     "todatetime64", "tofixedstring", "tointervalday", "tointervalhour",
     "tointervalminute", "tointervalmonth", "tointervalquarter",
     "tointervalsecond", "tointervalweek", "tointervalyear",
-    "tostartofday", "tostartofhour", "tostartofinterval", "tostartofminute", "tostartofmonth",
-    "tostartofquarter", "tostartofweek", "tostartofyear", "tostring",
+    "tomodifiedjulianday",
+    "tostartofday", "tostartoffifteenminutes", "tostartoffiveminutes",
+    "tostartofhour", "tostartofinterval", "tostartofminute", "tostartofmonth",
+    "tostartofquarter", "tostartoftenminutes", "tostartofweek",
+    "tostartofyear", "tostring",
     "touint16", "touint32", "touint64", "touint8", "tounixtimestamp",
     "translate", "translateutf8", "totypename", "toyear", "toyyyymm", "toyyyymmdd", "transform", "trim", "trimboth", "trimleft",
     "trimright", "tuple", "tupleelement", "ucase", "unhex", "uniq",
