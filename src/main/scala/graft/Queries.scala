@@ -3450,6 +3450,27 @@ object Queries {
         |    FROM orders WHERE o_orderkey < 2000))
         |ORDER BY k""".stripMargin)),
 
+    // SimpleAggregateFunction columns (value IS the state, plain-function
+    // fold on merge) + the groupBitmap State/Merge tier, both under
+    // AggregatingMergeTree OPTIMIZE FINAL
+    "ch56_sql_simple_agg" -> ((s, dir) => chstmts(s, dir, Seq(
+      "DROP TABLE IF EXISTS ch56_t",
+      """CREATE TABLE ch56_t (flag String,
+        |  s SimpleAggregateFunction(sum, Int64),
+        |  mx SimpleAggregateFunction(max, Float64),
+        |  bs AggregateFunction(groupBitmap, Int64))
+        |ENGINE = AggregatingMergeTree ORDER BY flag""".stripMargin,
+      """INSERT INTO ch56_t SELECT o_orderstatus, sum(o_orderkey),
+        |  max(o_totalprice), groupBitmapState(o_custkey % 500)
+        |FROM orders WHERE o_orderkey < 3000 GROUP BY o_orderstatus""".stripMargin,
+      """INSERT INTO ch56_t SELECT o_orderstatus, sum(o_orderkey),
+        |  max(o_totalprice), groupBitmapState(o_custkey % 500)
+        |FROM orders WHERE o_orderkey >= 3000 AND o_orderkey < 6000
+        |GROUP BY o_orderstatus""".stripMargin,
+      "OPTIMIZE TABLE ch56_t FINAL",
+      """SELECT flag, s, mx, groupBitmapMerge(bs) AS u
+        |FROM ch56_t GROUP BY flag, s, mx ORDER BY flag""".stripMargin))),
+
     // AggregatingMergeTree end-to-end: typed AggregateFunction columns
     // declared in DDL, two state-batch INSERT SELECTs, OPTIMIZE FINAL
     // merges states per key WITHOUT finalizing (state-in, state-out),
@@ -3926,6 +3947,14 @@ object Queries {
         |  CAST(date_diff('day', DATE '1858-11-17', o_orderdate) AS INTEGER) AS mjd,
         |  CAST(o_orderdate + INTERVAL 10 DAY AS DATE) AS rt
         |FROM s ORDER BY k""".stripMargin,
+
+    "ch56_sql_simple_agg" ->
+      """SELECT o_orderstatus AS flag,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS s,
+        |  max(o_totalprice) AS mx,
+        |  count(DISTINCT o_custkey % 500) AS u
+        |FROM orders WHERE o_orderkey < 6000
+        |GROUP BY flag ORDER BY flag""".stripMargin,
 
     "ch51_sql_aggregating" ->
       """SELECT o_orderstatus AS flag,

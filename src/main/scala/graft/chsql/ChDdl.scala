@@ -998,6 +998,19 @@ object ChDdl {
     require(aggFuncProps.isEmpty ||
         engine.equalsIgnoreCase("AggregatingMergeTree"),
       "ChSql: AggregateFunction columns need ENGINE = AggregatingMergeTree")
+    // SimpleAggregateFunction(f, T): the value IS the state (type erases
+    // to T); under AggregatingMergeTree the stem drives the merge fold
+    val simpleAggProps = stored.flatMap(d => d.chType
+      .flatMap(graft.model.ChTypes.simpleAggFunctionStem)
+      .map(stem => s"graft.simpleagg.${d.name}" -> stem))
+    // the schema stores the state's STORAGE type; keep the declared
+    // [Simple]AggregateFunction text so SHOW CREATE round-trips exactly
+    val aggTypeProps = stored.collect {
+      case d if d.chType.exists(t =>
+          graft.model.ChTypes.aggFunctionStem(t).isDefined ||
+          graft.model.ChTypes.simpleAggFunctionStem(t).isDefined) =>
+        s"graft.aggtype.${d.name}" -> d.chType.get
+    }
 
     if (ifNotExists && spark.catalog.tableExists(name))
       return status(s"table $name already exists")
@@ -1020,7 +1033,7 @@ object ChDdl {
       signCol.map("graft.sign" -> _) ++
       vcCols.toSeq.flatMap { case (sg, ver) =>
         Seq("graft.sign" -> sg, "graft.version" -> ver) } ++
-      aggFuncProps ++
+      aggFuncProps ++ simpleAggProps ++ aggTypeProps ++
       ttl.map("graft.ttl" -> _) ++
       primaryKey.map("graft.primary_key" -> _) ++
       sampleBy.map("graft.sample_by" -> _) ++
@@ -2117,14 +2130,17 @@ object ChDdl {
         val stems = props.collect {
           case (k, stem) if k.startsWith("graft.aggfunc.") =>
             k.stripPrefix("graft.aggfunc.") -> stem }
+        val simple = props.collect {
+          case (k, stem) if k.startsWith("graft.simpleagg.") =>
+            k.stripPrefix("graft.simpleagg.") -> stem }
         // a CTAS-created table has no declared AggregateFunction column
         // types, so there is nothing to say WHICH merge each column
         // needs — refuse rather than collapse wrongly
-        require(stems.nonEmpty,
+        require(stems.nonEmpty || simple.nonEmpty,
           s"ChSql: FINAL on AggregatingMergeTree $name needs declared " +
             "AggregateFunction(f, ...) column types (CREATE TABLE with " +
             "an explicit column list, not CTAS)")
-        ChOps.selectAggregated(df, needKeys(), stems)
+        ChOps.selectAggregated(df, needKeys(), stems, simple)
       case "mergetree" | "memory" => df
       case other => throw new UnsupportedOperationException(
         s"ChSql: FINAL semantics for ENGINE = $other are not implemented " +
@@ -2261,7 +2277,8 @@ object ChDdl {
     val aliasCols = props.keys.filter(_.startsWith("graft.alias."))
       .map(_.stripPrefix("graft.alias.")).toSeq.sorted
     val cols = (ordered.map(f =>
-      s"  ${f.name} ${graft.model.ChTypes.toCh(f.dataType, f.nullable)}${
+      s"  ${f.name} ${props.getOrElse(s"graft.aggtype.${f.name}",
+        graft.model.ChTypes.toCh(f.dataType, f.nullable))}${
         modifier(f.name)}") ++
       aliasCols.map(c => s"  $c ${props.getOrElse(s"graft.aliastype.$c",
         "String")} ALIAS ${props(s"graft.alias.$c")}")).mkString(",\n")

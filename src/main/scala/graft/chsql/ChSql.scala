@@ -2282,6 +2282,9 @@ object ChSql {
           case "any" => first(a(0))
           case "avg" => struct(sum(a(0)).as("s"), count(a(0)).as("c"))
           case "uniq" | "uniqexact" => sort_array(collect_set(a(0)))
+          // the bitmap state IS the uniq state: the sorted distinct
+          // value set (roaring compression is CH's storage detail)
+          case "groupbitmap" => sort_array(collect_set(a(0)))
           case "grouparray" => collect_list(a(0))
           case "groupuniqarray" => sort_array(collect_set(a(0)))
           case "summap" => t(FuncCall("sumMap", Nil, f.args, distinct = false))
@@ -2291,7 +2294,7 @@ object ChSql {
           case "topk" => graft.plans.SumMapAgg.sumMap(a(0), lit(1L))
           case other => throw new IllegalArgumentException(
             s"ChSql: ${other}State is not supported (supported stems: " +
-              "count, sum, min, max, avg, any, uniq, uniqExact, " +
+              "count, sum, min, max, avg, any, uniq, uniqExact, groupBitmap, " +
               "groupArray, groupUniqArray, topK, sumMap)")
         }
       if (nm.endsWith("merge") && nm.length > 5 && isAggName(nm.dropRight(5)))
@@ -2302,7 +2305,7 @@ object ChSql {
           case "max" => max(a(0))
           case "any" => first(a(0))
           case "avg" => sum(a(0).getField("s")) / sum(a(0).getField("c"))
-          case "uniq" | "uniqexact" =>
+          case "uniq" | "uniqexact" | "groupbitmap" =>
             size(array_distinct(flatten(collect_list(a(0))))).cast(LongType)
           case "grouparray" => flatten(collect_list(a(0)))
           case "groupuniqarray" =>
@@ -2313,7 +2316,7 @@ object ChSql {
               if (f.params.nonEmpty) paramD(0).toInt else 10)
           case other => throw new IllegalArgumentException(
             s"ChSql: ${other}Merge is not supported (supported stems: " +
-              "count, sum, min, max, avg, any, uniq, uniqExact, " +
+              "count, sum, min, max, avg, any, uniq, uniqExact, groupBitmap, " +
               "groupArray, groupUniqArray, topK, sumMap)")
         }
       nm match {

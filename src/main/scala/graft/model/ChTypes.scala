@@ -146,7 +146,8 @@ object ChTypes {
       case "avg" => StructType(Seq(
         StructField("s", sumResult(arg0), nullable = true),
         StructField("c", LongType, nullable = true)))
-      case "uniq" | "uniqexact" | "grouparray" | "groupuniqarray" =>
+      case "uniq" | "uniqexact" | "grouparray" | "groupuniqarray" |
+          "groupbitmap" =>
         ArrayType(arg0, containsNull = false)
       case "summap" =>
         require(ts.length == 2,
@@ -170,6 +171,16 @@ object ChTypes {
   def aggFunctionStem(ch: String): Option[String] = {
     val (head, args) = splitHead(ch.trim)
     if (head == "AggregateFunction" && args.nonEmpty) Some(args.head.trim)
+    else None
+  }
+
+  /** Same for `SimpleAggregateFunction(f, T)` — the state IS the value
+    * (the type erases to T), but AggregatingMergeTree still needs the
+    * stem to know how the column folds on merge. */
+  def simpleAggFunctionStem(ch: String): Option[String] = {
+    val (head, args) = splitHead(ch.trim)
+    if (head == "SimpleAggregateFunction" && args.nonEmpty)
+      Some(args.head.trim)
     else None
   }
 

@@ -335,10 +335,32 @@ object ChOps {
     * an arbitrary one). Every state merges associatively, so this is one
     * partial-combinable aggregate: one shuffle on the key at any scale. */
   def selectAggregated(df: DataFrame, keys: Seq[String],
-      aggFuncs: Map[String, String]): DataFrame = {
-    aggFuncs.keys.foreach(c => require(df.columns.contains(c),
-      s"ChSql: AggregateFunction column $c is not a stored column"))
+      aggFuncs: Map[String, String],
+      simpleFuncs: Map[String, String] = Map.empty): DataFrame = {
+    (aggFuncs.keys ++ simpleFuncs.keys).foreach(c =>
+      require(df.columns.contains(c),
+        s"ChSql: AggregateFunction column $c is not a stored column"))
     val payload = df.columns.filterNot(keys.contains).toSeq
+    // SimpleAggregateFunction columns fold with the PLAIN function over
+    // values — the value is the state (CH's SimpleAggregateFunction
+    // contract; the supported stems are CH's own list)
+    def simpleExpr(c: String, stem: String): Column = {
+      val dt = df.schema(c).dataType
+      stem.toLowerCase(java.util.Locale.ROOT) match {
+        case "sum" => sum(col(c)).cast(dt)
+        case "min" => min(col(c))
+        case "max" => max(col(c))
+        case "any" | "anylast" => min(col(c)) // deterministic pin
+        case "groupbitand" => bit_and(col(c))
+        case "groupbitor" => bit_or(col(c))
+        case "groupbitxor" => bit_xor(col(c))
+        case "grouparrayarray" => flatten(collect_list(col(c)))
+        case "groupuniqarrayarray" =>
+          sort_array(array_distinct(flatten(collect_list(col(c)))))
+        case other => throw new UnsupportedOperationException(
+          s"ChSql: SimpleAggregateFunction($other) merge is not implemented")
+      }
+    }
     def mergeExpr(c: String, stem: String): Column = {
       val dt = df.schema(c).dataType
       stem.toLowerCase(java.util.Locale.ROOT) match {
@@ -350,7 +372,7 @@ object ChOps {
           val st = dt.asInstanceOf[org.apache.spark.sql.types.StructType]
           struct(sum(col(c).getField("s")).cast(st("s").dataType).as("s"),
             sum(col(c).getField("c")).cast(st("c").dataType).as("c"))
-        case "uniq" | "uniqexact" | "groupuniqarray" =>
+        case "uniq" | "uniqexact" | "groupuniqarray" | "groupbitmap" =>
           sort_array(array_distinct(flatten(collect_list(col(c)))))
         case "grouparray" => flatten(collect_list(col(c)))
         // tuple states fold by key and re-emit the same sorted tuple
@@ -363,7 +385,9 @@ object ChOps {
       }
     }
     val aggs = payload.map { c =>
-      aggFuncs.get(c).map(mergeExpr(c, _)).getOrElse(min(col(c))).as(c)
+      aggFuncs.get(c).map(mergeExpr(c, _))
+        .orElse(simpleFuncs.get(c).map(simpleExpr(c, _)))
+        .getOrElse(min(col(c))).as(c)
     }
     df.groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)

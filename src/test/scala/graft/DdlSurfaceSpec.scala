@@ -1352,12 +1352,35 @@ class DdlSurfaceSpec extends AnyFunSuite {
         x.getSeq[String](3)))
     assert(r == Seq(("a", 90L, 3L, Seq("0", "1")),
       ("b", 10L, 3L, Seq("0", "1"))))
+    // SHOW CREATE round-trips the declared AggregateFunction type text,
+    // not the state's storage type
+    val sc = chRun("SHOW CREATE TABLE agg_t").head.getString(0)
+    assert(sc.contains("ss AggregateFunction(sum, Int64)") &&
+      sc.contains("tk AggregateFunction(topK, String)"), sc)
     chRun("DROP TABLE agg_t")
     // AggregateFunction columns demand the matching engine
     val e = intercept[IllegalArgumentException](chRun(
       "CREATE TABLE agg_bad (k String, s AggregateFunction(sum, Int64)) " +
         "ENGINE = MergeTree ORDER BY k"))
     assert(e.getMessage.contains("AggregatingMergeTree"))
+  }
+
+  test("SimpleAggregateFunction columns fold with the plain function on merge") {
+    chRun("DROP TABLE IF EXISTS sagg_t")
+    chRun("CREATE TABLE sagg_t (k String, " +
+      "s SimpleAggregateFunction(sum, Int64), " +
+      "mx SimpleAggregateFunction(max, Float64)) " +
+      "ENGINE = AggregatingMergeTree ORDER BY k")
+    chRun("INSERT INTO sagg_t VALUES ('a', 5, 1.5), ('a', 7, 9.5), ('b', 1, 2.0)")
+    // value-is-the-state: FINAL read folds sum/max per key
+    val f = chRun("SELECT k, s, mx FROM sagg_t FINAL ORDER BY k")
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(f == Seq(("a", 12L, 9.5), ("b", 1L, 2.0)))
+    chRun("OPTIMIZE TABLE sagg_t FINAL")
+    assert(chRun("SELECT count() AS n FROM sagg_t").head.getLong(0) == 2)
+    assert(chRun("SHOW CREATE TABLE sagg_t").head.getString(0)
+      .contains("SimpleAggregateFunction(sum, Int64)"))
+    chRun("DROP TABLE sagg_t")
   }
 
   test("Memory/TEMPORARY tables refuse qualified names with a clear message") {
