@@ -1185,7 +1185,7 @@ object ChDdl {
       }
     }.toSeq: _*)
     aligned.write.mode(SaveMode.Append).insertInto(name)
-    invalidateProjections(spark, name)
+    maintainProjectionsOnInsert(spark, name, aligned)
   }
 
   /** A catalog table read decorated with its ALIAS columns (`c Type ALIAS
@@ -1850,6 +1850,85 @@ object ChDdl {
         projMeta.put(k, meta.copy(projTable = None, outCols = Nil))
       }
     }
+
+  /** INSERT-side projection maintenance — the CH model: a new part gets
+    * its projection computed FROM THE PART ALONE and merged in; the base
+    * table is never rescanned. Here: run the projection SELECT over just
+    * the inserted batch, then fold it into the materialized table —
+    * append for plain (non-aggregating) projections; for aggregating
+    * projections whose items are all group keys or count/sum/min/max,
+    * re-aggregate old ∪ batch by the keys (count folds by sum). Anything
+    * outside that mergeable shape falls back to dropping the
+    * materialized copy (stale answers are never served; re-MATERIALIZE
+    * rebuilds). Cost is O(batch) + O(projection table) — at scale the
+    * projection table is the small aggregate, so insert stays cheap. */
+  private def maintainProjectionsOnInsert(spark: SparkSession, name: String,
+      batch: DataFrame): Unit = {
+    val live = projMeta.toSeq.filter { case (_, m) =>
+      m.table == name && m.projTable.nonEmpty }
+    if (live.isEmpty) return
+    val view = "__graft_projins_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    batch.createOrReplaceTempView(view)
+    try live.foreach { case (k, meta) =>
+      val projTable = meta.projTable.get
+      val mergeable: Option[(Seq[String], Seq[(String, String)])] =
+        scala.util.Try(ChSql.parseAst(withFrom(meta.sel, name))).toOption
+          .collect { case ChSql.One(ps) => ps }.flatMap { ps =>
+            val gset = ps.groupBy.map(normExpr).toSet
+            def itemName(it: ChSql.SelectItem): Option[String] =
+              it.alias.orElse(it.e match {
+                case ChSql.Ident(Seq(nm)) => Some(nm)
+                case _ => None
+              })
+            val classified = ps.items.map { it =>
+              (itemName(it), normExpr(it.e)) match {
+                case (Some(nm), e) if gset.contains(e) => Some(Left(nm))
+                case (Some(nm), ChSql.FuncCall(f, Nil, _, false))
+                    if Set("count", "sum", "min", "max")(f) =>
+                  Some(Right(nm -> (if (f == "count") "sum" else f)))
+                case _ => None
+              }
+            }
+            val keys = classified.flatten.collect { case Left(nm) => nm }
+            val aggs = classified.flatten.collect { case Right(kv) => kv }
+            // every group key must be a stored item, every item classified
+            // (a global aggregate — no GROUP BY — folds with zero keys)
+            if (classified.exists(_.isEmpty) || keys.size != gset.size) None
+            else Some((keys, aggs))
+          }
+      val batchProj = scala.util.Try(
+        ChSql.sql(spark, withFrom(meta.sel, view))(spark.table)).toOption
+      (mergeable, batchProj) match {
+        case (Some((_, aggs)), Some(bp)) if aggs.isEmpty =>
+          // plain reshape projection: the batch's rows just append
+          bp.select(meta.outCols.map(col): _*)
+            .write.mode(SaveMode.Append).insertInto(projTable)
+        case (Some((keys, aggs)), Some(bp)) =>
+          val old = spark.table(projTable)
+          val folded = old.unionByName(bp.select(old.columns.map(col).toSeq: _*))
+            .groupBy(keys.map(col): _*)
+            .agg(aggs.head match { case (nm, op) => foldAgg(old, nm, op) },
+              aggs.tail.map { case (nm, op) => foldAgg(old, nm, op) }: _*)
+            .select(old.columns.map(col).toSeq: _*)
+          // break lineage off the table being overwritten
+          folded.localCheckpoint(true)
+            .write.mode(SaveMode.Overwrite).saveAsTable(projTable)
+        case _ =>
+          // not a mergeable shape: never serve stale — drop the copy
+          if (spark.catalog.tableExists(projTable))
+            spark.sql(s"DROP TABLE $projTable")
+          projMeta.put(k, meta.copy(projTable = None, outCols = Nil))
+      }
+    } finally spark.catalog.dropTempView(view)
+  }
+
+  private def foldAgg(old: DataFrame, nm: String, op: String): Column =
+    (op match {
+      case "min" => min(col(nm))
+      case "max" => max(col(nm))
+      case _ => sum(col(nm)).cast(old.schema(nm).dataType)
+    }).as(nm)
 
   /** Inject `FROM table` into a projection SELECT (the CH projection body
     * has no FROM — it is implicitly over the parent table). */

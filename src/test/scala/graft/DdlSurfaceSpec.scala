@@ -1208,23 +1208,43 @@ class DdlSurfaceSpec extends AnyFunSuite {
     val (df2, _) = graft.chsql.ChSql.statement(spark,
       "SELECT g, count() AS n FROM proj_t WHERE x > 10 GROUP BY g")(resolve)
     assert(df2.inputFiles.exists(!_.contains("__proj_")))
-    // INSERT after MATERIALIZE invalidates the projection: the covered
-    // SELECT must answer from the (fresh) base scan, not stale aggregates
+    // INSERT after MATERIALIZE: a count/sum/min/max projection is
+    // MAINTAINED incrementally (the CH per-part model — the batch's own
+    // aggregate folds in; the base is never rescanned), so the covered
+    // SELECT keeps scanning the projection table AND sees fresh totals
     chRun("INSERT INTO proj_t SELECT number + 100, 'c', number * 1.0 " +
       "FROM numbers(10)")
     val (df3, _) = graft.chsql.ChSql.statement(spark,
       "SELECT g, count() AS n FROM proj_t GROUP BY g ORDER BY g")(resolve)
-    assert(df3.inputFiles.forall(!_.contains("__proj_")),
-      s"stale projection answered after INSERT: ${df3.inputFiles.toSeq}")
+    assert(df3.inputFiles.nonEmpty &&
+      df3.inputFiles.forall(_.contains("proj_t__proj_pg")),
+      s"maintained projection should answer after INSERT: ${df3.inputFiles.toSeq}")
     assert(df3.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
       Seq(("a", 50L), ("b", 50L), ("c", 10L)))
-    // re-MATERIALIZE restores substitution with the fresh totals
+    // re-MATERIALIZE is idempotent on the maintained copy
     chRun("ALTER TABLE proj_t MATERIALIZE PROJECTION pg")
     val (df4, _) = graft.chsql.ChSql.statement(spark,
       "SELECT g, count() AS n FROM proj_t GROUP BY g ORDER BY g")(resolve)
     assert(df4.inputFiles.forall(_.contains("proj_t__proj_pg")))
     assert(df4.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
       Seq(("a", 50L), ("b", 50L), ("c", 10L)))
+    // a NON-mergeable projection (avg cannot fold from finalized values)
+    // is dropped on INSERT instead of serving stale aggregates
+    chRun("ALTER TABLE proj_t ADD PROJECTION pa (SELECT g, avg(x) AS ax GROUP BY g)")
+    chRun("ALTER TABLE proj_t MATERIALIZE PROJECTION pa")
+    chRun("INSERT INTO proj_t SELECT number + 200, 'd', number * 1.0 " +
+      "FROM numbers(5)")
+    val (df4b, _) = graft.chsql.ChSql.statement(spark,
+      "SELECT g, avg(x) AS ax FROM proj_t GROUP BY g ORDER BY g")(resolve)
+    assert(df4b.inputFiles.forall(!_.contains("__proj_pa")),
+      s"non-mergeable projection served after INSERT: ${df4b.inputFiles.toSeq}")
+    // ... while the mergeable one picked up the same INSERT
+    val (df4c, _) = graft.chsql.ChSql.statement(spark,
+      "SELECT g, count() AS n FROM proj_t GROUP BY g ORDER BY g")(resolve)
+    assert(df4c.inputFiles.forall(_.contains("proj_t__proj_pg")))
+    assert(df4c.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 50L), ("b", 50L), ("c", 10L), ("d", 5L)))
+    chRun("ALTER TABLE proj_t DROP PROJECTION pa")
     // a mutation invalidates too
     chRun("ALTER TABLE proj_t MATERIALIZE PROJECTION pg")
     chRun("ALTER TABLE proj_t DELETE WHERE g = 'c'")
@@ -1232,7 +1252,7 @@ class DdlSurfaceSpec extends AnyFunSuite {
       "SELECT g, count() AS n FROM proj_t GROUP BY g ORDER BY g")(resolve)
     assert(df5.inputFiles.forall(!_.contains("__proj_")))
     assert(df5.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
-      Seq(("a", 50L), ("b", 50L)))
+      Seq(("a", 50L), ("b", 50L), ("d", 5L)))
     chRun("ALTER TABLE proj_t DROP PROJECTION pg")
     assert(!spark.catalog.tableExists("proj_t__proj_pg"))
     chRun("DROP TABLE proj_t")
