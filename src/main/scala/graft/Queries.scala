@@ -3400,6 +3400,28 @@ object Queries {
     // SummingMergeTree (per-key sums on merge) and CollapsingMergeTree
     // (±1 sign cancellation) — insert, OPTIMIZE FINAL, scan back; the
     // oracle recomputes both collapses from the raw rows
+    // WITH RECURSIVE: iterate-to-fixpoint execution (working-table
+    // semantics, localCheckpoint per round) feeding the IN machinery —
+    // DuckDB runs its native recursive CTE on the same text
+    "ch58_sql_recursive" -> ((s, dir) => chsql(s, dir,
+      """WITH RECURSIVE seq AS (
+        |  SELECT CAST(1 AS Int64) AS n FROM numbers(1)
+        |  UNION ALL SELECT n * 2 AS n FROM seq WHERE n < 1000)
+        |SELECT count() AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS Decimal(18, 2))) AS Float64) AS total
+        |FROM orders WHERE o_orderkey IN (SELECT n FROM seq)""".stripMargin)),
+
+    // quantified comparisons: ordered ANY/ALL fold to one (min, max,
+    // count) scalar subquery probe; = ANY / <> ALL route through the IN
+    // semi/anti-join machinery — DuckDB runs the identical text
+    "ch57_sql_quantified" -> ((s, dir) => chsql(s, dir,
+      """SELECT count() AS n,
+        |  CAST(sum(CAST(o_totalprice AS Decimal(18, 2))) AS Float64) AS total
+        |FROM orders
+        |WHERE o_totalprice > ALL (SELECT o_totalprice FROM orders WHERE o_orderkey < 500)
+        |  AND o_totalprice < ANY (SELECT o_totalprice FROM orders WHERE o_orderkey > 5000)
+        |  AND o_orderkey <> ALL (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0)""".stripMargin)),
+
     // geo distance family: haversine central angle / mean-radius sphere
     // distance, coordinates synthesized from keys; the DuckDB twin
     // replays the identical formula (both engines IEEE doubles, results
@@ -3894,6 +3916,22 @@ object Queries {
         |  CAST(CAST(sum(list_sum(vs)) AS DECIMAL(18,2)) AS DOUBLE) AS sq,
         |  CAST(sum(len(vs)) AS BIGINT) AS ne
         |FROM t GROUP BY flag ORDER BY flag""".stripMargin,
+
+    "ch58_sql_recursive" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT CAST(1 AS BIGINT) AS n
+        |  UNION ALL SELECT n * 2 AS n FROM seq WHERE n < 1000)
+        |SELECT count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey IN (SELECT n FROM seq)""".stripMargin,
+
+    "ch57_sql_quantified" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_totalprice > ALL (SELECT o_totalprice FROM orders WHERE o_orderkey < 500)
+        |  AND o_totalprice < ANY (SELECT o_totalprice FROM orders WHERE o_orderkey > 5000)
+        |  AND o_orderkey <> ALL (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0)""".stripMargin,
 
     "ch53_sql_geo" ->
       """SELECT c_custkey AS k,

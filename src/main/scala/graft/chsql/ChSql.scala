@@ -175,6 +175,11 @@ object ChSql {
   case class IsNullE(e: Expr, negated: Boolean) extends Expr
   case class InList(e: Expr, items: Seq[Expr], negated: Boolean) extends Expr
   case class InSub(e: Expr, sub: SetOp, negated: Boolean) extends Expr
+  /** Quantified comparison `e op ANY|ALL (subquery)` — the forms that do
+    * not reduce to IN/NOT IN (`= ANY` and `<> ALL` parse straight to
+    * [[InSub]]). */
+  case class QuantCmp(op: String, e: Expr, all: Boolean, sub: SetOp)
+    extends Expr
   case class BetweenE(e: Expr, lo: Expr, hi: Expr, negated: Boolean) extends Expr
   case class CaseE(operand: Option[Expr], branches: Seq[(Expr, Expr)],
       elseE: Option[Expr]) extends Expr
@@ -241,7 +246,8 @@ object ChSql {
       limitTies: Boolean = false,
       sample: Option[(Long, Long)] = None, // SAMPLE k/m buckets
       format: Option[String] = None, // standalone trailing FORMAT f
-      windows: Map[String, WinSpec] = Map.empty) // WINDOW w AS (...)
+      windows: Map[String, WinSpec] = Map.empty, // WINDOW w AS (...)
+      recursiveCtes: Set[String] = Set.empty) // WITH RECURSIVE names
 
   sealed trait SetOp
   case class One(s: SelectStmt) extends SetOp
@@ -330,7 +336,20 @@ object ChSql {
           isP("<=") || isP(">") || isP(">=")) {
         if (negated) fail("NOT before comparison operator")
         val op = advance().asInstanceOf[TP].s
-        Bin(op, l, parseAdd())
+        // quantified comparison: op ANY|ALL (subquery). `= ANY` IS
+        // membership and `<> ALL` IS non-membership — route them through
+        // the IN machinery (semi/anti join at the top of a conjunction);
+        // the ordered forms carry their own min/max/count fold
+        if ((isKw("ANY") || isKw("ALL")) && toks(pos + 1) == TP("(")) {
+          val all = isKw("ALL"); advance(); expectP("(")
+          if (!isKw("SELECT") && !isKw("WITH")) fail("ANY/ALL needs a subquery")
+          val sub = parseSetOp(); expectP(")")
+          (op, all) match {
+            case ("=", false) | ("==", false) => InSub(l, sub, negated = false)
+            case ("!=", true) | ("<>", true) => InSub(l, sub, negated = true)
+            case _ => QuantCmp(op, l, all, sub)
+          }
+        } else Bin(op, l, parseAdd())
       } else if (eatKw("LIKE")) {
         val r = Bin("LIKE", l, parseAdd()); if (negated) NotE(r) else r
       } else if (eatKw("ILIKE")) {
@@ -689,7 +708,11 @@ object ChSql {
     def parseSelect(): SelectStmt = {
       var ctes = Map.empty[String, SetOp]
       var exprCtes = Map.empty[String, Expr]
+      var recursiveCtes = Set.empty[String]
       if (eatKw("WITH")) {
+        // WITH RECURSIVE (CH 24.4+ recursiveness marker): every
+        // subquery CTE in the clause may self-reference
+        val recursive = eatKw("RECURSIVE")
         var go = true
         while (go) {
           if (cur.isInstanceOf[TId] && !Reserved.contains(
@@ -699,6 +722,7 @@ object ChSql {
             val name = ident(); expectKw("AS"); expectP("(")
             if (isKw("SELECT") || isKw("WITH")) {
               ctes += name -> parseSetOp(); expectP(")")
+              if (recursive) recursiveCtes += name
             } else { // name AS (expr): scalar alias written with parens
               val e = parseExpr(); expectP(")")
               exprCtes += name -> e
@@ -933,7 +957,8 @@ object ChSql {
       SelectStmt(distinct, distinctOn, items, from, joins.result(), arrayJoins,
         leftArrayJoin, prewhere, where, groupBy, groupByAll, withTotals,
         having, orderBy, limitBy, limit, offset, settings, ctes, exprCtes,
-        outfile, groupKind, groupSets, limitTies, sample, format, windows)
+        outfile, groupKind, groupSets, limitTies, sample, format, windows,
+        recursiveCtes)
     }
 
     private def pos_advance(): Unit = pos += 1
@@ -1274,6 +1299,7 @@ object ChSql {
     }
     def walkExpr(e: Expr, scope: Set[String]): Unit = e match {
       case InSub(x, sub, _) => walkExpr(x, scope); walkSetOp(sub, scope)
+      case QuantCmp(_, x, _, sub) => walkExpr(x, scope); walkSetOp(sub, scope)
       case ScalarSub(sub) => walkSetOp(sub, scope)
       case ExistsSub(sub) => walkSetOp(sub, scope)
       case FuncCall(_, ps, as, _) => (ps ++ as).foreach(walkExpr(_, scope))
@@ -1328,6 +1354,53 @@ object ChSql {
         }
     }
 
+  /** `WITH RECURSIVE name AS (base UNION [ALL] step)`: Spark has no
+    * recursive-CTE operator, so the semantics execute as the standard
+    * iterate-to-fixpoint loop — the same driver-side discipline as
+    * [[graft.operators.Dedup.connectedComponents]]:
+    *
+    *  - working table := base; each round evaluates `step` with the CTE
+    *    name bound to LAST round's rows only (SQL's working-table rule,
+    *    not the accumulated set), appends, and repeats until the round
+    *    produces nothing.
+    *  - UNION (distinct) additionally subtracts already-seen rows each
+    *    round — the linear-recursion termination guarantee; UNION ALL
+    *    terminates only if the data does (the depth cap catches cycles,
+    *    mirroring CH's max_recursive_cte_evaluation_depth).
+    *  - each round's frontier is localCheckpoint'ed: the plan stays
+    *    O(1)-deep per round instead of nesting (an un-checkpointed loop
+    *    re-derives every prior round each action — exponential).
+    *
+    * One materializing action per round; rounds = recursion depth, so a
+    * depth-d hierarchy costs d small jobs, not d scans of the base. */
+  private def buildRecursiveCte(spark: SparkSession, name: String,
+      sub: SetOp, resolve: String => DataFrame,
+      outerCtes: Map[String, DataFrame]): DataFrame = {
+    val (base, step, all) = sub match {
+      case Combine("UNION", a, l, r) => (l, r, a)
+      case _ => throw new IllegalArgumentException(
+        s"ChSql: recursive CTE $name needs `base UNION [ALL] step`")
+    }
+    val maxDepth = 1000 // CH max_recursive_cte_evaluation_depth default
+    val base0 = buildSetOp(spark, base, resolve, outerCtes)
+    var acc = (if (all) base0 else base0.distinct()).localCheckpoint(true)
+    var frontier = acc
+    var depth = 0
+    while (!frontier.isEmpty) {
+      depth += 1
+      if (depth > maxDepth) throw new IllegalArgumentException(
+        s"ChSql: recursive CTE $name exceeded $maxDepth iterations " +
+          "(cyclic UNION ALL recursion?)")
+      val produced = buildSetOp(spark, step, resolve,
+        outerCtes + (name -> frontier))
+      val next = (if (all) produced else produced.except(acc))
+        .localCheckpoint(true)
+      frontier = next
+      if (!next.isEmpty) acc = acc.unionByName(next).localCheckpoint(true)
+    }
+    acc
+  }
+
   /** CH `SETTINGS` is statement-scoped; Spark confs are session-scoped.
     * Wrapping the build in set→run→restore keeps the session clean and
     * gives plan-time confs (timezone resolution, cross-join permission,
@@ -1345,7 +1418,9 @@ object ChSql {
   private def buildSelectBody(spark: SparkSession, s: SelectStmt,
       resolve: String => DataFrame, outerCtes: Map[String, DataFrame]): DataFrame = {
     val ctes = outerCtes ++ s.ctes.map { case (n, sub) =>
-      n -> buildSetOp(spark, sub, resolve, outerCtes)
+      n -> (if (s.recursiveCtes.contains(n))
+        buildRecursiveCte(spark, n, sub, resolve, outerCtes)
+      else buildSetOp(spark, sub, resolve, outerCtes))
     }
     def rel(r: Relation): DataFrame = r match {
       case TableRef(name, alias, fin) =>
@@ -2094,6 +2169,36 @@ object ChSql {
         case ScalarSub(sub) =>
           org.apache.spark.sql.graftbridge.ColumnBridge.scalarSubquery(
             buildSub(spark, sub, resolve, ctes))
+        // ordered quantified comparison: one scalar subquery carrying the
+        // subquery's (min, max, count) — `> ALL` is a max probe, `> ANY`
+        // a min probe, etc.; empty set → TRUE for ALL, FALSE for ANY
+        // (standard quantifier semantics). `= ALL` / `!= ANY` reduce to
+        // the min = max = x test. One subplan, evaluated once per action.
+        case QuantCmp(op, x, all, sub) =>
+          val sf = buildSub(spark, sub, resolve, ctes)
+          val c0 = col(sf.columns.head)
+          val stats = sf.agg(struct(min(c0).as("mn"), max(c0).as("mx"),
+            count(lit(1)).as("n")).as("s"))
+          val sc = org.apache.spark.sql.graftbridge.ColumnBridge
+            .scalarSubquery(stats)
+          val (mn, mx, n) = (sc("mn"), sc("mx"), sc("n"))
+          val lhs = t(x)
+          val empty = lit(all) // ALL over empty → true, ANY → false
+          val probe = (op, all) match {
+            case ("=", true) | ("==", true) => lhs === mn && lhs === mx
+            case ("!=", false) | ("<>", false) => lhs =!= mn || lhs =!= mx
+            case (">", true) => lhs > mx
+            case (">=", true) => lhs >= mx
+            case ("<", true) => lhs < mn
+            case ("<=", true) => lhs <= mn
+            case (">", false) => lhs > mn
+            case (">=", false) => lhs >= mn
+            case ("<", false) => lhs < mx
+            case ("<=", false) => lhs <= mx
+            case other => throw new IllegalArgumentException(
+              s"ChSql: unsupported quantified comparison $other")
+          }
+          when(n === 0, empty).otherwise(probe)
         case ExistsSub(sub) =>
           org.apache.spark.sql.graftbridge.ColumnBridge.existsSubquery(
             buildSub(spark, sub, resolve, ctes))

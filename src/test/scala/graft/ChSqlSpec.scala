@@ -538,6 +538,55 @@ class ChSqlSpec extends AnyFunSuite {
     assert(row(20) == true && row(21) == 3L)
   }
 
+  test("WITH RECURSIVE: series, tree walk, UNION-distinct cycle termination") {
+    // linear series: working-table semantics, one row per round
+    val r = run("""WITH RECURSIVE seq AS (
+        |  SELECT CAST(1 AS Int64) AS n FROM numbers(1)
+        |  UNION ALL SELECT n + 1 AS n FROM seq WHERE n < 10)
+        |SELECT count() AS c, sum(n) AS s FROM seq""".stripMargin)
+    assert(r.head == Seq(10L, 55L))
+    // tree walk: ancestors of 13 in the intDiv(n, 2) binary tree
+    val anc = run("""WITH RECURSIVE anc AS (
+        |  SELECT CAST(13 AS Int64) AS node FROM numbers(1)
+        |  UNION ALL SELECT intDiv(node, 2) AS node FROM anc WHERE node > 0)
+        |SELECT node FROM anc ORDER BY node""".stripMargin)
+    assert(anc.flatten == Seq(0L, 1L, 3L, 6L, 13L))
+    // UNION (distinct) reaches the fixpoint of a CYCLIC step — the
+    // seen-set subtraction is what terminates it
+    val cyc = run("""WITH RECURSIVE c AS (
+        |  SELECT CAST(0 AS Int64) AS n FROM numbers(1)
+        |  UNION SELECT (n + 1) % 3 AS n FROM c)
+        |SELECT count() AS n FROM c""".stripMargin)
+    assert(cyc.head.head == 3L)
+  }
+
+  test("quantified comparisons: ANY/ALL subqueries incl. empty-set semantics") {
+    // > ALL over a nonempty set is a max probe; = ANY routes through IN
+    val r = run("""SELECT okey FROM orders
+                  |WHERE price > ALL (SELECT price FROM orders WHERE okey <= 2)
+                  |ORDER BY okey""".stripMargin)
+    assert(r.flatten == run(
+      "SELECT okey FROM orders WHERE price > 250 ORDER BY okey").flatten)
+    val eq = run("""SELECT count() AS n FROM orders
+                   |WHERE okey = ANY (SELECT okey FROM orders WHERE price < 200)""".stripMargin)
+    val notAll = run("""SELECT count() AS n FROM orders
+                       |WHERE okey <> ALL (SELECT okey FROM orders WHERE price < 200)""".stripMargin)
+    assert(eq.head.head.asInstanceOf[Long] +
+      notAll.head.head.asInstanceOf[Long] ==
+      run("SELECT count() AS n FROM orders").head.head.asInstanceOf[Long])
+    // empty subquery: ALL → everything qualifies, ANY → nothing does
+    assert(run("""SELECT count() AS n FROM numbers(5)
+                 |WHERE number > ALL (SELECT number FROM numbers(5) WHERE number < 0)""".stripMargin)
+      .head.head == 5L)
+    assert(run("""SELECT count() AS n FROM numbers(5)
+                 |WHERE number > ANY (SELECT number FROM numbers(5) WHERE number < 0)""".stripMargin)
+      .head.head == 0L)
+    // = ALL: true iff the set is empty or all-equal to the probe
+    assert(run("""SELECT count() AS n FROM numbers(5)
+                 |WHERE number = ALL (SELECT number FROM numbers(5) WHERE number = 3)""".stripMargin)
+      .head.head == 1L)
+  }
+
   test("map functions: keys/values/contains/fromArrays") {
     val r = run(
       """SELECT
