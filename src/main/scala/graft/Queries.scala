@@ -3400,6 +3400,18 @@ object Queries {
     // SummingMergeTree (per-key sums on merge) and CollapsingMergeTree
     // (±1 sign cancellation) — insert, OPTIMIZE FINAL, scan back; the
     // oracle recomputes both collapses from the raw rows
+    // query parameters: {name:Type} placeholders bound via SET param_*
+    // (the CH parameterized-query surface); the DuckDB twin inlines the
+    // same literals
+    "ch59_sql_query_params" -> ((s, dir) => chstmts(s, dir, Seq(
+      "SET param_cutoff = '1995-06-01'",
+      "SET param_minpr = '150000'",
+      """SELECT count() AS n,
+        |  CAST(sum(CAST(o_totalprice AS Decimal(18, 2))) AS Float64) AS total
+        |FROM orders
+        |WHERE o_orderdate >= {cutoff:Date}
+        |  AND o_totalprice >= {minpr:Float64}""".stripMargin))),
+
     // WITH RECURSIVE: iterate-to-fixpoint execution (working-table
     // semantics, localCheckpoint per round) feeding the IN machinery —
     // DuckDB runs its native recursive CTE on the same text
@@ -3916,6 +3928,13 @@ object Queries {
         |  CAST(CAST(sum(list_sum(vs)) AS DECIMAL(18,2)) AS DOUBLE) AS sq,
         |  CAST(sum(len(vs)) AS BIGINT) AS ne
         |FROM t GROUP BY flag ORDER BY flag""".stripMargin,
+
+    "ch59_sql_query_params" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1995-06-01'
+        |  AND o_totalprice >= 150000""".stripMargin,
 
     "ch58_sql_recursive" ->
       """WITH RECURSIVE seq AS (

@@ -189,6 +189,10 @@ object ChSql {
   case class CastE(e: Expr, chType: String) extends Expr
   case class IntervalE(n: Expr, unit: String) extends Expr
   case class ScalarSub(sub: SetOp) extends Expr
+  /** Query parameter `{name:Type}` — value supplied per session via
+    * `SET param_name = ...` (queryParameter, the CH parameterized-query
+    * surface). */
+  case class ParamE(name: String, chType: String) extends Expr
   /** `EXISTS (subquery)` — CH subqueries are uncorrelated, so EXISTS is a
     * query-constant: evaluated eagerly to a boolean literal (same eager
     * policy as [[ScalarSub]]). */
@@ -428,6 +432,29 @@ object ChSql {
     private def parsePrimary(): Expr = cur match {
       case TNum(s) => pos += 1; NumLit(s)
       case TStr(s) => pos += 1; StrLit(s)
+      // query parameter {name:Type} (the CH parameterized-query surface;
+      // values arrive via `SET param_name = ...`)
+      case TP("{") =>
+        pos += 1
+        val name = ident()
+        expectP(":")
+        val ty = new StringBuilder
+        var depth = 0
+        while (!(depth == 0 && isP("}"))) {
+          cur match {
+            case TP("(") => depth += 1; ty += '('
+            case TP(")") => depth -= 1; ty += ')'
+            case TP(p) => ty ++= p
+            case TId(s) => if (ty.nonEmpty &&
+              ty.last.isLetterOrDigit) ty += ' '; ty ++= s
+            case TNum(s) => ty ++= s
+            case TStr(s) => ty ++= s"'$s'"
+            case TEnd => fail(s"unterminated query parameter {$name:...}")
+          }
+          advance()
+        }
+        expectP("}")
+        ParamE(name, ty.toString)
       case t: TId if t.up == "COLUMNS" && pAt(1, "(") =>
         pos += 1; expectP("(")
         val re = cur match {
@@ -2166,6 +2193,14 @@ object ChSql {
         // sql() is side-effect-free until an action, and the optimizer
         // sees (and can reuse) the subplan. Runtime divergence from the
         // eager form: zero-row scalar subquery yields NULL (CH throws).
+        case ParamE(pname, chType) =>
+          val v = graft.plans.Settings.getParam(spark, pname).getOrElse(
+            throw new IllegalArgumentException(
+              s"ChSql: query parameter '$pname' was not set " +
+                s"(SET param_$pname = ...)"))
+          val dt = graft.model.ChTypes.relaxed(
+            graft.model.ChTypes.toSpark(chType))
+          lit(v).cast(dt)
         case ScalarSub(sub) =>
           org.apache.spark.sql.graftbridge.ColumnBridge.scalarSubquery(
             buildSub(spark, sub, resolve, ctes))

@@ -78,8 +78,17 @@ object Settings {
     * (sparkKey → value) pairs applied and the names skipped as unmappable.
     * `record=false` (the [[withSettings]] path) keeps the change out of
     * the `SHOW CHANGED SETTINGS` history. */
-  def applySet(spark: SparkSession, settings: Map[String, String],
+  /** `SET param_<name> = v` stores a query-parameter value (queryParameter
+    * `{name:Type}` substitution) — session-scoped, like CH. */
+  def getParam(spark: SparkSession, name: String): Option[String] =
+    spark.conf.getOption(s"graft.param.$name")
+
+  def applySet(spark: SparkSession, settings0: Map[String, String],
       record: Boolean = true): (Map[String, String], Seq[String]) = {
+    val (params, settings) = settings0.partition(_._1.startsWith("param_"))
+    params.foreach { case (k, v) =>
+      spark.conf.set(s"graft.param.${k.stripPrefix("param_")}", v)
+    }
     val (mapped, unmapped) = settings.partition { case (k, _) => mapping.contains(k) }
     val applied = mapped.map { case (k, v) =>
       val (key, value) = translate(k, v).get
@@ -87,7 +96,9 @@ object Settings {
       if (record) sessionChanged.synchronized(sessionChanged += k)
       key -> value
     }
-    (applied, unmapped.keys.toSeq.sorted)
+    (applied ++ params.map { case (k, v) =>
+      s"graft.param.${k.stripPrefix("param_")}" -> v },
+      unmapped.keys.toSeq.sorted)
   }
 
   /** Rows for `SHOW [CHANGED] SETTINGS`: every CH setting with a Spark

@@ -538,6 +538,22 @@ class ChSqlSpec extends AnyFunSuite {
     assert(row(20) == true && row(21) == 3L)
   }
 
+  test("query parameters: {name:Type} substituted from SET param_*") {
+    ChSql.statement(spark, "SET param_min_price = '200'")(resolve)
+    val r = run("""SELECT okey FROM orders
+                  |WHERE price >= {min_price:Float64} ORDER BY okey""".stripMargin)
+    assert(r.flatten ==
+      run("SELECT okey FROM orders WHERE price >= 200 ORDER BY okey").flatten)
+    // typed substitution: a parenthesized type and a string parameter
+    ChSql.statement(spark, "SET param_pk = '2'")(resolve)
+    assert(run("SELECT okey FROM orders WHERE okey = {pk:Decimal(10, 0)}")
+      .flatten == Seq(2L))
+    // unset parameter → clear error
+    val e = intercept[IllegalArgumentException](
+      run("SELECT {never_set_param:Int64} AS v FROM orders"))
+    assert(e.getMessage.contains("never_set_param"))
+  }
+
   test("WITH RECURSIVE: series, tree walk, UNION-distinct cycle termination") {
     // linear series: working-table semantics, one row per round
     val r = run("""WITH RECURSIVE seq AS (
