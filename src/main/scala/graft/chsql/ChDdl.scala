@@ -2157,7 +2157,7 @@ object ChDdl {
 
   /** [[tableProps]] for names that may be temp views (no TBLPROPERTIES
     * surface): empty map instead of an error. */
-  private def tablePropsSafe(spark: SparkSession,
+  private[chsql] def tablePropsSafe(spark: SparkSession,
       name: String): Map[String, String] =
     try tableProps(spark, name)
     catch { case _: Exception => Map.empty }
@@ -2329,7 +2329,7 @@ object ChDdl {
     * order (not the catalog's partition-cols-last order), per-column
     * DEFAULT/MATERIALIZED modifiers, ALIAS columns, engine + sorting key,
     * PARTITION BY and TTL — everything the DDL layer records. */
-  private def showCreate(spark: SparkSession, name: String,
+  private[chsql] def showCreate(spark: SparkSession, name: String,
       resolve: String => DataFrame): String = {
     memTables.get(name).foreach { mt =>
       val cols = mt.schema.fields.map(f =>

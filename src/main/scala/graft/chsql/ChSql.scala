@@ -1459,7 +1459,14 @@ object ChSql {
         // in SETTINGS instead (graft_final_keys = 'a,b',
         // graft_final_version = 'v') — the settings path wins when
         // given. With neither, FINAL stays a no-op.
-        val raw = ctes.getOrElse(name, resolve(name))
+        // system.* introspection tables resolve as a FALLBACK: a
+        // resolver that knows the name (catalog snapshot fixtures, temp
+        // views) keeps winning
+        val raw = ctes.getOrElse(name,
+          try resolve(name) catch {
+            case e: Exception =>
+              SystemTables.resolve(spark, name).getOrElse(throw e)
+          })
         val base =
           if (!fin) raw
           else s.settings.collectFirst {

@@ -1403,6 +1403,47 @@ class DdlSurfaceSpec extends AnyFunSuite {
     chRun("DROP TABLE sagg_t")
   }
 
+  test("system.* introspection tables resolve in FROM as a fallback") {
+    chRun("DROP TABLE IF EXISTS sys_t")
+    chRun("CREATE TABLE sys_t (k Int64, p String) " +
+      "ENGINE = SummingMergeTree ORDER BY k PARTITION BY p")
+    chRun("INSERT INTO sys_t SELECT number, if(number % 2 = 0, 'a', 'b') " +
+      "FROM numbers(10)")
+    def q(sel: String) = graft.chsql.ChSql.sql(spark, sel)(n =>
+      throw new IllegalArgumentException(s"unknown: $n")).collect().toSeq
+    // system.tables carries the recorded engine + a re-runnable DDL
+    val st = q("""SELECT engine, create_table_query FROM system.tables
+                 |WHERE database = 'default' AND name = 'sys_t'""".stripMargin)
+    assert(st.map(_.getString(0)) == Seq("SummingMergeTree"))
+    assert(st.head.getString(1).contains("PARTITION BY"))
+    // system.columns reports CH type names in declared positions
+    val sc = q("""SELECT name, type, position FROM system.columns
+                 |WHERE table = 'sys_t' ORDER BY position""".stripMargin)
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(sc.map(_._1).contains("k") && sc.map(_._2).exists(_.contains("Int64")))
+    // system.parts: one row per partition directory, real byte sizes
+    val sp = q("""SELECT partition_id, file_count, bytes_on_disk
+                 |FROM system.parts WHERE table = 'sys_t'
+                 |ORDER BY partition_id""".stripMargin)
+      .map(r => (r.getString(0), r.getLong(2)))
+    assert(sp.map(_._1) == Seq("p=a", "p=b") && sp.forall(_._2 > 0))
+    // databases / functions / settings are live frames
+    assert(q("SELECT name FROM system.databases")
+      .map(_.getString(0)).contains("default"))
+    assert(q("SELECT count() AS n FROM system.functions WHERE is_aggregate")
+      .head.getLong(0) > 30)
+    assert(q("SELECT count() AS n FROM system.settings").head.getLong(0) > 5)
+    // a resolver that KNOWS a system name still wins over the fallback
+    import spark.implicits._
+    val shadow = Seq(("x", "y")).toDF("database", "name")
+    val got = graft.chsql.ChSql.sql(spark,
+      "SELECT database, name FROM system.tables")(n =>
+      if (n == "system.tables") shadow
+      else throw new IllegalArgumentException(n)).collect().toSeq
+    assert(got.map(r => (r.getString(0), r.getString(1))) == Seq(("x", "y")))
+    chRun("DROP TABLE sys_t")
+  }
+
   test("Memory/TEMPORARY tables refuse qualified names with a clear message") {
     val e = intercept[IllegalArgumentException](chRun(
       "CREATE TABLE db1.memq (k Int64) ENGINE = Memory"))
