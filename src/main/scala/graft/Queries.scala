@@ -3400,6 +3400,24 @@ object Queries {
     // SummingMergeTree (per-key sums on merge) and CollapsingMergeTree
     // (±1 sign cancellation) — insert, OPTIMIZE FINAL, scan back; the
     // oracle recomputes both collapses from the raw rows
+    // QUALIFY: filter on window results (pre-projection window filter,
+    // aliases in scope) — DuckDB runs the identical text
+    "ch60_sql_qualify" -> ((s, dir) => chsql(s, dir,
+      """SELECT o_custkey AS cust, o_orderkey AS okey, o_totalprice AS price
+        |FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey) = 1
+        |ORDER BY cust""".stripMargin)),
+
+    // PASTE JOIN: positional zip of two ordered subqueries (row-index
+    // stamp + dense equi-join); the DuckDB twin is POSITIONAL JOIN
+    "ch61_sql_paste_join" -> ((s, dir) => chsql(s, dir,
+      """SELECT k, r FROM
+        |  (SELECT o_orderkey AS k FROM orders ORDER BY o_orderkey LIMIT 100)
+        |PASTE JOIN
+        |  (SELECT o_totalprice AS r FROM orders ORDER BY o_orderkey LIMIT 100)
+        |ORDER BY k""".stripMargin)),
+
     // query parameters: {name:Type} placeholders bound via SET param_*
     // (the CH parameterized-query surface); the DuckDB twin inlines the
     // same literals
@@ -3928,6 +3946,20 @@ object Queries {
         |  CAST(CAST(sum(list_sum(vs)) AS DECIMAL(18,2)) AS DOUBLE) AS sq,
         |  CAST(sum(len(vs)) AS BIGINT) AS ne
         |FROM t GROUP BY flag ORDER BY flag""".stripMargin,
+
+    "ch60_sql_qualify" ->
+      """SELECT o_custkey AS cust, o_orderkey AS okey, o_totalprice AS price
+        |FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey) = 1
+        |ORDER BY cust""".stripMargin,
+
+    "ch61_sql_paste_join" ->
+      """SELECT k, r FROM
+        |  (SELECT o_orderkey AS k FROM orders ORDER BY o_orderkey LIMIT 100)
+        |POSITIONAL JOIN
+        |  (SELECT o_totalprice AS r FROM orders ORDER BY o_orderkey LIMIT 100)
+        |ORDER BY k""".stripMargin,
 
     "ch59_sql_query_params" ->
       """SELECT count(*) AS n,

@@ -1974,7 +1974,8 @@ object ChDdl {
             !q.distinct && q.groupKind == "plain" && !q.withTotals &&
             !q.groupByAll && q.sample.isEmpty && q.settings.isEmpty &&
             q.windows.isEmpty && q.offset.isEmpty && q.outfile.isEmpty &&
-            q.format.isEmpty && !q.limitTies && q.orderBy.forall(o =>
+            q.format.isEmpty && q.qualify.isEmpty && !q.limitTies &&
+            q.orderBy.forall(o =>
               o.fill.isEmpty && o.collate.isEmpty) =>
           q.from match {
             case Some(ChSql.TableRef(t, _, false)) =>

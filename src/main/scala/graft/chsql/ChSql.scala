@@ -251,7 +251,8 @@ object ChSql {
       sample: Option[(Long, Long)] = None, // SAMPLE k/m buckets
       format: Option[String] = None, // standalone trailing FORMAT f
       windows: Map[String, WinSpec] = Map.empty, // WINDOW w AS (...)
-      recursiveCtes: Set[String] = Set.empty) // WITH RECURSIVE names
+      recursiveCtes: Set[String] = Set.empty, // WITH RECURSIVE names
+      qualify: Option[Expr] = None) // QUALIFY (filter on window results)
 
   sealed trait SetOp
   case class One(s: SelectStmt) extends SetOp
@@ -268,7 +269,7 @@ object ChSql {
     "BETWEEN", "IS", "NULL", "CASE", "WHEN", "THEN", "ELSE", "END",
     "DISTINCT", "ALL", "TOTALS", "FINAL", "INTERVAL", "CAST", "SELECT",
     "NULLS", "FIRST", "LAST", "OUTER", "OVER", "PARTITION", "INTO",
-    "OUTFILE", "FORMAT", "SAMPLE", "COLLATE", "WINDOW")
+    "OUTFILE", "FORMAT", "SAMPLE", "COLLATE", "WINDOW", "QUALIFY", "PASTE")
 
   private final class P(toks: Vector[Tok]) {
     private var pos = 0
@@ -823,7 +824,8 @@ object ChSql {
                   while (eatP(",")) cols += ident()
                   if (paren) expectP(")")
                   using = cols.result()
-                } else if (jt != "cross") fail("JOIN requires ON or USING")
+                } else if (jt != "cross" && jt != "paste")
+                  fail("JOIN requires ON or USING")
                 joins += JoinSpec(jt, any, rel, on, using, asof)
               case None => go = false
             }
@@ -885,6 +887,9 @@ object ChSql {
           more = eatP(",")
         }
       }
+      // QUALIFY expr (filter on window-function results; CH 23.3+ /
+      // qualifyClause) — sits between WINDOW and ORDER BY
+      val qualify = if (eatKw("QUALIFY")) Some(parseExpr()) else None
       var orderBy: Seq[OrderItem] = Nil
       if (eatKw("ORDER")) {
         expectKw("BY")
@@ -985,7 +990,7 @@ object ChSql {
         leftArrayJoin, prewhere, where, groupBy, groupByAll, withTotals,
         having, orderBy, limitBy, limit, offset, settings, ctes, exprCtes,
         outfile, groupKind, groupSets, limitTies, sample, format, windows,
-        recursiveCtes)
+        recursiveCtes, qualify)
     }
 
     private def pos_advance(): Unit = pos += 1
@@ -1095,6 +1100,7 @@ object ChSql {
       } else if (eatKw("RIGHT")) { eatKw("OUTER"); jt = Some("right") }
       else if (eatKw("FULL")) { eatKw("OUTER"); jt = Some("full") }
       else if (eatKw("CROSS")) jt = Some("cross")
+      else if (eatKw("PASTE")) jt = Some("paste")
       else if (eatKw("SEMI")) jt = Some("left_semi")
       else if (eatKw("ANTI")) jt = Some("left_anti")
       if (!any) any = eatKw("ANY")
@@ -1319,7 +1325,7 @@ object ChSql {
       s.joins.foreach(j => rel(j.rel))
       val exprs: Seq[Expr] =
         s.items.map(_.e) ++ s.prewhere ++ s.where ++ s.groupBy ++
-          s.having ++ s.orderBy.map(_.e) ++ s.arrayJoins.map(_.e) ++
+          s.having ++ s.qualify ++ s.orderBy.map(_.e) ++ s.arrayJoins.map(_.e) ++
           s.groupSets.flatten ++ s.limitBy.toSeq.flatMap(_._3) ++
           s.exprCtes.values ++ s.joins.flatMap(_.on) // ON-clause subqueries
       exprs.foreach(walkExpr(_, scope))
@@ -1595,7 +1601,8 @@ object ChSql {
     for (j <- s.joins) {
       val right = rel(j.rel)
       val joined =
-        if (j.asof) planAsofJoin(df, right, j)
+        if (j.joinType == "paste") planPasteJoin(df, right)
+        else if (j.asof) planAsofJoin(df, right, j)
         else if (j.any) planAnyJoin(df, right, j)
         else if (j.using.nonEmpty) df.join(right, j.using, j.joinType)
         else j.on match {
@@ -1732,6 +1739,37 @@ object ChSql {
       case other => other
     }
 
+    // deep alias substitution — QUALIFY references select aliases inside
+    // window specs (`QUALIFY rank() OVER (ORDER BY p2) ...` where p2 is
+    // an item alias), so the rewrite must recurse
+    def substAliasDeep(e: Expr): Expr = e match {
+      case Ident(Seq(nm)) if aliasAst.contains(nm) => aliasAst(nm)
+      case FuncCall(n, ps, as, d) =>
+        FuncCall(n, ps.map(substAliasDeep), as.map(substAliasDeep), d)
+      case Bin(o, l, r) => Bin(o, substAliasDeep(l), substAliasDeep(r))
+      case Neg(x) => Neg(substAliasDeep(x))
+      case NotE(x) => NotE(substAliasDeep(x))
+      case IsNullE(x, n) => IsNullE(substAliasDeep(x), n)
+      case InList(x, is, n) =>
+        InList(substAliasDeep(x), is.map(substAliasDeep), n)
+      case BetweenE(x, lo, hi, n) => BetweenE(substAliasDeep(x),
+        substAliasDeep(lo), substAliasDeep(hi), n)
+      case CaseE(op, br, el) => CaseE(op.map(substAliasDeep),
+        br.map(b => (substAliasDeep(b._1), substAliasDeep(b._2))),
+        el.map(substAliasDeep))
+      case CastE(x, ty) => CastE(substAliasDeep(x), ty)
+      case Idx(x, i) => Idx(substAliasDeep(x), substAliasDeep(i))
+      case ArrayLit(is) => ArrayLit(is.map(substAliasDeep))
+      case TupleLit(is) => TupleLit(is.map(substAliasDeep))
+      case WindowE(fn, pb, ob, fr) => WindowE(
+        substAliasDeep(fn).asInstanceOf[FuncCall],
+        pb.map(substAliasDeep),
+        ob.map(o => o.copy(e = substAliasDeep(o.e))), fr)
+      case WindowERef(fn, nm) =>
+        WindowERef(substAliasDeep(fn).asInstanceOf[FuncCall], nm)
+      case other => other
+    }
+
     val groupExprs: Seq[Expr] =
       if (s.groupByAll)
         items.collect { case SelectItem(e, _) if !hasAgg(e) => e }
@@ -1739,6 +1777,9 @@ object ChSql {
 
     val isAggQuery = groupExprs.nonEmpty ||
       items.exists(it => hasAgg(it.e)) || s.having.nonEmpty
+    if (isAggQuery && s.qualify.nonEmpty) throw new IllegalArgumentException(
+      "ChSql: QUALIFY on an aggregating SELECT is not supported — wrap " +
+        "the aggregation in a subquery and QUALIFY the outer SELECT")
 
     def outName(it: SelectItem, i: Int): String = it.alias.getOrElse(it.e match {
       case Ident(parts) => parts.last
@@ -1754,6 +1795,14 @@ object ChSql {
     var hiddenNames = Seq.empty[String]
 
     if (!isAggQuery) {
+      // QUALIFY: filter on window-function results — computed on the
+      // pre-projection frame (all source columns in scope; projection is
+      // row-wise, so filtering before it is equivalent). Select aliases
+      // substitute through substAlias, CH scope rules.
+      s.qualify.foreach { qe =>
+        df = df.withColumn("__qual", tr(substAliasDeep(qe)).cast("boolean"))
+          .filter(col("__qual")).drop("__qual")
+      }
       // plain projection
       val cols = items.zipWithIndex.flatMap {
         case (SelectItem(Star, _), _) => Seq(col("*"))
@@ -1964,6 +2013,27 @@ object ChSql {
     * one `>=` conjunct left-ts-first — CH's default asof semantics (the
     * nearest right row at or before the left timestamp). Plain ASOF JOIN
     * (inner) drops left rows with no match. */
+  /** `PASTE JOIN` (ClickHouse 23.8+): zip the two sides positionally —
+    * row i of the left pairs with row i of the right, no condition. Spark
+    * has no positional join operator, so each side gets a row index via
+    * `zipWithIndex` (order-preserving over the child plan's partition
+    * order — deterministic when the sides are ORDER BY'd subqueries, the
+    * same caveat CH documents) and the pair is an equi-join on the dense
+    * index. The RDD round-trip is confined to the index stamping; unequal
+    * lengths truncate to the shorter side. */
+  private def planPasteJoin(left: DataFrame, right: DataFrame): DataFrame = {
+    def indexed(df: DataFrame, idxName: String): DataFrame = {
+      val schema = df.schema.add(idxName,
+        org.apache.spark.sql.types.LongType, nullable = false)
+      df.sparkSession.createDataFrame(
+        df.rdd.zipWithIndex().map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }, schema)
+    }
+    indexed(left, "__pj_l")
+      .join(indexed(right, "__pj_r"), col("__pj_l") === col("__pj_r"), "inner")
+      .drop("__pj_l", "__pj_r")
+  }
+
   private def planAsofJoin(left: DataFrame, right: DataFrame,
       j: JoinSpec): DataFrame = {
     require(j.joinType == "inner" || j.joinType == "left",

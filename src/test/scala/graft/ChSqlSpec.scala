@@ -538,6 +538,33 @@ class ChSqlSpec extends AnyFunSuite {
     assert(row(20) == true && row(21) == 3L)
   }
 
+  test("QUALIFY filters on window results; PASTE JOIN zips positionally") {
+    // top order per customer — the canonical QUALIFY shape
+    val r = run("""SELECT okey, cust, price FROM orders
+                  |QUALIFY row_number() OVER (PARTITION BY cust
+                  |  ORDER BY price DESC) = 1
+                  |ORDER BY cust""".stripMargin)
+    assert(r == Seq(Seq(2L, 10L, 250.0), Seq(4L, 20L, 75.0),
+      Seq(5L, 30L, 500.0)))
+    // select aliases resolve inside QUALIFY (CH scope rules)
+    val r2 = run("""SELECT okey, price * 2 AS p2 FROM orders
+                   |QUALIFY rank() OVER (ORDER BY p2 DESC) <= 2
+                   |ORDER BY okey""".stripMargin)
+    assert(r2.map(_.head) == Seq(2L, 5L))
+    // aggregate + QUALIFY refuses with guidance
+    val e = intercept[IllegalArgumentException](run(
+      "SELECT cust, count() AS n FROM orders GROUP BY cust QUALIFY n > 1"))
+    assert(e.getMessage.contains("subquery"))
+    // PASTE JOIN: row i pairs with row i, shorter side truncates
+    val pj = run("""SELECT okey, rk FROM
+                   |  (SELECT okey FROM orders ORDER BY okey)
+                   |PASTE JOIN
+                   |  (SELECT okey * 10 AS rk FROM orders
+                   |   ORDER BY okey LIMIT 4)
+                   |ORDER BY okey""".stripMargin)
+    assert(pj == Seq(Seq(1L, 10L), Seq(2L, 20L), Seq(3L, 30L), Seq(4L, 40L)))
+  }
+
   test("query parameters: {name:Type} substituted from SET param_*") {
     ChSql.statement(spark, "SET param_min_price = '200'")(resolve)
     val r = run("""SELECT okey FROM orders
