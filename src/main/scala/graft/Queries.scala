@@ -3400,6 +3400,27 @@ object Queries {
     // SummingMergeTree (per-key sums on merge) and CollapsingMergeTree
     // (±1 sign cancellation) — insert, OPTIMIZE FINAL, scan back; the
     // oracle recomputes both collapses from the raw rows
+    // parameterized view: the TEXT registers at CREATE (a {p:Type}
+    // reference defers building), each read binds literals — the CH
+    // parameterized-view surface; DuckDB twin inlines the literals
+    "ch63_sql_param_view" -> ((s, dir) => chstmts(s, dir, Seq(
+      "DROP VIEW IF EXISTS ch63_v",
+      """CREATE VIEW ch63_v AS SELECT o_orderstatus AS st, count() AS n,
+        |  CAST(sum(CAST(o_totalprice AS Decimal(18, 2))) AS Float64) AS total
+        |FROM orders
+        |WHERE o_orderdate >= {lo:Date} AND o_orderdate < {hi:Date}
+        |GROUP BY st""".stripMargin,
+      """SELECT st, n, total FROM ch63_v(lo = '1995-01-01', hi = '1996-01-01')
+        |ORDER BY st""".stripMargin))),
+
+    // ORDER BY ALL (every select item) + the SQL-standard OFFSET/FETCH
+    // clause — DuckDB runs the identical text
+    "ch62_sql_orderby_all_fetch" -> ((s, dir) => chsql(s, dir,
+      """SELECT o_orderstatus AS st, o_orderpriority AS pri, count() AS n
+        |FROM orders GROUP BY st, pri
+        |ORDER BY ALL
+        |OFFSET 3 ROWS FETCH NEXT 5 ROWS ONLY""".stripMargin)),
+
     // QUALIFY: filter on window results (pre-projection window filter,
     // aliases in scope) — DuckDB runs the identical text
     "ch60_sql_qualify" -> ((s, dir) => chsql(s, dir,
@@ -3946,6 +3967,19 @@ object Queries {
         |  CAST(CAST(sum(list_sum(vs)) AS DECIMAL(18,2)) AS DOUBLE) AS sq,
         |  CAST(sum(len(vs)) AS BIGINT) AS ne
         |FROM t GROUP BY flag ORDER BY flag""".stripMargin,
+
+    "ch63_sql_param_view" ->
+      """SELECT o_orderstatus AS st, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+        |GROUP BY st ORDER BY st""".stripMargin,
+
+    "ch62_sql_orderby_all_fetch" ->
+      """SELECT o_orderstatus AS st, o_orderpriority AS pri, count(*) AS n
+        |FROM orders GROUP BY st, pri
+        |ORDER BY ALL
+        |OFFSET 3 ROWS FETCH NEXT 5 ROWS ONLY""".stripMargin,
 
     "ch60_sql_qualify" ->
       """SELECT o_custkey AS cust, o_orderkey AS okey, o_totalprice AS price

@@ -402,6 +402,10 @@ object ChDdl {
         spark.catalog.dropTempView(name)
         Some(status(s"dropped $name"))
 
+      case dropRe(kind, ifExists, name) if ChSql.paramViews.contains(name) =>
+        ChSql.paramViews.remove(name)
+        Some(status(s"dropped parameterized view $name"))
+
       case dropRe(kind, ifExists, name) =>
         val inCatalog = spark.catalog.tableExists(name)
         val isMv = mvMeta.contains(name)

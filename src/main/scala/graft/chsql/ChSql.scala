@@ -893,6 +893,20 @@ object ChSql {
       var orderBy: Seq[OrderItem] = Nil
       if (eatKw("ORDER")) {
         expectKw("BY")
+        // ORDER BY ALL (CH 23.12+): every select item, left to right —
+        // items with an output name sort by that name (aliases included),
+        // expression items by their expression
+        if (isKw("ALL") && !kwAt(1, "AND") && !kwAt(1, "OR")) {
+          advance()
+          val asc =
+            if (eatKw("DESC") || eatKw("DESCENDING")) false
+            else { eatKw("ASC"); eatKw("ASCENDING"); true }
+          orderBy = items.collect {
+            case SelectItem(e, alias) if e != Star =>
+              OrderItem(alias.map(a => Ident(Seq(a)): Expr).getOrElse(e),
+                asc, None)
+          }
+        } else {
         val b = Seq.newBuilder[OrderItem]
         var more = true
         while (more) {
@@ -936,6 +950,7 @@ object ChSql {
           more = eatP(",")
         }
         orderBy = b.result()
+        }
       }
       var limitBy: Option[(Long, Long, Seq[Expr])] = None
       var limit: Option[Long] = None
@@ -955,7 +970,22 @@ object ChSql {
           if (isKw("WITH") && kwAt(1, "TIES")) { advance(); advance(); limitTies = true }
         }
       }
-      if (eatKw("OFFSET")) offset = Some(parseLong())
+      // OFFSET n [ROW|ROWS] [FETCH FIRST|NEXT m [ROW|ROWS] ONLY|WITH TIES]
+      // (the SQL-standard fetch clause CH also accepts) — plain
+      // `OFFSET n` is the CH short form
+      def parseFetch(): Unit = {
+        if (!eatKw("FIRST")) expectKw("NEXT")
+        limit = Some(parseLong())
+        if (!eatKw("ROWS")) eatKw("ROW")
+        if (!eatKw("ONLY")) {
+          expectKw("WITH"); expectKw("TIES"); limitTies = true
+        }
+      }
+      if (eatKw("OFFSET")) {
+        offset = Some(parseLong())
+        if (!eatKw("ROWS")) eatKw("ROW")
+        if (eatKw("FETCH")) parseFetch()
+      } else if (eatKw("FETCH")) parseFetch()
       var settings: Seq[(String, String)] = Nil
       if (eatKw("SETTINGS")) {
         val b = Seq.newBuilder[(String, String)]
@@ -1214,8 +1244,16 @@ object ChSql {
         "([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+(.*)").r
       trimmed match {
         case re(name, sel) =>
-          sql(spark, sel)(resolve).createOrReplaceTempView(name)
-          (Seq(s"view $name created").toDF("status"), None)
+          // a {p:Type} reference anywhere makes this a PARAMETERIZED
+          // view: register the TEXT, bind per read via `FROM v(p = ...)`
+          if (hasParams(parseAst(sel))) {
+            paramViews.put(name, sel)
+            (Seq(s"parameterized view $name created").toDF("status"), None)
+          } else {
+            paramViews.remove(name)
+            sql(spark, sel)(resolve).createOrReplaceTempView(name)
+            (Seq(s"view $name created").toDF("status"), None)
+          }
         case _ => fail(
           "only CREATE [OR REPLACE] VIEW name AS SELECT ... is supported")
       }
@@ -1262,6 +1300,62 @@ object ChSql {
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"ChSql: $msg")
+
+  /** Parameterized views (CH 23.1+): `CREATE VIEW v AS SELECT ...
+    * {p:Type}` defers — the TEXT is registered here and bound per read
+    * as `FROM v(p = literal)`. Session-scoped like CH. */
+  private[chsql] val paramViews =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Does the parsed statement reference any `{name:Type}` parameter? */
+  private def hasParams(op0: SetOp): Boolean = {
+    var found = false
+    def wSet(o: SetOp): Unit = o match {
+      case One(s) => wSel(s)
+      case Combine(_, _, l, r) => wSet(l); wSet(r)
+    }
+    def wSel(s: SelectStmt): Unit = {
+      (s.items.map(_.e) ++ s.prewhere ++ s.where ++ s.having ++ s.qualify ++
+        s.groupBy ++ s.orderBy.map(_.e) ++ s.limitBy.toSeq.flatMap(_._3) ++
+        s.arrayJoins.map(_.e) ++ s.exprCtes.values ++ s.joins.flatMap(_.on) ++
+        s.groupSets.flatten ++ s.distinctOn).foreach(wE)
+      s.ctes.values.foreach(wSet)
+      (s.from.toSeq ++ s.joins.map(_.rel)).foreach(wRel)
+    }
+    def wRel(r: Relation): Unit = r match {
+      case SubqueryRel(sel, _) => wSet(sel)
+      case TableFuncRel(_, as, _) => as.foreach(wE)
+      case _ =>
+    }
+    def wE(e: Expr): Unit = e match {
+      case ParamE(_, _) => found = true
+      case FuncCall(_, ps, as, _) => (ps ++ as).foreach(wE)
+      case Bin(_, l, r) => wE(l); wE(r)
+      case Neg(x) => wE(x)
+      case NotE(x) => wE(x)
+      case IsNullE(x, _) => wE(x)
+      case CastE(x, _) => wE(x)
+      case Idx(a, b) => wE(a); wE(b)
+      case InList(x, is, _) => (x +: is).foreach(wE)
+      case BetweenE(x, lo, hi, _) => Seq(x, lo, hi).foreach(wE)
+      case CaseE(op2, br, el) => (op2.toSeq ++
+        br.flatMap(b => Seq(b._1, b._2)) ++ el.toSeq).foreach(wE)
+      case ArrayLit(is) => is.foreach(wE)
+      case TupleLit(is) => is.foreach(wE)
+      case LambdaE(_, b) => wE(b)
+      case IntervalE(n, _) => wE(n)
+      case WindowE(fn, pb, ob, _) =>
+        (fn +: pb).foreach(wE); ob.map(_.e).foreach(wE)
+      case WindowERef(fn, _) => wE(fn)
+      case InSub(x, sub, _) => wE(x); wSet(sub)
+      case QuantCmp(_, x, _, sub) => wE(x); wSet(sub)
+      case ScalarSub(sub) => wSet(sub)
+      case ExistsSub(sub) => wSet(sub)
+      case _ =>
+    }
+    wSet(op0)
+    found
+  }
 
   /** Parse a SELECT/WITH statement to its AST without planning — the DDL
     * layer's projection-substitution matcher inspects query shape here. */
@@ -1494,6 +1588,33 @@ object ChSql {
       case SubqueryRel(sel, alias) =>
         val df = buildSetOp(spark, sel, resolve, ctes)
         alias.fold(df)(a => df.as(a))
+      case TableFuncRel(name, args, alias) if paramViews.contains(name) =>
+        // parameterized-view read: `v(p = literal, ...)` — bind the
+        // literals as session params for the duration of the BUILD
+        // (translation bakes them into the plan; the restore cannot race
+        // the lazy execution)
+        val binds = args.map {
+          case Bin("=" | "==", Ident(Seq(p)), v) => p -> (v match {
+            case NumLit(x) => x
+            case StrLit(x) => x
+            case Neg(NumLit(x)) => s"-$x"
+            case other => throw new IllegalArgumentException(
+              s"ChSql: view parameter $p needs a literal value, got $other")
+          })
+          case other => throw new IllegalArgumentException(
+            s"ChSql: parameterized view $name takes `param = literal` " +
+              s"arguments, got $other")
+        }
+        val saved = binds.map { case (p, _) =>
+          val k = s"graft.param.$p"; k -> spark.conf.getOption(k) }
+        binds.foreach { case (p, v) => spark.conf.set(s"graft.param.$p", v) }
+        try {
+          val df = sql(spark, paramViews(name))(resolve)
+          alias.fold(df)(a => df.as(a))
+        } finally saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
       case TableFuncRel(name, args, alias) =>
         import graft.sources.TableFunctions
         def lng(e: Expr): Long = e match {

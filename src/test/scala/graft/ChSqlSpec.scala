@@ -538,6 +538,19 @@ class ChSqlSpec extends AnyFunSuite {
     assert(row(20) == true && row(21) == 3L)
   }
 
+  test("ORDER BY ALL and the SQL-standard OFFSET/FETCH clause") {
+    val r = run("""SELECT status, cust, okey FROM orders
+                  |ORDER BY ALL""".stripMargin)
+    assert(r.map(_.last) == Seq(1L, 3L, 4L, 6L, 2L, 5L))
+    val r2 = run("""SELECT okey FROM orders ORDER BY okey
+                   |OFFSET 1 ROWS FETCH NEXT 2 ROWS ONLY""".stripMargin)
+    assert(r2.flatten == Seq(2L, 3L))
+    // FETCH FIRST ... WITH TIES rides the existing ties machinery
+    val r3 = run("""SELECT status FROM orders ORDER BY status
+                   |FETCH FIRST 3 ROWS WITH TIES""".stripMargin)
+    assert(r3.flatten == Seq("A", "A", "A", "A"))
+  }
+
   test("QUALIFY filters on window results; PASTE JOIN zips positionally") {
     // top order per customer — the canonical QUALIFY shape
     val r = run("""SELECT okey, cust, price FROM orders
@@ -563,6 +576,26 @@ class ChSqlSpec extends AnyFunSuite {
                    |   ORDER BY okey LIMIT 4)
                    |ORDER BY okey""".stripMargin)
     assert(pj == Seq(Seq(1L, 10L), Seq(2L, 20L), Seq(3L, 30L), Seq(4L, 40L)))
+  }
+
+  test("parameterized views: CREATE VIEW with {p:Type}, read via v(p = ...)") {
+    val (st, _) = ChSql.statement(spark,
+      """CREATE VIEW pv AS SELECT okey, price FROM orders
+        |WHERE price >= {minp:Float64}""".stripMargin)(resolve)
+    assert(st.collect().head.getString(0).contains("parameterized"))
+    val r = ChSql.sql(spark,
+      "SELECT okey FROM pv(minp = 200) ORDER BY okey")(resolve)
+    assert(r.collect().map(_.getLong(0)).toSeq == Seq(2L, 5L))
+    // the same view rebinds per read
+    val r2 = ChSql.sql(spark,
+      "SELECT count() AS n FROM pv(minp = 60)")(resolve)
+    assert(r2.collect().head.getLong(0) == 5L)
+    // a missing binding names the parameter
+    val e = intercept[IllegalArgumentException](
+      ChSql.sql(spark, "SELECT count() AS n FROM pv()")(resolve).collect())
+    assert(e.getMessage.contains("minp"))
+    val (dropped, _) = ChSql.statement(spark, "DROP VIEW pv")(resolve)
+    assert(dropped.collect().head.getString(0).contains("parameterized"))
   }
 
   test("query parameters: {name:Type} substituted from SET param_*") {
