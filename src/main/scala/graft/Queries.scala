@@ -3413,6 +3413,50 @@ object Queries {
       """SELECT st, n, total FROM ch63_v(lo = '1995-01-01', hi = '1996-01-01')
         |ORDER BY st""".stripMargin))),
 
+    // aggregate combinators: -OrNull (empty state → NULL), -OrDefault
+    // (empty state → 0), -Distinct, chained after -If; the threshold
+    // leaves some groups with an empty filtered state
+    "ch64_sql_agg_combinators" -> ((s, dir) => chsql(s, dir,
+      """SELECT o_orderstatus AS st,
+        |  countIfOrNull(o_totalprice > 400000) AS c_hi,
+        |  CAST(sumIfOrNull(CAST(o_totalprice AS Decimal(18,2)),
+        |                   o_totalprice > 400000) AS Float64) AS s_hi,
+        |  CAST(sumIfOrDefault(CAST(o_totalprice AS Decimal(18,2)),
+        |                      o_totalprice > 400000) AS Float64) AS s_def,
+        |  countDistinct(o_orderpriority) AS np,
+        |  CAST(avgDistinct(o_custkey) AS Float64) AS ad
+        |FROM orders GROUP BY st ORDER BY st""".stripMargin)),
+
+    // statistical aggregates: singleValueOrNull, boundingRatio, entropy,
+    // skewSamp/kurtSamp (one-pass power-sum expansion); floats rounded so
+    // the cross-engine summation-order wobble cannot reach the hash
+    "ch65_sql_stats_aggs" -> ((s, dir) => chsql(s, dir,
+      """SELECT o_orderstatus AS st,
+        |  singleValueOrNull(o_orderstatus) AS sv,
+        |  CAST(boundingRatio(o_orderkey, o_custkey) AS Float64) AS br,
+        |  CAST(round(entropy(o_orderpriority), 6) AS Float64) AS ent,
+        |  CAST(round(skewSamp(o_totalprice), 6) AS Float64) AS sk,
+        |  CAST(round(kurtSamp(o_totalprice), 6) AS Float64) AS ku
+        |FROM orders GROUP BY st ORDER BY st""".stripMargin)),
+
+    // the -ForEach combinator: element-wise array aggregation (position i
+    // aggregates element i of every row); results stringified because the
+    // cross-engine comparer has no array column contract
+    "ch66_sql_foreach" -> ((s, dir) => chsql(s, dir,
+      """WITH t AS (SELECT l_returnflag AS flag,
+        |    [l_quantity, l_tax, l_discount] AS vs
+        |  FROM lineitem WHERE l_orderkey < 2000)
+        |SELECT flag,
+        |  arrayStringConcat(arrayMap(x -> toString(round(x, 4)),
+        |    sumForEach(vs)), ',') AS s,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    countForEach(vs)), ',') AS c,
+        |  arrayStringConcat(arrayMap(x -> toString(round(x, 4)),
+        |    avgForEach(vs)), ',') AS av,
+        |  arrayStringConcat(arrayMap(x -> toString(round(x, 4)),
+        |    maxForEach(vs)), ',') AS mx
+        |FROM t GROUP BY flag ORDER BY flag""".stripMargin)),
+
     // ORDER BY ALL (every select item) + the SQL-standard OFFSET/FETCH
     // clause — DuckDB runs the identical text
     "ch62_sql_orderby_all_fetch" -> ((s, dir) => chsql(s, dir,
@@ -3974,6 +4018,55 @@ object Queries {
         |FROM orders
         |WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
         |GROUP BY st ORDER BY st""".stripMargin,
+
+    "ch64_sql_agg_combinators" ->
+      """SELECT o_orderstatus AS st,
+        |  NULLIF(count(*) FILTER (WHERE o_totalprice > 400000), 0) AS c_hi,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE o_totalprice > 400000) AS DOUBLE) AS s_hi,
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE o_totalprice > 400000), 0) AS DOUBLE) AS s_def,
+        |  count(DISTINCT o_orderpriority) AS np,
+        |  CAST(avg(DISTINCT o_custkey) AS DOUBLE) AS ad
+        |FROM orders GROUP BY st ORDER BY st""".stripMargin,
+
+    "ch65_sql_stats_aggs" ->
+      """WITH g AS (SELECT o_orderstatus AS st,
+        |  CASE WHEN count(DISTINCT o_orderstatus) = 1
+        |       THEN min(o_orderstatus) END AS sv,
+        |  CAST(arg_max(o_custkey, o_orderkey)
+        |     - arg_min(o_custkey, o_orderkey) AS DOUBLE)
+        |    / CAST(max(o_orderkey) - min(o_orderkey) AS DOUBLE) AS br,
+        |  round(entropy(o_orderpriority), 6) AS ent,
+        |  count(*)::DOUBLE AS n,
+        |  sum(o_totalprice::DOUBLE) AS s1,
+        |  sum(pow(o_totalprice::DOUBLE, 2)) AS s2,
+        |  sum(pow(o_totalprice::DOUBLE, 3)) AS s3,
+        |  sum(pow(o_totalprice::DOUBLE, 4)) AS s4
+        |FROM orders GROUP BY st)
+        |SELECT st, sv, br, ent,
+        |  round(((s3/n - 3*(s1/n)*(s2/n) + 2*pow(s1/n, 3)) * n/(n-1))
+        |    / pow((s2/n - pow(s1/n, 2)) * n/(n-1), 1.5), 6) AS sk,
+        |  round(((s4/n - 4*(s1/n)*(s3/n) + 6*pow(s1/n, 2)*(s2/n)
+        |      - 3*pow(s1/n, 4)) * n/(n-1))
+        |    / pow((s2/n - pow(s1/n, 2)) * n/(n-1), 2), 6) AS ku
+        |FROM g ORDER BY st""".stripMargin,
+
+    "ch66_sql_foreach" ->
+      """WITH t AS (SELECT l_returnflag AS flag,
+        |    [l_quantity, l_tax, l_discount] AS vs
+        |  FROM lineitem WHERE l_orderkey < 2000),
+        |u AS (SELECT flag, generate_subscripts(vs, 1) AS i, unnest(vs) AS v
+        |      FROM t),
+        |g AS (SELECT flag, i, sum(v) AS s, count(v) AS c, avg(v) AS av,
+        |             max(v) AS mx
+        |      FROM u GROUP BY flag, i)
+        |SELECT flag,
+        |  array_to_string(list(round(s, 4)::VARCHAR ORDER BY i), ',') AS s,
+        |  array_to_string(list(c::VARCHAR ORDER BY i), ',') AS c,
+        |  array_to_string(list(round(av, 4)::VARCHAR ORDER BY i), ',') AS av,
+        |  array_to_string(list(round(mx, 4)::VARCHAR ORDER BY i), ',') AS mx
+        |FROM g GROUP BY flag ORDER BY flag""".stripMargin,
 
     "ch62_sql_orderby_all_fetch" ->
       """SELECT o_orderstatus AS st, o_orderpriority AS pri, count(*) AS n

@@ -1155,16 +1155,26 @@ object ChSql {
     "sequencecount", "uniqupto", "windowfunnel", "retention",
     "sumarray", "minarray", "maxarray", "avgarray", "countarray",
     "uniqarray", "grouparrayarray", "quantiletiming", "quantilestiming",
-    "quantiletdigest", "quantilestdigest", "quantilebfloat16")
+    "quantiletdigest", "quantilestdigest", "quantilebfloat16",
+    "singlevalueornull", "boundingratio", "entropy", "skewsamp", "kurtsamp")
+
+  // aggregates that return 0 (not NULL) over an empty group — the set the
+  // -OrNull combinator must map 0 → NULL for
+  private val CountLikeAggs: Set[String] = Set(
+    "count", "countif", "countdistinct", "uniq", "uniqexact",
+    "uniqcombined", "uniqhll12", "countarray", "uniqarray", "groupbitmap")
+
+  // combinator suffixes strip recursively (CH chains them: sumIfOrNull,
+  // countDistinctForEach, ...); each entry is (suffix, its length)
+  private val AggSuffixes: Seq[(String, Int)] = Seq(
+    "if" -> 2, "state" -> 5, "merge" -> 5, "ornull" -> 6,
+    "ordefault" -> 9, "distinct" -> 8, "foreach" -> 7)
 
   private def isAggName(name: String): Boolean = {
     val n = name.toLowerCase
-    AggNames.contains(n) ||
-      (n.endsWith("if") && n.length > 2 && AggNames.contains(n.dropRight(2))) ||
-      (n.endsWith("state") && n.length > 5 &&
-        AggNames.contains(n.dropRight(5))) ||
-      (n.endsWith("merge") && n.length > 5 &&
-        AggNames.contains(n.dropRight(5)))
+    AggNames.contains(n) || AggSuffixes.exists { case (suf, len) =>
+      n.endsWith(suf) && n.length > len && isAggName(n.dropRight(len))
+    }
   }
 
   // ===================== planner =====================
@@ -2578,7 +2588,7 @@ object ChSql {
       }
 
       val nm = f.name.toLowerCase
-      if (f.distinct && !Set("count", "sum", "min", "max", "grouparray",
+      if (f.distinct && !Set("count", "sum", "avg", "min", "max", "grouparray",
           "groupuniqarray", "uniq", "uniqexact").contains(nm))
         throw new IllegalArgumentException(
           s"ChSql: DISTINCT is not supported inside $nm()")
@@ -2657,6 +2667,40 @@ object ChSql {
               "count, sum, min, max, avg, any, uniq, uniqExact, groupBitmap, " +
               "groupArray, groupUniqArray, topK, sumMap)")
         }
+      // -OrNull / -OrDefault combinators (empty-state handling; chainable
+      // after -If like all CH combinators). Spark aggregates already
+      // return NULL over an empty / all-filtered group — which IS the
+      // -OrNull contract — so only the count family (count, uniq tiers,
+      // countArray/uniqArray, groupBitmap), which returns 0 instead,
+      // needs the explicit 0 → NULL map. -OrDefault is the inverse:
+      // replace the empty-state NULL with zero (the numeric default; CH
+      // extends the notion to ''/epoch for non-numeric types — the text
+      // tier keeps the numeric contract, the tier every real OrDefault
+      // call sums/avgs/quantiles over).
+      if (nm.endsWith("ornull") && nm.length > 6 && isAggName(nm.dropRight(6))) {
+        val inner = funcCall(
+          FuncCall(f.name.dropRight(6), f.params, f.args, f.distinct), env)
+        def countLike(n: String): Boolean = CountLikeAggs.contains(n) ||
+          (n.endsWith("if") && n.length > 2 && countLike(n.dropRight(2)))
+        return if (countLike(nm.dropRight(6)))
+          when(inner === 0, lit(null)).otherwise(inner)
+        else inner
+      }
+      if (nm.endsWith("ordefault") && nm.length > 9 && isAggName(nm.dropRight(9))) {
+        val inner = funcCall(
+          FuncCall(f.name.dropRight(9), f.params, f.args, f.distinct), env)
+        return coalesce(inner, lit(0))
+      }
+      // -Distinct combinator: aggDistinct(x) ≡ agg(DISTINCT x)
+      if (nm.endsWith("distinct") && nm.length > 8 && isAggName(nm.dropRight(8)))
+        return funcCall(
+          FuncCall(f.name.dropRight(8), f.params, f.args, distinct = true), env)
+      // -ForEach combinator: element-wise aggregation of array columns
+      // (position i of the result aggregates element i of every row) —
+      // one partial+final pass, O(max array length) state per group
+      if (nm.endsWith("foreach") && nm.length > 7 &&
+          graft.plans.ForEachAgg.Ops.contains(nm.dropRight(7)))
+        return graft.plans.ForEachAgg.forEach(a(0), nm.dropRight(7))
       nm match {
         // ---- aggregates ----
         case "count" =>
@@ -2666,7 +2710,9 @@ object ChSql {
         case "countif" => count(when(a(0), 1))
         case "sum" => if (f.distinct) sum_distinct(a(0)) else sum(a(0))
         case "sumif" => sum(when(a(1), a(0)))
-        case "avg" => avg(a(0))
+        case "avg" =>
+          if (f.distinct) sum_distinct(a(0)) / countDistinct(a(0))
+          else avg(a(0))
         case "avgif" => avg(when(a(1), a(0)))
         case "min" => min(a(0))
         case "minif" => min(when(a(1), a(0)))
@@ -2719,6 +2765,50 @@ object ChSql {
         case "covarpop" => covar_pop(a(0), a(1))
         case "covarsamp" => covar_samp(a(0), a(1))
         case "avgweighted" => sum(a(0) * a(1)) / sum(a(1))
+        // the value if the group holds exactly one distinct value, else NULL
+        case "singlevalueornull" =>
+          when(countDistinct(a(0)) === 1, min(a(0)))
+        // boundingRatio(x, y): slope of the bounding segment —
+        // (y at max x − y at min x) / (max x − min x)
+        case "boundingratio" =>
+          (max(struct(a(0).as("_k"), a(1).as("_v"))).getField("_v") -
+            min(struct(a(0).as("_k"), a(1).as("_v"))).getField("_v"))
+            .cast("double") /
+            (max(a(0)) - min(a(0))).cast("double")
+        // Shannon entropy (log2) of the value distribution. The per-value
+        // counts come from the sumMap state (one partial+final pass,
+        // O(distinct values) buffer); the −Σ (c/n)·log2(c/n) fold over
+        // that array is row-local algebra on the agg result, expanded to
+        // log2(n) − (Σ c·log2 c)/n so the two HOF folds don't nest.
+        case "entropy" =>
+          val counts = graft.plans.SumMapAgg.sumMap(a(0), lit(1L))
+            .getField("col2")
+          val total = aggregate(counts, lit(0.0),
+            (acc, c) => acc + c.cast("double"))
+          log2(total) - aggregate(counts, lit(0.0),
+            (acc, c) => acc + c.cast("double") * log2(c.cast("double"))) / total
+        // sample skewness / kurtosis (CH: sample central moments over the
+        // sample variance): one pass via the power-sum expansion.
+        // m2 = Σx²/n − μ², m3 = Σx³/n − 3μΣx²/n + 2μ³,
+        // m4 = Σx⁴/n − 4μΣx³/n + 6μ²Σx²/n − 3μ⁴; sample moments scale by
+        // n/(n−1). skewSamp = m3ₛ/varSamp^1.5, kurtSamp = m4ₛ/varSamp²
+        case "skewsamp" | "kurtsamp" =>
+          val x = a(0).cast("double")
+          val n = count(x).cast("double")
+          val mu = sum(x) / n
+          val p2 = sum(x * x) / n
+          val m2s = (p2 - mu * mu) * n / (n - 1)
+          if (nm == "skewsamp") {
+            val p3 = sum(x * x * x) / n
+            val m3 = p3 - lit(3) * mu * p2 + lit(2) * mu * mu * mu
+            (m3 * n / (n - 1)) / pow(m2s, 1.5)
+          } else {
+            val p3 = sum(x * x * x) / n
+            val p4 = sum(x * x * x * x) / n
+            val m4 = p4 - lit(4) * mu * p3 + lit(6) * mu * mu * p2 -
+              lit(3) * mu * mu * mu * mu
+            (m4 * n / (n - 1)) / (m2s * m2s)
+          }
         // groupBitmap: CH builds a roaring bitmap and reports its
         // cardinality — semantically count-distinct; the bitmap OBJECT
         // tier is the sorted distinct array (bitmapBuild family below)

@@ -69,7 +69,8 @@ object FunctionCatalog {
     "replaceregexpall", "retention", "reverse", "rightpad", "round",
     "roundbankers", "row_number", "rownumber", "rpad", "sequencecount",
     "right", "rightutf8", "sequencematch", "simplejsonextractfloat", "simplejsonextractint",
-    "simplejsonextractstring", "sha256", "sign", "sin", "sinh", "siphash64",
+    "simplejsonextractstring", "sha256", "sign", "sin", "singlevalueornull",
+    "sinh", "siphash64", "boundingratio", "entropy", "skewsamp", "kurtsamp",
     "skewpop", "soundex", "splitbychar", "splitbystring", "sqrt",
     "startswith", "stddevpop", "stddevsamp", "substr", "substring",
     "substringutf8", "subtractdays", "subtracthours", "subtractminutes",

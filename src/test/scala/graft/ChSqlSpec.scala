@@ -374,8 +374,11 @@ class ChSqlSpec extends AnyFunSuite {
   test("sum(DISTINCT) maps, DISTINCT inside unsupported aggregates fails loudly") {
     val r = run("SELECT CAST(sum(DISTINCT price) AS Float64) AS s FROM orders")
     assert(r == Seq(Seq(1095.0)))
+    // avg(DISTINCT x) ≡ sum(DISTINCT x) / count(DISTINCT x)
+    assert(run("SELECT avg(DISTINCT price) AS a FROM orders")
+      == Seq(Seq(1095.0 / 6)))
     intercept[IllegalArgumentException] {
-      run("SELECT avg(DISTINCT price) FROM orders")
+      run("SELECT median(DISTINCT price) FROM orders")
     }
   }
 
@@ -1094,6 +1097,68 @@ class ChSqlSpec extends AnyFunSuite {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.head
     assert(scan.metadata.get("PushedFilters").exists(_.contains("GreaterThan")))
     assert(scan.requiredSchema.fieldNames.toSet == Set("okey", "price"))
+  }
+
+  test("-OrNull / -OrDefault combinators: empty state maps to NULL / 0") {
+    val r = run(
+      "SELECT countIfOrNull(price > 9999) AS c, " +
+        "sumIfOrNull(price, price > 9999) AS s, " +
+        "sumIfOrDefault(price, price > 9999) AS sd, " +
+        "minIfOrNull(price, price > 9999) AS m, " +
+        "countIf(price > 9999) AS c0 FROM orders")
+    assert(r == Seq(Seq(null, null, 0.0, null, 0L)))
+    // non-empty state: OrNull is transparent
+    val r2 = run("SELECT countIfOrNull(price > 100) AS c FROM orders")
+    assert(r2 == Seq(Seq(3L)))
+  }
+
+  test("-Distinct combinator and avg over DISTINCT") {
+    val r = run("SELECT countDistinct(status) AS cd, sumDistinct(cust) AS sd, " +
+      "avgDistinct(cust) AS ad FROM orders")
+    assert(r == Seq(Seq(3L, 60L, 20.0)))
+  }
+
+  test("-ForEach combinator aggregates arrays element-wise") {
+    val r = run(
+      """SELECT cust, sumForEach(a) AS s, countForEach(a) AS c,
+        |       avgForEach(a) AS av, maxForEach(a) AS mx, minForEach(a) AS mn
+        |FROM (SELECT cust, if(okey % 2 = 0, [okey, 10], [okey]) AS a FROM orders)
+        |GROUP BY cust ORDER BY cust""".stripMargin)
+    assert(r.size == 3)
+    val row10 = r.head
+    assert(row10(0) == 10L)
+    assert(row10(1) == Seq(3L, 10L))      // sum: [1]+[2,10]
+    assert(row10(2) == Seq(2L, 1L))       // count per position
+    assert(row10(3) == Seq(1.5, 10.0))    // avg per position
+    assert(row10(4) == Seq(2L, 10L))      // max per position
+    assert(row10(5) == Seq(1L, 10L))      // min per position
+    assert(r(2)(1) == Seq(11L, 10L))      // cust 30: [5]+[6,10]
+  }
+
+  test("singleValueOrNull, boundingRatio, entropy, skewSamp, kurtSamp") {
+    assert(run("SELECT singleValueOrNull(nat) AS sv FROM custs WHERE cust < 30")
+      == Seq(Seq(1)))
+    assert(run("SELECT singleValueOrNull(nat) AS sv FROM custs")
+      == Seq(Seq(null)))
+    // y at max x (okey=6 → 120) minus y at min x (okey=1 → 100), over Δx=5
+    assert(run("SELECT boundingRatio(okey, price) AS br FROM orders")
+      == Seq(Seq(4.0)))
+    val e = run("SELECT entropy(status) AS e FROM orders")
+      .head.head.asInstanceOf[Double]
+    def lg2(p: Double) = math.log(p) / math.log(2)
+    val expected = -(4.0 / 6 * lg2(4.0 / 6) + 2 * (1.0 / 6 * lg2(1.0 / 6)))
+    assert(math.abs(e - expected) < 1e-9)
+    val r5 = run("SELECT skewSamp(price) AS sk, kurtSamp(price) AS ku FROM orders")
+    val xs = Seq(100.0, 250.0, 50.0, 75.0, 500.0, 120.0)
+    val n = xs.size
+    val mu = xs.sum / n
+    val m2s = xs.map(v => math.pow(v - mu, 2)).sum / (n - 1)
+    val m3s = xs.map(v => math.pow(v - mu, 3)).sum / (n - 1)
+    val m4s = xs.map(v => math.pow(v - mu, 4)).sum / (n - 1)
+    val sk = r5.head(0).asInstanceOf[Double]
+    val ku = r5.head(1).asInstanceOf[Double]
+    assert(math.abs(sk - m3s / math.pow(m2s, 1.5)) < 1e-6)
+    assert(math.abs(ku - m4s / (m2s * m2s)) < 1e-6 * math.max(1, ku))
   }
 
   test("FunctionCatalog is pinned to the dispatcher source (no drift)") {
