@@ -3439,6 +3439,43 @@ object Queries {
         |  CAST(round(kurtSamp(o_totalprice), 6) AS Float64) AS ku
         |FROM orders GROUP BY st ORDER BY st""".stripMargin)),
 
+    // block-order navigation functions: neighbor/runningDifference are
+    // rewritten onto the enclosing SELECT's ORDER BY (the deterministic
+    // contract a distributed plan can honor); lagInFrame is the explicit
+    // OVER form. The DuckDB twin spells out the equivalent lead/lag.
+    "ch67_sql_navigation" -> ((s, dir) => chsql(s, dir,
+      """SELECT o_orderkey AS k,
+        |  neighbor(o_totalprice, 1, -1.0) AS nxt,
+        |  runningDifference(o_totalprice) AS rd,
+        |  lagInFrame(o_totalprice, 1, 0.0)
+        |    OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS lf
+        |FROM orders WHERE o_orderkey <= 2000
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // multi-needle substring/regex search + n-gram distance — all
+    // row-local codegen'd array algebra (no UDFs); the DuckDB twin
+    // re-derives each via strpos/regexp_matches/list lambdas
+    "ch68_sql_multisearch" -> ((s, dir) => chsql(s, dir,
+      """SELECT p_partkey AS k,
+        |  multiSearchAny(p_name, ['red', 'blu']) AS any_n,
+        |  multiSearchFirstPosition(p_name, ['red', 'blu']) AS pos_n,
+        |  multiSearchFirstIndex(p_name, ['red', 'blu']) AS idx_n,
+        |  multiMatchAny(p_name, ['^a', 'red$']) AS m_any,
+        |  multiMatchAnyIndex(p_name, ['^a', 'red$']) AS m_idx,
+        |  round(ngramDistance(p_name, 'chocolate red'), 6) AS ngd
+        |FROM part WHERE p_partkey <= 300 ORDER BY k""".stripMargin)),
+
+    // INTERSECT ALL / EXCEPT ALL multiset semantics (duplicate
+    // multiplicities verified via the count roll-up)
+    "ch69_sql_setop_all" -> ((s, dir) => chsql(s, dir,
+      """SELECT k, cnt FROM (
+        |  SELECT k, count() AS cnt FROM (
+        |    SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000
+        |    INTERSECT ALL
+        |    SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000)
+        |  GROUP BY k)
+        |ORDER BY k LIMIT 200""".stripMargin)),
+
     // the -ForEach combinator: element-wise array aggregation (position i
     // aggregates element i of every row); results stringified because the
     // cross-engine comparer has no array column contract
@@ -4087,6 +4124,54 @@ object Queries {
         |POSITIONAL JOIN
         |  (SELECT o_totalprice AS r FROM orders ORDER BY o_orderkey LIMIT 100)
         |ORDER BY k""".stripMargin,
+
+    "ch67_sql_navigation" ->
+      """SELECT k, nxt, rd, lf FROM (
+        |  SELECT o_orderkey AS k,
+        |    coalesce(lead(o_totalprice, 1) OVER (ORDER BY o_orderkey), -1.0) AS nxt,
+        |    coalesce(o_totalprice - lag(o_totalprice, 1) OVER (ORDER BY o_orderkey), 0) AS rd,
+        |    coalesce(lag(o_totalprice, 1) OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_orderkey), 0.0) AS lf
+        |  FROM orders WHERE o_orderkey <= 2000)
+        |ORDER BY k""".stripMargin,
+
+    "ch68_sql_multisearch" ->
+      """SELECT p_partkey AS k,
+        |  (strpos(p_name, 'red') > 0 OR strpos(p_name, 'blu') > 0) AS any_n,
+        |  CAST(coalesce(list_min(list_filter(
+        |    [strpos(p_name, 'red'), strpos(p_name, 'blu')], x -> x > 0)), 0)
+        |    AS BIGINT) AS pos_n,
+        |  CAST(CASE WHEN strpos(p_name, 'red') > 0 THEN 1
+        |    WHEN strpos(p_name, 'blu') > 0 THEN 2 ELSE 0 END AS BIGINT) AS idx_n,
+        |  (regexp_matches(p_name, '^a') OR regexp_matches(p_name, 'red$')) AS m_any,
+        |  CAST(CASE WHEN regexp_matches(p_name, '^a') THEN 1
+        |    WHEN regexp_matches(p_name, 'red$') THEN 2 ELSE 0 END AS BIGINT) AS m_idx,
+        |  round(CASE WHEN len(list_distinct(list_concat(
+        |      list_transform(generate_series(1, greatest(length(p_name) - 3, 0)),
+        |        i -> substring(p_name, i, 4)),
+        |      list_transform(generate_series(1, 10),
+        |        i -> substring('chocolate red', i, 4))))) = 0 THEN 0.0
+        |    ELSE 1.0 - len(list_intersect(
+        |      list_distinct(list_transform(
+        |        generate_series(1, greatest(length(p_name) - 3, 0)),
+        |        i -> substring(p_name, i, 4))),
+        |      list_distinct(list_transform(generate_series(1, 10),
+        |        i -> substring('chocolate red', i, 4)))))
+        |      / len(list_distinct(list_concat(
+        |      list_transform(generate_series(1, greatest(length(p_name) - 3, 0)),
+        |        i -> substring(p_name, i, 4)),
+        |      list_transform(generate_series(1, 10),
+        |        i -> substring('chocolate red', i, 4))))) END, 6) AS ngd
+        |FROM part WHERE p_partkey <= 300 ORDER BY k""".stripMargin,
+
+    "ch69_sql_setop_all" ->
+      """SELECT k, cnt FROM (
+        |  SELECT k, count(*) AS cnt FROM (
+        |    SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000
+        |    INTERSECT ALL
+        |    SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000)
+        |  GROUP BY k)
+        |ORDER BY k LIMIT 200""".stripMargin,
 
     "ch59_sql_query_params" ->
       """SELECT count(*) AS n,

@@ -1835,7 +1835,7 @@ object ChSql {
     // multiple-arrayJoin semantics.
     var ajHidden = Map.empty[Expr, String]
     var insCount = 0
-    val items: Seq[SelectItem] = items0.map {
+    val itemsPreNav: Seq[SelectItem] = items0.map {
       case SelectItem(FuncCall(fn, Nil, Seq(arg), false), alias)
           if fn.equalsIgnoreCase("arrayJoin") =>
         val h = ajHidden.getOrElse(arg, {
@@ -1860,6 +1860,64 @@ object ChSql {
         SelectItem(Ident(Seq(nm0)), alias.orElse(Some(nm0)))
       case other => other
     }
+
+    // Block-order navigation functions (neighbor / runningDifference /
+    // lagInFrame-without-OVER): ClickHouse computes these over data-block
+    // order, which a distributed plan cannot reproduce (and CH's own docs
+    // call the result order-dependent, recommending an ORDER BY subquery).
+    // The deterministic contract here: the enclosing SELECT's ORDER BY
+    // defines the sequence — the order the user actually observes — and
+    // the call is rewritten at the AST level into the equivalent window
+    // form (lead/lag over that ordering), so the WindowE machinery (NULLS
+    // placement, hidden sort columns) applies unchanged. Numeric offsets
+    // only; negative neighbor offsets flip to lag. The window is global
+    // (no PARTITION BY) — at scale, callers needing parallelism should
+    // write the explicit OVER (PARTITION BY ...) form instead.
+    lazy val navOrd: Seq[OrderItem] = {
+      if (s.orderBy.isEmpty) throw new IllegalArgumentException(
+        "ChSql: neighbor()/runningDifference() need an ORDER BY on the " +
+          "same SELECT — block order is not defined in a distributed plan")
+      s.orderBy.map(_.copy(fill = None, collate = None))
+    }
+    def rewriteNav(e: Expr): Expr = e match {
+      case FuncCall(n, Nil, args, false) if n.equalsIgnoreCase("neighbor") =>
+        if (args.size < 2) throw new IllegalArgumentException(
+          "ChSql: neighbor(x, offset[, default])")
+        val x = rewriteNav(args.head)
+        val (off, back) = args(1) match {
+          case NumLit(v) => (v, false)
+          case Neg(NumLit(v)) => (v, true)
+          case other => throw new IllegalArgumentException(
+            s"ChSql: neighbor offset must be an integer literal, got $other")
+        }
+        val fn = if (back) "lag" else "lead"
+        WindowE(FuncCall(fn, Nil,
+          Seq(x, NumLit(off)) ++ args.drop(2).map(rewriteNav)),
+          Nil, navOrd, None)
+      case FuncCall(n, Nil, Seq(x0), false)
+          if n.equalsIgnoreCase("runningDifference") =>
+        val x = rewriteNav(x0)
+        // CH: 0 for the first row, x - previous otherwise
+        FuncCall("ifNull", Nil, Seq(
+          Bin("-", x, WindowE(FuncCall("lag", Nil, Seq(x, NumLit("1"))),
+            Nil, navOrd, None)),
+          NumLit("0")))
+      case FuncCall(n, ps, as, d) =>
+        FuncCall(n, ps.map(rewriteNav), as.map(rewriteNav), d)
+      case Bin(o, l, r) => Bin(o, rewriteNav(l), rewriteNav(r))
+      case Neg(x) => Neg(rewriteNav(x))
+      case NotE(x) => NotE(rewriteNav(x))
+      case IsNullE(x, neg) => IsNullE(rewriteNav(x), neg)
+      case CaseE(op, br, el) => CaseE(op.map(rewriteNav),
+        br.map(b => (rewriteNav(b._1), rewriteNav(b._2))), el.map(rewriteNav))
+      case CastE(x, ty) => CastE(rewriteNav(x), ty)
+      case Idx(x, i) => Idx(rewriteNav(x), rewriteNav(i))
+      case ArrayLit(is) => ArrayLit(is.map(rewriteNav))
+      case TupleLit(is) => TupleLit(is.map(rewriteNav))
+      case other => other
+    }
+    val items: Seq[SelectItem] =
+      itemsPreNav.map(it => it.copy(e = rewriteNav(it.e)))
 
     // resolve select-alias references inside GROUP BY/ORDER BY (CH allows
     // `GROUP BY month` where month is a select alias)
@@ -2465,7 +2523,8 @@ object ChSql {
           // rejects an explicit one — only aggregate window functions take
           // the (possibly named-window) frame
           val framable = !Set("row_number", "rownumber", "rank", "dense_rank",
-            "denserank", "ntile", "lag", "lead", "percent_rank", "cume_dist")
+            "denserank", "ntile", "lag", "lead", "laginframe", "leadinframe",
+            "percent_rank", "cume_dist")
             .contains(fn.name.toLowerCase)
           frame.filter(_ => framable).foreach { case (isRows, lo, hi) =>
             spec = if (isRows) spec.rowsBetween(lo, hi)
@@ -2490,10 +2549,16 @@ object ChSql {
         case "rank" => rank()
         case "dense_rank" | "denserank" => dense_rank()
         case "ntile" => ntile(intArg(f.args.head))
-        case "lag" =>
-          if (f.args.size >= 2) lag(a0, intArg(f.args(1))) else lag(a0, 1)
-        case "lead" =>
-          if (f.args.size >= 2) lead(a0, intArg(f.args(1))) else lead(a0, 1)
+        // lagInFrame/leadInFrame are CH's frame-bounded variants; with the
+        // default whole-partition frame they coincide with lag/lead, which
+        // is how they're mapped (Spark's lag/lead carry their own implicit
+        // frame — an explicit frame clause is dropped for all four)
+        case "lag" | "laginframe" =>
+          if (f.args.size >= 3) lag(a0, intArg(f.args(1)), litValue(f.args(2)))
+          else if (f.args.size == 2) lag(a0, intArg(f.args(1))) else lag(a0, 1)
+        case "lead" | "leadinframe" =>
+          if (f.args.size >= 3) lead(a0, intArg(f.args(1)), litValue(f.args(2)))
+          else if (f.args.size == 2) lead(a0, intArg(f.args(1))) else lead(a0, 1)
         case "first_value" => first(a0)
         case "last_value" => last(a0)
         case _ => funcCall(f, env)
@@ -3288,6 +3353,45 @@ object ChSql {
             lit(needle.length)).cast(LongType)
         case "multisearchany" =>
           exists(a(1), n => a(0).contains(n))
+        case "multisearchfirstposition" =>
+          // leftmost match offset over all needles, 0 when none matches
+          coalesce(array_min(filter(
+            transform(a(1), n => call_function("instr", a(0), n)),
+            p => p > 0)), lit(0)).cast(LongType)
+        case "multisearchfirstindex" =>
+          // 1-based index of the first needle (in needle order) that
+          // occurs in the haystack, 0 when none does
+          coalesce(get(filter(
+            transform(a(1), (n, i) =>
+              when(call_function("instr", a(0), n) > 0, i + 1)),
+            x => x.isNotNull), lit(0)), lit(0)).cast(LongType)
+        case "multimatchany" =>
+          exists(a(1), r => regexp_like(a(0), r))
+        case "multimatchanyindex" =>
+          coalesce(get(filter(
+            transform(a(1), (r, i) => when(regexp_like(a(0), r), i + 1)),
+            x => x.isNotNull), lit(0)), lit(0)).cast(LongType)
+        case "hassubstr" =>
+          // contiguous-subsequence containment (CH hasSubstr, array form)
+          when(size(a(1)) === 0, lit(true))
+            .when(size(a(0)) < size(a(1)), lit(false))
+            .otherwise(exists(
+              sequence(lit(1), size(a(0)) - size(a(1)) + 1),
+              i => slice(a(0), i, size(a(1))) === a(1)))
+        case "ngramdistance" =>
+          // 4-gram Jaccard distance over distinct grams in [0,1] — 0 for
+          // identical gram sets, 1 for disjoint. CH's variant works on a
+          // gram multiset; the distinct-set form keeps the same ordering
+          // contract (similar→0) with pure codegen'd array algebra.
+          def grams(c: Column): Column =
+            when(length(c) < 4, array().cast("array<string>"))
+              .otherwise(array_distinct(transform(
+                sequence(lit(1), length(c) - 3), i => c.substr(i, lit(4)))))
+          val ga = grams(a(0)); val gb = grams(a(1))
+          val uni = size(array_union(ga, gb))
+          when(uni === 0, lit(0.0))
+            .otherwise(lit(1.0) -
+              size(array_intersect(ga, gb)).cast("double") / uni)
 
         // ---- math parity ----
         case "roundbankers" =>
@@ -3477,6 +3581,13 @@ object ChSql {
           // a (sorted keys, sums) tuple addressable as .1 / .2
           graft.plans.SumMapAgg.sumMap(a(0), a(1))
         case "countdistinct" => countDistinct(a(0), f.args.tail.map(t): _*)
+        // block-order navigation: valid only in the SELECT list of an
+        // ORDER BY query, where buildSelectBody rewrites them into window
+        // forms before translation ever reaches here
+        case "neighbor" | "runningdifference" =>
+          throw new IllegalArgumentException(
+            s"ChSql: ${f.name} is only valid in the SELECT list of a " +
+              "query with ORDER BY (rewritten to a window over that order)")
         case n2 if n2.startsWith("emptyarray") && f.args.isEmpty =>
           // emptyArray<Type>() constructors — typed empty array literals
           val chName = Map(

@@ -52,14 +52,17 @@ object FunctionCatalog {
     "ipv4numtostring", "ipv4stringtonum", "isfinite", "isinfinite",
     "isnan", "isnotnull", "isnull", "json_value", "jsonextractbool",
     "jsonextractfloat", "jsonextractint", "jsonextractstring", "jsonhas",
-    "jsonlength", "kurtpop", "lag", "last_value", "lcase", "lead",
+    "jsonlength", "kurtpop", "lag", "laginframe", "last_value", "lcase",
+    "lead", "leadinframe", "neighbor", "runningdifference",
     "least", "leftpad", "length", "lengthutf8", "levenshteindistance",
     "ln", "locate", "log", "log10", "log1p", "log2", "lower", "lowerutf8",
     "lpad", "mapcontains", "mapfromarrays", "map", "mapfromarrays", "mapkeys", "mapvalues",
     "left", "leftutf8", "match", "max", "maxarray", "maxif", "md5", "median", "mid", "min",
     "minarray", "minif",
     "minus", "modulo", "moduloorzero", "month", "multiif", "multiply",
-    "multisearchany", "negate", "notempty", "now", "ntile", "nullif",
+    "multimatchany", "multimatchanyindex", "multisearchany",
+    "multisearchfirstindex", "multisearchfirstposition", "ngramdistance",
+    "hassubstr", "negate", "notempty", "now", "ntile", "nullif",
     "path", "pi", "plus", "position", "positioncaseinsensitive", "pow",
     "parsedatetimebesteffort", "parsedatetimebesteffortornull", "power",
     "protocol", "quantile", "quantilebfloat16", "quantileexact",

@@ -1192,4 +1192,76 @@ class ChSqlSpec extends AnyFunSuite {
     assert(graft.chsql.FunctionCatalog.isAggregate("windowFunnel"))
     assert(!graft.chsql.FunctionCatalog.isAggregate("toYear"))
   }
+
+  test("neighbor over the enclosing ORDER BY (positive, negative, default)") {
+    val r = run(
+      "SELECT okey, neighbor(price, 1) AS nxt FROM orders ORDER BY okey")
+    assert(r == Seq(Seq(1L, 250.0), Seq(2L, 50.0), Seq(3L, 75.0),
+      Seq(4L, 500.0), Seq(5L, 120.0), Seq(6L, null)))
+    val back = run(
+      "SELECT okey, neighbor(price, -2, 0.0) AS prev2 FROM orders ORDER BY okey")
+    assert(back == Seq(Seq(1L, 0.0), Seq(2L, 0.0), Seq(3L, 100.0),
+      Seq(4L, 250.0), Seq(5L, 50.0), Seq(6L, 75.0)))
+  }
+
+  test("runningDifference: 0 first row, deltas over the query order") {
+    val r = run(
+      "SELECT okey, runningDifference(price) AS d FROM orders ORDER BY okey")
+    assert(r == Seq(Seq(1L, 0.0), Seq(2L, 150.0), Seq(3L, -200.0),
+      Seq(4L, 25.0), Seq(5L, 425.0), Seq(6L, -380.0)))
+  }
+
+  test("block-order functions refuse without ORDER BY and outside SELECT") {
+    val e1 = intercept[IllegalArgumentException] {
+      run("SELECT neighbor(price, 1) FROM orders")
+    }
+    assert(e1.getMessage.contains("ORDER BY"))
+    val e2 = intercept[IllegalArgumentException] {
+      run("SELECT okey FROM orders WHERE runningDifference(price) > 0 ORDER BY okey")
+    }
+    assert(e2.getMessage.contains("SELECT list"))
+  }
+
+  test("lagInFrame/leadInFrame map to lag/lead with default argument") {
+    val r = run(
+      """SELECT okey, lagInFrame(price, 1, -1.0) OVER (ORDER BY okey) AS p,
+        |  leadInFrame(price, 2, -1.0) OVER (ORDER BY okey) AS n
+        |FROM orders ORDER BY okey""".stripMargin)
+    assert(r.head == Seq(1L, -1.0, 50.0))
+    assert(r.last == Seq(6L, 500.0, -1.0))
+  }
+
+  test("multiSearch first-position / first-index over needle arrays") {
+    val r = run(
+      """SELECT multiSearchFirstPosition(name, ['ro', 'li']) AS p,
+        |  multiSearchFirstIndex(name, ['ro', 'li']) AS i
+        |FROM custs ORDER BY cust""".stripMargin)
+    // alice: 'li' at 2 (index 2); bob: none; carol: 'ro' at 3 (index 1)
+    assert(r == Seq(Seq(2L, 2L), Seq(0L, 0L), Seq(3L, 1L)))
+  }
+
+  test("multiMatchAny / multiMatchAnyIndex over regex arrays") {
+    val r = run(
+      """SELECT multiMatchAny(name, ['^a', 'ol$']) AS m,
+        |  multiMatchAnyIndex(name, ['^a', 'ol$']) AS i
+        |FROM custs ORDER BY cust""".stripMargin)
+    assert(r == Seq(Seq(true, 1L), Seq(false, 0L), Seq(true, 2L)))
+  }
+
+  test("hasSubstr: contiguous array subsequence") {
+    val r = run(
+      """SELECT hasSubstr([1, 2, 3, 4], [2, 3]) AS yes,
+        |  hasSubstr([1, 2, 3, 4], [2, 4]) AS no,
+        |  hasSubstr([1, 2], []) AS empty""".stripMargin)
+    assert(r == Seq(Seq(true, false, true)))
+  }
+
+  test("ngramDistance: 0 for identical, 1 for disjoint, between otherwise") {
+    val r = run(
+      """SELECT ngramDistance('clickhouse', 'clickhouse') AS same,
+        |  ngramDistance('clickhouse', 'zzzzzzzz') AS far,
+        |  ngramDistance('clickhouse', 'clickhorse') AS near""".stripMargin)
+    val Seq(Seq(same: Double, far: Double, near: Double)) = r
+    assert(same == 0.0 && far == 1.0 && near > 0.0 && near < 1.0)
+  }
 }
