@@ -3439,6 +3439,18 @@ object Queries {
         |  CAST(round(kurtSamp(o_totalprice), 6) AS Float64) AS ku
         |FROM orders GROUP BY st ORDER BY st""".stripMargin)),
 
+    // SQL lambda UDFs (CREATE FUNCTION): parsed once, expanded at call
+    // sites into codegen'd expressions — the DuckDB twin inlines the
+    // equivalent CASE/arithmetic by hand. OR REPLACE keeps the entry
+    // idempotent across bench's repeated runs in one session.
+    "ch70_sql_create_function" -> ((s, dir) => chstmts(s, dir, Seq(
+      """CREATE OR REPLACE FUNCTION price_band AS (p) ->
+        |  multiIf(p < 50000, 'low', p < 150000, 'mid', 'high')""".stripMargin,
+      "CREATE OR REPLACE FUNCTION taxed AS (p, r) -> floor(p * (1 + r))",
+      """SELECT price_band(o_totalprice) AS band, count() AS n,
+        |  CAST(sum(taxed(o_totalprice, 0.1)) AS Int64) AS taxed_total
+        |FROM orders GROUP BY band ORDER BY band""".stripMargin))),
+
     // block-order navigation functions: neighbor/runningDifference are
     // rewritten onto the enclosing SELECT's ORDER BY (the deterministic
     // contract a distributed plan can honor); lagInFrame is the explicit
@@ -4124,6 +4136,13 @@ object Queries {
         |POSITIONAL JOIN
         |  (SELECT o_totalprice AS r FROM orders ORDER BY o_orderkey LIMIT 100)
         |ORDER BY k""".stripMargin,
+
+    "ch70_sql_create_function" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+        |    WHEN o_totalprice < 150000 THEN 'mid' ELSE 'high' END AS band,
+        |  count(*) AS n,
+        |  CAST(sum(floor(o_totalprice * (1 + 0.1))) AS BIGINT) AS taxed_total
+        |FROM orders GROUP BY band ORDER BY band""".stripMargin,
 
     "ch67_sql_navigation" ->
       """SELECT k, nxt, rd, lf FROM (

@@ -141,6 +141,20 @@ object ChDdl {
     "(?is)^KILL\\s+QUERY\\s+WHERE\\s+query_id\\s*=\\s*'([^']*)'\\s*$".r
   private val killMutationRe =
     "(?is)^KILL\\s+MUTATION\\s+WHERE\\s+(.+?)\\s*$".r
+  // createFunctionStmt / dropStmt FUNCTION alternative: SQL lambda UDFs
+  // (`CREATE FUNCTION f AS (a, b) -> a + b`) — see ChSql.sqlFuncs
+  private val createFuncRe =
+    ("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?FUNCTION\\s+" +
+      "(IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_]\\w*)\\s+AS\\s+(.+)$").r
+  private val dropFuncRe =
+    "(?is)^DROP\\s+FUNCTION\\s+(IF\\s+EXISTS\\s+)?([A-Za-z_]\\w*)\\s*$".r
+  private val showCreateFuncRe =
+    "(?is)^SHOW\\s+CREATE\\s+FUNCTION\\s+([A-Za-z_]\\w*)\\s*$".r
+  // exchangeStmt: `EXCHANGE TABLES a AND b` — atomic name swap
+  private val exchangeRe =
+    "(?is)^EXCHANGE\\s+TABLES\\s+([\\w.]+)\\s+AND\\s+([\\w.]+)\\s*$".r
+  private val renameDbRe =
+    "(?is)^RENAME\\s+DATABASE\\s+(\\w+)\\s+TO\\s+(\\w+)\\s*$".r
   private val systemRe = "(?is)^SYSTEM\\s+(\\w+(?:\\s+\\w+)*?)(?:\\s+'([^']*)')?\\s*$".r
   // showStmt family (ClickHouseParser.py:11994-13901): metadata, settings
   // and access introspection. Single-user engine — the access surfaces
@@ -454,6 +468,59 @@ object ChDdl {
         pairs.foreach { case (a, b) => spark.sql(s"ALTER TABLE $a RENAME TO $b") }
         Some(status(pairs.map { case (a, b) => s"renamed $a to $b" }.mkString("; ")))
 
+      case createFuncRe(orReplace, ifNot, name, bodyText) =>
+        // SQL lambda UDF: parse once, store the AST; ChSql.funcCall
+        // expands call sites at translation time (zero runtime UDFs)
+        val lower = name.toLowerCase(java.util.Locale.ROOT)
+        if (FunctionCatalog.names.contains(lower))
+          throw new IllegalArgumentException(
+            s"ChSql: CREATE FUNCTION $name: the name collides with a " +
+              "system function")
+        if (ChSql.sqlFuncs.contains(lower) && orReplace == null) {
+          if (ifNot != null) Some(status(s"function $name already exists"))
+          else throw new IllegalArgumentException(
+            s"ChSql: function $name already exists " +
+              "(use CREATE OR REPLACE FUNCTION)")
+        } else {
+          val (ps, body) = ChSql.parseFunctionBody(name, bodyText)
+          ChSql.sqlFuncs.put(lower, (ps, body, bodyText.trim))
+          Some(status(s"function $name created"))
+        }
+
+      case dropFuncRe(ifEx, name) =>
+        val lower = name.toLowerCase(java.util.Locale.ROOT)
+        if (ChSql.sqlFuncs.remove(lower).isDefined)
+          Some(status(s"function $name dropped"))
+        else if (ifEx != null)
+          Some(status(s"function $name does not exist (IF EXISTS)"))
+        else throw new IllegalArgumentException(
+          s"ChSql: DROP FUNCTION $name: no such function")
+
+      case showCreateFuncRe(name) =>
+        val (_, _, txt) = ChSql.sqlFuncs.getOrElse(
+          name.toLowerCase(java.util.Locale.ROOT),
+          throw new IllegalArgumentException(
+            s"ChSql: SHOW CREATE FUNCTION $name: no such function"))
+        Some(Seq(s"CREATE FUNCTION $name AS $txt").toDF("statement"))
+
+      case exchangeRe(a, b) =>
+        // EXCHANGE TABLES (exchangeStmt): both must exist; the swap is
+        // three catalog renames — metadata-only, no data jobs
+        Seq(a, b).foreach(t => require(spark.catalog.tableExists(t),
+          s"ChSql: EXCHANGE TABLES: $t does not exist"))
+        val tmp = s"${a}__xchg_tmp"
+        spark.sql(s"ALTER TABLE $a RENAME TO $tmp")
+        spark.sql(s"ALTER TABLE $b RENAME TO $a")
+        spark.sql(s"ALTER TABLE $tmp RENAME TO $b")
+        Some(status(s"exchanged $a and $b"))
+
+      case renameDbRe(a, b) =>
+        // refuse-or-implement, never silently no-op: the catalog cannot
+        // atomically re-home managed table locations across databases
+        throw new IllegalArgumentException(
+          s"ChSql: RENAME DATABASE is not supported — CREATE DATABASE $b " +
+            s"and RENAME TABLE each table out of $a instead")
+
       case useRe(db) =>
         spark.sql(s"USE $db")
         Some(status(s"using $db"))
@@ -518,8 +585,9 @@ object ChDdl {
         Some(Seq((row._1, row._2)).toDF("name", "value"))
 
       case showFunctionsRe(kwOrNull, patOrNull) =>
-        val df = FunctionCatalog.names
-          .map(n => (n, FunctionCatalog.isAggregate(n)))
+        val df = (FunctionCatalog.names
+          .map(n => (n, FunctionCatalog.isAggregate(n))) ++
+          ChSql.sqlFuncs.keys.toSeq.sorted.map(n => (n, false)))
           .toDF("name", "is_aggregate")
         Some(likeFilter(df, "name", Option(kwOrNull), Option(patOrNull)))
 

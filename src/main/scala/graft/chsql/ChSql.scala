@@ -1317,6 +1317,66 @@ object ChSql {
   private[chsql] val paramViews =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** SQL user-defined functions (createFunctionStmt — `CREATE FUNCTION
+    * name AS (params) -> expr`): executable lambda macros. The body is
+    * parsed ONCE at CREATE and expanded at translation time with the
+    * call's argument Columns bound to the parameter names — pure
+    * AST-to-Column substitution, zero runtime UDFs, so every expansion
+    * inlines into whole-stage codegen exactly like a built-in. Values:
+    * (params, body AST, original lambda text for SHOW CREATE).
+    * Session-scoped like CH. */
+  private[chsql] val sqlFuncs = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[String], Expr, String)]
+
+  /** Guard against mutually-recursive SQL functions (a→b→a after a
+    * redefinition slips past the create-time self-reference check). */
+  private val macroDepth = new ThreadLocal[Integer] {
+    override def initialValue: Integer = 0
+  }
+
+  /** Parse a `CREATE FUNCTION` body: a lambda `(a, b) -> expr` (or the
+    * unparenthesized single-parameter form `x -> expr`). Aggregates are
+    * rejected inside the body — CH SQL UDFs are row-scalar, and an
+    * aggregate would silently change the caller's query classification. */
+  private[chsql] def parseFunctionBody(name: String, text: String)
+      : (Seq[String], Expr) = {
+    val p = new P(lex(text))
+    val e = p.parseExpr()
+    if (!p.cur.equals(TEnd)) p.fail("trailing tokens after function body")
+    val (params, body) = e match {
+      case LambdaE(ps, b) => (ps, b)
+      case _ => throw new IllegalArgumentException(
+        "ChSql: CREATE FUNCTION body must be a lambda `(args) -> expr`")
+    }
+    def walk(x: Expr): Unit = x match {
+      case FuncCall(n, ps2, as2, _) =>
+        val l = n.toLowerCase
+        if (l == name.toLowerCase) throw new IllegalArgumentException(
+          s"ChSql: CREATE FUNCTION $name: recursive functions are not supported")
+        if (AggNames.contains(l)) throw new IllegalArgumentException(
+          s"ChSql: CREATE FUNCTION $name: aggregate function $n is not " +
+            "allowed in a SQL function body (row-scalar lambdas only)")
+        (ps2 ++ as2).foreach(walk)
+      case Bin(_, l2, r2) => walk(l2); walk(r2)
+      case Neg(x2) => walk(x2)
+      case NotE(x2) => walk(x2)
+      case IsNullE(x2, _) => walk(x2)
+      case InList(x2, is, _) => walk(x2); is.foreach(walk)
+      case BetweenE(x2, lo, hi, _) => walk(x2); walk(lo); walk(hi)
+      case CaseE(op, br, el) =>
+        op.foreach(walk); br.foreach { case (c, v) => walk(c); walk(v) }
+        el.foreach(walk)
+      case CastE(x2, _) => walk(x2)
+      case Idx(x2, i) => walk(x2); walk(i)
+      case ArrayLit(is) => is.foreach(walk)
+      case TupleLit(is) => is.foreach(walk)
+      case LambdaE(_, b) => walk(b)
+      case _ =>
+    }
+    walk(body)
+    (params, body)
+  }
+
   /** Does the parsed statement reference any `{name:Type}` parameter? */
   private def hasParams(op0: SetOp): Boolean = {
     var found = false
@@ -3601,6 +3661,22 @@ object ChSql {
                 s"ChSql: unknown function ${f.name}"))
           array().cast(org.apache.spark.sql.types.ArrayType(
             graft.model.ChTypes.toSpark(chName)))
+        case other if sqlFuncs.contains(other) =>
+          // SQL-function expansion: bind argument Columns to parameter
+          // names and translate the stored body — the same lambdaEnv
+          // channel HOF lambdas use, so nested calls and further macro
+          // references compose naturally
+          val (ps, body, _) = sqlFuncs(other)
+          if (f.args.size != ps.size) throw new IllegalArgumentException(
+            s"ChSql: function ${f.name} expects ${ps.size} argument(s), " +
+              s"got ${f.args.size}")
+          val d = macroDepth.get()
+          if (d > 64) throw new IllegalArgumentException(
+            s"ChSql: SQL function expansion too deep at ${f.name} " +
+              "(mutually recursive functions?)")
+          macroDepth.set(d + 1)
+          try translate(body, env ++ ps.zip(f.args.map(t)))
+          finally macroDepth.set(d)
         case other =>
           throw new IllegalArgumentException(s"ChSql: unknown function $other")
       }

@@ -1449,4 +1449,72 @@ class DdlSurfaceSpec extends AnyFunSuite {
       "CREATE TABLE db1.memq (k Int64) ENGINE = Memory"))
     assert(e.getMessage.contains("cannot be qualified"), e.getMessage)
   }
+
+  test("CREATE FUNCTION: lambda macros expand inline, compose, round-trip") {
+    chRun("CREATE FUNCTION add2 AS (a, b) -> a + b")
+    chRun("CREATE FUNCTION clamp01 AS x -> greatest(least(x, 1.0), 0.0)")
+    // nested macro reference — expansion composes through lambdaEnv
+    chRun("CREATE FUNCTION add3 AS (a, b, c) -> add2(add2(a, b), c)")
+    val r = chRun(
+      """SELECT add3(number, 10, 100) AS s, clamp01(number / 2.0) AS c
+        |FROM numbers(3) ORDER BY s""".stripMargin)
+    assert(r.map(_.getLong(0)) == Seq(110L, 111L, 112L))
+    assert(r.map(_.getDouble(1)) == Seq(0.0, 0.5, 1.0))
+    // SHOW FUNCTIONS lists them; SHOW CREATE round-trips the lambda text
+    val names = chRun("SHOW FUNCTIONS LIKE 'add%'").map(_.getString(0)).toSet
+    assert(Set("add2", "add3").subsetOf(names))
+    val created = chRun("SHOW CREATE FUNCTION add2").head.getString(0)
+    assert(created == "CREATE FUNCTION add2 AS (a, b) -> a + b")
+    // OR REPLACE redefines; plain CREATE on an existing name refuses
+    chRun("CREATE OR REPLACE FUNCTION add2 AS (a, b) -> a + b + 1000")
+    val r2 = chRun("SELECT add2(1, 2) AS v FROM numbers(1)")
+    assert(r2.head.getAs[Number](0).longValue == 1003L)
+    val eDup = intercept[IllegalArgumentException](chRun(
+      "CREATE FUNCTION add2 AS (a, b) -> a * b"))
+    assert(eDup.getMessage.contains("already exists"), eDup.getMessage)
+    // DROP removes; the call site then fails as unknown
+    chRun("DROP FUNCTION add3")
+    val eGone = intercept[IllegalArgumentException](chRun(
+      "SELECT add3(1, 2, 3) FROM numbers(1)"))
+    assert(eGone.getMessage.contains("unknown function"), eGone.getMessage)
+    chRun("DROP FUNCTION IF EXISTS add3") // honest no-op
+    chRun("DROP FUNCTION add2"); chRun("DROP FUNCTION clamp01")
+  }
+
+  test("CREATE FUNCTION refusals: builtin shadow, aggregate body, recursion, arity") {
+    val eShadow = intercept[IllegalArgumentException](chRun(
+      "CREATE FUNCTION sum AS (x) -> x"))
+    assert(eShadow.getMessage.contains("system function"), eShadow.getMessage)
+    val eAgg = intercept[IllegalArgumentException](chRun(
+      "CREATE FUNCTION badagg AS (x) -> sum(x) + 1"))
+    assert(eAgg.getMessage.contains("aggregate"), eAgg.getMessage)
+    val eRec = intercept[IllegalArgumentException](chRun(
+      "CREATE FUNCTION selfref AS (x) -> selfref(x - 1)"))
+    assert(eRec.getMessage.contains("recursive"), eRec.getMessage)
+    chRun("CREATE FUNCTION one_arg AS (x) -> x * 2")
+    val eArity = intercept[IllegalArgumentException](chRun(
+      "SELECT one_arg(1, 2) FROM numbers(1)"))
+    assert(eArity.getMessage.contains("expects 1 argument"), eArity.getMessage)
+    chRun("DROP FUNCTION one_arg")
+  }
+
+  test("EXCHANGE TABLES swaps two tables' contents atomically") {
+    chRun("CREATE TABLE xchg_a (k Int64) ENGINE = MergeTree ORDER BY k")
+    chRun("CREATE TABLE xchg_b (k Int64) ENGINE = MergeTree ORDER BY k")
+    chRun("INSERT INTO xchg_a VALUES (1)")
+    chRun("INSERT INTO xchg_b VALUES (2), (3)")
+    chRun("EXCHANGE TABLES xchg_a AND xchg_b")
+    assert(chRun("SELECT count() AS n FROM xchg_a").head.getLong(0) == 2L)
+    assert(chRun("SELECT count() AS n FROM xchg_b").head.getLong(0) == 1L)
+    val eMissing = intercept[IllegalArgumentException](chRun(
+      "EXCHANGE TABLES xchg_a AND xchg_nope"))
+    assert(eMissing.getMessage.contains("does not exist"), eMissing.getMessage)
+    chRun("DROP TABLE xchg_a"); chRun("DROP TABLE xchg_b")
+  }
+
+  test("RENAME DATABASE refuses honestly") {
+    val e = intercept[IllegalArgumentException](chRun(
+      "RENAME DATABASE db_from TO db_to"))
+    assert(e.getMessage.contains("not supported"), e.getMessage)
+  }
 }
