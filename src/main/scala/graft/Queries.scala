@@ -3439,6 +3439,20 @@ object Queries {
         |  CAST(round(kurtSamp(o_totalprice), 6) AS Float64) AS ku
         |FROM orders GROUP BY st ORDER BY st""".stripMargin)),
 
+    // regression / tuple / heavy-hitter aggregates: least-squares via the
+    // covariance algebra (one partial+final pass), sumCount tuple,
+    // anyHeavy as deterministic mode, uniqTheta on the exact tier — the
+    // DuckDB twin uses regr_slope/regr_intercept and a windowed mode
+    "ch71_sql_regression" -> ((s, dir) => chsql(s, dir,
+      """SELECT o_orderstatus AS st,
+        |  round(simpleLinearRegression(o_orderkey, o_totalprice).1, 6) AS k,
+        |  round(simpleLinearRegression(o_orderkey, o_totalprice).2, 4) AS b,
+        |  CAST(round(sumCount(o_totalprice).1, 2) AS Float64) AS s,
+        |  sumCount(o_totalprice).2 AS c,
+        |  anyHeavy(o_orderpriority) AS hv,
+        |  uniqTheta(o_custkey) AS u
+        |FROM orders GROUP BY st ORDER BY st""".stripMargin)),
+
     // SQL lambda UDFs (CREATE FUNCTION): parsed once, expanded at call
     // sites into codegen'd expressions — the DuckDB twin inlines the
     // equivalent CASE/arithmetic by hand. OR REPLACE keeps the entry
@@ -4136,6 +4150,22 @@ object Queries {
         |POSITIONAL JOIN
         |  (SELECT o_totalprice AS r FROM orders ORDER BY o_orderkey LIMIT 100)
         |ORDER BY k""".stripMargin,
+
+    "ch71_sql_regression" ->
+      """WITH f AS (SELECT o_orderstatus AS st, o_orderpriority AS p,
+        |    count(*) AS c FROM orders GROUP BY st, p),
+        |  hv AS (SELECT st, p AS hv FROM
+        |    (SELECT st, p, row_number() OVER (PARTITION BY st
+        |       ORDER BY c DESC, p) AS rn FROM f) WHERE rn = 1)
+        |SELECT a.st AS st, k, b, s, c, hv.hv AS hv, u FROM (
+        |  SELECT o_orderstatus AS st,
+        |    round(regr_slope(o_totalprice, o_orderkey), 6) AS k,
+        |    round(regr_intercept(o_totalprice, o_orderkey), 4) AS b,
+        |    CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS s,
+        |    count(o_totalprice) AS c,
+        |    count(DISTINCT o_custkey) AS u
+        |  FROM orders GROUP BY st) a JOIN hv ON a.st = hv.st
+        |ORDER BY st""".stripMargin,
 
     "ch70_sql_create_function" ->
       """SELECT CASE WHEN o_totalprice < 50000 THEN 'low'

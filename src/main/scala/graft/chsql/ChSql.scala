@@ -1156,13 +1156,17 @@ object ChSql {
     "sumarray", "minarray", "maxarray", "avgarray", "countarray",
     "uniqarray", "grouparrayarray", "quantiletiming", "quantilestiming",
     "quantiletdigest", "quantilestdigest", "quantilebfloat16",
-    "singlevalueornull", "boundingratio", "entropy", "skewsamp", "kurtsamp")
+    "singlevalueornull", "boundingratio", "entropy", "skewsamp", "kurtsamp",
+    "uniqtheta", "sumkahan", "sumcount", "anyheavy",
+    "simplelinearregression", "corrstable", "covarpopstable",
+    "covarsampstable")
 
   // aggregates that return 0 (not NULL) over an empty group — the set the
   // -OrNull combinator must map 0 → NULL for
   private val CountLikeAggs: Set[String] = Set(
     "count", "countif", "countdistinct", "uniq", "uniqexact",
-    "uniqcombined", "uniqhll12", "countarray", "uniqarray", "groupbitmap")
+    "uniqcombined", "uniqhll12", "uniqtheta", "countarray", "uniqarray",
+    "groupbitmap")
 
   // combinator suffixes strip recursively (CH chains them: sumIfOrNull,
   // countDistinctForEach, ...); each entry is (suffix, its length)
@@ -2853,6 +2857,29 @@ object ChSql {
         // HLL tiers stay available through the DataFrame API)
         case "uniq" | "uniqexact" | "uniqcombined" | "uniqhll12" =>
           countDistinct(a(0), f.args.tail.map(t): _*)
+        case "uniqtheta" => countDistinct(a(0), f.args.tail.map(t): _*)
+        // Kahan-compensated sum: Spark's partial aggregation already
+        // accumulates per-partition partials (the error profile CH's
+        // compensation targets); the honest twin is plain sum
+        case "sumkahan" => sum(a(0))
+        // sumCount(x) → (sum, count) tuple — col1/col2 like tuple()
+        case "sumcount" =>
+          struct(sum(a(0)).as("col1"), count(a(0)).as("col2"))
+        // anyHeavy is CH's heavy-hitter sketch (approximate mode); the
+        // deterministic twin is mode with lowest-value tie-break
+        case "anyheavy" => mode(a(0), deterministic = true)
+        // simpleLinearRegression(x, y) → (k, b) least-squares tuple via
+        // the covariance algebra — one partial+final pass, no sort.
+        // try_divide: a degenerate group (constant x) yields NULL slope
+        // instead of an ANSI error
+        case "simplelinearregression" =>
+          val k = try_divide(covar_pop(a(0), a(1)), var_pop(a(0)))
+          struct(k.as("col1"), (avg(a(1)) - k * avg(a(0))).as("col2"))
+        // numerically-stable variants: Spark's two-pass-free streaming
+        // moments are already the stable formulation
+        case "corrstable" => corr(a(0), a(1))
+        case "covarpopstable" => covar_pop(a(0), a(1))
+        case "covarsampstable" => covar_samp(a(0), a(1))
         case "grouparray" =>
           val base = if (f.distinct) collect_set(a(0)) else collect_list(a(0))
           // parametric groupArray(n)(x): keep at most n elements

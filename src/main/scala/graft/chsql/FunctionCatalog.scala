@@ -72,7 +72,9 @@ object FunctionCatalog {
     "replaceregexpall", "retention", "reverse", "rightpad", "round",
     "roundbankers", "row_number", "rownumber", "rpad", "sequencecount",
     "right", "rightutf8", "sequencematch", "simplejsonextractfloat", "simplejsonextractint",
-    "simplejsonextractstring", "sha256", "sign", "sin", "singlevalueornull",
+    "simplejsonextractstring", "simplelinearregression", "sha256", "sign",
+    "sin", "singlevalueornull", "sumcount", "sumkahan", "anyheavy",
+    "uniqtheta", "corrstable", "covarpopstable", "covarsampstable",
     "sinh", "siphash64", "boundingratio", "entropy", "skewsamp", "kurtsamp",
     "skewpop", "soundex", "splitbychar", "splitbystring", "sqrt",
     "startswith", "stddevpop", "stddevsamp", "substr", "substring",

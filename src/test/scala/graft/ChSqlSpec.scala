@@ -1256,6 +1256,28 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r == Seq(Seq(true, false, true)))
   }
 
+  test("simpleLinearRegression / sumCount / anyHeavy / uniqTheta aggregates") {
+    val r = run(
+      """SELECT status,
+        |  round(simpleLinearRegression(okey, price).1, 4) AS k,
+        |  round(simpleLinearRegression(okey, price).2, 4) AS b,
+        |  sumCount(price).1 AS s, sumCount(price).2 AS c,
+        |  anyHeavy(cust) AS hv, uniqTheta(cust) AS u
+        |FROM orders GROUP BY status ORDER BY status""".stripMargin)
+    // status A: okey (1,3,4,6), price (100,50,75,120) — slope/intercept
+    // from the least-squares algebra; anyHeavy ties (10,20,20,30) → 20
+    val a = r.head
+    assert(a.head == "A" && a(3) == 345.0 && a(4) == 4L && a(6) == 3L)
+    assert(a(5) == 20L) // deterministic lowest-value tie-break at max freq
+    val xs = Seq(1.0, 3.0, 4.0, 6.0); val ys = Seq(100.0, 50.0, 75.0, 120.0)
+    val mx = xs.sum / 4; val my = ys.sum / 4
+    val kk = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+      xs.map(x => (x - mx) * (x - mx)).sum
+    assert(a(1) == BigDecimal(kk).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(a(2) == BigDecimal(my - kk * mx).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("ngramDistance: 0 for identical, 1 for disjoint, between otherwise") {
     val r = run(
       """SELECT ngramDistance('clickhouse', 'clickhouse') AS same,
