@@ -3439,6 +3439,25 @@ object Queries {
         |  CAST(round(kurtSamp(o_totalprice), 6) AS Float64) AS ku
         |FROM orders GROUP BY st ORDER BY st""".stripMargin)),
 
+    // geohash + pointInPolygon: the round-trip identity decode(encode(p))
+    // ≈ p pins the bisection cross-engine (a precision-12 cell is ~2e-7
+    // wide, far inside round-5), and the square polygon has an exact
+    // BETWEEN twin; cell strings themselves are pinned by the ezs42
+    // ChSqlSpec vector
+    "ch72_sql_geohash" -> ((s, dir) => chsql(s, dir,
+      """SELECT k,
+        |  round(geohashDecode(geohashEncode(lon, lat, 12)).1, 5) AS rlon,
+        |  round(geohashDecode(geohashEncode(lon, lat, 12)).2, 5) AS rlat,
+        |  pointInPolygon((px, py),
+        |    [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]) AS pip
+        |FROM (SELECT c_custkey AS k,
+        |    (c_custkey % 360) - 180 + 0.21 AS lon,
+        |    (c_custkey % 170) - 85 + 0.37 AS lat,
+        |    (c_custkey % 23) * 0.61 + 0.005 AS px,
+        |    (c_custkey % 19) * 0.83 + 0.005 AS py
+        |  FROM customer WHERE c_custkey <= 300)
+        |ORDER BY k""".stripMargin)),
+
     // regression / tuple / heavy-hitter aggregates: least-squares via the
     // covariance algebra (one partial+final pass), sumCount tuple,
     // anyHeavy as deterministic mode, uniqTheta on the exact tier — the
@@ -4149,6 +4168,17 @@ object Queries {
         |  (SELECT o_orderkey AS k FROM orders ORDER BY o_orderkey LIMIT 100)
         |POSITIONAL JOIN
         |  (SELECT o_totalprice AS r FROM orders ORDER BY o_orderkey LIMIT 100)
+        |ORDER BY k""".stripMargin,
+
+    "ch72_sql_geohash" ->
+      """SELECT k, round(lon, 5) AS rlon, round(lat, 5) AS rlat,
+        |  (px < 10 AND py < 10) AS pip
+        |FROM (SELECT c_custkey AS k,
+        |    (c_custkey % 360) - 180 + 0.21 AS lon,
+        |    (c_custkey % 170) - 85 + 0.37 AS lat,
+        |    (c_custkey % 23) * 0.61 + 0.005 AS px,
+        |    (c_custkey % 19) * 0.83 + 0.005 AS py
+        |  FROM customer WHERE c_custkey <= 300)
         |ORDER BY k""".stripMargin,
 
     "ch71_sql_regression" ->

@@ -3043,6 +3043,29 @@ object ChSql {
           val centralAngle = asin(sqrt(half)) * 2
           if (nm == "greatcircleangle") degrees(centralAngle)
           else centralAngle * lit(6371000.0)
+        // geohash: codegen'd native interval-bisection (standard public
+        // base32 algorithm); decode returns the cell-center (lon, lat)
+        // tuple addressable as .1/.2
+        case "geohashencode" =>
+          val prec = f.args.lift(2).map(intArg).getOrElse(12)
+          graft.plans.NativeExpressions.geohash_encode(
+            a(0).cast("double"), a(1).cast("double"), prec)
+        case "geohashdecode" =>
+          graft.plans.NativeExpressions.geohash_decode(a(0))
+        // pointInPolygon((x, y), [(x1, y1), ...]): ray casting over the
+        // vertex arrays — row-local codegen'd loop, no join
+        case "pointinpolygon" =>
+          val (px, py) = f.args.head match {
+            case TupleLit(Seq(xe, ye)) => (t(xe), t(ye))
+            case other =>
+              val c = t(other)
+              (c.getField("col1"), c.getField("col2"))
+          }
+          val poly = a(1)
+          graft.plans.NativeExpressions.point_in_polygon(
+            px.cast("double"), py.cast("double"),
+            transform(poly, v => v.getField("col1").cast("double")),
+            transform(poly, v => v.getField("col2").cast("double")))
 
         // ---- bitmap family: a bitmap is its sorted distinct value
         // array (typed, parquet-storable; CH's roaring bitmap is a

@@ -44,7 +44,8 @@ object FunctionCatalog {
     "first_value", "flatten", "floor", "formatdatetime",
     "formatreadablequantity", "formatreadablesize", "frombase64",
     "frommodifiedjulianday", "fromunixtimestamp", "generateuuidv4",
-    "geodistance", "greatcircleangle", "greatcircledistance",
+    "geodistance", "geohashdecode", "geohashencode", "greatcircleangle",
+    "greatcircledistance", "pointinpolygon",
     "greatest", "grouparray", "grouparrayarray",
     "groupbitand", "groupbitmap", "groupbitor", "groupbitxor",
     "groupuniqarray", "has",

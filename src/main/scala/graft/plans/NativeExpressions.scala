@@ -758,6 +758,135 @@ object NativeExpressions {
   def range_first(arr: Column, point: Column): Column =
     ColumnBridge.column(RangeFirst(
       ColumnBridge.expression(arr), ColumnBridge.expression(point)))
+
+  // ---- geo: geohash + point-in-polygon ----
+
+  /** Standard geohash base32 alphabet (public algorithm: interleaved
+    * lon/lat interval bisection, 5 bits per character). */
+  private val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  def geohashEncodeCompute(lon: Double, lat: Double, precision: Int): UTF8String = {
+    val p = math.max(1, math.min(12, precision))
+    val sb = new java.lang.StringBuilder(p)
+    var latLo = -90.0; var latHi = 90.0
+    var lonLo = -180.0; var lonHi = 180.0
+    var isLon = true; var bits = 0; var ch = 0
+    while (sb.length < p) {
+      if (isLon) {
+        val mid = (lonLo + lonHi) / 2
+        if (lon >= mid) { ch = (ch << 1) | 1; lonLo = mid }
+        else { ch = ch << 1; lonHi = mid }
+      } else {
+        val mid = (latLo + latHi) / 2
+        if (lat >= mid) { ch = (ch << 1) | 1; latLo = mid }
+        else { ch = ch << 1; latHi = mid }
+      }
+      isLon = !isLon; bits += 1
+      if (bits == 5) { sb.append(GeohashAlphabet.charAt(ch)); bits = 0; ch = 0 }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Decode to the cell-center (lon, lat) tuple — CH geohashDecode. */
+  def geohashDecodeCompute(h: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    var latLo = -90.0; var latHi = 90.0
+    var lonLo = -180.0; var lonHi = 180.0
+    var isLon = true
+    val s = h.toString.toLowerCase(java.util.Locale.ROOT)
+    var i = 0
+    while (i < s.length) {
+      val idx = GeohashAlphabet.indexOf(s.charAt(i))
+      if (idx < 0) throw new IllegalArgumentException(
+        s"geohashDecode: invalid character '${s.charAt(i)}'")
+      var b = 4
+      while (b >= 0) {
+        val bit = (idx >> b) & 1
+        if (isLon) {
+          val mid = (lonLo + lonHi) / 2
+          if (bit == 1) lonLo = mid else lonHi = mid
+        } else {
+          val mid = (latLo + latHi) / 2
+          if (bit == 1) latLo = mid else latHi = mid
+        }
+        isLon = !isLon; b -= 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any]((lonLo + lonHi) / 2, (latLo + latHi) / 2))
+  }
+
+  /** Ray-casting point-in-polygon over parallel vertex arrays — the
+    * even-odd rule, one tight loop per row. */
+  def pointInPolygonCompute(x: Double, y: Double,
+      xs: ArrayData, ys: ArrayData): Boolean = {
+    val n = xs.numElements()
+    var inside = false
+    var i = 0; var j = n - 1
+    while (i < n) {
+      val xi = xs.getDouble(i); val yi = ys.getDouble(i)
+      val xj = xs.getDouble(j); val yj = ys.getDouble(j)
+      if (((yi > y) != (yj > y)) &&
+          (x < (xj - xi) * (y - yi) / (yj - yi) + xi)) inside = !inside
+      j = i; i += 1
+    }
+    inside
+  }
+
+  case class GeohashEncode(left: Expression, right: Expression, precision: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.StringType
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      geohashEncodeCompute(a.asInstanceOf[Double], b.asInstanceOf[Double],
+        precision)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.plans.NativeExpressions.geohashEncodeCompute($a, $b, $precision)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): GeohashEncode =
+      copy(left = newLeft, right = newRight)
+  }
+
+  case class GeohashDecode(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("col1", DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("col2", DoubleType, nullable = false)))
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(input: Any): Any =
+      geohashDecodeCompute(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.NativeExpressions.geohashDecodeCompute($c)")
+    override protected def withNewChildInternal(newChild: Expression): GeohashDecode =
+      copy(child = newChild)
+  }
+
+  case class PointInPolygon(first: Expression, second: Expression,
+      third: Expression, fourth: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+      pointInPolygonCompute(a.asInstanceOf[Double], b.asInstanceOf[Double],
+        c.asInstanceOf[ArrayData], d.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b, c, d) =>
+        s"graft.plans.NativeExpressions.pointInPolygonCompute($a, $b, $c, $d)")
+    override protected def withNewChildrenInternal(f: Expression, s: Expression,
+        t: Expression, q: Expression): PointInPolygon =
+      copy(first = f, second = s, third = t, fourth = q)
+  }
+
+  def geohash_encode(lon: Column, lat: Column, precision: Int): Column =
+    ColumnBridge.column(GeohashEncode(
+      ColumnBridge.expression(lon), ColumnBridge.expression(lat), precision))
+  def geohash_decode(h: Column): Column =
+    ColumnBridge.column(GeohashDecode(ColumnBridge.expression(h)))
+  def point_in_polygon(x: Column, y: Column, xs: Column, ys: Column): Column =
+    ColumnBridge.column(PointInPolygon(
+      ColumnBridge.expression(x), ColumnBridge.expression(y),
+      ColumnBridge.expression(xs), ColumnBridge.expression(ys)))
 }
 
 /** IVF codebook as plain JVM arrays (top-level class so generated Java can

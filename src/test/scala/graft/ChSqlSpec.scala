@@ -1278,6 +1278,18 @@ class ChSqlSpec extends AnyFunSuite {
       BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("geohashEncode/Decode round-trip and pointInPolygon ray casting") {
+    val r = run(
+      """SELECT geohashEncode(-5.6, 42.6, 5) AS gh,
+        |  round(geohashDecode('ezs42').1, 6) AS lon,
+        |  round(geohashDecode('ezs42').2, 6) AS lat,
+        |  pointInPolygon((3.0, 3.0),
+        |    [(6.0, 0.0), (8.0, 4.0), (5.0, 8.0), (0.0, 2.0)]) AS pin,
+        |  pointInPolygon((20.0, 3.0),
+        |    [(6.0, 0.0), (8.0, 4.0), (5.0, 8.0), (0.0, 2.0)]) AS pout""".stripMargin)
+    assert(r == Seq(Seq("ezs42", -5.603027, 42.60498, true, false)))
+  }
+
   test("ngramDistance: 0 for identical, 1 for disjoint, between otherwise") {
     val r = run(
       """SELECT ngramDistance('clickhouse', 'clickhouse') AS same,
