@@ -3439,6 +3439,36 @@ object Queries {
         |  CAST(round(kurtSamp(o_totalprice), 6) AS Float64) AS ku
         |FROM orders GROUP BY st ORDER BY st""".stripMargin)),
 
+    // array scan family (arrayFill/arraySplit/arrayAUC) + date extras
+    // (dateName/toISOYear/toYearWeek/timeSlot) — array results
+    // stringified (the comparer has no array contract); the DuckDB twin
+    // hand-unrolls fill/split over the fixed 5-slot shape and replays
+    // the pairwise AUC with list lambdas
+    "ch73_sql_array_scan" -> ((s, dir) => chsql(s, dir,
+      """SELECT k,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    arrayFill(x -> x != 0, arr)), ',') AS af,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    arrayReverseFill(x -> x != 0, arr)), ',') AS arf,
+        |  arrayStringConcat(arrayMap(g -> arrayStringConcat(
+        |    arrayMap(x -> toString(x), g), ','),
+        |    arraySplit(x -> x = 0, arr)), ';') AS asp,
+        |  round(arrayAUC(scores, labels), 6) AS auc,
+        |  dateName('month', d) AS mn,
+        |  CAST(toISOYear(d) AS Int64) AS iy,
+        |  CAST(toYearWeek(d) AS Int64) AS yw,
+        |  toString(timeSlot(dt)) AS tslot
+        |FROM (SELECT o_orderkey AS k,
+        |    [o_orderkey % 7 + 1, 0, o_orderkey % 5 + 1, 0,
+        |     o_orderkey % 3 + 1] AS arr,
+        |    [0.1 * (o_orderkey % 10), 0.3, 0.5 * (o_orderkey % 3), 0.7]
+        |      AS scores,
+        |    [1, 0, o_orderkey % 2, 1 - o_orderkey % 2] AS labels,
+        |    o_orderdate AS d,
+        |    addSeconds(o_orderdate, o_orderkey % 5400) AS dt
+        |  FROM orders WHERE o_orderkey <= 500)
+        |ORDER BY k""".stripMargin)),
+
     // geohash + pointInPolygon: the round-trip identity decode(encode(p))
     // ≈ p pins the bisection cross-engine (a precision-12 cell is ~2e-7
     // wide, far inside round-5), and the square polygon has an exact
@@ -4168,6 +4198,44 @@ object Queries {
         |  (SELECT o_orderkey AS k FROM orders ORDER BY o_orderkey LIMIT 100)
         |POSITIONAL JOIN
         |  (SELECT o_totalprice AS r FROM orders ORDER BY o_orderkey LIMIT 100)
+        |ORDER BY k""".stripMargin,
+
+    "ch73_sql_array_scan" ->
+      """SELECT k,
+        |  concat_ws(',', b1, b1, CASE WHEN b3<>0 THEN b3 ELSE b1 END,
+        |    CASE WHEN b3<>0 THEN b3 ELSE b1 END, b5) AS af,
+        |  concat_ws(',', CASE WHEN b1<>0 THEN b1 ELSE b3 END, b3, b3, b5, b5) AS arf,
+        |  concat_ws(';', b1, concat_ws(',', 0, b3), concat_ws(',', 0, b5)) AS asp,
+        |  round(CASE WHEN len(neg) = 0 OR len(pos) = 0 THEN NULL ELSE
+        |    list_sum(list_transform(pos, p -> list_sum(list_transform(neg,
+        |      q2 -> CASE WHEN p > q2 THEN 1.0 WHEN p = q2 THEN 0.5
+        |        ELSE 0.0 END))))
+        |    / (len(pos) * len(neg)) END, 6) AS auc,
+        |  monthname(d) AS mn,
+        |  CAST(isoyear(d) AS BIGINT) AS iy,
+        |  CAST(isoyear(d) * 100 + isowk AS BIGINT) AS yw,
+        |  strftime(dt - (CAST(epoch(dt) AS BIGINT) % 1800) * INTERVAL 1 SECOND,
+        |    '%Y-%m-%d %H:%M:%S') AS tslot
+        |FROM (
+        |  SELECT k, b1, b3, b5, d, dt,
+        |    CAST(weekofyear(d) AS BIGINT) AS isowk,
+        |    list_filter(list_transform(generate_series(1, 4),
+        |      i -> CASE WHEN labels[i] <> 0 THEN scores[i] END),
+        |      x -> x IS NOT NULL) AS pos,
+        |    list_filter(list_transform(generate_series(1, 4),
+        |      i -> CASE WHEN labels[i] = 0 THEN scores[i] END),
+        |      x -> x IS NOT NULL) AS neg
+        |  FROM (
+        |    SELECT o_orderkey AS k,
+        |      o_orderkey % 7 + 1 AS b1, o_orderkey % 5 + 1 AS b3,
+        |      o_orderkey % 3 + 1 AS b5,
+        |      [0.1::DOUBLE * (o_orderkey % 10), 0.3::DOUBLE,
+        |       0.5::DOUBLE * (o_orderkey % 3), 0.7::DOUBLE] AS scores,
+        |      [1, 0, CAST(o_orderkey % 2 AS INT),
+        |       CAST(1 - o_orderkey % 2 AS INT)] AS labels,
+        |      o_orderdate AS d,
+        |      o_orderdate + (o_orderkey % 5400) * INTERVAL 1 SECOND AS dt
+        |    FROM orders WHERE o_orderkey <= 500))
         |ORDER BY k""".stripMargin,
 
     "ch72_sql_geohash" ->

@@ -3521,6 +3521,48 @@ object ChSql {
           date_trunc(litStr("dateTrunc", f.args.head), a(1))
         case "tolastdayofmonth" => last_day(a(0))
         case "toisoweek" => weekofyear(a(0))
+        case "toisoyear" =>
+          call_function("date_part", lit("YEAROFWEEK"), a(0))
+        // toYearWeek on the ISO calendar (isoyear*100 + isoweek) — CH's
+        // default mode 0 counts Sunday-start weeks; the ISO form is the
+        // deterministic cross-engine contract (documented divergence)
+        case "toyearweek" =>
+          call_function("date_part", lit("YEAROFWEEK"), a(0)) * 100 +
+            weekofyear(a(0))
+        // timeSlot: floor to the half-hour grid; timeSlots(start, dur
+        // [, size]): every slot start covered by [start, start+dur]
+        case "timeslot" =>
+          (floor(a(0).cast("timestamp").cast(LongType) / 1800) * 1800)
+            .cast("timestamp")
+        case "timeslots" =>
+          val sz = f.args.lift(2).map(e => t(e).cast(LongType))
+            .getOrElse(lit(1800L))
+          val st = a(0).cast("timestamp").cast(LongType)
+          val en = st + a(1).cast(LongType)
+          transform(
+            sequence(floor(st / sz).cast(LongType) * sz,
+              floor(en / sz).cast(LongType) * sz, sz),
+            x => x.cast("timestamp"))
+        case "monthname" => date_format(a(0), "MMMM")
+        case "datename" =>
+          // unit → builder map (not a match: the FunctionCatalog drift
+          // test extracts quoted case literals from this region)
+          val d = a(1)
+          val units = Map[String, () => Column](
+            "year" -> (() => year(d).cast("string")),
+            "quarter" -> (() => quarter(d).cast("string")),
+            "month" -> (() => date_format(d, "MMMM")),
+            "week" -> (() => weekofyear(d).cast("string")),
+            "day" -> (() => dayofmonth(d).cast("string")),
+            "dayofmonth" -> (() => dayofmonth(d).cast("string")),
+            "weekday" -> (() => date_format(d, "EEEE")),
+            "dayofyear" -> (() => dayofyear(d).cast("string")),
+            "hour" -> (() => hour(d).cast("string")),
+            "minute" -> (() => minute(d).cast("string")),
+            "second" -> (() => second(d).cast("string")))
+          val u = litStr("dateName", f.args.head).toLowerCase
+          units.getOrElse(u, throw new IllegalArgumentException(
+            s"ChSql: dateName: unsupported unit '$u'"))()
 
         // ---- decimal conversions (scale from the second argument) ----
         case "todecimal32" => a(0).cast(DecimalType(9, intArg(f.args(1))))
@@ -3643,6 +3685,65 @@ object ChSql {
         case "arraydifference" => graft.operators.ChOps.arrayDifference(a(0))
         case "arraycumsum" => graft.operators.ChOps.arrayCumSum(a(0))
         case "arraycompact" => graft.operators.ChOps.arrayCompact(a(0))
+        // arrayFill/arrayReverseFill: carry the last element that
+        // satisfied the predicate over the ones that don't — an O(n)
+        // left fold; slice(arr, 1, 0) is the TYPED empty accumulator
+        case "arrayfill" | "arrayreversefill" =>
+          val (lam0, arrE) = f.args.head match {
+            case l: LambdaE => (l, f.args(1))
+            case _ => (f.args(1).asInstanceOf[LambdaE], f.args.head)
+          }
+          def lam(c: Column): Column =
+            translate(lam0.body, env + (lam0.params.head -> c)).cast("boolean")
+          val fwd = nm == "arrayfill"
+          val arr0 = t(arrE)
+          val arrIn = if (fwd) arr0 else reverse(arr0)
+          val filled = aggregate(arrIn, slice(arrIn, lit(1), lit(0)),
+            (acc, x) => when(lam(x) || size(acc) === 0,
+              concat(acc, array(x)))
+              .otherwise(concat(acc, array(element_at(acc, -1)))))
+          if (fwd) filled else reverse(filled)
+        // arraySplit/arrayReverseSplit: cut before (resp. after) each
+        // element the predicate marks; group id = predicate-true count in
+        // the prefix, elements grouped by it (positions are 1-based)
+        case "arraysplit" | "arrayreversesplit" =>
+          val (lam0, arrE) = f.args.head match {
+            case l: LambdaE => (l, f.args(1))
+            case _ => (f.args(1).asInstanceOf[LambdaE], f.args.head)
+          }
+          def lam(c: Column): Column =
+            translate(lam0.body, env + (lam0.params.head -> c)).cast("boolean")
+          val arr = t(arrE)
+          val before = nm == "arraysplit"
+          // gid(i): true-count over positions 2..i (split-before) or
+          // 1..i-1 (split-after) — both monotone, so last gid = max
+          def gid(i: Column): Column = {
+            val pre = if (before) slice(arr, lit(2), i - 1)
+            else slice(arr, lit(1), i - 1)
+            size(filter(pre, e => lam(e)))
+          }
+          val gids = transform(sequence(lit(1), size(arr)), i => gid(i))
+          val emptyOuter = slice(array(arr), lit(1), lit(0))
+          when(size(arr) === 0, emptyOuter).otherwise(
+            transform(sequence(lit(0), element_at(gids, -1)), g =>
+              filter(transform(sequence(lit(1), size(arr)),
+                i => when(element_at(gids, i) === g, element_at(arr, i))),
+                x => x.isNotNull)))
+        // arrayAUC(scores, labels): exact pairwise formulation with
+        // half-weight ties — NULL when a class is absent
+        case "arrayauc" =>
+          val s0 = a(0); val lb = a(1)
+          val pos = filter(transform(sequence(lit(1), size(s0)), i =>
+            when(element_at(lb, i) =!= 0, element_at(s0, i))),
+            x => x.isNotNull)
+          val neg = filter(transform(sequence(lit(1), size(s0)), i =>
+            when(element_at(lb, i) === 0, element_at(s0, i))),
+            x => x.isNotNull)
+          val num = aggregate(pos, lit(0.0), (acc, p) =>
+            acc + aggregate(neg, lit(0.0), (a2, q) =>
+              a2 + when(p > q, 1.0).when(p === q, 0.5).otherwise(0.0)))
+          when(size(s0) === 0, lit(null).cast("double")).otherwise(
+            try_divide(num, size(pos).cast("double") * size(neg)))
         case "arrayflatten" | "flatten" => flatten(a(0))
         case "arraymin" => array_min(a(0))
         case "arraymax" => array_max(a(0))

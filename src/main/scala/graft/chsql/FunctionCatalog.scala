@@ -19,6 +19,8 @@ object FunctionCatalog {
     "argmax", "argmin", "array", "arrayall", "arrayavg", "arraycompact",
     "arrayconcat", "arraycount", "arraycumsum", "arraydifference",
     "arraydistinct", "arrayelement", "arrayenumerate", "arrayexists",
+    "arrayfill", "arrayreversefill", "arraysplit", "arrayreversesplit",
+    "arrayauc",
     "arrayfilter", "arrayfirst", "arrayflatten", "arrayintersect",
     "arraylast", "arraymap", "arraymax", "arraymin", "arraypopback",
     "arraypopfront", "arraypushback", "arraypushfront", "arrayreverse",
@@ -86,7 +88,8 @@ object FunctionCatalog {
     "tanh", "tobase64", "todate", "todatetime", "today", "todayofmonth",
     "todayofweek", "todayofyear", "todecimal128", "todecimal32",
     "todecimal64", "tofloat32", "tofloat64", "tohour", "toint16",
-    "toint32", "toint64", "toint8", "toisoweek", "tolastdayofmonth",
+    "toint32", "toint64", "toint8", "toisoweek", "toisoyear", "toyearweek", "tolastdayofmonth",
+    "timeslot", "timeslots", "monthname", "datename",
     "tominute", "tomonday", "tomonth", "topk", "toquarter", "tosecond",
     "todatetime64", "tofixedstring", "tointervalday", "tointervalhour",
     "tointervalminute", "tointervalmonth", "tointervalquarter",

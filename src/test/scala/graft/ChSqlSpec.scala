@@ -1290,6 +1290,50 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r == Seq(Seq("ezs42", -5.603027, 42.60498, true, false)))
   }
 
+  test("arrayFill/arrayReverseFill carry the last predicate-true element") {
+    val r = run(
+      """SELECT arrayFill(x -> x != 0, [0, 1, 0, 0, 5, 0]) AS f,
+        |  arrayReverseFill(x -> x != 0, [0, 1, 0, 0, 5, 0]) AS rf""".stripMargin)
+    assert(r == Seq(Seq(Seq(0, 1, 1, 1, 5, 5), Seq(1, 1, 5, 5, 5, 0))))
+  }
+
+  test("arraySplit/arrayReverseSplit cut before/after marked elements") {
+    val r = run(
+      """SELECT arraySplit(x -> x = 1, [1, 2, 3, 1, 5]) AS s,
+        |  arrayReverseSplit(x -> x = 1, [1, 2, 3, 1, 5]) AS rs,
+        |  arraySplit(x -> x = 9, []) AS se""".stripMargin)
+    assert(r == Seq(Seq(
+      Seq(Seq(1, 2, 3), Seq(1, 5)),
+      Seq(Seq(1), Seq(2, 3, 1), Seq(5)),
+      Seq())))
+  }
+
+  test("arrayAUC: exact pairwise with half-weight ties") {
+    val r = run(
+      """SELECT round(arrayAUC([0.1, 0.4, 0.35, 0.8], [0, 0, 1, 1]), 4) AS auc,
+        |  arrayAUC([0.5, 0.5], [1, 0]) AS tie,
+        |  arrayAUC([0.5, 0.7], [1, 1]) AS onecls""".stripMargin)
+    assert(r == Seq(Seq(0.75, 0.5, null)))
+  }
+
+  test("timeSlot/timeSlots/dateName/monthName/toISOYear/toYearWeek") {
+    val r = run(
+      """SELECT timeSlot(toDateTime('2024-03-15 10:47:12')) AS ts,
+        |  timeSlots(toDateTime('2024-03-15 10:47:12'), 3600) AS slots,
+        |  dateName('month', toDate('2024-03-15')) AS mn,
+        |  dateName('weekday', toDate('2024-03-15')) AS wd,
+        |  monthName(toDate('2024-03-15')) AS mn2,
+        |  toISOYear(toDate('2021-01-01')) AS iy,
+        |  toYearWeek(toDate('2021-01-01')) AS yw""".stripMargin)
+    val row = r.head
+    assert(row.head.toString == "2024-03-15 10:30:00.0")
+    assert(row(1).asInstanceOf[scala.collection.Seq[Any]].map(_.toString).toSeq == Seq(
+      "2024-03-15 10:30:00.0", "2024-03-15 11:00:00.0", "2024-03-15 11:30:00.0"))
+    // 2021-01-01 is ISO week 53 of ISO year 2020
+    assert(row(2) == "March" && row(3) == "Friday" && row(4) == "March")
+    assert(row(5) == 2020L && row(6) == 202053L)
+  }
+
   test("ngramDistance: 0 for identical, 1 for disjoint, between otherwise") {
     val r = run(
       """SELECT ngramDistance('clickhouse', 'clickhouse') AS same,
