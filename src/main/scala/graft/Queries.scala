@@ -849,6 +849,27 @@ object Queries {
           round(TextAnalysis.dupNgramRatio(col("text"), 3), 6).as("dup3"))
         .orderBy("doc_id")),
 
+    // token-window chunking (context-length prep): 20-token windows,
+    // stride 15 — project + explode only, scan-speed at 100 TB; chunks
+    // verified by portable fingerprint so the oracle needn't carry text
+    "t13_chunking" -> ((s, dir) =>
+      TextAnalysis.chunkTokens(
+        tbl(s, dir, "documents").filter(col("doc_id") < 200),
+        "doc_id", "text", 20, 15)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"),
+          graft.functions.PortableHash.charFold(col("chunk")).as("fp"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // deterministic stratified sampling: per-language keep-fractions via
+    // portable-hash bucketing — reproducible scan-local filter, no RNG,
+    // no shuffle, no per-stratum pass
+    "t14_stratified_sample" -> ((s, dir) =>
+      TextAnalysis.stratifiedSample(tbl(s, dir, "documents"),
+        "lang", "doc_id",
+        Map("en" -> 0.5, "zh" -> 0.25, "es" -> 0.1), default = 0.05)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+
     // full MinHash+LSH near-dup pipeline: plant near-dups, sign, band,
     // bucket-join candidates, verify with exact Jaccard
     "t5_lsh_dedup" -> ((s, dir) => {
@@ -950,6 +971,32 @@ object Queries {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
         |    '\+?[0-9]{1,3}-[0-9]{3}-[0-9]+', '[PHONE]', 'g') AS scrubbed
         |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin,
+
+    "t13_chunking" ->
+      s"""SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         |  CAST(len(sl) AS INT) AS chunk_tokens,
+         |  ${sqlCharFold("array_to_string(sl, ' ')")} AS fp
+         |FROM (
+         |  SELECT doc_id, i, list_slice(toks, i * 15 + 1, i * 15 + 20) AS sl
+         |  FROM (
+         |    SELECT doc_id, toks,
+         |      UNNEST(generate_series(0, CASE WHEN len(toks) = 0 THEN -1
+         |        ELSE CAST(ceil(greatest(len(toks) - 20, 0) / 15.0) AS BIGINT)
+         |        END)) AS i
+         |    FROM (SELECT doc_id,
+         |        list_filter(string_split_regex(trim(text), '\\s+'),
+         |          t -> len(t) > 0) AS toks
+         |      FROM documents WHERE doc_id < 200)))
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "t14_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang,
+         |    ${sqlCharFold("CAST(doc_id AS VARCHAR)")} % 1000 AS b
+         |  FROM documents)
+         |WHERE b < CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 250
+         |  WHEN 'es' THEN 100 ELSE 50 END
+         |ORDER BY doc_id""".stripMargin,
 
     "t12_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws

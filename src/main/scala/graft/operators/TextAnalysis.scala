@@ -213,4 +213,55 @@ object TextAnalysis {
       .groupBy(idCol)
       .agg(countDistinct("shingle").as("n_shared"))
   }
+
+  // ===================== chunking =====================
+
+  /** Token-window document chunking — the context-length prep step of a
+    * training pipeline: whitespace tokens → windows of `size` tokens
+    * advancing by `stride` (overlap = size − stride). One output row per
+    * chunk with (chunk_idx, chunk text, token count). Row-local: the only
+    * plan shape is project + explode, no shuffle — at 100 TB the chunker
+    * runs at scan speed and parallelism follows the input partitioning.
+    * A document shorter than one window still yields its single
+    * (possibly short) chunk; empty/blank text yields none. */
+  def chunkTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, size0: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(size0 > 0 && stride > 0 && stride <= size0,
+      s"chunkTokens: need 0 < stride <= size, got size=$size0 stride=$stride")
+    val ws = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    // number of windows: 1 + ceil(max(0, n - size) / stride)
+    val n = size(ws)
+    val nChunks = when(n === 0, lit(0)).otherwise(
+      lit(1) + ceil((greatest(n - size0, lit(0))).cast("double") / stride)
+        .cast("int"))
+    df.select(col(idCol), ws.as("__ws"), nChunks.as("__nc"))
+      .withColumn("chunk_idx", explode(
+        when(col("__nc") > 0, sequence(lit(0), col("__nc") - 1))
+          .otherwise(array().cast("array<int>"))))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("__ws"), col("chunk_idx") * stride + 1,
+          lit(size0)), " ").as("chunk"),
+        size(slice(col("__ws"), col("chunk_idx") * stride + 1,
+          lit(size0))).as("chunk_tokens"))
+  }
+
+  // ===================== stratified sampling =====================
+
+  /** Deterministic stratified sampling: keep a per-stratum fraction by
+    * hash-bucketing a key column with the portable polynomial hash —
+    * reproducible across engines, runs, and cluster layouts (no RNG
+    * state), and row-local (a scan-speed filter, no shuffle, no
+    * per-stratum pass). Strata absent from `fractions` use `default`.
+    * Buckets are per-mille: a fraction of 0.25 keeps hash%1000 < 250. */
+  def stratifiedSample(df: org.apache.spark.sql.DataFrame, strataCol: String,
+      keyCol: String, fractions: Map[String, Double],
+      default: Double = 0.0): org.apache.spark.sql.DataFrame = {
+    val bucket = pmod(PortableHash.charFold(col(keyCol).cast("string")),
+      lit(1000L))
+    val threshold = fractions.foldLeft(lit(default * 1000)) {
+      case (acc, (k, frac)) =>
+        when(col(strataCol) === k, lit(frac * 1000)).otherwise(acc)
+    }
+    df.filter(bucket < threshold)
+  }
 }

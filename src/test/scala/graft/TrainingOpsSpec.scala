@@ -267,4 +267,52 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rows(900L).head.err.contains("not a GIF payload"))
     assert(rows(901L).head.err != null && rows(901L).head.n_frames == -1)
   }
+
+  test("chunkTokens: windows, stride overlap, short docs, scan-local plan") {
+    val d = Seq((0L, (1 to 25).map(i => s"w$i").mkString(" ")),
+      (1L, "just three words"), (2L, "   ")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(d, "doc_id", "text", 10, 8)
+      .orderBy("doc_id", "chunk_idx").collect()
+    // 25 tokens, size 10, stride 8 → chunks at 1, 9, 17 (sizes 10, 10, 9)
+    val c0 = out.filter(_.getLong(0) == 0L)
+    assert(c0.map(_.getInt(1)).toSeq == Seq(0, 1, 2))
+    assert(c0.map(_.getInt(3)).toSeq == Seq(10, 10, 9))
+    assert(c0(1).getString(2).startsWith("w9 w10"))
+    // overlap: chunk 1 starts at token 9 (stride 8), repeats w9, w10
+    // short doc → one chunk; blank doc → no rows
+    assert(out.count(_.getLong(0) == 1L) == 1)
+    assert(out.count(_.getLong(0) == 2L) == 0)
+    // scan-local: no shuffle anywhere in the chunker plan
+    val plan = TextAnalysis.chunkTokens(d, "doc_id", "text", 10, 8)
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, "chunkTokens must stay shuffle-free")
+  }
+
+  test("stratifiedSample: deterministic, per-stratum thresholds, shuffle-free") {
+    val d = (0L to 999L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    val s1 = TextAnalysis.stratifiedSample(d, "lang", "doc_id",
+      Map("en" -> 0.5, "zh" -> 0.1)).collect().map(_.getLong(0)).toSet
+    val s2 = TextAnalysis.stratifiedSample(d, "lang", "doc_id",
+      Map("en" -> 0.5, "zh" -> 0.1)).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "sampling must be deterministic across runs")
+    val byLang = TextAnalysis.stratifiedSample(d, "lang", "doc_id",
+      Map("en" -> 0.5, "zh" -> 0.1)).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 500 per stratum; fractions approximate (hash-bucket granularity)
+    assert(byLang("en") > 190 && byLang("en") < 310)
+    assert(byLang.getOrElse("zh", 0L) < 110)
+    // default 0.0 drops unlisted strata entirely
+    val dropped = TextAnalysis.stratifiedSample(d, "lang", "doc_id",
+      Map("en" -> 0.5)).select("lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(dropped == Set("en"))
+    val plan = TextAnalysis.stratifiedSample(d, "lang", "doc_id",
+      Map("en" -> 0.5)).queryExecution.executedPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, "stratifiedSample must stay shuffle-free")
+  }
 }
