@@ -3486,6 +3486,40 @@ object Queries {
         |  CAST(round(kurtSamp(o_totalprice), 6) AS Float64) AS ku
         |FROM orders GROUP BY st ORDER BY st""".stripMargin)),
 
+    // URL family completion + string/math extras. URLs are synthesized
+    // from keys, so the DuckDB twin can REBUILD each expected part from
+    // the same formula (the ch53 formula-twin pattern) — no URL parser
+    // needed on the oracle side; split/position/count compute directly.
+    "ch74_sql_url_string" -> ((s, dir) => chsql(s, dir,
+      """SELECT k,
+        |  domain(u) AS d, topLevelDomain(u) AS tld,
+        |  domainWithoutWWW(u) AS dw, firstSignificantSubdomain(u) AS fsd,
+        |  queryString(u) AS qs, fragment(u) AS fr,
+        |  queryStringAndFragment(u) AS qf,
+        |  cutQueryString(u) AS cq, cutFragment(u) AS cf, cutWWW(u) AS cw,
+        |  pathFull(u) AS pf,
+        |  countMatches(txt, '[0-9]+') AS cm,
+        |  arrayStringConcat(tokens(txt), '|') AS tk,
+        |  arrayStringConcat(splitByRegexp('[,-]', txt), '/') AS sbr,
+        |  positionUTF8(txt, 'batch') AS pu,
+        |  ascii(substring(toString(k), 1, 1)) AS asc0,
+        |  char(72, 105) AS ch,
+        |  round(sigmoid(k % 7 - 3), 6) AS sg,
+        |  factorial(k % 10) AS fact,
+        |  arrayStringConcat(JSONExtractKeys(j), ',') AS jk,
+        |  JSONExtractRaw(j, 'b') AS jraw
+        |FROM (SELECT o_orderkey AS k,
+        |    concat('https://www.shop', toString(o_orderkey % 50),
+        |      '.example.co/cat/p', toString(o_orderkey),
+        |      '?id=', toString(o_orderkey), '&x=1#sec',
+        |      toString(o_orderkey % 3)) AS u,
+        |    concat('item ', toString(o_orderkey), ' of 2024, batch-',
+        |      toString(o_orderkey % 9), ' lot-',
+        |      repeat('7 ', o_orderkey % 3)) AS txt,
+        |    concat('{"a":', toString(o_orderkey), ',"b":{"c":2}}') AS j
+        |  FROM orders WHERE o_orderkey <= 300)
+        |ORDER BY k""".stripMargin)),
+
     // array scan family (arrayFill/arraySplit/arrayAUC) + date extras
     // (dateName/toISOYear/toYearWeek/timeSlot) — array results
     // stringified (the comparer has no array contract); the DuckDB twin
@@ -4245,6 +4279,43 @@ object Queries {
         |  (SELECT o_orderkey AS k FROM orders ORDER BY o_orderkey LIMIT 100)
         |POSITIONAL JOIN
         |  (SELECT o_totalprice AS r FROM orders ORDER BY o_orderkey LIMIT 100)
+        |ORDER BY k""".stripMargin,
+
+    "ch74_sql_url_string" ->
+      """SELECT k,
+        |  'www.shop' || ks || '.example.co' AS d,
+        |  'co' AS tld,
+        |  'shop' || ks || '.example.co' AS dw,
+        |  'example' AS fsd,
+        |  'id=' || k || '&x=1' AS qs,
+        |  'sec' || k3 AS fr,
+        |  '?id=' || k || '&x=1#sec' || k3 AS qf,
+        |  'https://www.shop' || ks || '.example.co/cat/p' || k
+        |    || '#sec' || k3 AS cq,
+        |  'https://www.shop' || ks || '.example.co/cat/p' || k
+        |    || '?id=' || k || '&x=1' AS cf,
+        |  'https://shop' || ks || '.example.co/cat/p' || k
+        |    || '?id=' || k || '&x=1#sec' || k3 AS cw,
+        |  '/cat/p' || k || '?id=' || k || '&x=1#sec' || k3 AS pf,
+        |  CAST(3 + (k % 3) AS BIGINT) AS cm,
+        |  'item|' || k || '|of|2024|batch|' || k9 || '|lot'
+        |    || repeat('|7', CAST(k % 3 AS INT)) AS tk,
+        |  array_to_string(string_split_regex(txt, '[,-]'), '/') AS sbr,
+        |  CAST(strpos(txt, 'batch') AS BIGINT) AS pu,
+        |  ascii(substring(CAST(k AS VARCHAR), 1, 1)) AS asc0,
+        |  'Hi' AS ch,
+        |  round(1.0 / (1.0 + exp(-(k % 7 - 3))), 6) AS sg,
+        |  CAST(factorial(CAST(k % 10 AS INT)) AS BIGINT) AS fact,
+        |  'a,b' AS jk,
+        |  '{"c":2}' AS jraw
+        |FROM (SELECT o_orderkey AS k,
+        |    CAST(o_orderkey % 50 AS VARCHAR) AS ks,
+        |    CAST(o_orderkey % 3 AS VARCHAR) AS k3,
+        |    CAST(o_orderkey % 9 AS VARCHAR) AS k9,
+        |    'item ' || o_orderkey || ' of 2024, batch-' ||
+        |      (o_orderkey % 9) || ' lot-' ||
+        |      repeat('7 ', CAST(o_orderkey % 3 AS INT)) AS txt
+        |  FROM orders WHERE o_orderkey <= 300)
         |ORDER BY k""".stripMargin,
 
     "ch73_sql_array_scan" ->

@@ -3385,7 +3385,13 @@ object ChSql {
           (if (returnsArray(f.args.head)) size(a(0)) else length(a(0))) > 0
         case "leftpad" | "lpad" => lpad(a(0), intArg(f.args(1)), strArg(f.args(2)))
         case "rightpad" | "rpad" => rpad(a(0), intArg(f.args(1)), strArg(f.args(2)))
-        case "repeat" => repeat(a(0), intArg(f.args(1)))
+        case "repeat" =>
+          // literal counts use the codegen'd builtin; column counts go
+          // through the SQL function form (repeat(str, n) accepts both)
+          f.args(1) match {
+            case NumLit(n) => repeat(a(0), n.toInt)
+            case _ => call_function("repeat", a(0), a(1))
+          }
 
         // ---- math ----
         case "abs" => abs(a(0))
@@ -3455,6 +3461,19 @@ object ChSql {
         case "soundex" => soundex(a(0))
         case "positioncaseinsensitive" =>
           call_function("instr", lower(a(0)), lower(a(1)))
+        case "countmatches" =>
+          size(regexp_extract_all(a(0),
+            lit(litStr("countMatches", f.args(1))), lit(0))).cast(LongType)
+        case "positionutf8" => call_function("instr", a(0), a(1))
+        case "tokens" =>
+          // CH tokens(): maximal runs of letters/digits
+          filter(split(a(0), "[^\\p{L}\\p{N}]+"), x => length(x) > 0)
+        case "splitbyregexp" =>
+          // same empties-kept convention as splitByChar/splitByString
+          split(a(1), litStr("splitByRegexp", f.args.head))
+        case "ascii" => ascii(a(0))
+        case "char" | "chr" => concat(f.args.map(x => chr(t(x))): _*)
+        case "space" => repeat(lit(" "), intArg(f.args.head))
         case "countsubstrings" =>
           // occurrences of a literal needle: (len - len(without)) / len(needle)
           val needle = litStr("countSubstrings", f.args(1))
@@ -3506,6 +3525,15 @@ object ChSql {
         // ---- math parity ----
         case "roundbankers" =>
           if (f.args.size >= 2) bround(a(0), intArg(f.args(1))) else bround(a(0))
+        case "sigmoid" => lit(1.0) / (lit(1.0) + exp(-a(0)))
+        case "cot" => lit(1.0) / tan(a(0))
+        case "factorial" => factorial(a(0))
+        case "intexp2" => pow(lit(2.0), a(0)).cast(LongType)
+        case "intexp10" => pow(lit(10.0), a(0)).cast(LongType)
+        case "ifnotfinite" =>
+          when(isnan(a(0)) || a(0) === Double.PositiveInfinity ||
+            a(0) === Double.NegativeInfinity, a(1)).otherwise(a(0))
+        case "tonullable" => a(0) // type-level in CH; values pass through
         case "log1p" => log1p(a(0))
         case "expm1" => expm1(a(0))
         case "bitcount" => bit_count(a(0))
@@ -3605,6 +3633,12 @@ object ChSql {
           json_array_length(
             if (f.args.size > 1) get_json_object(a(0), jsonPath(f.args.tail))
             else a(0))
+        case "jsonextractkeys" =>
+          json_object_keys(
+            if (f.args.size > 1) get_json_object(a(0), jsonPath(f.args.tail))
+            else a(0))
+        case "jsonextractraw" | "visitparamextractraw" =>
+          get_json_object(a(0), jsonPath(f.args.tail))
 
         // ---- URL ----
         case "domain" => parse_url(a(0), lit("HOST"))
@@ -3612,6 +3646,35 @@ object ChSql {
         case "protocol" => split(a(0), ":").getItem(0)
         case "extracturlparameter" =>
           parse_url(a(0), lit("QUERY"), t(f.args(1)))
+        case "querystring" => coalesce(parse_url(a(0), lit("QUERY")), lit(""))
+        case "fragment" => coalesce(parse_url(a(0), lit("REF")), lit(""))
+        case "querystringandfragment" =>
+          val qs = parse_url(a(0), lit("QUERY"))
+          val fr = parse_url(a(0), lit("REF"))
+          concat(
+            when(qs.isNotNull, concat(lit("?"), qs)).otherwise(lit("")),
+            when(fr.isNotNull, concat(lit("#"), fr)).otherwise(lit("")))
+        case "topleveldomain" =>
+          element_at(split(parse_url(a(0), lit("HOST")), "\\."), -1)
+        case "domainwithoutwww" =>
+          regexp_replace(parse_url(a(0), lit("HOST")), "^www\\.", "")
+        case "cutquerystring" => regexp_replace(a(0), "\\?[^#]*", "")
+        case "cutfragment" => regexp_replace(a(0), "#.*$", "")
+        case "cutquerystringandfragment" =>
+          regexp_replace(a(0), "[?#].*$", "")
+        case "cutwww" => regexp_replace(a(0), "^((?:[a-z]+://)?)www\\.", "$1")
+        case "pathfull" =>
+          regexp_replace(a(0), "^[a-z]+://[^/]*", "")
+        case "decodeurlcomponent" => url_decode(a(0))
+        case "encodeurlcomponent" => url_encode(a(0))
+        case "netloc" => parse_url(a(0), lit("AUTHORITY"))
+        case "firstsignificantsubdomain" =>
+          // CH: the left-most label before the effective TLD, skipping
+          // www — the common two-level heuristic (public-suffix lists are
+          // config, not semantics)
+          val host = regexp_replace(parse_url(a(0), lit("HOST")), "^www\\.", "")
+          val parts = split(host, "\\.")
+          when(size(parts) >= 2, element_at(parts, -2)).otherwise(host)
 
         // ---- IP ----
         case "ipv4numtostring" =>

@@ -43,6 +43,14 @@ object FunctionCatalog {
     "dictget", "dictgetordefault", "dicthas", "divide", "domain", "e",
     "editdistance", "empty", "emptyarraytosingle", "endswith", "exp",
     "exp10", "exp2", "expm1", "extract", "extracturlparameter",
+    "querystring", "fragment", "querystringandfragment", "topleveldomain",
+    "domainwithoutwww", "cutquerystring", "cutfragment",
+    "cutquerystringandfragment", "cutwww", "pathfull", "decodeurlcomponent",
+    "encodeurlcomponent", "netloc", "firstsignificantsubdomain",
+    "countmatches", "positionutf8", "tokens", "splitbyregexp", "ascii",
+    "char", "chr", "space", "sigmoid", "cot", "factorial", "intexp2",
+    "intexp10", "ifnotfinite", "tonullable", "jsonextractkeys",
+    "jsonextractraw", "visitparamextractraw",
     "first_value", "flatten", "floor", "formatdatetime",
     "formatreadablequantity", "formatreadablesize", "frombase64",
     "frommodifiedjulianday", "fromunixtimestamp", "generateuuidv4",
