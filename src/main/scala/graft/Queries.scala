@@ -3486,6 +3486,38 @@ object Queries {
         |  CAST(round(kurtSamp(o_totalprice), 6) AS Float64) AS ku
         |FROM orders GROUP BY st ORDER BY st""".stripMargin)),
 
+    // minMap/maxMap per-key extremum aggregates (sumMap siblings): one
+    // collect of zipped pairs per group + row-local array algebra — a
+    // single partial+final pass; DuckDB twin via unnested pair UNION +
+    // per-key min/max + ordered string_agg
+    "ch75_sql_minmax_map" -> ((s, dir) => chsql(s, dir,
+      """SELECT p,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    minMap(ka, va).1), ',') AS mk,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    minMap(ka, va).2), ',') AS mn,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    maxMap(ka, va).2), ',') AS mx
+        |FROM (SELECT o_orderpriority AS p,
+        |    [o_orderkey % 5, o_orderkey % 3, 7] AS ka,
+        |    [o_orderkey, o_orderkey + 1, o_orderkey % 11] AS va
+        |  FROM orders WHERE o_orderkey <= 2000)
+        |GROUP BY p ORDER BY p""".stripMargin)),
+
+    // occurrence enumerations (ARRAY JOIN companions) — the 4-slot shape
+    // makes every output a closed-form of the two generators, so the
+    // DuckDB twin is pure CASE arithmetic
+    "ch76_sql_enumerate" -> ((s, dir) => chsql(s, dir,
+      """SELECT k,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    arrayEnumerateUniq([b, c, b, 7])), ',') AS u,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    arrayEnumerateDense([b, c, b, 7])), ',') AS dn
+        |FROM (SELECT o_orderkey AS k, o_orderkey % 3 + 1 AS b,
+        |    o_orderkey % 5 + 1 AS c
+        |  FROM orders WHERE o_orderkey <= 300)
+        |ORDER BY k""".stripMargin)),
+
     // URL family completion + string/math extras. URLs are synthesized
     // from keys, so the DuckDB twin can REBUILD each expected part from
     // the same formula (the ch53 formula-twin pattern) — no URL parser
@@ -4279,6 +4311,32 @@ object Queries {
         |  (SELECT o_orderkey AS k FROM orders ORDER BY o_orderkey LIMIT 100)
         |POSITIONAL JOIN
         |  (SELECT o_totalprice AS r FROM orders ORDER BY o_orderkey LIMIT 100)
+        |ORDER BY k""".stripMargin,
+
+    "ch75_sql_minmax_map" ->
+      """WITH rows0 AS (SELECT o_orderpriority AS p, o_orderkey AS k
+        |    FROM orders WHERE o_orderkey <= 2000),
+        |pairs AS (
+        |  SELECT p, k % 5 AS key, k AS v FROM rows0
+        |  UNION ALL SELECT p, k % 3, k + 1 FROM rows0
+        |  UNION ALL SELECT p, 7, k % 11 FROM rows0),
+        |agg AS (SELECT p, key, min(v) AS mnv, max(v) AS mxv
+        |  FROM pairs GROUP BY p, key)
+        |SELECT p,
+        |  string_agg(CAST(key AS VARCHAR), ',' ORDER BY key) AS mk,
+        |  string_agg(CAST(mnv AS VARCHAR), ',' ORDER BY key) AS mn,
+        |  string_agg(CAST(mxv AS VARCHAR), ',' ORDER BY key) AS mx
+        |FROM agg GROUP BY p ORDER BY p""".stripMargin,
+
+    "ch76_sql_enumerate" ->
+      """SELECT k,
+        |  '1,' || CASE WHEN c = b THEN 2 ELSE 1 END || ',' ||
+        |    CASE WHEN c = b THEN 3 ELSE 2 END || ',1' AS u,
+        |  '1,' || CASE WHEN c = b THEN 1 ELSE 2 END || ',1,' ||
+        |    CASE WHEN c = b THEN 2 ELSE 3 END AS dn
+        |FROM (SELECT o_orderkey AS k, o_orderkey % 3 + 1 AS b,
+        |    o_orderkey % 5 + 1 AS c
+        |  FROM orders WHERE o_orderkey <= 300)
         |ORDER BY k""".stripMargin,
 
     "ch74_sql_url_string" ->

@@ -1151,7 +1151,8 @@ object ChSql {
     "groupuniqarray", "quantile", "quantileexact", "quantiles", "median",
     "stddevpop", "stddevsamp", "varpop", "varsamp", "corr", "covarpop",
     "covarsamp", "avgweighted", "topk", "groupbitand", "groupbitor",
-    "groupbitmap", "groupbitxor", "skewpop", "kurtpop", "summap", "sequencematch",
+    "groupbitmap", "groupbitxor", "skewpop", "kurtpop", "summap",
+    "minmap", "maxmap", "sequencematch",
     "sequencecount", "uniqupto", "windowfunnel", "retention",
     "sumarray", "minarray", "maxarray", "avgarray", "countarray",
     "uniqarray", "grouparrayarray", "quantiletiming", "quantilestiming",
@@ -2917,6 +2918,24 @@ object ChSql {
         case "covarpop" => covar_pop(a(0), a(1))
         case "covarsamp" => covar_samp(a(0), a(1))
         case "avgweighted" => sum(a(0) * a(1)) / sum(a(1))
+        // minMap/maxMap(keys, values): per-key extremum over all rows'
+        // (key, value) pairs → (sorted keys, extrema) tuple like sumMap.
+        // One collect of zipped pairs, then row-local array algebra —
+        // a single partial+final pass, no extra shuffle
+        case "minmap" | "maxmap" =>
+          val rows0 = collect_list(struct(a(0).as("ka"), a(1).as("va")))
+          val pairs = flatten(transform(rows0, r =>
+            zip_with(r.getField("ka"), r.getField("va"),
+              (k, v) => struct(k.as("k"), v.as("v")))))
+          val ks = sort_array(array_distinct(
+            transform(pairs, p => p.getField("k"))))
+          val ext: Column => Column =
+            if (nm == "minmap") array_min else array_max
+          struct(ks.as("col1"),
+            transform(ks, key => ext(filter(
+              transform(pairs, p =>
+                when(p.getField("k") === key, p.getField("v"))),
+              x => x.isNotNull))).as("col2"))
         // the value if the group holds exactly one distinct value, else NULL
         case "singlevalueornull" =>
           when(countDistinct(a(0)) === 1, min(a(0)))
@@ -3745,6 +3764,14 @@ object ChSql {
         case "arraystringconcat" =>
           if (f.args.size == 2) array_join(a(0), litStr("arrayStringConcat", f.args(1)))
           else array_join(a(0), "")
+        // occurrence enumerations (ARRAY JOIN companions):
+        // arrayEnumerateUniq = per-value occurrence counter,
+        // arrayEnumerateDense = first-occurrence-ordered dense id
+        case "arrayenumerateuniq" =>
+          transform(a(0), (x, i) =>
+            size(filter(slice(a(0), lit(1), i + 1), e => e === x)))
+        case "arrayenumeratedense" =>
+          transform(a(0), x => array_position(array_distinct(a(0)), x))
         case "arraydifference" => graft.operators.ChOps.arrayDifference(a(0))
         case "arraycumsum" => graft.operators.ChOps.arrayCumSum(a(0))
         case "arraycompact" => graft.operators.ChOps.arrayCompact(a(0))

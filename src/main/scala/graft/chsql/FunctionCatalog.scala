@@ -18,7 +18,8 @@ object FunctionCatalog {
     "addquarters", "addseconds", "addweeks", "addyears", "age", "any", "anylast",
     "argmax", "argmin", "array", "arrayall", "arrayavg", "arraycompact",
     "arrayconcat", "arraycount", "arraycumsum", "arraydifference",
-    "arraydistinct", "arrayelement", "arrayenumerate", "arrayexists",
+    "arraydistinct", "arrayelement", "arrayenumerate",
+    "arrayenumerateuniq", "arrayenumeratedense", "arrayexists",
     "arrayfill", "arrayreversefill", "arraysplit", "arrayreversesplit",
     "arrayauc",
     "arrayfilter", "arrayfirst", "arrayflatten", "arrayintersect",
@@ -91,7 +92,7 @@ object FunctionCatalog {
     "startswith", "stddevpop", "stddevsamp", "substr", "substring",
     "substringutf8", "subtractdays", "subtracthours", "subtractminutes",
     "subtractmonths", "subtractquarters", "subtractseconds",
-    "subtractweeks", "subtractyears", "sum", "sumarray", "sumif", "summap",
+    "subtractweeks", "subtractyears", "sum", "sumarray", "sumif", "summap", "minmap", "maxmap",
     "tan",
     "tanh", "tobase64", "todate", "todatetime", "today", "todayofmonth",
     "todayofweek", "todayofyear", "todecimal128", "todecimal32",

@@ -1334,6 +1334,26 @@ class ChSqlSpec extends AnyFunSuite {
     assert(row(5) == 2020L && row(6) == 202053L)
   }
 
+  test("minMap/maxMap: per-key extrema tuples; arrayEnumerateUniq/Dense") {
+    val r = run(
+      """SELECT arrayStringConcat(arrayMap(x -> toString(x),
+        |    minMap([okey % 2, 2], [price, price]).1), ',') AS mk,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    minMap([okey % 2, 2], [price, price]).2), ',') AS mn,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    maxMap([okey % 2, 2], [price, price]).2), ',') AS mx
+        |FROM orders""".stripMargin)
+    // even okeys (2,4,6) → prices 250/75/120: min 75, max 250;
+    // odd (1,3,5) → 100/50/500: min 50, max 500; key 2 sees all rows
+    assert(r == Seq(Seq("0,1,2", "75.0,50.0,50.0", "250.0,500.0,500.0")))
+    val e = run(
+      """SELECT arrayStringConcat(arrayMap(x -> toString(x),
+        |    arrayEnumerateUniq([10, 20, 10, 30, 10, 20])), ',') AS u,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    arrayEnumerateDense([10, 20, 10, 30, 10, 20])), ',') AS dn""".stripMargin)
+    assert(e == Seq(Seq("1,1,2,1,3,2", "1,2,1,3,1,2")))
+  }
+
   test("ngramDistance: 0 for identical, 1 for disjoint, between otherwise") {
     val r = run(
       """SELECT ngramDistance('clickhouse', 'clickhouse') AS same,
