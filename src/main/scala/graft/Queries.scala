@@ -23,14 +23,24 @@ object Queries {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet values, which Spark's
-    * vectorized reader rejects; read nanos as long and convert to µs
-    * TimestampType with integer division (the values are µs-aligned, and
-    * `div` avoids double-precision loss on ~1.7e18 nanos). */
+  /** The events table carries TIMESTAMP(NANOS) parquet values. Depending
+    * on the runtime, the scan surfaces them either as LONG nanos (the
+    * legacy `nanosAsLong` mode) or natively as TIMESTAMP_NTZ truncated
+    * to µs (Spark 4.1.2+ reads nanos directly and ignores the legacy
+    * conf). Dispatch on the ACTUAL scan type so both environments
+    * produce the identical µs-aligned TimestampType column — `div`
+    * avoids double-precision loss on ~1.7e18 nanos in the long path. */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tbl(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = tbl(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        // NTZ µs values: reinterpret on the UTC session clock — the same
+        // instant the long path derives
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   private def decimal(c: Column, p: Int = 18, sc: Int = 2): Column =
@@ -3486,6 +3496,24 @@ object Queries {
         |  CAST(round(kurtSamp(o_totalprice), 6) AS Float64) AS ku
         |FROM orders GROUP BY st ORDER BY st""".stripMargin)),
 
+    // runningAccumulate(aggState) as the running window over the query
+    // order, the toRelative*Num epoch ordinals, substringIndex/initcap,
+    // and arrayRotateLeft — DuckDB twin via window frames and list slices
+    "ch77_sql_running_relative" -> ((s, dir) => chsql(s, dir,
+      """SELECT o_orderkey AS k,
+        |  round(runningAccumulate(sumState(o_totalprice)), 2) AS racc,
+        |  runningAccumulate(countState(o_orderkey)) AS rcnt,
+        |  toRelativeDayNum(o_orderdate) AS rd,
+        |  toRelativeWeekNum(o_orderdate) AS rw,
+        |  toRelativeMonthNum(o_orderdate) AS rm,
+        |  toRelativeYearNum(o_orderdate) AS ry,
+        |  substringIndex(o_orderpriority, '-', 1) AS ssi,
+        |  initcap(o_orderpriority) AS ic,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    arrayRotateLeft([1, 2, 3, 4, 5], o_orderkey % 7)), ',') AS rot
+        |FROM orders WHERE o_orderkey <= 2000
+        |ORDER BY o_orderkey""".stripMargin)),
+
     // minMap/maxMap per-key extremum aggregates (sumMap siblings): one
     // collect of zipped pairs per group + row-local array algebra — a
     // single partial+final pass; DuckDB twin via unnested pair UNION +
@@ -4311,6 +4339,26 @@ object Queries {
         |  (SELECT o_orderkey AS k FROM orders ORDER BY o_orderkey LIMIT 100)
         |POSITIONAL JOIN
         |  (SELECT o_totalprice AS r FROM orders ORDER BY o_orderkey LIMIT 100)
+        |ORDER BY k""".stripMargin,
+
+    "ch77_sql_running_relative" ->
+      """SELECT o_orderkey AS k,
+        |  round(sum(o_totalprice) OVER (ORDER BY o_orderkey
+        |    ROWS UNBOUNDED PRECEDING), 2) AS racc,
+        |  count(o_orderkey) OVER (ORDER BY o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) AS rcnt,
+        |  CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS rd,
+        |  CAST(floor((epoch(o_orderdate) + 3 * 86400) / (7 * 86400))
+        |    AS BIGINT) AS rw,
+        |  CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS rm,
+        |  CAST(year(o_orderdate) AS BIGINT) AS ry,
+        |  split_part(o_orderpriority, '-', 1) AS ssi,
+        |  CASE o_orderpriority WHEN '4-NOT SPECIFIED' THEN '4-not Specified'
+        |    ELSE lower(o_orderpriority) END AS ic,
+        |  array_to_string(list_concat(
+        |    list_slice([1, 2, 3, 4, 5], (o_orderkey % 7) % 5 + 1, 5),
+        |    list_slice([1, 2, 3, 4, 5], 1, (o_orderkey % 7) % 5)), ',') AS rot
+        |FROM orders WHERE o_orderkey <= 2000
         |ORDER BY k""".stripMargin,
 
     "ch75_sql_minmax_map" ->

@@ -1967,6 +1967,22 @@ object ChSql {
           Bin("-", x, WindowE(FuncCall("lag", Nil, Seq(x, NumLit("1"))),
             Nil, navOrd, None)),
           NumLit("0")))
+      case FuncCall(n, Nil, Seq(inner), false)
+          if n.equalsIgnoreCase("runningAccumulate") =>
+        // runningAccumulate(aggState(x)): the running aggregate over the
+        // query order — a rows-unbounded-preceding window of the stem.
+        // Stems whose window form Spark supports (no DISTINCT windows):
+        inner match {
+          case FuncCall(st, ps, args, d) if st.toLowerCase.endsWith("state") &&
+              Set("sum", "count", "min", "max", "avg")(
+                st.toLowerCase.dropRight(5)) =>
+            WindowE(FuncCall(st.dropRight(5), ps, args.map(rewriteNav), d),
+              Nil, navOrd, Some((true, Long.MinValue, 0L)))
+          case _ => throw new IllegalArgumentException(
+            "ChSql: runningAccumulate takes sumState/countState/minState/" +
+              "maxState/avgState (running DISTINCT aggregates are not " +
+              "supported in a window)")
+        }
       case FuncCall(n, ps, as, d) =>
         FuncCall(n, ps.map(rewriteNav), as.map(rewriteNav), d)
       case Bin(o, l, r) => Bin(o, rewriteNav(l), rewriteNav(r))
@@ -3398,6 +3414,22 @@ object ChSql {
         case "extract" => regexp_extract(a(0), litStr("extract", f.args(1)), 0)
         case "splitbychar" | "splitbystring" =>
           split(a(1), java.util.regex.Pattern.quote(litStr("splitByChar", f.args(0))))
+        case "substringindex" =>
+          substring_index(a(0), litStr("substringIndex", f.args(1)),
+            intArg(f.args(2)))
+        case "initcap" | "initcaputf8" => initcap(a(0))
+        case "reverseutf8" => reverse(a(0))
+        case "startswithutf8" => a(0).startsWith(a(1))
+        case "endswithutf8" => a(0).endsWith(a(1))
+        case "concatassumeinjective" => concat(f.args.map(t): _*)
+        case "arrayrotateleft" | "arrayrotateright" =>
+          // rotate by n mod size (negative n flips direction, CH 23.8)
+          val arr = a(0)
+          val nRaw = if (nm == "arrayrotateleft") a(1) else -a(1)
+          val sz = size(arr)
+          val sh = pmod(nRaw.cast(LongType), sz.cast(LongType)).cast("int")
+          when(sz === 0, arr).otherwise(concat(
+            slice(arr, sh + 1, sz - sh), slice(arr, lit(1), sh)))
         case "empty" =>
           (if (returnsArray(f.args.head)) size(a(0)) else length(a(0))) === 0
         case "notempty" =>
@@ -3567,6 +3599,26 @@ object ChSql {
         case "datetrunc" | "date_trunc" =>
           date_trunc(litStr("dateTrunc", f.args.head), a(1))
         case "tolastdayofmonth" => last_day(a(0))
+        // toRelative*Num: epoch-grid ordinals (CH's "number of units
+        // since a fixed point" family) — pure integer arithmetic
+        case "torelativesecondnum" =>
+          a(0).cast("timestamp").cast(LongType)
+        case "torelativeminutenum" =>
+          floor(a(0).cast("timestamp").cast(LongType) / 60).cast(LongType)
+        case "torelativehournum" =>
+          floor(a(0).cast("timestamp").cast(LongType) / 3600).cast(LongType)
+        case "torelativedaynum" =>
+          floor(a(0).cast("timestamp").cast(LongType) / 86400).cast(LongType)
+        case "torelativeweeknum" =>
+          // CH counts Thursday-aligned epoch weeks (1970-01-01 was a
+          // Thursday; +3 days shifts the grid to Monday starts)
+          floor((a(0).cast("timestamp").cast(LongType) + 3L * 86400) /
+            (7L * 86400)).cast(LongType)
+        case "torelativemonthnum" =>
+          year(a(0)) * 12 + month(a(0))
+        case "torelativequarternum" =>
+          year(a(0)) * 4 + quarter(a(0))
+        case "torelativeyearnum" => year(a(0))
         case "toisoweek" => weekofyear(a(0))
         case "toisoyear" =>
           call_function("date_part", lit("YEAROFWEEK"), a(0))
@@ -3885,7 +3937,7 @@ object ChSql {
         // block-order navigation: valid only in the SELECT list of an
         // ORDER BY query, where buildSelectBody rewrites them into window
         // forms before translation ever reaches here
-        case "neighbor" | "runningdifference" =>
+        case "neighbor" | "runningdifference" | "runningaccumulate" =>
           throw new IllegalArgumentException(
             s"ChSql: ${f.name} is only valid in the SELECT list of a " +
               "query with ORDER BY (rewritten to a window over that order)")

@@ -66,6 +66,12 @@ object FunctionCatalog {
     "jsonextractfloat", "jsonextractint", "jsonextractstring", "jsonhas",
     "jsonlength", "kurtpop", "lag", "laginframe", "last_value", "lcase",
     "lead", "leadinframe", "neighbor", "runningdifference",
+    "runningaccumulate", "torelativesecondnum", "torelativeminutenum",
+    "torelativehournum", "torelativedaynum", "torelativeweeknum",
+    "torelativemonthnum", "torelativequarternum", "torelativeyearnum",
+    "substringindex", "initcap", "initcaputf8", "reverseutf8",
+    "startswithutf8", "endswithutf8", "concatassumeinjective",
+    "arrayrotateleft", "arrayrotateright",
     "least", "leftpad", "length", "lengthutf8", "levenshteindistance",
     "ln", "locate", "log", "log10", "log1p", "log2", "lower", "lowerutf8",
     "lpad", "mapcontains", "mapfromarrays", "map", "mapfromarrays", "mapkeys", "mapvalues",
