@@ -3496,6 +3496,27 @@ object Queries {
         |  CAST(round(kurtSamp(o_totalprice), 6) AS Float64) AS ku
         |FROM orders GROUP BY st ORDER BY st""".stripMargin)),
 
+    // vector distance family over the embeddings table: every distance a
+    // sequential double fold (deterministic accumulation order) so the
+    // DuckDB twin replays it exactly with list_reduce — the embedding-
+    // pipeline scalar kernel, row-local and codegen'd
+    "ch78_sql_vector_distance" -> ((s, dir) => chsql(s, dir,
+      """SELECT vec_id AS k,
+        |  round(dotProduct(v, rv), 5) AS dp,
+        |  round(L1Distance(v, rv), 5) AS l1,
+        |  round(L2Distance(v, rv), 5) AS l2,
+        |  round(LinfDistance(v, rv), 5) AS linf,
+        |  round(L2Norm(v), 5) AS n2,
+        |  round(cosineDistance(v, rv), 6) AS cd,
+        |  round(arrayJaccardIndex(arrayMap(x -> floor(x * 4),
+        |    arraySlice(v, 1, 16)), arrayMap(x -> floor(x * 4),
+        |    arraySlice(rv, 1, 16))), 6) AS jac
+        |FROM (SELECT vec_id,
+        |    arrayMap(x -> toFloat64(x), embedding) AS v,
+        |    arrayReverse(arrayMap(x -> toFloat64(x), embedding)) AS rv
+        |  FROM embeddings WHERE vec_id < 200)
+        |ORDER BY k""".stripMargin)),
+
     // runningAccumulate(aggState) as the running window over the query
     // order, the toRelative*Num epoch ordinals, substringIndex/initcap,
     // and arrayRotateLeft — DuckDB twin via window frames and list slices
@@ -4340,6 +4361,36 @@ object Queries {
         |POSITIONAL JOIN
         |  (SELECT o_totalprice AS r FROM orders ORDER BY o_orderkey LIMIT 100)
         |ORDER BY k""".stripMargin,
+
+    "ch78_sql_vector_distance" ->
+      s"""SELECT vec_id AS k,
+         |  round(${sqlDot("v", "rv")}, 5) AS dp,
+         |  round(list_reduce(list_prepend(0.0, list_transform(
+         |    list_zip(v, rv), p -> abs(p[1] - p[2]))),
+         |    (acc, x) -> acc + x), 5) AS l1,
+         |  round(sqrt(list_reduce(list_prepend(0.0, list_transform(
+         |    list_zip(v, rv), p -> (p[1] - p[2]) * (p[1] - p[2]))),
+         |    (acc, x) -> acc + x)), 5) AS l2,
+         |  round(list_max(list_transform(list_zip(v, rv),
+         |    p -> abs(p[1] - p[2]))), 5) AS linf,
+         |  round(sqrt(${sqlDot("v", "v")}), 5) AS n2,
+         |  round(CASE WHEN sqrt(${sqlDot("v", "v")}) *
+         |      sqrt(${sqlDot("rv", "rv")}) = 0 THEN 1.0
+         |    ELSE 1.0 - ${sqlDot("v", "rv")} /
+         |      (sqrt(${sqlDot("v", "v")}) * sqrt(${sqlDot("rv", "rv")}))
+         |    END, 6) AS cd,
+         |  round(CASE WHEN len(list_distinct(list_concat(ja, jb))) = 0
+         |    THEN NULL ELSE len(list_intersect(ja, jb)) * 1.0 /
+         |      len(list_distinct(list_concat(ja, jb))) END, 6) AS jac
+         |FROM (SELECT vec_id, v, list_reverse(v) AS rv,
+         |    list_distinct(list_transform(v[1:16],
+         |      x -> CAST(floor(x * 4) AS BIGINT))) AS ja,
+         |    list_distinct(list_transform(list_reverse(v)[1:16],
+         |      x -> CAST(floor(x * 4) AS BIGINT))) AS jb
+         |  FROM (SELECT vec_id,
+         |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |    FROM embeddings WHERE vec_id < 200))
+         |ORDER BY k""".stripMargin,
 
     "ch77_sql_running_relative" ->
       """SELECT o_orderkey AS k,

@@ -3078,6 +3078,44 @@ object ChSql {
           val centralAngle = asin(sqrt(half)) * 2
           if (nm == "greatcircleangle") degrees(centralAngle)
           else centralAngle * lit(6371000.0)
+        // vector distance family (the embedding-pipeline functions):
+        // sequential-fold accumulation in double (deterministic order,
+        // replayable in any engine); dot goes through the codegen'd
+        // native expression the similarity operators use
+        case "dotproduct" | "scalarproduct" =>
+          graft.operators.Similarity.dot(
+            graft.operators.Similarity.asDouble(a(0)),
+            graft.operators.Similarity.asDouble(a(1)))
+        case "l1distance" =>
+          aggregate(zip_with(a(0), a(1),
+            (x, y) => abs(x.cast("double") - y.cast("double"))),
+            lit(0.0), (acc, v) => acc + v)
+        case "l2squareddistance" =>
+          aggregate(zip_with(a(0), a(1), (x, y) => {
+            val d = x.cast("double") - y.cast("double"); d * d
+          }), lit(0.0), (acc, v) => acc + v)
+        case "l2distance" =>
+          sqrt(aggregate(zip_with(a(0), a(1), (x, y) => {
+            val d = x.cast("double") - y.cast("double"); d * d
+          }), lit(0.0), (acc, v) => acc + v))
+        case "linfdistance" =>
+          array_max(zip_with(a(0), a(1),
+            (x, y) => abs(x.cast("double") - y.cast("double"))))
+        case "l1norm" =>
+          aggregate(transform(a(0), x => abs(x.cast("double"))),
+            lit(0.0), (acc, v) => acc + v)
+        case "l2norm" =>
+          graft.operators.Similarity.norm(
+            graft.operators.Similarity.asDouble(a(0)))
+        case "linfnorm" =>
+          array_max(transform(a(0), x => abs(x.cast("double"))))
+        case "cosinedistance" =>
+          lit(1.0) - graft.operators.Similarity.cosine(
+            graft.operators.Similarity.asDouble(a(0)),
+            graft.operators.Similarity.asDouble(a(1)))
+        case "arrayjaccardindex" =>
+          try_divide(size(array_intersect(a(0), a(1))).cast("double"),
+            size(array_union(a(0), a(1))))
         // geohash: codegen'd native interval-bisection (standard public
         // base32 algorithm); decode returns the cell-center (lon, lat)
         // tuple addressable as .1/.2

@@ -55,6 +55,9 @@ object FunctionCatalog {
     "first_value", "flatten", "floor", "formatdatetime",
     "formatreadablequantity", "formatreadablesize", "frombase64",
     "frommodifiedjulianday", "fromunixtimestamp", "generateuuidv4",
+    "dotproduct", "scalarproduct", "l1distance", "l2distance",
+    "l2squareddistance", "linfdistance", "l1norm", "l2norm", "linfnorm",
+    "cosinedistance", "arrayjaccardindex",
     "geodistance", "geohashdecode", "geohashencode", "greatcircleangle",
     "greatcircledistance", "pointinpolygon",
     "greatest", "grouparray", "grouparrayarray",
