@@ -3496,6 +3496,23 @@ object Queries {
         |  CAST(round(kurtSamp(o_totalprice), 6) AS Float64) AS ku
         |FROM orders GROUP BY st ORDER BY st""".stripMargin)),
 
+    // map arithmetic tuples + human-readable time deltas: the synthesized
+    // key sets keep sorted-key order closed-form (1 < b < 5 always), so
+    // the DuckDB twin is pure string arithmetic
+    "ch79_sql_map_arith" -> ((s, dir) => chsql(s, dir,
+      """SELECT k,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    mapAdd(([1, b], [k, 10]), ([1, 5], [100, k % 7])).1), ',') AS mk,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    mapAdd(([1, b], [k, 10]), ([1, 5], [100, k % 7])).2), ',') AS mv,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    mapPopulateSeries(([1, c], [k, 9])).2), ',') AS pv,
+        |  formatReadableTimeDelta(k * 97 % 200000) AS frtd
+        |FROM (SELECT o_orderkey AS k, o_orderkey % 3 + 2 AS b,
+        |    o_orderkey % 4 + 2 AS c
+        |  FROM orders WHERE o_orderkey <= 300)
+        |ORDER BY k""".stripMargin)),
+
     // vector distance family over the embeddings table: every distance a
     // sequential double fold (deterministic accumulation order) so the
     // DuckDB twin replays it exactly with list_reduce — the embedding-
@@ -4360,6 +4377,27 @@ object Queries {
         |  (SELECT o_orderkey AS k FROM orders ORDER BY o_orderkey LIMIT 100)
         |POSITIONAL JOIN
         |  (SELECT o_totalprice AS r FROM orders ORDER BY o_orderkey LIMIT 100)
+        |ORDER BY k""".stripMargin,
+
+    "ch79_sql_map_arith" ->
+      """SELECT k,
+        |  '1,' || b || ',5' AS mk,
+        |  (k + 100) || ',10,' || (k % 7) AS mv,
+        |  k || repeat(',0', CAST(c - 2 AS INT)) || ',9' AS pv,
+        |  CASE WHEN s = 0 THEN '0 seconds' ELSE concat_ws(', ',
+        |    CASE WHEN d > 0 THEN d || ' day' ||
+        |      (CASE WHEN d = 1 THEN '' ELSE 's' END) END,
+        |    CASE WHEN h > 0 THEN h || ' hour' ||
+        |      (CASE WHEN h = 1 THEN '' ELSE 's' END) END,
+        |    CASE WHEN m > 0 THEN m || ' minute' ||
+        |      (CASE WHEN m = 1 THEN '' ELSE 's' END) END,
+        |    CASE WHEN sec > 0 THEN sec || ' second' ||
+        |      (CASE WHEN sec = 1 THEN '' ELSE 's' END) END) END AS frtd
+        |FROM (SELECT k, b, c, s, s // 86400 AS d,
+        |    (s % 86400) // 3600 AS h, (s % 3600) // 60 AS m, s % 60 AS sec
+        |  FROM (SELECT o_orderkey AS k, o_orderkey % 3 + 2 AS b,
+        |      o_orderkey % 4 + 2 AS c, o_orderkey * 97 % 200000 AS s
+        |    FROM orders WHERE o_orderkey <= 300))
         |ORDER BY k""".stripMargin,
 
     "ch78_sql_vector_distance" ->

@@ -3078,6 +3078,62 @@ object ChSql {
           val centralAngle = asin(sqrt(half)) * 2
           if (nm == "greatcircleangle") degrees(centralAngle)
           else centralAngle * lit(6371000.0)
+        // map arithmetic over (keys, values) tuples — row-local array
+        // algebra; the typed zero (x − x of the first element) keeps the
+        // value type without a cast
+        case "mapadd" | "mapsubtract" =>
+          def pairsOf(c: Column, negate: Boolean): Column =
+            zip_with(c.getField("col1"), c.getField("col2"), (k, v) =>
+              struct(k.as("k"), (if (negate) -v else v).as("v")))
+          val all = concat(pairsOf(a(0), negate = false) +:
+            f.args.tail.map(x => pairsOf(t(x), negate = nm == "mapsubtract")): _*)
+          val ks = sort_array(array_distinct(
+            transform(all, p => p.getField("k"))))
+          struct(ks.as("col1"),
+            transform(ks, key => {
+              val vs = transform(filter(all, p => p.getField("k") === key),
+                p => p.getField("v"))
+              val zero = element_at(vs, 1) - element_at(vs, 1)
+              aggregate(vs, zero, (acc, v) => acc + v)
+            }).as("col2"))
+        case "mappopulateseries" =>
+          val keys0 = a(0).getField("col1")
+          val vals0 = a(0).getField("col2")
+          val maxK = f.args.lift(1).map(e => t(e))
+            .getOrElse(array_max(keys0))
+          val ks = sequence(array_min(keys0), maxK)
+          val zero = element_at(vals0, 1) - element_at(vals0, 1)
+          struct(ks.as("col1"),
+            transform(ks, key => {
+              val pos = array_position(keys0, key)
+              when(pos > 0, element_at(vals0, pos.cast("int")))
+                .otherwise(zero)
+            }).as("col2"))
+        case "arraywithconstant" =>
+          transform(sequence(lit(1), a(0)), _ => a(1))
+        case "bittestall" =>
+          f.args.tail.map(b =>
+            (shiftright(a(0), intArg(b)) % 2 === 1): Column)
+            .reduce(_ && _)
+        case "bittestany" =>
+          f.args.tail.map(b =>
+            (shiftright(a(0), intArg(b)) % 2 === 1): Column)
+            .reduce(_ || _)
+        case "formatreadabletimedelta" =>
+          // days/hours/minutes/seconds tiers, zero units skipped,
+          // singular/plural forms; 0 → "0 seconds" (calendar units above
+          // days are locale policy, not semantics — documented cap)
+          val secs = a(0).cast(LongType)
+          def part(n: Column, unit: String): Column =
+            when(n > 0, concat(n.cast("string"), lit(" " + unit),
+              when(n === 1, lit("")).otherwise(lit("s"))))
+          val d = (secs / 86400).cast(LongType)
+          val h = (secs % 86400 / 3600).cast(LongType)
+          val m = (secs % 3600 / 60).cast(LongType)
+          val sc = secs % 60
+          when(secs === 0, lit("0 seconds")).otherwise(concat_ws(", ",
+            part(d, "day"), part(h, "hour"), part(m, "minute"),
+            part(sc, "second")))
         // vector distance family (the embedding-pipeline functions):
         // sequential-fold accumulation in double (deterministic order,
         // replayable in any engine); dot goes through the codegen'd

@@ -55,6 +55,8 @@ object FunctionCatalog {
     "first_value", "flatten", "floor", "formatdatetime",
     "formatreadablequantity", "formatreadablesize", "frombase64",
     "frommodifiedjulianday", "fromunixtimestamp", "generateuuidv4",
+    "mapadd", "mapsubtract", "mappopulateseries", "arraywithconstant",
+    "bittestall", "bittestany", "formatreadabletimedelta",
     "dotproduct", "scalarproduct", "l1distance", "l2distance",
     "l2squareddistance", "linfdistance", "l1norm", "l2norm", "linfnorm",
     "cosinedistance", "arrayjaccardindex",

@@ -1354,6 +1354,25 @@ class ChSqlSpec extends AnyFunSuite {
     assert(e == Seq(Seq("1,1,2,1,3,2", "1,2,1,3,1,2")))
   }
 
+  test("mapAdd/mapSubtract/mapPopulateSeries and formatReadableTimeDelta") {
+    val r = run(
+      """SELECT arrayStringConcat(arrayMap(x -> toString(x),
+        |    mapAdd(([1, 2], [10, 10]), ([1, 3], [5, 5])).1), ',') AS k1,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    mapAdd(([1, 2], [10, 10]), ([1, 3], [5, 5])).2), ',') AS v1,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    mapSubtract(([1, 2], [10, 10]), ([1, 2], [4, 11])).2), ',') AS v2,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    mapPopulateSeries(([1, 4], [11, 44])).1), ',') AS pk,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    mapPopulateSeries(([1, 4], [11, 44])).2), ',') AS pv,
+        |  formatReadableTimeDelta(90061) AS frtd,
+        |  formatReadableTimeDelta(1) AS one,
+        |  formatReadableTimeDelta(0) AS zero""".stripMargin)
+    assert(r == Seq(Seq("1,2,3", "15,10,5", "6,-1", "1,2,3,4", "11,0,0,44",
+      "1 day, 1 hour, 1 minute, 1 second", "1 second", "0 seconds")))
+  }
+
   test("ngramDistance: 0 for identical, 1 for disjoint, between otherwise") {
     val r = run(
       """SELECT ngramDistance('clickhouse', 'clickhouse') AS same,
