@@ -3496,6 +3496,19 @@ object Queries {
         |  CAST(round(kurtSamp(o_totalprice), 6) AS Float64) AS ku
         |FROM orders GROUP BY st ORDER BY st""".stripMargin)),
 
+    // the remaining ranking window functions — identical text runs on
+    // DuckDB (same default RANGE frame; the unique (price, key) ordering
+    // leaves no peer-row ambiguity)
+    "ch80_sql_window_rank" -> ((s, dir) => chsql(s, dir,
+      """SELECT o_orderkey AS k,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cdw,
+        |  nth_value(o_totalprice, 3) OVER w AS nv
+        |FROM orders WHERE o_orderkey <= 2000
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |  ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY k""".stripMargin)),
+
     // map arithmetic tuples + human-readable time deltas: the synthesized
     // key sets keep sorted-key order closed-form (1 < b < 5 always), so
     // the DuckDB twin is pure string arithmetic
@@ -4377,6 +4390,16 @@ object Queries {
         |  (SELECT o_orderkey AS k FROM orders ORDER BY o_orderkey LIMIT 100)
         |POSITIONAL JOIN
         |  (SELECT o_totalprice AS r FROM orders ORDER BY o_orderkey LIMIT 100)
+        |ORDER BY k""".stripMargin,
+
+    "ch80_sql_window_rank" ->
+      """SELECT o_orderkey AS k,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cdw,
+        |  nth_value(o_totalprice, 3) OVER w AS nv
+        |FROM orders WHERE o_orderkey <= 2000
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |  ORDER BY o_totalprice, o_orderkey)
         |ORDER BY k""".stripMargin,
 
     "ch79_sql_map_arith" ->

@@ -2642,6 +2642,9 @@ object ChSql {
           else if (f.args.size == 2) lead(a0, intArg(f.args(1))) else lead(a0, 1)
         case "first_value" => first(a0)
         case "last_value" => last(a0)
+        case "percent_rank" | "percentrank" => percent_rank()
+        case "cume_dist" | "cumedist" => cume_dist()
+        case "nth_value" | "nthvalue" => nth_value(a0, intArg(f.args(1)))
         case _ => funcCall(f, env)
       }
     }

@@ -53,6 +53,8 @@ object FunctionCatalog {
     "intexp10", "ifnotfinite", "tonullable", "jsonextractkeys",
     "jsonextractraw", "visitparamextractraw",
     "first_value", "flatten", "floor", "formatdatetime",
+    "percent_rank", "percentrank", "cume_dist", "cumedist", "nth_value",
+    "nthvalue",
     "formatreadablequantity", "formatreadablesize", "frombase64",
     "frommodifiedjulianday", "fromunixtimestamp", "generateuuidv4",
     "mapadd", "mapsubtract", "mappopulateseries", "arraywithconstant",
