@@ -3496,6 +3496,17 @@ object Queries {
         |  CAST(round(kurtSamp(o_totalprice), 6) AS Float64) AS ku
         |FROM orders GROUP BY st ORDER BY st""".stripMargin)),
 
+    // categorical association aggregates: cramersV / contingency /
+    // theilsU from one collected pair set per group (single partial+final
+    // pass); the DuckDB twin rebuilds the full zero-including contingency
+    // grid in SQL
+    "ch81_sql_association" -> ((s, dir) => chsql(s, dir,
+      """SELECT o_orderstatus AS st,
+        |  round(cramersV(o_orderpriority, o_custkey % 4), 6) AS cv,
+        |  round(contingency(o_orderpriority, o_custkey % 4), 6) AS cg,
+        |  round(theilsU(o_orderpriority, o_custkey % 4), 6) AS tu
+        |FROM orders GROUP BY st ORDER BY st""".stripMargin)),
+
     // the remaining ranking window functions — identical text runs on
     // DuckDB (same default RANGE frame; the unique (price, key) ordering
     // leaves no peer-row ambiguity)
@@ -4391,6 +4402,41 @@ object Queries {
         |POSITIONAL JOIN
         |  (SELECT o_totalprice AS r FROM orders ORDER BY o_orderkey LIMIT 100)
         |ORDER BY k""".stripMargin,
+
+    "ch81_sql_association" ->
+      """WITH base AS (SELECT o_orderstatus AS st, o_orderpriority AS x,
+        |    o_custkey % 4 AS y FROM orders),
+        |xs AS (SELECT DISTINCT st, x FROM base),
+        |ys AS (SELECT DISTINCT st, y FROM base),
+        |cells AS (SELECT st, x, y, CAST(count(*) AS DOUBLE) AS c
+        |  FROM base GROUP BY st, x, y),
+        |grid AS (SELECT xs.st, xs.x, ys.y
+        |  FROM xs JOIN ys ON xs.st = ys.st),
+        |g2 AS (SELECT grid.st, grid.x, grid.y, coalesce(c, 0) AS c
+        |  FROM grid LEFT JOIN cells ON grid.st = cells.st
+        |    AND grid.x = cells.x AND grid.y = cells.y),
+        |rows_ AS (SELECT st, x, sum(c) AS cx FROM g2 GROUP BY st, x),
+        |cols_ AS (SELECT st, y, sum(c) AS cy FROM g2 GROUP BY st, y),
+        |tot AS (SELECT st, sum(c) AS n FROM g2 GROUP BY st),
+        |agg AS (SELECT g2.st,
+        |    sum(CASE WHEN cx * cy > 0
+        |      THEN pow(c - cx * cy / n, 2) / (cx * cy / n) ELSE 0 END) AS chi2,
+        |    max(n) AS n,
+        |    count(DISTINCT g2.x) AS nx, count(DISTINCT g2.y) AS ny,
+        |    -sum(CASE WHEN c > 0 THEN (c / n) * ln(c / cy) ELSE 0 END) AS hxy
+        |  FROM g2 JOIN rows_ USING (st, x) JOIN cols_ USING (st, y)
+        |    JOIN tot USING (st)
+        |  GROUP BY g2.st),
+        |hx_ AS (SELECT rows_.st,
+        |    -sum(CASE WHEN cx > 0 THEN (cx / n) * ln(cx / n) ELSE 0 END) AS hx
+        |  FROM rows_ JOIN tot USING (st) GROUP BY rows_.st)
+        |SELECT agg.st AS st,
+        |  round(CASE WHEN least(nx, ny) <= 1 THEN 0
+        |    ELSE sqrt(chi2 / (n * (least(nx, ny) - 1))) END, 6) AS cv,
+        |  round(sqrt(chi2 / (chi2 + n)), 6) AS cg,
+        |  round(CASE WHEN hx = 0 THEN 0 ELSE (hx - hxy) / hx END, 6) AS tu
+        |FROM agg JOIN hx_ ON agg.st = hx_.st
+        |ORDER BY st""".stripMargin,
 
     "ch80_sql_window_rank" ->
       """SELECT o_orderkey AS k,

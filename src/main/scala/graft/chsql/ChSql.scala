@@ -1152,7 +1152,8 @@ object ChSql {
     "stddevpop", "stddevsamp", "varpop", "varsamp", "corr", "covarpop",
     "covarsamp", "avgweighted", "topk", "groupbitand", "groupbitor",
     "groupbitmap", "groupbitxor", "skewpop", "kurtpop", "summap",
-    "minmap", "maxmap", "sequencematch",
+    "minmap", "maxmap", "cramersv", "contingency", "theilsu",
+    "sequencematch",
     "sequencecount", "uniqupto", "windowfunnel", "retention",
     "sumarray", "minarray", "maxarray", "avgarray", "countarray",
     "uniqarray", "grouparrayarray", "quantiletiming", "quantilestiming",
@@ -2937,6 +2938,52 @@ object ChSql {
         case "covarpop" => covar_pop(a(0), a(1))
         case "covarsamp" => covar_samp(a(0), a(1))
         case "avgweighted" => sum(a(0) * a(1)) / sum(a(1))
+        // categorical association aggregates (cramersV / contingency /
+        // theilsU): one collect of (x, y) pairs per group, then the
+        // contingency algebra as row-local array arithmetic — a single
+        // partial+final pass; fine for the categorical cardinalities
+        // these statistics are defined over
+        case "cramersv" | "contingency" | "theilsu" =>
+          val pairs = collect_list(struct(a(0).as("x"), a(1).as("y")))
+          val xs = sort_array(array_distinct(transform(pairs, p => p.getField("x"))))
+          val ys = sort_array(array_distinct(transform(pairs, p => p.getField("y"))))
+          val n = size(pairs).cast("double")
+          def cnt(cond: Column => Column): Column =
+            size(filter(pairs, cond)).cast("double")
+          if (nm == "theilsu") {
+            // U(x|y) = (H(x) − H(x|y)) / H(x), natural log
+            def plogp(p: Column): Column =
+              when(p > 0, p * log(p)).otherwise(lit(0.0))
+            val hx = -aggregate(transform(xs, xv =>
+              plogp(cnt(r => r.getField("x") === xv) / n)),
+              lit(0.0), (acc, v) => acc + v)
+            val hxy = -aggregate(transform(ys, yv => {
+              val ny = cnt(r => r.getField("y") === yv)
+              (ny / n) * aggregate(transform(xs, xv =>
+                plogp(cnt(r => r.getField("x") === xv &&
+                  r.getField("y") === yv) / ny)),
+                lit(0.0), (acc, v) => acc + v)
+            }), lit(0.0), (acc, v) => acc + v)
+            when(hx === 0, lit(0.0)).otherwise((hx - hxy) / hx)
+          } else {
+            val chi2 = aggregate(transform(xs, xv => {
+              val nx = cnt(r => r.getField("x") === xv)
+              aggregate(transform(ys, yv => {
+                val nyc = cnt(r => r.getField("y") === yv)
+                val obs = cnt(r => r.getField("x") === xv &&
+                  r.getField("y") === yv)
+                val expd = nx * nyc / n
+                when(expd > 0, (obs - expd) * (obs - expd) / expd)
+                  .otherwise(lit(0.0))
+              }), lit(0.0), (acc, v) => acc + v)
+            }), lit(0.0), (acc, v) => acc + v)
+            if (nm == "contingency") sqrt(chi2 / (chi2 + n))
+            else {
+              val dof = least(size(xs), size(ys)) - 1
+              when(dof <= 0, lit(0.0))
+                .otherwise(sqrt(chi2 / (n * dof)))
+            }
+          }
         // minMap/maxMap(keys, values): per-key extremum over all rows'
         // (key, value) pairs → (sorted keys, extrema) tuple like sumMap.
         // One collect of zipped pairs, then row-local array algebra —
