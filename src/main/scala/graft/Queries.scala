@@ -3496,6 +3496,20 @@ object Queries {
         |  CAST(round(kurtSamp(o_totalprice), 6) AS Float64) AS ku
         |FROM orders GROUP BY st ORDER BY st""".stripMargin)),
 
+    // File(Format) table engine: the table's storage IS the declared
+    // interchange format (CSV here) — create/insert/scan-back round-trip;
+    // the DuckDB twin computes the same aggregate from the source rows
+    "ch82_sql_file_engine" -> ((s, dir) => chstmts(s, dir, Seq(
+      "DROP TABLE IF EXISTS ch82_file",
+      """CREATE TABLE ch82_file (k Int64, s String, p Float64)
+        |ENGINE = File(CSVWithNames)""".stripMargin,
+      """INSERT INTO ch82_file
+        |SELECT o_orderkey, o_orderpriority, o_totalprice
+        |FROM orders WHERE o_orderkey <= 100""".stripMargin,
+      """SELECT count() AS n,
+        |  CAST(sum(CAST(p AS Decimal(18, 2))) AS Float64) AS total,
+        |  min(s) AS mn FROM ch82_file""".stripMargin))),
+
     // categorical association aggregates: cramersV / contingency /
     // theilsU from one collected pair set per group (single partial+final
     // pass); the DuckDB twin rebuilds the full zero-including contingency
@@ -4402,6 +4416,12 @@ object Queries {
         |POSITIONAL JOIN
         |  (SELECT o_totalprice AS r FROM orders ORDER BY o_orderkey LIMIT 100)
         |ORDER BY k""".stripMargin,
+
+    "ch82_sql_file_engine" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  min(o_orderpriority) AS mn
+        |FROM orders WHERE o_orderkey <= 100""".stripMargin,
 
     "ch81_sql_association" ->
       """WITH base AS (SELECT o_orderstatus AS st, o_orderpriority AS x,

@@ -70,6 +70,13 @@ object ChDdl {
       "(?:ENGINE\\s*=\\s*(\\w+)\\s*(?:\\(([^)]*)\\))?\\s*)?" +
       "((?:ORDER|PARTITION)\\s+BY\\s+[^;]*?)?\\s*AS\\s+" +
       "((?:SELECT|WITH)\\s+.*)$").r
+  // structure clone (createTableStmt `AS identifier` form): copies the
+  // source's declared columns, engine, and clauses; an ENGINE override
+  // swaps the engine line of the re-runnable SHOW CREATE text
+  private val cloneRe =
+    ("(?is)^CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)\\s+AS\\s+" +
+      "([A-Za-z_][\\w.]*)\\s*(?:ENGINE\\s*=\\s*(\\w+)\\s*" +
+      "(?:\\(([^)]*)\\))?)?\\s*$").r
   private val insertRe =
     ("(?is)^INSERT\\s+INTO\\s+(?!FUNCTION)(?:TABLE\\s+)?([\\w.]+)\\s*" +
       "(?:\\(([\\w\\s,`]*)\\)\\s*)?(VALUES\\s*(.*)|(?:SELECT|WITH)\\s+.*)$").r
@@ -284,6 +291,28 @@ object ChDdl {
           asSelect.foreach(sel =>
             appendInto(spark, name, Nil, ChSql.sql(spark, sel)(resolve)))
         Some(created)
+
+      case cloneRe(ifNot, name, src, engOrNull, engArgsOrNull)
+          if spark.catalog.tableExists(src) || memTables.contains(src) =>
+        // `CREATE TABLE t2 AS t1 [ENGINE = e]` structure clone: replay
+        // the source's re-runnable SHOW CREATE text under the new name
+        // (round-trip pin guarantees fidelity); an ENGINE override swaps
+        // the engine line before the replay
+        if (Option(ifNot).isDefined && spark.catalog.tableExists(name))
+          Some(status(s"table $name already exists"))
+        else {
+          var text = showCreate(spark, src, resolve)
+            .replaceFirst("(?s)^CREATE (TEMPORARY )?TABLE " +
+              java.util.regex.Pattern.quote(src),
+              java.util.regex.Matcher.quoteReplacement(s"CREATE TABLE $name"))
+          Option(engOrNull).foreach { e =>
+            val args = Option(engArgsOrNull).map(a => s"($a)").getOrElse("")
+            text = text.replaceFirst("(?m)^ENGINE = .*$",
+              java.util.regex.Matcher.quoteReplacement(s"ENGINE = $e$args"))
+          }
+          dispatch(spark, text)(resolve)
+          Some(status(s"table $name created (structure of $src)"))
+        }
 
       case ctasRe(tmp, ifNot, name, engineOrNull, engineArgsOrNull, tailOrNull,
           sel) if Option(tmp).isDefined ||
@@ -1084,6 +1113,35 @@ object ChDdl {
         s"graft.aggtype.${d.name}" -> d.chType.get
     }
 
+    // File(Format) table engine (CH tableEngine File): the table's
+    // storage IS the declared interchange format — CREATE/INSERT/SELECT
+    // work unchanged through the catalog; like CH, the engine supports
+    // no sorting key, no partitions, no TTL, and no mutations
+    val fileFmt: Option[(String, Seq[(String, String)], String)] =
+      if (engine.equalsIgnoreCase("File")) {
+        val declared = engineArgs.trim
+        require(declared.nonEmpty, "ChSql: ENGINE = File needs a format")
+        val mapped = declared.toUpperCase(java.util.Locale.ROOT) match {
+          case "CSV" => ("csv", Seq("header" -> "false"))
+          case "CSVWITHNAMES" => ("csv", Seq("header" -> "true"))
+          case "TSV" | "TABSEPARATED" =>
+            ("csv", Seq("header" -> "false", "sep" -> "\t"))
+          case "TSVWITHNAMES" | "TABSEPARATEDWITHNAMES" =>
+            ("csv", Seq("header" -> "true", "sep" -> "\t"))
+          case "JSONEACHROW" | "NDJSON" => ("json", Seq.empty[(String, String)])
+          case "PARQUET" => ("parquet", Seq.empty[(String, String)])
+          case "ORC" => ("orc", Seq.empty[(String, String)])
+          case other => throw new IllegalArgumentException(
+            s"ChSql: ENGINE = File($other): supported formats here are " +
+              "CSV[WithNames], TSV[WithNames], JSONEachRow, Parquet, ORC")
+        }
+        require(orderBy.isEmpty && partitionBy.isEmpty && ttl.isEmpty &&
+          sampleBy.isEmpty && primaryKey.isEmpty,
+          "ChSql: ENGINE = File supports none of ORDER BY / PARTITION BY / " +
+            "PRIMARY KEY / SAMPLE BY / TTL (CH parity)")
+        Some((mapped._1, mapped._2, declared))
+      } else None
+
     if (ifNotExists && spark.catalog.tableExists(name))
       return status(s"table $name already exists")
     if (!spark.catalog.tableExists(name)) dropStaleLocation(spark, name)
@@ -1118,13 +1176,19 @@ object ChDdl {
         s"graft.alias.${d.name}" -> d.modExpr.get } ++
       defs.collect { case d if d.modKind.contains("ALIAS") && d.chType.nonEmpty =>
         s"graft.aliastype.${d.name}" -> d.chType.get }
-    val propsSql = props.map { case (k, v) =>
-      s"${sqlLit(k)}=${sqlLit(v)}" }.mkString(", ")
+    val propsSql = (props ++
+      fileFmt.map { case (_, _, declared) => "graft.file_format" -> declared })
+      .map { case (k, v) => s"${sqlLit(k)}=${sqlLit(v)}" }.mkString(", ")
     val partSql =
       if (partCols.isEmpty) "" else partCols.mkString(" PARTITIONED BY (", ", ", ")")
+    val usingFmt = fileFmt.map(_._1).getOrElse("parquet")
+    val optsSql = fileFmt.map(_._2).filter(_.nonEmpty)
+      .map(_.map { case (k, v) => s"${sqlLit(k)} ${sqlLit(v)}" }
+        .mkString(" OPTIONS (", ", ", ")")).getOrElse("")
     spark.sql(
       s"CREATE TABLE ${if (ifNotExists) "IF NOT EXISTS " else ""}$name " +
-        s"(${schema.toDDL}) USING parquet$partSql TBLPROPERTIES ($propsSql)")
+        s"(${schema.toDDL}) USING $usingFmt$optsSql$partSql " +
+        s"TBLPROPERTIES ($propsSql)")
     // column comments are catalog metadata — zero-job ALTER COLUMN
     defs.filter(d => d.comment.nonEmpty && !d.modKind.contains("ALIAS"))
       .foreach { d =>
@@ -1855,6 +1919,10 @@ object ChDdl {
     * Unpartitioned tables fall back to the full rewrite-and-swap. */
   private def mutateWhere(spark: SparkSession, name: String, pred: Column)(
       transform: DataFrame => DataFrame): String = {
+    require(!tablePropsSafe(spark, name)
+      .getOrElse("graft.engine", "").equalsIgnoreCase("File"),
+      s"ChSql: mutations are not supported on ENGINE = File tables " +
+        s"($name) — CH parity; CTAS into a MergeTree table first")
     val pcols = partitionCols(spark, name)
     if (pcols.isEmpty) {
       rewriteSwap(spark, name)(transform)
@@ -2333,6 +2401,8 @@ object ChDdl {
       partVals: Option[Seq[String]], fin: Boolean, dedup: Boolean,
       status: String => DataFrame): DataFrame = {
     val props = tableProps(spark, name)
+    require(!props.getOrElse("graft.engine", "").equalsIgnoreCase("File"),
+      s"ChSql: OPTIMIZE is not supported on ENGINE = File tables ($name)")
     // TTL applies on merges in CH; here the merge is OPTIMIZE. Run it
     // FIRST so expired data is dropped by metadata, never rewritten.
     // A partition-scoped OPTIMIZE merges only that partition — TTL too.
@@ -2438,6 +2508,8 @@ object ChDdl {
     val engineArgs =
       if (engine.equalsIgnoreCase("VersionedCollapsingMergeTree"))
         s"(${props("graft.sign")}, ${props("graft.version")})"
+      else if (engine.equalsIgnoreCase("File"))
+        s"(${props.getOrElse("graft.file_format", "Parquet")})"
       else props.get("graft.version").map(v => s"($v)")
         .orElse(props.get("graft.sign").map(s => s"($s)"))
         .orElse(props.get("graft.sum_cols").filter(_.nonEmpty).map(s => s"($s)"))

@@ -1512,6 +1512,52 @@ class DdlSurfaceSpec extends AnyFunSuite {
     chRun("DROP TABLE xchg_a"); chRun("DROP TABLE xchg_b")
   }
 
+  test("File engine: CSV/JSONEachRow round-trips; mutations/OPTIMIZE refuse") {
+    chRun("CREATE TABLE f_csv (k Int64, s String) ENGINE = File(CSVWithNames)")
+    chRun("INSERT INTO f_csv VALUES (1, 'a'), (2, 'b')")
+    chRun("INSERT INTO f_csv VALUES (3, 'c')")
+    assert(chRun("SELECT k, s FROM f_csv ORDER BY k")
+      .map(r => (r.getLong(0), r.getString(1))) == Seq(
+      (1L, "a"), (2L, "b"), (3L, "c")))
+    chRun("CREATE TABLE f_json (k Int64, s String) ENGINE = File(JSONEachRow)")
+    chRun("INSERT INTO f_json SELECT k, upper(s) FROM f_csv")
+    assert(chRun("SELECT count() AS n FROM f_json").head.getLong(0) == 3L)
+    // SHOW CREATE round-trips the declared format
+    val created = chRun("SHOW CREATE TABLE f_csv").head.getString(0)
+    assert(created.contains("ENGINE = File(CSVWithNames)"), created)
+    // CH parity: no mutations, no OPTIMIZE, no sorting key
+    val eMut = intercept[IllegalArgumentException](chRun(
+      "ALTER TABLE f_csv DELETE WHERE k = 1"))
+    assert(eMut.getMessage.contains("ENGINE = File"), eMut.getMessage)
+    val eOpt = intercept[IllegalArgumentException](chRun(
+      "OPTIMIZE TABLE f_csv FINAL"))
+    assert(eOpt.getMessage.contains("ENGINE = File"), eOpt.getMessage)
+    val eKey = intercept[IllegalArgumentException](chRun(
+      "CREATE TABLE f_bad (k Int64) ENGINE = File(CSV) ORDER BY k"))
+    assert(eKey.getMessage.contains("supports none"), eKey.getMessage)
+    chRun("DROP TABLE f_csv"); chRun("DROP TABLE f_json")
+  }
+
+  test("CREATE TABLE t2 AS t1 clones structure (and optional engine override)") {
+    chRun("""CREATE TABLE clone_src (k Int64, v Float64 DEFAULT k * 2.0)
+      |ENGINE = ReplacingMergeTree(k) ORDER BY k""".stripMargin)
+    chRun("INSERT INTO clone_src (k) VALUES (5)")
+    chRun("CREATE TABLE clone_dst AS clone_src")
+    // structure (incl. DEFAULT expression) came over; data did not
+    assert(chRun("SELECT count() AS n FROM clone_dst").head.getLong(0) == 0L)
+    chRun("INSERT INTO clone_dst (k) VALUES (7)")
+    val r = chRun("SELECT k, v FROM clone_dst").head
+    assert(r.getLong(0) == 7L && r.getDouble(1) == 14.0)
+    val c1 = chRun("SHOW CREATE TABLE clone_dst").head.getString(0)
+    assert(c1.contains("ENGINE = ReplacingMergeTree(k)"), c1)
+    // engine override swaps just the engine line
+    chRun("CREATE TABLE clone_sum AS clone_src ENGINE = SummingMergeTree")
+    val c2 = chRun("SHOW CREATE TABLE clone_sum").head.getString(0)
+    assert(c2.contains("ENGINE = SummingMergeTree"), c2)
+    chRun("DROP TABLE clone_src"); chRun("DROP TABLE clone_dst")
+    chRun("DROP TABLE clone_sum")
+  }
+
   test("RENAME DATABASE refuses honestly") {
     val e = intercept[IllegalArgumentException](chRun(
       "RENAME DATABASE db_from TO db_to"))
