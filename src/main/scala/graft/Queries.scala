@@ -3496,6 +3496,23 @@ object Queries {
         |  CAST(round(kurtSamp(o_totalprice), 6) AS Float64) AS ku
         |FROM orders GROUP BY st ORDER BY st""".stripMargin)),
 
+    // width_bucket histogram indexing, array shifts, query-log literal
+    // normalization, decimal size formatting (jumpConsistentHash rides
+    // spec-side: its reference vectors are pinned in ChSqlSpec; DuckDB
+    // has no loop construct to replay the LCG)
+    "ch83_sql_misc_scalar" -> ((s, dir) => chsql(s, dir,
+      """SELECT k,
+        |  widthBucket(k % 110, 0, 100, 10) AS wb,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    arrayShiftLeft([b, c, d], k % 2)), ',') AS sl,
+        |  normalizeQuery('SELECT a' || toString(k) || ' + '
+        |    || toString(k) || ' WHERE s = \'' || toString(k) || '\'') AS nq,
+        |  formatReadableDecimalSize(k * 1000 + 123) AS fr
+        |FROM (SELECT o_orderkey AS k, o_orderkey % 5 + 1 AS b,
+        |    o_orderkey % 3 + 1 AS c, o_orderkey % 7 + 1 AS d
+        |  FROM orders WHERE o_orderkey <= 300)
+        |ORDER BY k""".stripMargin)),
+
     // File(Format) table engine: the table's storage IS the declared
     // interchange format (CSV here) — create/insert/scan-back round-trip;
     // the DuckDB twin computes the same aggregate from the source rows
@@ -4415,6 +4432,20 @@ object Queries {
         |  (SELECT o_orderkey AS k FROM orders ORDER BY o_orderkey LIMIT 100)
         |POSITIONAL JOIN
         |  (SELECT o_totalprice AS r FROM orders ORDER BY o_orderkey LIMIT 100)
+        |ORDER BY k""".stripMargin,
+
+    "ch83_sql_misc_scalar" ->
+      """SELECT k,
+        |  CAST(CASE WHEN k % 110 >= 100 THEN 11
+        |    ELSE floor((k % 110) / 10) + 1 END AS BIGINT) AS wb,
+        |  CASE WHEN k % 2 = 0 THEN b || ',' || c || ',' || d
+        |    ELSE c || ',' || d || ',0' END AS sl,
+        |  'SELECT a' || k || ' + ? WHERE s = ?' AS nq,
+        |  CASE WHEN k = 0 THEN '123.00 B'
+        |    ELSE printf('%.2f', (k * 1000 + 123) / 1000.0) || ' KB' END AS fr
+        |FROM (SELECT o_orderkey AS k, o_orderkey % 5 + 1 AS b,
+        |    o_orderkey % 3 + 1 AS c, o_orderkey % 7 + 1 AS d
+        |  FROM orders WHERE o_orderkey <= 300)
         |ORDER BY k""".stripMargin,
 
     "ch82_sql_file_engine" ->

@@ -3128,6 +3128,59 @@ object ChSql {
           val centralAngle = asin(sqrt(half)) * 2
           if (nm == "greatcircleangle") degrees(centralAngle)
           else centralAngle * lit(6371000.0)
+        case "jumpconsistenthash" =>
+          graft.plans.NativeExpressions.jump_hash(
+            a(0).cast(LongType), intArg(f.args(1)))
+        case "widthbucket" =>
+          // SQL-standard width_bucket: equal-width histogram bucket index
+          // in [0, n+1] (0 below lo, n+1 at/above hi)
+          val (x, lo, hi, nb) = (a(0).cast("double"), a(1).cast("double"),
+            a(2).cast("double"), a(3).cast("double"))
+          when(x < lo, lit(0L))
+            .when(x >= hi, (nb + 1).cast(LongType))
+            .otherwise((floor((x - lo) / (hi - lo) * nb) + 1).cast(LongType))
+        case "arrayshiftleft" | "arrayshiftright" =>
+          // shift by n, vacated slots filled with the default (or typed
+          // zero of the first element when omitted); negative n flips
+          val arr = a(0)
+          val sz = size(arr)
+          val nRaw = (if (nm == "arrayshiftleft") a(1) else -a(1))
+            .cast(LongType)
+          val fillC = f.args.lift(2).map(t)
+            .getOrElse(element_at(arr, 1) - element_at(arr, 1))
+          val n0 = greatest(least(nRaw, sz.cast(LongType)),
+            -sz.cast(LongType)).cast("int")
+          // sequence(1, 0) would be the DESCENDING [1, 0] — guard
+          val pad = (cnt: Column) =>
+            when(cnt > 0, transform(sequence(lit(1), cnt), _ => fillC))
+              .otherwise(slice(arr, lit(1), lit(0)))
+          when(sz === 0, arr)
+            .when(n0 >= 0, concat(slice(arr, n0 + 1, sz - n0), pad(n0)))
+            .otherwise(concat(pad(-n0), slice(arr, lit(1), sz + n0)))
+        case "json_exists" =>
+          get_json_object(a(0), jsonPath(f.args.tail)).isNotNull
+        case "normalizequery" =>
+          // literal scrubbing: string literals then standalone numbers →
+          // `?` (the CH query-log normalization); identifier-embedded
+          // digits survive via the boundary guards
+          regexp_replace(regexp_replace(a(0),
+            "'(?:[^'\\\\]|\\\\.)*'", "?"),
+            "(?<![A-Za-z_0-9])-?\\d+(?:\\.\\d+)?", "?")
+        case "normalizedqueryhash" =>
+          // portable polynomial hash of the normalized text (CH uses its
+          // own internal hash; the contract is "equal queries ⇒ equal
+          // hash", which any fixed hash satisfies)
+          graft.functions.PortableHash.charFold(
+            t(FuncCall("normalizeQuery", Nil, Seq(f.args.head))))
+        case "formatreadabledecimalsize" =>
+          // 1000-based tiers (KB/MB/GB/TB), two decimals — the decimal
+          // sibling of formatReadableSize
+          val b = a(0).cast("double")
+          when(b < 1000, concat(format_number(b, 2), lit(" B")))
+            .when(b < 1e6, concat(format_number(b / 1e3, 2), lit(" KB")))
+            .when(b < 1e9, concat(format_number(b / 1e6, 2), lit(" MB")))
+            .when(b < 1e12, concat(format_number(b / 1e9, 2), lit(" GB")))
+            .otherwise(concat(format_number(b / 1e12, 2), lit(" TB")))
         // map arithmetic over (keys, values) tuples — row-local array
         // algebra; the typed zero (x − x of the first element) keeps the
         // value type without a cast
@@ -3160,7 +3213,8 @@ object ChSql {
                 .otherwise(zero)
             }).as("col2"))
         case "arraywithconstant" =>
-          transform(sequence(lit(1), a(0)), _ => a(1))
+          when(a(0) > 0, transform(sequence(lit(1), a(0)), _ => a(1)))
+            .otherwise(filter(array(a(1)), _ => lit(false)))
         case "bittestall" =>
           f.args.tail.map(b =>
             (shiftright(a(0), intArg(b)) % 2 === 1): Column)

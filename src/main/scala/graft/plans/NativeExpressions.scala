@@ -878,6 +878,36 @@ object NativeExpressions {
       copy(first = f, second = s, third = t, fourth = q)
   }
 
+  /** Jump consistent hash (Lamping–Veach, public algorithm) — the
+    * shard-assignment function: maps a 64-bit key onto [0, buckets) with
+    * minimal reshuffling when buckets grows. */
+  def jumpHashCompute(key: Long, buckets: Int): Long = {
+    var k = key
+    var b = -1L
+    var j = 0L
+    while (j < buckets) {
+      b = j
+      k = k * 2862933555777941757L + 1
+      j = ((b + 1) * (2147483648.0 / (((k >>> 33) + 1).toDouble))).toLong
+    }
+    b
+  }
+
+  case class JumpHash(child: Expression, buckets: Int) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(input: Any): Any =
+      jumpHashCompute(input.asInstanceOf[Long], buckets)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.NativeExpressions.jumpHashCompute($c, $buckets)")
+    override protected def withNewChildInternal(newChild: Expression): JumpHash =
+      copy(child = newChild)
+  }
+
+  def jump_hash(key: Column, buckets: Int): Column =
+    ColumnBridge.column(JumpHash(ColumnBridge.expression(key), buckets))
+
   def geohash_encode(lon: Column, lat: Column, precision: Int): Column =
     ColumnBridge.column(GeohashEncode(
       ColumnBridge.expression(lon), ColumnBridge.expression(lat), precision))

@@ -1373,6 +1373,40 @@ class ChSqlSpec extends AnyFunSuite {
       "1 day, 1 hour, 1 minute, 1 second", "1 second", "0 seconds")))
   }
 
+  test("jumpConsistentHash, widthBucket, array shifts, normalizeQuery") {
+    val r = run(
+      """SELECT jumpConsistentHash(10863919174838991, 5) AS jh,
+        |  widthBucket(7.5, 0.0, 10.0, 5) AS wb,
+        |  widthBucket(-1.0, 0.0, 10.0, 5) AS wlo,
+        |  widthBucket(10.0, 0.0, 10.0, 5) AS whi,
+        |  arrayShiftLeft([1, 2, 3, 4], 2) AS sl,
+        |  arrayShiftRight([1, 2, 3, 4], 1, 9) AS sr,
+        |  JSON_EXISTS('{"a":{"b":1}}', 'a', 'b') AS je,
+        |  JSON_EXISTS('{"a":{"b":1}}', 'a', 'c') AS jn,
+        |  normalizeQuery('SELECT x1 + 12, \'lit\' FROM t WHERE y = 3.5') AS nq,
+        |  formatReadableDecimalSize(1234567) AS fr""".stripMargin)
+    val row = r.head
+    // Lamping–Veach reference implementation vector (independently
+    // recomputed: unsigned 64-bit LCG + (b+1)*2^31/((key>>33)+1) steps)
+    assert(row.head == 1L)
+    val vec = run(
+      "SELECT jumpConsistentHash(number, 5) AS b FROM numbers(10)")
+    assert(vec.map(_.head) == Seq(0L, 0L, 3L, 3L, 1L, 4L, 2L, 0L, 4L, 2L))
+    assert(row(1) == 4L && row(2) == 0L && row(3) == 6L)
+    assert(row(4).asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(3, 4, 0, 0))
+    assert(row(5).asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(9, 1, 2, 3))
+    assert(row(6) == true && row(7) == false)
+    assert(row(8) == "SELECT x1 + ?, ? FROM t WHERE y = ?")
+    assert(row(9) == "1.23 MB")
+    // stability: same key, more buckets — assignment only moves forward
+    val stab = run(
+      """SELECT jumpConsistentHash(number * 7 + 3, 4) AS b4,
+        |  jumpConsistentHash(number * 7 + 3, 5) AS b5
+        |FROM numbers(200)""".stripMargin)
+    assert(stab.forall { case Seq(b4: Long, b5: Long) =>
+      b5 == b4 || b5 == 4L })
+  }
+
   test("ngramDistance: 0 for identical, 1 for disjoint, between otherwise") {
     val r = run(
       """SELECT ngramDistance('clickhouse', 'clickhouse') AS same,
