@@ -2939,44 +2939,60 @@ object ChSql {
         case "covarsamp" => covar_samp(a(0), a(1))
         case "avgweighted" => sum(a(0) * a(1)) / sum(a(1))
         // categorical association aggregates (cramersV / contingency /
-        // theilsU): one collect of (x, y) pairs per group, then the
-        // contingency algebra as row-local array arithmetic — a single
-        // partial+final pass; fine for the categorical cardinalities
-        // these statistics are defined over
+        // theilsU): the aggregation state is the CONTINGENCY CELL COUNT
+        // MAP (SumMapAgg over an encoded (x, y) cell key) — bounded by
+        // the number of distinct cells, never by row count, so the
+        // single partial+final pass is 100 TB-safe; the statistic algebra
+        // then runs row-locally over the (cells, counts) arrays.
+        // Categories compare by their string form (the \u0001 separator
+        // cannot occur in real category values).
         case "cramersv" | "contingency" | "theilsu" =>
-          val pairs = collect_list(struct(a(0).as("x"), a(1).as("y")))
-          val xs = sort_array(array_distinct(transform(pairs, p => p.getField("x"))))
-          val ys = sort_array(array_distinct(transform(pairs, p => p.getField("y"))))
-          val n = size(pairs).cast("double")
-          def cnt(cond: Column => Column): Column =
-            size(filter(pairs, cond)).cast("double")
+          val sep = "\u0001"
+          val cellKey = concat(a(0).cast("string"), lit(sep),
+            a(1).cast("string"))
+          val cc = graft.plans.SumMapAgg.sumMap(cellKey, lit(1L))
+          val cells = cc.getField("col1")
+          val cnts = cc.getField("col2")
+          def fsum(arr: Column): Column =
+            aggregate(arr, lit(0.0), (acc, v) => acc + v.cast("double"))
+          val n = fsum(cnts)
+          def xOf(c: Column): Column = substring_index(c, sep, 1)
+          def yOf(c: Column): Column = substring_index(c, sep, -1)
+          val xs = array_distinct(transform(cells, c => xOf(c)))
+          val ys = array_distinct(transform(cells, c => yOf(c)))
+          // marginal count for a predicate over the cell key
+          def marg(pred: Column => Column): Column =
+            fsum(zip_with(cells, cnts,
+              (c, k) => when(pred(c), k).otherwise(lit(0L))))
           if (nm == "theilsu") {
-            // U(x|y) = (H(x) − H(x|y)) / H(x), natural log
+            // U(x|y) = (H(x) − H(x|y)) / H(x), natural log; H(x|y) via
+            // the per-cell identity −Σ (c/n)·ln(c/cy)
             def plogp(p: Column): Column =
               when(p > 0, p * log(p)).otherwise(lit(0.0))
             val hx = -aggregate(transform(xs, xv =>
-              plogp(cnt(r => r.getField("x") === xv) / n)),
+              plogp(marg(c => xOf(c) === xv) / n)),
               lit(0.0), (acc, v) => acc + v)
-            val hxy = -aggregate(transform(ys, yv => {
-              val ny = cnt(r => r.getField("y") === yv)
-              (ny / n) * aggregate(transform(xs, xv =>
-                plogp(cnt(r => r.getField("x") === xv &&
-                  r.getField("y") === yv) / ny)),
-                lit(0.0), (acc, v) => acc + v)
-            }), lit(0.0), (acc, v) => acc + v)
+            val hxy = -fsum(zip_with(cells, cnts, (c, k) => {
+              val cy = marg(c2 => yOf(c2) === yOf(c))
+              when(k > 0, (k.cast("double") / n) *
+                log(k.cast("double") / cy)).otherwise(lit(0.0))
+            }))
             when(hx === 0, lit(0.0)).otherwise((hx - hxy) / hx)
           } else {
-            val chi2 = aggregate(transform(xs, xv => {
-              val nx = cnt(r => r.getField("x") === xv)
-              aggregate(transform(ys, yv => {
-                val nyc = cnt(r => r.getField("y") === yv)
-                val obs = cnt(r => r.getField("x") === xv &&
-                  r.getField("y") === yv)
-                val expd = nx * nyc / n
-                when(expd > 0, (obs - expd) * (obs - expd) / expd)
-                  .otherwise(lit(0.0))
-              }), lit(0.0), (acc, v) => acc + v)
-            }), lit(0.0), (acc, v) => acc + v)
+            // chi² = Σ_cells (obs − exp)²/exp + the zero-observation
+            // remainder Σ_{empty cells} exp, folded in closed form:
+            // Σ_all exp = n, so the empty-cell part is n − Σ_nonempty exp
+            val perCell = zip_with(cells, cnts, (c, k) => {
+              val ex = marg(c2 => xOf(c2) === xOf(c)) *
+                marg(c2 => yOf(c2) === yOf(c)) / n
+              struct(
+                (when(ex > 0, (k.cast("double") - ex) * (k.cast("double") - ex) / ex)
+                  .otherwise(lit(0.0))).as("chi"),
+                ex.as("ex"))
+            })
+            val chiNonEmpty = fsum(transform(perCell, p => p.getField("chi")))
+            val exNonEmpty = fsum(transform(perCell, p => p.getField("ex")))
+            val chi2 = chiNonEmpty + (n - exNonEmpty)
             if (nm == "contingency") sqrt(chi2 / (chi2 + n))
             else {
               val dof = least(size(xs), size(ys)) - 1
