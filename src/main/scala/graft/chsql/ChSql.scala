@@ -3000,24 +3000,14 @@ object ChSql {
                 .otherwise(sqrt(chi2 / (n * dof)))
             }
           }
-        // minMap/maxMap(keys, values): per-key extremum over all rows'
-        // (key, value) pairs → (sorted keys, extrema) tuple like sumMap.
-        // One collect of zipped pairs, then row-local array algebra —
-        // a single partial+final pass, no extra shuffle
-        case "minmap" | "maxmap" =>
-          val rows0 = collect_list(struct(a(0).as("ka"), a(1).as("va")))
-          val pairs = flatten(transform(rows0, r =>
-            zip_with(r.getField("ka"), r.getField("va"),
-              (k, v) => struct(k.as("k"), v.as("v")))))
-          val ks = sort_array(array_distinct(
-            transform(pairs, p => p.getField("k"))))
-          val ext: Column => Column =
-            if (nm == "minmap") array_min else array_max
-          struct(ks.as("col1"),
-            transform(ks, key => ext(filter(
-              transform(pairs, p =>
-                when(p.getField("k") === key, p.getField("v"))),
-              x => x.isNotNull))).as("col2"))
+        // minMap/maxMap(keys, values): per-key extremum → (sorted keys,
+        // extrema) tuple like sumMap. A TypedImperativeAggregate whose
+        // state is the key → best-value map — bounded by distinct keys,
+        // never by row count; map-side combine, one partial+final pass
+        case "minmap" =>
+          graft.plans.ExtremumMapAgg.minMap(a(0), a(1))
+        case "maxmap" =>
+          graft.plans.ExtremumMapAgg.maxMap(a(0), a(1))
         // the value if the group holds exactly one distinct value, else NULL
         case "singlevalueornull" =>
           when(countDistinct(a(0)) === 1, min(a(0)))

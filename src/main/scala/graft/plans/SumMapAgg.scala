@@ -155,3 +155,144 @@ object SumMapAgg {
       SumMapAgg(ColumnBridge.expression(key), ColumnBridge.expression(value))
         .toAggregateExpression())
 }
+
+/** minMap/maxMap (CH sumMap siblings): per-key extremum with the SAME
+  * bounded aggregation state — a key → best-value map, sized by distinct
+  * keys, never by row count (the 100 TB contract SumMapAgg set). Output
+  * is the (sorted keys, extrema) col1/col2 tuple. */
+case class ExtremumMapAgg(
+    left: Expression,
+    right: Expression,
+    isMin: Boolean,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashMap[Any, Any]]
+  with BinaryLike[Expression] {
+
+  // CH minMap/maxMap take (keys array, values array) per row; the
+  // scalar-pair form is accepted too (≡ one-element arrays)
+  private def keyType: DataType = left.dataType match {
+    case ArrayType(et, _) => et
+    case t => t
+  }
+  private def valueType: DataType = right.dataType match {
+    case ArrayType(et, _) => et
+    case t => t
+  }
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("col1", ArrayType(keyType, containsNull = false)),
+    StructField("col2", ArrayType(valueType, containsNull = false))))
+  override def prettyName: String = if (isMin) "min_map" else "max_map"
+
+  override def createAggregationBuffer(): java.util.HashMap[Any, Any] =
+    new java.util.HashMap[Any, Any]()
+
+  @transient private lazy val vOrd =
+    TypeUtils.getInterpretedOrdering(valueType)
+
+  private def better(a: Any, b: Any): Any =
+    if (if (isMin) vOrd.lt(b, a) else vOrd.gt(b, a)) b else a
+
+  private def put(buf: java.util.HashMap[Any, Any], k: Any, v: Any): Unit = {
+    if (k == null || v == null) return
+    val key = k match {
+      case u: UTF8String => u.clone()
+      case other => other
+    }
+    val vc = v match {
+      case u: UTF8String => u.clone()
+      case other => other
+    }
+    val prev = buf.get(key)
+    buf.put(key, if (prev == null) vc else better(prev, vc))
+  }
+
+  override def update(buf: java.util.HashMap[Any, Any],
+      input: InternalRow): java.util.HashMap[Any, Any] = {
+    val k = left.eval(input)
+    val v = right.eval(input)
+    if (k != null && v != null) (k, v) match {
+      case (ka: org.apache.spark.sql.catalyst.util.ArrayData,
+            va: org.apache.spark.sql.catalyst.util.ArrayData) =>
+        val n = math.min(ka.numElements(), va.numElements())
+        var i = 0
+        while (i < n) {
+          put(buf, ka.get(i, keyType), va.get(i, valueType))
+          i += 1
+        }
+      case _ => put(buf, k, v)
+    }
+    buf
+  }
+
+  override def merge(b1: java.util.HashMap[Any, Any],
+      b2: java.util.HashMap[Any, Any]): java.util.HashMap[Any, Any] = {
+    val it = b2.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val prev = b1.get(e.getKey)
+      b1.put(e.getKey, if (prev == null) e.getValue else better(prev, e.getValue))
+    }
+    b1
+  }
+
+  override def eval(buf: java.util.HashMap[Any, Any]): Any = {
+    val ord = TypeUtils.getInterpretedOrdering(keyType)
+    val keys = new Array[Any](buf.size())
+    val it = buf.keySet().iterator()
+    var i = 0
+    while (it.hasNext) { keys(i) = it.next(); i += 1 }
+    val sorted = keys.sortWith((x, y) => ord.lt(x, y))
+    val vals = sorted.map(buf.get)
+    new GenericInternalRow(Array[Any](
+      new GenericArrayData(sorted), new GenericArrayData(vals)))
+  }
+
+  override def serialize(buf: java.util.HashMap[Any, Any]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new ObjectOutputStream(bos)
+    out.writeInt(buf.size())
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out.writeObject(e.getKey)
+      out.writeObject(e.getValue)
+    }
+    out.close()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[Any, Any] = {
+    val in = new ObjectInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val m = new java.util.HashMap[Any, Any](n * 2)
+    var i = 0
+    while (i < n) {
+      val key = in.readObject()
+      val v = in.readObject()
+      m.put(key, v)
+      i += 1
+    }
+    in.close()
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ExtremumMapAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ExtremumMapAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ExtremumMapAgg =
+    copy(left = newLeft, right = newRight)
+}
+
+object ExtremumMapAgg {
+  def minMap(key: Column, value: Column): Column =
+    ColumnBridge.column(ExtremumMapAgg(ColumnBridge.expression(key),
+      ColumnBridge.expression(value), isMin = true).toAggregateExpression())
+  def maxMap(key: Column, value: Column): Column =
+    ColumnBridge.column(ExtremumMapAgg(ColumnBridge.expression(key),
+      ColumnBridge.expression(value), isMin = false).toAggregateExpression())
+}
