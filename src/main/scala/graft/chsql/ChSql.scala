@@ -3248,7 +3248,7 @@ object ChSql {
         // sequential-fold accumulation in double (deterministic order,
         // replayable in any engine); dot goes through the codegen'd
         // native expression the similarity operators use
-        case "dotproduct" | "scalarproduct" =>
+        case "dotproduct" | "scalarproduct" | "arraydotproduct" =>
           graft.operators.Similarity.dot(
             graft.operators.Similarity.asDouble(a(0)),
             graft.operators.Similarity.asDouble(a(1)))
@@ -3622,6 +3622,12 @@ object ChSql {
           substring_index(a(0), litStr("substringIndex", f.args(1)),
             intArg(f.args(2)))
         case "initcap" | "initcaputf8" => initcap(a(0))
+        case "leftpadutf8" =>
+          lpad(a(0), intArg(f.args(1)),
+            if (f.args.size > 2) litStr("leftPadUTF8", f.args(2)) else " ")
+        case "rightpadutf8" =>
+          rpad(a(0), intArg(f.args(1)),
+            if (f.args.size > 2) litStr("rightPadUTF8", f.args(2)) else " ")
         case "reverseutf8" => reverse(a(0))
         case "startswithutf8" => a(0).startsWith(a(1))
         case "endswithutf8" => a(0).endsWith(a(1))
@@ -3714,7 +3720,7 @@ object ChSql {
         // ---- string similarity / search ----
         case "levenshteindistance" | "editdistance" => levenshtein(a(0), a(1))
         case "soundex" => soundex(a(0))
-        case "positioncaseinsensitive" =>
+        case "positioncaseinsensitive" | "positioncaseinsensitiveutf8" =>
           call_function("instr", lower(a(0)), lower(a(1)))
         case "countmatches" =>
           size(regexp_extract_all(a(0),
