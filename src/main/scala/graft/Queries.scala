@@ -3496,6 +3496,22 @@ object Queries {
         |  CAST(round(kurtSamp(o_totalprice), 6) AS Float64) AS ku
         |FROM orders GROUP BY st ORDER BY st""".stripMargin)),
 
+    // UTF8 pad/search aliases + arrayDotProduct: leftPadUTF8/rightPadUTF8
+    // ride lpad/rpad, positionCaseInsensitiveUTF8 rides lowered instr,
+    // arrayDotProduct rides the codegen'd native dot the similarity
+    // operators use — the DuckDB twin computes the dot in closed form
+    "ch84_sql_string_pad_utf8" -> ((s, dir) => chsql(s, dir,
+      """SELECT k,
+        |  leftPadUTF8(p, 12, '*') AS lp,
+        |  rightPadUTF8(p, 12) AS rp,
+        |  positionCaseInsensitiveUTF8(p, 'urgent') AS pos,
+        |  CAST(round(arrayDotProduct(
+        |      [toFloat64(k % 5), 2.0, 3.0],
+        |      [1.0, toFloat64(k % 3), 2.0]), 6) AS Float64) AS dp
+        |FROM (SELECT o_orderkey AS k, o_orderpriority AS p
+        |  FROM orders WHERE o_orderkey <= 200)
+        |ORDER BY k""".stripMargin)),
+
     // width_bucket histogram indexing, array shifts, query-log literal
     // normalization, decimal size formatting (jumpConsistentHash rides
     // spec-side: its reference vectors are pinned in ChSqlSpec; DuckDB
@@ -4432,6 +4448,16 @@ object Queries {
         |  (SELECT o_orderkey AS k FROM orders ORDER BY o_orderkey LIMIT 100)
         |POSITIONAL JOIN
         |  (SELECT o_totalprice AS r FROM orders ORDER BY o_orderkey LIMIT 100)
+        |ORDER BY k""".stripMargin,
+
+    "ch84_sql_string_pad_utf8" ->
+      """SELECT k,
+        |  lpad(p, 12, '*') AS lp,
+        |  rpad(p, 12, ' ') AS rp,
+        |  CAST(instr(lower(p), 'urgent') AS BIGINT) AS pos,
+        |  CAST(round((k % 5) * 1.0 + 2.0 * (k % 3) + 6.0, 6) AS DOUBLE) AS dp
+        |FROM (SELECT o_orderkey AS k, o_orderpriority AS p
+        |  FROM orders WHERE o_orderkey <= 200)
         |ORDER BY k""".stripMargin,
 
     "ch83_sql_misc_scalar" ->

@@ -1957,9 +1957,15 @@ object ChSql {
             s"ChSql: neighbor offset must be an integer literal, got $other")
         }
         val fn = if (back) "lag" else "lead"
-        WindowE(FuncCall(fn, Nil,
+        val shifted = WindowE(FuncCall(fn, Nil,
           Seq(x, NumLit(off)) ++ args.drop(2).map(rewriteNav)),
           Nil, navOrd, None)
+        // CH: out of range without an explicit default yields the column
+        // TYPE's default (0, '', epoch; NULL only for Nullable) — not
+        // NULL; defaultValueOfArgumentType folds to that typed literal
+        if (args.size > 2) shifted
+        else FuncCall("ifNull", Nil, Seq(shifted,
+          FuncCall("defaultValueOfArgumentType", Nil, Seq(x))))
       case FuncCall(n, Nil, Seq(x0), false)
           if n.equalsIgnoreCase("runningDifference") =>
         val x = rewriteNav(x0)
@@ -2604,10 +2610,23 @@ object ChSql {
           // ranking/offset functions carry their own implicit frame; Spark
           // rejects an explicit one — only aggregate window functions take
           // the (possibly named-window) frame
+          val fnL = fn.name.toLowerCase
           val framable = !Set("row_number", "rownumber", "rank", "dense_rank",
             "denserank", "ntile", "lag", "lead", "laginframe", "leadinframe",
             "percent_rank", "cume_dist")
-            .contains(fn.name.toLowerCase)
+            .contains(fnL)
+          // lagInFrame/leadInFrame are DEFINED by frame-boundedness; the
+          // lag/lead mapping is exact only for the whole-partition frame
+          // (the one CH's own docs tell users to write). A bounded frame
+          // would silently return whole-partition values — refuse instead.
+          if ((fnL == "laginframe" || fnL == "leadinframe") && frame.exists {
+                case (_, lo, hi) => !(lo == Long.MinValue && hi == Long.MaxValue)
+              })
+            throw new IllegalArgumentException(
+              "ChSql: " + fn.name + " with a bounded explicit frame is not " +
+                "supported — Spark's lag/lead always read the whole " +
+                "partition; use ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+                "UNBOUNDED FOLLOWING (or omit the frame clause)")
           frame.filter(_ => framable).foreach { case (isRows, lo, hi) =>
             spec = if (isRows) spec.rowsBetween(lo, hi)
             else spec.rangeBetween(lo, hi)
@@ -2940,17 +2959,33 @@ object ChSql {
         case "avgweighted" => sum(a(0) * a(1)) / sum(a(1))
         // categorical association aggregates (cramersV / contingency /
         // theilsU): the aggregation state is the CONTINGENCY CELL COUNT
-        // MAP (SumMapAgg over an encoded (x, y) cell key) — bounded by
-        // the number of distinct cells, never by row count, so the
+        // MAP (SumMapAgg over an encoded (x, y) cell key) plus the two
+        // MARGINAL count maps as sibling sumMaps — every buffer bounded
+        // by distinct cells/categories, never by row count, so the
         // single partial+final pass is 100 TB-safe; the statistic algebra
         // then runs row-locally over the (cells, counts) arrays.
-        // Categories compare by their string form (the \u0001 separator
-        // cannot occur in real category values).
+        // Categories compare by their string form.
         case "cramersv" | "contingency" | "theilsu" =>
           val sep = "\u0001"
-          val cellKey = concat(a(0).cast("string"), lit(sep),
-            a(1).cast("string"))
+          // escape makes the encoding injective for ANY category bytes:
+          // ESC doubles itself, SEP maps to ESC+'s' — and the escaped
+          // x/y halves equal the sibling marginal aggregates' keys, so
+          // lookups need no decode step
+          val esc = "\u0002"
+          def escape(c: Column): Column =
+            replace(replace(c.cast("string"), lit(esc), lit(esc + esc)),
+              lit(sep), lit(esc + "s"))
+          val ex0 = escape(a(0))
+          val ey0 = escape(a(1))
+          val cellKey = concat(ex0, lit(sep), ey0)
           val cc = graft.plans.SumMapAgg.sumMap(cellKey, lit(1L))
+          // marginal count maps as SIBLING sumMaps — one aggregation
+          // pass computes all three; marginals count only rows where
+          // BOTH sides are non-null (the rows the cell map sees)
+          val xcc = graft.plans.SumMapAgg.sumMap(
+            when(a(1).isNotNull, ex0), lit(1L))
+          val ycc = graft.plans.SumMapAgg.sumMap(
+            when(a(0).isNotNull, ey0), lit(1L))
           val cells = cc.getField("col1")
           val cnts = cc.getField("col2")
           def fsum(arr: Column): Column =
@@ -2958,33 +2993,36 @@ object ChSql {
           val n = fsum(cnts)
           def xOf(c: Column): Column = substring_index(c, sep, 1)
           def yOf(c: Column): Column = substring_index(c, sep, -1)
-          val xs = array_distinct(transform(cells, c => xOf(c)))
-          val ys = array_distinct(transform(cells, c => yOf(c)))
-          // marginal count for a predicate over the cell key
-          def marg(pred: Column => Column): Column =
-            fsum(zip_with(cells, cnts,
-              (c, k) => when(pred(c), k).otherwise(lit(0L))))
+          val xs = xcc.getField("col1")
+          val ys = ycc.getField("col1")
+          // marginal lookup: a map over the sibling aggregate's arrays —
+          // O(distinct categories) to build, independent of the cell
+          // count, so final evaluation is O(cells · distinct), never the
+          // O(cells²) a per-cell rescan of all cells would cost
+          def cxOf(c: Column): Column =
+            element_at(map_from_arrays(xs, xcc.getField("col2")), xOf(c))
+              .cast("double")
+          def cyOf(c: Column): Column =
+            element_at(map_from_arrays(ys, ycc.getField("col2")), yOf(c))
+              .cast("double")
           if (nm == "theilsu") {
             // U(x|y) = (H(x) − H(x|y)) / H(x), natural log; H(x|y) via
             // the per-cell identity −Σ (c/n)·ln(c/cy)
             def plogp(p: Column): Column =
               when(p > 0, p * log(p)).otherwise(lit(0.0))
-            val hx = -aggregate(transform(xs, xv =>
-              plogp(marg(c => xOf(c) === xv) / n)),
+            val hx = -aggregate(transform(xcc.getField("col2"), cx =>
+              plogp(cx.cast("double") / n)),
               lit(0.0), (acc, v) => acc + v)
-            val hxy = -fsum(zip_with(cells, cnts, (c, k) => {
-              val cy = marg(c2 => yOf(c2) === yOf(c))
+            val hxy = -fsum(zip_with(cells, cnts, (c, k) =>
               when(k > 0, (k.cast("double") / n) *
-                log(k.cast("double") / cy)).otherwise(lit(0.0))
-            }))
+                log(k.cast("double") / cyOf(c))).otherwise(lit(0.0))))
             when(hx === 0, lit(0.0)).otherwise((hx - hxy) / hx)
           } else {
             // chi² = Σ_cells (obs − exp)²/exp + the zero-observation
             // remainder Σ_{empty cells} exp, folded in closed form:
             // Σ_all exp = n, so the empty-cell part is n − Σ_nonempty exp
             val perCell = zip_with(cells, cnts, (c, k) => {
-              val ex = marg(c2 => xOf(c2) === xOf(c)) *
-                marg(c2 => yOf(c2) === yOf(c)) / n
+              val ex = cxOf(c) * cyOf(c) / n
               struct(
                 (when(ex > 0, (k.cast("double") - ex) * (k.cast("double") - ex) / ex)
                   .otherwise(lit(0.0))).as("chi"),
@@ -3135,8 +3173,15 @@ object ChSql {
           if (nm == "greatcircleangle") degrees(centralAngle)
           else centralAngle * lit(6371000.0)
         case "jumpconsistenthash" =>
-          graft.plans.NativeExpressions.jump_hash(
-            a(0).cast(LongType), intArg(f.args(1)))
+          // CH errors on a non-positive bucket count; catching it at
+          // translation time (the count is a literal here) beats the
+          // silent -1 the loop-never-runs form would produce
+          val nb = intArg(f.args(1))
+          if (nb <= 0) throw new IllegalArgumentException(
+            s"ChSql: jumpConsistentHash bucket count must be positive, got $nb")
+          graft.plans.NativeExpressions.jump_hash(a(0).cast(LongType), nb)
+        case "defaultvalueofargumenttype" =>
+          graft.plans.NativeExpressions.default_value_of(a(0))
         case "widthbucket" =>
           // SQL-standard width_bucket: equal-width histogram bucket index
           // in [0, n+1] (0 below lo, n+1 at/above hi)

@@ -905,6 +905,26 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** CH `defaultValueOfArgumentType(x)`: the column type's default value
+    * (0, '', false, epoch) — the out-of-range filler `neighbor()` uses.
+    * CH columns are non-Nullable by default, and Spark marks nearly every
+    * scanned column nullable regardless of contents, so the non-Nullable
+    * CH default is the faithful mapping (a CH Nullable column would give
+    * NULL instead — that is the one divergence, and it is the rare case).
+    * RuntimeReplaceable so the child's RESOLVED type picks the literal
+    * after analysis; the optimizer folds it away. */
+  case class DefaultValueOf(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable
+      with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+    override lazy val replacement: Expression =
+      org.apache.spark.sql.catalyst.expressions.Literal.default(child.dataType)
+    override protected def withNewChildInternal(newChild: Expression): DefaultValueOf =
+      copy(child = newChild)
+  }
+
+  def default_value_of(c: Column): Column =
+    ColumnBridge.column(DefaultValueOf(ColumnBridge.expression(c)))
+
   def jump_hash(key: Column, buckets: Int): Column =
     ColumnBridge.column(JumpHash(ColumnBridge.expression(key), buckets))
 

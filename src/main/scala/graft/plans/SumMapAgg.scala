@@ -186,6 +186,30 @@ case class ExtremumMapAgg(
     StructField("col2", ArrayType(valueType, containsNull = false))))
   override def prettyName: String = if (isMin) "min_map" else "max_map"
 
+  // the buffer is a JDK HashMap serialized with ObjectOutputStream:
+  // keys need value-equality hashCode/equals and both sides need Java
+  // serialization, which holds for atomic types but NOT for catalyst
+  // nested values (InternalRow/ArrayData) or raw byte arrays — reject
+  // those at analysis time instead of failing at shuffle time
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case BinaryType | NullType => false
+      case _: ArrayType | _: MapType | _: StructType => false
+      case _: UserDefinedType[_] => false
+      case _ => true
+    }
+    if (!ok(keyType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName key type must be an atomic (non-binary) type, " +
+          s"got ${keyType.catalogString}")
+    else if (!ok(valueType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName value type must be an atomic (non-binary) type, " +
+          s"got ${valueType.catalogString}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
   override def createAggregationBuffer(): java.util.HashMap[Any, Any] =
     new java.util.HashMap[Any, Any]()
 

@@ -1194,10 +1194,12 @@ class ChSqlSpec extends AnyFunSuite {
   }
 
   test("neighbor over the enclosing ORDER BY (positive, negative, default)") {
+    // CH: out of range without an explicit default yields the column
+    // TYPE's default (0.0 here) — not NULL
     val r = run(
       "SELECT okey, neighbor(price, 1) AS nxt FROM orders ORDER BY okey")
     assert(r == Seq(Seq(1L, 250.0), Seq(2L, 50.0), Seq(3L, 75.0),
-      Seq(4L, 500.0), Seq(5L, 120.0), Seq(6L, null)))
+      Seq(4L, 500.0), Seq(5L, 120.0), Seq(6L, 0.0)))
     val back = run(
       "SELECT okey, neighbor(price, -2, 0.0) AS prev2 FROM orders ORDER BY okey")
     assert(back == Seq(Seq(1L, 0.0), Seq(2L, 0.0), Seq(3L, 100.0),
@@ -1229,6 +1231,62 @@ class ChSqlSpec extends AnyFunSuite {
         |FROM orders ORDER BY okey""".stripMargin)
     assert(r.head == Seq(1L, -1.0, 50.0))
     assert(r.last == Seq(6L, 500.0, -1.0))
+  }
+
+  test("lagInFrame: whole-partition frame OK, bounded frame refuses") {
+    // the explicit whole-partition frame CH's docs prescribe is the one
+    // case where the lag/lead mapping is exact — accepted
+    val ok = run(
+      """SELECT okey, lagInFrame(price, 1, -1.0) OVER (ORDER BY okey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS p
+        |FROM orders ORDER BY okey""".stripMargin)
+    assert(ok.head == Seq(1L, -1.0))
+    // a bounded frame is the defining semantic Spark's lag cannot honor
+    // — silently returning whole-partition values would be wrong
+    val e = intercept[IllegalArgumentException] {
+      run(
+        """SELECT lagInFrame(price, 1) OVER (ORDER BY okey
+          |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS p
+          |FROM orders ORDER BY okey""".stripMargin)
+    }
+    assert(e.getMessage.contains("lagInFrame"))
+    assert(e.getMessage.contains("frame"))
+  }
+
+  test("defaultValueOfArgumentType: typed defaults, folded literals") {
+    val r = run(
+      """SELECT defaultValueOfArgumentType(price) AS dp,
+        |  defaultValueOfArgumentType(status) AS ds,
+        |  defaultValueOfArgumentType(cust) AS di
+        |FROM orders LIMIT 1""".stripMargin)
+    assert(r == Seq(Seq(0.0, "", 0L)))
+  }
+
+  test("jumpConsistentHash refuses a non-positive bucket count") {
+    val e = intercept[IllegalArgumentException] {
+      run("SELECT jumpConsistentHash(okey, 0) AS b FROM orders")
+    }
+    assert(e.getMessage.contains("positive"))
+  }
+
+  test("association aggregates survive separator bytes in categories") {
+    // two perfectly-associated categories whose values embed  such
+    // that an UNESCAPED cell key would collapse both cells into one
+    // ('a' + SEP + 'bc' == 'ab' + SEP + 'c'); escaped
+    // encoding keeps them distinct -> cramersV = 1 exactly
+    val r = run(
+      """SELECT round(cramersV(x, y), 6) AS cv
+        |FROM (SELECT if(okey % 2 = 0, 'a', concat('a', char(1), 'b')) AS x,
+        |  if(okey % 2 = 0, concat('b', char(1), 'c'), 'c') AS y
+        |FROM orders)""".stripMargin)
+    assert(r == Seq(Seq(1.0)))
+  }
+
+  test("minMap refuses non-atomic key/value element types at analysis") {
+    val e = intercept[Exception] {
+      run("SELECT minMap([(1, 2)], [1]) AS m FROM orders")
+    }
+    assert(e.getMessage.toLowerCase.contains("atomic"))
   }
 
   test("multiSearch first-position / first-index over needle arrays") {
