@@ -58,10 +58,12 @@ object ChDdl {
       "(?:IF\\s+NOT\\s+EXISTS\\s+)?([\\w.]+)" +
       "(?:\\s+TO\\s+([\\w.]+))?(\\s+POPULATE)?\\s+AS\\s+" +
       "((?:SELECT|WITH)\\s+.*)$").r
-  // WATCH view [LIMIT n] (watchStmt, 14249-14321); the LIMIT (number of
+  // WATCH view [EVENTS] [LIMIT n] (watchStmt, 14249-14321); EVENTS
+  // switches to the version-heartbeat stream; the LIMIT (number of
   // refresh generations to emit) is accepted and left to the caller's
   // sink, which owns the subscription lifetime
-  private val watchRe = "(?is)^WATCH\\s+([\\w.]+)(?:\\s+LIMIT\\s+\\d+)?\\s*$".r
+  private val watchRe =
+    "(?is)^WATCH\\s+([\\w.]+)(\\s+EVENTS)?(?:\\s+LIMIT\\s+\\d+)?\\s*$".r
   // CTAS (createTableStmt subquery form, 4136-4183): no column list —
   // the schema comes from the SELECT
   private val ctasRe =
@@ -244,10 +246,22 @@ object ChDdl {
     text
   }
 
+  // CREATE TABLE name UUID 'xxx' (uuidClause, ClickHouseParser.py:
+  // 4136-4183 region): the explicit-UUID form Atomic databases emit in
+  // SHOW CREATE / backups. Accept-and-record: the UUID is stripped before
+  // head parsing, stored as a table property, and surfaced by SHOW CREATE
+  // — it has no storage meaning here (Spark's catalog owns identity).
+  private val createUuidRe =
+    ("(?is)^(CREATE\\s+(?:TEMPORARY\\s+)?TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
+      "[\\w.]+)\\s+UUID\\s+'([0-9a-fA-F-]{1,64})'(.*)$").r
+
   def dispatch(spark: SparkSession, text: String)(
       resolve: String => DataFrame): Option[DataFrame] = {
     import spark.implicits._
-    val trimmed = stripOnCluster(text.trim)
+    val (trimmed, createUuid) = stripOnCluster(text.trim) match {
+      case createUuidRe(head, uuid, tail) => (head + tail, Some(uuid))
+      case other => (other, None)
+    }
     def status(msg: String): DataFrame = Seq(msg).toDF("status")
 
     trimmed match {
@@ -256,8 +270,8 @@ object ChDdl {
           java.util.Locale.ROOT) == "LIVE", name, Option(targetOrNull),
           Option(populateOrNull).isDefined, sel, resolve, status))
 
-      case watchRe(name) =>
-        Some(watchView(spark, name, resolve))
+      case watchRe(name, eventsOrNull) =>
+        Some(watchView(spark, name, resolve, Option(eventsOrNull).isDefined))
 
       case createTableHeadRe(tmp, ifNot, name, rest) =>
         // cut the column list out with token-level paren matching, then
@@ -287,9 +301,15 @@ object ChDdl {
             colsText, Option(tmp).isDefined, status)
           else createTable(spark, Option(ifNot).isDefined, name,
             colsText, engine, engineArgs, clauses, status)
-        if (!(Option(ifNot).isDefined && preExisting))
+        if (!(Option(ifNot).isDefined && preExisting)) {
+          // record the declared UUID (catalog tables only — TEMPORARY /
+          // Memory tables have no CH UUID identity) for SHOW CREATE
+          createUuid.filter(_ => !isMem).foreach(u =>
+            spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES " +
+              s"('graft.uuid' = '$u')"))
           asSelect.foreach(sel =>
             appendInto(spark, name, Nil, ChSql.sql(spark, sel)(resolve)))
+        }
         Some(created)
 
       case cloneRe(ifNot, name, src, engOrNull, engArgsOrNull)
@@ -941,7 +961,7 @@ object ChDdl {
     * the same statement works wherever tables are parquet-backed). The
     * caller attaches the sink and owns the query lifetime. */
   private def watchView(spark: SparkSession, name: String,
-      resolve: String => DataFrame): DataFrame = {
+      resolve: String => DataFrame, events: Boolean = false): DataFrame = {
     import graft.streaming.StreamingOps
     val meta = mvMeta.getOrElse(name, throw new IllegalArgumentException(
       s"ChSql: WATCH: unknown view '$name' (CREATE MATERIALIZED VIEW first)"))
@@ -949,7 +969,9 @@ object ChDdl {
     val paths = filePaths(spark, srcBatch)
     require(paths.nonEmpty,
       s"ChSql: WATCH $name: source table '${meta.src}' is not file-backed")
-    StreamingOps.watch(spark, name, paths.head, srcBatch.schema)
+    if (events)
+      StreamingOps.watchEvents(spark, name, paths.head, srcBatch.schema)
+    else StreamingOps.watch(spark, name, paths.head, srcBatch.schema)
   }
 
   // ===================== CREATE TABLE =====================
@@ -2527,7 +2549,8 @@ object ChDdl {
           s"${k.stripPrefix("graft.setting.")} = ${props(k)}")
       if (kvs.isEmpty) "" else s"\nSETTINGS ${kvs.mkString(", ")}"
     }
-    s"CREATE TABLE $name\n(\n$cols\n)\nENGINE = $engine$engineArgs$orderBy" +
+    val uuid = props.get("graft.uuid").map(u => s" UUID '$u'").getOrElse("")
+    s"CREATE TABLE $name$uuid\n(\n$cols\n)\nENGINE = $engine$engineArgs$orderBy" +
       s"$primaryKey$partBy$sampleBy$ttl$settings"
   }
 

@@ -83,6 +83,26 @@ object StreamingOps {
     mv.transform(spark.readStream.schema(schema).parquet(sourceDir))
   }
 
+  /** `WATCH v EVENTS` (watchStmt EVENTS alternative, ClickHouseParser.py:
+    * 14249-14321): the heartbeat form — one `version` row per refresh
+    * instead of the full result rows. CH numbers refreshes densely
+    * (1, 2, ...); a distributed stream has no global refresh counter, so
+    * the version here is the count of source rows folded in so far — the
+    * same monotone watermark contract (each refresh that changed the view
+    * emits a strictly larger version), with the single-column schema
+    * pinned in StreamingSpec. */
+  def watchEvents(
+      spark: SparkSession,
+      viewName: String,
+      sourceDir: String,
+      schema: StructType
+  ): DataFrame = {
+    if (!mvRegistry.contains(viewName))
+      throw new IllegalArgumentException(s"WATCH: unknown view '$viewName'")
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .groupBy().agg(count(lit(1)).cast("long").as("version"))
+  }
+
   /** Tumbling-window event aggregation with late-data handling — the
     * streaming twin of the batch `e1_tumbling_window` query. Watermark
     * bounds state: at 100 TB/day ingest, unbounded window state is the

@@ -1563,4 +1563,41 @@ class DdlSurfaceSpec extends AnyFunSuite {
       "RENAME DATABASE db_from TO db_to"))
     assert(e.getMessage.contains("not supported"), e.getMessage)
   }
+
+  test("CREATE TABLE ... UUID 'xxx': accept-and-record, SHOW CREATE surfaces") {
+    chRun("DROP TABLE IF EXISTS uuid_t")
+    chRun("""CREATE TABLE uuid_t UUID '61f0c404-5cb3-11e7-907b-a6006ad3dba0'
+      |(k Int64, v Float64) ENGINE = MergeTree ORDER BY k""".stripMargin)
+    chRun("INSERT INTO uuid_t VALUES (1, 2.0)")
+    assert(chRun("SELECT count() AS n FROM uuid_t").head.getLong(0) == 1L)
+    val sc = chRun("SHOW CREATE TABLE uuid_t").head.getString(0)
+    assert(sc.contains("UUID '61f0c404-5cb3-11e7-907b-a6006ad3dba0'"), sc)
+    chRun("DROP TABLE uuid_t")
+    // TEMPORARY (Memory) tables take the clause but have no UUID identity
+    chRun("CREATE TEMPORARY TABLE uuid_m UUID 'deadbeef-0000' (k Int64)")
+    val scm = chRun("SHOW CREATE TABLE uuid_m").head.getString(0)
+    assert(!scm.contains("UUID"), scm)
+    chRun("DROP TABLE uuid_m")
+  }
+
+  test("CREATE DICTIONARY accepts a SETTINGS(...) clause (ignored)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dict_set").toString
+    Seq((1L, "one"), (2L, "two")).toDF("id", "label")
+      .write.mode("overwrite").parquet(s"$dir/d")
+    chRun("DROP DICTIONARY IF EXISTS dset")
+    chRun(s"""CREATE DICTIONARY dset (id Int64, label String)
+      |PRIMARY KEY id
+      |SOURCE(FILE(path '$dir/d' format 'parquet'))
+      |LAYOUT(HASHED())
+      |LIFETIME(MIN 0 MAX 300)
+      |SETTINGS(max_threads = 8, check_dictionary_primary_key = 0)"""
+      .stripMargin)
+    Seq(1L, 2L, 3L).toDF("fk").createOrReplaceTempView("dset_probe")
+    val r = chRun("""SELECT fk, dictGetOrDefault('dset', 'label', fk, '?') AS l
+      |FROM dset_probe ORDER BY fk""".stripMargin).map(_.toSeq)
+    assert(r == Seq(Seq(1L, "one"), Seq(2L, "two"), Seq(3L, "?")))
+    chRun("DROP DICTIONARY dset")
+  }
 }

@@ -111,6 +111,19 @@ class StreamingSpec extends AnyFunSuite {
       // WATCH of an unregistered name refuses clearly
       intercept[IllegalArgumentException](stmt("WATCH nope"))
 
+      // WATCH v EVENTS: the version-heartbeat form — single `version`
+      // column (never the result rows), one row per refresh, monotone
+      val ev = stmt("WATCH mv_text EVENTS")
+      assert(ev.isStreaming)
+      assert(ev.columns.toSeq == Seq("version"))
+      val evq = ev.writeStream.outputMode("complete").format("memory")
+        .queryName("mv_text_events")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      evq.awaitTermination(60000)
+      val versions = spark.table("mv_text_events").collect().map(_.getLong(0))
+      assert(versions.length == 1 && versions.head == 5L) // 5 source rows folded
+      intercept[IllegalArgumentException](stmt("WATCH nope EVENTS"))
+
       // MV whose SELECT goes through a CTE: the source resolves THROUGH
       // the CTE to the real table, not to the CTE's name
       stmt("""CREATE MATERIALIZED VIEW mv_cte POPULATE AS
