@@ -2384,8 +2384,9 @@ object ChDdl {
             "an explicit column list, not CTAS)")
         ChOps.selectAggregated(df, needKeys(), stems, simple)
       case "mergetree" | "memory" => df
-      case other => throw new UnsupportedOperationException(
-        s"ChSql: FINAL semantics for ENGINE = $other are not implemented " +
+      case _ => throw new UnsupportedOperationException(
+        s"ChSql: FINAL semantics for ENGINE = " +
+          s"${props.getOrElse("graft.engine", "MergeTree")} are not implemented " +
           "(supported: MergeTree (no-op), ReplacingMergeTree, " +
           "SummingMergeTree, CollapsingMergeTree, " +
           "VersionedCollapsingMergeTree, AggregatingMergeTree)")

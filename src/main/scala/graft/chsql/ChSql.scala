@@ -2327,7 +2327,7 @@ object ChSql {
     val ineqs = cs.collect {
       case Bin(">=", Ident(a), Ident(b)) => (a.last, b.last) }
     require(eqs.size == 1 && ineqs.size == 1 && cs.size == 2,
-      "ASOF ON must be exactly `l.k = r.k AND l.ts >= r.ts`")
+      "ChSql: ASOF ON must be exactly `l.k = r.k AND l.ts >= r.ts`")
     val (lKey, rKey) = eqs.head
     val (leftTs, rightTs) = ineqs.head
     val r2 = if (rKey == lKey) right else right.withColumnRenamed(rKey, lKey)
@@ -2346,7 +2346,7 @@ object ChSql {
     * key set is unambiguous. */
   private def planAnyJoin(left: DataFrame, right: DataFrame,
       j: JoinSpec): DataFrame = {
-    require(j.using.nonEmpty, "ANY JOIN via ChSql requires USING (keys)")
+    require(j.using.nonEmpty, "ChSql: ANY JOIN requires USING (keys)")
     import graft.operators.ChOps
     def picks(d: DataFrame): Seq[Column] =
       d.columns.filterNot(j.using.contains).map(col).toSeq
@@ -2361,7 +2361,9 @@ object ChSql {
           .filter(col("__rn") === 1).drop("__rn")
         left.join(one, j.using, "inner")
       case other =>
-        throw new IllegalArgumentException(s"ANY $other JOIN not supported")
+        throw new IllegalArgumentException(
+          s"ChSql: ANY $other JOIN is not supported " +
+            "(ANY strictness applies to LEFT/RIGHT/FULL/INNER)")
     }
   }
 

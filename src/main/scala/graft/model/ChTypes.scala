@@ -159,7 +159,7 @@ object ChTypes {
         StructField("col1", ArrayType(arg0, containsNull = false)),
         StructField("col2", ArrayType(LongType, containsNull = false))))
       case other => throw new IllegalArgumentException(
-        s"AggregateFunction($other, ...) is not supported (supported " +
+        s"ChSql: AggregateFunction($other, ...) is not supported (supported " +
           "stems: count, sum, min, max, avg, any, uniq, uniqExact, " +
           "groupArray, groupUniqArray, topK, sumMap)")
     }
