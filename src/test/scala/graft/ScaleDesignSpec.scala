@@ -254,6 +254,58 @@ class ScaleDesignSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("skew stress: capped LSH drops the boilerplate bucket, keeps true pairs") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // adversarial corpus: 30% of docs are IDENTICAL boilerplate (every
+    // band of every boilerplate doc collides -> every one of its buckets
+    // is hot), the rest unique, plus ONE genuine near-dup pair riding
+    // normal-size buckets. The cap must kill the b-squared blowup
+    // without losing the real pair.
+    val words = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val boiler = (0 until 60).map(i =>
+      (i.toLong, "common license header boilerplate " +
+        "all rights reserved redistribution permitted with attribution " +
+        "see the accompanying file for terms and conditions of use"))
+    val unique = (100 until 200).map(i =>
+      (i.toLong, words.split(" ").map(w => s"$w$i").mkString(" ")))
+    val nearDup = Seq(
+      (900L, words + " uniform victor whiskey xray yankee zulu one"),
+      (901L, words + " uniform victor whiskey xray yankee zulu two"))
+    val docs = (boiler ++ unique ++ nearDup).toDF("doc_id", "text")
+    val sigs = docs.select(col("doc_id"),
+      Dedup.minhashSignature(Dedup.shingleHashes(col("text"), 3), 32).as("sig"))
+    val bands = Dedup.lshBands(sigs, "doc_id", "sig", bands = 8, rowsPerBand = 4)
+    val capped = Dedup.lshCandidatePairsCapped(bands, "doc_id",
+        maxBucketSize = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // the hot bucket is dropped (no boilerplate pairs survive), the true
+    // near-dup pair still meets through its own bands
+    assert(capped == Seq((900L, 901L)), capped.take(10))
+    // uncapped: the same corpus explodes into the full b*(b-1)/2
+    // boilerplate self-join — the blowup the cap exists to prevent
+    val uncapped = Dedup.lshCandidatePairs(bands, "doc_id").count()
+    assert(uncapped == 60L * 59 / 2 + 1, uncapped)
+  }
+
+  test("skew stress: saltedJoin equals the plain join on a 20%-hot key") {
+    import spark.implicits._
+    import graft.operators.ChOps
+    // one key carries 20% of the left side (the shape AQE's skew split
+    // may miss when it hides inside a single partition)
+    val left = spark.range(5000).select(
+      when(col("id") % 5 === 0, lit(1L)).otherwise(col("id")).as("key"),
+      (col("id") * 7).as("lv"))
+    val right = spark.range(4000).select(col("id").as("key"),
+      (col("id") % 97).as("rv"))
+    val plain = left.join(right, "key").select("key", "lv", "rv")
+      .collect().map(_.toString).sorted.toSeq
+    val salted = ChOps.saltedJoin(left, right, "key", 8)
+      .select("key", "lv", "rv").collect().map(_.toString).sorted.toSeq
+    assert(salted.size == plain.size && salted == plain)
+  }
+
   test("partition-scoped ALTER DELETE rewrites only the matched partition's files") {
     def resolve(n: String) = spark.table(n)
     def run(s: String) = graft.chsql.ChSql.statement(spark, s)(resolve)._1
