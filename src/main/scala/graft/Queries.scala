@@ -1285,6 +1285,17 @@ object Queries {
       graft.operators.Similarity.ivfTopK(
           tbl(s, dir, "embeddings"), "vec_id", "embedding",
           centroidEvery = 50, queryPred = col("id") < 10, k = 3)
+        .orderBy(col("query_id"), desc("sim"), col("neighbor_id"))),
+
+    // IVF at the operating point: codebook sized C ~ sqrt(n) from a
+    // cheap count (capped — a bound codebook is the extreme-scale norm
+    // and keeps assignment linear in n). The fixed-centroidEvery v3/v5
+    // forms scale their codebook with the corpus, which is quadratic
+    // across SFs — BENCH_sf1.json measures the difference.
+    "v7_ivf_auto" -> ((s, dir) =>
+      graft.operators.Similarity.ivfTopKAuto(
+          tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          queryPred = col("id") < 10, k = 3)
         .orderBy(col("query_id"), desc("sim"), col("neighbor_id"))))
 
   private val oracles4: Map[String, String] = Map(
@@ -1384,6 +1395,36 @@ object Queries {
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings),
          |cents AS (SELECT id AS cid, v AS cv FROM vecs WHERE id % 50 = 0),
+         |assign AS (SELECT id, v, cid,
+         |  round(${sqlDot("v", "cv")} /
+         |    (sqrt(${sqlNormSq("v")}) * sqrt(${sqlNormSq("cv")})), 6) AS csim
+         |  FROM vecs CROSS JOIN cents),
+         |cells AS (SELECT id, v, cid AS cell FROM (
+         |  SELECT id, v, cid, row_number() OVER (PARTITION BY id
+         |    ORDER BY csim DESC, cid) AS rn FROM assign) WHERE rn = 1),
+         |q AS (SELECT id AS query_id, v AS qv, cell FROM cells WHERE id < 10),
+         |scored AS (SELECT query_id, c.id AS neighbor_id,
+         |  round(${sqlDot("qv", "c.v")} /
+         |    (sqrt(${sqlNormSq("qv")}) * sqrt(${sqlNormSq("c.v")})), 6) AS sim
+         |  FROM q JOIN cells c USING (cell) WHERE query_id <> c.id),
+         |rk AS (SELECT query_id, neighbor_id, sim, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, sim FROM rk WHERE rn <= 3
+         |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin,
+
+    // same algebra as v3 but the centroid stride is computed from the
+    // corpus size (C ~ sqrt(n)), mirroring ivfTopKAuto's every =
+    // max(1, round(sqrt(n)), n/4096)
+    "v7_ivf_auto" ->
+      s"""WITH vecs AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |stride AS (SELECT GREATEST(1,
+         |    CAST(round(sqrt(count(*))) AS BIGINT),
+         |    count(*) // 4096) AS s FROM vecs),
+         |cents AS (SELECT id AS cid, v AS cv FROM vecs
+         |  WHERE id % (SELECT s FROM stride) = 0),
          |assign AS (SELECT id, v, cid,
          |  round(${sqlDot("v", "cv")} /
          |    (sqrt(${sqlNormSq("v")}) * sqrt(${sqlNormSq("cv")})), 6) AS csim

@@ -85,17 +85,20 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       centroidEvery: Int, queryPred: Column, k: Int,
       roundTo: Int = 6, nprobe: Int = 1,
-      maxLiteralCentroids: Int = 1024
+      maxLiteralCentroids: Int = 64
   ): DataFrame = {
     val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val centRows = vecs.filter(pmod(col("id"), lit(centroidEvery)) === 0)
       .orderBy("id").collect()
-    // Codebook transport: small codebooks ride as plan literals (zero
-    // set-up cost); past `maxLiteralCentroids` the literals would bloat
-    // EVERY serialized plan/task by the full codebook (tens of MB at
-    // C≈√n for billion-vector corpora), so the codebook ships once per
-    // executor as a broadcast variable referenced from the same codegen'd
-    // argmax — still zero joins/shuffles for assignment.
+    // Codebook transport: tiny codebooks ride as plan literals (zero
+    // set-up cost; the per-row centroid-norm recompute is noise at this
+    // size); past `maxLiteralCentroids` the broadcast form wins twice —
+    // centroid norms are precomputed once in the Codebook (the literal
+    // form re-derives them on every scanned row, doubling assignment
+    // flops), and the literals would otherwise bloat EVERY serialized
+    // plan/task by the full codebook (tens of MB at C≈√n for
+    // billion-vector corpora). Either way assignment stays row-local:
+    // zero joins, zero shuffles.
     val probed =
       if (centRows.length <= maxLiteralCentroids) {
         val cidsLit = typedLit(centRows.map(_.getLong(0)).toSeq)
@@ -127,6 +130,29 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("qv"), col("cv")), roundTo).as("sim"))
       .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= k).drop("rn")
+  }
+
+  /** [[ivfTopK]] at the IVF operating point — the preset a scaling
+    * pipeline should reach for. A FIXED `centroidEvery` grows the
+    * codebook linearly with the corpus (C = n/every), which makes
+    * assignment cost n·C = n²/every — quadratic across scale factors
+    * (the r8 sf0.1→sf1 bench measured v3/v5 at ~19-22× for 10× data for
+    * exactly this reason; BENCH_sf1.json). This preset sizes the
+    * codebook from a cheap count: C ≈ √n (the classical IVF operating
+    * point, assignment n^1.5) capped at `maxCentroids` — and a BOUND
+    * codebook is the production norm at extreme scale (faiss-style
+    * fixed-size coarse quantizers), which makes assignment linear in n
+    * once the cap binds. */
+  def ivfTopKAuto(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int,
+      roundTo: Int = 6, nprobe: Int = 1, maxCentroids: Int = 4096
+  ): DataFrame = {
+    val n = corpus.count()
+    val bySqrt = math.round(math.sqrt(n.toDouble))
+    val byCap = if (maxCentroids > 0) n / maxCentroids else 0L
+    val every = math.max(1L, math.max(bySqrt, byCap)).toInt
+    ivfTopK(corpus, idCol, vecCol, every, queryPred, k, roundTo, nprobe)
   }
 
   /** Bucketed approximate all-pairs: candidate pairs share a bucket;

@@ -168,12 +168,10 @@ object NativeExpressions {
       val cv = cb.cvs(i)
       val cid = cb.cids(i)
       val m = math.min(d, cv.length)
-      var dot = 0.0; var nsq = 0.0
+      var dot = 0.0
       var j = 0
       while (j < m) { dot += vec.getDouble(j) * cv(j); j += 1 }
-      j = 0
-      while (j < cv.length) { nsq += cv(j) * cv(j); j += 1 }
-      val denom = vNorm * math.sqrt(nsq)
+      val denom = vNorm * cb.cnorms(i)
       val sim = roundHalfUp(if (denom == 0) 0.0 else dot / denom, roundTo)
       var pos = filled
       while (pos > 0 && (sim > topSim(pos - 1) ||
@@ -940,6 +938,14 @@ object NativeExpressions {
 }
 
 /** IVF codebook as plain JVM arrays (top-level class so generated Java can
-  * name it; parallel arrays avoid per-row ArrayData unwrapping). */
+  * name it; parallel arrays avoid per-row ArrayData unwrapping). Centroid
+  * norms are precomputed once here — recomputing them per scanned row
+  * doubles the assignment flops for nothing (they are row-invariant). */
 final class Codebook(val cids: Array[Long], val cvs: Array[Array[Double]])
-  extends Serializable
+  extends Serializable {
+  val cnorms: Array[Double] = cvs.map { v =>
+    var nsq = 0.0; var j = 0
+    while (j < v.length) { nsq += v(j) * v(j); j += 1 }
+    math.sqrt(nsq)
+  }
+}
