@@ -93,10 +93,10 @@ object Queries {
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     batch1 ++ batch2 ++ batch3 ++ batch4 ++ batch5 ++ batch6 ++ batch7 ++
-      batch8 ++ batch9 ++ batch10 ++ batch11
+      batch8 ++ batch9 ++ batch10 ++ batch11 ++ batch12
   def oracles: Map[String, String] =
     oracles1 ++ oracles2 ++ oracles3 ++ oracles4 ++ oracles5 ++ oracles6 ++
-      oracles7 ++ oracles8 ++ oracles9 ++ oracles10 ++ oracles11
+      oracles7 ++ oracles8 ++ oracles9 ++ oracles10 ++ oracles11 ++ oracles12
 
   private val batch1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -5357,4 +5357,108 @@ object Queries {
         |LEFT JOIN adj ON u.user_id = adj.user_id
         |LEFT JOIN tb ON u.user_id = tb.user_id
         |ORDER BY u.user_id""".stripMargin)
+
+  // ===== batch 12: product quantization (PQ / IVF-PQ) =====
+
+  /** DuckDB twin of the native per-subspace squared-L2 fold: slice j of
+    * both lists (1-based inclusive list_slice), sequential
+    * ascending-dimension accumulation — bit-identical doubles to
+    * NativeExpressions.pqEncodeCompute/pqLutCompute. */
+  private def sqlL2Slice(a: String, b: String, j: Int, dsub: Int): String = {
+    val lo = j * dsub + 1
+    val hi = (j + 1) * dsub
+    s"list_reduce(list_prepend(0.0, list_transform(" +
+      s"list_zip(list_slice($a, $lo, $hi), list_slice($b, $lo, $hi)), " +
+      s"p -> (p[1] - p[2]) * (p[1] - p[2]))), (acc, x) -> acc + x)"
+  }
+
+  /** Per-subspace encode CTEs (code_0..code_{m-1}): each picks the
+    * centroid minimizing the subspace distance, ties to the lowest
+    * codebook position — the strict-< first-wins of pqEncodeCompute. */
+  private def pqCodeCtes(m: Int, dsub: Int): String =
+    (0 until m).map { j =>
+      s"""code_$j AS (SELECT id, cv AS cv_$j FROM (
+         |  SELECT a.id, c.cv, row_number() OVER (PARTITION BY a.id
+         |    ORDER BY ${sqlL2Slice("a.v", "c.cv", j, dsub)}, c.cpos) AS rn
+         |  FROM vecs a CROSS JOIN cents c) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+
+  /** ADC distance: left-assoc sum of per-subspace reconstruction
+    * distances, ascending j — the exact grouping of pqAdcCompute. */
+  private def pqAdcSql(m: Int, dsub: Int): String =
+    (0 until m).map(j => s"(${sqlL2Slice("q.qv", s"k$j.cv_$j", j, dsub)})")
+      .mkString(" + ")
+
+  private def pqCodeJoins(m: Int): String =
+    (0 until m).map(j => s"JOIN code_$j k$j ON k$j.id = n.id").mkString(" ")
+
+  private val batch12: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exhaustive ADC scan: corpus compressed to m=4 codes/row (row-local
+    // codegen'd encode, zero shuffles), queries carry a precomputed LUT —
+    // per-(query,row) cost is 4 array reads, not 64 flops. The
+    // 100 TB story: the code table is 64x smaller than the raw corpus.
+    "v8_pq_topk" -> ((s, dir) =>
+      graft.operators.Similarity.pqTopK(
+          tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          m = 4, centroidEvery = 50, queryPred = col("id") < 10, k = 3)
+        .orderBy(col("query_id"), col("adist"), col("neighbor_id"))),
+
+    // IVF-PQ (faiss IVFADC): coarse cells prune (nprobe=2), ADC ranks the
+    // survivors from codes only — raw vectors are read exactly once.
+    "v9_ivfpq_topk" -> ((s, dir) =>
+      graft.operators.Similarity.ivfPqTopK(
+          tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          m = 4, pqCentroidEvery = 50, coarseCentroidEvery = 50,
+          queryPred = col("id") < 10, k = 3, nprobe = 2)
+        .orderBy(col("query_id"), col("adist"), col("neighbor_id"))))
+
+  private val oracles12: Map[String, String] = Map(
+
+    "v8_pq_topk" ->
+      s"""WITH vecs AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |cents AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cpos, v AS cv
+         |  FROM vecs WHERE id % 50 = 0),
+         |${pqCodeCtes(4, 16)},
+         |q AS (SELECT id AS query_id, v AS qv FROM vecs WHERE id < 10),
+         |scored AS (SELECT q.query_id, n.id AS neighbor_id,
+         |  round(${pqAdcSql(4, 16)}, 6) AS adist
+         |  FROM q CROSS JOIN vecs n ${pqCodeJoins(4)}
+         |  WHERE q.query_id <> n.id),
+         |rk AS (SELECT query_id, neighbor_id, adist, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, adist FROM rk WHERE rn <= 3
+         |ORDER BY query_id, adist, neighbor_id""".stripMargin,
+
+    "v9_ivfpq_topk" ->
+      s"""WITH vecs AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |ccents AS (SELECT id AS ccid, v AS ccv FROM vecs WHERE id % 50 = 0),
+         |cassign AS (SELECT id, v, ccid,
+         |  round(${sqlDot("v", "ccv")} /
+         |    (sqrt(${sqlNormSq("v")}) * sqrt(${sqlNormSq("ccv")})), 6) AS csim
+         |  FROM vecs CROSS JOIN ccents),
+         |cranked AS (SELECT id, v, ccid, row_number() OVER (PARTITION BY id
+         |    ORDER BY csim DESC, ccid) AS crn FROM cassign),
+         |cells AS (SELECT id, v, ccid AS cell FROM cranked WHERE crn = 1),
+         |probes AS (SELECT id, ccid AS cell FROM cranked WHERE crn <= 2),
+         |cents AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cpos, v AS cv
+         |  FROM vecs WHERE id % 50 = 0),
+         |${pqCodeCtes(4, 16)},
+         |q AS (SELECT p.id AS query_id, v.v AS qv, p.cell
+         |  FROM probes p JOIN vecs v ON v.id = p.id WHERE p.id < 10),
+         |scored AS (SELECT q.query_id, n.id AS neighbor_id,
+         |  round(${pqAdcSql(4, 16)}, 6) AS adist
+         |  FROM q JOIN cells cl ON cl.cell = q.cell
+         |  JOIN vecs n ON n.id = cl.id ${pqCodeJoins(4)}
+         |  WHERE q.query_id <> n.id),
+         |rk AS (SELECT query_id, neighbor_id, adist, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, adist FROM rk WHERE rn <= 3
+         |ORDER BY query_id, adist, neighbor_id""".stripMargin)
 }

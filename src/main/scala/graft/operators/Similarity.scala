@@ -81,24 +81,26 @@ object Similarity {
     * The only shuffle left is the final per-query top-k window over
     * candidate rows. Returns (query_id, neighbor_id, sim) top-k within the
     * query's probed cells. */
-  def ivfTopK(
-      corpus: DataFrame, idCol: String, vecCol: String,
-      centroidEvery: Int, queryPred: Column, k: Int,
-      roundTo: Int = 6, nprobe: Int = 1,
-      maxLiteralCentroids: Int = 64
+  /** Coarse-quantizer assignment shared by IVF and IVF-PQ: stride-sampled
+    * codebook (every `centroidEvery`-th id — in production, k-means), cell
+    * ids via the row-local codegen'd argmax. Returns `vecs` with a
+    * `__cells` array column (nprobe nearest cell ids, best first).
+    *
+    * Codebook transport: tiny codebooks ride as plan literals (zero
+    * set-up cost; the per-row centroid-norm recompute is noise at this
+    * size); past `maxLiteralCentroids` the broadcast form wins twice —
+    * centroid norms are precomputed once in the Codebook (the literal
+    * form re-derives them on every scanned row, doubling assignment
+    * flops), and the literals would otherwise bloat EVERY serialized
+    * plan/task by the full codebook (tens of MB at C≈√n for
+    * billion-vector corpora). Either way assignment stays row-local:
+    * zero joins, zero shuffles. */
+  private def coarseAssigned(
+      vecs: DataFrame, centroidEvery: Int, nprobe: Int,
+      roundTo: Int, maxLiteralCentroids: Int
   ): DataFrame = {
-    val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val centRows = vecs.filter(pmod(col("id"), lit(centroidEvery)) === 0)
       .orderBy("id").collect()
-    // Codebook transport: tiny codebooks ride as plan literals (zero
-    // set-up cost; the per-row centroid-norm recompute is noise at this
-    // size); past `maxLiteralCentroids` the broadcast form wins twice —
-    // centroid norms are precomputed once in the Codebook (the literal
-    // form re-derives them on every scanned row, doubling assignment
-    // flops), and the literals would otherwise bloat EVERY serialized
-    // plan/task by the full codebook (tens of MB at C≈√n for
-    // billion-vector corpora). Either way assignment stays row-local:
-    // zero joins, zero shuffles.
     val probed =
       if (centRows.length <= maxLiteralCentroids) {
         val cidsLit = typedLit(centRows.map(_.getLong(0)).toSeq)
@@ -109,11 +111,22 @@ object Similarity {
         val cb = new graft.plans.Codebook(
           centRows.map(_.getLong(0)),
           centRows.map(_.getSeq[Double](1).toArray))
-        val bc = corpus.sparkSession.sparkContext.broadcast(cb)
+        val bc = vecs.sparkSession.sparkContext.broadcast(cb)
         graft.plans.NativeExpressions.nearest_centroids_bc(
           col("v"), bc, nprobe, roundTo)
       }
-    val assigned = vecs.withColumn("__cells", probed)
+    vecs.withColumn("__cells", probed)
+  }
+
+  def ivfTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroidEvery: Int, queryPred: Column, k: Int,
+      roundTo: Int = 6, nprobe: Int = 1,
+      maxLiteralCentroids: Int = 64
+  ): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val assigned = coarseAssigned(vecs, centroidEvery, nprobe, roundTo,
+      maxLiteralCentroids)
     // corpus vectors live in exactly their nearest cell (element 1);
     // queries probe their nprobe nearest cells
     val cells = assigned
@@ -203,5 +216,117 @@ object Similarity {
         round(cosine(col("v1"), col("v2")), roundTo).as("sim"))
       .filter(col("sim") >= threshold)
       .distinct()
+  }
+
+  // ---- Product quantization: the 100 TB vector-SCAN path ----
+  //
+  // IVF prunes which vectors a query touches; PQ compresses what a touched
+  // vector COSTS: each corpus vector is stored as m small codes (m bytes at
+  // C=256) instead of d floats — a 64-dim float corpus shrinks 64×, which is
+  // the difference between a 100 TB corpus and a 1.6 TB code table that fits
+  // executor memory. Scoring is asymmetric distance computation (ADC): the
+  // query precomputes a per-subspace lookup table once, then each corpus row
+  // costs m array reads — memory-bound, not flop-bound. IVF-PQ composes the
+  // two (the faiss IVFADC design): coarse cells prune, ADC ranks the
+  // survivors without ever re-reading raw vectors.
+
+  /** Build deterministic per-subspace codebooks from every
+    * `centroidEvery`-th vector (by id): subspace j's codebook is the
+    * stride sample's j-th slice. In production these come from per-subspace
+    * k-means; the stride sample keeps the transport/scan shape identical
+    * while staying engine-replayable (same contract as [[ivfTopK]]'s
+    * coarse codebook). The codebook is small by construction (C·d doubles)
+    * and ships per-executor as a broadcast. */
+  def pqCodebooks(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, centroidEvery: Int
+  ): graft.plans.PqCodebooks = {
+    val centRows = corpus
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .filter(pmod(col("id"), lit(centroidEvery)) === 0)
+      .orderBy("id").collect()
+    require(centRows.nonEmpty, "pqCodebooks: empty centroid sample")
+    val d = centRows.head.getSeq[Double](1).length
+    require(d % m == 0, s"pqCodebooks: dim $d not divisible by m=$m")
+    val dsub = d / m
+    val cents = Array.tabulate(m) { j =>
+      centRows.map(_.getSeq[Double](1).slice(j * dsub, (j + 1) * dsub).toArray)
+    }
+    new graft.plans.PqCodebooks(m, dsub, cents)
+  }
+
+  /** Encode a corpus to PQ codes: (id, codes array<int>) — ROW-LOCAL, one
+    * codegen'd scan, zero joins/shuffles. This is the compressed
+    * representation a 100 TB pipeline would persist (m ints per vector). */
+  def pqEncode(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cb: graft.plans.PqCodebooks
+  ): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(cb)
+    corpus.select(col(idCol).as("id"),
+      graft.plans.NativeExpressions.pq_encode_bc(
+        asDouble(col(vecCol)), bc).as("codes"))
+  }
+
+  /** Exhaustive ADC top-k: queries precompute their LUT once (row-local on
+    * the broadcast side), the corpus is scanned as codes only — per
+    * (query, row) cost is m lookups. Returns (query_id, neighbor_id,
+    * adist) with adist = PQ-approximated squared L2, rank (adist asc,
+    * neighbor_id) — L2 is the PQ-native metric. */
+  def pqTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, centroidEvery: Int, queryPred: Column, k: Int,
+      roundTo: Int = 6
+  ): DataFrame = {
+    val cb = pqCodebooks(corpus, idCol, vecCol, m, centroidEvery)
+    val bc = corpus.sparkSession.sparkContext.broadcast(cb)
+    val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val codes = vecs.select(col("id").as("neighbor_id"),
+      graft.plans.NativeExpressions.pq_encode_bc(col("v"), bc).as("codes"))
+    val queries = vecs.filter(queryPred).select(col("id").as("query_id"),
+      graft.plans.NativeExpressions.pq_lut_bc(col("v"), bc).as("lut"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    broadcast(queries).crossJoin(codes)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.plans.NativeExpressions.pq_adc(
+          col("lut"), col("codes"), cb.nCentroids, roundTo).as("adist"))
+      .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= k).drop("rn")
+  }
+
+  /** IVF-PQ (faiss IVFADC): coarse cells prune the candidate set
+    * ([[coarseAssigned]] — row-local argmax, `nprobe` cells per query),
+    * ADC ranks survivors from their codes. The scoring join touches only
+    * probed-cell code rows; raw vectors are read exactly once (to encode
+    * and assign) and never again. */
+  def ivfPqTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, pqCentroidEvery: Int, coarseCentroidEvery: Int,
+      queryPred: Column, k: Int,
+      roundTo: Int = 6, nprobe: Int = 1,
+      maxLiteralCentroids: Int = 64
+  ): DataFrame = {
+    val cb = pqCodebooks(corpus, idCol, vecCol, m, pqCentroidEvery)
+    val bc = corpus.sparkSession.sparkContext.broadcast(cb)
+    val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val assigned = coarseAssigned(vecs, coarseCentroidEvery, nprobe, roundTo,
+      maxLiteralCentroids)
+    val cells = assigned.select(
+      col("id").as("neighbor_id"),
+      element_at(col("__cells"), 1).as("cell"),
+      graft.plans.NativeExpressions.pq_encode_bc(col("v"), bc).as("codes"))
+    val queries = assigned.filter(queryPred)
+      .select(col("id").as("query_id"),
+        graft.plans.NativeExpressions.pq_lut_bc(col("v"), bc).as("lut"),
+        explode(col("__cells")).as("cell"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    broadcast(queries).join(cells, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.plans.NativeExpressions.pq_adc(
+          col("lut"), col("codes"), cb.nCentroids, roundTo).as("adist"))
+      .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= k).drop("rn")
   }
 }

@@ -264,4 +264,80 @@ object TextAnalysis {
     }
     df.filter(bucket < threshold)
   }
+
+  // ===================== bigram-LM perplexity =====================
+
+  /** Train an add-k bigram language model over the corpus (the CCNet-style
+    * quality model: documents are later bucketed by perplexity under a
+    * model of the corpus itself, or of a clean reference corpus).
+    *
+    * Vocabulary is CAPPED at `maxVocab` tokens (by count desc, token asc —
+    * deterministic); everything else maps to UNK, so both count maps are
+    * BOUNDED: vocab ≤ maxVocab+1 entries, bigrams ≤ observed pairs over the
+    * capped vocab (≤ (V+1)² ceiling, far smaller in practice). Training is
+    * two map-side-combinable groupBy passes (one shuffle each); the
+    * resulting model broadcasts once per executor — at 100 TB this is the
+    * standard train-once/ship-model/score-at-scan-speed shape. */
+  def trainBigramModel(df: org.apache.spark.sql.DataFrame, textCol: String,
+      maxVocab: Int, k: Double = 1.0): graft.plans.BigramModel = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val spark = df.sparkSession
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    val tokRows = df.select(toks.as("__t"))
+    // pass 1: unigram counts -> top-maxVocab vocabulary + UNK mass
+    val uni = tokRows.select(explode(col("__t")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val top = uni.orderBy(desc("c"), col("t")).limit(maxVocab).collect()
+    val vocabSet = top.map(_.getString(0)).toSet
+    val totalToks = uni.agg(sum("c")).head().getLong(0)
+    val unkCount = totalToks - top.map(_.getLong(1)).sum
+    val vocab = new java.util.HashMap[UTF8String, java.lang.Long]()
+    top.foreach(r => vocab.put(UTF8String.fromString(r.getString(0)),
+      java.lang.Long.valueOf(r.getLong(1))))
+    vocab.put(UTF8String.fromString(graft.plans.BigramModel.UnkStr),
+      java.lang.Long.valueOf(unkCount))
+    // pass 2: bigram counts over the UNK-mapped token stream (BOS first).
+    // The vocab probe is a broadcast (a vocab-only prelim model), row-local;
+    // counting is one map-side-combinable groupBy.
+    val prelim = new graft.plans.BigramModel(vocab,
+      new java.util.HashMap[UTF8String, java.lang.Long](), 0L,
+      vocab.size().toLong, k)
+    val bcPrelim = spark.sparkContext.broadcast(prelim)
+    val mapped = tokRows.select(
+      graft.plans.NativeExpressions.vocab_map(col("__t"), bcPrelim).as("__m"))
+    val pairs = mapped
+      .filter(size(col("__m")) > 0)
+      .select(explode(concat(
+        array(concat(lit(graft.plans.BigramModel.BosStr +
+            graft.plans.BigramModel.SepStr), element_at(col("__m"), 1))),
+        when(size(col("__m")) > 1,
+          transform(sequence(lit(2), size(col("__m"))),
+            i => concat(element_at(col("__m"), i - 1),
+              lit(graft.plans.BigramModel.SepStr), element_at(col("__m"), i))))
+          .otherwise(array().cast("array<string>")))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("c"))
+      .collect()
+    val bigrams = new java.util.HashMap[UTF8String, java.lang.Long]()
+    pairs.foreach(r => bigrams.put(UTF8String.fromString(r.getString(0)),
+      java.lang.Long.valueOf(r.getLong(1))))
+    val nDocs = tokRows.filter(size(col("__t")) > 0).count()
+    new graft.plans.BigramModel(vocab, bigrams, nDocs, vocab.size().toLong, k)
+  }
+
+  /** Score documents under a trained bigram model: per-doc log-probability
+    * (BOS-conditioned, add-k smoothed — the exact fold of
+    * [[graft.plans.NativeExpressions.bigramLogProbCompute]]) and perplexity
+    * exp(−logp/n). ROW-LOCAL scoring: the model is a broadcast, the pass is
+    * one codegen'd expression — no joins, no shuffles; documents with zero
+    * tokens get NULL perplexity. Returns (idCol, n_tokens, ppl). */
+  def bigramPerplexity(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, model: graft.plans.BigramModel,
+      roundTo: Int = 6): org.apache.spark.sql.DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    val n = size(toks)
+    val logp = graft.plans.NativeExpressions.bigram_log_prob(toks, bc)
+    df.select(col(idCol), n.cast("long").as("n_tokens"),
+      when(n > 0, round(exp(-logp / n), roundTo)).as("ppl"))
+  }
 }

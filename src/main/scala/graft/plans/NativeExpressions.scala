@@ -926,6 +926,242 @@ object NativeExpressions {
   def jump_hash(key: Column, buckets: Int): Column =
     ColumnBridge.column(JumpHash(ColumnBridge.expression(key), buckets))
 
+  // ---- Product quantization (PQ / IVF-PQ fine quantizer) ----
+
+  /** PQ encode: for each of the `cb.m` subspaces, the index (0-based,
+    * codebook order) of the sub-centroid minimizing squared L2 distance to
+    * the vector's slice; ties keep the LOWEST index (strict `<`), and the
+    * per-slice distance is a sequential ascending-dimension fold so any
+    * SQL engine can replay the exact doubles. ROW-LOCAL: the whole corpus
+    * compresses to m small ints per row in one codegen'd scan — zero
+    * joins, zero shuffles (the faiss PQ encode shape). */
+  def pqEncodeCompute(vec: ArrayData, cb: PqCodebooks): ArrayData = {
+    val codes = new Array[Int](cb.m)
+    var j = 0
+    while (j < cb.m) {
+      val base = j * cb.dsub
+      val cs = cb.cents(j)
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < cs.length) {
+        val cv = cs(c)
+        var dsum = 0.0
+        var t = 0
+        while (t < cb.dsub) {
+          val diff = vec.getDouble(base + t) - cv(t)
+          dsum += diff * diff
+          t += 1
+        }
+        if (dsum < bestD) { bestD = dsum; best = c }
+        c += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(codes)
+  }
+
+  /** ADC lookup table for one query vector: flat array of m·C squared L2
+    * distances, entry j·C + c = dist(query slice j, centroid c of
+    * subspace j). Computed ONCE per query (O(C·d)); scoring a corpus row
+    * then costs m array reads ([[pqAdcCompute]]) instead of d flops —
+    * the asymmetric-distance-computation trade that makes PQ scans
+    * memory-bound rather than flop-bound at scale. */
+  def pqLutCompute(vec: ArrayData, cb: PqCodebooks): ArrayData = {
+    val c0 = cb.cents(0).length
+    val out = new Array[Double](cb.m * c0)
+    var j = 0
+    while (j < cb.m) {
+      val base = j * cb.dsub
+      val cs = cb.cents(j)
+      var c = 0
+      while (c < cs.length) {
+        val cv = cs(c)
+        var dsum = 0.0
+        var t = 0
+        while (t < cb.dsub) {
+          val diff = vec.getDouble(base + t) - cv(t)
+          dsum += diff * diff
+          t += 1
+        }
+        out(j * c0 + c) = dsum
+        c += 1
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  /** ADC score: Σ_j lut[j·C + code_j] (ascending j — same grouping as a
+    * per-subspace left-assoc sum, so a SQL twin summing per-subspace
+    * reconstruction distances in order reproduces the exact double),
+    * rounded to `roundTo`. */
+  def pqAdcCompute(lut: ArrayData, codes: ArrayData, c: Int, roundTo: Int): Double = {
+    val m = codes.numElements()
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      s += lut.getDouble(j * c + codes.getInt(j))
+      j += 1
+    }
+    roundHalfUp(s, roundTo)
+  }
+
+  /** PQ encode with a broadcast codebook (same transport rationale as
+    * [[NearestCentroidsBC]]: the codebook ships once per executor, never
+    * per-plan/per-task). */
+  case class PqEncodeBC(child: Expression,
+      codebooks: org.apache.spark.broadcast.Broadcast[PqCodebooks])
+      extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(input: Any): Any =
+      pqEncodeCompute(input.asInstanceOf[ArrayData], codebooks.value)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bcRef = ctx.addReferenceObj("pqCodebooks", codebooks,
+        classOf[org.apache.spark.broadcast.Broadcast[PqCodebooks]].getName)
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.NativeExpressions.pqEncodeCompute(" +
+          s"$c, (graft.plans.PqCodebooks) $bcRef.value())")
+    }
+    override protected def withNewChildInternal(newChild: Expression): PqEncodeBC =
+      copy(child = newChild)
+  }
+
+  case class PqLutBC(child: Expression,
+      codebooks: org.apache.spark.broadcast.Broadcast[PqCodebooks])
+      extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+      DoubleType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(input: Any): Any =
+      pqLutCompute(input.asInstanceOf[ArrayData], codebooks.value)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bcRef = ctx.addReferenceObj("pqCodebooks", codebooks,
+        classOf[org.apache.spark.broadcast.Broadcast[PqCodebooks]].getName)
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.NativeExpressions.pqLutCompute(" +
+          s"$c, (graft.plans.PqCodebooks) $bcRef.value())")
+    }
+    override protected def withNewChildInternal(newChild: Expression): PqLutBC =
+      copy(child = newChild)
+  }
+
+  case class PqAdc(left: Expression, right: Expression, c: Int, roundTo: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(lut: Any, codes: Any): Any =
+      pqAdcCompute(lut.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData], c, roundTo)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (l, r) =>
+        s"graft.plans.NativeExpressions.pqAdcCompute($l, $r, $c, $roundTo)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): PqAdc =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def pq_encode_bc(vec: Column,
+      codebooks: org.apache.spark.broadcast.Broadcast[PqCodebooks]): Column =
+    ColumnBridge.column(PqEncodeBC(ColumnBridge.expression(vec), codebooks))
+  def pq_lut_bc(vec: Column,
+      codebooks: org.apache.spark.broadcast.Broadcast[PqCodebooks]): Column =
+    ColumnBridge.column(PqLutBC(ColumnBridge.expression(vec), codebooks))
+  def pq_adc(lut: Column, codes: Column, c: Int, roundTo: Int): Column =
+    ColumnBridge.column(PqAdc(ColumnBridge.expression(lut),
+      ColumnBridge.expression(codes), c, roundTo))
+
+  // ---- Bigram language model (CCNet-style perplexity quality signal) ----
+
+  /** Map each token to itself if in-vocabulary, else the UNK sentinel —
+    * single hash probe per token against the BROADCAST vocabulary (the
+    * literal `isin` form would inline the whole vocab into every plan). */
+  def vocabMapCompute(toks: ArrayData, m: BigramModel): ArrayData = {
+    val n = toks.numElements()
+    val out = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      out(i) = if (m.vocab.containsKey(t)) t else BigramModel.Unk
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  /** Sequential fold of add-k-smoothed bigram log-probabilities over a
+    * token array (BOS-conditioned first token):
+    * Σ_i ln((C(prev,cur) + k) / (C(prev) + k·V)), prev/cur UNK-mapped,
+    * C(BOS) = nDocs. ROW-LOCAL: the trained model (two bounded count
+    * maps) rides as a broadcast; scoring is one codegen'd pass per doc —
+    * the CCNet shape (train once, ship the model, score at scan speed). */
+  def bigramLogProbCompute(toks: ArrayData, m: BigramModel): Double = {
+    val n = toks.numElements()
+    var prev: UTF8String = null // null = BOS
+    var logp = 0.0
+    var i = 0
+    while (i < n) {
+      val raw = toks.getUTF8String(i)
+      val cur = if (m.vocab.containsKey(raw)) raw else BigramModel.Unk
+      val cb = {
+        val v = m.bigrams.get(BigramModel.pairKey(prev, cur))
+        if (v == null) 0L else v.longValue()
+      }
+      val cu =
+        if (prev == null) m.nDocs
+        else m.vocab.get(prev).longValue()
+      logp += math.log((cb + m.k) / (cu + m.k * m.vSize))
+      prev = cur
+      i += 1
+    }
+    logp
+  }
+
+  case class VocabMap(child: Expression,
+      model: org.apache.spark.broadcast.Broadcast[BigramModel])
+      extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(input: Any): Any =
+      vocabMapCompute(input.asInstanceOf[ArrayData], model.value)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bcRef = ctx.addReferenceObj("bigramModel", model,
+        classOf[org.apache.spark.broadcast.Broadcast[BigramModel]].getName)
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.NativeExpressions.vocabMapCompute(" +
+          s"$c, (graft.plans.BigramModel) $bcRef.value())")
+    }
+    override protected def withNewChildInternal(newChild: Expression): VocabMap =
+      copy(child = newChild)
+  }
+
+  case class BigramLogProb(child: Expression,
+      model: org.apache.spark.broadcast.Broadcast[BigramModel])
+      extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(input: Any): Any =
+      bigramLogProbCompute(input.asInstanceOf[ArrayData], model.value)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bcRef = ctx.addReferenceObj("bigramModel", model,
+        classOf[org.apache.spark.broadcast.Broadcast[BigramModel]].getName)
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.NativeExpressions.bigramLogProbCompute(" +
+          s"$c, (graft.plans.BigramModel) $bcRef.value())")
+    }
+    override protected def withNewChildInternal(newChild: Expression): BigramLogProb =
+      copy(child = newChild)
+  }
+
+  def vocab_map(toks: Column,
+      model: org.apache.spark.broadcast.Broadcast[BigramModel]): Column =
+    ColumnBridge.column(VocabMap(ColumnBridge.expression(toks), model))
+  def bigram_log_prob(toks: Column,
+      model: org.apache.spark.broadcast.Broadcast[BigramModel]): Column =
+    ColumnBridge.column(BigramLogProb(ColumnBridge.expression(toks), model))
+
   def geohash_encode(lon: Column, lat: Column, precision: Int): Column =
     ColumnBridge.column(GeohashEncode(
       ColumnBridge.expression(lon), ColumnBridge.expression(lat), precision))
@@ -948,4 +1184,45 @@ final class Codebook(val cids: Array[Long], val cvs: Array[Array[Double]])
     while (j < v.length) { nsq += v(j) * v(j); j += 1 }
     math.sqrt(nsq)
   }
+}
+
+/** Product-quantization codebooks: `m` subspaces of `dsub` dims each;
+  * `cents(j)(c)` is centroid `c` of subspace `j` (all subspaces hold the
+  * same centroid COUNT; codebook order is the encode/ADC index space).
+  * Plain JVM arrays, top-level class — same transport/codegen rationale
+  * as [[Codebook]]. */
+/** Trained add-k bigram LM: bounded count maps (vocabulary user-capped at
+  * training time, UNK included as a real vocab entry) broadcast to
+  * executors. Keys are UTF8String so codegen'd lookups never re-decode.
+  * `vSize` = |vocab incl. UNK| (the predicted-token space); BOS is a
+  * context only, with C(BOS) = nDocs. */
+final class BigramModel(
+    val vocab: java.util.HashMap[UTF8String, java.lang.Long],
+    val bigrams: java.util.HashMap[UTF8String, java.lang.Long],
+    val nDocs: Long, val vSize: Long, val k: Double) extends Serializable
+
+object BigramModel {
+  /** Sentinels are C0 control chars (u0001/u0002/u0003) — they cannot
+    * appear in whitespace-split tokens; the DuckDB oracle spells the same
+    * bytes as chr(1)/chr(2)/chr(3). */
+  val UnkStr = "\u0001"
+  val BosStr = "\u0002"
+  val SepStr = "\u0003"
+  val Unk: UTF8String = UTF8String.fromString(UnkStr)
+  private val Bos: UTF8String = UTF8String.fromString(BosStr)
+  private val Sep: UTF8String = UTF8String.fromString(SepStr)
+  /** Bigram map key: prev⊕SEP⊕cur (BOS sentinel for null prev). */
+  def pairKey(prev: UTF8String, cur: UTF8String): UTF8String =
+    UTF8String.concat(if (prev == null) Bos else prev, Sep, cur)
+  def pairKeyStr(prev: String, cur: String): String =
+    (if (prev == null) BosStr else prev) + SepStr + cur
+}
+
+final class PqCodebooks(val m: Int, val dsub: Int,
+    val cents: Array[Array[Array[Double]]]) extends Serializable {
+  require(m > 0 && dsub > 0 && cents.length == m,
+    s"PqCodebooks: need cents for all $m subspaces")
+  require(cents.forall(_.length == cents(0).length),
+    "PqCodebooks: all subspaces must hold the same centroid count")
+  def nCentroids: Int = cents(0).length
 }

@@ -549,4 +549,89 @@ class ScaleDesignSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     assert((0 to 40).forall(i => levels(f"n$i%02d") == i))
   }
+
+  test("PQ encode is row-local (zero shuffles/joins); ADC scan shuffles once") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      m = 4, centroidEvery = 50)
+    // encode: one projection over the scan — the 64x compression pass a
+    // 100 TB pipeline persists must not shuffle or join anything
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+    assert(shuffleCount(codes) == 0)
+    assert(codes.queryExecution.executedPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty)
+    assert(codes.head().getSeq[Int](1).length == 4)
+    // exhaustive ADC: the only shuffle is the final per-query top-k window
+    // (the query×codes product is a deliberate broadcast cross join — the
+    // broadcast side is the FEW queries, never the corpus)
+    val out = Similarity.pqTopK(emb, "vec_id", "embedding",
+      m = 4, centroidEvery = 50, queryPred = col("id") < 5, k = 3)
+    assert(shuffleCount(out) == 1)
+    assert(out.count() == 15)
+  }
+
+  test("PQ ADC distance equals exact reconstruction distance (algebra pin)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      m = 4, centroidEvery = 50)
+    val vecs = emb.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).as("v")).orderBy("vec_id")
+      .limit(20).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+      .filter(col("id") < 20).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    val out = Similarity.pqTopK(emb.filter(col("vec_id") < 20), "vec_id",
+      "embedding", m = 4, centroidEvery = 5, queryPred = col("id") < 3, k = 5)
+    // recompute every returned adist from first principles: the codebooks
+    // of THIS call (centroidEvery=5), re-encode, sum per-subspace L2
+    val cb5 = Similarity.pqCodebooks(emb.filter(col("vec_id") < 20), "vec_id",
+      "embedding", m = 4, centroidEvery = 5)
+    def encode(v: Array[Double]): Array[Int] = Array.tabulate(cb5.m) { j =>
+      val ds = cb5.dsub
+      (0 until cb5.nCentroids).minBy { c =>
+        var s = 0.0; var t = 0
+        while (t < ds) { val d = v(j * ds + t) - cb5.cents(j)(c)(t); s += d * d; t += 1 }
+        (s, c)
+      }
+    }
+    out.collect().foreach { r =>
+      val (q, n, adist) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val qv = vecs(q)
+      val ncodes = encode(vecs(n))
+      var s = 0.0
+      for (j <- 0 until cb5.m) {
+        val cv = cb5.cents(j)(ncodes(j))
+        var sub = 0.0; var t = 0
+        while (t < cb5.dsub) { val d = qv(j * cb5.dsub + t) - cv(t); sub += d * d; t += 1 }
+        s += sub
+      }
+      assert(math.abs(adist - s) < 1e-6, s"($q,$n): $adist vs $s")
+    }
+    assert(codes.nonEmpty && vecs.nonEmpty) // fixtures actually loaded
+  }
+
+  test("IVF-PQ: candidates restricted to probed cells, one shuffle, BNLJ-free") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val out = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      m = 4, pqCentroidEvery = 50, coarseCentroidEvery = 20,
+      queryPred = col("id") < 5, k = 3, nprobe = 2)
+    val plan = out.queryExecution.executedPlan
+    // cell-restricted ADC is a broadcast HASH join on cell — the
+    // nested-loop exhaustive product must be gone
+    assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+    assert(shuffleCount(out) == 1)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // IVF-PQ results are a subset of the exhaustive ADC ranking's universe:
+    // every returned pair must also score identically under pqTopK's ADC
+    val exhaustive = Similarity.pqTopK(emb, "vec_id", "embedding",
+        m = 4, centroidEvery = 50, queryPred = col("id") < 5, k = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(exhaustive(key) == r.getDouble(2), s"adist mismatch at $key")
+    }
+  }
 }
