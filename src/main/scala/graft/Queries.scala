@@ -5411,7 +5411,26 @@ object Queries {
           tbl(s, dir, "embeddings"), "vec_id", "embedding",
           m = 4, pqCentroidEvery = 50, coarseCentroidEvery = 50,
           queryPred = col("id") < 10, k = 3, nprobe = 2)
-        .orderBy(col("query_id"), col("adist"), col("neighbor_id"))))
+        .orderBy(col("query_id"), col("adist"), col("neighbor_id"))),
+
+    // CCNet-style perplexity quality signal: train a capped-vocab add-1
+    // bigram LM on the corpus (two map-side-combinable count passes),
+    // broadcast the bounded model, score every doc in one row-local
+    // codegen'd fold. maxVocab=20 deliberately exercises the UNK path.
+    "t15_bigram_ppl" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val model = graft.operators.TextAnalysis.trainBigramModel(
+        docs, "text", maxVocab = 20)
+      graft.operators.TextAnalysis.bigramPerplexity(docs, "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
+
+    // characteristic terms per doc: tf groupBy (map-combinable), df
+    // aggregated from tf (vocabulary-sized → broadcast idf join)
+    "t16_tfidf_terms" -> ((s, dir) =>
+      graft.operators.TextAnalysis.tfidfTopTerms(
+          tbl(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), desc("score"), col("term"))))
 
   private val oracles12: Map[String, String] = Map(
 
@@ -5460,5 +5479,64 @@ object Queries {
          |  PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
          |  FROM scored)
          |SELECT query_id, neighbor_id, adist FROM rk WHERE rn <= 3
-         |ORDER BY query_id, adist, neighbor_id""".stripMargin)
+         |ORDER BY query_id, adist, neighbor_id""".stripMargin,
+
+    // full training + scoring replay: top-20 vocab by (count desc, token),
+    // UNK=chr(1), BOS=chr(2), pair separator=chr(3) — the sentinels of
+    // graft.plans.BigramModel; add-1 smoothing, V = |top| + 1 (UNK)
+    "t15_bigram_ppl" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |uni AS (SELECT unnest(t) AS tok FROM toks),
+        |uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+        |top AS (SELECT tok, c FROM uc ORDER BY c DESC, tok LIMIT 20),
+        |tl AS (SELECT list(tok) AS l FROM top),
+        |vn AS (SELECT count(*) + 1 AS v FROM top),
+        |unk AS (SELECT (SELECT count(*) FROM uni) - (SELECT sum(c) FROM top) AS c),
+        |nd AS (SELECT count(*) AS n FROM toks WHERE len(t) > 0),
+        |ctx AS (SELECT tok, c FROM top
+        |  UNION ALL SELECT chr(1), c FROM unk),
+        |mapped AS (SELECT doc_id, list_transform(t,
+        |    x -> CASE WHEN list_contains(tl.l, x) THEN x ELSE chr(1) END) AS m
+        |  FROM toks, tl),
+        |pos AS (SELECT doc_id, m,
+        |    unnest(range(1, len(m) + 1)) AS i
+        |  FROM mapped WHERE len(m) > 0),
+        |pos2 AS (SELECT doc_id,
+        |    CASE WHEN i = 1 THEN chr(2) ELSE m[i - 1] END AS prev,
+        |    m[i] AS cur FROM pos),
+        |bg AS (SELECT doc_id, prev, cur FROM pos2),
+        |bc AS (SELECT prev, cur, count(*) AS c FROM bg GROUP BY prev, cur),
+        |sc AS (SELECT p.doc_id,
+        |    ln((coalesce(b.c, 0) + 1.0) /
+        |       ((CASE WHEN p.prev = chr(2) THEN (SELECT n FROM nd)
+        |              ELSE cx.c END) + 1.0 * (SELECT v FROM vn))) AS lp
+        |  FROM pos2 p
+        |  LEFT JOIN bc b ON b.prev = p.prev AND b.cur = p.cur
+        |  LEFT JOIN ctx cx ON cx.tok = p.prev),
+        |agg AS (SELECT doc_id, sum(lp) AS logp, count(*) AS n
+        |  FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n, 0) AS n_tokens,
+        |  CASE WHEN a.n > 0 THEN round(exp(-a.logp / a.n), 6) END AS ppl
+        |FROM (SELECT doc_id FROM documents) d
+        |LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "t16_tfidf_terms" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(trim(text), ' '),
+        |      x -> len(x) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (SELECT doc_id, term,
+        |    round(CAST(tf AS DOUBLE) *
+        |      (ln(((SELECT n FROM n) + 1.0) / (CAST(df AS DOUBLE) + 1.0))
+        |       + 1.0), 6) AS score
+        |  FROM tf JOIN dfc USING (term)),
+        |rk AS (SELECT doc_id, term, score, row_number() OVER (
+        |  PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM scored)
+        |SELECT doc_id, term, score FROM rk WHERE rn <= 3
+        |ORDER BY doc_id, score DESC, term""".stripMargin)
 }

@@ -324,6 +324,33 @@ object TextAnalysis {
     new graft.plans.BigramModel(vocab, bigrams, nDocs, vocab.size().toLong, k)
   }
 
+  // ===================== TF-IDF =====================
+
+  /** Top-k characteristic terms per document by smoothed TF-IDF:
+    * score = tf · (ln((N+1)/(df+1)) + 1), rounded to `roundTo`; rank
+    * (score desc, term asc). Scale shape: per-(doc,term) counts are one
+    * map-side-combinable groupBy; document frequencies aggregate FROM
+    * that result (no second corpus scan) and are vocabulary-sized, so the
+    * idf join BROADCASTS — the corpus-sized tf side never reshuffles for
+    * the join; the final top-k window repartitions by doc only. */
+  def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int, roundTo: Int = 6): org.apache.spark.sql.DataFrame = {
+    val nDocs = df.count()
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    val tf = df.select(col(idCol), explode(toks).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(desc("score"), col("term"))
+    tf.join(broadcast(dfc), "term")
+      .select(col(idCol), col("term"),
+        round(col("tf").cast("double") *
+          (log(lit(nDocs + 1.0) / (col("df").cast("double") + 1.0)) + 1.0),
+          roundTo).as("score"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
   /** Score documents under a trained bigram model: per-doc log-probability
     * (BOS-conditioned, add-k smoothed — the exact fold of
     * [[graft.plans.NativeExpressions.bigramLogProbCompute]]) and perplexity

@@ -315,4 +315,68 @@ class TrainingOpsSpec extends AnyFunSuite {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }.isEmpty, "stratifiedSample must stay shuffle-free")
   }
+
+  test("bigram LM: bounded model, hand-checked logp, repetitive text scores lower ppl") {
+    val model = TextAnalysis.trainBigramModel(docs, "text", maxVocab = 5)
+    // vocab is capped at maxVocab + UNK; every count map is bounded
+    assert(model.vocab.size() <= 6)
+    assert(model.vocab.containsKey(
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        graft.plans.BigramModel.UnkStr)))
+    assert(model.vSize == model.vocab.size().toLong)
+    assert(model.nDocs == 6)
+    // hand-check one fold: a 1-token doc "the" scores
+    // ln((C(BOS,the)+1) / (nDocs + V)) — "the" is the top token, in-vocab;
+    // no doc starts with "the"... docs 0,1,5 start with "the": C(BOS,the)=3
+    val scored = TextAnalysis.bigramPerplexity(
+      Seq((100L, "the")).toDF("doc_id", "text"), "doc_id", "text", model)
+      .head()
+    val expected = math.exp(-math.log(
+      (3.0 + 1.0) / (model.nDocs + 1.0 * model.vSize)))
+    assert(scored.getLong(1) == 1)
+    assert(math.abs(scored.getDouble(2) - expected) < 1e-6)
+    // the quality-signal behavior: text made of the corpus's most common
+    // transitions scores lower perplexity than out-of-vocabulary noise.
+    // (Needs a vocab that actually covers the corpus — under a degenerate
+    // cap like 5, most training tokens collapse to UNK and UNK→UNK noise
+    // becomes the most probable string in the language.)
+    val fullModel = TextAnalysis.trainBigramModel(docs, "text", maxVocab = 100)
+    val probe = Seq(
+      (200L, "the quick brown fox jumps over the lazy dog"),
+      (201L, "zzz qqq vvv kkk www yyy xxx uuu ooo")).toDF("doc_id", "text")
+    val ppl = TextAnalysis.bigramPerplexity(probe, "doc_id", "text", fullModel)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(ppl(200L) < ppl(201L),
+      s"in-distribution text must score lower ppl: $ppl")
+    // scoring is row-local: broadcast model, zero shuffles, zero joins
+    val plan = TextAnalysis.bigramPerplexity(probe, "doc_id", "text", model)
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, "bigramPerplexity must stay shuffle-free")
+    assert(plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, "bigramPerplexity must not join")
+    // empty text → NULL ppl, 0 tokens
+    val empty = TextAnalysis.bigramPerplexity(
+      Seq((300L, "   ")).toDF("doc_id", "text"), "doc_id", "text", model).head()
+    assert(empty.getLong(1) == 0 && empty.isNullAt(2))
+  }
+
+  test("tfidfTopTerms: distinctive terms win, idf join is broadcast") {
+    val out = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+    // doc 4 is the only doc with "spark"/"engines" etc. — its top terms
+    // must be its unique words, never the corpus-wide "the"
+    val d4 = out.filter(col("doc_id") === 4L).collect().map(_.getString(1)).toSet
+    assert(d4.subsetOf(Set("completely", "different", "words", "about",
+      "spark", "engines", "here")))
+    assert(out.groupBy("doc_id").count().collect().forall(_.getLong(1) <= 2))
+    // the vocabulary-sized df side must broadcast: no shuffled join
+    val plan = out.queryExecution.executedPlan
+    val smj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(smj.isEmpty, "idf join must be broadcast, not shuffled")
+  }
 }
