@@ -43,6 +43,8 @@ class FuzzParitySpec extends AnyFunSuite {
       .getOrCreate()
     s.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .createOrReplaceTempView("orders")
+    s.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .createOrReplaceTempView("customer")
     s
   }
 
@@ -248,9 +250,57 @@ class FuzzParitySpec extends AnyFunSuite {
         s"SELECT c2, $aggSp AS a0 FROM (${inner.sp}) WHERE c0 >= $k GROUP BY c2")
     }
 
+    // ---- joins (identical text in both dialects except the CH-isms) ----
+
+    /** customer-side expression — same text in both dialects. */
+    def custNumExpr(): P = pick(Seq(
+      same(s"c_custkey % ${int(2, 13)}"),
+      same(s"c_nationkey % ${int(2, 7)}"),
+      same("length(c_name)"),
+      same("length(c_mktsegment)")))
+
+    /** WHERE-only filter (no PREWHERE): in a join query PREWHERE is a
+      * left-scan pre-join filter in CH while the Spark twin can only
+      * express a post-join WHERE — for outer joins those differ, so join
+      * seeds stick to plain WHERE on both sides. */
+    private def whereOnly(): (String, String) = {
+      if (chance(0.3)) ("", "")
+      else { val p = pred(1); (s" WHERE ${p.ch}", s" WHERE ${p.sp}") }
+    }
+
+    def joinQuery(): P = {
+      val jt = pick(Seq("INNER JOIN", "LEFT JOIN", "RIGHT JOIN"))
+      val n = numExpr(1)
+      val cn = custNumExpr()
+      val (fch, fsp) = whereOnly()
+      val join = s"FROM orders $jt customer ON o_custkey = c_custkey"
+      if (chance(0.4))
+        P(s"SELECT ${cn.ch} AS g0, count() AS a0, sum(${n.ch}) AS a1 " +
+            s"$join$fch GROUP BY g0",
+          s"SELECT ${cn.sp} AS g0, count(*) AS a0, sum(${n.sp}) AS a1 " +
+            s"$join$fsp GROUP BY ${cn.sp}")
+      else
+        P(s"SELECT o_orderkey AS k, c_custkey AS k2, ${n.ch} AS e0, " +
+            s"${cn.ch} AS e1 $join$fch",
+          s"SELECT o_orderkey AS k, c_custkey AS k2, ${n.sp} AS e0, " +
+            s"${cn.sp} AS e1 $join$fsp")
+    }
+
+    def semiAntiQuery(): P = {
+      val sa = pick(Seq("SEMI", "ANTI"))
+      val m = int(2, 15)
+      val (fch, fsp) = whereOnly()
+      def q(d: String) =
+        s"SELECT o_orderkey AS k, o_custkey AS c FROM orders LEFT $sa JOIN " +
+          s"(SELECT c_custkey FROM customer WHERE c_custkey % $m = 0) AS cc " +
+          s"ON o_custkey = c_custkey$d"
+      P(q(fch), q(fsp))
+    }
+
     def query(): P = pick(Seq[() => P](
       () => flatQuery(), () => aggQuery(), () => windowQuery(),
-      () => limitByQuery(), () => setOpQuery(), () => nestedQuery()))()
+      () => limitByQuery(), () => setOpQuery(), () => nestedQuery(),
+      () => joinQuery(), () => semiAntiQuery()))()
   }
 
   // ---- execution + canonical compare ----
