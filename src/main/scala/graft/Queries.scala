@@ -5430,7 +5430,20 @@ object Queries {
     "t16_tfidf_terms" -> ((s, dir) =>
       graft.operators.TextAnalysis.tfidfTopTerms(
           tbl(s, dir, "documents"), "doc_id", "text", k = 3)
-        .orderBy(col("doc_id"), desc("score"), col("term"))))
+        .orderBy(col("doc_id"), desc("score"), col("term"))),
+
+    // SemDeDup: deterministic k-means (1 Lloyd round, stride init, means
+    // rounded so SQL replays the codebook), then near-dup pruning WITHIN
+    // cells only — planted exact copies (id+10000) must be dropped.
+    "v10_semdedup" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val copies = emb.select((col("vec_id") + 10000).as("vec_id"),
+        col("embedding"))
+      graft.operators.Similarity.semDedup(emb.unionByName(copies),
+          "vec_id", "embedding", centroidEvery = 50, iters = 1,
+          threshold = 0.95)
+        .orderBy("id")
+    }))
 
   private val oracles12: Map[String, String] = Map(
 
@@ -5538,5 +5551,44 @@ object Queries {
         |rk AS (SELECT doc_id, term, score, row_number() OVER (
         |  PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM scored)
         |SELECT doc_id, term, score FROM rk WHERE rn <= 3
-        |ORDER BY doc_id, score DESC, term""".stripMargin)
+        |ORDER BY doc_id, score DESC, term""".stripMargin,
+
+    // k-means replay: stride init → cosine assignment (round 6, tie cid)
+    // → per-(cell,pos) rounded means → re-pack (empty cells keep the old
+    // centroid) → final assignment → within-cell near-dup pairs
+    "v10_semdedup" ->
+      s"""WITH base AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+         |  FROM embeddings),
+         |cents0 AS (SELECT id AS cid, v AS cv FROM base WHERE id % 50 = 0),
+         |a0 AS (SELECT id, v, cid,
+         |  round(${sqlDot("v", "cv")} /
+         |    (sqrt(${sqlNormSq("v")}) * sqrt(${sqlNormSq("cv")})), 6) AS csim
+         |  FROM base CROSS JOIN cents0),
+         |cell0 AS (SELECT id, v, cid AS cell FROM (
+         |  SELECT id, v, cid, row_number() OVER (PARTITION BY id
+         |    ORDER BY csim DESC, cid) AS rn FROM a0) WHERE rn = 1),
+         |m0 AS (SELECT cell, pos, round(avg(x), 6) AS m FROM (
+         |    SELECT cell, unnest(v) AS x, unnest(range(0, len(v))) AS pos
+         |    FROM cell0) GROUP BY cell, pos),
+         |p0 AS (SELECT cell, list(m ORDER BY pos) AS mv FROM m0 GROUP BY cell),
+         |cents1 AS (SELECT cid, coalesce(p0.mv, cv) AS cv
+         |  FROM cents0 LEFT JOIN p0 ON p0.cell = cents0.cid),
+         |a1 AS (SELECT id, v, cid,
+         |  round(${sqlDot("v", "cv")} /
+         |    (sqrt(${sqlNormSq("v")}) * sqrt(${sqlNormSq("cv")})), 6) AS csim
+         |  FROM base CROSS JOIN cents1),
+         |cell1 AS (SELECT id, v, cid AS cell FROM (
+         |  SELECT id, v, cid, row_number() OVER (PARTITION BY id
+         |    ORDER BY csim DESC, cid) AS rn FROM a1) WHERE rn = 1),
+         |dropped AS (SELECT DISTINCT r.id FROM cell1 l JOIN cell1 r
+         |  ON l.cell = r.cell AND l.id < r.id
+         |  WHERE round(${sqlDot("l.v", "r.v")} /
+         |    (sqrt(${sqlNormSq("l.v")}) * sqrt(${sqlNormSq("r.v")})), 6) >= 0.95)
+         |SELECT c.id, c.cell, d.id IS NULL AS keep
+         |FROM cell1 c LEFT JOIN dropped d ON d.id = c.id
+         |ORDER BY c.id""".stripMargin)
 }

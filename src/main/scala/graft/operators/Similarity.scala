@@ -95,27 +95,44 @@ object Similarity {
     * plan/task by the full codebook (tens of MB at C≈√n for
     * billion-vector corpora). Either way assignment stays row-local:
     * zero joins, zero shuffles. */
-  private def coarseAssigned(
-      vecs: DataFrame, centroidEvery: Int, nprobe: Int,
-      roundTo: Int, maxLiteralCentroids: Int
+  /** Row-local cell assignment against an explicit driver-side codebook
+    * (ids + vectors) — the transport switch is shared by IVF, IVF-PQ and
+    * k-means iterations. */
+  private def assignWith(
+      vecs: DataFrame, cids: Array[Long], cvs: Array[Array[Double]],
+      nprobe: Int, roundTo: Int, maxLiteralCentroids: Int
   ): DataFrame = {
-    val centRows = vecs.filter(pmod(col("id"), lit(centroidEvery)) === 0)
-      .orderBy("id").collect()
     val probed =
-      if (centRows.length <= maxLiteralCentroids) {
-        val cidsLit = typedLit(centRows.map(_.getLong(0)).toSeq)
-        val cvsLit = typedLit(centRows.map(_.getSeq[Double](1)).toSeq)
+      if (cids.length <= maxLiteralCentroids) {
+        val cidsLit = typedLit(cids.toSeq)
+        val cvsLit = typedLit(cvs.map(_.toSeq).toSeq)
         graft.plans.NativeExpressions.nearest_centroids(
           col("v"), cidsLit, cvsLit, nprobe, roundTo)
       } else {
-        val cb = new graft.plans.Codebook(
-          centRows.map(_.getLong(0)),
-          centRows.map(_.getSeq[Double](1).toArray))
+        val cb = new graft.plans.Codebook(cids, cvs)
         val bc = vecs.sparkSession.sparkContext.broadcast(cb)
         graft.plans.NativeExpressions.nearest_centroids_bc(
           col("v"), bc, nprobe, roundTo)
       }
     vecs.withColumn("__cells", probed)
+  }
+
+  /** Stride-sampled codebook rows: (id, vector) of every
+    * `centroidEvery`-th vector, id-ordered. */
+  private def strideCodebook(
+      vecs: DataFrame, centroidEvery: Int
+  ): (Array[Long], Array[Array[Double]]) = {
+    val centRows = vecs.filter(pmod(col("id"), lit(centroidEvery)) === 0)
+      .orderBy("id").collect()
+    (centRows.map(_.getLong(0)), centRows.map(_.getSeq[Double](1).toArray))
+  }
+
+  private def coarseAssigned(
+      vecs: DataFrame, centroidEvery: Int, nprobe: Int,
+      roundTo: Int, maxLiteralCentroids: Int
+  ): DataFrame = {
+    val (cids, cvs) = strideCodebook(vecs, centroidEvery)
+    assignWith(vecs, cids, cvs, nprobe, roundTo, maxLiteralCentroids)
   }
 
   def ivfTopK(
@@ -293,6 +310,69 @@ object Similarity {
         graft.plans.NativeExpressions.pq_adc(
           col("lut"), col("codes"), cb.nCentroids, roundTo).as("adist"))
       .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= k).drop("rn")
+  }
+
+  // ---- k-means + SemDeDup ----
+
+  /** Lloyd's k-means over the embedding column, fully deterministic and
+    * engine-replayable: stride-sampled init (every `centroidEvery`-th
+    * vector), cosine assignment (the same rounded row-local argmax as
+    * IVF), per-cell means ROUNDED to `roundTo` (so any SQL engine's avg
+    * reproduces the next codebook bit-for-bit at the compared precision).
+    * Each of the `iters` update rounds is: one row-local assignment scan +
+    * one element-wise mean (posexplode → groupBy (cell, pos) — map-side
+    * combinable, d rows per vector). Cells that lose all members keep
+    * their previous centroid. The codebook lives driver-side between
+    * rounds (C·d doubles — the faiss convention); at 100 TB the per-round
+    * cost is one scan + one bounded shuffle, and C stays user-capped.
+    * Returns (cell ids, centroid vectors). */
+  def kmeansCodebook(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroidEvery: Int, iters: Int, roundTo: Int = 6,
+      maxLiteralCentroids: Int = 64
+  ): (Array[Long], Array[Array[Double]]) = {
+    val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    var (cids, cvs) = strideCodebook(vecs, centroidEvery)
+    for (_ <- 0 until iters) {
+      val assigned = assignWith(vecs, cids, cvs, 1, roundTo, maxLiteralCentroids)
+        .select(col("v"), element_at(col("__cells"), 1).as("cell"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(round(avg("x"), roundTo).as("m"))
+        .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"),
+          col("m")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), e => e.getField("m")).as("mv"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      cvs = cids.zip(cvs).map { case (cid, old) => means.getOrElse(cid, old) }
+    }
+    (cids, cvs)
+  }
+
+  /** SemDeDup: cluster the corpus with [[kmeansCodebook]], then drop
+    * near-duplicates WITHIN each cluster — a vector is dropped iff a
+    * smaller-id member of its cell has cosine ≥ `threshold` with it
+    * (deterministic keep-lowest rule). The pairwise pass runs per cell
+    * (shuffle key = cell), so the O(n²) pair space is never materialized —
+    * cluster-first is what makes semantic dedup feasible at 100 TB.
+    * Returns (id, cell, keep). */
+  def semDedup(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroidEvery: Int, iters: Int, threshold: Double,
+      roundTo: Int = 6, maxLiteralCentroids: Int = 64
+  ): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val (cids, cvs) = kmeansCodebook(corpus, idCol, vecCol, centroidEvery,
+      iters, roundTo, maxLiteralCentroids)
+    val cells = assignWith(vecs, cids, cvs, 1, roundTo, maxLiteralCentroids)
+      .select(col("id"), col("v"), element_at(col("__cells"), 1).as("cell"))
+    val l = cells.select(col("cell"), col("id").as("id1"), col("v").as("v1"))
+    val r = cells.select(col("cell"), col("id").as("id2"), col("v").as("v2"))
+    val dropped = l.join(r, Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .filter(round(cosine(col("v1"), col("v2")), roundTo) >= threshold)
+      .select(col("id2").as("id")).distinct()
+    cells.join(dropped.withColumn("__drop", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cell"), col("__drop").isNull.as("keep"))
   }
 
   /** IVF-PQ (faiss IVFADC): coarse cells prune the candidate set
