@@ -297,10 +297,36 @@ class FuzzParitySpec extends AnyFunSuite {
       P(q(fch), q(fsp))
     }
 
+    /** ARRAY JOIN (row expansion) + array HOFs: the array comes from a
+      * deterministic split of a constructed string, so both dialects see
+      * the same elements; the Spark twin is LATERAL VIEW explode. */
+    def arrayJoinQuery(): P = {
+      val k = int(2, 6)
+      val chArr = s"splitByChar('_', concat(o_orderstatus, '_', " +
+        s"toString(o_orderkey % $k), '_', o_orderpriority))"
+      val spArr = s"split(concat(o_orderstatus, '_', " +
+        s"CAST(o_orderkey % $k AS STRING), '_', o_orderpriority), '_')"
+      val (fch, fsp) = whereOnly()
+      if (chance(0.5))
+        P(s"SELECT o_orderkey AS k, tok FROM orders ARRAY JOIN $chArr AS tok$fch",
+          s"SELECT o_orderkey AS k, tok FROM orders " +
+            s"LATERAL VIEW explode($spArr) t AS tok$fsp")
+      else {
+        // HOF pipeline instead of expansion: map + sum over the array
+        val m = int(1, 5)
+        P(s"SELECT o_orderkey AS k, " +
+            s"arraySum(arrayMap(x -> length(x) * $m, $chArr)) AS s " +
+            s"FROM orders$fch",
+          s"SELECT o_orderkey AS k, " +
+            s"aggregate(transform($spArr, x -> length(x) * $m), " +
+            s"CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS s FROM orders$fsp")
+      }
+    }
+
     def query(): P = pick(Seq[() => P](
       () => flatQuery(), () => aggQuery(), () => windowQuery(),
       () => limitByQuery(), () => setOpQuery(), () => nestedQuery(),
-      () => joinQuery(), () => semiAntiQuery()))()
+      () => joinQuery(), () => semiAntiQuery(), () => arrayJoinQuery()))()
   }
 
   // ---- execution + canonical compare ----
