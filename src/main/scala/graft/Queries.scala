@@ -5443,7 +5443,19 @@ object Queries {
           "vec_id", "embedding", centroidEvery = 50, iters = 1,
           threshold = 0.95)
         .orderBy("id")
-    }))
+    }),
+
+    // int8 scalar quantization: per-vector symmetric scale, row-local —
+    // the 4x compression tier next to PQ; codes emitted as CSV so the
+    // compare is engine-neutral
+    "v11_int8_quant" -> ((s, dir) =>
+      graft.operators.Similarity.quantizeInt8(
+          tbl(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("id"), col("scale"),
+          array_join(transform(col("codes"), c => c.cast("string")), ",")
+            .as("codes_csv"),
+          col("err"))
+        .orderBy("id")))
 
   private val oracles12: Map[String, String] = Map(
 
@@ -5590,5 +5602,29 @@ object Queries {
          |    (sqrt(${sqlNormSq("l.v")}) * sqrt(${sqlNormSq("r.v")})), 6) >= 0.95)
          |SELECT c.id, c.cell, d.id IS NULL AS keep
          |FROM cell1 c LEFT JOIN dropped d ON d.id = c.id
-         |ORDER BY c.id""".stripMargin)
+         |ORDER BY c.id""".stripMargin,
+
+    "v11_int8_quant" ->
+      """WITH vecs AS (SELECT vec_id AS id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |sc AS (SELECT id, v,
+        |    list_reduce(list_prepend(0.0, list_transform(v, x -> abs(x))),
+        |      (a, x) -> greatest(a, x)) AS amax
+        |  FROM vecs),
+        |q AS (SELECT id, v,
+        |    CASE WHEN amax > 0 THEN amax / 127.0 ELSE 0.0 END AS s,
+        |    CASE WHEN amax > 0 THEN list_transform(v,
+        |        x -> CAST(round(x / (amax / 127.0), 0) AS INT))
+        |      ELSE list_transform(v, x -> 0) END AS codes
+        |  FROM sc)
+        |SELECT id, round(s, 6) AS scale,
+        |  array_to_string(list_transform(codes, c -> CAST(c AS VARCHAR)), ',')
+        |    AS codes_csv,
+        |  round(sqrt(list_reduce(list_prepend(0.0,
+        |    list_transform(list_zip(v, codes),
+        |      p -> (p[1] - CAST(p[2] AS DOUBLE) * s) *
+        |           (p[1] - CAST(p[2] AS DOUBLE) * s))),
+        |    (a, x) -> a + x) / greatest(len(v), 1)), 6) AS err
+        |FROM q ORDER BY id""".stripMargin)
 }

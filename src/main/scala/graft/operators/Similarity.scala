@@ -312,6 +312,39 @@ object Similarity {
       .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= k).drop("rn")
   }
 
+  // ---- int8 scalar quantization ----
+
+  /** Symmetric int8 scalar quantization — the lightweight compression
+    * tier next to PQ (4× over float32, 8× over the double pipeline):
+    * per-vector scale = max|x|/127, codes = round-half-up(x/scale) in
+    * [-127, 127]. Row-local column arithmetic (no UDF, no shuffle);
+    * deterministic, so any SQL engine replays codes exactly. Returns
+    * (id, scale, codes). Zero vectors get scale 0 and all-zero codes. */
+  def quantizeInt8(
+      corpus: DataFrame, idCol: String, vecCol: String, roundTo: Int = 6
+  ): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val amax = aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x)))
+    val scale = when(amax > 0, amax / 127.0).otherwise(lit(0.0))
+    val codes = when(scale > 0,
+      transform(v, x => round(x / scale, 0).cast("int")))
+      .otherwise(transform(v, _ => lit(0)))
+    // RMS reconstruction error (unrounded scale; sequential zip fold so a
+    // SQL twin reproduces the exact double before rounding)
+    val err = sqrt(
+      aggregate(zip_with(v, codes, (x, c) =>
+        (x - c.cast("double") * scale) * (x - c.cast("double") * scale)),
+        lit(0.0), (a, x) => a + x) / greatest(size(v), lit(1)))
+    corpus.select(col(idCol).as("id"),
+      round(scale, roundTo).as("scale"),
+      codes.as("codes"),
+      round(err, roundTo).as("err"))
+  }
+
+  /** Reconstruction from int8 codes: x̂ = code · scale. */
+  def dequantizeInt8(scale: Column, codes: Column): Column =
+    transform(codes, c => c.cast("double") * scale)
+
   // ---- k-means + SemDeDup ----
 
   /** Lloyd's k-means over the embedding column, fully deterministic and

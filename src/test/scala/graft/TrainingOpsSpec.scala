@@ -396,6 +396,38 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(cvs1.zip(cvs2).forall { case (a, b) => a.sameElements(b) })
   }
 
+  test("quantizeInt8: codes bounded, round-trip error bounded by scale/2, shuffle-free") {
+    val rows = Seq(
+      (0L, Seq(0.5, -1.0, 0.25, 0.0)),
+      (1L, Seq(0.0, 0.0, 0.0, 0.0)),     // zero vector edge
+      (2L, Seq(127.0, -127.0, 1.0, -1.0)))
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df, "vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getSeq[Int](2), r.getDouble(3)))).toMap
+    // codes live in [-127, 127]
+    assert(out.values.forall(_._2.forall(c => c >= -127 && c <= 127)))
+    // max-magnitude element always maps to ±127
+    assert(out(0L)._2.contains(-127))
+    assert(out(2L)._2.take(2) == Seq(127, -127))
+    // zero vector: scale 0, all-zero codes, zero error
+    assert(out(1L)._1 == 0.0 && out(1L)._2.forall(_ == 0) && out(1L)._3 == 0.0)
+    // per-element recon error is at most scale/2 ⇒ RMS ≤ scale/2
+    // (both scale and err are rounded to 6 in the output — allow that slack)
+    assert(out.values.forall { case (s, _, e) => e <= s / 2 + 1e-6 })
+    val plan = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, "quantizeInt8 must stay shuffle-free")
+    // dequantize round-trips within the same bound
+    val rt = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .select(col("id"), Similarity.dequantizeInt8(col("scale"), col("codes"))
+        .as("recon")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(math.abs(rt(2L)(0) - 127.0) < 1.0)
+  }
+
   test("tfidfTopTerms: distinctive terms win, idf join is broadcast") {
     val out = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 2)
     // doc 4 is the only doc with "spark"/"engines" etc. — its top terms
