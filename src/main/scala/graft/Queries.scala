@@ -5392,6 +5392,43 @@ object Queries {
   private def pqCodeJoins(m: Int): String =
     (0 until m).map(j => s"JOIN code_$j k$j ON k$j.id = n.id").mkString(" ")
 
+  /** Shared CTE chain replaying `Similarity.semDedup(centroidEvery=50,
+    * iters=1, threshold=0.95)` over embeddings + planted copies (id+10000):
+    * ends with `cell1(id, v, cell)` and `dropped(id)`. Used by the v10
+    * oracle and composed into the p2 pipeline oracle. */
+  private def semdedupCteBlock: String =
+    s"""base AS (SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+       |  FROM embeddings),
+       |cents0 AS (SELECT id AS cid, v AS cv FROM base WHERE id % 50 = 0),
+       |a0 AS (SELECT id, v, cid,
+       |  round(${sqlDot("v", "cv")} /
+       |    (sqrt(${sqlNormSq("v")}) * sqrt(${sqlNormSq("cv")})), 6) AS csim
+       |  FROM base CROSS JOIN cents0),
+       |cell0 AS (SELECT id, v, cid AS cell FROM (
+       |  SELECT id, v, cid, row_number() OVER (PARTITION BY id
+       |    ORDER BY csim DESC, cid) AS rn FROM a0) WHERE rn = 1),
+       |m0 AS (SELECT cell, pos, round(avg(x), 6) AS m FROM (
+       |    SELECT cell, unnest(v) AS x, unnest(range(0, len(v))) AS pos
+       |    FROM cell0) GROUP BY cell, pos),
+       |p0 AS (SELECT cell, list(m ORDER BY pos) AS mv FROM m0 GROUP BY cell),
+       |cents1 AS (SELECT cid, coalesce(p0.mv, cv) AS cv
+       |  FROM cents0 LEFT JOIN p0 ON p0.cell = cents0.cid),
+       |a1 AS (SELECT id, v, cid,
+       |  round(${sqlDot("v", "cv")} /
+       |    (sqrt(${sqlNormSq("v")}) * sqrt(${sqlNormSq("cv")})), 6) AS csim
+       |  FROM base CROSS JOIN cents1),
+       |cell1 AS (SELECT id, v, cid AS cell FROM (
+       |  SELECT id, v, cid, row_number() OVER (PARTITION BY id
+       |    ORDER BY csim DESC, cid) AS rn FROM a1) WHERE rn = 1),
+       |dropped AS (SELECT DISTINCT r.id FROM cell1 l JOIN cell1 r
+       |  ON l.cell = r.cell AND l.id < r.id
+       |  WHERE round(${sqlDot("l.v", "r.v")} /
+       |    (sqrt(${sqlNormSq("l.v")}) * sqrt(${sqlNormSq("r.v")})), 6) >= 0.95)""".stripMargin
+
   private val batch12: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exhaustive ADC scan: corpus compressed to m=4 codes/row (row-local
@@ -5455,7 +5492,25 @@ object Queries {
           array_join(transform(col("codes"), c => c.cast("string")), ",")
             .as("codes_csv"),
           col("err"))
-        .orderBy("id")))
+        .orderBy("id")),
+
+    // Embedding pipeline end-to-end (the vector twin of p1): SemDeDup
+    // prunes near-duplicates (planted copies must go), then IVF ANN serves
+    // top-k over the SURVIVING corpus only — the standard
+    // dedup-before-index ordering of a production vector pipeline.
+    "p2_embedding_pipeline" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val copies = emb.select((col("vec_id") + 10000).as("vec_id"),
+        col("embedding"))
+      val all = emb.unionByName(copies)
+      val kept = graft.operators.Similarity.semDedup(all, "vec_id",
+          "embedding", centroidEvery = 50, iters = 1, threshold = 0.95)
+        .filter(col("keep")).select(col("id").as("vec_id"))
+      val corpus = all.join(kept, Seq("vec_id"), "left_semi")
+      graft.operators.Similarity.ivfTopK(corpus, "vec_id", "embedding",
+          centroidEvery = 50, queryPred = col("id") < 10, k = 3)
+        .orderBy(col("query_id"), desc("sim"), col("neighbor_id"))
+    }))
 
   private val oracles12: Map[String, String] = Map(
 
@@ -5569,37 +5624,7 @@ object Queries {
     // → per-(cell,pos) rounded means → re-pack (empty cells keep the old
     // centroid) → final assignment → within-cell near-dup pairs
     "v10_semdedup" ->
-      s"""WITH base AS (SELECT vec_id AS id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings
-         |  UNION ALL
-         |  SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x AS DOUBLE))
-         |  FROM embeddings),
-         |cents0 AS (SELECT id AS cid, v AS cv FROM base WHERE id % 50 = 0),
-         |a0 AS (SELECT id, v, cid,
-         |  round(${sqlDot("v", "cv")} /
-         |    (sqrt(${sqlNormSq("v")}) * sqrt(${sqlNormSq("cv")})), 6) AS csim
-         |  FROM base CROSS JOIN cents0),
-         |cell0 AS (SELECT id, v, cid AS cell FROM (
-         |  SELECT id, v, cid, row_number() OVER (PARTITION BY id
-         |    ORDER BY csim DESC, cid) AS rn FROM a0) WHERE rn = 1),
-         |m0 AS (SELECT cell, pos, round(avg(x), 6) AS m FROM (
-         |    SELECT cell, unnest(v) AS x, unnest(range(0, len(v))) AS pos
-         |    FROM cell0) GROUP BY cell, pos),
-         |p0 AS (SELECT cell, list(m ORDER BY pos) AS mv FROM m0 GROUP BY cell),
-         |cents1 AS (SELECT cid, coalesce(p0.mv, cv) AS cv
-         |  FROM cents0 LEFT JOIN p0 ON p0.cell = cents0.cid),
-         |a1 AS (SELECT id, v, cid,
-         |  round(${sqlDot("v", "cv")} /
-         |    (sqrt(${sqlNormSq("v")}) * sqrt(${sqlNormSq("cv")})), 6) AS csim
-         |  FROM base CROSS JOIN cents1),
-         |cell1 AS (SELECT id, v, cid AS cell FROM (
-         |  SELECT id, v, cid, row_number() OVER (PARTITION BY id
-         |    ORDER BY csim DESC, cid) AS rn FROM a1) WHERE rn = 1),
-         |dropped AS (SELECT DISTINCT r.id FROM cell1 l JOIN cell1 r
-         |  ON l.cell = r.cell AND l.id < r.id
-         |  WHERE round(${sqlDot("l.v", "r.v")} /
-         |    (sqrt(${sqlNormSq("l.v")}) * sqrt(${sqlNormSq("r.v")})), 6) >= 0.95)
+      s"""WITH $semdedupCteBlock
          |SELECT c.id, c.cell, d.id IS NULL AS keep
          |FROM cell1 c LEFT JOIN dropped d ON d.id = c.id
          |ORDER BY c.id""".stripMargin,
@@ -5626,5 +5651,30 @@ object Queries {
         |      p -> (p[1] - CAST(p[2] AS DOUBLE) * s) *
         |           (p[1] - CAST(p[2] AS DOUBLE) * s))),
         |    (a, x) -> a + x) / greatest(len(v), 1)), 6) AS err
-        |FROM q ORDER BY id""".stripMargin)
+        |FROM q ORDER BY id""".stripMargin,
+
+    // pipeline composition: the full semDedup replay feeds the kept set,
+    // then the v3 IVF algebra runs over survivors only
+    "p2_embedding_pipeline" ->
+      s"""WITH $semdedupCteBlock,
+         |kept AS (SELECT c.id, c.v FROM cell1 c
+         |  LEFT JOIN dropped d ON d.id = c.id WHERE d.id IS NULL),
+         |kcents AS (SELECT id AS cid, v AS cv FROM kept WHERE id % 50 = 0),
+         |kassign AS (SELECT id, v, cid,
+         |  round(${sqlDot("v", "cv")} /
+         |    (sqrt(${sqlNormSq("v")}) * sqrt(${sqlNormSq("cv")})), 6) AS csim
+         |  FROM kept CROSS JOIN kcents),
+         |kcells AS (SELECT id, v, cid AS cell FROM (
+         |  SELECT id, v, cid, row_number() OVER (PARTITION BY id
+         |    ORDER BY csim DESC, cid) AS rn FROM kassign) WHERE rn = 1),
+         |kq AS (SELECT id AS query_id, v AS qv, cell FROM kcells WHERE id < 10),
+         |kscored AS (SELECT query_id, c.id AS neighbor_id,
+         |  round(${sqlDot("qv", "c.v")} /
+         |    (sqrt(${sqlNormSq("qv")}) * sqrt(${sqlNormSq("c.v")})), 6) AS sim
+         |  FROM kq JOIN kcells c USING (cell) WHERE query_id <> c.id),
+         |krk AS (SELECT query_id, neighbor_id, sim, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+         |  FROM kscored)
+         |SELECT query_id, neighbor_id, sim FROM krk WHERE rn <= 3
+         |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin)
 }
