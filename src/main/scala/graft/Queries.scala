@@ -93,10 +93,11 @@ object Queries {
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     batch1 ++ batch2 ++ batch3 ++ batch4 ++ batch5 ++ batch6 ++ batch7 ++
-      batch8 ++ batch9 ++ batch10 ++ batch11 ++ batch12
+      batch8 ++ batch9 ++ batch10 ++ batch11 ++ batch12 ++ batch13
   def oracles: Map[String, String] =
     oracles1 ++ oracles2 ++ oracles3 ++ oracles4 ++ oracles5 ++ oracles6 ++
-      oracles7 ++ oracles8 ++ oracles9 ++ oracles10 ++ oracles11 ++ oracles12
+      oracles7 ++ oracles8 ++ oracles9 ++ oracles10 ++ oracles11 ++
+      oracles12 ++ oracles13
 
   private val batch1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -5677,4 +5678,109 @@ object Queries {
          |  FROM kscored)
          |SELECT query_id, neighbor_id, sim FROM krk WHERE rn <= 3
          |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin)
+
+  // ===== batch 13: retrieval, line dedup, mixture sampling =====
+
+  private val batch13: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // BM25 full-text retrieval: one map-side-combinable stats pass (N,
+    // avgdl, per-query-term df), then row-local codegen'd scoring and a
+    // TakeOrderedAndProject top-k — no joins, no full sort
+    "t17_bm25_topk" -> ((s, dir) =>
+      graft.operators.TextAnalysis.bm25TopK(
+        tbl(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "window", "merge"), k = 20)),
+
+    // RefinedWeb-style boilerplate line removal: planted header/footer
+    // lines shared across ~1/3 / ~1/4 of docs must be stripped while each
+    // doc's unique lines survive in order. Dup set broadcasts; the corpus
+    // text never shuffles.
+    "t18_line_dedup" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          when(col("doc_id") % 3 === 0, lit("subscribe to our newsletter"))
+            .otherwise(concat(lit("header "), col("doc_id"))),
+          col("text"),
+          when(col("doc_id") % 4 === 0, lit("all rights reserved"))
+            .otherwise(concat(lit("footer "), col("doc_id")))).as("text"))
+      graft.operators.TextAnalysis.lineDedup(docs, "doc_id", "text",
+          minDocs = 10)
+        .orderBy("doc_id")
+    }),
+
+    // temperature-weighted source mixture: a skewed 60/30/10 source split,
+    // alpha=0.7 flattens toward the small source (code keeps ~75%, web
+    // ~44%); keep rule is the deterministic portable-hash per-mille filter
+    "t19_mixture_sample" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 10 < 6, "web")
+          .when(col("doc_id") % 10 < 9, "books")
+          .otherwise("code").as("src"))
+      graft.operators.TextAnalysis.mixtureSample(docs, "src", "doc_id",
+          alpha = 0.7, targetRows = 250)
+        .orderBy("doc_id")
+    }))
+
+  private val oracles13: Map[String, String] = Map(
+
+    "t17_bm25_topk" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> len(t) > 0) AS t
+        |  FROM documents),
+        |st AS (SELECT count(*) * 1.0 AS n, sum(len(t)) * 1.0 AS tt,
+        |    sum(CASE WHEN list_contains(t, 'spark') THEN 1 ELSE 0 END) * 1.0 AS df0,
+        |    sum(CASE WHEN list_contains(t, 'window') THEN 1 ELSE 0 END) * 1.0 AS df1,
+        |    sum(CASE WHEN list_contains(t, 'merge') THEN 1 ELSE 0 END) * 1.0 AS df2
+        |  FROM toks),
+        |tf AS (SELECT doc_id, len(t) * 1.0 AS dl,
+        |    len(list_filter(t, x -> x = 'spark')) * 1.0 AS tf0,
+        |    len(list_filter(t, x -> x = 'window')) * 1.0 AS tf1,
+        |    len(list_filter(t, x -> x = 'merge')) * 1.0 AS tf2
+        |  FROM toks),
+        |sc AS (SELECT doc_id, round(
+        |    ln(1.0 + (st.n - st.df0 + 0.5) / (st.df0 + 0.5)) * tf0 * (1.2 + 1.0)
+        |      / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (st.tt / st.n)))
+        |  + ln(1.0 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5)) * tf1 * (1.2 + 1.0)
+        |      / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (st.tt / st.n)))
+        |  + ln(1.0 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5)) * tf2 * (1.2 + 1.0)
+        |      / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (st.tt / st.n))), 6)
+        |  AS score FROM tf, st)
+        |SELECT doc_id, score FROM sc WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "t18_line_dedup" ->
+      """WITH docs AS (SELECT doc_id, concat_ws(chr(10),
+        |    CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter'
+        |         ELSE 'header ' || doc_id END,
+        |    text,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'all rights reserved'
+        |         ELSE 'footer ' || doc_id END) AS text
+        |  FROM documents),
+        |ln AS (SELECT doc_id, list_filter(string_split(text, chr(10)),
+        |    l -> len(trim(l)) > 0) AS l FROM docs),
+        |dup AS (SELECT line FROM (SELECT doc_id, unnest(list_distinct(l))
+        |    AS line FROM ln) GROUP BY line HAVING count(*) >= 10),
+        |dl AS (SELECT coalesce(list(line), []) AS dups FROM dup)
+        |SELECT doc_id,
+        |  array_to_string(list_filter(l,
+        |    x -> NOT list_contains(dups, x)), chr(10)) AS text,
+        |  CAST(len(l) - len(list_filter(l,
+        |    x -> NOT list_contains(dups, x))) AS BIGINT) AS n_removed
+        |FROM ln CROSS JOIN dl ORDER BY doc_id""".stripMargin,
+
+    "t19_mixture_sample" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 10 < 6 THEN 'web'
+         |         WHEN doc_id % 10 < 9 THEN 'books' ELSE 'code' END AS src
+         |  FROM documents),
+         |c AS (SELECT src, count(*) AS c FROM d GROUP BY src),
+         |w AS (SELECT src, c, pow(c * 1.0, 0.7) AS w FROM c),
+         |z AS (SELECT sum(w) AS z FROM w),
+         |f AS (SELECT src, least(1.0, 250 * (w / (SELECT z FROM z)) / c) AS f
+         |  FROM w),
+         |b AS (SELECT doc_id, src,
+         |    ${sqlCharFold("CAST(doc_id AS VARCHAR)")} % 1000 AS b FROM d)
+         |SELECT b.doc_id, b.src FROM b JOIN f USING (src)
+         |WHERE b.b < f.f * 1000 ORDER BY doc_id""".stripMargin)
 }

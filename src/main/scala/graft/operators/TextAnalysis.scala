@@ -367,4 +367,116 @@ object TextAnalysis {
     df.select(col(idCol), n.cast("long").as("n_tokens"),
       when(n > 0, round(exp(-logp / n), roundTo)).as("ppl"))
   }
+
+  // ===================== BM25 retrieval =====================
+
+  /** BM25 top-k document retrieval for a literal query-term list — the
+    * full-text-search primitive of a curation stack, and the lexical half
+    * of hybrid retrieval next to the ANN tier in
+    * [[graft.operators.Similarity]].
+    *
+    * Scale shape: only the QUERY's terms matter, so corpus statistics are
+    * ONE map-side-combinable aggregate pass (N, total token count for
+    * avgdl, and one document frequency per query term — a handful of
+    * scalars, never a vocabulary table); the collected scalars fold into
+    * the scoring expression as literals, so scoring is a row-local
+    * codegen'd pass — no joins, no shuffles — and the top-k is
+    * TakeOrderedAndProject (per-partition heads + driver merge), never a
+    * full sort. idf = ln(1 + (N − df + 0.5)/(df + 0.5)) (always positive);
+    * documents matching no query term are filtered before the top-k.
+    * Returns (idCol, score) with score rounded to `roundTo`; ties on the
+    * rounded score break by id so the cutoff is deterministic. */
+  def bm25TopK(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, queryTerms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75, roundTo: Int = 6): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: empty query")
+    val terms = queryTerms.distinct
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    val statAggs = sum(size(toks).cast("long")).as("tt") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(toks, lit(t)), 1L).otherwise(0L)).as(s"df$i") }
+    val stat = df.agg(count(lit(1)).as("n"), statAggs: _*).head()
+    val n = stat.getLong(0)
+    val avgdl = stat.getLong(1).toDouble / math.max(n, 1L)
+    val dl = size(toks).cast("double")
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val dfT = stat.getLong(2 + i)
+      val idf = math.log(1.0 + (n - dfT + 0.5) / (dfT + 0.5))
+      val tf = size(filter(toks, x => x === lit(t))).cast("double")
+      lit(idf) * tf * (lit(k1) + lit(1.0)) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * dl / lit(avgdl)))
+    }.reduce(_ + _)
+    df.select(col(idCol), round(score, roundTo).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
+  // ===================== line-level corpus dedup =====================
+
+  /** Boilerplate line removal (the RefinedWeb / CCNet line-level dedup
+    * pass): drop every line occurring in at least `minDocs` DISTINCT
+    * documents (headers, footers, cookie banners, nav text), keeping each
+    * document's remaining lines in their original order. Returns
+    * (idCol, text cleaned, n_removed). Whitespace-only lines are ignored
+    * on both the counting and the output side.
+    *
+    * Scale shape: the only corpus-wide pass is a map-side-combinable
+    * groupBy over each document's DISTINCT lines (one shuffle of line
+    * tokens, counting documents per line); the surviving dup set is
+    * boilerplate-scale by construction (every member occurs in ≥ minDocs
+    * docs, so there are at most totalLines/minDocs of them) and rides a
+    * single-row broadcast array; cleaning is then a row-local array-HOF
+    * filter — the corpus itself is NEVER shuffled and document text never
+    * leaves its scan partition. For a pathologically large dup set, raise
+    * `minDocs` (the set shrinks as 1/minDocs). */
+  def lineDedup(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minDocs: Int,
+      delim: String = "\n"): org.apache.spark.sql.DataFrame = {
+    require(minDocs >= 2, s"lineDedup: need minDocs >= 2, got $minDocs")
+    val lines = filter(
+      split(col(textCol), java.util.regex.Pattern.quote(delim)),
+      l => length(trim(l)) > 0)
+    val dups = df
+      .select(explode(array_distinct(lines)).as("line"))
+      .groupBy("line").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .agg(sort_array(collect_list("line")).as("__dups"))
+    df.crossJoin(org.apache.spark.sql.functions.broadcast(dups))
+      .select(col(idCol),
+        filter(lines, l => !array_contains(col("__dups"), l)).as("__kept"),
+        size(lines).as("__n"))
+      .select(col(idCol), array_join(col("__kept"), delim).as("text"),
+        (col("__n") - size(col("__kept"))).cast("long").as("n_removed"))
+  }
+
+  // ===================== mixture sampling =====================
+
+  /** Temperature-weighted source mixture (the multi-source sampling step
+    * of training-data assembly): a source s with c_s documents gets
+    * mixture weight w_s ∝ c_s^alpha (alpha < 1 flattens the mix toward
+    * small sources; alpha = 1 is natural sampling), and the per-source
+    * keep fraction targeting ~`targetRows` total is
+    * min(1, targetRows·(w_s/Σw)/c_s). Rows are then kept by the same
+    * deterministic portable-hash per-mille rule as [[stratifiedSample]] —
+    * reproducible across engines, runs, and cluster layouts, with no RNG
+    * state to checkpoint.
+    *
+    * Scale shape: the counts pass is one map-side-combinable aggregate
+    * whose cardinality is the number of SOURCES (pipeline-config scale,
+    * collected safely); the keep rule is a row-local scan-speed
+    * predicate — the corpus is never shuffled. */
+  def mixtureSample(df: org.apache.spark.sql.DataFrame, sourceCol: String,
+      keyCol: String, alpha: Double,
+      targetRows: Long): org.apache.spark.sql.DataFrame = {
+    require(alpha >= 0, s"mixtureSample: need alpha >= 0, got $alpha")
+    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.get(0).toString, r.getLong(1))).sortBy(_._1)
+    val pows = counts.map { case (s, c) =>
+      (s, c, math.pow(c.toDouble, alpha)) }
+    val z = pows.map(_._3).sum
+    val fracs = pows.map { case (s, c, w) =>
+      (s, math.min(1.0, targetRows * (w / z) / c)) }.toMap
+    stratifiedSample(df, sourceCol, keyCol, fracs)
+  }
 }

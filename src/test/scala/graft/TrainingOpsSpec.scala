@@ -444,4 +444,74 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
     assert(smj.isEmpty, "idf join must be broadcast, not shuffled")
   }
+
+  test("bm25TopK: matching docs rank by relevance, scoring is shuffle-free") {
+    val out = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      Seq("spark", "quick"), k = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val ids = out.map(_._1).toSet
+    // docs 2, 3 contain neither term — excluded entirely
+    assert(!ids.contains(2L) && !ids.contains(3L))
+    // doc 4 holds the rare term "spark" (idf high) — it must outrank the
+    // "quick"-only docs whose term appears in 3 of 6 documents
+    val byId = out.toMap
+    assert(byId(4L) > byId(1L))
+    // scores descend in output order, k respected
+    assert(out.map(_._2).sliding(2).forall(p => p.head >= p.last))
+    // the scoring pass itself (before top-k) is row-local: no shuffle
+    val n = docs.count(); val avgdl = 9.0 // only plan shape matters
+    val scorePlan = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text"))).queryExecution.executedPlan
+    assert(scorePlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty)
+    assert(n == 6 && avgdl > 0)
+  }
+
+  test("lineDedup strips only lines shared by >= minDocs docs, in order") {
+    val corpus = Seq(
+      (0L, "COOKIE BANNER\nalpha one\nFOOTER"),
+      (1L, "COOKIE BANNER\nbeta two\nFOOTER"),
+      (2L, "COOKIE BANNER\ngamma three\nFOOTER"),
+      (3L, "delta four\nepsilon five")).toDF("doc_id", "text")
+    val out = TextAnalysis.lineDedup(corpus, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(out(0L) == ("alpha one", 2L))
+    assert(out(1L) == ("beta two", 2L))
+    assert(out(3L) == ("delta four\nepsilon five", 0L)) // order preserved
+    // minDocs above the plant count removes nothing
+    val loose = TextAnalysis.lineDedup(corpus, "doc_id", "text", minDocs = 4)
+      .collect().map(_.getLong(2)).sum
+    assert(loose == 0L)
+    // a line occurring twice WITHIN one doc counts that doc once
+    val twice = Seq((0L, "x\nx"), (1L, "x\ny"), (2L, "z")).toDF("doc_id", "text")
+    val kept = TextAnalysis.lineDedup(twice, "doc_id", "text", minDocs = 3)
+      .collect().map(_.getLong(2)).sum
+    assert(kept == 0L, "x occurs in only 2 distinct docs — must survive")
+  }
+
+  test("mixtureSample: alpha<1 upsamples small sources; deterministic") {
+    val rows = (0L until 600L).map(i =>
+      (i, if (i % 10 < 9) "big" else "small")).toDF("doc_id", "src")
+    val out = TextAnalysis.mixtureSample(rows, "src", "doc_id",
+      alpha = 0.5, targetRows = 200)
+    val byS = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keepBig = byS("big") / 540.0
+    val keepSmall = byS("small") / 60.0
+    assert(keepSmall > keepBig,
+      s"alpha=0.5 must keep a larger FRACTION of the small source " +
+        s"($keepSmall vs $keepBig)")
+    // deterministic: the exact same rows survive a re-run
+    val a = out.collect().map(_.getLong(0)).sorted.toSeq
+    val b = TextAnalysis.mixtureSample(rows, "src", "doc_id", 0.5, 200)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+    // alpha=1 (natural sampling) keeps ~equal fractions of both sources
+    val nat = TextAnalysis.mixtureSample(rows, "src", "doc_id", 1.0, 300)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(nat("big") / 540.0 - nat("small") / 60.0) < 0.12)
+  }
 }
