@@ -3538,6 +3538,19 @@ object Queries {
         |  CAST(round(kurtSamp(o_totalprice), 6) AS Float64) AS ku
         |FROM orders GROUP BY st ORDER BY st""".stripMargin)),
 
+    // `NOT x IN (subquery)` prefix-NOT form (fuzz-gate discovery): the
+    // parser folds the negation into the InSub node, so the WHERE
+    // conjunct plans the same anti-join as `x NOT IN (...)`; the
+    // projected select-list form rides the same normalization
+    "ch85_sql_not_in_subquery" -> ((s, dir) => chsql(s, dir,
+      """SELECT o_orderkey AS k, o_custkey AS c,
+        |  NOT o_custkey IN (SELECT c_custkey FROM customer
+        |    WHERE c_custkey % 3 = 0) AS outside
+        |FROM orders
+        |WHERE NOT o_custkey IN (SELECT c_custkey FROM customer
+        |  WHERE c_custkey % 7 = 0) AND o_orderkey <= 2000
+        |ORDER BY k""".stripMargin)),
+
     // UTF8 pad/search aliases + arrayDotProduct: leftPadUTF8/rightPadUTF8
     // ride lpad/rpad, positionCaseInsensitiveUTF8 rides lowered instr,
     // arrayDotProduct rides the codegen'd native dot the similarity
@@ -4490,6 +4503,15 @@ object Queries {
         |  (SELECT o_orderkey AS k FROM orders ORDER BY o_orderkey LIMIT 100)
         |POSITIONAL JOIN
         |  (SELECT o_totalprice AS r FROM orders ORDER BY o_orderkey LIMIT 100)
+        |ORDER BY k""".stripMargin,
+
+    "ch85_sql_not_in_subquery" ->
+      """SELECT o_orderkey AS k, o_custkey AS c,
+        |  o_custkey NOT IN (SELECT c_custkey FROM customer
+        |    WHERE c_custkey % 3 = 0) AS outside
+        |FROM orders
+        |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+        |  WHERE c_custkey % 7 = 0) AND o_orderkey <= 2000
         |ORDER BY k""".stripMargin,
 
     "ch84_sql_string_pad_utf8" ->

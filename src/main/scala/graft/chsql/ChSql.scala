@@ -328,7 +328,14 @@ object ChSql {
       l
     }
     private def parseNot(): Expr =
-      if (eatKw("NOT")) NotE(parseNot()) else parseCmp()
+      if (eatKw("NOT")) parseNot() match {
+        // `NOT x IN (subquery)` is CH-legal and means `x NOT IN (...)`;
+        // fold the negation into InSub so every consumer (WHERE conjunct
+        // semi/anti planning, projected IN, HAVING, QUALIFY) sees the
+        // same normalized node (fuzz-gate discovery, seed 130)
+        case InSub(e, sub, neg) => InSub(e, sub, !neg)
+        case other => NotE(other)
+      } else parseCmp()
 
     private def parseCmp(): Expr = {
       val l = parseAdd()

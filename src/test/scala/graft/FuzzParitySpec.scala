@@ -18,7 +18,9 @@ import graft.chsql.ChSql
   * GROUPING SETS twin), aggregate combinators (countIf/sumIf/uniqExact),
   * window functions + QUALIFY (subquery twin), ORDER BY + LIMIT,
   * LIMIT n BY g (row_number twin), set operations (UNION ALL/DISTINCT,
-  * INTERSECT [ALL], EXCEPT [ALL]), and FROM-subquery nesting.
+  * INTERSECT [ALL], EXCEPT [ALL]), FROM-subquery nesting, GROUP BY
+  * ROLLUP/CUBE, SELECT DISTINCT, [NOT] IN (subquery) semi/anti planning,
+  * WITH-CTEs, and the minIf/maxIf/sum(DISTINCT) aggregate arms.
   * Not generated here (no Spark-SQL twin exists to compare against):
   * WITH RECURSIVE (Spark SQL lacks it), FINAL/SAMPLE (need DDL-armed
   * tables), -Array combinators (need array fixtures) — those stay pinned
@@ -131,7 +133,16 @@ class FuzzParitySpec extends AnyFunSuite {
             s"sum(CASE WHEN ${p.sp} THEN ${n.sp} END) AS $alias") },
         () => { val n = numExpr(0)
           P(s"uniqExact(${n.ch}) AS $alias",
-            s"count(DISTINCT ${n.sp}) AS $alias") })
+            s"count(DISTINCT ${n.sp}) AS $alias") },
+        () => { val (n, p) = (numExpr(0), pred(1))
+          P(s"minIf(${n.ch}, ${p.ch}) AS $alias",
+            s"min(CASE WHEN ${p.sp} THEN ${n.sp} END) AS $alias") },
+        () => { val (n, p) = (numExpr(0), pred(1))
+          P(s"maxIf(${n.ch}, ${p.ch}) AS $alias",
+            s"max(CASE WHEN ${p.sp} THEN ${n.sp} END) AS $alias") },
+        () => { val n = numExpr(0)
+          P(s"sum(DISTINCT ${n.ch}) AS $alias",
+            s"sum(DISTINCT ${n.sp}) AS $alias") })
       pick(choices)()
     }
 
@@ -323,10 +334,62 @@ class FuzzParitySpec extends AnyFunSuite {
       }
     }
 
+    /** GROUP BY ROLLUP/CUBE — subtotal rows with NULLed-out grouping
+      * columns must agree; exact aggregates only. Identical text in both
+      * dialects (expressions, not aliases, inside the grouping form). */
+    def rollupQuery(): P = {
+      val g0 = numExpr(1); val g1 = strExpr(0)
+      val form = pick(Seq("ROLLUP", "CUBE"))
+      val (fch, fsp) = filters()
+      P(s"SELECT ${g0.ch} AS g0, ${g1.ch} AS g1, count() AS a0, " +
+          s"sum(o_orderkey % 7) AS a1 FROM orders$fch " +
+          s"GROUP BY $form(${g0.ch}, ${g1.ch})",
+        s"SELECT ${g0.sp} AS g0, ${g1.sp} AS g1, count(*) AS a0, " +
+          s"sum(o_orderkey % 7) AS a1 FROM orders$fsp " +
+          s"GROUP BY $form(${g0.sp}, ${g1.sp})")
+    }
+
+    /** SELECT DISTINCT over computed columns. */
+    def distinctQuery(): P = {
+      val e0 = numExpr(1); val e1 = strExpr(0)
+      val (fch, fsp) = filters()
+      P(s"SELECT DISTINCT ${e0.ch} AS c0, ${e1.ch} AS c1 FROM orders$fch",
+        s"SELECT DISTINCT ${e0.sp} AS c0, ${e1.sp} AS c1 FROM orders$fsp")
+    }
+
+    /** [NOT] IN (subquery) in WHERE — ChSql plans it as a [anti-]semi
+      * join; the Spark twin parses the same text through its own path. */
+    def inSubqueryQuery(): P = {
+      val m = int(2, 12)
+      val neg = if (chance(0.3)) "NOT " else ""
+      val p = pred(1)
+      def q(w: String) =
+        s"SELECT o_orderkey AS k, o_custkey AS c FROM orders " +
+          s"WHERE ${neg}o_custkey IN (SELECT c_custkey FROM customer " +
+          s"WHERE c_custkey % $m = 0) AND ($w)"
+      P(q(p.ch), q(p.sp))
+    }
+
+    /** WITH-CTE feeding an aggregate — the CTE body carries its own
+      * filters and computed columns. */
+    def cteQuery(): P = {
+      val n0 = numExpr(1); val s0 = strExpr(1)
+      val (fch, fsp) = filters()
+      val k = int(0, 5)
+      val aggCh = pick(Seq("sum(c0)", "count()", "min(c0)"))
+      val aggSp = if (aggCh == "count()") "count(*)" else aggCh
+      P(s"WITH t AS (SELECT ${n0.ch} AS c0, ${s0.ch} AS c2 FROM orders$fch) " +
+          s"SELECT c2, $aggCh AS a0 FROM t WHERE c0 >= $k GROUP BY c2",
+        s"WITH t AS (SELECT ${n0.sp} AS c0, ${s0.sp} AS c2 FROM orders$fsp) " +
+          s"SELECT c2, $aggSp AS a0 FROM t WHERE c0 >= $k GROUP BY c2")
+    }
+
     def query(): P = pick(Seq[() => P](
       () => flatQuery(), () => aggQuery(), () => windowQuery(),
       () => limitByQuery(), () => setOpQuery(), () => nestedQuery(),
-      () => joinQuery(), () => semiAntiQuery(), () => arrayJoinQuery()))()
+      () => joinQuery(), () => semiAntiQuery(), () => arrayJoinQuery(),
+      () => rollupQuery(), () => distinctQuery(), () => inSubqueryQuery(),
+      () => cteQuery()))()
   }
 
   // ---- execution + canonical compare ----
