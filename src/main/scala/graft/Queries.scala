@@ -5741,6 +5741,23 @@ object Queries {
       graft.operators.TextAnalysis.mixtureSample(docs, "src", "doc_id",
           alpha = 0.7, targetRows = 250)
         .orderBy("doc_id")
+    }),
+
+    // Hybrid retrieval: BM25 candidates + cosine-ANN candidates for one
+    // query, fused by reciprocal-rank fusion — the standard two-tower
+    // serving shape; each ranker prunes at corpus scale, fusion runs on
+    // k-sized candidate lists only
+    "p3_hybrid_retrieval" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val emb = tbl(s, dir, "embeddings")
+      val lex = graft.operators.TextAnalysis.bm25TopK(docs, "doc_id",
+        "text", Seq("spark", "window", "merge"), k = 50)
+      val vec = graft.operators.Similarity.topKNeighbors(
+          emb.filter(col("vec_id") === 0), emb, "vec_id", "embedding",
+          k = 50)
+        .select(col("neighbor_id").as("doc_id"), col("sim").as("score"))
+      graft.operators.Similarity.rrfFuse(Seq(lex, vec), "doc_id", "score",
+        k = 10)
     }))
 
   private val oracles13: Map[String, String] = Map(
@@ -5804,5 +5821,54 @@ object Queries {
          |b AS (SELECT doc_id, src,
          |    ${sqlCharFold("CAST(doc_id AS VARCHAR)")} % 1000 AS b FROM d)
          |SELECT b.doc_id, b.src FROM b JOIN f USING (src)
-         |WHERE b.b < f.f * 1000 ORDER BY doc_id""".stripMargin)
+         |WHERE b.b < f.f * 1000 ORDER BY doc_id""".stripMargin,
+
+    // full replay: BM25 top-50 (t17 algebra), cosine top-50 for vec 0
+    // (v1 algebra), then RRF with c=60 over the two candidate lists
+    "p3_hybrid_retrieval" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |    list_filter(string_split_regex(trim(text), '\\s+'),
+         |      t -> len(t) > 0) AS t
+         |  FROM documents),
+         |st AS (SELECT count(*) * 1.0 AS n, sum(len(t)) * 1.0 AS tt,
+         |    sum(CASE WHEN list_contains(t, 'spark') THEN 1 ELSE 0 END) * 1.0 AS df0,
+         |    sum(CASE WHEN list_contains(t, 'window') THEN 1 ELSE 0 END) * 1.0 AS df1,
+         |    sum(CASE WHEN list_contains(t, 'merge') THEN 1 ELSE 0 END) * 1.0 AS df2
+         |  FROM toks),
+         |tf AS (SELECT doc_id, len(t) * 1.0 AS dl,
+         |    len(list_filter(t, x -> x = 'spark')) * 1.0 AS tf0,
+         |    len(list_filter(t, x -> x = 'window')) * 1.0 AS tf1,
+         |    len(list_filter(t, x -> x = 'merge')) * 1.0 AS tf2
+         |  FROM toks),
+         |sc AS (SELECT doc_id, round(
+         |    ln(1.0 + (st.n - st.df0 + 0.5) / (st.df0 + 0.5)) * tf0 * (1.2 + 1.0)
+         |      / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (st.tt / st.n)))
+         |  + ln(1.0 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5)) * tf1 * (1.2 + 1.0)
+         |      / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (st.tt / st.n)))
+         |  + ln(1.0 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5)) * tf2 * (1.2 + 1.0)
+         |      / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (st.tt / st.n))), 6)
+         |  AS score FROM tf, st),
+         |lex AS (SELECT doc_id, score FROM sc WHERE score > 0
+         |  ORDER BY score DESC, doc_id LIMIT 50),
+         |lrk AS (SELECT doc_id, row_number() OVER (
+         |  ORDER BY score DESC, doc_id) AS ra FROM lex),
+         |q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+         |  FROM embeddings WHERE vec_id = 0),
+         |cvs AS (SELECT vec_id AS doc_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+         |  FROM embeddings),
+         |vsc AS (SELECT doc_id,
+         |  round(${sqlDot("qv", "cv")} /
+         |    (sqrt(${sqlNormSq("qv")}) * sqrt(${sqlNormSq("cv")})), 6) AS sim
+         |  FROM cvs, q WHERE doc_id <> 0),
+         |vec AS (SELECT doc_id, sim FROM vsc
+         |  ORDER BY sim DESC, doc_id LIMIT 50),
+         |vrk AS (SELECT doc_id, row_number() OVER (
+         |  ORDER BY sim DESC, doc_id) AS rb FROM vec),
+         |fused AS (SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |  round(coalesce(1.0 / (60 + l.ra), 0.0)
+         |      + coalesce(1.0 / (60 + v.rb), 0.0), 6) AS rrf
+         |  FROM lrk l FULL OUTER JOIN vrk v ON l.doc_id = v.doc_id)
+         |SELECT doc_id, rrf FROM fused
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)
 }

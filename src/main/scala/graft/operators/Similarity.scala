@@ -56,6 +56,35 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
   }
 
+  /** Reciprocal-rank fusion of candidate lists (the standard hybrid-
+    * retrieval combiner — lexical BM25 + vector ANN, or any mix of
+    * rankers): each list contributes 1/(c + rank) per id (rank from
+    * score desc, id asc — deterministic ties), absent ids contribute 0,
+    * and the fused top-k orders by (rrf desc, id). RRF needs no score
+    * calibration across rankers, which is why it is the default fusion
+    * in production hybrid search.
+    *
+    * Scale note: inputs are top-k CANDIDATE lists by construction
+    * (bounded by each ranker's k, not by the corpus), so the
+    * single-partition rank windows and the full-outer id joins operate
+    * on k-sized data — the heavy lifting already happened inside the
+    * rankers, which scan/prune at corpus scale. */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, scoreCol: String,
+      k: Int, c: Int = 60, roundTo: Int = 6): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse: no candidate lists")
+    val ranked = lists.zipWithIndex.map { case (l, i) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(desc(scoreCol), col(idCol))
+      l.select(col(idCol), row_number().over(w).as(s"__r$i"))
+    }
+    val joined = ranked.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val rrf = ranked.indices.map(i =>
+        coalesce(lit(1.0) / (lit(c) + col(s"__r$i")), lit(0.0)))
+      .reduce(_ + _)
+    joined.select(col(idCol), round(rrf, roundTo).as("rrf"))
+      .orderBy(desc("rrf"), col(idCol)).limit(k)
+  }
+
   /** Sign-pattern LSH bucket id from `nPlanes` hyperplanes (bit i = sign of
     * dot(v, plane_i)); plane components are a deterministic LCG mapped to
     * [-0.5, 0.5) so any engine can replay them. Row-local, single codegen'd

@@ -491,6 +491,22 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(kept == 0L, "x occurs in only 2 distinct docs — must survive")
   }
 
+  test("rrfFuse: hand-checked fusion, absent ids contribute zero") {
+    val lex = Seq((10L, 9.0), (20L, 8.0), (30L, 7.0)).toDF("id", "score")
+    val vec = Seq((20L, 0.9), (40L, 0.8)).toDF("id", "score")
+    val out = Similarity.rrfFuse(Seq(lex, vec), "id", "score", k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // id 20: rank 2 in lex, rank 1 in vec → 1/62 + 1/61
+    assert(math.abs(out(20L) - (1.0 / 62 + 1.0 / 61)) < 1e-6)
+    // id 10: only in lex at rank 1 → 1/61
+    assert(math.abs(out(10L) - 1.0 / 61) < 1e-6)
+    // id 40: only in vec at rank 2 → 1/62
+    assert(math.abs(out(40L) - 1.0 / 62) < 1e-6)
+    // both-list id outranks every single-list id
+    assert(out(20L) > out.removed(20L).values.max)
+    assert(out.size == 4)
+  }
+
   test("mixtureSample: alpha<1 upsamples small sources; deterministic") {
     val rows = (0L until 600L).map(i =>
       (i, if (i % 10 < 9) "big" else "small")).toDF("doc_id", "src")
