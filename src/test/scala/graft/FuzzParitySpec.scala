@@ -408,10 +408,14 @@ class FuzzParitySpec extends AnyFunSuite {
       }.mkString("|")
     }.sorted.toSeq
 
+  // CI runs 200 seeds; GRAFT_FUZZ_SEEDS=N extends the hunt locally
+  // (the seed space is stable — seed k generates the same query forever)
+  private val nSeeds = sys.env.get("GRAFT_FUZZ_SEEDS").map(_.toInt).getOrElse(200)
+
   test("200 generated CH-SQL queries agree with their Spark-SQL twins") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     var nonEmpty = 0
-    for (seed <- 1 to 200) {
+    for (seed <- 1 to nSeeds) {
       val q = new G(seed).query()
       try {
         val chRows = canon(ChSql.sql(spark, q.ch)(resolve).collect())
@@ -432,7 +436,8 @@ class FuzzParitySpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n\n"))
     // vacuity guard: an all-empty result set would "agree" trivially —
     // the grammar's filters are tuned so most seeds return rows
-    assert(nonEmpty >= 150, s"only $nonEmpty/200 seeds returned rows — " +
-      "the generator's filters are too selective for the fixture data")
+    assert(nonEmpty >= nSeeds * 3 / 4,
+      s"only $nonEmpty/$nSeeds seeds returned rows — " +
+        "the generator's filters are too selective for the fixture data")
   }
 }

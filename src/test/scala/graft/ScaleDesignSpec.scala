@@ -634,4 +634,48 @@ class ScaleDesignSpec extends AnyFunSuite {
       assert(exhaustive(key) == r.getDouble(2), s"adist mismatch at $key")
     }
   }
+
+  test("bm25TopK: top-k is TakeOrdered, scoring plan carries no join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.operators.TextAnalysis.bm25TopK(
+      docs, "doc_id", "text", Seq("spark", "merge"), k = 10)
+    val plan = out.queryExecution.executedPlan
+    // top-k must be per-partition heads + driver merge — no global sort
+    assert(plan.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, "bm25 top-k must plan as TakeOrderedAndProject")
+    assert(plan.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }.isEmpty, "no full SortExec in the bm25 plan")
+    // stats folded into literals → scoring joins nothing, shuffles nothing
+    assert(plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, "bm25 scoring must not join (stats ride as literals)")
+    assert(shuffleCount(out) == 0)
+  }
+
+  test("lineDedup: corpus branch never shuffles; dup set rides broadcast") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.operators.TextAnalysis.lineDedup(
+      docs, "doc_id", "text", minDocs = 10)
+    val plan = out.queryExecution.executedPlan
+    // the single-row dup array joins via broadcast nested loop (it IS a
+    // cross join of one row) — never a shuffled join
+    assert(plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }.isEmpty, "dup set must broadcast")
+    // shuffles exist only under the dup-AGGREGATION branch (line count +
+    // single-row collect); the corpus branch above the join has none —
+    // walk down from the root to the join: no exchange on that spine
+    def spine(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+        true
+      case e: ShuffleExchangeExec => false
+      case other if other.children.nonEmpty => other.children.exists(spine)
+      case _ => false
+    }
+    assert(spine(plan),
+      "corpus spine must reach the broadcast join without crossing a shuffle")
+  }
 }
