@@ -334,6 +334,36 @@ class FuzzParitySpec extends AnyFunSuite {
       }
     }
 
+    /** Explicit ROWS frames + the frame-bounded lag/lead pair: sum/min
+      * over sliding windows, lagInFrame/leadInFrame with an explicit
+      * default against Spark's lag/lead. */
+    def frameWindowQuery(): P = {
+      val g = numExpr(1)
+      val overC = s"(PARTITION BY ${g.ch} ORDER BY o_orderkey"
+      val overS = s"(PARTITION BY ${g.sp} ORDER BY o_orderkey"
+      val n = int(1, 5)
+      val (fch, fsp) = filters()
+      if (chance(0.5)) {
+        val frame = pick(Seq(
+          s"ROWS BETWEEN $n PRECEDING AND CURRENT ROW",
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+          s"ROWS BETWEEN CURRENT ROW AND $n FOLLOWING"))
+        val e = numExpr(0)
+        val f = pick(Seq("sum", "min", "max"))
+        P(s"SELECT o_orderkey AS k, $f(${e.ch}) OVER $overC $frame) AS w " +
+            s"FROM orders$fch",
+          s"SELECT o_orderkey AS k, $f(${e.sp}) OVER $overS $frame) AS w " +
+            s"FROM orders$fsp")
+      } else {
+        val e = numExpr(0)
+        val fn = pick(Seq(("lagInFrame", "lag"), ("leadInFrame", "lead")))
+        P(s"SELECT o_orderkey AS k, ${fn._1}(${e.ch}, $n, 0) " +
+            s"OVER $overC) AS w FROM orders$fch",
+          s"SELECT o_orderkey AS k, ${fn._2}(${e.sp}, $n, 0) " +
+            s"OVER $overS) AS w FROM orders$fsp")
+      }
+    }
+
     /** GROUP BY ROLLUP/CUBE — subtotal rows with NULLed-out grouping
       * columns must agree; exact aggregates only. Identical text in both
       * dialects (expressions, not aliases, inside the grouping form). */
@@ -389,7 +419,7 @@ class FuzzParitySpec extends AnyFunSuite {
       () => limitByQuery(), () => setOpQuery(), () => nestedQuery(),
       () => joinQuery(), () => semiAntiQuery(), () => arrayJoinQuery(),
       () => rollupQuery(), () => distinctQuery(), () => inSubqueryQuery(),
-      () => cteQuery()))()
+      () => cteQuery(), () => frameWindowQuery()))()
   }
 
   // ---- execution + canonical compare ----
