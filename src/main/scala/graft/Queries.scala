@@ -5743,6 +5743,25 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // Edit-distance verification of candidate pairs — the final cascade
+    // stage after LSH: planted near-copies (11 appended chars) must pass
+    // the 0.8 normalized-Levenshtein bar, adjacent-id decoy pairs must
+    // fail it; pair-derived sides broadcast, the corpus never shuffles
+    "t20_verify_pairs" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val nearCopies = d.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" tail token")).as("text"))
+      val corpus = d.unionByName(nearCopies)
+      val ids = d.filter(col("doc_id") < 100).select(col("doc_id").as("id1"))
+      val pairs = ids.select(col("id1"), (col("id1") + 10000).as("id2"))
+        .unionByName(ids.filter(col("id1") < 99)
+          .select(col("id1"), (col("id1") + 1).as("id2")))
+      graft.operators.Dedup.verifyPairs(pairs, corpus, "doc_id", "text",
+          threshold = 0.8)
+        .orderBy("id1", "id2")
+    }),
+
     // Hybrid retrieval: BM25 candidates + cosine-ANN candidates for one
     // query, fused by reciprocal-rank fusion — the standard two-tower
     // serving shape; each ranker prunes at corpus scale, fusion runs on
@@ -5822,6 +5841,24 @@ object Queries {
          |    ${sqlCharFold("CAST(doc_id AS VARCHAR)")} % 1000 AS b FROM d)
          |SELECT b.doc_id, b.src FROM b JOIN f USING (src)
          |WHERE b.b < f.f * 1000 ORDER BY doc_id""".stripMargin,
+
+    "t20_verify_pairs" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |nc AS (SELECT doc_id + 10000 AS doc_id, text || ' tail token' AS text
+        |  FROM d WHERE doc_id < 100),
+        |corpus AS (SELECT * FROM d UNION ALL SELECT * FROM nc),
+        |ids AS (SELECT doc_id AS id1 FROM d WHERE doc_id < 100),
+        |pairs AS (SELECT id1, id1 + 10000 AS id2 FROM ids
+        |  UNION ALL SELECT id1, id1 + 1 FROM ids WHERE id1 < 99),
+        |j AS (SELECT p.id1, p.id2, a.text AS ta, b.text AS tb
+        |  FROM pairs p JOIN corpus a ON a.doc_id = p.id1
+        |  JOIN corpus b ON b.doc_id = p.id2),
+        |sc AS (SELECT id1, id2, CAST(levenshtein(ta, tb) AS BIGINT) AS lev,
+        |  round(1.0 - levenshtein(ta, tb) /
+        |    CAST(greatest(len(ta), len(tb)) AS DOUBLE), 6) AS sim
+        |  FROM j)
+        |SELECT id1, id2, lev, sim FROM sc WHERE sim >= 0.8
+        |ORDER BY id1, id2""".stripMargin,
 
     // full replay: BM25 top-50 (t17 algebra), cosine top-50 for vec 0
     // (v1 algebra), then RRF with c=60 over the two candidate lists

@@ -119,6 +119,38 @@ object Dedup {
       .select("id1", "id2").distinct()
   }
 
+  /** Verify candidate pairs by true edit-distance similarity — the final
+    * stage of the MinHash → LSH → verify dedup cascade: join the pair ids
+    * back to their texts and keep pairs whose normalized Levenshtein
+    * similarity 1 − dist/max(len) reaches `threshold`. Returns
+    * (id1, id2, lev, sim), sim rounded to `roundTo`.
+    *
+    * Scale shape: the candidate list is LSH-BOUNDED by construction
+    * (banded + hot-bucket-capped upstream), so both text lookups
+    * BROADCAST the pair-derived side — the corpus is scanned, never
+    * shuffled; the O(len²) Levenshtein cost is paid per CANDIDATE, not
+    * per corpus pair — exactly the cascade contract (cheap sketches
+    * prune, the expensive exact measure runs on survivors only). */
+  def verifyPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, threshold: Double,
+      roundTo: Int = 6): DataFrame = {
+    val d = docs.select(col(idCol), col(textCol))
+    val withA = d
+      .join(broadcast(pairs), d(idCol) === pairs("id1"))
+      .select(col("id1"), col("id2"), col(textCol).as("__ta"))
+    val both = d
+      .join(broadcast(withA), d(idCol) === withA("id2"))
+      .select(col("id1"), col("id2"), col("__ta"),
+        col(textCol).as("__tb"))
+    both
+      .select(col("id1"), col("id2"),
+        levenshtein(col("__ta"), col("__tb")).cast("long").as("lev"),
+        round(lit(1.0) - levenshtein(col("__ta"), col("__tb")) /
+          greatest(length(col("__ta")), length(col("__tb")))
+            .cast("double"), roundTo).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Exact n-gram Jaccard similarity between two shingle-array columns. */
   def jaccard(sh1: Column, sh2: Column): Column = {
     val inter = size(array_intersect(sh1, sh2)).cast("double")

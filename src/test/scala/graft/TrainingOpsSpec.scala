@@ -491,6 +491,26 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(kept == 0L, "x occurs in only 2 distinct docs — must survive")
   }
 
+  test("verifyPairs: near-dup passes the bar, distinct pair fails, no corpus shuffle join") {
+    import spark.implicits._
+    val pairs = Seq((0L, 5L), (0L, 2L)).toDF("id1", "id2")
+    val out = Dedup.verifyPairs(pairs, docs, "doc_id", "text",
+      threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // (0,5) are exact copies: lev 0, sim 1.0
+    assert(out((0L, 5L)) == ((0L, 1.0)))
+    // (0,2) are different languages entirely — filtered at 0.5
+    assert(!out.contains((0L, 2L)))
+    // both text lookups broadcast the pair-derived side
+    val plan = Dedup.verifyPairs(pairs, docs, "doc_id", "text", 0.5)
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }.isEmpty, "pair sides must broadcast — the corpus never shuffles")
+  }
+
   test("rrfFuse: hand-checked fusion, absent ids contribute zero") {
     val lex = Seq((10L, 9.0), (20L, 8.0), (30L, 7.0)).toDF("id", "score")
     val vec = Seq((20L, 0.9), (40L, 0.8)).toDF("id", "score")
