@@ -5743,6 +5743,13 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // per-source corpus profile: one map-side-combinable agg pass with
+    // exact interpolated percentiles (DuckDB quantile_cont twin)
+    "t21_corpus_stats" -> ((s, dir) =>
+      graft.operators.TextAnalysis.corpusStats(
+          tbl(s, dir, "documents"), "source", "text")
+        .orderBy("source")),
+
     // Edit-distance verification of candidate pairs — the final cascade
     // stage after LSH: planted near-copies (11 appended chars) must pass
     // the 0.8 normalized-Levenshtein bar, adjacent-id decoy pairs must
@@ -5841,6 +5848,16 @@ object Queries {
          |    ${sqlCharFold("CAST(doc_id AS VARCHAR)")} % 1000 AS b FROM d)
          |SELECT b.doc_id, b.src FROM b JOIN f USING (src)
          |WHERE b.b < f.f * 1000 ORDER BY doc_id""".stripMargin,
+
+    "t21_corpus_stats" ->
+      """WITH t AS (SELECT source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tk,
+        |    CAST(len(text) AS BIGINT) AS ln FROM documents)
+        |SELECT source, count(*) AS n_docs, CAST(sum(tk) AS BIGINT) AS tokens,
+        |  round(avg(ln), 6) AS mean_chars,
+        |  round(quantile_cont(ln, 0.5), 6) AS p50_chars,
+        |  round(quantile_cont(ln, 0.9), 6) AS p90_chars
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
 
     "t20_verify_pairs" ->
       """WITH d AS (SELECT doc_id, text FROM documents),

@@ -450,6 +450,29 @@ object TextAnalysis {
         (col("__n") - size(col("__kept"))).cast("long").as("n_removed"))
   }
 
+  // ===================== corpus profiling =====================
+
+  /** Per-source corpus profile — the summary report a curation run opens
+    * with: document count, token volume, mean/exact-median/exact-p90
+    * document length. ONE map-side-combinable aggregate pass; the exact
+    * percentiles use Spark's `percentile` (sorted interpolation), whose
+    * per-group state is the value multiset — fine for LENGTH distributions
+    * (bounded distinct values), and the honest choice where a hash-match
+    * oracle needs exact answers. For arbitrary-cardinality metrics at
+    * 100 TB swap in percentile_approx (t-digest state) at the call site. */
+  def corpusStats(df: org.apache.spark.sql.DataFrame, sourceCol: String,
+      textCol: String, roundTo: Int = 6): org.apache.spark.sql.DataFrame = {
+    val toks = tokenCount(col(textCol)).cast("long")
+    val len = length(col(textCol)).cast("long")
+    df.select(col(sourceCol), toks.as("__tk"), len.as("__len"))
+      .groupBy(sourceCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__tk")).as("tokens"),
+        round(avg(col("__len")), roundTo).as("mean_chars"),
+        round(expr("percentile(__len, 0.5)"), roundTo).as("p50_chars"),
+        round(expr("percentile(__len, 0.9)"), roundTo).as("p90_chars"))
+  }
+
   // ===================== mixture sampling =====================
 
   /** Temperature-weighted source mixture (the multi-source sampling step
