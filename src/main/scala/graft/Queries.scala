@@ -5769,6 +5769,34 @@ object Queries {
         .orderBy("id1", "id2")
     }),
 
+    // End-to-end curation pipeline (the text twin of p2's vector chain):
+    // boilerplate line removal → exact dedup (keep min-id copy) →
+    // token-count quality gate → 20/15 token-window chunking →
+    // per-chunk fingerprints. Shuffle inventory: one line-count agg,
+    // one digest agg + one semi join, the rest row-local.
+    "p4_curation_pipeline" -> ((s, dir) => {
+      import graft.operators.TextAnalysis
+      val base = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = base.select(col("doc_id"),
+        concat_ws("\n",
+          when(col("doc_id") % 3 === 0, lit("subscribe to our newsletter"))
+            .otherwise(concat(lit("header "), col("doc_id"))),
+          col("text")).as("text"))
+      val corpus = docs.unionByName(docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      val cleaned = TextAnalysis.lineDedup(corpus, "doc_id", "text",
+        minDocs = 10).select("doc_id", "text")
+      val keep = cleaned.groupBy(md5(col("text")))
+        .agg(min("doc_id").as("doc_id")).select("doc_id")
+      val deduped = cleaned.join(keep, Seq("doc_id"), "left_semi")
+      val quality = deduped.filter(
+        TextAnalysis.tokenCount(col("text")) >= 20)
+      TextAnalysis.chunkTokens(quality, "doc_id", "text", 20, 15)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"),
+          graft.functions.PortableHash.charFold(col("chunk")).as("fp"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // Hybrid retrieval: BM25 candidates + cosine-ANN candidates for one
     // query, fused by reciprocal-rank fusion — the standard two-tower
     // serving shape; each ranker prunes at corpus scale, fusion runs on
@@ -5876,6 +5904,44 @@ object Queries {
         |  FROM j)
         |SELECT id1, id2, lev, sim FROM sc WHERE sim >= 0.8
         |ORDER BY id1, id2""".stripMargin,
+
+    // full curation replay: t18 line-dedup algebra → md5 keeper dedup →
+    // token gate → t13 chunk algebra → charFold fingerprints
+    "p4_curation_pipeline" ->
+      s"""WITH docs AS (SELECT doc_id, concat_ws(chr(10),
+         |    CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter'
+         |         ELSE 'header ' || doc_id END,
+         |    text) AS text FROM documents),
+         |corpus AS (SELECT * FROM docs UNION ALL
+         |  SELECT doc_id + 20000 AS doc_id, text FROM docs WHERE doc_id < 50),
+         |ln AS (SELECT doc_id, list_filter(string_split(text, chr(10)),
+         |    l -> len(trim(l)) > 0) AS l FROM corpus),
+         |dup AS (SELECT line FROM (SELECT doc_id, unnest(list_distinct(l))
+         |    AS line FROM ln) GROUP BY line HAVING count(*) >= 10),
+         |dl AS (SELECT coalesce(list(line), []) AS dups FROM dup),
+         |cleaned AS (SELECT doc_id, array_to_string(list_filter(l,
+         |    x -> NOT list_contains(dups, x)), chr(10)) AS text
+         |  FROM ln CROSS JOIN dl),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM cleaned
+         |  GROUP BY md5(text)),
+         |dd AS (SELECT c.doc_id, c.text FROM cleaned c JOIN keep
+         |  USING (doc_id)),
+         |q AS (SELECT doc_id,
+         |    list_filter(string_split_regex(trim(text), '\\s+'),
+         |      t -> len(t) > 0) AS toks
+         |  FROM dd
+         |  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 20),
+         |ch AS (SELECT doc_id, i, list_slice(toks, i * 15 + 1, i * 15 + 20)
+         |    AS sl
+         |  FROM (SELECT doc_id, toks,
+         |      UNNEST(generate_series(0, CASE WHEN len(toks) = 0 THEN -1
+         |        ELSE CAST(ceil(greatest(len(toks) - 20, 0) / 15.0) AS BIGINT)
+         |        END)) AS i
+         |    FROM q))
+         |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         |  CAST(len(sl) AS INT) AS chunk_tokens,
+         |  ${sqlCharFold("array_to_string(sl, ' ')")} AS fp
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // full replay: BM25 top-50 (t17 algebra), cosine top-50 for vec 0
     // (v1 algebra), then RRF with c=60 over the two candidate lists
