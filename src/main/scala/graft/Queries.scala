@@ -5750,6 +5750,18 @@ object Queries {
           tbl(s, dir, "documents"), "source", "text")
         .orderBy("source")),
 
+    // One-call MinHash cascade preset: sketch → capped LSH → Levenshtein
+    // verify; planted perturbed copies (18 appended chars) must survive
+    // the 0.8 bar, chance LSH collisions must not
+    "t22_neardup_cascade" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val pert = d.select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" graft extra token")).as("text"))
+      graft.operators.Dedup.nearDupCascade(d.unionByName(pert),
+          "doc_id", "text")
+        .orderBy("id1", "id2")
+    }),
+
     // Edit-distance verification of candidate pairs — the final cascade
     // stage after LSH: planted near-copies (11 appended chars) must pass
     // the 0.8 normalized-Levenshtein bar, adjacent-id decoy pairs must
@@ -5886,6 +5898,38 @@ object Queries {
         |  round(quantile_cont(ln, 0.5), 6) AS p50_chars,
         |  round(quantile_cont(ln, 0.9), 6) AS p90_chars
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    // t5's LSH replay feeding the levenshtein verify instead of the
+    // hashed-shingle Jaccard
+    "t22_neardup_cascade" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text || ' graft extra token' FROM documents),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM base),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(0, greatest(len(t) - 3, 0) + 1),
+         |    i -> array_to_string(t[i+1:i+3], ' '))) AS shingles FROM toks),
+         |hs AS (SELECT doc_id,
+         |  list_transform(shingles, s -> ${sqlCharFold("s")}) AS hashes FROM sh),
+         |sig AS (SELECT doc_id, list_transform(range(16), p ->
+         |  list_min(list_transform(hashes,
+         |    h -> (h * (2 * p + 1) + (12345 * p + 1)) % 2147483647))) AS sig FROM hs),
+         |bands AS (SELECT doc_id, b AS band_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*8+1:b*8+8]),
+         |    (acc, x) -> (acc * 1000003 + x) % 2147483647) AS band_hash
+         |  FROM sig, range(2) r(b)),
+         |cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id),
+         |j AS (SELECT id1, id2, a.text AS ta, b.text AS tb FROM cands
+         |  JOIN base a ON a.doc_id = id1 JOIN base b ON b.doc_id = id2),
+         |sc AS (SELECT id1, id2, CAST(levenshtein(ta, tb) AS BIGINT) AS lev,
+         |  round(1.0 - levenshtein(ta, tb) /
+         |    CAST(greatest(len(ta), len(tb)) AS DOUBLE), 6) AS sim FROM j)
+         |SELECT id1, id2, lev, sim FROM sc WHERE sim >= 0.8
+         |ORDER BY id1, id2""".stripMargin,
 
     "t20_verify_pairs" ->
       """WITH d AS (SELECT doc_id, text FROM documents),

@@ -151,6 +151,29 @@ object Dedup {
       .filter(col("sim") >= threshold)
   }
 
+  /** One-call near-dup cascade — the 100 TB entry point composing the
+    * whole MinHash pipeline: word-shingle hashes → MinHash signature →
+    * capped LSH banding → candidate pairs → Levenshtein verification.
+    * Every stage keeps its scale contract (row-local sketching, banded
+    * buckets with the hot-bucket guard ON, pair-broadcast verification);
+    * `bands · rowsPerBand` must equal `sigK`. Returns verified
+    * (id1, id2, lev, sim) pairs at `threshold`. */
+  def nearDupCascade(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, sigK: Int = 16, bands: Int = 2,
+      rowsPerBand: Int = 8, maxBucketSize: Int = DefaultMaxBucketSize,
+      threshold: Double = 0.8, roundTo: Int = 6): DataFrame = {
+    require(bands * rowsPerBand == sigK,
+      s"nearDupCascade: bands*rowsPerBand must equal sigK " +
+        s"($bands*$rowsPerBand != $sigK)")
+    val sigs = docs.select(col(idCol),
+      minhashSignature(shingleHashes(col(textCol), shingleN), sigK)
+        .as("__sig"))
+    val pairs = lshCandidatePairsCapped(
+      lshBands(sigs, idCol, "__sig", bands, rowsPerBand), idCol,
+      maxBucketSize)
+    verifyPairs(pairs, docs, idCol, textCol, threshold, roundTo)
+  }
+
   /** Exact n-gram Jaccard similarity between two shingle-array columns. */
   def jaccard(sh1: Column, sh2: Column): Column = {
     val inter = size(array_intersect(sh1, sh2)).cast("double")
