@@ -511,6 +511,22 @@ class TrainingOpsSpec extends AnyFunSuite {
     }.isEmpty, "pair sides must broadcast — the corpus never shuffles")
   }
 
+  test("nearDupCascade: end-to-end pipeline surfaces the planted dup pair") {
+    val out = Dedup.nearDupCascade(docs, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))
+      .toMap
+    // 0 and 5 are exact copies: identical signatures collide in every
+    // band, and verification scores sim 1.0
+    assert(out((0L, 5L)) == 1.0)
+    // nothing else in the fixture is a 0.9-level near-dup
+    assert(out.keySet == Set((0L, 5L)))
+    // band-geometry contract is enforced
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupCascade(docs, "doc_id", "text", sigK = 16, bands = 3,
+        rowsPerBand = 4)
+    }
+  }
+
   test("rrfFuse: hand-checked fusion, absent ids contribute zero") {
     val lex = Seq((10L, 9.0), (20L, 8.0), (30L, 7.0)).toDF("id", "score")
     val vec = Seq((20L, 0.9), (40L, 0.8)).toDF("id", "score")
