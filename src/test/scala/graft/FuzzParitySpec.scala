@@ -364,6 +364,32 @@ class FuzzParitySpec extends AnyFunSuite {
       }
     }
 
+    /** Window function over a join result, optionally QUALIFY'd — the
+      * interaction seeds the fixed corpus never combined. */
+    def joinWindowQuery(): P = {
+      val cn = custNumExpr()
+      val over = s"(PARTITION BY ${cn.ch} ORDER BY o_orderkey)"
+      val wf = pick(Seq(
+        same("row_number()"), same("rank()"),
+        P("count()", "count(*)"),
+        { val n = numExpr(0); P(s"sum(${n.ch})", s"sum(${n.sp})") }))
+      val (fch, fsp) = whereOnly()
+      val join = "FROM orders INNER JOIN customer ON o_custkey = c_custkey"
+      val base = P(
+        s"SELECT o_orderkey AS k, ${cn.ch} AS g0, ${wf.ch} OVER $over AS w " +
+          s"$join$fch",
+        s"SELECT o_orderkey AS k, ${cn.sp} AS g0, ${wf.sp} OVER $over AS w " +
+          s"$join$fsp")
+      if (!chance(0.4)) base
+      else {
+        val k = int(1, 4)
+        P(s"${base.ch} QUALIFY row_number() OVER $over <= $k",
+          s"SELECT k, g0, w FROM (SELECT k, g0, w, row_number() OVER " +
+            s"(PARTITION BY g0 ORDER BY k) AS rn FROM (${base.sp})) " +
+            s"WHERE rn <= $k")
+      }
+    }
+
     /** GROUP BY ROLLUP/CUBE — subtotal rows with NULLed-out grouping
       * columns must agree; exact aggregates only. Identical text in both
       * dialects (expressions, not aliases, inside the grouping form). */
@@ -419,7 +445,7 @@ class FuzzParitySpec extends AnyFunSuite {
       () => limitByQuery(), () => setOpQuery(), () => nestedQuery(),
       () => joinQuery(), () => semiAntiQuery(), () => arrayJoinQuery(),
       () => rollupQuery(), () => distinctQuery(), () => inSubqueryQuery(),
-      () => cteQuery(), () => frameWindowQuery()))()
+      () => cteQuery(), () => frameWindowQuery(), () => joinWindowQuery()))()
   }
 
   // ---- execution + canonical compare ----

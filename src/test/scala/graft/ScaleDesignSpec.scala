@@ -635,6 +635,27 @@ class ScaleDesignSpec extends AnyFunSuite {
     }
   }
 
+  test("p4 curation chain: chunk + fingerprint stages add zero shuffles") {
+    import graft.operators.TextAnalysis
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val cleaned = TextAnalysis.lineDedup(docs, "doc_id", "text", 10)
+      .select("doc_id", "text")
+    val keep = cleaned.groupBy(md5(col("text")))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val deduped = cleaned.join(keep, Seq("doc_id"), "left_semi")
+    val quality = deduped.filter(TextAnalysis.tokenCount(col("text")) >= 20)
+    val base = shuffleCount(quality)
+    val full = shuffleCount(
+      TextAnalysis.chunkTokens(quality, "doc_id", "text", 20, 15)
+        .select(col("doc_id"), col("chunk_idx"),
+          graft.functions.PortableHash.charFold(col("chunk")).as("fp")))
+    // chunking + fingerprinting are project/explode only — all shuffles
+    // in the full pipeline belong to the dedup stages
+    assert(full == base,
+      s"chunk+fingerprint must be shuffle-free ($base -> $full)")
+  }
+
   test("bm25TopK: top-k is TakeOrdered, scoring plan carries no join") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = graft.operators.TextAnalysis.bm25TopK(
