@@ -511,6 +511,22 @@ class TrainingOpsSpec extends AnyFunSuite {
     }.isEmpty, "pair sides must broadcast — the corpus never shuffles")
   }
 
+  test("new-op argument contracts refuse loudly") {
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopK(docs, "doc_id", "text", Seq.empty, k = 5)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.lineDedup(docs, "doc_id", "text", minDocs = 1)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.mixtureSample(docs.withColumn("src", lit("a")),
+        "src", "doc_id", alpha = -0.1, targetRows = 10)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.rrfFuse(Seq.empty, "id", "score", k = 5)
+    }
+  }
+
   test("nearDupCascade: end-to-end pipeline surfaces the planted dup pair") {
     val out = Dedup.nearDupCascade(docs, "doc_id", "text", threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))
