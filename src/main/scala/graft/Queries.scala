@@ -5750,6 +5750,28 @@ object Queries {
           tbl(s, dir, "documents"), "source", "text")
         .orderBy("source")),
 
+    // fastText-style hashing-trick scorer: tokens → portable-hash buckets
+    // → broadcast weight dot → sigmoid; row-local codegen, the oracle
+    // replays the whole serving path including the default weight vector
+    "t23_linear_score" -> ((s, dir) =>
+      graft.operators.TextAnalysis.linearScore(
+          tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ingestion-time dedup: batch joins a compact digest ledger (history
+    // text never rescanned), then dedups against itself keeping min id
+    "t24_incremental_dedup" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val history = d.filter(col("doc_id") < 300)
+        .select(md5(col("text")).as("digest"))
+      val batch = d.unionByName(
+        d.filter(col("doc_id").between(400, 449))
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      graft.operators.Dedup.incrementalDedup(batch, history,
+          "doc_id", "text")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // One-call MinHash cascade preset: sketch → capped LSH → Levenshtein
     // verify; planted perturbed copies (18 appended chars) must survive
     // the 0.8 bar, chance LSH collisions must not
@@ -5898,6 +5920,35 @@ object Queries {
         |  round(quantile_cont(ln, 0.5), 6) AS p50_chars,
         |  round(quantile_cont(ln, 0.9), 6) AS p90_chars
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    // serving-path replay: same bucket hash, same Knuth-derived default
+    // weights, same left-fold add order, same sigmoid
+    "t23_linear_score" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |    list_filter(string_split_regex(trim(text), '\\s+'),
+         |      t -> len(t) > 0) AS t
+         |  FROM documents),
+         |sc AS (SELECT doc_id, len(t) AS n,
+         |  list_reduce(list_prepend(0.0, list_transform(t,
+         |    tk -> (((${sqlCharFold("tk")} % 64) * 2654435761) % 1000)
+         |          / 1000.0 - 0.5)),
+         |    (acc, x) -> acc + x) AS dot
+         |  FROM toks)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |  round(1.0 / (1.0 + exp(-(CASE WHEN n > 0 THEN dot / n
+         |    ELSE 0.0 END))), 6) AS score
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "t24_incremental_dedup" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |hist AS (SELECT md5(text) AS dg FROM d WHERE doc_id < 300),
+        |batch AS (SELECT * FROM d UNION ALL
+        |  SELECT doc_id + 10000, text FROM d WHERE doc_id BETWEEN 400 AND 449),
+        |fresh AS (SELECT doc_id, md5(text) AS dg FROM batch
+        |  WHERE md5(text) NOT IN (SELECT dg FROM hist)),
+        |rk AS (SELECT doc_id, row_number() OVER (
+        |  PARTITION BY dg ORDER BY doc_id) AS rn FROM fresh)
+        |SELECT doc_id FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     // t5's LSH replay feeding the levenshtein verify instead of the
     // hashed-shingle Jaccard

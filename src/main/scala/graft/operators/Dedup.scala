@@ -151,6 +151,32 @@ object Dedup {
       .filter(col("sim") >= threshold)
   }
 
+  /** Incremental exact dedup — the ingestion-time shape: drop new-batch
+    * documents whose digest already exists in the historical digest set,
+    * then dedup the batch against itself (keep the min-id copy). The
+    * carried-forward state is DIGESTS ONLY (16 bytes/doc) — history text
+    * is never rescanned, which is what makes continuous ingestion
+    * tractable at 100 TB: each day's batch joins against a compact,
+    * append-only digest ledger. Returns the surviving rows of `batch`
+    * (original columns).
+    *
+    * Scale shape: one anti-join on digest (AQE broadcasts a small
+    * history ledger; a corpus-scale ledger shuffles batch-sized data
+    * only) + one within-batch digest window. */
+  def incrementalDedup(batch: DataFrame, seenDigests: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val seen = seenDigests.select(
+      col(seenDigests.columns.head).as("__seen"))
+    val cols = batch.columns.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__dig").orderBy(idCol)
+    batch.withColumn("__dig", md5(col(textCol)))
+      .join(seen, col("__dig") === col("__seen"), "left_anti")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(cols: _*)
+  }
+
   /** One-call near-dup cascade — the 100 TB entry point composing the
     * whole MinHash pipeline: word-shingle hashes → MinHash signature →
     * capped LSH banding → candidate pairs → Levenshtein verification.

