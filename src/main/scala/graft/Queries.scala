@@ -5750,6 +5750,27 @@ object Queries {
           tbl(s, dir, "documents"), "source", "text")
         .orderBy("source")),
 
+    // skew-safe domain quota: top-10 docs per source by (n_chars desc,
+    // doc_id) through the salted two-phase window — result provably equal
+    // to the single-window form the oracle replays
+    "t25_quota_sample" -> ((s, dir) =>
+      graft.operators.TextAnalysis.quotaSample(
+          tbl(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          "source", "n_chars", "doc_id", cap = 10)
+        .orderBy("doc_id")),
+
+    // ANN operating-point evaluation: recall@3 of the IVF candidates
+    // against the exact brute-force top-3, per query
+    "v12_ann_recall" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val exact = graft.operators.Similarity.topKNeighbors(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 3)
+      val approx = graft.operators.Similarity.ivfTopK(emb, "vec_id",
+        "embedding", centroidEvery = 50, queryPred = col("id") < 10, k = 3)
+      graft.operators.Similarity.annRecall(exact, approx)
+        .orderBy("query_id")
+    }),
+
     // fastText-style hashing-trick scorer: tokens → portable-hash buckets
     // → broadcast weight dot → sigmoid; row-local codegen, the oracle
     // replays the whole serving path including the default weight vector
@@ -5920,6 +5941,52 @@ object Queries {
         |  round(quantile_cont(ln, 0.5), 6) AS p50_chars,
         |  round(quantile_cont(ln, 0.9), 6) AS p90_chars
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    "t25_quota_sample" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars, row_number() OVER (
+        |    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+
+    // exact top-3 (v1 algebra at k=3) vs IVF top-3 (v3 algebra), joined
+    // per query for recall@3
+    "v12_ann_recall" ->
+      s"""WITH vecs AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |eq AS (SELECT id AS query_id, v AS qv FROM vecs WHERE id < 10),
+         |esc AS (SELECT query_id, n.id AS neighbor_id,
+         |  round(${sqlDot("qv", "n.v")} /
+         |    (sqrt(${sqlNormSq("qv")}) * sqrt(${sqlNormSq("n.v")})), 6) AS sim
+         |  FROM eq CROSS JOIN vecs n WHERE query_id <> n.id),
+         |erk AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+         |  FROM esc) WHERE rn <= 3),
+         |cents AS (SELECT id AS cid, v AS cv FROM vecs WHERE id % 50 = 0),
+         |assign AS (SELECT id, v, cid,
+         |  round(${sqlDot("v", "cv")} /
+         |    (sqrt(${sqlNormSq("v")}) * sqrt(${sqlNormSq("cv")})), 6) AS csim
+         |  FROM vecs CROSS JOIN cents),
+         |cells AS (SELECT id, v, cid AS cell FROM (
+         |  SELECT id, v, cid, row_number() OVER (PARTITION BY id
+         |    ORDER BY csim DESC, cid) AS rn FROM assign) WHERE rn = 1),
+         |aq AS (SELECT id AS query_id, v AS qv, cell FROM cells WHERE id < 10),
+         |asc0 AS (SELECT query_id, c.id AS neighbor_id,
+         |  round(${sqlDot("qv", "c.v")} /
+         |    (sqrt(${sqlNormSq("qv")}) * sqrt(${sqlNormSq("c.v")})), 6) AS sim
+         |  FROM aq JOIN cells c USING (cell) WHERE query_id <> c.id),
+         |ark AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+         |  FROM asc0) WHERE rn <= 3)
+         |SELECT e.query_id,
+         |  round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1.0
+         |    ELSE 0.0 END) / count(*), 6) AS recall
+         |FROM erk e LEFT JOIN ark a
+         |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
 
     // serving-path replay: same bucket hash, same Knuth-derived default
     // weights, same left-fold add order, same sigmoid

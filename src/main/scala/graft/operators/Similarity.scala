@@ -56,6 +56,26 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
   }
 
+  /** Recall@k of an approximate candidate list against the exact one —
+    * the evaluation harness that picks an ANN operating point (nprobe,
+    * codebook size, PQ m) before a production rollout: per query,
+    * |approx ∩ exact| / |exact|. Inputs are (query_id, neighbor_id, …)
+    * top-k lists; queries absent from `approx` score 0. Scale note: both
+    * inputs are k-sized per query by construction, so every join and
+    * aggregate here touches candidate-list data only. */
+  def annRecall(exact: DataFrame, approx: DataFrame,
+      roundTo: Int = 6): DataFrame = {
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+    val eCnt = e.groupBy("query_id").agg(count(lit(1)).as("__k"))
+    val hits = e.join(a, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("__hits"))
+    eCnt.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("__hits"), lit(0L)).cast("double") /
+          col("__k"), roundTo).as("recall"))
+  }
+
   /** Reciprocal-rank fusion of candidate lists (the standard hybrid-
     * retrieval combiner — lexical BM25 + vector ANN, or any mix of
     * rankers): each list contributes 1/(c + rank) per id (rank from

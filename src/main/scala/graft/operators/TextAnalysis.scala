@@ -450,6 +450,37 @@ object TextAnalysis {
         (col("__n") - size(col("__kept"))).cast("long").as("n_removed"))
   }
 
+  // ===================== quota sampling =====================
+
+  /** Skew-safe per-group quota sampling ("cap any one domain's share"):
+    * keep at most `cap` rows per group, best-first by (scoreCol desc,
+    * idCol asc). Runs in two phases: a SALTED local top-cap first, which
+    * bounds any single group's phase-2 input at cap·salts rows — a hot
+    * domain holding 30% of a 100 TB corpus would otherwise serialize one
+    * giant window partition — then the exact global top-cap over the
+    * bounded survivors. Phase 1 is LOSSLESS for the final answer: a row
+    * in the global top `cap` is necessarily in its salt bucket's top
+    * `cap` (both phases share one ordering). Deterministic: the salt is
+    * the portable hash of the id, so reruns keep identical rows. */
+  def quotaSample(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      scoreCol: String, idCol: String, cap: Int,
+      salts: Int = 32): org.apache.spark.sql.DataFrame = {
+    require(cap > 0 && salts > 0,
+      s"quotaSample: need cap > 0 and salts > 0, got cap=$cap salts=$salts")
+    val salt = pmod(PortableHash.charFold(col(idCol).cast("string")),
+      lit(salts.toLong))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), salt)
+      .orderBy(desc(scoreCol), col(idCol))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(desc(scoreCol), col(idCol))
+    df.withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= cap)
+      .withColumn("__r2", row_number().over(w2))
+      .filter(col("__r2") <= cap)
+      .drop("__r1", "__r2")
+  }
+
   // ===================== linear quality scoring =====================
 
   /** Hashing-trick linear scorer — the fastText-style shallow-classifier

@@ -546,6 +546,36 @@ class TrainingOpsSpec extends AnyFunSuite {
     }.isEmpty, "scoring must be row-local")
   }
 
+  test("quotaSample: salted two-phase equals the single-window answer on a hot group") {
+    import spark.implicits._
+    // hot group: 500 of 600 rows in one domain
+    val rows = (0L until 600L).map(i =>
+      (i, if (i < 500) "hot" else s"cold${i % 5}", (i * 37) % 1000))
+      .toDF("id", "grp", "score")
+    val out = TextAnalysis.quotaSample(rows, "grp", "score", "id", cap = 7)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    // oracle: single global window
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(desc("score"), col("id"))
+    val expect = rows.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 7)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(out == expect)
+    assert(out.count(_._1 == "hot") == 7) // the hot domain is capped
+  }
+
+  test("annRecall: hand-checked overlap, missing query scores zero") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L))
+      .toDF("query_id", "neighbor_id")
+    val out = Similarity.annRecall(exact, approx).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(1L) - 2.0 / 3) < 1e-6) // 10,12 hit; 11 missed
+    assert(out(2L) == 0.0) // query 2 absent from approx
+  }
+
   test("new-op argument contracts refuse loudly") {
     intercept[IllegalArgumentException] {
       TextAnalysis.bm25TopK(docs, "doc_id", "text", Seq.empty, k = 5)
