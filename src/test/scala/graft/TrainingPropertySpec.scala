@@ -1,0 +1,114 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Generated-corpus properties for the training-pipeline operators: the
+  * oracle gate pins exact values on the fixture tables; these pin
+  * STRUCTURAL invariants on random corpora (chunk reassembly, quota
+  * bounds, sampling determinism and monotonicity, dedup idempotence). */
+class TrainingPropertySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def forAll[A](g: Gen[A], n: Int = 25)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(f)
+    }
+
+  private val wordGen: Gen[String] = for {
+    h <- Gen.alphaLowerChar
+    t <- Gen.listOfN(3, Gen.alphaLowerChar)
+  } yield (h :: t).mkString
+
+  private val docGen: Gen[String] =
+    Gen.choose(0, 60).flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+
+  private val corpusGen: Gen[Seq[(Long, String)]] =
+    Gen.choose(3, 12).flatMap(n => Gen.listOfN(n, docGen))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+
+  test("property: non-overlapping chunks reassemble the token stream exactly") {
+    forAll(corpusGen) { rows =>
+      val df = rows.toDF("doc_id", "text")
+      // stride == size → chunks partition the tokens; joining them back
+      // in order must reproduce the filtered token stream
+      val back = TextAnalysis.chunkTokens(df, "doc_id", "text", 7, 7)
+        .orderBy("doc_id", "chunk_idx")
+        .groupBy("doc_id")
+        .agg(concat_ws(" ", collect_list("chunk")).as("re"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      rows.foreach { case (id, text) =>
+        val toks = text.trim.split("\\s+").filter(_.nonEmpty).mkString(" ")
+        if (toks.nonEmpty) assert(back(id) == toks, s"doc $id")
+        else assert(!back.contains(id), s"empty doc $id must yield no chunks")
+      }
+    }
+  }
+
+  test("property: quotaSample keeps at most cap rows per group, exactly the best ones") {
+    val gen = for {
+      rows <- Gen.choose(10, 60).flatMap(n => Gen.listOfN(n,
+        Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(0, 100))))
+      cap <- Gen.choose(1, 5)
+    } yield (rows.zipWithIndex.map { case ((g, s), i) => (i.toLong, g, s) }, cap)
+    forAll(gen, n = 15) { case (rows, cap) =>
+      val df = rows.toDF("id", "grp", "score")
+      val out = TextAnalysis.quotaSample(df, "grp", "score", "id", cap, salts = 4)
+        .collect().map(r => (r.getString(1), r.getLong(0))).toSeq
+      val byG = out.groupBy(_._1)
+      assert(byG.values.forall(_.size <= cap))
+      // equals the single-ordering top-cap computed in plain Scala
+      // (.toSeq first — flatMap on the Map would collapse to one entry
+      // per group key and silently shrink the oracle)
+      val expect = rows.groupBy(_._2).toSeq.flatMap { case (g, rs) =>
+        rs.sortBy(r => (-r._3, r._1)).take(cap).map(r => (g, r._1))
+      }.toSet
+      assert(out.toSet == expect)
+    }
+  }
+
+  test("property: stratifiedSample is monotone in the fraction and deterministic") {
+    forAll(corpusGen, n = 10) { rows =>
+      val df = rows.toDF("doc_id", "text")
+        .withColumn("s", (col("doc_id") % 2).cast("string"))
+      def keep(f: Double) =
+        TextAnalysis.stratifiedSample(df, "s", "doc_id",
+          Map("0" -> f, "1" -> f)).collect().map(_.getLong(0)).toSet
+      val lo = keep(0.3); val hi = keep(0.8)
+      assert(lo.subsetOf(hi), "raising the fraction must only ADD rows")
+      assert(keep(0.3) == lo, "same fraction twice → identical rows")
+      assert(keep(1.0) == rows.map(_._1).toSet, "fraction 1.0 keeps all")
+      assert(keep(0.0).isEmpty, "fraction 0.0 keeps none")
+    }
+  }
+
+  test("property: incrementalDedup is idempotent and never resurrects history") {
+    forAll(corpusGen, n = 10) { rows =>
+      val df = rows.toDF("doc_id", "text")
+      val history = df.filter(col("doc_id") % 3 === 0)
+        .select(md5(col("text")).as("digest"))
+      val once = Dedup.incrementalDedup(df, history, "doc_id", "text")
+      val twice = Dedup.incrementalDedup(once, history, "doc_id", "text")
+      val a = once.collect().map(_.getLong(0)).sorted.toSeq
+      val b = twice.collect().map(_.getLong(0)).sorted.toSeq
+      assert(a == b, "a second pass over its own output must be a no-op")
+      // surviving digests are disjoint from history
+      val histSet = history.collect().map(_.getString(0)).toSet
+      val outDigests = once.select(md5(col("text"))).collect()
+        .map(_.getString(0)).toSet
+      assert(outDigests.intersect(histSet).isEmpty)
+      // and unique within the output
+      assert(outDigests.size == a.size)
+    }
+  }
+}
