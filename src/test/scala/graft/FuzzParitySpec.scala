@@ -390,6 +390,21 @@ class FuzzParitySpec extends AnyFunSuite {
       }
     }
 
+    /** Tuple IN list + the CH comma-offset LIMIT form (`LIMIT o, n` ≡
+      * `LIMIT n OFFSET o`) — translator-specific syntax paths. */
+    def tupleInOffsetQuery(): P = {
+      val m = int(3, 9)
+      val sts = Seq("F", "O", "P")
+      val pairs = (0 until int(2, 4)).map(i =>
+        s"(${int(0, m - 1)}, '${sts(i % 3)}')").distinct.mkString(", ")
+      val cond = s"(o_custkey % $m, o_orderstatus) IN ($pairs)"
+      val off = int(0, 20); val n = int(5, 60)
+      P(s"SELECT o_orderkey AS k FROM orders WHERE $cond " +
+          s"ORDER BY k LIMIT $off, $n",
+        s"SELECT o_orderkey AS k FROM orders WHERE $cond " +
+          s"ORDER BY k LIMIT $n OFFSET $off")
+    }
+
     /** GROUP BY ROLLUP/CUBE — subtotal rows with NULLed-out grouping
       * columns must agree; exact aggregates only. Identical text in both
       * dialects (expressions, not aliases, inside the grouping form). */
@@ -445,7 +460,8 @@ class FuzzParitySpec extends AnyFunSuite {
       () => limitByQuery(), () => setOpQuery(), () => nestedQuery(),
       () => joinQuery(), () => semiAntiQuery(), () => arrayJoinQuery(),
       () => rollupQuery(), () => distinctQuery(), () => inSubqueryQuery(),
-      () => cteQuery(), () => frameWindowQuery(), () => joinWindowQuery()))()
+      () => cteQuery(), () => frameWindowQuery(), () => joinWindowQuery(),
+      () => tupleInOffsetQuery()))()
   }
 
   // ---- execution + canonical compare ----
