@@ -5750,6 +5750,17 @@ object Queries {
           tbl(s, dir, "documents"), "source", "text")
         .orderBy("source")),
 
+    // sequence packing: shard-local concat-and-split at 512-token
+    // context boundaries; offsets/bins are deterministic (portable-hash
+    // shard + id order), spillover rows span bins
+    "t26_pack_sequences" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"),
+        graft.operators.TextAnalysis.tokenCount(col("text")).as("tk"))
+      graft.operators.TextAnalysis.packSequences(docs, "doc_id", "tk",
+          capacity = 512, shards = 8)
+        .orderBy("doc_id")
+    }),
+
     // skew-safe domain quota: top-10 docs per source by (n_chars desc,
     // doc_id) through the salted two-phase window — result provably equal
     // to the single-window form the oracle replays
@@ -5941,6 +5952,23 @@ object Queries {
         |  round(quantile_cont(ln, 0.5), 6) AS p50_chars,
         |  round(quantile_cont(ln, 0.9), 6) AS p90_chars
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    "t26_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+         |      AS tk,
+         |    ${sqlCharFold("CAST(doc_id AS VARCHAR)")} % 8 AS shard
+         |  FROM documents),
+         |c AS (SELECT doc_id, tk, shard,
+         |    sum(tk) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT doc_id, shard, CAST(cum - tk AS BIGINT) AS offset,
+         |  CAST(floor((cum - tk) / 512) AS BIGINT) AS bin_first,
+         |  CASE WHEN tk > 0 THEN CAST(floor((cum - 1) / 512) AS BIGINT)
+         |       ELSE CAST(floor((cum - tk) / 512) AS BIGINT) END AS bin_last,
+         |  tk AS tokens
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "t25_quota_sample" ->
       """SELECT doc_id, source, n_chars FROM (

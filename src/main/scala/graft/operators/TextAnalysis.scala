@@ -450,6 +450,46 @@ object TextAnalysis {
         (col("__n") - size(col("__kept"))).cast("long").as("n_removed"))
   }
 
+  // ===================== sequence packing =====================
+
+  /** Sequence packing — the concat-and-split step that turns curated
+    * documents into fixed-size training contexts: conceptually the token
+    * streams concatenate in id order and split at `capacity` boundaries;
+    * each row reports its byte-in-stream position (`offset`) and the
+    * first/last context bin it lands in (`bin_first`/`bin_last` — a row
+    * crossing a boundary spans bins, exactly the spillover a packed
+    * pretraining loader splits or truncates).
+    *
+    * Scale shape: packing is SHARD-LOCAL — rows hash (portable, layout-
+    * independent) into `shards` independent streams, so the only plan is
+    * one shuffle on shard + a per-shard ordered running sum; parallelism
+    * is `shards`, and the assignment is deterministic across engines,
+    * runs, and cluster layouts (hash + id order, no sequential driver
+    * state). A global single-stream pack would serialize the corpus —
+    * per-shard streams are how packing actually parallelizes. */
+  def packSequences(df: org.apache.spark.sql.DataFrame, idCol: String,
+      tokensCol: String, capacity: Int,
+      shards: Int = 256): org.apache.spark.sql.DataFrame = {
+    require(capacity > 0 && shards > 0,
+      s"packSequences: need capacity > 0 and shards > 0, " +
+        s"got capacity=$capacity shards=$shards")
+    val shard = pmod(PortableHash.charFold(col(idCol).cast("string")),
+      lit(shards.toLong))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tk = col(tokensCol).cast("long")
+    df.withColumn("shard", shard)
+      .withColumn("__cum", sum(tk).over(w))
+      .select(col(idCol), col("shard"),
+        (col("__cum") - tk).as("offset"),
+        floor((col("__cum") - tk) / capacity).as("bin_first"),
+        when(tk > 0, floor((col("__cum") - 1) / capacity))
+          .otherwise(floor((col("__cum") - tk) / capacity)).as("bin_last"),
+        tk.as("tokens"))
+  }
+
   // ===================== quota sampling =====================
 
   /** Skew-safe per-group quota sampling ("cap any one domain's share"):

@@ -92,6 +92,32 @@ class TrainingPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: packSequences offsets are gapless per shard, bins consistent") {
+    val gen = Gen.choose(5, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 30))).map(_.zipWithIndex.map {
+        case (t, i) => (i.toLong, t) })
+    forAll(gen, n = 15) { rows =>
+      val df = rows.toDF("id", "tk")
+      val out = TextAnalysis.packSequences(df, "id", "tk",
+          capacity = 16, shards = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+      // per shard: in id order, offsets are the exact running sum
+      out.groupBy(_._2).values.foreach { shardRows =>
+        var cum = 0L
+        shardRows.sortBy(_._1).foreach { case (_, _, off, bf, bl, tk) =>
+          assert(off == cum, "offset must be the gapless running sum")
+          assert(bf == off / 16)
+          assert(bl == (if (tk > 0) (off + tk - 1) / 16 else bf))
+          assert(bl >= bf)
+          cum += tk
+        }
+      }
+      // deterministic shard assignment: disjoint cover of all ids
+      assert(out.map(_._1).toSet == rows.map(_._1).toSet)
+    }
+  }
+
   test("property: incrementalDedup is idempotent and never resurrects history") {
     forAll(corpusGen, n = 10) { rows =>
       val df = rows.toDF("doc_id", "text")
