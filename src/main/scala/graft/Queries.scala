@@ -5811,8 +5811,11 @@ object Queries {
       val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
       val pert = d.select((col("doc_id") + 10000).as("doc_id"),
         concat(col("text"), lit(" graft extra token")).as("text"))
+      // oracle-exact variant: the DuckDB twin replays UNCAPPED banding, so
+      // the hot-bucket guard is lifted here (it stays default-ON in the
+      // preset itself — the 100 TB entry point keeps its skew contract)
       graft.operators.Dedup.nearDupCascade(d.unionByName(pert),
-          "doc_id", "text")
+          "doc_id", "text", maxBucketSize = Int.MaxValue)
         .orderBy("id1", "id2")
     }),
 
@@ -5936,12 +5939,13 @@ object Queries {
          |c AS (SELECT src, count(*) AS c FROM d GROUP BY src),
          |w AS (SELECT src, c, pow(c * 1.0, 0.7) AS w FROM c),
          |z AS (SELECT sum(w) AS z FROM w),
-         |f AS (SELECT src, least(1.0, 250 * (w / (SELECT z FROM z)) / c) AS f
-         |  FROM w),
+         |f AS (SELECT src, CAST(floor(round(
+         |    least(1.0, 250 * (w / (SELECT z FROM z)) / c) * 1000, 6))
+         |    AS BIGINT) AS p FROM w),
          |b AS (SELECT doc_id, src,
          |    ${sqlCharFold("CAST(doc_id AS VARCHAR)")} % 1000 AS b FROM d)
          |SELECT b.doc_id, b.src FROM b JOIN f USING (src)
-         |WHERE b.b < f.f * 1000 ORDER BY doc_id""".stripMargin,
+         |WHERE b.b < f.p ORDER BY doc_id""".stripMargin,
 
     "t21_corpus_stats" ->
       """WITH t AS (SELECT source,

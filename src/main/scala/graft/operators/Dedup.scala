@@ -145,9 +145,10 @@ object Dedup {
     both
       .select(col("id1"), col("id2"),
         levenshtein(col("__ta"), col("__tb")).cast("long").as("lev"),
-        round(lit(1.0) - levenshtein(col("__ta"), col("__tb")) /
-          greatest(length(col("__ta")), length(col("__tb")))
-            .cast("double"), roundTo).as("sim"))
+        greatest(length(col("__ta")), length(col("__tb")))
+          .cast("double").as("__mx"))
+      .select(col("id1"), col("id2"), col("lev"),
+        round(lit(1.0) - col("lev") / col("__mx"), roundTo).as("sim"))
       .filter(col("sim") >= threshold)
   }
 

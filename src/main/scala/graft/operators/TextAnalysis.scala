@@ -330,9 +330,12 @@ object TextAnalysis {
     * score = tf · (ln((N+1)/(df+1)) + 1), rounded to `roundTo`; rank
     * (score desc, term asc). Scale shape: per-(doc,term) counts are one
     * map-side-combinable groupBy; document frequencies aggregate FROM
-    * that result (no second corpus scan) and are vocabulary-sized, so the
-    * idf join BROADCASTS — the corpus-sized tf side never reshuffles for
-    * the join; the final top-k window repartitions by doc only. */
+    * that result (no second corpus scan). The idf join is left to AQE:
+    * vocabulary is NOT bounded for web text (typos/URLs grow distinct
+    * terms with the corpus), so a forced broadcast would OOM executors
+    * where an AQE-chosen sort-merge join degrades gracefully — AQE
+    * broadcasts exactly when the measured df side is small. The final
+    * top-k window repartitions by doc only. */
   def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, k: Int, roundTo: Int = 6): org.apache.spark.sql.DataFrame = {
     val nDocs = df.count()
@@ -343,7 +346,7 @@ object TextAnalysis {
     val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy(desc("score"), col("term"))
-    tf.join(broadcast(dfc), "term")
+    tf.join(dfc, "term")
       .select(col(idCol), col("term"),
         round(col("tf").cast("double") *
           (log(lit(nDocs + 1.0) / (col("df").cast("double") + 1.0)) + 1.0),
@@ -397,7 +400,8 @@ object TextAnalysis {
         sum(when(array_contains(toks, lit(t)), 1L).otherwise(0L)).as(s"df$i") }
     val stat = df.agg(count(lit(1)).as("n"), statAggs: _*).head()
     val n = stat.getLong(0)
-    val avgdl = stat.getLong(1).toDouble / math.max(n, 1L)
+    require(n > 0, "bm25TopK: empty corpus (no documents to score)")
+    val avgdl = stat.getLong(1).toDouble / n
     val dl = size(toks).cast("double")
     val score = terms.zipWithIndex.map { case (t, i) =>
       val dfT = stat.getLong(2 + i)
@@ -602,8 +606,21 @@ object TextAnalysis {
     val pows = counts.map { case (s, c) =>
       (s, c, math.pow(c.toDouble, alpha)) }
     val z = pows.map(_._3).sum
-    val fracs = pows.map { case (s, c, w) =>
-      (s, math.min(1.0, targetRows * (w / z) / c)) }.toMap
-    stratifiedSample(df, sourceCol, keyCol, fracs)
+    // The per-mille threshold is QUANTIZED (floor(round(f·1000, 6))) so a
+    // last-ulp pow/sum difference between engines cannot flip the integer
+    // bucket comparison when f·1000 lands on an integer boundary — any
+    // engine replaying counts → weights → thresholds lands on the same
+    // integer.
+    val permille = pows.map { case (s, c, w) =>
+      val f = math.min(1.0, targetRows * (w / z) / c)
+      (s, math.floor(BigDecimal(f * 1000)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toLong)
+    }.toMap
+    val bucket = pmod(PortableHash.charFold(col(keyCol).cast("string")),
+      lit(1000L))
+    val threshold = permille.foldLeft(lit(0L)) { case (acc, (k, p)) =>
+      when(col(sourceCol) === k, lit(p)).otherwise(acc)
+    }
+    df.filter(bucket < threshold)
   }
 }

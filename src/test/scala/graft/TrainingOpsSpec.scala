@@ -428,7 +428,7 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(math.abs(rt(2L)(0) - 127.0) < 1.0)
   }
 
-  test("tfidfTopTerms: distinctive terms win, idf join is broadcast") {
+  test("tfidfTopTerms: distinctive terms win, idf join is left to AQE") {
     val out = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 2)
     // doc 4 is the only doc with "spark"/"engines" etc. — its top terms
     // must be its unique words, never the corpus-wide "the"
@@ -436,13 +436,14 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(d4.subsetOf(Set("completely", "different", "words", "about",
       "spark", "engines", "here")))
     assert(out.groupBy("doc_id").count().collect().forall(_.getLong(1) <= 2))
-    // the vocabulary-sized df side must broadcast: no shuffled join
-    val plan = out.queryExecution.executedPlan
-    val smj = plan.collect {
-      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
-      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
-    }
-    assert(smj.isEmpty, "idf join must be broadcast, not shuffled")
+    // The idf join carries NO broadcast hint: web-text vocabulary grows
+    // with the corpus, so a forced broadcast would OOM where AQE degrades
+    // gracefully. At test scale AQE must still CHOOSE a broadcast (the
+    // measured df side is tiny) — pin the adaptive decision, not a hint.
+    out.collect()
+    val finalPlan = out.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"AQE should pick a broadcast for the tiny df side at test scale:\n$finalPlan")
   }
 
   test("bm25TopK: matching docs rank by relevance, scoring is shuffle-free") {
