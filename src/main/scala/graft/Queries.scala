@@ -3330,6 +3330,25 @@ object Queries {
         |FROM lineitem SAMPLE 2/10
         |SETTINGS graft_sample_key = 'l_orderkey'""".stripMargin)),
 
+    // SAMPLE k/m OFFSET o/m2 in the text path (sampleClause OFFSET
+    // alternative, ClickHouseParser.py:11016-11083): the offset shifts the
+    // deterministic bucket window through the keyspace — the three arms
+    // read DISJOINT windows ([0,2), [5,7), and the fraction-form
+    // [0.2,0.5) of the 1e6-bucket space), replayed verbatim in DuckDB
+    "ch87_sql_sample_offset" -> ((s, dir) => chsql(s, dir,
+      """SELECT part, count() AS n, CAST(sum(k) AS Int64) AS s FROM (
+        |  SELECT 1 AS part, l_orderkey AS k FROM lineitem SAMPLE 2/10
+        |    SETTINGS graft_sample_key = 'l_orderkey'
+        |  UNION ALL
+        |  SELECT 2 AS part, l_orderkey AS k FROM lineitem
+        |    SAMPLE 2/10 OFFSET 5/10
+        |    SETTINGS graft_sample_key = 'l_orderkey'
+        |  UNION ALL
+        |  SELECT 3 AS part, l_orderkey AS k FROM lineitem
+        |    SAMPLE 0.005 OFFSET 0.002
+        |    SETTINGS graft_sample_key = 'l_orderkey')
+        |GROUP BY part ORDER BY part""".stripMargin)),
+
     // EXISTS / NOT EXISTS subqueries (uncorrelated, eager boolean)
     "ch24_sql_exists" -> ((s, dir) => chsql(s, dir,
       """SELECT o_orderstatus, count() AS n FROM orders
@@ -3566,6 +3585,19 @@ object Queries {
         |FROM (SELECT o_orderkey AS k, o_orderpriority AS p
         |  FROM orders WHERE o_orderkey <= 200)
         |ORDER BY k""".stripMargin)),
+
+    // sub-second INTERVAL units + DateTime64 add/subtract family
+    // (interval rule NANOSECOND/MICROSECOND/MILLISECOND,
+    // ClickHouseParser.py:17712-17784): Spark timestamps are µs-precision
+    // so ms/µs map to native day-time intervals; ns refuses honestly
+    "ch86_sql_subsecond_interval" -> ((s, dir) => chsql(s, dir,
+      """SELECT event_id AS k,
+        |  ts + INTERVAL 500 MILLISECOND AS t_ms,
+        |  ts - INTERVAL 250 MICROSECOND AS t_us,
+        |  addMilliseconds(ts, event_id % 100) AS t_addms,
+        |  subtractMicroseconds(ts, 1500) AS t_subus,
+        |  ts + toIntervalMillisecond(3) AS t_intms
+        |FROM events WHERE event_id < 500 ORDER BY k""".stripMargin)),
 
     // width_bucket histogram indexing, array shifts, query-log literal
     // normalization, decimal size formatting (jumpConsistentHash rides
@@ -4513,6 +4545,28 @@ object Queries {
         |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
         |  WHERE c_custkey % 7 = 0) AND o_orderkey <= 2000
         |ORDER BY k""".stripMargin,
+
+    "ch87_sql_sample_offset" ->
+      """SELECT part, count(*) AS n, CAST(sum(k) AS BIGINT) AS s FROM (
+        |  SELECT 1 AS part, l_orderkey AS k FROM lineitem
+        |    WHERE l_orderkey % 10 >= 0 AND l_orderkey % 10 < 2
+        |  UNION ALL
+        |  SELECT 2 AS part, l_orderkey AS k FROM lineitem
+        |    WHERE l_orderkey % 10 >= 5 AND l_orderkey % 10 < 7
+        |  UNION ALL
+        |  SELECT 3 AS part, l_orderkey AS k FROM lineitem
+        |    WHERE l_orderkey % 1000000 >= 2000
+        |      AND l_orderkey % 1000000 < 7000)
+        |GROUP BY part ORDER BY part""".stripMargin,
+
+    "ch86_sql_subsecond_interval" ->
+      """SELECT event_id AS k,
+        |  ts + INTERVAL 500 MILLISECOND AS t_ms,
+        |  ts - INTERVAL 250 MICROSECOND AS t_us,
+        |  ts + (event_id % 100) * INTERVAL 1 MILLISECOND AS t_addms,
+        |  ts - 1500 * INTERVAL 1 MICROSECOND AS t_subus,
+        |  ts + INTERVAL 3 MILLISECOND AS t_intms
+        |FROM events WHERE event_id < 500 ORDER BY k""".stripMargin,
 
     "ch84_sql_string_pad_utf8" ->
       """SELECT k,

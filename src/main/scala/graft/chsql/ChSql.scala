@@ -248,7 +248,7 @@ object ChSql {
       groupKind: String = "plain", // plain | rollup | cube | sets
       groupSets: Seq[Seq[Expr]] = Nil, // for GROUPING SETS
       limitTies: Boolean = false,
-      sample: Option[(Long, Long)] = None, // SAMPLE k/m buckets
+      sample: Option[(Long, Long, Long)] = None, // SAMPLE k/m (+offset buckets)
       format: Option[String] = None, // standalone trailing FORMAT f
       windows: Map[String, WinSpec] = Map.empty, // WINDOW w AS (...)
       recursiveCtes: Set[String] = Set.empty, // WITH RECURSIVE names
@@ -780,25 +780,45 @@ object ChSql {
       val joins = Seq.newBuilder[JoinSpec]
       var arrayJoins: Seq[ArrayJoinItem] = Nil
       var leftArrayJoin = false
-      var sample: Option[(Long, Long)] = None
+      var sample: Option[(Long, Long, Long)] = None
       if (eatKw("FROM")) {
         from = Some(parseRelation())
-        // SAMPLE k/m | SAMPLE fraction (sampleClause,
-        // ClickHouseParser.py:11016-11083). A fraction maps onto k/m with
-        // m = 1e6 — deterministic bucket sampling, not Bernoulli.
+        // SAMPLE k/m [OFFSET o/m2] | SAMPLE fraction [OFFSET fraction]
+        // (sampleClause, ClickHouseParser.py:11016-11083). A fraction maps
+        // onto k/m with m = 1e6 — deterministic bucket sampling, not
+        // Bernoulli; OFFSET shifts the read window through the keyspace
+        // (two disjoint offsets partition it).
         if (eatKw("SAMPLE")) {
-          val a = cur match {
-            case TNum(s) => pos += 1; s
-            case other => fail(s"SAMPLE needs a number, got $other")
-          }
-          sample =
+          def ratio(what: String, allowBareInt: Boolean): (Long, Long) = {
+            val a = cur match {
+              case TNum(s) => pos += 1; s
+              case other => fail(s"$what needs a number, got $other")
+            }
             if (a.contains('.')) {
               val f = a.toDouble
-              if (f <= 0 || f > 1) fail(s"SAMPLE fraction out of (0,1]: $a")
-              Some((math.round(f * 1000000L), 1000000L))
-            } else if (eatP("/")) Some((a.toLong, parseLong()))
-            else fail("SAMPLE n (approximate row-count form) needs table " +
-              "size stats; use SAMPLE k/m or SAMPLE <fraction>")
+              if (f < 0 || f > 1) fail(s"$what fraction out of [0,1]: $a")
+              (math.round(f * 1000000L), 1000000L)
+            } else if (eatP("/")) (a.toLong, parseLong())
+            else if (allowBareInt && a.toLong == 0L) (0L, 1L)
+            else fail(s"$what n (approximate row-count form) needs table " +
+              s"size stats; use $what k/m or $what <fraction>")
+          }
+          val (k, m) = ratio("SAMPLE", allowBareInt = false)
+          val off =
+            if (eatKw("OFFSET")) {
+              val (o, m2) = ratio("OFFSET", allowBareInt = true)
+              // scale the offset ratio onto the SAMPLE denominator's
+              // bucket space; refuse silently-inexact windows
+              if ((o * m) % m2 != 0)
+                fail(s"SAMPLE OFFSET $o/$m2 is not a whole number of " +
+                  s"1/$m buckets — use a compatible denominator")
+              val ob = o * m / m2
+              if (ob + k > m)
+                fail(s"SAMPLE $k/$m OFFSET $o/$m2 reads past the end of " +
+                  "the keyspace (offset+sample > 1)")
+              ob
+            } else 0L
+          sample = Some((k, m, off))
         }
         var go = true
         while (go) {
@@ -1785,7 +1805,7 @@ object ChSql {
     // read). Parquet tables carry no SAMPLE BY key from DDL, so the key
     // column comes from SETTINGS graft_sample_key — deterministic bucket
     // filter that pushes to the scan.
-    s.sample.foreach { case (k, m) =>
+    s.sample.foreach { case (k, m, off) =>
       // key resolution: per-query SETTINGS override first, then the
       // table's own SAMPLE BY column recorded at CREATE TABLE time
       val keyName = s.settings.collectFirst {
@@ -1795,7 +1815,8 @@ object ChSql {
         .getOrElse(throw new IllegalArgumentException(
           "ChSql: SAMPLE needs the table created with SAMPLE BY <col> or " +
             "SETTINGS graft_sample_key = '<integer column>'"))
-      df = graft.operators.ChOps.sampleBuckets(df, col(keyName), k.toInt, m.toInt)
+      df = graft.operators.ChOps.sampleBuckets(df, col(keyName), k.toInt,
+        m.toInt, off.toInt)
     }
 
     val tr = new Translator(spark, resolve, ctes, exprEnv, buildSetOp)
@@ -2689,6 +2710,16 @@ object ChSql {
     }
 
     private def intervalUnit(u: String): String = u.toLowerCase match {
+      // sub-second units (interval rule lists NANOSECOND/MICROSECOND/
+      // MILLISECOND, ClickHouseParser.py:17712-17784); Spark timestamps
+      // are µs-precision, so ms/µs map natively and ns refuses honestly
+      // rather than silently truncating
+      case "millisecond" | "milliseconds" => "MILLISECOND"
+      case "microsecond" | "microseconds" => "MICROSECOND"
+      case "nanosecond" | "nanoseconds" =>
+        throw new IllegalArgumentException(
+          "ChSql: INTERVAL ... NANOSECOND is not supported — Spark " +
+            "timestamps are microsecond-precision; use MICROSECOND")
       case "second" | "seconds" => "SECOND"
       case "minute" | "minutes" => "MINUTE"
       case "hour" | "hours" => "HOUR"
@@ -3575,6 +3606,23 @@ object ChSql {
         case "subtractminutes" => a(0) - expr("INTERVAL 1 MINUTE") * a(1)
         case "addseconds" => a(0) + expr("INTERVAL 1 SECOND") * a(1)
         case "subtractseconds" => a(0) - expr("INTERVAL 1 SECOND") * a(1)
+        // sub-second family (DateTime64 arithmetic): Spark timestamps are
+        // µs-precision — ms/µs are native; the ns twins refuse honestly
+        case "addmilliseconds" =>
+          a(0) + expr("INTERVAL 1 MILLISECOND") * a(1)
+        case "subtractmilliseconds" =>
+          a(0) - expr("INTERVAL 1 MILLISECOND") * a(1)
+        case "addmicroseconds" =>
+          a(0) + expr("INTERVAL 1 MICROSECOND") * a(1)
+        case "subtractmicroseconds" =>
+          a(0) - expr("INTERVAL 1 MICROSECOND") * a(1)
+        case "addnanoseconds" | "subtractnanoseconds" |
+             "tointervalnanosecond" =>
+          throw new IllegalArgumentException(
+            s"ChSql: ${f.name} is not supported — Spark timestamps are " +
+              "microsecond-precision; use the microsecond twin")
+        case "tointervalmillisecond" => expr("INTERVAL 1 MILLISECOND") * a(0)
+        case "tointervalmicrosecond" => expr("INTERVAL 1 MICROSECOND") * a(0)
         case "tointervalsecond" => expr("INTERVAL 1 SECOND") * a(0)
         case "tointervalminute" => expr("INTERVAL 1 MINUTE") * a(0)
         case "tointervalhour" => expr("INTERVAL 1 HOUR") * a(0)

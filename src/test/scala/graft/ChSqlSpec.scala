@@ -457,6 +457,55 @@ class ChSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("graft_sample_key"))
   }
 
+  test("SAMPLE k/m OFFSET o/m: two offsets partition the keyspace") {
+    val lo = run(
+      """SELECT okey FROM orders SAMPLE 1/2 ORDER BY okey
+        |SETTINGS graft_sample_key = 'okey'""".stripMargin)
+    val hi = run(
+      """SELECT okey FROM orders SAMPLE 1/2 OFFSET 1/2 ORDER BY okey
+        |SETTINGS graft_sample_key = 'okey'""".stripMargin)
+    assert(lo.map(_.head) == Seq(2L, 4L, 6L)) // buckets [0,1): even keys
+    assert(hi.map(_.head) == Seq(1L, 3L, 5L)) // buckets [1,2): odd keys
+    // disjoint + complete: the two windows tile okey 1..6 exactly
+    assert((lo.map(_.head) ++ hi.map(_.head)).toSet ==
+      Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // inexact offset (not a whole number of sample buckets) refuses
+    val e1 = intercept[IllegalArgumentException] {
+      run("""SELECT okey FROM orders SAMPLE 1/2 OFFSET 1/3
+            |SETTINGS graft_sample_key = 'okey'""".stripMargin)
+    }
+    assert(e1.getMessage.contains("whole number"))
+    // window running past the end of the keyspace refuses
+    val e2 = intercept[IllegalArgumentException] {
+      run("""SELECT okey FROM orders SAMPLE 2/3 OFFSET 2/3
+            |SETTINGS graft_sample_key = 'okey'""".stripMargin)
+    }
+    assert(e2.getMessage.contains("past the end"))
+  }
+
+  test("sub-second INTERVAL units and the DateTime64 add family") {
+    val r = run(
+      """SELECT
+        |  toDateTime('2024-01-01 00:00:00') + INTERVAL 500 MILLISECOND AS a,
+        |  addMicroseconds(toDateTime('2024-01-01 00:00:00'), 250) AS b,
+        |  subtractMilliseconds(toDateTime('2024-01-01 00:00:00'), 1) AS c,
+        |  toDateTime('2024-01-01 00:00:00') + toIntervalMicrosecond(7) AS d
+        |""".stripMargin)
+    assert(r.head(0).toString.contains("00:00:00.5"))
+    assert(r.head(1).toString.contains("00:00:00.00025"))
+    assert(r.head(2).toString.contains("23:59:59.999"))
+    assert(r.head(3).toString.contains("00:00:00.000007"))
+    // nanoseconds refuse honestly (Spark timestamps are µs-precision)
+    val e = intercept[IllegalArgumentException] {
+      run("SELECT toDateTime('2024-01-01 00:00:00') + INTERVAL 1 NANOSECOND AS x")
+    }
+    assert(e.getMessage.contains("NANOSECOND"))
+    val e2 = intercept[IllegalArgumentException] {
+      run("SELECT addNanoseconds(toDateTime('2024-01-01 00:00:00'), 5) AS x")
+    }
+    assert(e2.getMessage.contains("microsecond"))
+  }
+
   test("EXISTS (subquery) is an eager query-constant boolean") {
     val hit = run("SELECT okey FROM orders WHERE EXISTS (SELECT 1 FROM custs WHERE nat = 2) ORDER BY okey")
     assert(hit.map(_.head) == Seq(1L, 2L, 3L, 4L, 5L, 6L))
