@@ -5539,6 +5539,18 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // capped-bigram-table variant: model state bounded by CONFIGURATION
+    // (vocab ≤ 21, bigrams ≤ 50 of the 462 realized pairs — truncation
+    // genuinely bites); the dropped tail folds into the add-k smoothing
+    // floor, and DuckDB replays the same top-B (count desc, pair asc) rule
+    "t15b_bigram_ppl_capped" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val model = graft.operators.TextAnalysis.trainBigramModel(
+        docs, "text", maxVocab = 20, maxBigrams = 50)
+      graft.operators.TextAnalysis.bigramPerplexity(docs, "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
+
     // characteristic terms per doc: tf groupBy (map-combinable), df
     // aggregated from tf (vocabulary-sized → broadcast idf join)
     "t16_tfidf_terms" -> ((s, dir) =>
@@ -5671,6 +5683,46 @@ object Queries {
         |              ELSE cx.c END) + 1.0 * (SELECT v FROM vn))) AS lp
         |  FROM pos2 p
         |  LEFT JOIN bc b ON b.prev = p.prev AND b.cur = p.cur
+        |  LEFT JOIN ctx cx ON cx.tok = p.prev),
+        |agg AS (SELECT doc_id, sum(lp) AS logp, count(*) AS n
+        |  FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n, 0) AS n_tokens,
+        |  CASE WHEN a.n > 0 THEN round(exp(-a.logp / a.n), 6) END AS ppl
+        |FROM (SELECT doc_id FROM documents) d
+        |LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "t15b_bigram_ppl_capped" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(trim(text), ' '), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |uni AS (SELECT unnest(t) AS tok FROM toks),
+        |uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+        |top AS (SELECT tok, c FROM uc ORDER BY c DESC, tok LIMIT 20),
+        |tl AS (SELECT list(tok) AS l FROM top),
+        |vn AS (SELECT count(*) + 1 AS v FROM top),
+        |unk AS (SELECT (SELECT count(*) FROM uni) - (SELECT sum(c) FROM top) AS c),
+        |nd AS (SELECT count(*) AS n FROM toks WHERE len(t) > 0),
+        |ctx AS (SELECT tok, c FROM top
+        |  UNION ALL SELECT chr(1), c FROM unk),
+        |mapped AS (SELECT doc_id, list_transform(t,
+        |    x -> CASE WHEN list_contains(tl.l, x) THEN x ELSE chr(1) END) AS m
+        |  FROM toks, tl),
+        |pos AS (SELECT doc_id, m,
+        |    unnest(range(1, len(m) + 1)) AS i
+        |  FROM mapped WHERE len(m) > 0),
+        |pos2 AS (SELECT doc_id,
+        |    CASE WHEN i = 1 THEN chr(2) ELSE m[i - 1] END AS prev,
+        |    m[i] AS cur FROM pos),
+        |bg AS (SELECT doc_id, prev, cur FROM pos2),
+        |bc AS (SELECT prev, cur, count(*) AS c FROM bg GROUP BY prev, cur),
+        |bk AS (SELECT prev, cur, c FROM bc
+        |  ORDER BY c DESC, prev || chr(3) || cur LIMIT 50),
+        |sc AS (SELECT p.doc_id,
+        |    ln((coalesce(b.c, 0) + 1.0) /
+        |       ((CASE WHEN p.prev = chr(2) THEN (SELECT n FROM nd)
+        |              ELSE cx.c END) + 1.0 * (SELECT v FROM vn))) AS lp
+        |  FROM pos2 p
+        |  LEFT JOIN bk b ON b.prev = p.prev AND b.cur = p.cur
         |  LEFT JOIN ctx cx ON cx.tok = p.prev),
         |agg AS (SELECT doc_id, sum(lp) AS logp, count(*) AS n
         |  FROM sc GROUP BY doc_id)

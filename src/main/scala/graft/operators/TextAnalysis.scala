@@ -272,14 +272,23 @@ object TextAnalysis {
     * model of the corpus itself, or of a clean reference corpus).
     *
     * Vocabulary is CAPPED at `maxVocab` tokens (by count desc, token asc —
-    * deterministic); everything else maps to UNK, so both count maps are
-    * BOUNDED: vocab ≤ maxVocab+1 entries, bigrams ≤ observed pairs over the
-    * capped vocab (≤ (V+1)² ceiling, far smaller in practice). Training is
-    * two map-side-combinable groupBy passes (one shuffle each); the
-    * resulting model broadcasts once per executor — at 100 TB this is the
-    * standard train-once/ship-model/score-at-scan-speed shape. */
+    * deterministic); everything else maps to UNK. The bigram table is
+    * ALSO capped, at `maxBigrams` entries (by count desc, pair asc), with
+    * the dropped tail folding into the add-k smoothing floor (a missing
+    * bigram scores as count 0 — exactly what add-k smoothing assigns any
+    * unseen pair). So model state is bounded by CONFIGURATION, not corpus:
+    * vocab ≤ maxVocab+1 and bigrams ≤ maxBigrams no matter how much of
+    * the (V+1)² pair ceiling a 100 TB corpus realizes — without the cap a
+    * 64k vocab admits 4×10⁹ observable pairs and the driver collect (and
+    * broadcast) becomes the bottleneck. The top-B retention plans as
+    * TakeOrderedAndProject (per-partition heads + driver merge), never a
+    * full sort. Training is two map-side-combinable groupBy passes (one
+    * shuffle each); the resulting model broadcasts once per executor — at
+    * 100 TB this is the standard train-once/ship-model/score-at-scan-speed
+    * shape. */
   def trainBigramModel(df: org.apache.spark.sql.DataFrame, textCol: String,
-      maxVocab: Int, k: Double = 1.0): graft.plans.BigramModel = {
+      maxVocab: Int, k: Double = 1.0,
+      maxBigrams: Int = 1 << 20): graft.plans.BigramModel = {
     import org.apache.spark.unsafe.types.UTF8String
     val spark = df.sparkSession
     val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
@@ -316,6 +325,8 @@ object TextAnalysis {
               lit(graft.plans.BigramModel.SepStr), element_at(col("__m"), i))))
           .otherwise(array().cast("array<string>")))).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("pair"))
+      .limit(maxBigrams)
       .collect()
     val bigrams = new java.util.HashMap[UTF8String, java.lang.Long]()
     pairs.foreach(r => bigrams.put(UTF8String.fromString(r.getString(0)),

@@ -363,6 +363,35 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(empty.getLong(1) == 0 && empty.isNullAt(2))
   }
 
+  test("bigram LM: collected state is bounded by configuration, not corpus") {
+    // corpus realizes far more bigrams than the cap admits
+    val full = TextAnalysis.trainBigramModel(docs, "text", maxVocab = 100)
+    assert(full.bigrams.size() > 4, "fixture must realize > cap bigrams")
+    val capped = TextAnalysis.trainBigramModel(docs, "text",
+      maxVocab = 100, maxBigrams = 4)
+    // state ≤ vocab + B regardless of corpus size
+    assert(capped.bigrams.size() <= 4)
+    assert(capped.vocab.size() <= 101)
+    // retention rule is top-B by (count desc, pair asc): every kept pair's
+    // count ≥ every dropped pair's count
+    import scala.jdk.CollectionConverters._
+    val keptMin = capped.bigrams.values.asScala.map(_.longValue).min
+    val dropped = full.bigrams.asScala.filterNot {
+      case (k, _) => capped.bigrams.containsKey(k) }
+    assert(dropped.values.forall(_.longValue <= keptMin))
+    // a scored doc whose bigrams were all dropped still scores (smoothing
+    // floor), finite and higher-ppl than under the uncapped model
+    val probe = Seq((500L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val pplCapped = TextAnalysis.bigramPerplexity(
+      probe, "doc_id", "text", capped).head().getDouble(2)
+    val pplFull = TextAnalysis.bigramPerplexity(
+      probe, "doc_id", "text", full).head().getDouble(2)
+    assert(!pplCapped.isNaN && !pplCapped.isInfinite)
+    assert(pplCapped >= pplFull,
+      "dropping bigram mass can only raise (or keep) perplexity")
+  }
+
   test("semDedup: planted near-dups dropped within cells, keep-lowest rule") {
     // two tight clusters around orthogonal axes + planted exact copies
     def vec(axis: Int, eps: Double): Seq[Double] =
