@@ -1281,11 +1281,16 @@ object Queries {
         .orderBy("user_id", "event_type")
     }),
 
-    // IVF-style ANN: deterministic coarse quantizer + cell-local search
+    // IVF-style ANN at a CONSTANT codebook size (C ≈ 10 cells at every
+    // SF — stride n/10 reproduces the historical stride-50 cells at
+    // sf0.01's 500 vectors): assignment is O(C·n), linear across scale
+    // factors. The r8 fixed-STRIDE form grew its codebook with the
+    // corpus (C = n/50), which BENCH_sf1.json measured at 13.6× for 10×
+    // data — quadratic by construction.
     "v3_ivf_topk" -> ((s, dir) =>
-      graft.operators.Similarity.ivfTopK(
+      graft.operators.Similarity.ivfTopKFixedC(
           tbl(s, dir, "embeddings"), "vec_id", "embedding",
-          centroidEvery = 50, queryPred = col("id") < 10, k = 3)
+          c = 10, queryPred = col("id") < 10, k = 3)
         .orderBy(col("query_id"), desc("sim"), col("neighbor_id"))),
 
     // IVF at the operating point: codebook sized C ~ sqrt(n) from a
@@ -1395,7 +1400,9 @@ object Queries {
       s"""WITH vecs AS (SELECT vec_id AS id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings),
-         |cents AS (SELECT id AS cid, v AS cv FROM vecs WHERE id % 50 = 0),
+         |stride AS (SELECT GREATEST(1, count(*) // 10) AS s FROM vecs),
+         |cents AS (SELECT id AS cid, v AS cv FROM vecs
+         |  WHERE id % (SELECT s FROM stride) = 0),
          |assign AS (SELECT id, v, cid,
          |  round(${sqlDot("v", "cv")} /
          |    (sqrt(${sqlNormSq("v")}) * sqrt(${sqlNormSq("cv")})), 6) AS csim
@@ -1575,11 +1582,12 @@ object Queries {
           "doc_id")
         .toDF().drop("err").orderBy("doc_id", "frame_id")),
 
-    // IVF with multi-cell probing (nprobe=2): recall/latency trade dial
+    // IVF with multi-cell probing (nprobe=2): recall/latency trade dial,
+    // on the same constant-C codebook as v3 (linear assignment)
     "v5_ivf_nprobe2" -> ((s, dir) =>
-      graft.operators.Similarity.ivfTopK(
+      graft.operators.Similarity.ivfTopKFixedC(
           tbl(s, dir, "embeddings"), "vec_id", "embedding",
-          centroidEvery = 50, queryPred = col("id") < 10, k = 3, nprobe = 2)
+          c = 10, queryPred = col("id") < 10, k = 3, nprobe = 2)
         .orderBy(col("query_id"), desc("sim"), col("neighbor_id"))))
 
   private val oracles5: Map[String, String] = Map(
@@ -1692,7 +1700,9 @@ object Queries {
       s"""WITH vecs AS (SELECT vec_id AS id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings),
-         |cents AS (SELECT id AS cid, v AS cv FROM vecs WHERE id % 50 = 0),
+         |stride AS (SELECT GREATEST(1, count(*) // 10) AS s FROM vecs),
+         |cents AS (SELECT id AS cid, v AS cv FROM vecs
+         |  WHERE id % (SELECT s FROM stride) = 0),
          |assign AS (SELECT id, v, cid,
          |  round(${sqlDot("v", "cv")} /
          |    (sqrt(${sqlNormSq("v")}) * sqrt(${sqlNormSq("cv")})), 6) AS csim
@@ -5512,20 +5522,30 @@ object Queries {
     // codegen'd encode, zero shuffles), queries carry a precomputed LUT —
     // per-(query,row) cost is 4 array reads, not 64 flops. The
     // 100 TB story: the code table is 64x smaller than the raw corpus.
-    "v8_pq_topk" -> ((s, dir) =>
-      graft.operators.Similarity.pqTopK(
-          tbl(s, dir, "embeddings"), "vec_id", "embedding",
-          m = 4, centroidEvery = 50, queryPred = col("id") < 10, k = 3)
-        .orderBy(col("query_id"), col("adist"), col("neighbor_id"))),
+    "v8_pq_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      // CONSTANT-size PQ codebook (10 centroids/subspace at every SF —
+      // stride n/10 reproduces the historical stride-50 codebook at
+      // sf0.01's 500 vectors): a fixed STRIDE grows centroids with the
+      // corpus, which blows the uint8 code space past 256 and makes
+      // encode cost quadratic across scale factors
+      val every = math.max(1L, emb.count() / 10).toInt
+      graft.operators.Similarity.pqTopK(emb, "vec_id", "embedding",
+          m = 4, centroidEvery = every, queryPred = col("id") < 10, k = 3)
+        .orderBy(col("query_id"), col("adist"), col("neighbor_id"))
+    }),
 
     // IVF-PQ (faiss IVFADC): coarse cells prune (nprobe=2), ADC ranks the
     // survivors from codes only — raw vectors are read exactly once.
-    "v9_ivfpq_topk" -> ((s, dir) =>
-      graft.operators.Similarity.ivfPqTopK(
-          tbl(s, dir, "embeddings"), "vec_id", "embedding",
-          m = 4, pqCentroidEvery = 50, coarseCentroidEvery = 50,
+    // Both codebooks constant-size (stride n/10, see v8).
+    "v9_ivfpq_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val every = math.max(1L, emb.count() / 10).toInt
+      graft.operators.Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+          m = 4, pqCentroidEvery = every, coarseCentroidEvery = every,
           queryPred = col("id") < 10, k = 3, nprobe = 2)
-        .orderBy(col("query_id"), col("adist"), col("neighbor_id"))),
+        .orderBy(col("query_id"), col("adist"), col("neighbor_id"))
+    }),
 
     // CCNet-style perplexity quality signal: train a capped-vocab add-1
     // bigram LM on the corpus (two map-side-combinable count passes),
@@ -5607,8 +5627,9 @@ object Queries {
       s"""WITH vecs AS (SELECT vec_id AS id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings),
+         |stride AS (SELECT GREATEST(1, count(*) // 10) AS s FROM vecs),
          |cents AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cpos, v AS cv
-         |  FROM vecs WHERE id % 50 = 0),
+         |  FROM vecs WHERE id % (SELECT s FROM stride) = 0),
          |${pqCodeCtes(4, 16)},
          |q AS (SELECT id AS query_id, v AS qv FROM vecs WHERE id < 10),
          |scored AS (SELECT q.query_id, n.id AS neighbor_id,
@@ -5625,7 +5646,9 @@ object Queries {
       s"""WITH vecs AS (SELECT vec_id AS id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings),
-         |ccents AS (SELECT id AS ccid, v AS ccv FROM vecs WHERE id % 50 = 0),
+         |stride AS (SELECT GREATEST(1, count(*) // 10) AS s FROM vecs),
+         |ccents AS (SELECT id AS ccid, v AS ccv FROM vecs
+         |  WHERE id % (SELECT s FROM stride) = 0),
          |cassign AS (SELECT id, v, ccid,
          |  round(${sqlDot("v", "ccv")} /
          |    (sqrt(${sqlNormSq("v")}) * sqrt(${sqlNormSq("ccv")})), 6) AS csim
@@ -5635,7 +5658,7 @@ object Queries {
          |cells AS (SELECT id, v, ccid AS cell FROM cranked WHERE crn = 1),
          |probes AS (SELECT id, ccid AS cell FROM cranked WHERE crn <= 2),
          |cents AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cpos, v AS cv
-         |  FROM vecs WHERE id % 50 = 0),
+         |  FROM vecs WHERE id % (SELECT s FROM stride) = 0),
          |${pqCodeCtes(4, 16)},
          |q AS (SELECT p.id AS query_id, v.v AS qv, p.cell
          |  FROM probes p JOIN vecs v ON v.id = p.id WHERE p.id < 10),

@@ -234,6 +234,26 @@ object Similarity {
     ivfTopK(corpus, idCol, vecCol, every, queryPred, k, roundTo, nprobe)
   }
 
+  /** [[ivfTopK]] with a CONSTANT codebook size: the stride is derived
+    * from a cheap count as n/c, so the coarse quantizer holds ≈`c` cells
+    * at every corpus size — the faiss-style bounded-codebook shape.
+    * Assignment cost is O(c·n): LINEAR in the corpus by construction (vs
+    * quadratic for a fixed stride, whose codebook grows with n, and
+    * n^1.5 for the √n operating point until its cap binds). The trade is
+    * recall: cells average n/c vectors, so each probe scans a constant
+    * FRACTION of the corpus — pick `c` from the recall harness
+    * ([[annRecall]]) like any other operating point. */
+  def ivfTopKFixedC(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      c: Int, queryPred: Column, k: Int,
+      roundTo: Int = 6, nprobe: Int = 1
+  ): DataFrame = {
+    require(c > 0, s"ivfTopKFixedC: need c > 0 cells, got $c")
+    val n = corpus.count()
+    val every = math.max(1L, n / c).toInt
+    ivfTopK(corpus, idCol, vecCol, every, queryPred, k, roundTo, nprobe)
+  }
+
   /** Bucketed approximate all-pairs: candidate pairs share a bucket;
     * exact cosine verifies. Returns (id1, id2, sim) with id1 < id2 and
     * sim ≥ threshold.
