@@ -70,6 +70,28 @@ object Bench {
       spark.stop()
       sys.exit(1)
     }
+    // Host-throughput calibration: a FIXED CPU-bound pure-JVM loop (no
+    // Spark, no allocation) timed before the suite. Round-over-round
+    // bench comparisons keep being confounded by 1.1-1.7× host-speed
+    // drift between windows (r7 shift; r8's 78.6-vs-89.1 s spread on
+    // identical plans); dividing any timing by calib_sec yields a
+    // host-normalized number comparable across rounds. min-of-3 after a
+    // warmup pass so JIT cost isn't charged to the score.
+    def calibrate(): Double = {
+      def pass(): Double = {
+        val t0 = System.nanoTime()
+        var x = 0x9E3779B97F4A7C15L
+        var i = 0
+        while (i < 200000000) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+        }
+        if (x == 42L) System.err.print("") // defeat dead-code elimination
+        (System.nanoTime() - t0) / 1e9
+      }
+      pass()
+      (1 to 3).map(_ => pass()).min
+    }
+    val calibSec = math.round(calibrate() * 10000) / 10000.0
     val cpu0 = processCpuSec()
     val wall0 = System.nanoTime()
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -112,6 +134,11 @@ object Bench {
       s""""bench_wall_sec":${math.round(wallSec * 100) / 100.0},""" +
       s""""bench_cpu_sec":${math.round(cpuSec * 100) / 100.0},""" +
       s""""cpu_per_wall":$cpuWall,""" +
+      // host-normalized headline: total / calib_sec is comparable across
+      // rounds even when the host runs 1.1-1.7× faster or slower —
+      // per-query normalization is the same division by calib_sec
+      s""""calib_sec":$calibSec,""" +
+      s""""total_per_calib":${math.round(total / calibSec * 100) / 100.0},""" +
       // finer-grained than the refusal gate: the protocol's clean-start
       // bar is loadavg < 1 (r7's contaminated run was 2.36 on 32 cpus —
       // under cpus/4 but visibly inflated)
