@@ -407,6 +407,28 @@ class ChSqlSpec extends AnyFunSuite {
     assert(r == Seq(Seq(null, 6L), Seq("A", 4L), Seq("B", 1L), Seq("C", 1L)))
   }
 
+  test("ROLLUP/CUBE over EMPTY input emit zero rows (CH/Spark, not Postgres)") {
+    // Engine-semantics pin from the DuckDB fuzz leg (r9, seeds 1549/1560/
+    // 1564): Postgres-family engines materialize the () grouping set over
+    // zero input rows (one phantom grand-total row, count 0); ClickHouse
+    // and Spark emit no rows. This engine deliberately keeps CH/Spark
+    // semantics — the fuzz gate's dk rendering adapts with
+    // HAVING count(*) > 0.
+    val r = run(
+      """SELECT status, count() AS n FROM orders WHERE okey < 0
+        |GROUP BY ROLLUP(status)""".stripMargin)
+    assert(r.isEmpty)
+    val c = run(
+      """SELECT status, count() AS n FROM orders WHERE okey < 0
+        |GROUP BY CUBE(status)""".stripMargin)
+    assert(c.isEmpty)
+    // WITH TOTALS over empty input likewise adds no totals row
+    val t = run(
+      """SELECT status, count() AS n FROM orders WHERE okey < 0
+        |GROUP BY status WITH TOTALS""".stripMargin)
+    assert(t.isEmpty)
+  }
+
   test("GROUP BY ... WITH ROLLUP modifier form matches ROLLUP(...)") {
     val a = run("SELECT status, count() AS n FROM orders GROUP BY status WITH ROLLUP ORDER BY status NULLS FIRST")
     val b = run("SELECT status, count() AS n FROM orders GROUP BY ROLLUP(status) ORDER BY status NULLS FIRST")

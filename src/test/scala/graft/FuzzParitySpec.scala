@@ -52,15 +52,110 @@ class FuzzParitySpec extends AnyFunSuite {
 
   private def resolve(n: String) = spark.table(n)
 
-  /** One query rendered in both dialects. */
-  private final case class P(ch: String, sp: String) {
-    def map2(o: P)(f: (String, String) => String): P =
-      P(f(ch, o.ch), f(sp, o.sp))
+  test("200 generated CH-SQL queries agree with their Spark-SQL twins") {
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    var nonEmpty = 0
+    val armHits = scala.collection.mutable.Map.empty[String, Int]
+    for (seed <- 1 to nSeeds) {
+      val (arm, q) = new FuzzGrammar.G(seed).namedQuery()
+      armHits(arm) = armHits.getOrElse(arm, 0) + 1
+      try {
+        val chRows = FuzzGrammar.canon(ChSql.sql(spark, q.ch)(resolve).collect())
+        val spRows = FuzzGrammar.canon(spark.sql(q.sp).collect())
+        if (chRows.nonEmpty) nonEmpty += 1
+        if (chRows != spRows) {
+          val diff = (chRows.diff(spRows).take(3), spRows.diff(chRows).take(3))
+          failures += s"seed $seed MISMATCH (${chRows.size} vs ${spRows.size} rows)" +
+            s"\n  CH: ${q.ch}\n  SP: ${q.sp}\n  ch-only: ${diff._1}\n  sp-only: ${diff._2}"
+        }
+      } catch {
+        case e: Throwable =>
+          failures += s"seed $seed ERROR: ${e.getMessage}" +
+            s"\n  CH: ${q.ch}\n  SP: ${q.sp}"
+      }
+      if (failures.size >= 5) fail(failures.mkString("\n\n")) // early out
+    }
+    assert(failures.isEmpty, failures.mkString("\n\n"))
+    // vacuity guard: an all-empty result set would "agree" trivially —
+    // the grammar's filters are tuned so most seeds return rows
+    assert(nonEmpty >= nSeeds * 3 / 4,
+      s"only $nonEmpty/$nSeeds seeds returned rows — " +
+        "the generator's filters are too selective for the fixture data")
+    // arm-coverage guard: java.util.Random's first draws off sequential
+    // seeds are NON-uniform for power-of-two bounds — before the
+    // splitmix64 seed scramble, 6 of the 16 r8 arms got ZERO hits across
+    // 5000 seeds. Every arm must be exercised every run.
+    val missed = FuzzGrammar.armNames.filterNot(armHits.contains)
+    assert(missed.isEmpty,
+      s"arms never generated in $nSeeds seeds: ${missed.mkString(", ")} " +
+        s"(hit counts: ${armHits.toSeq.sortBy(_._1).mkString(", ")})")
   }
-  private def same(s: String): P = P(s, s)
 
-  private final class G(seed: Int) {
-    val r = new scala.util.Random(seed)
+  // CI runs 200 seeds; GRAFT_FUZZ_SEEDS=N extends the hunt locally
+  // (the seed space is stable — seed k generates the same query forever)
+  private val nSeeds = sys.env.get("GRAFT_FUZZ_SEEDS").map(_.toInt).getOrElse(200)
+}
+
+/** The seeded grammar, factored out of the spec so the DuckDB third leg
+  * ([[FuzzDuckDump]] + `tools/fuzz_duck_check.py`) renders the SAME ASTs.
+  *
+  * THREE renderings per AST: `ch` (ChSql translator — hand-built Column
+  * trees), `sp` (ANSI Spark SQL — Spark's own parser/analyzer), and `dk`
+  * (DuckDB SQL — a fully independent ENGINE, closing the blind spot where
+  * both in-JVM legs share Spark's execution semantics: null ordering,
+  * overflow, collation). `dk` defaults to the Spark text — the generated
+  * surface is deliberately ANSI — with per-arm overrides where the
+  * dialects genuinely diverge (integer division, LATERAL VIEW vs unnest,
+  * LEFT SEMI/ANTI spelling, HOF spellings). */
+private[graft] object FuzzGrammar {
+
+  /** One query rendered in all dialects (dk falls back to sp). The one
+    * dialect-divergent token that can ride inside COMPOSED shared text
+    * (filters/preds built from sub-expressions) is Spark's `a DIV b` —
+    * DuckDB spells integer division `//` — so the dk getter rewrites it
+    * globally; generated literals/identifiers can never contain " DIV ".
+    * Whole-shape divergences (LATERAL VIEW, SEMI/ANTI spelling, HOF
+    * names) are per-arm dkOpt overrides. */
+  final case class P(ch: String, sp: String, dkOpt: Option[String] = None) {
+    def dk: String = dkOpt.getOrElse(sp).replace(" DIV ", " // ")
+    def map2(o: P)(f: (String, String) => String): P =
+      P(f(ch, o.ch), f(sp, o.sp),
+        if (dkOpt.isEmpty && o.dkOpt.isEmpty) None else Some(f(dk, o.dk)))
+  }
+  def same(s: String): P = P(s, s)
+
+  /** Canonical multiset form shared by all legs (the Python side mirrors
+    * these exact rules: null → "<null>", floating → %.6f, else toString). */
+  def canon(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
+    rows.map { r =>
+      (0 until r.length).map { i =>
+        r.get(i) match {
+          case null => "<null>"
+          case d: Double => f"$d%.6f"
+          case f: Float => f"${f.toDouble}%.6f"
+          case b: java.math.BigDecimal => f"${b.doubleValue()}%.6f"
+          case d: scala.math.BigDecimal => f"${d.toDouble}%.6f"
+          case other => other.toString
+        }
+      }.mkString("|")
+    }.sorted.toSeq
+
+  /** splitmix64 finalizer: java.util.Random's first draws off SEQUENTIAL
+    * seeds are pathologically non-uniform for power-of-two bounds — with
+    * 16 arms, `new Random(seed).nextInt(16)` over seeds 1..5000 never
+    * produced arms 3-8 AT ALL (the r8 gate silently ran 10 of its 16
+    * arms). Scrambling the seed through a full-avalanche mix restores
+    * uniformity; the spec asserts per-arm coverage so this can never
+    * regress silently again. */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  final class G(seed: Int) {
+    val r = new scala.util.Random(mix64(seed.toLong))
     def pick[T](xs: Seq[T]): T = xs(r.nextInt(xs.size))
     def int(lo: Int, hi: Int): Int = lo + r.nextInt(hi - lo + 1)
     def chance(p: Double): Boolean = r.nextDouble() < p
@@ -74,7 +169,9 @@ class FuzzParitySpec extends AnyFunSuite {
         () => P("toYear(o_orderdate)", "year(o_orderdate)"),
         () => P("toMonth(o_orderdate)", "month(o_orderdate)"),
         () => { val d = int(2, 9)
-          P(s"intDiv(o_orderkey, $d)", s"o_orderkey DIV $d") })
+          // DuckDB has no DIV keyword; // is its integer division
+          P(s"intDiv(o_orderkey, $d)", s"o_orderkey DIV $d",
+            Some(s"(o_orderkey // $d)")) })
       val rec: Seq[() => P] = Seq(
         () => numExpr(depth - 1).map2(numExpr(depth - 1))((a, b) => s"($a + $b)"),
         () => { val k = int(2, 5)
@@ -193,10 +290,15 @@ class FuzzParitySpec extends AnyFunSuite {
       val spH = if (having) s" HAVING count(*) >= $hk" else ""
       val chT = if (totals) " WITH TOTALS" else ""
       val spGroup = if (totals) s"GROUPING SETS ((${g.sp}), ())" else g.sp
+      // same empty-input grand-total divergence as rollupQuery: DuckDB
+      // materializes the () grouping set over zero rows, CH/Spark don't
+      val dkH = if (totals) " HAVING count(*) > 0" else spH
       P(s"SELECT ${g.ch} AS g0, ${aggs.map(_.ch).mkString(", ")} " +
           s"FROM orders$fch GROUP BY g0$chT$chH",
         s"SELECT ${g.sp} AS g0, ${aggs.map(_.sp).mkString(", ")} " +
-          s"FROM orders$fsp GROUP BY $spGroup$spH")
+          s"FROM orders$fsp GROUP BY $spGroup$spH",
+        Some(s"SELECT ${g.sp} AS g0, ${aggs.map(_.sp).mkString(", ")} " +
+          s"FROM orders$fsp GROUP BY $spGroup$dkH"))
     }
 
     def windowQuery(): P = {
@@ -301,11 +403,12 @@ class FuzzParitySpec extends AnyFunSuite {
       val sa = pick(Seq("SEMI", "ANTI"))
       val m = int(2, 15)
       val (fch, fsp) = whereOnly()
-      def q(d: String) =
-        s"SELECT o_orderkey AS k, o_custkey AS c FROM orders LEFT $sa JOIN " +
+      def q(left: String, d: String) =
+        s"SELECT o_orderkey AS k, o_custkey AS c FROM orders $left$sa JOIN " +
           s"(SELECT c_custkey FROM customer WHERE c_custkey % $m = 0) AS cc " +
           s"ON o_custkey = c_custkey$d"
-      P(q(fch), q(fsp))
+      // DuckDB spells these SEMI/ANTI JOIN (no LEFT prefix)
+      P(q("LEFT ", fch), q("LEFT ", fsp), Some(q("", fsp)))
     }
 
     /** ARRAY JOIN (row expansion) + array HOFs: the array comes from a
@@ -319,18 +422,28 @@ class FuzzParitySpec extends AnyFunSuite {
         s"CAST(o_orderkey % $k AS STRING), '_', o_orderpriority), '_')"
       val (fch, fsp) = whereOnly()
       if (chance(0.5))
+        // DuckDB: row expansion is unnest() in the select list (the
+        // WHERE filters base columns pre-expansion in all three legs)
         P(s"SELECT o_orderkey AS k, tok FROM orders ARRAY JOIN $chArr AS tok$fch",
           s"SELECT o_orderkey AS k, tok FROM orders " +
-            s"LATERAL VIEW explode($spArr) t AS tok$fsp")
+            s"LATERAL VIEW explode($spArr) t AS tok$fsp",
+          Some(s"SELECT o_orderkey AS k, unnest($spArr) AS tok " +
+            s"FROM orders$fsp"))
       else {
-        // HOF pipeline instead of expansion: map + sum over the array
+        // HOF pipeline instead of expansion: map + sum over the array;
+        // DuckDB spells it list_transform + list_reduce (0.0-seeded via
+        // list_prepend so the fold is DOUBLE in every leg)
         val m = int(1, 5)
         P(s"SELECT o_orderkey AS k, " +
             s"arraySum(arrayMap(x -> length(x) * $m, $chArr)) AS s " +
             s"FROM orders$fch",
           s"SELECT o_orderkey AS k, " +
             s"aggregate(transform($spArr, x -> length(x) * $m), " +
-            s"CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS s FROM orders$fsp")
+            s"CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS s FROM orders$fsp",
+          Some(s"SELECT o_orderkey AS k, " +
+            s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+            s"list_transform($spArr, x -> length(x) * $m)), " +
+            s"(acc, x) -> acc + x) AS s FROM orders$fsp"))
       }
     }
 
@@ -395,13 +508,19 @@ class FuzzParitySpec extends AnyFunSuite {
     def tupleInOffsetQuery(): P = {
       val m = int(3, 9)
       val sts = Seq("F", "O", "P")
-      val pairs = (0 until int(2, 4)).map(i =>
-        s"(${int(0, m - 1)}, '${sts(i % 3)}')").distinct.mkString(", ")
-      val cond = s"(o_custkey % $m, o_orderstatus) IN ($pairs)"
+      val ks = (0 until int(2, 4)).map(i => (int(0, m - 1), sts(i % 3))).distinct
+      def pairs(castLong: Boolean) = ks.map { case (k, st) =>
+        if (castLong) s"(CAST($k AS BIGINT), '$st')" else s"($k, '$st')"
+      }.mkString(", ")
+      // Spark's struct-IN refuses BIGINT-vs-INT element mismatches (no
+      // coercion inside struct IN-lists), so the ANSI legs cast the
+      // numeric literal; ChSql coerces CH-style
+      val chCond = s"(o_custkey % $m, o_orderstatus) IN (${pairs(false)})"
+      val spCond = s"(o_custkey % $m, o_orderstatus) IN (${pairs(true)})"
       val off = int(0, 20); val n = int(5, 60)
-      P(s"SELECT o_orderkey AS k FROM orders WHERE $cond " +
+      P(s"SELECT o_orderkey AS k FROM orders WHERE $chCond " +
           s"ORDER BY k LIMIT $off, $n",
-        s"SELECT o_orderkey AS k FROM orders WHERE $cond " +
+        s"SELECT o_orderkey AS k FROM orders WHERE $spCond " +
           s"ORDER BY k LIMIT $n OFFSET $off")
     }
 
@@ -412,12 +531,20 @@ class FuzzParitySpec extends AnyFunSuite {
       val g0 = numExpr(1); val g1 = strExpr(0)
       val form = pick(Seq("ROLLUP", "CUBE"))
       val (fch, fsp) = filters()
+      // DuckDB (Postgres-style) emits a phantom grand-total row (count 0)
+      // for ROLLUP/CUBE over EMPTY input; ClickHouse and Spark emit zero
+      // rows — a documented engine divergence the 2000-seed duck sweep
+      // found (seeds 1549/1560/1564). Real groups always have count >= 1,
+      // so HAVING count(*) > 0 in the dk leg cancels exactly that row.
       P(s"SELECT ${g0.ch} AS g0, ${g1.ch} AS g1, count() AS a0, " +
           s"sum(o_orderkey % 7) AS a1 FROM orders$fch " +
           s"GROUP BY $form(${g0.ch}, ${g1.ch})",
         s"SELECT ${g0.sp} AS g0, ${g1.sp} AS g1, count(*) AS a0, " +
           s"sum(o_orderkey % 7) AS a1 FROM orders$fsp " +
-          s"GROUP BY $form(${g0.sp}, ${g1.sp})")
+          s"GROUP BY $form(${g0.sp}, ${g1.sp})",
+        Some(s"SELECT ${g0.sp} AS g0, ${g1.sp} AS g1, count(*) AS a0, " +
+          s"sum(o_orderkey % 7) AS a1 FROM orders$fsp " +
+          s"GROUP BY $form(${g0.sp}, ${g1.sp}) HAVING count(*) > 0"))
     }
 
     /** SELECT DISTINCT over computed columns. */
@@ -455,61 +582,85 @@ class FuzzParitySpec extends AnyFunSuite {
           s"SELECT c2, $aggSp AS a0 FROM t WHERE c0 >= $k GROUP BY c2")
     }
 
-    def query(): P = pick(Seq[() => P](
-      () => flatQuery(), () => aggQuery(), () => windowQuery(),
-      () => limitByQuery(), () => setOpQuery(), () => nestedQuery(),
-      () => joinQuery(), () => semiAntiQuery(), () => arrayJoinQuery(),
-      () => rollupQuery(), () => distinctQuery(), () => inSubqueryQuery(),
-      () => cteQuery(), () => frameWindowQuery(), () => joinWindowQuery(),
-      () => tupleInOffsetQuery()))()
-  }
-
-  // ---- execution + canonical compare ----
-
-  private def canon(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
-    rows.map { r =>
-      (0 until r.length).map { i =>
-        r.get(i) match {
-          case null => "<null>"
-          case d: Double => f"$d%.6f"
-          case f: Float => f"${f.toDouble}%.6f"
-          case b: java.math.BigDecimal => f"${b.doubleValue()}%.6f"
-          case d: scala.math.BigDecimal => f"${d.toDouble}%.6f"
-          case other => other.toString
-        }
-      }.mkString("|")
-    }.sorted.toSeq
-
-  // CI runs 200 seeds; GRAFT_FUZZ_SEEDS=N extends the hunt locally
-  // (the seed space is stable — seed k generates the same query forever)
-  private val nSeeds = sys.env.get("GRAFT_FUZZ_SEEDS").map(_.toInt).getOrElse(200)
-
-  test("200 generated CH-SQL queries agree with their Spark-SQL twins") {
-    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
-    var nonEmpty = 0
-    for (seed <- 1 to nSeeds) {
-      val q = new G(seed).query()
-      try {
-        val chRows = canon(ChSql.sql(spark, q.ch)(resolve).collect())
-        val spRows = canon(spark.sql(q.sp).collect())
-        if (chRows.nonEmpty) nonEmpty += 1
-        if (chRows != spRows) {
-          val diff = (chRows.diff(spRows).take(3), spRows.diff(chRows).take(3))
-          failures += s"seed $seed MISMATCH (${chRows.size} vs ${spRows.size} rows)" +
-            s"\n  CH: ${q.ch}\n  SP: ${q.sp}\n  ch-only: ${diff._1}\n  sp-only: ${diff._2}"
-        }
-      } catch {
-        case e: Throwable =>
-          failures += s"seed $seed ERROR: ${e.getMessage}" +
-            s"\n  CH: ${q.ch}\n  SP: ${q.sp}"
-      }
-      if (failures.size >= 5) fail(failures.mkString("\n\n")) // early out
+    /** NULL-semantics arm — the engine-level surface the DuckDB leg
+      * exists for: nullIf-seeded NULLs flowing through aggregates
+      * (null-skipping count/sum/avg/DISTINCT), a NULL group key, and
+      * ORDER BY with explicit NULLS FIRST/LAST under LIMIT. Every
+      * ordering carries the unique o_orderkey so results stay
+      * value-deterministic. */
+    def nullSemanticsQuery(): P = {
+      val m = int(2, 9); val k0 = int(0, m - 1)
+      val x = P(s"nullIf(o_custkey % $m, $k0)", s"nullif(o_custkey % $m, $k0)")
+      val (fch, fsp) = filters()
+      pick(Seq[() => P](
+        () => // null-skipping aggregates + DISTINCT over a null-bearing expr
+          P(s"SELECT count() AS n_all, count(${x.ch}) AS n_x, " +
+              s"sum(${x.ch}) AS s, uniqExact(${x.ch}) AS u, " +
+              s"avg(${x.ch}) AS a FROM orders$fch",
+            s"SELECT count(*) AS n_all, count(${x.sp}) AS n_x, " +
+              s"sum(${x.sp}) AS s, count(DISTINCT ${x.sp}) AS u, " +
+              s"avg(${x.sp}) AS a FROM orders$fsp"),
+        () => { // NULL group key groups together in every engine
+          val a0 = agg("a0")
+          P(s"SELECT ${x.ch} AS g0, ${a0.ch} FROM orders$fch GROUP BY g0",
+            s"SELECT ${x.sp} AS g0, ${a0.sp} FROM orders$fsp GROUP BY ${x.sp}") },
+        () => { // explicit null placement under LIMIT
+          val dir = pick(Seq("ASC", "DESC"))
+          val np = pick(Seq("NULLS FIRST", "NULLS LAST"))
+          val n = int(5, 120)
+          def q(xs: String, f: String) =
+            s"SELECT $xs AS v, o_orderkey AS ck FROM orders$f " +
+              s"ORDER BY v $dir $np, ck LIMIT $n"
+          P(q(x.ch, fch), q(x.sp, fsp)) }))()
     }
-    assert(failures.isEmpty, failures.mkString("\n\n"))
-    // vacuity guard: an all-empty result set would "agree" trivially —
-    // the grammar's filters are tuned so most seeds return rows
-    assert(nonEmpty >= nSeeds * 3 / 4,
-      s"only $nonEmpty/$nSeeds seeds returned rows — " +
-        "the generator's filters are too selective for the fixture data")
+
+    /** String-collation / case arm: binary comparisons and ORDER BY over
+      * mixed-case constructed strings — byte order must agree across
+      * engines (Spark and DuckDB both compare UTF-8 bytes unless told
+      * otherwise). */
+    def caseOrderQuery(): P = {
+      val s0 = strExpr(1)
+      val (fch, fsp) = filters()
+      val n = int(5, 120)
+      val cs = P(
+        s"concat(if(o_orderkey % 2 = 0, upper(${s0.ch}), lower(${s0.ch})), " +
+          s"'_', o_orderstatus)",
+        s"concat(CASE WHEN o_orderkey % 2 = 0 THEN upper(${s0.sp}) " +
+          s"ELSE lower(${s0.sp}) END, '_', o_orderstatus)")
+      // all three engines default to binary (memcmp) VARCHAR ordering —
+      // the point of the arm is that this assumption actually holds
+      P(s"SELECT ${cs.ch} AS v, o_orderkey AS ck FROM orders$fch " +
+          s"ORDER BY v, ck LIMIT $n",
+        s"SELECT ${cs.sp} AS v, o_orderkey AS ck FROM orders$fsp " +
+          s"ORDER BY v, ck LIMIT $n")
+    }
+
+    // arm order is LOAD-BEARING: pick() consumes one draw, so the seed
+    // space stays stable as long as this list keeps its order
+    private val arms: Seq[(String, () => P)] = Seq(
+      "flat" -> (() => flatQuery()),
+      "agg" -> (() => aggQuery()),
+      "window" -> (() => windowQuery()),
+      "limit_by" -> (() => limitByQuery()),
+      "set_op" -> (() => setOpQuery()),
+      "nested" -> (() => nestedQuery()),
+      "join" -> (() => joinQuery()),
+      "semi_anti" -> (() => semiAntiQuery()),
+      "array_join" -> (() => arrayJoinQuery()),
+      "rollup" -> (() => rollupQuery()),
+      "distinct" -> (() => distinctQuery()),
+      "in_subquery" -> (() => inSubqueryQuery()),
+      "cte" -> (() => cteQuery()),
+      "frame_window" -> (() => frameWindowQuery()),
+      "join_window" -> (() => joinWindowQuery()),
+      "tuple_in_offset" -> (() => tupleInOffsetQuery()),
+      "null_semantics" -> (() => nullSemanticsQuery()),
+      "case_order" -> (() => caseOrderQuery()))
+
+    def namedQuery(): (String, P) = { val (n, f) = pick(arms); (n, f()) }
+    def query(): P = namedQuery()._2
+    private[graft] def armNamesList: Seq[String] = arms.map(_._1)
   }
+
+  lazy val armNames: Seq[String] = new G(0).armNamesList
 }
