@@ -3606,7 +3606,12 @@ object Queries {
         |  ts - INTERVAL 250 MICROSECOND AS t_us,
         |  addMilliseconds(ts, event_id % 100) AS t_addms,
         |  subtractMicroseconds(ts, 1500) AS t_subus,
-        |  ts + toIntervalMillisecond(3) AS t_intms
+        |  ts + toIntervalMillisecond(3) AS t_intms,
+        |  toStartOfInterval(addMilliseconds(ts, event_id % 997),
+        |    INTERVAL 250 MILLISECOND) AS t_grid,
+        |  toStartOfMillisecond(addMicroseconds(ts, event_id % 9973))
+        |    AS t_msfloor,
+        |  toStartOfSecond(addMilliseconds(ts, event_id % 997)) AS t_sfloor
         |FROM events WHERE event_id < 500 ORDER BY k""".stripMargin)),
 
     // width_bucket histogram indexing, array shifts, query-log literal
@@ -4575,7 +4580,13 @@ object Queries {
         |  ts - INTERVAL 250 MICROSECOND AS t_us,
         |  ts + (event_id % 100) * INTERVAL 1 MILLISECOND AS t_addms,
         |  ts - 1500 * INTERVAL 1 MICROSECOND AS t_subus,
-        |  ts + INTERVAL 3 MILLISECOND AS t_intms
+        |  ts + INTERVAL 3 MILLISECOND AS t_intms,
+        |  make_timestamp((epoch_us(ts + (event_id % 997) *
+        |    INTERVAL 1 MILLISECOND) // 250000) * 250000) AS t_grid,
+        |  date_trunc('milliseconds', ts + (event_id % 9973) *
+        |    INTERVAL 1 MICROSECOND) AS t_msfloor,
+        |  date_trunc('second', ts + (event_id % 997) *
+        |    INTERVAL 1 MILLISECOND) AS t_sfloor
         |FROM events WHERE event_id < 500 ORDER BY k""".stripMargin,
 
     "ch84_sql_string_pad_utf8" ->

@@ -3550,6 +3550,14 @@ object ChSql {
         case "tostartofday" => date_trunc("day", a(0))
         case "tostartofhour" => date_trunc("hour", a(0))
         case "tostartofminute" => date_trunc("minute", a(0))
+        // DateTime64 sub-second floors; nanosecond refuses (µs timestamps)
+        case "tostartofsecond" => date_trunc("second", a(0))
+        case "tostartofmillisecond" => date_trunc("millisecond", a(0))
+        case "tostartofmicrosecond" => date_trunc("microsecond", a(0))
+        case "tostartofnanosecond" =>
+          throw new IllegalArgumentException(
+            "ChSql: toStartOfNanosecond is not supported — Spark " +
+              "timestamps are microsecond-precision; use the microsecond twin")
         // fixed-grid minute floors (toStartOfInterval specializations)
         case "tostartoffiveminutes" | "tostartoftenminutes" | "tostartoffifteenminutes" =>
           val step = nm match {
@@ -3566,27 +3574,40 @@ object ChSql {
           date_add(to_date(lit("1858-11-17")), a(0).cast("int"))
         case "tostartofinterval" =>
           // toStartOfInterval(t, INTERVAL n unit): floor to the n-unit
-          // grid — fixed-length units via epoch arithmetic, calendar
-          // units (n=1) via date_trunc
+          // grid — fixed-length units via epoch-MICROSECOND arithmetic
+          // (so sub-second grids on DateTime64 work and sub-second input
+          // components floor correctly), calendar units (n=1) via
+          // date_trunc
           val (n, unit) = f.args(1) match {
             case IntervalE(NumLit(v), u) => (v.toLong, u.toLowerCase)
             case _ => throw new IllegalArgumentException(
               "ChSql: toStartOfInterval needs INTERVAL <n> <unit>")
           }
-          val fixed = Map("second" -> 1L, "minute" -> 60L, "hour" -> 3600L,
-            "day" -> 86400L)
-          fixed.get(unit) match {
-            case Some(s) =>
-              val step = n * s
-              timestamp_seconds(
-                floor(unix_timestamp(a(0)) / lit(step)).cast("long") * step)
+          val fixedUs = Map("microsecond" -> 1L, "millisecond" -> 1000L,
+            "second" -> 1000000L, "minute" -> 60000000L,
+            "hour" -> 3600000000L, "day" -> 86400000000L)
+          fixedUs.get(unit) match {
+            case Some(us) =>
+              // subtract the µs PHASE instead of reconstructing the
+              // timestamp: timestamp_micros() would force TIMESTAMP_LTZ,
+              // while interval subtraction preserves the input's
+              // NTZ-vs-LTZ type (unix_micros itself needs the LTZ cast,
+              // but only the scalar phase flows out of it)
+              val step = n * us
+              val phase = pmod(unix_micros(a(0).cast(
+                org.apache.spark.sql.types.TimestampType)), lit(step))
+              a(0) - expr("INTERVAL 1 MICROSECOND") * phase
             case None if n == 1 &&
                 Set("week", "month", "quarter", "year")(unit) =>
               date_trunc(unit, a(0))
+            case None if unit.startsWith("nanosecond") =>
+              throw new IllegalArgumentException(
+                "ChSql: toStartOfInterval: NANOSECOND grids are not " +
+                  "supported — Spark timestamps are microsecond-precision")
             case None => throw new IllegalArgumentException(
               s"ChSql: toStartOfInterval: INTERVAL $n $unit is not a fixed" +
-                "-length grid (supported: n×second/minute/hour/day, " +
-                "1 week/month/quarter/year)")
+                "-length grid (supported: n×microsecond/millisecond/" +
+                "second/minute/hour/day, 1 week/month/quarter/year)")
           }
         case "toyyyymm" => date_format(a(0), "yyyyMM").cast(IntegerType)
         case "toyyyymmdd" => date_format(a(0), "yyyyMMdd").cast(IntegerType)

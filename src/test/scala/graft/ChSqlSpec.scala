@@ -526,6 +526,21 @@ class ChSqlSpec extends AnyFunSuite {
       run("SELECT addNanoseconds(toDateTime('2024-01-01 00:00:00'), 5) AS x")
     }
     assert(e2.getMessage.contains("microsecond"))
+    // sub-second grids/floors (DateTime64): 250ms grid floors into the
+    // bucket start, type-preserving (phase subtraction, no LTZ coercion)
+    val g = run(
+      """SELECT toStartOfInterval(
+        |  addMilliseconds(toDateTime('2024-01-01 00:00:00'), 765),
+        |  INTERVAL 250 MILLISECOND) AS a,
+        |  toStartOfMillisecond(
+        |    addMicroseconds(toDateTime('2024-01-01 00:00:00'), 765432)) AS b
+        |""".stripMargin)
+    assert(g.head(0).toString.contains("00:00:00.75")) // 765ms → 750ms bucket
+    assert(g.head(1).toString.contains("00:00:00.765"))
+    val e3 = intercept[IllegalArgumentException] {
+      run("SELECT toStartOfNanosecond(toDateTime('2024-01-01 00:00:00')) AS x")
+    }
+    assert(e3.getMessage.contains("microsecond"))
   }
 
   test("EXISTS (subquery) is an eager query-constant boolean") {
