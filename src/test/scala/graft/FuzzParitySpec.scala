@@ -124,8 +124,21 @@ private[graft] object FuzzGrammar {
   }
   def same(s: String): P = P(s, s)
 
+  /** Timestamps normalize to "yyyy-MM-dd HH:mm:ss[.ffffff]" with the
+    * fractional part trimmed of trailing zeros (dropped entirely at .0) —
+    * LocalDateTime.toString would render "2024-01-01T00:00" while Python
+    * datetimes render "2024-01-01 00:00:00". */
+  private def fmtTs(t: java.time.LocalDateTime): String = {
+    val base = f"${t.getYear}%04d-${t.getMonthValue}%02d-${t.getDayOfMonth}%02d " +
+      f"${t.getHour}%02d:${t.getMinute}%02d:${t.getSecond}%02d"
+    val us = t.getNano / 1000
+    if (us == 0) base
+    else base + "." + f"$us%06d".reverse.dropWhile(_ == '0').reverse
+  }
+
   /** Canonical multiset form shared by all legs (the Python side mirrors
-    * these exact rules: null → "<null>", floating → %.6f, else toString). */
+    * these exact rules: null → "<null>", floating → %.6f, timestamps via
+    * fmtTs, else toString). */
   def canon(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
     rows.map { r =>
       (0 until r.length).map { i =>
@@ -135,6 +148,10 @@ private[graft] object FuzzGrammar {
           case f: Float => f"${f.toDouble}%.6f"
           case b: java.math.BigDecimal => f"${b.doubleValue()}%.6f"
           case d: scala.math.BigDecimal => f"${d.toDouble}%.6f"
+          case t: java.time.LocalDateTime => fmtTs(t)
+          case t: java.sql.Timestamp => fmtTs(t.toLocalDateTime)
+          case t: java.time.Instant =>
+            fmtTs(java.time.LocalDateTime.ofInstant(t, java.time.ZoneOffset.UTC))
           case other => other.toString
         }
       }.mkString("|")
@@ -635,6 +652,38 @@ private[graft] object FuzzGrammar {
           s"ORDER BY v, ck LIMIT $n")
     }
 
+    /** Timestamp-arithmetic arm — the cross-engine semantics minefield
+      * the third leg was built for: interval addition (incl. sub-second
+      * and month-clamping), date_trunc grids, and date-part extraction
+      * all projected RAW (the canon layer normalizes timestamp
+      * renderings). WEEK is deliberately absent: CH weeks start Sunday,
+      * Spark/DuckDB Monday. */
+    def timeArithQuery(): P = {
+      val mnt = int(1, 50000); val ms = int(1, 999)
+      val months = int(1, 40)
+      val grid = pick(Seq(("toStartOfHour", "HOUR"), ("toStartOfMinute", "MINUTE"),
+        ("toStartOfSecond", "SECOND"), ("toStartOfDay", "DAY")))
+      val (fch, fsp) = filters()
+      val n = int(5, 120)
+      val baseCh = s"o_orderdate + INTERVAL $mnt MINUTE + INTERVAL $ms MILLISECOND"
+      val baseAn = baseCh // identical ANSI spelling in Spark and DuckDB
+      def sel(base: String, gridFn: String => String, yearFn: String,
+          monthFn: String) =
+        s"SELECT o_orderkey AS ck, $base AS t1, ${gridFn(base)} AS t2, " +
+          s"o_orderdate + INTERVAL $months MONTH AS t3, " +
+          s"$yearFn * 100 + $monthFn AS ym FROM orders"
+      P(sel(baseCh, b => s"${grid._1}($b)", "toYear(o_orderdate)",
+          "toMonth(o_orderdate)") + s"$fch ORDER BY ck LIMIT $n",
+        sel(baseAn, b => s"date_trunc('${grid._2}', $b)", "year(o_orderdate)",
+          "month(o_orderdate)") + s"$fsp ORDER BY ck LIMIT $n",
+        // DuckDB's date_trunc('DAY', ts) returns a DATE (hour/minute/
+        // second return timestamps); cast so all legs project timestamps
+        Some(sel(baseAn,
+          b => s"CAST(date_trunc('${grid._2}', $b) AS TIMESTAMP)",
+          "year(o_orderdate)", "month(o_orderdate)") +
+          s"$fsp ORDER BY ck LIMIT $n"))
+    }
+
     // arm order is LOAD-BEARING: pick() consumes one draw, so the seed
     // space stays stable as long as this list keeps its order
     private val arms: Seq[(String, () => P)] = Seq(
@@ -655,7 +704,8 @@ private[graft] object FuzzGrammar {
       "join_window" -> (() => joinWindowQuery()),
       "tuple_in_offset" -> (() => tupleInOffsetQuery()),
       "null_semantics" -> (() => nullSemanticsQuery()),
-      "case_order" -> (() => caseOrderQuery()))
+      "case_order" -> (() => caseOrderQuery()),
+      "time_arith" -> (() => timeArithQuery()))
 
     def namedQuery(): (String, P) = { val (n, f) = pick(arms); (n, f()) }
     def query(): P = namedQuery()._2

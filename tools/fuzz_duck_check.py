@@ -13,6 +13,7 @@ Exit 0 and a summary on full agreement; exit 1 with per-seed diffs
 otherwise. The optional report path writes the sweep artifact
 (seeds, per-arm counts, mismatches).
 """
+import datetime
 import json
 import sys
 from collections import Counter
@@ -30,6 +31,12 @@ def canon_value(v):
         return "%.6f" % v
     if isinstance(v, Decimal):
         return "%.6f" % float(v)
+    if isinstance(v, datetime.datetime):
+        # mirror FuzzGrammar.fmtTs: trailing-zero-trimmed microseconds
+        base = v.strftime("%Y-%m-%d %H:%M:%S")
+        if v.microsecond:
+            return base + "." + ("%06d" % v.microsecond).rstrip("0")
+        return base
     return str(v)
 
 
