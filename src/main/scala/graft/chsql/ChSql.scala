@@ -3637,8 +3637,7 @@ object ChSql {
           a(0) + expr("INTERVAL 1 MICROSECOND") * a(1)
         case "subtractmicroseconds" =>
           a(0) - expr("INTERVAL 1 MICROSECOND") * a(1)
-        case "addnanoseconds" | "subtractnanoseconds" |
-             "tointervalnanosecond" =>
+        case "addnanoseconds" | "subtractnanoseconds" | "tointervalnanosecond" =>
           throw new IllegalArgumentException(
             s"ChSql: ${f.name} is not supported — Spark timestamps are " +
               "microsecond-precision; use the microsecond twin")
