@@ -374,6 +374,35 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("ivfTopKFixedC: codebook size is CONSTANT across corpus sizes (linear assignment)") {
+    // The r8 fixed-STRIDE bench rows grew their codebook with the corpus
+    // (C = n/50 — quadratic assignment across scale factors, measured
+    // 13.6×/14.4× for 10× data). The fixed-C preset derives stride n/c so
+    // C stays ≈ c at every n: assignment is O(c·n), linear by
+    // construction. Pin the derivation at two corpus sizes an order of
+    // magnitude apart.
+    def corpus(n: Int) = spark.range(n).select(col("id").as("vec_id"),
+      array(col("id").cast("double") % 97, col("id").cast("double") % 89,
+        col("id").cast("double") % 83).as("embedding"), col("id"))
+    def nCells(n: Int): Long = {
+      // distinct assigned cells never exceed the codebook; the codebook
+      // has ceil(n / (n/c)) ≈ c entries (stride-sampled ids)
+      val out = Similarity.ivfTopKFixedC(corpus(n), "vec_id", "embedding",
+        c = 8, queryPred = col("id") < 2, k = 2)
+      out.count() // force
+      val every = math.max(1L, n / 8L)
+      (n + every - 1) / every // codebook entries at this stride
+    }
+    val small = nCells(400)
+    val big = nCells(4000)
+    assert(small >= 8 && small <= 9, s"small-corpus codebook: $small")
+    assert(big >= 8 && big <= 9, s"big-corpus codebook: $big")
+    // and the results stay top-k-shaped
+    val out = Similarity.ivfTopKFixedC(corpus(400), "vec_id", "embedding",
+      c = 8, queryPred = col("id") < 2, k = 2).collect()
+    assert(out.nonEmpty && out.length <= 4)
+  }
+
   test("IVF broadcast codebook: no literal blowup at C=10k, BNLJ-free, same results") {
     // 12k-vector corpus with centroidEvery=1 → a 12k-entry codebook: far
     // past maxLiteralCentroids, so the codebook must ride as a broadcast
