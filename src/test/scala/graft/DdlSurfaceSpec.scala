@@ -1178,6 +1178,19 @@ class DdlSurfaceSpec extends AnyFunSuite {
     assert(n > 300 && n < 700, s"sample count $n")
     // deterministic: the same bucket filter yields the same rows
     assert(chRun("SELECT count() AS n FROM pk_t SAMPLE 1/2").head.getLong(0) == n)
+    // SAMPLE ... OFFSET against the DDL-recorded key (r9): the shifted
+    // window is disjoint from the base window and together they tile the
+    // table exactly
+    val hi = chRun("SELECT count() AS n FROM pk_t SAMPLE 1/2 OFFSET 1/2")
+      .head.getLong(0)
+    assert(n + hi == 1000, s"windows must tile the table: $n + $hi")
+    val loSum = chRun("SELECT CAST(sum(k) AS Int64) AS s FROM pk_t SAMPLE 1/2")
+      .head.getLong(0)
+    val hiSum = chRun(
+      "SELECT CAST(sum(k) AS Int64) AS s FROM pk_t SAMPLE 1/2 OFFSET 1/2")
+      .head.getLong(0)
+    assert(loSum + hiSum == (0L until 1000L).sum,
+      "disjoint windows must partition the key mass")
     // PRIMARY KEY must be a prefix of ORDER BY (the CH invariant)
     intercept[IllegalArgumentException](chRun(
       "CREATE TABLE pk_bad (a Int64, b Int64) ENGINE = MergeTree " +

@@ -539,6 +539,56 @@ class TrainingOpsSpec extends AnyFunSuite {
       case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
       case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
     }.isEmpty, "pair sides must broadcast — the corpus never shuffles")
+    // the O(len²) Levenshtein is authored ONCE per pair: sim derives from
+    // the projected lev column, not a second levenshtein call (advisor
+    // r8). Pin the ANALYZED plan — CollapseProject may re-inline the
+    // column downstream, where whole-stage codegen's subexpression
+    // elimination dedups it again.
+    val analyzed = Dedup.verifyPairs(pairs, docs, "doc_id", "text", 0.5)
+      .queryExecution.analyzed.toString
+    val levCount = "levenshtein".r.findAllIn(analyzed.toLowerCase).size
+    assert(levCount == 1,
+      s"expected exactly one levenshtein in the analyzed plan, got $levCount")
+  }
+
+  test("bm25TopK: empty corpus raises a clear error, not a NULL-sum NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopK(empty, "doc_id", "text", Seq("x"), k = 5)
+    }
+    assert(e.getMessage.contains("empty corpus"))
+  }
+
+  test("mixtureSample: layout-independent and threshold-quantized") {
+    import spark.implicits._
+    val df = (0L until 600L).map(i =>
+      (i, if (i % 3 == 0) "a" else "b")).toDF("doc_id", "src")
+    val base = TextAnalysis.mixtureSample(df, "src", "doc_id",
+      alpha = 0.7, targetRows = 150).collect().map(_.getLong(0)).sorted.toSeq
+    // deterministic across partition layouts (no RNG state, scan-local rule)
+    val shuffled = TextAnalysis.mixtureSample(df.repartition(7, col("doc_id")),
+      "src", "doc_id", alpha = 0.7, targetRows = 150)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(base == shuffled)
+    // quantized per-mille rule: the kept set is exactly the portable-hash
+    // buckets below floor(round(f·1000, 6)) — replay it here
+    val counts = df.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val z = counts.values.map(c => math.pow(c.toDouble, 0.7)).sum
+    def permille(src: String): Long = {
+      val c = counts(src)
+      val f = math.min(1.0, 150 * (math.pow(c.toDouble, 0.7) / z) / c)
+      math.floor(BigDecimal(f * 1000)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toLong
+    }
+    val expected = df.select(col("doc_id"), col("src"),
+        pmod(PortableHash.charFold(col("doc_id").cast("string")), lit(1000L))
+          .as("b"))
+      .collect()
+      .filter(r => r.getLong(2) < permille(r.getString(1)))
+      .map(_.getLong(0)).sorted.toSeq
+    assert(base == expected)
   }
 
   test("incrementalDedup: history digests drop, within-batch keeps min id") {
