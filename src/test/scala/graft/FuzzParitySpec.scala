@@ -684,6 +684,44 @@ private[graft] object FuzzGrammar {
           s"$fsp ORDER BY ck LIMIT $n"))
     }
 
+    /** Scalar-subquery + EXISTS arm: an uncorrelated scalar subquery in
+      * the select list (ChSql plans it as a lazy Catalyst subquery
+      * expression) next to a WHERE [NOT] EXISTS probe — identical ANSI
+      * text in all three dialects. */
+    def scalarSubQuery(): P = {
+      val m = int(2, 12); val m2 = int(2, 30)
+      val agg0 = pick(Seq("max", "min", "count"))
+      val sub = s"(SELECT $agg0(c_custkey) FROM customer " +
+        s"WHERE c_custkey % $m = 0)"
+      val neg = if (chance(0.3)) "NOT " else ""
+      val p = pred(1)
+      val n = int(5, 120)
+      def q(w: String) =
+        s"SELECT o_orderkey AS k, (o_custkey % $m) AS g, $sub AS s " +
+          s"FROM orders WHERE ${neg}EXISTS (SELECT 1 FROM customer " +
+          s"WHERE c_custkey % $m2 = 0) AND ($w) ORDER BY k LIMIT $n"
+      P(q(p.ch), q(p.sp))
+    }
+
+    /** [NOT] LIKE / ILIKE arm over the fixture's priority/status strings —
+      * wildcard semantics ('%', '_') and case-folding must agree across
+      * engines; identical text in all dialects. */
+    def likeQuery(): P = {
+      val pat = pick(Seq("1-URG%", "%ENT", "_-M%", "%E%", "%ROUTINE",
+        "2-HIGH", "%-__G%"))
+      val op = pick(Seq("LIKE", "ILIKE"))
+      val neg = if (chance(0.3)) "NOT " else ""
+      val cased = if (op == "ILIKE") pat.toLowerCase else pat
+      val (fch, fsp) = whereOnly() // plain WHERE only — foldable into AND
+      def q(f: String) =
+        s"SELECT o_orderkey AS k, o_orderpriority AS p FROM orders " +
+          s"WHERE o_orderpriority $neg$op '$cased'$f"
+      // filters() renders " WHERE ..." — fold it into AND when present
+      def fold(f: String) =
+        if (f.isEmpty) "" else " AND (" + f.stripPrefix(" WHERE ") + ")"
+      P(q(fold(fch)), q(fold(fsp)))
+    }
+
     // arm order is LOAD-BEARING: pick() consumes one draw, so the seed
     // space stays stable as long as this list keeps its order
     private val arms: Seq[(String, () => P)] = Seq(
@@ -705,7 +743,9 @@ private[graft] object FuzzGrammar {
       "tuple_in_offset" -> (() => tupleInOffsetQuery()),
       "null_semantics" -> (() => nullSemanticsQuery()),
       "case_order" -> (() => caseOrderQuery()),
-      "time_arith" -> (() => timeArithQuery()))
+      "time_arith" -> (() => timeArithQuery()),
+      "scalar_sub" -> (() => scalarSubQuery()),
+      "like" -> (() => likeQuery()))
 
     def namedQuery(): (String, P) = { val (n, f) = pick(arms); (n, f()) }
     def query(): P = namedQuery()._2
