@@ -1287,10 +1287,15 @@ object Queries {
     // factors. The r8 fixed-STRIDE form grew its codebook with the
     // corpus (C = n/50), which BENCH_sf1.json measured at 13.6× for 10×
     // data — quadratic by construction.
+    // knownN from parquet footers (metadata-only, O(files)) — the preset
+    // no longer pays a full count() scan before assignment (r9 verdict
+    // What's-wrong #2)
     "v3_ivf_topk" -> ((s, dir) =>
       graft.operators.Similarity.ivfTopKFixedC(
           tbl(s, dir, "embeddings"), "vec_id", "embedding",
-          c = 10, queryPred = col("id") < 10, k = 3)
+          c = 10, queryPred = col("id") < 10, k = 3,
+          knownN = graft.operators.Similarity.parquetRowCount(
+            s, s"$dir/embeddings.parquet"))
         .orderBy(col("query_id"), desc("sim"), col("neighbor_id"))),
 
     // IVF at the operating point: codebook sized C ~ sqrt(n) from a
@@ -1587,7 +1592,9 @@ object Queries {
     "v5_ivf_nprobe2" -> ((s, dir) =>
       graft.operators.Similarity.ivfTopKFixedC(
           tbl(s, dir, "embeddings"), "vec_id", "embedding",
-          c = 10, queryPred = col("id") < 10, k = 3, nprobe = 2)
+          c = 10, queryPred = col("id") < 10, k = 3, nprobe = 2,
+          knownN = graft.operators.Similarity.parquetRowCount(
+            s, s"$dir/embeddings.parquet"))
         .orderBy(col("query_id"), desc("sim"), col("neighbor_id"))))
 
   private val oracles5: Map[String, String] = Map(
@@ -3342,9 +3349,11 @@ object Queries {
 
     // SAMPLE k/m OFFSET o/m2 in the text path (sampleClause OFFSET
     // alternative, ClickHouseParser.py:11016-11083): the offset shifts the
-    // deterministic bucket window through the keyspace — the three arms
-    // read DISJOINT windows ([0,2), [5,7), and the fraction-form
-    // [0.2,0.5) of the 1e6-bucket space), replayed verbatim in DuckDB
+    // deterministic bucket window through the keyspace. Arms 1 and 2 read
+    // disjoint windows of the mod-10 bucket space ([0,2) and [5,7)); arm 3
+    // uses the fraction form, i.e. window [0.002,0.007) of the 1e6-bucket
+    // space — a different modulus, so it overlaps arms 1-2 (harmless: each
+    // arm is labeled and aggregated separately). Replayed verbatim in DuckDB
     "ch87_sql_sample_offset" -> ((s, dir) => chsql(s, dir,
       """SELECT part, count() AS n, CAST(sum(k) AS Int64) AS s FROM (
         |  SELECT 1 AS part, l_orderkey AS k FROM lineitem SAMPLE 2/10
@@ -6021,6 +6030,26 @@ object Queries {
         .select(col("neighbor_id").as("doc_id"), col("sim").as("score"))
       graft.operators.Similarity.rrfFuse(Seq(lex, vec), "doc_id", "score",
         k = 10)
+    }),
+
+    // Exact cross-document SUBSTRING dedup (the Lee et al. span shape —
+    // the tier between doc-level exact dedup and near-dup pairs):
+    // fingerprint every sliding 8-token window, one shuffle counts
+    // distinct docs per fingerprint, windows duplicated in >= 3 docs
+    // merge into maximal per-doc removal spans. A 12-token boilerplate
+    // prefix planted on every 5th doc must surface as its [0,12) span;
+    // natural cross-doc repeats in the corpus surface too.
+    "t27_substring_dedup" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.select(col("doc_id"), concat_ws(" ",
+        when(col("doc_id") % 5 === 0,
+          lit("please subscribe to our newsletter for daily updates " +
+            "and exclusive offers today"))
+          .otherwise(concat(lit("intro "), col("doc_id"))),
+        col("text")).as("text"))
+      graft.operators.Dedup.substringDedupSpans(corpus, "doc_id", "text",
+          k = 8, minDocs = 3)
+        .orderBy("doc_id", "start_tok")
     }))
 
   private val oracles13: Map[String, String] = Map(
@@ -6220,6 +6249,42 @@ object Queries {
          |    CAST(greatest(len(ta), len(tb)) AS DOUBLE), 6) AS sim FROM j)
          |SELECT id1, id2, lev, sim FROM sc WHERE sim >= 0.8
          |ORDER BY id1, id2""".stripMargin,
+
+    // full window-fingerprint replay: tokenize → per-token charFold →
+    // per-window polynomial fold → distinct-doc counts → semi join →
+    // lag/sum window span merge (identical gap rule: <= k merges)
+    "t27_substring_dedup" ->
+      s"""WITH docs AS (SELECT doc_id,
+         |    (CASE WHEN doc_id % 5 = 0
+         |      THEN 'please subscribe to our newsletter for daily updates and exclusive offers today'
+         |      ELSE 'intro ' || doc_id END) || ' ' || text AS text
+         |  FROM documents),
+         |th AS (SELECT doc_id, list_transform(
+         |    list_filter(string_split_regex(trim(text), '\\s+'),
+         |      t -> len(t) > 0),
+         |    tok -> ${sqlCharFold("tok")}) AS th
+         |  FROM docs),
+         |wins AS (SELECT doc_id, i - 1 AS pos,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+7]),
+         |      (acc, x) -> (acc * 1000003 + x) % 2147483647) AS fp
+         |  FROM (SELECT doc_id, th,
+         |      unnest(generate_series(1, len(th) - 7)) AS i
+         |    FROM th WHERE len(th) >= 8)),
+         |dup AS (SELECT fp FROM wins GROUP BY fp
+         |  HAVING count(DISTINCT doc_id) >= 3),
+         |mk AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (fp)),
+         |gp AS (SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+         |        ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS nw
+         |  FROM mk),
+         |sp AS (SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id
+         |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS span
+         |  FROM gp)
+         |SELECT doc_id, min(pos) AS start_tok, max(pos) + 8 AS end_tok,
+         |  count(*) AS n_windows
+         |FROM sp GROUP BY doc_id, span
+         |ORDER BY doc_id, start_tok""".stripMargin,
 
     "t20_verify_pairs" ->
       """WITH d AS (SELECT doc_id, text FROM documents),

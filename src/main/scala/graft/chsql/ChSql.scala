@@ -789,30 +789,52 @@ object ChSql {
         // Bernoulli; OFFSET shifts the read window through the keyspace
         // (two disjoint offsets partition it).
         if (eatKw("SAMPLE")) {
-          def ratio(what: String, allowBareInt: Boolean): (Long, Long) = {
+          // minZero: the OFFSET position accepts 0 (start of keyspace);
+          // the SAMPLE ratio itself is (0,1] like ClickHouse — SAMPLE 0
+          // would be an always-empty read and refuses.
+          def ratio(what: String, allowBareInt: Boolean,
+                    minZero: Boolean): (Long, Long) = {
             val a = cur match {
               case TNum(s) => pos += 1; s
               case other => fail(s"$what needs a number, got $other")
             }
-            if (a.contains('.')) {
-              val f = a.toDouble
-              if (f < 0 || f > 1) fail(s"$what fraction out of [0,1]: $a")
-              (math.round(f * 1000000L), 1000000L)
-            } else if (eatP("/")) (a.toLong, parseLong())
-            else if (allowBareInt && a.toLong == 0L) (0L, 1L)
-            else fail(s"$what n (approximate row-count form) needs table " +
-              s"size stats; use $what k/m or $what <fraction>")
+            val r =
+              if (a.contains('.')) {
+                val f = a.toDouble
+                if (f < 0 || f > 1) fail(s"$what fraction out of [0,1]: $a")
+                (math.round(f * 1000000L), 1000000L)
+              } else if (eatP("/")) (a.toLong, parseLong())
+              else if (allowBareInt && a.toLong == 0L) (0L, 1L)
+              else fail(s"$what n (approximate row-count form) needs table " +
+                s"size stats; use $what k/m or $what <fraction>")
+            if (!minZero && r._1 == 0L)
+              fail(s"$what ratio must be in (0,1] — got 0 (always empty)")
+            // sampleBuckets computes in Int bucket space; an oversized
+            // denominator would otherwise truncate into a wrong-but-
+            // plausible window downstream
+            if (r._1 < 0 || r._2 <= 0 || r._1 > Int.MaxValue ||
+                r._2 > Int.MaxValue)
+              fail(s"$what ratio ${r._1}/${r._2} out of supported range " +
+                s"(numerator/denominator must fit in [0, ${Int.MaxValue}])")
+            r
           }
-          val (k, m) = ratio("SAMPLE", allowBareInt = false)
+          val (k, m) = ratio("SAMPLE", allowBareInt = false, minZero = false)
           val off =
             if (eatKw("OFFSET")) {
-              val (o, m2) = ratio("OFFSET", allowBareInt = true)
+              val (o, m2) = ratio("OFFSET", allowBareInt = true,
+                minZero = true)
               // scale the offset ratio onto the SAMPLE denominator's
-              // bucket space; refuse silently-inexact windows
-              if ((o * m) % m2 != 0)
+              // bucket space; refuse silently-inexact windows. o and m
+              // are each <= Int.MaxValue so o*m fits in Long via
+              // multiplyExact (belt and braces against future widening).
+              val om = Math.multiplyExact(o, m)
+              if (om % m2 != 0)
                 fail(s"SAMPLE OFFSET $o/$m2 is not a whole number of " +
                   s"1/$m buckets — use a compatible denominator")
-              val ob = o * m / m2
+              val ob = om / m2
+              if (ob > Int.MaxValue)
+                fail(s"SAMPLE OFFSET $o/$m2 scales to bucket $ob beyond " +
+                  "the supported bucket space")
               if (ob + k > m)
                 fail(s"SAMPLE $k/$m OFFSET $o/$m2 reads past the end of " +
                   "the keyspace (offset+sample > 1)")

@@ -201,6 +201,77 @@ object Dedup {
     verifyPairs(pairs, docs, idCol, textCol, threshold, roundTo)
   }
 
+  /** Exact cross-document SUBSTRING dedup — the one tier between
+    * document-level dedup ([[exactGroups]]) and near-dup pairs
+    * ([[nearDupCascade]]): find token spans that appear VERBATIM in at
+    * least `minDocs` distinct documents and emit them as per-document
+    * removal spans (the Lee et al. "Deduplicating Training Data Makes
+    * Language Models Better" shape, approximated scalably — fingerprinted
+    * sliding windows instead of a suffix array).
+    *
+    * Algorithm:
+    *  1. row-local: whitespace tokens → token hashes (charFold) → a
+    *     fingerprint for EVERY sliding K-token window, computed as the
+    *     polynomial fold of the window's token hashes (same fold constant
+    *     as [[lshBands]] — any SQL engine replays it);
+    *  2. one map-combinable shuffle on fingerprint: distinct-doc counts;
+    *     fingerprints reaching `minDocs` docs are "duplicated windows";
+    *  3. windows semi-join the duplicated-fingerprint set — a keyed join
+    *     whose output is ≤ the window count by construction (no pair
+    *     blowup: we never join doc against doc);
+    *  4. per doc (one (doc, pos) shuffle + per-doc sort of its duplicated
+    *     windows only): overlapping-or-adjacent windows (gap ≤ K) merge
+    *     into MAXIMAL spans.
+    *
+    * Returns (doc_id, start_tok, end_tok, n_windows): tokens
+    * [start_tok, end_tok) — 0-based, end-exclusive — are duplicated
+    * spans; a cleaning pass drops or rewrites them.
+    *
+    * Scale shape (100 TB): only (doc_id, pos, fp) triples ever shuffle —
+    * document text never crosses the wire. Window count equals token
+    * count, so the whole job is O(corpus tokens) with constant factors:
+    * the same asymptotics as tokenizing the corpus once. A boilerplate
+    * fingerprint shared by millions of docs costs its own group row in
+    * stage 2 and one output row per occurrence in stage 3 — linear, no
+    * hot-bucket b² risk anywhere. */
+  def substringDedupSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(k > 0, s"substringDedupSpans: window needs k > 0 tokens, got $k")
+    require(minDocs >= 2,
+      s"substringDedupSpans: minDocs must be >= 2 (cross-document), got $minDocs")
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    val th = transform(toks, t => PortableHash.charFold(t))
+    val wins = docs
+      .select(col(idCol).as("doc_id"), th.as("__th"))
+      .filter(size(col("__th")) >= k)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("__th")) - k), i =>
+          aggregate(slice(col("__th"), i + 1, lit(k)), lit(0L),
+            (acc, x) => pmod(acc * lit(1000003L) + x, lit(PortableHash.Mod)))))
+        .as(Seq("pos", "fp")))
+    val dup = wins.groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("fp")
+    val marked = wins.join(dup, Seq("fp"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val wRun = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    marked
+      // windows [p1,p1+k) and [p2,p2+k) merge when p2-p1 <= k (overlap
+      // or exact adjacency); NULL lag (first window) starts span 1
+      .withColumn("__new",
+        when(col("pos") - lag("pos", 1).over(w) <= k, 0).otherwise(1))
+      .withColumn("__span", sum("__new").over(wRun))
+      .groupBy("doc_id", "__span")
+      .agg(min("pos").cast("long").as("start_tok"),
+        (max("pos") + k).cast("long").as("end_tok"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "start_tok", "end_tok", "n_windows")
+  }
+
   /** Exact n-gram Jaccard similarity between two shingle-array columns. */
   def jaccard(sh1: Column, sh2: Column): Column = {
     val inter = size(array_intersect(sh1, sh2)).cast("double")

@@ -18,6 +18,30 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Row count of a parquet dataset from its FILE FOOTERS only — a
+    * metadata read (listing + footer parse per file), never a data scan.
+    * This is how a 100 TB pipeline feeds [[ivfTopKFixedC]]'s `knownN`
+    * when it doesn't already carry the count from an ingest manifest:
+    * the footer walk costs O(files), not O(bytes). */
+  def parquetRowCount(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Long = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val files = fs.listStatus(p).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    var n = 0L
+    while (files.hasNext) {
+      val f = ParquetFileReader.open(
+        HadoopInputFile.fromStatus(files.next(), conf))
+      try n += f.getRecordCount finally f.close()
+    }
+    n
+  }
+
   /** Element-wise dot product of two double-array columns (sequential
     * fold — deterministic accumulation order). Codegen'd native expression;
     * identical to `aggregate(zip_with(a,b,*), 0.0, +)`. */
@@ -242,14 +266,20 @@ object Similarity {
     * n^1.5 for the √n operating point until its cap binds). The trade is
     * recall: cells average n/c vectors, so each probe scans a constant
     * FRACTION of the corpus — pick `c` from the recall harness
-    * ([[annRecall]]) like any other operating point. */
+    * ([[annRecall]]) like any other operating point.
+    *
+    * `knownN`: pass the corpus row count when the pipeline already has it
+    * (ingest manifests, a prior stage's count, table statistics) — the
+    * stride derivation then costs zero extra jobs. Left at the default
+    * the preset pays one `count()` scan before assignment starts, which
+    * at 100 TB is a full-scan job whose only output is the stride. */
   def ivfTopKFixedC(
       corpus: DataFrame, idCol: String, vecCol: String,
       c: Int, queryPred: Column, k: Int,
-      roundTo: Int = 6, nprobe: Int = 1
+      roundTo: Int = 6, nprobe: Int = 1, knownN: Long = -1L
   ): DataFrame = {
     require(c > 0, s"ivfTopKFixedC: need c > 0 cells, got $c")
-    val n = corpus.count()
+    val n = if (knownN >= 0) knownN else corpus.count()
     val every = math.max(1L, n / c).toInt
     ivfTopK(corpus, idCol, vecCol, every, queryPred, k, roundTo, nprobe)
   }

@@ -505,6 +505,38 @@ class ChSqlSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("past the end"))
   }
 
+  test("SAMPLE ratio guards: zero sample refuses, oversized denominators " +
+      "refuse instead of truncating (r9 ADVICE)") {
+    // SAMPLE ratio is (0,1] like ClickHouse — 0 would read nothing
+    val e0 = intercept[IllegalArgumentException] {
+      run("""SELECT okey FROM orders SAMPLE 0.0
+            |SETTINGS graft_sample_key = 'okey'""".stripMargin)
+    }
+    assert(e0.getMessage.contains("(0,1]"))
+    val e0b = intercept[IllegalArgumentException] {
+      run("""SELECT okey FROM orders SAMPLE 0/10
+            |SETTINGS graft_sample_key = 'okey'""".stripMargin)
+    }
+    assert(e0b.getMessage.contains("(0,1]"))
+    // ... but OFFSET 0 (start of keyspace) stays legal
+    val ok = run(
+      """SELECT okey FROM orders SAMPLE 1/2 OFFSET 0/2 ORDER BY okey
+        |SETTINGS graft_sample_key = 'okey'""".stripMargin)
+    assert(ok.map(_.head) == Seq(2L, 4L, 6L))
+    // a denominator past Int.MaxValue used to truncate via .toInt into a
+    // wrong-but-plausible bucket window; now it refuses
+    val e1 = intercept[IllegalArgumentException] {
+      run("""SELECT okey FROM orders SAMPLE 1/5000000000
+            |SETTINGS graft_sample_key = 'okey'""".stripMargin)
+    }
+    assert(e1.getMessage.contains("out of supported range"))
+    val e2 = intercept[IllegalArgumentException] {
+      run("""SELECT okey FROM orders SAMPLE 1/2 OFFSET 2500000000/5000000000
+            |SETTINGS graft_sample_key = 'okey'""".stripMargin)
+    }
+    assert(e2.getMessage.contains("out of supported range"))
+  }
+
   test("sub-second INTERVAL units and the DateTime64 add family") {
     val r = run(
       """SELECT

@@ -149,7 +149,12 @@ private[graft] object FuzzGrammar {
           case b: java.math.BigDecimal => f"${b.doubleValue()}%.6f"
           case d: scala.math.BigDecimal => f"${d.toDouble}%.6f"
           case t: java.time.LocalDateTime => fmtTs(t)
-          case t: java.sql.Timestamp => fmtTs(t.toLocalDateTime)
+          case t: java.sql.Timestamp =>
+            // via Instant + explicit UTC: toLocalDateTime reads the JVM
+            // default zone, which would diverge from the DuckDB leg's
+            // naive/UTC datetimes on a non-UTC host
+            fmtTs(java.time.LocalDateTime.ofInstant(
+              t.toInstant, java.time.ZoneOffset.UTC))
           case t: java.time.Instant =>
             fmtTs(java.time.LocalDateTime.ofInstant(t, java.time.ZoneOffset.UTC))
           case other => other.toString

@@ -403,6 +403,56 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(out.nonEmpty && out.length <= 4)
   }
 
+  test("ivfTopKFixedC: supplied knownN elides the corpus count() job") {
+    // Without knownN the preset pays a full count() scan whose only
+    // output is the stride — at 100 TB that's an entire extra job over
+    // the corpus. With knownN (ingest manifest / parquet footers /
+    // table stats) construction must cost strictly fewer jobs and
+    // produce identical results.
+    val corpus = spark.range(400).select(col("id").as("vec_id"),
+      array(col("id").cast("double") % 97, col("id").cast("double") % 89,
+        col("id").cast("double") % 83).as("embedding"), col("id"))
+    def jobsDuring(body: => Unit): Int = {
+      val c = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          c.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { body; Thread.sleep(1500) } // listener bus is async
+      finally spark.sparkContext.removeSparkListener(l)
+      c.get()
+    }
+    // construction only (no action): stride-sample collect is inherent
+    // to both; the count() job is the elidable difference
+    val without = jobsDuring {
+      Similarity.ivfTopKFixedC(corpus, "vec_id", "embedding",
+        c = 8, queryPred = col("id") < 2, k = 2)
+      ()
+    }
+    val withN = jobsDuring {
+      Similarity.ivfTopKFixedC(corpus, "vec_id", "embedding",
+        c = 8, queryPred = col("id") < 2, k = 2, knownN = 400L)
+      ()
+    }
+    assert(withN < without,
+      s"knownN must remove the count job: $withN !< $without")
+    // identical results either way (same stride derivation)
+    val a = Similarity.ivfTopKFixedC(corpus, "vec_id", "embedding",
+      c = 8, queryPred = col("id") < 2, k = 2)
+      .orderBy("query_id", "neighbor_id").collect().toSeq
+    val b = Similarity.ivfTopKFixedC(corpus, "vec_id", "embedding",
+      c = 8, queryPred = col("id") < 2, k = 2, knownN = 400L)
+      .orderBy("query_id", "neighbor_id").collect().toSeq
+    assert(a == b)
+    // and the footer-count helper agrees with a real scan on real data
+    val embPath = s"$sf/embeddings.parquet"
+    assert(Similarity.parquetRowCount(spark, embPath) ==
+      spark.read.parquet(embPath).count())
+  }
+
   test("IVF broadcast codebook: no literal blowup at C=10k, BNLJ-free, same results") {
     // 12k-vector corpus with centroidEvery=1 → a 12k-entry codebook: far
     // past maxLiteralCentroids, so the codebook must ride as a broadcast

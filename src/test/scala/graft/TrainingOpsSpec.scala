@@ -688,6 +688,56 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("substringDedupSpans: planted shared substring comes out as the " +
+      "exact maximal span; unique text and sub-minDocs repeats don't") {
+    // a 10-token span shared VERBATIM by docs 0/1/2 at different offsets;
+    // doc 3 is all-unique; docs 4/5 share a different span but only 2-way
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val twoWay = "one two three four five six"
+    val corpus = Seq(
+      (0L, s"$shared u01 u02 u03 u04"),                    // offset 0
+      (1L, s"u11 u12 $shared u13 u14"),                    // offset 2
+      (2L, s"u21 u22 u23 u24 u25 u26 $shared"),            // offset 6
+      (3L, "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 v11 v12"),      // unique
+      (4L, s"w41 $twoWay w42 w43 w44 w45"),                // 2-doc repeat
+      (5L, s"w51 w52 $twoWay w53 w54 w55")).toDF("doc_id", "text")
+    val out = Dedup.substringDedupSpans(corpus, "doc_id", "text",
+        k = 4, minDocs = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    // k=4 windows inside the 10-token shared span: starts 0..6 relative
+    // (7 windows) → merged span covers exactly the shared region
+    assert(out(0L) == ((0L, 10L, 7L)), s"doc0: ${out.get(0L)}")
+    assert(out(1L) == ((2L, 12L, 7L)), s"doc1: ${out.get(1L)}")
+    assert(out(2L) == ((6L, 16L, 7L)), s"doc2: ${out.get(2L)}")
+    // unique doc and the 2-way repeat (< minDocs=3) emit nothing
+    assert(out.keySet == Set(0L, 1L, 2L))
+    // the 2-way repeat DOES surface at minDocs=2
+    val out2 = Dedup.substringDedupSpans(corpus, "doc_id", "text",
+        k = 4, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out2.contains((4L, 1L, 7L)) && out2.contains((5L, 2L, 8L)))
+    // two disjoint duplicated regions in one doc stay SEPARATE spans
+    // (gap > k): doc 6/7/8 share the head AND the tail but not the middle
+    val twin = Seq(
+      (6L, s"$shared m61 m62 m63 m64 m65 $shared"),
+      (7L, s"$shared m71 m72 m73 m74 m75 $shared"),
+      (8L, s"$shared m81 m82 m83 m84 m85 $shared")).toDF("doc_id", "text")
+    val spans = Dedup.substringDedupSpans(twin, "doc_id", "text",
+        k = 4, minDocs = 3)
+      .filter(col("doc_id") === 6L)
+      .orderBy("start_tok")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(spans.toSeq == Seq((0L, 10L), (15L, 25L)), spans.mkString(","))
+    // contract refusals
+    intercept[IllegalArgumentException] {
+      Dedup.substringDedupSpans(corpus, "doc_id", "text", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.substringDedupSpans(corpus, "doc_id", "text", minDocs = 1)
+    }
+  }
+
   test("rrfFuse: hand-checked fusion, absent ids contribute zero") {
     val lex = Seq((10L, 9.0), (20L, 8.0), (30L, 7.0)).toDF("id", "score")
     val vec = Seq((20L, 0.9), (40L, 0.8)).toDF("id", "score")
