@@ -6050,7 +6050,34 @@ object Queries {
       graft.operators.Dedup.substringDedupSpans(corpus, "doc_id", "text",
           k = 8, minDocs = 3)
         .orderBy("doc_id", "start_tok")
-    }))
+    }),
+
+    // BPE tokenizer at serving shape: a TRAINED merge-table snapshot
+    // (bpeSnapshotMerges — regenerate with Test/runMain
+    // graft.BpeSnapshotMain) applied row-local to every doc; true piece
+    // counts + a fingerprint of the full encoded stream. Training itself
+    // is pinned in TrainingOpsSpec (hand-computed Sennrich-example
+    // merges + the maxWords bounded-state pin); this entry proves the
+    // ENCODER cross-engine: DuckDB replays the identical merge chain.
+    "t28_bpe" -> ((s, dir) =>
+      tbl(s, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id"),
+          TextAnalysis.bpePieceCount(col("text"), bpeSnapshotMerges)
+            .cast("long").as("n_pieces"),
+          graft.functions.PortableHash.charFold(concat_ws(" ",
+            TextAnalysis.bpeEncode(col("text"), bpeSnapshotMerges)))
+            .as("fp"))
+        .orderBy("doc_id")))
+
+  /** 12-merge BPE model snapshot trained by
+    * `Test/runMain graft.BpeSnapshotMain /root/testdata/sf0.01 12`
+    * (TextAnalysis.trainBpe over the sf0.01 English documents) — the
+    * train-once/ship-table serving shape; the t28 oracle builds the
+    * identical DuckDB replace chain from this same value. */
+  private val bpeSnapshotMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("e", "</w>"), ("o", "r"), ("i", "n"), ("er", "</w>"),
+    ("o", "w"), ("ow", "</w>"), ("t", "</w>"), ("h", "</w>"), ("t", "a"),
+    ("a", "s"), ("g", "</w>"))
 
   private val oracles13: Map[String, String] = Map(
 
@@ -6285,6 +6312,27 @@ object Queries {
          |  count(*) AS n_windows
          |FROM sp GROUP BY doc_id, span
          |ORDER BY doc_id, start_tok""".stripMargin,
+
+    // the encoder replayed merge-for-merge: chars+EOW spaced string,
+    // then one literal replace per merge IN TRAINING ORDER (left-to-right
+    // non-overlapping on both engines)
+    "t28_bpe" -> {
+      val chain = bpeSnapshotMerges.foldLeft(
+        """regexp_replace(tok, '(.)', ' \1 ', 'g') || ' </w> '""") {
+        case (acc, (a, b)) => s"replace($acc, ' $a  $b ', ' $a$b ')"
+      }
+      s"""WITH toks AS (SELECT doc_id,
+         |    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |      t -> regexp_matches(t, '^[a-z]+$$')) AS t
+         |  FROM documents WHERE doc_id < 400),
+         |enc AS (SELECT doc_id, flatten(list_transform(t, tok ->
+         |    list_filter(string_split_regex(trim($chain), '\\s+'),
+         |      p -> len(p) > 0))) AS pieces
+         |  FROM toks)
+         |SELECT doc_id, CAST(len(pieces) AS BIGINT) AS n_pieces,
+         |  ${sqlCharFold("array_to_string(pieces, ' ')")} AS fp
+         |FROM enc ORDER BY doc_id""".stripMargin
+    },
 
     "t20_verify_pairs" ->
       """WITH d AS (SELECT doc_id, text FROM documents),

@@ -738,6 +738,70 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("trainBpe: hand-computed Sennrich-example merges; deterministic; " +
+      "maxWords cap genuinely bites (bounded-state pin)") {
+    // the classic corpus: low:5 lower:2 newest:6 widest:3
+    val corpus = Seq(
+      (0L, "low low low low low"),
+      (1L, "lower lower"),
+      (2L, "newest newest newest newest newest newest"),
+      (3L, "widest widest widest")).toDF("doc_id", "text")
+    val merges = TextAnalysis.trainBpe(corpus, "text", numMerges = 4)
+    // round 1: (e,s) 9 wins the 9-way tie lexicographically over (s,t)
+    // and (t,</w>); round 2: (es,t) 9 over (t,</w>); round 3:
+    // (est,</w>) 9; round 4: (l,o) 7 over (o,w)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("est", "</w>"),
+      ("l", "o")), merges.toString)
+    // deterministic across runs
+    assert(TextAnalysis.trainBpe(corpus, "text", numMerges = 4) == merges)
+    // bounded state: maxWords=1 trains on "newest" alone — different
+    // pair statistics, different merges (truncation genuinely bites)
+    val capped = TextAnalysis.trainBpe(corpus, "text", numMerges = 4,
+      maxWords = 1)
+    assert(capped == Seq(("e", "s"), ("e", "w"), ("es", "t"),
+      ("est", "</w>")), capped.toString)
+    assert(capped != merges)
+    // merge exhaustion stops early instead of looping
+    val tiny = Seq((0L, "ab ab")).toDF("doc_id", "text")
+    val m = TextAnalysis.trainBpe(tiny, "text", numMerges = 50)
+    // "ab</w>" fully merges in 2 rounds: (a,b) then (ab,</w>)
+    assert(m == Seq(("a", "b"), ("ab", "</w>")))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.trainBpe(corpus, "text", numMerges = 0)
+    }
+  }
+
+  test("bpeEncode: applies merges in order, left-to-right non-overlapping; " +
+      "piece counts match; encoder agrees with training segmentation") {
+    val merges = Seq(("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"))
+    val enc = Seq((0L, "lowest lower low"), (1L, "aaa"), (2L, "x y"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextAnalysis.bpeEncode(col("text"), merges).as("p"),
+        TextAnalysis.bpePieceCount(col("text"), merges).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[String](1), r.getInt(2)))).toMap
+    // lowest: l o w e s t</w> -> es -> est -> est</w> -> lo
+    assert(enc(0L)._1 == Seq("lo", "w", "est</w>",
+      "lo", "w", "e", "r", "</w>",
+      "lo", "w", "</w>"), enc(0L)._1.toString)
+    assert(enc(0L)._2 == 11)
+    // no applicable merges: raw chars + EOW survive
+    assert(enc(1L)._1 == Seq("a", "a", "a", "</w>"))
+    assert(enc(2L)._1 == Seq("x", "</w>", "y", "</w>"))
+    // left-to-right non-overlap: merge (a,a) on "aaaa" gives aa,aa not aa,a,a
+    val lr = Seq((0L, "aaaa")).toDF("doc_id", "text")
+      .select(TextAnalysis.bpeEncode(col("text"),
+        Seq(("a", "a"))).as("p")).head().getSeq[String](0)
+    assert(lr == Seq("aa", "aa", "</w>"), lr.toString)
+    // encoder is shuffle-free (row-local scan shape)
+    val plan = enc.toString // force nothing; check on a fresh frame:
+    val q = Seq((0L, "low")).toDF("doc_id", "text")
+      .select(TextAnalysis.bpeEncode(col("text"), merges).as("p"))
+    assert(q.queryExecution.executedPlan.toString.linesIterator
+      .count(_.contains("Exchange")) == 0)
+  }
+
   test("rrfFuse: hand-checked fusion, absent ids contribute zero") {
     val lex = Seq((10L, 9.0), (20L, 8.0), (30L, 7.0)).toDF("id", "score")
     val vec = Seq((20L, 0.9), (40L, 0.8)).toDF("id", "score")
