@@ -1305,6 +1305,13 @@ object ChDdl {
       require(cols.size == rows.columns.length,
         s"ChSql: INSERT column list has ${cols.size} names but the data has " +
           s"${rows.columns.length} columns")
+      // a duplicate name would silently drop all but one of its values
+      // (the by-name index map keeps the last) — refuse like CH does
+      // (DDL fuzz gate discovery, seed 329)
+      val dups = cols.diff(cols.distinct).distinct
+      require(dups.isEmpty,
+        s"ChSql: INSERT INTO $name lists column(s) ${dups.mkString(", ")} " +
+          "more than once")
       val unknown = cols.filterNot(target.fieldNames.contains)
       require(unknown.isEmpty,
         s"ChSql: INSERT INTO $name: no such column(s) ${

@@ -603,6 +603,13 @@ class DdlSurfaceSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       run("INSERT INTO edge_t (nope) VALUES (9)"))
     assert(e.getMessage.contains("no such column"))
+    // duplicate INSERT column name refuses loudly — the by-name index
+    // map would otherwise keep the LAST value and silently drop the rest
+    // (DDL fuzz gate discovery, seed 329; CH rejects duplicates too)
+    val eDup = intercept[IllegalArgumentException](
+      run("INSERT INTO edge_t (k, k) VALUES (8, 9)"))
+    assert(eDup.getMessage.contains("more than once"), eDup.getMessage)
+    assert(q("SELECT count() AS n FROM edge_t") == Seq(Seq(2L)))
     // malformed inline JSON rejects the whole INSERT (FAILFAST)
     intercept[Exception](
       run("INSERT INTO edge_t FORMAT JSONEachRow\n{\"k\": oops}"))

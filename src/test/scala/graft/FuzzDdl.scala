@@ -1,0 +1,494 @@
+package graft
+
+/** Seeded DDL/session fuzzer (VERDICT r9 §next-1): `ChDdl.scala` is the
+  * engine's second-largest surface and was covered only by hand-written
+  * DdlSurfaceSpec pins — and the SELECT-side fuzz gate has found a real
+  * bug in every round it ran. This generator builds random DDL/DML
+  * SESSIONS — CREATE TABLE (random ChTypes columns, engines,
+  * DEFAULT/MATERIALIZED/ALIAS, partition/order keys) → INSERT random rows
+  * (positional and by-name) → a random mutation/OPTIMIZE/partition-verb
+  * sequence — and renders each session THREE ways:
+  *
+  *  1. the CH statement list (run through `ChSql.statement`);
+  *  2. a pure-Scala MODEL: every op applied to an in-memory row vector
+  *     with hand-rolled semantics (defaults, materialized columns, engine
+  *     collapse rules mirroring ChOps exactly) — the in-JVM expectation;
+  *  3. a DuckDB script (CREATE/INSERT/UPDATE/DELETE + collapse CTEs) —
+  *     the independent-ENGINE replay, checked by
+  *     `tools/fuzz_ddl_duck_check.py`.
+  *
+  * Metamorphic checks per seed (in [[FuzzDdlSpec]]):
+  *  - final SELECT ≡ model;
+  *  - SHOW CREATE round-trips: executing the emitted text re-creates a
+  *    table whose own SHOW CREATE is byte-identical (modulo name);
+  *  - engine arms: SELECT … FINAL ≡ model collapse, and OPTIMIZE FINAL
+  *    followed by a plain SELECT ≡ the same collapse (OPTIMIZE FINAL ≡
+  *    read-time FINAL);
+  *  - arm coverage asserted (arms cycle deterministically with the seed,
+  *    sidestepping the r9 seed-uniformity trap entirely).
+  *
+  * Determinism: every random draw comes off a splitmix64-scrambled seed;
+  * engine-arm payloads are non-null so the struct-max/min collapse
+  * tiebreaks are total orders in both engines; floats are quarter-steps
+  * (exact in binary) mutated by integers only.
+  */
+private[graft] object FuzzDdl {
+
+  final case class Col(name: String, chType: String, duckType: String)
+
+  /** One generated session, rendered for all legs. */
+  final case class Sess(
+      seed: Int, arm: String, table: String,
+      chStmts: Seq[String],
+      finalSelect: String,
+      modelRows: Seq[Seq[Any]],
+      collapsed: Option[Seq[Seq[Any]]],
+      finalSelectFinal: Option[String],
+      duckSetup: Seq[String],
+      duckFinal: String,
+      duckFinalCollapsed: Option[String])
+
+  val armNames: Seq[String] = Seq("mt_plain", "mt_nullable", "mt_part",
+    "mt_defaults", "replacing_ver", "replacing_nover", "summing",
+    "collapsing")
+
+  /** Render a typed model value for multiset comparison — the same rules
+    * as FuzzGrammar.canon / the python leg's canon_value. */
+  def canonVal(v: Any): String = v match {
+    case null => "<null>"
+    case d: Double => f"$d%.6f"
+    case other => other.toString
+  }
+  def canonModel(rows: Seq[Seq[Any]]): Seq[String] =
+    rows.map(_.map(canonVal).mkString("|")).sorted
+
+  private def litCh(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => s"'$s'"
+    case other => other.toString
+  }
+
+  // ---- model value helpers (inserted ints are Long end-to-end) ----
+  private def asL(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case other => sys.error(s"asL($other)")
+  }
+  private def cmpVal(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Int, y: Int) => Integer.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: String, y: String) => x.compareTo(y)
+    case _ => sys.error(s"cmpVal($a, $b)")
+  }
+  private def cmpTuple(a: Seq[Any], b: Seq[Any]): Int =
+    a.zip(b).iterator.map { case (x, y) => cmpVal(x, y) }
+      .find(_ != 0).getOrElse(0)
+
+  // ---- engine collapse over the model (mirrors ChOps exactly) ----
+
+  /** ReplacingMergeTree(ver): per key, max over struct(ver, payload…) —
+    * ChOps.selectFinal. Column layout: (k, ver, p1, …). */
+  private def collapseReplacingVer(rows: Seq[Seq[Any]]): Seq[Seq[Any]] =
+    rows.groupBy(_.head).valuesIterator
+      .map(_.maxBy(_.tail)(Ordering.fromLessThan[Seq[Any]](
+        (a, b) => cmpTuple(a, b) < 0))).toSeq
+
+  /** ReplacingMergeTree without version: max payload struct —
+    * ChOps.selectFinalNoVersion. Layout: (k, p1, …). */
+  private def collapseReplacingNoVer(rows: Seq[Seq[Any]]): Seq[Seq[Any]] =
+    collapseReplacingVer(rows) // identical shape: max over everything after k
+
+  /** SummingMergeTree: per key, summed columns summed, non-summed payload
+    * per-column min, all-zero-sum rows dropped — ChOps.selectSummed.
+    * Layout: (k, p1, …); sumIdx are indices into the full row. */
+  private def collapseSumming(rows: Seq[Seq[Any]],
+      sumIdx: Set[Int]): Seq[Seq[Any]] =
+    rows.groupBy(_.head).valuesIterator.map { grp =>
+      val out = grp.head.indices.map { i =>
+        if (i == 0) grp.head.head
+        else if (sumIdx(i)) grp.map(r => asL(r(i))).sum: Any
+        else grp.map(_(i)).min(Ordering.fromLessThan[Any](
+          (a, b) => cmpVal(a, b) < 0))
+      }
+      out
+    }.filter(r => sumIdx.exists(i => asL(r(i)) != 0L)).toSeq
+
+  /** CollapsingMergeTree(sgn): net sign decides; surviving side's payload
+    * is the max struct among +1 rows (net>0) / min among -1 rows (net<0)
+    * — ChOps.selectCollapsed. Layout: (k, sgn, p1, …). */
+  private def collapseCollapsing(rows: Seq[Seq[Any]]): Seq[Seq[Any]] =
+    rows.groupBy(_.head).valuesIterator.flatMap { grp =>
+      val net = grp.map(r => asL(r(1))).sum
+      if (net == 0L) None
+      else {
+        val ord = Ordering.fromLessThan[Seq[Any]]((a, b) => cmpTuple(a, b) < 0)
+        val payload =
+          if (net > 0L) grp.filter(r => asL(r(1)) > 0L).map(_.drop(2)).max(ord)
+          else grp.filter(r => asL(r(1)) < 0L).map(_.drop(2)).min(ord)
+        Some((grp.head.head +: (if (net > 0L) 1L else -1L).asInstanceOf[Any]
+          +: payload).toSeq)
+      }
+    }.toSeq
+
+  // ---- duck collapse SQL (CREATE tmp AS <collapse> / swap) ----
+
+  private def duckSwap(t: String, collapseSql: String): Seq[String] = Seq(
+    s"CREATE OR REPLACE TEMP TABLE __fz_tmp AS $collapseSql",
+    s"DELETE FROM $t",
+    s"INSERT INTO $t SELECT * FROM __fz_tmp",
+    "DROP TABLE __fz_tmp")
+
+  private def duckReplacingVerSql(t: String, payload: Seq[String]): String = {
+    val ord = payload.map(c => s"$c DESC").mkString(", ")
+    s"SELECT k, ${payload.mkString(", ")} FROM (SELECT *, row_number() " +
+      s"OVER (PARTITION BY k ORDER BY $ord) AS __rn FROM $t) WHERE __rn = 1"
+  }
+
+  private def duckSummingSql(t: String, payload: Seq[String],
+      sumCols: Set[String]): String = {
+    val sel = payload.map { c =>
+      if (sumCols(c)) s"CAST(sum($c) AS BIGINT) AS $c" else s"min($c) AS $c"
+    }.mkString(", ")
+    val nz = sumCols.toSeq.sorted
+      .map(c => s"CAST(sum($c) AS BIGINT) <> 0").mkString(" OR ")
+    s"SELECT k, $sel FROM $t GROUP BY k HAVING $nz"
+  }
+
+  private def duckCollapsingSql(t: String, payload: Seq[String]): String = {
+    val desc = payload.map(c => s"$c DESC").mkString(", ")
+    val asc = payload.map(c => s"$c ASC").mkString(", ")
+    val pl = payload.mkString(", ")
+    val outs = payload.map(c =>
+      s"CASE WHEN n.net > 0 THEN p.$c ELSE g.$c END AS $c").mkString(", ")
+    s"WITH __net AS (SELECT k, sum(sgn) AS net FROM $t GROUP BY k), " +
+      s"__pos AS (SELECT k, $pl, row_number() OVER (PARTITION BY k " +
+      s"ORDER BY $desc) AS rn FROM $t WHERE sgn > 0), " +
+      s"__neg AS (SELECT k, $pl, row_number() OVER (PARTITION BY k " +
+      s"ORDER BY $asc) AS rn FROM $t WHERE sgn < 0) " +
+      s"SELECT n.k AS k, CAST(CASE WHEN n.net > 0 THEN 1 ELSE -1 END " +
+      s"AS TINYINT) AS sgn, $outs FROM __net n " +
+      s"LEFT JOIN __pos p ON p.k = n.k AND p.rn = 1 " +
+      s"LEFT JOIN __neg g ON g.k = n.k AND g.rn = 1 WHERE n.net <> 0"
+  }
+
+  // =================== the generator ===================
+
+  def gen(seed: Int): Sess = {
+    val rnd = new scala.util.Random(FuzzGrammar.mix64(seed.toLong))
+    def int(lo: Int, hi: Int): Int = lo + rnd.nextInt(hi - lo + 1)
+    def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.size))
+    def chance(p: Double): Boolean = rnd.nextDouble() < p
+    // deterministic arm cycling: every 8 consecutive seeds cover every
+    // arm — no uniformity trap to fall into (the r9 lesson)
+    val arm = armNames((seed - 1) % armNames.size)
+    val t = s"fz_ddl_$seed"
+    val words = Seq("ab", "cd", "ee", "mn", "zz")
+
+    // stored columns per arm (declared order)
+    val sumColsExplicit = arm == "summing" && chance(0.5)
+    val cols: Seq[Col] = arm match {
+      case "mt_plain" => Seq(Col("k", "Int64", "BIGINT"),
+        Col("v", "Int64", "BIGINT"), Col("s", "String", "VARCHAR"),
+        Col("f", "Float64", "DOUBLE"))
+      case "mt_nullable" => Seq(Col("k", "Int64", "BIGINT"),
+        Col("v", "Int64", "BIGINT"), Col("n", "Nullable(Int64)", "BIGINT"))
+      case "mt_part" => Seq(Col("k", "Int64", "BIGINT"),
+        Col("p", "Int32", "INTEGER"), Col("v", "Int64", "BIGINT"))
+      case "mt_defaults" => Seq(Col("k", "Int64", "BIGINT"),
+        Col("v", "Int64", "BIGINT"), Col("d", "Int64", "BIGINT"),
+        Col("m", "Int64", "BIGINT"))
+      case "replacing_ver" => Seq(Col("k", "Int64", "BIGINT"),
+        Col("ver", "Int64", "BIGINT"), Col("v", "Int64", "BIGINT"),
+        Col("s", "String", "VARCHAR"))
+      case "replacing_nover" | "summing" =>
+        (Seq(Col("k", "Int64", "BIGINT"), Col("v", "Int64", "BIGINT")) ++
+          (if (arm == "summing") Seq(Col("w", "Int64", "BIGINT")) else Nil) :+
+          Col("s", "String", "VARCHAR"))
+      case "collapsing" => Seq(Col("k", "Int64", "BIGINT"),
+        Col("sgn", "Int8", "TINYINT"), Col("v", "Int64", "BIGINT"),
+        Col("s", "String", "VARCHAR"))
+    }
+    var storedCols = cols // may grow via ADD COLUMN
+    def idx(c: String): Int = storedCols.indexWhere(_.name == c)
+
+    val createCh: String = {
+      val colDefs = storedCols.map { c =>
+        c.name match {
+          case "d" => s"${c.name} ${c.chType} DEFAULT k * 2 + 1"
+          case "m" => s"${c.name} ${c.chType} MATERIALIZED k + 100"
+          case _ => s"${c.name} ${c.chType}"
+        }
+      } ++ (if (arm == "mt_defaults") Seq("al Int64 ALIAS k + 7") else Nil)
+      val engine = arm match {
+        case "replacing_ver" => "ReplacingMergeTree(ver)"
+        case "replacing_nover" => "ReplacingMergeTree"
+        case "summing" =>
+          if (sumColsExplicit) "SummingMergeTree(v)" else "SummingMergeTree"
+        case "collapsing" => "CollapsingMergeTree(sgn)"
+        case _ => "MergeTree"
+      }
+      val tail = (if (arm == "mt_part") " PARTITION BY p" else "") +
+        " ORDER BY k"
+      s"CREATE TABLE $t (${colDefs.mkString(", ")}) ENGINE = $engine$tail"
+    }
+    val createDuck: String =
+      s"CREATE OR REPLACE TABLE $t (${
+        storedCols.map(c => s"${c.name} ${c.duckType}").mkString(", ")})"
+
+    // ---- session state ----
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Vector[Any]]
+    val ch = Seq.newBuilder[String]
+    val duck = Seq.newBuilder[String]
+    ch += createCh
+    duck += createDuck
+
+    def randVal(c: Col): Any = c.name match {
+      case "k" => int(0, 6).toLong
+      case "p" => int(0, 2)
+      case "v" => int(-5, 9).toLong
+      case "w" => int(-3, 6).toLong
+      case "ver" => int(0, 4).toLong
+      case "sgn" => if (chance(0.5)) 1L else -1L
+      case "s" => pick(words)
+      case "f" => int(0, 40) * 0.25
+      case "n" => if (chance(0.25)) null else int(0, 9).toLong
+      case "extra" => int(10, 19).toLong
+      case "d" => int(20, 29).toLong
+      case "m" => sys.error("materialized is never drawn")
+      case other => sys.error(s"randVal($other)")
+    }
+
+    def duckInsert(newRows: Seq[Vector[Any]]): String =
+      s"INSERT INTO $t VALUES " +
+        newRows.map(r => r.map(litCh).mkString("(", ", ", ")")).mkString(", ")
+
+    /** One INSERT: positional (all insertable cols, declared order) or
+      * by-name over a random permutation (exercises by-name binding and
+      * DEFAULT/MATERIALIZED fill). */
+    def genInsert(): Unit = {
+      val nRows = int(1, 4)
+      if (arm == "mt_defaults") {
+        if (chance(0.5)) {
+          // positional: insertable = (k, v, d) — m is MATERIALIZED
+          val vals = (1 to nRows).map(_ => Vector[Any](
+            randVal(Col("k", "", "")), randVal(Col("v", "", "")),
+            randVal(Col("d", "", ""))))
+          ch += s"INSERT INTO $t VALUES " +
+            vals.map(r => r.map(litCh).mkString("(", ", ", ")")).mkString(", ")
+          val full = vals.map(r => Vector[Any](r(0), r(1), r(2),
+            asL(r(0)) + 100L))
+          rows ++= full
+          duck += duckInsert(full)
+        } else {
+          // by-name (k, v): d ← DEFAULT k*2+1, m ← MATERIALIZED k+100
+          val vals = (1 to nRows).map(_ => Vector[Any](
+            randVal(Col("k", "", "")), randVal(Col("v", "", ""))))
+          ch += s"INSERT INTO $t (k, v) VALUES " +
+            vals.map(r => r.map(litCh).mkString("(", ", ", ")")).mkString(", ")
+          val full = vals.map(r => Vector[Any](r(0), r(1),
+            asL(r(0)) * 2L + 1L, asL(r(0)) + 100L))
+          rows ++= full
+          duck += duckInsert(full)
+        }
+      } else {
+        val vals = (1 to nRows).map(_ =>
+          storedCols.map(randVal).toVector)
+        if (chance(0.6)) {
+          ch += s"INSERT INTO $t VALUES " +
+            vals.map(r => r.map(litCh).mkString("(", ", ", ")")).mkString(", ")
+        } else {
+          val perm = rnd.shuffle(storedCols.indices.toList)
+          val names = perm.map(i => storedCols(i).name)
+          ch += s"INSERT INTO $t (${names.mkString(", ")}) VALUES " +
+            vals.map(r => perm.map(r).map(litCh).mkString("(", ", ", ")"))
+              .mkString(", ")
+        }
+        rows ++= vals
+        duck += duckInsert(vals)
+      }
+    }
+
+    (1 to int(2, 3)).foreach(_ => genInsert())
+
+    // ---- mutation / maintenance phase ----
+    val engineArm = Set("replacing_ver", "replacing_nover", "summing",
+      "collapsing")(arm)
+    def collapseNow(rs: Seq[Seq[Any]]): Seq[Seq[Any]] = arm match {
+      case "replacing_ver" => collapseReplacingVer(rs)
+      case "replacing_nover" => collapseReplacingNoVer(rs)
+      case "summing" =>
+        val sumIdx = if (sumColsExplicit) Set(idx("v"))
+          else Set(idx("v"), idx("w"))
+        collapseSumming(rs, sumIdx)
+      case "collapsing" => collapseCollapsing(rs)
+      case _ => rs
+    }
+
+    val mutPool = Seq.newBuilder[() => Unit]
+    val iv = () => idx("v")
+    mutPool += (() => { // heavy UPDATE v (pred on k)
+      val (m0, c0) = (int(2, 4), int(1, 5)); val r0 = int(0, m0 - 1)
+      ch += s"ALTER TABLE $t UPDATE v = v + $c0 WHERE k % $m0 = $r0"
+      duck += s"UPDATE $t SET v = v + $c0 WHERE k % $m0 = $r0"
+      val vi = iv()
+      rows.indices.foreach { i =>
+        if (asL(rows(i).head) % m0 == r0)
+          rows(i) = rows(i).updated(vi, asL(rows(i)(vi)) + c0)
+      }
+    })
+    mutPool += (() => { // lightweight UPDATE v (pred on v)
+      val (c0, c1) = (int(1, 3), int(0, 5))
+      ch += s"UPDATE $t SET v = v - $c0 WHERE v > $c1"
+      duck += s"UPDATE $t SET v = v - $c0 WHERE v > $c1"
+      val vi = iv()
+      rows.indices.foreach { i =>
+        if (asL(rows(i)(vi)) > c1)
+          rows(i) = rows(i).updated(vi, asL(rows(i)(vi)) - c0)
+      }
+    })
+    mutPool += (() => { // heavy DELETE (pred on k)
+      val m0 = int(2, 4); val r0 = int(0, m0 - 1)
+      ch += s"ALTER TABLE $t DELETE WHERE k % $m0 = $r0"
+      duck += s"DELETE FROM $t WHERE k % $m0 = $r0"
+      val keep = rows.filterNot(r => asL(r.head) % m0 == r0)
+      rows.clear(); rows ++= keep
+    })
+    mutPool += (() => { // lightweight DELETE (pred on v)
+      val c0 = int(4, 8)
+      ch += s"DELETE FROM $t WHERE v > $c0"
+      duck += s"DELETE FROM $t WHERE v > $c0"
+      val vi = iv()
+      val keep = rows.filterNot(r => asL(r(vi)) > c0)
+      rows.clear(); rows ++= keep
+    })
+    if (cols.exists(_.name == "s")) mutPool += (() => { // string UPDATE
+      ch += s"ALTER TABLE $t UPDATE s = concat(s, '_z') WHERE k % 2 = 0"
+      duck += s"UPDATE $t SET s = s || '_z' WHERE k % 2 = 0"
+      val si = idx("s")
+      rows.indices.foreach { i =>
+        if (asL(rows(i).head) % 2 == 0)
+          rows(i) = rows(i).updated(si,
+            rows(i)(si).asInstanceOf[String] + "_z")
+      }
+    })
+    if (arm == "mt_nullable") mutPool += (() => { // NULL-pred surface
+      ch += s"ALTER TABLE $t UPDATE n = n + 1 WHERE k % 2 = 1"
+      duck += s"UPDATE $t SET n = n + 1 WHERE k % 2 = 1"
+      val ni = idx("n")
+      rows.indices.foreach { i =>
+        if (asL(rows(i).head) % 2 == 1 && rows(i)(ni) != null)
+          rows(i) = rows(i).updated(ni, asL(rows(i)(ni)) + 1L)
+      }
+    })
+    if (arm == "mt_nullable") mutPool += (() => { // NULL pred never deletes
+      val c0 = int(3, 7)
+      ch += s"DELETE FROM $t WHERE n > $c0"
+      duck += s"DELETE FROM $t WHERE n > $c0"
+      val ni = idx("n")
+      val keep = rows.filterNot(r => r(ni) != null && asL(r(ni)) > c0)
+      rows.clear(); rows ++= keep
+    })
+    if (arm == "mt_part") mutPool += (() => { // partition verb
+      val pv = int(0, 2)
+      ch += s"ALTER TABLE $t DROP PARTITION $pv"
+      duck += s"DELETE FROM $t WHERE p = $pv"
+      val pi = idx("p")
+      val keep = rows.filterNot(r => r(pi) == pv)
+      rows.clear(); rows ++= keep
+    })
+    if (arm == "mt_defaults") mutPool += (() => { // UPDATE the DEFAULT col
+      val c0 = int(1, 9)
+      ch += s"ALTER TABLE $t UPDATE d = d + $c0 WHERE k % 2 = 0"
+      duck += s"UPDATE $t SET d = d + $c0 WHERE k % 2 = 0"
+      val di = idx("d")
+      rows.indices.foreach { i =>
+        if (asL(rows(i).head) % 2 == 0)
+          rows(i) = rows(i).updated(di, asL(rows(i)(di)) + c0)
+      }
+    })
+    if (arm == "mt_plain") mutPool += (() => { // metadata ADD COLUMN + insert
+      // idempotent like the engine: a second draw re-issues the ALTER
+      // (the engine answers "already exists") but must not re-widen the
+      // model — seed 329 of the first sweep had the double-widen bug
+      // here, which in turn exposed the engine silently accepting a
+      // DUPLICATE column name in an INSERT list (now a refusal)
+      ch += s"ALTER TABLE $t ADD COLUMN extra Int64"
+      if (!storedCols.exists(_.name == "extra")) {
+        duck += s"ALTER TABLE $t ADD COLUMN extra BIGINT"
+        val widened = rows.map(_ :+ (null: Any))
+        rows.clear(); rows ++= widened
+        storedCols = storedCols :+ Col("extra", "Int64", "BIGINT")
+        val vals = (1 to 2).map(_ => storedCols.map(randVal).toVector)
+        ch += s"INSERT INTO $t (${storedCols.map(_.name).mkString(", ")}) " +
+          s"VALUES " +
+          vals.map(r => r.map(litCh).mkString("(", ", ", ")")).mkString(", ")
+        duck += duckInsert(vals)
+        rows ++= vals
+      }
+    })
+    mutPool += (() => { // plain OPTIMIZE: content no-op compaction
+      ch += s"OPTIMIZE TABLE $t"
+    })
+    if (!engineArm) mutPool += (() => { // OPTIMIZE DEDUPLICATE
+      ch += s"OPTIMIZE TABLE $t DEDUPLICATE"
+      duck ++= duckSwap(t, s"SELECT DISTINCT * FROM $t")
+      val dd = rows.distinct
+      rows.clear(); rows ++= dd
+    })
+    if (engineArm) mutPool += (() => { // mid-session OPTIMIZE FINAL
+      ch += s"OPTIMIZE TABLE $t FINAL"
+      val collapseSql = arm match {
+        case "replacing_ver" => duckReplacingVerSql(t, Seq("ver", "v", "s"))
+        case "replacing_nover" => duckReplacingVerSql(t, Seq("v", "s"))
+        case "summing" => duckSummingSql(t, Seq("v", "w", "s"),
+          if (sumColsExplicit) Set("v") else Set("v", "w"))
+        case "collapsing" => duckCollapsingSql(t, Seq("v", "s"))
+      }
+      duck ++= duckSwap(t, collapseSql)
+      val cc = collapseNow(rows.toSeq)
+      rows.clear(); rows ++= cc.map(_.toVector)
+    })
+    if (chance(0.08)) mutPool += (() => {
+      ch += s"TRUNCATE TABLE $t"
+      duck += s"DELETE FROM $t"
+      rows.clear()
+    })
+
+    val pool = mutPool.result()
+    (1 to int(1, 3)).foreach { _ =>
+      pick(pool)()
+      if (chance(0.4)) genInsert() // interleave inserts between mutations
+    }
+
+    // ---- final renders ----
+    val selCols = storedCols.map(_.name) ++
+      (if (arm == "mt_defaults") Seq("al") else Nil)
+    val finalSelect = s"SELECT ${selCols.mkString(", ")} FROM $t"
+    val modelFinal: Seq[Seq[Any]] =
+      if (arm == "mt_defaults")
+        rows.toSeq.map(r => r :+ (asL(r.head) + 7L: Any))
+      else rows.toSeq
+    val duckFinal =
+      if (arm == "mt_defaults")
+        s"SELECT k, v, d, m, k + 7 AS al FROM $t"
+      else finalSelect
+    val (collapsed, finSel, duckFinCollapsed) =
+      if (!engineArm) (None, None, None)
+      else {
+        val cc = collapseNow(rows.toSeq)
+        val sql = arm match {
+          case "replacing_ver" => duckReplacingVerSql(t, Seq("ver", "v", "s"))
+          case "replacing_nover" => duckReplacingVerSql(t, Seq("v", "s"))
+          case "summing" => duckSummingSql(t, Seq("v", "w", "s"),
+            if (sumColsExplicit) Set("v") else Set("v", "w"))
+          case "collapsing" => duckCollapsingSql(t, Seq("v", "s"))
+        }
+        (Some(cc),
+          Some(s"SELECT ${selCols.mkString(", ")} FROM $t FINAL"), Some(sql))
+      }
+
+    Sess(seed, arm, t, ch.result(), finalSelect, modelFinal, collapsed,
+      finSel, duck.result(), duckFinal, duckFinCollapsed)
+  }
+}

@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""DuckDB third leg of the DDL/session fuzz gate.
+
+Reads the JSONL written by `sbt "Test/runMain graft.FuzzDdlDump ..."`
+(one line per seed: {seed, arm, setup, final_sql, rows[, final_sql2,
+rows2]}), replays each session's DuckDB script (CREATE TABLE + INSERT +
+UPDATE/DELETE + collapse swaps) in a fresh in-memory DuckDB, and
+multiset-compares the end state (and, for engine arms, the collapse
+query) against the engine's recorded state.
+
+Usage: python3 tools/fuzz_ddl_duck_check.py <dump.jsonl> [report.json]
+
+Exit 0 on full agreement; exit 1 with per-seed diffs otherwise.
+"""
+import json
+import sys
+from collections import Counter
+from decimal import Decimal
+
+import duckdb
+
+
+def canon_value(v):
+    if v is None:
+        return "<null>"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return "%.6f" % v
+    if isinstance(v, Decimal):
+        return "%.6f" % float(v)
+    return str(v)
+
+
+def canon_rows(rows):
+    return sorted("|".join(canon_value(v) for v in r) for r in rows)
+
+
+def main():
+    dump = sys.argv[1] if len(sys.argv) > 1 else "/tmp/fuzz_ddl.jsonl"
+    report_path = sys.argv[2] if len(sys.argv) > 2 else None
+
+    arms = Counter()
+    mismatches = []
+    errors = []
+    n = 0
+    nonempty = 0
+    for line in open(dump):
+        line = line.strip()
+        if not line:
+            continue
+        rec = json.loads(line)
+        n += 1
+        arms[rec["arm"]] += 1
+        con = duckdb.connect()  # fresh session per seed
+        try:
+            for stmt in rec["setup"]:
+                con.sql(stmt)
+            checks = [("final", rec["final_sql"], rec["rows"])]
+            if rec.get("final_sql2") is not None:
+                checks.append(("collapse", rec["final_sql2"], rec["rows2"]))
+            for label, q, want_raw in checks:
+                got = canon_rows(con.sql(q).fetchall())
+                want = sorted(want_raw)
+                if want:
+                    nonempty += 1
+                if got != want:
+                    mismatches.append({
+                        "seed": rec["seed"], "arm": rec["arm"],
+                        "check": label,
+                        "engine_rows": len(want), "duck_rows": len(got),
+                        "engine_only": [r for r in want if r not in got][:3],
+                        "duck_only": [r for r in got if r not in want][:3],
+                        "sql": q})
+        except Exception as e:  # noqa: BLE001 - report and continue
+            errors.append({"seed": rec["seed"], "arm": rec["arm"],
+                           "error": str(e).split("\n")[0]})
+        finally:
+            con.close()
+
+    ok = not mismatches and not errors
+    print(f"== fuzz-ddl-duck: {n} seeds, {nonempty} non-empty checks, "
+          f"{len(mismatches)} mismatches, {len(errors)} duck errors ==")
+    for m in mismatches[:5]:
+        print(f"seed {m['seed']} ({m['arm']}, {m['check']}): engine "
+              f"{m['engine_rows']} rows vs DuckDB {m['duck_rows']}\n"
+              f"  sql: {m['sql']}\n  engine-only: {m['engine_only']}\n"
+              f"  duck-only: {m['duck_only']}")
+    for e in errors[:5]:
+        print(f"seed {e['seed']} ({e['arm']}) DUCK ERROR: {e['error']}")
+    if report_path:
+        json.dump({
+            "seeds": n, "non_empty_checks": nonempty,
+            "arms": dict(sorted(arms.items())),
+            "mismatches": mismatches, "duck_errors": errors,
+            "agreement": ok,
+        }, open(report_path, "w"), indent=1)
+        print(f"report -> {report_path}")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
