@@ -200,7 +200,7 @@ object Similarity {
     (centRows.map(_.getLong(0)), centRows.map(_.getSeq[Double](1).toArray))
   }
 
-  private def coarseAssigned(
+  private[graft] def coarseAssigned(
       vecs: DataFrame, centroidEvery: Int, nprobe: Int,
       roundTo: Int, maxLiteralCentroids: Int
   ): DataFrame = {
@@ -511,7 +511,19 @@ object Similarity {
     * ([[coarseAssigned]] — row-local argmax, `nprobe` cells per query),
     * ADC ranks survivors from their codes. The scoring join touches only
     * probed-cell code rows; raw vectors are read exactly once (to encode
-    * and assign) and never again. */
+    * and assign) and never again.
+    *
+    * LUT transport (r10 fix, measured while building the ANN
+    * operating-point artifact): the per-query ADC lookup table is m·C
+    * doubles — 8 KB at C=256 — and the old shape carried it as a COLUMN
+    * of the broadcast query side, so every candidate join OUTPUT row
+    * copied the full table (~8 GB of copying at 1M candidates: 26 s
+    * where the ADC math costs <1 s, and the factor GROWS with the
+    * codebook). The LUTs now ship ONCE as a broadcast map keyed by
+    * query id ([[graft.plans.PqLutMap]]); the join carries only
+    * (query_id, cell) and per-candidate cost is O(m) + a hash probe,
+    * independent of C. Query LUTs are computed driver-side — the query
+    * set is broadcast-small by this entry point's contract. */
   def ivfPqTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, pqCentroidEvery: Int, coarseCentroidEvery: Int,
@@ -524,21 +536,43 @@ object Similarity {
     val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val assigned = coarseAssigned(vecs, coarseCentroidEvery, nprobe, roundTo,
       maxLiteralCentroids)
+    // The code table is MATERIALIZED before the candidate join (eager
+    // localCheckpoint — faiss stores the IVFADC index the same way):
+    // left inline, the join's match loop re-evaluated the stream-side
+    // encode+assign projection once per CANDIDATE row, turning the
+    // O(m)-per-candidate ADC contract into O(m·C·dsub) — measured 24 s
+    // vs 0.9 s on a 1M-candidate probe at C=256. The checkpoint costs
+    // one pass over the corpus and stores n·(m+2) small values — the
+    // 64×-compressed index, the artifact a 100 TB pipeline persists
+    // anyway. */
     val cells = assigned.select(
       col("id").as("neighbor_id"),
       element_at(col("__cells"), 1).as("cell"),
       graft.plans.NativeExpressions.pq_encode_bc(col("v"), bc).as("codes"))
-    val queries = assigned.filter(queryPred)
-      .select(col("id").as("query_id"),
-        graft.plans.NativeExpressions.pq_lut_bc(col("v"), bc).as("lut"),
-        explode(col("__cells")).as("cell"))
+      .localCheckpoint(true)
+    // query LUTs: driver-computed, broadcast once, probed by query id
+    val qRows = assigned.filter(queryPred)
+      .select(col("id"), col("v"), col("__cells")).collect()
+    val lutMap = new java.util.HashMap[java.lang.Long, Array[Double]]()
+    qRows.foreach { r =>
+      lutMap.put(java.lang.Long.valueOf(r.getLong(0)),
+        graft.plans.NativeExpressions.pqLutCompute(
+          org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+            r.getSeq[Double](1).toArray), cb).toDoubleArray())
+    }
+    val bcLuts = corpus.sparkSession.sparkContext.broadcast(
+      new graft.plans.PqLutMap(cb.nCentroids, lutMap))
+    import corpus.sparkSession.implicits._
+    val queries = qRows.toSeq
+      .flatMap(r => r.getSeq[Long](2).map(c => (r.getLong(0), c)))
+      .toDF("query_id", "cell")
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
     broadcast(queries).join(cells, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        graft.plans.NativeExpressions.pq_adc(
-          col("lut"), col("codes"), cb.nCentroids, roundTo).as("adist"))
+        graft.plans.NativeExpressions.pq_adc_by_query(
+          col("query_id"), col("codes"), bcLuts, roundTo).as("adist"))
       .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= k).drop("rn")
   }
 }

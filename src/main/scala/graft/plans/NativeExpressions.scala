@@ -1063,6 +1063,50 @@ object NativeExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** ADC via the broadcast query→LUT map: same sum, same rounding as
+    * [[pqAdcCompute]] — only the TRANSPORT differs (the LUT is probed
+    * from the broadcast by query id instead of riding the join as an
+    * 8 KB column copied into every candidate row). */
+  def pqAdcByQueryCompute(qid: Long, codes: ArrayData, m: PqLutMap,
+      roundTo: Int): Double = {
+    val lut = m.luts.get(qid)
+    require(lut != null, s"pq_adc_by_query: no LUT for query id $qid")
+    val mm = codes.numElements()
+    var s = 0.0
+    var j = 0
+    while (j < mm) {
+      s += lut(j * m.c + codes.getInt(j))
+      j += 1
+    }
+    roundHalfUp(s, roundTo)
+  }
+
+  case class PqAdcByQuery(left: Expression, right: Expression,
+      luts: org.apache.spark.broadcast.Broadcast[PqLutMap], roundTo: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(qid: Any, codes: Any): Any =
+      pqAdcByQueryCompute(qid.asInstanceOf[Long],
+        codes.asInstanceOf[ArrayData], luts.value, roundTo)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bcRef = ctx.addReferenceObj("pqLuts", luts,
+        classOf[org.apache.spark.broadcast.Broadcast[PqLutMap]].getName)
+      defineCodeGen(ctx, ev, (q, c) =>
+        s"graft.plans.NativeExpressions.pqAdcByQueryCompute(" +
+          s"$q, $c, (graft.plans.PqLutMap) $bcRef.value(), $roundTo)")
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): PqAdcByQuery =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def pq_adc_by_query(qid: Column, codes: Column,
+      luts: org.apache.spark.broadcast.Broadcast[PqLutMap],
+      roundTo: Int): Column =
+    ColumnBridge.column(PqAdcByQuery(ColumnBridge.expression(qid),
+      ColumnBridge.expression(codes), luts, roundTo))
+
   def pq_encode_bc(vec: Column,
       codebooks: org.apache.spark.broadcast.Broadcast[PqCodebooks]): Column =
     ColumnBridge.column(PqEncodeBC(ColumnBridge.expression(vec), codebooks))
@@ -1226,3 +1270,15 @@ final class PqCodebooks(val m: Int, val dsub: Int,
     "PqCodebooks: all subspaces must hold the same centroid count")
   def nCentroids: Int = cents(0).length
 }
+
+/** Per-query ADC lookup tables keyed by query id, shipped ONCE as a
+  * broadcast. The previous shape carried each query's full LUT (m·C
+  * doubles — 8 KB at C=256) as a COLUMN through the candidate join, so
+  * every join OUTPUT row copied the whole table: at 1M candidate rows
+  * that is ~8 GB of array copying and was measured at 26 s where the
+  * ADC math itself costs under 1 s. Indexing the broadcast by query id
+  * makes the per-candidate cost O(m) + one hash probe, independent of
+  * the codebook size. */
+final class PqLutMap(val c: Int,
+    val luts: java.util.HashMap[java.lang.Long, Array[Double]])
+  extends Serializable

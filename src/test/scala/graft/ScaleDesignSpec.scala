@@ -712,6 +712,16 @@ class ScaleDesignSpec extends AnyFunSuite {
       val key = (r.getLong(0), r.getLong(1))
       assert(exhaustive(key) == r.getDouble(2), s"adist mismatch at $key")
     }
+    // r10 pin: the code table is a MATERIALIZED index (eager
+    // localCheckpoint) — encode/assign must NOT appear in the query
+    // plan, where the join's match loop would re-evaluate them once per
+    // CANDIDATE (measured 24 s vs 0.9 s at C=256 over 1M candidates;
+    // the O(m) per-candidate ADC contract depends on this)
+    val planStr = out.queryExecution.optimizedPlan.toString
+    assert(!planStr.contains("pqencodebc") && !planStr.contains("PqEncode"),
+      "PQ encode must run at index-build time, not inside the candidate join")
+    assert(planStr.contains("ExistingRDD") || planStr.contains("LogicalRDD"),
+      "the candidate join must read the materialized code table")
   }
 
   test("p4 curation chain: chunk + fingerprint stages add zero shuffles") {
