@@ -5503,14 +5503,20 @@ object Queries {
     * iters=1, threshold=0.95)` over embeddings + planted copies (id+10000):
     * ends with `cell1(id, v, cell)` and `dropped(id)`. Used by the v10
     * oracle and composed into the p2 pipeline oracle. */
-  private def semdedupCteBlock: String =
+  /** Shared DuckDB replay of the semDedup k-means cascade. `strideSql`
+    * is the centroid-stride expression: v10 pins the historical literal
+    * 50; p2 derives the √n operating point from the corpus count (the
+    * same GREATEST(1, round(sqrt(n)), n // cap) rule as semDedupAuto /
+    * ivfTopKAuto on the Spark side). */
+  private def semdedupCteBlock(strideSql: String = "50"): String =
     s"""base AS (SELECT vec_id AS id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings
        |  UNION ALL
        |  SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x AS DOUBLE))
        |  FROM embeddings),
-       |cents0 AS (SELECT id AS cid, v AS cv FROM base WHERE id % 50 = 0),
+       |cents0 AS (SELECT id AS cid, v AS cv FROM base
+       |  WHERE id % ($strideSql) = 0),
        |a0 AS (SELECT id, v, cid,
        |  round(${sqlDot("v", "cv")} /
        |    (sqrt(${sqlNormSq("v")}) * sqrt(${sqlNormSq("cv")})), 6) AS csim
@@ -5628,16 +5634,28 @@ object Queries {
     // top-k over the SURVIVING corpus only — the standard
     // dedup-before-index ordering of a production vector pipeline.
     "p2_embedding_pipeline" -> ((s, dir) => {
+      // Both stages on the √n operating point (r10 re-anchor): a fixed
+      // stride-50 grew both codebooks linearly with the corpus, making
+      // the assignment passes O(n²/50) across scale factors — the same
+      // parametrization that blew v3/v5's 10×-data ratios in r8. √n
+      // balances assignment vs within-cell pairwise at O(n^1.5), capped
+      // at 4096 centroids (constant-size regime at extreme scale).
       val emb = tbl(s, dir, "embeddings").select("vec_id", "embedding")
       val copies = emb.select((col("vec_id") + 10000).as("vec_id"),
         col("embedding"))
       val all = emb.unionByName(copies)
-      val kept = graft.operators.Similarity.semDedup(all, "vec_id",
-          "embedding", centroidEvery = 50, iters = 1, threshold = 0.95)
+      // One count feeds semDedupAuto's stride (knownN); the survivor set
+      // is materialized ONCE (localCheckpoint) before indexing — without
+      // it, ivfTopKAuto's count + codebook collect + the final ranking
+      // each re-evaluated the whole k-means/pairwise lineage (a real
+      // pipeline persists the deduped corpus before building the index)
+      val kept = graft.operators.Similarity.semDedupAuto(all, "vec_id",
+          "embedding", iters = 1, threshold = 0.95, knownN = all.count())
         .filter(col("keep")).select(col("id").as("vec_id"))
       val corpus = all.join(kept, Seq("vec_id"), "left_semi")
-      graft.operators.Similarity.ivfTopK(corpus, "vec_id", "embedding",
-          centroidEvery = 50, queryPred = col("id") < 10, k = 3)
+        .localCheckpoint(true)
+      graft.operators.Similarity.ivfTopKAuto(corpus, "vec_id", "embedding",
+          queryPred = col("id") < 10, k = 3)
         .orderBy(col("query_id"), desc("sim"), col("neighbor_id"))
     }))
 
@@ -5796,7 +5814,7 @@ object Queries {
     // → per-(cell,pos) rounded means → re-pack (empty cells keep the old
     // centroid) → final assignment → within-cell near-dup pairs
     "v10_semdedup" ->
-      s"""WITH $semdedupCteBlock
+      s"""WITH ${semdedupCteBlock()}
          |SELECT c.id, c.cell, d.id IS NULL AS keep
          |FROM cell1 c LEFT JOIN dropped d ON d.id = c.id
          |ORDER BY c.id""".stripMargin,
@@ -5828,10 +5846,15 @@ object Queries {
     // pipeline composition: the full semDedup replay feeds the kept set,
     // then the v3 IVF algebra runs over survivors only
     "p2_embedding_pipeline" ->
-      s"""WITH $semdedupCteBlock,
+      s"""WITH ${semdedupCteBlock(
+             "SELECT GREATEST(1, CAST(round(sqrt(count(*))) AS BIGINT), " +
+               "count(*) // 4096) FROM base")},
          |kept AS (SELECT c.id, c.v FROM cell1 c
          |  LEFT JOIN dropped d ON d.id = c.id WHERE d.id IS NULL),
-         |kcents AS (SELECT id AS cid, v AS cv FROM kept WHERE id % 50 = 0),
+         |kcents AS (SELECT id AS cid, v AS cv FROM kept
+         |  WHERE id % (SELECT GREATEST(1,
+         |    CAST(round(sqrt(count(*))) AS BIGINT),
+         |    count(*) // 4096) FROM kept) = 0),
          |kassign AS (SELECT id, v, cid,
          |  round(${sqlDot("v", "cv")} /
          |    (sqrt(${sqlNormSq("v")}) * sqrt(${sqlNormSq("cv")})), 6) AS csim

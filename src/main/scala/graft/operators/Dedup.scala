@@ -130,7 +130,28 @@ object Dedup {
     * BROADCAST the pair-derived side — the corpus is scanned, never
     * shuffled; the O(len²) Levenshtein cost is paid per CANDIDATE, not
     * per corpus pair — exactly the cascade contract (cheap sketches
-    * prune, the expensive exact measure runs on survivors only). */
+    * prune, the expensive exact measure runs on survivors only).
+    *
+    * The matched candidate rows are REPARTITIONED (round-robin) before
+    * the Levenshtein projection: without it the expensive compute fuses
+    * into the broadcast-probe stage and inherits the CORPUS SCAN's
+    * partitioning — a text corpus is bytes-small relative to its verify
+    * cost, so a 10×-data run was observed serializing all Levenshtein
+    * work onto the 1-2 parquet splits of documents.parquet (2/32 cores
+    * busy). Only candidate rows (LSH-bounded) cross this exchange, never
+    * the corpus, so the pinned no-corpus-shuffle contract still holds.
+    * The partition count is EXPLICIT (defaultParallelism): an argless
+    * repartition would let AQE re-coalesce by byte size, and these rows
+    * are exactly the bytes-small / compute-heavy shape AQE mis-sizes.
+    *
+    * The threshold filter carries a value-neutral `rand(seed) * 0.0`
+    * term: a deterministic predicate is substituted through the sim/lev
+    * projections and pushed below the Repartition by PushDownPredicates
+    * (observed: the 10×-data run STILL serialized, with the pushed
+    * filter's levenshtein evaluating on the scan side of the exchange).
+    * A nondeterministic predicate can never be pushed or conjunct-split,
+    * and `+ rand*0.0` is exactly `+ 0.0` for every rand draw in [0,1),
+    * so results are bit-identical. */
   def verifyPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, threshold: Double,
       roundTo: Int = 6): DataFrame = {
@@ -142,6 +163,7 @@ object Dedup {
       .join(broadcast(withA), d(idCol) === withA("id2"))
       .select(col("id1"), col("id2"), col("__ta"),
         col(textCol).as("__tb"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     both
       .select(col("id1"), col("id2"),
         levenshtein(col("__ta"), col("__tb")).cast("long").as("lev"),
@@ -149,7 +171,7 @@ object Dedup {
           .cast("double").as("__mx"))
       .select(col("id1"), col("id2"), col("lev"),
         round(lit(1.0) - col("lev") / col("__mx"), roundTo).as("sim"))
-      .filter(col("sim") >= threshold)
+      .filter(col("sim") >= lit(threshold) + rand(42) * lit(0.0))
   }
 
   /** Incremental exact dedup — the ingestion-time shape: drop new-batch

@@ -507,6 +507,30 @@ object Similarity {
       .select(col("id"), col("cell"), col("__drop").isNull.as("keep"))
   }
 
+  /** [[semDedup]] with the √n operating point — the scale-honest
+    * parametrization. SemDeDup's total cost is assignment O(n·C·d) plus
+    * within-cell pairwise O((n²/C)·d); a FIXED stride (C = n/s) keeps
+    * pairwise linear but makes assignment quadratic across scale
+    * factors (the v3/v5 lesson), while a FIXED C does the reverse
+    * (pairwise cell sizes grow linearly → n²/C pairs). C ≈ √n balances
+    * both terms at O(n^1.5·d) — the minimizer — and `maxCentroids` caps
+    * driver/broadcast state exactly like [[ivfTopKAuto]] (beyond the cap
+    * the codebook is constant-size and assignment is linear again).
+    * Pass `knownN` when the pipeline already knows the corpus size to
+    * skip the extra count scan. */
+  def semDedupAuto(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      iters: Int, threshold: Double, roundTo: Int = 6,
+      maxCentroids: Int = 4096, knownN: Long = -1L
+  ): DataFrame = {
+    val n = if (knownN >= 0) knownN else corpus.count()
+    val bySqrt = math.round(math.sqrt(n.toDouble))
+    val byCap = if (maxCentroids > 0) n / maxCentroids else 0L
+    val every = math.max(1L, math.max(bySqrt, byCap)).toInt
+    semDedup(corpus, idCol, vecCol, every, iters, threshold, roundTo,
+      maxLiteralCentroids = 64)
+  }
+
   /** IVF-PQ (faiss IVFADC): coarse cells prune the candidate set
     * ([[coarseAssigned]] — row-local argmax, `nprobe` cells per query),
     * ADC ranks survivors from their codes. The scoring join touches only

@@ -425,6 +425,35 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(cvs1.zip(cvs2).forall { case (a, b) => a.sameElements(b) })
   }
 
+  test("semDedupAuto: √n stride derivation matches explicit semDedup; knownN elides the count") {
+    // 100 ids on a stride grid → round(sqrt(100)) = 10 = the explicit run
+    def vec(i: Long): Seq[Double] =
+      Seq.tabulate(4)(d => math.sin(i * (d + 1) * 0.37))
+    val df = spark.createDataFrame((0L until 100L).map(i => (i, vec(i))))
+      .toDF("vec_id", "embedding")
+    val auto = Similarity.semDedupAuto(df, "vec_id", "embedding",
+      iters = 1, threshold = 0.999).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    val explicit = Similarity.semDedup(df, "vec_id", "embedding",
+      centroidEvery = 10, iters = 1, threshold = 0.999).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(auto.sameElements(explicit),
+      "auto = semDedup at stride round(sqrt(n)) when the cap doesn't bind")
+    // knownN takes the same path without the extra count scan
+    val known = Similarity.semDedupAuto(df, "vec_id", "embedding",
+      iters = 1, threshold = 0.999, knownN = 100L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(known.sameElements(explicit))
+    // the cap binds: maxCentroids=5 → stride n/5 = 20
+    val capped = Similarity.semDedupAuto(df, "vec_id", "embedding",
+      iters = 1, threshold = 0.999, maxCentroids = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    val cappedExplicit = Similarity.semDedup(df, "vec_id", "embedding",
+      centroidEvery = 20, iters = 1, threshold = 0.999).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(capped.sameElements(cappedExplicit))
+  }
+
   test("quantizeInt8: codes bounded, round-trip error bounded by scale/2, shuffle-free") {
     val rows = Seq(
       (0L, Seq(0.5, -1.0, 0.25, 0.0)),
@@ -539,6 +568,32 @@ class TrainingOpsSpec extends AnyFunSuite {
       case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
       case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
     }.isEmpty, "pair sides must broadcast — the corpus never shuffles")
+    // the Levenshtein stage must NOT inherit the corpus scan's
+    // partitioning: pin the explicit round-robin spread of the matched
+    // candidate rows (bytes-small, compute-heavy — the shape AQE would
+    // re-coalesce if the count were not explicit). Found at 10× data:
+    // all verify work serialized onto the 1-2 parquet splits of the
+    // corpus before this exchange existed. Execute first — under AQE the
+    // pre-execution plan is an opaque AdaptiveSparkPlanExec wrapper.
+    val vp = Dedup.verifyPairs(pairs, docs, "doc_id", "text", 0.5)
+    vp.collect()
+    val finalPlan = vp.queryExecution.executedPlan.toString
+    assert(finalPlan.contains(
+      s"RoundRobinPartitioning(${spark.sparkContext.defaultParallelism})"),
+      s"expected an explicit round-robin spread of candidate rows before " +
+        s"Levenshtein:\n$finalPlan")
+    // ...and the threshold filter must stay ABOVE that exchange: a
+    // deterministic predicate gets substituted through the sim/lev
+    // projections and pushed below the Repartition (PushDownPredicates),
+    // silently re-serializing the Levenshtein onto the corpus-scan
+    // partitions. The rand*0.0 term in verifyPairs exists to block that;
+    // pin the ordering (root-first plan print: filter line before the
+    // exchange line).
+    val filterIdx = finalPlan.indexOf("rand(")
+    val exchIdx = finalPlan.indexOf("RoundRobinPartitioning(")
+    assert(filterIdx >= 0 && filterIdx < exchIdx,
+      s"threshold filter must evaluate above the candidate spread " +
+        s"exchange (filter@$filterIdx, exchange@$exchIdx):\n$finalPlan")
     // the O(len²) Levenshtein is authored ONCE per pair: sim derives from
     // the projected lev column, not a second levenshtein call (advisor
     // r8). Pin the ANALYZED plan — CollapseProject may re-inline the
