@@ -21,10 +21,13 @@ import graft.chsql.ChSql
   * INTERSECT [ALL], EXCEPT [ALL]), FROM-subquery nesting, GROUP BY
   * ROLLUP/CUBE, SELECT DISTINCT, [NOT] IN (subquery) semi/anti planning,
   * WITH-CTEs, and the minIf/maxIf/sum(DISTINCT) aggregate arms.
+  * r10 additions: SAMPLE k/m [OFFSET o/m] (text-path bucket windows,
+  * mod-window WHERE twin) and sub-second INTERVAL units
+  * (addMilliseconds/addMicroseconds vs the shared ANSI interval literal).
   * Not generated here (no Spark-SQL twin exists to compare against):
-  * WITH RECURSIVE (Spark SQL lacks it), FINAL/SAMPLE (need DDL-armed
-  * tables), -Array combinators (need array fixtures) — those stay pinned
-  * by their ch* oracle rows.
+  * WITH RECURSIVE (Spark SQL lacks it), FINAL (needs DDL-armed tables),
+  * -Array combinators (need array fixtures) — those stay pinned by their
+  * ch* oracle rows.
   *
   * Failures print the seed and BOTH texts — the seed is the shrinker
   * (re-run with one seed, then prune grammar choices by hand).
@@ -727,6 +730,56 @@ private[graft] object FuzzGrammar {
       P(q(fold(fch)), q(fold(fsp)))
     }
 
+    /** SAMPLE k/m [OFFSET o/m] arm (r10) — the deterministic bucket
+      * window of the text path (`sampleBuckets`: pmod(key, m) ∈
+      * [o, o+k)), twinned as an explicit mod-window WHERE. Exercises the
+      * ratio parser, the offset scaling, and the r10 overflow guards'
+      * happy path; the refusal paths (k=0, >Int.MaxValue denominators)
+      * are pinned in ChSqlSpec — a parity arm must generate only valid
+      * windows. SETTINGS rides last, after ORDER BY/LIMIT. */
+    def sampleOffsetQuery(): P = {
+      val m = pick(Seq(5, 7, 8, 10, 16))
+      val k = int(1, m - 1)
+      val off = if (chance(0.6)) int(0, m - k) else 0
+      val offCh = if (off == 0 && chance(0.5)) "" else s" OFFSET $off/$m"
+      val p = pred(1)
+      val n = int(5, 150)
+      val ch =
+        s"SELECT o_orderkey AS ck, (o_custkey % 97) AS g FROM orders " +
+          s"SAMPLE $k/$m$offCh WHERE ${p.ch} ORDER BY ck LIMIT $n " +
+          s"SETTINGS graft_sample_key = 'o_orderkey'"
+      def tw(w: String) =
+        s"SELECT o_orderkey AS ck, (o_custkey % 97) AS g FROM orders " +
+          s"WHERE (o_orderkey % $m) >= $off AND (o_orderkey % $m) < ${off + k} " +
+          s"AND ($w) ORDER BY ck LIMIT $n"
+      P(ch, tw(p.sp))
+    }
+
+    /** Sub-second INTERVAL arm (r10, the ch86 surface): CH's
+      * addMilliseconds/addMicroseconds function forms against the ANSI
+      * interval-literal spelling, which Spark and DuckDB share. µs is the
+      * floor of both engines' timestamp precision, so values compare
+      * exactly. */
+    def subsecondQuery(): P = {
+      val mnt = int(1, 50000)
+      val ms = int(1, 999); val us = int(1, 999)
+      val (unitFn, unitLit, amt) =
+        if (chance(0.5)) ("addMilliseconds", "MILLISECOND", ms)
+        else ("addMicroseconds", "MICROSECOND", us)
+      val (fch, fsp) = filters()
+      val n = int(5, 120)
+      val base = s"o_orderdate + INTERVAL $mnt MINUTE"
+      val ch =
+        s"SELECT o_orderkey AS ck, $unitFn($base, $amt) AS t1, " +
+          s"$base + INTERVAL $amt $unitLit AS t2 FROM orders" +
+          s"$fch ORDER BY ck LIMIT $n"
+      val tw =
+        s"SELECT o_orderkey AS ck, $base + INTERVAL $amt $unitLit AS t1, " +
+          s"$base + INTERVAL $amt $unitLit AS t2 FROM orders" +
+          s"$fsp ORDER BY ck LIMIT $n"
+      P(ch, tw)
+    }
+
     // arm order is LOAD-BEARING: pick() consumes one draw, so the seed
     // space stays stable as long as this list keeps its order
     private val arms: Seq[(String, () => P)] = Seq(
@@ -750,7 +803,9 @@ private[graft] object FuzzGrammar {
       "case_order" -> (() => caseOrderQuery()),
       "time_arith" -> (() => timeArithQuery()),
       "scalar_sub" -> (() => scalarSubQuery()),
-      "like" -> (() => likeQuery()))
+      "like" -> (() => likeQuery()),
+      "sample_offset" -> (() => sampleOffsetQuery()),
+      "subsecond" -> (() => subsecondQuery()))
 
     def namedQuery(): (String, P) = { val (n, f) = pick(arms); (n, f()) }
     def query(): P = namedQuery()._2
