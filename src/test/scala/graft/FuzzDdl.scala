@@ -50,7 +50,7 @@ private[graft] object FuzzDdl {
 
   val armNames: Seq[String] = Seq("mt_plain", "mt_nullable", "mt_part",
     "mt_defaults", "replacing_ver", "replacing_nover", "summing",
-    "collapsing")
+    "collapsing", "versioned", "aggregating")
 
   /** Render a typed model value for multiset comparison — the same rules
     * as FuzzGrammar.canon / the python leg's canon_value. */
@@ -131,6 +131,36 @@ private[graft] object FuzzDdl {
       }
     }.toSeq
 
+  /** VersionedCollapsingMergeTree(sgn, ver): the same ±sign collapse,
+    * with the VERSION column joining the grouping key — distinct versions
+    * of a key all survive (mirrors engineCollapse's
+    * `selectCollapsed(df, keys :+ version, sign)`).
+    * Layout: (k, ver, sgn, p1, …). */
+  private def collapseVersioned(rows: Seq[Seq[Any]]): Seq[Seq[Any]] =
+    rows.groupBy(r => (r.head, r(1))).valuesIterator.flatMap { grp =>
+      val net = grp.map(r => asL(r(2))).sum
+      if (net == 0L) None
+      else {
+        val ord = Ordering.fromLessThan[Seq[Any]]((a, b) => cmpTuple(a, b) < 0)
+        val payload =
+          if (net > 0L) grp.filter(r => asL(r(2)) > 0L).map(_.drop(3)).max(ord)
+          else grp.filter(r => asL(r(2)) < 0L).map(_.drop(3)).min(ord)
+        Some((grp.head.head +: grp.head(1) +:
+          ((if (net > 0L) 1L else -1L): Any) +: payload).toSeq)
+      }
+    }.toSeq
+
+  /** AggregatingMergeTree over SimpleAggregateFunction columns: the value
+    * IS the state, so merge folds the PLAIN function per key —
+    * ChOps.selectAggregated. Layout: (k, v sum, w max, s min). */
+  private def collapseAggregating(rows: Seq[Seq[Any]]): Seq[Seq[Any]] =
+    rows.groupBy(_.head).valuesIterator.map { grp =>
+      Seq[Any](grp.head.head,
+        grp.map(r => asL(r(1))).sum,
+        grp.map(r => asL(r(2))).max,
+        grp.map(_(3).asInstanceOf[String]).min)
+    }.toSeq
+
   // ---- duck collapse SQL (CREATE tmp AS <collapse> / swap) ----
 
   private def duckSwap(t: String, collapseSql: String): Seq[String] = Seq(
@@ -172,6 +202,28 @@ private[graft] object FuzzDdl {
       s"LEFT JOIN __neg g ON g.k = n.k AND g.rn = 1 WHERE n.net <> 0"
   }
 
+  private def duckVersionedSql(t: String, payload: Seq[String]): String = {
+    val desc = payload.map(c => s"$c DESC").mkString(", ")
+    val asc = payload.map(c => s"$c ASC").mkString(", ")
+    val pl = payload.mkString(", ")
+    val outs = payload.map(c =>
+      s"CASE WHEN n.net > 0 THEN p.$c ELSE g.$c END AS $c").mkString(", ")
+    s"WITH __net AS (SELECT k, ver, sum(sgn) AS net FROM $t GROUP BY k, ver), " +
+      s"__pos AS (SELECT k, ver, $pl, row_number() OVER (PARTITION BY k, ver " +
+      s"ORDER BY $desc) AS rn FROM $t WHERE sgn > 0), " +
+      s"__neg AS (SELECT k, ver, $pl, row_number() OVER (PARTITION BY k, ver " +
+      s"ORDER BY $asc) AS rn FROM $t WHERE sgn < 0) " +
+      s"SELECT n.k AS k, n.ver AS ver, CAST(CASE WHEN n.net > 0 THEN 1 " +
+      s"ELSE -1 END AS TINYINT) AS sgn, $outs FROM __net n " +
+      s"LEFT JOIN __pos p ON p.k = n.k AND p.ver = n.ver AND p.rn = 1 " +
+      s"LEFT JOIN __neg g ON g.k = n.k AND g.ver = n.ver AND g.rn = 1 " +
+      s"WHERE n.net <> 0"
+  }
+
+  private def duckAggregatingSql(t: String): String =
+    s"SELECT k, CAST(sum(v) AS BIGINT) AS v, max(w) AS w, min(s) AS s " +
+      s"FROM $t GROUP BY k"
+
   // =================== the generator ===================
 
   def gen(seed: Int): Sess = {
@@ -179,8 +231,8 @@ private[graft] object FuzzDdl {
     def int(lo: Int, hi: Int): Int = lo + rnd.nextInt(hi - lo + 1)
     def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.size))
     def chance(p: Double): Boolean = rnd.nextDouble() < p
-    // deterministic arm cycling: every 8 consecutive seeds cover every
-    // arm — no uniformity trap to fall into (the r9 lesson)
+    // deterministic arm cycling: every armNames.size consecutive seeds
+    // cover every arm — no uniformity trap to fall into (the r9 lesson)
     val arm = armNames((seed - 1) % armNames.size)
     val t = s"fz_ddl_$seed"
     val words = Seq("ab", "cd", "ee", "mn", "zz")
@@ -208,6 +260,13 @@ private[graft] object FuzzDdl {
       case "collapsing" => Seq(Col("k", "Int64", "BIGINT"),
         Col("sgn", "Int8", "TINYINT"), Col("v", "Int64", "BIGINT"),
         Col("s", "String", "VARCHAR"))
+      case "versioned" => Seq(Col("k", "Int64", "BIGINT"),
+        Col("ver", "Int64", "BIGINT"), Col("sgn", "Int8", "TINYINT"),
+        Col("v", "Int64", "BIGINT"), Col("s", "String", "VARCHAR"))
+      case "aggregating" => Seq(Col("k", "Int64", "BIGINT"),
+        Col("v", "SimpleAggregateFunction(sum, Int64)", "BIGINT"),
+        Col("w", "SimpleAggregateFunction(max, Int64)", "BIGINT"),
+        Col("s", "SimpleAggregateFunction(min, String)", "VARCHAR"))
     }
     var storedCols = cols // may grow via ADD COLUMN
     def idx(c: String): Int = storedCols.indexWhere(_.name == c)
@@ -226,6 +285,8 @@ private[graft] object FuzzDdl {
         case "summing" =>
           if (sumColsExplicit) "SummingMergeTree(v)" else "SummingMergeTree"
         case "collapsing" => "CollapsingMergeTree(sgn)"
+        case "versioned" => "VersionedCollapsingMergeTree(sgn, ver)"
+        case "aggregating" => "AggregatingMergeTree"
         case _ => "MergeTree"
       }
       val tail = (if (arm == "mt_part") " PARTITION BY p" else "") +
@@ -313,7 +374,7 @@ private[graft] object FuzzDdl {
 
     // ---- mutation / maintenance phase ----
     val engineArm = Set("replacing_ver", "replacing_nover", "summing",
-      "collapsing")(arm)
+      "collapsing", "versioned", "aggregating")(arm)
     def collapseNow(rs: Seq[Seq[Any]]): Seq[Seq[Any]] = arm match {
       case "replacing_ver" => collapseReplacingVer(rs)
       case "replacing_nover" => collapseReplacingNoVer(rs)
@@ -322,6 +383,8 @@ private[graft] object FuzzDdl {
           else Set(idx("v"), idx("w"))
         collapseSumming(rs, sumIdx)
       case "collapsing" => collapseCollapsing(rs)
+      case "versioned" => collapseVersioned(rs)
+      case "aggregating" => collapseAggregating(rs)
       case _ => rs
     }
 
@@ -444,6 +507,8 @@ private[graft] object FuzzDdl {
         case "summing" => duckSummingSql(t, Seq("v", "w", "s"),
           if (sumColsExplicit) Set("v") else Set("v", "w"))
         case "collapsing" => duckCollapsingSql(t, Seq("v", "s"))
+        case "versioned" => duckVersionedSql(t, Seq("v", "s"))
+        case "aggregating" => duckAggregatingSql(t)
       }
       duck ++= duckSwap(t, collapseSql)
       val cc = collapseNow(rows.toSeq)
@@ -483,6 +548,8 @@ private[graft] object FuzzDdl {
           case "summing" => duckSummingSql(t, Seq("v", "w", "s"),
             if (sumColsExplicit) Set("v") else Set("v", "w"))
           case "collapsing" => duckCollapsingSql(t, Seq("v", "s"))
+          case "versioned" => duckVersionedSql(t, Seq("v", "s"))
+          case "aggregating" => duckAggregatingSql(t)
         }
         (Some(cc),
           Some(s"SELECT ${selCols.mkString(", ")} FROM $t FINAL"), Some(sql))

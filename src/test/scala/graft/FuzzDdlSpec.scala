@@ -28,9 +28,9 @@ class FuzzDdlSpec extends AnyFunSuite {
     graft.chsql.ChSql.statement(spark, s)(resolve)._1.collect().toSeq
   }
 
-  // CI runs 24 seeds (3 per arm); GRAFT_FUZZ_DDL_SEEDS=N extends the hunt
+  // CI runs 30 seeds (3 per arm); GRAFT_FUZZ_DDL_SEEDS=N extends the hunt
   private val nSeeds =
-    sys.env.get("GRAFT_FUZZ_DDL_SEEDS").map(_.toInt).getOrElse(24)
+    sys.env.get("GRAFT_FUZZ_DDL_SEEDS").map(_.toInt).getOrElse(30)
 
   test(s"$nSeeds generated DDL sessions: model, SHOW CREATE round-trip, " +
       "FINAL ≡ OPTIMIZE FINAL") {
@@ -92,8 +92,8 @@ class FuzzDdlSpec extends AnyFunSuite {
     // are legitimate but must not dominate)
     assert(nonEmpty >= nSeeds / 2,
       s"only $nonEmpty/$nSeeds sessions ended non-empty")
-    // arm coverage: arms cycle with the seed, so any N >= 8 consecutive
-    // seeds cover all of them — this guards future arm-count changes
+    // arm coverage: arms cycle with the seed, so any N >= armNames.size
+    // consecutive seeds cover all of them — guards future arm-count changes
     val missed = FuzzDdl.armNames.filterNot(armHits.contains)
     assert(missed.isEmpty,
       s"arms never generated in $nSeeds seeds: ${missed.mkString(", ")}")
