@@ -594,6 +594,16 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(filterIdx >= 0 && filterIdx < exchIdx,
       s"threshold filter must evaluate above the candidate spread " +
         s"exchange (filter@$filterIdx, exchange@$exchIdx):\n$finalPlan")
+    // the rand*0.0 barrier term is value-neutral at the EXACT boundary:
+    // sim == threshold must be kept (>= semantics), every run
+    val bd = Seq((0L, "ab"), (1L, "aa")).toDF("doc_id", "text")
+    val bp = Seq((0L, 1L)).toDF("id1", "id2")
+    (1 to 3).foreach { _ =>
+      val r = Dedup.verifyPairs(bp, bd, "doc_id", "text", threshold = 0.5)
+        .collect()
+      assert(r.length == 1 && r(0).getDouble(3) == 0.5,
+        "lev=1/max=2 → sim exactly 0.5 must pass threshold 0.5")
+    }
     // the O(len²) Levenshtein is authored ONCE per pair: sim derives from
     // the projected lev column, not a second levenshtein call (advisor
     // r8). Pin the ANALYZED plan — CollapseProject may re-inline the
