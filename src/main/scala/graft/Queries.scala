@@ -6090,7 +6090,21 @@ object Queries {
           graft.functions.PortableHash.charFold(concat_ws(" ",
             TextAnalysis.bpeEncode(col("text"), bpeSnapshotMerges)))
             .as("fp"))
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // IVF with a TRAINED coarse codebook (closes the r10 operating-point
+    // artifact's caveat: the stride codebook was the measured recall
+    // CEILING of the fixed-C family). Same constant C = 10 and nprobe=2
+    // as v5, one deterministic Lloyd round over the stride init — the
+    // serving plan (assignment + cell join) is identical to v3/v5, only
+    // the codebook VALUES differ. knownN from parquet footers.
+    "v13_ivf_trained" -> ((s, dir) =>
+      graft.operators.Similarity.ivfTopKTrained(
+          tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          c = 10, iters = 1, queryPred = col("id") < 10, k = 3, nprobe = 2,
+          knownN = graft.operators.Similarity.parquetRowCount(
+            s, s"$dir/embeddings.parquet"))
+        .orderBy(col("query_id"), desc("sim"), col("neighbor_id"))))
 
   /** 12-merge BPE model snapshot trained by
     * `Test/runMain graft.BpeSnapshotMain /root/testdata/sf0.01 12`
@@ -6356,6 +6370,48 @@ object Queries {
          |  ${sqlCharFold("array_to_string(pieces, ' ')")} AS fp
          |FROM enc ORDER BY doc_id""".stripMargin
     },
+
+    // v3's serving algebra over a TRAINED codebook: one k-means round
+    // (stride init n/10 → rounded per-cell means, the v10 replay), then
+    // the identical assign/probe/top-k chain at nprobe=2. Queries probe
+    // their top-2 cells (rn <= 2); corpus rows live in their top-1.
+    "v13_ivf_trained" ->
+      s"""WITH vecs AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |cents0 AS (SELECT id AS cid, v AS cv FROM vecs
+         |  WHERE id % (SELECT GREATEST(1, count(*) // 10) FROM vecs) = 0),
+         |a0 AS (SELECT id, v, cid,
+         |  round(${sqlDot("v", "cv")} /
+         |    (sqrt(${sqlNormSq("v")}) * sqrt(${sqlNormSq("cv")})), 6) AS csim
+         |  FROM vecs CROSS JOIN cents0),
+         |cell0 AS (SELECT id, v, cid AS cell FROM (
+         |  SELECT id, v, cid, row_number() OVER (PARTITION BY id
+         |    ORDER BY csim DESC, cid) AS rn FROM a0) WHERE rn = 1),
+         |m0 AS (SELECT cell, pos, round(avg(x), 6) AS m FROM (
+         |    SELECT cell, unnest(v) AS x, unnest(range(0, len(v))) AS pos
+         |    FROM cell0) GROUP BY cell, pos),
+         |p0 AS (SELECT cell, list(m ORDER BY pos) AS mv FROM m0 GROUP BY cell),
+         |cents1 AS (SELECT cid, coalesce(p0.mv, cv) AS cv
+         |  FROM cents0 LEFT JOIN p0 ON p0.cell = cents0.cid),
+         |a1 AS (SELECT id, v, cid,
+         |  round(${sqlDot("v", "cv")} /
+         |    (sqrt(${sqlNormSq("v")}) * sqrt(${sqlNormSq("cv")})), 6) AS csim
+         |  FROM vecs CROSS JOIN cents1),
+         |rk1 AS (SELECT id, v, cid, row_number() OVER (PARTITION BY id
+         |    ORDER BY csim DESC, cid) AS rn FROM a1),
+         |corp AS (SELECT id, v, cid AS cell FROM rk1 WHERE rn = 1),
+         |qp AS (SELECT id AS query_id, v AS qv, cid AS cell FROM rk1
+         |  WHERE rn <= 2 AND id < 10),
+         |scored AS (SELECT query_id, c.id AS neighbor_id,
+         |  round(${sqlDot("qv", "c.v")} /
+         |    (sqrt(${sqlNormSq("qv")}) * sqrt(${sqlNormSq("c.v")})), 6) AS sim
+         |  FROM qp JOIN corp c USING (cell) WHERE query_id <> c.id),
+         |rk AS (SELECT query_id, neighbor_id, sim, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, sim FROM rk WHERE rn <= 3
+         |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin,
 
     "t20_verify_pairs" ->
       """WITH d AS (SELECT doc_id, text FROM documents),

@@ -215,7 +215,25 @@ object Similarity {
       maxLiteralCentroids: Int = 64
   ): DataFrame = {
     val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val assigned = coarseAssigned(vecs, centroidEvery, nprobe, roundTo,
+    val (cids, cvs) = strideCodebook(vecs, centroidEvery)
+    ivfTopKWith(corpus, idCol, vecCol, cids, cvs, queryPred, k, roundTo,
+      nprobe, maxLiteralCentroids)
+  }
+
+  /** [[ivfTopK]] serving over a caller-supplied coarse codebook — the
+    * index/serve split: any (ids, vectors) codebook plugs into the same
+    * row-local assignment + cell-join pipeline. All `ivfTopK*` presets
+    * route through here; it is also the natural entry point for a
+    * PERSISTED codebook (train once, serve many — the faiss workflow). */
+  private[graft] def ivfTopKWith(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cids: Array[Long], cvs: Array[Array[Double]],
+      queryPred: Column, k: Int,
+      roundTo: Int = 6, nprobe: Int = 1,
+      maxLiteralCentroids: Int = 64
+  ): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val assigned = assignWith(vecs, cids, cvs, nprobe, roundTo,
       maxLiteralCentroids)
     // corpus vectors live in exactly their nearest cell (element 1);
     // queries probe their nprobe nearest cells
@@ -282,6 +300,38 @@ object Similarity {
     val n = if (knownN >= 0) knownN else corpus.count()
     val every = math.max(1L, n / c).toInt
     ivfTopK(corpus, idCol, vecCol, every, queryPred, k, roundTo, nprobe)
+  }
+
+  /** [[ivfTopK]] with a TRAINED coarse codebook: k-means
+    * ([[kmeansCodebook]], stride init at C ≈ `c` cells, `iters` Lloyd
+    * rounds) replaces the raw stride sample. The ANN operating-point
+    * artifact (ANN_OPERATING_POINTS.json, r10) measured the stride
+    * codebook as the recall CEILING of the fixed-C family — stride cells
+    * follow the id layout, not the data distribution, so raising `c`
+    * bought no recall. Training buys recall at IDENTICAL serving cost:
+    * the trained codebook has the same size, so assignment, probe
+    * fraction, and the candidate join are byte-for-byte the same plan.
+    * Training cost is `iters` × (one row-local assignment scan + one
+    * bounded element-wise mean shuffle) — linear in n at constant C, and
+    * at 100 TB it runs on a SAMPLE anyway (k-means quality saturates far
+    * below full-corpus n; pass the sample as `corpus` and serve the
+    * returned plan, or persist the codebook and call [[ivfTopKWith]]).
+    * `knownN` skips the sizing count — same contract as
+    * [[ivfTopKFixedC]]. */
+  def ivfTopKTrained(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      c: Int, iters: Int, queryPred: Column, k: Int,
+      roundTo: Int = 6, nprobe: Int = 1, knownN: Long = -1L,
+      maxLiteralCentroids: Int = 64
+  ): DataFrame = {
+    require(c > 0, s"ivfTopKTrained: need c > 0 cells, got $c")
+    require(iters >= 0, s"ivfTopKTrained: need iters >= 0, got $iters")
+    val n = if (knownN >= 0) knownN else corpus.count()
+    val every = math.max(1L, n / c).toInt
+    val (cids, cvs) = kmeansCodebook(corpus, idCol, vecCol, every, iters,
+      roundTo, maxLiteralCentroids)
+    ivfTopKWith(corpus, idCol, vecCol, cids, cvs, queryPred, k, roundTo,
+      nprobe, maxLiteralCentroids)
   }
 
   /** Bucketed approximate all-pairs: candidate pairs share a bucket;

@@ -112,6 +112,29 @@ object AnnOperatingPoints {
         System.err.println(s"  ivf c=$c np=$np: ${f"$sec%.3f"}s recall=${f"$r%.4f"}")
       }
 
+      // TRAINED coarse codebook (r10 follow-through on this artifact's
+      // own caveat: the stride codebook is the fixed-C family's recall
+      // ceiling). Training is timed SEPARATELY — a real index trains
+      // once and serves many query batches — and serving reuses the
+      // byte-identical ivfTopKWith plan as the stride tiers, so any
+      // recall delta at equal serve cost is the codebook's quality.
+      for (c <- Seq(10, 32)) {
+        val every = math.max(1L, n / c).toInt
+        val t0 = System.nanoTime()
+        val (cids, cvs) = Similarity.kmeansCodebook(emb, "vec_id",
+          "embedding", every, iters = 2)
+        val trainSec = (System.nanoTime() - t0) / 1e9
+        for (np <- Seq(1, 2)) {
+          val (sec, df) = timed(() =>
+            Similarity.ivfTopKWith(emb, "vec_id", "embedding", cids, cvs,
+              queryPred = qPred, k = k, nprobe = np))
+          val r = meanRecall(exact, df)
+          cells += s"""  "ivf_trained_c${c}_iters2_nprobe$np": {"sec": ${f"$sec%.3f"}, "train_sec": ${f"$trainSec%.3f"}, "recall_at_10": ${f"$r%.4f"}}"""
+          System.err.println(s"  ivf-trained c=$c np=$np: ${f"$sec%.3f"}s" +
+            s" (train ${f"$trainSec%.3f"}s) recall=${f"$r%.4f"}")
+        }
+      }
+
       // PQ tiers rank by ADC distance: measure them against the exact
       // L2 top-10 (their own metric), with that ground truth's cost
       // recorded alongside

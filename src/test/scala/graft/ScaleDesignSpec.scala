@@ -453,6 +453,30 @@ class ScaleDesignSpec extends AnyFunSuite {
       spark.read.parquet(embPath).count())
   }
 
+  test("ivfTopKTrained: serving plan has the stride preset's exact shape") {
+    // Training buys recall at IDENTICAL serving cost — that claim is a
+    // plan property, not a benchmark: the trained codebook differs from
+    // the stride one in VALUES only, so the served operator sequence,
+    // shuffle count, and join strategy must be byte-for-byte the same
+    // shape. (Recall itself is measured, not asserted:
+    // ANN_OPERATING_POINTS.json.)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val n = emb.count()
+    def nodeSeq(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect { case p => p.nodeName }.toSeq
+    val stride = Similarity.ivfTopKFixedC(emb, "vec_id", "embedding",
+      c = 10, queryPred = col("id") < 5, k = 3, nprobe = 2, knownN = n)
+    val trained = Similarity.ivfTopKTrained(emb, "vec_id", "embedding",
+      c = 10, iters = 1, queryPred = col("id") < 5, k = 3, nprobe = 2,
+      knownN = n)
+    assert(nodeSeq(trained) == nodeSeq(stride),
+      s"serving plans diverge:\n${nodeSeq(trained)}\nvs\n${nodeSeq(stride)}")
+    assert(shuffleCount(trained) == 1) // still only the final top-k window
+    assert(trained.queryExecution.executedPlan.collect {
+      case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+    assert(trained.count() > 0)
+  }
+
   test("IVF broadcast codebook: no literal blowup at C=10k, BNLJ-free, same results") {
     // 12k-vector corpus with centroidEvery=1 → a 12k-entry codebook: far
     // past maxLiteralCentroids, so the codebook must ride as a broadcast

@@ -454,6 +454,45 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(capped.sameElements(cappedExplicit))
   }
 
+  test("ivfTopKTrained: iters=0 is exactly the stride preset; training is deterministic and exercised") {
+    def vec(i: Long): Seq[Double] =
+      Seq.tabulate(4)(d => math.sin(i * (d + 1) * 0.37))
+    val df = spark.createDataFrame((0L until 120L).map(i => (i, vec(i))))
+      .toDF("vec_id", "embedding")
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    // zero Lloyd rounds: the stride init IS the codebook → byte-identical
+    // to ivfTopKFixedC at the same (c, nprobe)
+    val t0 = canon(Similarity.ivfTopKTrained(df, "vec_id", "embedding",
+      c = 6, iters = 0, queryPred = col("id") < 5, k = 3, nprobe = 2).collect())
+    val fx = canon(Similarity.ivfTopKFixedC(df, "vec_id", "embedding",
+      c = 6, queryPred = col("id") < 5, k = 3, nprobe = 2).collect())
+    assert(t0.sameElements(fx), "iters=0 must equal the stride preset")
+    // training must actually move the codebook on non-degenerate data
+    // (else the preset silently serves the stride cells)
+    val every = 120 / 6
+    val (_, strideCvs) = Similarity.kmeansCodebook(df, "vec_id", "embedding",
+      centroidEvery = every, iters = 0)
+    val (cids1, cvs1) = Similarity.kmeansCodebook(df, "vec_id", "embedding",
+      centroidEvery = every, iters = 1)
+    assert(strideCvs.zip(cvs1).exists { case (a, b) => !a.sameElements(b) },
+      "one Lloyd round left every centroid untouched")
+    // trained serving: deterministic across runs, k-bounded, self-free,
+    // sims within [-1, 1]
+    def trained() = canon(Similarity.ivfTopKTrained(df, "vec_id", "embedding",
+      c = 6, iters = 2, queryPred = col("id") < 5, k = 3, nprobe = 2,
+      knownN = 120L).collect())
+    val a = trained(); val b = trained()
+    assert(a.sameElements(b), "trained serving must be deterministic")
+    assert(a.groupBy(_._1).values.forall(_.length <= 3))
+    assert(a.forall(t => t._1 != t._2 && t._3 >= -1.0 && t._3 <= 1.0))
+    // knownN path agrees with the counted path
+    val c2 = canon(Similarity.ivfTopKTrained(df, "vec_id", "embedding",
+      c = 6, iters = 2, queryPred = col("id") < 5, k = 3, nprobe = 2).collect())
+    assert(a.sameElements(c2))
+  }
+
   test("quantizeInt8: codes bounded, round-trip error bounded by scale/2, shuffle-free") {
     val rows = Seq(
       (0L, Seq(0.5, -1.0, 0.25, 0.0)),
