@@ -1481,6 +1481,10 @@ object ChDdl {
       // metadata layer); a table format would make it metadata-only
       val c = clause.split("\\s+").last
       rewriteSwap(spark, name)(Mutations.dropColumn(_, c))
+      // scrub the column's metadata: a surviving graft.default.<c> would
+      // silently RESURRECT the old default if the column is later
+      // re-ADDed, and a stale graft.columns entry pollutes declared order
+      rekeyColProps(spark, name, c, None)
       status(s"dropped column $c from $name")
     } else if (up.startsWith("RENAME COLUMN")) {
       // CH renames are metadata, but plain parquet resolves columns BY
@@ -1490,6 +1494,12 @@ object ChDdl {
       val m = "(?is)^RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)$".r
         .findFirstMatchIn(clause).get
       rewriteSwap(spark, name)(Mutations.renameColumn(_, m.group(1), m.group(2)))
+      // re-key column-scoped metadata: a stale old name in graft.columns
+      // silently REORDERS positional INSERT binding (the renamed column
+      // drops out of the declared list and re-appends at the end, so
+      // later positional INSERTs bind values to the wrong columns —
+      // found by the r10 DDL fuzz gate, col_alter arm, seeds 237/349)
+      rekeyColProps(spark, name, m.group(1), Some(m.group(2)))
       status(s"renamed column ${m.group(1)} to ${m.group(2)} in $name")
     } else if (up.startsWith("MODIFY COLUMN")) {
       val m = "(?is)^MODIFY\\s+COLUMN\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)\\s+(.*)$".r
@@ -1763,6 +1773,20 @@ object ChDdl {
   /** Merge-move every child of `src` into `dst` (rename when `dst` is
     * absent — O(1); per-file renames when parts already live there, the
     * CH attach-into-existing-partition case). Metadata-only either way. */
+  /** Structural schema equality for partition exchange verbs: column
+    * names and data types, in order — NOT nullability or metadata.
+    * Rewriting mutations (OPTIMIZE, ALTER UPDATE/DELETE via rewriteSwap)
+    * re-register the table from a DataFrame write, which relaxes declared
+    * NOT-NULL columns to nullable; the strict `schema ==` compare then
+    * rejected MOVE/REPLACE between two identically-CREATEd tables merely
+    * because one of them had been compacted (found by the r10 DDL fuzz
+    * gate, move_replace arm). */
+  private def structurallyEqual(spark: SparkSession, a: String,
+      b: String): Boolean = {
+    def shape(n: String) = spark.table(n).schema.map(f => (f.name, f.dataType))
+    shape(a) == shape(b)
+  }
+
   private def moveDirInto(fs: org.apache.hadoop.fs.FileSystem,
       src: org.apache.hadoop.fs.Path,
       dst: org.apache.hadoop.fs.Path): Unit = {
@@ -1828,7 +1852,7 @@ object ChDdl {
     require(spark.catalog.tableExists(dest), s"ChSql: unknown table '$dest'")
     require(partitionCols(spark, name) == partitionCols(spark, dest),
       s"ChSql: MOVE PARTITION: $name and $dest have different partition keys")
-    require(spark.table(name).schema == spark.table(dest).schema,
+    require(structurallyEqual(spark, name, dest),
       s"ChSql: MOVE PARTITION: $name and $dest have different schemas")
     val rel = partitionRelDir(spark, name, vals)
     val src = new org.apache.hadoop.fs.Path(tableLocation(spark, name), rel)
@@ -1849,7 +1873,7 @@ object ChDdl {
   private def replacePartition(spark: SparkSession, name: String,
       vals: Seq[String], from: String): String = {
     require(spark.catalog.tableExists(from), s"ChSql: unknown table '$from'")
-    require(spark.table(name).schema == spark.table(from).schema,
+    require(structurallyEqual(spark, name, from),
       s"ChSql: REPLACE PARTITION: $name and $from have different schemas")
     val rel = partitionRelDir(spark, name, vals)
     val src = new org.apache.hadoop.fs.Path(tableLocation(spark, from), rel)
@@ -2233,6 +2257,39 @@ object ChDdl {
     * (background part rewrite, then metadata commit). Engine properties
     * survive the swap. Distributed end to end; the transforms themselves
     * (filter / conditional withColumn) are row-local, no shuffle. */
+  /** Re-key (rename) or scrub (drop) the column-scoped table metadata
+    * after a column DDL rewrite: the declared INSERT/SHOW CREATE order in
+    * `graft.columns` and the per-column expression properties
+    * (`graft.{default,materialized,alias,aliastype}.<col>`). rewriteSwap
+    * re-applies the pre-rewrite properties verbatim, so without this a
+    * RENAME leaves the OLD name in the declared list — positional INSERT
+    * then binds values to the wrong columns — and a DROP leaves a stale
+    * default that would resurrect on a later re-ADD. */
+  private def rekeyColProps(spark: SparkSession, name: String,
+      from: String, to: Option[String]): Unit = {
+    val props = tablePropsSafe(spark, name)
+    val sets = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val unsets = scala.collection.mutable.ArrayBuffer.empty[String]
+    props.get("graft.columns").foreach { cs =>
+      val cur = cs.split(",").map(_.trim).toSeq
+      if (cur.contains(from))
+        sets("graft.columns") = cur.flatMap(c =>
+          if (c == from) to.toSeq else Seq(c)).mkString(",")
+    }
+    Seq("default", "materialized", "alias", "aliastype").foreach { k =>
+      props.get(s"graft.$k.$from").foreach { v =>
+        to.foreach(n => sets(s"graft.$k.$n") = v)
+        unsets += s"graft.$k.$from"
+      }
+    }
+    if (sets.nonEmpty)
+      spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES (" + sets.map {
+        case (k, v) => s"${sqlLit(k)}=${sqlLit(v)}" }.mkString(", ") + ")")
+    if (unsets.nonEmpty)
+      spark.sql(s"ALTER TABLE $name UNSET TBLPROPERTIES IF EXISTS (" +
+        unsets.map(sqlLit).mkString(", ") + ")")
+  }
+
   private def rewriteSwap(spark: SparkSession, name: String)(
       transform: DataFrame => DataFrame): Unit = {
     require(spark.catalog.tableExists(name),

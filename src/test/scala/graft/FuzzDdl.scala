@@ -36,7 +36,9 @@ private[graft] object FuzzDdl {
 
   final case class Col(name: String, chType: String, duckType: String)
 
-  /** One generated session, rendered for all legs. */
+  /** One generated session, rendered for all legs. `extraTables` are
+    * secondary tables the session creates (CTAS targets, MOVE/EXCHANGE
+    * partners) — the runner legs drop them alongside `table`. */
   final case class Sess(
       seed: Int, arm: String, table: String,
       chStmts: Seq[String],
@@ -46,11 +48,13 @@ private[graft] object FuzzDdl {
       finalSelectFinal: Option[String],
       duckSetup: Seq[String],
       duckFinal: String,
-      duckFinalCollapsed: Option[String])
+      duckFinalCollapsed: Option[String],
+      extraTables: Seq[String] = Nil)
 
   val armNames: Seq[String] = Seq("mt_plain", "mt_nullable", "mt_part",
     "mt_defaults", "replacing_ver", "replacing_nover", "summing",
-    "collapsing", "versioned", "aggregating")
+    "collapsing", "versioned", "aggregating",
+    "part_verbs", "move_replace", "col_alter", "ctas_exchange")
 
   /** Render a typed model value for multiset comparison — the same rules
     * as FuzzGrammar.canon / the python leg's canon_value. */
@@ -245,8 +249,12 @@ private[graft] object FuzzDdl {
         Col("f", "Float64", "DOUBLE"))
       case "mt_nullable" => Seq(Col("k", "Int64", "BIGINT"),
         Col("v", "Int64", "BIGINT"), Col("n", "Nullable(Int64)", "BIGINT"))
-      case "mt_part" => Seq(Col("k", "Int64", "BIGINT"),
-        Col("p", "Int32", "INTEGER"), Col("v", "Int64", "BIGINT"))
+      case "mt_part" | "part_verbs" | "move_replace" =>
+        Seq(Col("k", "Int64", "BIGINT"),
+          Col("p", "Int32", "INTEGER"), Col("v", "Int64", "BIGINT"))
+      case "col_alter" | "ctas_exchange" => Seq(Col("k", "Int64", "BIGINT"),
+        Col("v", "Int64", "BIGINT"), Col("s", "String", "VARCHAR"),
+        Col("f", "Float64", "DOUBLE"))
       case "mt_defaults" => Seq(Col("k", "Int64", "BIGINT"),
         Col("v", "Int64", "BIGINT"), Col("d", "Int64", "BIGINT"),
         Col("m", "Int64", "BIGINT"))
@@ -289,7 +297,8 @@ private[graft] object FuzzDdl {
         case "aggregating" => "AggregatingMergeTree"
         case _ => "MergeTree"
       }
-      val tail = (if (arm == "mt_part") " PARTITION BY p" else "") +
+      val tail = (if (Set("mt_part", "part_verbs", "move_replace")(arm))
+          " PARTITION BY p" else "") +
         " ORDER BY k"
       s"CREATE TABLE $t (${colDefs.mkString(", ")}) ENGINE = $engine$tail"
     }
@@ -299,10 +308,23 @@ private[graft] object FuzzDdl {
 
     // ---- session state ----
     val rows = scala.collection.mutable.ArrayBuffer.empty[Vector[Any]]
+    // part_verbs: model of <db>/detached/<tbl>/<spec> — one buffer per
+    // partition value; DETACH overwrites (engine deletes a stale copy),
+    // ATTACH merges back additively and clears it
+    val detached = scala.collection.mutable.Map.empty[Int, Vector[Vector[Any]]]
+    // move_replace / ctas_exchange: the partner table's model rows
+    val rowsB = scala.collection.mutable.ArrayBuffer.empty[Vector[Any]]
+    var exchanged = false
     val ch = Seq.newBuilder[String]
     val duck = Seq.newBuilder[String]
     ch += createCh
     duck += createDuck
+    if (arm == "move_replace") {
+      // identical partner schema (MOVE requires schema + partition-key
+      // equality on both sides)
+      ch += createCh.replace(s"CREATE TABLE $t ", s"CREATE TABLE ${t}_b ")
+      duck += createDuck.replace(s"TABLE $t ", s"TABLE ${t}_b ")
+    }
 
     def randVal(c: Col): Any = c.name match {
       case "k" => int(0, 6).toLong
@@ -314,6 +336,7 @@ private[graft] object FuzzDdl {
       case "s" => pick(words)
       case "f" => int(0, 40) * 0.25
       case "n" => if (chance(0.25)) null else int(0, 9).toLong
+      case "sz" => pick(words) // post-RENAME name of s (col_alter)
       case "extra" => int(10, 19).toLong
       case "d" => int(20, 29).toLong
       case "m" => sys.error("materialized is never drawn")
@@ -371,6 +394,18 @@ private[graft] object FuzzDdl {
     }
 
     (1 to int(2, 3)).foreach(_ => genInsert())
+    if (arm == "move_replace") {
+      // seed the partner table (positional inserts; REPLACE/MOVE pull
+      // from and push into these rows)
+      (1 to int(1, 2)).foreach { _ =>
+        val vals = (1 to int(1, 3)).map(_ => storedCols.map(randVal).toVector)
+        val lits = vals.map(r => r.map(litCh).mkString("(", ", ", ")"))
+          .mkString(", ")
+        ch += s"INSERT INTO ${t}_b VALUES $lits"
+        duck += s"INSERT INTO ${t}_b VALUES $lits"
+        rowsB ++= vals
+      }
+    }
 
     // ---- mutation / maintenance phase ----
     val engineArm = Set("replacing_ver", "replacing_nover", "summing",
@@ -425,7 +460,9 @@ private[graft] object FuzzDdl {
       val keep = rows.filterNot(r => asL(r(vi)) > c0)
       rows.clear(); rows ++= keep
     })
-    if (cols.exists(_.name == "s")) mutPool += (() => { // string UPDATE
+    // (col_alter may DROP/RENAME s mid-session — its own ops cover strings)
+    if (cols.exists(_.name == "s") && arm != "col_alter")
+      mutPool += (() => { // string UPDATE
       ch += s"ALTER TABLE $t UPDATE s = concat(s, '_z') WHERE k % 2 = 0"
       duck += s"UPDATE $t SET s = s || '_z' WHERE k % 2 = 0"
       val si = idx("s")
@@ -460,6 +497,91 @@ private[graft] object FuzzDdl {
       val keep = rows.filterNot(r => r(pi) == pv)
       rows.clear(); rows ++= keep
     })
+    if (arm == "part_verbs") {
+      val pi = () => idx("p")
+      mutPool += (() => { // DETACH a LIVE partition (engine requires the
+        // directory to exist; a stale detached copy of the same value is
+        // overwritten — fs.delete before the move)
+        val present = rows.map(r => r(pi()).asInstanceOf[Int]).distinct.sorted.toSeq
+        if (present.nonEmpty) {
+          val pv = pick(present)
+          ch += s"ALTER TABLE $t DETACH PARTITION $pv"
+          duck += s"CREATE OR REPLACE TABLE ${t}_det$pv AS " +
+            s"SELECT * FROM $t WHERE p = $pv"
+          duck += s"DELETE FROM $t WHERE p = $pv"
+          val (det, keep) = rows.partition(r => r(pi()) == pv)
+          detached(pv) = det.toVector
+          rows.clear(); rows ++= keep
+        }
+      })
+      mutPool += (() => { // ATTACH merges ADDITIVELY into any re-inserted
+        // live rows (moveDirInto's exists-branch) and clears the buffer
+        if (detached.nonEmpty) {
+          val pv = pick(detached.keys.toSeq.sorted)
+          ch += s"ALTER TABLE $t ATTACH PARTITION $pv"
+          duck += s"INSERT INTO $t SELECT * FROM ${t}_det$pv"
+          duck += s"DROP TABLE ${t}_det$pv"
+          rows ++= detached.remove(pv).get
+        }
+      })
+      mutPool += (() => { // DROP PARTITION is live-only: a detached copy
+        // of the same value survives and can still be ATTACHed later
+        val pv = int(0, 2)
+        ch += s"ALTER TABLE $t DROP PARTITION $pv"
+        duck += s"DELETE FROM $t WHERE p = $pv"
+        val keep = rows.filterNot(r => r(pi()) == pv)
+        rows.clear(); rows ++= keep
+      })
+    }
+    if (arm == "move_replace") {
+      val pi = () => idx("p")
+      mutPool += (() => { // MOVE: directory rename; merges additively if
+        // the partner already has the partition (moveDirInto)
+        val present = rows.map(r => r(pi()).asInstanceOf[Int]).distinct.sorted.toSeq
+        if (present.nonEmpty) {
+          val pv = pick(present)
+          ch += s"ALTER TABLE $t MOVE PARTITION $pv TO TABLE ${t}_b"
+          duck += s"INSERT INTO ${t}_b SELECT * FROM $t WHERE p = $pv"
+          duck += s"DELETE FROM $t WHERE p = $pv"
+          val (mv, keep) = rows.partition(r => r(pi()) == pv)
+          rowsB ++= mv
+          rows.clear(); rows ++= keep
+        }
+      })
+      mutPool += (() => { // REPLACE: target partition becomes a COPY of
+        // the source's (source keeps its rows — CH copies parts)
+        val presentB = rowsB.map(r => r(pi()).asInstanceOf[Int]).distinct.sorted.toSeq
+        if (presentB.nonEmpty) {
+          val pv = pick(presentB)
+          ch += s"ALTER TABLE $t REPLACE PARTITION $pv FROM ${t}_b"
+          duck += s"DELETE FROM $t WHERE p = $pv"
+          duck += s"INSERT INTO $t SELECT * FROM ${t}_b WHERE p = $pv"
+          val keep = rows.filterNot(r => r(pi()) == pv)
+          rows.clear(); rows ++= keep
+          rows ++= rowsB.filter(r => r(pi()) == pv)
+        }
+      })
+    }
+    if (arm == "col_alter") {
+      mutPool += (() => { // DROP COLUMN rewrites data (immutable parquet)
+        if (storedCols.exists(_.name == "f")) {
+          val fi = idx("f")
+          ch += s"ALTER TABLE $t DROP COLUMN f"
+          duck += s"ALTER TABLE $t DROP COLUMN f"
+          rows.indices.foreach(i => rows(i) = rows(i).patch(fi, Nil, 1))
+          storedCols = storedCols.filterNot(_.name == "f")
+        }
+      })
+      mutPool += (() => { // RENAME COLUMN is also a rewrite on parquet
+        // (by-name resolution; a catalog-only rename would read NULLs)
+        if (storedCols.exists(_.name == "s")) {
+          ch += s"ALTER TABLE $t RENAME COLUMN s TO sz"
+          duck += s"ALTER TABLE $t RENAME COLUMN s TO sz"
+          storedCols = storedCols.map(c =>
+            if (c.name == "s") c.copy(name = "sz") else c)
+        }
+      })
+    }
     if (arm == "mt_defaults") mutPool += (() => { // UPDATE the DEFAULT col
       val c0 = int(1, 9)
       ch += s"ALTER TABLE $t UPDATE d = d + $c0 WHERE k % 2 = 0"
@@ -526,14 +648,46 @@ private[graft] object FuzzDdl {
       if (chance(0.4)) genInsert() // interleave inserts between mutations
     }
 
+    if (arm == "ctas_exchange") {
+      // CTAS snapshots the mutated table (schema from the SELECT), then
+      // half the seeds swap names atomically — the final SELECT reads
+      // ${t}_b, which holds the snapshot OR (post-swap) the original
+      val m0 = int(2, 4); val r0 = int(0, m0 - 1)
+      ch += s"CREATE TABLE ${t}_b ENGINE = MergeTree ORDER BY k " +
+        s"AS SELECT k, v FROM $t WHERE k % $m0 = $r0"
+      duck += s"CREATE OR REPLACE TABLE ${t}_b AS " +
+        s"SELECT k, v FROM $t WHERE k % $m0 = $r0"
+      val vi = idx("v")
+      rowsB ++= rows.filter(r => asL(r.head) % m0 == r0)
+        .map(r => Vector[Any](r.head, r(vi)))
+      if (chance(0.5)) {
+        exchanged = true
+        ch += s"EXCHANGE TABLES $t AND ${t}_b"
+        duck += s"ALTER TABLE $t RENAME TO ${t}_sw"
+        duck += s"ALTER TABLE ${t}_b RENAME TO $t"
+        duck += s"ALTER TABLE ${t}_sw RENAME TO ${t}_b"
+      }
+    }
+
     // ---- final renders ----
     val selCols = storedCols.map(_.name) ++
       (if (arm == "mt_defaults") Seq("al") else Nil)
-    val finalSelect = s"SELECT ${selCols.mkString(", ")} FROM $t"
-    val modelFinal: Seq[Seq[Any]] =
-      if (arm == "mt_defaults")
-        rows.toSeq.map(r => r :+ (asL(r.head) + 7L: Any))
-      else rows.toSeq
+    val finalSelect = arm match {
+      case "move_replace" =>
+        s"SELECT k, p, v, 't' AS src FROM $t UNION ALL " +
+          s"SELECT k, p, v, 'b' AS src FROM ${t}_b"
+      case "ctas_exchange" => s"SELECT k, v FROM ${t}_b"
+      case _ => s"SELECT ${selCols.mkString(", ")} FROM $t"
+    }
+    val modelFinal: Seq[Seq[Any]] = arm match {
+      case "mt_defaults" => rows.toSeq.map(r => r :+ (asL(r.head) + 7L: Any))
+      case "move_replace" =>
+        rows.toSeq.map(_ :+ ("t": Any)) ++ rowsB.toSeq.map(_ :+ ("b": Any))
+      case "ctas_exchange" =>
+        if (exchanged) rows.toSeq.map(r => Seq[Any](r.head, r(idx("v"))))
+        else rowsB.toSeq
+      case _ => rows.toSeq
+    }
     val duckFinal =
       if (arm == "mt_defaults")
         s"SELECT k, v, d, m, k + 7 AS al FROM $t"
@@ -555,7 +709,9 @@ private[graft] object FuzzDdl {
           Some(s"SELECT ${selCols.mkString(", ")} FROM $t FINAL"), Some(sql))
       }
 
+    val extraTables =
+      if (Set("move_replace", "ctas_exchange")(arm)) Seq(s"${t}_b") else Nil
     Sess(seed, arm, t, ch.result(), finalSelect, modelFinal, collapsed,
-      finSel, duck.result(), duckFinal, duckFinCollapsed)
+      finSel, duck.result(), duckFinal, duckFinCollapsed, extraTables)
   }
 }

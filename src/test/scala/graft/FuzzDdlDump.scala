@@ -46,6 +46,7 @@ object FuzzDdlDump {
       val s = FuzzDdl.gen(seed)
       try {
         chRun(s"DROP TABLE IF EXISTS ${s.table}")
+        s.extraTables.foreach(x => chRun(s"DROP TABLE IF EXISTS $x"))
         s.chStmts.foreach(chRun)
         val rows = FuzzGrammar.canon(chRun(s.finalSelect).toArray)
         val rows2 = s.finalSelectFinal.map(q =>
@@ -68,8 +69,10 @@ object FuzzDdlDump {
           errors += 1
           System.err.println(s"seed $seed ENGINE ERROR: ${e.getMessage}")
       } finally {
-        try chRun(s"DROP TABLE IF EXISTS ${s.table}")
-        catch { case _: Throwable => }
+        (s.table +: s.extraTables).foreach { x =>
+          try chRun(s"DROP TABLE IF EXISTS $x")
+          catch { case _: Throwable => }
+        }
       }
     }
     w.close()

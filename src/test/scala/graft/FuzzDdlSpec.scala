@@ -45,6 +45,7 @@ class FuzzDdlSpec extends AnyFunSuite {
       try {
         chRun(s"DROP TABLE IF EXISTS ${s.table}")
         chRun(s"DROP TABLE IF EXISTS ${s.table}_rt")
+        s.extraTables.foreach(x => chRun(s"DROP TABLE IF EXISTS $x"))
         s.chStmts.foreach(chRun)
         // 1. final state ≡ model
         val got = FuzzGrammar.canon(chRun(s.finalSelect).toArray)
@@ -82,8 +83,9 @@ class FuzzDdlSpec extends AnyFunSuite {
             s"${Option(e.getMessage).getOrElse("").linesIterator.take(3)
               .mkString(" / ")}"
       } finally {
-        try chRun(s"DROP TABLE IF EXISTS ${s.table}") catch { case _: Throwable => }
-        try chRun(s"DROP TABLE IF EXISTS ${s.table}_rt") catch { case _: Throwable => }
+        (Seq(s.table, s"${s.table}_rt") ++ s.extraTables).foreach { x =>
+          try chRun(s"DROP TABLE IF EXISTS $x") catch { case _: Throwable => }
+        }
       }
       if (failures.size >= 5) fail(failures.mkString("\n\n"))
     }
