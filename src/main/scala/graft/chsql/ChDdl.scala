@@ -514,7 +514,27 @@ object ChDdl {
               s"ChSql: RENAME expects 'a TO b', got '$p'"))
           (m.group(1), m.group(2))
         }
-        pairs.foreach { case (a, b) => spark.sql(s"ALTER TABLE $a RENAME TO $b") }
+        pairs.foreach { case (a, b) =>
+          spark.sql(s"ALTER TABLE $a RENAME TO $b")
+          // projections travel with the table (CH keeps them inside the
+          // table definition): re-key the registrations and rename the
+          // materialized copies — otherwise a later CREATE TABLE under
+          // the OLD name would find the stale registration and serve the
+          // renamed table's projection data to covered SELECTs
+          projMeta.keys.filter(_._1 == a).toSeq.foreach { k =>
+            projMeta.remove(k).foreach { meta =>
+              val moved = meta.projTable.flatMap { pt =>
+                val npt = s"${b}__proj_${k._2}"
+                if (spark.catalog.tableExists(pt)) {
+                  spark.sql(s"ALTER TABLE $pt RENAME TO $npt")
+                  Some(npt)
+                } else None
+              }
+              projMeta.put((b, k._2), meta.copy(table = b, projTable = moved,
+                outCols = if (moved.isEmpty) Nil else meta.outCols))
+            }
+          }
+        }
         Some(status(pairs.map { case (a, b) => s"renamed $a to $b" }.mkString("; ")))
 
       case createFuncRe(orReplace, ifNot, name, bodyText) =>
@@ -561,6 +581,10 @@ object ChDdl {
         spark.sql(s"ALTER TABLE $a RENAME TO $tmp")
         spark.sql(s"ALTER TABLE $b RENAME TO $a")
         spark.sql(s"ALTER TABLE $tmp RENAME TO $b")
+        // projection registrations are keyed by NAME; after the swap each
+        // name's materialized copy describes the OTHER table's data —
+        // drop the copies (registrations survive; re-MATERIALIZE rebuilds)
+        Seq(a, b).foreach(invalidateProjections(spark, _))
         Some(status(s"exchanged $a and $b"))
 
       case renameDbRe(a, b) =>
@@ -1575,6 +1599,11 @@ object ChDdl {
       val vals = partitionValues(clause.substring("DROP PARTITION".length))
       val spec = partitionSpecSql(spark, name, vals)
       spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION ($spec)")
+      // content changed without a rewrite: materialized projections of
+      // the table would serve the dropped rows — invalidate (same
+      // contract as every other partition verb; found by the r10 DDL
+      // fuzz gate, projection arm)
+      invalidateProjections(spark, name)
       status(s"dropped partition (${vals.mkString(", ")}) from $name")
     } else if (up.startsWith("DETACH PARTITION")) {
       val vals = partitionValues(clause.substring("DETACH PARTITION".length))
@@ -1795,8 +1824,18 @@ object ChDdl {
       require(fs.rename(src, dst), s"ChSql: could not move $src to $dst")
     } else {
       fs.listStatus(src).foreach { st =>
-        require(fs.rename(st.getPath,
-          new org.apache.hadoop.fs.Path(dst, st.getPath.getName)),
+        // part filenames are NOT unique across tables: REPLACE PARTITION
+        // copies parts keeping their names, so moving the same partition
+        // back into the copy's source collides — CH reassigns part names
+        // on attach; the twin here is a disambiguating prefix (readers
+        // list the directory, names are free). Found by the r10 DDL fuzz
+        // gate, move_replace arm (MOVE after REPLACE of one partition).
+        val plain = new org.apache.hadoop.fs.Path(dst, st.getPath.getName)
+        val target = if (!fs.exists(plain)) plain
+          else new org.apache.hadoop.fs.Path(dst, "att_" +
+            java.util.UUID.randomUUID().toString.replace("-", "").take(12) +
+            "_" + st.getPath.getName)
+        require(fs.rename(st.getPath, target),
           s"ChSql: could not move ${st.getPath} into $dst")
       }
       fs.delete(src, true)
@@ -1821,6 +1860,7 @@ object ChDdl {
     spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION (" +
       partitionSpecSql(spark, name, vals) + ")")
     spark.catalog.refreshTable(name)
+    invalidateProjections(spark, name)
     s"detached partition (${vals.mkString(", ")}) from $name (kept under $dst)"
   }
 
@@ -1841,6 +1881,7 @@ object ChDdl {
     spark.sql(s"ALTER TABLE $name ADD IF NOT EXISTS PARTITION (" +
       partitionSpecSql(spark, name, vals) + ")")
     spark.catalog.refreshTable(name)
+    invalidateProjections(spark, name)
     s"attached partition (${vals.mkString(", ")}) to $name"
   }
 
@@ -1865,6 +1906,8 @@ object ChDdl {
     spark.sql(s"ALTER TABLE $dest ADD IF NOT EXISTS PARTITION (" +
       partitionSpecSql(spark, dest, vals) + ")")
     spark.catalog.refreshTable(name); spark.catalog.refreshTable(dest)
+    invalidateProjections(spark, name)
+    invalidateProjections(spark, dest)
     s"moved partition (${vals.mkString(", ")}) from $name to $dest"
   }
 
@@ -1888,6 +1931,7 @@ object ChDdl {
     spark.sql(s"ALTER TABLE $name ADD IF NOT EXISTS PARTITION (" +
       partitionSpecSql(spark, name, vals) + ")")
     spark.catalog.refreshTable(name)
+    invalidateProjections(spark, name)
     s"replaced partition (${vals.mkString(", ")}) in $name from $from"
   }
 

@@ -932,6 +932,93 @@ class DdlSurfaceSpec extends AnyFunSuite {
     chRun("DROP TABLE pt_b")
   }
 
+  test("partition verbs invalidate materialized projections — covered " +
+      "SELECTs never serve dropped/attached rows stale") {
+    def resolve(n: String) =
+      if (spark.catalog.tableExists(n)) graft.chsql.ChDdl.readTable(spark, n)
+      else spark.table(n)
+    def agg(): Seq[(Int, Long, Long)] =
+      graft.chsql.ChSql.statement(spark,
+        "SELECT p, count() AS c, sum(v) AS sv FROM pv_t GROUP BY p ORDER BY p")(
+        resolve)._1.collect().toSeq.map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    chRun("DROP TABLE IF EXISTS pv_t")
+    chRun("CREATE TABLE pv_t (k Int64, p Int32, v Int64) " +
+      "ENGINE = MergeTree ORDER BY k PARTITION BY p")
+    chRun("INSERT INTO pv_t VALUES (1, 0, 10), (2, 0, 20), (3, 1, 30), (4, 2, 40)")
+    chRun("ALTER TABLE pv_t ADD PROJECTION pr (SELECT p, count() AS c, " +
+      "sum(v) AS sv GROUP BY p)")
+    chRun("ALTER TABLE pv_t MATERIALIZE PROJECTION pr")
+    assert(agg() == Seq((0, 2L, 30L), (1, 1L, 30L), (2, 1L, 40L)))
+    // DROP PARTITION while the projection is live: the materialized copy
+    // still contains p=1 — serving it would be a stale answer
+    chRun("ALTER TABLE pv_t DROP PARTITION 1")
+    assert(agg() == Seq((0, 2L, 30L), (2, 1L, 40L)),
+      "DROP PARTITION must invalidate the materialized projection")
+    // DETACH / ATTACH round-trip with a re-MATERIALIZE in the middle:
+    // the rebuilt copy excludes p=0; ATTACH must invalidate it again
+    chRun("ALTER TABLE pv_t DETACH PARTITION 0")
+    assert(agg() == Seq((2, 1L, 40L)))
+    chRun("ALTER TABLE pv_t MATERIALIZE PROJECTION pr")
+    chRun("ALTER TABLE pv_t ATTACH PARTITION 0")
+    assert(agg() == Seq((0, 2L, 30L), (2, 1L, 40L)),
+      "ATTACH PARTITION must invalidate the materialized projection")
+    chRun("DROP TABLE pv_t")
+  }
+
+  test("RENAME TABLE carries projections with it — the old name serves " +
+      "nothing stale, the new name keeps substituting") {
+    def resolve(n: String) =
+      if (spark.catalog.tableExists(n)) graft.chsql.ChDdl.readTable(spark, n)
+      else spark.table(n)
+    def agg(t: String) = graft.chsql.ChSql.statement(spark,
+      s"SELECT g, count() AS c FROM $t GROUP BY g ORDER BY g")(resolve)._1
+    chRun("DROP TABLE IF EXISTS rnp_a")
+    chRun("DROP TABLE IF EXISTS rnp_b")
+    chRun("CREATE TABLE rnp_a (k Int64, g String) ENGINE = MergeTree ORDER BY k")
+    chRun("INSERT INTO rnp_a VALUES (1, 'x'), (2, 'x'), (3, 'y')")
+    chRun("ALTER TABLE rnp_a ADD PROJECTION pg (SELECT g, count() AS c GROUP BY g)")
+    chRun("ALTER TABLE rnp_a MATERIALIZE PROJECTION pg")
+    chRun("RENAME TABLE rnp_a TO rnp_b")
+    // the new name still answers from the (renamed) materialized copy
+    val dfB = agg("rnp_b")
+    assert(dfB.inputFiles.nonEmpty &&
+      dfB.inputFiles.forall(_.contains("rnp_b__proj_pg")),
+      s"projection should follow the rename: ${dfB.inputFiles.toSeq}")
+    assert(dfB.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("x", 2L), ("y", 1L)))
+    // a NEW table under the old name must not inherit the registration
+    chRun("CREATE TABLE rnp_a (k Int64, g String) ENGINE = MergeTree ORDER BY k")
+    chRun("INSERT INTO rnp_a VALUES (9, 'z')")
+    val dfA = agg("rnp_a")
+    assert(dfA.inputFiles.forall(!_.contains("__proj_")),
+      s"old name served a stale projection: ${dfA.inputFiles.toSeq}")
+    assert(dfA.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("z", 1L)))
+    chRun("DROP TABLE rnp_a")
+    chRun("DROP TABLE rnp_b")
+  }
+
+  test("MOVE PARTITION after REPLACE PARTITION of the same value: copied " +
+      "part filenames collide in the destination and must be disambiguated") {
+    chRun("DROP TABLE IF EXISTS mvc_a")
+    chRun("DROP TABLE IF EXISTS mvc_b")
+    chRun("CREATE TABLE mvc_a (k Int64, p Int32, v Int64) " +
+      "ENGINE = MergeTree ORDER BY k PARTITION BY p")
+    chRun("CREATE TABLE mvc_b (k Int64, p Int32, v Int64) " +
+      "ENGINE = MergeTree ORDER BY k PARTITION BY p")
+    chRun("INSERT INTO mvc_b VALUES (1, 7, 100), (2, 7, 200)")
+    // REPLACE copies b's p=7 parts into a KEEPING their filenames
+    chRun("ALTER TABLE mvc_a REPLACE PARTITION 7 FROM mvc_b")
+    // MOVE a's p=7 back into b: b already holds files with those exact
+    // names — the attach-into-existing merge must rename, not fail
+    chRun("ALTER TABLE mvc_a MOVE PARTITION 7 TO TABLE mvc_b")
+    assert(chRun("SELECT count() AS c FROM mvc_a").head.getLong(0) == 0L)
+    assert(chRun("SELECT count() AS c, sum(v) AS sv FROM mvc_b")
+      .map(r => (r.getLong(0), r.getLong(1))) == Seq((4L, 600L)))
+    chRun("DROP TABLE mvc_a")
+    chRun("DROP TABLE mvc_b")
+  }
+
   test("TTL as text: expired partitions drop on OPTIMIZE, survivors intact") {
     chRun("DROP TABLE IF EXISTS ttl_t")
     chRun("CREATE TABLE ttl_t (d Date, v Int64) ENGINE = MergeTree " +

@@ -54,7 +54,8 @@ private[graft] object FuzzDdl {
   val armNames: Seq[String] = Seq("mt_plain", "mt_nullable", "mt_part",
     "mt_defaults", "replacing_ver", "replacing_nover", "summing",
     "collapsing", "versioned", "aggregating",
-    "part_verbs", "move_replace", "col_alter", "ctas_exchange")
+    "part_verbs", "move_replace", "col_alter", "ctas_exchange",
+    "projection")
 
   /** Render a typed model value for multiset comparison — the same rules
     * as FuzzGrammar.canon / the python leg's canon_value. */
@@ -243,13 +244,23 @@ private[graft] object FuzzDdl {
 
     // stored columns per arm (declared order)
     val sumColsExplicit = arm == "summing" && chance(0.5)
+    // projection arm: half the seeds ALSO partition by the group column,
+    // so DROP PARTITION races the materialized projection (stale-serve
+    // coverage); the agg list varies so the fold path sees every shape
+    val projPart = arm == "projection" && chance(0.5)
+    val projAggs: Seq[(String, String, String)] = // (alias, CH item, duck item)
+      if (arm != "projection") Nil
+      else Seq(("c", "count() AS c", "count(*) AS c"),
+        ("sv", "sum(v) AS sv", "CAST(sum(v) AS BIGINT) AS sv")) ++
+        (if (chance(0.5)) Seq(("mv", "min(v) AS mv", "min(v) AS mv")) else Nil) ++
+        (if (chance(0.5)) Seq(("xv", "max(v) AS xv", "max(v) AS xv")) else Nil)
     val cols: Seq[Col] = arm match {
       case "mt_plain" => Seq(Col("k", "Int64", "BIGINT"),
         Col("v", "Int64", "BIGINT"), Col("s", "String", "VARCHAR"),
         Col("f", "Float64", "DOUBLE"))
       case "mt_nullable" => Seq(Col("k", "Int64", "BIGINT"),
         Col("v", "Int64", "BIGINT"), Col("n", "Nullable(Int64)", "BIGINT"))
-      case "mt_part" | "part_verbs" | "move_replace" =>
+      case "mt_part" | "part_verbs" | "move_replace" | "projection" =>
         Seq(Col("k", "Int64", "BIGINT"),
           Col("p", "Int32", "INTEGER"), Col("v", "Int64", "BIGINT"))
       case "col_alter" | "ctas_exchange" => Seq(Col("k", "Int64", "BIGINT"),
@@ -297,8 +308,8 @@ private[graft] object FuzzDdl {
         case "aggregating" => "AggregatingMergeTree"
         case _ => "MergeTree"
       }
-      val tail = (if (Set("mt_part", "part_verbs", "move_replace")(arm))
-          " PARTITION BY p" else "") +
+      val tail = (if (Set("mt_part", "part_verbs", "move_replace")(arm) ||
+          projPart) " PARTITION BY p" else "") +
         " ORDER BY k"
       s"CREATE TABLE $t (${colDefs.mkString(", ")}) ENGINE = $engine$tail"
     }
@@ -405,6 +416,16 @@ private[graft] object FuzzDdl {
         duck += s"INSERT INTO ${t}_b VALUES $lits"
         rowsB ++= vals
       }
+    }
+
+    if (arm == "projection") {
+      // register + materialize an aggregating projection over the initial
+      // rows; the engine must keep covered SELECTs correct through every
+      // later insert (incremental fold), mutation (invalidate), partition
+      // verb (invalidate) and re-MATERIALIZE (rebuild)
+      ch += s"ALTER TABLE $t ADD PROJECTION pr (SELECT p, ${
+        projAggs.map(_._2).mkString(", ")} GROUP BY p)"
+      ch += s"ALTER TABLE $t MATERIALIZE PROJECTION pr"
     }
 
     // ---- mutation / maintenance phase ----
@@ -582,6 +603,19 @@ private[graft] object FuzzDdl {
         }
       })
     }
+    if (arm == "projection") {
+      mutPool += (() => { // rebuild from the current base mid-session
+        ch += s"ALTER TABLE $t MATERIALIZE PROJECTION pr"
+      })
+      if (projPart) mutPool += (() => { // partition verb vs live projection
+        val pv = int(0, 2)
+        ch += s"ALTER TABLE $t DROP PARTITION $pv"
+        duck += s"DELETE FROM $t WHERE p = $pv"
+        val pi = idx("p")
+        val keep = rows.filterNot(r => r(pi) == pv)
+        rows.clear(); rows ++= keep
+      })
+    }
     if (arm == "mt_defaults") mutPool += (() => { // UPDATE the DEFAULT col
       val c0 = int(1, 9)
       ch += s"ALTER TABLE $t UPDATE d = d + $c0 WHERE k % 2 = 0"
@@ -677,6 +711,9 @@ private[graft] object FuzzDdl {
         s"SELECT k, p, v, 't' AS src FROM $t UNION ALL " +
           s"SELECT k, p, v, 'b' AS src FROM ${t}_b"
       case "ctas_exchange" => s"SELECT k, v FROM ${t}_b"
+      case "projection" => // exactly the projection's shape, so the
+        // engine substitutes the materialized table whenever it is live
+        s"SELECT p, ${projAggs.map(_._2).mkString(", ")} FROM $t GROUP BY p"
       case _ => s"SELECT ${selCols.mkString(", ")} FROM $t"
     }
     val modelFinal: Seq[Seq[Any]] = arm match {
@@ -686,12 +723,26 @@ private[graft] object FuzzDdl {
       case "ctas_exchange" =>
         if (exchanged) rows.toSeq.map(r => Seq[Any](r.head, r(idx("v"))))
         else rowsB.toSeq
+      case "projection" =>
+        val (pi, vi) = (idx("p"), idx("v"))
+        rows.toSeq.groupBy(_(pi)).toSeq.map { case (p, rs) =>
+          val vs = rs.map(r => asL(r(vi)))
+          Seq[Any](p) ++ projAggs.map {
+            case ("c", _, _) => rs.size.toLong
+            case ("sv", _, _) => vs.sum
+            case ("mv", _, _) => vs.min
+            case ("xv", _, _) => vs.max
+            case (a, _, _) => sys.error(s"projAgg $a")
+          }
+        }
       case _ => rows.toSeq
     }
-    val duckFinal =
-      if (arm == "mt_defaults")
-        s"SELECT k, v, d, m, k + 7 AS al FROM $t"
-      else finalSelect
+    val duckFinal = arm match {
+      case "mt_defaults" => s"SELECT k, v, d, m, k + 7 AS al FROM $t"
+      case "projection" =>
+        s"SELECT p, ${projAggs.map(_._3).mkString(", ")} FROM $t GROUP BY p"
+      case _ => finalSelect
+    }
     val (collapsed, finSel, duckFinCollapsed) =
       if (!engineArm) (None, None, None)
       else {
