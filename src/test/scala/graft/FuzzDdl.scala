@@ -55,7 +55,7 @@ private[graft] object FuzzDdl {
     "mt_defaults", "replacing_ver", "replacing_nover", "summing",
     "collapsing", "versioned", "aggregating",
     "part_verbs", "move_replace", "col_alter", "ctas_exchange",
-    "projection")
+    "projection", "modify_type")
 
   /** Render a typed model value for multiset comparison — the same rules
     * as FuzzGrammar.canon / the python leg's canon_value. */
@@ -266,6 +266,8 @@ private[graft] object FuzzDdl {
       case "col_alter" | "ctas_exchange" => Seq(Col("k", "Int64", "BIGINT"),
         Col("v", "Int64", "BIGINT"), Col("s", "String", "VARCHAR"),
         Col("f", "Float64", "DOUBLE"))
+      case "modify_type" => Seq(Col("k", "Int64", "BIGINT"),
+        Col("v", "Int32", "INTEGER"), Col("s", "String", "VARCHAR"))
       case "mt_defaults" => Seq(Col("k", "Int64", "BIGINT"),
         Col("v", "Int64", "BIGINT"), Col("d", "Int64", "BIGINT"),
         Col("m", "Int64", "BIGINT"))
@@ -340,7 +342,10 @@ private[graft] object FuzzDdl {
     def randVal(c: Col): Any = c.name match {
       case "k" => int(0, 6).toLong
       case "p" => int(0, 2)
-      case "v" => int(-5, 9).toLong
+      case "v" => // modify_type may widen v to Float64 mid-session
+        if (storedCols.exists(c => c.name == "v" && c.chType == "Float64"))
+          int(-20, 36) * 0.25
+        else int(-5, 9).toLong
       case "w" => int(-3, 6).toLong
       case "ver" => int(0, 4).toLong
       case "sgn" => if (chance(0.5)) 1L else -1L
@@ -701,6 +706,30 @@ private[graft] object FuzzDdl {
         duck += s"ALTER TABLE ${t}_b RENAME TO $t"
         duck += s"ALTER TABLE ${t}_sw RENAME TO ${t}_b"
       }
+    }
+
+    if (arm == "modify_type") {
+      // type changes AFTER the mutation phase (the model's integer
+      // arithmetic must not see doubles): widen Int32 → Int64 (values
+      // unchanged on every leg), then half the seeds widen again to
+      // Float64 (model converts; post-modify INSERTs draw quarter-step
+      // doubles via the type-aware randVal) — each modify is a cast
+      // rewrite through rewriteSwap, then fresh INSERTs bind to the new
+      // type through the declared-order property
+      ch += s"ALTER TABLE $t MODIFY COLUMN v Int64"
+      duck += s"ALTER TABLE $t ALTER v TYPE BIGINT"
+      storedCols = storedCols.map(c => if (c.name == "v")
+        c.copy(chType = "Int64", duckType = "BIGINT") else c)
+      if (chance(0.5)) {
+        ch += s"ALTER TABLE $t MODIFY COLUMN v Float64"
+        duck += s"ALTER TABLE $t ALTER v TYPE DOUBLE"
+        storedCols = storedCols.map(c => if (c.name == "v")
+          c.copy(chType = "Float64", duckType = "DOUBLE") else c)
+        val vi = idx("v")
+        rows.indices.foreach(i =>
+          rows(i) = rows(i).updated(vi, asL(rows(i)(vi)).toDouble: Any))
+      }
+      (1 to int(1, 2)).foreach(_ => genInsert())
     }
 
     // ---- final renders ----
