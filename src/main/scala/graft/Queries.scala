@@ -3368,6 +3368,25 @@ object Queries {
         |    SETTINGS graft_sample_key = 'l_orderkey')
         |GROUP BY part ORDER BY part""".stripMargin)),
 
+    // CH default-fill contract as text (r10): omitted INSERT columns fill
+    // the TYPE default (0, NULL only for Nullable), CLEAR COLUMN resets to
+    // the recomputed DEFAULT / type default per partition, ADD COLUMN
+    // computes its DEFAULT for pre-existing rows at read time, and
+    // MODIFY COLUMN ... DEFAULT swaps the rule for later inserts only
+    "ch88_sql_default_fill" -> ((s, dir) => chstmts(s, dir, Seq(
+      "DROP TABLE IF EXISTS ch88_t",
+      """CREATE TABLE ch88_t (k Int64, p Int32, v Int64,
+        |  d Int64 DEFAULT k * 2 + 1, n Nullable(Int64))
+        |ENGINE = MergeTree PARTITION BY p ORDER BY k""".stripMargin,
+      "INSERT INTO ch88_t VALUES (1, 0, 7, 100, 5), (2, 1, 8, 200, 6)",
+      "INSERT INTO ch88_t (k, p) VALUES (3, 0), (4, 1)",
+      "ALTER TABLE ch88_t CLEAR COLUMN v IN PARTITION 0",
+      "ALTER TABLE ch88_t CLEAR COLUMN d IN PARTITION 1",
+      "ALTER TABLE ch88_t ADD COLUMN w Int64 DEFAULT k * 10",
+      "ALTER TABLE ch88_t MODIFY COLUMN v Int64 DEFAULT k * 5",
+      "INSERT INTO ch88_t (k, p) VALUES (5, 0)",
+      "SELECT k, p, v, d, n, w FROM ch88_t ORDER BY k"))),
+
     // EXISTS / NOT EXISTS subqueries (uncorrelated, eager boolean)
     "ch24_sql_exists" -> ((s, dir) => chsql(s, dir,
       """SELECT o_orderstatus, count() AS n FROM orders
@@ -4582,6 +4601,24 @@ object Queries {
         |    WHERE l_orderkey % 1000000 >= 2000
         |      AND l_orderkey % 1000000 < 7000)
         |GROUP BY part ORDER BY part""".stripMargin,
+
+    // replays the session: base inserts, the omitted-column fills
+    // (v→0, d→k*2+1, n→NULL), the two partition-scoped CLEARs, the
+    // read-time ADD COLUMN fill, and the post-MODIFY default insert
+    "ch88_sql_default_fill" ->
+      """WITH base(k, p, v, d, n) AS (VALUES
+        |  (1, 0, 7, 100, 5), (2, 1, 8, 200, 6),
+        |  (3, 0, 0, 7, NULL), (4, 1, 0, 9, NULL)),
+        |clr AS (SELECT k, p,
+        |    CASE WHEN p = 0 THEN 0 ELSE v END AS v,
+        |    CASE WHEN p = 1 THEN k * 2 + 1 ELSE d END AS d, n
+        |  FROM base),
+        |ins AS (SELECT *, k * 10 AS w FROM clr
+        |  UNION ALL SELECT 5, 0, 25, 11, NULL, 50)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(p AS INTEGER) AS p,
+        |  CAST(v AS BIGINT) AS v, CAST(d AS BIGINT) AS d,
+        |  CAST(n AS BIGINT) AS n, CAST(w AS BIGINT) AS w
+        |FROM ins ORDER BY k""".stripMargin,
 
     "ch86_sql_subsecond_interval" ->
       """SELECT event_id AS k,

@@ -346,7 +346,8 @@ object ChDdl {
           val df = ChSql.sql(spark, sel)(resolve)
           val mt = MemTable(org.apache.spark.sql.types.StructType(
               df.schema.fields.map(_.copy(nullable = true))),
-            scala.collection.mutable.ArrayBuffer.empty, Option(tmp).isDefined)
+            scala.collection.mutable.ArrayBuffer.empty, Option(tmp).isDefined,
+            df.schema.fields.filter(_.nullable).map(_.name).toSet)
           memTables.put(name, mt)
           memAppend(spark, name, mt, Nil, df)
           Some(status(s"table $name created from select (${
@@ -866,7 +867,10 @@ object ChDdl {
   private final case class MemTable(
       schema: org.apache.spark.sql.types.StructType,
       rows: scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row],
-      temporary: Boolean)
+      temporary: Boolean,
+      // columns DECLARED Nullable — the stored schema is relaxed to all-
+      // nullable, so the omitted-INSERT fill rule needs the declaration
+      declaredNull: Set[String] = Set.empty)
   private val memTables =
     scala.collection.concurrent.TrieMap.empty[String, MemTable]
   private val MemRowCap = 4 << 20 // ~4M rows
@@ -899,12 +903,14 @@ object ChDdl {
       defs.map(d => s"${d.name} ${d.chType.getOrElse(
         throw new IllegalArgumentException(
           s"ChSql: column ${d.name} needs a type"))}").mkString(", "))
-    // storage-side nullability matches the parquet tables (short INSERTs
-    // fill NULL even into CH non-Nullable columns there too)
+    // storage-side nullability relaxes like the parquet tables; the
+    // DECLARED Nullable set rides separately so short INSERTs fill CH's
+    // type default into non-Nullable columns, NULL into Nullable ones
     val schema = org.apache.spark.sql.types.StructType(
       schema0.fields.map(_.copy(nullable = true)))
     val mt = MemTable(schema,
-      scala.collection.mutable.ArrayBuffer.empty, temporary)
+      scala.collection.mutable.ArrayBuffer.empty, temporary,
+      schema0.fields.filter(_.nullable).map(_.name).toSet)
     memTables.put(name, mt)
     refreshMemView(spark, name, mt)
     status(s"table $name created (${if (temporary) "temporary, " else ""}" +
@@ -932,7 +938,10 @@ object ChDdl {
     val aligned = rows.select(target.fields.map(f =>
       provided.get(f.name)
         .map(i => col(src(i)).cast(f.dataType).as(f.name))
-        .getOrElse(lit(null).cast(f.dataType).as(f.name))).toSeq: _*)
+        .getOrElse(
+          (if (mt.declaredNull(f.name)) lit(null)
+           else chTypeDefault(f.dataType)).cast(f.dataType).as(f.name)))
+      .toSeq: _*)
     val fresh = aligned.collect()
     require(mt.rows.size + fresh.length <= MemRowCap,
       s"ChSql: Memory table $name would exceed $MemRowCap rows — " +
@@ -1202,7 +1211,14 @@ object ChDdl {
       // the DECLARED column order: the catalog moves partition columns to
       // the end of its schema, but CH positional INSERT follows the order
       // the user wrote — appendInto restores it from this property
-      "graft.columns" -> stored.map(_.name).mkString(",")) ++
+      "graft.columns" -> stored.map(_.name).mkString(","),
+      // the DECLARED Nullable(...) columns: rewrite mutations relax every
+      // physical field to nullable, so the schema flag stops meaning
+      // "declared Nullable" after the first UPDATE/DELETE/OPTIMIZE — and
+      // the omitted-INSERT / CLEAR COLUMN fill rule needs the declaration
+      // (CH fills the TYPE default for non-Nullable, NULL for Nullable)
+      "graft.nullcols" ->
+        schema.fields.filter(_.nullable).map(_.name).mkString(",")) ++
       orderBy.map("graft.order_by" -> _) ++
       version.map("graft.version" -> _) ++
       sumColsProp.map("graft.sum_cols" -> _) ++
@@ -1370,20 +1386,53 @@ object ChDdl {
       else defaultOf(f.name) match {
         case Some(ex) => ChSql.compileExpr(spark, ex, spark.table(_))
           .cast(f.dataType).as(f.name)
-        case None => lit(null).cast(f.dataType).as(f.name)
+        case None =>
+          // CH's omitted-column rule: Nullable columns fill NULL, every
+          // other type fills its implicit default (0, '', epoch, []) —
+          // decided by the DECLARATION, not the (mutation-relaxed) flag
+          if (colDeclaredNullable(props, f.name, f.nullable))
+            lit(null).cast(f.dataType).as(f.name)
+          else chTypeDefault(f.dataType).cast(f.dataType).as(f.name)
       }
     }.toSeq: _*)
     aligned.write.mode(SaveMode.Append).insertInto(name)
     maintainProjectionsOnInsert(spark, name, aligned)
   }
 
+  /** Read-time fill for columns ADDed after rows were written: CH
+    * computes the DEFAULT (or the type's implicit default) for old parts
+    * at read/merge time — ADD COLUMN itself stays metadata-only. Old
+    * parquet files read the missing column as NULL, and for a
+    * non-Nullable added column NULL can ONLY mean "pre-ADD row", so a
+    * coalesce over the recorded fill is exact. (A Nullable added column
+    * with a DEFAULT keeps NULL for old rows — coalesce can't tell a
+    * pre-ADD row from a genuinely inserted NULL; documented divergence.)
+    * Markers (`graft.addfill.<c>`) are cleared by the first full rewrite
+    * (rewriteSwap materializes the fill — CH's merge does the same). */
+  private def addFillDecorate(spark: SparkSession, name: String,
+      df: DataFrame, props: Map[String, String]): DataFrame = {
+    val fills = props.keys.filter(_.startsWith("graft.addfill."))
+      .map(_.stripPrefix("graft.addfill.")).toSeq.sorted
+    fills.foldLeft(df) { (d, c) =>
+      if (!d.columns.contains(c)) d
+      else {
+        val dt = d.schema(c).dataType
+        val fill = Some(props(s"graft.addfill.$c")).filter(_.trim.nonEmpty)
+          .map(ex => ChSql.compileExpr(spark, ex, spark.table(_)))
+          .getOrElse(chTypeDefault(dt))
+        d.withColumn(c, coalesce(col(c), fill.cast(dt)))
+      }
+    }
+  }
+
   /** A catalog table read decorated with its ALIAS columns (`c Type ALIAS
     * expr` — computed at SELECT time, never stored; [[createTable]]
-    * records them as `graft.alias.*` properties). Text-layer resolvers
-    * should prefer this over bare `spark.table`. */
+    * records them as `graft.alias.*` properties) and post-ADD column
+    * fills. Text-layer resolvers should prefer this over bare
+    * `spark.table`. */
   def readTable(spark: SparkSession, name: String): DataFrame = {
-    val df = spark.table(name)
     val props = tablePropsSafe(spark, name)
+    val df = addFillDecorate(spark, name, spark.table(name), props)
     val aliases = props.keys.filter(_.startsWith("graft.alias."))
       .map(_.stripPrefix("graft.alias.")).toSeq.sorted
     aliases.foldLeft(df) { (d, c) =>
@@ -1482,6 +1531,16 @@ object ChDdl {
           spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES (" +
             s"${sqlLit(s"graft.$kind.${d.name}")}=${sqlLit(ex)})")
         }
+        // maintain the declared-Nullable list, and for a non-Nullable add
+        // record the read-time fill (CH: old parts read the DEFAULT — or
+        // the type's implicit default — for a column they don't store)
+        val declaredNullable = graft.model.ChTypes
+          .toSparkSchema(s"${d.name} ${d.chType.get}").head.nullable
+        setNullColMembership(spark, name, d.name, declaredNullable)
+        if (!declaredNullable)
+          spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES (" +
+            s"${sqlLit(s"graft.addfill.${d.name}")}=${
+              sqlLit(d.modExpr.getOrElse(""))})")
         if (afterCol.nonEmpty || isFirst) {
           val props = tablePropsSafe(spark, name)
           val cur = props.get("graft.columns")
@@ -1559,9 +1618,37 @@ object ChDdl {
         // — same accepted-and-ignored contract as the CREATE TABLE path
         status(s"codec of $c accepted (parquet chooses physical encoding)")
       } else {
-        val dt = graft.model.ChTypes.toSpark(rest)
-        rewriteSwap(spark, name)(Mutations.modifyColumnType(_, c, dt))
-        status(s"modified column $c in $name")
+        // MODIFY COLUMN c Type [DEFAULT|MATERIALIZED expr] through the
+        // shared column-definition grammar (AlterTableClauseModify,
+        // ClickHouseParser.py:2178-2263): a type change is a cast rewrite
+        // (existing rows convert); a modifier change is metadata — the
+        // recorded expression swaps, existing rows keep their values and
+        // only LATER omitted-column INSERTs see the new default (CH)
+        val d = parseColDef(s"$c $rest")
+        require(!d.modKind.contains("ALIAS"),
+          "ChSql: MODIFY COLUMN ... ALIAS: drop and re-create the ALIAS " +
+            "column instead (ALIAS columns are never stored)")
+        d.chType.foreach { t =>
+          val f = graft.model.ChTypes.toSparkSchema(s"$c $t").head
+          if (spark.table(name).schema(c).dataType != f.dataType)
+            rewriteSwap(spark, name)(
+              Mutations.modifyColumnType(_, c, f.dataType))
+          setNullColMembership(spark, name, c, f.nullable)
+        }
+        d.modExpr.foreach { ex =>
+          val kind = if (d.modKind.contains("MATERIALIZED")) "materialized"
+            else "default"
+          val other = if (kind == "default") "materialized" else "default"
+          // the two kinds are exclusive per column — setting one clears
+          // the other, or a stale twin would win on the next short INSERT
+          spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES (" +
+            s"${sqlLit(s"graft.$kind.$c")}=${sqlLit(ex)})")
+          spark.sql(s"ALTER TABLE $name UNSET TBLPROPERTIES IF EXISTS (" +
+            s"${sqlLit(s"graft.$other.$c")})")
+        }
+        status(s"modified column $c in $name" +
+          d.modKind.map(k => s" (${k.toLowerCase(java.util.Locale.ROOT)} " +
+            "updated)").getOrElse(""))
       }
     } else if (up.startsWith("CLEAR INDEX")) {
       // CLEAR INDEX IN PARTITION (AlterTableClauseClearIndex, 2665-2694):
@@ -1730,10 +1817,15 @@ object ChDdl {
       val p = pcols.zip(vals).map { case (pc, v) =>
         col(pc) === lit(v) }.reduce(_ && _)
       val props = tablePropsSafe(spark, name)
+      val field = spark.table(name).schema(c)
+      // CH resets a cleared column to its DEFAULT expression if declared,
+      // else the type's implicit default — NULL only for Nullable columns
       val fill = props.get(s"graft.default.$c")
         .map(ex => ChSql.compileExpr(spark, ex, spark.table(_)))
-        .getOrElse(lit(null))
-      val dt = spark.table(name).schema(c).dataType
+        .getOrElse(
+          if (colDeclaredNullable(props, c, field.nullable)) lit(null)
+          else chTypeDefault(field.dataType))
+      val dt = field.dataType
       val scope = mutateWhere(spark, name, p)(df =>
         df.withColumn(c, when(p, fill.cast(dt)).otherwise(col(c))))
       status(s"cleared column $c in partition (${vals.mkString(", ")}); $scope")
@@ -2025,7 +2117,12 @@ object ChDdl {
       rewriteSwap(spark, name)(transform)
       "rewrote table"
     } else {
-      val full = spark.table(name)
+      // read through post-ADD column fills so predicates and transforms
+      // see CH's added-column defaults, not raw parquet NULLs; markers
+      // stay (the dynamic overwrite touches only affected partitions, and
+      // coalesce over the materialized non-NULL values remains exact)
+      val full = addFillDecorate(spark, name, spark.table(name),
+        tablePropsSafe(spark, name))
       // phase 1 (find): which partitions can the predicate touch? When
       // the WHERE constrains the partition key, Catalyst prunes this scan
       // to the matching directories — the find phase is then metadata-fast
@@ -2309,23 +2406,74 @@ object ChDdl {
     * RENAME leaves the OLD name in the declared list — positional INSERT
     * then binds values to the wrong columns — and a DROP leaves a stale
     * default that would resurrect on a later re-ADD. */
+  /** Columns DECLARED `Nullable(...)` at CREATE/ADD/MODIFY time, from the
+    * `graft.nullcols` property. The physical schema flag is NOT the
+    * declaration: rewrite mutations (saveAsTable from a DataFrame) relax
+    * every field to nullable. None = prop absent (pre-prop or CTAS
+    * tables) — callers fall back to the schema flag. */
+  private def declaredNullCols(
+      props: Map[String, String]): Option[Set[String]] =
+    props.get("graft.nullcols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
+  private def colDeclaredNullable(props: Map[String, String],
+      c: String, schemaFlag: => Boolean): Boolean =
+    declaredNullCols(props).map(_.contains(c)).getOrElse(schemaFlag)
+
+  /** CH's implicit per-type default — what an omitted INSERT column or a
+    * CLEAR COLUMN fills with when the column has no explicit DEFAULT and
+    * is not Nullable: 0 for numbers, '' for strings, epoch for dates,
+    * empty for containers (Defaults in ClickHouse docs; Nullable columns
+    * fill NULL instead — the caller decides which rule applies). */
+  private def chTypeDefault(
+      dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+          DoubleType => lit(0).cast(dt)
+      case _: DecimalType => lit(0).cast(dt)
+      case StringType => lit("")
+      case BooleanType => lit(false)
+      case DateType => lit(java.sql.Date.valueOf("1970-01-01"))
+      case TimestampType =>
+        lit(java.sql.Timestamp.from(java.time.Instant.EPOCH))
+      case _: ArrayType => array().cast(dt)
+      case _: MapType => map_from_arrays(array(), array()).cast(dt)
+      case _ => lit(null).cast(dt) // no CH twin — honest NULL
+    }
+  }
+
+  /** Add/remove a column in the declared-Nullable list (ADD COLUMN and
+    * MODIFY COLUMN type changes maintain the declaration). */
+  private def setNullColMembership(spark: SparkSession, name: String,
+      c: String, nullable: Boolean): Unit =
+    declaredNullCols(tablePropsSafe(spark, name)).foreach { cur =>
+      val next = if (nullable) cur + c else cur - c
+      if (next != cur)
+        spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES (" +
+          s"'graft.nullcols'=${sqlLit(next.toSeq.sorted.mkString(","))})")
+    }
+
   private def rekeyColProps(spark: SparkSession, name: String,
       from: String, to: Option[String]): Unit = {
     val props = tablePropsSafe(spark, name)
     val sets = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val unsets = scala.collection.mutable.ArrayBuffer.empty[String]
-    props.get("graft.columns").foreach { cs =>
-      val cur = cs.split(",").map(_.trim).toSeq
-      if (cur.contains(from))
-        sets("graft.columns") = cur.flatMap(c =>
-          if (c == from) to.toSeq else Seq(c)).mkString(",")
-    }
-    Seq("default", "materialized", "alias", "aliastype").foreach { k =>
-      props.get(s"graft.$k.$from").foreach { v =>
-        to.foreach(n => sets(s"graft.$k.$n") = v)
-        unsets += s"graft.$k.$from"
+    Seq("graft.columns", "graft.nullcols").foreach { key =>
+      props.get(key).foreach { cs =>
+        val cur = cs.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        if (cur.contains(from))
+          sets(key) = cur.flatMap(c =>
+            if (c == from) to.toSeq else Seq(c)).mkString(",")
       }
     }
+    Seq("default", "materialized", "alias", "aliastype", "addfill")
+      .foreach { k =>
+        props.get(s"graft.$k.$from").foreach { v =>
+          to.foreach(n => sets(s"graft.$k.$n") = v)
+          unsets += s"graft.$k.$from"
+        }
+      }
     if (sets.nonEmpty)
       spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES (" + sets.map {
         case (k, v) => s"${sqlLit(k)}=${sqlLit(v)}" }.mkString(", ") + ")")
@@ -2361,7 +2509,11 @@ object ChDdl {
     val tmp = s"${db}graft_rw_${suffix}"
     val bak = s"${db}${bare}__graft_old_$suffix"
     if (!spark.catalog.tableExists(tmp)) dropStaleLocation(spark, tmp)
-    val w = transform(spark.table(name)).write.mode(SaveMode.Overwrite)
+    // read through the post-ADD column fills: the rewrite materializes
+    // them (CH computes added-column defaults on merge), so the markers
+    // are dropped from the re-applied properties below
+    val w = transform(addFillDecorate(spark, name, spark.table(name), props))
+      .write.mode(SaveMode.Overwrite)
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).saveAsTable(tmp)
     // rename-aside instead of drop-then-rename: a failure between the two
     // renames leaves the data recoverable under the __graft_old name
@@ -2384,9 +2536,11 @@ object ChDdl {
       spark.sql(s"ALTER TABLE $name RECOVER PARTITIONS")
       spark.catalog.refreshTable(name)
     }
-    if (props.nonEmpty)
+    // addfill markers are spent: the rewrite above materialized them
+    val keep = props.filterNot(_._1.startsWith("graft.addfill."))
+    if (keep.nonEmpty)
       spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES (" +
-        props.map { case (k, v) => s"${sqlLit(k)}=${sqlLit(v)}" }
+        keep.map { case (k, v) => s"${sqlLit(k)}=${sqlLit(v)}" }
           .mkString(", ") + ")")
     invalidateProjections(spark, name)
   }
@@ -2629,9 +2783,13 @@ object ChDdl {
         .getOrElse("")
     val aliasCols = props.keys.filter(_.startsWith("graft.alias."))
       .map(_.stripPrefix("graft.alias.")).toSeq.sorted
+    // render the DECLARED nullability where tracked: rewrite mutations
+    // relax the physical flag, and SHOW CREATE must not start printing
+    // Nullable(...) for a column the user declared plain
     val cols = (ordered.map(f =>
       s"  ${f.name} ${props.getOrElse(s"graft.aggtype.${f.name}",
-        graft.model.ChTypes.toCh(f.dataType, f.nullable))}${
+        graft.model.ChTypes.toCh(f.dataType,
+          colDeclaredNullable(props, f.name, f.nullable)))}${
         modifier(f.name)}") ++
       aliasCols.map(c => s"  $c ${props.getOrElse(s"graft.aliastype.$c",
         "String")} ALIAS ${props(s"graft.alias.$c")}")).mkString(",\n")

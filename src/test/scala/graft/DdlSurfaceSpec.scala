@@ -518,11 +518,13 @@ class DdlSurfaceSpec extends AnyFunSuite {
           |{"price": 2.5, "k": 11, "grp": "j"}""".stripMargin)
     assert(q("SELECT count() AS n, sum(price) AS s FROM ctas_src WHERE grp = 'j'")
       == Seq(Seq(2L, 4.0)))
-    // INSERT ... FORMAT CSV with a column subset (price fills NULL)
+    // INSERT ... FORMAT CSV with a column subset: price is declared
+    // plain Float64, so the omitted column fills CH's type default 0.0
+    // (NULL is only for Nullable columns)
     run("""INSERT INTO ctas_src (k, grp) FORMAT CSV
           |20,c
           |21,c""".stripMargin)
-    assert(q("SELECT count() AS n FROM ctas_src WHERE grp = 'c' AND price IS NULL")
+    assert(q("SELECT count() AS n FROM ctas_src WHERE grp = 'c' AND price = 0")
       == Seq(Seq(2L)))
     run("DROP TABLE ctas_src")
     run("DROP TABLE ctas_agg")
@@ -1142,7 +1144,9 @@ class DdlSurfaceSpec extends AnyFunSuite {
     chRun("INSERT INTO mem_t VALUES (1, 'a'), (2, 'b')")
     chRun("INSERT INTO mem_t (k) VALUES (3)")
     assert(chRun("SELECT count() AS n FROM mem_t").head.getLong(0) == 3)
-    assert(chRun("SELECT name FROM mem_t WHERE k = 3").head.isNullAt(0))
+    // name is declared plain String: the omitted column fills CH's type
+    // default '' (NULL only for Nullable columns)
+    assert(chRun("SELECT name FROM mem_t WHERE k = 3").head.getString(0) == "")
     // memory tables join against anything through the view surface
     assert(chRun("SELECT count() AS n FROM mem_t AS m INNER JOIN numbers(10) " +
       "AS r ON m.k = r.number").head.getLong(0) == 3)
@@ -1178,6 +1182,61 @@ class DdlSurfaceSpec extends AnyFunSuite {
     chRun("DROP TABLE op_t")
   }
 
+  test("CH default-fill contract: omitted INSERT columns, CLEAR COLUMN, " +
+      "ADD COLUMN read-fill, MODIFY COLUMN DEFAULT") {
+    chRun("DROP TABLE IF EXISTS fill_t")
+    chRun("""CREATE TABLE fill_t (k Int64, v Int64, s String,
+      |  n Nullable(Int64)) ENGINE = MergeTree ORDER BY k""".stripMargin)
+    // omitted columns fill the TYPE default (0, ''), NULL only for Nullable
+    chRun("INSERT INTO fill_t (k) VALUES (1)")
+    val r1 = chRun("SELECT v, s, n FROM fill_t WHERE k = 1").head
+    assert(r1.getLong(0) == 0L && r1.getString(1) == "" && r1.isNullAt(2))
+    // a rewrite mutation relaxes PHYSICAL nullability — the DECLARED rule
+    // must not drift with it (graft.nullcols, not the schema flag)
+    chRun("ALTER TABLE fill_t UPDATE v = v + 1 WHERE k = 1")
+    chRun("INSERT INTO fill_t (k) VALUES (2)")
+    assert(chRun("SELECT v FROM fill_t WHERE k = 2").head.getLong(0) == 0L)
+    val sc = chRun("SHOW CREATE TABLE fill_t").head.getString(0)
+    assert(sc.contains("  v Int64") && !sc.contains("v Nullable"), sc)
+    assert(sc.contains("  n Nullable(Int64)"), sc)
+    // ADD COLUMN stays metadata-only, but pre-existing rows READ the
+    // DEFAULT (or the type default) — CH computes it for old parts
+    chRun("ALTER TABLE fill_t ADD COLUMN w Int64 DEFAULT k * 10")
+    assert(chRun("SELECT w FROM fill_t WHERE k = 2").head.getLong(0) == 20L)
+    chRun("ALTER TABLE fill_t ADD COLUMN z Int64")
+    assert(chRun("SELECT z FROM fill_t WHERE k = 1").head.getLong(0) == 0L)
+    // a short INSERT after the ADD fills the same way
+    chRun("INSERT INTO fill_t (k) VALUES (3)")
+    val r3 = chRun("SELECT w, z FROM fill_t WHERE k = 3").head
+    assert(r3.getLong(0) == 30L && r3.getLong(1) == 0L)
+    // the first full rewrite materializes the fills (CH's merge); reads
+    // are unchanged after it
+    chRun("OPTIMIZE TABLE fill_t")
+    val r2 = chRun("SELECT w, z FROM fill_t WHERE k = 2").head
+    assert(r2.getLong(0) == 20L && r2.getLong(1) == 0L)
+    // MODIFY COLUMN ... DEFAULT swaps the rule for LATER inserts only
+    chRun("ALTER TABLE fill_t MODIFY COLUMN v Int64 DEFAULT k * 5")
+    chRun("INSERT INTO fill_t (k) VALUES (4)")
+    assert(chRun("SELECT v FROM fill_t WHERE k = 4").head.getLong(0) == 20L)
+    assert(chRun("SELECT v FROM fill_t WHERE k = 2").head.getLong(0) == 0L)
+    chRun("DROP TABLE fill_t")
+    // CLEAR COLUMN IN PARTITION: DEFAULT expr recomputed, type default
+    // for plain columns, NULL for Nullable — scoped to one partition
+    chRun("DROP TABLE IF EXISTS clr_t")
+    chRun("""CREATE TABLE clr_t (k Int64, p Int32, v Int64,
+      |  d Int64 DEFAULT k * 2 + 1, n Nullable(Int64))
+      |ENGINE = MergeTree PARTITION BY p ORDER BY k""".stripMargin)
+    chRun("INSERT INTO clr_t VALUES (1, 0, 7, 100, 5), (2, 1, 8, 200, 6)")
+    chRun("ALTER TABLE clr_t CLEAR COLUMN v IN PARTITION 0")
+    chRun("ALTER TABLE clr_t CLEAR COLUMN d IN PARTITION 0")
+    chRun("ALTER TABLE clr_t CLEAR COLUMN n IN PARTITION 0")
+    val c0 = chRun("SELECT v, d, n FROM clr_t WHERE k = 1").head
+    assert(c0.getLong(0) == 0L && c0.getLong(1) == 3L && c0.isNullAt(2))
+    val c1 = chRun("SELECT v, d, n FROM clr_t WHERE k = 2").head
+    assert(c1.getLong(0) == 8L && c1.getLong(1) == 200L && c1.getLong(2) == 6L)
+    chRun("DROP TABLE clr_t")
+  }
+
   test("MODIFY COLUMN REMOVE / CODEC are metadata verbs; CLEAR INDEX/PROJECTION") {
     chRun("DROP TABLE IF EXISTS mc_t")
     chRun("""CREATE TABLE mc_t (id Int64, name String,
@@ -1186,9 +1245,10 @@ class DdlSurfaceSpec extends AnyFunSuite {
     chRun("INSERT INTO mc_t (id, name) VALUES (1, 'x')")
     assert(chRun("SELECT score FROM mc_t").head.getDouble(0) == 2.5)
     chRun("ALTER TABLE mc_t MODIFY COLUMN score REMOVE DEFAULT")
-    // default gone: subsequent short INSERTs fill NULL
+    // default gone: subsequent short INSERTs fill the TYPE default (score
+    // is declared plain Float64 — CH fills 0, not NULL)
     chRun("INSERT INTO mc_t (id, name) VALUES (2, 'y')")
-    assert(chRun("SELECT score FROM mc_t WHERE id = 2").head.isNullAt(0))
+    assert(chRun("SELECT score FROM mc_t WHERE id = 2").head.getDouble(0) == 0.0)
     assert(!chRun("SHOW CREATE TABLE mc_t").head.getString(0)
       .contains("DEFAULT"))
     assert(chRun("ALTER TABLE mc_t MODIFY COLUMN name CODEC(ZSTD(3))")

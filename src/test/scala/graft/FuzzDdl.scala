@@ -55,7 +55,7 @@ private[graft] object FuzzDdl {
     "mt_defaults", "replacing_ver", "replacing_nover", "summing",
     "collapsing", "versioned", "aggregating",
     "part_verbs", "move_replace", "col_alter", "ctas_exchange",
-    "projection", "modify_type")
+    "projection", "modify_type", "clear_column", "ttl", "modify_default")
 
   /** Render a typed model value for multiset comparison — the same rules
     * as FuzzGrammar.canon / the python leg's canon_value. */
@@ -244,6 +244,10 @@ private[graft] object FuzzDdl {
 
     // stored columns per arm (declared order)
     val sumColsExplicit = arm == "summing" && chance(0.5)
+    // ttl arm: half the seeds PARTITION BY the TTL column — applyTtlNow's
+    // metadata path (expired partitions drop by directory delete); the
+    // other half exercise the row-delete mutation path
+    val ttlPart = arm == "ttl" && chance(0.5)
     // projection arm: half the seeds ALSO partition by the group column,
     // so DROP PARTITION races the materialized projection (stale-serve
     // coverage); the agg list varies so the fold path sees every shape
@@ -271,6 +275,13 @@ private[graft] object FuzzDdl {
       case "mt_defaults" => Seq(Col("k", "Int64", "BIGINT"),
         Col("v", "Int64", "BIGINT"), Col("d", "Int64", "BIGINT"),
         Col("m", "Int64", "BIGINT"))
+      case "clear_column" => Seq(Col("k", "Int64", "BIGINT"),
+        Col("p", "Int32", "INTEGER"), Col("v", "Int64", "BIGINT"),
+        Col("d", "Int64", "BIGINT"), Col("n", "Nullable(Int64)", "BIGINT"))
+      case "ttl" => Seq(Col("k", "Int64", "BIGINT"),
+        Col("dt", "Date", "DATE"), Col("v", "Int64", "BIGINT"))
+      case "modify_default" => Seq(Col("k", "Int64", "BIGINT"),
+        Col("v", "Int64", "BIGINT"), Col("d", "Int64", "BIGINT"))
       case "replacing_ver" => Seq(Col("k", "Int64", "BIGINT"),
         Col("ver", "Int64", "BIGINT"), Col("v", "Int64", "BIGINT"),
         Col("s", "String", "VARCHAR"))
@@ -310,9 +321,11 @@ private[graft] object FuzzDdl {
         case "aggregating" => "AggregatingMergeTree"
         case _ => "MergeTree"
       }
-      val tail = (if (Set("mt_part", "part_verbs", "move_replace")(arm) ||
-          projPart) " PARTITION BY p" else "") +
-        " ORDER BY k"
+      val tail = (if (Set("mt_part", "part_verbs", "move_replace",
+          "clear_column")(arm) || projPart) " PARTITION BY p"
+        else if (ttlPart) " PARTITION BY dt" else "") +
+        " ORDER BY k" +
+        (if (arm == "ttl") " TTL dt + INTERVAL 30 DAY" else "")
       s"CREATE TABLE $t (${colDefs.mkString(", ")}) ENGINE = $engine$tail"
     }
     val createDuck: String =
@@ -355,6 +368,11 @@ private[graft] object FuzzDdl {
       case "sz" => pick(words) // post-RENAME name of s (col_alter)
       case "extra" => int(10, 19).toLong
       case "d" => int(20, 29).toLong
+      case "dt" => // ttl arm: dates either side of the 30-day horizon —
+        // year-2000 rows expire on the next OPTIMIZE, year-2100 rows
+        // survive (deterministic until 2100; model string == Date render)
+        pick(Seq("2000-01-03", "2000-02-07", "2000-03-15",
+          "2100-01-03", "2100-02-07"))
       case "m" => sys.error("materialized is never drawn")
       case other => sys.error(s"randVal($other)")
     }
@@ -448,6 +466,21 @@ private[graft] object FuzzDdl {
       case "aggregating" => collapseAggregating(rs)
       case _ => rs
     }
+
+    // ttl arm: the engine applies TTL on every un-partition-scoped
+    // OPTIMIZE (CH applies TTL on merges); year-2000 rows sit past any
+    // 30/45-day horizon, year-2100 rows are always live
+    var ttlActive = arm == "ttl"
+    def applyTtlModel(): Unit = if (ttlActive) {
+      duck += s"DELETE FROM $t WHERE dt < DATE '2050-01-01'"
+      val di = idx("dt")
+      val keep = rows.filterNot(r => r(di).asInstanceOf[String] < "2050-01-01")
+      rows.clear(); rows ++= keep
+    }
+    // modify_default arm: the CURRENT fill rule for a short INSERT
+    // omitting d — DEFAULT expr if declared, else the Int64 type default
+    var defFn: Option[Long => Long] =
+      if (arm == "modify_default") Some(k => k * 2L + 1L) else None
 
     val mutPool = Seq.newBuilder[() => Unit]
     val iv = () => idx("v")
@@ -631,6 +664,80 @@ private[graft] object FuzzDdl {
           rows(i) = rows(i).updated(di, asL(rows(i)(di)) + c0)
       }
     })
+    if (arm == "clear_column") {
+      // CLEAR COLUMN c IN PARTITION p: CH resets to the DEFAULT expr if
+      // declared (d → k*2+1, recomputed from the CURRENT k), else the
+      // type default (v → 0), NULL only for Nullable columns (n)
+      def clearOp(cname: String): () => Unit = () => {
+        val pv = int(0, 2)
+        ch += s"ALTER TABLE $t CLEAR COLUMN $cname IN PARTITION $pv"
+        val (pi, ci) = (idx("p"), idx(cname))
+        val fill: Vector[Any] => Any = cname match {
+          case "v" => _ => 0L
+          case "d" => r => asL(r.head) * 2L + 1L
+          case "n" => _ => null
+        }
+        duck += (cname match {
+          case "v" => s"UPDATE $t SET v = 0 WHERE p = $pv"
+          case "d" => s"UPDATE $t SET d = k * 2 + 1 WHERE p = $pv"
+          case "n" => s"UPDATE $t SET n = NULL WHERE p = $pv"
+        })
+        rows.indices.foreach { i =>
+          if (rows(i)(pi) == pv)
+            rows(i) = rows(i).updated(ci, fill(rows(i)))
+        }
+      }
+      mutPool += clearOp("v")
+      mutPool += clearOp("d")
+      mutPool += clearOp("n")
+      mutPool += (() => { // short INSERT (k, p): v fills 0, d fills its
+        // DEFAULT, n fills NULL — the whole omitted-column rule at once
+        val vals = (1 to int(1, 3)).map(_ => Vector[Any](
+          randVal(Col("k", "", "")), randVal(Col("p", "", ""))))
+        ch += s"INSERT INTO $t (k, p) VALUES " +
+          vals.map(r => r.map(litCh).mkString("(", ", ", ")")).mkString(", ")
+        val full = vals.map(r => Vector[Any](r(0), r(1), 0L,
+          asL(r(0)) * 2L + 1L, null))
+        rows ++= full
+        duck += duckInsert(full)
+      })
+    }
+    if (arm == "ttl") {
+      mutPool += (() => { // re-declare the horizon (same expiry classes)
+        ch += s"ALTER TABLE $t MODIFY TTL dt + INTERVAL 45 DAY"
+        ttlActive = true
+      })
+      mutPool += (() => { // REMOVE TTL: later OPTIMIZEs stop expiring
+        ch += s"ALTER TABLE $t REMOVE TTL"
+        ttlActive = false
+      })
+    }
+    if (arm == "modify_default") {
+      mutPool += (() => { // swap/remove the DEFAULT: existing rows keep
+        // their values (metadata-only), only LATER short INSERTs see it
+        int(0, 2) match {
+          case 0 =>
+            ch += s"ALTER TABLE $t MODIFY COLUMN d Int64 DEFAULT k * 3"
+            defFn = Some(k => k * 3L)
+          case 1 =>
+            ch += s"ALTER TABLE $t MODIFY COLUMN d REMOVE DEFAULT"
+            defFn = None
+          case 2 =>
+            ch += s"ALTER TABLE $t MODIFY COLUMN d Int64 DEFAULT k + 40"
+            defFn = Some(k => k + 40L)
+        }
+      })
+      mutPool += (() => { // short INSERT (k, v): d fills the CURRENT rule
+        val vals = (1 to int(1, 3)).map(_ => Vector[Any](
+          randVal(Col("k", "", "")), randVal(Col("v", "", ""))))
+        ch += s"INSERT INTO $t (k, v) VALUES " +
+          vals.map(r => r.map(litCh).mkString("(", ", ", ")")).mkString(", ")
+        val full = vals.map(r => Vector[Any](r(0), r(1),
+          defFn.map(f => f(asL(r(0)))).getOrElse(0L)))
+        rows ++= full
+        duck += duckInsert(full)
+      })
+    }
     if (arm == "mt_plain") mutPool += (() => { // metadata ADD COLUMN + insert
       // idempotent like the engine: a second draw re-issues the ALTER
       // (the engine answers "already exists") but must not re-widen the
@@ -639,8 +746,10 @@ private[graft] object FuzzDdl {
       // DUPLICATE column name in an INSERT list (now a refusal)
       ch += s"ALTER TABLE $t ADD COLUMN extra Int64"
       if (!storedCols.exists(_.name == "extra")) {
-        duck += s"ALTER TABLE $t ADD COLUMN extra BIGINT"
-        val widened = rows.map(_ :+ (null: Any))
+        // CH: old parts read a non-Nullable added column as the type's
+        // implicit default (0), not NULL — duck twins with DEFAULT 0
+        duck += s"ALTER TABLE $t ADD COLUMN extra BIGINT DEFAULT 0"
+        val widened = rows.map(_ :+ (0L: Any))
         rows.clear(); rows ++= widened
         storedCols = storedCols :+ Col("extra", "Int64", "BIGINT")
         val vals = (1 to 2).map(_ => storedCols.map(randVal).toVector)
@@ -651,11 +760,14 @@ private[graft] object FuzzDdl {
         rows ++= vals
       }
     })
-    mutPool += (() => { // plain OPTIMIZE: content no-op compaction
+    mutPool += (() => { // plain OPTIMIZE: content no-op compaction —
+      // except on a TTL table, where the merge expires rows (CH parity)
       ch += s"OPTIMIZE TABLE $t"
+      applyTtlModel()
     })
     if (!engineArm) mutPool += (() => { // OPTIMIZE DEDUPLICATE
       ch += s"OPTIMIZE TABLE $t DEDUPLICATE"
+      applyTtlModel() // the engine applies TTL before the dedup transform
       duck ++= duckSwap(t, s"SELECT DISTINCT * FROM $t")
       val dd = rows.distinct
       rows.clear(); rows ++= dd
