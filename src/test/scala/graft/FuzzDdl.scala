@@ -55,7 +55,8 @@ private[graft] object FuzzDdl {
     "mt_defaults", "replacing_ver", "replacing_nover", "summing",
     "collapsing", "versioned", "aggregating",
     "part_verbs", "move_replace", "col_alter", "ctas_exchange",
-    "projection", "modify_type", "clear_column", "ttl", "modify_default")
+    "projection", "modify_type", "clear_column", "ttl", "modify_default",
+    "add_fill")
 
   /** Render a typed model value for multiset comparison — the same rules
     * as FuzzGrammar.canon / the python leg's canon_value. */
@@ -282,6 +283,8 @@ private[graft] object FuzzDdl {
         Col("dt", "Date", "DATE"), Col("v", "Int64", "BIGINT"))
       case "modify_default" => Seq(Col("k", "Int64", "BIGINT"),
         Col("v", "Int64", "BIGINT"), Col("d", "Int64", "BIGINT"))
+      case "add_fill" => Seq(Col("k", "Int64", "BIGINT"),
+        Col("p", "Int32", "INTEGER"), Col("v", "Int64", "BIGINT"))
       case "replacing_ver" => Seq(Col("k", "Int64", "BIGINT"),
         Col("ver", "Int64", "BIGINT"), Col("v", "Int64", "BIGINT"),
         Col("s", "String", "VARCHAR"))
@@ -322,7 +325,7 @@ private[graft] object FuzzDdl {
         case _ => "MergeTree"
       }
       val tail = (if (Set("mt_part", "part_verbs", "move_replace",
-          "clear_column")(arm) || projPart) " PARTITION BY p"
+          "clear_column", "add_fill")(arm) || projPart) " PARTITION BY p"
         else if (ttlPart) " PARTITION BY dt" else "") +
         " ORDER BY k" +
         (if (arm == "ttl") " TTL dt + INTERVAL 30 DAY" else "")
@@ -366,6 +369,7 @@ private[graft] object FuzzDdl {
       case "f" => int(0, 40) * 0.25
       case "n" => if (chance(0.25)) null else int(0, 9).toLong
       case "sz" => pick(words) // post-RENAME name of s (col_alter)
+      case "z" => int(0, 5).toLong // add_fill: plain added column
       case "extra" => int(10, 19).toLong
       case "d" => int(20, 29).toLong
       case "dt" => // ttl arm: dates either side of the 30-day horizon —
@@ -734,6 +738,53 @@ private[graft] object FuzzDdl {
           vals.map(r => r.map(litCh).mkString("(", ", ", ")")).mkString(", ")
         val full = vals.map(r => Vector[Any](r(0), r(1),
           defFn.map(f => f(asL(r(0)))).getOrElse(0L)))
+        rows ++= full
+        duck += duckInsert(full)
+      })
+    }
+    if (arm == "add_fill") {
+      val pi = () => idx("p")
+      mutPool += (() => { // ADD COLUMN with an expression DEFAULT: the
+        // ALTER is metadata-only, but pre-existing rows must READ k*10
+        // (the graft.addfill coalesce); k is never mutated, so read-time
+        // compute and post-rewrite materialization are indistinguishable
+        ch += s"ALTER TABLE $t ADD COLUMN w Int64 DEFAULT k * 10"
+        if (!storedCols.exists(_.name == "w")) {
+          duck += s"ALTER TABLE $t ADD COLUMN w BIGINT"
+          duck += s"UPDATE $t SET w = k * 10"
+          rows.indices.foreach(i =>
+            rows(i) = rows(i) :+ (asL(rows(i).head) * 10L: Any))
+          storedCols = storedCols :+ Col("w", "Int64", "BIGINT")
+        }
+      })
+      mutPool += (() => { // plain ADD COLUMN: old rows read the TYPE
+        // default 0 (not NULL) — CH computes it for parts without the col
+        ch += s"ALTER TABLE $t ADD COLUMN z Int64"
+        if (!storedCols.exists(_.name == "z")) {
+          duck += s"ALTER TABLE $t ADD COLUMN z BIGINT DEFAULT 0"
+          rows.indices.foreach(i => rows(i) = rows(i) :+ (0L: Any))
+          storedCols = storedCols :+ Col("z", "Int64", "BIGINT")
+        }
+      })
+      mutPool += (() => { // partition drop races the read-fill marker
+        val pv = int(0, 2)
+        ch += s"ALTER TABLE $t DROP PARTITION $pv"
+        duck += s"DELETE FROM $t WHERE p = $pv"
+        val keep = rows.filterNot(r => r(pi()) == pv)
+        rows.clear(); rows ++= keep
+      })
+      mutPool += (() => { // short INSERT (k, p): v fills 0; if added,
+        // w fills its DEFAULT k*10 and z fills 0 — at WRITE time
+        val vals = (1 to int(1, 3)).map(_ => Vector[Any](
+          randVal(Col("k", "", "")), randVal(Col("p", "", ""))))
+        ch += s"INSERT INTO $t (k, p) VALUES " +
+          vals.map(r => r.map(litCh).mkString("(", ", ", ")")).mkString(", ")
+        val full = vals.map { r =>
+          var row = Vector[Any](r(0), r(1), 0L)
+          if (storedCols.exists(_.name == "w")) row :+= asL(r(0)) * 10L
+          if (storedCols.exists(_.name == "z")) row :+= 0L
+          row
+        }
         rows ++= full
         duck += duckInsert(full)
       })
