@@ -6129,6 +6129,15 @@ object Queries {
             .as("fp"))
         .orderBy("doc_id")),
 
+    // DSIR importance weights toward the English slice (Xie et al.):
+    // hashed-token bucket profiles (B = 64, portable hash), add-1
+    // smoothed log-ratio, scored as a row-local literal fold — one
+    // corpus pass for both profiles, zero joins in the scoring pass
+    "t29_dsir_weights" -> ((s, dir) =>
+      TextAnalysis.dsirWeights(tbl(s, dir, "documents"), "doc_id", "text",
+          target = col("lang") === "en", buckets = 64, roundTo = 4)
+        .orderBy("doc_id")),
+
     // IVF with a TRAINED coarse codebook (closes the r10 operating-point
     // artifact's caveat: the stride codebook was the measured recall
     // CEILING of the fixed-C family). Same constant C = 10 and nprobe=2
@@ -6407,6 +6416,33 @@ object Queries {
          |  ${sqlCharFold("array_to_string(pieces, ' ')")} AS fp
          |FROM enc ORDER BY doc_id""".stripMargin
     },
+
+    // replays the full DSIR pipeline: portable-hash token buckets, the
+    // two smoothed profiles, the 64-entry log-ratio table (unseen
+    // buckets get the symmetric prior), and the sequential per-doc fold
+    "t29_dsir_weights" ->
+      s"""WITH toks AS (SELECT doc_id, lang,
+         |    list_filter(string_split_regex(trim(text), '\\s+'),
+         |      t -> len(t) > 0) AS ts
+         |  FROM documents),
+         |bks AS (SELECT doc_id, lang,
+         |    list_transform(ts, t -> ${sqlCharFold("t")} % 64) AS bs
+         |  FROM toks),
+         |prof AS (SELECT b, count(*) AS raw,
+         |    count(*) FILTER (WHERE lang = 'en') AS tgt
+         |  FROM (SELECT lang, unnest(bs) AS b FROM bks) GROUP BY b),
+         |tot AS (SELECT sum(raw) AS rt, sum(tgt) AS tt FROM prof),
+         |lrarr AS (SELECT list(r ORDER BY b) AS arr FROM (
+         |    SELECT gs.b AS b, coalesce(
+         |        ln((p.tgt + 1.0) / (t.tt + 64)) - ln((p.raw + 1.0) / (t.rt + 64)),
+         |        ln(1.0 / (t.tt + 64)) - ln(1.0 / (t.rt + 64))) AS r
+         |    FROM (SELECT unnest(range(0, 64)) AS b) gs
+         |    CROSS JOIN tot t
+         |    LEFT JOIN prof p ON p.b = gs.b))
+         |SELECT doc_id, round(list_reduce(list_prepend(0.0,
+         |    list_transform(bs, b -> arr[CAST(b AS INT) + 1])),
+         |    (acc, x) -> acc + x), 4) AS weight
+         |FROM bks CROSS JOIN lrarr ORDER BY doc_id""".stripMargin,
 
     // v3's serving algebra over a TRAINED codebook: one k-means round
     // (stride init n/10 → rounded per-cell means, the v10 replay), then

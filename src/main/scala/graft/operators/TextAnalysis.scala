@@ -744,4 +744,54 @@ object TextAnalysis {
   /** True model-based token count — [[bpeEncode]] piece count. */
   def bpePieceCount(text: Column, merges: Seq[(String, String)]): Column =
     size(bpeEncode(text, merges))
+
+  // ============ DSIR importance weights (data selection) ============
+
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * each document by how much more likely its hashed-token profile is
+    * under the TARGET slice of the corpus than under the RAW corpus —
+    * `log w(doc) = Σ_tokens (log p_T(bucket(tok)) − log p_R(bucket(tok)))`
+    * with add-1 smoothed bucket probabilities. High-weight documents are
+    * the ones importance resampling would keep when curating toward the
+    * target distribution.
+    *
+    * Scale shape: ONE corpus pass builds both bucket profiles together
+    * (explode → a map-combinable two-counter aggregation over `buckets`
+    * groups — driver state is `buckets` rows, bounded by CONFIGURATION);
+    * the per-document score is then a row-local fold with the B log-ratio
+    * values inlined as plan literals (the BM25 stats-fold pattern), so
+    * the scoring pass has zero joins and zero shuffles and stays inside
+    * whole-stage codegen. Token buckets use [[PortableHash.charFold]]
+    * mod `buckets`, so a SQL oracle replays the identical features.
+    * Returns (idCol, weight) with the weight rounded to `roundTo`. */
+  def dsirWeights(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, target: Column, buckets: Int = 64,
+      roundTo: Int = 6): org.apache.spark.sql.DataFrame = {
+    require(buckets > 0, "dsirWeights: buckets must be positive")
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    val bucketArr = transform(toks,
+      t => pmod(PortableHash.charFold(t), lit(buckets.toLong)))
+    val prof = df.select(target.as("t"), explode(bucketArr).as("b"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("raw"),
+        sum(when(col("t"), 1L).otherwise(0L)).as("tgt"))
+      .collect() // ≤ buckets rows — bounded by configuration, not corpus
+    val rawTotal = prof.map(_.getLong(1)).sum.toDouble
+    val tgtTotal = prof.map(_.getLong(2)).sum.toDouble
+    require(tgtTotal > 0, "dsirWeights: target slice matches no tokens")
+    val byBucket = prof.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // add-1 smoothing over the full bucket space so unseen buckets (in
+    // either distribution) contribute a finite, symmetric prior
+    val logRatio: IndexedSeq[Double] = (0 until buckets).map { b =>
+      val (raw, tgt) = byBucket.getOrElse(b.toLong, (0L, 0L))
+      math.log((tgt + 1.0) / (tgtTotal + buckets)) -
+        math.log((raw + 1.0) / (rawTotal + buckets))
+    }
+    val lrArr = array(logRatio.map(lit): _*)
+    val w = aggregate(bucketArr, lit(0.0),
+      (acc, b) => acc + element_at(lrArr, (b + lit(1L)).cast("int")))
+    df.select(col(idCol), round(w, roundTo).as("weight"))
+  }
 }

@@ -945,4 +945,38 @@ class TrainingOpsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(math.abs(nat("big") / 540.0 - nat("small") / 60.0) < 0.12)
   }
+
+  test("dsirWeights: target-like docs outscore off-target ones; " +
+      "deterministic; empty target refuses") {
+    val rows = Seq(
+      (0L, "alpha beta gamma alpha beta", "tgt"),
+      (1L, "alpha beta beta gamma gamma", "tgt"),
+      (2L, "delta epsilon zeta delta zeta", "raw"),
+      (3L, "alpha beta gamma beta alpha", "raw"), // target-LIKE but raw
+      (4L, "epsilon zeta delta epsilon zeta", "raw"))
+      .toDF("doc_id", "text", "slice")
+    val w = TextAnalysis.dsirWeights(rows, "doc_id", "text",
+        target = col("slice") === "tgt", buckets = 16)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // docs made of target-distribution tokens must outscore docs made of
+    // tokens the target never uses — REGARDLESS of their own slice label
+    assert(w(3L) > w(2L) && w(3L) > w(4L),
+      s"target-like raw doc should score high: $w")
+    assert(w(0L) > w(2L) && w(1L) > w(4L), s"$w")
+    // deterministic: the literal-fold plan re-evaluates identically
+    val w2 = TextAnalysis.dsirWeights(rows, "doc_id", "text",
+        target = col("slice") === "tgt", buckets = 16)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w == w2)
+    // an empty target slice has no distribution to resample toward
+    intercept[IllegalArgumentException] {
+      TextAnalysis.dsirWeights(rows, "doc_id", "text",
+        target = col("slice") === "nope", buckets = 16)
+    }
+    // the profile aggregation is bounded by CONFIGURATION: ≤ buckets rows
+    // reach the driver however large the corpus (collect() over groupBy(b)
+    // with b = hash % buckets) — pinned here as an arity check
+    assert(TextAnalysis.dsirWeights(rows, "doc_id", "text",
+      target = col("slice") === "tgt", buckets = 2).count() == 5)
+  }
 }
