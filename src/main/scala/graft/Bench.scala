@@ -13,6 +13,15 @@ object Bench {
     // full per-query JSON also goes to a file: stdout tail capture truncated
     // the r2 results to 65 of 101 queries.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
+    // Capture the host's 1-min load BEFORE the session/warmup: the warmup
+    // burst (10 table counts on all cores) is the bench's OWN activity
+    // and was inflating loadavg_before past the clean_start bound — the
+    // stamp exists to expose CO-RESIDENT load, which only the
+    // pre-session reading measures.
+    def loadAvg1mEarly(): Double =
+      try Files.readString(Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadBefore = loadAvg1mEarly()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -52,7 +61,6 @@ object Bench {
           os.getProcessCpuTime / 1e9
         case _ => -1.0
       }
-    val loadBefore = loadAvg1m()
     // Contamination GUARD (VERDICT r7 §next-8): a loaded host inflates
     // wall times uniformly, and r6/r7 both shipped official artifacts
     // from contaminated runs. Refuse to produce one: if the 1-min load
