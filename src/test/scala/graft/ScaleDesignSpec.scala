@@ -812,4 +812,27 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(spine(plan),
       "corpus spine must reach the broadcast join without crossing a shuffle")
   }
+
+  test("dsirWeights: scoring plan is one scan — no joins, no shuffles; " +
+      "profile state bounded by bucket count") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.operators.TextAnalysis.dsirWeights(
+      docs, "doc_id", "text", target = col("lang") === "en", buckets = 64)
+    val plan = out.queryExecution.executedPlan
+    // the log-ratio table rides as plan literals (the BM25 stats-fold
+    // pattern): the scoring pass joins nothing and shuffles nothing —
+    // at 100 TB it is a single embarrassingly-parallel projection
+    assert(plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, "dsir scoring must not join (profiles ride as literals)")
+    assert(shuffleCount(out) == 0,
+      "dsir scoring must not shuffle the corpus")
+    // the profile pass collects ≤ buckets rows however large the corpus:
+    // the grouping key is hash % buckets by construction
+    val profRows = docs.select(explode(transform(
+        filter(split(trim(col("text")), "\\s+"), t => length(t) > 0),
+        t => pmod(graft.functions.PortableHash.charFold(t), lit(64L))))
+      .as("b")).groupBy("b").count().count()
+    assert(profRows <= 64)
+  }
 }
