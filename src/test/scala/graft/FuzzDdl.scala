@@ -56,7 +56,7 @@ private[graft] object FuzzDdl {
     "collapsing", "versioned", "aggregating",
     "part_verbs", "move_replace", "col_alter", "ctas_exchange",
     "projection", "modify_type", "clear_column", "ttl", "modify_default",
-    "add_fill")
+    "add_fill", "memory")
 
   /** Render a typed model value for multiset comparison — the same rules
     * as FuzzGrammar.canon / the python leg's canon_value. */
@@ -285,6 +285,9 @@ private[graft] object FuzzDdl {
         Col("v", "Int64", "BIGINT"), Col("d", "Int64", "BIGINT"))
       case "add_fill" => Seq(Col("k", "Int64", "BIGINT"),
         Col("p", "Int32", "INTEGER"), Col("v", "Int64", "BIGINT"))
+      case "memory" => Seq(Col("k", "Int64", "BIGINT"),
+        Col("v", "Int64", "BIGINT"), Col("s", "String", "VARCHAR"),
+        Col("n", "Nullable(Int64)", "BIGINT"))
       case "replacing_ver" => Seq(Col("k", "Int64", "BIGINT"),
         Col("ver", "Int64", "BIGINT"), Col("v", "Int64", "BIGINT"),
         Col("s", "String", "VARCHAR"))
@@ -322,13 +325,16 @@ private[graft] object FuzzDdl {
         case "collapsing" => "CollapsingMergeTree(sgn)"
         case "versioned" => "VersionedCollapsingMergeTree(sgn, ver)"
         case "aggregating" => "AggregatingMergeTree"
+        case "memory" => "Memory"
         case _ => "MergeTree"
       }
-      val tail = (if (Set("mt_part", "part_verbs", "move_replace",
-          "clear_column", "add_fill")(arm) || projPart) " PARTITION BY p"
-        else if (ttlPart) " PARTITION BY dt" else "") +
-        " ORDER BY k" +
-        (if (arm == "ttl") " TTL dt + INTERVAL 30 DAY" else "")
+      val tail =
+        if (arm == "memory") "" // Memory takes no sorting/partition keys
+        else (if (Set("mt_part", "part_verbs", "move_replace",
+            "clear_column", "add_fill")(arm) || projPart) " PARTITION BY p"
+          else if (ttlPart) " PARTITION BY dt" else "") +
+          " ORDER BY k" +
+          (if (arm == "ttl") " TTL dt + INTERVAL 30 DAY" else "")
       s"CREATE TABLE $t (${colDefs.mkString(", ")}) ENGINE = $engine$tail"
     }
     val createDuck: String =
@@ -488,7 +494,10 @@ private[graft] object FuzzDdl {
 
     val mutPool = Seq.newBuilder[() => Unit]
     val iv = () => idx("v")
-    mutPool += (() => { // heavy UPDATE v (pred on k)
+    // CH's Memory engine supports no mutations and no OPTIMIZE — the
+    // engine refuses them (parity), so the memory arm draws none
+    val memArm = arm == "memory"
+    if (!memArm) mutPool += (() => { // heavy UPDATE v (pred on k)
       val (m0, c0) = (int(2, 4), int(1, 5)); val r0 = int(0, m0 - 1)
       ch += s"ALTER TABLE $t UPDATE v = v + $c0 WHERE k % $m0 = $r0"
       duck += s"UPDATE $t SET v = v + $c0 WHERE k % $m0 = $r0"
@@ -498,7 +507,7 @@ private[graft] object FuzzDdl {
           rows(i) = rows(i).updated(vi, asL(rows(i)(vi)) + c0)
       }
     })
-    mutPool += (() => { // lightweight UPDATE v (pred on v)
+    if (!memArm) mutPool += (() => { // lightweight UPDATE v (pred on v)
       val (c0, c1) = (int(1, 3), int(0, 5))
       ch += s"UPDATE $t SET v = v - $c0 WHERE v > $c1"
       duck += s"UPDATE $t SET v = v - $c0 WHERE v > $c1"
@@ -508,14 +517,14 @@ private[graft] object FuzzDdl {
           rows(i) = rows(i).updated(vi, asL(rows(i)(vi)) - c0)
       }
     })
-    mutPool += (() => { // heavy DELETE (pred on k)
+    if (!memArm) mutPool += (() => { // heavy DELETE (pred on k)
       val m0 = int(2, 4); val r0 = int(0, m0 - 1)
       ch += s"ALTER TABLE $t DELETE WHERE k % $m0 = $r0"
       duck += s"DELETE FROM $t WHERE k % $m0 = $r0"
       val keep = rows.filterNot(r => asL(r.head) % m0 == r0)
       rows.clear(); rows ++= keep
     })
-    mutPool += (() => { // lightweight DELETE (pred on v)
+    if (!memArm) mutPool += (() => { // lightweight DELETE (pred on v)
       val c0 = int(4, 8)
       ch += s"DELETE FROM $t WHERE v > $c0"
       duck += s"DELETE FROM $t WHERE v > $c0"
@@ -524,7 +533,7 @@ private[graft] object FuzzDdl {
       rows.clear(); rows ++= keep
     })
     // (col_alter may DROP/RENAME s mid-session — its own ops cover strings)
-    if (cols.exists(_.name == "s") && arm != "col_alter")
+    if (cols.exists(_.name == "s") && arm != "col_alter" && !memArm)
       mutPool += (() => { // string UPDATE
       ch += s"ALTER TABLE $t UPDATE s = concat(s, '_z') WHERE k % 2 = 0"
       duck += s"UPDATE $t SET s = s || '_z' WHERE k % 2 = 0"
@@ -811,12 +820,30 @@ private[graft] object FuzzDdl {
         rows ++= vals
       }
     })
-    mutPool += (() => { // plain OPTIMIZE: content no-op compaction —
+    if (memArm) {
+      mutPool += (() => { // short INSERT (k): v fills 0, s fills '',
+        // n fills NULL — memAppend's declared-Nullable fill rule (the
+        // Memory store relaxes physical nullability like parquet does)
+        val vals = (1 to int(1, 3)).map(_ =>
+          Vector[Any](randVal(Col("k", "", ""))))
+        ch += s"INSERT INTO $t (k) VALUES " +
+          vals.map(r => r.map(litCh).mkString("(", ", ", ")")).mkString(", ")
+        val full = vals.map(r => Vector[Any](r(0), 0L, "", null))
+        rows ++= full
+        duck += duckInsert(full)
+      })
+      mutPool += (() => { // TRUNCATE clears the RAM store
+        ch += s"TRUNCATE TABLE $t"
+        duck += s"DELETE FROM $t"
+        rows.clear()
+      })
+    }
+    if (!memArm) mutPool += (() => { // plain OPTIMIZE: no-op compaction —
       // except on a TTL table, where the merge expires rows (CH parity)
       ch += s"OPTIMIZE TABLE $t"
       applyTtlModel()
     })
-    if (!engineArm) mutPool += (() => { // OPTIMIZE DEDUPLICATE
+    if (!engineArm && !memArm) mutPool += (() => { // OPTIMIZE DEDUPLICATE
       ch += s"OPTIMIZE TABLE $t DEDUPLICATE"
       applyTtlModel() // the engine applies TTL before the dedup transform
       duck ++= duckSwap(t, s"SELECT DISTINCT * FROM $t")
