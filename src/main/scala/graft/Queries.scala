@@ -6112,6 +6112,56 @@ object Queries {
         .orderBy("doc_id", "start_tok")
     }),
 
+    // ... and the spans APPLIED back to the corpus (the stage the Lee et
+    // al. loop actually ends with): drop the tokens inside each removal
+    // span, re-materialize cleaned text. One output-bounded left join +
+    // a row-local indexed-HOF token filter; the fingerprint (not the
+    // full text) travels to the result so the artifact stays small while
+    // the compare is still byte-exact on the cleaned stream.
+    "t27b_substring_clean" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.select(col("doc_id"), concat_ws(" ",
+        when(col("doc_id") % 5 === 0,
+          lit("please subscribe to our newsletter for daily updates " +
+            "and exclusive offers today"))
+          .otherwise(concat(lit("intro "), col("doc_id"))),
+        col("text")).as("text"))
+      val spans = graft.operators.Dedup.substringDedupSpans(corpus,
+        "doc_id", "text", k = 8, minDocs = 3)
+      graft.operators.Dedup.applySubstringSpans(corpus, spans)
+        .select(col("doc_id"),
+          graft.functions.PortableHash.charFold(col("text_clean")).as("fp"),
+          col("n_removed"))
+        .orderBy("doc_id")
+    }),
+
+    // Curation pipeline variant closing the Lee et al. loop end-to-end:
+    // substring spans found, APPLIED (cleaned text re-materialized),
+    // quality-filtered, then chunked for training — the p4 ending over
+    // substring-deduped instead of line-deduped text. Same scale shape
+    // as its stages: one count shuffle + one output-bounded join +
+    // row-local chunking.
+    "p4b_curation_substring" -> ((s, dir) => {
+      import graft.operators.{Dedup, TextAnalysis}
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.select(col("doc_id"), concat_ws(" ",
+        when(col("doc_id") % 5 === 0,
+          lit("please subscribe to our newsletter for daily updates " +
+            "and exclusive offers today"))
+          .otherwise(concat(lit("intro "), col("doc_id"))),
+        col("text")).as("text"))
+      val spans = Dedup.substringDedupSpans(corpus, "doc_id", "text",
+        k = 8, minDocs = 3)
+      val cleaned = Dedup.applySubstringSpans(corpus, spans)
+        .select(col("doc_id"), col("text_clean").as("text"))
+      val quality = cleaned.filter(
+        TextAnalysis.tokenCount(col("text")) >= 20)
+      TextAnalysis.chunkTokens(quality, "doc_id", "text", 20, 15)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"),
+          graft.functions.PortableHash.charFold(col("chunk")).as("fp"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // BPE tokenizer at serving shape: a TRAINED merge-table snapshot
     // (bpeSnapshotMerges — regenerate with Test/runMain
     // graft.BpeSnapshotMain) applied row-local to every doc; true piece
@@ -6129,6 +6179,37 @@ object Queries {
             .as("fp"))
         .orderBy("doc_id")),
 
+    // BPE at PRODUCTION size: a genuine 1,000-merge model, served by the
+    // lowest-rank-first native encoder over ONE broadcast
+    // (bpeEncodeFast) — per-token cost independent of the table size, no
+    // plan-literal blowup. The synthetic corpus has a 31-word
+    // vocabulary (BPE saturates at ~107 merges on it), so model AND
+    // serving text use the pair-enriched fixture: sliding adjacent-word
+    // concatenations (~31² distinct word forms — trained on sf0.1 by
+    // BpeSnapshotMain, same derivation here and in the oracle). The
+    // DuckDB twin replays the full 1,000-step training-order replace
+    // chain per DISTINCT word via a recursive CTE, so a green row
+    // proves the lowest-rank-first loop ≡ the training-order chain
+    // cross-engine at realistic model size.
+    "t28b_bpe_fast" -> ((s, dir) => {
+      val model = TextAnalysis.bpeModel(s, bpeMerges1k)
+      val toks = filter(split(trim(lower(col("text"))), "\\s+"),
+        t => t.rlike("^[a-z]+$"))
+      val nP = greatest(size(toks) - 1, lit(0))
+      val pairText = array_join(zip_with(
+        slice(toks, lit(1), nP), slice(toks, lit(2), nP),
+        (a, b) => concat(a, b)), " ")
+      tbl(s, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id"), pairText.as("text"))
+        .select(col("doc_id"),
+          TextAnalysis.bpePieceCountFast(col("text"), model)
+            .cast("long").as("n_pieces"),
+          graft.functions.PortableHash.charFold(concat_ws(" ",
+            TextAnalysis.bpeEncodeFast(col("text"), model)))
+            .as("fp"))
+        .orderBy("doc_id")
+    }),
+
     // DSIR importance weights toward the English slice (Xie et al.):
     // hashed-token bucket profiles (B = 64, portable hash), add-1
     // smoothed log-ratio, scored as a row-local literal fold — one
@@ -6136,6 +6217,16 @@ object Queries {
     "t29_dsir_weights" -> ((s, dir) =>
       TextAnalysis.dsirWeights(tbl(s, dir, "documents"), "doc_id", "text",
           target = col("lang") === "en", buckets = 64, roundTo = 4)
+        .orderBy("doc_id")),
+
+    // DSIR at the Xie et al. feature set: hashed unigrams AND bigrams in
+    // one shared 64-bucket space (t29 is the order-blind unigram tier).
+    // Same one-pass profile + zero-join scoring fold; DuckDB replays the
+    // bigram hash combine (list_zip + the window-fingerprint fold) and
+    // the whole estimator end-to-end.
+    "t29b_dsir_ngram" -> ((s, dir) =>
+      TextAnalysis.dsirWeightsNgram(tbl(s, dir, "documents"), "doc_id",
+          "text", target = col("lang") === "en", buckets = 64, roundTo = 4)
         .orderBy("doc_id")),
 
     // IVF with a TRAINED coarse codebook (closes the r10 operating-point
@@ -6161,6 +6252,24 @@ object Queries {
     ("e", "r"), ("e", "</w>"), ("o", "r"), ("i", "n"), ("er", "</w>"),
     ("o", "w"), ("ow", "</w>"), ("t", "</w>"), ("h", "</w>"), ("t", "a"),
     ("a", "s"), ("g", "</w>"))
+
+  /** 1000-merge BPE model trained on the sf0.1 English documents and
+    * shipped as a resource (regenerate with `Test/runMain
+    * graft.BpeSnapshotMain /root/testdata/sf0.1 1000
+    * src/main/resources/graft/bpe_merges_1k.tsv`) — the realistic-size
+    * serving model for t28b's lowest-rank-first native encoder; line
+    * order IS rank order. */
+  private lazy val bpeMerges1k: Seq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/bpe_merges_1k.tsv")
+    require(in != null, "missing resource graft/bpe_merges_1k.tsv — " +
+      "regenerate with Test/runMain graft.BpeSnapshotMain")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).map { l =>
+        val i = l.indexOf('\t')
+        (l.substring(0, i), l.substring(i + 1))
+      }.toVector
+    finally in.close()
+  }
 
   private val oracles13: Map[String, String] = Map(
 
@@ -6396,6 +6505,116 @@ object Queries {
          |FROM sp GROUP BY doc_id, span
          |ORDER BY doc_id, start_tok""".stripMargin,
 
+    // the t27 span chain, then the CLEANING replay: zipped-unnest tokens
+    // with 1-based ordinality, NOT EXISTS against the span ranges
+    // (0-based [start,end)), ordered string_agg re-materializes the
+    // cleaned stream; fingerprint + removed-token count compare
+    "t27b_substring_clean" ->
+      s"""WITH docs AS (SELECT doc_id,
+         |    (CASE WHEN doc_id % 5 = 0
+         |      THEN 'please subscribe to our newsletter for daily updates and exclusive offers today'
+         |      ELSE 'intro ' || doc_id END) || ' ' || text AS text
+         |  FROM documents),
+         |tk AS (SELECT doc_id, list_filter(
+         |    string_split_regex(trim(text), '\\s+'),
+         |    t -> len(t) > 0) AS t FROM docs),
+         |th AS (SELECT doc_id, list_transform(t,
+         |    tok -> ${sqlCharFold("tok")}) AS th FROM tk),
+         |wins AS (SELECT doc_id, i - 1 AS pos,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+7]),
+         |      (acc, x) -> (acc * 1000003 + x) % 2147483647) AS fp
+         |  FROM (SELECT doc_id, th,
+         |      unnest(generate_series(1, len(th) - 7)) AS i
+         |    FROM th WHERE len(th) >= 8)),
+         |dup AS (SELECT fp FROM wins GROUP BY fp
+         |  HAVING count(DISTINCT doc_id) >= 3),
+         |mk AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (fp)),
+         |gp AS (SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+         |        ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS nw
+         |  FROM mk),
+         |sp AS (SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id
+         |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS span
+         |  FROM gp),
+         |spans AS (SELECT doc_id, min(pos) AS start_tok,
+         |    max(pos) + 8 AS end_tok
+         |  FROM sp GROUP BY doc_id, span),
+         |tok AS (SELECT doc_id, unnest(t) AS tok,
+         |    unnest(generate_series(1, len(t))) AS i FROM tk),
+         |kept AS (SELECT k.doc_id, k.tok, k.i FROM tok k
+         |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+         |    WHERE s.doc_id = k.doc_id
+         |      AND k.i - 1 >= s.start_tok AND k.i - 1 < s.end_tok)),
+         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i)
+         |    AS text_clean, count(*) AS n_kept
+         |  FROM kept GROUP BY doc_id)
+         |SELECT tk.doc_id,
+         |  ${sqlCharFold("coalesce(a.text_clean, '')")} AS fp,
+         |  CAST(len(tk.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+         |FROM tk LEFT JOIN agg a USING (doc_id)
+         |ORDER BY tk.doc_id""".stripMargin,
+
+    // t27b cleaning chain, then p4's quality-filter + chunk replay over
+    // the cleaned text
+    "p4b_curation_substring" ->
+      s"""WITH docs AS (SELECT doc_id,
+         |    (CASE WHEN doc_id % 5 = 0
+         |      THEN 'please subscribe to our newsletter for daily updates and exclusive offers today'
+         |      ELSE 'intro ' || doc_id END) || ' ' || text AS text
+         |  FROM documents),
+         |tk AS (SELECT doc_id, list_filter(
+         |    string_split_regex(trim(text), '\\s+'),
+         |    t -> len(t) > 0) AS t FROM docs),
+         |th AS (SELECT doc_id, list_transform(t,
+         |    tok -> ${sqlCharFold("tok")}) AS th FROM tk),
+         |wins AS (SELECT doc_id, i - 1 AS pos,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+7]),
+         |      (acc, x) -> (acc * 1000003 + x) % 2147483647) AS fp
+         |  FROM (SELECT doc_id, th,
+         |      unnest(generate_series(1, len(th) - 7)) AS i
+         |    FROM th WHERE len(th) >= 8)),
+         |dup AS (SELECT fp FROM wins GROUP BY fp
+         |  HAVING count(DISTINCT doc_id) >= 3),
+         |mk AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (fp)),
+         |gp AS (SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+         |        ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS nw
+         |  FROM mk),
+         |sp AS (SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id
+         |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS span
+         |  FROM gp),
+         |spans AS (SELECT doc_id, min(pos) AS start_tok,
+         |    max(pos) + 8 AS end_tok
+         |  FROM sp GROUP BY doc_id, span),
+         |tok AS (SELECT doc_id, unnest(t) AS tok,
+         |    unnest(generate_series(1, len(t))) AS i FROM tk),
+         |kept AS (SELECT k.doc_id, k.tok, k.i FROM tok k
+         |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+         |    WHERE s.doc_id = k.doc_id
+         |      AND k.i - 1 >= s.start_tok AND k.i - 1 < s.end_tok)),
+         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i)
+         |    AS text_clean FROM kept GROUP BY doc_id),
+         |cl AS (SELECT tk.doc_id, coalesce(a.text_clean, '') AS text
+         |  FROM tk LEFT JOIN agg a USING (doc_id)),
+         |q AS (SELECT doc_id,
+         |    list_filter(string_split_regex(trim(text), '\\s+'),
+         |      t -> len(t) > 0) AS toks
+         |  FROM cl
+         |  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 20),
+         |ch AS (SELECT doc_id, i, list_slice(toks, i * 15 + 1, i * 15 + 20)
+         |    AS sl
+         |  FROM (SELECT doc_id, toks,
+         |      UNNEST(generate_series(0, CASE WHEN len(toks) = 0 THEN -1
+         |        ELSE CAST(ceil(greatest(len(toks) - 20, 0) / 15.0) AS BIGINT)
+         |        END)) AS i
+         |    FROM q))
+         |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         |  CAST(len(sl) AS INT) AS chunk_tokens,
+         |  ${sqlCharFold("array_to_string(sl, ' ')")} AS fp
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
     // the encoder replayed merge-for-merge: chars+EOW spaced string,
     // then one literal replace per merge IN TRAINING ORDER (left-to-right
     // non-overlapping on both engines)
@@ -6417,6 +6636,57 @@ object Queries {
          |FROM enc ORDER BY doc_id""".stripMargin
     },
 
+    // the 1,000-merge chain replayed in TRAINING ORDER per DISTINCT
+    // word: a recursive CTE advances every word's spaced symbol string
+    // one merge per iteration (rank r applies at step r), then tokens
+    // join their word's pieces back and re-concatenate in position
+    // order — proving Spark's lowest-rank-first native encoder emits
+    // the identical stream
+    "t28b_bpe_fast" -> {
+      val vals = bpeMerges1k.zipWithIndex.map { case ((a, b), r) =>
+        s"($r, '$a', '$b')" }.mkString(", ")
+      val n = bpeMerges1k.size
+      s"""WITH RECURSIVE
+         |raw AS (SELECT doc_id, list_filter(
+         |    string_split_regex(trim(lower(text)), '\\s+'),
+         |    t -> regexp_matches(t, '^[a-z]+$$')) AS rt
+         |  FROM documents WHERE doc_id < 400),
+         |tk AS (SELECT doc_id,
+         |    CASE WHEN len(rt) >= 2 THEN list_transform(
+         |        list_zip(rt[1:len(rt)-1], rt[2:len(rt)]),
+         |        p -> p[1] || p[2])
+         |      ELSE CAST([] AS VARCHAR[]) END AS t
+         |  FROM raw),
+         |tok AS (SELECT doc_id, unnest(t) AS tok,
+         |    unnest(generate_series(1, len(t))) AS i FROM tk),
+         |words AS (SELECT DISTINCT tok FROM tok),
+         |m(r, a, b) AS (SELECT * FROM (VALUES $vals) v(r, a, b)),
+         |enc AS (
+         |  SELECT tok, regexp_replace(tok, '(.)', ' \\1 ', 'g')
+         |      || ' </w> ' AS s, 0 AS r
+         |    FROM words
+         |  UNION ALL
+         |  SELECT e.tok, replace(e.s, ' ' || m.a || '  ' || m.b || ' ',
+         |      ' ' || m.a || m.b || ' '), e.r + 1
+         |    FROM enc e JOIN m ON m.r = e.r),
+         |fin AS (SELECT tok, list_filter(
+         |    string_split_regex(trim(s), '\\s+'),
+         |    p -> len(p) > 0) AS pieces
+         |  FROM enc WHERE r = $n),
+         |jp AS (SELECT o.doc_id, o.i, f.pieces
+         |  FROM tok o JOIN fin f USING (tok)),
+         |agg AS (SELECT doc_id, CAST(sum(len(pieces)) AS BIGINT)
+         |      AS n_pieces,
+         |    string_agg(array_to_string(pieces, ' '), ' ' ORDER BY i)
+         |      AS es
+         |  FROM jp GROUP BY doc_id)
+         |SELECT tk.doc_id,
+         |  CAST(coalesce(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+         |  ${sqlCharFold("coalesce(a.es, '')")} AS fp
+         |FROM tk LEFT JOIN agg a USING (doc_id)
+         |ORDER BY tk.doc_id""".stripMargin
+    },
+
     // replays the full DSIR pipeline: portable-hash token buckets, the
     // two smoothed profiles, the 64-entry log-ratio table (unseen
     // buckets get the symmetric prior), and the sequential per-doc fold
@@ -6428,6 +6698,41 @@ object Queries {
          |bks AS (SELECT doc_id, lang,
          |    list_transform(ts, t -> ${sqlCharFold("t")} % 64) AS bs
          |  FROM toks),
+         |prof AS (SELECT b, count(*) AS raw,
+         |    count(*) FILTER (WHERE lang = 'en') AS tgt
+         |  FROM (SELECT lang, unnest(bs) AS b FROM bks) GROUP BY b),
+         |tot AS (SELECT sum(raw) AS rt, sum(tgt) AS tt FROM prof),
+         |lrarr AS (SELECT list(r ORDER BY b) AS arr FROM (
+         |    SELECT gs.b AS b, coalesce(
+         |        ln((p.tgt + 1.0) / (t.tt + 64)) - ln((p.raw + 1.0) / (t.rt + 64)),
+         |        ln(1.0 / (t.tt + 64)) - ln(1.0 / (t.rt + 64))) AS r
+         |    FROM (SELECT unnest(range(0, 64)) AS b) gs
+         |    CROSS JOIN tot t
+         |    LEFT JOIN prof p ON p.b = gs.b))
+         |SELECT doc_id, round(list_reduce(list_prepend(0.0,
+         |    list_transform(bs, b -> arr[CAST(b AS INT) + 1])),
+         |    (acc, x) -> acc + x), 4) AS weight
+         |FROM bks CROSS JOIN lrarr ORDER BY doc_id""".stripMargin,
+
+    // the t29 estimator over the unigram+bigram shared-bucket features:
+    // per-token charFold hashes, bigram combine (h1*1000003 + h2) mod
+    // 2147483647 mod 64 via list_zip of the two shifted slices, then the
+    // identical profile/smoothing/fold
+    "t29b_dsir_ngram" ->
+      s"""WITH toks AS (SELECT doc_id, lang,
+         |    list_filter(string_split_regex(trim(text), '\\s+'),
+         |      t -> len(t) > 0) AS ts
+         |  FROM documents),
+         |hs AS (SELECT doc_id, lang,
+         |    list_transform(ts, t -> ${sqlCharFold("t")}) AS h
+         |  FROM toks),
+         |bks AS (SELECT doc_id, lang, list_concat(
+         |    list_transform(h, x -> x % 64),
+         |    CASE WHEN len(h) >= 2 THEN list_transform(
+         |        list_zip(h[1:len(h)-1], h[2:len(h)]),
+         |        p -> ((p[1] * 1000003 + p[2]) % 2147483647) % 64)
+         |      ELSE CAST([] AS BIGINT[]) END) AS bs
+         |  FROM hs),
          |prof AS (SELECT b, count(*) AS raw,
          |    count(*) FILTER (WHERE lang = 'en') AS tgt
          |  FROM (SELECT lang, unnest(bs) AS b FROM bks) GROUP BY b),

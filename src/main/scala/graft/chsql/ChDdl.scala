@@ -361,7 +361,15 @@ object ChDdl {
           if (!spark.catalog.tableExists(name)) dropStaleLocation(spark, name)
           val df = ChSql.sql(spark, sel)(resolve)
           val props = Seq(
-            "graft.engine" -> Option(engineOrNull).getOrElse("MergeTree")) ++
+            "graft.engine" -> Option(engineOrNull).getOrElse("MergeTree"),
+            // declared order + Nullable set from the SELECT output schema:
+            // rewrite mutations relax the physical schema to all-nullable,
+            // so without these props a post-mutation short INSERT would
+            // fill NULL into every column (state-dependent fill rule)
+            "graft.columns" -> df.schema.fieldNames.mkString(","),
+            "graft.nullcols" ->
+              df.schema.fields.filter(_.nullable).map(_.name)
+                .mkString(",")) ++
             Option(tailOrNull).flatMap(t =>
               "(?is)ORDER\\s+BY\\s+(\\([^)]*\\)|[\\w]+)".r.findFirstMatchIn(t)
                 .map(m => "graft.order_by" ->
@@ -1395,18 +1403,24 @@ object ChDdl {
           else chTypeDefault(f.dataType).cast(f.dataType).as(f.name)
       }
     }.toSeq: _*)
-    aligned.write.mode(SaveMode.Append).insertInto(name)
-    maintainProjectionsOnInsert(spark, name, aligned)
+    // CH parity: an explicit (or SELECT-produced) NULL bound to a declared
+    // non-Nullable column is an insert-time error, not a silent store
+    val checked = guardNonNullableWrites(props, aligned, name)
+    checked.write.mode(SaveMode.Append).insertInto(name)
+    maintainProjectionsOnInsert(spark, name, checked)
   }
 
   /** Read-time fill for columns ADDed after rows were written: CH
     * computes the DEFAULT (or the type's implicit default) for old parts
     * at read/merge time — ADD COLUMN itself stays metadata-only. Old
     * parquet files read the missing column as NULL, and for a
-    * non-Nullable added column NULL can ONLY mean "pre-ADD row", so a
-    * coalesce over the recorded fill is exact. (A Nullable added column
+    * non-Nullable added column NULL can ONLY mean "pre-ADD row" — the
+    * write path enforces this ([[guardNonNullableWrites]] rejects NULL
+    * INSERTs/UPDATEs into declared non-Nullable columns, CH parity) — so
+    * a coalesce over the recorded fill is exact. (A Nullable added column
     * with a DEFAULT keeps NULL for old rows — coalesce can't tell a
-    * pre-ADD row from a genuinely inserted NULL; documented divergence.)
+    * pre-ADD row from a genuinely inserted NULL; documented divergence,
+    * warned at ALTER time and pinned in DdlSurfaceSpec.)
     * Markers (`graft.addfill.<c>`) are cleared by the first full rewrite
     * (rewriteSwap materializes the fill — CH's merge does the same). */
   private def addFillDecorate(spark: SparkSession, name: String,
@@ -1432,7 +1446,27 @@ object ChDdl {
     * `spark.table`. */
   def readTable(spark: SparkSession, name: String): DataFrame = {
     val props = tablePropsSafe(spark, name)
-    val df = addFillDecorate(spark, name, spark.table(name), props)
+    val df0 = addFillDecorate(spark, name, spark.table(name), props)
+    // restore the DECLARED nullability on the read: parquet storage is
+    // relaxed to all-nullable (rewrite mutations re-save from a
+    // DataFrame), so without this every SELECT — and crucially every
+    // CTAS, which derives ITS declared-Nullable set from the SELECT's
+    // schema (CH: column types come from the expression types) — sees
+    // Nullable everywhere. AssertNotNull flips the schema flag and is a
+    // row-local codegen'd no-op on the actual values: after the
+    // addFillDecorate coalesce above, NULL cannot legitimately appear in
+    // a declared non-Nullable column (guardNonNullableWrites rejects
+    // NULL writes), so the assert is provenance, not a filter.
+    val df = declaredNullCols(props) match {
+      case None => df0
+      case Some(nullable) => df0.select(df0.schema.fields.map { f =>
+        if (nullable(f.name)) col(f.name)
+        else org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+              col(f.name)))).as(f.name)
+      }.toSeq: _*)
+    }
     val aliases = props.keys.filter(_.startsWith("graft.alias."))
       .map(_.stripPrefix("graft.alias.")).toSeq.sorted
     aliases.foldLeft(df) { (d, c) =>
@@ -1496,7 +1530,12 @@ object ChDdl {
       require(w >= 0, "ChSql: ALTER ... UPDATE needs assignments and WHERE")
       val assignments = parseAssignments(spark, rest.substring(0, w), resolve)
       val p = pred(rest.substring(w).replaceFirst("(?is)^WHERE\\s+", ""))
-      val scope = mutateWhere(spark, name, p)(Mutations.update(_, assignments, p))
+      // guard after the transform: UPDATE c = NULL on a declared
+      // non-Nullable column must fail (CH parity), not store a NULL that
+      // the addfill read rule would silently resurrect as the default
+      val scope = mutateWhere(spark, name, p)(df =>
+        guardNonNullableWrites(tablePropsSafe(spark, name),
+          Mutations.update(df, assignments, p), name))
       status(s"mutation applied to $name (update ${
         assignments.map(_._1).mkString(",")}; $scope)")
     } else if (up.startsWith("ADD COLUMN")) {
@@ -1557,7 +1596,17 @@ object ChDdl {
           spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES (" +
             s"'graft.columns'=${sqlLit(ordered.mkString(","))})")
         }
-        status(s"added column ${d.name} to $name (metadata only)")
+        // documented divergence, surfaced at ALTER time: CH computes the
+        // DEFAULT for old parts of a Nullable added column too; here old
+        // rows read NULL (no addfill marker — NULL is a legal value for
+        // the column, so a read-time coalesce could not tell a pre-ADD
+        // row from a genuinely inserted NULL)
+        val warn = if (declaredNullable &&
+            d.modExpr.nonEmpty && !d.modKind.contains("MATERIALIZED"))
+          "; WARNING: pre-existing rows read NULL, not the DEFAULT " +
+            "(Nullable added column — divergence from ClickHouse)"
+        else ""
+        status(s"added column ${d.name} to $name (metadata only)$warn")
       }
     } else if (up.startsWith("DROP COLUMN")) {
       // genuinely rewrites data on immutable parquet (no column-mapping
@@ -2419,6 +2468,32 @@ object ChDdl {
   private def colDeclaredNullable(props: Map[String, String],
       c: String, schemaFlag: => Boolean): Boolean =
     declaredNullCols(props).map(_.contains(c)).getOrElse(schemaFlag)
+
+  /** CH parity: writing NULL into a declared non-Nullable column is an
+    * error ("Cannot insert NULL value into a non-Nullable type"), never a
+    * silent store. Physical storage here is relaxed to all-nullable
+    * (rewrite mutations re-save from a DataFrame, and the post-ADD
+    * read-fill relies on NULL meaning exactly "pre-ADD row"), so without
+    * this guard an explicit NULL write (INSERT ... SELECT, UPDATE c =
+    * NULL) would land physically and then be invisibly resurrected as the
+    * column default at read time. Row-local when/raise_error over the
+    * declared-Nullable list — codegen'd, no extra scan or shuffle.
+    * Inactive (conservative) for pre-prop tables with no recorded list. */
+  private def guardNonNullableWrites(props: Map[String, String],
+      df: DataFrame, table: String): DataFrame =
+    declaredNullCols(props) match {
+      case None => df
+      case Some(nullable) =>
+        val guarded = df.schema.fields.filterNot(f => nullable(f.name))
+        if (guarded.isEmpty) df
+        else df.select(df.schema.fields.map { f =>
+          if (nullable(f.name)) col(f.name)
+          else when(col(f.name).isNull, raise_error(lit(
+              s"ChSql: cannot write NULL into non-Nullable column " +
+                s"${f.name} of $table")).cast(f.dataType))
+            .otherwise(col(f.name)).as(f.name)
+        }.toSeq: _*)
+    }
 
   /** CH's implicit per-type default — what an omitted INSERT column or a
     * CLEAR COLUMN fills with when the column has no explicit DEFAULT and

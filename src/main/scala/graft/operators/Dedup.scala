@@ -294,6 +294,44 @@ object Dedup {
       .select("doc_id", "start_tok", "end_tok", "n_windows")
   }
 
+  /** Apply [[substringDedupSpans]] output back to the corpus: drop the
+    * tokens inside each doc's removal spans and re-materialize cleaned
+    * text — the closing stage of the Lee et al. loop (the paper removes
+    * the duplicated substring and trains on the remainder).
+    *
+    * `spans` is (doc_id, start_tok, end_tok): token positions [start,
+    * end) — 0-based, end-exclusive, over the SAME whitespace
+    * tokenization the span finder used. Docs with no spans pass through
+    * verbatim (token-normalized); a doc whose every token is covered
+    * keeps an empty text.
+    *
+    * Scale shape (100 TB): ONE left join docs⇐(spans grouped by doc) —
+    * the spans side is output-bounded (maximal merged spans, typically
+    * ≪ docs) and pre-aggregated to one row per doc, so the join is
+    * broadcast-able at real dup rates; the token-drop itself is a
+    * row-local HOF filter over the token array (no shuffle, text never
+    * crosses the wire beyond the one join). */
+  def applySubstringSpans(docs: DataFrame, spans: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sp = spans.groupBy(col("doc_id").as("__sid"))
+      .agg(collect_list(struct(col("start_tok"), col("end_tok")))
+        .as("__spans"))
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    docs.join(sp, col(idCol) === col("__sid"), "left")
+      .withColumn("__toks", toks)
+      // keep token i unless some span covers it; nested lambda capture
+      // of the outer index is row-local, codegen-friendly HOF algebra
+      .withColumn("__kept",
+        when(col("__spans").isNull, col("__toks"))
+          .otherwise(filter(col("__toks"), (_, i) =>
+            !exists(col("__spans"), s =>
+              i >= s.getField("start_tok") && i < s.getField("end_tok")))))
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as("text_clean"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long")
+          .as("n_removed"))
+  }
+
   /** Exact n-gram Jaccard similarity between two shingle-array columns. */
   def jaccard(sh1: Column, sh2: Column): Column = {
     val inter = size(array_intersect(sh1, sh2)).cast("double")

@@ -745,6 +745,38 @@ object TextAnalysis {
   def bpePieceCount(text: Column, merges: Seq[(String, String)]): Column =
     size(bpeEncode(text, merges))
 
+  /** Broadcast a trained merge table as a serving-shape
+    * [[graft.plans.BpeModel]] (train once, broadcast everywhere — the
+    * Codebook/PqLutMap convention). */
+  def bpeModel(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)])
+      : org.apache.spark.broadcast.Broadcast[graft.plans.BpeModel] =
+    spark.sparkContext.broadcast(new graft.plans.BpeModel(merges, BpeEow))
+
+  /** PRODUCTION-shape BPE encoder: same tokenization and output contract
+    * as [[bpeEncode]], but the merge table rides as ONE broadcast and
+    * each word is encoded by the standard lowest-rank-first loop inside
+    * a codegen'd native expression — per-token cost is O(word_len ·
+    * merges_applied), independent of the table size, vs the replace
+    * chain's O(total_merges) string passes per token and plan-literal
+    * blowup past a few hundred merges. Use this at real vocabularies
+    * (1k-32k merges); [[bpeEncode]] remains the plan-literal tier for
+    * toy tables and cross-engine chain replay. Row-local, zero shuffle
+    * (plan-pinned in ScaleDesignSpec). */
+  def bpeEncodeFast(text: Column,
+      model: org.apache.spark.broadcast.Broadcast[graft.plans.BpeModel])
+      : Column = {
+    val toks = filter(split(trim(lower(text)), "\\s+"),
+      t => t.rlike("^[a-z]+$"))
+    graft.plans.NativeExpressions.bpe_encode_bc(toks, model)
+  }
+
+  /** [[bpeEncodeFast]] piece count. */
+  def bpePieceCountFast(text: Column,
+      model: org.apache.spark.broadcast.Broadcast[graft.plans.BpeModel])
+      : Column =
+    size(bpeEncodeFast(text, model))
+
   // ============ DSIR importance weights (data selection) ============
 
   /** DSIR-style importance weights (Xie et al., "Data Selection for
@@ -772,6 +804,39 @@ object TextAnalysis {
     val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
     val bucketArr = transform(toks,
       t => pmod(PortableHash.charFold(t), lit(buckets.toLong)))
+    dsirProfileFold(df, idCol, bucketArr, target, buckets, roundTo)
+  }
+
+  /** DSIR weights over hashed N-GRAM features — unigrams AND bigrams
+    * hashed into one shared B-bucket space, the feature set the Xie et
+    * al. estimator actually separates quality domains with (a unigram
+    * profile is order-blind: "new york" and "york new" score
+    * identically; the bigram features split them). The bigram feature
+    * combines the two token hashes with the same polynomial fold the
+    * substring-window fingerprints use, so any SQL engine replays it.
+    * Identical scale shape to [[dsirWeights]]: one corpus pass, ≤ B
+    * driver rows, zero-join zero-shuffle row-local scoring fold. */
+  def dsirWeightsNgram(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, target: Column, buckets: Int = 64,
+      roundTo: Int = 6): org.apache.spark.sql.DataFrame = {
+    require(buckets > 0, "dsirWeightsNgram: buckets must be positive")
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    val th = transform(toks, t => PortableHash.charFold(t))
+    val uni = transform(th, h => pmod(h, lit(buckets.toLong)))
+    val nBi = greatest(size(th) - 1, lit(0))
+    val bi = zip_with(slice(th, lit(1), nBi), slice(th, lit(2), nBi),
+      (a, b) => pmod(pmod(a * lit(1000003L) + b, lit(PortableHash.Mod)),
+        lit(buckets.toLong)))
+    dsirProfileFold(df, idCol, concat(uni, bi), target, buckets, roundTo)
+  }
+
+  /** Shared DSIR estimator body: one map-combinable two-counter profile
+    * pass over the feature-bucket array (≤ `buckets` rows to the
+    * driver), add-1 smoothed log-ratios inlined as plan literals, then
+    * a row-local scoring fold — zero joins, zero shuffles. */
+  private def dsirProfileFold(df: org.apache.spark.sql.DataFrame,
+      idCol: String, bucketArr: Column, target: Column, buckets: Int,
+      roundTo: Int): org.apache.spark.sql.DataFrame = {
     val prof = df.select(target.as("t"), explode(bucketArr).as("b"))
       .groupBy("b")
       .agg(count(lit(1)).as("raw"),

@@ -602,6 +602,46 @@ object NativeExpressions {
     * directly (codegen embeds it via `addReferenceObj` — the executor
     * fetches the codebook once, NOT per task serialization like the
     * literal form). Same output contract as [[NearestCentroids]]. */
+  /** Encode a pre-tokenized word array with a broadcast [[BpeModel]]:
+    * per word the standard lowest-rank-first merge loop (memoized), the
+    * outputs flattened into one piece array — the serving twin of the
+    * replace-chain [[graft.operators.TextAnalysis.bpeEncode]], with cost
+    * independent of the merge-table size. */
+  def bpeEncodeBcCompute(toks: ArrayData, model: BpeModel): ArrayData = {
+    val out = new java.util.ArrayList[UTF8String]()
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val pieces = model.encodeWord(toks.getUTF8String(i).toString)
+      var j = 0
+      while (j < pieces.length) {
+        out.add(UTF8String.fromString(pieces(j))); j += 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(
+      out.toArray(new Array[UTF8String](out.size)))
+  }
+
+  case class BpeEncodeBC(child: Expression,
+      model: org.apache.spark.broadcast.Broadcast[BpeModel])
+      extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(input: Any): Any =
+      bpeEncodeBcCompute(input.asInstanceOf[ArrayData], model.value)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bcRef = ctx.addReferenceObj("bpeModel", model,
+        classOf[org.apache.spark.broadcast.Broadcast[BpeModel]].getName)
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.NativeExpressions.bpeEncodeBcCompute(" +
+          s"$c, (graft.plans.BpeModel) $bcRef.value())")
+    }
+    override protected def withNewChildInternal(newChild: Expression): BpeEncodeBC =
+      copy(child = newChild)
+  }
+
   case class NearestCentroidsBC(child: Expression,
       codebook: org.apache.spark.broadcast.Broadcast[Codebook],
       nprobe: Int, roundTo: Int) extends UnaryExpression {
@@ -677,6 +717,9 @@ object NativeExpressions {
       nprobe: Int, roundTo: Int): Column =
     ColumnBridge.column(NearestCentroidsBC(
       ColumnBridge.expression(vec), codebook, nprobe, roundTo))
+  def bpe_encode_bc(toks: Column,
+      model: org.apache.spark.broadcast.Broadcast[BpeModel]): Column =
+    ColumnBridge.column(BpeEncodeBC(ColumnBridge.expression(toks), model))
 
   /** First interval of a lo-ascending-sorted array<struct<lo, hi, ...>>
     * containing `point` (null if none). Early exit on lo > point — the
@@ -1260,6 +1303,86 @@ object BigramModel {
     UTF8String.concat(if (prev == null) Bos else prev, Sep, cur)
   def pairKeyStr(prev: String, cur: String): String =
     (if (prev == null) BosStr else prev) + SepStr + cur
+}
+
+/** Trained BPE merge table at SERVING shape (plain JVM class, broadcast
+  * once like [[Codebook]]): pair→rank map over the merges in training
+  * order. Encoding a word is the standard lowest-rank-first loop —
+  * repeatedly find the adjacent symbol pair with the smallest rank and
+  * merge all its left-to-right non-overlapping occurrences — which is
+  * O(word_len · merges_APPLIED) per word, independent of the table
+  * size, where the replace-chain encoder
+  * ([[graft.operators.TextAnalysis.bpeEncode]]) pays O(total_merges)
+  * string passes per token and folds the whole table into plan
+  * literals. Equivalence contract: for a table produced by BPE
+  * TRAINING (each merge's parts are symbols formed by earlier merges —
+  * trainBpe guarantees this), lowest-rank-first produces exactly the
+  * training-order chain's output; pinned against bpeEncode in
+  * TrainingOpsSpec and cross-engine by the t28b oracle, whose DuckDB
+  * twin replays the full training-order chain.
+  *
+  * A bounded word→pieces memo exploits the Zipf shape of natural text
+  * (most token occurrences are repeats of few distinct words); both the
+  * rank map and the memo are rebuilt lazily per executor after
+  * broadcast deserialization. */
+final class BpeModel(val merges: Seq[(String, String)], val eow: String)
+    extends Serializable {
+  @transient private lazy val mergeArr: Array[(String, String)] =
+    merges.toArray
+  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    var i = 0
+    merges.foreach { p => m.put(p._1 + " " + p._2, i); i += 1 }
+    m
+  }
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+  private val MemoCap = 1 << 16
+
+  def size: Int = merges.size
+
+  def encodeWord(w: String): Array[String] = {
+    val hit = memo.get(w)
+    if (hit != null) return hit
+    var syms = new java.util.ArrayList[String](w.length + 1)
+    var i = 0
+    // filter guarantees [a-z]+ words in the serving path, but stay
+    // correct on arbitrary input: split by code point, not char
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      syms.add(w.substring(i, i + Character.charCount(cp)))
+      i += Character.charCount(cp)
+    }
+    syms.add(eow)
+    var done = syms.size < 2
+    while (!done) {
+      var bestRank = Integer.MAX_VALUE
+      var k = 0
+      while (k < syms.size - 1) {
+        val r = rank.get(syms.get(k) + " " + syms.get(k + 1))
+        if (r != null && r.intValue < bestRank) bestRank = r.intValue
+        k += 1
+      }
+      if (bestRank == Integer.MAX_VALUE) done = true
+      else {
+        val (a, b) = mergeArr(bestRank)
+        val next = new java.util.ArrayList[String](syms.size)
+        var j = 0
+        while (j < syms.size) {
+          if (j < syms.size - 1 && syms.get(j) == a && syms.get(j + 1) == b) {
+            next.add(a + b); j += 2
+          } else { next.add(syms.get(j)); j += 1 }
+        }
+        syms = next
+        done = syms.size < 2
+      }
+    }
+    val res = new Array[String](syms.size)
+    var t = 0
+    while (t < res.length) { res(t) = syms.get(t); t += 1 }
+    if (memo.size < MemoCap) memo.put(w, res)
+    res
+  }
 }
 
 final class PqCodebooks(val m: Int, val dsub: Int,

@@ -78,14 +78,22 @@ object AnnOperatingPoints {
         .agg(avg("recall")).head().getDouble(0)
 
     val sb = new StringBuilder
-    sb.append("{\n \"round\": 10,\n")
+    sb.append("{\n \"round\": 11,\n")
     sb.append(" \"purpose\": \"recall@10 vs wall-time for the ANN tiers " +
-      "across configurations and scales (VERDICT r9 next-3)\",\n")
+      "across configurations and scales (VERDICT r9 next-3; r10 next-3 " +
+      "added the perturbed-sf1 block)\",\n")
     sb.append(" \"protocol\": \"k=10, 50 query vectors, untimed warmup + " +
       "min-of-2 full materializations per cell; IVF tiers score recall " +
       "vs exact COSINE top-10, PQ tiers vs exact L2 top-10 (they rank " +
       "by ADC distance -- cosine ground truth would conflate the metric " +
-      "mismatch with quantization loss)\",\n")
+      "mismatch with quantization loss). sf1's exact-copy replicas made " +
+      "its IVF recalls trivially ~1.0 (each query's true top-10 were " +
+      "its own byte-identical copies, same cell by construction); the " +
+      "sf1_perturbed scale re-derives replicas 1..9 with deterministic " +
+      "sigma=0.05/dim Gaussian noise (0.4x per-dim std; " +
+      "tools/make_sf1.py) so cross-scale recall comparisons stand on " +
+      "non-degenerate ground truth -- read sf1_perturbed, not sf1, for " +
+      "scale trends\",\n")
     sb.append(" \"scales\": {\n")
 
     val scaleJson = dirs.map { case (label, dir) =>

@@ -3,23 +3,61 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Regenerates the t28 merge-table snapshot: trains
+/** Regenerates the t28/t28b merge-table snapshots: trains
   * [[graft.operators.TextAnalysis.trainBpe]] on the sf-dir's English
-  * documents and prints the merge list as Scala/SQL-pasteable lines.
-  * Usage: Test/runMain graft.BpeSnapshotMain /root/testdata/sf0.01 12 */
+  * documents and prints the merge list as Scala/SQL-pasteable lines —
+  * or, with a third argument, writes it as a TSV model file (one
+  * "a<TAB>b" line per merge, training order) for the resource-shipped
+  * 1k-merge serving model.
+  * The optional 4th arg `pairs` trains on the PAIR-ENRICHED fixture:
+  * the synthetic corpus has a 31-word vocabulary, which saturates BPE
+  * training at ~107 merges (every histogram word fully merged); sliding
+  * adjacent-word concatenations give ~31² ≈ 961 distinct word forms —
+  * enough structure for a genuine 1,000-merge table. t28b applies the
+  * SAME derivation on both engines, so the model always matches its
+  * serving corpus.
+  * Usage: Test/runMain graft.BpeSnapshotMain /root/testdata/sf0.01 12
+  *        Test/runMain graft.BpeSnapshotMain /root/testdata/sf0.1 1000 \
+  *          src/main/resources/graft/bpe_merges_1k.tsv pairs */
 object BpeSnapshotMain {
+  /** Sliding adjacent-word concatenations of the [a-z]+ tokens, as a
+    * space-joined text column — the t28b fixture derivation. */
+  def pairEnrich(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val toks = filter(split(trim(lower(text)), "\\s+"),
+      t => t.rlike("^[a-z]+$"))
+    val n = greatest(size(toks) - 1, lit(0))
+    array_join(zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
+      (a, b) => concat(a, b)), " ")
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val n = args(1).toInt
+    val outFile = if (args.length > 2) Some(args(2)) else None
+    val pairMode = args.length > 3 && args(3) == "pairs"
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
       .appName("bpe-snapshot").getOrCreate()
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val base = spark.read.parquet(s"$dir/documents.parquet")
       .filter(col("lang") === "en")
+    val docs = if (pairMode)
+      base.select(pairEnrich(col("text")).as("text")) else base
     val merges = graft.operators.TextAnalysis.trainBpe(docs, "text", n)
-    println("MERGES_SCALA: Seq(" + merges.map { case (a, b) =>
-      s"""("$a", "$b")""" }.mkString(", ") + ")")
+    require(merges.size == n,
+      s"training exhausted at ${merges.size} merges (asked $n)")
+    outFile match {
+      case Some(f) =>
+        val p = java.nio.file.Paths.get(f)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, merges.map { case (a, b) => s"$a\t$b" }
+          .mkString("", "\n", "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        println(s"wrote ${merges.size} merges -> $f")
+      case None =>
+        println("MERGES_SCALA: Seq(" + merges.map { case (a, b) =>
+          s"""("$a", "$b")""" }.mkString(", ") + ")")
+    }
     spark.stop()
   }
 }

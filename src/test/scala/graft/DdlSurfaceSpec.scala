@@ -1237,6 +1237,74 @@ class DdlSurfaceSpec extends AnyFunSuite {
     chRun("DROP TABLE clr_t")
   }
 
+  test("NULL writes into declared non-Nullable columns are rejected " +
+      "(CH parity); Nullable ADD COLUMN DEFAULT warns at ALTER time") {
+    chRun("DROP TABLE IF EXISTS ng_t")
+    chRun("""CREATE TABLE ng_t (k Int64, v Int64, n Nullable(Int64))
+      |ENGINE = MergeTree ORDER BY k""".stripMargin)
+    chRun("INSERT INTO ng_t VALUES (1, 10, 5), (2, 20, NULL)")
+    // explicit NULL into non-Nullable v: insert-time error, never a
+    // silent store that addFillDecorate would resurrect as the default
+    val e1 = intercept[Exception](
+      chRun("INSERT INTO ng_t (k, v) VALUES (3, NULL)"))
+    assert(e1.getMessage.contains("non-Nullable"), e1.getMessage)
+    // ... including when the NULL arrives via INSERT ... SELECT
+    val e2 = intercept[Exception](chRun(
+      "INSERT INTO ng_t (k, v) SELECT 4, if(1 = 1, NULL, 9)"))
+    assert(e2.getMessage.contains("non-Nullable"), e2.getMessage)
+    // UPDATE v = NULL must fail the same way (and leave the row intact)
+    val e3 = intercept[Exception](
+      chRun("ALTER TABLE ng_t UPDATE v = NULL WHERE k = 1"))
+    assert(e3.getMessage.contains("non-Nullable"), e3.getMessage)
+    assert(chRun("SELECT v FROM ng_t WHERE k = 1").head.getLong(0) == 10L)
+    // the Nullable column still takes NULL both ways
+    chRun("ALTER TABLE ng_t UPDATE n = NULL WHERE k = 1")
+    chRun("INSERT INTO ng_t (k, v, n) VALUES (5, 50, NULL)")
+    assert(chRun("SELECT n FROM ng_t WHERE k = 5").head.isNullAt(0))
+    assert(chRun("SELECT count() AS c FROM ng_t").head.getLong(0) == 3L)
+    // documented divergence pin: ADD COLUMN Nullable(...) DEFAULT warns
+    // (CH computes the DEFAULT for old parts; here old rows read NULL —
+    // no read-fill marker, NULL is a legal value for the column)
+    val st = chRun("ALTER TABLE ng_t ADD COLUMN w Nullable(Int64) DEFAULT k")
+      .head.getString(0)
+    assert(st.contains("WARNING") && st.contains("divergence"), st)
+    assert(chRun("SELECT w FROM ng_t WHERE k = 1").head.isNullAt(0))
+    chRun("INSERT INTO ng_t (k, v) VALUES (6, 60)")
+    assert(chRun("SELECT w FROM ng_t WHERE k = 6").head.getLong(0) == 6L)
+    // a non-Nullable ADD COLUMN DEFAULT does NOT warn (read-fill is exact)
+    val st2 = chRun("ALTER TABLE ng_t ADD COLUMN x Int64 DEFAULT k * 2")
+      .head.getString(0)
+    assert(!st2.contains("WARNING"), st2)
+    chRun("DROP TABLE ng_t")
+  }
+
+  test("catalog CTAS records the declared-Nullable set: short INSERTs " +
+      "fill type defaults even after a rewrite mutation") {
+    chRun("DROP TABLE IF EXISTS cta_t")
+    chRun("DROP TABLE IF EXISTS cta_src")
+    chRun("""CREATE TABLE cta_src (k Int64, v Int64, s String,
+      |  n Nullable(Int64)) ENGINE = MergeTree ORDER BY k""".stripMargin)
+    chRun("INSERT INTO cta_src VALUES (1, 7, 'a', 3)")
+    chRun("""CREATE TABLE cta_t ENGINE = MergeTree ORDER BY k AS
+      |SELECT k, v, s, n FROM cta_src""".stripMargin)
+    // the first rewrite mutation relaxes the physical schema to
+    // all-nullable; the DECLARED fill rule must not drift with it
+    // (r10 ADVICE: the catalog CTAS path was not recording graft.nullcols,
+    // so a post-mutation short INSERT filled NULL into every column)
+    chRun("ALTER TABLE cta_t UPDATE v = v + 1 WHERE k = 1")
+    chRun("INSERT INTO cta_t (k) VALUES (2)")
+    val r = chRun("SELECT v, s, n FROM cta_t WHERE k = 2").head
+    assert(r.getLong(0) == 0L, s"v filled ${r.get(0)} not the type default")
+    assert(r.getString(1) == "", s"s filled ${r.get(1)} not ''")
+    assert(r.isNullAt(2), "Nullable n must still fill NULL")
+    // and NULL writes into the CTAS table's non-Nullable columns refuse
+    val e = intercept[Exception](
+      chRun("INSERT INTO cta_t (k, v) VALUES (3, NULL)"))
+    assert(e.getMessage.contains("non-Nullable"), e.getMessage)
+    chRun("DROP TABLE cta_t")
+    chRun("DROP TABLE cta_src")
+  }
+
   test("MODIFY COLUMN REMOVE / CODEC are metadata verbs; CLEAR INDEX/PROJECTION") {
     chRun("DROP TABLE IF EXISTS mc_t")
     chRun("""CREATE TABLE mc_t (id Int64, name String,

@@ -41,6 +41,11 @@ object FuzzDdlDump {
       } + "\""
 
     val w = new java.io.PrintWriter(new java.io.File(out))
+    // Meta header: the checker asserts every arm listed here appears in
+    // the replayed histogram, so a dump compiled against a stale grammar
+    // (fewer arms than the source) can no longer pass silently.
+    w.println(s"""{"meta": true, "arms": [${FuzzDdl.armNames.map(jstr)
+      .mkString(", ")}], "seeds": $n}""")
     var errors = 0
     for (seed <- 1 to n) {
       val s = FuzzDdl.gen(seed)

@@ -834,5 +834,42 @@ class ScaleDesignSpec extends AnyFunSuite {
         t => pmod(graft.functions.PortableHash.charFold(t), lit(64L))))
       .as("b")).groupBy("b").count().count()
     assert(profRows <= 64)
+    // the n-gram tier keeps the identical scoring shape: unigram+bigram
+    // features are row-local HOF algebra over the same token array, the
+    // shared-bucket log-ratio table still rides as plan literals
+    val outN = graft.operators.TextAnalysis.dsirWeightsNgram(
+      docs, "doc_id", "text", target = col("lang") === "en", buckets = 64)
+    assert(outN.queryExecution.executedPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, "ngram dsir scoring must not join")
+    assert(shuffleCount(outN) == 0,
+      "ngram dsir scoring must not shuffle the corpus")
+  }
+
+  test("bpeEncodeFast: encode is row-local — one scan, zero shuffles, " +
+      "zero joins; the merge table rides as ONE broadcast, not literals") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // a deliberately large trained-shape table: at this size the replace
+    // chain would be 2,000 plan-literal string passes per token; the
+    // fast tier must keep the plan scan-shaped and constant-size
+    val merges = (('a' to 'z').flatMap(c1 => ('a' to 'z').map(c2 =>
+      (c1.toString, c2.toString))) ++
+      ('a' to 'z').map(c => (c.toString, "</w>"))).take(700) ++
+      (('a' to 'z').flatMap(c1 => ('a' to 'z').map(c2 =>
+        (s"$c1$c2", "</w>")))).take(300)
+    val model = graft.operators.TextAnalysis.bpeModel(spark, merges)
+    val out = docs.select(col("doc_id"),
+      graft.operators.TextAnalysis.bpeEncodeFast(col("text"), model)
+        .as("pieces"))
+    assert(shuffleCount(out) == 0, "encode must not shuffle")
+    assert(out.queryExecution.executedPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, "encode must not join")
+    // the merge table must NOT be inlined in the plan text (broadcast
+    // reference only) — the replace-chain tier would embed every pair
+    val planStr = out.queryExecution.executedPlan.toString
+    assert(planStr.length < 20000,
+      s"plan text unexpectedly large (${planStr.length}) — literals leak?")
+    assert(out.count() == docs.count())
   }
 }

@@ -842,6 +842,43 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("applySubstringSpans: spans drop their tokens exactly; no-span " +
+      "docs pass through token-normalized; fully-covered docs empty out") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (0L, s"$shared u01 u02 u03 u04"),
+      (1L, s"u11 u12 $shared u13 u14"),
+      (2L, s"u21  u22\tu23 u24"),          // no spans; messy whitespace
+      (3L, shared)                          // nothing but the shared span
+    ).toDF("doc_id", "text")
+    val withThird = corpus.unionByName(
+      Seq((9L, s"x91 $shared x92")).toDF("doc_id", "text"))
+    val spans = Dedup.substringDedupSpans(withThird, "doc_id", "text",
+      k = 4, minDocs = 3)
+    val out = Dedup.applySubstringSpans(withThird, spans)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(out(0L) == (("u01 u02 u03 u04", 10L)))
+    assert(out(1L) == (("u11 u12 u13 u14", 10L)))
+    assert(out(9L) == (("x91 x92", 10L)))
+    // untouched doc: tokens re-joined with single spaces, zero removed
+    assert(out(2L) == (("u21 u22 u23 u24", 0L)))
+    // every token covered -> empty text, all tokens counted removed
+    assert(out(3L) == (("", 10L)))
+    assert(out.size == 5)
+    // scale-shape pin: the span side pre-aggregates to one row per doc
+    // and the token drop is a row-local HOF — exactly ONE join in the
+    // plan, no window, no extra shuffle on the docs side
+    val plan = Dedup.applySubstringSpans(withThird, spans)
+      .queryExecution.optimizedPlan.toString
+    assert("(?i)join".r.findAllIn(plan).size >= 1)
+    val cleanedOnly = Dedup.applySubstringSpans(withThird,
+      spans.cache()).queryExecution.optimizedPlan
+    val joins = cleanedOnly.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.size == 1, s"expected exactly 1 join:\n$cleanedOnly")
+  }
+
   test("trainBpe: hand-computed Sennrich-example merges; deterministic; " +
       "maxWords cap genuinely bites (bounded-state pin)") {
     // the classic corpus: low:5 lower:2 newest:6 widest:3
@@ -946,6 +983,50 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(math.abs(nat("big") / 540.0 - nat("small") / 60.0) < 0.12)
   }
 
+  test("bpeEncodeFast: lowest-rank-first loop ≡ the training-order " +
+      "replace chain on trained tables; memo-safe; piece counts agree") {
+    // a trained table (parts of every merge formed by earlier merges —
+    // the invariant the equivalence rests on)
+    val corpus = Seq(
+      (0L, "low low low low low"),
+      (1L, "lower lower newest widest"),
+      (2L, "newest newest newest newest newest newest"),
+      (3L, "widest widest widest lowest slower"))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.trainBpe(corpus, "text", numMerges = 8)
+    val model = TextAnalysis.bpeModel(spark, merges)
+    val probe = Seq((0L, "lowest lower low"), (1L, "aaa"), (2L, "x y"),
+      (3L, "newest widest unseen UPPER mixed123"), (4L, ""),
+      (5L, "slower slowest newestest"))
+      .toDF("doc_id", "text")
+    val both = probe.select(col("doc_id"),
+        TextAnalysis.bpeEncode(col("text"), merges).as("chain"),
+        TextAnalysis.bpeEncodeFast(col("text"), model).as("fast"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"doc ${r.getLong(0)}: chain=${r.getSeq[String](1)} " +
+          s"fast=${r.getSeq[String](2)}")
+    }
+    // second evaluation hits the word memo — results identical
+    val again = probe.select(col("doc_id"),
+        TextAnalysis.bpeEncodeFast(col("text"), model).as("fast"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    both.foreach(r => assert(again(r.getLong(0)) == r.getSeq[String](2)))
+    // piece counts agree between tiers
+    val counts = probe.select(
+        TextAnalysis.bpePieceCount(col("text"), merges).as("a"),
+        TextAnalysis.bpePieceCountFast(col("text"), model).as("b"))
+      .collect()
+    counts.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // left-to-right non-overlap inside the chosen merge: (a,a) on "aaaa"
+    val m2 = TextAnalysis.bpeModel(spark, Seq(("a", "a")))
+    val lr = Seq((0L, "aaaa")).toDF("doc_id", "text")
+      .select(TextAnalysis.bpeEncodeFast(col("text"), m2).as("p"))
+      .head().getSeq[String](0)
+    assert(lr == Seq("aa", "aa", "</w>"), lr.toString)
+  }
+
   test("dsirWeights: target-like docs outscore off-target ones; " +
       "deterministic; empty target refuses") {
     val rows = Seq(
@@ -978,5 +1059,47 @@ class TrainingOpsSpec extends AnyFunSuite {
     // with b = hash % buckets) — pinned here as an arity check
     assert(TextAnalysis.dsirWeights(rows, "doc_id", "text",
       target = col("slice") === "tgt", buckets = 2).count() == 5)
+  }
+
+  test("dsirWeightsNgram: bigram features separate word-ORDER domains " +
+      "the unigram tier is blind to; same contract surface") {
+    // target and off-target docs share the exact unigram multiset —
+    // only the token ORDER differs ("new york" vs "york new"), so the
+    // unigram estimator must score both candidates identically while the
+    // bigram features split them toward their matching domain
+    val rows = Seq(
+      (0L, "new york new york new york", "tgt"),
+      (1L, "new york new york new york", "tgt"),
+      (2L, "york new york new york new", "raw"),
+      (3L, "new york new york new york", "raw"),  // target-ORDER, raw doc
+      (4L, "york new york new york new", "raw"))  // raw-ORDER
+      .toDF("doc_id", "text", "slice")
+    val uni = TextAnalysis.dsirWeights(rows, "doc_id", "text",
+        target = col("slice") === "tgt", buckets = 16)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(uni(3L) == uni(4L),
+      s"unigram tier is order-blind by construction: $uni")
+    val bi = TextAnalysis.dsirWeightsNgram(rows, "doc_id", "text",
+        target = col("slice") === "tgt", buckets = 16)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bi(3L) > bi(4L),
+      s"bigram features must prefer the target word order: $bi")
+    // deterministic literal-fold plan
+    val bi2 = TextAnalysis.dsirWeightsNgram(rows, "doc_id", "text",
+        target = col("slice") === "tgt", buckets = 16)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bi == bi2)
+    // single-token and empty docs produce finite weights (no bigrams)
+    val edge = Seq((0L, "new", "tgt"), (1L, "", "raw"))
+      .toDF("doc_id", "text", "slice")
+    val we = TextAnalysis.dsirWeightsNgram(edge, "doc_id", "text",
+        target = col("slice") === "tgt", buckets = 16)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(we.size == 2 && !we(1L).isNaN)
+    // empty target still refuses
+    intercept[IllegalArgumentException] {
+      TextAnalysis.dsirWeightsNgram(rows, "doc_id", "text",
+        target = col("slice") === "nope", buckets = 16)
+    }
   }
 }

@@ -8,9 +8,17 @@ UPDATE/DELETE + collapse swaps) in a fresh in-memory DuckDB, and
 multiset-compares the end state (and, for engine arms, the collapse
 query) against the engine's recorded state.
 
-Usage: python3 tools/fuzz_ddl_duck_check.py <dump.jsonl> [report.json]
+Arm-coverage assertion: the dump's first line is a meta record
+({"meta": true, "arms": [...], "seeds": N}) written by FuzzDdlDump from
+the live FuzzDdl.armNames — every listed arm must appear in the replayed
+histogram, so a dump produced by a stale compile (fewer arms than the
+source grammar) fails loudly instead of passing silently. A dump with no
+meta line is rejected unless --expected-arms a,b,c is given explicitly.
 
-Exit 0 on full agreement; exit 1 with per-seed diffs otherwise.
+Usage: python3 tools/fuzz_ddl_duck_check.py <dump.jsonl> [report.json]
+           [--expected-arms a,b,c]
+
+Exit 0 on full agreement AND full arm coverage; exit 1 otherwise.
 """
 import json
 import sys
@@ -37,8 +45,14 @@ def canon_rows(rows):
 
 
 def main():
-    dump = sys.argv[1] if len(sys.argv) > 1 else "/tmp/fuzz_ddl.jsonl"
-    report_path = sys.argv[2] if len(sys.argv) > 2 else None
+    argv = list(sys.argv[1:])
+    expected_arms = None
+    if "--expected-arms" in argv:
+        i = argv.index("--expected-arms")
+        expected_arms = [a for a in argv[i + 1].split(",") if a]
+        del argv[i:i + 2]
+    dump = argv[0] if argv else "/tmp/fuzz_ddl.jsonl"
+    report_path = argv[1] if len(argv) > 1 else None
 
     arms = Counter()
     mismatches = []
@@ -50,6 +64,10 @@ def main():
         if not line:
             continue
         rec = json.loads(line)
+        if rec.get("meta"):
+            if expected_arms is None:
+                expected_arms = rec["arms"]
+            continue
         n += 1
         arms[rec["arm"]] += 1
         con = duckdb.connect()  # fresh session per seed
@@ -78,9 +96,19 @@ def main():
         finally:
             con.close()
 
-    ok = not mismatches and not errors
+    if expected_arms is None:
+        print("FAIL: dump has no meta line and --expected-arms was not "
+              "given — cannot verify arm coverage; re-run FuzzDdlDump "
+              "from a fresh compile")
+        sys.exit(1)
+    missing_arms = [a for a in expected_arms if a not in arms]
+    ok = not mismatches and not errors and not missing_arms
     print(f"== fuzz-ddl-duck: {n} seeds, {nonempty} non-empty checks, "
-          f"{len(mismatches)} mismatches, {len(errors)} duck errors ==")
+          f"{len(mismatches)} mismatches, {len(errors)} duck errors, "
+          f"{len(arms)}/{len(expected_arms)} arms covered ==")
+    if missing_arms:
+        print(f"FAIL: arms never replayed (stale dump?): "
+              f"{', '.join(missing_arms)}")
     for m in mismatches[:5]:
         print(f"seed {m['seed']} ({m['arm']}, {m['check']}): engine "
               f"{m['engine_rows']} rows vs DuckDB {m['duck_rows']}\n"
@@ -91,6 +119,8 @@ def main():
     if report_path:
         json.dump({
             "seeds": n, "non_empty_checks": nonempty,
+            "expected_arms": expected_arms,
+            "missing_arms": missing_arms,
             "arms": dict(sorted(arms.items())),
             "mismatches": mismatches, "duck_errors": errors,
             "agreement": ok,
