@@ -5536,6 +5536,54 @@ object Queries {
   private def pqCodeJoins(m: Int): String =
     (0 until m).map(j => s"JOIN code_$j k$j ON k$j.id = n.id").mkString(" ")
 
+  /** L2 between subspace j of `a` (sliced) and an ALREADY-SLICED dsub
+    * vector `b` — the trained-codebook twin of [[sqlL2Slice]], same
+    * sequential zip fold. */
+  private def sqlL2SliceVsFull(a: String, b: String, j: Int,
+      dsub: Int): String = {
+    val lo = j * dsub + 1
+    val hi = (j + 1) * dsub
+    s"list_reduce(list_prepend(0.0, list_transform(" +
+      s"list_zip(list_slice($a, $lo, $hi), $b), " +
+      s"p -> (p[1] - p[2]) * (p[1] - p[2]))), (acc, x) -> acc + x)"
+  }
+
+  /** One Lloyd round per subspace over the stride init, then re-encode —
+    * the pqCodebooksTrained replay: ac_j = stride assignment (ties to
+    * lowest cpos, the strict-< first-wins of pqEncodeCompute), mn_j =
+    * rounded per-(code, pos) means, tc_j = trained centroids with
+    * empty cells keeping the stride slice, code2_j = re-assignment
+    * against the trained centroids. */
+  private def pqTrainedCodeCtes(m: Int, dsub: Int): String =
+    (0 until m).map { j =>
+      val lo = j * dsub + 1
+      val hi = (j + 1) * dsub
+      s"""ac_$j AS (SELECT id, cpos FROM (
+         |  SELECT a.id, c.cpos, row_number() OVER (PARTITION BY a.id
+         |    ORDER BY ${sqlL2Slice("a.v", "c.cv", j, dsub)}, c.cpos) AS rn
+         |  FROM vecs a CROSS JOIN cents c) WHERE rn = 1),
+         |mn_$j AS (SELECT cpos, pos, round(avg(x), 6) AS mx FROM (
+         |    SELECT ac.cpos, unnest(list_slice(a.v, $lo, $hi)) AS x,
+         |      unnest(range(0, $dsub)) AS pos
+         |    FROM vecs a JOIN ac_$j ac ON ac.id = a.id) GROUP BY cpos, pos),
+         |tc_$j AS (SELECT c.cpos,
+         |    coalesce(mm.mv, list_slice(c.cv, $lo, $hi)) AS cvj
+         |  FROM cents c LEFT JOIN (SELECT cpos, list(mx ORDER BY pos) AS mv
+         |    FROM mn_$j GROUP BY cpos) mm ON mm.cpos = c.cpos),
+         |code2_$j AS (SELECT id, cvj AS cv_$j FROM (
+         |  SELECT a.id, t.cvj, row_number() OVER (PARTITION BY a.id
+         |    ORDER BY ${sqlL2SliceVsFull("a.v", "t.cvj", j, dsub)}, t.cpos)
+         |      AS rn
+         |  FROM vecs a CROSS JOIN tc_$j t) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+
+  private def pqTrainedAdcSql(m: Int, dsub: Int): String =
+    (0 until m).map(j =>
+      s"(${sqlL2SliceVsFull("q.qv", s"k$j.cv_$j", j, dsub)})").mkString(" + ")
+
+  private def pqTrainedCodeJoins(m: Int): String =
+    (0 until m).map(j => s"JOIN code2_$j k$j ON k$j.id = n.id").mkString(" ")
+
   /** Shared CTE chain replaying `Similarity.semDedup(centroidEvery=50,
     * iters=1, threshold=0.95)` over embeddings + planted copies (id+10000):
     * ends with `cell1(id, v, cell)` and `dropped(id)`. Used by the v10
@@ -5595,6 +5643,24 @@ object Queries {
       val every = math.max(1L, emb.count() / 10).toInt
       graft.operators.Similarity.pqTopK(emb, "vec_id", "embedding",
           m = 4, centroidEvery = every, queryPred = col("id") < 10, k = 3)
+        .orderBy(col("query_id"), col("adist"), col("neighbor_id"))
+    }),
+
+    // PQ with TRAINED subspace codebooks (closes the stride ceiling for
+    // the PQ family the way v13 closed it for IVF): one deterministic
+    // Lloyd round per subspace over the v8 stride init — assignment IS
+    // pqEncode (row-local, broadcast codebooks), the update is ONE
+    // map-combinable (subspace, code, pos) mean shuffle with ≤ C·d
+    // driver rows; the serving plan (encode + broadcast-LUT ADC) is
+    // byte-identical to v8's, only the codebook VALUES differ. DuckDB
+    // replays the per-subspace assignment, the rounded means (empty
+    // cells keep the stride centroid), the re-encode and the ADC.
+    "v14_pq_trained" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val every = math.max(1L, emb.count() / 10).toInt
+      graft.operators.Similarity.pqTopKTrained(emb, "vec_id", "embedding",
+          m = 4, centroidEvery = every, iters = 1,
+          queryPred = col("id") < 10, k = 3)
         .orderBy(col("query_id"), col("adist"), col("neighbor_id"))
     }),
 
@@ -5710,6 +5776,28 @@ object Queries {
          |scored AS (SELECT q.query_id, n.id AS neighbor_id,
          |  round(${pqAdcSql(4, 16)}, 6) AS adist
          |  FROM q CROSS JOIN vecs n ${pqCodeJoins(4)}
+         |  WHERE q.query_id <> n.id),
+         |rk AS (SELECT query_id, neighbor_id, adist, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, adist FROM rk WHERE rn <= 3
+         |ORDER BY query_id, adist, neighbor_id""".stripMargin,
+
+    // the v8 chain with one Lloyd training round per subspace spliced in
+    // (pqCodebooksTrained replay) — assignment, rounded means,
+    // empty-cell fallback, re-encode, ADC over the TRAINED centroids
+    "v14_pq_trained" ->
+      s"""WITH vecs AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |stride AS (SELECT GREATEST(1, count(*) // 10) AS s FROM vecs),
+         |cents AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cpos, v AS cv
+         |  FROM vecs WHERE id % (SELECT s FROM stride) = 0),
+         |${pqTrainedCodeCtes(4, 16)},
+         |q AS (SELECT id AS query_id, v AS qv FROM vecs WHERE id < 10),
+         |scored AS (SELECT q.query_id, n.id AS neighbor_id,
+         |  round(${pqTrainedAdcSql(4, 16)}, 6) AS adist
+         |  FROM q CROSS JOIN vecs n ${pqTrainedCodeJoins(4)}
          |  WHERE q.query_id <> n.id),
          |rk AS (SELECT query_id, neighbor_id, adist, row_number() OVER (
          |  PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
@@ -6132,6 +6220,11 @@ object Queries {
         .select(col("doc_id"),
           graft.functions.PortableHash.charFold(col("text_clean")).as("fp"),
           col("n_removed"))
+        // always true, but anchors the row count to the cleaning output:
+        // under a bare count() Catalyst proves the span side unique and
+        // ELIMINATES the join (+ prunes the fp HOFs), so a bench row
+        // would time a bare scan instead of the operator
+        .filter(col("n_removed") >= 0)
         .orderBy("doc_id")
     }),
 
@@ -6177,6 +6270,9 @@ object Queries {
           graft.functions.PortableHash.charFold(concat_ws(" ",
             TextAnalysis.bpeEncode(col("text"), bpeSnapshotMerges)))
             .as("fp"))
+        // always true; blocks column pruning under a bare count() so the
+        // bench row times the encoder, not a 400-row scan (see t27b)
+        .filter(col("n_pieces") >= 0)
         .orderBy("doc_id")),
 
     // BPE at PRODUCTION size: a genuine 1,000-merge model, served by the
@@ -6207,6 +6303,8 @@ object Queries {
           graft.functions.PortableHash.charFold(concat_ws(" ",
             TextAnalysis.bpeEncodeFast(col("text"), model)))
             .as("fp"))
+        // always true; blocks column pruning under a bare count() (t28)
+        .filter(col("n_pieces") >= 0)
         .orderBy("doc_id")
     }),
 

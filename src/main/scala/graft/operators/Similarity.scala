@@ -443,8 +443,67 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, centroidEvery: Int, queryPred: Column, k: Int,
       roundTo: Int = 6
+  ): DataFrame =
+    pqTopKWith(corpus, idCol, vecCol,
+      pqCodebooks(corpus, idCol, vecCol, m, centroidEvery), queryPred, k,
+      roundTo)
+
+  /** PQ codebooks TRAINED per subspace — closes the stride ceiling for
+    * the PQ tiers the way [[ivfTopKTrained]] closed it for IVF:
+    * `iters` deterministic Lloyd rounds over the stride init. The
+    * assignment step IS [[pqEncode]] (row-local scan against the
+    * broadcast codebooks — a vector's code is its cell per subspace);
+    * the update is ONE map-combinable (subspace, code, pos) mean
+    * shuffle per round, ≤ C·d rows to the driver (the kmeansCodebook
+    * convention). Empty cells keep their previous centroid; means are
+    * ROUNDED to `roundTo` so a SQL oracle replays the trained codebooks
+    * bit-for-bit at the compared precision. */
+  def pqCodebooksTrained(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, centroidEvery: Int, iters: Int, roundTo: Int = 6
+  ): graft.plans.PqCodebooks = {
+    var cb = pqCodebooks(corpus, idCol, vecCol, m, centroidEvery)
+    val vecs = corpus.select(asDouble(col(vecCol)).as("v"))
+    for (_ <- 0 until iters) {
+      val bc = corpus.sparkSession.sparkContext.broadcast(cb)
+      val dsub = cb.dsub
+      val means = vecs
+        .select(col("v"), posexplode(graft.plans.NativeExpressions
+          .pq_encode_bc(col("v"), bc)).as(Seq("j", "c")))
+        .select(col("j"), col("c"),
+          posexplode(slice(col("v"), col("j") * dsub + 1, lit(dsub)))
+            .as(Seq("pos", "x")))
+        .groupBy("j", "c", "pos").agg(round(avg("x"), roundTo).as("mx"))
+        .collect() // ≤ m·C·dsub = C·d rows — bounded by configuration
+      val next = Array.tabulate(cb.m)(j => cb.cents(j).map(_.clone()))
+      means.groupBy(r => (r.getInt(0), r.getInt(1))).foreach {
+        case ((j, c), rs) =>
+          val arr = new Array[Double](dsub)
+          rs.foreach(r => arr(r.getInt(2)) = r.getDouble(3))
+          next(j)(c) = arr
+      }
+      cb = new graft.plans.PqCodebooks(cb.m, dsub, next)
+    }
+    cb
+  }
+
+  /** [[pqTopK]] over [[pqCodebooksTrained]] — identical serving plan
+    * (encode + broadcast-LUT ADC), only the codebook VALUES differ, so
+    * any recall delta at equal serve cost is the training's quality. */
+  def pqTopKTrained(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, centroidEvery: Int, iters: Int, queryPred: Column, k: Int,
+      roundTo: Int = 6
+  ): DataFrame =
+    pqTopKWith(corpus, idCol, vecCol,
+      pqCodebooksTrained(corpus, idCol, vecCol, m, centroidEvery, iters,
+        roundTo), queryPred, k, roundTo)
+
+  private[graft] def pqTopKWith(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cb: graft.plans.PqCodebooks, queryPred: Column, k: Int,
+      roundTo: Int = 6
   ): DataFrame = {
-    val cb = pqCodebooks(corpus, idCol, vecCol, m, centroidEvery)
     val bc = corpus.sparkSession.sparkContext.broadcast(cb)
     val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val codes = vecs.select(col("id").as("neighbor_id"),

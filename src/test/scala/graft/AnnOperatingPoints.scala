@@ -173,6 +173,22 @@ object AnnOperatingPoints {
           System.err.println(s"  ivfpq $cLabel np=$np: ${f"$sec%.3f"}s recall=${f"$r%.4f"}")
         }
       }
+      // TRAINED subspace codebooks (r11): same serving plan as the
+      // stride PQ tiers, trained values — recall delta at equal serve
+      // cost is the training's quality (the v13 methodology, PQ family)
+      for ((cLabel, every) <- Seq("C10" -> every10, "C256" -> every256)) {
+        val t0 = System.nanoTime()
+        val tcb = Similarity.pqCodebooksTrained(emb, "vec_id", "embedding",
+          m = 4, centroidEvery = every, iters = 1)
+        val trainSec = (System.nanoTime() - t0) / 1e9
+        val (sec, df) = timed(() =>
+          Similarity.pqTopKWith(emb, "vec_id", "embedding", tcb,
+            queryPred = qPred, k = k))
+        val r = meanRecall(exactL2, df)
+        cells += s"""  "pq_trained_m4_${cLabel}_iters1": {"sec": ${f"$sec%.3f"}, "train_sec": ${f"$trainSec%.3f"}, "recall_at_10": ${f"$r%.4f"}}"""
+        System.err.println(s"  pq-trained $cLabel: ${f"$sec%.3f"}s" +
+          s" (train ${f"$trainSec%.3f"}s) recall=${f"$r%.4f"}")
+      }
       exactL2.unpersist()
 
       exact.unpersist(); emb.unpersist()

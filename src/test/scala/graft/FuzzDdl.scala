@@ -56,7 +56,7 @@ private[graft] object FuzzDdl {
     "collapsing", "versioned", "aggregating",
     "part_verbs", "move_replace", "col_alter", "ctas_exchange",
     "projection", "modify_type", "clear_column", "ttl", "modify_default",
-    "add_fill", "memory")
+    "add_fill", "memory", "ctas_fill")
 
   /** Render a typed model value for multiset comparison — the same rules
     * as FuzzGrammar.canon / the python leg's canon_value. */
@@ -285,7 +285,7 @@ private[graft] object FuzzDdl {
         Col("v", "Int64", "BIGINT"), Col("d", "Int64", "BIGINT"))
       case "add_fill" => Seq(Col("k", "Int64", "BIGINT"),
         Col("p", "Int32", "INTEGER"), Col("v", "Int64", "BIGINT"))
-      case "memory" => Seq(Col("k", "Int64", "BIGINT"),
+      case "memory" | "ctas_fill" => Seq(Col("k", "Int64", "BIGINT"),
         Col("v", "Int64", "BIGINT"), Col("s", "String", "VARCHAR"),
         Col("n", "Nullable(Int64)", "BIGINT"))
       case "replacing_ver" => Seq(Col("k", "Int64", "BIGINT"),
@@ -898,6 +898,57 @@ private[graft] object FuzzDdl {
       }
     }
 
+    if (arm == "ctas_fill") {
+      // the r11 declared-nullability contract, fuzzed end-to-end: CTAS
+      // derives the snapshot's DECLARED column types from the SELECT
+      // (readTable restores declared non-nullability via AssertNotNull,
+      // so the snapshot's graft.nullcols must be exactly {n}); then the
+      // fill rule is exercised ON the snapshot — a rewrite mutation
+      // relaxes its physical schema mid-session, and short INSERTs must
+      // still fill the TYPE default for v/s and NULL only for Nullable n
+      // (the duck twin spells the model-computed fills explicitly, so
+      // any drift renders as a row diff)
+      ch += s"CREATE TABLE ${t}_c ENGINE = MergeTree ORDER BY k AS " +
+        s"SELECT k, v, s, n FROM $t"
+      duck += s"CREATE OR REPLACE TABLE ${t}_c AS SELECT k, v, s, n FROM $t"
+      rowsB ++= rows // the snapshot's model state
+      def duckInsertC(full: Seq[Vector[Any]]): String =
+        s"INSERT INTO ${t}_c VALUES " +
+          full.map(r => r.map(litCh).mkString("(", ", ", ")")).mkString(", ")
+      val cOps = Seq(
+        () => { // rewrite mutation: relaxes the snapshot's physical schema
+          val (m0, c0) = (int(2, 4), int(1, 5)); val r0 = int(0, m0 - 1)
+          ch += s"ALTER TABLE ${t}_c UPDATE v = v + $c0 WHERE k % $m0 = $r0"
+          duck += s"UPDATE ${t}_c SET v = v + $c0 WHERE k % $m0 = $r0"
+          rowsB.indices.foreach { i =>
+            if (asL(rowsB(i).head) % m0 == r0)
+              rowsB(i) = rowsB(i).updated(1, asL(rowsB(i)(1)) + c0)
+          }
+        },
+        () => { // short INSERT (k): v fills 0, s fills '', n fills NULL
+          val vals = (1 to int(1, 3)).map(_ =>
+            Vector[Any](randVal(Col("k", "", ""))))
+          ch += s"INSERT INTO ${t}_c (k) VALUES " +
+            vals.map(r => r.map(litCh).mkString("(", ", ", ")"))
+              .mkString(", ")
+          val full = vals.map(r => Vector[Any](r(0), 0L, "", null))
+          rowsB ++= full
+          duck += duckInsertC(full)
+        },
+        () => { // by-name INSERT (k, n): explicit NULL legal ONLY in n;
+          // omitted v/s still fill their type defaults
+          val vals = (1 to int(1, 2)).map(_ => Vector[Any](
+            randVal(Col("k", "", "")), randVal(Col("n", "", ""))))
+          ch += s"INSERT INTO ${t}_c (k, n) VALUES " +
+            vals.map(r => r.map(litCh).mkString("(", ", ", ")"))
+              .mkString(", ")
+          val full = vals.map(r => Vector[Any](r(0), 0L, "", r(1)))
+          rowsB ++= full
+          duck += duckInsertC(full)
+        })
+      (1 to int(2, 4)).foreach(_ => pick(cOps)())
+    }
+
     if (arm == "modify_type") {
       // type changes AFTER the mutation phase (the model's integer
       // arithmetic must not see doubles): widen Int32 → Int64 (values
@@ -930,6 +981,7 @@ private[graft] object FuzzDdl {
         s"SELECT k, p, v, 't' AS src FROM $t UNION ALL " +
           s"SELECT k, p, v, 'b' AS src FROM ${t}_b"
       case "ctas_exchange" => s"SELECT k, v FROM ${t}_b"
+      case "ctas_fill" => s"SELECT k, v, s, n FROM ${t}_c"
       case "projection" => // exactly the projection's shape, so the
         // engine substitutes the materialized table whenever it is live
         s"SELECT p, ${projAggs.map(_._2).mkString(", ")} FROM $t GROUP BY p"
@@ -942,6 +994,7 @@ private[graft] object FuzzDdl {
       case "ctas_exchange" =>
         if (exchanged) rows.toSeq.map(r => Seq[Any](r.head, r(idx("v"))))
         else rowsB.toSeq
+      case "ctas_fill" => rowsB.toSeq
       case "projection" =>
         val (pi, vi) = (idx("p"), idx("v"))
         rows.toSeq.groupBy(_(pi)).toSeq.map { case (p, rs) =>
@@ -980,7 +1033,9 @@ private[graft] object FuzzDdl {
       }
 
     val extraTables =
-      if (Set("move_replace", "ctas_exchange")(arm)) Seq(s"${t}_b") else Nil
+      if (Set("move_replace", "ctas_exchange")(arm)) Seq(s"${t}_b")
+      else if (arm == "ctas_fill") Seq(s"${t}_c")
+      else Nil
     Sess(seed, arm, t, ch.result(), finalSelect, modelFinal, collapsed,
       finSel, duck.result(), duckFinal, duckFinCollapsed, extraTables)
   }

@@ -674,6 +674,47 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(out.count() == 15)
   }
 
+  test("pqCodebooksTrained: one Lloyd round never raises quantization " +
+      "distortion; deterministic; serving plan shape identical to stride") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    def distortion(cb: graft.plans.PqCodebooks): Double = {
+      val vecs = emb.select(Similarity.asDouble(col("embedding")).as("v"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      vecs.map { v =>
+        (0 until cb.m).map { j =>
+          (0 until cb.nCentroids).map { c =>
+            var s = 0.0; var t = 0
+            while (t < cb.dsub) {
+              val d = v(j * cb.dsub + t) - cb.cents(j)(c)(t); s += d * d
+              t += 1
+            }
+            s
+          }.min
+        }.sum
+      }.sum / vecs.length
+    }
+    val stride = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      m = 4, centroidEvery = 50)
+    val trained = Similarity.pqCodebooksTrained(emb, "vec_id", "embedding",
+      m = 4, centroidEvery = 50, iters = 1)
+    val (d0, d1) = (distortion(stride), distortion(trained))
+    assert(d1 <= d0 + 1e-9,
+      s"training must not raise distortion: stride $d0 -> trained $d1")
+    // on this corpus the round genuinely moves the centroids
+    assert(d1 < d0, s"expected a strict improvement at stride-50: $d0 -> $d1")
+    // deterministic retrain
+    val trained2 = Similarity.pqCodebooksTrained(emb, "vec_id", "embedding",
+      m = 4, centroidEvery = 50, iters = 1)
+    assert((0 until trained.m).forall(j =>
+      trained.cents(j).zip(trained2.cents(j))
+        .forall { case (a, b) => a.sameElements(b) }))
+    // identical serving shape: encode row-local, one top-k shuffle
+    val out = Similarity.pqTopKTrained(emb, "vec_id", "embedding",
+      m = 4, centroidEvery = 50, iters = 1, queryPred = col("id") < 5, k = 3)
+    assert(shuffleCount(out) == 1)
+    assert(out.count() == 15)
+  }
+
   test("PQ ADC distance equals exact reconstruction distance (algebra pin)") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding",
