@@ -107,8 +107,30 @@ object Bench {
     val wall0 = System.nanoTime()
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case _: Throwable => false }
+      // Materialize FULL rows from the query's own physical plan
+      // (r11 integrity fix): the previous `df.count()` wrapped the query
+      // in an Aggregate, letting Catalyst prune every computed column and
+      // even ELIMINATE provably-unique joins — per-row transform queries
+      // (fingerprints, quality scores, PII scrubbing, BPE encode, span
+      // cleaning) were timing bare scans, not their operators. toRdd
+      // executes the planned query as-is (all columns, codegen intact);
+      // the RDD count only walks the produced rows. The TRAILING global
+      // sort is stripped first: it exists for the oracle's presentation
+      // only, and under full-row execution a global sort pays a
+      // range-partitioner SAMPLING pass that re-executes the whole
+      // upstream — the old count() path dropped the sort too
+      // (EliminateSorts), so stripping keeps that much like-for-like.
+      val ok = try {
+        val df = fn(spark, sfDir)
+        val plan = df.queryExecution.analyzed match {
+          case s: org.apache.spark.sql.catalyst.plans.logical.Sort
+              if s.global => s.child
+          case p => p
+        }
+        org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(spark, plan)
+          .queryExecution.toRdd.count()
+        true
+      } catch { case _: Throwable => false }
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
     // INTERLEAVED passes: run the whole suite N times and take each query's
@@ -157,7 +179,12 @@ object Bench {
       // measurement-point provenance: r10 moved the loadavg_before sample
       // from post-warmup to pre-session — cross-round comparisons of
       // loadavg_before/clean_start against rounds ≤9 are not like-for-like
-      s""""loadavg_probe_point":"pre_session""""
+      s""""loadavg_probe_point":"pre_session",""" +
+      // r11: full-row materialization (see once()) — rows whose computed
+      // columns pruned under the old count() read HIGHER now because they
+      // finally measure their operator; not like-for-like with ≤r10 on
+      // per-row transform queries
+      s""""materializer":"toRdd_full_rows_nosort""""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,$env}"""
     println(json)

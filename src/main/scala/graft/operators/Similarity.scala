@@ -531,22 +531,18 @@ object Similarity {
   def quantizeInt8(
       corpus: DataFrame, idCol: String, vecCol: String, roundTo: Int = 6
   ): DataFrame = {
-    val v = asDouble(col(vecCol))
-    val amax = aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x)))
-    val scale = when(amax > 0, amax / 127.0).otherwise(lit(0.0))
-    val codes = when(scale > 0,
-      transform(v, x => round(x / scale, 0).cast("int")))
-      .otherwise(transform(v, _ => lit(0)))
-    // RMS reconstruction error (unrounded scale; sequential zip fold so a
-    // SQL twin reproduces the exact double before rounding)
-    val err = sqrt(
-      aggregate(zip_with(v, codes, (x, c) =>
-        (x - c.cast("double") * scale) * (x - c.cast("double") * scale)),
-        lit(0.0), (a, x) => a + x) / greatest(size(v), lit(1)))
-    corpus.select(col(idCol).as("id"),
-      round(scale, roundTo).as("scale"),
-      codes.as("codes"),
-      round(err, roundTo).as("err"))
+    // single-pass native expression (r11): the HOF formulation
+    // (aggregate amax → transform codes → zip_with err) re-evaluated the
+    // inner aggregates per element — O(d²) interpreted per row; the
+    // native compute is one codegen'd O(d) loop with value-identical
+    // output (HALF_UP rounding, sequential err fold, unrounded scale —
+    // see NativeExpressions.int8QuantCompute)
+    val q = graft.plans.NativeExpressions.int8_quant(asDouble(col(vecCol)))
+    corpus.select(col(idCol).as("id"), q.as("__q"))
+      .select(col("id"),
+        round(col("__q.scale"), roundTo).as("scale"),
+        col("__q.codes").as("codes"),
+        round(col("__q.err"), roundTo).as("err"))
   }
 
   /** Reconstruction from int8 codes: x̂ = code · scale. */

@@ -602,6 +602,61 @@ object NativeExpressions {
     * directly (codegen embeds it via `addReferenceObj` — the executor
     * fetches the codebook once, NOT per task serialization like the
     * literal form). Same output contract as [[NearestCentroids]]. */
+  /** Symmetric int8 scalar quantization in ONE pass — identical values
+    * to the HOF formulation it replaces (scale = max|x|/127 with 0 for
+    * zero vectors; codes = HALF_UP round(x/scale) like Spark's round;
+    * err = sqrt(sequential Σ(x − c·scale)² / max(d,1)) with the UNROUNDED
+    * scale). The HOF version re-evaluated the amax aggregate and the
+    * codes transform inside every err element (interpreted, O(d²) per
+    * row — 8.8 s for 2000×64 once the bench stopped pruning it); this is
+    * one codegen'd O(d) loop. */
+  def int8QuantCompute(vec: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = vec.numElements()
+    var amax = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(vec.getDouble(i)); if (a > amax) amax = a; i += 1
+    }
+    val scale = if (amax > 0) amax / 127.0 else 0.0
+    val codes = new Array[Int](n)
+    i = 0
+    while (i < n) {
+      codes(i) = if (scale > 0)
+        java.math.BigDecimal.valueOf(vec.getDouble(i) / scale)
+          .setScale(0, java.math.RoundingMode.HALF_UP).intValue
+      else 0
+      i += 1
+    }
+    var s = 0.0
+    i = 0
+    while (i < n) {
+      val d = vec.getDouble(i) - codes(i) * scale; s += d * d; i += 1
+    }
+    val err = math.sqrt(s / math.max(n, 1))
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale, ArrayData.toArrayData(codes), err))
+  }
+
+  case class Int8Quant(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("scale", DoubleType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("codes",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType, containsNull = false),
+        nullable = false),
+      org.apache.spark.sql.types.StructField("err", DoubleType,
+        nullable = false)))
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(input: Any): Any =
+      int8QuantCompute(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.NativeExpressions.int8QuantCompute($c)")
+    override protected def withNewChildInternal(newChild: Expression): Int8Quant =
+      copy(child = newChild)
+  }
+
   /** Encode a pre-tokenized word array with a broadcast [[BpeModel]]:
     * per word the standard lowest-rank-first merge loop (memoized), the
     * outputs flattened into one piece array — the serving twin of the
@@ -720,6 +775,8 @@ object NativeExpressions {
   def bpe_encode_bc(toks: Column,
       model: org.apache.spark.broadcast.Broadcast[BpeModel]): Column =
     ColumnBridge.column(BpeEncodeBC(ColumnBridge.expression(toks), model))
+  def int8_quant(vec: Column): Column =
+    ColumnBridge.column(Int8Quant(ColumnBridge.expression(vec)))
 
   /** First interval of a lo-ascending-sorted array<struct<lo, hi, ...>>
     * containing `point` (null if none). Early exit on lo > point — the

@@ -28,6 +28,15 @@ object ColumnBridge {
         df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
           .queryExecution.analyzed))
 
+  /** A DataFrame over an arbitrary logical plan (Dataset.ofRows is
+    * private[sql]) — used by the bench to re-plan a query with its
+    * trailing presentation sort stripped. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Bridge to Dataset.showString (private[sql] in Spark 4) — the ASCII
     * table renderer behind df.show(), needed for the FORMAT Pretty twin. */
   def showString(df: org.apache.spark.sql.DataFrame, numRows: Int,
