@@ -747,6 +747,58 @@ object Queries {
   import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 
   /** charFold re-derivation in DuckDB (see PortableHash.charFold). */
+  /** Shared DuckDB replay of the t27 substring-span chain over the
+    * planted-boilerplate corpus: ends with `sp` (duplicated-window rows
+    * with span ids), `spans` (merged [start,end) per doc) and `tok`
+    * (zipped-unnest tokens with 1-based ordinality) for the cleaning
+    * stages — ONE definition for the t27/t27b/p4b oracles. */
+  private def substringSpanCtes: String =
+    s"""docs AS (SELECT doc_id,
+       |    (CASE WHEN doc_id % 5 = 0
+       |      THEN 'please subscribe to our newsletter for daily updates and exclusive offers today'
+       |      ELSE 'intro ' || doc_id END) || ' ' || text AS text
+       |  FROM documents),
+       |tk AS (SELECT doc_id, list_filter(
+       |    string_split_regex(trim(text), '\\s+'),
+       |    t -> len(t) > 0) AS t FROM docs),
+       |th AS (SELECT doc_id, list_transform(t,
+       |    tok -> ${sqlCharFold("tok")}) AS th FROM tk),
+       |wins AS (SELECT doc_id, i - 1 AS pos,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+7]),
+       |      (acc, x) -> (acc * 1000003 + x) % 2147483647) AS fp
+       |  FROM (SELECT doc_id, th,
+       |      unnest(generate_series(1, len(th) - 7)) AS i
+       |    FROM th WHERE len(th) >= 8)),
+       |dup AS (SELECT fp FROM wins GROUP BY fp
+       |  HAVING count(DISTINCT doc_id) >= 3),
+       |mk AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (fp)),
+       |gp AS (SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+       |        ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS nw
+       |  FROM mk),
+       |sp AS (SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id
+       |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS span
+       |  FROM gp),
+       |spans AS (SELECT doc_id, min(pos) AS start_tok,
+       |    max(pos) + 8 AS end_tok
+       |  FROM sp GROUP BY doc_id, span),
+       |tok AS (SELECT doc_id, unnest(t) AS tok,
+       |    unnest(generate_series(1, len(t))) AS i FROM tk)""".stripMargin
+
+  /** The t27-family fixture: every 5th doc gets a SHARED boilerplate
+    * prefix (must surface as a cross-doc duplicated span), the rest a
+    * unique one — ONE definition for t27/t27b/p4b so the planted text
+    * can never drift between a query and its twins. */
+  private def plantedBoilerplate(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.select(col("doc_id"), concat_ws(" ",
+      when(col("doc_id") % 5 === 0,
+        lit("please subscribe to our newsletter for daily updates " +
+          "and exclusive offers today"))
+        .otherwise(concat(lit("intro "), col("doc_id"))),
+      col("text")).as("text"))
+
   private def sqlCharFold(expr: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |      list_transform(string_split($expr, ''), ch -> CAST(ascii(ch) AS BIGINT))),
@@ -6189,12 +6241,7 @@ object Queries {
     // natural cross-doc repeats in the corpus surface too.
     "t27_substring_dedup" -> ((s, dir) => {
       val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
-      val corpus = d.select(col("doc_id"), concat_ws(" ",
-        when(col("doc_id") % 5 === 0,
-          lit("please subscribe to our newsletter for daily updates " +
-            "and exclusive offers today"))
-          .otherwise(concat(lit("intro "), col("doc_id"))),
-        col("text")).as("text"))
+      val corpus = plantedBoilerplate(d)
       graft.operators.Dedup.substringDedupSpans(corpus, "doc_id", "text",
           k = 8, minDocs = 3)
         .orderBy("doc_id", "start_tok")
@@ -6208,12 +6255,7 @@ object Queries {
     // the compare is still byte-exact on the cleaned stream.
     "t27b_substring_clean" -> ((s, dir) => {
       val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
-      val corpus = d.select(col("doc_id"), concat_ws(" ",
-        when(col("doc_id") % 5 === 0,
-          lit("please subscribe to our newsletter for daily updates " +
-            "and exclusive offers today"))
-          .otherwise(concat(lit("intro "), col("doc_id"))),
-        col("text")).as("text"))
+      val corpus = plantedBoilerplate(d)
       val spans = graft.operators.Dedup.substringDedupSpans(corpus,
         "doc_id", "text", k = 8, minDocs = 3)
       graft.operators.Dedup.applySubstringSpans(corpus, spans)
@@ -6237,12 +6279,7 @@ object Queries {
     "p4b_curation_substring" -> ((s, dir) => {
       import graft.operators.{Dedup, TextAnalysis}
       val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
-      val corpus = d.select(col("doc_id"), concat_ws(" ",
-        when(col("doc_id") % 5 === 0,
-          lit("please subscribe to our newsletter for daily updates " +
-            "and exclusive offers today"))
-          .otherwise(concat(lit("intro "), col("doc_id"))),
-        col("text")).as("text"))
+      val corpus = plantedBoilerplate(d)
       val spans = Dedup.substringDedupSpans(corpus, "doc_id", "text",
         k = 8, minDocs = 3)
       val cleaned = Dedup.applySubstringSpans(corpus, spans)
@@ -6289,14 +6326,9 @@ object Queries {
     // cross-engine at realistic model size.
     "t28b_bpe_fast" -> ((s, dir) => {
       val model = TextAnalysis.bpeModel(s, bpeMerges1k)
-      val toks = filter(split(trim(lower(col("text"))), "\\s+"),
-        t => t.rlike("^[a-z]+$"))
-      val nP = greatest(size(toks) - 1, lit(0))
-      val pairText = array_join(zip_with(
-        slice(toks, lit(1), nP), slice(toks, lit(2), nP),
-        (a, b) => concat(a, b)), " ")
       tbl(s, dir, "documents").filter(col("doc_id") < 400)
-        .select(col("doc_id"), pairText.as("text"))
+        .select(col("doc_id"),
+          TextAnalysis.pairEnrich(col("text")).as("text"))
         .select(col("doc_id"),
           TextAnalysis.bpePieceCountFast(col("text"), model)
             .cast("long").as("n_pieces"),
@@ -6571,33 +6603,7 @@ object Queries {
     // per-window polynomial fold → distinct-doc counts → semi join →
     // lag/sum window span merge (identical gap rule: <= k merges)
     "t27_substring_dedup" ->
-      s"""WITH docs AS (SELECT doc_id,
-         |    (CASE WHEN doc_id % 5 = 0
-         |      THEN 'please subscribe to our newsletter for daily updates and exclusive offers today'
-         |      ELSE 'intro ' || doc_id END) || ' ' || text AS text
-         |  FROM documents),
-         |th AS (SELECT doc_id, list_transform(
-         |    list_filter(string_split_regex(trim(text), '\\s+'),
-         |      t -> len(t) > 0),
-         |    tok -> ${sqlCharFold("tok")}) AS th
-         |  FROM docs),
-         |wins AS (SELECT doc_id, i - 1 AS pos,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+7]),
-         |      (acc, x) -> (acc * 1000003 + x) % 2147483647) AS fp
-         |  FROM (SELECT doc_id, th,
-         |      unnest(generate_series(1, len(th) - 7)) AS i
-         |    FROM th WHERE len(th) >= 8)),
-         |dup AS (SELECT fp FROM wins GROUP BY fp
-         |  HAVING count(DISTINCT doc_id) >= 3),
-         |mk AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (fp)),
-         |gp AS (SELECT doc_id, pos,
-         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
-         |        ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS nw
-         |  FROM mk),
-         |sp AS (SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id
-         |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |    AS span
-         |  FROM gp)
+      s"""WITH $substringSpanCtes
          |SELECT doc_id, min(pos) AS start_tok, max(pos) + 8 AS end_tok,
          |  count(*) AS n_windows
          |FROM sp GROUP BY doc_id, span
@@ -6608,38 +6614,7 @@ object Queries {
     // (0-based [start,end)), ordered string_agg re-materializes the
     // cleaned stream; fingerprint + removed-token count compare
     "t27b_substring_clean" ->
-      s"""WITH docs AS (SELECT doc_id,
-         |    (CASE WHEN doc_id % 5 = 0
-         |      THEN 'please subscribe to our newsletter for daily updates and exclusive offers today'
-         |      ELSE 'intro ' || doc_id END) || ' ' || text AS text
-         |  FROM documents),
-         |tk AS (SELECT doc_id, list_filter(
-         |    string_split_regex(trim(text), '\\s+'),
-         |    t -> len(t) > 0) AS t FROM docs),
-         |th AS (SELECT doc_id, list_transform(t,
-         |    tok -> ${sqlCharFold("tok")}) AS th FROM tk),
-         |wins AS (SELECT doc_id, i - 1 AS pos,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+7]),
-         |      (acc, x) -> (acc * 1000003 + x) % 2147483647) AS fp
-         |  FROM (SELECT doc_id, th,
-         |      unnest(generate_series(1, len(th) - 7)) AS i
-         |    FROM th WHERE len(th) >= 8)),
-         |dup AS (SELECT fp FROM wins GROUP BY fp
-         |  HAVING count(DISTINCT doc_id) >= 3),
-         |mk AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (fp)),
-         |gp AS (SELECT doc_id, pos,
-         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
-         |        ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS nw
-         |  FROM mk),
-         |sp AS (SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id
-         |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |    AS span
-         |  FROM gp),
-         |spans AS (SELECT doc_id, min(pos) AS start_tok,
-         |    max(pos) + 8 AS end_tok
-         |  FROM sp GROUP BY doc_id, span),
-         |tok AS (SELECT doc_id, unnest(t) AS tok,
-         |    unnest(generate_series(1, len(t))) AS i FROM tk),
+      s"""WITH $substringSpanCtes,
          |kept AS (SELECT k.doc_id, k.tok, k.i FROM tok k
          |  WHERE NOT EXISTS (SELECT 1 FROM spans s
          |    WHERE s.doc_id = k.doc_id
@@ -6656,38 +6631,7 @@ object Queries {
     // t27b cleaning chain, then p4's quality-filter + chunk replay over
     // the cleaned text
     "p4b_curation_substring" ->
-      s"""WITH docs AS (SELECT doc_id,
-         |    (CASE WHEN doc_id % 5 = 0
-         |      THEN 'please subscribe to our newsletter for daily updates and exclusive offers today'
-         |      ELSE 'intro ' || doc_id END) || ' ' || text AS text
-         |  FROM documents),
-         |tk AS (SELECT doc_id, list_filter(
-         |    string_split_regex(trim(text), '\\s+'),
-         |    t -> len(t) > 0) AS t FROM docs),
-         |th AS (SELECT doc_id, list_transform(t,
-         |    tok -> ${sqlCharFold("tok")}) AS th FROM tk),
-         |wins AS (SELECT doc_id, i - 1 AS pos,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+7]),
-         |      (acc, x) -> (acc * 1000003 + x) % 2147483647) AS fp
-         |  FROM (SELECT doc_id, th,
-         |      unnest(generate_series(1, len(th) - 7)) AS i
-         |    FROM th WHERE len(th) >= 8)),
-         |dup AS (SELECT fp FROM wins GROUP BY fp
-         |  HAVING count(DISTINCT doc_id) >= 3),
-         |mk AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (fp)),
-         |gp AS (SELECT doc_id, pos,
-         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
-         |        ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS nw
-         |  FROM mk),
-         |sp AS (SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id
-         |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |    AS span
-         |  FROM gp),
-         |spans AS (SELECT doc_id, min(pos) AS start_tok,
-         |    max(pos) + 8 AS end_tok
-         |  FROM sp GROUP BY doc_id, span),
-         |tok AS (SELECT doc_id, unnest(t) AS tok,
-         |    unnest(generate_series(1, len(t))) AS i FROM tk),
+      s"""WITH $substringSpanCtes,
          |kept AS (SELECT k.doc_id, k.tok, k.i FROM tok k
          |  WHERE NOT EXISTS (SELECT 1 FROM spans s
          |    WHERE s.doc_id = k.doc_id

@@ -442,8 +442,12 @@ object ChDdl {
           rest.substring(0, setEnd), resolve)
         val p = withPartitionScope(spark, name, inPart,
           ChSql.compileExpr(spark, where, resolve))
-        val scope = mutateWhere(spark, name, p)(
-          graft.operators.Mutations.update(_, assignments, p))
+        // same guard as the ALTER ... UPDATE path: a NULL assigned to a
+        // declared non-Nullable column must fail here too, or the stored
+        // NULL makes every later readTable AssertNotNull read throw
+        val scope = mutateWhere(spark, name, p)(df =>
+          guardNonNullableWrites(tablePropsSafe(spark, name),
+            graft.operators.Mutations.update(df, assignments, p), name))
         Some(status(s"updated $name (${
           assignments.map(_._1).mkString(",")}; $scope)"))
 
@@ -951,6 +955,18 @@ object ChDdl {
            else chTypeDefault(f.dataType)).cast(f.dataType).as(f.name)))
       .toSeq: _*)
     val fresh = aligned.collect()
+    // CH parity: the Memory engine also rejects NULL into a declared
+    // non-Nullable column (rows are driver-resident here, so the check
+    // is a plain scan of the batch rather than a raise_error column)
+    val guarded = target.fields.zipWithIndex
+      .filterNot { case (f, _) => mt.declaredNull(f.name) }
+    fresh.foreach { r =>
+      guarded.foreach { case (f, i) =>
+        require(!r.isNullAt(i),
+          s"ChSql: cannot write NULL into non-Nullable column " +
+            s"${f.name} of $name")
+      }
+    }
     require(mt.rows.size + fresh.length <= MemRowCap,
       s"ChSql: Memory table $name would exceed $MemRowCap rows — " +
         "use a MergeTree (parquet) table for data at scale")
@@ -988,7 +1004,12 @@ object ChDdl {
         StreamingOps.MaterializedView(name, transform), resolve(src))
       target match {
         case Some(t) if spark.catalog.tableExists(t) =>
-          out.write.mode(SaveMode.Append).insertInto(t)
+          // POPULATE writes into a real table: the NULL-write guard
+          // applies here like any INSERT — a NULL-producing view select
+          // must not plant a NULL that declared non-Nullable reads
+          // (readTable's AssertNotNull) would then throw on
+          guardNonNullableWrites(tablePropsSafe(spark, t), out, t)
+            .write.mode(SaveMode.Append).insertInto(t)
         case _ => out.createOrReplaceTempView(target.getOrElse(name))
       }
     }

@@ -777,6 +777,21 @@ object TextAnalysis {
       : Column =
     size(bpeEncodeFast(text, model))
 
+  /** Sliding adjacent-word concatenations of the [a-z]+ tokens as a
+    * space-joined text column — the t28b fixture derivation (the
+    * synthetic corpus' 31-word vocabulary saturates BPE training at
+    * ~107 merges; pairing gives ~31² distinct word forms). ONE
+    * definition serves both the model trainer (BpeSnapshotMain) and the
+    * serving query, so the shipped 1k-merge model can never drift from
+    * its corpus derivation. */
+  def pairEnrich(text: Column): Column = {
+    val toks = filter(split(trim(lower(text)), "\\s+"),
+      t => t.rlike("^[a-z]+$"))
+    val n = greatest(size(toks) - 1, lit(0))
+    array_join(zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
+      (a, b) => concat(a, b)), " ")
+  }
+
   // ============ DSIR importance weights (data selection) ============
 
   /** DSIR-style importance weights (Xie et al., "Data Selection for

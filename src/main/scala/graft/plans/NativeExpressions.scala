@@ -609,12 +609,16 @@ object NativeExpressions {
     * scale). The HOF version re-evaluated the amax aggregate and the
     * codes transform inside every err element (interpreted, O(d²) per
     * row — 8.8 s for 2000×64 once the bench stopped pruning it); this is
-    * one codegen'd O(d) loop. */
+    * one codegen'd O(d) loop. A vector containing a null ELEMENT yields
+    * a null result (the old HOF emitted a code array with null holes and
+    * a null err — a partially-null quantization no caller could use;
+    * whole-row null is the honest signal and never reads a hole as 0). */
   def int8QuantCompute(vec: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
     val n = vec.numElements()
     var amax = 0.0
     var i = 0
     while (i < n) {
+      if (vec.isNullAt(i)) return null
       val a = math.abs(vec.getDouble(i)); if (a > amax) amax = a; i += 1
     }
     val scale = if (amax > 0) amax / 127.0 else 0.0
@@ -648,11 +652,15 @@ object NativeExpressions {
       org.apache.spark.sql.types.StructField("err", DoubleType,
         nullable = false)))
     override def nullIntolerant: Boolean = true
+    // null-ELEMENT vectors quantize to null (see int8QuantCompute doc)
+    override def nullable: Boolean = true
     override protected def nullSafeEval(input: Any): Any =
       int8QuantCompute(input.asInstanceOf[ArrayData])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, c =>
-        s"graft.plans.NativeExpressions.int8QuantCompute($c)")
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.plans.NativeExpressions.int8QuantCompute($c);
+        if (${ev.value} == null) { ${ev.isNull} = true; }
+      """)
     override protected def withNewChildInternal(newChild: Expression): Int8Quant =
       copy(child = newChild)
   }

@@ -20,16 +20,6 @@ import org.apache.spark.sql.functions._
   *        Test/runMain graft.BpeSnapshotMain /root/testdata/sf0.1 1000 \
   *          src/main/resources/graft/bpe_merges_1k.tsv pairs */
 object BpeSnapshotMain {
-  /** Sliding adjacent-word concatenations of the [a-z]+ tokens, as a
-    * space-joined text column — the t28b fixture derivation. */
-  def pairEnrich(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val toks = filter(split(trim(lower(text)), "\\s+"),
-      t => t.rlike("^[a-z]+$"))
-    val n = greatest(size(toks) - 1, lit(0))
-    array_join(zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
-      (a, b) => concat(a, b)), " ")
-  }
-
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val n = args(1).toInt
@@ -42,7 +32,9 @@ object BpeSnapshotMain {
     val base = spark.read.parquet(s"$dir/documents.parquet")
       .filter(col("lang") === "en")
     val docs = if (pairMode)
-      base.select(pairEnrich(col("text")).as("text")) else base
+      base.select(graft.operators.TextAnalysis.pairEnrich(col("text"))
+        .as("text"))
+    else base
     val merges = graft.operators.TextAnalysis.trainBpe(docs, "text", n)
     require(merges.size == n,
       s"training exhausted at ${merges.size} merges (asked $n)")

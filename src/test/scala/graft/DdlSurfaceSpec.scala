@@ -1257,10 +1257,37 @@ class DdlSurfaceSpec extends AnyFunSuite {
       chRun("ALTER TABLE ng_t UPDATE v = NULL WHERE k = 1"))
     assert(e3.getMessage.contains("non-Nullable"), e3.getMessage)
     assert(chRun("SELECT v FROM ng_t WHERE k = 1").head.getLong(0) == 10L)
+    // ... and through the PLAIN (non-ALTER) UPDATE statement form — the
+    // r11 review found this branch unguarded: the NULL landed physically
+    // and readTable's AssertNotNull then threw on every later SELECT
+    val e3b = intercept[Exception](
+      chRun("UPDATE ng_t SET v = NULL WHERE k = 1"))
+    assert(e3b.getMessage.contains("non-Nullable"), e3b.getMessage)
+    assert(chRun("SELECT v FROM ng_t WHERE k = 1").head.getLong(0) == 10L)
+    // MATERIALIZED VIEW ... POPULATE into a real table is an INSERT and
+    // carries the same guard (a NULL-producing select must refuse, not
+    // brick the target table)
+    val e3c = intercept[Exception](chRun(
+      "CREATE MATERIALIZED VIEW ng_mv TO ng_t POPULATE AS " +
+        "SELECT k + 100 AS k, if(k < 0, 1, NULL) AS v, n FROM ng_t"))
+    assert(e3c.getMessage.contains("non-Nullable"), e3c.getMessage)
+    chRun("DROP VIEW IF EXISTS ng_mv")
+    assert(chRun("SELECT count() AS c FROM ng_t WHERE k >= 100")
+      .head.getLong(0) == 0L, "failed POPULATE must not leave rows")
     // the Nullable column still takes NULL both ways
     chRun("ALTER TABLE ng_t UPDATE n = NULL WHERE k = 1")
     chRun("INSERT INTO ng_t (k, v, n) VALUES (5, 50, NULL)")
     assert(chRun("SELECT n FROM ng_t WHERE k = 5").head.isNullAt(0))
+    // the Memory engine enforces the same contract (separate write path)
+    chRun("DROP TABLE IF EXISTS ng_m")
+    chRun("CREATE TABLE ng_m (k Int64, v Int64, n Nullable(Int64)) " +
+      "ENGINE = Memory")
+    chRun("INSERT INTO ng_m VALUES (1, 10, NULL)")
+    val em = intercept[Exception](
+      chRun("INSERT INTO ng_m (k, v) VALUES (2, NULL)"))
+    assert(em.getMessage.contains("non-Nullable"), em.getMessage)
+    assert(chRun("SELECT count() AS c FROM ng_m").head.getLong(0) == 1L)
+    chRun("DROP TABLE ng_m")
     assert(chRun("SELECT count() AS c FROM ng_t").head.getLong(0) == 3L)
     // documented divergence pin: ADD COLUMN Nullable(...) DEFAULT warns
     // (CH computes the DEFAULT for old parts; here old rows read NULL —

@@ -101,11 +101,18 @@ def main():
               "given — cannot verify arm coverage; re-run FuzzDdlDump "
               "from a fresh compile")
         sys.exit(1)
-    missing_arms = [a for a in expected_arms if a not in arms]
+    # arms cycle (seed-1) % len(arms), so a dump of n < len(arms) seeds
+    # can only ever reach the first n arms — bound the expectation so a
+    # fresh smoke-run dump isn't misreported as stale
+    reachable = expected_arms[:n] if n < len(expected_arms) else expected_arms
+    if len(reachable) < len(expected_arms):
+        print(f"NOTE: only {n} seeds — coverage provable for the first "
+              f"{len(reachable)} of {len(expected_arms)} arms")
+    missing_arms = [a for a in reachable if a not in arms]
     ok = not mismatches and not errors and not missing_arms
     print(f"== fuzz-ddl-duck: {n} seeds, {nonempty} non-empty checks, "
           f"{len(mismatches)} mismatches, {len(errors)} duck errors, "
-          f"{len(arms)}/{len(expected_arms)} arms covered ==")
+          f"{len(arms)}/{len(reachable)} reachable arms covered ==")
     if missing_arms:
         print(f"FAIL: arms never replayed (stale dump?): "
               f"{', '.join(missing_arms)}")
