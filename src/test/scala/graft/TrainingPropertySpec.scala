@@ -137,4 +137,67 @@ class TrainingPropertySpec extends AnyFunSuite {
       assert(outDigests.size == a.size)
     }
   }
+
+  test("property: bpeEncodeFast ≡ the training-order replace chain for " +
+      "RANDOM trained tables and random probe text") {
+    // train a fresh merge table on each random corpus (the equivalence
+    // rests on the trained-table invariant: every merge's parts are
+    // symbols formed by earlier merges), then compare the two encoders
+    // on a DIFFERENT random probe corpus — unseen words exercise partial
+    // merges, not just full-word memorization
+    val gen = for {
+      corpus <- corpusGen
+      probe <- corpusGen
+      nMerges <- Gen.choose(1, 24)
+    } yield (corpus, probe, nMerges)
+    forAll(gen, n = 12) { case (corpus, probe, nMerges) =>
+      val train = corpus.toDF("doc_id", "text")
+      val merges = TextAnalysis.trainBpe(train, "text",
+        numMerges = nMerges, maxWords = 100)
+      if (merges.nonEmpty) {
+        val model = TextAnalysis.bpeModel(spark, merges)
+        val both = probe.toDF("doc_id", "text")
+          .select(col("doc_id"),
+            TextAnalysis.bpeEncode(col("text"), merges).as("chain"),
+            TextAnalysis.bpeEncodeFast(col("text"), model).as("fast"))
+          .collect()
+        both.foreach { r =>
+          assert(r.getSeq[String](1) == r.getSeq[String](2),
+            s"merges=$merges doc=${r.getLong(0)}\n chain=${
+              r.getSeq[String](1)}\n fast =${r.getSeq[String](2)}")
+        }
+      }
+    }
+  }
+
+  test("property: substring dedup postcondition — after applySubstringSpans " +
+      "no K-token window is shared by >= minDocs cleaned docs") {
+    // the Lee et al. contract end-to-end: find spans, remove them, and
+    // the cleaned corpus must contain NO window duplicated across
+    // minDocs documents anymore (runs of adjacent windows merge into
+    // maximal spans, so removal is exactly sufficient)
+    val sharedGen = Gen.listOfN(6, wordGen).map(_.mkString(" "))
+    val gen = for {
+      corpus <- corpusGen
+      shared <- sharedGen
+    } yield (corpus, shared)
+    forAll(gen, n = 8) { case (corpus, shared) =>
+      // plant the shared run into every 2nd doc at a varying offset so
+      // spans genuinely exist
+      val planted = corpus.map { case (id, t) =>
+        if (id % 2 == 0) (id, s"$t $shared") else (id, t)
+      }.toDF("doc_id", "text")
+      val k = 4
+      val minDocs = 2
+      val spans = Dedup.substringDedupSpans(planted, "doc_id", "text",
+        k = k, minDocs = minDocs)
+      val cleaned = Dedup.applySubstringSpans(planted, spans)
+        .select(col("doc_id"), col("text_clean").as("text"))
+      val again = Dedup.substringDedupSpans(cleaned, "doc_id", "text",
+        k = k, minDocs = minDocs).collect()
+      assert(again.isEmpty,
+        s"cleaned corpus still has duplicated windows: ${
+          again.take(3).mkString(", ")} (shared='$shared')")
+    }
+  }
 }
