@@ -6393,13 +6393,26 @@ object Queries {
     val in = getClass.getResourceAsStream("/graft/bpe_merges_1k.tsv")
     require(in != null, "missing resource graft/bpe_merges_1k.tsv — " +
       "regenerate with Test/runMain graft.BpeSnapshotMain")
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .filter(_.nonEmpty).map { l =>
-        val i = l.indexOf('\t')
-        (l.substring(0, i), l.substring(i + 1))
-      }.toVector
-    finally in.close()
+    val ms =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map { l =>
+          val i = l.indexOf('\t')
+          (l.substring(0, i), l.substring(i + 1))
+        }.toVector
+      finally in.close()
+    // symbols from the [a-z]+/</w> trainer only — a regenerated model
+    // violating this would otherwise reach the oracle SQL unnoticed
+    val ok = "^[a-z]*(</w>)?$".r
+    ms.foreach { case (a, b) =>
+      require(ok.matches(a) && ok.matches(b),
+        s"bpe_merges_1k.tsv: unexpected merge symbol ($a, $b)")
+    }
+    ms
   }
+
+  /** Escape a string for interpolation into a single-quoted SQL
+    * literal (oracle-side rendering of model tables). */
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
   private val oracles13: Map[String, String] = Map(
 
@@ -6686,7 +6699,7 @@ object Queries {
     // the identical stream
     "t28b_bpe_fast" -> {
       val vals = bpeMerges1k.zipWithIndex.map { case ((a, b), r) =>
-        s"($r, '$a', '$b')" }.mkString(", ")
+        s"($r, ${sqlLit(a)}, ${sqlLit(b)})" }.mkString(", ")
       val n = bpeMerges1k.size
       s"""WITH RECURSIVE
          |raw AS (SELECT doc_id, list_filter(

@@ -1478,10 +1478,24 @@ object ChDdl {
     // addFillDecorate coalesce above, NULL cannot legitimately appear in
     // a declared non-Nullable column (guardNonNullableWrites rejects
     // NULL writes), so the assert is provenance, not a filter.
+    //
+    // REPAIR ESCAPE HATCH for legacy data written before the write
+    // guards existed (a stored NULL in a declared non-Nullable column
+    // would otherwise make every SELECT throw, including the repair
+    // query itself): `SET graft.nullability.read = 'fill'` swaps the
+    // assert for a coalesce to the column's TYPE DEFAULT (the CH
+    // default-fill contract) — same non-nullable output schema, and any
+    // rewrite (CTAS / INSERT SELECT / OPTIMIZE-style re-save) run under
+    // the setting permanently materializes the defaults.
+    val repairFill = spark.conf.getOption("graft.nullability.read")
+      .exists(_.equalsIgnoreCase("fill"))
     val df = declaredNullCols(props) match {
       case None => df0
       case Some(nullable) => df0.select(df0.schema.fields.map { f =>
         if (nullable(f.name)) col(f.name)
+        else if (repairFill)
+          coalesce(col(f.name), chTypeDefault(f.dataType).cast(f.dataType))
+            .as(f.name)
         else org.apache.spark.sql.graftbridge.ColumnBridge.column(
           org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull(
             org.apache.spark.sql.graftbridge.ColumnBridge.expression(

@@ -299,11 +299,12 @@ object Dedup {
     * text — the closing stage of the Lee et al. loop (the paper removes
     * the duplicated substring and trains on the remainder).
     *
-    * `spans` is (doc_id, start_tok, end_tok): token positions [start,
+    * `spans` is (spanIdCol, startCol, endCol): token positions [start,
     * end) — 0-based, end-exclusive, over the SAME whitespace
-    * tokenization the span finder used. Docs with no spans pass through
-    * verbatim (token-normalized); a doc whose every token is covered
-    * keeps an empty text.
+    * tokenization the span finder used; the defaults match
+    * [[substringDedupSpans]]' fixed output schema. Docs with no spans
+    * pass through verbatim (token-normalized); a doc whose every token
+    * is covered keeps an empty text.
     *
     * Scale shape (100 TB): ONE left join docs⇐(spans grouped by doc) —
     * the spans side is output-bounded (maximal merged spans, typically
@@ -312,10 +313,12 @@ object Dedup {
     * row-local HOF filter over the token array (no shuffle, text never
     * crosses the wire beyond the one join). */
   def applySubstringSpans(docs: DataFrame, spans: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sp = spans.groupBy(col("doc_id").as("__sid"))
-      .agg(collect_list(struct(col("start_tok"), col("end_tok")))
-        .as("__spans"))
+      idCol: String = "doc_id", textCol: String = "text",
+      spanIdCol: String = "doc_id", startCol: String = "start_tok",
+      endCol: String = "end_tok"): DataFrame = {
+    val sp = spans.groupBy(col(spanIdCol).as("__sid"))
+      .agg(collect_list(struct(col(startCol).as("start_tok"),
+        col(endCol).as("end_tok"))).as("__spans"))
     val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
     docs.join(sp, col(idCol) === col("__sid"), "left")
       .withColumn("__toks", toks)

@@ -475,6 +475,9 @@ object Similarity {
             .as(Seq("pos", "x")))
         .groupBy("j", "c", "pos").agg(round(avg("x"), roundTo).as("mx"))
         .collect() // ≤ m·C·dsub = C·d rows — bounded by configuration
+      // the broadcast only serves this round's encode — release it, or
+      // a long-lived session leaks one codebook copy per Lloyd round
+      bc.destroy()
       val next = Array.tabulate(cb.m)(j => cb.cents(j).map(_.clone()))
       means.groupBy(r => (r.getInt(0), r.getInt(1))).foreach {
         case ((j, c), rs) =>

@@ -1397,7 +1397,7 @@ final class BpeModel(val merges: Seq[(String, String)], val eow: String)
   @transient private lazy val rank: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](merges.size * 2)
     var i = 0
-    merges.foreach { p => m.put(p._1 + " " + p._2, i); i += 1 }
+    merges.foreach { p => m.put(p._1 + "\u0000" + p._2, i); i += 1 }
     m
   }
   @transient private lazy val memo =
@@ -1424,7 +1424,7 @@ final class BpeModel(val merges: Seq[(String, String)], val eow: String)
       var bestRank = Integer.MAX_VALUE
       var k = 0
       while (k < syms.size - 1) {
-        val r = rank.get(syms.get(k) + " " + syms.get(k + 1))
+        val r = rank.get(syms.get(k) + "\u0000" + syms.get(k + 1))
         if (r != null && r.intValue < bestRank) bestRank = r.intValue
         k += 1
       }
