@@ -93,11 +93,12 @@ object Queries {
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     batch1 ++ batch2 ++ batch3 ++ batch4 ++ batch5 ++ batch6 ++ batch7 ++
-      batch8 ++ batch9 ++ batch10 ++ batch11 ++ batch12 ++ batch13
+      batch8 ++ batch9 ++ batch10 ++ batch11 ++ batch12 ++ batch13 ++
+      batch14
   def oracles: Map[String, String] =
     oracles1 ++ oracles2 ++ oracles3 ++ oracles4 ++ oracles5 ++ oracles6 ++
       oracles7 ++ oracles8 ++ oracles9 ++ oracles10 ++ oracles11 ++
-      oracles12 ++ oracles13
+      oracles12 ++ oracles13 ++ oracles14
 
   private val batch1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -6373,6 +6374,39 @@ object Queries {
             s, s"$dir/embeddings.parquet"))
         .orderBy(col("query_id"), desc("sim"), col("neighbor_id"))))
 
+  // ===== round 12: byte-level BPE, trained IVFADC, DSIR resampling =====
+  private val batch14: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // BPE at BYTE level (GPT-2 style): the multilingual-fidelity closure
+    // of t28b, whose [a-z]+ tokenizer drops every non-ASCII token. The
+    // pre-tokenizer keeps EVERYTHING (letter/digit runs | punctuation
+    // runs, any script); each token's UTF-8 bytes become hex-pair base
+    // symbols, so no character can be out-of-alphabet. Serving is the
+    // same ONE-broadcast lowest-rank-first native loop (t28b), over a
+    // genuine 1,000-merge model trained on the mixed-script fixture
+    // (accented Latin + CJK + injected punctuation — derived by chained
+    // literal replaces both engines compute identically). The DuckDB
+    // twin rebuilds the fixture, re-derives the byte symbols via
+    // lower(hex(encode(tok))), and replays the full 1,000-step
+    // training-order chain per DISTINCT word — a green row proves the
+    // byte-level encoder cross-engine on genuinely multilingual text.
+    "t28c_bpe_bytes" -> ((s, dir) => {
+      val model = TextAnalysis.bpeModelBytes(s, bpeMergesBytes1k)
+      tbl(s, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id"),
+          TextAnalysis.pairEnrichBytes(TextAnalysis.mixedScriptFixture(
+            col("text"), col("lang"))).as("text"))
+        .select(col("doc_id"),
+          TextAnalysis.bpePieceCountBytesFast(col("text"), model)
+            .cast("long").as("n_pieces"),
+          graft.functions.PortableHash.charFold(concat_ws(" ",
+            TextAnalysis.bpeEncodeBytesFast(col("text"), model)))
+            .as("fp"))
+        // always true; blocks column pruning under a bare count() (t28)
+        .filter(col("n_pieces") >= 0)
+        .orderBy("doc_id")
+    }))
+
   /** 12-merge BPE model snapshot trained by
     * `Test/runMain graft.BpeSnapshotMain /root/testdata/sf0.01 12`
     * (TextAnalysis.trainBpe over the sf0.01 English documents) — the
@@ -6406,6 +6440,33 @@ object Queries {
     ms.foreach { case (a, b) =>
       require(ok.matches(a) && ok.matches(b),
         s"bpe_merges_1k.tsv: unexpected merge symbol ($a, $b)")
+    }
+    ms
+  }
+
+  /** 1000-merge BYTE-LEVEL BPE model trained on the sf0.1 mixed-script
+    * fixture, all languages (regenerate with `Test/runMain
+    * graft.BpeSnapshotMain /root/testdata/sf0.1 1000
+    * src/main/resources/graft/bpe_merges_bytes_1k.tsv bytes`) — the
+    * t28c serving model; symbols are concatenated lowercase hex byte
+    * pairs (plus the </w> marker), line order IS rank order. */
+  private lazy val bpeMergesBytes1k: Seq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/bpe_merges_bytes_1k.tsv")
+    require(in != null, "missing resource graft/bpe_merges_bytes_1k.tsv — " +
+      "regenerate with Test/runMain graft.BpeSnapshotMain ... bytes")
+    val ms =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map { l =>
+          val i = l.indexOf('\t')
+          (l.substring(0, i), l.substring(i + 1))
+        }.toVector
+      finally in.close()
+    // hex-pair symbols from the byte-level trainer only — guards the
+    // oracle SQL against a drifted regeneration (t28b convention)
+    val ok = "^([0-9a-f]{2})*(</w>)?$".r
+    ms.foreach { case (a, b) =>
+      require(ok.matches(a) && ok.matches(b),
+        s"bpe_merges_bytes_1k.tsv: unexpected merge symbol ($a, $b)")
     }
     ms
   }
@@ -6950,4 +7011,74 @@ object Queries {
          |  FROM lrk l FULL OUTER JOIN vrk v ON l.doc_id = v.doc_id)
          |SELECT doc_id, rrf FROM fused
          |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)
+
+  /** The mixed-script fixture derivation as DuckDB SQL — the exact
+    * replace chain of [[graft.operators.TextAnalysis.mixedScriptFixture]]
+    * (one definition per engine; both pinned to each other by t28c). */
+  private val sqlMixedScript: String =
+    """CASE WHEN lang = 'fr' THEN replace(replace(text, 'e', 'é'), 'c', 'ç')
+      |  WHEN lang = 'de' THEN replace(replace(text, 'a', 'ä'), 'u', 'ü')
+      |  WHEN lang = 'es' THEN replace(replace(text, 'n', 'ñ'), 'o', 'ó')
+      |  WHEN lang = 'zh' THEN replace(replace(replace(text,
+      |    'data', '数据'), 'table', '表'), 'query', '查询')
+      |  ELSE replace(replace(text, 'slow', 'slow,'), 'fast', 'fast!')
+      |  END""".stripMargin
+
+  private val oracles14: Map[String, String] = Map(
+
+    // byte-level chain replay: rebuild the mixed-script fixture and the
+    // pair-enriched serving text, pre-tokenize with the loss-free
+    // letter/digit-run | punctuation-run pattern, derive each distinct
+    // word's base symbols from its UTF-8 bytes (lower(hex(encode))
+    // split into 2-char groups), then advance every word one merge per
+    // recursion step in TRAINING ORDER — proving the lowest-rank-first
+    // byte-level native encoder emits the identical stream on
+    // multilingual text
+    "t28c_bpe_bytes" -> {
+      val vals = bpeMergesBytes1k.zipWithIndex.map { case ((a, b), r) =>
+        s"($r, ${sqlLit(a)}, ${sqlLit(b)})" }.mkString(", ")
+      val n = bpeMergesBytes1k.size
+      val pretok = "[\\p{L}\\p{N}]+|[^\\s\\p{L}\\p{N}]+"
+      s"""WITH RECURSIVE
+         |raw AS (SELECT doc_id, $sqlMixedScript AS mixed
+         |  FROM documents WHERE doc_id < 400),
+         |ptk AS (SELECT doc_id,
+         |    regexp_extract_all(mixed, '$pretok') AS rt FROM raw),
+         |tk AS (SELECT doc_id,
+         |    CASE WHEN len(rt) >= 2 THEN array_to_string(list_transform(
+         |        list_zip(rt[1:len(rt)-1], rt[2:len(rt)]),
+         |        p -> p[1] || p[2]), ' ')
+         |      ELSE '' END AS t2
+         |  FROM ptk),
+         |tkl AS (SELECT doc_id,
+         |    regexp_extract_all(t2, '$pretok') AS t FROM tk),
+         |tok AS (SELECT doc_id, unnest(t) AS tok,
+         |    unnest(generate_series(1, len(t))) AS i FROM tkl),
+         |words AS (SELECT DISTINCT tok FROM tok),
+         |m(r, a, b) AS (SELECT * FROM (VALUES $vals) v(r, a, b)),
+         |enc AS (
+         |  SELECT tok, regexp_replace(lower(hex(encode(tok))),
+         |      '(..)', ' \\1 ', 'g') || ' </w> ' AS s, 0 AS r
+         |    FROM words
+         |  UNION ALL
+         |  SELECT e.tok, replace(e.s, ' ' || m.a || '  ' || m.b || ' ',
+         |      ' ' || m.a || m.b || ' '), e.r + 1
+         |    FROM enc e JOIN m ON m.r = e.r),
+         |fin AS (SELECT tok, list_filter(
+         |    string_split_regex(trim(s), '\\s+'),
+         |    p -> len(p) > 0) AS pieces
+         |  FROM enc WHERE r = $n),
+         |jp AS (SELECT o.doc_id, o.i, f.pieces
+         |  FROM tok o JOIN fin f USING (tok)),
+         |agg AS (SELECT doc_id, CAST(sum(len(pieces)) AS BIGINT)
+         |      AS n_pieces,
+         |    string_agg(array_to_string(pieces, ' '), ' ' ORDER BY i)
+         |      AS es
+         |  FROM jp GROUP BY doc_id)
+         |SELECT tk.doc_id,
+         |  CAST(coalesce(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+         |  ${sqlCharFold("coalesce(a.es, '')")} AS fp
+         |FROM tk LEFT JOIN agg a USING (doc_id)
+         |ORDER BY tk.doc_id""".stripMargin
+    })
 }

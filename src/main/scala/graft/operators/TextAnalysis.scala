@@ -673,9 +673,18 @@ object TextAnalysis {
       .groupBy("w").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("w")).limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    var words: Array[(Array[String], Long)] = hist.map { case (w, n) =>
+    bpeMergeLoop(hist.map { case (w, n) =>
       (w.split("").filter(_.nonEmpty) :+ BpeEow, n)
-    }
+    }, numMerges)
+  }
+
+  /** The driver-local Sennrich merge loop over a (symbols, count)
+    * histogram — shared by the char-level ([[trainBpe]]) and byte-level
+    * ([[trainBpeBytes]]) trainers; only the base-alphabet init differs.
+    * State ≤ histogram rows, no corpus passes. */
+  private def bpeMergeLoop(init: Array[(Array[String], Long)],
+      numMerges: Int): Seq[(String, String)] = {
+    var words = init
     val merges = Seq.newBuilder[(String, String)]
     var round = 0
     var exhausted = false
@@ -791,6 +800,107 @@ object TextAnalysis {
     array_join(zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
       (a, b) => concat(a, b)), " ")
   }
+
+  // ============ byte-level (UTF-8) BPE tier ============
+
+  /** Byte-level pre-tokenizer pattern: maximal runs of Unicode
+    * letters/digits, or maximal runs of non-space punctuation — the
+    * portable core of the GPT-2 pre-tokenizer (contraction special
+    * cases dropped; they need lookarounds not every engine shares).
+    * Unlike [[trainBpe]]'s `[a-z]+` filter this DROPS NOTHING: every
+    * non-space character of any script lands in exactly one token. */
+  val BytePretok = "[\\p{L}\\p{N}]+|[^\\s\\p{L}\\p{N}]+"
+
+  /** Pre-tokenize for the byte-level tier (see [[BytePretok]]) —
+    * case-preserving, script-agnostic, loss-free. */
+  def byteTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BytePretok), lit(0))
+
+  /** A word's UTF-8 bytes as lowercase hex-pair symbols — the
+    * byte-level base alphabet ("é" → "c3","a9"). Driver-side twin of
+    * [[graft.plans.BpeModel]]'s byte-level init; any SQL engine replays
+    * it as `lower(hex(encode(word)))` split into 2-char groups. */
+  def hexPairsOf(w: String): Array[String] =
+    w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => f"${b & 0xff}%02x")
+
+  /** Byte-level BPE training (the production-fidelity upgrade over
+    * [[trainBpe]], whose `[a-z]+` tokenizer drops every non-ASCII
+    * token): words come from [[byteTokens]] (nothing dropped, any
+    * script), the base alphabet is the 256 UTF-8 byte values as hex
+    * pairs, and the merge loop is [[bpeMergeLoop]] unchanged. Same
+    * scale shape as [[trainBpe]]: ONE map-combinable histogram pass
+    * capped at `maxWords` rows (TakeOrderedAndProject), then
+    * driver-local rounds over configuration-bounded state. */
+  def trainBpeBytes(df: org.apache.spark.sql.DataFrame, textCol: String,
+      numMerges: Int, maxWords: Int = 10000): Seq[(String, String)] = {
+    require(numMerges > 0, s"trainBpeBytes: need numMerges > 0, got $numMerges")
+    require(maxWords > 0, s"trainBpeBytes: need maxWords > 0, got $maxWords")
+    val hist = df.select(explode(byteTokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("w")).limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    bpeMergeLoop(hist.map { case (w, n) =>
+      (hexPairsOf(w) :+ BpeEow, n)
+    }, numMerges)
+  }
+
+  /** Broadcast a byte-level merge table as a serving-shape
+    * [[graft.plans.BpeModel]] in byte-level mode. */
+  def bpeModelBytes(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)])
+      : org.apache.spark.broadcast.Broadcast[graft.plans.BpeModel] =
+    spark.sparkContext.broadcast(
+      new graft.plans.BpeModel(merges, BpeEow, byteLevel = true))
+
+  /** Byte-level serving encoder: [[byteTokens]] pre-tokenization (no
+    * token of any script is dropped — the multilingual-fidelity bound
+    * [[bpeEncodeFast]] carries), then the same ONE-broadcast
+    * lowest-rank-first native loop over hex-pair byte symbols.
+    * Row-local, zero shuffles, per-token cost independent of the merge
+    * table size (plan-pinned in ScaleDesignSpec). */
+  def bpeEncodeBytesFast(text: Column,
+      model: org.apache.spark.broadcast.Broadcast[graft.plans.BpeModel])
+      : Column =
+    graft.plans.NativeExpressions.bpe_encode_bc(byteTokens(text), model)
+
+  /** [[bpeEncodeBytesFast]] piece count. */
+  def bpePieceCountBytesFast(text: Column,
+      model: org.apache.spark.broadcast.Broadcast[graft.plans.BpeModel])
+      : Column =
+    size(bpeEncodeBytesFast(text, model))
+
+  /** Byte-level twin of [[pairEnrich]]: sliding adjacent-token
+    * concatenations of the [[byteTokens]] stream (case-preserving, all
+    * scripts and punctuation kept) as a space-joined text column — the
+    * t28c fixture derivation, one definition for trainer, serving
+    * query, and oracle. */
+  def pairEnrichBytes(text: Column): Column = {
+    val toks = byteTokens(text)
+    val n = greatest(size(toks) - 1, lit(0))
+    array_join(zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
+      (a, b) => concat(a, b)), " ")
+  }
+
+  /** Deterministic mixed-script derivation over the (all-ASCII)
+    * synthetic corpus: per-language chained literal replaces introduce
+    * 2-byte Latin accents (fr/de/es), 3-byte CJK (zh), and punctuation
+    * adjacent to letters (en) — the byte-level tier's test diet. Every
+    * engine computes the identical text (plain `replace` chains, no
+    * regex), so the t28c oracle rebuilds the same fixture. */
+  def mixedScriptFixture(text: Column, lang: Column): Column =
+    when(lang === "fr",
+      replace(replace(text, lit("e"), lit("é")), lit("c"), lit("ç")))
+      .when(lang === "de",
+        replace(replace(text, lit("a"), lit("ä")), lit("u"), lit("ü")))
+      .when(lang === "es",
+        replace(replace(text, lit("n"), lit("ñ")), lit("o"), lit("ó")))
+      .when(lang === "zh",
+        replace(replace(replace(text, lit("data"), lit("数据")),
+          lit("table"), lit("表")), lit("query"), lit("查询")))
+      .otherwise(
+        replace(replace(text, lit("slow"), lit("slow,")),
+          lit("fast"), lit("fast!")))
 
   // ============ DSIR importance weights (data selection) ============
 

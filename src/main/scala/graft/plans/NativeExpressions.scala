@@ -1390,7 +1390,8 @@ object BigramModel {
   * (most token occurrences are repeats of few distinct words); both the
   * rank map and the memo are rebuilt lazily per executor after
   * broadcast deserialization. */
-final class BpeModel(val merges: Seq[(String, String)], val eow: String)
+final class BpeModel(val merges: Seq[(String, String)], val eow: String,
+    val byteLevel: Boolean = false)
     extends Serializable {
   @transient private lazy val mergeArr: Array[(String, String)] =
     merges.toArray
@@ -1410,13 +1411,27 @@ final class BpeModel(val merges: Seq[(String, String)], val eow: String)
     val hit = memo.get(w)
     if (hit != null) return hit
     var syms = new java.util.ArrayList[String](w.length + 1)
-    var i = 0
-    // filter guarantees [a-z]+ words in the serving path, but stay
-    // correct on arbitrary input: split by code point, not char
-    while (i < w.length) {
-      val cp = w.codePointAt(i)
-      syms.add(w.substring(i, i + Character.charCount(cp)))
-      i += Character.charCount(cp)
+    if (byteLevel) {
+      // byte-level (GPT-2 style) base alphabet: each UTF-8 byte becomes
+      // one lowercase hex-pair symbol ("é" -> "c3","a9") — 256 base
+      // units cover ANY text, the property a code-point alphabet lacks
+      // (an unseen character would be an unmergeable singleton; an
+      // unseen BYTE cannot exist). Hex pairs (vs raw byte chars) keep
+      // every symbol printable and SQL-replayable cross-engine.
+      val bs = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < bs.length) {
+        syms.add(BpeModel.HexPair(bs(i) & 0xff)); i += 1
+      }
+    } else {
+      var i = 0
+      // filter guarantees [a-z]+ words in the serving path, but stay
+      // correct on arbitrary input: split by code point, not char
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        syms.add(w.substring(i, i + Character.charCount(cp)))
+        i += Character.charCount(cp)
+      }
     }
     syms.add(eow)
     var done = syms.size < 2
@@ -1448,6 +1463,13 @@ final class BpeModel(val merges: Seq[(String, String)], val eow: String)
     if (memo.size < MemoCap) memo.put(w, res)
     res
   }
+}
+
+object BpeModel {
+  /** All 256 lowercase hex-pair byte symbols, precomputed once per JVM
+    * (the byte-level encoder's base alphabet). */
+  private[plans] val HexPair: Array[String] =
+    Array.tabulate(256)(b => f"$b%02x")
 }
 
 final class PqCodebooks(val m: Int, val dsub: Int,

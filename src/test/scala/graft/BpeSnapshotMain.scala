@@ -16,26 +16,40 @@ import org.apache.spark.sql.functions._
   * enough structure for a genuine 1,000-merge table. t28b applies the
   * SAME derivation on both engines, so the model always matches its
   * serving corpus.
+  * The 4th arg `bytes` instead trains the BYTE-LEVEL tier
+  * (trainBpeBytes) on ALL languages of the mixed-script fixture
+  * (mixedScriptFixture + pairEnrichBytes — the same derivation t28c
+  * serves and its oracle replays), for the t28c serving model.
   * Usage: Test/runMain graft.BpeSnapshotMain /root/testdata/sf0.01 12
   *        Test/runMain graft.BpeSnapshotMain /root/testdata/sf0.1 1000 \
-  *          src/main/resources/graft/bpe_merges_1k.tsv pairs */
+  *          src/main/resources/graft/bpe_merges_1k.tsv pairs
+  *        Test/runMain graft.BpeSnapshotMain /root/testdata/sf0.1 1000 \
+  *          src/main/resources/graft/bpe_merges_bytes_1k.tsv bytes */
 object BpeSnapshotMain {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val n = args(1).toInt
     val outFile = if (args.length > 2) Some(args(2)) else None
     val pairMode = args.length > 3 && args(3) == "pairs"
+    val byteMode = args.length > 3 && args(3) == "bytes"
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
       .appName("bpe-snapshot").getOrCreate()
-    val base = spark.read.parquet(s"$dir/documents.parquet")
-      .filter(col("lang") === "en")
-    val docs = if (pairMode)
-      base.select(graft.operators.TextAnalysis.pairEnrich(col("text"))
-        .as("text"))
-    else base
-    val merges = graft.operators.TextAnalysis.trainBpe(docs, "text", n)
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+    val base = raw.filter(col("lang") === "en")
+    val docs =
+      if (byteMode)
+        raw.select(graft.operators.TextAnalysis.pairEnrichBytes(
+          graft.operators.TextAnalysis.mixedScriptFixture(
+            col("text"), col("lang"))).as("text"))
+      else if (pairMode)
+        base.select(graft.operators.TextAnalysis.pairEnrich(col("text"))
+          .as("text"))
+      else base
+    val merges =
+      if (byteMode) graft.operators.TextAnalysis.trainBpeBytes(docs, "text", n)
+      else graft.operators.TextAnalysis.trainBpe(docs, "text", n)
     require(merges.size == n,
       s"training exhausted at ${merges.size} merges (asked $n)")
     outFile match {

@@ -913,4 +913,25 @@ class ScaleDesignSpec extends AnyFunSuite {
       s"plan text unexpectedly large (${planStr.length}) — literals leak?")
     assert(out.count() == docs.count())
   }
+
+  test("bpeEncodeBytesFast: byte-level encode is row-local — one scan, " +
+      "zero shuffles, zero joins; merge table broadcast, not literals") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // 1,000 hex-pair merges (trained-table values don't matter for the
+    // plan shape; size does — the replace-chain tier would inline all)
+    val merges = (0 until 1000).map(i =>
+      (f"${i % 256}%02x", f"${(i * 7 + 3) % 256}%02x"))
+    val model = graft.operators.TextAnalysis.bpeModelBytes(spark, merges)
+    val out = docs.select(col("doc_id"),
+      graft.operators.TextAnalysis.bpeEncodeBytesFast(col("text"), model)
+        .as("pieces"))
+    assert(shuffleCount(out) == 0, "byte-level encode must not shuffle")
+    assert(out.queryExecution.executedPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, "byte-level encode must not join")
+    val planStr = out.queryExecution.executedPlan.toString
+    assert(planStr.length < 20000,
+      s"plan text unexpectedly large (${planStr.length}) — literals leak?")
+    assert(out.count() == docs.count())
+  }
 }

@@ -1027,6 +1027,37 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(lr == Seq("aa", "aa", "</w>"), lr.toString)
   }
 
+  test("byte-level BPE: hand-computed merges over UTF-8 hex-pair symbols; " +
+      "pre-tokenizer drops nothing (accents, CJK, punctuation)") {
+    // "éé" is UTF-8 bytes c3 a9 c3 a9 — a byte-level merge can cross
+    // CHARACTER boundaries ((a9,c3) is a legal pair), which the
+    // code-point alphabet of trainBpe cannot even express
+    val corpus = Seq((0L, "éé éé éé"), (1L, "ab ab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.trainBpeBytes(corpus, "text", numMerges = 3)
+    // round 1: (c3,a9) appears 2×3=6 — wins. round 2: tie at 3 between
+    // (c3a9,c3a9) and (c3a9,</w>); "</w>" sorts before "c3a9" ('<'<'c')
+    // so (c3a9,</w>) merges. round 3: (c3a9, c3a9</w>) at 3 beats the
+    // "ab" pairs at 2.
+    assert(merges == Seq(("c3", "a9"), ("c3a9", "</w>"),
+      ("c3a9", "c3a9</w>")), merges.toString)
+    // deterministic
+    assert(TextAnalysis.trainBpeBytes(corpus, "text", 3) == merges)
+    val model = TextAnalysis.bpeModelBytes(spark, merges)
+    // "ab," pre-tokenizes to "ab" + ","; "中" is 3 bytes e4 b8 ad — all
+    // survive as base hex symbols (nothing is out-of-alphabet)
+    val got = Seq((0L, "éé ab, 中")).toDF("doc_id", "text")
+      .select(TextAnalysis.bpeEncodeBytesFast(col("text"), model).as("p"),
+        TextAnalysis.bpePieceCountBytesFast(col("text"), model).as("n"))
+      .head()
+    assert(got.getSeq[String](0) == Seq("c3a9c3a9</w>",
+      "61", "62", "</w>", "2c", "</w>", "e4", "b8", "ad", "</w>"),
+      got.getSeq[String](0).toString)
+    assert(got.getInt(1) == 10)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.trainBpeBytes(corpus, "text", numMerges = 0)
+    }
+  }
+
   test("dsirWeights: target-like docs outscore off-target ones; " +
       "deterministic; empty target refuses") {
     val rows = Seq(

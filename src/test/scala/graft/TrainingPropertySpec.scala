@@ -170,6 +170,77 @@ class TrainingPropertySpec extends AnyFunSuite {
     }
   }
 
+  // mixed-script vocabulary for the byte-level tier: ASCII words,
+  // 2-byte accents, 3-byte CJK, punctuation runs, punct glued to words
+  private val byteWordGen: Gen[String] = Gen.oneOf(
+    wordGen,
+    Gen.listOfN(3, Gen.oneOf('é', 'ä', 'ñ', 'ß', 'α', '中', '文', '数'))
+      .map(_.mkString),
+    Gen.oneOf(",", "!", "?!", "--"),
+    for { w <- wordGen; p <- Gen.oneOf(",", "!") } yield w + p)
+
+  private val byteCorpusGen: Gen[Seq[(Long, String)]] = Gen.choose(3, 10)
+    .flatMap(n => Gen.listOfN(n,
+      Gen.choose(0, 40).flatMap(k => Gen.listOfN(k, byteWordGen))
+        .map(_.mkString(" "))))
+    .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+
+  test("property: byte-level bpeEncodeBytesFast ≡ the training-order " +
+      "merge chain on random mixed-script corpora; nothing dropped") {
+    // the reference: pre-tokenize with the same pattern, derive hex-pair
+    // byte symbols, and apply the merges IN TRAINING ORDER (left-to-
+    // right non-overlapping) — the lowest-rank-first native loop must
+    // match on trained tables, including unseen probe words
+    val pretok = java.util.regex.Pattern.compile(TextAnalysis.BytePretok)
+    def toks(text: String): Seq[String] = {
+      val m = pretok.matcher(text)
+      val b = Seq.newBuilder[String]
+      while (m.find()) b += m.group()
+      b.result()
+    }
+    def chainEncode(w: String, ms: Seq[(String, String)]): Seq[String] = {
+      var syms: Array[String] = TextAnalysis.hexPairsOf(w) :+ "</w>"
+      ms.foreach { case (a, b) =>
+        val out = Array.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+            out += (a + b); j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+      }
+      syms.toSeq
+    }
+    val gen = for {
+      corpus <- byteCorpusGen
+      probe <- byteCorpusGen
+      nMerges <- Gen.choose(1, 24)
+    } yield (corpus, probe, nMerges)
+    forAll(gen, n = 10) { case (corpus, probe, nMerges) =>
+      val merges = TextAnalysis.trainBpeBytes(corpus.toDF("doc_id", "text"),
+        "text", numMerges = nMerges, maxWords = 200)
+      if (merges.nonEmpty) {
+        val model = TextAnalysis.bpeModelBytes(spark, merges)
+        val got = probe.toDF("doc_id", "text")
+          .select(col("doc_id"),
+            TextAnalysis.bpeEncodeBytesFast(col("text"), model).as("fast"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+        probe.foreach { case (id, text) =>
+          val want = toks(text).flatMap(w => chainEncode(w, merges))
+          assert(got(id) == want,
+            s"doc $id merges=$merges\n want=$want\n got =${got(id)}")
+          // loss-free alphabet: decoding the pieces' hex back to bytes
+          // must reproduce the full pre-tokenized byte stream
+          val wantBytes = toks(text).flatMap(w =>
+            TextAnalysis.hexPairsOf(w)).mkString
+          val gotBytes = got(id).map(_.replace("</w>", "")).mkString
+          assert(gotBytes == wantBytes, s"doc $id lost bytes")
+        }
+      }
+    }
+  }
+
   test("property: substring dedup postcondition — after applySubstringSpans " +
       "no K-token window is shared by >= minDocs cleaned docs") {
     // the Lee et al. contract end-to-end: find spans, remove them, and
