@@ -6405,7 +6405,61 @@ object Queries {
         // always true; blocks column pruning under a bare count() (t28)
         .filter(col("n_pieces") >= 0)
         .orderBy("doc_id")
-    }))
+    }),
+
+    // DSIR importance RESAMPLING (closes the Xie et al. loop the way
+    // t27b closed Lee et al.: t29/t29b estimate weights, this CONSUMES
+    // them): Gumbel-top-k with deterministic portable-hash noise —
+    // key = log-weight + (−ln(−ln u)), u from charFold(doc_id) — selects
+    // k=100 docs proportionally-without-replacement toward the English
+    // target. Row-local key, TakeOrderedAndProject selection (no global
+    // sort — plan-pinned); DuckDB replays weights → noise → selection
+    // end-to-end.
+    "t30_dsir_resample" -> ((s, dir) => {
+      val w = TextAnalysis.dsirWeightsNgram(tbl(s, dir, "documents"),
+        "doc_id", "text", target = col("lang") === "en", buckets = 64,
+        roundTo = 4)
+      TextAnalysis.dsirResample(w, "doc_id", "weight", k = 100,
+          roundTo = 4)
+        .orderBy(desc("skey"), col("doc_id"))
+    }),
+
+    // the resampling loop as a pipeline: weights → Gumbel-top-k(150) →
+    // per-language mix of the SELECTED slice. The corpus is 43.6% en;
+    // the selected slice's en share rising far above that is the
+    // operator doing its job (pinned quantitatively in TrainingOpsSpec;
+    // here the full mix is the oracle-checked output). ONE broadcast
+    // join (the k-row selection against the corpus), one group-by.
+    "p5_dsir_curation" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val w = TextAnalysis.dsirWeightsNgram(docs, "doc_id", "text",
+        target = col("lang") === "en", buckets = 64, roundTo = 4)
+      val sel = TextAnalysis.dsirResample(w, "doc_id", "weight", k = 150,
+        roundTo = 4)
+      broadcast(sel)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("weight"), 4).as("avg_weight"))
+        .orderBy("lang")
+    }),
+
+    // IVFADC with BOTH codebooks TRAINED (closes the v13/v14 loop: r11
+    // proved trained coarse and trained PQ each lift recall at equal
+    // serve cost; this composes them into the fully-faiss-shaped
+    // index). One Lloyd round each at the v9 operating point (C=10 both
+    // codebooks, m=4, nprobe=2); the serving plan is byte-identical to
+    // v9's (plan-pinned), only codebook values differ. DuckDB replays
+    // coarse k-means (v13 block), per-subspace PQ training (v14 block),
+    // the trained-cell probe, and the ADC ranking end-to-end.
+    "v15_ivfpq_trained" -> ((s, dir) =>
+      graft.operators.Similarity.ivfPqTopKTrained(
+          tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          m = 4, c = 10, pqIters = 1, coarseIters = 1,
+          queryPred = col("id") < 10, k = 3, nprobe = 2,
+          knownN = graft.operators.Similarity.parquetRowCount(
+            s, s"$dir/embeddings.parquet"))
+        .orderBy(col("query_id"), col("adist"), col("neighbor_id"))))
 
   /** 12-merge BPE model snapshot trained by
     * `Test/runMain graft.BpeSnapshotMain /root/testdata/sf0.01 12`
@@ -6833,36 +6887,12 @@ object Queries {
     // the t29 estimator over the unigram+bigram shared-bucket features:
     // per-token charFold hashes, bigram combine (h1*1000003 + h2) mod
     // 2147483647 mod 64 via list_zip of the two shifted slices, then the
-    // identical profile/smoothing/fold
+    // identical profile/smoothing/fold (ONE CTE-block definition shared
+    // with the t30/p5 resampling oracles — the estimator replay can't
+    // drift between them)
     "t29b_dsir_ngram" ->
-      s"""WITH toks AS (SELECT doc_id, lang,
-         |    list_filter(string_split_regex(trim(text), '\\s+'),
-         |      t -> len(t) > 0) AS ts
-         |  FROM documents),
-         |hs AS (SELECT doc_id, lang,
-         |    list_transform(ts, t -> ${sqlCharFold("t")}) AS h
-         |  FROM toks),
-         |bks AS (SELECT doc_id, lang, list_concat(
-         |    list_transform(h, x -> x % 64),
-         |    CASE WHEN len(h) >= 2 THEN list_transform(
-         |        list_zip(h[1:len(h)-1], h[2:len(h)]),
-         |        p -> ((p[1] * 1000003 + p[2]) % 2147483647) % 64)
-         |      ELSE CAST([] AS BIGINT[]) END) AS bs
-         |  FROM hs),
-         |prof AS (SELECT b, count(*) AS raw,
-         |    count(*) FILTER (WHERE lang = 'en') AS tgt
-         |  FROM (SELECT lang, unnest(bs) AS b FROM bks) GROUP BY b),
-         |tot AS (SELECT sum(raw) AS rt, sum(tgt) AS tt FROM prof),
-         |lrarr AS (SELECT list(r ORDER BY b) AS arr FROM (
-         |    SELECT gs.b AS b, coalesce(
-         |        ln((p.tgt + 1.0) / (t.tt + 64)) - ln((p.raw + 1.0) / (t.rt + 64)),
-         |        ln(1.0 / (t.tt + 64)) - ln(1.0 / (t.rt + 64))) AS r
-         |    FROM (SELECT unnest(range(0, 64)) AS b) gs
-         |    CROSS JOIN tot t
-         |    LEFT JOIN prof p ON p.b = gs.b))
-         |SELECT doc_id, round(list_reduce(list_prepend(0.0,
-         |    list_transform(bs, b -> arr[CAST(b AS INT) + 1])),
-         |    (acc, x) -> acc + x), 4) AS weight
+      s"""WITH $dsirNgramCteBlock
+         |SELECT doc_id, $sqlDsirNgramWeight AS weight
          |FROM bks CROSS JOIN lrarr ORDER BY doc_id""".stripMargin,
 
     // v3's serving algebra over a TRAINED codebook: one k-means round
@@ -7024,6 +7054,50 @@ object Queries {
       |  ELSE replace(replace(text, 'slow', 'slow,'), 'fast', 'fast!')
       |  END""".stripMargin
 
+  /** Shared DuckDB replay of the dsirWeightsNgram estimator: CTE chain
+    * ending in `bks(doc_id, lang, bs)` (per-doc feature buckets) and
+    * `lrarr(arr)` (the 64-entry smoothed log-ratio table). ONE
+    * definition serves t29b, t30 and p5 so the estimator replay can
+    * never drift between the weight and resampling oracles. */
+  private def dsirNgramCteBlock: String =
+    s"""toks AS (SELECT doc_id, lang,
+       |    list_filter(string_split_regex(trim(text), '\\s+'),
+       |      t -> len(t) > 0) AS ts
+       |  FROM documents),
+       |hs AS (SELECT doc_id, lang,
+       |    list_transform(ts, t -> ${sqlCharFold("t")}) AS h
+       |  FROM toks),
+       |bks AS (SELECT doc_id, lang, list_concat(
+       |    list_transform(h, x -> x % 64),
+       |    CASE WHEN len(h) >= 2 THEN list_transform(
+       |        list_zip(h[1:len(h)-1], h[2:len(h)]),
+       |        p -> ((p[1] * 1000003 + p[2]) % 2147483647) % 64)
+       |      ELSE CAST([] AS BIGINT[]) END) AS bs
+       |  FROM hs),
+       |prof AS (SELECT b, count(*) AS raw,
+       |    count(*) FILTER (WHERE lang = 'en') AS tgt
+       |  FROM (SELECT lang, unnest(bs) AS b FROM bks) GROUP BY b),
+       |tot AS (SELECT sum(raw) AS rt, sum(tgt) AS tt FROM prof),
+       |lrarr AS (SELECT list(r ORDER BY b) AS arr FROM (
+       |    SELECT gs.b AS b, coalesce(
+       |        ln((p.tgt + 1.0) / (t.tt + 64)) - ln((p.raw + 1.0) / (t.rt + 64)),
+       |        ln(1.0 / (t.tt + 64)) - ln(1.0 / (t.rt + 64))) AS r
+       |    FROM (SELECT unnest(range(0, 64)) AS b) gs
+       |    CROSS JOIN tot t
+       |    LEFT JOIN prof p ON p.b = gs.b))""".stripMargin
+
+  /** The per-doc dsirWeightsNgram scoring fold (over `bks`/`lrarr`). */
+  private def sqlDsirNgramWeight: String =
+    """round(list_reduce(list_prepend(0.0,
+      |    list_transform(bs, b -> arr[CAST(b AS INT) + 1])),
+      |    (acc, x) -> acc + x), 4)""".stripMargin
+
+  /** The deterministic Gumbel noise of dsirResample: u =
+    * (charFold(id) + 1) / (Mod + 1), g = −ln(−ln u). */
+  private def sqlGumbel(idExpr: String): String =
+    s"-ln(-ln((${sqlCharFold(s"CAST($idExpr AS VARCHAR)")} + 1) / " +
+      "2147483648.0))"
+
   private val oracles14: Map[String, String] = Map(
 
     // byte-level chain replay: rebuild the mixed-script fixture and the
@@ -7080,5 +7154,79 @@ object Queries {
          |  ${sqlCharFold("coalesce(a.es, '')")} AS fp
          |FROM tk LEFT JOIN agg a USING (doc_id)
          |ORDER BY tk.doc_id""".stripMargin
-    })
+    },
+
+    // weights (shared t29b block) → deterministic Gumbel keys → top-100
+    // by (skey desc, doc_id)
+    "t30_dsir_resample" ->
+      s"""WITH $dsirNgramCteBlock,
+         |w AS (SELECT doc_id, $sqlDsirNgramWeight AS weight
+         |  FROM bks CROSS JOIN lrarr)
+         |SELECT doc_id, weight,
+         |  round(weight + ${sqlGumbel("doc_id")}, 4) AS skey
+         |FROM w
+         |ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin,
+
+    // the selected slice's language mix: same chain at k=150, joined
+    // back to the corpus and grouped per language
+    "p5_dsir_curation" ->
+      s"""WITH $dsirNgramCteBlock,
+         |w AS (SELECT doc_id, $sqlDsirNgramWeight AS weight
+         |  FROM bks CROSS JOIN lrarr),
+         |sel AS (SELECT doc_id, weight,
+         |    round(weight + ${sqlGumbel("doc_id")}, 4) AS skey
+         |  FROM w ORDER BY skey DESC, doc_id LIMIT 150)
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(avg(s.weight), 4) AS avg_weight
+         |FROM sel s JOIN documents d USING (doc_id)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    // trained-everything IVFADC: the v13 coarse-training block (stride
+    // init → one rounded-mean Lloyd round, empty cells keep the old
+    // centroid) + the v14 per-subspace PQ-training block
+    // (pqTrainedCodeCtes), then the v9 serving shape — corpus vectors
+    // live in their nearest TRAINED cell, queries probe their 2 nearest,
+    // candidates rank by ADC against the TRAINED subspace codebooks
+    "v15_ivfpq_trained" ->
+      s"""WITH vecs AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |stride AS (SELECT GREATEST(1, count(*) // 10) AS s FROM vecs),
+         |cents AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cpos, v AS cv
+         |  FROM vecs WHERE id % (SELECT s FROM stride) = 0),
+         |cents0 AS (SELECT id AS cid, v AS cv FROM vecs
+         |  WHERE id % (SELECT s FROM stride) = 0),
+         |a0 AS (SELECT id, v, cid,
+         |  round(${sqlDot("v", "cv")} /
+         |    (sqrt(${sqlNormSq("v")}) * sqrt(${sqlNormSq("cv")})), 6) AS csim
+         |  FROM vecs CROSS JOIN cents0),
+         |cell0 AS (SELECT id, v, cid AS cell FROM (
+         |  SELECT id, v, cid, row_number() OVER (PARTITION BY id
+         |    ORDER BY csim DESC, cid) AS rn FROM a0) WHERE rn = 1),
+         |m0 AS (SELECT cell, pos, round(avg(x), 6) AS m FROM (
+         |    SELECT cell, unnest(v) AS x, unnest(range(0, len(v))) AS pos
+         |    FROM cell0) GROUP BY cell, pos),
+         |p0 AS (SELECT cell, list(m ORDER BY pos) AS mv FROM m0 GROUP BY cell),
+         |cents1 AS (SELECT cid, coalesce(p0.mv, cv) AS cv
+         |  FROM cents0 LEFT JOIN p0 ON p0.cell = cents0.cid),
+         |${pqTrainedCodeCtes(4, 16)},
+         |a1 AS (SELECT id, v, cid,
+         |  round(${sqlDot("v", "cv")} /
+         |    (sqrt(${sqlNormSq("v")}) * sqrt(${sqlNormSq("cv")})), 6) AS csim
+         |  FROM vecs CROSS JOIN cents1),
+         |rk1 AS (SELECT id, v, cid, row_number() OVER (PARTITION BY id
+         |    ORDER BY csim DESC, cid) AS rn FROM a1),
+         |corp AS (SELECT id, cid AS cell FROM rk1 WHERE rn = 1),
+         |qp AS (SELECT id AS query_id, v AS qv, cid AS cell FROM rk1
+         |  WHERE rn <= 2 AND id < 10),
+         |scored AS (SELECT q.query_id, n.id AS neighbor_id,
+         |  round(${pqTrainedAdcSql(4, 16)}, 6) AS adist
+         |  FROM qp q JOIN corp n ON n.cell = q.cell
+         |  ${pqTrainedCodeJoins(4)}
+         |  WHERE q.query_id <> n.id),
+         |rk AS (SELECT query_id, neighbor_id, adist, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, adist FROM rk WHERE rn <= 3
+         |ORDER BY query_id, adist, neighbor_id""".stripMargin)
 }

@@ -664,9 +664,61 @@ object Similarity {
       maxLiteralCentroids: Int = 64
   ): DataFrame = {
     val cb = pqCodebooks(corpus, idCol, vecCol, m, pqCentroidEvery)
+    val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val (cids, cvs) = strideCodebook(vecs, coarseCentroidEvery)
+    ivfPqTopKWith(corpus, idCol, vecCol, cb, cids, cvs, queryPred, k,
+      roundTo, nprobe, maxLiteralCentroids)
+  }
+
+  /** IVFADC with BOTH codebooks TRAINED — the fully-faiss-shaped index
+    * this family builds toward: the coarse quantizer is k-means
+    * ([[kmeansCodebook]], `coarseIters` Lloyd rounds over the stride
+    * init at C ≈ `c` cells) and the subspace codebooks are per-subspace
+    * Lloyd ([[pqCodebooksTrained]], `pqIters` rounds). r11 measured each
+    * training ALONE lifting recall at identical serve cost (v13 coarse,
+    * v14 PQ); this composes them. The serving plan is byte-identical to
+    * [[ivfPqTopK]]'s ([[ivfPqTopKWith]] — assignment + materialized code
+    * index + broadcast-LUT ADC join), only the codebook VALUES differ,
+    * so recall deltas are pure training quality. Training cost is
+    * `coarseIters + pqIters` bounded-state passes (each one row-local
+    * assignment scan + one ≤C·d-row mean shuffle) — at 100 TB both run
+    * on a sample and the codebooks persist (train once, serve many).
+    * `knownN` skips the sizing count ([[ivfTopKFixedC]] contract). */
+  def ivfPqTopKTrained(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, c: Int, pqIters: Int, coarseIters: Int,
+      queryPred: Column, k: Int,
+      roundTo: Int = 6, nprobe: Int = 1, knownN: Long = -1L,
+      maxLiteralCentroids: Int = 64
+  ): DataFrame = {
+    require(c > 0, s"ivfPqTopKTrained: need c > 0 cells, got $c")
+    require(pqIters >= 0 && coarseIters >= 0,
+      s"ivfPqTopKTrained: iters must be >= 0, got ($pqIters, $coarseIters)")
+    val n = if (knownN >= 0) knownN else corpus.count()
+    val every = math.max(1L, n / c).toInt
+    val cb = pqCodebooksTrained(corpus, idCol, vecCol, m, every, pqIters,
+      roundTo)
+    val (cids, cvs) = kmeansCodebook(corpus, idCol, vecCol, every,
+      coarseIters, roundTo, maxLiteralCentroids)
+    ivfPqTopKWith(corpus, idCol, vecCol, cb, cids, cvs, queryPred, k,
+      roundTo, nprobe, maxLiteralCentroids)
+  }
+
+  /** [[ivfPqTopK]] serving over caller-supplied codebooks (coarse ids +
+    * vectors, PQ subspace codebooks) — the index/serve split of
+    * [[ivfTopKWith]]/[[pqTopKWith]] for the composed IVFADC index; the
+    * natural entry point for PERSISTED codebooks. */
+  private[graft] def ivfPqTopKWith(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cb: graft.plans.PqCodebooks,
+      cids: Array[Long], cvs: Array[Array[Double]],
+      queryPred: Column, k: Int,
+      roundTo: Int = 6, nprobe: Int = 1,
+      maxLiteralCentroids: Int = 64
+  ): DataFrame = {
     val bc = corpus.sparkSession.sparkContext.broadcast(cb)
     val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val assigned = coarseAssigned(vecs, coarseCentroidEvery, nprobe, roundTo,
+    val assigned = assignWith(vecs, cids, cvs, nprobe, roundTo,
       maxLiteralCentroids)
     // The code table is MATERIALIZED before the candidate join (eager
     // localCheckpoint — faiss stores the IVFADC index the same way):

@@ -984,4 +984,37 @@ object TextAnalysis {
       (acc, b) => acc + element_at(lrArr, (b + lit(1L)).cast("int")))
     df.select(col(idCol), round(w, roundTo).as("weight"))
   }
+
+  /** DSIR importance RESAMPLING — the consumer of [[dsirWeights]]/
+    * [[dsirWeightsNgram]] that closes the Xie et al. loop (estimate
+    * importance weights, then RESAMPLE the corpus toward the target
+    * distribution): select `k` documents with probability proportional
+    * to w(doc) = exp(log-weight) without replacement, via the
+    * Gumbel-top-k identity (key = log w + Gumbel noise; the k largest
+    * keys are exactly a proportional-without-replacement draw). The
+    * noise is DETERMINISTIC and engine-portable: u =
+    * (charFold(id) + 1) / (Mod + 1) ∈ (0, 1), g = −ln(−ln u) — the same
+    * portable-hash trick [[mixtureSample]] uses for its per-mille
+    * buckets, so any SQL engine replays the exact selection. The key is
+    * rounded to `roundTo` with (key desc, id) tie-break, making the
+    * draw stable across engines' last-ulp ln differences.
+    *
+    * Scale shape: the key is a row-local column (zero joins, zero
+    * shuffles to score) and the selection is `orderBy(...).limit(k)` —
+    * Spark plans a TakeOrderedAndProject (per-partition top-k heaps +
+    * one driver merge of k·partitions rows), never a global sort, so
+    * the pass is ONE scan at 100 TB (plan-pinned in ScaleDesignSpec).
+    * Returns (idCol, weightCol, skey), the selected rows. */
+  def dsirResample(weights: org.apache.spark.sql.DataFrame, idCol: String,
+      weightCol: String, k: Int, roundTo: Int = 6)
+      : org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"dsirResample: need k > 0, got $k")
+    val u = (PortableHash.charFold(col(idCol).cast("string")) + lit(1L))
+      .cast("double") / lit((PortableHash.Mod + 1).toDouble)
+    val g = -log(-log(u))
+    weights
+      .withColumn("skey", round(col(weightCol) + g, roundTo))
+      .orderBy(desc("skey"), col(idCol))
+      .limit(k)
+  }
 }

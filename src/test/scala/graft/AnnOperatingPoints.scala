@@ -78,7 +78,7 @@ object AnnOperatingPoints {
         .agg(avg("recall")).head().getDouble(0)
 
     val sb = new StringBuilder
-    sb.append("{\n \"round\": 11,\n")
+    sb.append("{\n \"round\": 12,\n")
     sb.append(" \"purpose\": \"recall@10 vs wall-time for the ANN tiers " +
       "across configurations and scales (VERDICT r9 next-3; r10 next-3 " +
       "added the perturbed-sf1 block)\",\n")
@@ -188,6 +188,27 @@ object AnnOperatingPoints {
         cells += s"""  "pq_trained_m4_${cLabel}_iters1": {"sec": ${f"$sec%.3f"}, "train_sec": ${f"$trainSec%.3f"}, "recall_at_10": ${f"$r%.4f"}}"""
         System.err.println(s"  pq-trained $cLabel: ${f"$sec%.3f"}s" +
           s" (train ${f"$trainSec%.3f"}s) recall=${f"$r%.4f"}")
+      }
+      // TRAINED-everything IVFADC (r12, v15): both codebooks trained —
+      // coarse k-means at C=10/iters=2 (the recommended cosine tier's
+      // codebook) + one Lloyd round per subspace — served through the
+      // byte-identical ivfPqTopKWith plan as the stride IVFADC cells
+      for ((cLabel, every) <- Seq("C10" -> every10, "C256" -> every256)) {
+        val t0 = System.nanoTime()
+        val tcb = Similarity.pqCodebooksTrained(emb, "vec_id", "embedding",
+          m = 4, centroidEvery = every, iters = 1)
+        val (cids, cvs) = Similarity.kmeansCodebook(emb, "vec_id",
+          "embedding", every10, iters = 2)
+        val trainSec = (System.nanoTime() - t0) / 1e9
+        for (np <- Seq(1, 2)) {
+          val (sec, df) = timed(() =>
+            Similarity.ivfPqTopKWith(emb, "vec_id", "embedding", tcb,
+              cids, cvs, queryPred = qPred, k = k, nprobe = np))
+          val r = meanRecall(exactL2, df)
+          cells += s"""  "ivfpq_trained_m4_${cLabel}_nprobe$np": {"sec": ${f"$sec%.3f"}, "train_sec": ${f"$trainSec%.3f"}, "recall_at_10": ${f"$r%.4f"}}"""
+          System.err.println(s"  ivfpq-trained $cLabel np=$np: " +
+            s"${f"$sec%.3f"}s (train ${f"$trainSec%.3f"}s) recall=${f"$r%.4f"}")
+        }
       }
       exactL2.unpersist()
 

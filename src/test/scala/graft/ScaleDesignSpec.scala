@@ -477,6 +477,29 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(trained.count() > 0)
   }
 
+  test("ivfPqTopKTrained: serving plan has the stride IVFADC's exact shape") {
+    // the composed trained index (v15) must serve through the identical
+    // operator sequence as v9 — assignment + materialized code index +
+    // broadcast-LUT ADC join — so its recall delta is pure codebook
+    // quality, never a different (cheaper or dearer) plan
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val n = emb.count()
+    val every = math.max(1L, n / 10).toInt
+    def nodeSeq(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect { case p => p.nodeName }.toSeq
+    val stride = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      m = 4, pqCentroidEvery = every, coarseCentroidEvery = every,
+      queryPred = col("id") < 5, k = 3, nprobe = 2)
+    val trained = Similarity.ivfPqTopKTrained(emb, "vec_id", "embedding",
+      m = 4, c = 10, pqIters = 1, coarseIters = 1,
+      queryPred = col("id") < 5, k = 3, nprobe = 2, knownN = n)
+    assert(nodeSeq(trained) == nodeSeq(stride),
+      s"serving plans diverge:\n${nodeSeq(trained)}\nvs\n${nodeSeq(stride)}")
+    assert(trained.queryExecution.executedPlan.collect {
+      case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+    assert(trained.count() > 0)
+  }
+
   test("IVF broadcast codebook: no literal blowup at C=10k, BNLJ-free, same results") {
     // 12k-vector corpus with centroidEvery=1 → a 12k-entry codebook: far
     // past maxLiteralCentroids, so the codebook must ride as a broadcast
@@ -912,6 +935,26 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(planStr.length < 20000,
       s"plan text unexpectedly large (${planStr.length}) — literals leak?")
     assert(out.count() == docs.count())
+  }
+
+  test("dsirResample: selection is TakeOrderedAndProject — per-partition " +
+      "top-k heaps, never a global sort; key is row-local (no joins)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val w = graft.operators.TextAnalysis.dsirWeightsNgram(docs, "doc_id",
+      "text", target = col("lang") === "en", buckets = 64)
+    val sel = graft.operators.TextAnalysis.dsirResample(w, "doc_id",
+      "weight", k = 100)
+    val plan = sel.queryExecution.executedPlan
+    assert(plan.collect { case p if p.nodeName.contains(
+      "TakeOrderedAndProject") => p }.nonEmpty,
+      s"expected TakeOrderedAndProject:\n$plan")
+    assert(plan.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s }.isEmpty,
+      "a global sort must never appear in the selection path")
+    assert(plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, "the Gumbel key must not join")
+    assert(sel.count() == 100)
   }
 
   test("bpeEncodeBytesFast: byte-level encode is row-local — one scan, " +

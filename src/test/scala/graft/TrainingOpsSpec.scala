@@ -1058,6 +1058,36 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dsirResample: Gumbel-top-k pulls the selection toward the " +
+      "target domain; deterministic; k caps; k >= n keeps everything") {
+    // 40 target-vocabulary docs and 160 off-target ones: resampling by
+    // DSIR weight must select the target-like slice at well above its
+    // 20% corpus share (the Xie et al. loop, closed)
+    val rows = (0L until 200L).map { i =>
+      if (i % 5 == 0) (i, "alpha beta gamma alpha beta gamma", "tgt")
+      else (i, "delta epsilon zeta eta theta iota", "raw")
+    }
+    val df = rows.toDF("doc_id", "text", "slice")
+    val w = TextAnalysis.dsirWeightsNgram(df, "doc_id", "text",
+      target = col("slice") === "tgt", buckets = 32)
+    val sel = TextAnalysis.dsirResample(w, "doc_id", "weight", k = 50)
+    val ids = sel.collect().map(_.getLong(0)).toSet
+    assert(ids.size == 50)
+    val tgtShare = ids.count(_ % 5 == 0) / 50.0
+    assert(tgtShare > 0.6,
+      s"selected target share $tgtShare must far exceed the 0.2 corpus share")
+    // deterministic: the exact same rows survive a re-run
+    val again = TextAnalysis.dsirResample(w, "doc_id", "weight", k = 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == ids)
+    // k >= n degenerates to the full corpus
+    assert(TextAnalysis.dsirResample(w, "doc_id", "weight", k = 1000)
+      .count() == 200)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.dsirResample(w, "doc_id", "weight", k = 0)
+    }
+  }
+
   test("dsirWeights: target-like docs outscore off-target ones; " +
       "deterministic; empty target refuses") {
     val rows = Seq(
