@@ -38,7 +38,12 @@ private[graft] object FuzzDdl {
 
   /** One generated session, rendered for all legs. `extraTables` are
     * secondary tables the session creates (CTAS targets, MOVE/EXCHANGE
-    * partners) — the runner legs drop them alongside `table`. */
+    * partners) — the runner legs drop them alongside `table`.
+    * `refusals` are (chStmt, duckStmt) pairs that MUST raise in BOTH
+    * engines (the null_guard arm's NULL-into-non-Nullable writes) and
+    * must leave the table state untouched — the legs run them before the
+    * final-state compare, so a partial write would also surface as a
+    * row diff. */
   final case class Sess(
       seed: Int, arm: String, table: String,
       chStmts: Seq[String],
@@ -49,14 +54,15 @@ private[graft] object FuzzDdl {
       duckSetup: Seq[String],
       duckFinal: String,
       duckFinalCollapsed: Option[String],
-      extraTables: Seq[String] = Nil)
+      extraTables: Seq[String] = Nil,
+      refusals: Seq[(String, String)] = Nil)
 
   val armNames: Seq[String] = Seq("mt_plain", "mt_nullable", "mt_part",
     "mt_defaults", "replacing_ver", "replacing_nover", "summing",
     "collapsing", "versioned", "aggregating",
     "part_verbs", "move_replace", "col_alter", "ctas_exchange",
     "projection", "modify_type", "clear_column", "ttl", "modify_default",
-    "add_fill", "memory", "ctas_fill")
+    "add_fill", "memory", "ctas_fill", "null_guard")
 
   /** Render a typed model value for multiset comparison — the same rules
     * as FuzzGrammar.canon / the python leg's canon_value. */
@@ -285,9 +291,10 @@ private[graft] object FuzzDdl {
         Col("v", "Int64", "BIGINT"), Col("d", "Int64", "BIGINT"))
       case "add_fill" => Seq(Col("k", "Int64", "BIGINT"),
         Col("p", "Int32", "INTEGER"), Col("v", "Int64", "BIGINT"))
-      case "memory" | "ctas_fill" => Seq(Col("k", "Int64", "BIGINT"),
-        Col("v", "Int64", "BIGINT"), Col("s", "String", "VARCHAR"),
-        Col("n", "Nullable(Int64)", "BIGINT"))
+      case "memory" | "ctas_fill" | "null_guard" =>
+        Seq(Col("k", "Int64", "BIGINT"),
+          Col("v", "Int64", "BIGINT"), Col("s", "String", "VARCHAR"),
+          Col("n", "Nullable(Int64)", "BIGINT"))
       case "replacing_ver" => Seq(Col("k", "Int64", "BIGINT"),
         Col("ver", "Int64", "BIGINT"), Col("v", "Int64", "BIGINT"),
         Col("s", "String", "VARCHAR"))
@@ -337,9 +344,13 @@ private[graft] object FuzzDdl {
           (if (arm == "ttl") " TTL dt + INTERVAL 30 DAY" else "")
       s"CREATE TABLE $t (${colDefs.mkString(", ")}) ENGINE = $engine$tail"
     }
+    // null_guard: declare the non-Nullable columns NOT NULL in DuckDB
+    // too, so BOTH engines must refuse the arm's NULL-write attempts
     val createDuck: String =
       s"CREATE OR REPLACE TABLE $t (${
-        storedCols.map(c => s"${c.name} ${c.duckType}").mkString(", ")})"
+        storedCols.map(c => s"${c.name} ${c.duckType}${
+          if (arm == "null_guard" && c.name != "n") " NOT NULL" else ""
+        }").mkString(", ")})"
 
     // ---- session state ----
     val rows = scala.collection.mutable.ArrayBuffer.empty[Vector[Any]]
@@ -352,6 +363,8 @@ private[graft] object FuzzDdl {
     var exchanged = false
     val ch = Seq.newBuilder[String]
     val duck = Seq.newBuilder[String]
+    // null_guard: statements that must RAISE in both engines
+    val refuse = Seq.newBuilder[(String, String)]
     ch += createCh
     duck += createDuck
     if (arm == "move_replace") {
@@ -949,6 +962,48 @@ private[graft] object FuzzDdl {
       (1 to int(2, 4)).foreach(_ => pick(cOps)())
     }
 
+    if (arm == "null_guard") {
+      // the declared-nullability REFUSAL contract, fuzzed (r11's write
+      // guards were pinned by hand-written DdlSurfaceSpec cases only):
+      // NULL into a non-Nullable column must raise in BOTH engines —
+      // graft's guardNonNullableWrites vs DuckDB's NOT NULL constraint —
+      // through the positional-INSERT, by-name-INSERT and UPDATE write
+      // paths, leaving state untouched (the final compare re-checks
+      // that). Legal Nullable writes interleave and must SUCCEED: the
+      // arm's generic inserts already draw NULL n values, and an
+      // explicit UPDATE n = NULL runs below. (The POPULATE and
+      // Memory-append guard paths stay pinned in DdlSurfaceSpec — they
+      // need MV/Memory scaffolding this session shape doesn't build.)
+      genInsert() // refusal UPDATEs need a non-empty table in DuckDB
+      val ni = idx("n")
+      // legal: explicit NULL into the Nullable column must succeed
+      val (m0, r0) = (int(2, 3), int(0, 1))
+      ch += s"ALTER TABLE $t UPDATE n = NULL WHERE k % $m0 = $r0"
+      duck += s"UPDATE $t SET n = NULL WHERE k % $m0 = $r0"
+      rows.indices.foreach { i =>
+        if (asL(rows(i).head) % m0 == r0)
+          rows(i) = rows(i).updated(ni, null: Any)
+      }
+      val refuseOps = Seq(
+        () => { // positional INSERT, NULL in non-Nullable v
+          val ins = s"INSERT INTO $t VALUES (${int(0, 6)}, NULL, " +
+            s"'${pick(words)}', ${int(0, 9)})"
+          refuse += ((ins, ins))
+        },
+        () => { // by-name INSERT, NULL in non-Nullable s (v present so
+          // both engines refuse for the SAME column)
+          val ins = s"INSERT INTO $t (k, v, s) VALUES " +
+            s"(${int(0, 6)}, ${int(-5, 9)}, NULL)"
+          refuse += ((ins, ins))
+        },
+        () => { // UPDATE a non-Nullable column to NULL (always-true
+          // predicate: DuckDB only raises when a row matches)
+          refuse += ((s"ALTER TABLE $t UPDATE v = NULL WHERE k >= 0",
+            s"UPDATE $t SET v = NULL WHERE k >= 0"))
+        })
+      (1 to int(1, 3)).foreach(_ => pick(refuseOps)())
+    }
+
     if (arm == "modify_type") {
       // type changes AFTER the mutation phase (the model's integer
       // arithmetic must not see doubles): widen Int32 → Int64 (values
@@ -1037,6 +1092,7 @@ private[graft] object FuzzDdl {
       else if (arm == "ctas_fill") Seq(s"${t}_c")
       else Nil
     Sess(seed, arm, t, ch.result(), finalSelect, modelFinal, collapsed,
-      finSel, duck.result(), duckFinal, duckFinCollapsed, extraTables)
+      finSel, duck.result(), duckFinal, duckFinCollapsed, extraTables,
+      refuse.result())
   }
 }

@@ -53,6 +53,14 @@ object FuzzDdlDump {
         chRun(s"DROP TABLE IF EXISTS ${s.table}")
         s.extraTables.foreach(x => chRun(s"DROP TABLE IF EXISTS $x"))
         s.chStmts.foreach(chRun)
+        // refusal contract: the engine must raise on each attempt (the
+        // duck side of each pair is emitted for the checker to replay)
+        s.refusals.foreach { case (chStmt, _) =>
+          val refused =
+            try { chRun(chStmt); false } catch { case _: Throwable => true }
+          if (!refused)
+            sys.error(s"EXPECTED REFUSAL but statement succeeded: $chStmt")
+        }
         val rows = FuzzGrammar.canon(chRun(s.finalSelect).toArray)
         val rows2 = s.finalSelectFinal.map(q =>
           FuzzGrammar.canon(chRun(q).toArray))
@@ -60,6 +68,8 @@ object FuzzDdlDump {
           s""""seed": $seed""",
           s""""arm": ${jstr(s.arm)}""",
           s""""setup": [${s.duckSetup.map(jstr).mkString(", ")}]""",
+          s""""refusals": [${s.refusals.map(r => jstr(r._2))
+            .mkString(", ")}]""",
           s""""final_sql": ${jstr(s.duckFinal)}""",
           s""""rows": [${rows.map(jstr).mkString(", ")}]""")
         val extra = (rows2, s.duckFinalCollapsed) match {

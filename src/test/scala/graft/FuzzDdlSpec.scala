@@ -47,6 +47,16 @@ class FuzzDdlSpec extends AnyFunSuite {
         chRun(s"DROP TABLE IF EXISTS ${s.table}_rt")
         s.extraTables.foreach(x => chRun(s"DROP TABLE IF EXISTS $x"))
         s.chStmts.foreach(chRun)
+        // 0. refusal contract (null_guard): NULL-into-non-Nullable
+        // writes must raise — and leave state untouched, which check 1
+        // re-verifies right after
+        s.refusals.foreach { case (chStmt, _) =>
+          val refused =
+            try { chRun(chStmt); false } catch { case _: Throwable => true }
+          if (!refused)
+            failures += s"$ctx\n  EXPECTED REFUSAL but statement " +
+              s"succeeded: $chStmt"
+        }
         // 1. final state ≡ model
         val got = FuzzGrammar.canon(chRun(s.finalSelect).toArray)
         val want = FuzzDdl.canonModel(s.modelRows)

@@ -74,6 +74,23 @@ def main():
         try:
             for stmt in rec["setup"]:
                 con.sql(stmt)
+            # refusal contract (null_guard arm): each statement must
+            # RAISE in DuckDB too (NOT NULL constraint); runs before the
+            # final compare so a partial write would surface as a row
+            # diff as well
+            for stmt in rec.get("refusals", []):
+                refused = False
+                try:
+                    con.sql(stmt)
+                except Exception:  # noqa: BLE001 - refusal IS the pass
+                    refused = True
+                if not refused:
+                    mismatches.append({
+                        "seed": rec["seed"], "arm": rec["arm"],
+                        "check": "refusal",
+                        "engine_rows": -1, "duck_rows": -1,
+                        "engine_only": [], "duck_only": [],
+                        "sql": stmt})
             checks = [("final", rec["final_sql"], rec["rows"])]
             if rec.get("final_sql2") is not None:
                 checks.append(("collapse", rec["final_sql2"], rec["rows2"]))
