@@ -870,6 +870,19 @@ object TextAnalysis {
       : Column =
     size(bpeEncodeBytesFast(text, model))
 
+  /** Decode a byte-level piece stream back to text ([[bpeEncodeBytesFast]]'s
+    * inverse up to the pre-tokenizer: tokens come back space-joined).
+    * Pieces are concatenations of hex-pair byte symbols terminated by
+    * [[BpeEow]], so decoding is split-on-EOW → unhex → UTF-8 — row-local
+    * column ops, zero shuffles. The loss-free-alphabet property
+    * (TrainingPropertySpec) pins decode(encode(text)) ==
+    * space-joined byteTokens(text) on random mixed-script corpora. */
+  def bpeDecodeBytes(pieces: Column): Column = {
+    val words = filter(split(concat_ws("", pieces), BpeEow),
+      w => length(w) > 0)
+    array_join(transform(words, w => decode(unhex(w), "UTF-8")), " ")
+  }
+
   /** Byte-level twin of [[pairEnrich]]: sliding adjacent-token
     * concatenations of the [[byteTokens]] stream (case-preserving, all
     * scripts and punctuation kept) as a space-joined text column — the

@@ -222,10 +222,19 @@ class TrainingPropertySpec extends AnyFunSuite {
         "text", numMerges = nMerges, maxWords = 200)
       if (merges.nonEmpty) {
         val model = TextAnalysis.bpeModelBytes(spark, merges)
-        val got = probe.toDF("doc_id", "text")
+        val enc = probe.toDF("doc_id", "text")
           .select(col("doc_id"),
             TextAnalysis.bpeEncodeBytesFast(col("text"), model).as("fast"))
+        val got = enc
           .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+        // full decode round-trip: pieces → text == space-joined tokens
+        val dec = enc.select(col("doc_id"),
+            TextAnalysis.bpeDecodeBytes(col("fast")).as("txt"))
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        probe.foreach { case (id, text) =>
+          assert(dec(id) == toks(text).mkString(" "),
+            s"doc $id decode round-trip: got '${dec(id)}'")
+        }
         probe.foreach { case (id, text) =>
           val want = toks(text).flatMap(w => chainEncode(w, merges))
           assert(got(id) == want,

@@ -59,6 +59,7 @@ def main():
     errors = []
     n = 0
     nonempty = 0
+    refusal_checks = 0
     for line in open(dump):
         line = line.strip()
         if not line:
@@ -79,6 +80,7 @@ def main():
             # final compare so a partial write would surface as a row
             # diff as well
             for stmt in rec.get("refusals", []):
+                refusal_checks += 1
                 refused = False
                 try:
                     con.sql(stmt)
@@ -128,6 +130,7 @@ def main():
     missing_arms = [a for a in reachable if a not in arms]
     ok = not mismatches and not errors and not missing_arms
     print(f"== fuzz-ddl-duck: {n} seeds, {nonempty} non-empty checks, "
+          f"{refusal_checks} refusal checks, "
           f"{len(mismatches)} mismatches, {len(errors)} duck errors, "
           f"{len(arms)}/{len(reachable)} reachable arms covered ==")
     if missing_arms:
@@ -143,6 +146,14 @@ def main():
     if report_path:
         json.dump({
             "seeds": n, "non_empty_checks": nonempty,
+            "refusal_checks": refusal_checks,
+            "provenance_note": (
+                "r12 sweep: 23-arm grammar (null_guard added -- "
+                "NULL-into-non-Nullable writes must RAISE in both "
+                "engines; refusal_checks counts the replayed attempts), "
+                "fresh-compile dump with the meta-header arm assertion; "
+                "the r10 stale-dump incident and its r11 remediation "
+                "are recorded in SURVEY §8's DDL fuzz gate row"),
             "expected_arms": expected_arms,
             "missing_arms": missing_arms,
             "arms": dict(sorted(arms.items())),
