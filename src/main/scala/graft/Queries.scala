@@ -6407,6 +6407,29 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // the byte-level encoder straight to TOKEN IDS — what a training
+    // pipeline persists (ints, 4 bytes/token): ids 0-255 = bytes, 256 =
+    // EOW, 257+r = merge r (closed vocabulary, no UNK path exists).
+    // Same corpus derivation and native loop as t28c; DuckDB maps the
+    // replayed chain's pieces through the identically-rendered
+    // first-wins vocab table, proving the id assignment cross-engine.
+    "t28d_bpe_ids" -> ((s, dir) => {
+      val model = TextAnalysis.bpeModelBytes(s, bpeMergesBytes1k)
+      tbl(s, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id"),
+          TextAnalysis.pairEnrichBytes(TextAnalysis.mixedScriptFixture(
+            col("text"), col("lang"))).as("text"))
+        .select(col("doc_id"),
+          TextAnalysis.bpeEncodeIdsBytes(col("text"), model).as("ids"))
+        .select(col("doc_id"),
+          size(col("ids")).cast("long").as("n_pieces"),
+          graft.functions.PortableHash.charFold(concat_ws(" ",
+            transform(col("ids"), _.cast("string")))).as("fp"))
+        // always true; blocks column pruning under a bare count() (t28)
+        .filter(col("n_pieces") >= 0)
+        .orderBy("doc_id")
+    }),
+
     // DSIR importance RESAMPLING (closes the Xie et al. loop the way
     // t27b closed Lee et al.: t29/t29b estimate weights, this CONSUMES
     // them): Gumbel-top-k with deterministic portable-hash noise —
@@ -7092,6 +7115,61 @@ object Queries {
       |    list_transform(bs, b -> arr[CAST(b AS INT) + 1])),
       |    (acc, x) -> acc + x), 4)""".stripMargin
 
+  /** The t28c/t28d shared DuckDB replay chain: mixed-script fixture →
+    * pair-enriched serving text → loss-free pre-tokenization → per
+    * DISTINCT word, hex-pair byte symbols advanced one merge per
+    * recursion step in TRAINING ORDER. Ends with `tk(doc_id, t2)`,
+    * `tok(doc_id, tok, i)` and `fin(tok, pieces)`. ONE definition so
+    * the piece and id oracles replay the identical chain. */
+  private lazy val bpeBytesChainCtes: String = {
+    val vals = bpeMergesBytes1k.zipWithIndex.map { case ((a, b), r) =>
+      s"($r, ${sqlLit(a)}, ${sqlLit(b)})" }.mkString(", ")
+    val n = bpeMergesBytes1k.size
+    val pretok = "[\\p{L}\\p{N}]+|[^\\s\\p{L}\\p{N}]+"
+    s"""raw AS (SELECT doc_id, $sqlMixedScript AS mixed
+       |  FROM documents WHERE doc_id < 400),
+       |ptk AS (SELECT doc_id,
+       |    regexp_extract_all(mixed, '$pretok') AS rt FROM raw),
+       |tk AS (SELECT doc_id,
+       |    CASE WHEN len(rt) >= 2 THEN array_to_string(list_transform(
+       |        list_zip(rt[1:len(rt)-1], rt[2:len(rt)]),
+       |        p -> p[1] || p[2]), ' ')
+       |      ELSE '' END AS t2
+       |  FROM ptk),
+       |tkl AS (SELECT doc_id,
+       |    regexp_extract_all(t2, '$pretok') AS t FROM tk),
+       |tok AS (SELECT doc_id, unnest(t) AS tok,
+       |    unnest(generate_series(1, len(t))) AS i FROM tkl),
+       |words AS (SELECT DISTINCT tok FROM tok),
+       |m(r, a, b) AS (SELECT * FROM (VALUES $vals) v(r, a, b)),
+       |enc AS (
+       |  SELECT tok, regexp_replace(lower(hex(encode(tok))),
+       |      '(..)', ' \\1 ', 'g') || ' </w> ' AS s, 0 AS r
+       |    FROM words
+       |  UNION ALL
+       |  SELECT e.tok, replace(e.s, ' ' || m.a || '  ' || m.b || ' ',
+       |      ' ' || m.a || m.b || ' '), e.r + 1
+       |    FROM enc e JOIN m ON m.r = e.r),
+       |fin AS (SELECT tok, list_filter(
+       |    string_split_regex(trim(s), '\\s+'),
+       |    p -> len(p) > 0) AS pieces
+       |  FROM enc WHERE r = $n)""".stripMargin
+  }
+
+  /** The byte-level model's closed vocabulary as (piece, id) — the
+    * exact first-wins construction of [[graft.plans.BpeModel]].pieceId,
+    * rendered for the t28d oracle. */
+  private lazy val bpeBytesVocab: Seq[(String, Int)] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    (0 until 256).foreach(b => m.update(f"$b%02x", b))
+    m.update("</w>", 256)
+    bpeMergesBytes1k.zipWithIndex.foreach { case ((a, b), r) =>
+      val s = a + b
+      if (!m.contains(s)) m.update(s, 257 + r)
+    }
+    m.toSeq
+  }
+
   /** The deterministic Gumbel noise of dsirResample: u =
     * (charFold(id) + 1) / (Mod + 1), g = −ln(−ln u). */
   private def sqlGumbel(idExpr: String): String =
@@ -7108,46 +7186,41 @@ object Queries {
     // recursion step in TRAINING ORDER — proving the lowest-rank-first
     // byte-level native encoder emits the identical stream on
     // multilingual text
-    "t28c_bpe_bytes" -> {
-      val vals = bpeMergesBytes1k.zipWithIndex.map { case ((a, b), r) =>
-        s"($r, ${sqlLit(a)}, ${sqlLit(b)})" }.mkString(", ")
-      val n = bpeMergesBytes1k.size
-      val pretok = "[\\p{L}\\p{N}]+|[^\\s\\p{L}\\p{N}]+"
+    "t28c_bpe_bytes" ->
       s"""WITH RECURSIVE
-         |raw AS (SELECT doc_id, $sqlMixedScript AS mixed
-         |  FROM documents WHERE doc_id < 400),
-         |ptk AS (SELECT doc_id,
-         |    regexp_extract_all(mixed, '$pretok') AS rt FROM raw),
-         |tk AS (SELECT doc_id,
-         |    CASE WHEN len(rt) >= 2 THEN array_to_string(list_transform(
-         |        list_zip(rt[1:len(rt)-1], rt[2:len(rt)]),
-         |        p -> p[1] || p[2]), ' ')
-         |      ELSE '' END AS t2
-         |  FROM ptk),
-         |tkl AS (SELECT doc_id,
-         |    regexp_extract_all(t2, '$pretok') AS t FROM tk),
-         |tok AS (SELECT doc_id, unnest(t) AS tok,
-         |    unnest(generate_series(1, len(t))) AS i FROM tkl),
-         |words AS (SELECT DISTINCT tok FROM tok),
-         |m(r, a, b) AS (SELECT * FROM (VALUES $vals) v(r, a, b)),
-         |enc AS (
-         |  SELECT tok, regexp_replace(lower(hex(encode(tok))),
-         |      '(..)', ' \\1 ', 'g') || ' </w> ' AS s, 0 AS r
-         |    FROM words
-         |  UNION ALL
-         |  SELECT e.tok, replace(e.s, ' ' || m.a || '  ' || m.b || ' ',
-         |      ' ' || m.a || m.b || ' '), e.r + 1
-         |    FROM enc e JOIN m ON m.r = e.r),
-         |fin AS (SELECT tok, list_filter(
-         |    string_split_regex(trim(s), '\\s+'),
-         |    p -> len(p) > 0) AS pieces
-         |  FROM enc WHERE r = $n),
+         |$bpeBytesChainCtes,
          |jp AS (SELECT o.doc_id, o.i, f.pieces
          |  FROM tok o JOIN fin f USING (tok)),
          |agg AS (SELECT doc_id, CAST(sum(len(pieces)) AS BIGINT)
          |      AS n_pieces,
          |    string_agg(array_to_string(pieces, ' '), ' ' ORDER BY i)
          |      AS es
+         |  FROM jp GROUP BY doc_id)
+         |SELECT tk.doc_id,
+         |  CAST(coalesce(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+         |  ${sqlCharFold("coalesce(a.es, '')")} AS fp
+         |FROM tk LEFT JOIN agg a USING (doc_id)
+         |ORDER BY tk.doc_id""".stripMargin,
+
+    // pieces from the same replayed chain, mapped through the
+    // identically-rendered first-wins vocab table (ids 0-255 bytes,
+    // 256 EOW, 257+r merge r) — the id assignment proven cross-engine
+    "t28d_bpe_ids" -> {
+      val vocabVals = bpeBytesVocab.map { case (p, id) =>
+        s"(${sqlLit(p)}, $id)" }.mkString(", ")
+      s"""WITH RECURSIVE
+         |$bpeBytesChainCtes,
+         |vb(piece, id) AS (SELECT * FROM (VALUES $vocabVals) v(piece, id)),
+         |fex AS (SELECT tok, unnest(pieces) AS piece,
+         |    unnest(generate_series(1, len(pieces))) AS pi FROM fin),
+         |fid AS (SELECT f.tok,
+         |    list(CAST(vb.id AS VARCHAR) ORDER BY f.pi) AS ids
+         |  FROM fex f JOIN vb ON vb.piece = f.piece GROUP BY f.tok),
+         |jp AS (SELECT o.doc_id, o.i, d.ids
+         |  FROM tok o JOIN fid d USING (tok)),
+         |agg AS (SELECT doc_id, CAST(sum(len(ids)) AS BIGINT)
+         |      AS n_pieces,
+         |    string_agg(array_to_string(ids, ' '), ' ' ORDER BY i) AS es
          |  FROM jp GROUP BY doc_id)
          |SELECT tk.doc_id,
          |  CAST(coalesce(a.n_pieces, 0) AS BIGINT) AS n_pieces,

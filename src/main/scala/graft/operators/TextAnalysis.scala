@@ -870,6 +870,17 @@ object TextAnalysis {
       : Column =
     size(bpeEncodeBytesFast(text, model))
 
+  /** Encode straight to TOKEN IDS — the shape a training pipeline
+    * actually persists (ints, not piece strings; 4 bytes/token):
+    * the same byte-level lowest-rank-first loop, each piece mapped
+    * through the model's CLOSED vocabulary (ids 0-255 = bytes, 256 =
+    * EOW, 257+r = merge r — no UNK path exists, any text encodes).
+    * Row-local, zero shuffles, one broadcast. */
+  def bpeEncodeIdsBytes(text: Column,
+      model: org.apache.spark.broadcast.Broadcast[graft.plans.BpeModel])
+      : Column =
+    graft.plans.NativeExpressions.bpe_encode_ids_bc(byteTokens(text), model)
+
   /** Decode a byte-level piece stream back to text ([[bpeEncodeBytesFast]]'s
     * inverse up to the pre-tokenizer: tokens come back space-joined).
     * Pieces are concatenations of hex-pair byte symbols terminated by

@@ -686,6 +686,48 @@ object NativeExpressions {
       out.toArray(new Array[UTF8String](out.size)))
   }
 
+  /** [[bpeEncodeBcCompute]]'s TOKEN-ID twin: the same per-word
+    * lowest-rank-first encode, each piece mapped through the model's
+    * closed vocabulary (byte-level only: base 256 + EOW + one entry per
+    * merge — every piece the encoder can emit HAS an id, so there is no
+    * UNK path to get wrong). */
+  def bpeEncodeIdsBcCompute(toks: ArrayData, model: BpeModel): ArrayData = {
+    val out = new java.util.ArrayList[Integer]()
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val pieces = model.encodeWord(toks.getUTF8String(i).toString)
+      var j = 0
+      while (j < pieces.length) {
+        out.add(Integer.valueOf(model.pieceId(pieces(j)))); j += 1
+      }
+      i += 1
+    }
+    val arr = new Array[Int](out.size)
+    var k = 0
+    while (k < arr.length) { arr(k) = out.get(k).intValue; k += 1 }
+    ArrayData.toArrayData(arr)
+  }
+
+  case class BpeEncodeIdsBC(child: Expression,
+      model: org.apache.spark.broadcast.Broadcast[BpeModel])
+      extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(input: Any): Any =
+      bpeEncodeIdsBcCompute(input.asInstanceOf[ArrayData], model.value)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bcRef = ctx.addReferenceObj("bpeModel", model,
+        classOf[org.apache.spark.broadcast.Broadcast[BpeModel]].getName)
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.NativeExpressions.bpeEncodeIdsBcCompute(" +
+          s"$c, (graft.plans.BpeModel) $bcRef.value())")
+    }
+    override protected def withNewChildInternal(newChild: Expression): BpeEncodeIdsBC =
+      copy(child = newChild)
+  }
+
   case class BpeEncodeBC(child: Expression,
       model: org.apache.spark.broadcast.Broadcast[BpeModel])
       extends UnaryExpression {
@@ -783,6 +825,9 @@ object NativeExpressions {
   def bpe_encode_bc(toks: Column,
       model: org.apache.spark.broadcast.Broadcast[BpeModel]): Column =
     ColumnBridge.column(BpeEncodeBC(ColumnBridge.expression(toks), model))
+  def bpe_encode_ids_bc(toks: Column,
+      model: org.apache.spark.broadcast.Broadcast[BpeModel]): Column =
+    ColumnBridge.column(BpeEncodeIdsBC(ColumnBridge.expression(toks), model))
   def int8_quant(vec: Column): Column =
     ColumnBridge.column(Int8Quant(ColumnBridge.expression(vec)))
 
@@ -1406,6 +1451,32 @@ final class BpeModel(val merges: Seq[(String, String)], val eow: String,
   private val MemoCap = 1 << 16
 
   def size: Int = merges.size
+
+  /** Closed token-id vocabulary (byte-level models only): ids 0-255 are
+    * the byte hex pairs, 256 the EOW marker, 257+r merge r's output —
+    * the standard BPE vocab construction. Every piece the encoder can
+    * emit is present (the byte-level no-UNK property); if two merges
+    * produce the same string the FIRST id wins (deterministic, and the
+    * SQL oracle renders the same first-wins table). */
+  @transient private lazy val vocab: java.util.HashMap[String, Integer] = {
+    require(byteLevel,
+      "pieceId: the closed vocabulary needs the byte-level base alphabet")
+    val m = new java.util.HashMap[String, Integer](merges.size * 2 + 514)
+    var i = 0
+    while (i < 256) { m.put(BpeModel.HexPair(i), Integer.valueOf(i)); i += 1 }
+    m.put(eow, Integer.valueOf(256))
+    var r = 0
+    merges.foreach { p =>
+      m.putIfAbsent(p._1 + p._2, Integer.valueOf(257 + r)); r += 1
+    }
+    m
+  }
+  def vocabSize: Int = vocab.size
+  def pieceId(piece: String): Int = {
+    val v = vocab.get(piece)
+    require(v != null, s"pieceId: '$piece' not in the closed vocabulary")
+    v.intValue
+  }
 
   def encodeWord(w: String): Array[String] = {
     val hit = memo.get(w)

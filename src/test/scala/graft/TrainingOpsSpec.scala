@@ -1053,6 +1053,21 @@ class TrainingOpsSpec extends AnyFunSuite {
       "61", "62", "</w>", "2c", "</w>", "e4", "b8", "ad", "</w>"),
       got.getSeq[String](0).toString)
     assert(got.getInt(1) == 10)
+    // token-id tier: ids 0-255 = bytes, 256 = EOW, 257+r = merge r —
+    // the hand-checked piece stream maps to exactly these ids, and the
+    // id encoder must agree with pieces→pieceId
+    val ids = Seq((0L, "éé ab, 中")).toDF("doc_id", "text")
+      .select(TextAnalysis.bpeEncodeIdsBytes(col("text"), model).as("ids"))
+      .head().getSeq[Int](0)
+    assert(ids == Seq(259, 0x61, 0x62, 256, 0x2c, 256, 0xe4, 0xb8, 0xad,
+      256), ids.toString)
+    assert(ids == got.getSeq[String](0).map(model.value.pieceId))
+    assert(model.value.vocabSize == 257 + 3)
+    // the closed vocabulary is a byte-level property: a char-level
+    // model has no 256-unit base alphabet to anchor ids to
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeModel(spark, merges).value.pieceId("a")
+    }
     intercept[IllegalArgumentException] {
       TextAnalysis.trainBpeBytes(corpus, "text", numMerges = 0)
     }
