@@ -6462,8 +6462,12 @@ object Queries {
       broadcast(sel)
         .join(docs.select(col("doc_id"), col("lang")), "doc_id")
         .groupBy("lang")
+        // decimal sum, not double avg: float addition is not
+        // associative, so a cross-partition double aggregate could
+        // last-ulp-flip the rounding between runs/engines; the weights
+        // are already rounded to 4 decimals, so a decimal sum is EXACT
         .agg(count(lit(1)).as("n_docs"),
-          round(avg("weight"), 4).as("avg_weight"))
+          sum(col("weight").cast("decimal(18,4)")).as("sum_weight"))
         .orderBy("lang")
     }),
 
@@ -7250,7 +7254,7 @@ object Queries {
          |    round(weight + ${sqlGumbel("doc_id")}, 4) AS skey
          |  FROM w ORDER BY skey DESC, doc_id LIMIT 150)
          |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
-         |  round(avg(s.weight), 4) AS avg_weight
+         |  sum(CAST(s.weight AS DECIMAL(18, 4))) AS sum_weight
          |FROM sel s JOIN documents d USING (doc_id)
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 

@@ -889,7 +889,10 @@ object TextAnalysis {
     * (TrainingPropertySpec) pins decode(encode(text)) ==
     * space-joined byteTokens(text) on random mixed-script corpora. */
   def bpeDecodeBytes(pieces: Column): Column = {
-    val words = filter(split(concat_ws("", pieces), BpeEow),
+    // split takes a REGEX — quote the marker so a future EOW choice
+    // containing metacharacters cannot silently change the splitting
+    val words = filter(
+      split(concat_ws("", pieces), java.util.regex.Pattern.quote(BpeEow)),
       w => length(w) > 0)
     array_join(transform(words, w => decode(unhex(w), "UTF-8")), " ")
   }
