@@ -6471,6 +6471,27 @@ object Queries {
         .orderBy("lang")
     }),
 
+    // the end-to-end multilingual TOKENIZE-AND-PACK pipeline — what a
+    // pretraining data build actually runs: mixed-script corpus →
+    // whitespace quality gate → TRUE token counts from the byte-level
+    // id encoder (one broadcast, row-local) → shard-local sequence
+    // packing into 512-token contexts (one shuffle on shard). Every
+    // stage is an already-oracled operator; this entry proves the
+    // COMPOSITION end-to-end cross-engine.
+    "p6_multilingual_pack" -> ((s, dir) => {
+      val model = TextAnalysis.bpeModelBytes(s, bpeMergesBytes1k)
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.mixedScriptFixture(
+          col("text"), col("lang")).as("text"))
+        .filter(TextAnalysis.tokenCount(col("text")) >= 20)
+        .select(col("doc_id"),
+          size(TextAnalysis.bpeEncodeIdsBytes(col("text"), model))
+            .cast("long").as("n_tokens"))
+      TextAnalysis.packSequences(docs, "doc_id", "n_tokens",
+          capacity = 512, shards = 8)
+        .orderBy("doc_id")
+    }),
+
     // IVFADC with BOTH codebooks TRAINED (closes the v13/v14 loop: r11
     // proved trained coarse and trained PQ each lift recall at equal
     // serve cost; this composes them into the fully-faiss-shaped
@@ -7125,15 +7146,16 @@ object Queries {
     * recursion step in TRAINING ORDER. Ends with `tk(doc_id, t2)`,
     * `tok(doc_id, tok, i)` and `fin(tok, pieces)`. ONE definition so
     * the piece and id oracles replay the identical chain. */
-  private lazy val bpeBytesChainCtes: String = {
-    val vals = bpeMergesBytes1k.zipWithIndex.map { case ((a, b), r) =>
-      s"($r, ${sqlLit(a)}, ${sqlLit(b)})" }.mkString(", ")
-    val n = bpeMergesBytes1k.size
-    val pretok = "[\\p{L}\\p{N}]+|[^\\s\\p{L}\\p{N}]+"
+  private val sqlBytePretok = "[\\p{L}\\p{N}]+|[^\\s\\p{L}\\p{N}]+"
+
+  /** The t28c/t28d serving-corpus prefix: mixed-script fixture over the
+    * doc_id<400 slice, pair-enriched, re-pre-tokenized. Ends with
+    * `tk(doc_id, t2)` and `tok(doc_id, tok, i)`. */
+  private lazy val bpeBytesPairTokCtes: String =
     s"""raw AS (SELECT doc_id, $sqlMixedScript AS mixed
        |  FROM documents WHERE doc_id < 400),
        |ptk AS (SELECT doc_id,
-       |    regexp_extract_all(mixed, '$pretok') AS rt FROM raw),
+       |    regexp_extract_all(mixed, '$sqlBytePretok') AS rt FROM raw),
        |tk AS (SELECT doc_id,
        |    CASE WHEN len(rt) >= 2 THEN array_to_string(list_transform(
        |        list_zip(rt[1:len(rt)-1], rt[2:len(rt)]),
@@ -7141,10 +7163,19 @@ object Queries {
        |      ELSE '' END AS t2
        |  FROM ptk),
        |tkl AS (SELECT doc_id,
-       |    regexp_extract_all(t2, '$pretok') AS t FROM tk),
+       |    regexp_extract_all(t2, '$sqlBytePretok') AS t FROM tk),
        |tok AS (SELECT doc_id, unnest(t) AS tok,
-       |    unnest(generate_series(1, len(t))) AS i FROM tkl),
-       |words AS (SELECT DISTINCT tok FROM tok),
+       |    unnest(generate_series(1, len(t))) AS i FROM tkl)""".stripMargin
+
+  /** The training-order merge replay over a preceding `tok(doc_id, tok,
+    * i)` CTE: per DISTINCT word, hex-pair byte symbols advanced one
+    * merge per recursion step. Ends with `fin(tok, pieces)`. ONE
+    * definition shared by every byte-level oracle (t28c/t28d/p6). */
+  private lazy val bpeBytesMergeReplayCtes: String = {
+    val vals = bpeMergesBytes1k.zipWithIndex.map { case ((a, b), r) =>
+      s"($r, ${sqlLit(a)}, ${sqlLit(b)})" }.mkString(", ")
+    val n = bpeMergesBytes1k.size
+    s"""words AS (SELECT DISTINCT tok FROM tok),
        |m(r, a, b) AS (SELECT * FROM (VALUES $vals) v(r, a, b)),
        |enc AS (
        |  SELECT tok, regexp_replace(lower(hex(encode(tok))),
@@ -7159,6 +7190,9 @@ object Queries {
        |    p -> len(p) > 0) AS pieces
        |  FROM enc WHERE r = $n)""".stripMargin
   }
+
+  private lazy val bpeBytesChainCtes: String =
+    s"$bpeBytesPairTokCtes,\n$bpeBytesMergeReplayCtes"
 
   /** The byte-level model's closed vocabulary as (piece, id) — the
     * exact first-wins construction of [[graft.plans.BpeModel]].pieceId,
@@ -7257,6 +7291,37 @@ object Queries {
          |  sum(CAST(s.weight AS DECIMAL(18, 4))) AS sum_weight
          |FROM sel s JOIN documents d USING (doc_id)
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    // mixed fixture → t26's whitespace-count gate → the byte-level
+    // chain's TRUE token counts per doc → the t26 shard/cum/bin algebra
+    "p6_multilingual_pack" ->
+      s"""WITH RECURSIVE
+         |docsrc AS (SELECT doc_id, $sqlMixedScript AS mixed
+         |  FROM documents),
+         |gate AS (SELECT doc_id, mixed FROM docsrc
+         |  WHERE len(regexp_split_to_array(trim(mixed), '\\s+')) >= 20),
+         |tkl AS (SELECT doc_id,
+         |    regexp_extract_all(mixed, '$sqlBytePretok') AS t FROM gate),
+         |tok AS (SELECT doc_id, unnest(t) AS tok,
+         |    unnest(generate_series(1, len(t))) AS i FROM tkl),
+         |$bpeBytesMergeReplayCtes,
+         |jp AS (SELECT o.doc_id, f.pieces
+         |  FROM tok o JOIN fin f USING (tok)),
+         |cnt AS (SELECT g.doc_id, CAST(coalesce(a.n, 0) AS BIGINT) AS tk,
+         |    ${sqlCharFold("CAST(g.doc_id AS VARCHAR)")} % 8 AS shard
+         |  FROM gate g LEFT JOIN (SELECT doc_id, sum(len(pieces)) AS n
+         |    FROM jp GROUP BY doc_id) a USING (doc_id)),
+         |c AS (SELECT doc_id, tk, shard,
+         |    sum(tk) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM cnt)
+         |SELECT doc_id, shard, CAST(cum - tk AS BIGINT) AS offset,
+         |  CAST(floor((cum - tk) / 512) AS BIGINT) AS bin_first,
+         |  CASE WHEN tk > 0 THEN CAST(floor((cum - 1) / 512) AS BIGINT)
+         |       ELSE CAST(floor((cum - tk) / 512) AS BIGINT) END
+         |    AS bin_last,
+         |  tk AS tokens
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     // trained-everything IVFADC: the v13 coarse-training block (stride
     // init → one rounded-mean Lloyd round, empty cells keep the old
