@@ -937,6 +937,29 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(out.count() == docs.count())
   }
 
+  test("p6 tokenize-and-pack: encode is scan-local, packing shuffles " +
+      "ONCE on shard, no joins anywhere") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val merges = (0 until 1000).map(i =>
+      (f"${i % 256}%02x", f"${(i * 11 + 5) % 256}%02x"))
+    val model = graft.operators.TextAnalysis.bpeModelBytes(spark, merges)
+    val counted = docs.select(col("doc_id"),
+      graft.operators.TextAnalysis.mixedScriptFixture(
+        col("text"), col("lang")).as("text"))
+      .filter(graft.operators.TextAnalysis.tokenCount(col("text")) >= 20)
+      .select(col("doc_id"),
+        size(graft.operators.TextAnalysis.bpeEncodeIdsBytes(
+          col("text"), model)).cast("long").as("n_tokens"))
+    val packed = graft.operators.TextAnalysis.packSequences(
+      counted, "doc_id", "n_tokens", capacity = 512, shards = 8)
+    assert(shuffleCount(packed) == 1,
+      "exactly one shuffle (the shard repartition for the running sum)")
+    assert(packed.queryExecution.executedPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, "the pipeline must not join")
+    assert(packed.count() > 0)
+  }
+
   test("dsirResample: selection is TakeOrderedAndProject — per-partition " +
       "top-k heaps, never a global sort; key is row-local (no joins)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
