@@ -250,6 +250,36 @@ class TrainingPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: dsirResample ≡ an independent driver-side Gumbel-top-k " +
+      "on random weighted corpora") {
+    // second implementation of the whole selection rule: portable-hash
+    // uniform → Gumbel noise → rounded key → (key desc, id) top-k —
+    // any drift in the operator's hash, rounding, or tie-break shows up
+    val MOD = 2147483647L
+    val MULT = 1315423911L
+    def charFold(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * MULT + c.toLong) % MOD)
+    def key(id: Long, w: Double): Double = {
+      val u = (charFold(id.toString) + 1).toDouble / (MOD + 1).toDouble
+      val g = -math.log(-math.log(u))
+      BigDecimal(w + g).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    val gen = for {
+      n <- Gen.choose(5, 60)
+      ws <- Gen.listOfN(n, Gen.choose(-300, 300).map(_ / 100.0))
+      k <- Gen.choose(1, 20)
+    } yield (ws.zipWithIndex.map { case (w, i) => (i.toLong * 7, w) }, k)
+    forAll(gen, n = 15) { case (rows, k) =>
+      val df = rows.toDF("doc_id", "weight")
+      val got = TextAnalysis.dsirResample(df, "doc_id", "weight", k)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq.sorted
+      val want = rows.map { case (id, w) => (id, key(id, w)) }
+        .sortBy { case (id, sk) => (-sk, id) }.take(k).sorted
+      assert(got == want, s"k=$k\n got=$got\n want=$want")
+    }
+  }
+
   test("property: substring dedup postcondition — after applySubstringSpans " +
       "no K-token window is shared by >= minDocs cleaned docs") {
     // the Lee et al. contract end-to-end: find spans, remove them, and
