@@ -6507,7 +6507,24 @@ object Queries {
           queryPred = col("id") < 10, k = 3, nprobe = 2,
           knownN = graft.operators.Similarity.parquetRowCount(
             s, s"$dir/embeddings.parquet"))
-        .orderBy(col("query_id"), col("adist"), col("neighbor_id"))))
+        .orderBy(col("query_id"), col("adist"), col("neighbor_id"))),
+
+    // RESIDUAL IVFADC (Jégou et al. 2011, the faiss IndexIVFPQ default):
+    // the fine quantizer encodes x − centroid(cell) instead of the raw
+    // vector — one extra row-local O(d) subtraction corpus-side, and
+    // per-(query, probed cell) ADC LUTs broadcast by a driver-assigned
+    // key. Same materialized-code-index + broadcast-LUT-join serving
+    // shape as v9; the PQ stride init offsets by 1 because the coarse
+    // centroid rows' residuals are identically zero.
+    "v16_ivfpq_residual" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val every = math.max(1L, emb.count() / 10).toInt
+      graft.operators.Similarity.ivfPqTopKResidual(emb, "vec_id",
+          "embedding", m = 4, pqCentroidEvery = every,
+          coarseCentroidEvery = every,
+          queryPred = col("id") < 10, k = 3, nprobe = 2)
+        .orderBy(col("query_id"), col("adist"), col("neighbor_id"))
+    }))
 
   /** 12-merge BPE model snapshot trained by
     * `Test/runMain graft.BpeSnapshotMain /root/testdata/sf0.01 12`
@@ -7370,5 +7387,50 @@ object Queries {
          |  PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
          |  FROM scored)
          |SELECT query_id, neighbor_id, adist FROM rk WHERE rn <= 3
+         |ORDER BY query_id, adist, neighbor_id""".stripMargin,
+
+    // residual IVFADC replay: the v9 chain with (a) PQ init vectors =
+    // RESIDUALS of the offset-1 stride rows, (b) candidate codes
+    // assigned over residuals, (c) the query's LUT side = its residual
+    // vs EACH probed cell's centroid. `vecs` holds the residuals so the
+    // shared pqCodeCtes/pqAdcSql/pqCodeJoins fragments apply unchanged.
+    "v16_ivfpq_residual" ->
+      s"""WITH rawv AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |stride AS (SELECT GREATEST(1, count(*) // 10) AS s FROM rawv),
+         |ccents AS (SELECT id AS ccid, v AS ccv FROM rawv
+         |  WHERE id % (SELECT s FROM stride) = 0),
+         |cassign AS (SELECT id, v, ccid,
+         |  round(${sqlDot("v", "ccv")} /
+         |    (sqrt(${sqlNormSq("v")}) * sqrt(${sqlNormSq("ccv")})), 6) AS csim
+         |  FROM rawv CROSS JOIN ccents),
+         |cranked AS (SELECT id, v, ccid, row_number() OVER (PARTITION BY id
+         |    ORDER BY csim DESC, ccid) AS crn FROM cassign),
+         |cells AS (SELECT id, ccid AS cell FROM cranked WHERE crn = 1),
+         |probes AS (SELECT id, ccid AS cell FROM cranked WHERE crn <= 2),
+         |vecs AS (SELECT c.id, list_transform(list_zip(r.v, ct.ccv),
+         |    p -> p[1] - p[2]) AS v
+         |  FROM cells c JOIN rawv r ON r.id = c.id
+         |  JOIN ccents ct ON ct.ccid = c.cell),
+         |cents AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cpos, v AS cv
+         |  FROM vecs WHERE id % (SELECT s FROM stride) =
+         |    1 % (SELECT s FROM stride)),
+         |${pqCodeCtes(4, 16)},
+         |q AS (SELECT p.id AS query_id,
+         |    list_transform(list_zip(v.v, ct.ccv), p2 -> p2[1] - p2[2]) AS qv,
+         |    p.cell
+         |  FROM probes p JOIN rawv v ON v.id = p.id
+         |  JOIN ccents ct ON ct.ccid = p.cell
+         |  WHERE p.id < 10),
+         |scored AS (SELECT q.query_id, n.id AS neighbor_id,
+         |  round(${pqAdcSql(4, 16)}, 6) AS adist
+         |  FROM q JOIN cells cl ON cl.cell = q.cell
+         |  JOIN vecs n ON n.id = cl.id ${pqCodeJoins(4)}
+         |  WHERE q.query_id <> n.id),
+         |rk2 AS (SELECT query_id, neighbor_id, adist, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, adist FROM rk2 WHERE rn <= 3
          |ORDER BY query_id, adist, neighbor_id""".stripMargin)
 }

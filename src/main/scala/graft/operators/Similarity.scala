@@ -405,11 +405,12 @@ object Similarity {
     * and ships per-executor as a broadcast. */
   def pqCodebooks(
       corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, centroidEvery: Int
+      m: Int, centroidEvery: Int, strideOffset: Int = 0
   ): graft.plans.PqCodebooks = {
     val centRows = corpus
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .filter(pmod(col("id"), lit(centroidEvery)) === 0)
+      .filter(pmod(col("id"), lit(centroidEvery)) ===
+        strideOffset % centroidEvery)
       .orderBy("id").collect()
     require(centRows.nonEmpty, "pqCodebooks: empty centroid sample")
     val d = centRows.head.getSeq[Double](1).length
@@ -460,9 +461,11 @@ object Similarity {
     * bit-for-bit at the compared precision. */
   def pqCodebooksTrained(
       corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, centroidEvery: Int, iters: Int, roundTo: Int = 6
+      m: Int, centroidEvery: Int, iters: Int, roundTo: Int = 6,
+      strideOffset: Int = 0
   ): graft.plans.PqCodebooks = {
-    var cb = pqCodebooks(corpus, idCol, vecCol, m, centroidEvery)
+    var cb = pqCodebooks(corpus, idCol, vecCol, m, centroidEvery,
+      strideOffset)
     val vecs = corpus.select(asDouble(col(vecCol)).as("v"))
     for (_ <- 0 until iters) {
       val bc = corpus.sparkSession.sparkContext.broadcast(cb)
@@ -757,6 +760,109 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         graft.plans.NativeExpressions.pq_adc_by_query(
           col("query_id"), col("codes"), bcLuts, roundTo).as("adist"))
+      .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= k).drop("rn")
+  }
+
+  /** RESIDUAL IVFADC — the actual Jégou et al. (2011) formulation (the
+    * faiss `IndexIVFPQ` default, `encode_residual=true`): the fine
+    * quantizer encodes `x − centroid(cell(x))` instead of the raw
+    * vector. Residuals concentrate around the origin, so the same PQ
+    * budget (m × C centroids) covers a far tighter distribution — the
+    * standard recall lift over raw-vector IVFPQ at identical serve
+    * cost. What changes vs [[ivfPqTopK]]:
+    *
+    *  - corpus side: one extra ROW-LOCAL O(d) subtraction before the
+    *    encode ([[graft.plans.NativeExpressions.ResidualBC]], broadcast
+    *    coarse codebook) — zero new joins/shuffles; the persisted code
+    *    index is the same n·(m+2) small values;
+    *  - query side: the ADC LUT is PER (query, probed cell) — the
+    *    query's residual differs per cell — so the broadcast LUT map
+    *    holds queries × nprobe tables (m·C doubles each) keyed by a
+    *    driver-assigned (query, cell) key that rides the broadcast
+    *    probe list through the join. Per-candidate cost is unchanged:
+    *    O(m) + one hash probe.
+    *
+    * `pqIters > 0` trains the subspace codebooks on the RESIDUALS
+    * ([[pqCodebooksTrained]] over the residual column); `coarseIters
+    * > 0` trains the coarse quantizer ([[kmeansCodebook]]) first — both
+    * trainings compose exactly like [[ivfPqTopKTrained]]. At 100 TB the
+    * codebooks train on a sample and persist; serving is the same
+    * assignment scan + materialized code index + broadcast-LUT join as
+    * every IVFADC tier here. */
+  def ivfPqTopKResidual(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, pqCentroidEvery: Int, coarseCentroidEvery: Int,
+      queryPred: Column, k: Int,
+      roundTo: Int = 6, nprobe: Int = 1,
+      pqIters: Int = 0, coarseIters: Int = 0,
+      maxLiteralCentroids: Int = 64
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val (cids, cvs) =
+      if (coarseIters > 0)
+        kmeansCodebook(corpus, idCol, vecCol, coarseCentroidEvery,
+          coarseIters, roundTo, maxLiteralCentroids)
+      else strideCodebook(vecs, coarseCentroidEvery)
+    val bcCoarse = spark.sparkContext.broadcast(
+      new graft.plans.Codebook(cids, cvs))
+    val assigned = assignWith(vecs, cids, cvs, nprobe, roundTo,
+      maxLiteralCentroids)
+    // residual = v − centroid(assigned cell); row-local, codegen'd
+    val resid = assigned.withColumn("rv",
+      graft.plans.NativeExpressions.residual_bc(
+        col("v"), element_at(col("__cells"), 1), bcCoarse))
+    // PQ init strides at OFFSET 1: under a stride coarse codebook the
+    // coarse-centroid rows' residuals are identically ZERO (their
+    // nearest centroid is themselves), so offset-0 init would seed
+    // every subspace with C copies of the zero vector
+    val cb =
+      if (pqIters > 0)
+        pqCodebooksTrained(resid.select(col("id"), col("rv")), "id", "rv",
+          m, pqCentroidEvery, pqIters, roundTo, strideOffset = 1)
+      else
+        pqCodebooks(resid.select(col("id"), col("rv")), "id", "rv",
+          m, pqCentroidEvery, strideOffset = 1)
+    val bcCb = spark.sparkContext.broadcast(cb)
+    // materialized code index: the ivfPqTopKWith contract (one pass,
+    // n·(m+2) small values — the persisted artifact)
+    val cells = resid.select(
+      col("id").as("neighbor_id"),
+      element_at(col("__cells"), 1).as("cell"),
+      graft.plans.NativeExpressions.pq_encode_bc(col("rv"), bcCb).as("codes"))
+      .localCheckpoint(true)
+    // per-(query, probed cell) LUTs: driver-computed over the query's
+    // residual vs THAT cell, broadcast once, keyed by a driver-assigned
+    // sequential key carried on the broadcast probe list
+    val qRows = assigned.filter(queryPred)
+      .select(col("id"), col("v"), col("__cells")).collect()
+    val centById = cids.zip(cvs).toMap
+    val lutMap = new java.util.HashMap[java.lang.Long, Array[Double]]()
+    val probeRows = qRows.flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Double](1).toArray
+      r.getSeq[Long](2).map { cell =>
+        val cv = centById(cell)
+        val qres = Array.tabulate(qv.length)(i => qv(i) - cv(i))
+        val key = lutMap.size.toLong
+        lutMap.put(java.lang.Long.valueOf(key),
+          graft.plans.NativeExpressions.pqLutCompute(
+            org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(qres),
+            cb).toDoubleArray())
+        (qid, cell, key)
+      }
+    }.toSeq
+    val bcLuts = spark.sparkContext.broadcast(
+      new graft.plans.PqLutMap(cb.nCentroids, lutMap))
+    import spark.implicits._
+    val queries = probeRows.toDF("query_id", "cell", "lut_key")
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    broadcast(queries).join(cells, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.plans.NativeExpressions.pq_adc_by_query(
+          col("lut_key"), col("codes"), bcLuts, roundTo).as("adist"))
       .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= k).drop("rn")
   }
 }

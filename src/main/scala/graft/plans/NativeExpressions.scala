@@ -1081,6 +1081,52 @@ object NativeExpressions {
 
   // ---- Product quantization (PQ / IVF-PQ fine quantizer) ----
 
+  /** Residual vs an assigned coarse centroid: `vec − centroid(cell)`,
+    * element-wise, with the centroid looked up by cell id in the
+    * broadcast [[Codebook]]. This is the vector the RESIDUAL IVFADC
+    * tier (Jégou et al. 2011, the faiss `IVFPQ` default) hands to the
+    * fine quantizer — residuals concentrate around the origin, so the
+    * same PQ budget spends its centroids on a much tighter
+    * distribution than the raw-vector encode. ROW-LOCAL: one O(d)
+    * subtraction per row, zero joins/shuffles. */
+  def residualCompute(vec: ArrayData, cell: Long, cb: Codebook): ArrayData = {
+    val cv = cb.byId(cell)
+    val n = vec.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = vec.getDouble(i) - cv(i); i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  /** [[residualCompute]] as a codegen'd expression over a broadcast
+    * codebook (the [[NearestCentroidsBC]] transport: ships once per
+    * executor, never per task). */
+  case class ResidualBC(left: Expression, right: Expression,
+      codebook: org.apache.spark.broadcast.Broadcast[Codebook])
+      extends BinaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+      DoubleType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(vec: Any, cell: Any): Any =
+      residualCompute(vec.asInstanceOf[ArrayData],
+        cell.asInstanceOf[Long], codebook.value)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bcRef = ctx.addReferenceObj("ivfCodebook", codebook,
+        classOf[org.apache.spark.broadcast.Broadcast[Codebook]].getName)
+      defineCodeGen(ctx, ev, (v, c) =>
+        s"graft.plans.NativeExpressions.residualCompute(" +
+          s"$v, $c, (graft.plans.Codebook) $bcRef.value())")
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): ResidualBC =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def residual_bc(vec: Column, cell: Column,
+      codebook: org.apache.spark.broadcast.Broadcast[Codebook]): Column =
+    ColumnBridge.column(ResidualBC(ColumnBridge.expression(vec),
+      ColumnBridge.expression(cell), codebook))
+
   /** PQ encode: for each of the `cb.m` subspaces, the index (0-based,
     * codebook order) of the sub-centroid minimizing squared L2 distance to
     * the vector's slice; ties keep the LOWEST index (strict `<`), and the
@@ -1380,6 +1426,20 @@ final class Codebook(val cids: Array[Long], val cvs: Array[Array[Double]])
     var nsq = 0.0; var j = 0
     while (j < v.length) { nsq += v(j) * v(j); j += 1 }
     math.sqrt(nsq)
+  }
+  /** Centroid vector by cell ID (not position) — the residual tier's
+    * lookup. Built lazily so the map is constructed once per executor
+    * after broadcast, not serialized with it. */
+  @transient private lazy val idIndex: java.util.HashMap[java.lang.Long, java.lang.Integer] = {
+    val m = new java.util.HashMap[java.lang.Long, java.lang.Integer](cids.length * 2)
+    var i = 0
+    while (i < cids.length) { m.put(java.lang.Long.valueOf(cids(i)), i); i += 1 }
+    m
+  }
+  def byId(cell: Long): Array[Double] = {
+    val i = idIndex.get(java.lang.Long.valueOf(cell))
+    require(i != null, s"Codebook: no centroid with id $cell")
+    cvs(i.intValue)
   }
 }
 

@@ -210,6 +210,35 @@ object AnnOperatingPoints {
             s"${f"$sec%.3f"}s (train ${f"$trainSec%.3f"}s) recall=${f"$r%.4f"}")
         }
       }
+      // RESIDUAL IVFADC (r12, v16 — the Jégou et al. formulation): the
+      // fine quantizer encodes x − centroid(cell). Untrained rows are
+      // directly comparable to ivfpq_m4_* (same stride init, codebook
+      // built inside the timed call); the trained rows compose residual
+      // encoding with both trainings (codebooks also built inside the
+      // timed call — residual PQ training cannot precede coarse
+      // assignment, so the train/serve split does not apply; read the
+      // recall column, not sec, against the *_trained rows).
+      for ((cLabel, every) <- Seq("C10" -> every10, "C256" -> every256)) {
+        for (np <- Seq(1, 2)) {
+          val (sec, df) = timed(() =>
+            Similarity.ivfPqTopKResidual(emb, "vec_id", "embedding", m = 4,
+              pqCentroidEvery = every, coarseCentroidEvery = every10,
+              queryPred = qPred, k = k, nprobe = np))
+          val r = meanRecall(exactL2, df)
+          cells += s"""  "ivfpq_residual_m4_${cLabel}_nprobe$np": {"sec": ${f"$sec%.3f"}, "recall_at_10": ${f"$r%.4f"}}"""
+          System.err.println(s"  ivfpq-residual $cLabel np=$np: " +
+            s"${f"$sec%.3f"}s recall=${f"$r%.4f"}")
+          val (tsec, tdf) = timed(() =>
+            Similarity.ivfPqTopKResidual(emb, "vec_id", "embedding", m = 4,
+              pqCentroidEvery = every, coarseCentroidEvery = every10,
+              queryPred = qPred, k = k, nprobe = np,
+              pqIters = 1, coarseIters = 2))
+          val tr = meanRecall(exactL2, tdf)
+          cells += s"""  "ivfpq_residual_trained_m4_${cLabel}_nprobe$np": {"sec": ${f"$tsec%.3f"}, "recall_at_10": ${f"$tr%.4f"}}"""
+          System.err.println(s"  ivfpq-residual-trained $cLabel np=$np: " +
+            s"${f"$tsec%.3f"}s recall=${f"$tr%.4f"}")
+        }
+      }
       exactL2.unpersist()
 
       exact.unpersist(); emb.unpersist()

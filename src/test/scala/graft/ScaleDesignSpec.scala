@@ -500,6 +500,37 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(trained.count() > 0)
   }
 
+  test("ivfPqTopKResidual: serving plan has the stride IVFADC's exact shape") {
+    // the residual tier (v16) changes WHAT is encoded (x − centroid),
+    // not HOW candidates are served: the subtraction and encode run at
+    // index-build time (inside the materialized localCheckpoint), the
+    // per-(query,cell) LUTs ride one broadcast, and the candidate join
+    // is the same broadcast hash join on cell as v9 — so its recall
+    // lift is pure quantization quality, not a different plan
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val n = emb.count()
+    val every = math.max(1L, n / 10).toInt
+    def nodeSeq(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect { case p => p.nodeName }.toSeq
+    val stride = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      m = 4, pqCentroidEvery = every, coarseCentroidEvery = every,
+      queryPred = col("id") < 5, k = 3, nprobe = 2)
+    val resid = Similarity.ivfPqTopKResidual(emb, "vec_id", "embedding",
+      m = 4, pqCentroidEvery = every, coarseCentroidEvery = every,
+      queryPred = col("id") < 5, k = 3, nprobe = 2)
+    assert(nodeSeq(resid) == nodeSeq(stride),
+      s"serving plans diverge:\n${nodeSeq(resid)}\nvs\n${nodeSeq(stride)}")
+    assert(resid.queryExecution.executedPlan.collect {
+      case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+    assert(shuffleCount(resid) == 1) // only the final top-k window
+    // residual + encode must be index-build work, never join-side work
+    val planStr = resid.queryExecution.optimizedPlan.toString
+    assert(!planStr.contains("residualbc") && !planStr.contains("Residual") &&
+      !planStr.contains("PqEncode"),
+      "residual/encode must run at index-build time, not per candidate")
+    assert(resid.count() > 0)
+  }
+
   test("IVF broadcast codebook: no literal blowup at C=10k, BNLJ-free, same results") {
     // 12k-vector corpus with centroidEvery=1 → a 12k-entry codebook: far
     // past maxLiteralCentroids, so the codebook must ride as a broadcast

@@ -493,6 +493,42 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(a.sameElements(c2))
   }
 
+  test("ivfPqTopKResidual: planted near-copy ranks first, deterministic, k-bounded") {
+    // clustered corpus: 4 tight clusters around orthogonal anchors, plus
+    // a planted near-copy of vector 1 at id 97 — residual encoding must
+    // place the copy at rank 1 for query 1 (its residual differs from
+    // the query's by the perturbation only)
+    def vec(i: Long): Seq[Double] = {
+      val anchor = (i % 4).toInt
+      Seq.tabulate(8)(d =>
+        (if (d % 4 == anchor) 1.0 else 0.0) +
+          0.05 * math.sin(i * (d + 1) * 0.61))
+    }
+    val base = (0L until 96L).map(i => (i, vec(i)))
+    val planted = Seq((97L, vec(1L).map(_ + 1e-4)))
+    val df = spark.createDataFrame(base ++ planted)
+      .toDF("vec_id", "embedding")
+    def run() = Similarity.ivfPqTopKResidual(df, "vec_id", "embedding",
+        m = 4, pqCentroidEvery = 12, coarseCentroidEvery = 24,
+        queryPred = col("id") < 4, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._3, t._2))
+    val a = run(); val b = run()
+    assert(a.sameElements(b), "residual serving must be deterministic")
+    assert(a.groupBy(_._1).values.forall(_.length <= 3))
+    assert(a.forall(t => t._1 != t._2 && t._3 >= 0.0)) // self-free, L2 >= 0
+    val q1 = a.filter(_._1 == 1L)
+    assert(q1.nonEmpty && q1.head._2 == 97L,
+      s"planted near-copy must rank first for query 1, got ${q1.toSeq}")
+    // trained variant serves the same contract (and actually trains)
+    val t = Similarity.ivfPqTopKResidual(df, "vec_id", "embedding",
+        m = 4, pqCentroidEvery = 12, coarseCentroidEvery = 24,
+        queryPred = col("id") < 4, k = 3, nprobe = 2,
+        pqIters = 1, coarseIters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(t.nonEmpty && t.forall(x => x._1 != x._2 && x._3 >= 0.0))
+  }
+
   test("quantizeInt8: codes bounded, round-trip error bounded by scale/2, shuffle-free") {
     val rows = Seq(
       (0L, Seq(0.5, -1.0, 0.25, 0.0)),
