@@ -3440,6 +3440,41 @@ object Queries {
       "INSERT INTO ch88_t (k, p) VALUES (5, 0)",
       "SELECT k, p, v, d, n, w FROM ch88_t ORDER BY k"))),
 
+    // bloom_filter data-skipping index (r12): ADD INDEX ... TYPE
+    // bloom_filter + MATERIALIZE INDEX build a per-file bit-position
+    // sidecar; the session optimizer rule then prunes FILES for
+    // equality/IN predicates on the indexed (unsorted, high-cardinality)
+    // column. Pruning must be invisible to results — the oracle is the
+    // plain filter; the files-read drop is pinned in ScaleDesignSpec.
+    "ch89_sql_bloom_index" -> ((s, dir) => chstmts(s, dir, Seq(
+      "DROP TABLE IF EXISTS ch89_t",
+      """CREATE TABLE ch89_t (k Int64, pk Int64, price Float64)
+        |ENGINE = MergeTree ORDER BY k""".stripMargin,
+      """INSERT INTO ch89_t SELECT l_orderkey, l_partkey, l_extendedprice
+        |FROM lineitem""".stripMargin,
+      "ALTER TABLE ch89_t ADD INDEX bf_pk pk TYPE bloom_filter GRANULARITY 1",
+      "ALTER TABLE ch89_t MATERIALIZE INDEX bf_pk",
+      """SELECT k, pk, price FROM ch89_t WHERE pk IN (42, 142, 1042)
+        |ORDER BY k, pk, price""".stripMargin))),
+
+    // SAMPLE n — the approximate row-count form (sampleClause,
+    // ClickHouseParser.py:11016-11083; was an honest refusal through
+    // r11): n scales onto the SAMPLE BY keyspace via the table's exact
+    // count (CH uses size stats), then the standard deterministic
+    // 1e6-bucket filter applies. The spread key keeps buckets uniform —
+    // the same contract CH puts on SAMPLE BY columns.
+    "ch90_sql_sample_rows" -> ((s, dir) => chstmts(s, dir, Seq(
+      "DROP TABLE IF EXISTS ch90_t",
+      """CREATE TABLE ch90_t (k Int64, flag String, qty Float64)
+        |ENGINE = MergeTree ORDER BY k SAMPLE BY k""".stripMargin,
+      """INSERT INTO ch90_t
+        |SELECT (l_orderkey * 7919 + l_linenumber) % 1000003,
+        |  l_returnflag, l_quantity FROM lineitem""".stripMargin,
+      """SELECT flag, count() AS n,
+        |  CAST(sum(CAST(qty AS Decimal(18, 2))) AS Float64) AS total
+        |FROM ch90_t SAMPLE 5000
+        |GROUP BY flag ORDER BY flag""".stripMargin))),
+
     // EXISTS / NOT EXISTS subqueries (uncorrelated, eager boolean)
     "ch24_sql_exists" -> ((s, dir) => chsql(s, dir,
       """SELECT o_orderstatus, count() AS n FROM orders
@@ -4672,6 +4707,28 @@ object Queries {
         |  CAST(v AS BIGINT) AS v, CAST(d AS BIGINT) AS d,
         |  CAST(n AS BIGINT) AS n, CAST(w AS BIGINT) AS w
         |FROM ins ORDER BY k""".stripMargin,
+
+    // bloom pruning is a scan optimization, not a semantics change: the
+    // oracle is the PLAIN filter over the same derived table
+    "ch89_sql_bloom_index" ->
+      """SELECT l_orderkey AS k, l_partkey AS pk, l_extendedprice AS price
+        |FROM lineitem WHERE l_partkey IN (42, 142, 1042)
+        |ORDER BY k, pk, price""".stripMargin,
+
+    // SAMPLE n replay: the exact count → ceil-scaled 1e6-bucket fraction
+    // → pmod filter, the same integer arithmetic as the builder
+    "ch90_sql_sample_rows" ->
+      """WITH src AS (SELECT
+        |    (l_orderkey * 7919 + l_linenumber) % 1000003 AS k,
+        |    l_returnflag AS flag, l_quantity AS qty FROM lineitem),
+        |tot AS (SELECT count(*) AS t FROM src),
+        |kk AS (SELECT LEAST(1000000,
+        |    GREATEST(1, (5000::BIGINT * 1000000 + t - 1) // t)) AS kb
+        |  FROM tot)
+        |SELECT flag, count(*) AS n,
+        |  CAST(sum(CAST(qty AS DECIMAL(18, 2))) AS DOUBLE) AS total
+        |FROM src, kk WHERE k % 1000000 < kb
+        |GROUP BY flag ORDER BY flag""".stripMargin,
 
     "ch86_sql_subsecond_interval" ->
       """SELECT event_id AS k,

@@ -1831,10 +1831,24 @@ object ChDdl {
           throw new IllegalArgumentException(
             "ChSql: ADD INDEX expects: name column TYPE type [GRANULARITY n]"))
       val (idx, c, typ) = (m.group(1), m.group(2), m.group(3))
-      if (!Set("minmax", "set").contains(typ.toLowerCase(java.util.Locale.ROOT)))
+      val typL = typ.toLowerCase(java.util.Locale.ROOT)
+      if (typL == "bloom_filter") {
+        // bloom skip index (r12): equality/IN pruning on UNSORTED
+        // high-cardinality columns — the case min/max clustering can't
+        // serve. Registration installs the per-session prune rule;
+        // MATERIALIZE INDEX builds the per-file sidecar.
+        require(spark.table(name).columns.contains(c),
+          s"ChSql: ADD INDEX: no column $c in $name")
+        spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES (" +
+          s"${sqlLit(s"graft.bloomindex.$idx")}=${sqlLit(c)})")
+        graft.plans.BloomSkipIndex.install(spark)
+        status(s"bloom index $idx on $name($c) registered — equality/IN " +
+          s"scans prune files after MATERIALIZE INDEX $idx")
+      } else if (!Set("minmax", "set").contains(typL))
         // the AdminOps.system pattern: refuse honestly, don't fake it
         status(s"index type $typ has no Spark twin (parquet row-group " +
-          s"min/max stats back minmax/set only) — not created")
+          s"min/max stats back minmax/set; bloom_filter has its own " +
+          s"sidecar twin) — not created")
       else {
         require(spark.table(name).columns.contains(c),
           s"ChSql: ADD INDEX: no column $c in $name")
@@ -1843,6 +1857,15 @@ object ChDdl {
         status(s"index $idx on $name($c) registered — new writes cluster " +
           s"by it; MATERIALIZE INDEX $idx rewrites existing parts")
       }
+    } else if (up.startsWith("MATERIALIZE INDEX") &&
+        tablePropsSafe(spark, name)
+          .contains(s"graft.bloomindex.${clause.split("\\s+").last}")) {
+      val idx = clause.split("\\s+").last
+      val c = tablePropsSafe(spark, name)(s"graft.bloomindex.$idx")
+      val side = graft.plans.BloomSkipIndex.materialize(spark, name, c)
+      graft.plans.BloomSkipIndex.install(spark)
+      status(s"materialized bloom index $idx on $name($c): per-file " +
+        s"sidecar $side built; equality/IN scans now prune")
     } else if (up.startsWith("MATERIALIZE INDEX")) {
       val idx = clause.split("\\s+").last
       val c = tablePropsSafe(spark, name).getOrElse(s"graft.index.$idx",
@@ -1861,8 +1884,12 @@ object ChDdl {
         s"row-group stats now selective")
     } else if (up.startsWith("DROP INDEX")) {
       val idx = clause.split("\\s+").last
+      tablePropsSafe(spark, name).get(s"graft.bloomindex.$idx").foreach { c =>
+        val side = graft.plans.BloomSkipIndex.sidecarName(name, c)
+        if (spark.catalog.tableExists(side)) spark.sql(s"DROP TABLE $side")
+      }
       spark.sql(s"ALTER TABLE $name UNSET TBLPROPERTIES IF EXISTS (" +
-        s"${sqlLit(s"graft.index.$idx")})")
+        s"${sqlLit(s"graft.index.$idx")}, ${sqlLit(s"graft.bloomindex.$idx")})")
       status(s"dropped index $idx from $name")
     } else if (up.startsWith("ADD PROJECTION")) {
       val m = ("(?is)^ADD\\s+PROJECTION\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
@@ -3121,15 +3148,19 @@ object ChDdl {
     * that role implicitly at scan time. */
   private def showIndex(spark: SparkSession, name: String): DataFrame = {
     import spark.implicits._
-    val keys: Seq[String] =
-      if (spark.catalog.tableExists(name))
-        tableProps(spark, name).get("graft.order_by")
-          .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
-      else Nil
-    keys.zipWithIndex.map { case (c, i) =>
+    val props: Map[String, String] =
+      if (spark.catalog.tableExists(name)) tableProps(spark, name)
+      else Map.empty
+    val keys: Seq[String] = props.get("graft.order_by")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+    val primary = keys.zipWithIndex.map { case (c, i) =>
       (name, 1, "PRIMARY", i + 1, c, "A")
-    }.toDF("table", "non_unique", "key_name", "seq_in_index",
-      "column_name", "collation")
+    }
+    // data-skipping bloom indexes (r12) are real secondary indexes here
+    val blooms = graft.plans.BloomSkipIndex.indexedColumns(props).toSeq
+      .sortBy(_._1).map { case (idx, c) => (name, 1, idx, 1, c, "A") }
+    (primary ++ blooms).toDF("table", "non_unique", "key_name",
+      "seq_in_index", "column_name", "collation")
   }
 
   /** `SHOW CREATE USER|ROLE|ROW POLICY|QUOTA|SETTINGS PROFILE name`

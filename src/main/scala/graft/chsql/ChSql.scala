@@ -805,20 +805,33 @@ object ChSql {
                 (math.round(f * 1000000L), 1000000L)
               } else if (eatP("/")) (a.toLong, parseLong())
               else if (allowBareInt && a.toLong == 0L) (0L, 1L)
-              else fail(s"$what n (approximate row-count form) needs table " +
-                s"size stats; use $what k/m or $what <fraction>")
+              else if (what == "SAMPLE" && a.toLong >= 1L)
+                // SAMPLE n — approximate row-count form (sampleClause
+                // 11016-11083): m=0 sentinel; the builder derives the
+                // bucket fraction from the table's exact count (CH
+                // scales n onto the keyspace via table-size stats)
+                (a.toLong, 0L)
+              else if (what == "SAMPLE")
+                fail("SAMPLE 0 would read nothing — ratio must be in " +
+                  "(0,1] or a row count >= 1")
+              else fail(s"$what n (bare integer) is only supported on " +
+                s"SAMPLE itself; use $what k/m or $what <fraction>")
             if (!minZero && r._1 == 0L)
               fail(s"$what ratio must be in (0,1] — got 0 (always empty)")
             // sampleBuckets computes in Int bucket space; an oversized
             // denominator would otherwise truncate into a wrong-but-
-            // plausible window downstream
-            if (r._1 < 0 || r._2 <= 0 || r._1 > Int.MaxValue ||
-                r._2 > Int.MaxValue)
+            // plausible window downstream (the m=0 row-count sentinel
+            // derives its own 1e6 bucket space at build time)
+            if (r._2 != 0L && (r._1 < 0 || r._2 <= 0 || r._1 > Int.MaxValue ||
+                r._2 > Int.MaxValue))
               fail(s"$what ratio ${r._1}/${r._2} out of supported range " +
                 s"(numerator/denominator must fit in [0, ${Int.MaxValue}])")
             r
           }
           val (k, m) = ratio("SAMPLE", allowBareInt = false, minZero = false)
+          if (m == 0L && isKw("OFFSET"))
+            fail("SAMPLE n OFFSET is not supported — the row-count form " +
+              "has no stable offset keyspace; use SAMPLE k/m OFFSET o/m")
           val off =
             if (eatKw("OFFSET")) {
               val (o, m2) = ratio("OFFSET", allowBareInt = true,
@@ -1837,8 +1850,24 @@ object ChSql {
         .getOrElse(throw new IllegalArgumentException(
           "ChSql: SAMPLE needs the table created with SAMPLE BY <col> or " +
             "SETTINGS graft_sample_key = '<integer column>'"))
-      df = graft.operators.ChOps.sampleBuckets(df, col(keyName), k.toInt,
-        m.toInt, off.toInt)
+      if (m == 0L) {
+        // SAMPLE n — approximate row-count form: CH scales n onto the
+        // sampling keyspace via table-size stats; the twin derives the
+        // same fraction from an exact count (one metadata-cheap
+        // aggregate over the left table, BEFORE joins) and applies the
+        // standard deterministic bucket filter at m = 1e6. Approximate
+        // like CH: actual row count tracks n only as well as the
+        // sampling key is uniform in the bucket space.
+        val total = df.count()
+        if (total > 0 && k < total) {
+          val kb = ((k * 1000000L + total - 1) / total)
+            .min(1000000L).max(1L)
+          df = graft.operators.ChOps.sampleBuckets(df, col(keyName),
+            kb.toInt, 1000000, 0)
+        } // n >= table size: the whole table, no filter
+      } else
+        df = graft.operators.ChOps.sampleBuckets(df, col(keyName), k.toInt,
+          m.toInt, off.toInt)
     }
 
     val tr = new Translator(spark, resolve, ctes, exprEnv, buildSetOp)

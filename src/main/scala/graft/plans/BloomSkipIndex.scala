@@ -1,0 +1,212 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{
+  Attribute, AttributeReference, EqualTo, Expression, In, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{
+  HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter data-skipping index — the Spark twin of ClickHouse's
+  * `INDEX i c TYPE bloom_filter` (AlterTableClauseAddIndex,
+  * ClickHouseParser.py:2178-2241; tableIndexDfnt). CH stores a bloom
+  * per granule and skips granules for equality-class predicates on
+  * UNSORTED high-cardinality columns — exactly the case min/max stats
+  * (our minmax/set twin: clustered parquet row groups) cannot prune.
+  * Here the natural granule at rest is the parquet FILE:
+  *
+  *  - '''build''' ([[materialize]]): one scan groups the indexed
+  *    column's K=3 `xxhash64(value, seed) mod 2^16` bit positions per
+  *    file (`input_file_name`), storing the DISTINCT positions as a
+  *    sorted int array in a sidecar table `<table>__bloom_<column>` —
+  *    a few KB per file, SQL-replayable (a packed bitset would be
+  *    opaque to the oracle and to debugging; at 100 TB the sidecar is
+  *    still ~file-count-sized, i.e. metadata-scale);
+  *  - '''serve''' ([[BloomPruneRule]]): an optimizer rule matches
+  *    `Filter` conjuncts of shape `col = lit` / `col IN (lits)` on a
+  *    bloom-indexed column directly above the table's file scan,
+  *    probes the sidecar (driver-side — it is file-count-sized), and
+  *    rewrites the scan's file index to only the files whose bloom
+  *    may contain a probe value. No false negatives by construction:
+  *    a file is dropped only if NO probe value has all K bits set.
+  *    Files unknown to the sidecar (written after MATERIALIZE) are
+  *    always kept — same keep-on-unknown contract CH applies to
+  *    not-yet-materialized parts.
+  *
+  * Scope bounds (each refused/skipped honestly, not silently wrong):
+  * unpartitioned tables only (partitioned layouts already prune by
+  * partition value; rebuilding a partitioning-aware index from leaf
+  * files would drop partition columns), bare-attribute probes only (a
+  * cast around the column changes the hashed type), non-null literal
+  * probes of the column's exact type.
+  */
+object BloomSkipIndex {
+  val NumBits = 1 << 16
+  val NumHashes = 3
+  /** Option key tagging an already-pruned relation (the rule runs in a
+    * fixed-point batch; pruning must be idempotent). */
+  private val PrunedTag = "graft.bloom.pruned"
+
+  def sidecarName(table: String, column: String): String =
+    s"${table.replace('.', '_')}__bloom_$column"
+
+  /** The K bit positions of one column expression — the SAME Catalyst
+    * xxhash64 evaluates build-side (executor scan) and probe-side
+    * (driver literal), so the two can never drift. */
+  private def bitCols(c: org.apache.spark.sql.Column) =
+    (0 until NumHashes).map(seed =>
+      pmod(xxhash64(c, lit(seed)), lit(NumBits.toLong)).cast("int"))
+
+  /** Build (or rebuild) the sidecar for `table.column`: one
+    * map-combinable pass — explode K positions per row, distinct per
+    * file, pack sorted. Overwrites any prior build. */
+  def materialize(spark: SparkSession, table: String, column: String): String = {
+    val side = sidecarName(table, column)
+    val df = spark.table(table)
+    require(df.columns.contains(column),
+      s"bloom index: no column $column in $table")
+    val bits = df.select(input_file_name().as("file"), col(column).as("v"))
+      .select(col("file"), explode(array(bitCols(col("v")): _*)).as("bit"))
+      .groupBy("file").agg(sort_array(collect_set(col("bit"))).as("bits"))
+    // self-read-vs-overwrite guard: materialize the tiny sidecar frame
+    // before the write replaces a prior build's files
+    val rows = bits.collect()
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), bits.schema)
+    // a prior session's managed-table directory may linger in the
+    // warehouse after the catalog forgot the table (fresh metastore per
+    // run) — clear both, or saveAsTable refuses with
+    // LOCATION_ALREADY_EXISTS
+    spark.sql(s"DROP TABLE IF EXISTS $side")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(wh, side.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    out.write.mode("overwrite").saveAsTable(side)
+    side
+  }
+
+  /** Register the pruning rule in a live session (idempotent). */
+  def install(spark: SparkSession): Unit = {
+    val has = spark.experimental.extraOptimizations
+      .exists(_.isInstanceOf[BloomPruneRule])
+    if (!has)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ BloomPruneRule(spark)
+  }
+
+  /** Bloom-indexed columns of a catalog table: `graft.bloomindex.<idx>`
+    * table properties, value = column name. */
+  def indexedColumns(props: Map[String, String]): Map[String, String] =
+    props.collect { case (k, v) if k.startsWith("graft.bloomindex.") =>
+      k.stripPrefix("graft.bloomindex.") -> v }
+
+  /** Driver-side probe bits for one literal — the same XxHash64
+    * expression the build ran, evaluated over the literal. */
+  private[plans] def probeBits(v: Literal): Seq[Int] =
+    (0 until NumHashes).map { seed =>
+      val h = XxHash64(Seq(v, Literal(seed)), 42L).eval(null)
+        .asInstanceOf[Long]
+      (((h % NumBits) + NumBits) % NumBits).toInt
+    }
+
+  /** Extract (column → probe literals) from the filter's top-level
+    * conjuncts, for columns in `cols`. Sound for pruning: a row
+    * satisfying `col = v` (or a positive IN arm) lives in a file whose
+    * bloom contains v. */
+  private[plans] def probesOf(cond: Expression,
+      cols: Set[String]): Map[String, Seq[Literal]] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts(cond).flatMap {
+      case EqualTo(a: AttributeReference, l: Literal)
+          if cols.contains(a.name) && l.value != null =>
+        Some(a.name -> Seq(l))
+      case EqualTo(l: Literal, a: AttributeReference)
+          if cols.contains(a.name) && l.value != null =>
+        Some(a.name -> Seq(l))
+      case In(a: AttributeReference, vs)
+          if cols.contains(a.name) && vs.nonEmpty &&
+            vs.forall { case l: Literal => true; case _ => false } =>
+        // null IN-arms never positively match; prune on the non-null ones
+        val lits = vs.collect { case l: Literal if l.value != null => l }
+        if (lits.nonEmpty) Some(a.name -> lits) else None
+      case _ => None
+    }.groupBy(_._1).map { case (k, vs) => k -> vs.flatMap(_._2) }
+  }
+}
+
+/** The serve-side optimizer rule (see [[BloomSkipIndex]]). Installed per
+  * session by ADD INDEX ... TYPE bloom_filter, or cluster-wide via
+  * `spark.sql.extensions=graft.plans.GraftExtensions`. */
+case class BloomPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  import BloomSkipIndex._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case f @ Filter(cond,
+        l @ LogicalRelation(fs: HadoopFsRelation, _, Some(cat), _, _))
+        if !fs.options.contains("graft.bloom.pruned") &&
+          fs.partitionSchema.isEmpty =>
+      val byIdx = indexedColumns(cat.properties)
+      if (byIdx.isEmpty) f
+      else {
+        val indexedCols = byIdx.values.toSet
+        val probes = probesOf(cond, indexedCols)
+        if (probes.isEmpty) f
+        else prune(f, l, fs, cat.identifier.table, probes)
+      }
+  }
+
+  private def prune(f: Filter, l: LogicalRelation, fs: HadoopFsRelation,
+      table: String, probes: Map[String, Seq[Literal]]): LogicalPlan = {
+    val allFiles = fs.location.inputFiles
+    // one surviving-file set per probed column; a kept file must pass
+    // EVERY probed column's bloom (conjunct semantics)
+    val kept = probes.foldLeft(allFiles.toSeq) { case (files, (column, lits)) =>
+      val side = sidecarName(table, column)
+      if (!spark.catalog.tableExists(side)) files // not materialized: keep
+      else {
+        val bitsByFile: Map[String, Set[Int]] = spark.table(side)
+          .collect()
+          .map(r => fileKey(r.getString(0)) -> r.getSeq[Int](1).toSet)
+          .toMap
+        val probeSets = lits.map(probeBits(_).toSet)
+        files.filter { path =>
+          bitsByFile.get(fileKey(path)) match {
+            case None => true // file newer than the build: keep
+            case Some(bits) => probeSets.exists(_.subsetOf(bits))
+          }
+        }
+      }
+    }
+    if (kept.size == allFiles.length) f
+    else {
+      val newLoc = new InMemoryFileIndex(spark,
+        kept.map(p => new org.apache.hadoop.fs.Path(p)),
+        Map.empty[String, String], Some(fs.dataSchema))
+      val pruned = fs.copy(location = newLoc,
+        options = fs.options + ("graft.bloom.pruned" -> "true"))(spark)
+      Filter(f.condition, l.copy(relation = pruned))
+    }
+  }
+
+  /** Sidecar rows key files by `input_file_name()` URIs; the relation's
+    * `inputFiles` may render the scheme differently — compare by the
+    * (unique-per-table) final path segment. */
+  private def fileKey(path: String): String =
+    path.substring(path.lastIndexOf('/') + 1)
+}
+
+/** Helper to read a table with pruning applied explicitly (the
+  * rule-free entry point for tests and non-session use). */
+object BloomPrunedRead {
+  def apply(spark: SparkSession, table: String): DataFrame = {
+    BloomSkipIndex.install(spark)
+    spark.table(table)
+  }
+}

@@ -479,6 +479,32 @@ class ChSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("graft_sample_key"))
   }
 
+  test("SAMPLE n (row-count form): count-scaled buckets, n>=total is the " +
+      "whole table, OFFSET refuses, SAMPLE 0 refuses") {
+    // keys spread over the 1e6 bucket space: 6 rows, n=3 → kb=500000 →
+    // pmod(key,1e6) ∈ {250000, 500000, 750000, 0, 250000, 500000}; the
+    // < 500000 window keeps exactly the three {250000, 0, 250000} keys
+    val r = run(
+      """SELECT k FROM (SELECT okey * 250000 AS k FROM orders) SAMPLE 3
+        |ORDER BY k SETTINGS graft_sample_key = 'k'""".stripMargin)
+    assert(r.map(_.head) == Seq(250000L, 1000000L, 1250000L))
+    // n >= table size: no filter at all
+    val all = run(
+      """SELECT okey FROM orders SAMPLE 100 ORDER BY okey
+        |SETTINGS graft_sample_key = 'okey'""".stripMargin)
+    assert(all.map(_.head) == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    val eo = intercept[IllegalArgumentException] {
+      run("""SELECT okey FROM orders SAMPLE 3 OFFSET 1/2
+            |SETTINGS graft_sample_key = 'okey'""".stripMargin)
+    }
+    assert(eo.getMessage.contains("row-count form"))
+    val e0 = intercept[IllegalArgumentException] {
+      run("""SELECT okey FROM orders SAMPLE 0
+            |SETTINGS graft_sample_key = 'okey'""".stripMargin)
+    }
+    assert(e0.getMessage.contains("(0,1]"))
+  }
+
   test("SAMPLE k/m OFFSET o/m: two offsets partition the keyspace") {
     val lo = run(
       """SELECT okey FROM orders SAMPLE 1/2 ORDER BY okey

@@ -1050,7 +1050,9 @@ class DdlSurfaceSpec extends AnyFunSuite {
     chRun("DROP TABLE IF EXISTS idx_t")
     chRun("CREATE TABLE idx_t (k Int64, v Float64) ENGINE = MergeTree ORDER BY k")
     chRun("INSERT INTO idx_t SELECT number, number * 1.5 FROM numbers(4000)")
-    assert(chRun("ALTER TABLE idx_t ADD INDEX bf v TYPE bloom_filter")
+    // bloom_filter gained a real twin in r12 (see the bloom test below);
+    // n-gram/token blooms still refuse honestly
+    assert(chRun("ALTER TABLE idx_t ADD INDEX nb v TYPE ngrambf_v1")
       .head.getString(0).contains("no Spark twin"))
     chRun("ALTER TABLE idx_t ADD INDEX iv v TYPE minmax")
     chRun("ALTER TABLE idx_t MATERIALIZE INDEX iv")
@@ -1072,6 +1074,32 @@ class DdlSurfaceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       chRun("ALTER TABLE idx_t MATERIALIZE INDEX iv"))
     chRun("DROP TABLE idx_t")
+  }
+
+  test("bloom_filter index: ADD registers + SHOW lists it, MATERIALIZE " +
+      "builds the sidecar, reads stay correct, DROP removes the sidecar") {
+    chRun("DROP TABLE IF EXISTS bfx_t")
+    chRun("CREATE TABLE bfx_t (k Int64, u Int64) ENGINE = MergeTree ORDER BY k")
+    // u is deliberately UNSORTED relative to k — the case minmax can't prune
+    chRun("INSERT INTO bfx_t SELECT number, (number * 7919) % 100000 " +
+      "FROM numbers(5000)")
+    assert(chRun("ALTER TABLE bfx_t ADD INDEX bf_u u TYPE bloom_filter")
+      .head.getString(0).contains("bloom index bf_u"))
+    assert(chRun("SHOW INDEX FROM bfx_t")
+      .exists(r => r.getString(2) == "bf_u" && r.getString(4) == "u"))
+    chRun("ALTER TABLE bfx_t MATERIALIZE INDEX bf_u")
+    val side = graft.plans.BloomSkipIndex.sidecarName("bfx_t", "u")
+    assert(spark.catalog.tableExists(side), "sidecar must exist")
+    // equality through the CH-SQL text path returns the right row(s)
+    // with the prune rule installed (7919*3 % 100000 = 23757)
+    val hit = chRun("SELECT k, u FROM bfx_t WHERE u = 23757 ORDER BY k")
+    assert(hit.map(r => (r.getLong(0), r.getLong(1))) == Seq((3L, 23757L)))
+    // a value absent from the table: zero rows (all files pruned is fine)
+    assert(chRun("SELECT k FROM bfx_t WHERE u = 99999999").isEmpty)
+    chRun("ALTER TABLE bfx_t DROP INDEX bf_u")
+    assert(!spark.catalog.tableExists(side), "DROP INDEX must drop the sidecar")
+    assert(chRun("SHOW INDEX FROM bfx_t").forall(_.getString(2) != "bf_u"))
+    chRun("DROP TABLE bfx_t")
   }
 
   test("SHOW CREATE TABLE round-trips: the emitted DDL re-runs to the same table") {

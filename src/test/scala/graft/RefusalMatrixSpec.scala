@@ -138,14 +138,21 @@ class RefusalMatrixSpec extends AnyFunSuite {
       s.contains("refusal_not_a_setting")), st)
   }
 
-  test("ADD INDEX of a non-minmax type refuses via status, not silently") {
+  test("ADD INDEX of an unsupported type refuses via status, not silently") {
+    // bloom_filter gained a real twin in r12 (BloomSkipIndex); the
+    // n-gram/token bloom variants remain honest refusals
     run("DROP TABLE IF EXISTS refusal_idx")
     run("CREATE TABLE refusal_idx (k Int64, s String) " +
       "ENGINE = MergeTree ORDER BY k")
     val st = run(
+      "ALTER TABLE refusal_idx ADD INDEX nb s TYPE ngrambf_v1 GRANULARITY 4")
+      .head.getString(0)
+    assert(st.contains("not created") && st.contains("ngrambf_v1"), st)
+    // bloom_filter now REGISTERS instead of refusing
+    val ok = run(
       "ALTER TABLE refusal_idx ADD INDEX bf s TYPE bloom_filter GRANULARITY 4")
       .head.getString(0)
-    assert(st.contains("not created") && st.contains("bloom_filter"), st)
+    assert(ok.contains("bloom index bf"), ok)
     run("DROP TABLE refusal_idx")
   }
 }

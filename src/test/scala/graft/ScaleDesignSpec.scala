@@ -555,6 +555,50 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(rows(1024) == rows(0)) // literal path == broadcast path
   }
 
+  test("bloom skip index: equality/IN scans read fewer files, results identical") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    spark.sql("DROP TABLE IF EXISTS bloom_t")
+    spark.sql("DROP TABLE IF EXISTS bloom_t__bloom_k")
+    // 8 files, ids range-clustered so each file holds a disjoint id slice
+    spark.range(0, 8000).select(col("id").as("k"),
+        (col("id") % 97).as("payload"))
+      .repartitionByRange(8, col("k"))
+      .write.option("path", s"$wh/bloom_t").mode("overwrite")
+      .saveAsTable("bloom_t")
+    graft.plans.BloomSkipIndex.materialize(spark, "bloom_t", "k")
+    spark.sql("ALTER TABLE bloom_t SET TBLPROPERTIES " +
+      "('graft.bloomindex.bf_k'='k')")
+    graft.plans.BloomSkipIndex.install(spark)
+    def filesRead(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.relation.location.inputFiles.length
+      }.sum
+    val q = spark.table("bloom_t").filter(col("k") === 42L || col("k") === 42L)
+      .filter(col("k").isin(42L, 7042L))
+    val pruned = spark.table("bloom_t").filter(col("k").isin(42L, 7042L))
+    val full = spark.table("bloom_t").filter(col("payload") >= 0)
+    assert(filesRead(full) == 8, s"expected 8 base files, ${filesRead(full)}")
+    val n = filesRead(pruned)
+    assert(n < 8 && n >= 2, s"bloom should prune to the 2 id-slices, read $n")
+    // no false negatives: pruned result == the full-scan filter result
+    val uninstalled = spark.newSession()
+    val expect = uninstalled.table("bloom_t").filter(col("k").isin(42L, 7042L))
+      .collect().map(_.toString).sorted.toSeq
+    assert(pruned.collect().map(_.toString).sorted.toSeq == expect)
+    // single-equality probe prunes to (at most) one slice + none unknown
+    val one = spark.table("bloom_t").filter(col("k") === 123L)
+    assert(filesRead(one) <= 2, s"single probe read ${filesRead(one)} files")
+    assert(one.count() == 1)
+    // files written AFTER the build are kept, never wrongly pruned
+    spark.range(90000, 90003).select(col("id").as("k"),
+        lit(0L).as("payload"))
+      .write.mode("append").saveAsTable("bloom_t")
+    val post = spark.table("bloom_t").filter(col("k") === 90001L)
+    assert(post.count() == 1, "post-build file must be kept by the pruner")
+    // two bloom conjuncts intersect: (k=42) AND (k IN (42,7042)) → 1 row
+    assert(q.count() == 1)
+  }
+
   test("topK plans as TakeOrderedAndProject; funnel and FINAL are aggregates, not windows") {
     val part = spark.read.parquet(s"$sf/part.parquet")
     val topk = part.groupBy("p_type").agg(count(lit(1)).as("n"))
