@@ -780,6 +780,30 @@ private[graft] object FuzzGrammar {
       P(ch, tw)
     }
 
+    /** SAMPLE n (row-count form, r12) arm: the builder scales n onto the
+      * 1e6 bucket space via an exact count; the twin replays the same
+      * integer ceil — `DIV` spelling for Spark SQL, `//` for DuckDB.
+      * n ∈ [1,30] keeps the derived window genuinely selective at the
+      * fixture's key range (larger n saturates to the whole table,
+      * which is the documented n>=total contract, still a valid parity
+      * point but a weaker one). */
+    def sampleRowsQuery(): P = {
+      val n = int(1, 30)
+      val p = pred(1)
+      val lim = int(5, 150)
+      val ch =
+        s"SELECT o_orderkey AS ck, (o_custkey % 97) AS g FROM orders " +
+          s"SAMPLE $n WHERE ${p.ch} ORDER BY ck LIMIT $lim " +
+          s"SETTINGS graft_sample_key = 'o_orderkey'"
+      def tw(idiv: String) =
+        s"SELECT o_orderkey AS ck, (o_custkey % 97) AS g FROM orders " +
+          s"WHERE (o_orderkey % 1000000) < LEAST(1000000, GREATEST(1, " +
+          s"($n * 1000000 + (SELECT count(*) FROM orders) - 1) $idiv " +
+          s"(SELECT count(*) FROM orders))) " +
+          s"AND (${p.sp}) ORDER BY ck LIMIT $lim"
+      P(ch, tw("DIV"), Some(tw("//")))
+    }
+
     // arm order is LOAD-BEARING: pick() consumes one draw, so the seed
     // space stays stable as long as this list keeps its order
     private val arms: Seq[(String, () => P)] = Seq(
@@ -805,7 +829,8 @@ private[graft] object FuzzGrammar {
       "scalar_sub" -> (() => scalarSubQuery()),
       "like" -> (() => likeQuery()),
       "sample_offset" -> (() => sampleOffsetQuery()),
-      "subsecond" -> (() => subsecondQuery()))
+      "subsecond" -> (() => subsecondQuery()),
+      "sample_rows" -> (() => sampleRowsQuery()))
 
     def namedQuery(): (String, P) = { val (n, f) = pick(arms); (n, f()) }
     def query(): P = namedQuery()._2
