@@ -6566,6 +6566,30 @@ object Queries {
             s, s"$dir/embeddings.parquet"))
         .orderBy(col("query_id"), col("adist"), col("neighbor_id"))),
 
+    // PERSISTED IVFADC index (the faiss write_index/read_index
+    // workflow): train BOTH codebooks exactly as v15, save them as
+    // parquet, reload, and serve through the byte-identical
+    // ivfPqTopKWith pipeline. Parquet round-trips doubles bit-exactly,
+    // so load→serve ≡ train→serve — proven cross-engine by sharing
+    // v15's training-replay oracle. At 100 TB this is THE serving
+    // shape: codebooks train once on a sample and persist; every query
+    // batch serves from the artifact.
+    "v17_index_persist" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val n = graft.operators.Similarity.parquetRowCount(
+        s, s"$dir/embeddings.parquet")
+      val every = math.max(1L, n / 10).toInt
+      val cb = graft.operators.Similarity.pqCodebooksTrained(
+        emb, "vec_id", "embedding", m = 4, centroidEvery = every, iters = 1)
+      val (cids, cvs) = graft.operators.Similarity.kmeansCodebook(
+        emb, "vec_id", "embedding", every, iters = 1)
+      val idx = java.nio.file.Files.createTempDirectory("graft_idx").toString
+      graft.operators.Similarity.saveIvfPqIndex(s, idx, cids, cvs, cb)
+      graft.operators.Similarity.ivfPqTopKPersisted(emb, "vec_id",
+          "embedding", idx, queryPred = col("id") < 10, k = 3, nprobe = 2)
+        .orderBy(col("query_id"), col("adist"), col("neighbor_id"))
+    }),
+
     // RESIDUAL IVFADC (Jégou et al. 2011, the faiss IndexIVFPQ default):
     // the fine quantizer encodes x − centroid(cell) instead of the raw
     // vector — one extra row-local O(d) subtraction corpus-side, and
@@ -7288,6 +7312,54 @@ object Queries {
     s"-ln(-ln((${sqlCharFold(s"CAST($idExpr AS VARCHAR)")} + 1) / " +
       "2147483648.0))"
 
+  /** trained-everything IVFADC replay (v13 coarse-training block +
+    * v14 per-subspace PQ training + the v9 serving shape) — shared by
+    * v15 (train→serve) and v17 (persist→load→serve: parquet
+    * round-trips the trained doubles bit-exactly, so the serve chain
+    * replays identically). */
+  private lazy val ivfPqTrainedOracleSql: String =
+      s"""WITH vecs AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |stride AS (SELECT GREATEST(1, count(*) // 10) AS s FROM vecs),
+         |cents AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cpos, v AS cv
+         |  FROM vecs WHERE id % (SELECT s FROM stride) = 0),
+         |cents0 AS (SELECT id AS cid, v AS cv FROM vecs
+         |  WHERE id % (SELECT s FROM stride) = 0),
+         |a0 AS (SELECT id, v, cid,
+         |  round(${sqlDot("v", "cv")} /
+         |    (sqrt(${sqlNormSq("v")}) * sqrt(${sqlNormSq("cv")})), 6) AS csim
+         |  FROM vecs CROSS JOIN cents0),
+         |cell0 AS (SELECT id, v, cid AS cell FROM (
+         |  SELECT id, v, cid, row_number() OVER (PARTITION BY id
+         |    ORDER BY csim DESC, cid) AS rn FROM a0) WHERE rn = 1),
+         |m0 AS (SELECT cell, pos, round(avg(x), 6) AS m FROM (
+         |    SELECT cell, unnest(v) AS x, unnest(range(0, len(v))) AS pos
+         |    FROM cell0) GROUP BY cell, pos),
+         |p0 AS (SELECT cell, list(m ORDER BY pos) AS mv FROM m0 GROUP BY cell),
+         |cents1 AS (SELECT cid, coalesce(p0.mv, cv) AS cv
+         |  FROM cents0 LEFT JOIN p0 ON p0.cell = cents0.cid),
+         |${pqTrainedCodeCtes(4, 16)},
+         |a1 AS (SELECT id, v, cid,
+         |  round(${sqlDot("v", "cv")} /
+         |    (sqrt(${sqlNormSq("v")}) * sqrt(${sqlNormSq("cv")})), 6) AS csim
+         |  FROM vecs CROSS JOIN cents1),
+         |rk1 AS (SELECT id, v, cid, row_number() OVER (PARTITION BY id
+         |    ORDER BY csim DESC, cid) AS rn FROM a1),
+         |corp AS (SELECT id, cid AS cell FROM rk1 WHERE rn = 1),
+         |qp AS (SELECT id AS query_id, v AS qv, cid AS cell FROM rk1
+         |  WHERE rn <= 2 AND id < 10),
+         |scored AS (SELECT q.query_id, n.id AS neighbor_id,
+         |  round(${pqTrainedAdcSql(4, 16)}, 6) AS adist
+         |  FROM qp q JOIN corp n ON n.cell = q.cell
+         |  ${pqTrainedCodeJoins(4)}
+         |  WHERE q.query_id <> n.id),
+         |rk AS (SELECT query_id, neighbor_id, adist, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, adist FROM rk WHERE rn <= 3
+         |ORDER BY query_id, adist, neighbor_id""".stripMargin
+
   private val oracles14: Map[String, String] = Map(
 
     // byte-level chain replay: rebuild the mixed-script fixture and the
@@ -7403,48 +7475,13 @@ object Queries {
     // (pqTrainedCodeCtes), then the v9 serving shape — corpus vectors
     // live in their nearest TRAINED cell, queries probe their 2 nearest,
     // candidates rank by ADC against the TRAINED subspace codebooks
-    "v15_ivfpq_trained" ->
-      s"""WITH vecs AS (SELECT vec_id AS id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings),
-         |stride AS (SELECT GREATEST(1, count(*) // 10) AS s FROM vecs),
-         |cents AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cpos, v AS cv
-         |  FROM vecs WHERE id % (SELECT s FROM stride) = 0),
-         |cents0 AS (SELECT id AS cid, v AS cv FROM vecs
-         |  WHERE id % (SELECT s FROM stride) = 0),
-         |a0 AS (SELECT id, v, cid,
-         |  round(${sqlDot("v", "cv")} /
-         |    (sqrt(${sqlNormSq("v")}) * sqrt(${sqlNormSq("cv")})), 6) AS csim
-         |  FROM vecs CROSS JOIN cents0),
-         |cell0 AS (SELECT id, v, cid AS cell FROM (
-         |  SELECT id, v, cid, row_number() OVER (PARTITION BY id
-         |    ORDER BY csim DESC, cid) AS rn FROM a0) WHERE rn = 1),
-         |m0 AS (SELECT cell, pos, round(avg(x), 6) AS m FROM (
-         |    SELECT cell, unnest(v) AS x, unnest(range(0, len(v))) AS pos
-         |    FROM cell0) GROUP BY cell, pos),
-         |p0 AS (SELECT cell, list(m ORDER BY pos) AS mv FROM m0 GROUP BY cell),
-         |cents1 AS (SELECT cid, coalesce(p0.mv, cv) AS cv
-         |  FROM cents0 LEFT JOIN p0 ON p0.cell = cents0.cid),
-         |${pqTrainedCodeCtes(4, 16)},
-         |a1 AS (SELECT id, v, cid,
-         |  round(${sqlDot("v", "cv")} /
-         |    (sqrt(${sqlNormSq("v")}) * sqrt(${sqlNormSq("cv")})), 6) AS csim
-         |  FROM vecs CROSS JOIN cents1),
-         |rk1 AS (SELECT id, v, cid, row_number() OVER (PARTITION BY id
-         |    ORDER BY csim DESC, cid) AS rn FROM a1),
-         |corp AS (SELECT id, cid AS cell FROM rk1 WHERE rn = 1),
-         |qp AS (SELECT id AS query_id, v AS qv, cid AS cell FROM rk1
-         |  WHERE rn <= 2 AND id < 10),
-         |scored AS (SELECT q.query_id, n.id AS neighbor_id,
-         |  round(${pqTrainedAdcSql(4, 16)}, 6) AS adist
-         |  FROM qp q JOIN corp n ON n.cell = q.cell
-         |  ${pqTrainedCodeJoins(4)}
-         |  WHERE q.query_id <> n.id),
-         |rk AS (SELECT query_id, neighbor_id, adist, row_number() OVER (
-         |  PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
-         |  FROM scored)
-         |SELECT query_id, neighbor_id, adist FROM rk WHERE rn <= 3
-         |ORDER BY query_id, adist, neighbor_id""".stripMargin,
+    "v15_ivfpq_trained" -> ivfPqTrainedOracleSql,
+
+    // the persisted index round-trips the TRAINED codebooks bit-exactly
+    // (doubles through parquet), so load→serve replays as the identical
+    // training chain — the v15 oracle IS v17's oracle
+    "v17_index_persist" -> ivfPqTrainedOracleSql,
+
 
     // residual IVFADC replay: the v9 chain with (a) PQ init vectors =
     // RESIDUALS of the offset-1 stride rows, (b) candidate codes

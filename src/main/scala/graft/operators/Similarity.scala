@@ -763,6 +763,80 @@ object Similarity {
       .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= k).drop("rn")
   }
 
+  // ---- index persistence (train once / serve many across JOBS) ----
+  // The serving entry points already split index from serve
+  // (ivfTopKWith / pqTopKWith / ivfPqTopKWith); these close the loop by
+  // making the trained codebooks durable ARTIFACTS — at 100 TB the
+  // codebooks train once (on a sample) and every subsequent batch of
+  // queries serves from the persisted parquet, exactly the faiss
+  // write_index/read_index workflow. Doubles round-trip parquet
+  // bit-exactly, so load→serve is value-identical to train→serve (the
+  // v17 oracle proves it cross-engine by replaying the TRAINING).
+
+  /** Persist a coarse codebook as (cid, cv) parquet rows. Codebook order
+    * is cid-ascending — the same order strideCodebook/kmeansCodebook
+    * produce — so a load reproduces positions exactly. */
+  def saveCoarseCodebook(spark: org.apache.spark.sql.SparkSession,
+      path: String, cids: Array[Long], cvs: Array[Array[Double]]): Unit = {
+    import spark.implicits._
+    cids.zip(cvs.map(_.toSeq)).toSeq.toDF("cid", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadCoarseCodebook(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Array[Long], Array[Array[Double]]) = {
+    val rows = spark.read.parquet(path).orderBy("cid").collect()
+    require(rows.nonEmpty, s"loadCoarseCodebook: empty index at $path")
+    (rows.map(_.getLong(0)), rows.map(_.getSeq[Double](1).toArray))
+  }
+
+  /** Persist PQ subspace codebooks as (j, c, cv) parquet rows; m and
+    * dsub are derivable (max j + 1, cv length). */
+  def savePqCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String, cb: graft.plans.PqCodebooks): Unit = {
+    import spark.implicits._
+    val rows = for (j <- 0 until cb.m; c <- 0 until cb.nCentroids)
+      yield (j, c, cb.cents(j)(c).toSeq)
+    rows.toDF("j", "c", "cv").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): graft.plans.PqCodebooks = {
+    val rows = spark.read.parquet(path).orderBy("j", "c").collect()
+    require(rows.nonEmpty, s"loadPqCodebooks: empty index at $path")
+    val m = rows.map(_.getInt(0)).max + 1
+    val cents = Array.tabulate(m) { j =>
+      rows.filter(_.getInt(0) == j).map(_.getSeq[Double](2).toArray)
+    }
+    require(cents.forall(_.length == cents(0).length),
+      s"loadPqCodebooks: ragged index at $path")
+    new graft.plans.PqCodebooks(m, cents(0)(0).length, cents)
+  }
+
+  /** Write a full IVFADC index (coarse + PQ codebooks) under one
+    * directory: `<dir>/coarse`, `<dir>/pq`. */
+  def saveIvfPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      cids: Array[Long], cvs: Array[Array[Double]],
+      cb: graft.plans.PqCodebooks): Unit = {
+    saveCoarseCodebook(spark, s"$dir/coarse", cids, cvs)
+    savePqCodebooks(spark, s"$dir/pq", cb)
+  }
+
+  /** Serve IVFADC from a persisted index directory — the byte-identical
+    * [[ivfPqTopKWith]] pipeline over loaded codebooks. */
+  def ivfPqTopKPersisted(
+      corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+      queryPred: Column, k: Int,
+      roundTo: Int = 6, nprobe: Int = 1,
+      maxLiteralCentroids: Int = 64
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    val (cids, cvs) = loadCoarseCodebook(spark, s"$dir/coarse")
+    val cb = loadPqCodebooks(spark, s"$dir/pq")
+    ivfPqTopKWith(corpus, idCol, vecCol, cb, cids, cvs, queryPred, k,
+      roundTo, nprobe, maxLiteralCentroids)
+  }
+
   /** RESIDUAL IVFADC — the actual Jégou et al. (2011) formulation (the
     * faiss `IndexIVFPQ` default, `encode_residual=true`): the fine
     * quantizer encodes `x − centroid(cell(x))` instead of the raw

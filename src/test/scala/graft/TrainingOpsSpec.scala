@@ -493,6 +493,37 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(a.sameElements(c2))
   }
 
+  test("index persistence: codebooks round-trip parquet bit-exactly; " +
+      "persisted serve == in-memory serve") {
+    def vec(i: Long): Seq[Double] =
+      Seq.tabulate(8)(d => math.sin(i * (d + 1) * 0.43))
+    val df = spark.createDataFrame((0L until 120L).map(i => (i, vec(i))))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooksTrained(df, "vec_id", "embedding",
+      m = 4, centroidEvery = 12, iters = 1)
+    val (cids, cvs) = Similarity.kmeansCodebook(df, "vec_id", "embedding",
+      centroidEvery = 24, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_t").toString
+    Similarity.saveIvfPqIndex(spark, dir, cids, cvs, cb)
+    // bit-exact round-trip of every double
+    val (cids2, cvs2) = Similarity.loadCoarseCodebook(spark, s"$dir/coarse")
+    assert(cids2.sameElements(cids))
+    assert(cvs2.zip(cvs).forall { case (a, b) => a.sameElements(b) })
+    val cb2 = Similarity.loadPqCodebooks(spark, s"$dir/pq")
+    assert(cb2.m == cb.m && cb2.dsub == cb.dsub)
+    assert((0 until cb.m).forall(j => (0 until cb.nCentroids).forall(c =>
+      cb2.cents(j)(c).sameElements(cb.cents(j)(c)))))
+    // persisted serving is value-identical to in-memory serving
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._3, t._2)).toSeq
+    val mem = canon(Similarity.ivfPqTopKWith(df, "vec_id", "embedding",
+      cb, cids, cvs, queryPred = col("id") < 5, k = 3, nprobe = 2).collect())
+    val per = canon(Similarity.ivfPqTopKPersisted(df, "vec_id", "embedding",
+      dir, queryPred = col("id") < 5, k = 3, nprobe = 2).collect())
+    assert(per == mem, "persisted serve must equal in-memory serve")
+  }
+
   test("ivfPqTopKResidual: planted near-copy ranks first, deterministic, k-bounded") {
     // clustered corpus: 4 tight clusters around orthogonal anchors, plus
     // a planted near-copy of vector 1 at id 97 — residual encoding must
