@@ -3475,6 +3475,23 @@ object Queries {
         |FROM ch90_t SAMPLE 5000
         |GROUP BY flag ORDER BY flag""".stripMargin))),
 
+    // tokenbf_v1 + hasToken (r12): the text-search skip index — token
+    // bloom sidecar built by MATERIALIZE, hasToken(col, 'tok') scans
+    // prune files through the same session rule as ch89's value bloom.
+    // The NOT conjunct is deliberately unprunable (only positive
+    // hasToken conjuncts are sound prune sources) — it rides as a plain
+    // filter, proving mixed predicates stay correct.
+    "ch91_sql_token_bloom" -> ((s, dir) => chstmts(s, dir, Seq(
+      "DROP TABLE IF EXISTS ch91_t",
+      """CREATE TABLE ch91_t (id Int64, txt String)
+        |ENGINE = MergeTree ORDER BY id""".stripMargin,
+      "INSERT INTO ch91_t SELECT doc_id, text FROM documents",
+      "ALTER TABLE ch91_t ADD INDEX tok txt TYPE tokenbf_v1(4096, 3, 0)",
+      "ALTER TABLE ch91_t MATERIALIZE INDEX tok",
+      """SELECT id, length(txt) AS n FROM ch91_t
+        |WHERE hasToken(txt, 'merge') AND NOT hasToken(txt, 'vector')
+        |ORDER BY id""".stripMargin))),
+
     // EXISTS / NOT EXISTS subqueries (uncorrelated, eager boolean)
     "ch24_sql_exists" -> ((s, dir) => chsql(s, dir,
       """SELECT o_orderstatus, count() AS n FROM orders
@@ -4729,6 +4746,16 @@ object Queries {
         |  CAST(sum(CAST(qty AS DECIMAL(18, 2))) AS DOUBLE) AS total
         |FROM src, kk WHERE k % 1000000 < kb
         |GROUP BY flag ORDER BY flag""".stripMargin,
+
+    // token pruning is a scan optimization: the oracle is the plain
+    // token-membership filter (same [^A-Za-z0-9_]+ boundary)
+    "ch91_sql_token_bloom" ->
+      """SELECT doc_id AS id, length(text) AS n FROM documents
+        |WHERE list_contains(
+        |    string_split_regex(text, '[^A-Za-z0-9_]+'), 'merge')
+        |  AND NOT list_contains(
+        |    string_split_regex(text, '[^A-Za-z0-9_]+'), 'vector')
+        |ORDER BY id""".stripMargin,
 
     "ch86_sql_subsecond_interval" ->
       """SELECT event_id AS k,

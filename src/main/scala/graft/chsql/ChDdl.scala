@@ -1825,11 +1825,16 @@ object ChDdl {
       spark.sql(s"ALTER TABLE $name UNSET TBLPROPERTIES IF EXISTS ('graft.ttl')")
       status(s"ttl removed from $name")
     } else if (up.startsWith("ADD INDEX")) {
+      // type may carry CH's tuning params — tokenbf_v1(256, 2, 0),
+      // bloom_filter(0.01) — which our fixed-size twin acknowledges
+      // and ignores (NumBits/NumHashes are the engine's operating point)
       val m = ("(?is)^ADD\\s+INDEX\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(\\w+)\\s+" +
-        "(\\w+)\\s+TYPE\\s+(\\w+)(?:\\s+GRANULARITY\\s+\\d+)?\\s*$").r
+        "(\\w+)\\s+TYPE\\s+(\\w+)(?:\\s*\\([\\d\\s,\\.]*\\))?" +
+        "(?:\\s+GRANULARITY\\s+\\d+)?\\s*$").r
         .findFirstMatchIn(clause).getOrElse(
           throw new IllegalArgumentException(
-            "ChSql: ADD INDEX expects: name column TYPE type [GRANULARITY n]"))
+            "ChSql: ADD INDEX expects: name column TYPE type[(params)] " +
+              "[GRANULARITY n]"))
       val (idx, c, typ) = (m.group(1), m.group(2), m.group(3))
       val typL = typ.toLowerCase(java.util.Locale.ROOT)
       if (typL == "bloom_filter") {
@@ -1844,6 +1849,16 @@ object ChDdl {
         graft.plans.BloomSkipIndex.install(spark)
         status(s"bloom index $idx on $name($c) registered — equality/IN " +
           s"scans prune files after MATERIALIZE INDEX $idx")
+      } else if (typL == "tokenbf_v1") {
+        // token bloom (r12): prunes hasToken(col, 'tok') scans — the
+        // text-search skip index over UNSORTED string columns
+        require(spark.table(name).columns.contains(c),
+          s"ChSql: ADD INDEX: no column $c in $name")
+        spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES (" +
+          s"${sqlLit(s"graft.tokbloomindex.$idx")}=${sqlLit(c)})")
+        graft.plans.BloomSkipIndex.install(spark)
+        status(s"token bloom index $idx on $name($c) registered — " +
+          s"hasToken scans prune files after MATERIALIZE INDEX $idx")
       } else if (!Set("minmax", "set").contains(typL))
         // the AdminOps.system pattern: refuse honestly, don't fake it
         status(s"index type $typ has no Spark twin (parquet row-group " +
@@ -1866,6 +1881,15 @@ object ChDdl {
       graft.plans.BloomSkipIndex.install(spark)
       status(s"materialized bloom index $idx on $name($c): per-file " +
         s"sidecar $side built; equality/IN scans now prune")
+    } else if (up.startsWith("MATERIALIZE INDEX") &&
+        tablePropsSafe(spark, name)
+          .contains(s"graft.tokbloomindex.${clause.split("\\s+").last}")) {
+      val idx = clause.split("\\s+").last
+      val c = tablePropsSafe(spark, name)(s"graft.tokbloomindex.$idx")
+      val side = graft.plans.BloomSkipIndex.materializeTokens(spark, name, c)
+      graft.plans.BloomSkipIndex.install(spark)
+      status(s"materialized token bloom index $idx on $name($c): per-file " +
+        s"sidecar $side built; hasToken scans now prune")
     } else if (up.startsWith("MATERIALIZE INDEX")) {
       val idx = clause.split("\\s+").last
       val c = tablePropsSafe(spark, name).getOrElse(s"graft.index.$idx",
@@ -1888,8 +1912,15 @@ object ChDdl {
         val side = graft.plans.BloomSkipIndex.sidecarName(name, c)
         if (spark.catalog.tableExists(side)) spark.sql(s"DROP TABLE $side")
       }
+      tablePropsSafe(spark, name).get(s"graft.tokbloomindex.$idx")
+        .foreach { c =>
+          val side = graft.plans.BloomSkipIndex.tokenSidecarName(name, c)
+          if (spark.catalog.tableExists(side)) spark.sql(s"DROP TABLE $side")
+        }
       spark.sql(s"ALTER TABLE $name UNSET TBLPROPERTIES IF EXISTS (" +
-        s"${sqlLit(s"graft.index.$idx")}, ${sqlLit(s"graft.bloomindex.$idx")})")
+        s"${sqlLit(s"graft.index.$idx")}, " +
+        s"${sqlLit(s"graft.bloomindex.$idx")}, " +
+        s"${sqlLit(s"graft.tokbloomindex.$idx")})")
       status(s"dropped index $idx from $name")
     } else if (up.startsWith("ADD PROJECTION")) {
       val m = ("(?is)^ADD\\s+PROJECTION\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
@@ -3156,8 +3187,10 @@ object ChDdl {
     val primary = keys.zipWithIndex.map { case (c, i) =>
       (name, 1, "PRIMARY", i + 1, c, "A")
     }
-    // data-skipping bloom indexes (r12) are real secondary indexes here
-    val blooms = graft.plans.BloomSkipIndex.indexedColumns(props).toSeq
+    // data-skipping bloom/token-bloom indexes (r12) are real secondary
+    // indexes here
+    val blooms = (graft.plans.BloomSkipIndex.indexedColumns(props) ++
+        graft.plans.BloomSkipIndex.tokenIndexedColumns(props)).toSeq
       .sortBy(_._1).map { case (idx, c) => (name, 1, idx, 1, c, "A") }
     (primary ++ blooms).toDF("table", "non_unique", "key_name",
       "seq_in_index", "column_name", "collation")

@@ -3768,6 +3768,14 @@ object ChSql {
           org.apache.spark.sql.functions.translate(a(0),
             litStr("translate", f.args(1)), litStr("translate", f.args(2)))
         case "startswith" => a(0).startsWith(a(1))
+        case "hastoken" =>
+          // CH hasToken(haystack, 'token'): exact membership among the
+          // maximal [A-Za-z0-9_]+ token runs (case-sensitive). Composed
+          // from codegen'd builtins in the EXACT tree shape the
+          // tokenbf_v1 prune rule matches (BloomSkipIndex.tokenProbesOf)
+          array_contains(
+            split(a(0), graft.plans.BloomSkipIndex.TokenSplitRe),
+            litStr("hasToken", f.args(1)))
         case "endswith" => a(0).endsWith(a(1))
         case "trim" | "trimboth" =>
           if (f.args.size == 2)

@@ -45,12 +45,21 @@ import org.apache.spark.sql.functions._
 object BloomSkipIndex {
   val NumBits = 1 << 16
   val NumHashes = 3
+  /** CH token boundary: tokens are maximal [A-Za-z0-9_]+ runs (the
+    * hasToken/tokenbf_v1 contract). The SAME regex literal appears in
+    * ChSql's hasToken translation — the prune rule matches on it. */
+  val TokenSplitRe = "[^A-Za-z0-9_]+"
   /** Option key tagging an already-pruned relation (the rule runs in a
     * fixed-point batch; pruning must be idempotent). */
   private val PrunedTag = "graft.bloom.pruned"
 
   def sidecarName(table: String, column: String): String =
     s"${table.replace('.', '_')}__bloom_$column"
+
+  /** tokenbf_v1 sidecar: bloom over the column's TOKENS, not its
+    * values — serves hasToken(col, 'tok') predicates. */
+  def tokenSidecarName(table: String, column: String): String =
+    s"${table.replace('.', '_')}__tokbloom_$column"
 
   /** The K bit positions of one column expression — the SAME Catalyst
     * xxhash64 evaluates build-side (executor scan) and probe-side
@@ -62,13 +71,27 @@ object BloomSkipIndex {
   /** Build (or rebuild) the sidecar for `table.column`: one
     * map-combinable pass — explode K positions per row, distinct per
     * file, pack sorted. Overwrites any prior build. */
-  def materialize(spark: SparkSession, table: String, column: String): String = {
-    val side = sidecarName(table, column)
+  def materialize(spark: SparkSession, table: String, column: String): String =
+    buildSidecar(spark, table, column, sidecarName(table, column),
+      v => array(bitCols(v): _*))
+
+  /** tokenbf_v1 build: the same bit machinery over the column's TOKENS
+    * (flatten K positions per token). */
+  def materializeTokens(spark: SparkSession, table: String,
+      column: String): String =
+    buildSidecar(spark, table, column, tokenSidecarName(table, column),
+      v => flatten(transform(
+        filter(split(v, TokenSplitRe), t => length(t) > 0),
+        t => array(bitCols(t): _*))))
+
+  private def buildSidecar(spark: SparkSession, table: String,
+      column: String, side: String,
+      rowBits: org.apache.spark.sql.Column => org.apache.spark.sql.Column): String = {
     val df = spark.table(table)
     require(df.columns.contains(column),
       s"bloom index: no column $column in $table")
     val bits = df.select(input_file_name().as("file"), col(column).as("v"))
-      .select(col("file"), explode(array(bitCols(col("v")): _*)).as("bit"))
+      .select(col("file"), explode(rowBits(col("v"))).as("bit"))
       .groupBy("file").agg(sort_array(collect_set(col("bit"))).as("bits"))
     // self-read-vs-overwrite guard: materialize the tiny sidecar frame
     // before the write replaces a prior build's files
@@ -102,6 +125,11 @@ object BloomSkipIndex {
   def indexedColumns(props: Map[String, String]): Map[String, String] =
     props.collect { case (k, v) if k.startsWith("graft.bloomindex.") =>
       k.stripPrefix("graft.bloomindex.") -> v }
+
+  /** tokenbf_v1-indexed columns: `graft.tokbloomindex.<idx>`. */
+  def tokenIndexedColumns(props: Map[String, String]): Map[String, String] =
+    props.collect { case (k, v) if k.startsWith("graft.tokbloomindex.") =>
+      k.stripPrefix("graft.tokbloomindex.") -> v }
 
   /** Driver-side probe bits for one literal — the same XxHash64
     * expression the build ran, evaluated over the literal. */
@@ -139,6 +167,29 @@ object BloomSkipIndex {
       case _ => None
     }.groupBy(_._1).map { case (k, vs) => k -> vs.flatMap(_._2) }
   }
+
+  /** Token probes: top-level conjuncts of the exact shape ChSql's
+    * hasToken translation emits — `array_contains(split(col,
+    * TokenSplitRe), 'tok')`. Sound: hasToken true ⇒ the token is a
+    * member of the file's token set ⇒ the token bloom contains it. */
+  private[plans] def tokenProbesOf(cond: Expression,
+      cols: Set[String]): Map[String, Seq[Literal]] = {
+    import org.apache.spark.sql.catalyst.expressions.{ArrayContains, StringSplit}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts(cond).flatMap {
+      case ArrayContains(
+          StringSplit(a: AttributeReference, re: Literal, _),
+          l: Literal)
+          if cols.contains(a.name) && l.value != null &&
+            re.value != null && re.value.toString == TokenSplitRe =>
+        Some(a.name -> Seq(l))
+      case _ => None
+    }.groupBy(_._1).map { case (k, vs) => k -> vs.flatMap(_._2) }
+  }
 }
 
 /** The serve-side optimizer rule (see [[BloomSkipIndex]]). Installed per
@@ -152,23 +203,27 @@ case class BloomPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
         l @ LogicalRelation(fs: HadoopFsRelation, _, Some(cat), _, _))
         if !fs.options.contains("graft.bloom.pruned") &&
           fs.partitionSchema.isEmpty =>
-      val byIdx = indexedColumns(cat.properties)
-      if (byIdx.isEmpty) f
+      val table = cat.identifier.table
+      val eqCols = indexedColumns(cat.properties).values.toSet
+      val tokCols = tokenIndexedColumns(cat.properties).values.toSet
+      if (eqCols.isEmpty && tokCols.isEmpty) f
       else {
-        val indexedCols = byIdx.values.toSet
-        val probes = probesOf(cond, indexedCols)
+        val probes =
+          probesOf(cond, eqCols).toSeq.map { case (c, lits) =>
+            (sidecarName(table, c), lits) } ++
+          tokenProbesOf(cond, tokCols).toSeq.map { case (c, lits) =>
+            (tokenSidecarName(table, c), lits) }
         if (probes.isEmpty) f
-        else prune(f, l, fs, cat.identifier.table, probes)
+        else prune(f, l, fs, probes)
       }
   }
 
   private def prune(f: Filter, l: LogicalRelation, fs: HadoopFsRelation,
-      table: String, probes: Map[String, Seq[Literal]]): LogicalPlan = {
+      probes: Seq[(String, Seq[Literal])]): LogicalPlan = {
     val allFiles = fs.location.inputFiles
-    // one surviving-file set per probed column; a kept file must pass
-    // EVERY probed column's bloom (conjunct semantics)
-    val kept = probes.foldLeft(allFiles.toSeq) { case (files, (column, lits)) =>
-      val side = sidecarName(table, column)
+    // one surviving-file set per probed (sidecar, literals) group; a
+    // kept file must pass EVERY probed bloom (conjunct semantics)
+    val kept = probes.foldLeft(allFiles.toSeq) { case (files, (side, lits)) =>
       if (!spark.catalog.tableExists(side)) files // not materialized: keep
       else {
         val bitsByFile: Map[String, Set[Int]] = spark.table(side)

@@ -1076,6 +1076,30 @@ class DdlSurfaceSpec extends AnyFunSuite {
     chRun("DROP TABLE idx_t")
   }
 
+  test("tokenbf_v1 index: ADD registers (params ignored), MATERIALIZE " +
+      "builds the token sidecar, hasToken reads stay correct, DROP cleans") {
+    chRun("DROP TABLE IF EXISTS tbf_t")
+    chRun("CREATE TABLE tbf_t (id Int64, txt String) " +
+      "ENGINE = MergeTree ORDER BY id")
+    chRun("INSERT INTO tbf_t VALUES (1, 'alpha beta gamma'), " +
+      "(2, 'beta delta'), (3, 'gamma epsilon zeta')")
+    val st = chRun(
+      "ALTER TABLE tbf_t ADD INDEX tok txt TYPE tokenbf_v1(4096, 3, 0)")
+      .head.getString(0)
+    assert(st.contains("token bloom index tok"), st)
+    chRun("ALTER TABLE tbf_t MATERIALIZE INDEX tok")
+    val side = graft.plans.BloomSkipIndex.tokenSidecarName("tbf_t", "txt")
+    assert(spark.catalog.tableExists(side), "token sidecar must exist")
+    val hit = chRun(
+      "SELECT id FROM tbf_t WHERE hasToken(txt, 'beta') ORDER BY id")
+    assert(hit.map(_.getLong(0)) == Seq(1L, 2L))
+    // substring-of-a-token must NOT match (hasToken is exact-token)
+    assert(chRun("SELECT id FROM tbf_t WHERE hasToken(txt, 'bet')").isEmpty)
+    chRun("ALTER TABLE tbf_t DROP INDEX tok")
+    assert(!spark.catalog.tableExists(side))
+    chRun("DROP TABLE tbf_t")
+  }
+
   test("bloom_filter index: ADD registers + SHOW lists it, MATERIALIZE " +
       "builds the sidecar, reads stay correct, DROP removes the sidecar") {
     chRun("DROP TABLE IF EXISTS bfx_t")

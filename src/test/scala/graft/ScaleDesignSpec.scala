@@ -599,6 +599,43 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(q.count() == 1)
   }
 
+  test("token bloom index: hasToken scans read fewer files, results identical") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.plans.BloomSkipIndex
+    spark.sql("DROP TABLE IF EXISTS tokb_t")
+    spark.sql(s"DROP TABLE IF EXISTS ${BloomSkipIndex.tokenSidecarName("tokb_t", "txt")}")
+    // 4 files, each file's rows carry a file-unique token (tok_0..tok_3)
+    spark.range(0, 4000).select(col("id").as("k"),
+        concat(lit("common words here tok_"),
+          (col("id") / 1000).cast("int").cast("string")).as("txt"))
+      .repartitionByRange(4, col("k"))
+      .write.option("path", s"$wh/tokb_t").mode("overwrite")
+      .saveAsTable("tokb_t")
+    BloomSkipIndex.materializeTokens(spark, "tokb_t", "txt")
+    spark.sql("ALTER TABLE tokb_t SET TBLPROPERTIES " +
+      "('graft.tokbloomindex.tok'='txt')")
+    BloomSkipIndex.install(spark)
+    def filesRead(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.relation.location.inputFiles.length
+      }.sum
+    // the exact hasToken shape ChSql emits
+    def hasTok(tok: String) = array_contains(
+      split(col("txt"), BloomSkipIndex.TokenSplitRe), tok)
+    val full = spark.table("tokb_t").filter(col("k") >= 0)
+    assert(filesRead(full) == 4, s"expected 4 base files, ${filesRead(full)}")
+    val pruned = spark.table("tokb_t").filter(hasTok("tok_2"))
+    assert(filesRead(pruned) < 4, s"token bloom should prune, read ${filesRead(pruned)}")
+    assert(pruned.count() == 1000)
+    // the shared token prunes nothing (in every file) but stays correct
+    val common = spark.table("tokb_t").filter(hasTok("common"))
+    assert(common.count() == 4000)
+    // fresh session without the rule agrees row-for-row
+    val expect = spark.newSession().table("tokb_t").filter(hasTok("tok_2"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(pruned.collect().map(_.toString).sorted.toSeq == expect)
+  }
+
   test("topK plans as TakeOrderedAndProject; funnel and FINAL are aggregates, not windows") {
     val part = spark.read.parquet(s"$sf/part.parquet")
     val topk = part.groupBy("p_type").agg(count(lit(1)).as("n"))
