@@ -3492,6 +3492,22 @@ object Queries {
         |WHERE hasToken(txt, 'merge') AND NOT hasToken(txt, 'vector')
         |ORDER BY id""".stripMargin))),
 
+    // ngrambf_v1 (r12): the substring skip index — character-4-gram
+    // bloom sidecar; a LIKE '%pat%' scan (Catalyst simplifies it to
+    // Contains) prunes files missing any of the pattern's grams. The
+    // multi-word pattern crosses token boundaries — the predicate class
+    // neither the value bloom nor the token bloom can serve.
+    "ch92_sql_ngram_bloom" -> ((s, dir) => chstmts(s, dir, Seq(
+      "DROP TABLE IF EXISTS ch92_t",
+      """CREATE TABLE ch92_t (id Int64, txt String)
+        |ENGINE = MergeTree ORDER BY id""".stripMargin,
+      "INSERT INTO ch92_t SELECT doc_id, text FROM documents",
+      "ALTER TABLE ch92_t ADD INDEX ng txt TYPE ngrambf_v1(4, 1024, 3, 0)",
+      "ALTER TABLE ch92_t MATERIALIZE INDEX ng",
+      """SELECT id, length(txt) AS n FROM ch92_t
+        |WHERE txt LIKE '%merge batch%'
+        |ORDER BY id""".stripMargin))),
+
     // EXISTS / NOT EXISTS subqueries (uncorrelated, eager boolean)
     "ch24_sql_exists" -> ((s, dir) => chsql(s, dir,
       """SELECT o_orderstatus, count() AS n FROM orders
@@ -4755,6 +4771,11 @@ object Queries {
         |    string_split_regex(text, '[^A-Za-z0-9_]+'), 'merge')
         |  AND NOT list_contains(
         |    string_split_regex(text, '[^A-Za-z0-9_]+'), 'vector')
+        |ORDER BY id""".stripMargin,
+
+    "ch92_sql_ngram_bloom" ->
+      """SELECT doc_id AS id, length(text) AS n FROM documents
+        |WHERE text LIKE '%merge batch%'
         |ORDER BY id""".stripMargin,
 
     "ch86_sql_subsecond_interval" ->

@@ -1859,11 +1859,21 @@ object ChDdl {
         graft.plans.BloomSkipIndex.install(spark)
         status(s"token bloom index $idx on $name($c) registered — " +
           s"hasToken scans prune files after MATERIALIZE INDEX $idx")
+      } else if (typL == "ngrambf_v1") {
+        // n-gram bloom (r12): prunes substring scans (LIKE '%pat%'),
+        // the one predicate class no other index serves
+        require(spark.table(name).columns.contains(c),
+          s"ChSql: ADD INDEX: no column $c in $name")
+        spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES (" +
+          s"${sqlLit(s"graft.ngrambloomindex.$idx")}=${sqlLit(c)})")
+        graft.plans.BloomSkipIndex.install(spark)
+        status(s"ngram bloom index $idx on $name($c) registered — " +
+          s"LIKE-substring scans prune files after MATERIALIZE INDEX $idx")
       } else if (!Set("minmax", "set").contains(typL))
         // the AdminOps.system pattern: refuse honestly, don't fake it
         status(s"index type $typ has no Spark twin (parquet row-group " +
-          s"min/max stats back minmax/set; bloom_filter has its own " +
-          s"sidecar twin) — not created")
+          s"min/max stats back minmax/set; bloom_filter/tokenbf_v1/" +
+          s"ngrambf_v1 have sidecar twins) — not created")
       else {
         require(spark.table(name).columns.contains(c),
           s"ChSql: ADD INDEX: no column $c in $name")
@@ -1890,6 +1900,15 @@ object ChDdl {
       graft.plans.BloomSkipIndex.install(spark)
       status(s"materialized token bloom index $idx on $name($c): per-file " +
         s"sidecar $side built; hasToken scans now prune")
+    } else if (up.startsWith("MATERIALIZE INDEX") &&
+        tablePropsSafe(spark, name)
+          .contains(s"graft.ngrambloomindex.${clause.split("\\s+").last}")) {
+      val idx = clause.split("\\s+").last
+      val c = tablePropsSafe(spark, name)(s"graft.ngrambloomindex.$idx")
+      val side = graft.plans.BloomSkipIndex.materializeNgrams(spark, name, c)
+      graft.plans.BloomSkipIndex.install(spark)
+      status(s"materialized ngram bloom index $idx on $name($c): per-file " +
+        s"sidecar $side built; LIKE-substring scans now prune")
     } else if (up.startsWith("MATERIALIZE INDEX")) {
       val idx = clause.split("\\s+").last
       val c = tablePropsSafe(spark, name).getOrElse(s"graft.index.$idx",
@@ -1917,10 +1936,16 @@ object ChDdl {
           val side = graft.plans.BloomSkipIndex.tokenSidecarName(name, c)
           if (spark.catalog.tableExists(side)) spark.sql(s"DROP TABLE $side")
         }
+      tablePropsSafe(spark, name).get(s"graft.ngrambloomindex.$idx")
+        .foreach { c =>
+          val side = graft.plans.BloomSkipIndex.ngramSidecarName(name, c)
+          if (spark.catalog.tableExists(side)) spark.sql(s"DROP TABLE $side")
+        }
       spark.sql(s"ALTER TABLE $name UNSET TBLPROPERTIES IF EXISTS (" +
         s"${sqlLit(s"graft.index.$idx")}, " +
         s"${sqlLit(s"graft.bloomindex.$idx")}, " +
-        s"${sqlLit(s"graft.tokbloomindex.$idx")})")
+        s"${sqlLit(s"graft.tokbloomindex.$idx")}, " +
+        s"${sqlLit(s"graft.ngrambloomindex.$idx")})")
       status(s"dropped index $idx from $name")
     } else if (up.startsWith("ADD PROJECTION")) {
       val m = ("(?is)^ADD\\s+PROJECTION\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
@@ -3190,7 +3215,8 @@ object ChDdl {
     // data-skipping bloom/token-bloom indexes (r12) are real secondary
     // indexes here
     val blooms = (graft.plans.BloomSkipIndex.indexedColumns(props) ++
-        graft.plans.BloomSkipIndex.tokenIndexedColumns(props)).toSeq
+        graft.plans.BloomSkipIndex.tokenIndexedColumns(props) ++
+        graft.plans.BloomSkipIndex.ngramIndexedColumns(props)).toSeq
       .sortBy(_._1).map { case (idx, c) => (name, 1, idx, 1, c, "A") }
     (primary ++ blooms).toDF("table", "non_unique", "key_name",
       "seq_in_index", "column_name", "collation")

@@ -61,6 +61,12 @@ object BloomSkipIndex {
   def tokenSidecarName(table: String, column: String): String =
     s"${table.replace('.', '_')}__tokbloom_$column"
 
+  /** ngrambf_v1: bloom over character n-grams — serves substring
+    * predicates (`LIKE '%pat%'` and friends) that no other index can. */
+  val NgramN = 4
+  def ngramSidecarName(table: String, column: String): String =
+    s"${table.replace('.', '_')}__ngrambloom_$column"
+
   /** The K bit positions of one column expression — the SAME Catalyst
     * xxhash64 evaluates build-side (executor scan) and probe-side
     * (driver literal), so the two can never drift. */
@@ -83,6 +89,19 @@ object BloomSkipIndex {
       v => flatten(transform(
         filter(split(v, TokenSplitRe), t => length(t) > 0),
         t => array(bitCols(t): _*))))
+
+  /** ngrambf_v1 build: every character [[NgramN]]-gram of every value.
+    * Values shorter than N contribute nothing — and predicates shorter
+    * than N never prune, so short values can never be wrongly dropped. */
+  def materializeNgrams(spark: SparkSession, table: String,
+      column: String): String =
+    buildSidecar(spark, table, column, ngramSidecarName(table, column),
+      v => flatten(transform(
+        when(length(v) >= NgramN,
+          transform(sequence(lit(1), length(v) - (NgramN - 1)),
+            i => v.substr(i, lit(NgramN))))
+          .otherwise(typedLit(Seq.empty[String])),
+        g => array(bitCols(g): _*))))
 
   private def buildSidecar(spark: SparkSession, table: String,
       column: String, side: String,
@@ -130,6 +149,11 @@ object BloomSkipIndex {
   def tokenIndexedColumns(props: Map[String, String]): Map[String, String] =
     props.collect { case (k, v) if k.startsWith("graft.tokbloomindex.") =>
       k.stripPrefix("graft.tokbloomindex.") -> v }
+
+  /** ngrambf_v1-indexed columns: `graft.ngrambloomindex.<idx>`. */
+  def ngramIndexedColumns(props: Map[String, String]): Map[String, String] =
+    props.collect { case (k, v) if k.startsWith("graft.ngrambloomindex.") =>
+      k.stripPrefix("graft.ngrambloomindex.") -> v }
 
   /** Driver-side probe bits for one literal — the same XxHash64
     * expression the build ran, evaluated over the literal. */
@@ -190,6 +214,40 @@ object BloomSkipIndex {
       case _ => None
     }.groupBy(_._1).map { case (k, vs) => k -> vs.flatMap(_._2) }
   }
+
+  /** N-gram probes: substring predicates. LikeSimplification has run by
+    * the time the user batch fires, so `LIKE '%p%'` / `'p%'` / `'%p'`
+    * appear as Contains/StartsWith/EndsWith over the bare attribute.
+    * Each matching conjunct yields ONE required bit-set — the union of
+    * its pattern's n-gram bits (a matching row's value contains EVERY
+    * n-gram of the pattern). Patterns shorter than [[NgramN]] yield no
+    * grams and never prune. */
+  private[plans] def ngramProbesOf(cond: Expression,
+      cols: Set[String]): Map[String, Seq[Set[Int]]] = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      Contains, EndsWith, StartsWith}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def gramBits(pat: String): Option[Set[Int]] =
+      if (pat == null || pat.length < NgramN) None
+      else Some(pat.sliding(NgramN)
+        .flatMap(g => probeBits(Literal(g))).toSet)
+    conjuncts(cond).flatMap {
+      case Contains(a: AttributeReference, l: Literal)
+          if cols.contains(a.name) && l.value != null =>
+        gramBits(l.value.toString).map(a.name -> _)
+      case StartsWith(a: AttributeReference, l: Literal)
+          if cols.contains(a.name) && l.value != null =>
+        gramBits(l.value.toString).map(a.name -> _)
+      case EndsWith(a: AttributeReference, l: Literal)
+          if cols.contains(a.name) && l.value != null =>
+        gramBits(l.value.toString).map(a.name -> _)
+      case _ => None
+    }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+  }
 }
 
 /** The serve-side optimizer rule (see [[BloomSkipIndex]]). Installed per
@@ -206,35 +264,39 @@ case class BloomPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val table = cat.identifier.table
       val eqCols = indexedColumns(cat.properties).values.toSet
       val tokCols = tokenIndexedColumns(cat.properties).values.toSet
-      if (eqCols.isEmpty && tokCols.isEmpty) f
+      val ngCols = ngramIndexedColumns(cat.properties).values.toSet
+      if (eqCols.isEmpty && tokCols.isEmpty && ngCols.isEmpty) f
       else {
+        // each entry: (sidecar, alternatives) — a file survives an entry
+        // if ANY alternative's required bit-set is fully present
         val probes =
           probesOf(cond, eqCols).toSeq.map { case (c, lits) =>
-            (sidecarName(table, c), lits) } ++
+            (sidecarName(table, c), lits.map(probeBits(_).toSet)) } ++
           tokenProbesOf(cond, tokCols).toSeq.map { case (c, lits) =>
-            (tokenSidecarName(table, c), lits) }
+            (tokenSidecarName(table, c), lits.map(probeBits(_).toSet)) } ++
+          ngramProbesOf(cond, ngCols).toSeq.map { case (c, alts) =>
+            (ngramSidecarName(table, c), alts) }
         if (probes.isEmpty) f
         else prune(f, l, fs, probes)
       }
   }
 
   private def prune(f: Filter, l: LogicalRelation, fs: HadoopFsRelation,
-      probes: Seq[(String, Seq[Literal])]): LogicalPlan = {
+      probes: Seq[(String, Seq[Set[Int]])]): LogicalPlan = {
     val allFiles = fs.location.inputFiles
-    // one surviving-file set per probed (sidecar, literals) group; a
+    // one surviving-file set per probed (sidecar, alternatives) group; a
     // kept file must pass EVERY probed bloom (conjunct semantics)
-    val kept = probes.foldLeft(allFiles.toSeq) { case (files, (side, lits)) =>
+    val kept = probes.foldLeft(allFiles.toSeq) { case (files, (side, alts)) =>
       if (!spark.catalog.tableExists(side)) files // not materialized: keep
       else {
         val bitsByFile: Map[String, Set[Int]] = spark.table(side)
           .collect()
           .map(r => fileKey(r.getString(0)) -> r.getSeq[Int](1).toSet)
           .toMap
-        val probeSets = lits.map(probeBits(_).toSet)
         files.filter { path =>
           bitsByFile.get(fileKey(path)) match {
             case None => true // file newer than the build: keep
-            case Some(bits) => probeSets.exists(_.subsetOf(bits))
+            case Some(bits) => alts.exists(_.subsetOf(bits))
           }
         }
       }

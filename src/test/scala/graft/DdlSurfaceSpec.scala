@@ -1050,9 +1050,9 @@ class DdlSurfaceSpec extends AnyFunSuite {
     chRun("DROP TABLE IF EXISTS idx_t")
     chRun("CREATE TABLE idx_t (k Int64, v Float64) ENGINE = MergeTree ORDER BY k")
     chRun("INSERT INTO idx_t SELECT number, number * 1.5 FROM numbers(4000)")
-    // bloom_filter gained a real twin in r12 (see the bloom test below);
-    // n-gram/token blooms still refuse honestly
-    assert(chRun("ALTER TABLE idx_t ADD INDEX nb v TYPE ngrambf_v1")
+    // all three CH bloom index types gained real twins in r12 (see the
+    // bloom tests below); the experimental 'hypothesis' type refuses
+    assert(chRun("ALTER TABLE idx_t ADD INDEX hy v TYPE hypothesis")
       .head.getString(0).contains("no Spark twin"))
     chRun("ALTER TABLE idx_t ADD INDEX iv v TYPE minmax")
     chRun("ALTER TABLE idx_t MATERIALIZE INDEX iv")
@@ -1098,6 +1098,30 @@ class DdlSurfaceSpec extends AnyFunSuite {
     chRun("ALTER TABLE tbf_t DROP INDEX tok")
     assert(!spark.catalog.tableExists(side))
     chRun("DROP TABLE tbf_t")
+  }
+
+  test("ngrambf_v1 index: ADD registers, MATERIALIZE builds the gram " +
+      "sidecar, LIKE reads stay correct, DROP cleans") {
+    chRun("DROP TABLE IF EXISTS ngf_t")
+    chRun("CREATE TABLE ngf_t (id Int64, txt String) " +
+      "ENGINE = MergeTree ORDER BY id")
+    chRun("INSERT INTO ngf_t VALUES (1, 'alpha beta gamma'), " +
+      "(2, 'beta delta'), (3, 'gamma epsilon zeta')")
+    val st = chRun(
+      "ALTER TABLE ngf_t ADD INDEX ng txt TYPE ngrambf_v1(4, 1024, 3, 0)")
+      .head.getString(0)
+    assert(st.contains("ngram bloom index ng"), st)
+    chRun("ALTER TABLE ngf_t MATERIALIZE INDEX ng")
+    val side = graft.plans.BloomSkipIndex.ngramSidecarName("ngf_t", "txt")
+    assert(spark.catalog.tableExists(side), "ngram sidecar must exist")
+    // substring ACROSS a token boundary — the ngram index's home turf
+    val hit = chRun(
+      "SELECT id FROM ngf_t WHERE txt LIKE '%ta gam%' ORDER BY id")
+    assert(hit.map(_.getLong(0)) == Seq(1L))
+    assert(chRun("SELECT id FROM ngf_t WHERE txt LIKE '%nothere%'").isEmpty)
+    chRun("ALTER TABLE ngf_t DROP INDEX ng")
+    assert(!spark.catalog.tableExists(side))
+    chRun("DROP TABLE ngf_t")
   }
 
   test("bloom_filter index: ADD registers + SHOW lists it, MATERIALIZE " +

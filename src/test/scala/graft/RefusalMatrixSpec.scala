@@ -139,15 +139,15 @@ class RefusalMatrixSpec extends AnyFunSuite {
   }
 
   test("ADD INDEX of an unsupported type refuses via status, not silently") {
-    // bloom_filter gained a real twin in r12 (BloomSkipIndex); the
-    // n-gram/token bloom variants remain honest refusals
+    // all three CH bloom index types gained real twins in r12
+    // (BloomSkipIndex); the experimental 'hypothesis' type refuses
     run("DROP TABLE IF EXISTS refusal_idx")
     run("CREATE TABLE refusal_idx (k Int64, s String) " +
       "ENGINE = MergeTree ORDER BY k")
     val st = run(
-      "ALTER TABLE refusal_idx ADD INDEX nb s TYPE ngrambf_v1 GRANULARITY 4")
+      "ALTER TABLE refusal_idx ADD INDEX hy s TYPE hypothesis GRANULARITY 4")
       .head.getString(0)
-    assert(st.contains("not created") && st.contains("ngrambf_v1"), st)
+    assert(st.contains("not created") && st.contains("hypothesis"), st)
     // bloom_filter now REGISTERS instead of refusing
     val ok = run(
       "ALTER TABLE refusal_idx ADD INDEX bf s TYPE bloom_filter GRANULARITY 4")

@@ -636,6 +636,44 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(pruned.collect().map(_.toString).sorted.toSeq == expect)
   }
 
+  test("ngram bloom index: LIKE-substring scans read fewer files, results identical") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.plans.BloomSkipIndex
+    spark.sql("DROP TABLE IF EXISTS ngb_t")
+    spark.sql(s"DROP TABLE IF EXISTS ${BloomSkipIndex.ngramSidecarName("ngb_t", "txt")}")
+    // 4 files; each file's rows carry a file-unique marker word
+    spark.range(0, 4000).select(col("id").as("k"),
+        concat(lit("prefix marker"),
+          (col("id") / 1000).cast("int").cast("string"),
+          lit("x suffix")).as("txt"))
+      .repartitionByRange(4, col("k"))
+      .write.option("path", s"$wh/ngb_t").mode("overwrite")
+      .saveAsTable("ngb_t")
+    BloomSkipIndex.materializeNgrams(spark, "ngb_t", "txt")
+    spark.sql("ALTER TABLE ngb_t SET TBLPROPERTIES " +
+      "('graft.ngrambloomindex.ng'='txt')")
+    BloomSkipIndex.install(spark)
+    def filesRead(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.relation.location.inputFiles.length
+      }.sum
+    val full = spark.table("ngb_t").filter(col("k") >= 0)
+    assert(filesRead(full) == 4)
+    // '%marker2x%' crosses the marker/suffix boundary — only file 2 has it
+    val pruned = spark.table("ngb_t").filter(col("txt").like("%marker2x%"))
+    assert(filesRead(pruned) < 4, s"ngram bloom should prune, read ${filesRead(pruned)}")
+    assert(pruned.count() == 1000)
+    // a sub-NgramN pattern cannot prune but stays correct
+    val short = spark.table("ngb_t").filter(col("txt").like("%2x%"))
+    assert(filesRead(short) == 4)
+    assert(short.count() == 1000)
+    // fresh session without the rule agrees row-for-row
+    val expect = spark.newSession().table("ngb_t")
+      .filter(col("txt").like("%marker2x%"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(pruned.collect().map(_.toString).sorted.toSeq == expect)
+  }
+
   test("topK plans as TakeOrderedAndProject; funnel and FINAL are aggregates, not windows") {
     val part = spark.read.parquet(s"$sf/part.parquet")
     val topk = part.groupBy("p_type").agg(count(lit(1)).as("n"))
