@@ -109,9 +109,13 @@ object BloomSkipIndex {
     val df = spark.table(table)
     require(df.columns.contains(column),
       s"bloom index: no column $column in $table")
+    // per-row bit positions stay an ARRAY folded by the bitset-OR
+    // aggregate (8 KB fixed state/partition) — no per-bit explode rows
+    // ever cross the shuffle; the build is scan-bound
     val bits = df.select(input_file_name().as("file"), col(column).as("v"))
-      .select(col("file"), explode(rowBits(col("v"))).as("bit"))
-      .groupBy("file").agg(sort_array(collect_set(col("bit"))).as("bits"))
+      .select(col("file"), rowBits(col("v")).as("rb"))
+      .groupBy("file")
+      .agg(BitsetOrAgg.bitsetOr(col("rb"), NumBits).as("bits"))
     // self-read-vs-overwrite guard: materialize the tiny sidecar frame
     // before the write replaces a prior build's files
     val rows = bits.collect()

@@ -636,6 +636,30 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(pruned.collect().map(_.toString).sorted.toSeq == expect)
   }
 
+  test("bitset_or aggregate == sort_array(collect_set(explode)) on random bit arrays") {
+    // the bloom build's OR-fold must produce the exact value the
+    // explode+collect_set form did (sidecars stay oracle-comparable),
+    // while keeping per-partition state at nBits/8 bytes
+    import graft.plans.BitsetOrAgg
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(500)(i => (i % 7,
+      Seq.fill(rnd.nextInt(20))(rnd.nextInt(65536))))
+    val df = spark.createDataFrame(rows).toDF("g", "bits")
+    val viaAgg = df.groupBy("g")
+      .agg(BitsetOrAgg.bitsetOr(col("bits"), 65536).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Int](1)).toMap
+    val viaSet = df.select(col("g"), explode(col("bits")).as("b"))
+      .groupBy("g").agg(sort_array(collect_set(col("b"))).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Int](1)).toMap
+    assert(viaAgg.keySet == (0 until 7).toSet)
+    assert(viaAgg == viaSet)
+    // empty-array rows contribute nothing; a group of only empties is empty
+    val df2 = spark.createDataFrame(Seq((1, Seq.empty[Int]))).toDF("g", "bits")
+    val e = df2.groupBy("g").agg(BitsetOrAgg.bitsetOr(col("bits"), 64).as("s"))
+      .head.getSeq[Int](1)
+    assert(e.isEmpty)
+  }
+
   test("ngram bloom index: LIKE-substring scans read fewer files, results identical") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import graft.plans.BloomSkipIndex
