@@ -6583,6 +6583,36 @@ object Queries {
     // packing into 512-token contexts (one shuffle on shard). Every
     // stage is an already-oracled operator; this entry proves the
     // COMPOSITION end-to-end cross-engine.
+    // THE END-TO-END PRETRAINING CURATION PIPELINE (p7): exact dedup
+    // (hash-groupBy keep-first) → quality gate → DSIR n-gram importance
+    // RESAMPLING toward the en target (Xie et al.) → survivors packed
+    // into 512-token training contexts (shard-local running sums, one
+    // shuffle). p1/p4/p5/p6 prove the stages; this entry proves the
+    // LONGEST composition — dedup feeding selection feeding packing —
+    // cross-engine, the chain a real data build runs nightly. Scale
+    // shape: one digest shuffle + one ≤B-row profile pass + a
+    // TakeOrderedAndProject selection + one broadcast semi-join + the
+    // shard repartition; text never shuffles.
+    "p7_pretrain_pipeline" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val keep = docs.groupBy(md5(col("text")).as("digest"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val gated = docs.join(keep, Seq("doc_id"), "left_semi")
+        .filter(TextAnalysis.tokenCount(col("text")) >= 20)
+        .persist() // two consumers: the DSIR profile pass, the pack join
+      val w = TextAnalysis.dsirWeightsNgram(gated, "doc_id", "text",
+        target = col("lang") === "en", buckets = 64, roundTo = 4)
+      val sel = TextAnalysis.dsirResample(w, "doc_id", "weight", k = 200,
+        roundTo = 4)
+      val chosen = gated
+        .join(broadcast(sel.select("doc_id")), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      TextAnalysis.packSequences(chosen, "doc_id", "n_tokens",
+          capacity = 512, shards = 8)
+        .orderBy("doc_id")
+    }),
+
     "p6_multilingual_pack" -> ((s, dir) => {
       val model = TextAnalysis.bpeModelBytes(s, bpeMergesBytes1k)
       val docs = tbl(s, dir, "documents")
@@ -7085,7 +7115,7 @@ object Queries {
     // with the t30/p5 resampling oracles — the estimator replay can't
     // drift between them)
     "t29b_dsir_ngram" ->
-      s"""WITH $dsirNgramCteBlock
+      s"""WITH ${dsirNgramCteBlock()}
          |SELECT doc_id, $sqlDsirNgramWeight AS weight
          |FROM bks CROSS JOIN lrarr ORDER BY doc_id""".stripMargin,
 
@@ -7253,11 +7283,11 @@ object Queries {
     * `lrarr(arr)` (the 64-entry smoothed log-ratio table). ONE
     * definition serves t29b, t30 and p5 so the estimator replay can
     * never drift between the weight and resampling oracles. */
-  private def dsirNgramCteBlock: String =
+  private def dsirNgramCteBlock(src: String = "documents"): String =
     s"""toks AS (SELECT doc_id, lang,
        |    list_filter(string_split_regex(trim(text), '\\s+'),
        |      t -> len(t) > 0) AS ts
-       |  FROM documents),
+       |  FROM $src),
        |hs AS (SELECT doc_id, lang,
        |    list_transform(ts, t -> ${sqlCharFold("t")}) AS h
        |  FROM toks),
@@ -7464,7 +7494,7 @@ object Queries {
     // weights (shared t29b block) → deterministic Gumbel keys → top-100
     // by (skey desc, doc_id)
     "t30_dsir_resample" ->
-      s"""WITH $dsirNgramCteBlock,
+      s"""WITH ${dsirNgramCteBlock()},
          |w AS (SELECT doc_id, $sqlDsirNgramWeight AS weight
          |  FROM bks CROSS JOIN lrarr)
          |SELECT doc_id, weight,
@@ -7475,7 +7505,7 @@ object Queries {
     // the selected slice's language mix: same chain at k=150, joined
     // back to the corpus and grouped per language
     "p5_dsir_curation" ->
-      s"""WITH $dsirNgramCteBlock,
+      s"""WITH ${dsirNgramCteBlock()},
          |w AS (SELECT doc_id, $sqlDsirNgramWeight AS weight
          |  FROM bks CROSS JOIN lrarr),
          |sel AS (SELECT doc_id, weight,
@@ -7485,6 +7515,37 @@ object Queries {
          |  sum(CAST(s.weight AS DECIMAL(18, 4))) AS sum_weight
          |FROM sel s JOIN documents d USING (doc_id)
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    // dedup → gate → DSIR profile/weights/Gumbel-top-k selection →
+    // the t26 shard/cum/bin packing algebra, one replay end-to-end
+    "p7_pretrain_pipeline" ->
+      s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents
+         |  GROUP BY md5(text)),
+         |src AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)
+         |  WHERE len(list_filter(string_split_regex(trim(d.text), '\\s+'),
+         |    t -> len(t) > 0)) >= 20),
+         |${dsirNgramCteBlock("src")},
+         |w AS (SELECT doc_id, $sqlDsirNgramWeight AS weight
+         |  FROM bks CROSS JOIN lrarr),
+         |sel AS (SELECT doc_id,
+         |    round(weight + ${sqlGumbel("doc_id")}, 4) AS skey
+         |  FROM w ORDER BY skey DESC, doc_id LIMIT 200),
+         |cnt AS (SELECT s2.doc_id,
+         |    CAST(len(list_filter(string_split_regex(trim(s2.text), '\\s+'),
+         |      t -> len(t) > 0)) AS BIGINT) AS tk,
+         |    ${sqlCharFold("CAST(s2.doc_id AS VARCHAR)")} % 8 AS shard
+         |  FROM src s2 JOIN sel USING (doc_id)),
+         |c AS (SELECT doc_id, tk, shard,
+         |    sum(tk) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM cnt)
+         |SELECT doc_id, shard, CAST(cum - tk AS BIGINT) AS offset,
+         |  CAST(floor((cum - tk) / 512) AS BIGINT) AS bin_first,
+         |  CASE WHEN tk > 0 THEN CAST(floor((cum - 1) / 512) AS BIGINT)
+         |       ELSE CAST(floor((cum - tk) / 512) AS BIGINT) END
+         |    AS bin_last,
+         |  tk AS tokens
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     // mixed fixture → t26's whitespace-count gate → the byte-level
     // chain's TRUE token counts per doc → the t26 shard/cum/bin algebra

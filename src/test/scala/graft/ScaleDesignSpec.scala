@@ -636,6 +636,30 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(pruned.collect().map(_.toString).sorted.toSeq == expect)
   }
 
+  test("p7 pretrain pipeline: selection is TakeOrderedAndProject, no nested-loop joins, text never shuffles") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val df = Queries.all("p7_pretrain_pipeline")(spark,
+      "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan
+    // the Gumbel-top-k selection must be per-partition heaps + a driver
+    // merge, never a global sort of the weighted corpus
+    assert(plan.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      "dsirResample's selection must plan as TakeOrderedAndProject")
+    assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+    // the text column reaches profile/count stages scan-locally; no
+    // exchange may carry it (only digests, weights, ids, counts travel)
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"an exchange carries the text column: ${e.output.map(_.name)}")
+    }
+    assert(df.count() > 0)
+  }
+
   test("bitset_or aggregate == sort_array(collect_set(explode)) on random bit arrays") {
     // the bloom build's OR-fold must produce the exact value the
     // explode+collect_set form did (sidecars stay oracle-comparable),
