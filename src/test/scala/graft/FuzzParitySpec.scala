@@ -804,6 +804,31 @@ private[graft] object FuzzGrammar {
       P(ch, tw("DIV"), Some(tw("//")))
     }
 
+    /** hasToken (r12) arm: exact token membership on the maximal
+      * [A-Za-z0-9_]+ runs — the ChSql translation (array_contains over
+      * split) vs independent ANSI (Spark) and list_contains
+      * (DuckDB) renderings, positive AND negated forms. */
+    def hasTokenQuery(): P = {
+      val tok = pick(Seq("URGENT", "HIGH", "MEDIUM", "LOW", "NOT",
+        "SPECIFIED", "1", "2", "5", "nosuchtok"))
+      val not = if (chance(0.4)) "NOT " else ""
+      val p = pred(1)
+      val n = int(5, 150)
+      val ch =
+        s"SELECT o_orderkey AS ck, o_orderpriority AS pr FROM orders " +
+          s"WHERE ${not}hasToken(o_orderpriority, '$tok') AND (${p.ch}) " +
+          s"ORDER BY ck LIMIT $n"
+      val sp =
+        s"SELECT o_orderkey AS ck, o_orderpriority AS pr FROM orders " +
+          s"WHERE ${not}array_contains(split(o_orderpriority, " +
+          s"'[^A-Za-z0-9_]+'), '$tok') AND (${p.sp}) ORDER BY ck LIMIT $n"
+      val dk =
+        s"SELECT o_orderkey AS ck, o_orderpriority AS pr FROM orders " +
+          s"WHERE ${not}list_contains(string_split_regex(o_orderpriority, " +
+          s"'[^A-Za-z0-9_]+'), '$tok') AND (${p.sp}) ORDER BY ck LIMIT $n"
+      P(ch, sp, Some(dk))
+    }
+
     // arm order is LOAD-BEARING: pick() consumes one draw, so the seed
     // space stays stable as long as this list keeps its order
     private val arms: Seq[(String, () => P)] = Seq(
@@ -830,7 +855,8 @@ private[graft] object FuzzGrammar {
       "like" -> (() => likeQuery()),
       "sample_offset" -> (() => sampleOffsetQuery()),
       "subsecond" -> (() => subsecondQuery()),
-      "sample_rows" -> (() => sampleRowsQuery()))
+      "sample_rows" -> (() => sampleRowsQuery()),
+      "has_token" -> (() => hasTokenQuery()))
 
     def namedQuery(): (String, P) = { val (n, f) = pick(arms); (n, f()) }
     def query(): P = namedQuery()._2
