@@ -1144,6 +1144,17 @@ class DdlSurfaceSpec extends AnyFunSuite {
     assert(hit.map(r => (r.getLong(0), r.getLong(1))) == Seq((3L, 23757L)))
     // a value absent from the table: zero rows (all files pruned is fine)
     assert(chRun("SELECT k FROM bfx_t WHERE u = 99999999").isEmpty)
+    // a mutation rewrites every data file; the sidecar goes stale but
+    // pruning must stay SOUND — unknown (rewritten) files are kept, so
+    // reads remain correct until the next MATERIALIZE
+    chRun("ALTER TABLE bfx_t DELETE WHERE k = 3")
+    assert(chRun("SELECT k FROM bfx_t WHERE u = 23757").isEmpty,
+      "the deleted row must not reappear through a stale bloom")
+    val hit2 = chRun("SELECT k, u FROM bfx_t WHERE u = 39595 ORDER BY k")
+    assert(hit2.map(r => (r.getLong(0), r.getLong(1))) == Seq((5L, 39595L)),
+      s"stale sidecar must never drop surviving rows, got $hit2")
+    chRun("ALTER TABLE bfx_t MATERIALIZE INDEX bf_u") // rebuild over new files
+    assert(chRun("SELECT k FROM bfx_t WHERE u = 23757").isEmpty)
     chRun("ALTER TABLE bfx_t DROP INDEX bf_u")
     assert(!spark.catalog.tableExists(side), "DROP INDEX must drop the sidecar")
     assert(chRun("SHOW INDEX FROM bfx_t").forall(_.getString(2) != "bf_u"))
