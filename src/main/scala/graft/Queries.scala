@@ -6668,6 +6668,21 @@ object Queries {
         .orderBy(col("query_id"), col("adist"), col("neighbor_id"))
     }),
 
+    // IVFADC shortlist → EXACT re-rank (the faiss IndexRefineFlat
+    // pattern): the compressed index retrieves 10 candidates/query, one
+    // broadcast join re-scores ONLY those against the raw vectors with
+    // exact squared L2, the final top-3 ranks by the exact distance —
+    // recall-critical serving at per-query cost `rerank`, not corpus.
+    "v18_ivfpq_refined" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val every = math.max(1L, emb.count() / 10).toInt
+      graft.operators.Similarity.ivfPqTopKRefined(emb, "vec_id",
+          "embedding", m = 4, pqCentroidEvery = every,
+          coarseCentroidEvery = every,
+          queryPred = col("id") < 10, k = 3, rerank = 10, nprobe = 2)
+        .orderBy(col("query_id"), col("dist"), col("neighbor_id"))
+    }),
+
     // RESIDUAL IVFADC (Jégou et al. 2011, the faiss IndexIVFPQ default):
     // the fine quantizer encodes x − centroid(cell) instead of the raw
     // vector — one extra row-local O(d) subtraction corpus-side, and
@@ -7591,6 +7606,50 @@ object Queries {
     // training chain — the v15 oracle IS v17's oracle
     "v17_index_persist" -> ivfPqTrainedOracleSql,
 
+
+    // the v9 IVFADC replay widened to a 10-candidate shortlist, then
+    // the exact-L2 re-rank over raw vectors (dot-product identity,
+    // the same left-assoc grouping as the Spark expression)
+    "v18_ivfpq_refined" ->
+      s"""WITH vecs AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |stride AS (SELECT GREATEST(1, count(*) // 10) AS s FROM vecs),
+         |ccents AS (SELECT id AS ccid, v AS ccv FROM vecs
+         |  WHERE id % (SELECT s FROM stride) = 0),
+         |cassign AS (SELECT id, v, ccid,
+         |  round(${sqlDot("v", "ccv")} /
+         |    (sqrt(${sqlNormSq("v")}) * sqrt(${sqlNormSq("ccv")})), 6) AS csim
+         |  FROM vecs CROSS JOIN ccents),
+         |cranked AS (SELECT id, v, ccid, row_number() OVER (PARTITION BY id
+         |    ORDER BY csim DESC, ccid) AS crn FROM cassign),
+         |cells AS (SELECT id, v, ccid AS cell FROM cranked WHERE crn = 1),
+         |probes AS (SELECT id, ccid AS cell FROM cranked WHERE crn <= 2),
+         |cents AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cpos, v AS cv
+         |  FROM vecs WHERE id % (SELECT s FROM stride) = 0),
+         |${pqCodeCtes(4, 16)},
+         |q AS (SELECT p.id AS query_id, v.v AS qv, p.cell
+         |  FROM probes p JOIN vecs v ON v.id = p.id WHERE p.id < 10),
+         |scored AS (SELECT q.query_id, n.id AS neighbor_id,
+         |  round(${pqAdcSql(4, 16)}, 6) AS adist
+         |  FROM q JOIN cells cl ON cl.cell = q.cell
+         |  JOIN vecs n ON n.id = cl.id ${pqCodeJoins(4)}
+         |  WHERE q.query_id <> n.id),
+         |short AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+         |  FROM scored) WHERE rn <= 10),
+         |ex AS (SELECT s2.query_id, s2.neighbor_id,
+         |  round((${sqlDot("qv.v", "qv.v")} + ${sqlDot("nv.v", "nv.v")}) -
+         |    2.0 * ${sqlDot("qv.v", "nv.v")}, 6) AS dist
+         |  FROM short s2
+         |  JOIN vecs qv ON qv.id = s2.query_id
+         |  JOIN vecs nv ON nv.id = s2.neighbor_id),
+         |rk3 AS (SELECT query_id, neighbor_id, dist, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
+         |  FROM ex)
+         |SELECT query_id, neighbor_id, dist FROM rk3 WHERE rn <= 3
+         |ORDER BY query_id, dist, neighbor_id""".stripMargin,
 
     // residual IVFADC replay: the v9 chain with (a) PQ init vectors =
     // RESIDUALS of the offset-1 stride rows, (b) candidate codes

@@ -2905,9 +2905,24 @@ object ChDdl {
         rewriteSwap(spark, name)(transform)
         ""
     }
+    // CH re-materializes skip indexes when parts merge; the twin
+    // rebuilds every registered bloom sidecar over the merged files
+    // (the compaction replaced every file name, so a stale sidecar
+    // would stop pruning — still sound via keep-on-unknown, but an
+    // OPTIMIZE that silently disabled the index would surprise)
+    val freshProps = tablePropsSafe(spark, name)
+    val rebuilt =
+      graft.plans.BloomSkipIndex.indexedColumns(freshProps).values.map(c =>
+        graft.plans.BloomSkipIndex.materialize(spark, name, c)) ++
+      graft.plans.BloomSkipIndex.tokenIndexedColumns(freshProps).values.map(c =>
+        graft.plans.BloomSkipIndex.materializeTokens(spark, name, c)) ++
+      graft.plans.BloomSkipIndex.ngramIndexedColumns(freshProps).values.map(c =>
+        graft.plans.BloomSkipIndex.materializeNgrams(spark, name, c))
+    val idxNote =
+      if (rebuilt.isEmpty) "" else s"; ${rebuilt.size} bloom index(es) rebuilt"
     status(s"optimized $name" + (if (fin) " final" else "") +
       (if (dedup) " deduplicate" else "") + scopeNote +
-      ttlNote.fold("")("; " + _))
+      ttlNote.fold("")("; " + _) + idxNote)
   }
 
   /** Apply the table's recorded TTL (`graft.ttl`), if any:

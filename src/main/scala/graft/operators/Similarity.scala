@@ -837,6 +837,43 @@ object Similarity {
       roundTo, nprobe, maxLiteralCentroids)
   }
 
+  /** Two-stage serving: IVFADC shortlist → EXACT re-rank — the faiss
+    * `IndexRefineFlat` pattern, the standard production shape for
+    * recall-critical serving. Stage 1 retrieves `rerank` (≥ k)
+    * candidates per query from the 64×-compressed code index (ADC
+    * approximate distances); stage 2 joins ONLY those candidates back
+    * to the raw vectors (the shortlist is queries×rerank rows —
+    * broadcast-small — so the corpus streams through one broadcast
+    * hash join, never shuffles) and re-scores with exact squared L2
+    * (`‖q‖² + ‖n‖² − 2·q·n`, sequential-fold dots, SQL-replayable).
+    * Per-query exact-distance cost: `rerank` vectors instead of the
+    * corpus. */
+  def ivfPqTopKRefined(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, pqCentroidEvery: Int, coarseCentroidEvery: Int,
+      queryPred: Column, k: Int, rerank: Int,
+      roundTo: Int = 6, nprobe: Int = 1,
+      maxLiteralCentroids: Int = 64
+  ): DataFrame = {
+    require(rerank >= k, s"ivfPqTopKRefined: rerank ($rerank) must be >= k ($k)")
+    val shortlist = ivfPqTopK(corpus, idCol, vecCol, m, pqCentroidEvery,
+      coarseCentroidEvery, queryPred, rerank, roundTo, nprobe,
+      maxLiteralCentroids).select("query_id", "neighbor_id")
+    val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val cands = broadcast(shortlist)
+      .join(vecs.select(col("id").as("neighbor_id"), col("v").as("nv")),
+        "neighbor_id")
+      .join(broadcast(vecs.filter(queryPred)
+        .select(col("id").as("query_id"), col("v").as("qv"))), "query_id")
+    val d2 = round(dot(col("qv"), col("qv")) + dot(col("nv"), col("nv")) -
+      lit(2.0) * dot(col("qv"), col("nv")), roundTo)
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))
+    cands.select(col("query_id"), col("neighbor_id"), d2.as("dist"))
+      .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** RESIDUAL IVFADC — the actual Jégou et al. (2011) formulation (the
     * faiss `IndexIVFPQ` default, `encode_residual=true`): the fine
     * quantizer encodes `x − centroid(cell(x))` instead of the raw

@@ -239,6 +239,18 @@ object AnnOperatingPoints {
             s"${f"$tsec%.3f"}s recall=${f"$tr%.4f"}")
         }
       }
+      // EXACT re-rank over the IVFADC shortlist (r12, v18 — faiss
+      // IndexRefineFlat): recall approaches the cell-restriction bound
+      // at per-query cost rerank=50 exact distances, not corpus
+      for ((cLabel, every) <- Seq("C10" -> every10, "C256" -> every256)) {
+        val (sec, df) = timed(() =>
+          Similarity.ivfPqTopKRefined(emb, "vec_id", "embedding", m = 4,
+            pqCentroidEvery = every, coarseCentroidEvery = every10,
+            queryPred = qPred, k = k, rerank = 50, nprobe = 2))
+        val r = meanRecall(exactL2, df)
+        cells += s"""  "ivfpq_refined_m4_${cLabel}_nprobe2_rerank50": {"sec": ${f"$sec%.3f"}, "recall_at_10": ${f"$r%.4f"}}"""
+        System.err.println(s"  ivfpq-refined $cLabel: ${f"$sec%.3f"}s recall=${f"$r%.4f"}")
+      }
       exactL2.unpersist()
 
       exact.unpersist(); emb.unpersist()

@@ -1153,8 +1153,14 @@ class DdlSurfaceSpec extends AnyFunSuite {
     val hit2 = chRun("SELECT k, u FROM bfx_t WHERE u = 39595 ORDER BY k")
     assert(hit2.map(r => (r.getLong(0), r.getLong(1))) == Seq((5L, 39595L)),
       s"stale sidecar must never drop surviving rows, got $hit2")
-    chRun("ALTER TABLE bfx_t MATERIALIZE INDEX bf_u") // rebuild over new files
+    // OPTIMIZE compacts files AND re-materializes registered bloom
+    // indexes (CH merges do the same) — the status says so and the
+    // rebuilt sidecar covers the merged files
+    val opt = chRun("OPTIMIZE TABLE bfx_t").head.getString(0)
+    assert(opt.contains("1 bloom index(es) rebuilt"), opt)
     assert(chRun("SELECT k FROM bfx_t WHERE u = 23757").isEmpty)
+    assert(chRun("SELECT k FROM bfx_t WHERE u = 39595")
+      .map(_.getLong(0)) == Seq(5L))
     chRun("ALTER TABLE bfx_t DROP INDEX bf_u")
     assert(!spark.catalog.tableExists(side), "DROP INDEX must drop the sidecar")
     assert(chRun("SHOW INDEX FROM bfx_t").forall(_.getString(2) != "bf_u"))

@@ -500,6 +500,31 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(trained.count() > 0)
   }
 
+  test("ivfPqTopKRefined: refine stage is broadcast-joined, corpus never re-shuffles") {
+    // the exact re-rank must join the (queries × rerank)-row shortlist
+    // and the query vectors as BROADCASTS against the streaming corpus —
+    // the only exchanges are the two top-k windows (ADC stage + refine
+    // stage); a shuffled refine join would move the corpus twice
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val n = emb.count()
+    val every = math.max(1L, n / 10).toInt
+    val out = Similarity.ivfPqTopKRefined(emb, "vec_id", "embedding",
+      m = 4, pqCentroidEvery = every, coarseCentroidEvery = every,
+      queryPred = col("id") < 5, k = 3, rerank = 10, nprobe = 2)
+    val plan = out.queryExecution.executedPlan
+    assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+    assert(shuffleCount(out) <= 2,
+      s"refine added shuffles: ${shuffleCount(out)}")
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.forall(_.getDouble(2) >= 0.0))
+    // exact re-rank of the shortlist: for each query the refined top-k
+    // carries exact L2 — it must be sorted ascending within the query
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      val ds = rs.map(_.getDouble(2)).toSeq
+      assert(ds == ds.sorted, s"refined distances out of order: $ds")
+    }
+  }
+
   test("ivfPqTopKResidual: serving plan has the stride IVFADC's exact shape") {
     // the residual tier (v16) changes WHAT is encoded (x − centroid),
     // not HOW candidates are served: the subtraction and encode run at
