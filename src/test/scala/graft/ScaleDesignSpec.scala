@@ -685,6 +685,59 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("bloom family soundness PROPERTY: pruned reads == unpruned reads on random corpora and probes") {
+    // generated-corpus postcondition: for random tables, random file
+    // layouts and random probes (present AND absent values), every
+    // bloom-pruned read must return exactly the unpruned read's rows —
+    // no false negative can exist at any seed
+    import graft.plans.BloomSkipIndex
+    val rnd = new scala.util.Random(1234)
+    val words = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golfball", "hotelier")
+    for (round <- 0 until 2) {
+      val t = s"bprop_$round"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      Seq("__bloom_k", "__tokbloom_s", "__ngrambloom_s").foreach(sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS $t$sfx"))
+      val rows = Seq.tabulate(1500)(i => (i.toLong,
+        rnd.nextInt(400).toLong,
+        Seq.fill(3 + rnd.nextInt(4))(words(rnd.nextInt(words.size)))
+          .mkString(" ")))
+      spark.createDataFrame(rows).toDF("id", "k", "s")
+        .repartition(4) // random (round-robin-ish) file layout
+        .write.option("path", s"$wh/$t").mode("overwrite").saveAsTable(t)
+      BloomSkipIndex.materialize(spark, t, "k")
+      BloomSkipIndex.materializeTokens(spark, t, "s")
+      BloomSkipIndex.materializeNgrams(spark, t, "s")
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES (" +
+        s"'graft.bloomindex.bk'='k', 'graft.tokbloomindex.bs'='s', " +
+        s"'graft.ngrambloomindex.bn'='s')")
+      BloomSkipIndex.install(spark)
+      val plain = spark.newSession() // no rule installed: ground truth
+      def agree(mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+        val got = mk(spark.table(t)).collect().map(_.toString).sorted.toSeq
+        val want = mk(plain.table(t)).collect().map(_.toString).sorted.toSeq
+        assert(got == want, s"pruned read diverged at round $round")
+      }
+      for (_ <- 0 until 6) {
+        val kv = rnd.nextInt(500).toLong // present or absent
+        agree(_.filter(col("k") === kv))
+        agree(_.filter(col("k").isin(kv, kv + 7, 999999L)))
+        val tok = if (rnd.nextBoolean()) words(rnd.nextInt(words.size))
+          else "absenttok"
+        agree(_.filter(array_contains(
+          split(col("s"), BloomSkipIndex.TokenSplitRe), tok)))
+        val pat = if (rnd.nextBoolean()) {
+          val w = words(rnd.nextInt(words.size))
+          val off = rnd.nextInt(math.max(1, w.length - 4))
+          w.substring(off, math.min(w.length, off + 4 + rnd.nextInt(2)))
+        } else "zzzzq"
+        agree(_.filter(col("s").like(s"%$pat%")))
+      }
+      spark.sql(s"DROP TABLE $t")
+    }
+  }
+
   test("bitset_or aggregate == sort_array(collect_set(explode)) on random bit arrays") {
     // the bloom build's OR-fold must produce the exact value the
     // explode+collect_set form did (sidecars stay oracle-comparable),
