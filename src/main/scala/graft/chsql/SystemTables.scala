@@ -70,6 +70,25 @@ object SystemTables {
         }.toDF("database", "table", "partition_id", "file_count",
           "bytes_on_disk", "active"))
 
+      case "system.data_skipping_indices" =>
+        // one row per registered skip index (CH's table of the same
+        // name): the minmax/set family registers under graft.index.*
+        // (the stored property does not distinguish the two — both map
+        // onto clustered parquet stats), the bloom family under its
+        // three sidecar-backed kinds
+        Some(allTables(spark).flatMap { case (db, t, qualified) =>
+          val props = ChDdl.tablePropsSafe(spark, qualified)
+          def rows(prefix: String, kind: String) = props.collect {
+            case (k, v) if k.startsWith(prefix) =>
+              (db, t, k.stripPrefix(prefix), kind, v)
+          }
+          rows("graft.index.", "minmax_or_set") ++
+            rows("graft.bloomindex.", "bloom_filter") ++
+            rows("graft.tokbloomindex.", "tokenbf_v1") ++
+            rows("graft.ngrambloomindex.", "ngrambf_v1")
+        }.sortBy(r => (r._1, r._2, r._3))
+          .toDF("database", "table", "name", "type", "expr"))
+
       case "system.functions" =>
         Some(FunctionCatalog.names
           .map(n => (n, FunctionCatalog.isAggregate(n)))

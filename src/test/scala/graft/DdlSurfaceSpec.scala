@@ -1153,6 +1153,11 @@ class DdlSurfaceSpec extends AnyFunSuite {
     val hit2 = chRun("SELECT k, u FROM bfx_t WHERE u = 39595 ORDER BY k")
     assert(hit2.map(r => (r.getLong(0), r.getLong(1))) == Seq((5L, 39595L)),
       s"stale sidecar must never drop surviving rows, got $hit2")
+    // system.data_skipping_indices lists the registered index
+    val sk = chRun("SELECT name, type, expr FROM " +
+      "system.data_skipping_indices WHERE table = 'bfx_t'")
+    assert(sk.map(r => (r.getString(0), r.getString(1), r.getString(2))) ==
+      Seq(("bf_u", "bloom_filter", "u")), sk.toString)
     // OPTIMIZE compacts files AND re-materializes registered bloom
     // indexes (CH merges do the same) — the status says so and the
     // rebuilt sidecar covers the merged files
