@@ -22,7 +22,12 @@ object PlanAudit {
         // their hand-built twins (pushdown through the translator), the
         // broadcast-edge adaptive histogram, the widened p1 pipeline
         "ch1_sql_agg", "ch10_sql_window", "q90_adaptive_histogram",
-        "p1_training_pipeline")
+        "p1_training_pipeline",
+        // round-12 marquee shapes: residual/refined IVFADC serve through
+        // the materialized-code-index + broadcast joins, the bloom-index
+        // reads prune files at the scan, p7 keeps text out of exchanges
+        "v16_ivfpq_residual", "v18_ivfpq_refined", "ch89_sql_bloom_index",
+        "p7_pretrain_pipeline")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
