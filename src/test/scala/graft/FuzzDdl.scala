@@ -62,7 +62,7 @@ private[graft] object FuzzDdl {
     "collapsing", "versioned", "aggregating",
     "part_verbs", "move_replace", "col_alter", "ctas_exchange",
     "projection", "modify_type", "clear_column", "ttl", "modify_default",
-    "add_fill", "memory", "ctas_fill", "null_guard")
+    "add_fill", "memory", "ctas_fill", "null_guard", "bloom_idx")
 
   /** Render a typed model value for multiset comparison — the same rules
     * as FuzzGrammar.canon / the python leg's canon_value. */
@@ -291,7 +291,7 @@ private[graft] object FuzzDdl {
         Col("v", "Int64", "BIGINT"), Col("d", "Int64", "BIGINT"))
       case "add_fill" => Seq(Col("k", "Int64", "BIGINT"),
         Col("p", "Int32", "INTEGER"), Col("v", "Int64", "BIGINT"))
-      case "memory" | "ctas_fill" | "null_guard" =>
+      case "memory" | "ctas_fill" | "null_guard" | "bloom_idx" =>
         Seq(Col("k", "Int64", "BIGINT"),
           Col("v", "Int64", "BIGINT"), Col("s", "String", "VARCHAR"),
           Col("n", "Nullable(Int64)", "BIGINT"))
@@ -1004,6 +1004,27 @@ private[graft] object FuzzDdl {
       (1 to int(1, 3)).foreach(_ => pick(refuseOps)())
     }
 
+    if (arm == "bloom_idx") {
+      // the r12 skip-index family fuzzed end-to-end: register +
+      // materialize a value bloom on v and a token bloom on s AFTER the
+      // mutation phase (stale-sidecar soundness rides keep-on-unknown),
+      // keep inserting post-build (unknown files must be kept), and
+      // half the seeds OPTIMIZE (compaction + sidecar rebuild). Pruning
+      // must be invisible: the model and DuckDB replay the bare
+      // predicate the final SELECT carries.
+      ch += s"ALTER TABLE $t ADD INDEX bi v TYPE bloom_filter GRANULARITY 1"
+      ch += s"ALTER TABLE $t ADD INDEX bs s TYPE tokenbf_v1(4096, 3, 0)"
+      ch += s"ALTER TABLE $t MATERIALIZE INDEX bi"
+      if (chance(0.7)) ch += s"ALTER TABLE $t MATERIALIZE INDEX bs"
+      (1 to int(1, 2)).foreach(_ => genInsert())
+      if (chance(0.5)) ch += s"OPTIMIZE TABLE $t"
+    }
+    // bloom_idx final-predicate draws (post-mutations, so probes can hit
+    // or miss surviving rows either way)
+    val bloomKind = if (arm == "bloom_idx") int(0, 2) else -1
+    val bloomProbe = if (arm == "bloom_idx") int(-5, 9).toLong else 0L
+    val bloomTok = if (arm == "bloom_idx") pick(words :+ "qq") else ""
+
     if (arm == "modify_type") {
       // type changes AFTER the mutation phase (the model's integer
       // arithmetic must not see doubles): widen Int32 → Int64 (values
@@ -1040,6 +1061,13 @@ private[graft] object FuzzDdl {
       case "projection" => // exactly the projection's shape, so the
         // engine substitutes the materialized table whenever it is live
         s"SELECT p, ${projAggs.map(_._2).mkString(", ")} FROM $t GROUP BY p"
+      case "bloom_idx" => bloomKind match {
+        case 0 => s"SELECT ${selCols.mkString(", ")} FROM $t WHERE v = $bloomProbe"
+        case 1 => s"SELECT ${selCols.mkString(", ")} FROM $t " +
+          s"WHERE v IN ($bloomProbe, ${bloomProbe + 2})"
+        case _ => s"SELECT ${selCols.mkString(", ")} FROM $t " +
+          s"WHERE hasToken(s, '$bloomTok')"
+      }
       case _ => s"SELECT ${selCols.mkString(", ")} FROM $t"
     }
     val modelFinal: Seq[Seq[Any]] = arm match {
@@ -1062,9 +1090,21 @@ private[graft] object FuzzDdl {
             case (a, _, _) => sys.error(s"projAgg $a")
           }
         }
+      case "bloom_idx" =>
+        val (vi, si) = (idx("v"), idx("s"))
+        rows.toSeq.filter(r => bloomKind match {
+          case 0 => asL(r(vi)) == bloomProbe
+          case 1 => asL(r(vi)) == bloomProbe || asL(r(vi)) == bloomProbe + 2
+          // s values are single [a-z_]+ tokens by construction, so
+          // hasToken(s, w) is exact-token equality on the whole value
+          case _ => r(si).asInstanceOf[String] == bloomTok
+        })
       case _ => rows.toSeq
     }
     val duckFinal = arm match {
+      case "bloom_idx" if bloomKind == 2 =>
+        s"SELECT ${selCols.mkString(", ")} FROM $t WHERE list_contains(" +
+          s"string_split_regex(s, '[^A-Za-z0-9_]+'), '$bloomTok')"
       case "mt_defaults" => s"SELECT k, v, d, m, k + 7 AS al FROM $t"
       case "projection" =>
         s"SELECT p, ${projAggs.map(_._3).mkString(", ")} FROM $t GROUP BY p"
