@@ -524,6 +524,40 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(per == mem, "persisted serve must equal in-memory serve")
   }
 
+  test("ivfPqTopKRefined == independent driver-side exact re-rank of the ADC shortlist") {
+    // the refine stage is a THEOREM, not a heuristic: refined(q) must
+    // equal the exact-L2 top-k over exactly the rerank-sized shortlist
+    // ivfPqTopK returns — recomputed here with plain driver arithmetic
+    def vec(i: Long): Seq[Double] =
+      Seq.tabulate(8)(d => math.sin(i * (d + 1) * 0.29))
+    val df = spark.createDataFrame((0L until 150L).map(i => (i, vec(i))))
+      .toDF("vec_id", "embedding")
+    val refined = Similarity.ivfPqTopKRefined(df, "vec_id", "embedding",
+        m = 4, pqCentroidEvery = 15, coarseCentroidEvery = 15,
+        queryPred = col("id") < 6, k = 3, rerank = 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (q, rs) =>
+        q -> rs.map(t => (t._2, t._3)).sortBy(t => (t._2, t._1)).toSeq }
+    val shortlist = Similarity.ivfPqTopK(df, "vec_id", "embedding",
+        m = 4, pqCentroidEvery = 15, coarseCentroidEvery = 15,
+        queryPred = col("id") < 6, k = 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def d2(a: Seq[Double], b: Seq[Double]): Double = {
+      def dot(x: Seq[Double], y: Seq[Double]) =
+        x.indices.foldLeft(0.0)((acc, i) => acc + x(i) * y(i))
+      val raw = dot(a, a) + dot(b, b) - 2.0 * dot(a, b)
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = shortlist.groupBy(_._1).map { case (q, pairs) =>
+      q -> pairs.map { case (_, n) => (n, d2(vec(q), vec(n))) }
+        .sortBy(t => (t._2, t._1)).take(3).toSeq
+    }
+    assert(refined.keySet == want.keySet)
+    refined.foreach { case (q, got) =>
+      assert(got == want(q), s"query $q: $got vs ${want(q)}")
+    }
+  }
+
   test("ivfPqTopKResidual: planted near-copy ranks first, deterministic, k-bounded") {
     // clustered corpus: 4 tight clusters around orthogonal anchors, plus
     // a planted near-copy of vector 1 at id 97 — residual encoding must
