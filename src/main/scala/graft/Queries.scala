@@ -94,11 +94,11 @@ object Queries {
   def all: Map[String, (SparkSession, String) => DataFrame] =
     batch1 ++ batch2 ++ batch3 ++ batch4 ++ batch5 ++ batch6 ++ batch7 ++
       batch8 ++ batch9 ++ batch10 ++ batch11 ++ batch12 ++ batch13 ++
-      batch14
+      batch14 ++ batch15
   def oracles: Map[String, String] =
     oracles1 ++ oracles2 ++ oracles3 ++ oracles4 ++ oracles5 ++ oracles6 ++
       oracles7 ++ oracles8 ++ oracles9 ++ oracles10 ++ oracles11 ++
-      oracles12 ++ oracles13 ++ oracles14
+      oracles12 ++ oracles13 ++ oracles14 ++ oracles15
 
   private val batch1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -7695,4 +7695,169 @@ object Queries {
          |  FROM scored)
          |SELECT query_id, neighbor_id, adist FROM rk2 WHERE rn <= 3
          |ORDER BY query_id, adist, neighbor_id""".stripMargin)
+
+  // ===== batch 15: round-12c — Gopher rule suite, fuzzy decontamination,
+  // IVF range search =====
+
+  private val batch15: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Gopher quality-filter rule suite (Rae et al. 2021, Appendix A):
+    // the published heuristic pretraining filter as per-rule booleans +
+    // the keep conjunction, entirely row-local (scan-speed at 100 TB).
+    // The line-level rules (bullets/ellipses/dup lines) and the
+    // 2-distinct-stop-words rule are exercised through the deterministic
+    // multi-line fixture — three plain replaces both engines compute
+    // identically.
+    "t31_gopher_rules" -> ((s, dir) => {
+      val cols = TextAnalysis.gopherRules(col("text"))
+        .map { case (n, c) => c.as(n) }
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.multiLineFixture(col("text")).as("text"))
+        .select(col("doc_id") +: cols: _*)
+        .orderBy("doc_id")
+    }),
+
+    // FUZZY benchmark decontamination (the near-dup tier t11's exact
+    // n-gram probe cannot reach): MinHash-LSH between corpus and a
+    // derived benchmark (every 50th doc, lightly edited — the
+    // paraphrased-eval-item shape), exact-Jaccard verify on candidates.
+    // Benchmark bands + shingle sets and the bounded candidate list all
+    // broadcast; the corpus is never shuffled.
+    "t32_decontam_fuzzy" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" held out eval item")).as("text"))
+      TextAnalysis.decontaminateFuzzy(docs, bench, "doc_id", "text",
+          shingleN = 3, numHashes = 16, bands = 4, jaccardMin = 0.5)
+        .orderBy("doc_id", "bench_id")
+    }),
+
+    // IVF RANGE search (faiss range_search): every neighbor with cosine
+    // sim >= 0.25 in the query's 2 probed cells — threshold-bounded
+    // output, so the plan has NO per-query window/sort at all (cheaper
+    // than top-k at scale); same constant-C codebook as v3/v5.
+    "v19_ivf_range" -> ((s, dir) =>
+      graft.operators.Similarity.ivfRangeSearch(
+          tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          c = 10, queryPred = col("id") < 10, simMin = 0.25, nprobe = 2,
+          knownN = graft.operators.Similarity.parquetRowCount(
+            s, s"$dir/embeddings.parquet"))
+        .orderBy(col("query_id"), desc("sim"), col("neighbor_id"))))
+
+  private val oracles15: Map[String, String] = Map(
+
+    "t31_gopher_rules" ->
+      """WITH f AS (SELECT doc_id,
+        |    replace(replace(replace(text, ' table ', chr(10) || '- table '),
+        |            ' row ', '...' || chr(10) || 'row '),
+        |            ' value ', ' of value ') AS text
+        |  FROM documents),
+        |w AS (SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> len(t) > 0) AS ws,
+        |    list_filter(list_transform(string_split(text, chr(10)),
+        |      l -> trim(l)), l -> len(l) > 0) AS ls
+        |  FROM f),
+        |m AS (SELECT doc_id,
+        |    CAST(len(ws) AS DOUBLE) AS nw,
+        |    CAST(len(ls) AS DOUBLE) AS nl,
+        |    CAST(list_sum(list_transform(ws, t -> length(t))) AS DOUBLE)
+        |      / greatest(CAST(len(ws) AS DOUBLE), 1.0) AS mean_len,
+        |    (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) +
+        |     (length(text) - length(replace(text, '...', ''))) / 3)
+        |      / greatest(CAST(len(ws) AS DOUBLE), 1.0) AS symbol_ratio,
+        |    CAST(len(list_filter(ls, l -> l[1:1] IN ('-', '*', '•'))) AS DOUBLE)
+        |      / greatest(CAST(len(ls) AS DOUBLE), 1.0) AS bullet_frac,
+        |    CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS DOUBLE)
+        |      / greatest(CAST(len(ls) AS DOUBLE), 1.0) AS ellipsis_frac,
+        |    CAST(len(list_filter(ws, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+        |      / greatest(CAST(len(ws) AS DOUBLE), 1.0) AS alpha_frac,
+        |    len(list_intersect(list_distinct(list_transform(ws, t -> lower(t))),
+        |      ['the','be','to','of','and','that','have','with'])) AS stop_hits,
+        |    (CAST(len(ls) AS DOUBLE) - len(list_distinct(ls)))
+        |      / greatest(CAST(len(ls) AS DOUBLE), 1.0) AS dup_line_frac
+        |  FROM w)
+        |SELECT doc_id,
+        |  CAST(nw BETWEEN 50 AND 100000 AS INTEGER) AS r_word_count,
+        |  CAST(mean_len BETWEEN 3.0 AND 10.0 AS INTEGER) AS r_mean_word_len,
+        |  CAST(symbol_ratio <= 0.1 AS INTEGER) AS r_symbol_ratio,
+        |  CAST(bullet_frac <= 0.9 AS INTEGER) AS r_bullet_lines,
+        |  CAST(ellipsis_frac <= 0.3 AS INTEGER) AS r_ellipsis_lines,
+        |  CAST(alpha_frac >= 0.8 AS INTEGER) AS r_alpha_words,
+        |  CAST(stop_hits >= 2 AS INTEGER) AS r_stop_words,
+        |  CAST(dup_line_frac <= 0.3 AS INTEGER) AS r_dup_lines,
+        |  CAST(nw BETWEEN 50 AND 100000 AND mean_len BETWEEN 3.0 AND 10.0
+        |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+        |    AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+        |    AND stop_hits >= 2 AND dup_line_frac <= 0.3 AS INTEGER) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "t32_decontam_fuzzy" ->
+      s"""WITH corp AS (SELECT doc_id, text FROM documents),
+         |bench AS (SELECT doc_id + 100000 AS bench_id,
+         |    text || ' held out eval item' AS text
+         |  FROM documents WHERE doc_id % 50 = 0),
+         |ctoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corp),
+         |csh AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(0, greatest(len(t) - 3, 0) + 1),
+         |    i -> array_to_string(t[i+1:i+3], ' '))) AS sh FROM ctoks),
+         |chs AS (SELECT doc_id,
+         |  list_transform(sh, s -> ${sqlCharFold("s")}) AS hs FROM csh),
+         |csig AS (SELECT doc_id, hs, list_transform(range(16), p ->
+         |  list_min(list_transform(hs,
+         |    h -> (h * (2 * p + 1) + (12345 * p + 1)) % 2147483647))) AS sig
+         |  FROM chs),
+         |btoks AS (SELECT bench_id, string_split(text, ' ') AS t FROM bench),
+         |bsh AS (SELECT bench_id, list_distinct(list_transform(
+         |    range(0, greatest(len(t) - 3, 0) + 1),
+         |    i -> array_to_string(t[i+1:i+3], ' '))) AS sh FROM btoks),
+         |bhs AS (SELECT bench_id,
+         |  list_transform(sh, s -> ${sqlCharFold("s")}) AS hs FROM bsh),
+         |bsig AS (SELECT bench_id, hs, list_transform(range(16), p ->
+         |  list_min(list_transform(hs,
+         |    h -> (h * (2 * p + 1) + (12345 * p + 1)) % 2147483647))) AS sig
+         |  FROM bhs),
+         |cband AS (SELECT doc_id, b AS band_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1:b*4+4]),
+         |    (acc, x) -> (acc * 1000003 + x) % 2147483647) AS band_hash
+         |  FROM csig, range(4) r(b)),
+         |bband AS (SELECT bench_id, b AS band_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1:b*4+4]),
+         |    (acc, x) -> (acc * 1000003 + x) % 2147483647) AS band_hash
+         |  FROM bsig, range(4) r(b)),
+         |cand AS (SELECT DISTINCT doc_id, bench_id
+         |  FROM cband JOIN bband USING (band_id, band_hash)),
+         |v AS (SELECT c.doc_id, c.bench_id,
+         |  round(CAST(len(list_intersect(ch.hs, bh.hs)) AS DOUBLE) /
+         |    greatest(CAST(len(list_distinct(list_concat(ch.hs, bh.hs)))
+         |      AS DOUBLE), 1.0), 6) AS j
+         |  FROM cand c JOIN chs ch ON ch.doc_id = c.doc_id
+         |  JOIN bhs bh ON bh.bench_id = c.bench_id)
+         |SELECT doc_id, bench_id, j FROM v WHERE j >= 0.5
+         |ORDER BY doc_id, bench_id""".stripMargin,
+
+    "v19_ivf_range" ->
+      s"""WITH vecs AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |stride AS (SELECT GREATEST(1, count(*) // 10) AS s FROM vecs),
+         |cents AS (SELECT id AS cid, v AS cv FROM vecs
+         |  WHERE id % (SELECT s FROM stride) = 0),
+         |assign AS (SELECT id, v, cid,
+         |  round(${sqlDot("v", "cv")} /
+         |    (sqrt(${sqlNormSq("v")}) * sqrt(${sqlNormSq("cv")})), 6) AS csim
+         |  FROM vecs CROSS JOIN cents),
+         |ranked AS (SELECT id, v, cid, row_number() OVER (PARTITION BY id
+         |    ORDER BY csim DESC, cid) AS rn FROM assign),
+         |cells AS (SELECT id, v, cid AS cell FROM ranked WHERE rn = 1),
+         |q AS (SELECT id AS query_id, v AS qv, cid AS cell FROM ranked
+         |  WHERE rn <= 2 AND id < 10),
+         |scored AS (SELECT query_id, c.id AS neighbor_id,
+         |  round(${sqlDot("qv", "c.v")} /
+         |    (sqrt(${sqlNormSq("qv")}) * sqrt(${sqlNormSq("c.v")})), 6) AS sim
+         |  FROM q JOIN cells c USING (cell) WHERE query_id <> c.id)
+         |SELECT query_id, neighbor_id, sim FROM scored WHERE sim >= 0.25
+         |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin)
 }

@@ -334,6 +334,46 @@ object Similarity {
       nprobe, maxLiteralCentroids)
   }
 
+  /** IVF RANGE search — the faiss `range_search` shape: every neighbor
+    * with cosine similarity ≥ `simMin` inside the query's probed cells,
+    * instead of a fixed top-k. The radius query is what dedup-style
+    * consumers actually want ("everything closer than t", not "the 3
+    * closest whatever their distance"), and at scale it is CHEAPER than
+    * top-k: the output is bounded by the threshold, so the plan needs NO
+    * per-query window/sort at all — row-local assignment (same codegen'd
+    * argmax as [[ivfTopK]]), one broadcast-queries cell join, a scan-side
+    * similarity filter. Zero wide operators beyond the candidate join.
+    * Same constant-C codebook contract as [[ivfTopKFixedC]]; `knownN`
+    * skips the sizing count. */
+  def ivfRangeSearch(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      c: Int, queryPred: Column, simMin: Double,
+      roundTo: Int = 6, nprobe: Int = 1, knownN: Long = -1L,
+      maxLiteralCentroids: Int = 64
+  ): DataFrame = {
+    require(c > 0, s"ivfRangeSearch: need c > 0 cells, got $c")
+    require(simMin >= -1.0 && simMin <= 1.0,
+      s"ivfRangeSearch: simMin must be a cosine in [-1, 1], got $simMin")
+    val n = if (knownN >= 0) knownN else corpus.count()
+    val every = math.max(1L, n / c).toInt
+    val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val (cids, cvs) = strideCodebook(vecs, every)
+    val assigned = assignWith(vecs, cids, cvs, nprobe, roundTo,
+      maxLiteralCentroids)
+    val cells = assigned
+      .select(col("id"), col("v"), element_at(col("__cells"), 1).as("cell"))
+    val queries = assigned.filter(queryPred)
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        explode(col("__cells")).as("cell"))
+    broadcast(queries)
+      .join(cells.select(col("id").as("neighbor_id"), col("v").as("cv"),
+        col("cell")), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), roundTo).as("sim"))
+      .filter(col("sim") >= simMin)
+  }
+
   /** Bucketed approximate all-pairs: candidate pairs share a bucket;
     * exact cosine verifies. Returns (id1, id2, sim) with id1 < id2 and
     * sim ≥ threshold.

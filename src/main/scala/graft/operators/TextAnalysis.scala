@@ -145,6 +145,84 @@ object TextAnalysis {
           greatest(nChars, lit(1.0)), 6))
   }
 
+  /** The Gopher stop-word set (Rae et al. 2021, Appendix A1.1) — the
+    * rule asks for ≥ 2 DISTINCT members present, not a ratio. */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality-filter rule suite (Rae et al. 2021, Appendix A —
+    * the published heuristic document filter every large-scale English
+    * pretraining pipeline starts from). Each rule is one boolean column
+    * (1 = pass), `keep` is their conjunction:
+    *
+    *  - `r_word_count`:   50 ≤ words ≤ 100,000
+    *  - `r_mean_word_len`: mean word length in [3, 10]
+    *  - `r_symbol_ratio`: (# + … occurrences) / words ≤ 0.1
+    *  - `r_bullet_lines`: ≤ 90% of lines start with a bullet
+    *  - `r_ellipsis_lines`: ≤ 30% of lines end with "..."
+    *  - `r_alpha_words`:  ≥ 80% of words contain a letter
+    *  - `r_stop_words`:   ≥ 2 distinct Gopher stop words present
+    *  - `r_dup_lines`:    duplicate-line fraction ≤ 0.30 (the A1.2
+    *    repetition family's line tier; cross-document line dedup is
+    *    [[lineDedup]], per-doc n-gram repetition is [[dupNgramRatio]])
+    *
+    * Every signal is ROW-LOCAL (split/filter/aggregate HOFs, all
+    * codegen'd) — at 100 TB the whole rule suite runs at scan speed with
+    * zero shuffles, and composes with any downstream sampler as a plain
+    * filter on `keep`. */
+  def gopherRules(text: Column): Seq[(String, Column)] = {
+    val ws = filter(split(trim(text), "\\s+"), t => length(t) > 0)
+    val nW = size(ws).cast("double")
+    val meanLen = aggregate(ws, lit(0L), (a, t) => a + length(t))
+      .cast("double") / greatest(nW, lit(1.0))
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val nL = size(lines).cast("double")
+    val bulletFrac = size(filter(lines,
+      l => l.substr(lit(1), lit(1)).isin("-", "*", "•")))
+      .cast("double") / greatest(nL, lit(1.0))
+    val ellipsisFrac = size(filter(lines, l => endswith(l, lit("..."))))
+      .cast("double") / greatest(nL, lit(1.0))
+    val alphaFrac = size(filter(ws, w => w.rlike("[A-Za-z]")))
+      .cast("double") / greatest(nW, lit(1.0))
+    val nHash = length(text) - length(replace(text, lit("#"), lit("")))
+    val nEllipsis =
+      (length(text) - length(replace(text, lit("..."), lit("")))) / 3
+    val symbolRatio =
+      (nHash + nEllipsis).cast("double") / greatest(nW, lit(1.0))
+    val stopHits = size(array_intersect(
+      array_distinct(transform(ws, w => lower(w))),
+      typedLit(GopherStopWords)))
+    val dupLineFrac = (nL - size(array_distinct(lines)).cast("double")) /
+      greatest(nL, lit(1.0))
+    def b(c: Column): Column = c.cast("int")
+    Seq(
+      "r_word_count" -> b(nW.between(50, 100000)),
+      "r_mean_word_len" -> b(meanLen.between(3.0, 10.0)),
+      "r_symbol_ratio" -> b(symbolRatio <= 0.1),
+      "r_bullet_lines" -> b(bulletFrac <= 0.9),
+      "r_ellipsis_lines" -> b(ellipsisFrac <= 0.3),
+      "r_alpha_words" -> b(alphaFrac >= 0.8),
+      "r_stop_words" -> b(stopHits >= 2),
+      "r_dup_lines" -> b(dupLineFrac <= 0.3),
+      "keep" -> b(nW.between(50, 100000) && meanLen.between(3.0, 10.0) &&
+        symbolRatio <= 0.1 && bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
+        alphaFrac >= 0.8 && stopHits >= 2 && dupLineFrac <= 0.3))
+  }
+
+  /** Deterministic multi-line fixture for the line-level Gopher rules:
+    * the flat single-line test corpus gains bullets, ellipses,
+    * duplicate-able lines and a second stop word ("of" — the corpus
+    * vocabulary only carries "the", which alone can never satisfy the
+    * ≥ 2-distinct-stop-words rule) through three plain (non-regex)
+    * replaces that any engine applies identically. */
+  def multiLineFixture(text: Column): Column =
+    replace(
+      replace(
+        replace(text, lit(" table "), lit("\n- table ")),
+        lit(" row "), lit("...\nrow ")),
+      lit(" value "), lit(" of value "))
+
   /** Document fingerprint: polynomial rolling hash of the whole text
     * (portable) — pair with Dedup.minhashSignature for locality-sensitive
     * fingerprints. */
@@ -212,6 +290,58 @@ object TextAnalysis {
       .join(broadcast(bench), "shingle")
       .groupBy(idCol)
       .agg(countDistinct("shingle").as("n_shared"))
+  }
+
+  /** FUZZY benchmark decontamination — the near-duplicate tier
+    * [[decontaminate]]'s exact n-gram probe cannot reach: an eval item
+    * paraphrased, re-punctuated, or lightly edited into the training
+    * corpus shares few exact n-grams but keeps a high shingle-set
+    * Jaccard. The standard industrial guard (Llama-style) is
+    * MinHash-LSH between corpus and benchmark with an exact-Jaccard
+    * verify on the candidates. Returns (idCol, bench_id, j) for every
+    * corpus document whose Jaccard with a benchmark document ≥
+    * `jaccardMin`.
+    *
+    * Scale shape: the benchmark side is eval-suite-sized by definition,
+    * so its band table AND its shingle sets both BROADCAST; candidates
+    * are (bench × few)-bounded, so the verify probe broadcasts the
+    * candidate list back into a map-side join against the corpus — the
+    * 100 TB corpus is scanned (twice: band + verify), never shuffled,
+    * and no all-pairs path exists. All sketches are the portable
+    * minhash/banding used by the dedup cascade, so any engine replays
+    * the whole chain. */
+  def decontaminateFuzzy(corpus: org.apache.spark.sql.DataFrame,
+      benchmark: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, numHashes: Int = 16,
+      bands: Int = 4, jaccardMin: Double = 0.5,
+      roundTo: Int = 6): org.apache.spark.sql.DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"decontaminateFuzzy: bands ($bands) must divide numHashes ($numHashes)")
+    require(jaccardMin >= 0.0 && jaccardMin <= 1.0,
+      s"decontaminateFuzzy: jaccardMin must be in [0, 1], got $jaccardMin")
+    val rpb = numHashes / bands
+    val cs = corpus.select(col(idCol),
+        Dedup.shingleHashes(col(textCol), shingleN).as("__hs"))
+      .withColumn("__sig", Dedup.minhashSignature(col("__hs"), numHashes))
+    val bs = benchmark.select(col(idCol).as("bench_id"),
+        Dedup.shingleHashes(col(textCol), shingleN).as("__bhs"))
+      .withColumn("__bsig", Dedup.minhashSignature(col("__bhs"), numHashes))
+    val cBands = Dedup.lshBands(cs.select(col(idCol), col("__sig")),
+      idCol, "__sig", bands, rpb)
+    val bBands = Dedup.lshBands(bs.select(col("bench_id"), col("__bsig")),
+      "bench_id", "__bsig", bands, rpb)
+    val cand = cBands.join(broadcast(bBands), Seq("band_id", "band_hash"))
+      .select(col(idCol), col("bench_id")).distinct()
+    val j = round(
+      size(array_intersect(col("__hs"), col("__bhs"))).cast("double") /
+        greatest(size(array_union(col("__hs"), col("__bhs"))).cast("double"),
+          lit(1.0)), roundTo)
+    cs.select(col(idCol), col("__hs"))
+      .join(broadcast(cand), Seq(idCol))
+      .join(broadcast(bs.select(col("bench_id"), col("__bhs"))),
+        Seq("bench_id"))
+      .select(col(idCol), col("bench_id"), j.as("j"))
+      .filter(col("j") >= jaccardMin)
   }
 
   // ===================== chunking =====================

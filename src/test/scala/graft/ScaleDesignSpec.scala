@@ -1276,4 +1276,57 @@ class ScaleDesignSpec extends AnyFunSuite {
       s"plan text unexpectedly large (${planStr.length}) — literals leak?")
     assert(out.count() == docs.count())
   }
+
+  test("gopherRules: the whole rule suite is one scan — zero shuffles, " +
+      "zero joins (scan-speed at 100 TB)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val cols = graft.operators.TextAnalysis.gopherRules(col("text"))
+      .map { case (n, c) => c.as(n) }
+    val out = docs.select(col("doc_id") +: cols: _*)
+    assert(shuffleCount(out) == 0, "rule suite must not shuffle")
+    assert(out.queryExecution.executedPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, "rule suite must not join")
+    assert(out.count() == docs.count())
+  }
+
+  test("decontaminateFuzzy: no sort-merge join anywhere; shingle-hash " +
+      "arrays never cross an exchange (corpus text/sketches stay scan-side)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" edited")).as("text"))
+    val out = graft.operators.TextAnalysis.decontaminateFuzzy(
+      docs, bench, "doc_id", "text")
+    val plan = out.queryExecution.executedPlan
+    assert(plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty, s"bench/candidate sides must broadcast:\n$plan")
+    // the only rows that may shuffle are bounded id/band tuples — a
+    // shingle-hash ARRAY crossing an exchange would mean the corpus
+    // sketches (corpus-sized) were shuffled
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.forall(e => !e.output.exists(a =>
+      a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])),
+      s"a shingle-hash array crossed an exchange:\n$plan")
+  }
+
+  test("ivfRangeSearch: threshold-bounded output — ZERO shuffles, no " +
+      "window, no sort (cheaper than top-k); queries ride broadcast") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val out = Similarity.ivfRangeSearch(emb, "vec_id", "embedding",
+      c = 10, queryPred = col("id") < 10, simMin = 0.25, nprobe = 2)
+    val plan = out.queryExecution.executedPlan
+    assert(shuffleCount(out) == 0, s"range search must not shuffle:\n$plan")
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "no per-query window may appear")
+    assert(plan.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }.isEmpty, "no sort may appear")
+    assert(plan.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }.nonEmpty, "queries must broadcast into the cell join")
+    assert(out.collect().forall(_.getAs[Double]("sim") >= 0.25))
+  }
 }

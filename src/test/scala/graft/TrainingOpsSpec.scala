@@ -1279,4 +1279,90 @@ class TrainingOpsSpec extends AnyFunSuite {
         target = col("slice") === "nope", buckets = 16)
     }
   }
+
+  test("gopherRules: each planted violator trips exactly its rule; the " +
+      "clean doc passes all eight") {
+    val fill = (0 until 58).map(i => f"word$i%02d").mkString(" ")
+    val gdocs = Seq(
+      (0L, s"the of $fill"), // clean: 60 words, mean len ~5.8, 2 stop words
+      (1L, "the of tiny"), // word count
+      (2L, s"the of $fill ${Seq.fill(12)("###").mkString(" ")}"), // symbols
+      (3L, s"the of $fill\n- one\n- two\n- three\n- four\n- five\n- six" +
+        "\n- seven\n- eight\n- nine\n- ten\n- eleven\n- twelve"), // bullets
+      (4L, s"the of $fill\nline one...\nline two...\nline three..."), // ellipses
+      (5L, s"the of ${(0 until 58).map(_ => "aa").mkString(" ")}"), // mean len
+      (6L, s"xx yy $fill"), // only 0 stop words
+      (7L, s"the of $fill\nsame line\nsame line\nsame line\nsame line" +
+        "\nsame line\nsame line")) // dup lines
+      .toDF("doc_id", "text")
+    val cols = TextAnalysis.gopherRules(col("text")).map { case (n, c) => c.as(n) }
+    val rows = gdocs.select(col("doc_id") +: cols: _*).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def rule(id: Long, name: String): Int = rows(id).getAs[Int](name)
+    assert(rule(0L, "keep") == 1)
+    assert((1 to 7).forall(i => rule(i.toLong, "keep") == 0))
+    assert(rule(1L, "r_word_count") == 0 && rule(0L, "r_word_count") == 1)
+    assert(rule(2L, "r_symbol_ratio") == 0 && rule(0L, "r_symbol_ratio") == 1)
+    assert(rule(3L, "r_bullet_lines") == 0 && rule(0L, "r_bullet_lines") == 1)
+    assert(rule(4L, "r_ellipsis_lines") == 0 && rule(0L, "r_ellipsis_lines") == 1)
+    assert(rule(5L, "r_mean_word_len") == 0 && rule(0L, "r_mean_word_len") == 1)
+    assert(rule(6L, "r_stop_words") == 0 && rule(0L, "r_stop_words") == 1)
+    assert(rule(7L, "r_dup_lines") == 0 && rule(0L, "r_dup_lines") == 1)
+    // the ### words still carry no letters but stay under the 20% bar
+    assert(rule(2L, "r_alpha_words") == 1)
+  }
+
+  test("decontaminateFuzzy: edited copy flagged below 1, exact copy at " +
+      "j = 1, disjoint doc clean; contract refusals") {
+    val corpus = Seq(
+      (0L, "one two three four five six seven eight nine ten eleven twelve"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "completely unrelated content about something else entirely now"))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "one two three four five six seven eight nine ten eleven " +
+        "twelve plus light edits"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminateFuzzy(corpus, bench, "doc_id",
+      "text", jaccardMin = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("j")).toMap
+    assert(out.contains((0L, 100L)) && out((0L, 100L)) >= 0.5 &&
+      out((0L, 100L)) < 1.0)
+    assert(out((1L, 101L)) == 1.0)
+    assert(!out.keys.exists(_._1 == 2L), "disjoint doc must not be flagged")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.decontaminateFuzzy(corpus, bench, "doc_id", "text",
+        numHashes = 16, bands = 5)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.decontaminateFuzzy(corpus, bench, "doc_id", "text",
+        jaccardMin = 1.5)
+    }
+  }
+
+  test("ivfRangeSearch ≡ unbounded top-k filtered at the radius; refusals") {
+    val vecs = (0 until 40).map { i =>
+      val base =
+        if (i % 2 == 0) Seq(1.0f, 0.0f, 0.1f * (i % 5))
+        else Seq(0.0f, 1.0f, 0.1f * (i % 5))
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val range = Similarity.ivfRangeSearch(vecs, "vec_id", "embedding",
+      c = 4, queryPred = col("id") < 6, simMin = 0.9, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val topAll = Similarity.ivfTopKFixedC(vecs, "vec_id", "embedding",
+      c = 4, queryPred = col("id") < 6, k = 1000, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(_._3 >= 0.9).toSet
+    assert(range.nonEmpty && range == topAll)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfRangeSearch(vecs, "vec_id", "embedding", c = 0,
+        queryPred = col("id") < 1, simMin = 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfRangeSearch(vecs, "vec_id", "embedding", c = 4,
+        queryPred = col("id") < 1, simMin = 1.5)
+    }
+  }
 }
