@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{
-  HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
+  HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
 
 /** Bloom-filter data-skipping index — the Spark twin of ClickHouse's
@@ -35,12 +35,16 @@ import org.apache.spark.sql.functions._
   *    always kept — same keep-on-unknown contract CH applies to
   *    not-yet-materialized parts.
   *
+  * Partitioned layouts compose (r12c): pruning rides a delegating
+  * [[BloomPrunedFileIndex]] over the relation's own index, so partition
+  * discovery/VALUES/pruning pass through untouched — partition filters
+  * drop directories, the bloom drops files inside the survivors (the
+  * case partition pruning alone cannot touch: a selective predicate on
+  * a NON-partition column of a partitioned table).
+  *
   * Scope bounds (each refused/skipped honestly, not silently wrong):
-  * unpartitioned tables only (partitioned layouts already prune by
-  * partition value; rebuilding a partitioning-aware index from leaf
-  * files would drop partition columns), bare-attribute probes only (a
-  * cast around the column changes the hashed type), non-null literal
-  * probes of the column's exact type.
+  * bare-attribute probes only (a cast around the column changes the
+  * hashed type), non-null literal probes of the column's exact type.
   */
 object BloomSkipIndex {
   val NumBits = 1 << 16
@@ -159,6 +163,25 @@ object BloomSkipIndex {
     props.collect { case (k, v) if k.startsWith("graft.ngrambloomindex.") =>
       k.stripPrefix("graft.ngrambloomindex.") -> v }
 
+  /** Sidecar rows key files by `input_file_name()` URIs; a relation's
+    * `inputFiles` / listing may render the scheme differently
+    * (`file:///x` vs `file:/x`, percent-encoding). Compare by the
+    * decoded URI PATH — the full path, not the final segment: a
+    * partitioned write reuses task file names across partition
+    * directories (`p=0/part-00001-<uuid>` and `p=1/part-00001-<uuid>`),
+    * so leaf names alone collide and would apply one directory's bloom
+    * to the other's file (observed as false pruning in the r12c
+    * partitioned-compose pin). A path the URI parser rejects keeps its
+    * raw form — a key mismatch then fails SAFE (unknown file → kept). */
+  private[plans] def fileKey(path: String): String = {
+    val p =
+      try {
+        val u = new java.net.URI(path)
+        if (u.getPath != null && u.getPath.nonEmpty) u.getPath else path
+      } catch { case _: java.net.URISyntaxException => path }
+    p.replaceAll("^/+", "/")
+  }
+
   /** Driver-side probe bits for one literal — the same XxHash64
     * expression the build ran, evaluated over the literal. */
   private[plans] def probeBits(v: Literal): Seq[Int] =
@@ -263,8 +286,7 @@ case class BloomPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
     case f @ Filter(cond,
         l @ LogicalRelation(fs: HadoopFsRelation, _, Some(cat), _, _))
-        if !fs.options.contains("graft.bloom.pruned") &&
-          fs.partitionSchema.isEmpty =>
+        if !fs.options.contains("graft.bloom.pruned") =>
       val table = cat.identifier.table
       val eqCols = indexedColumns(cat.properties).values.toSet
       val tokCols = tokenIndexedColumns(cat.properties).values.toSet
@@ -307,20 +329,52 @@ case class BloomPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     if (kept.size == allFiles.length) f
     else {
-      val newLoc = new InMemoryFileIndex(spark,
-        kept.map(p => new org.apache.hadoop.fs.Path(p)),
-        Map.empty[String, String], Some(fs.dataSchema))
+      // delegate to the original index, filtered to the surviving files —
+      // partition discovery/pruning, partition VALUES, and metadata all
+      // pass straight through, so partitioned layouts compose: partition
+      // pruning drops directories, the bloom drops files inside the
+      // survivors (r12b shipped unpartitioned-only via an InMemoryFileIndex
+      // rebuild, which would have lost partition values from leaf paths)
+      val newLoc = BloomPrunedFileIndex(fs.location, kept.map(fileKey).toSet)
       val pruned = fs.copy(location = newLoc,
         options = fs.options + ("graft.bloom.pruned" -> "true"))(spark)
       Filter(f.condition, l.copy(relation = pruned))
     }
   }
 
-  /** Sidecar rows key files by `input_file_name()` URIs; the relation's
-    * `inputFiles` may render the scheme differently — compare by the
-    * (unique-per-table) final path segment. */
-  private def fileKey(path: String): String =
-    path.substring(path.lastIndexOf('/') + 1)
+}
+
+/** The surviving-file view of a relation's FileIndex after a bloom probe:
+  * every listing is delegated to the original index and filtered to the
+  * kept files, so partition discovery, partition VALUES and partition
+  * pruning compose unchanged — on a partitioned layout the partition
+  * filter drops directories first, then the bloom drops files inside the
+  * surviving directories (the case partition pruning alone cannot touch:
+  * a selective predicate on a NON-partition column). `keep` holds file
+  * keys ([[BloomSkipIndex.fileKey]]); directories left empty disappear
+  * from the listing. */
+private[plans] case class BloomPrunedFileIndex(
+    underlying: org.apache.spark.sql.execution.datasources.FileIndex,
+    keep: Set[String])
+  extends org.apache.spark.sql.execution.datasources.FileIndex {
+  import BloomSkipIndex.fileKey
+  override def rootPaths: Seq[org.apache.hadoop.fs.Path] =
+    underlying.rootPaths
+  override def listFiles(
+      partitionFilters: Seq[Expression], dataFilters: Seq[Expression])
+      : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] =
+    underlying.listFiles(partitionFilters, dataFilters)
+      .map(pd => pd.copy(files =
+        pd.files.filter(f => keep.contains(fileKey(f.getPath.toString)))))
+      .filter(_.files.nonEmpty)
+  override def inputFiles: Array[String] =
+    underlying.inputFiles.filter(p => keep.contains(fileKey(p)))
+  override def refresh(): Unit = underlying.refresh()
+  // an upper bound is the contract (planner sizing only); refining it
+  // would need a second listing pass for no planning benefit
+  override def sizeInBytes: Long = underlying.sizeInBytes
+  override def partitionSchema: org.apache.spark.sql.types.StructType =
+    underlying.partitionSchema
 }
 
 /** Helper to read a table with pruning applied explicitly (the

@@ -624,6 +624,53 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(q.count() == 1)
   }
 
+  test("bloom skip index composes with partitioned layouts: the partition " +
+      "filter drops directories, the bloom drops files inside the survivors") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    spark.sql("DROP TABLE IF EXISTS bloomp_t")
+    spark.sql("DROP TABLE IF EXISTS bloomp_t__bloom_k")
+    // 2 partition dirs (p = id % 2) × 4 range-clustered writer tasks on
+    // the DATA column k → 8 leaf files; a k-probe is selective on a
+    // NON-partition column, exactly the case partition pruning can't touch
+    spark.range(0, 8000).select(col("id").as("k"),
+        (col("id") % 2).as("p"), (col("id") % 97).as("payload"))
+      .repartitionByRange(4, col("k"))
+      .write.partitionBy("p").option("path", s"$wh/bloomp_t")
+      .mode("overwrite").saveAsTable("bloomp_t")
+    graft.plans.BloomSkipIndex.materialize(spark, "bloomp_t", "k")
+    spark.sql("ALTER TABLE bloomp_t SET TBLPROPERTIES " +
+      "('graft.bloomindex.bf_k'='k')")
+    graft.plans.BloomSkipIndex.install(spark)
+    // numFiles metric = files actually scanned AFTER partition pruning —
+    // inputFiles would ignore the partition filter
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s.metrics("numFiles").value
+      }.sum
+    }
+    assert(scannedFiles(spark.table("bloomp_t").filter(col("payload") >= 0)) == 8)
+    // bloom alone: k = 42 lives in ONE slice of ONE parity → 1 file
+    val bloomOnly = spark.table("bloomp_t").filter(col("k") === 42L)
+    assert(scannedFiles(bloomOnly) <= 2,
+      "bloom must prune inside both partition dirs")
+    // partition alone: half the directories
+    assert(scannedFiles(spark.table("bloomp_t")
+      .filter(col("p") === 1L && col("payload") >= 0)) == 4)
+    // composed: both prunings apply — at most one file survives per probe
+    val both = spark.table("bloomp_t")
+      .filter(col("k") === 42L && col("p") === 0L)
+    assert(scannedFiles(both) <= 1, "partition + bloom pruning must compose")
+    // no false negatives and partition VALUES intact vs a rule-free session
+    val uninstalled = spark.newSession()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(spark.table("bloomp_t").filter(col("k").isin(42L, 7041L))) ==
+      rows(uninstalled.table("bloomp_t").filter(col("k").isin(42L, 7041L))))
+    assert(both.select("k", "p", "payload").collect().map(_.toString).toSeq ==
+      Seq("[42,0,42]"))
+  }
+
   test("token bloom index: hasToken scans read fewer files, results identical") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import graft.plans.BloomSkipIndex
@@ -703,9 +750,14 @@ class ScaleDesignSpec extends AnyFunSuite {
         rnd.nextInt(400).toLong,
         Seq.fill(3 + rnd.nextInt(4))(words(rnd.nextInt(words.size)))
           .mkString(" ")))
-      spark.createDataFrame(rows).toDF("id", "k", "s")
+      // round 0: flat layout; round 1: PARTITIONED layout (id % 3 dirs) —
+      // duplicate leaf file names across partition dirs are exactly the
+      // shape that broke last-segment file keys (r12c fileKey fix)
+      val base = spark.createDataFrame(rows).toDF("id", "k", "s")
+        .withColumn("pt", col("id") % 3)
         .repartition(4) // random (round-robin-ish) file layout
-        .write.option("path", s"$wh/$t").mode("overwrite").saveAsTable(t)
+        .write.option("path", s"$wh/$t").mode("overwrite")
+      (if (round == 1) base.partitionBy("pt") else base).saveAsTable(t)
       BloomSkipIndex.materialize(spark, t, "k")
       BloomSkipIndex.materializeTokens(spark, t, "s")
       BloomSkipIndex.materializeNgrams(spark, t, "s")
