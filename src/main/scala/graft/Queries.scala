@@ -7734,6 +7734,39 @@ object Queries {
         .orderBy("doc_id", "bench_id")
     }),
 
+    // THE GOPHER-GATED CURATION PIPELINE (p8): exact dedup (hash-groupBy
+    // keep-first) → the published Gopher rule suite as the quality gate
+    // (t31) → FUZZY benchmark decontamination (t32: MinHash-LSH + Jaccard
+    // verify, flagged docs dropped) → survivors packed into 512-token
+    // training contexts. p7 proved the DSIR-resampling recipe; p8 proves
+    // the other canonical recipe — filter-by-rules + decontaminate —
+    // composed end-to-end in ONE DuckDB replay. Scale shape: one digest
+    // shuffle, row-local rules, broadcast-only decontamination probes,
+    // one shard repartition; text never shuffles.
+    "p8_gopher_decontam_pack" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.multiLineFixture(col("text")).as("text"))
+      val keep = docs.groupBy(md5(col("text")).as("digest"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val rules = TextAnalysis.gopherRules(col("text")).toMap
+      val gated = docs.join(keep, Seq("doc_id"), "left_semi")
+        .filter(rules("keep") === 1)
+        .persist() // two consumers: the decontam band/verify pass, the pack
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" held out eval item")).as("text"))
+      val flagged = TextAnalysis.decontaminateFuzzy(gated, bench, "doc_id",
+          "text", shingleN = 3, numHashes = 16, bands = 4, jaccardMin = 0.5)
+        .select("doc_id").distinct()
+      val clean = gated.join(broadcast(flagged), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      TextAnalysis.packSequences(clean, "doc_id", "n_tokens",
+          capacity = 512, shards = 8)
+        .orderBy("doc_id")
+    }),
+
     // IVF RANGE search (faiss range_search): every neighbor with cosine
     // sim >= 0.25 in the query's 2 probed cells — threshold-bounded
     // output, so the plan has NO per-query window/sort at all (cheaper
@@ -7746,97 +7779,160 @@ object Queries {
             s, s"$dir/embeddings.parquet"))
         .orderBy(col("query_id"), desc("sim"), col("neighbor_id"))))
 
+  // ---- shared r12c oracle blocks (one definition each — t31/t32/p8) ----
+
+  /** The t31/p8 multi-line fixture: three plain replaces, the SQL twin of
+    * TextAnalysis.multiLineFixture. */
+  private def sqlGopherFx(src: String): String =
+    s"""fx AS (SELECT doc_id,
+       |    replace(replace(replace(text, ' table ', chr(10) || '- table '),
+       |            ' row ', '...' || chr(10) || 'row '),
+       |            ' value ', ' of value ') AS text
+       |  FROM $src)""".stripMargin
+
+  /** Gopher signal CTEs over `src` (doc_id, text) → `gm` with one column
+    * per rule signal. */
+  private def sqlGopherMetrics(src: String): String =
+    s"""gw AS (SELECT doc_id, text,
+       |    list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |      t -> len(t) > 0) AS ws,
+       |    list_filter(list_transform(string_split(text, chr(10)),
+       |      l -> trim(l)), l -> len(l) > 0) AS ls
+       |  FROM $src),
+       |gm AS (SELECT doc_id, text,
+       |    CAST(len(ws) AS DOUBLE) AS nw,
+       |    CAST(len(ls) AS DOUBLE) AS nl,
+       |    CAST(list_sum(list_transform(ws, t -> length(t))) AS DOUBLE)
+       |      / greatest(CAST(len(ws) AS DOUBLE), 1.0) AS mean_len,
+       |    (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) +
+       |     (length(text) - length(replace(text, '...', ''))) / 3)
+       |      / greatest(CAST(len(ws) AS DOUBLE), 1.0) AS symbol_ratio,
+       |    CAST(len(list_filter(ls, l -> l[1:1] IN ('-', '*', '•'))) AS DOUBLE)
+       |      / greatest(CAST(len(ls) AS DOUBLE), 1.0) AS bullet_frac,
+       |    CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS DOUBLE)
+       |      / greatest(CAST(len(ls) AS DOUBLE), 1.0) AS ellipsis_frac,
+       |    CAST(len(list_filter(ws, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+       |      / greatest(CAST(len(ws) AS DOUBLE), 1.0) AS alpha_frac,
+       |    len(list_intersect(list_distinct(list_transform(ws, t -> lower(t))),
+       |      ['the','be','to','of','and','that','have','with'])) AS stop_hits,
+       |    (CAST(len(ls) AS DOUBLE) - len(list_distinct(ls)))
+       |      / greatest(CAST(len(ls) AS DOUBLE), 1.0) AS dup_line_frac
+       |  FROM gw)""".stripMargin
+
+  /** (rule name, SQL predicate over gm) — ONE definition of each Gopher
+    * threshold, shared by the t31 per-rule columns and the p8 gate. */
+  private val sqlGopherConds: Seq[(String, String)] = Seq(
+    "r_word_count" -> "nw BETWEEN 50 AND 100000",
+    "r_mean_word_len" -> "mean_len BETWEEN 3.0 AND 10.0",
+    "r_symbol_ratio" -> "symbol_ratio <= 0.1",
+    "r_bullet_lines" -> "bullet_frac <= 0.9",
+    "r_ellipsis_lines" -> "ellipsis_frac <= 0.3",
+    "r_alpha_words" -> "alpha_frac >= 0.8",
+    "r_stop_words" -> "stop_hits >= 2",
+    "r_dup_lines" -> "dup_line_frac <= 0.3")
+
+  private def sqlGopherKeep: String =
+    sqlGopherConds.map(_._2).mkString(" AND ")
+
+  /** MinHash → LSH-band → candidate chain shared by t32/p8: `corpus`
+    * rows (doc_id, text), `bench` rows (bench_id, text) → `chs`/`bhs`
+    * (distinct shingle-hash sets) and `cand` (candidate pairs). Same
+    * permutation/band algebra as the t3/t5 dedup oracles. */
+  private def sqlFuzzyLshCtes(corpus: String, bench: String): String =
+    s"""ctoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $corpus),
+       |csh AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(0, greatest(len(t) - 3, 0) + 1),
+       |    i -> array_to_string(t[i+1:i+3], ' '))) AS sh FROM ctoks),
+       |chs AS (SELECT doc_id,
+       |  list_transform(sh, s -> ${sqlCharFold("s")}) AS hs FROM csh),
+       |csig AS (SELECT doc_id, hs, list_transform(range(16), p ->
+       |  list_min(list_transform(hs,
+       |    h -> (h * (2 * p + 1) + (12345 * p + 1)) % 2147483647))) AS sig
+       |  FROM chs),
+       |btoks AS (SELECT bench_id, string_split(text, ' ') AS t FROM $bench),
+       |bsh AS (SELECT bench_id, list_distinct(list_transform(
+       |    range(0, greatest(len(t) - 3, 0) + 1),
+       |    i -> array_to_string(t[i+1:i+3], ' '))) AS sh FROM btoks),
+       |bhs AS (SELECT bench_id,
+       |  list_transform(sh, s -> ${sqlCharFold("s")}) AS hs FROM bsh),
+       |bsig AS (SELECT bench_id, hs, list_transform(range(16), p ->
+       |  list_min(list_transform(hs,
+       |    h -> (h * (2 * p + 1) + (12345 * p + 1)) % 2147483647))) AS sig
+       |  FROM bhs),
+       |cband AS (SELECT doc_id, b AS band_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1:b*4+4]),
+       |    (acc, x) -> (acc * 1000003 + x) % 2147483647) AS band_hash
+       |  FROM csig, range(4) r(b)),
+       |bband AS (SELECT bench_id, b AS band_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1:b*4+4]),
+       |    (acc, x) -> (acc * 1000003 + x) % 2147483647) AS band_hash
+       |  FROM bsig, range(4) r(b)),
+       |cand AS (SELECT DISTINCT doc_id, bench_id
+       |  FROM cband JOIN bband USING (band_id, band_hash))""".stripMargin
+
+  /** Exact-Jaccard verify over a candidate pair's hash sets (ch/bh
+    * aliases of chs/bhs). */
+  private def sqlPairJaccard: String =
+    """round(CAST(len(list_intersect(ch.hs, bh.hs)) AS DOUBLE) /
+      |    greatest(CAST(len(list_distinct(list_concat(ch.hs, bh.hs)))
+      |      AS DOUBLE), 1.0), 6)""".stripMargin
+
   private val oracles15: Map[String, String] = Map(
 
     "t31_gopher_rules" ->
-      """WITH f AS (SELECT doc_id,
-        |    replace(replace(replace(text, ' table ', chr(10) || '- table '),
-        |            ' row ', '...' || chr(10) || 'row '),
-        |            ' value ', ' of value ') AS text
-        |  FROM documents),
-        |w AS (SELECT doc_id, text,
-        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |      t -> len(t) > 0) AS ws,
-        |    list_filter(list_transform(string_split(text, chr(10)),
-        |      l -> trim(l)), l -> len(l) > 0) AS ls
-        |  FROM f),
-        |m AS (SELECT doc_id,
-        |    CAST(len(ws) AS DOUBLE) AS nw,
-        |    CAST(len(ls) AS DOUBLE) AS nl,
-        |    CAST(list_sum(list_transform(ws, t -> length(t))) AS DOUBLE)
-        |      / greatest(CAST(len(ws) AS DOUBLE), 1.0) AS mean_len,
-        |    (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) +
-        |     (length(text) - length(replace(text, '...', ''))) / 3)
-        |      / greatest(CAST(len(ws) AS DOUBLE), 1.0) AS symbol_ratio,
-        |    CAST(len(list_filter(ls, l -> l[1:1] IN ('-', '*', '•'))) AS DOUBLE)
-        |      / greatest(CAST(len(ls) AS DOUBLE), 1.0) AS bullet_frac,
-        |    CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS DOUBLE)
-        |      / greatest(CAST(len(ls) AS DOUBLE), 1.0) AS ellipsis_frac,
-        |    CAST(len(list_filter(ws, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
-        |      / greatest(CAST(len(ws) AS DOUBLE), 1.0) AS alpha_frac,
-        |    len(list_intersect(list_distinct(list_transform(ws, t -> lower(t))),
-        |      ['the','be','to','of','and','that','have','with'])) AS stop_hits,
-        |    (CAST(len(ls) AS DOUBLE) - len(list_distinct(ls)))
-        |      / greatest(CAST(len(ls) AS DOUBLE), 1.0) AS dup_line_frac
-        |  FROM w)
-        |SELECT doc_id,
-        |  CAST(nw BETWEEN 50 AND 100000 AS INTEGER) AS r_word_count,
-        |  CAST(mean_len BETWEEN 3.0 AND 10.0 AS INTEGER) AS r_mean_word_len,
-        |  CAST(symbol_ratio <= 0.1 AS INTEGER) AS r_symbol_ratio,
-        |  CAST(bullet_frac <= 0.9 AS INTEGER) AS r_bullet_lines,
-        |  CAST(ellipsis_frac <= 0.3 AS INTEGER) AS r_ellipsis_lines,
-        |  CAST(alpha_frac >= 0.8 AS INTEGER) AS r_alpha_words,
-        |  CAST(stop_hits >= 2 AS INTEGER) AS r_stop_words,
-        |  CAST(dup_line_frac <= 0.3 AS INTEGER) AS r_dup_lines,
-        |  CAST(nw BETWEEN 50 AND 100000 AND mean_len BETWEEN 3.0 AND 10.0
-        |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
-        |    AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
-        |    AND stop_hits >= 2 AND dup_line_frac <= 0.3 AS INTEGER) AS keep
-        |FROM m ORDER BY doc_id""".stripMargin,
+      s"""WITH ${sqlGopherFx("documents")},
+         |${sqlGopherMetrics("fx")}
+         |SELECT doc_id,
+         |${sqlGopherConds.map { case (n, c) =>
+              s"  CAST($c AS INTEGER) AS $n," }.mkString("\n")}
+         |  CAST($sqlGopherKeep AS INTEGER) AS keep
+         |FROM gm ORDER BY doc_id""".stripMargin,
 
     "t32_decontam_fuzzy" ->
       s"""WITH corp AS (SELECT doc_id, text FROM documents),
          |bench AS (SELECT doc_id + 100000 AS bench_id,
          |    text || ' held out eval item' AS text
          |  FROM documents WHERE doc_id % 50 = 0),
-         |ctoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corp),
-         |csh AS (SELECT doc_id, list_distinct(list_transform(
-         |    range(0, greatest(len(t) - 3, 0) + 1),
-         |    i -> array_to_string(t[i+1:i+3], ' '))) AS sh FROM ctoks),
-         |chs AS (SELECT doc_id,
-         |  list_transform(sh, s -> ${sqlCharFold("s")}) AS hs FROM csh),
-         |csig AS (SELECT doc_id, hs, list_transform(range(16), p ->
-         |  list_min(list_transform(hs,
-         |    h -> (h * (2 * p + 1) + (12345 * p + 1)) % 2147483647))) AS sig
-         |  FROM chs),
-         |btoks AS (SELECT bench_id, string_split(text, ' ') AS t FROM bench),
-         |bsh AS (SELECT bench_id, list_distinct(list_transform(
-         |    range(0, greatest(len(t) - 3, 0) + 1),
-         |    i -> array_to_string(t[i+1:i+3], ' '))) AS sh FROM btoks),
-         |bhs AS (SELECT bench_id,
-         |  list_transform(sh, s -> ${sqlCharFold("s")}) AS hs FROM bsh),
-         |bsig AS (SELECT bench_id, hs, list_transform(range(16), p ->
-         |  list_min(list_transform(hs,
-         |    h -> (h * (2 * p + 1) + (12345 * p + 1)) % 2147483647))) AS sig
-         |  FROM bhs),
-         |cband AS (SELECT doc_id, b AS band_id,
-         |  list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1:b*4+4]),
-         |    (acc, x) -> (acc * 1000003 + x) % 2147483647) AS band_hash
-         |  FROM csig, range(4) r(b)),
-         |bband AS (SELECT bench_id, b AS band_id,
-         |  list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1:b*4+4]),
-         |    (acc, x) -> (acc * 1000003 + x) % 2147483647) AS band_hash
-         |  FROM bsig, range(4) r(b)),
-         |cand AS (SELECT DISTINCT doc_id, bench_id
-         |  FROM cband JOIN bband USING (band_id, band_hash)),
-         |v AS (SELECT c.doc_id, c.bench_id,
-         |  round(CAST(len(list_intersect(ch.hs, bh.hs)) AS DOUBLE) /
-         |    greatest(CAST(len(list_distinct(list_concat(ch.hs, bh.hs)))
-         |      AS DOUBLE), 1.0), 6) AS j
+         |${sqlFuzzyLshCtes("corp", "bench")},
+         |v AS (SELECT c.doc_id, c.bench_id, $sqlPairJaccard AS j
          |  FROM cand c JOIN chs ch ON ch.doc_id = c.doc_id
          |  JOIN bhs bh ON bh.bench_id = c.bench_id)
          |SELECT doc_id, bench_id, j FROM v WHERE j >= 0.5
          |ORDER BY doc_id, bench_id""".stripMargin,
+
+    // fixture → exact dedup → Gopher gate → fuzzy-decontam flag-and-drop
+    // → the t26 shard/cum/bin packing algebra
+    "p8_gopher_decontam_pack" ->
+      s"""WITH ${sqlGopherFx("documents")},
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fx GROUP BY md5(text)),
+         |ded AS (SELECT f.* FROM fx f JOIN keep USING (doc_id)),
+         |${sqlGopherMetrics("ded")},
+         |gat AS (SELECT doc_id, text FROM gm WHERE $sqlGopherKeep),
+         |bench AS (SELECT doc_id + 100000 AS bench_id,
+         |    text || ' held out eval item' AS text
+         |  FROM fx WHERE doc_id % 50 = 0),
+         |${sqlFuzzyLshCtes("gat", "bench")},
+         |flagged AS (SELECT DISTINCT c.doc_id
+         |  FROM cand c JOIN chs ch ON ch.doc_id = c.doc_id
+         |  JOIN bhs bh ON bh.bench_id = c.bench_id
+         |  WHERE $sqlPairJaccard >= 0.5),
+         |clean AS (SELECT * FROM gat
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+         |cnt AS (SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS tk,
+         |    ${sqlCharFold("CAST(doc_id AS VARCHAR)")} % 8 AS shard
+         |  FROM clean),
+         |c AS (SELECT doc_id, tk, shard,
+         |    sum(tk) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM cnt)
+         |SELECT doc_id, shard, CAST(cum - tk AS BIGINT) AS offset,
+         |  CAST(floor((cum - tk) / 512) AS BIGINT) AS bin_first,
+         |  CASE WHEN tk > 0 THEN CAST(floor((cum - 1) / 512) AS BIGINT)
+         |       ELSE CAST(floor((cum - tk) / 512) AS BIGINT) END
+         |    AS bin_last,
+         |  tk AS tokens
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "v19_ivf_range" ->
       s"""WITH vecs AS (SELECT vec_id AS id,

@@ -732,6 +732,25 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("p8 gopher/decontam pipeline: no sort-merge joins, text never " +
+      "shuffles (digest/id/count rows only cross exchanges)") {
+    val df = Queries.all("p8_gopher_decontam_pack")(spark,
+      "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty, s"bench/candidate/flag sides must broadcast:\n$plan")
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty) // the digest dedup + the shard repartition
+    exchanges.foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"an exchange carries the text column: ${e.output.map(_.name)}")
+    }
+    assert(df.count() > 0)
+  }
+
   test("bloom family soundness PROPERTY: pruned reads == unpruned reads on random corpora and probes") {
     // generated-corpus postcondition: for random tables, random file
     // layouts and random probes (present AND absent values), every
