@@ -259,6 +259,12 @@ private[graft] object FuzzDdl {
     // so DROP PARTITION races the materialized projection (stale-serve
     // coverage); the agg list varies so the fold path sees every shape
     val projPart = arm == "projection" && chance(0.5)
+    // bloom_idx arm: half the seeds PARTITION BY k, so the blooms build
+    // and prune over a partitioned layout (r12c BloomPrunedFileIndex —
+    // duplicate leaf file names across partition dirs are exactly the
+    // shape that broke last-segment file keys); pruning must stay
+    // invisible against the model and the DuckDB replay either way
+    val bloomPart = arm == "bloom_idx" && chance(0.5)
     val projAggs: Seq[(String, String, String)] = // (alias, CH item, duck item)
       if (arm != "projection") Nil
       else Seq(("c", "count() AS c", "count(*) AS c"),
@@ -339,7 +345,8 @@ private[graft] object FuzzDdl {
         if (arm == "memory") "" // Memory takes no sorting/partition keys
         else (if (Set("mt_part", "part_verbs", "move_replace",
             "clear_column", "add_fill")(arm) || projPart) " PARTITION BY p"
-          else if (ttlPart) " PARTITION BY dt" else "") +
+          else if (ttlPart) " PARTITION BY dt"
+          else if (bloomPart) " PARTITION BY k" else "") +
           " ORDER BY k" +
           (if (arm == "ttl") " TTL dt + INTERVAL 30 DAY" else "")
       s"CREATE TABLE $t (${colDefs.mkString(", ")}) ENGINE = $engine$tail"
