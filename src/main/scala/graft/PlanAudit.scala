@@ -27,7 +27,11 @@ object PlanAudit {
         // the materialized-code-index + broadcast joins, the bloom-index
         // reads prune files at the scan, p7 keeps text out of exchanges
         "v16_ivfpq_residual", "v18_ivfpq_refined", "ch89_sql_bloom_index",
-        "p7_pretrain_pipeline")
+        "p7_pretrain_pipeline",
+        // round-12c marquee shapes: the zero-shuffle range search, the
+        // scan-speed rule suite, and the gopher/decontam pipeline's
+        // broadcast-only probes
+        "v19_ivf_range", "t31_gopher_rules", "p8_gopher_decontam_pack")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
