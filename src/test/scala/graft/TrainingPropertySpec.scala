@@ -310,4 +310,127 @@ class TrainingPropertySpec extends AnyFunSuite {
           again.take(3).mkString(", ")} (shared='$shared')")
     }
   }
+
+  // ---- r12c properties ----
+
+  /** Random MULTI-LINE doc: 1-6 lines of 0-18 tokens; tokens draw normal
+    * words, Gopher stop words, `###` runs and `...`-suffixed words; some
+    * lines gain a bullet prefix / ellipsis suffix; some duplicate. */
+  private val gopherDocGen: Gen[String] = {
+    val token = Gen.frequency(
+      8 -> wordGen,
+      2 -> Gen.oneOf(TextAnalysis.GopherStopWords),
+      1 -> Gen.const("###"),
+      1 -> wordGen.map(_ + "..."))
+    val line = for {
+      n <- Gen.choose(0, 18)
+      ts <- Gen.listOfN(n, token)
+      bullet <- Gen.frequency(4 -> Gen.const(""), 1 -> Gen.const("- "))
+      ell <- Gen.frequency(5 -> Gen.const(""), 1 -> Gen.const(" x..."))
+    } yield bullet + ts.mkString(" ") + ell
+    for {
+      nl <- Gen.choose(1, 6)
+      ls <- Gen.listOfN(nl, line)
+      dup <- Gen.frequency(3 -> Gen.const(false), 1 -> Gen.const(true))
+    } yield (if (dup && ls.nonEmpty) ls ++ List(ls.head, ls.head) else ls)
+      .mkString("\n")
+  }
+
+  test("property: gopherRules ≡ an independent driver-side " +
+      "reimplementation of every rule on random multi-line docs") {
+    // Spark's trim() strips SPACES only (not \n) — mirror exactly
+    def spTrim(s: String): String =
+      s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+    def expect(text: String): Seq[Int] = {
+      val ws = spTrim(text).split("\\s+").filter(_.nonEmpty).toSeq
+      val nW = ws.size.toDouble
+      val meanLen = ws.map(_.length.toLong).sum.toDouble / math.max(nW, 1.0)
+      val lines = text.split("\n", -1).map(spTrim).filter(_.nonEmpty).toSeq
+      val nL = lines.size.toDouble
+      val bulletFrac = lines.count(l =>
+        Set("-", "*", "•")(l.substring(0, 1))).toDouble / math.max(nL, 1.0)
+      val ellipsisFrac =
+        lines.count(_.endsWith("...")).toDouble / math.max(nL, 1.0)
+      val alphaFrac = ws.count(_.exists(c =>
+        (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z'))).toDouble /
+        math.max(nW, 1.0)
+      val nHash = (text.length - text.replace("#", "").length).toDouble
+      val nEll = (text.length - text.replace("...", "").length) / 3.0
+      val symbolRatio = (nHash + nEll) / math.max(nW, 1.0)
+      val stopHits = ws.map(_.toLowerCase).distinct
+        .count(TextAnalysis.GopherStopWords.contains)
+      val dupLineFrac =
+        (nL - lines.distinct.size.toDouble) / math.max(nL, 1.0)
+      val bits = Seq(
+        nW >= 50 && nW <= 100000,
+        meanLen >= 3.0 && meanLen <= 10.0,
+        symbolRatio <= 0.1,
+        bulletFrac <= 0.9,
+        ellipsisFrac <= 0.3,
+        alphaFrac >= 0.8,
+        stopHits >= 2,
+        dupLineFrac <= 0.3)
+      (bits :+ bits.forall(identity)).map(b => if (b) 1 else 0)
+    }
+    val docsGen = Gen.choose(3, 8)
+      .flatMap(n => Gen.listOfN(n, gopherDocGen))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    forAll(docsGen, n = 15) { rows =>
+      val cols = TextAnalysis.gopherRules(col("text"))
+        .map { case (nm, c) => c.as(nm) }
+      val got = rows.toDF("doc_id", "text")
+        .select(col("doc_id") +: cols: _*)
+        .collect().map(r => r.getLong(0) ->
+          (1 to 9).map(r.getInt)).toMap
+      rows.foreach { case (id, text) =>
+        assert(got(id) == expect(text),
+          s"rule vector diverged for doc $id: got ${got(id)}, " +
+            s"want ${expect(text)}, text=${text.replace("\n", "\\n")}")
+      }
+    }
+  }
+
+  test("property: decontaminateFuzzy — exact bench copies are ALWAYS " +
+      "flagged at j = 1; every flagged pair's true shingle Jaccard " +
+      "clears the threshold; disjoint-alphabet docs never flag") {
+    def shingleSet(text: String): Set[String] = {
+      val t = text.split(" ").toSeq
+      (0 to math.max(t.size - 3, 0)).map(i =>
+        t.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val corpusG = for {
+      n <- Gen.choose(4, 9)
+      ds <- Gen.listOfN(n, Gen.choose(5, 40)
+        .flatMap(k => Gen.listOfN(k, wordGen).map(_.mkString(" "))))
+    } yield ds.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    forAll(corpusG, n = 12) { rows =>
+      // bench: an exact copy of doc 0, an edited copy of doc 1, and one
+      // from a disjoint alphabet (digits can't appear in wordGen words)
+      val bench = Seq(
+        (100L, rows.head._2),
+        (101L, rows(1)._2 + " zz9 qq9"),
+        (102L, "d1 d2 d3 d4 d5 d6 d7 d8"))
+      val out = TextAnalysis.decontaminateFuzzy(
+          rows.toDF("doc_id", "text"), bench.toDF("doc_id", "text"),
+          "doc_id", "text", jaccardMin = 0.5)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("j")))
+      // exact copy: identical signatures → every band collides → flagged
+      val exact = out.filter(p => p._1 == 0L && p._2 == 100L)
+      assert(exact.nonEmpty && exact.head._3 == 1.0,
+        s"exact bench copy not flagged at j=1: ${out.mkString(", ")}")
+      // soundness: every flagged pair really clears the bar on TRUE
+      // (unhashed) shingle sets
+      val benchMap = bench.toMap
+      val rowMap = rows.toMap
+      out.foreach { case (d, b, j) =>
+        val (s1, s2) = (shingleSet(rowMap(d)), shingleSet(benchMap(b)))
+        val trueJ = s1.intersect(s2).size.toDouble / s1.union(s2).size
+        assert(trueJ >= 0.5 - 1e-9,
+          s"flagged pair ($d,$b) has true Jaccard $trueJ < 0.5 (j=$j)")
+      }
+      assert(!out.exists(_._2 == 102L),
+        "disjoint-alphabet bench doc must never flag")
+    }
+  }
 }
