@@ -143,6 +143,42 @@ object AnnOperatingPoints {
         }
       }
 
+      // RANGE search (r12c, v19 — faiss range_search): every neighbor
+      // with cosine sim ≥ 0.25 inside the probed cells. Output size is
+      // data-dependent, so the metric is PAIR recall (found / true
+      // within-radius pairs) against the brute-force pair set; the
+      // approximate side can only MISS pairs (same rounding, same
+      // threshold — no false positives), so recall is the whole story.
+      {
+        val simMin = 0.25
+        val rq = emb.filter(qPredRaw).select(col("vec_id").as("query_id"),
+          Similarity.asDouble(col("embedding")).as("qv"))
+        val rc = emb.select(col("vec_id").as("neighbor_id"),
+          Similarity.asDouble(col("embedding")).as("cv"))
+        val (exSec, exDf) = timed(() =>
+          broadcast(rq).crossJoin(rc)
+            .filter(col("query_id") =!= col("neighbor_id"))
+            .select(col("query_id"), col("neighbor_id"),
+              round(Similarity.cosine(col("qv"), col("cv")), 6).as("sim"))
+            .filter(col("sim") >= simMin))
+        val truePairs = exDf.select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        cells += s"""  "exact_range_sim025": {"sec": ${f"$exSec%.3f"}, "n_pairs": ${truePairs.size}, "pair_recall": 1.0}"""
+        System.err.println(s"  exact-range: ${f"$exSec%.3f"}s pairs=${truePairs.size}")
+        for (np <- Seq(1, 2)) {
+          val (sec, df) = timed(() =>
+            Similarity.ivfRangeSearch(emb, "vec_id", "embedding", c = 10,
+              queryPred = qPred, simMin = simMin, nprobe = np, knownN = n))
+          val found = df.select("query_id", "neighbor_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          val rec = if (truePairs.isEmpty) 1.0
+            else found.intersect(truePairs).size.toDouble / truePairs.size
+          cells += s"""  "range_c10_nprobe${np}_sim025": {"sec": ${f"$sec%.3f"}, "n_pairs": ${found.size}, "pair_recall": ${f"$rec%.4f"}}"""
+          System.err.println(s"  range c=10 np=$np: ${f"$sec%.3f"}s " +
+            s"pairs=${found.size} recall=${f"$rec%.4f"}")
+        }
+      }
+
       // PQ tiers rank by ADC distance: measure them against the exact
       // L2 top-10 (their own metric), with that ground truth's cost
       // recorded alongside
