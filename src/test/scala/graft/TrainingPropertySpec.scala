@@ -433,4 +433,49 @@ class TrainingPropertySpec extends AnyFunSuite {
         "disjoint-alphabet bench doc must never flag")
     }
   }
+
+  test("property: ivfRangeSearch ≡ an independent driver-side recompute " +
+      "of stride codebook → assignment → probe → radius filter") {
+    import graft.operators.Similarity
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map(p => p._1 * p._2).sum
+      d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecGen: Gen[Array[Float]] = for {
+      h <- Gen.choose(1, 5) // nonzero head: no zero-norm vectors
+      t <- Gen.listOfN(3, Gen.choose(-5, 5))
+    } yield (h :: t).map(_.toFloat).toArray
+    val corpusG = Gen.choose(16, 40).flatMap(n => Gen.listOfN(n, vecGen))
+      .map(_.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) })
+    val (c, np, simMin) = (4, 2, 0.3)
+    forAll(corpusG, n = 12) { rows =>
+      val got = Similarity.ivfRangeSearch(
+          rows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          c = c, queryPred = col("id") < 5, simMin = simMin, nprobe = np)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      // independent recompute: stride codebook (every n/c-th id), rounded
+      // cosine assignment best-first with ties to the lower cid, corpus
+      // rows live in cell 1, queries probe their np nearest, radius filter
+      val vs = rows.map { case (i, v) => i -> v.map(_.toDouble).toArray }
+      val every = math.max(1L, rows.size.toLong / c)
+      val cents = vs.filter(_._1 % every == 0).sortBy(_._1)
+      def probed(v: Array[Double]): Seq[Long] =
+        cents.map { case (cid, cv) => (r6(cos(v, cv)), cid) }
+          .sortBy { case (s, cid) => (-s, cid) }.take(np).map(_._2)
+      val ownCell = vs.map { case (i, v) => i -> probed(v).head }.toMap
+      val want = (for {
+        (qi, qv) <- vs if qi < 5
+        cells = probed(qv).toSet
+        (ni, nv) <- vs if ni != qi && cells.contains(ownCell(ni))
+        s = r6(cos(qv, nv)) if s >= simMin
+      } yield (qi, ni, s)).toSet
+      assert(got == want,
+        s"range diverged: extra=${(got -- want).take(3)}, " +
+          s"missing=${(want -- got).take(3)}")
+    }
+  }
 }
