@@ -94,11 +94,11 @@ object Queries {
   def all: Map[String, (SparkSession, String) => DataFrame] =
     batch1 ++ batch2 ++ batch3 ++ batch4 ++ batch5 ++ batch6 ++ batch7 ++
       batch8 ++ batch9 ++ batch10 ++ batch11 ++ batch12 ++ batch13 ++
-      batch14 ++ batch15
+      batch14 ++ batch15 ++ batch16
   def oracles: Map[String, String] =
     oracles1 ++ oracles2 ++ oracles3 ++ oracles4 ++ oracles5 ++ oracles6 ++
       oracles7 ++ oracles8 ++ oracles9 ++ oracles10 ++ oracles11 ++
-      oracles12 ++ oracles13 ++ oracles14 ++ oracles15
+      oracles12 ++ oracles13 ++ oracles14 ++ oracles15 ++ oracles16
 
   private val batch1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -7804,9 +7804,10 @@ object Queries {
        |    CAST(len(ls) AS DOUBLE) AS nl,
        |    CAST(list_sum(list_transform(ws, t -> length(t))) AS DOUBLE)
        |      / greatest(CAST(len(ws) AS DOUBLE), 1.0) AS mean_len,
-       |    (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) +
-       |     (length(text) - length(replace(text, '...', ''))) / 3)
-       |      / greatest(CAST(len(ws) AS DOUBLE), 1.0) AS symbol_ratio,
+       |    CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+       |      / greatest(CAST(len(ws) AS DOUBLE), 1.0) AS hash_ratio,
+       |    ((length(text) - length(replace(text, '...', ''))) / 3)
+       |      / greatest(CAST(len(ws) AS DOUBLE), 1.0) AS ellipsis_ratio,
        |    CAST(len(list_filter(ls, l -> l[1:1] IN ('-', '*', '•'))) AS DOUBLE)
        |      / greatest(CAST(len(ls) AS DOUBLE), 1.0) AS bullet_frac,
        |    CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS DOUBLE)
@@ -7824,7 +7825,9 @@ object Queries {
   private val sqlGopherConds: Seq[(String, String)] = Seq(
     "r_word_count" -> "nw BETWEEN 50 AND 100000",
     "r_mean_word_len" -> "mean_len BETWEEN 3.0 AND 10.0",
-    "r_symbol_ratio" -> "symbol_ratio <= 0.1",
+    // per-symbol independent bounds (Rae et al.: "either the hash symbol
+    // or the ellipsis" gates on 0.1 EACH, not their sum)
+    "r_symbol_ratio" -> "(hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1)",
     "r_bullet_lines" -> "bullet_frac <= 0.9",
     "r_ellipsis_lines" -> "ellipsis_frac <= 0.3",
     "r_alpha_words" -> "alpha_frac >= 0.8",
@@ -7954,6 +7957,160 @@ object Queries {
          |  round(${sqlDot("qv", "c.v")} /
          |    (sqrt(${sqlNormSq("qv")}) * sqrt(${sqlNormSq("c.v")})), 6) AS sim
          |  FROM q JOIN cells c USING (cell) WHERE query_id <> c.id)
+         |SELECT query_id, neighbor_id, sim FROM scored WHERE sim >= 0.25
+         |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin)
+
+  // ===== batch 16: round-13 — refine over the residual+trained IVFADC
+  // (v20), trained-coarse range search (v19b) =====
+
+  private val batch16: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // THE RECOMMENDED SERVING STACK composed end-to-end (faiss
+    // IndexIVFPQ with encode_residual + IndexRefineFlat): residual
+    // encoding, BOTH codebooks trained (one Lloyd round each), a
+    // 10-candidate ADC shortlist, exact re-rank over the raw vectors.
+    // r12's refine tier hardcoded the stride ivfPqTopK shortlist, so
+    // this composition — the one the ANN artifact recommends — could
+    // not be built; refineExact now wraps any shortlist producer, and
+    // the DuckDB oracle replays BOTH trainings + residual encode +
+    // probe + ADC + exact re-rank end-to-end.
+    "v20_refined_residual" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val every = math.max(1L, emb.count() / 10).toInt
+      graft.operators.Similarity.ivfPqTopKRefinedResidual(emb, "vec_id",
+          "embedding", m = 4, pqCentroidEvery = every,
+          coarseCentroidEvery = every,
+          queryPred = col("id") < 10, k = 3, rerank = 10, nprobe = 2,
+          pqIters = 1, coarseIters = 1)
+        .orderBy(col("query_id"), col("dist"), col("neighbor_id"))
+    }),
+
+    // TRAINED-coarse range search: v19's radius query served from a
+    // k-means codebook (one Lloyd round over the stride init — the
+    // stride codebook was the measured pair-recall ceiling at every
+    // range operating point). The serving plan is unchanged: row-local
+    // assignment, one broadcast cell join, scan-side similarity filter,
+    // ZERO windows/shuffles (pinned) — only the codebook VALUES differ.
+    "v19b_ivf_range_trained" -> ((s, dir) =>
+      graft.operators.Similarity.ivfRangeSearch(
+          tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          c = 10, queryPred = col("id") < 10, simMin = 0.25, nprobe = 2,
+          coarseIters = 1,
+          knownN = graft.operators.Similarity.parquetRowCount(
+            s, s"$dir/embeddings.parquet"))
+        .orderBy(col("query_id"), desc("sim"), col("neighbor_id"))))
+
+  private val oracles16: Map[String, String] = Map(
+
+    // residual+trained IVFADC + exact re-rank, replayed END-TO-END:
+    // the v13 coarse-training block (stride init → one rounded-mean
+    // Lloyd round) over the RAW vectors, assignment against the trained
+    // centroids, residuals vs the trained centroid of each vector's own
+    // cell, the v14 per-subspace PQ-training block over the RESIDUALS
+    // (offset-1 stride init — offset 0 would seed near-zero residual
+    // rows under a stride coarse codebook; kept for consistency with
+    // v16), per-(query, probed-cell) residual LUT ADC, a 10-candidate
+    // shortlist, then the v18 exact-L2 re-rank over RAW vectors
+    "v20_refined_residual" ->
+      s"""WITH rawv AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |stride AS (SELECT GREATEST(1, count(*) // 10) AS s FROM rawv),
+         |ccents0 AS (SELECT id AS ccid, v AS ccv FROM rawv
+         |  WHERE id % (SELECT s FROM stride) = 0),
+         |ca0 AS (SELECT id, v, ccid,
+         |  round(${sqlDot("v", "ccv")} /
+         |    (sqrt(${sqlNormSq("v")}) * sqrt(${sqlNormSq("ccv")})), 6) AS csim
+         |  FROM rawv CROSS JOIN ccents0),
+         |ccell0 AS (SELECT id, v, ccid AS cell FROM (
+         |  SELECT id, v, ccid, row_number() OVER (PARTITION BY id
+         |    ORDER BY csim DESC, ccid) AS crn FROM ca0) WHERE crn = 1),
+         |cm0 AS (SELECT cell, pos, round(avg(x), 6) AS m FROM (
+         |    SELECT cell, unnest(v) AS x, unnest(range(0, len(v))) AS pos
+         |    FROM ccell0) GROUP BY cell, pos),
+         |cp0 AS (SELECT cell, list(m ORDER BY pos) AS mv FROM cm0
+         |  GROUP BY cell),
+         |ccents1 AS (SELECT ccid, coalesce(cp0.mv, ccv) AS ccv
+         |  FROM ccents0 LEFT JOIN cp0 ON cp0.cell = ccents0.ccid),
+         |ca1 AS (SELECT id, v, ccid,
+         |  round(${sqlDot("v", "ccv")} /
+         |    (sqrt(${sqlNormSq("v")}) * sqrt(${sqlNormSq("ccv")})), 6) AS csim
+         |  FROM rawv CROSS JOIN ccents1),
+         |crk1 AS (SELECT id, v, ccid, row_number() OVER (PARTITION BY id
+         |    ORDER BY csim DESC, ccid) AS crn FROM ca1),
+         |cells AS (SELECT id, ccid AS cell FROM crk1 WHERE crn = 1),
+         |probes AS (SELECT id, ccid AS cell FROM crk1 WHERE crn <= 2),
+         |vecs AS (SELECT c.id, list_transform(list_zip(r.v, ct.ccv),
+         |    p -> p[1] - p[2]) AS v
+         |  FROM cells c JOIN rawv r ON r.id = c.id
+         |  JOIN ccents1 ct ON ct.ccid = c.cell),
+         |cents AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cpos, v AS cv
+         |  FROM vecs WHERE id % (SELECT s FROM stride) =
+         |    1 % (SELECT s FROM stride)),
+         |${pqTrainedCodeCtes(4, 16)},
+         |q AS (SELECT p.id AS query_id,
+         |    list_transform(list_zip(v.v, ct.ccv), p2 -> p2[1] - p2[2]) AS qv,
+         |    p.cell
+         |  FROM probes p JOIN rawv v ON v.id = p.id
+         |  JOIN ccents1 ct ON ct.ccid = p.cell
+         |  WHERE p.id < 10),
+         |scored AS (SELECT q.query_id, n.id AS neighbor_id,
+         |  round(${pqTrainedAdcSql(4, 16)}, 6) AS adist
+         |  FROM q JOIN cells cl ON cl.cell = q.cell
+         |  JOIN vecs n ON n.id = cl.id ${pqTrainedCodeJoins(4)}
+         |  WHERE q.query_id <> n.id),
+         |short AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+         |  FROM scored) WHERE rn <= 10),
+         |ex AS (SELECT s2.query_id, s2.neighbor_id,
+         |  round((${sqlDot("qv.v", "qv.v")} + ${sqlDot("nv.v", "nv.v")}) -
+         |    2.0 * ${sqlDot("qv.v", "nv.v")}, 6) AS dist
+         |  FROM short s2
+         |  JOIN rawv qv ON qv.id = s2.query_id
+         |  JOIN rawv nv ON nv.id = s2.neighbor_id),
+         |rk3 AS (SELECT query_id, neighbor_id, dist, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
+         |  FROM ex)
+         |SELECT query_id, neighbor_id, dist FROM rk3 WHERE rn <= 3
+         |ORDER BY query_id, dist, neighbor_id""".stripMargin,
+
+    // the v13 coarse-training replay (stride init → one rounded-mean
+    // Lloyd round → re-assignment), then the v19 range tail: every
+    // probed-cell neighbor at cosine >= 0.25, no top-k rank anywhere
+    "v19b_ivf_range_trained" ->
+      s"""WITH vecs AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |stride AS (SELECT GREATEST(1, count(*) // 10) AS s FROM vecs),
+         |cents0 AS (SELECT id AS cid, v AS cv FROM vecs
+         |  WHERE id % (SELECT s FROM stride) = 0),
+         |a0 AS (SELECT id, v, cid,
+         |  round(${sqlDot("v", "cv")} /
+         |    (sqrt(${sqlNormSq("v")}) * sqrt(${sqlNormSq("cv")})), 6) AS csim
+         |  FROM vecs CROSS JOIN cents0),
+         |cell0 AS (SELECT id, v, cid AS cell FROM (
+         |  SELECT id, v, cid, row_number() OVER (PARTITION BY id
+         |    ORDER BY csim DESC, cid) AS rn FROM a0) WHERE rn = 1),
+         |m0 AS (SELECT cell, pos, round(avg(x), 6) AS m FROM (
+         |    SELECT cell, unnest(v) AS x, unnest(range(0, len(v))) AS pos
+         |    FROM cell0) GROUP BY cell, pos),
+         |p0 AS (SELECT cell, list(m ORDER BY pos) AS mv FROM m0 GROUP BY cell),
+         |cents1 AS (SELECT cid, coalesce(p0.mv, cv) AS cv
+         |  FROM cents0 LEFT JOIN p0 ON p0.cell = cents0.cid),
+         |a1 AS (SELECT id, v, cid,
+         |  round(${sqlDot("v", "cv")} /
+         |    (sqrt(${sqlNormSq("v")}) * sqrt(${sqlNormSq("cv")})), 6) AS csim
+         |  FROM vecs CROSS JOIN cents1),
+         |rk1 AS (SELECT id, v, cid, row_number() OVER (PARTITION BY id
+         |    ORDER BY csim DESC, cid) AS rn FROM a1),
+         |corp AS (SELECT id, v, cid AS cell FROM rk1 WHERE rn = 1),
+         |qp AS (SELECT id AS query_id, v AS qv, cid AS cell FROM rk1
+         |  WHERE rn <= 2 AND id < 10),
+         |scored AS (SELECT query_id, c.id AS neighbor_id,
+         |  round(${sqlDot("qv", "c.v")} /
+         |    (sqrt(${sqlNormSq("qv")}) * sqrt(${sqlNormSq("c.v")})), 6) AS sim
+         |  FROM qp JOIN corp c USING (cell) WHERE query_id <> c.id)
          |SELECT query_id, neighbor_id, sim FROM scored WHERE sim >= 0.25
          |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin)
 }

@@ -1930,16 +1930,19 @@ object ChDdl {
       tablePropsSafe(spark, name).get(s"graft.bloomindex.$idx").foreach { c =>
         val side = graft.plans.BloomSkipIndex.sidecarName(name, c)
         if (spark.catalog.tableExists(side)) spark.sql(s"DROP TABLE $side")
+        graft.plans.BloomSkipIndex.invalidate(side)
       }
       tablePropsSafe(spark, name).get(s"graft.tokbloomindex.$idx")
         .foreach { c =>
           val side = graft.plans.BloomSkipIndex.tokenSidecarName(name, c)
           if (spark.catalog.tableExists(side)) spark.sql(s"DROP TABLE $side")
+          graft.plans.BloomSkipIndex.invalidate(side)
         }
       tablePropsSafe(spark, name).get(s"graft.ngrambloomindex.$idx")
         .foreach { c =>
           val side = graft.plans.BloomSkipIndex.ngramSidecarName(name, c)
           if (spark.catalog.tableExists(side)) spark.sql(s"DROP TABLE $side")
+          graft.plans.BloomSkipIndex.invalidate(side)
         }
       spark.sql(s"ALTER TABLE $name UNSET TBLPROPERTIES IF EXISTS (" +
         s"${sqlLit(s"graft.index.$idx")}, " +

@@ -344,20 +344,36 @@ object Similarity {
     * argmax as [[ivfTopK]]), one broadcast-queries cell join, a scan-side
     * similarity filter. Zero wide operators beyond the candidate join.
     * Same constant-C codebook contract as [[ivfTopKFixedC]]; `knownN`
-    * skips the sizing count. */
+    * skips the sizing count.
+    *
+    * `coarseIters > 0` TRAINS the coarse codebook ([[kmeansCodebook]],
+    * Lloyd rounds over the stride init) exactly the way
+    * [[ivfTopKTrained]] does for top-k (r13 — the r12c cut served a
+    * stride codebook only, which the ANN artifact measured as the range
+    * pair-recall ceiling: stride cells follow the id layout, not the
+    * data). The serving plan is unchanged — same row-local assignment,
+    * same cell join, same zero-window shape — only the codebook VALUES
+    * differ, so any pair-recall lift is pure training quality. */
   def ivfRangeSearch(
       corpus: DataFrame, idCol: String, vecCol: String,
       c: Int, queryPred: Column, simMin: Double,
       roundTo: Int = 6, nprobe: Int = 1, knownN: Long = -1L,
+      coarseIters: Int = 0,
       maxLiteralCentroids: Int = 64
   ): DataFrame = {
     require(c > 0, s"ivfRangeSearch: need c > 0 cells, got $c")
     require(simMin >= -1.0 && simMin <= 1.0,
       s"ivfRangeSearch: simMin must be a cosine in [-1, 1], got $simMin")
+    require(coarseIters >= 0,
+      s"ivfRangeSearch: need coarseIters >= 0, got $coarseIters")
     val n = if (knownN >= 0) knownN else corpus.count()
     val every = math.max(1L, n / c).toInt
     val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val (cids, cvs) = strideCodebook(vecs, every)
+    val (cids, cvs) =
+      if (coarseIters > 0)
+        kmeansCodebook(corpus, idCol, vecCol, every, coarseIters, roundTo,
+          maxLiteralCentroids)
+      else strideCodebook(vecs, every)
     val assigned = assignWith(vecs, cids, cvs, nprobe, roundTo,
       maxLiteralCentroids)
     val cells = assigned
@@ -896,11 +912,54 @@ object Similarity {
       maxLiteralCentroids: Int = 64
   ): DataFrame = {
     require(rerank >= k, s"ivfPqTopKRefined: rerank ($rerank) must be >= k ($k)")
-    val shortlist = ivfPqTopK(corpus, idCol, vecCol, m, pqCentroidEvery,
-      coarseCentroidEvery, queryPred, rerank, roundTo, nprobe,
-      maxLiteralCentroids).select("query_id", "neighbor_id")
+    refineExact(corpus, idCol, vecCol,
+      ivfPqTopK(corpus, idCol, vecCol, m, pqCentroidEvery,
+        coarseCentroidEvery, queryPred, rerank, roundTo, nprobe,
+        maxLiteralCentroids),
+      queryPred, k, roundTo)
+  }
+
+  /** Refine over the RESIDUAL(+trained) IVFADC — the composition the
+    * ANN operating-point artifact recommends: the shortlist comes from
+    * the index that wins every measured recall cell
+    * ([[ivfPqTopKResidual]] with both trainings on), the exact re-rank
+    * buys back the compression loss at output-bounded cost. The refine
+    * stage is byte-identical to [[ivfPqTopKRefined]]'s
+    * ([[refineExact]]); only the shortlist PRODUCER differs, so recall
+    * deltas between the two tiers are pure shortlist quality. */
+  def ivfPqTopKRefinedResidual(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, pqCentroidEvery: Int, coarseCentroidEvery: Int,
+      queryPred: Column, k: Int, rerank: Int,
+      roundTo: Int = 6, nprobe: Int = 1,
+      pqIters: Int = 0, coarseIters: Int = 0,
+      maxLiteralCentroids: Int = 64
+  ): DataFrame = {
+    require(rerank >= k,
+      s"ivfPqTopKRefinedResidual: rerank ($rerank) must be >= k ($k)")
+    refineExact(corpus, idCol, vecCol,
+      ivfPqTopKResidual(corpus, idCol, vecCol, m, pqCentroidEvery,
+        coarseCentroidEvery, queryPred, rerank, roundTo, nprobe,
+        pqIters, coarseIters, maxLiteralCentroids),
+      queryPred, k, roundTo)
+  }
+
+  /** EXACT re-rank over ANY shortlist producer (r13 — the r12 cut
+    * hardcoded the stride [[ivfPqTopK]] shortlist, so the recommended
+    * "shortlist+refine" stack could not wrap the residual+trained index
+    * that wins every measured recall cell). `shortlist` is any
+    * (query_id, neighbor_id, …) candidate table bounded by
+    * queries × rerank — broadcast-small by contract — so the corpus
+    * streams through one broadcast hash join (never shuffles) and is
+    * re-scored with exact squared L2 (`‖q‖² + ‖n‖² − 2·q·n`,
+    * sequential-fold dots, SQL-replayable). */
+  def refineExact(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      shortlist: DataFrame, queryPred: Column, k: Int,
+      roundTo: Int = 6
+  ): DataFrame = {
     val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val cands = broadcast(shortlist)
+    val cands = broadcast(shortlist.select("query_id", "neighbor_id"))
       .join(vecs.select(col("id").as("neighbor_id"), col("v").as("nv")),
         "neighbor_id")
       .join(broadcast(vecs.filter(queryPred)

@@ -157,7 +157,10 @@ object TextAnalysis {
     *
     *  - `r_word_count`:   50 ≤ words ≤ 100,000
     *  - `r_mean_word_len`: mean word length in [3, 10]
-    *  - `r_symbol_ratio`: (# + … occurrences) / words ≤ 0.1
+    *  - `r_symbol_ratio`: hash-to-word ratio ≤ 0.1 AND ellipsis-to-word
+    *    ratio ≤ 0.1 — Rae et al. apply the 0.1 bound to EACH symbol's
+    *    ratio independently ("either the hash symbol or the ellipsis"),
+    *    so a doc at 0.06 + 0.06 passes (the r12 cut summed them)
     *  - `r_bullet_lines`: ≤ 90% of lines start with a bullet
     *  - `r_ellipsis_lines`: ≤ 30% of lines end with "..."
     *  - `r_alpha_words`:  ≥ 80% of words contain a letter
@@ -188,8 +191,9 @@ object TextAnalysis {
     val nHash = length(text) - length(replace(text, lit("#"), lit("")))
     val nEllipsis =
       (length(text) - length(replace(text, lit("..."), lit("")))) / 3
-    val symbolRatio =
-      (nHash + nEllipsis).cast("double") / greatest(nW, lit(1.0))
+    val hashRatio = nHash.cast("double") / greatest(nW, lit(1.0))
+    val ellipsisRatio = nEllipsis.cast("double") / greatest(nW, lit(1.0))
+    val symbolOk = hashRatio <= 0.1 && ellipsisRatio <= 0.1
     val stopHits = size(array_intersect(
       array_distinct(transform(ws, w => lower(w))),
       typedLit(GopherStopWords)))
@@ -199,16 +203,132 @@ object TextAnalysis {
     Seq(
       "r_word_count" -> b(nW.between(50, 100000)),
       "r_mean_word_len" -> b(meanLen.between(3.0, 10.0)),
-      "r_symbol_ratio" -> b(symbolRatio <= 0.1),
+      "r_symbol_ratio" -> b(symbolOk),
       "r_bullet_lines" -> b(bulletFrac <= 0.9),
       "r_ellipsis_lines" -> b(ellipsisFrac <= 0.3),
       "r_alpha_words" -> b(alphaFrac >= 0.8),
       "r_stop_words" -> b(stopHits >= 2),
       "r_dup_lines" -> b(dupLineFrac <= 0.3),
       "keep" -> b(nW.between(50, 100000) && meanLen.between(3.0, 10.0) &&
-        symbolRatio <= 0.1 && bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
+        symbolOk && bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
         alphaFrac >= 0.8 && stopHits >= 2 && dupLineFrac <= 0.3))
   }
+
+  /** Gopher REPETITION rule suite (Rae et al. 2021, Table A1 — the
+    * repetition-removal half of the published filter; [[gopherRules]]
+    * covers the quality half plus the line-fraction tier). One boolean
+    * column per published threshold (1 = pass), `keep_rep` their
+    * conjunction:
+    *
+    *  - `r_dup_paragraphs`:   duplicate-paragraph fraction ≤ 0.30
+    *  - `r_dup_para_chars`:   duplicate-paragraph character fraction ≤ 0.20
+    *  - `r_dup_line_chars`:   duplicate-line character fraction ≤ 0.20
+    *  - `r_top2gram_chars` / `r_top3gram_chars` / `r_top4gram_chars`:
+    *    top word-n-gram character fraction ≤ 0.20 / 0.18 / 0.16
+    *  - `r_dup5gram_chars` … `r_dup10gram_chars`: duplicate word-n-gram
+    *    character fraction ≤ 0.15 / 0.14 / 0.13 / 0.12 / 0.11 / 0.10
+    *
+    * Exact accounting (the paper names the signals but not the
+    * formulas; these are deterministic and SQL-replayable):
+    * paragraphs split on blank lines ("\n\n"), lines on "\n", both
+    * trimmed/non-empty; words are the [[gopherRules]] whitespace split;
+    * n-grams join words with one space. Duplicate-unit CHARACTER
+    * fractions count the characters of every occurrence BEYOND the
+    * first of each duplicated unit, over the total text length. The
+    * top-n-gram fraction is (count × n-gram length) / text length for
+    * the most frequent n-gram (ties: the longest such n-gram — the one
+    * covering the most characters). Duplicate-n-gram fractions count
+    * ALL occurrences of n-grams appearing ≥ 2 times (count × length,
+    * overlaps uncompensated — can exceed 1, which simply fails the
+    * bound).
+    *
+    * Every signal is ROW-LOCAL (nested array HOFs, codegen'd): the
+    * per-row cost is O(shingles²) on in-memory arrays, the plan is a
+    * pure projection — zero shuffles at any corpus size (pinned). */
+  def gopherRepetitionRules(text: Column): Seq[(String, Column)] = {
+    val nc = greatest(length(text).cast("double"), lit(1.0))
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val paras = filter(transform(split(text, "\n\n"), p => trim(p)),
+      p => length(p) > 0)
+    val ws = filter(split(trim(text), "\\s+"), t => length(t) > 0)
+    def dupFrac(units: Column): Column = {
+      val n = size(units).cast("double")
+      when(n > 0,
+        (n - size(array_distinct(units)).cast("double")) / n)
+        .otherwise(lit(0.0))
+    }
+    // chars in occurrences beyond the first of each duplicated unit
+    def dupCharFrac(units: Column): Column =
+      aggregate(
+        transform(array_distinct(units), u =>
+          (size(filter(units, x => x === u)).cast("long") - 1L) *
+            length(u).cast("long")),
+        lit(0L), (a, x) => a + x).cast("double") / nc
+    def shingles(n: Int): Column =
+      when(size(ws) >= n,
+        transform(sequence(lit(1), size(ws) - (n - 1)),
+          i => array_join(slice(ws, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    def topNgramCharFrac(n: Int): Column = {
+      val sh = shingles(n)
+      val dist = array_distinct(sh)
+      val maxCnt = array_max(transform(dist,
+        g => size(filter(sh, x => x === g))))
+      val bestLen = array_max(transform(
+        filter(dist, g => size(filter(sh, x => x === g)) === maxCnt),
+        g => length(g)))
+      when(size(sh) > 0,
+        maxCnt.cast("double") * bestLen.cast("double") / nc)
+        .otherwise(lit(0.0))
+    }
+    def dupNgramCharFrac(n: Int): Column = {
+      val sh = shingles(n)
+      aggregate(
+        transform(array_distinct(sh), g => {
+          val cnt = size(filter(sh, x => x === g)).cast("long")
+          when(cnt >= 2L, cnt * length(g).cast("long")).otherwise(0L)
+        }),
+        lit(0L), (a, x) => a + x).cast("double") / nc
+    }
+    def b(c: Column): Column = c.cast("int")
+    val conds: Seq[(String, Column)] = Seq(
+      "r_dup_paragraphs" -> (dupFrac(paras) <= 0.3),
+      "r_dup_para_chars" -> (dupCharFrac(paras) <= 0.2),
+      "r_dup_line_chars" -> (dupCharFrac(lines) <= 0.2),
+      "r_top2gram_chars" -> (topNgramCharFrac(2) <= 0.20),
+      "r_top3gram_chars" -> (topNgramCharFrac(3) <= 0.18),
+      "r_top4gram_chars" -> (topNgramCharFrac(4) <= 0.16),
+      "r_dup5gram_chars" -> (dupNgramCharFrac(5) <= 0.15),
+      "r_dup6gram_chars" -> (dupNgramCharFrac(6) <= 0.14),
+      "r_dup7gram_chars" -> (dupNgramCharFrac(7) <= 0.13),
+      "r_dup8gram_chars" -> (dupNgramCharFrac(8) <= 0.12),
+      "r_dup9gram_chars" -> (dupNgramCharFrac(9) <= 0.11),
+      "r_dup10gram_chars" -> (dupNgramCharFrac(10) <= 0.10))
+    conds.map { case (n, c) => n -> b(c) } :+
+      ("keep_rep" -> b(conds.map(_._2).reduce(_ && _)))
+  }
+
+  /** The FULL published Gopher document filter: quality rules
+    * ([[gopherRules]] `keep`) AND repetition rules
+    * ([[gopherRepetitionRules]] `keep_rep`) — the gate a pretraining
+    * pipeline (p8) applies. */
+  def gopherKeepAll(text: Column): Column =
+    gopherRules(text).toMap.apply("keep") === 1 &&
+      gopherRepetitionRules(text).toMap.apply("keep_rep") === 1
+
+  /** Deterministic repetition fixture for t31b: every 11th doc gains
+    * three identical appended paragraphs (duplicate-paragraph tiers),
+    * every 7th (not 11th) doc gains a 5-word phrase repeated 20 times
+    * (top-n-gram + duplicate-n-gram tiers) — plain CASE + repeat both
+    * engines compute identically. */
+  def repetitionFixture(text: Column): Column =
+    when(pmod(col("doc_id"), lit(11)) === 0,
+      concat(text, lit("\n\npara one\n\npara one\n\npara one")))
+      .when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(text, lit(" "),
+          repeat(lit("badger mushroom snake gopher rae "), 20)))
+      .otherwise(text)
 
   /** Deterministic multi-line fixture for the line-level Gopher rules:
     * the flat single-line test corpus gains bullets, ellipses,

@@ -120,23 +120,61 @@ object BloomSkipIndex {
       .select(col("file"), rowBits(col("v")).as("rb"))
       .groupBy("file")
       .agg(BitsetOrAgg.bitsetOr(col("rb"), NumBits).as("bits"))
-    // self-read-vs-overwrite guard: materialize the tiny sidecar frame
-    // before the write replaces a prior build's files
-    val rows = bits.collect()
-    val out = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toSeq, 1), bits.schema)
-    // a prior session's managed-table directory may linger in the
-    // warehouse after the catalog forgot the table (fresh metastore per
-    // run) — clear both, or saveAsTable refuses with
-    // LOCATION_ALREADY_EXISTS
+    // STAGE + SWAP (r13): the build lands in a scratch table first, then
+    // replaces the live sidecar with two catalog ops — the sidecar frame
+    // never round-trips through the driver (the r12 collect +
+    // parallelize(rows, 1) guard was file-count-sized: ~10⁶ rows ×
+    // up-to-2¹⁶-entry arrays at 100 TB), and a reader can never observe
+    // a half-written live sidecar. repartition(1) keeps the agg parallel
+    // and ships the metadata-scale result through one exchange.
+    val stage = side + "__stage"
+    def clearDir(t: String): Unit = {
+      // a prior session's managed-table directory may linger in the
+      // warehouse after the catalog forgot the table (fresh metastore
+      // per run) — clear it, or saveAsTable/RENAME refuses with
+      // LOCATION_ALREADY_EXISTS
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val loc = new org.apache.hadoop.fs.Path(wh, t.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $stage")
+    clearDir(stage)
+    bits.repartition(1).write.mode("overwrite").saveAsTable(stage)
     spark.sql(s"DROP TABLE IF EXISTS $side")
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(wh, side.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
-    out.write.mode("overwrite").saveAsTable(side)
+    clearDir(side)
+    spark.sql(s"ALTER TABLE $stage RENAME TO $side")
+    invalidate(side)
     side
   }
+
+  // ---- driver-side probe-map cache (r13) ----
+  // BloomPruneRule fires on every planning pass; re-collecting the
+  // sidecar each time made the OPTIMIZER pay a file-count-sized driver
+  // read per query (fine at sandbox scale, a planning-latency killer at
+  // 100 TB: ~10⁶ files × up-to-2¹⁶-entry int arrays). The probe map now
+  // loads once per (re)build: buildSidecar is the only writer and
+  // invalidates its entry on swap; DROP INDEX invalidates explicitly.
+
+  private val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Set[Int]]]()
+
+  /** Count of sidecar loads that actually hit the store (cache misses) —
+    * the observability hook for the one-read-per-build pin. */
+  private[graft] val sidecarLoads =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Drop the cached probe map for a sidecar (rebuild/drop paths). */
+  def invalidate(side: String): Unit = probeCache.remove(side.toLowerCase)
+
+  private[plans] def probeMap(spark: SparkSession,
+      side: String): Map[String, Set[Int]] =
+    probeCache.computeIfAbsent(side.toLowerCase, _ => {
+      sidecarLoads.incrementAndGet()
+      spark.table(side).collect()
+        .map(r => fileKey(r.getString(0)) -> r.getSeq[Int](1).toSet)
+        .toMap
+    })
 
   /** Register the pruning rule in a live session (idempotent). */
   def install(spark: SparkSession): Unit = {
@@ -315,10 +353,7 @@ case class BloomPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val kept = probes.foldLeft(allFiles.toSeq) { case (files, (side, alts)) =>
       if (!spark.catalog.tableExists(side)) files // not materialized: keep
       else {
-        val bitsByFile: Map[String, Set[Int]] = spark.table(side)
-          .collect()
-          .map(r => fileKey(r.getString(0)) -> r.getSeq[Int](1).toSet)
-          .toMap
+        val bitsByFile: Map[String, Set[Int]] = probeMap(spark, side)
         files.filter { path =>
           bitsByFile.get(fileKey(path)) match {
             case None => true // file newer than the build: keep
@@ -334,8 +369,15 @@ case class BloomPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // pass straight through, so partitioned layouts compose: partition
       // pruning drops directories, the bloom drops files inside the
       // survivors (r12b shipped unpartitioned-only via an InMemoryFileIndex
-      // rebuild, which would have lost partition values from leaf paths)
-      val newLoc = BloomPrunedFileIndex(fs.location, kept.map(fileKey).toSet)
+      // rebuild, which would have lost partition values from leaf paths).
+      // The index carries the DROPPED set, not the kept set: a file the
+      // probe never saw (appearing via refresh()/concurrent writes, or a
+      // path the two listing surfaces render differently) then passes
+      // through — the same keep-on-unknown fail-safe fileKey documents
+      val keptKeys = kept.map(fileKey).toSet
+      val dropped = allFiles.iterator.map(fileKey)
+        .filterNot(keptKeys.contains).toSet
+      val newLoc = BloomPrunedFileIndex(fs.location, dropped)
       val pruned = fs.copy(location = newLoc,
         options = fs.options + ("graft.bloom.pruned" -> "true"))(spark)
       Filter(f.condition, l.copy(relation = pruned))
@@ -345,17 +387,21 @@ case class BloomPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
 }
 
 /** The surviving-file view of a relation's FileIndex after a bloom probe:
-  * every listing is delegated to the original index and filtered to the
-  * kept files, so partition discovery, partition VALUES and partition
-  * pruning compose unchanged — on a partitioned layout the partition
-  * filter drops directories first, then the bloom drops files inside the
-  * surviving directories (the case partition pruning alone cannot touch:
-  * a selective predicate on a NON-partition column). `keep` holds file
-  * keys ([[BloomSkipIndex.fileKey]]); directories left empty disappear
+  * every listing is delegated to the original index with the bloom-
+  * rejected files removed, so partition discovery, partition VALUES and
+  * partition pruning compose unchanged — on a partitioned layout the
+  * partition filter drops directories first, then the bloom drops files
+  * inside the surviving directories (the case partition pruning alone
+  * cannot touch: a selective predicate on a NON-partition column).
+  * `dropped` holds the file keys ([[BloomSkipIndex.fileKey]]) the probe
+  * POSITIVELY rejected — filtering by exclusion keeps the fail-safe
+  * total: a file unknown to the probe snapshot (a refresh()/concurrent
+  * write, or a path one listing surface renders differently) is never
+  * in `dropped` and passes through. Directories left empty disappear
   * from the listing. */
-private[plans] case class BloomPrunedFileIndex(
+private[graft] case class BloomPrunedFileIndex(
     underlying: org.apache.spark.sql.execution.datasources.FileIndex,
-    keep: Set[String])
+    dropped: Set[String])
   extends org.apache.spark.sql.execution.datasources.FileIndex {
   import BloomSkipIndex.fileKey
   override def rootPaths: Seq[org.apache.hadoop.fs.Path] =
@@ -365,10 +411,10 @@ private[plans] case class BloomPrunedFileIndex(
       : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] =
     underlying.listFiles(partitionFilters, dataFilters)
       .map(pd => pd.copy(files =
-        pd.files.filter(f => keep.contains(fileKey(f.getPath.toString)))))
+        pd.files.filterNot(f => dropped.contains(fileKey(f.getPath.toString)))))
       .filter(_.files.nonEmpty)
   override def inputFiles: Array[String] =
-    underlying.inputFiles.filter(p => keep.contains(fileKey(p)))
+    underlying.inputFiles.filterNot(p => dropped.contains(fileKey(p)))
   override def refresh(): Unit = underlying.refresh()
   // an upper bound is the contract (planner sizing only); refining it
   // would need a second listing pass for no planning benefit

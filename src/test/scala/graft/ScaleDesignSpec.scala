@@ -671,6 +671,57 @@ class ScaleDesignSpec extends AnyFunSuite {
       Seq("[42,0,42]"))
   }
 
+  test("bloom sidecar probe map is cached per build: consecutive queries " +
+      "load the sidecar ONCE; a rebuild invalidates; unknown files pass " +
+      "the dropped-set index") {
+    import graft.plans.{BloomSkipIndex, BloomPrunedFileIndex}
+    spark.sql("DROP TABLE IF EXISTS bloomc_t")
+    spark.sql("DROP TABLE IF EXISTS bloomc_t__bloom_k")
+    spark.range(0, 4000).select(col("id").as("k"),
+        (col("id") % 7).as("payload"))
+      .repartitionByRange(4, col("k"))
+      .write.option("path", s"$wh/bloomc_t").mode("overwrite")
+      .saveAsTable("bloomc_t")
+    BloomSkipIndex.materialize(spark, "bloomc_t", "k")
+    spark.sql("ALTER TABLE bloomc_t SET TBLPROPERTIES " +
+      "('graft.bloomindex.bf'='k')")
+    BloomSkipIndex.install(spark)
+    val before = BloomSkipIndex.sidecarLoads.get()
+    assert(spark.table("bloomc_t").filter(col("k") === 42L).count() == 1)
+    assert(spark.table("bloomc_t").filter(col("k") === 43L).count() == 1)
+    val after = BloomSkipIndex.sidecarLoads.get()
+    assert(after - before == 1, "two consecutive queries against an " +
+      s"unchanged table must read the sidecar ONCE, read ${after - before}")
+    // a rebuild (the OPTIMIZE/MATERIALIZE path) invalidates: exactly one
+    // reload on the next query, and reads stay correct
+    BloomSkipIndex.materialize(spark, "bloomc_t", "k")
+    assert(spark.table("bloomc_t").filter(col("k") === 44L).count() == 1)
+    assert(spark.table("bloomc_t").filter(col("k") === 45L).count() == 1)
+    assert(BloomSkipIndex.sidecarLoads.get() - after == 1,
+      "a rebuild must invalidate the cached probe map exactly once")
+    // dropped-set fail-safe: the pruned index EXCLUDES only what the
+    // probe positively rejected; any file it never saw passes through
+    val rel = spark.table("bloomc_t").queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+    }.head
+    val all = rel.location.inputFiles
+    val idx = BloomPrunedFileIndex(rel.location, Set("/nowhere/unknown"))
+    assert(idx.inputFiles.toSeq == all.toSeq,
+      "files unknown to the probe snapshot must never be dropped")
+    val one = BloomSkipIndex2Key(all.head)
+    val idx2 = BloomPrunedFileIndex(rel.location, Set(one))
+    assert(idx2.inputFiles.length == all.length - 1)
+    assert(idx2.listFiles(Nil, Nil).map(_.files.size).sum == all.length - 1)
+  }
+
+  // test-side alias of the private fileKey contract (decoded URI path)
+  private def BloomSkipIndex2Key(path: String): String = {
+    val u = new java.net.URI(path)
+    if (u.getPath != null && u.getPath.nonEmpty) u.getPath else path
+  }
+
   test("token bloom index: hasToken scans read fewer files, results identical") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import graft.plans.BloomSkipIndex

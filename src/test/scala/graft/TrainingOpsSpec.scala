@@ -1293,7 +1293,12 @@ class TrainingOpsSpec extends AnyFunSuite {
       (5L, s"the of ${(0 until 58).map(_ => "aa").mkString(" ")}"), // mean len
       (6L, s"xx yy $fill"), // only 0 stop words
       (7L, s"the of $fill\nsame line\nsame line\nsame line\nsame line" +
-        "\nsame line\nsame line")) // dup lines
+        "\nsame line\nsame line"), // dup lines
+      // hash ratio 4/69 ≈ 0.058 and ellipsis ratio 4/69 ≈ 0.058: EACH
+      // clears the published per-symbol 0.1 bound even though their sum
+      // (0.116) does not — Rae et al. gate "either the hash symbol or
+      // the ellipsis" independently (the r12 summed form failed this doc)
+      (8L, s"the of $fill # # # # ... ... ... ... tail"))
       .toDF("doc_id", "text")
     val cols = TextAnalysis.gopherRules(col("text")).map { case (n, c) => c.as(n) }
     val rows = gdocs.select(col("doc_id") +: cols: _*).collect()
@@ -1310,6 +1315,9 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rule(7L, "r_dup_lines") == 0 && rule(0L, "r_dup_lines") == 1)
     // the ### words still carry no letters but stay under the 20% bar
     assert(rule(2L, "r_alpha_words") == 1)
+    // per-symbol independence: 0.058 + 0.058 passes (a summed 0.1 bound
+    // would reject it)
+    assert(rule(8L, "r_symbol_ratio") == 1 && rule(8L, "keep") == 1)
   }
 
   test("decontaminateFuzzy: edited copy flagged below 1, exact copy at " +

@@ -356,7 +356,8 @@ class TrainingPropertySpec extends AnyFunSuite {
         math.max(nW, 1.0)
       val nHash = (text.length - text.replace("#", "").length).toDouble
       val nEll = (text.length - text.replace("...", "").length) / 3.0
-      val symbolRatio = (nHash + nEll) / math.max(nW, 1.0)
+      val hashRatio = nHash / math.max(nW, 1.0)
+      val ellRatio = nEll / math.max(nW, 1.0)
       val stopHits = ws.map(_.toLowerCase).distinct
         .count(TextAnalysis.GopherStopWords.contains)
       val dupLineFrac =
@@ -364,7 +365,7 @@ class TrainingPropertySpec extends AnyFunSuite {
       val bits = Seq(
         nW >= 50 && nW <= 100000,
         meanLen >= 3.0 && meanLen <= 10.0,
-        symbolRatio <= 0.1,
+        hashRatio <= 0.1 && ellRatio <= 0.1,
         bulletFrac <= 0.9,
         ellipsisFrac <= 0.3,
         alphaFrac >= 0.8,
