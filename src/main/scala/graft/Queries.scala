@@ -7750,8 +7750,9 @@ object Queries {
       val keep = docs.groupBy(md5(col("text")).as("digest"))
         .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
       val rules = TextAnalysis.gopherRules(col("text")).toMap
+      val repRules = TextAnalysis.gopherRepetitionRules(col("text")).toMap
       val gated = docs.join(keep, Seq("doc_id"), "left_semi")
-        .filter(rules("keep") === 1)
+        .filter(rules("keep") === 1 && repRules("keep_rep") === 1)
         .persist() // two consumers: the decontam band/verify pass, the pack
       val bench = docs.filter(col("doc_id") % 50 === 0)
         .select((col("doc_id") + 100000L).as("doc_id"),
@@ -7837,6 +7838,119 @@ object Queries {
   private def sqlGopherKeep: String =
     sqlGopherConds.map(_._2).mkString(" AND ")
 
+  // ---- Gopher REPETITION tier (t31b/p8) — SQL twins of
+  // TextAnalysis.gopherRepetitionRules, one definition each ----
+
+  /** Word n-gram list over `ws` (the gopher word split), SQL twin of the
+    * repetition suite's shingles(n). */
+  private def sqlRepShingles(n: Int): String =
+    s"""CASE WHEN len(ws) >= $n THEN list_transform(
+       |      range(1, len(ws) - ${n - 1} + 1),
+       |      i -> array_to_string(ws[i:i+${n - 1}], ' '))
+       |    ELSE CAST([] AS VARCHAR[]) END""".stripMargin
+
+  /** Repetition signal CTEs over `src` (doc_id, text) → `grm` with one
+    * column per repetition signal (same definitions as
+    * gopherRepetitionRules: paragraphs on blank lines, lines on \n,
+    * both trimmed/non-empty; duplicate-unit char fractions count
+    * occurrences beyond the first over text length; top-n-gram fraction
+    * is count × length of the most frequent n-gram, ties to the
+    * longest; duplicate-n-gram fractions count all occurrences of
+    * n-grams appearing ≥ 2 times). DuckDB computes the per-unit counts
+    * RELATIONALLY (unnest → GROUP BY → per-doc aggregate + left join
+    * back) — the engine-native shape of the Spark side's sorted
+    * run-length folds; docs with no units coalesce to 0. */
+  private def sqlGopherRepMetrics(src: String): String = {
+    // per-(doc, unit) counts of an unnested list column
+    def unitCounts(from: String, u: String): String =
+      s"""(SELECT doc_id, count(*) AS cnt, length(u) AS len
+         |      FROM (SELECT doc_id, unnest($u) AS u FROM $from)
+         |      GROUP BY doc_id, u)""".stripMargin
+    val beyondFirst = Seq("gpu" -> "ps", "glu" -> "ls").map { case (cte, u) =>
+      s"""$cte AS (SELECT doc_id, sum((cnt - 1) * len) AS extra
+         |  FROM ${unitCounts("grw", u)} GROUP BY doc_id)""".stripMargin
+    }
+    val tops = (2 to 4).map { n =>
+      s"""gt$n AS (SELECT doc_id,
+         |    max(struct_pack(cnt := cnt, len := len)) AS best
+         |  FROM ${unitCounts("gsh", s"sh$n")} GROUP BY doc_id)""".stripMargin
+    }
+    val dups = (5 to 10).map { n =>
+      s"""gd$n AS (SELECT doc_id,
+         |    sum(CASE WHEN cnt >= 2 THEN cnt * len ELSE 0 END) AS dchars
+         |  FROM ${unitCounts("gsh", s"sh$n")} GROUP BY doc_id)""".stripMargin
+    }
+    val joins =
+      (Seq("gpu", "glu") ++ (2 to 4).map(n => s"gt$n") ++
+        (5 to 10).map(n => s"gd$n"))
+        .map(c => s"  LEFT JOIN $c ON $c.doc_id = w.doc_id").mkString("\n")
+    s"""grw AS (SELECT doc_id, text,
+       |    list_filter(list_transform(string_split(text, chr(10)),
+       |      l -> trim(l)), l -> len(l) > 0) AS ls,
+       |    list_filter(list_transform(string_split(text,
+       |      chr(10) || chr(10)), p -> trim(p)), p -> len(p) > 0) AS ps,
+       |    list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |      t -> len(t) > 0) AS ws,
+       |    greatest(CAST(length(text) AS DOUBLE), 1.0) AS nc
+       |  FROM $src),
+       |gsh AS (SELECT *,
+       |${(2 to 10).map(n => s"    ${sqlRepShingles(n)} AS sh$n")
+            .mkString(",\n")}
+       |  FROM grw),
+       |${beyondFirst.mkString(",\n")},
+       |${tops.mkString(",\n")},
+       |${dups.mkString(",\n")},
+       |grm AS (SELECT w.doc_id, w.text,
+       |    CASE WHEN len(w.ps) > 0 THEN
+       |      (CAST(len(w.ps) AS DOUBLE) - len(list_distinct(w.ps)))
+       |        / len(w.ps)
+       |    ELSE 0.0 END AS dup_para_frac,
+       |    coalesce(gpu.extra, 0) / w.nc AS dup_para_char_frac,
+       |    coalesce(glu.extra, 0) / w.nc AS dup_line_char_frac,
+       |${(2 to 4).map(n =>
+            s"    coalesce(struct_extract(gt$n.best, 'cnt') * " +
+            s"struct_extract(gt$n.best, 'len'), 0) / w.nc " +
+            s"AS top${n}gram_frac").mkString(",\n")},
+       |${(5 to 10).map(n =>
+            s"    coalesce(gd$n.dchars, 0) / w.nc AS dup${n}gram_frac")
+            .mkString(",\n")}
+       |  FROM grw w
+       |$joins)""".stripMargin
+  }
+
+  /** (rule name, SQL predicate over grm) — ONE definition of each
+    * repetition threshold, shared by t31b's per-rule columns and the
+    * p8 gate. */
+  private val sqlGopherRepConds: Seq[(String, String)] = Seq(
+    "r_dup_paragraphs" -> "dup_para_frac <= 0.3",
+    "r_dup_para_chars" -> "dup_para_char_frac <= 0.2",
+    "r_dup_line_chars" -> "dup_line_char_frac <= 0.2",
+    "r_top2gram_chars" -> "top2gram_frac <= 0.20",
+    "r_top3gram_chars" -> "top3gram_frac <= 0.18",
+    "r_top4gram_chars" -> "top4gram_frac <= 0.16",
+    "r_dup5gram_chars" -> "dup5gram_frac <= 0.15",
+    "r_dup6gram_chars" -> "dup6gram_frac <= 0.14",
+    "r_dup7gram_chars" -> "dup7gram_frac <= 0.13",
+    "r_dup8gram_chars" -> "dup8gram_frac <= 0.12",
+    "r_dup9gram_chars" -> "dup9gram_frac <= 0.11",
+    "r_dup10gram_chars" -> "dup10gram_frac <= 0.10")
+
+  private def sqlGopherRepKeep: String =
+    sqlGopherRepConds.map(_._2).mkString(" AND ")
+
+  /** The t31b repetition fixture, SQL twin of
+    * TextAnalysis.repetitionFixture. */
+  private def sqlRepFx(src: String): String =
+    s"""fx AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 11 = 0 THEN text ||
+       |        chr(10) || chr(10) || 'para one' ||
+       |        chr(10) || chr(10) || 'para one' ||
+       |        chr(10) || chr(10) || 'para one'
+       |      WHEN doc_id % 7 = 0 THEN text || ' ' ||
+       |        repeat('badger mushroom snake gopher rae ', 20)
+       |      ELSE text END AS text
+       |  FROM $src)""".stripMargin
+
   /** MinHash → LSH-band → candidate chain shared by t32/p8: `corpus`
     * rows (doc_id, text), `bench` rows (bench_id, text) → `chs`/`bhs`
     * (distinct shingle-hash sets) and `cand` (candidate pairs). Same
@@ -7903,14 +8017,18 @@ object Queries {
          |SELECT doc_id, bench_id, j FROM v WHERE j >= 0.5
          |ORDER BY doc_id, bench_id""".stripMargin,
 
-    // fixture → exact dedup → Gopher gate → fuzzy-decontam flag-and-drop
-    // → the t26 shard/cum/bin packing algebra
+    // fixture → exact dedup → FULL Gopher gate (quality rules AND the
+    // r13 repetition tiers) → fuzzy-decontam flag-and-drop → the t26
+    // shard/cum/bin packing algebra
     "p8_gopher_decontam_pack" ->
       s"""WITH ${sqlGopherFx("documents")},
          |keep AS (SELECT min(doc_id) AS doc_id FROM fx GROUP BY md5(text)),
          |ded AS (SELECT f.* FROM fx f JOIN keep USING (doc_id)),
          |${sqlGopherMetrics("ded")},
-         |gat AS (SELECT doc_id, text FROM gm WHERE $sqlGopherKeep),
+         |${sqlGopherRepMetrics("ded")},
+         |gat AS (SELECT g.doc_id, g.text FROM gm g
+         |  JOIN grm r ON r.doc_id = g.doc_id
+         |  WHERE $sqlGopherKeep AND $sqlGopherRepKeep),
          |bench AS (SELECT doc_id + 100000 AS bench_id,
          |    text || ' held out eval item' AS text
          |  FROM fx WHERE doc_id % 50 = 0),
@@ -7985,6 +8103,23 @@ object Queries {
         .orderBy(col("query_id"), col("dist"), col("neighbor_id"))
     }),
 
+    // Gopher REPETITION rule suite (Rae et al. 2021, Table A1 — the
+    // repetition-removal half the r12c t31 quality suite left out):
+    // duplicate-paragraph fraction/chars, duplicate-line chars, top
+    // 2/3/4-gram char fraction, duplicate 5..10-gram char fraction, all
+    // at the published thresholds, entirely row-local (zero shuffles —
+    // pinned). The fixture plants paragraph dups (every 11th doc) and a
+    // 20×-repeated phrase (every 7th) so every tier fires both ways.
+    "t31b_gopher_repetition" -> ((s, dir) => {
+      val cols = TextAnalysis.gopherRepetitionRules(col("text"))
+        .map { case (n, c) => c.as(n) }
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.repetitionFixture(col("text")).as("text"))
+        .select(col("doc_id") +: cols: _*)
+        .orderBy("doc_id")
+    }),
+
     // TRAINED-coarse range search: v19's radius query served from a
     // k-means codebook (one Lloyd round over the stride init — the
     // stride codebook was the measured pair-recall ceiling at every
@@ -8001,6 +8136,15 @@ object Queries {
         .orderBy(col("query_id"), desc("sim"), col("neighbor_id"))))
 
   private val oracles16: Map[String, String] = Map(
+
+    "t31b_gopher_repetition" ->
+      s"""WITH ${sqlRepFx("documents")},
+         |${sqlGopherRepMetrics("fx")}
+         |SELECT doc_id,
+         |${sqlGopherRepConds.map { case (n, c) =>
+              s"  CAST($c AS INTEGER) AS $n," }.mkString("\n")}
+         |  CAST($sqlGopherRepKeep AS INTEGER) AS keep_rep
+         |FROM grm ORDER BY doc_id""".stripMargin,
 
     // residual+trained IVFADC + exact re-rank, replayed END-TO-END:
     // the v13 coarse-training block (stride init → one rounded-mean

@@ -242,9 +242,14 @@ object TextAnalysis {
     * overlaps uncompensated — can exceed 1, which simply fails the
     * bound).
     *
-    * Every signal is ROW-LOCAL (nested array HOFs, codegen'd): the
-    * per-row cost is O(shingles²) on in-memory arrays, the plan is a
-    * pure projection — zero shuffles at any corpus size (pinned). */
+    * Every signal is ROW-LOCAL and LINEAR: one array_sort + one
+    * sequential fold per signal (equal units are adjacent after
+    * sorting, so run counting replaces per-distinct-element rescans —
+    * the nested `filter(units, _ === u)` form re-evaluates the array
+    * per element, the O(k²)-interpreted shape that cost quantizeInt8
+    * 50× in r11 and measured minutes/row-batch here before the
+    * rewrite). The plan is a pure projection — zero shuffles at any
+    * corpus size (pinned). */
   def gopherRepetitionRules(text: Column): Seq[(String, Column)] = {
     val nc = greatest(length(text).cast("double"), lit(1.0))
     val lines = filter(transform(split(text, "\n"), l => trim(l)),
@@ -258,39 +263,56 @@ object TextAnalysis {
         (n - size(array_distinct(units)).cast("double")) / n)
         .otherwise(lit(0.0))
     }
-    // chars in occurrences beyond the first of each duplicated unit
+    // chars in occurrences beyond the first of each duplicated unit:
+    // after sorting, every beyond-first occurrence equals its left
+    // neighbour — one fold, the previous element carried in the
+    // accumulator (units are non-empty strings, so "" never collides)
     def dupCharFrac(units: Column): Column =
-      aggregate(
-        transform(array_distinct(units), u =>
-          (size(filter(units, x => x === u)).cast("long") - 1L) *
-            length(u).cast("long")),
-        lit(0L), (a, x) => a + x).cast("double") / nc
+      aggregate(array_sort(units),
+        struct(lit("").as("prev"), lit(0L).as("tot")),
+        (acc, x) => struct(x.as("prev"),
+          (acc.getField("tot") + when(x === acc.getField("prev"),
+            length(x).cast("long")).otherwise(lit(0L))).as("tot")),
+        acc => acc.getField("tot")).cast("double") / nc
     def shingles(n: Int): Column =
       when(size(ws) >= n,
         transform(sequence(lit(1), size(ws) - (n - 1)),
           i => array_join(slice(ws, i, lit(n)), " ")))
         .otherwise(array().cast("array<string>"))
-    def topNgramCharFrac(n: Int): Column = {
-      val sh = shingles(n)
-      val dist = array_distinct(sh)
-      val maxCnt = array_max(transform(dist,
-        g => size(filter(sh, x => x === g))))
-      val bestLen = array_max(transform(
-        filter(dist, g => size(filter(sh, x => x === g)) === maxCnt),
-        g => length(g)))
-      when(size(sh) > 0,
-        maxCnt.cast("double") * bestLen.cast("double") / nc)
-        .otherwise(lit(0.0))
-    }
-    def dupNgramCharFrac(n: Int): Column = {
-      val sh = shingles(n)
-      aggregate(
-        transform(array_distinct(sh), g => {
-          val cnt = size(filter(sh, x => x === g)).cast("long")
-          when(cnt >= 2L, cnt * length(g).cast("long")).otherwise(0L)
-        }),
-        lit(0L), (a, x) => a + x).cast("double") / nc
-    }
+    // (count × length) of the most frequent unit, ties to the longest:
+    // run-length fold over the sorted array, keeping the best
+    // (count, length) pair seen
+    def topNgramCharFrac(n: Int): Column =
+      aggregate(array_sort(shingles(n)),
+        struct(lit("").as("prev"), lit(0L).as("run"),
+          lit(0L).as("bc"), lit(0L).as("bl")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"),
+            acc.getField("run") + 1L).otherwise(lit(1L))
+          val ln = length(x).cast("long")
+          val better = run > acc.getField("bc") ||
+            (run === acc.getField("bc") && ln > acc.getField("bl"))
+          struct(x.as("prev"), run.as("run"),
+            when(better, run).otherwise(acc.getField("bc")).as("bc"),
+            when(better, ln).otherwise(acc.getField("bl")).as("bl"))
+        },
+        acc => acc.getField("bc") * acc.getField("bl"))
+        .cast("double") / nc
+    // chars of ALL occurrences of units appearing >= 2 times: on the
+    // 2nd element of a run both the 1st and 2nd count (add 2×len), from
+    // the 3rd on each adds len
+    def dupNgramCharFrac(n: Int): Column =
+      aggregate(array_sort(shingles(n)),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("tot")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"),
+            acc.getField("run") + 1L).otherwise(lit(1L))
+          val add = when(run === 2L, length(x).cast("long") * 2L)
+            .when(run > 2L, length(x).cast("long")).otherwise(lit(0L))
+          struct(x.as("prev"), run.as("run"),
+            (acc.getField("tot") + add).as("tot"))
+        },
+        acc => acc.getField("tot")).cast("double") / nc
     def b(c: Column): Column = c.cast("int")
     val conds: Seq[(String, Column)] = Seq(
       "r_dup_paragraphs" -> (dupFrac(paras) <= 0.3),
@@ -429,16 +451,36 @@ object TextAnalysis {
     * 100 TB corpus is scanned (twice: band + verify), never shuffled,
     * and no all-pairs path exists. All sketches are the portable
     * minhash/banding used by the dedup cascade, so any engine replays
-    * the whole chain. */
+    * the whole chain.
+    *
+    * `maxBandSize` is the hot-band guard (the
+    * [[Dedup.lshCandidatePairsCapped]] contract, r13): a degenerate
+    * band key — empty-text shingles, boilerplate that collapses to one
+    * signature — can put millions of corpus docs into one bucket, and
+    * every one of them becomes a candidate against each bench doc
+    * sharing the band, flooding the list the verify stage broadcasts
+    * back. Corpus-side (band_id, band_hash) groups larger than the cap
+    * are DROPPED before the bench join (a map-combinable count + a
+    * broadcast anti-join against the few oversize keys). MISS
+    * DIRECTION: a cap can only LOSE candidates, never invent them —
+    * every surviving flag still passes the exact-Jaccard verify, so
+    * precision is unaffected; a contaminated doc hiding in a dropped
+    * hot band is missed (flag such corpora upstream — a band that hot
+    * is boilerplate, which exact dedup should have removed first). The
+    * default `Int.MaxValue` keeps the oracle-exact uncapped behavior;
+    * [[decontaminateFuzzyCapped]] is the 100 TB preset. */
   def decontaminateFuzzy(corpus: org.apache.spark.sql.DataFrame,
       benchmark: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, shingleN: Int = 3, numHashes: Int = 16,
       bands: Int = 4, jaccardMin: Double = 0.5,
-      roundTo: Int = 6): org.apache.spark.sql.DataFrame = {
+      roundTo: Int = 6,
+      maxBandSize: Int = Int.MaxValue): org.apache.spark.sql.DataFrame = {
     require(bands > 0 && numHashes % bands == 0,
       s"decontaminateFuzzy: bands ($bands) must divide numHashes ($numHashes)")
     require(jaccardMin >= 0.0 && jaccardMin <= 1.0,
       s"decontaminateFuzzy: jaccardMin must be in [0, 1], got $jaccardMin")
+    require(maxBandSize > 0,
+      s"decontaminateFuzzy: maxBandSize must be positive, got $maxBandSize")
     val rpb = numHashes / bands
     val cs = corpus.select(col(idCol),
         Dedup.shingleHashes(col(textCol), shingleN).as("__hs"))
@@ -446,8 +488,18 @@ object TextAnalysis {
     val bs = benchmark.select(col(idCol).as("bench_id"),
         Dedup.shingleHashes(col(textCol), shingleN).as("__bhs"))
       .withColumn("__bsig", Dedup.minhashSignature(col("__bhs"), numHashes))
-    val cBands = Dedup.lshBands(cs.select(col(idCol), col("__sig")),
+    val cBands0 = Dedup.lshBands(cs.select(col(idCol), col("__sig")),
       idCol, "__sig", bands, rpb)
+    val cBands =
+      if (maxBandSize == Int.MaxValue) cBands0
+      else {
+        val oversize = cBands0.groupBy("band_id", "band_hash")
+          .agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") > maxBandSize)
+          .select("band_id", "band_hash")
+        cBands0.join(broadcast(oversize), Seq("band_id", "band_hash"),
+          "left_anti")
+      }
     val bBands = Dedup.lshBands(bs.select(col("bench_id"), col("__bsig")),
       "bench_id", "__bsig", bands, rpb)
     val cand = cBands.join(broadcast(bBands), Seq("band_id", "band_hash"))
@@ -463,6 +515,19 @@ object TextAnalysis {
       .select(col(idCol), col("bench_id"), j.as("j"))
       .filter(col("j") >= jaccardMin)
   }
+
+  /** [[decontaminateFuzzy]] with the hot-band guard ON by default (cap
+    * contract and rationale there) — the preset a 100 TB pipeline
+    * should reach for; the uncapped variant exists for oracle-exact
+    * runs. */
+  def decontaminateFuzzyCapped(corpus: org.apache.spark.sql.DataFrame,
+      benchmark: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, numHashes: Int = 16,
+      bands: Int = 4, jaccardMin: Double = 0.5,
+      roundTo: Int = 6,
+      maxBandSize: Int = Dedup.DefaultMaxBucketSize): org.apache.spark.sql.DataFrame =
+    decontaminateFuzzy(corpus, benchmark, idCol, textCol, shingleN,
+      numHashes, bands, jaccardMin, roundTo, maxBandSize)
 
   // ===================== chunking =====================
 

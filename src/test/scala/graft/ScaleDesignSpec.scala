@@ -1412,6 +1412,19 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(out.count() == docs.count())
   }
 
+  test("gopherRepetitionRules: the whole repetition tier is one scan — " +
+      "zero shuffles, zero joins (scan-speed at 100 TB)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val cols = graft.operators.TextAnalysis.gopherRepetitionRules(col("text"))
+      .map { case (n, c) => c.as(n) }
+    val out = docs.select(col("doc_id") +: cols: _*)
+    assert(shuffleCount(out) == 0, "repetition tier must not shuffle")
+    assert(out.queryExecution.executedPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, "repetition tier must not join")
+    assert(out.count() == docs.count())
+  }
+
   test("decontaminateFuzzy: no sort-merge join anywhere; shingle-hash " +
       "arrays never cross an exchange (corpus text/sketches stay scan-side)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")

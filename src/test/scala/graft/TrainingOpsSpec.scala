@@ -1320,6 +1320,83 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rule(8L, "r_symbol_ratio") == 1 && rule(8L, "keep") == 1)
   }
 
+  test("gopherRepetitionRules: each planted repetition shape trips its " +
+      "tier; the clean doc passes all thirteen") {
+    val longP = "x" * 200
+    // two stop words so the clean doc also clears the QUALITY half
+    val clean = "the of " + (0 until 60).map(i => f"word$i%02d").mkString(" ")
+    val phrase10 = (0 until 10).map(i => s"ph$i").mkString(" ")
+    val rdocs = Seq(
+      (0L, clean), // distinct words, one paragraph: passes everything
+      // duplicate-paragraph FRACTION trips (2 of 4 paras are repeats of
+      // a tiny one), but the repeated chars stay under the 0.2 char bar
+      (1L, "aaaa bbbb cccc dddd\n\nzz\n\nzz\n\nzz"),
+      // duplicate-paragraph CHARS trip (one huge para repeated once in
+      // ten), while the 1/10 duplicate fraction passes
+      (2L, (longP +: (1 to 8).map(i => s"pp$i") :+ longP).mkString("\n\n")),
+      // same shape on LINES (single \n separators: still one paragraph)
+      (3L, (longP +: (1 to 8).map(i => s"ll$i") :+ longP).mkString("\n")),
+      // "aa bb" * 30: the top 2/3/4-gram char fractions all blow their
+      // bars even against 60 words of distinct filler
+      (4L, ("aa bb " * 30) + clean),
+      // a 10-word phrase repeated 3x: every 5..10-gram inside the
+      // repetition duplicates, tripping the whole dup-n-gram family
+      (5L, Seq.fill(3)(phrase10).mkString(" ") + " " + clean))
+      .toDF("doc_id", "text")
+    val cols = TextAnalysis.gopherRepetitionRules(col("text"))
+      .map { case (n, c) => c.as(n) }
+    val rows = rdocs.select(col("doc_id") +: cols: _*).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def rule(id: Long, name: String): Int = rows(id).getAs[Int](name)
+    val allRules = TextAnalysis.gopherRepetitionRules(col("text")).map(_._1)
+    allRules.foreach(n => assert(rule(0L, n) == 1, s"clean doc failed $n"))
+    assert(rule(1L, "r_dup_paragraphs") == 0 &&
+      rule(1L, "r_dup_para_chars") == 1)
+    assert(rule(2L, "r_dup_para_chars") == 0 &&
+      rule(2L, "r_dup_paragraphs") == 1)
+    assert(rule(3L, "r_dup_line_chars") == 0)
+    assert(rule(4L, "r_top2gram_chars") == 0 &&
+      rule(4L, "r_top3gram_chars") == 0 && rule(4L, "r_top4gram_chars") == 0)
+    (5 to 10).foreach(n =>
+      assert(rule(5L, s"r_dup${n}gram_chars") == 0, s"dup$n must trip"))
+    (1L to 5L).foreach(id => assert(rule(id, "keep_rep") == 0))
+    // the full published gate: quality AND repetition
+    val keepAll = rdocs.select(col("doc_id"),
+        TextAnalysis.gopherKeepAll(col("text")).as("ka")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(keepAll(0L)) // clean doc also passes the quality half
+    (1L to 5L).foreach(id => assert(!keepAll(id)))
+  }
+
+  test("decontaminateFuzzy hot-band cap: a degenerate band floods the " +
+      "candidate list uncapped; the cap drops oversize corpus bands and " +
+      "can only LOSE flags, never invent them") {
+    val boiler = "copy paste boiler plate text exactly the same every time"
+    val real = "one two three four five six seven eight nine ten eleven twelve"
+    val corpus = ((0L until 60L).map(i => (i, boiler)) :+ ((100L, real)))
+      .toDF("doc_id", "text")
+    val bench = Seq((500L, boiler), (501L, real + " plus light edits"))
+      .toDF("doc_id", "text")
+    val uncapped = TextAnalysis.decontaminateFuzzy(corpus, bench,
+      "doc_id", "text", jaccardMin = 0.5).collect()
+    val capped = TextAnalysis.decontaminateFuzzyCapped(corpus, bench,
+      "doc_id", "text", jaccardMin = 0.5, maxBandSize = 10).collect()
+    // uncapped: every boilerplate copy floods in as a (verified) flag
+    assert(uncapped.count(_.getLong(1) == 500L) == 60)
+    // capped at 10: the 60-member bands are dropped whole
+    assert(capped.count(_.getLong(1) == 500L) == 0)
+    // the real near-dup pair rides small bands and SURVIVES the cap
+    assert(capped.exists(r => r.getLong(0) == 100L && r.getLong(1) == 501L))
+    // miss direction: capped flags are a subset of uncapped flags
+    val u = uncapped.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet.subsetOf(u))
+    // contract refusal
+    intercept[IllegalArgumentException] {
+      TextAnalysis.decontaminateFuzzy(corpus, bench, "doc_id", "text",
+        maxBandSize = 0)
+    }
+  }
+
   test("decontaminateFuzzy: edited copy flagged below 1, exact copy at " +
       "j = 1, disjoint doc clean; contract refusals") {
     val corpus = Seq(

@@ -391,6 +391,88 @@ class TrainingPropertySpec extends AnyFunSuite {
     }
   }
 
+  private lazy val repDocGen: org.scalacheck.Gen[String] = {
+    // tiny word alphabet → natural n-gram collisions; paragraph dups and
+    // repeated phrases injected at ~1/3 frequency each
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ffff", "gg", "hhhh")
+    val para = for {
+      n <- Gen.choose(1, 12); ws <- Gen.listOfN(n, word)
+    } yield ws.mkString(" ")
+    for {
+      np <- Gen.choose(1, 5)
+      ps <- Gen.listOfN(np, para)
+      dupP <- Gen.frequency(2 -> Gen.const(false), 1 -> Gen.const(true))
+      rep <- Gen.frequency(2 -> Gen.const(false), 1 -> Gen.const(true))
+      phrase <- Gen.listOfN(6, word)
+      reps <- Gen.choose(2, 4)
+    } yield {
+      val base = if (dupP && ps.nonEmpty) ps ++ Seq(ps.head) else ps
+      val all = if (rep)
+        base :+ Seq.fill(reps)(phrase.mkString(" ")).mkString(" ")
+      else base
+      all.mkString("\n\n")
+    }
+  }
+
+  test("property: gopherRepetitionRules ≡ an independent driver-side " +
+      "reimplementation of every repetition tier on random docs") {
+    def spTrim(s: String): String =
+      s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+    def expect(text: String): Seq[Int] = {
+      val nc = math.max(text.length.toDouble, 1.0)
+      val lines = text.split("\n", -1).map(spTrim).filter(_.nonEmpty).toSeq
+      val paras = text.split("\n\n", -1).map(spTrim).filter(_.nonEmpty).toSeq
+      val ws = spTrim(text).split("\\s+").filter(_.nonEmpty).toSeq
+      def dupFrac(u: Seq[String]): Double =
+        if (u.isEmpty) 0.0
+        else (u.size - u.distinct.size).toDouble / u.size
+      def dupCharFrac(u: Seq[String]): Double =
+        u.groupBy(identity).values
+          .map(g => (g.size - 1).toLong * g.head.length).sum.toDouble / nc
+      def sh(n: Int): Seq[String] =
+        if (ws.size < n) Seq.empty
+        else (0 to ws.size - n).map(i => ws.slice(i, i + n).mkString(" "))
+      def topFrac(n: Int): Double = {
+        val gs = sh(n).groupBy(identity).toSeq
+          .map { case (g, o) => (o.size.toLong, g.length.toLong) }
+        if (gs.isEmpty) 0.0
+        else {
+          val mc = gs.map(_._1).max
+          val ml = gs.filter(_._1 == mc).map(_._2).max
+          (mc * ml).toDouble / nc
+        }
+      }
+      def dupNFrac(n: Int): Double =
+        sh(n).groupBy(identity)
+          .collect { case (g, o) if o.size >= 2 => o.size.toLong * g.length }
+          .sum.toDouble / nc
+      val bits = Seq(
+        dupFrac(paras) <= 0.3,
+        dupCharFrac(paras) <= 0.2,
+        dupCharFrac(lines) <= 0.2,
+        topFrac(2) <= 0.20, topFrac(3) <= 0.18, topFrac(4) <= 0.16,
+        dupNFrac(5) <= 0.15, dupNFrac(6) <= 0.14, dupNFrac(7) <= 0.13,
+        dupNFrac(8) <= 0.12, dupNFrac(9) <= 0.11, dupNFrac(10) <= 0.10)
+      (bits :+ bits.forall(identity)).map(b => if (b) 1 else 0)
+    }
+    val docsGen = Gen.choose(3, 8)
+      .flatMap(n => Gen.listOfN(n, repDocGen))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    forAll(docsGen, n = 15) { rows =>
+      val cols = TextAnalysis.gopherRepetitionRules(col("text"))
+        .map { case (nm, c) => c.as(nm) }
+      val got = rows.toDF("doc_id", "text")
+        .select(col("doc_id") +: cols: _*)
+        .collect().map(r => r.getLong(0) ->
+          (1 to 13).map(r.getInt)).toMap
+      rows.foreach { case (id, text) =>
+        assert(got(id) == expect(text),
+          s"repetition vector diverged for doc $id: got ${got(id)}, " +
+            s"want ${expect(text)}, text=${text.replace("\n", "\\n")}")
+      }
+    }
+  }
+
   test("property: decontaminateFuzzy — exact bench copies are ALWAYS " +
       "flagged at j = 1; every flagged pair's true shingle Jaccard " +
       "clears the threshold; disjoint-alphabet docs never flag") {
