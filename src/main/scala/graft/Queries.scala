@@ -6764,6 +6764,34 @@ object Queries {
     ms
   }
 
+  /** 32,000-merge PRODUCTION-SIZE byte-level BPE model, trained on the
+    * sf0.1 DOUBLY pair-enriched mixed-script fixture with a 40k-word
+    * histogram (regenerate with `Test/runMain graft.BpeSnapshotMain
+    * /root/testdata/sf0.1 32000
+    * src/main/resources/graft/bpe_merges_bytes_32k.tsv bytes2 40000` —
+    * the single enrichment's vocabulary exhausts merging at ~11k). Same
+    * hex-pair symbol convention as the 1k model. */
+  private[graft] lazy val bpeMergesBytes32k: Seq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/bpe_merges_bytes_32k.tsv")
+    require(in != null, "missing resource graft/bpe_merges_bytes_32k.tsv — " +
+      "regenerate with Test/runMain graft.BpeSnapshotMain ... bytes2 40000")
+    val ms =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map { l =>
+          val i = l.indexOf('\t')
+          (l.substring(0, i), l.substring(i + 1))
+        }.toVector
+      finally in.close()
+    require(ms.size == 32000,
+      s"bpe_merges_bytes_32k.tsv: expected 32000 merges, got ${ms.size}")
+    val ok = "^([0-9a-f]{2})*(</w>)?$".r
+    ms.foreach { case (a, b) =>
+      require(ok.matches(a) && ok.matches(b),
+        s"bpe_merges_bytes_32k.tsv: unexpected merge symbol ($a, $b)")
+    }
+    ms
+  }
+
   /** Escape a string for interpolation into a single-quoted SQL
     * literal (oracle-side rendering of model tables). */
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -7361,11 +7389,13 @@ object Queries {
   /** The training-order merge replay over a preceding `tok(doc_id, tok,
     * i)` CTE: per DISTINCT word, hex-pair byte symbols advanced one
     * merge per recursion step. Ends with `fin(tok, pieces)`. ONE
-    * definition shared by every byte-level oracle (t28c/t28d/p6). */
-  private lazy val bpeBytesMergeReplayCtes: String = {
-    val vals = bpeMergesBytes1k.zipWithIndex.map { case ((a, b), r) =>
+    * definition shared by every byte-level oracle (t28c/t28d/p6/t28e —
+    * t28e passes the 32k model's documented 1,000-merge prefix). */
+  private def bpeBytesMergeReplayCtesFor(
+      merges: Seq[(String, String)]): String = {
+    val vals = merges.zipWithIndex.map { case ((a, b), r) =>
       s"($r, ${sqlLit(a)}, ${sqlLit(b)})" }.mkString(", ")
-    val n = bpeMergesBytes1k.size
+    val n = merges.size
     s"""words AS (SELECT DISTINCT tok FROM tok),
        |m(r, a, b) AS (SELECT * FROM (VALUES $vals) v(r, a, b)),
        |enc AS (
@@ -7381,6 +7411,38 @@ object Queries {
        |    p -> len(p) > 0) AS pieces
        |  FROM enc WHERE r = $n)""".stripMargin
   }
+
+  private lazy val bpeBytesMergeReplayCtes: String =
+    bpeBytesMergeReplayCtesFor(bpeMergesBytes1k)
+
+  /** The t28e serving-corpus prefix: mixed-script fixture over the
+    * doc_id<60 slice, pair-enriched TWICE (each enrichment
+    * re-pre-tokenizes its input — punctuation fused by round one splits
+    * again in round two, exactly pairEnrichBytes ∘ pairEnrichBytes).
+    * Ends with `tk(doc_id, t2)` and `tok(doc_id, tok, i)`. */
+  private lazy val bpeBytes2PairTokCtes: String =
+    s"""raw AS (SELECT doc_id, $sqlMixedScript AS mixed
+       |  FROM documents WHERE doc_id < 60),
+       |ptk AS (SELECT doc_id,
+       |    regexp_extract_all(mixed, '$sqlBytePretok') AS rt FROM raw),
+       |p1 AS (SELECT doc_id,
+       |    CASE WHEN len(rt) >= 2 THEN array_to_string(list_transform(
+       |        list_zip(rt[1:len(rt)-1], rt[2:len(rt)]),
+       |        p -> p[1] || p[2]), ' ')
+       |      ELSE '' END AS t1
+       |  FROM ptk),
+       |p1t AS (SELECT doc_id,
+       |    regexp_extract_all(t1, '$sqlBytePretok') AS rt2 FROM p1),
+       |tk AS (SELECT doc_id,
+       |    CASE WHEN len(rt2) >= 2 THEN array_to_string(list_transform(
+       |        list_zip(rt2[1:len(rt2)-1], rt2[2:len(rt2)]),
+       |        p -> p[1] || p[2]), ' ')
+       |      ELSE '' END AS t2
+       |  FROM p1t),
+       |tkl AS (SELECT doc_id,
+       |    regexp_extract_all(t2, '$sqlBytePretok') AS t FROM tk),
+       |tok AS (SELECT doc_id, unnest(t) AS tok,
+       |    unnest(generate_series(1, len(t))) AS i FROM tkl)""".stripMargin
 
   private lazy val bpeBytesChainCtes: String =
     s"$bpeBytesPairTokCtes,\n$bpeBytesMergeReplayCtes"
@@ -8103,6 +8165,36 @@ object Queries {
         .orderBy(col("query_id"), col("dist"), col("neighbor_id"))
     }),
 
+    // PRODUCTION-VOCABULARY byte-level BPE (t28e): the 32,000-merge
+    // model (real tokenizers run 32k-100k; t28c proved 1k) over the
+    // DOUBLY pair-enriched mixed-script fixture. ORACLE TIER IS A
+    // DOCUMENTED PREFIX: DuckDB replays the first 1,000 merges of the
+    // 32k table (the t28c recursion materializes steps × distinct-words
+    // rows — at 32k steps that is GBs of recursion state, beyond a
+    // sane oracle budget), so this entry encodes with merges.take(1000)
+    // and the prefix chain is proven cross-engine against the SHIPPED
+    // 32k file. The FULL 32k serving path is pinned in ScalaTest:
+    // bpeEncodeBytesFast(32k) ≡ an independent driver-side
+    // lowest-rank-first reference encoder, the decode round-trip, and
+    // the flat-encode measurement (BpeBytesFlatMain) — the encoder's
+    // per-token cost is table-size-independent by design.
+    "t28e_bpe_bytes_32k" -> ((s, dir) => {
+      val model = TextAnalysis.bpeModelBytes(s, bpeMergesBytes32k.take(1000))
+      tbl(s, dir, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id"),
+          TextAnalysis.pairEnrichBytes(TextAnalysis.pairEnrichBytes(
+            TextAnalysis.mixedScriptFixture(col("text"), col("lang"))))
+            .as("text"))
+        .select(col("doc_id"),
+          TextAnalysis.bpePieceCountBytesFast(col("text"), model)
+            .cast("long").as("n_pieces"),
+          graft.functions.PortableHash.charFold(concat_ws(" ",
+            TextAnalysis.bpeEncodeBytesFast(col("text"), model)))
+            .as("fp"))
+        .filter(col("n_pieces") >= 0)
+        .orderBy("doc_id")
+    }),
+
     // Gopher REPETITION rule suite (Rae et al. 2021, Table A1 — the
     // repetition-removal half the r12c t31 quality suite left out):
     // duplicate-paragraph fraction/chars, duplicate-line chars, top
@@ -8136,6 +8228,28 @@ object Queries {
         .orderBy(col("query_id"), desc("sim"), col("neighbor_id"))))
 
   private val oracles16: Map[String, String] = Map(
+
+    // the t28c replay shape on the DOUBLY-enriched fixture with the 32k
+    // model's documented 1,000-merge PREFIX (full-table evidence lives
+    // in the ScalaTest reference-encoder property + flat-encode
+    // measurement; a 32k-step recursive replay would materialize
+    // steps × distinct-words rows)
+    "t28e_bpe_bytes_32k" ->
+      s"""WITH RECURSIVE
+         |$bpeBytes2PairTokCtes,
+         |${bpeBytesMergeReplayCtesFor(bpeMergesBytes32k.take(1000))},
+         |jp AS (SELECT o.doc_id, o.i, f.pieces
+         |  FROM tok o JOIN fin f USING (tok)),
+         |agg AS (SELECT doc_id, CAST(sum(len(pieces)) AS BIGINT)
+         |      AS n_pieces,
+         |    string_agg(array_to_string(pieces, ' '), ' ' ORDER BY i)
+         |      AS es
+         |  FROM jp GROUP BY doc_id)
+         |SELECT tk.doc_id,
+         |  CAST(coalesce(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+         |  ${sqlCharFold("coalesce(a.es, '')")} AS fp
+         |FROM tk LEFT JOIN agg a USING (doc_id)
+         |ORDER BY tk.doc_id""".stripMargin,
 
     "t31b_gopher_repetition" ->
       s"""WITH ${sqlRepFx("documents")},

@@ -78,7 +78,7 @@ object AnnOperatingPoints {
         .agg(avg("recall")).head().getDouble(0)
 
     val sb = new StringBuilder
-    sb.append("{\n \"round\": 12,\n")
+    sb.append("{\n \"round\": 13,\n")
     sb.append(" \"purpose\": \"recall@10 vs wall-time for the ANN tiers " +
       "across configurations and scales (VERDICT r9 next-3; r10 next-3 " +
       "added the perturbed-sf1 block)\",\n")
@@ -175,6 +175,24 @@ object AnnOperatingPoints {
             else found.intersect(truePairs).size.toDouble / truePairs.size
           cells += s"""  "range_c10_nprobe${np}_sim025": {"sec": ${f"$sec%.3f"}, "n_pairs": ${found.size}, "pair_recall": ${f"$rec%.4f"}}"""
           System.err.println(s"  range c=10 np=$np: ${f"$sec%.3f"}s " +
+            s"pairs=${found.size} recall=${f"$rec%.4f"}")
+        }
+        // TRAINED-coarse range search (r13, v19b): same zero-window
+        // serving plan, k-means codebook values — the pair-recall lift
+        // over the stride rows above is pure training quality. The
+        // codebook trains inside the timed call (range consumers are
+        // one-shot dedup-style jobs; still, read recall first).
+        for (np <- Seq(1, 2)) {
+          val (sec, df) = timed(() =>
+            Similarity.ivfRangeSearch(emb, "vec_id", "embedding", c = 10,
+              queryPred = qPred, simMin = simMin, nprobe = np, knownN = n,
+              coarseIters = 2))
+          val found = df.select("query_id", "neighbor_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          val rec = if (truePairs.isEmpty) 1.0
+            else found.intersect(truePairs).size.toDouble / truePairs.size
+          cells += s"""  "range_trained_c10_nprobe${np}_sim025": {"sec": ${f"$sec%.3f"}, "n_pairs": ${found.size}, "pair_recall": ${f"$rec%.4f"}}"""
+          System.err.println(s"  range-trained c=10 np=$np: ${f"$sec%.3f"}s " +
             s"pairs=${found.size} recall=${f"$rec%.4f"}")
         }
       }
@@ -286,6 +304,24 @@ object AnnOperatingPoints {
         val r = meanRecall(exactL2, df)
         cells += s"""  "ivfpq_refined_m4_${cLabel}_nprobe2_rerank50": {"sec": ${f"$sec%.3f"}, "recall_at_10": ${f"$r%.4f"}}"""
         System.err.println(s"  ivfpq-refined $cLabel: ${f"$sec%.3f"}s recall=${f"$r%.4f"}")
+      }
+      // REFINE OVER RESIDUAL+TRAINED (r13, v20 — the recommended stack
+      // composed at last: r12's refine could only wrap the stride
+      // shortlist): residual encoding + both trainings produce the
+      // shortlist, exact re-rank buys back the compression loss. Same
+      // rerank/nprobe as the stride-refined rows for direct comparison;
+      // codebooks build inside the timed call (the residual caveat
+      // above applies — read recall first).
+      for ((cLabel, every) <- Seq("C10" -> every10, "C256" -> every256)) {
+        val (sec, df) = timed(() =>
+          Similarity.ivfPqTopKRefinedResidual(emb, "vec_id", "embedding",
+            m = 4, pqCentroidEvery = every, coarseCentroidEvery = every10,
+            queryPred = qPred, k = k, rerank = 50, nprobe = 2,
+            pqIters = 1, coarseIters = 2))
+        val r = meanRecall(exactL2, df)
+        cells += s"""  "ivfpq_refined_residual_trained_m4_${cLabel}_nprobe2_rerank50": {"sec": ${f"$sec%.3f"}, "recall_at_10": ${f"$r%.4f"}}"""
+        System.err.println(s"  ivfpq-refined-residual $cLabel: " +
+          s"${f"$sec%.3f"}s recall=${f"$r%.4f"}")
       }
       exactL2.unpersist()
 

@@ -20,11 +20,17 @@ import org.apache.spark.sql.functions._
   * (trainBpeBytes) on ALL languages of the mixed-script fixture
   * (mixedScriptFixture + pairEnrichBytes — the same derivation t28c
   * serves and its oracle replays), for the t28c serving model.
+  * The 4th arg `bytes2` composes pairEnrichBytes TWICE (adjacent-pair
+  * fusions of adjacent-pair fusions — a quadratically richer word
+  * vocabulary) for the production-size 32k-merge model (t28e): the
+  * single enrichment saturates well short of 32k distinct merges.
   * Usage: Test/runMain graft.BpeSnapshotMain /root/testdata/sf0.01 12
   *        Test/runMain graft.BpeSnapshotMain /root/testdata/sf0.1 1000 \
   *          src/main/resources/graft/bpe_merges_1k.tsv pairs
   *        Test/runMain graft.BpeSnapshotMain /root/testdata/sf0.1 1000 \
-  *          src/main/resources/graft/bpe_merges_bytes_1k.tsv bytes */
+  *          src/main/resources/graft/bpe_merges_bytes_1k.tsv bytes
+  *        Test/runMain graft.BpeSnapshotMain /root/testdata/sf0.1 32000 \
+  *          src/main/resources/graft/bpe_merges_bytes_32k.tsv bytes2 */
 object BpeSnapshotMain {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
@@ -32,6 +38,7 @@ object BpeSnapshotMain {
     val outFile = if (args.length > 2) Some(args(2)) else None
     val pairMode = args.length > 3 && args(3) == "pairs"
     val byteMode = args.length > 3 && args(3) == "bytes"
+    val byte2Mode = args.length > 3 && args(3) == "bytes2"
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
@@ -39,7 +46,12 @@ object BpeSnapshotMain {
     val raw = spark.read.parquet(s"$dir/documents.parquet")
     val base = raw.filter(col("lang") === "en")
     val docs =
-      if (byteMode)
+      if (byte2Mode)
+        raw.select(graft.operators.TextAnalysis.pairEnrichBytes(
+          graft.operators.TextAnalysis.pairEnrichBytes(
+            graft.operators.TextAnalysis.mixedScriptFixture(
+              col("text"), col("lang")))).as("text"))
+      else if (byteMode)
         raw.select(graft.operators.TextAnalysis.pairEnrichBytes(
           graft.operators.TextAnalysis.mixedScriptFixture(
             col("text"), col("lang"))).as("text"))
@@ -47,9 +59,14 @@ object BpeSnapshotMain {
         base.select(graft.operators.TextAnalysis.pairEnrich(col("text"))
           .as("text"))
       else base
+    // optional 5th arg: histogram cap (default 10000) — the 32k-merge
+    // model needs a deeper histogram (the bytes2 fixture holds ~86k
+    // distinct words; a 10k cap exhausts merging at ~11k)
+    val maxWords = if (args.length > 4) args(4).toInt else 10000
     val merges =
-      if (byteMode) graft.operators.TextAnalysis.trainBpeBytes(docs, "text", n)
-      else graft.operators.TextAnalysis.trainBpe(docs, "text", n)
+      if (byteMode || byte2Mode)
+        graft.operators.TextAnalysis.trainBpeBytes(docs, "text", n, maxWords)
+      else graft.operators.TextAnalysis.trainBpe(docs, "text", n, maxWords)
     require(merges.size == n,
       s"training exhausted at ${merges.size} merges (asked $n)")
     outFile match {

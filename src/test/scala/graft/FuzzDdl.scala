@@ -1031,6 +1031,18 @@ private[graft] object FuzzDdl {
     val bloomKind = if (arm == "bloom_idx") int(0, 2) else -1
     val bloomProbe = if (arm == "bloom_idx") int(-5, 9).toLong else 0L
     val bloomTok = if (arm == "bloom_idx") pick(words :+ "qq") else ""
+    // predicate SHAPE (r13): 0 = bare probe; 1 = AND with a non-indexed
+    // conjunct (the rule must prune on the indexed conjunct only —
+    // probesOf's conjunct extraction under fuzz, not just unit pins);
+    // 2 = OR branch (the rule must NOT prune: a row can satisfy the
+    // non-indexed side in a file the bloom would drop)
+    val bloomShape = if (arm == "bloom_idx") int(0, 2) else 0
+    val bloomK = if (arm == "bloom_idx") int(0, 6).toLong else 0L
+    def bloomWrap(base: String): String = bloomShape match {
+      case 1 => s"($base) AND k >= $bloomK"
+      case 2 => s"($base) OR k = $bloomK"
+      case _ => base
+    }
 
     if (arm == "modify_type") {
       // type changes AFTER the mutation phase (the model's integer
@@ -1069,11 +1081,12 @@ private[graft] object FuzzDdl {
         // engine substitutes the materialized table whenever it is live
         s"SELECT p, ${projAggs.map(_._2).mkString(", ")} FROM $t GROUP BY p"
       case "bloom_idx" => bloomKind match {
-        case 0 => s"SELECT ${selCols.mkString(", ")} FROM $t WHERE v = $bloomProbe"
+        case 0 => s"SELECT ${selCols.mkString(", ")} FROM $t " +
+          s"WHERE ${bloomWrap(s"v = $bloomProbe")}"
         case 1 => s"SELECT ${selCols.mkString(", ")} FROM $t " +
-          s"WHERE v IN ($bloomProbe, ${bloomProbe + 2})"
+          s"WHERE ${bloomWrap(s"v IN ($bloomProbe, ${bloomProbe + 2})")}"
         case _ => s"SELECT ${selCols.mkString(", ")} FROM $t " +
-          s"WHERE hasToken(s, '$bloomTok')"
+          s"WHERE ${bloomWrap(s"hasToken(s, '$bloomTok')")}"
       }
       case _ => s"SELECT ${selCols.mkString(", ")} FROM $t"
     }
@@ -1098,20 +1111,28 @@ private[graft] object FuzzDdl {
           }
         }
       case "bloom_idx" =>
-        val (vi, si) = (idx("v"), idx("s"))
-        rows.toSeq.filter(r => bloomKind match {
-          case 0 => asL(r(vi)) == bloomProbe
-          case 1 => asL(r(vi)) == bloomProbe || asL(r(vi)) == bloomProbe + 2
-          // s values are single [a-z_]+ tokens by construction, so
-          // hasToken(s, w) is exact-token equality on the whole value
-          case _ => r(si).asInstanceOf[String] == bloomTok
-        })
+        val (ki, vi, si) = (idx("k"), idx("v"), idx("s"))
+        rows.toSeq.filter { r =>
+          val base = bloomKind match {
+            case 0 => asL(r(vi)) == bloomProbe
+            case 1 => asL(r(vi)) == bloomProbe || asL(r(vi)) == bloomProbe + 2
+            // s values are single [a-z_]+ tokens by construction, so
+            // hasToken(s, w) is exact-token equality on the whole value
+            case _ => r(si).asInstanceOf[String] == bloomTok
+          }
+          bloomShape match {
+            case 1 => base && asL(r(ki)) >= bloomK
+            case 2 => base || asL(r(ki)) == bloomK
+            case _ => base
+          }
+        }
       case _ => rows.toSeq
     }
     val duckFinal = arm match {
       case "bloom_idx" if bloomKind == 2 =>
-        s"SELECT ${selCols.mkString(", ")} FROM $t WHERE list_contains(" +
-          s"string_split_regex(s, '[^A-Za-z0-9_]+'), '$bloomTok')"
+        s"SELECT ${selCols.mkString(", ")} FROM $t WHERE " +
+          bloomWrap(s"list_contains(" +
+            s"string_split_regex(s, '[^A-Za-z0-9_]+'), '$bloomTok')")
       case "mt_defaults" => s"SELECT k, v, d, m, k + 7 AS al FROM $t"
       case "projection" =>
         s"SELECT p, ${projAggs.map(_._3).mkString(", ")} FROM $t GROUP BY p"

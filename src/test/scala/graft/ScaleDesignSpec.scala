@@ -525,6 +525,39 @@ class ScaleDesignSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfPqTopKRefinedResidual (v20): serving plan is v18's exact " +
+      "shape above the shortlist — refine composes with the winning index") {
+    // r12's refine hardcoded the stride shortlist; refineExact now wraps
+    // any producer. The composed v20 plan must be node-for-node the
+    // refined-stride plan (the shortlist producers themselves are
+    // plan-identical by the residual pin below), so recall deltas
+    // between v18 and v20 are pure shortlist quality.
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val n = emb.count()
+    val every = math.max(1L, n / 10).toInt
+    def nodeSeq(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect { case p => p.nodeName }.toSeq
+    val refStride = Similarity.ivfPqTopKRefined(emb, "vec_id", "embedding",
+      m = 4, pqCentroidEvery = every, coarseCentroidEvery = every,
+      queryPred = col("id") < 5, k = 3, rerank = 10, nprobe = 2)
+    val refResid = Similarity.ivfPqTopKRefinedResidual(emb, "vec_id",
+      "embedding", m = 4, pqCentroidEvery = every,
+      coarseCentroidEvery = every, queryPred = col("id") < 5, k = 3,
+      rerank = 10, nprobe = 2, pqIters = 1, coarseIters = 1)
+    assert(nodeSeq(refResid) == nodeSeq(refStride),
+      s"serving plans diverge:\n${nodeSeq(refResid)}\nvs\n${nodeSeq(refStride)}")
+    assert(refResid.queryExecution.executedPlan.collect {
+      case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+    assert(shuffleCount(refResid) <= 2,
+      s"refine added shuffles: ${shuffleCount(refResid)}")
+    val rows = refResid.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      val ds = rs.map(_.getDouble(2)).toSeq
+      assert(ds == ds.sorted, s"refined distances out of order: $ds")
+    }
+  }
+
   test("ivfPqTopKResidual: serving plan has the stride IVFADC's exact shape") {
     // the residual tier (v16) changes WHAT is encoded (x − centroid),
     // not HOW candidates are served: the subtraction and encode run at
@@ -1463,5 +1496,20 @@ class ScaleDesignSpec extends AnyFunSuite {
       case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
     }.nonEmpty, "queries must broadcast into the cell join")
     assert(out.collect().forall(_.getAs[Double]("sim") >= 0.25))
+    // TRAINED-coarse variant (r13, v19b): training happens driver-side
+    // before the plan exists, so the SERVING plan keeps the identical
+    // zero-shuffle/zero-window shape — only the codebook VALUES differ
+    val trained = Similarity.ivfRangeSearch(emb, "vec_id", "embedding",
+      c = 10, queryPred = col("id") < 10, simMin = 0.25, nprobe = 2,
+      coarseIters = 1)
+    val tplan = trained.queryExecution.executedPlan
+    assert(shuffleCount(trained) == 0,
+      s"trained range search must not shuffle:\n$tplan")
+    assert(tplan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty && tplan.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }.isEmpty, "trained range serving must stay window/sort-free")
+    assert(trained.collect().forall(_.getAs[Double]("sim") >= 0.25))
   }
 }

@@ -1368,6 +1368,76 @@ class TrainingOpsSpec extends AnyFunSuite {
     (1L to 5L).foreach(id => assert(!keepAll(id)))
   }
 
+  test("byte-level BPE at the 32k PRODUCTION vocabulary: native encoder " +
+      "≡ an independent lowest-rank-first reference; decode round-trips; " +
+      "the t28e prefix is a true prefix of the shipped table") {
+    val merges = Queries.bpeMergesBytes32k
+    assert(merges.size == 32000)
+    val ranks = merges.zipWithIndex.toMap
+    // independent reference: hex-pair base symbols + EOW, repeatedly
+    // merge the LOWEST-RANK adjacent pair present (all non-overlapping
+    // left-to-right occurrences per round) until none applies
+    def refEncode(word: String): Seq[String] = {
+      var syms = TextAnalysis.hexPairsOf(word).toVector :+ TextAnalysis.BpeEow
+      var done = syms.size < 2
+      while (!done) {
+        val best = syms.indices.dropRight(1)
+          .flatMap(i => ranks.get((syms(i), syms(i + 1))))
+          .minOption
+        best match {
+          case None => done = true
+          case Some(r) =>
+            val p = merges(r)
+            val out = Vector.newBuilder[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == p._1 &&
+                  syms(j + 1) == p._2) { out += (p._1 + p._2); j += 2 }
+              else { out += syms(j); j += 1 }
+            }
+            syms = out.result()
+            done = syms.size < 2
+        }
+      }
+      syms
+    }
+    val model = TextAnalysis.bpeModelBytes(spark, merges)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 40)
+      .select(col("doc_id"),
+        TextAnalysis.pairEnrichBytes(TextAnalysis.pairEnrichBytes(
+          TextAnalysis.mixedScriptFixture(col("text"), col("lang"))))
+          .as("text"))
+    val got = docs.select(col("doc_id"),
+        TextAnalysis.bpeEncodeBytesFast(col("text"), model).as("pieces"),
+        TextAnalysis.byteTokens(col("text")).as("toks")).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val want = r.getSeq[String](2).flatMap(refEncode)
+      assert(r.getSeq[String](1) == want,
+        s"32k encode diverged from the reference for doc ${r.getLong(0)}")
+    }
+    // loss-free decode at the production vocabulary
+    val rt = docs.select(
+      TextAnalysis.bpeDecodeBytes(
+        TextAnalysis.bpeEncodeBytesFast(col("text"), model)).as("dec"),
+      array_join(TextAnalysis.byteTokens(col("text")), " ").as("want"))
+      .collect()
+    rt.foreach(r => assert(r.getString(0) == r.getString(1),
+      "32k decode round-trip diverged"))
+    // and on hand-written mixed-script text with bytes no fixture hits
+    val hand = Seq((0L, "naïve 東京 café ¡hola! Ω≈ç 𝄞 mixed"))
+      .toDF("doc_id", "text")
+    val h = hand.select(
+      TextAnalysis.bpeDecodeBytes(
+        TextAnalysis.bpeEncodeBytesFast(col("text"), model)).as("dec"),
+      array_join(TextAnalysis.byteTokens(col("text")), " ").as("want"),
+      TextAnalysis.bpeEncodeBytesFast(col("text"), model).as("pieces"),
+      TextAnalysis.byteTokens(col("text")).as("toks")).head()
+    assert(h.getString(0) == h.getString(1))
+    assert(h.getSeq[String](2) == h.getSeq[String](3).flatMap(refEncode))
+  }
+
   test("decontaminateFuzzy hot-band cap: a degenerate band floods the " +
       "candidate list uncapped; the cap drops oversize corpus bands and " +
       "can only LOSE flags, never invent them") {
