@@ -1044,8 +1044,13 @@ object Similarity {
     // per-(query, probed cell) LUTs: driver-computed over the query's
     // residual vs THAT cell, broadcast once, keyed by a driver-assigned
     // sequential key carried on the broadcast probe list
+    // id-sorted so the sequential lut_key assignment is REPRODUCIBLE
+    // across runs (collect() order is partition-layout-dependent);
+    // results never depended on it — keys and probe rows are built
+    // together — but deterministic broadcast payloads are free here
     val qRows = assigned.filter(queryPred)
       .select(col("id"), col("v"), col("__cells")).collect()
+      .sortBy(_.getLong(0))
     val centById = cids.zip(cvs).toMap
     val lutMap = new java.util.HashMap[java.lang.Long, Array[Double]]()
     val probeRows = qRows.flatMap { r =>
