@@ -154,7 +154,12 @@ object Bench {
       System.gc() // reset GC debt at the pass boundary, not mid-pass
     }
     val results = queries.map { case (name, _) => name -> best.getOrElse(name, -1.0) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-decimal per-query values (0.1 ms — beyond timing noise): the raw
+    // double repr made the stdout line ~9 KB, which the driver's tail
+    // capture truncated to "parsed": null (r12 verdict protocol note) —
+    // the halved line survives the capture window
+    val qs = results.map { case (k, v) =>
+        s"\"" + k + "\":" + (math.round(v * 10000) / 10000.0) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val loadAfter = loadAvg1m()

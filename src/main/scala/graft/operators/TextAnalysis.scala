@@ -242,93 +242,27 @@ object TextAnalysis {
     * overlaps uncompensated — can exceed 1, which simply fails the
     * bound).
     *
-    * Every signal is ROW-LOCAL and LINEAR: one array_sort + one
-    * sequential fold per signal (equal units are adjacent after
-    * sorting, so run counting replaces per-distinct-element rescans —
-    * the nested `filter(units, _ === u)` form re-evaluates the array
-    * per element, the O(k²)-interpreted shape that cost quantizeInt8
-    * 50× in r11 and measured minutes/row-batch here before the
-    * rewrite). The plan is a pure projection — zero shuffles at any
-    * corpus size (pinned). */
+    * Every signal is ROW-LOCAL and LINEAR: one codegen'd native
+    * expression ([[graft.plans.NativeExpressions.GopherRepetition]])
+    * computes all 12 counts + the conjunction in a single pass with
+    * plain HashMaps. Two earlier cuts earned this: nested
+    * `filter(units, _ === u)` HOFs re-evaluated the array per element
+    * (the O(k²)-interpreted quantizeInt8 shape — minutes per sf0.01
+    * batch), and the array_sort + struct-fold rewrite was linear but
+    * still interpreted per COLUMN (~10 ms/row, 51 s for the t31b bench
+    * row at sf0.1; now sub-second). The plan is a pure projection —
+    * zero shuffles at any corpus size (pinned). */
   def gopherRepetitionRules(text: Column): Seq[(String, Column)] = {
-    val nc = greatest(length(text).cast("double"), lit(1.0))
-    val lines = filter(transform(split(text, "\n"), l => trim(l)),
-      l => length(l) > 0)
-    val paras = filter(transform(split(text, "\n\n"), p => trim(p)),
-      p => length(p) > 0)
-    val ws = filter(split(trim(text), "\\s+"), t => length(t) > 0)
-    def dupFrac(units: Column): Column = {
-      val n = size(units).cast("double")
-      when(n > 0,
-        (n - size(array_distinct(units)).cast("double")) / n)
-        .otherwise(lit(0.0))
-    }
-    // chars in occurrences beyond the first of each duplicated unit:
-    // after sorting, every beyond-first occurrence equals its left
-    // neighbour — one fold, the previous element carried in the
-    // accumulator (units are non-empty strings, so "" never collides)
-    def dupCharFrac(units: Column): Column =
-      aggregate(array_sort(units),
-        struct(lit("").as("prev"), lit(0L).as("tot")),
-        (acc, x) => struct(x.as("prev"),
-          (acc.getField("tot") + when(x === acc.getField("prev"),
-            length(x).cast("long")).otherwise(lit(0L))).as("tot")),
-        acc => acc.getField("tot")).cast("double") / nc
-    def shingles(n: Int): Column =
-      when(size(ws) >= n,
-        transform(sequence(lit(1), size(ws) - (n - 1)),
-          i => array_join(slice(ws, i, lit(n)), " ")))
-        .otherwise(array().cast("array<string>"))
-    // (count × length) of the most frequent unit, ties to the longest:
-    // run-length fold over the sorted array, keeping the best
-    // (count, length) pair seen
-    def topNgramCharFrac(n: Int): Column =
-      aggregate(array_sort(shingles(n)),
-        struct(lit("").as("prev"), lit(0L).as("run"),
-          lit(0L).as("bc"), lit(0L).as("bl")),
-        (acc, x) => {
-          val run = when(x === acc.getField("prev"),
-            acc.getField("run") + 1L).otherwise(lit(1L))
-          val ln = length(x).cast("long")
-          val better = run > acc.getField("bc") ||
-            (run === acc.getField("bc") && ln > acc.getField("bl"))
-          struct(x.as("prev"), run.as("run"),
-            when(better, run).otherwise(acc.getField("bc")).as("bc"),
-            when(better, ln).otherwise(acc.getField("bl")).as("bl"))
-        },
-        acc => acc.getField("bc") * acc.getField("bl"))
-        .cast("double") / nc
-    // chars of ALL occurrences of units appearing >= 2 times: on the
-    // 2nd element of a run both the 1st and 2nd count (add 2×len), from
-    // the 3rd on each adds len
-    def dupNgramCharFrac(n: Int): Column =
-      aggregate(array_sort(shingles(n)),
-        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("tot")),
-        (acc, x) => {
-          val run = when(x === acc.getField("prev"),
-            acc.getField("run") + 1L).otherwise(lit(1L))
-          val add = when(run === 2L, length(x).cast("long") * 2L)
-            .when(run > 2L, length(x).cast("long")).otherwise(lit(0L))
-          struct(x.as("prev"), run.as("run"),
-            (acc.getField("tot") + add).as("tot"))
-        },
-        acc => acc.getField("tot")).cast("double") / nc
-    def b(c: Column): Column = c.cast("int")
-    val conds: Seq[(String, Column)] = Seq(
-      "r_dup_paragraphs" -> (dupFrac(paras) <= 0.3),
-      "r_dup_para_chars" -> (dupCharFrac(paras) <= 0.2),
-      "r_dup_line_chars" -> (dupCharFrac(lines) <= 0.2),
-      "r_top2gram_chars" -> (topNgramCharFrac(2) <= 0.20),
-      "r_top3gram_chars" -> (topNgramCharFrac(3) <= 0.18),
-      "r_top4gram_chars" -> (topNgramCharFrac(4) <= 0.16),
-      "r_dup5gram_chars" -> (dupNgramCharFrac(5) <= 0.15),
-      "r_dup6gram_chars" -> (dupNgramCharFrac(6) <= 0.14),
-      "r_dup7gram_chars" -> (dupNgramCharFrac(7) <= 0.13),
-      "r_dup8gram_chars" -> (dupNgramCharFrac(8) <= 0.12),
-      "r_dup9gram_chars" -> (dupNgramCharFrac(9) <= 0.11),
-      "r_dup10gram_chars" -> (dupNgramCharFrac(10) <= 0.10))
-    conds.map { case (n, c) => n -> b(c) } :+
-      ("keep_rep" -> b(conds.map(_._2).reduce(_ && _)))
+    // ONE native expression computes all 12 signals + the conjunction in
+    // a single pass (NativeExpressions.GopherRepetition — HashMap unit
+    // counts, code-point lengths); whole-stage codegen's subexpression
+    // elimination evaluates it once per row across the 13 field
+    // projections. The first cut built each rule from array-HOF folds:
+    // 13 columns x rebuilt shingle arrays x interpreted struct-folds
+    // measured ~10 ms/row at sf0.1 — the r11 quantizeInt8 lesson, twice.
+    val s = graft.plans.NativeExpressions.gopher_repetition(text)
+    graft.plans.NativeExpressions.GopherRepetitionFields
+      .map(f => f -> s.getField(f))
   }
 
   /** The FULL published Gopher document filter: quality rules

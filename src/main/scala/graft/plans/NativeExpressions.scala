@@ -641,6 +641,153 @@ object NativeExpressions {
       Array[Any](scale, ArrayData.toArrayData(codes), err))
   }
 
+  /** All 12 Gopher repetition signals + their keep conjunction in ONE
+    * pass over the document (r13): the 13-column HOF formulation
+    * rebuilt the shingle arrays and ran an interpreted struct-fold per
+    * COLUMN — ~10 ms/row at sf0.1 (51 s for the t31b bench row); this
+    * computes every per-unit count with plain HashMaps in one JVM
+    * function (~µs/row). Semantics are EXACTLY the column formulation's
+    * (and the DuckDB oracle's): lengths in CODE POINTS (Spark/DuckDB
+    * `length`), lines split on "\n" / paragraphs on "\n\n"
+    * (left-to-right non-overlapping, all pieces kept), units trimmed of
+    * SPACES only (Spark `trim`) and dropped when empty, words = the
+    * java-\s+ split of the space-trimmed text, n-grams joined with one
+    * space; duplicate-unit char fractions count occurrences beyond the
+    * first, top-n-gram = (count × len) of the most frequent gram (ties
+    * to the longest), duplicate-n-gram fractions count ALL occurrences
+    * of grams seen ≥ 2 times; all over max(text code points, 1). */
+  def gopherRepetitionCompute(s0: UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val text = s0.toString
+    def cpLen(x: String): Long =
+      x.codePointCount(0, x.length).toLong
+    val nc = math.max(cpLen(text).toDouble, 1.0)
+    def spTrim(x: String): String = {
+      var a = 0; var b = x.length
+      while (a < b && x.charAt(a) == ' ') a += 1
+      while (b > a && x.charAt(b - 1) == ' ') b -= 1
+      if (a == 0 && b == x.length) x else x.substring(a, b)
+    }
+    // literal split, limit -1 semantics (all pieces, incl. empties —
+    // trimmed-empty pieces are dropped right here)
+    def splitUnits(sep: String): Array[String] = {
+      val out = Array.newBuilder[String]
+      var from = 0
+      var i = text.indexOf(sep, from)
+      while (i >= 0) {
+        val p = spTrim(text.substring(from, i))
+        if (p.nonEmpty) out += p
+        from = i + sep.length
+        i = text.indexOf(sep, from)
+      }
+      val last = spTrim(text.substring(from))
+      if (last.nonEmpty) out += last
+      out.result()
+    }
+    val lines = splitUnits("\n")
+    val paras = splitUnits("\n\n")
+    // java \s = [ \t\n\x0B\f\r]; runs of non-\s chars of the
+    // space-trimmed text (split + nonempty filter equivalent)
+    def isWs(c: Char): Boolean = c == ' ' || c == '\t' || c == '\n' ||
+      c == '\u000B' || c == '\f' || c == '\r'
+    val ws = {
+      val t = spTrim(text)
+      val out = Array.newBuilder[String]
+      var i = 0
+      while (i < t.length) {
+        while (i < t.length && isWs(t.charAt(i))) i += 1
+        val start = i
+        while (i < t.length && !isWs(t.charAt(i))) i += 1
+        if (i > start) out += t.substring(start, i)
+      }
+      out.result()
+    }
+    def counts(units: Iterator[String]): java.util.HashMap[String, Int] = {
+      val m = new java.util.HashMap[String, Int]()
+      units.foreach(u => m.merge(u, 1, Integer.sum _))
+      m
+    }
+    def beyondFirstChars(m: java.util.HashMap[String, Int]): Long = {
+      var s = 0L
+      m.forEach((u, c) => if (c > 1) s += (c - 1).toLong * cpLen(u))
+      s
+    }
+    val lineCnt = counts(lines.iterator)
+    val paraCnt = counts(paras.iterator)
+    val dupParaFrac =
+      if (paras.length > 0)
+        (paras.length - paraCnt.size).toDouble / paras.length
+      else 0.0
+    val dupParaCharFrac = beyondFirstChars(paraCnt) / nc
+    val dupLineCharFrac = beyondFirstChars(lineCnt) / nc
+    def gramCounts(n: Int): java.util.HashMap[String, Int] = {
+      val m = new java.util.HashMap[String, Int]()
+      if (ws.length >= n) {
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i <= ws.length - n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(ws(i + j)); j += 1
+          }
+          m.merge(sb.toString, 1, Integer.sum _)
+          i += 1
+        }
+      }
+      m
+    }
+    def topFrac(n: Int): Double = {
+      val m = gramCounts(n)
+      var bc = 0L; var bl = 0L
+      m.forEach { (g, c) =>
+        val l = cpLen(g)
+        if (c > bc || (c == bc && l > bl)) { bc = c; bl = l }
+      }
+      bc * bl / nc
+    }
+    def dupNFrac(n: Int): Double = {
+      val m = gramCounts(n)
+      var s = 0L
+      m.forEach((g, c) => if (c >= 2) s += c.toLong * cpLen(g))
+      s / nc
+    }
+    def b(x: Boolean): Int = if (x) 1 else 0
+    val bits = Array(
+      b(dupParaFrac <= 0.3),
+      b(dupParaCharFrac <= 0.2),
+      b(dupLineCharFrac <= 0.2),
+      b(topFrac(2) <= 0.20), b(topFrac(3) <= 0.18), b(topFrac(4) <= 0.16),
+      b(dupNFrac(5) <= 0.15), b(dupNFrac(6) <= 0.14),
+      b(dupNFrac(7) <= 0.13), b(dupNFrac(8) <= 0.12),
+      b(dupNFrac(9) <= 0.11), b(dupNFrac(10) <= 0.10))
+    val keep = if (bits.forall(_ == 1)) 1 else 0
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      (bits :+ keep).map(x => x: Any))
+  }
+
+  val GopherRepetitionFields: Seq[String] = Seq(
+    "r_dup_paragraphs", "r_dup_para_chars", "r_dup_line_chars",
+    "r_top2gram_chars", "r_top3gram_chars", "r_top4gram_chars",
+    "r_dup5gram_chars", "r_dup6gram_chars", "r_dup7gram_chars",
+    "r_dup8gram_chars", "r_dup9gram_chars", "r_dup10gram_chars",
+    "keep_rep")
+
+  case class GopherRepetition(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(
+      GopherRepetitionFields.map(f => org.apache.spark.sql.types.StructField(
+        f, org.apache.spark.sql.types.IntegerType, nullable = false)))
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(input: Any): Any =
+      gopherRepetitionCompute(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.NativeExpressions.gopherRepetitionCompute($c)")
+    override protected def withNewChildInternal(newChild: Expression): GopherRepetition =
+      copy(child = newChild)
+  }
+
   case class Int8Quant(child: Expression) extends UnaryExpression {
     override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("scale", DoubleType,
@@ -830,6 +977,8 @@ object NativeExpressions {
     ColumnBridge.column(BpeEncodeIdsBC(ColumnBridge.expression(toks), model))
   def int8_quant(vec: Column): Column =
     ColumnBridge.column(Int8Quant(ColumnBridge.expression(vec)))
+  def gopher_repetition(text: Column): Column =
+    ColumnBridge.column(GopherRepetition(ColumnBridge.expression(text)))
 
   /** First interval of a lo-ascending-sorted array<struct<lo, hi, ...>>
     * containing `point` (null if none). Early exit on lo > point — the
