@@ -7859,7 +7859,8 @@ object Queries {
     s"""gw AS (SELECT doc_id, text,
        |    list_filter(regexp_split_to_array(trim(text), '\\s+'),
        |      t -> len(t) > 0) AS ws,
-       |    list_filter(list_transform(string_split(text, chr(10)),
+       |    list_filter(list_transform(string_split(
+       |        replace(text, chr(13) || chr(10), chr(10)), chr(10)),
        |      l -> trim(l)), l -> len(l) > 0) AS ls
        |  FROM $src),
        |gm AS (SELECT doc_id, text,
@@ -7946,15 +7947,18 @@ object Queries {
       (Seq("gpu", "glu") ++ (2 to 4).map(n => s"gt$n") ++
         (5 to 10).map(n => s"gd$n"))
         .map(c => s"  LEFT JOIN $c ON $c.doc_id = w.doc_id").mkString("\n")
-    s"""grw AS (SELECT doc_id, text,
-       |    list_filter(list_transform(string_split(text, chr(10)),
-       |      l -> trim(l)), l -> len(l) > 0) AS ls,
-       |    list_filter(list_transform(string_split(text,
-       |      chr(10) || chr(10)), p -> trim(p)), p -> len(p) > 0) AS ps,
-       |    list_filter(regexp_split_to_array(trim(text), '\\s+'),
-       |      t -> len(t) > 0) AS ws,
-       |    greatest(CAST(length(text) AS DOUBLE), 1.0) AS nc
+    s"""grn AS (SELECT doc_id, text,
+       |    replace(text, chr(13) || chr(10), chr(10)) AS nt
        |  FROM $src),
+       |grw AS (SELECT doc_id, text,
+       |    list_filter(list_transform(string_split(nt, chr(10)),
+       |      l -> trim(l)), l -> len(l) > 0) AS ls,
+       |    list_filter(list_transform(string_split(nt,
+       |      chr(10) || chr(10)), p -> trim(p)), p -> len(p) > 0) AS ps,
+       |    list_filter(regexp_split_to_array(trim(nt), '\\s+'),
+       |      t -> len(t) > 0) AS ws,
+       |    greatest(CAST(length(nt) AS DOUBLE), 1.0) AS nc
+       |  FROM grn),
        |gsh AS (SELECT *,
        |${(2 to 10).map(n => s"    ${sqlRepShingles(n)} AS sh$n")
             .mkString(",\n")}

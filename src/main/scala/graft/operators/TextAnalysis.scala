@@ -178,7 +178,12 @@ object TextAnalysis {
     val nW = size(ws).cast("double")
     val meanLen = aggregate(ws, lit(0L), (a, t) => a + length(t))
       .cast("double") / greatest(nW, lit(1.0))
-    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+    // CRLF corpora (r13 ADVICE fix): normalize "\r\n" → "\n" ahead of
+    // the line split, or every line keeps a trailing \r and CRLF line
+    // breaks never split — the line-level rules would silently
+    // under-fire; word/symbol signals are unaffected (\r is \s+)
+    val lines = filter(transform(
+      split(replace(text, lit("\r\n"), lit("\n")), "\n"), l => trim(l)),
       l => length(l) > 0)
     val nL = size(lines).cast("double")
     val bulletFrac = size(filter(lines,

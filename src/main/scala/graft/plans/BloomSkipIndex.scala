@@ -156,8 +156,13 @@ object BloomSkipIndex {
   // loads once per (re)build: buildSidecar is the only writer and
   // invalidates its entry on swap; DROP INDEX invalidates explicitly.
 
-  private val probeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Set[Int]]]()
+  // entries carry the sidecar table's createTime: a sidecar dropped and
+  // re-created OUT-OF-BAND (not through buildSidecar/DROP INDEX, which
+  // invalidate explicitly) gets a fresh createTime, so the stale map is
+  // discarded instead of trusted on name identity alone — the check is
+  // one catalog metadata lookup per planning pass, never a data read
+  private val probeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Map[String, Set[Int]])]()
 
   /** Count of sidecar loads that actually hit the store (cache misses) —
     * the observability hook for the one-read-per-build pin. */
@@ -168,13 +173,20 @@ object BloomSkipIndex {
   def invalidate(side: String): Unit = probeCache.remove(side.toLowerCase)
 
   private[plans] def probeMap(spark: SparkSession,
-      side: String): Map[String, Set[Int]] =
-    probeCache.computeIfAbsent(side.toLowerCase, _ => {
-      sidecarLoads.incrementAndGet()
-      spark.table(side).collect()
-        .map(r => fileKey(r.getString(0)) -> r.getSeq[Int](1).toSet)
-        .toMap
-    })
+      side: String): Map[String, Set[Int]] = {
+    val created = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(side.toLowerCase))
+      .createTime
+    probeCache.compute(side.toLowerCase, (_, prev) => {
+      if (prev != null && prev._1 == created) prev
+      else {
+        sidecarLoads.incrementAndGet()
+        (created, spark.table(side).collect()
+          .map(r => fileKey(r.getString(0)) -> r.getSeq[Int](1).toSet)
+          .toMap)
+      }
+    })._2
+  }
 
   /** Register the pruning rule in a live session (idempotent). */
   def install(spark: SparkSession): Unit = {

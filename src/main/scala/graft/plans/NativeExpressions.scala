@@ -658,7 +658,10 @@ object NativeExpressions {
     * of grams seen ≥ 2 times; all over max(text code points, 1). */
   def gopherRepetitionCompute(s0: UTF8String)
       : org.apache.spark.sql.catalyst.InternalRow = {
-    val text = s0.toString
+    // CRLF normalization first (r13 ADVICE fix): "\r\n\r\n" must split
+    // paragraphs and CRLF must split lines; nc and unit lengths are
+    // measured on the normalized text (the oracle does the same)
+    val text = s0.toString.replace("\r\n", "\n")
     def cpLen(x: String): Long =
       x.codePointCount(0, x.length).toLong
     val nc = math.max(cpLen(text).toDouble, 1.0)

@@ -1034,13 +1034,17 @@ private[graft] object FuzzDdl {
     // predicate SHAPE (r13): 0 = bare probe; 1 = AND with a non-indexed
     // conjunct (the rule must prune on the indexed conjunct only —
     // probesOf's conjunct extraction under fuzz, not just unit pins);
-    // 2 = OR branch (the rule must NOT prune: a row can satisfy the
-    // non-indexed side in a file the bloom would drop)
-    val bloomShape = if (arm == "bloom_idx") int(0, 2) else 0
+    // 2 = OR branch over a NON-indexed column (the rule must NOT prune:
+    // a row can satisfy the non-indexed side in a file the bloom would
+    // drop); 3 = OR of two INDEXED-column probes (the IN-spelling's
+    // non-prunable twin — probesOf must refuse the disjunction rather
+    // than prune on either arm)
+    val bloomShape = if (arm == "bloom_idx") int(0, 3) else 0
     val bloomK = if (arm == "bloom_idx") int(0, 6).toLong else 0L
     def bloomWrap(base: String): String = bloomShape match {
       case 1 => s"($base) AND k >= $bloomK"
       case 2 => s"($base) OR k = $bloomK"
+      case 3 => s"($base) OR v = ${bloomProbe + 4}"
       case _ => base
     }
 
@@ -1123,6 +1127,7 @@ private[graft] object FuzzDdl {
           bloomShape match {
             case 1 => base && asL(r(ki)) >= bloomK
             case 2 => base || asL(r(ki)) == bloomK
+            case 3 => base || asL(r(vi)) == bloomProbe + 4
             case _ => base
           }
         }

@@ -732,6 +732,22 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(spark.table("bloomc_t").filter(col("k") === 45L).count() == 1)
     assert(BloomSkipIndex.sidecarLoads.get() - after == 1,
       "a rebuild must invalidate the cached probe map exactly once")
+    // OUT-OF-BAND rewrite (neither buildSidecar nor DROP INDEX): the
+    // cache must detect the fresh createTime instead of trusting name
+    // identity — one reload, results still correct
+    val side = "bloomc_t__bloom_k"
+    val snap = spark.table(side).collect().toSeq
+    val sch = spark.table(side).schema
+    spark.sql(s"DROP TABLE $side")
+    Thread.sleep(5) // createTime granularity is milliseconds
+    spark.createDataFrame(spark.sparkContext.parallelize(snap, 1), sch)
+      .write.saveAsTable(side)
+    val c0 = BloomSkipIndex.sidecarLoads.get()
+    assert(spark.table("bloomc_t").filter(col("k") === 46L).count() == 1)
+    assert(spark.table("bloomc_t").filter(col("k") === 47L).count() == 1)
+    assert(BloomSkipIndex.sidecarLoads.get() - c0 == 1,
+      "an out-of-band sidecar rewrite must be detected by createTime " +
+        "(one reload), never served stale")
     // dropped-set fail-safe: the pruned index EXCLUDES only what the
     // probe positively rejected; any file it never saw passes through
     val rel = spark.table("bloomc_t").queryExecution.analyzed.collect {

@@ -1298,7 +1298,12 @@ class TrainingOpsSpec extends AnyFunSuite {
       // clears the published per-symbol 0.1 bound even though their sum
       // (0.116) does not — Rae et al. gate "either the hash symbol or
       // the ellipsis" independently (the r12 summed form failed this doc)
-      (8L, s"the of $fill # # # # ... ... ... ... tail"))
+      (8L, s"the of $fill # # # # ... ... ... ... tail"),
+      // CRLF line breaks (r13 ADVICE fix): without normalization every
+      // "line" keeps its \r and the text never splits, so the
+      // duplicate-line rule would silently pass this doc 7L twin
+      (9L, s"the of $fill\r\nsame line\r\nsame line\r\nsame line" +
+        "\r\nsame line\r\nsame line\r\nsame line"))
       .toDF("doc_id", "text")
     val cols = TextAnalysis.gopherRules(col("text")).map { case (n, c) => c.as(n) }
     val rows = gdocs.select(col("doc_id") +: cols: _*).collect()
@@ -1318,6 +1323,8 @@ class TrainingOpsSpec extends AnyFunSuite {
     // per-symbol independence: 0.058 + 0.058 passes (a summed 0.1 bound
     // would reject it)
     assert(rule(8L, "r_symbol_ratio") == 1 && rule(8L, "keep") == 1)
+    // CRLF twin of doc 7: dup lines must still trip
+    assert(rule(9L, "r_dup_lines") == 0 && rule(9L, "keep") == 0)
   }
 
   test("gopherRepetitionRules: each planted repetition shape trips its " +
@@ -1341,7 +1348,11 @@ class TrainingOpsSpec extends AnyFunSuite {
       (4L, ("aa bb " * 30) + clean),
       // a 10-word phrase repeated 3x: every 5..10-gram inside the
       // repetition duplicates, tripping the whole dup-n-gram family
-      (5L, Seq.fill(3)(phrase10).mkString(" ") + " " + clean))
+      (5L, Seq.fill(3)(phrase10).mkString(" ") + " " + clean),
+      // CRLF paragraph breaks (r13 ADVICE fix): "\r\n\r\n" must split
+      // paragraphs — without normalization this doc is ONE paragraph
+      // and the duplicate-paragraph tier silently passes
+      (6L, "aaaa bbbb cccc dddd\r\n\r\nzz\r\n\r\nzz\r\n\r\nzz"))
       .toDF("doc_id", "text")
     val cols = TextAnalysis.gopherRepetitionRules(col("text"))
       .map { case (n, c) => c.as(n) }
@@ -1359,7 +1370,9 @@ class TrainingOpsSpec extends AnyFunSuite {
       rule(4L, "r_top3gram_chars") == 0 && rule(4L, "r_top4gram_chars") == 0)
     (5 to 10).foreach(n =>
       assert(rule(5L, s"r_dup${n}gram_chars") == 0, s"dup$n must trip"))
-    (1L to 5L).foreach(id => assert(rule(id, "keep_rep") == 0))
+    assert(rule(6L, "r_dup_paragraphs") == 0,
+      "CRLF paragraph breaks must split (the doc 1L twin with \\r\\n)")
+    (1L to 6L).foreach(id => assert(rule(id, "keep_rep") == 0))
     // the full published gate: quality AND repetition
     val keepAll = rdocs.select(col("doc_id"),
         TextAnalysis.gopherKeepAll(col("text")).as("ka")).collect()

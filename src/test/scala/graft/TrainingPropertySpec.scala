@@ -332,8 +332,9 @@ class TrainingPropertySpec extends AnyFunSuite {
       nl <- Gen.choose(1, 6)
       ls <- Gen.listOfN(nl, line)
       dup <- Gen.frequency(3 -> Gen.const(false), 1 -> Gen.const(true))
+      crlf <- Gen.frequency(3 -> Gen.const(false), 1 -> Gen.const(true))
     } yield (if (dup && ls.nonEmpty) ls ++ List(ls.head, ls.head) else ls)
-      .mkString("\n")
+      .mkString(if (crlf) "\r\n" else "\n")
   }
 
   test("property: gopherRules ≡ an independent driver-side " +
@@ -345,7 +346,8 @@ class TrainingPropertySpec extends AnyFunSuite {
       val ws = spTrim(text).split("\\s+").filter(_.nonEmpty).toSeq
       val nW = ws.size.toDouble
       val meanLen = ws.map(_.length.toLong).sum.toDouble / math.max(nW, 1.0)
-      val lines = text.split("\n", -1).map(spTrim).filter(_.nonEmpty).toSeq
+      val lines = text.replace("\r\n", "\n")
+        .split("\n", -1).map(spTrim).filter(_.nonEmpty).toSeq
       val nL = lines.size.toDouble
       val bulletFrac = lines.count(l =>
         Set("-", "*", "•")(l.substring(0, 1))).toDouble / math.max(nL, 1.0)
@@ -414,11 +416,18 @@ class TrainingPropertySpec extends AnyFunSuite {
     }
   }
 
+  private lazy val repDocGenCrlf: org.scalacheck.Gen[String] =
+    for {
+      d <- repDocGen
+      crlf <- Gen.frequency(3 -> Gen.const(false), 1 -> Gen.const(true))
+    } yield if (crlf) d.replace("\n", "\r\n") else d
+
   test("property: gopherRepetitionRules ≡ an independent driver-side " +
       "reimplementation of every repetition tier on random docs") {
     def spTrim(s: String): String =
       s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
-    def expect(text: String): Seq[Int] = {
+    def expect(text0: String): Seq[Int] = {
+      val text = text0.replace("\r\n", "\n") // the r13 CRLF contract
       val nc = math.max(text.length.toDouble, 1.0)
       val lines = text.split("\n", -1).map(spTrim).filter(_.nonEmpty).toSeq
       val paras = text.split("\n\n", -1).map(spTrim).filter(_.nonEmpty).toSeq
@@ -456,7 +465,7 @@ class TrainingPropertySpec extends AnyFunSuite {
       (bits :+ bits.forall(identity)).map(b => if (b) 1 else 0)
     }
     val docsGen = Gen.choose(3, 8)
-      .flatMap(n => Gen.listOfN(n, repDocGen))
+      .flatMap(n => Gen.listOfN(n, repDocGenCrlf))
       .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
     forAll(docsGen, n = 15) { rows =>
       val cols = TextAnalysis.gopherRepetitionRules(col("text"))
