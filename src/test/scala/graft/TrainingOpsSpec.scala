@@ -522,6 +522,22 @@ class TrainingOpsSpec extends AnyFunSuite {
     val per = canon(Similarity.ivfPqTopKPersisted(df, "vec_id", "embedding",
       dir, queryPred = col("id") < 5, k = 3, nprobe = 2).collect())
     assert(per == mem, "persisted serve must equal in-memory serve")
+    // the FULL production serving story composes (r13, refineExact over
+    // ANY shortlist producer): train → persist → load → ADC shortlist →
+    // exact re-rank, value-identical to refine over the in-memory index
+    def canond(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._3, t._2)).toSeq
+    val refMem = canond(Similarity.refineExact(df, "vec_id", "embedding",
+      Similarity.ivfPqTopKWith(df, "vec_id", "embedding", cb, cids, cvs,
+        queryPred = col("id") < 5, k = 6, nprobe = 2),
+      queryPred = col("id") < 5, k = 3).collect())
+    val refPer = canond(Similarity.refineExact(df, "vec_id", "embedding",
+      Similarity.ivfPqTopKPersisted(df, "vec_id", "embedding", dir,
+        queryPred = col("id") < 5, k = 6, nprobe = 2),
+      queryPred = col("id") < 5, k = 3).collect())
+    assert(refPer == refMem && refPer.nonEmpty,
+      "refine over the persisted index must equal refine over in-memory")
   }
 
   test("ivfPqTopKRefined == independent driver-side exact re-rank of the ADC shortlist") {
