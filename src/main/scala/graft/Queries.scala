@@ -94,11 +94,12 @@ object Queries {
   def all: Map[String, (SparkSession, String) => DataFrame] =
     batch1 ++ batch2 ++ batch3 ++ batch4 ++ batch5 ++ batch6 ++ batch7 ++
       batch8 ++ batch9 ++ batch10 ++ batch11 ++ batch12 ++ batch13 ++
-      batch14 ++ batch15 ++ batch16
+      batch14 ++ batch15 ++ batch16 ++ batch17
   def oracles: Map[String, String] =
     oracles1 ++ oracles2 ++ oracles3 ++ oracles4 ++ oracles5 ++ oracles6 ++
       oracles7 ++ oracles8 ++ oracles9 ++ oracles10 ++ oracles11 ++
-      oracles12 ++ oracles13 ++ oracles14 ++ oracles15 ++ oracles16
+      oracles12 ++ oracles13 ++ oracles14 ++ oracles15 ++ oracles16 ++
+      oracles17
 
   private val batch1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -8375,4 +8376,245 @@ object Queries {
          |  FROM qp JOIN corp c USING (cell) WHERE query_id <> c.id)
          |SELECT query_id, neighbor_id, sim FROM scored WHERE sim >= 0.25
          |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin)
+
+  // ===== batch 17: round-14 — trained quality classifier (t33/p9) =====
+
+  private val batch17: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TRAINED quality classifier (the fastText curation recipe — the
+    // tier the heuristic gates t8/t31/t31b stop short of): full-batch
+    // logistic regression over the 64-bucket hashed-token feature space
+    // (t29's convention) against a planted boilerplate-spam fixture
+    // (every 7th doc dominated by a 20×-repeated spam phrase, labels =
+    // the clean docs), 3 rounded deterministic GD steps (ONE
+    // map-combinable ≤64-row gradient aggregate per step — the kmeans
+    // driver-state convention), then the trained weights served through
+    // the t8 linearScore zero-join zero-shuffle scan. DuckDB replays
+    // init → 3 gradient steps → scoring END-TO-END. The trained model
+    // separates cleanly: spam docs score ≈0.3, clean ≈0.9.
+    "t33_trained_quality" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.spamFixture(col("text"), col("doc_id")).as("text"))
+      TextAnalysis.trainedQualityScore(docs, "doc_id", "text",
+          label = pmod(col("doc_id"), lit(7L)) =!= 0, buckets = 64,
+          steps = 3, lr = 128.0)
+        .orderBy("doc_id")
+    }),
+
+    // THE TRAINED-GATE CURATION PIPELINE (p9), the fastText distillation
+    // recipe real curation stacks run: WEAK LABELS from the published
+    // Gopher rules (quality ∧ repetition — the repetition tier is what
+    // flags the planted boilerplate docs) computed on a bounded labeled
+    // SEED SLICE (doc_id < 250), a 4-step trained classifier distilled
+    // from them, then the FULL corpus gated on the trained score — the
+    // smooth generalization of p8's hard rule conjunction, and the
+    // production shape (rules run on a sample; the cheap trained model
+    // scores the 100 TB corpus). The gate threshold is the LABEL PRIOR
+    // (mean y over the seed — "keep documents the model scores above
+    // the corpus base rate"), the calibration-free operating point for
+    // imbalanced weak labels; it keeps ~63% of the corpus and drops
+    // every planted-spam doc. Scale shape: labels + training touch only
+    // the seed slice (4 scans + ≤64-row aggregates); corpus
+    // scoring/gating is one row-local scan (zero joins, zero shuffles —
+    // pinned).
+    "p9_trained_gate" -> ((s, dir) => {
+      // p8's multi-line fixture (injects the stop words the synthetic
+      // corpus lacks) composed with the planted-boilerplate spam fixture
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.spamFixture(
+            TextAnalysis.multiLineFixture(col("text")),
+            col("doc_id")).as("text"))
+      val rules = TextAnalysis.gopherRules(col("text")).toMap
+      val repRules = TextAnalysis.gopherRepetitionRules(col("text")).toMap
+      val label = rules("keep") === 1 && repRules("keep_rep") === 1
+      val seed = docs.filter(col("doc_id") < 250)
+      val w = TextAnalysis.trainLogistic(seed, "doc_id", "text", label,
+        buckets = 64, steps = 4, lr = 128.0)
+      val thr = seed.select(avg(label.cast("double"))).head().getDouble(0)
+      TextAnalysis.linearScore(docs, "doc_id", "text", dim = 64,
+          weights = Some(w), bias = 0.0)
+        .filter(col("score") >= lit(thr))
+        .orderBy("doc_id")
+    }),
+
+    // IVF-SQ8 (the faiss IndexIVFScalarQuantizer analog — the middle
+    // memory tier between raw IVF and IVFADC): trained coarse codebook
+    // (one Lloyd round), probed cells scan INT8 codes (per-dimension
+    // symmetric quantization, ~8× less memory bandwidth than the raw
+    // double pipeline), raw queries dequantize candidates on the fly,
+    // then the faiss SQ-then-refine stack: exact-L2 re-rank of the
+    // 10-candidate int8 shortlist. DuckDB replays k-means training →
+    // assignment → int8 quantize → dequantized cosine → shortlist →
+    // exact re-rank END-TO-END.
+    "v21_ivf_sq8" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val every = math.max(1L, emb.count() / 10).toInt
+      graft.operators.Similarity.ivfSq8TopK(emb, "vec_id", "embedding",
+          centroidEvery = every, queryPred = col("id") < 10, k = 3,
+          rerank = 10, nprobe = 2, coarseIters = 1)
+        .orderBy(col("query_id"), col("dist"), col("neighbor_id"))
+    }))
+
+  /** The t33/p9 spam fixture, SQL twin of TextAnalysis.spamFixture. */
+  private def sqlSpamFx(src: String): String =
+    s"""sfx AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN text || repeat(
+       |        ' click here buy now subscribe free winner prize offer', 20)
+       |      ELSE text END AS text
+       |  FROM $src)""".stripMargin
+
+  /** DuckDB replay of [[TextAnalysis.trainLogistic]] +
+    * [[TextAnalysis.linearScore]] serving: the unrolled full-batch-GD
+    * chain trained over `trainSrc` (must expose doc_id, y ∈ {0.0, 1.0},
+    * text) and served over `serveSrc` (doc_id, text). ONE definition
+    * serves the t33 and p9 oracles so the trainer replay cannot drift
+    * between them. Emits CTEs ending in
+    * `lg_sc(doc_id, n_tokens, score)`. */
+  private def sqlLogisticChain(trainSrc: String, serveSrc: String,
+      buckets: Int, steps: Int, lr: Double, roundTo: Int = 6): String = {
+    val zeros = Seq.fill(buckets)("0.0").mkString("[", ", ", "]")
+    // z = token-mean of the bucket weights (no separate intercept: the
+    // normalized features sum to 1, so the weight span contains it)
+    val zOf: String =
+      """CASE WHEN n > 0 THEN list_reduce(
+        |        list_prepend(0.0, list_transform(bs,
+        |          bb -> w[CAST(bb AS INT) + 1])),
+        |        (acc, x) -> acc + x) / n ELSE 0.0 END""".stripMargin
+    def bucketsOf(src: String, out: String, cols: String): String =
+      s"""$out AS (SELECT doc_id, $cols bs, CAST(len(bs) AS DOUBLE) AS n
+         |  FROM (SELECT doc_id, $cols
+         |    list_transform(list_filter(string_split_regex(trim(text),
+         |        '\\s+'), t -> len(t) > 0),
+         |      t -> ${sqlCharFold("t")} % $buckets) AS bs
+         |  FROM $src))""".stripMargin
+    val sb = new StringBuilder
+    sb.append(bucketsOf(trainSrc, "lg_tr", "y,") + ",\n")
+    sb.append(
+      s"""lg_nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM lg_tr),
+         |lg_w0 AS (SELECT CAST($zeros AS DOUBLE[]) AS w),
+         |""".stripMargin)
+    for (k <- 1 to steps) {
+      val p = k - 1
+      sb.append(
+        s"""lg_e$k AS (SELECT doc_id, bs, n,
+           |    1.0 / (1.0 + exp(-($zOf))) - y AS e
+           |  FROM lg_tr CROSS JOIN lg_w$p),
+           |lg_g$k AS (SELECT b, sum(g) AS gs FROM (
+           |    SELECT unnest(bs) AS b, e / n AS g FROM lg_e$k)
+           |  GROUP BY b),
+           |lg_w$k AS (SELECT
+           |    (SELECT list(round(wp.w[gi.i + 1] - $lr * coalesce(g.gs, 0.0)
+           |          / nd.nd, $roundTo) ORDER BY gi.i)
+           |      FROM (SELECT unnest(range(0, $buckets)) AS i) gi
+           |      CROSS JOIN lg_w$p wp CROSS JOIN lg_nd nd
+           |      LEFT JOIN lg_g$k g ON g.b = gi.i) AS w),
+           |""".stripMargin)
+    }
+    sb.append(bucketsOf(serveSrc, "lg_sv", "") + ",\n")
+    sb.append(
+      s"""lg_sc AS (SELECT doc_id, CAST(len(bs) AS BIGINT) AS n_tokens,
+         |    round(1.0 / (1.0 + exp(-($zOf))), $roundTo) AS score
+         |  FROM lg_sv CROSS JOIN lg_w$steps)""".stripMargin)
+    sb.toString
+  }
+
+  private val oracles17: Map[String, String] = Map(
+
+    // spam fixture → init w=0 → 3 full-batch gradient steps (per-bucket
+    // err/n sums, HALF_UP-rounded updates) → linearScore sigmoid scan,
+    // replayed end-to-end over the planted clean/spam labels
+    "t33_trained_quality" ->
+      s"""WITH ${sqlSpamFx("documents")},
+         |lab AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 7 <> 0 THEN 1.0 ELSE 0.0 END AS y, text
+         |  FROM sfx),
+         |${sqlLogisticChain("lab", "sfx", 64, 3, 128.0)}
+         |SELECT doc_id, n_tokens, score FROM lg_sc
+         |ORDER BY doc_id""".stripMargin,
+
+    // multi-line + spam fixtures → Gopher quality ∧ repetition
+    // conjunction as WEAK LABELS on the doc_id < 250 seed slice → the
+    // same trainer chain → the FULL corpus gated at the label prior
+    "p9_trained_gate" ->
+      s"""WITH ${sqlGopherFx("documents")},
+         |${sqlSpamFx("fx")},
+         |seed AS (SELECT doc_id, text FROM sfx WHERE doc_id < 250),
+         |${sqlGopherMetrics("seed")},
+         |${sqlGopherRepMetrics("seed")},
+         |lab AS (SELECT gm.doc_id,
+         |    CASE WHEN ($sqlGopherKeep) AND ($sqlGopherRepKeep)
+         |      THEN 1.0 ELSE 0.0 END AS y, gm.text
+         |  FROM gm JOIN grm ON grm.doc_id = gm.doc_id),
+         |${sqlLogisticChain("lab", "sfx", 64, 4, 128.0)}
+         |SELECT doc_id, n_tokens, score FROM lg_sc
+         |WHERE score >= (SELECT avg(y) FROM lg_tr)
+         |ORDER BY doc_id""".stripMargin,
+
+    // the v13/v19b coarse k-means replay (stride init → one rounded-mean
+    // Lloyd round → re-assignment), the v11 int8 quantization per corpus
+    // vector (unrounded scale amax/127 — a plain double both engines
+    // compute identically), dequantized-cosine scoring in the probed
+    // cells, a 10-candidate shortlist, then the v18/v20 exact-L2 re-rank
+    "v21_ivf_sq8" ->
+      s"""WITH vecs AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |stride AS (SELECT GREATEST(1, count(*) // 10) AS s FROM vecs),
+         |cents0 AS (SELECT id AS cid, v AS cv FROM vecs
+         |  WHERE id % (SELECT s FROM stride) = 0),
+         |a0 AS (SELECT id, v, cid,
+         |  round(${sqlDot("v", "cv")} /
+         |    (sqrt(${sqlNormSq("v")}) * sqrt(${sqlNormSq("cv")})), 6) AS csim
+         |  FROM vecs CROSS JOIN cents0),
+         |cell0 AS (SELECT id, v, cid AS cell FROM (
+         |  SELECT id, v, cid, row_number() OVER (PARTITION BY id
+         |    ORDER BY csim DESC, cid) AS rn FROM a0) WHERE rn = 1),
+         |m0 AS (SELECT cell, pos, round(avg(x), 6) AS m FROM (
+         |    SELECT cell, unnest(v) AS x, unnest(range(0, len(v))) AS pos
+         |    FROM cell0) GROUP BY cell, pos),
+         |p0 AS (SELECT cell, list(m ORDER BY pos) AS mv FROM m0 GROUP BY cell),
+         |cents1 AS (SELECT cid, coalesce(p0.mv, cv) AS cv
+         |  FROM cents0 LEFT JOIN p0 ON p0.cell = cents0.cid),
+         |a1 AS (SELECT id, v, cid,
+         |  round(${sqlDot("v", "cv")} /
+         |    (sqrt(${sqlNormSq("v")}) * sqrt(${sqlNormSq("cv")})), 6) AS csim
+         |  FROM vecs CROSS JOIN cents1),
+         |rk1 AS (SELECT id, v, cid, row_number() OVER (PARTITION BY id
+         |    ORDER BY csim DESC, cid) AS rn FROM a1),
+         |qz AS (SELECT id, v,
+         |    list_reduce(list_prepend(0.0, list_transform(v, x -> abs(x))),
+         |      (a, x) -> greatest(a, x)) AS amax
+         |  FROM vecs),
+         |corp AS (SELECT r.id, r.cid AS cell,
+         |    CASE WHEN q.amax > 0 THEN list_transform(q.v,
+         |        x -> CAST(round(x / (q.amax / 127.0), 0) AS INT))
+         |      ELSE list_transform(q.v, x -> 0) END AS codes,
+         |    CASE WHEN q.amax > 0 THEN q.amax / 127.0 ELSE 0.0 END AS sc
+         |  FROM rk1 r JOIN qz q ON q.id = r.id WHERE r.rn = 1),
+         |qp AS (SELECT id AS query_id, v AS qv, cid AS cell FROM rk1
+         |  WHERE rn <= 2 AND id < 10),
+         |dq AS (SELECT query_id, qv, c.id AS neighbor_id,
+         |    list_transform(c.codes, cd -> CAST(cd AS DOUBLE) * c.sc) AS dv
+         |  FROM qp JOIN corp c USING (cell) WHERE query_id <> c.id),
+         |scored AS (SELECT query_id, qv, neighbor_id,
+         |  round(${sqlDot("qv", "dv")} /
+         |    (sqrt(${sqlNormSq("qv")}) * sqrt(${sqlNormSq("dv")})), 6) AS sim
+         |  FROM dq),
+         |short AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+         |  FROM scored) WHERE rn <= 10),
+         |ex AS (SELECT s2.query_id, s2.neighbor_id,
+         |  round((${sqlDot("qv.v", "qv.v")} + ${sqlDot("nv.v", "nv.v")}) -
+         |    2.0 * ${sqlDot("qv.v", "nv.v")}, 6) AS dist
+         |  FROM short s2
+         |  JOIN vecs qv ON qv.id = s2.query_id
+         |  JOIN vecs nv ON nv.id = s2.neighbor_id),
+         |rk3 AS (SELECT query_id, neighbor_id, dist, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
+         |  FROM ex)
+         |SELECT query_id, neighbor_id, dist FROM rk3 WHERE rn <= 3
+         |ORDER BY query_id, dist, neighbor_id""".stripMargin)
 }

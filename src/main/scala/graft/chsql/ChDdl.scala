@@ -497,6 +497,13 @@ object ChDdl {
               !spark.catalog.dropGlobalTempView(name))
               spark.sql(s"DROP TABLE $name")
           }
+          // a plain DROP TABLE of a bloom SIDECAR (not via DROP INDEX)
+          // must still evict its cached probe map — otherwise the cache
+          // holds file-count-sized state for a table that no longer
+          // exists (and a same-millisecond recreate could serve stale)
+          if (name.contains("__bloom_") || name.contains("__tokbloom_") ||
+              name.contains("__ngrambloom_"))
+            graft.plans.BloomSkipIndex.invalidate(name)
           graft.streaming.StreamingOps.dropView(name)
           mvMeta.remove(name)
           // a table's materialized projections die with it

@@ -973,6 +973,70 @@ object Similarity {
       .drop("rn")
   }
 
+  /** IVF-SQ8 (r14) — the faiss `IndexIVFScalarQuantizer(QT_8bit)`
+    * analog, the middle memory tier between raw IVF (8 B/dim here) and
+    * IVFADC (m bytes/vector): probed cells scan INT8 codes. The index
+    * at rest per vector is (cell, scale, d×int8) — ~8× less
+    * memory-bandwidth than the double pipeline (4× vs float32), with
+    * far better recall than PQ at the same nprobe because quantization
+    * is per-DIMENSION, not per-subspace-centroid.
+    *
+    *  - build: coarse assignment (stride or, with `coarseIters > 0`,
+    *    k-means-trained — same [[kmeansCodebook]] switch as every IVF
+    *    tier) + the [[quantizeInt8]] native O(d) pass; both row-local.
+    *  - serve: queries stay RAW (the faiss convention — only the
+    *    corpus side pays the compression); probed-cell candidates are
+    *    dequantized on the fly (code·scale, row-local inside the join
+    *    projection) and cosine-scored. Plan shape = [[ivfTopKWith]]
+    *    exactly: one broadcast of the query side, zero shuffles before
+    *    the per-query top-k window.
+    *  - `rerank > 0` composes [[refineExact]] over the int8 shortlist
+    *    (the faiss SQ-then-refine stack): exact L2 over raw vectors at
+    *    output-bounded cost buys back the quantization loss.
+    *
+    * Scale: the per-vector scale stays UNROUNDED (amax/127 — a plain
+    * double both engines compute identically), so dequantization is
+    * exactly replayable. */
+  def ivfSq8TopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroidEvery: Int, queryPred: Column, k: Int,
+      rerank: Int = 0, roundTo: Int = 6, nprobe: Int = 1,
+      coarseIters: Int = 0, maxLiteralCentroids: Int = 64
+  ): DataFrame = {
+    require(rerank == 0 || rerank >= k,
+      s"ivfSq8TopK: rerank ($rerank) must be 0 (off) or >= k ($k)")
+    val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val (cids, cvs) =
+      if (coarseIters > 0)
+        kmeansCodebook(corpus, idCol, vecCol, centroidEvery, coarseIters,
+          roundTo, maxLiteralCentroids)
+      else strideCodebook(vecs, centroidEvery)
+    val assigned = assignWith(vecs, cids, cvs, nprobe, roundTo,
+      maxLiteralCentroids)
+    val cells = assigned
+      .select(col("id").as("neighbor_id"),
+        element_at(col("__cells"), 1).as("cell"),
+        graft.plans.NativeExpressions.int8_quant(col("v")).as("__q"))
+      .select(col("neighbor_id"), col("cell"),
+        col("__q.scale").as("nscale"), col("__q.codes").as("ncodes"))
+    val queries = assigned.filter(queryPred)
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        explode(col("__cells")).as("cell"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))
+    val shortK = if (rerank > 0) rerank else k
+    val short = broadcast(queries).join(cells, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"),
+          dequantizeInt8(col("nscale"), col("ncodes"))), roundTo).as("sim"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= shortK).drop("rn")
+    if (rerank > 0)
+      refineExact(corpus, idCol, vecCol, short, queryPred, k, roundTo)
+    else short
+  }
+
   /** RESIDUAL IVFADC — the actual Jégou et al. (2011) formulation (the
     * faiss `IndexIVFPQ` default, `encode_residual=true`): the fine
     * quantizer encodes `x − centroid(cell(x))` instead of the raw

@@ -1266,6 +1266,134 @@ object TextAnalysis {
     df.select(col(idCol), round(w, roundTo).as("weight"))
   }
 
+  // ============ trained quality classifier (t33/t34/p9) ============
+
+  /** Decimal HALF_UP rounding (matches Spark SQL `round` and DuckDB
+    * `round`) — the trainer's update rounding must use the same decimal
+    * semantics both engines serve, or the replayed trajectories diverge
+    * at the first boundary-adjacent update. */
+  private def roundHalfUp(x: Double, roundTo: Int): Double =
+    BigDecimal(x).setScale(roundTo, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+
+  /** Full-batch logistic-regression TRAINER over the hashed-bucket token
+    * feature space ([[dsirWeights]]' B-bucket convention — the features
+    * [[linearScore]] serves). Closes the fastText curation recipe the
+    * quality gates were missing: label documents with a heuristic rule
+    * or domain column, TRAIN a shallow classifier, then gate the corpus
+    * on the trained score at scan speed.
+    *
+    * Model: p(doc) = sigmoid(Σ_b x_b·w_b + bias) with x_b = (tokens
+    * hashing to bucket b) / n_tokens — exactly [[linearScore]]'s serving
+    * algebra, so the trained (weights, bias) plug straight into it.
+    *
+    * Training is DETERMINISTIC, engine-replayable gradient descent:
+    * init w = 0; per step ONE map-combinable aggregate computes the
+    * full-batch gradient — per-doc (bucket, err/n_tokens) entries
+    * explode and group-sum into ≤ B driver rows (the
+    * [[graft.operators.Similarity.kmeansCodebook]] convention: driver
+    * state bounded by CONFIGURATION, not corpus). Updates
+    * w ← w − lr·grad/N are ROUNDED to `roundTo` decimals, so a SQL
+    * engine replaying the chain reproduces the exact trajectory
+    * (last-ulp summation-order differences are absorbed by the
+    * rounding, same as the k-means rounded-mean replay).
+    *
+    * No separate intercept is trained: the token-normalized features
+    * sum to exactly 1 per non-empty document (Σ_b x_b = 1), so the
+    * intercept direction already lies in the weight span — and a
+    * separate bias term has 64× the feature scale, which wrecks
+    * full-batch GD conditioning at any lr the bucket weights need.
+    *
+    * Scale shape: per step one corpus scan + one shuffle of ≤ B
+    * map-side-combined groups; nothing scales with corpus size except
+    * the scans. Returns the trained weight vector (serve it via
+    * [[linearScore]] with bias = 0). */
+  def trainLogistic(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, label: Column, buckets: Int = 64, steps: Int = 3,
+      lr: Double = 128.0, roundTo: Int = 6): Array[Double] = {
+    require(buckets > 0, s"trainLogistic: need buckets > 0, got $buckets")
+    require(steps >= 0, s"trainLogistic: need steps >= 0, got $steps")
+    require(lr > 0, s"trainLogistic: need lr > 0, got $lr")
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    val bucketArr = transform(toks,
+      t => pmod(PortableHash.charFold(t), lit(buckets.toLong)))
+    val base = df
+      .select(label.cast("double").as("y"), bucketArr.as("bs"))
+      .withColumn("n", size(col("bs")).cast("double"))
+      .persist() // scanned once per step; feature arrays, not raw text
+    try {
+      val nDocs = base.count().toDouble
+      require(nDocs > 0, "trainLogistic: empty corpus")
+      var w = Array.fill(buckets)(0.0)
+      for (_ <- 0 until steps) {
+        val wLit = array(w.map(lit): _*)
+        val dot = aggregate(col("bs"), lit(0.0),
+          (acc, b) => acc + element_at(wLit, b.cast("int") + 1))
+        val z = when(col("n") > 0, dot / col("n")).otherwise(lit(0.0))
+        val e = lit(1.0) / (lit(1.0) + exp(-z)) - col("y")
+        // one exploded (bucket, err/n) aggregate per step — ≤ buckets
+        // rows to the driver, map-side combined
+        val entries = transform(col("bs"),
+          bb => struct(bb.as("b"), (e / col("n")).as("g")))
+        val g = base.select(explode(entries).as("eg"))
+          .groupBy(col("eg.b").as("b")).agg(sum(col("eg.g")).as("gs"))
+          .collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        w = Array.tabulate(buckets)(i =>
+          roundHalfUp(w(i) - lr * g.getOrElse(i.toLong, 0.0) / nDocs,
+            roundTo))
+      }
+      w
+    } finally base.unpersist()
+  }
+
+  /** Mean log-loss of a (weights, bias) model over the corpus — the
+    * trainer's objective, exposed so a property test can pin the
+    * full-batch-GD loss-non-increase guarantee. One map-combinable
+    * aggregate; clamped away from log(0). */
+  def logisticLoss(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, label: Column, weights: Array[Double],
+      bias: Double = 0.0): Double = {
+    val buckets = weights.length
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    val bucketArr = transform(toks,
+      t => pmod(PortableHash.charFold(t), lit(buckets.toLong)))
+    val wLit = array(weights.map(lit): _*)
+    val n = size(bucketArr).cast("double")
+    val dot = aggregate(bucketArr, lit(0.0),
+      (acc, b) => acc + element_at(wLit, b.cast("int") + 1))
+    val z = when(n > 0, dot / n).otherwise(lit(0.0)) + lit(bias)
+    val p = least(greatest(lit(1.0) / (lit(1.0) + exp(-z)), lit(1e-12)),
+      lit(1.0 - 1e-12))
+    val y = label.cast("double")
+    df.select(avg(-(y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p)))
+      .as("loss")).head().getDouble(0)
+  }
+
+  /** Train-then-serve: [[trainLogistic]] over `label`, then the trained
+    * weights through [[linearScore]]'s zero-join zero-shuffle scoring
+    * scan. Returns (idCol, n_tokens, score). */
+  def trainedQualityScore(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, label: Column, buckets: Int = 64,
+      steps: Int = 3, lr: Double = 128.0,
+      roundTo: Int = 6): org.apache.spark.sql.DataFrame = {
+    val w = trainLogistic(df, idCol, textCol, label, buckets, steps,
+      lr, roundTo)
+    linearScore(df, idCol, textCol, buckets, Some(w), 0.0, roundTo)
+  }
+
+  /** Deterministic low-quality fixture for the trained-classifier tier
+    * (t33/p9): every 7th document gains a 20×-repeated spam/boilerplate
+    * phrase — the dominated-by-boilerplate shape real quality
+    * classifiers are trained to catch (and exactly what the Gopher
+    * repetition rules flag, making them usable as weak labels). A plain
+    * concat both engines compute identically. */
+  def spamFixture(text: Column, id: Column): Column = {
+    val phrase = " click here buy now subscribe free winner prize offer"
+    when(pmod(id, lit(7L)) === 0, concat(text, lit(phrase * 20)))
+      .otherwise(text)
+  }
+
   /** DSIR importance RESAMPLING — the consumer of [[dsirWeights]]/
     * [[dsirWeightsNgram]] that closes the Xie et al. loop (estimate
     * importance weights, then RESAMPLE the corpus toward the target

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /** OR-fold of per-row bit-position arrays into one fixed-size bitset —
   * the bloom-index build aggregate ([[BloomSkipIndex]]).
@@ -18,12 +18,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
   * state at `nBits/8` BYTES (8 KB at 2¹⁶ bits), updates row-locally,
   * and ships exactly one bitset per (file, partition) through the
   * merge — the build becomes scan-bound, which is the contract an
-  * index build must meet at 100 TB. Output: ascending distinct bit
-  * positions (the same value `sort_array(collect_set(...))` produced,
-  * so sidecars stay SQL-replayable and oracle-comparable). */
+  * index build must meet at 100 TB.
+  *
+  * Two output modes:
+  *  - `packed = false`: ascending distinct bit positions (the same
+  *    value `sort_array(collect_set(...))` produced — SQL-replayable
+  *    and oracle-comparable);
+  *  - `packed = true` (r14, the sidecar-at-rest format): the raw
+  *    `nBits/64` long words. FIXED 8 KB per group regardless of bit
+  *    density — a dense 2¹⁶-position unpacked array costs 256 KB+ of
+  *    boxed driver memory per file once collected, which at the ~10⁶
+  *    files of a 100 TB table is unserveable; the packed form keeps
+  *    the whole probe map at ~8 GB worst-case and probes by bit-test. */
 case class BitsetOrAgg(
     child: Expression,
     nBits: Int,
+    packed: Boolean = false,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]]
@@ -33,8 +43,10 @@ case class BitsetOrAgg(
     s"bitset_or needs a positive multiple-of-64 bit count, got $nBits")
 
   override def nullable: Boolean = false
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-  override def prettyName: String = "bitset_or"
+  override def dataType: DataType =
+    if (packed) ArrayType(LongType, containsNull = false)
+    else ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = if (packed) "bitset_or_packed" else "bitset_or"
 
   override def createAggregationBuffer(): Array[Long] =
     new Array[Long](nBits / 64)
@@ -62,6 +74,7 @@ case class BitsetOrAgg(
   }
 
   override def eval(buf: Array[Long]): Any = {
+    if (packed) return new GenericArrayData(buf.clone())
     var count = 0
     var i = 0
     while (i < buf.length) { count += java.lang.Long.bitCount(buf(i)); i += 1 }
@@ -106,4 +119,11 @@ object BitsetOrAgg {
   def bitsetOr(c: Column, nBits: Int): Column =
     ColumnBridge.column(
       BitsetOrAgg(ColumnBridge.expression(c), nBits).toAggregateExpression())
+
+  /** Packed form: the raw bitset words (array<bigint>, nBits/64 longs —
+    * fixed size, bit-density-independent). */
+  def bitsetOrPacked(c: Column, nBits: Int): Column =
+    ColumnBridge.column(
+      BitsetOrAgg(ColumnBridge.expression(c), nBits, packed = true)
+        .toAggregateExpression())
 }

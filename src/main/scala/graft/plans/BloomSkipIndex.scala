@@ -115,11 +115,15 @@ object BloomSkipIndex {
       s"bloom index: no column $column in $table")
     // per-row bit positions stay an ARRAY folded by the bitset-OR
     // aggregate (8 KB fixed state/partition) — no per-bit explode rows
-    // ever cross the shuffle; the build is scan-bound
+    // ever cross the shuffle; the build is scan-bound. Sidecar rows
+    // store the PACKED words (r14): a fixed 8 KB per file at rest and
+    // in the driver probe cache, independent of bit density — the
+    // unpacked boxed Set[Int] form cost ~48 B/bit ≈ 3 MB per dense file,
+    // unserveable driver memory at the ~10⁶-file scale this targets
     val bits = df.select(input_file_name().as("file"), col(column).as("v"))
       .select(col("file"), rowBits(col("v")).as("rb"))
       .groupBy("file")
-      .agg(BitsetOrAgg.bitsetOr(col("rb"), NumBits).as("bits"))
+      .agg(BitsetOrAgg.bitsetOrPacked(col("rb"), NumBits).as("bits"))
     // STAGE + SWAP (r13): the build lands in a scratch table first, then
     // replaces the live sidecar with two catalog ops — the sidecar frame
     // never round-trips through the driver (the r12 collect +
@@ -148,21 +152,38 @@ object BloomSkipIndex {
     side
   }
 
-  // ---- driver-side probe-map cache (r13) ----
+  // ---- driver-side probe-map cache (r13; representation + bounds r14) ----
   // BloomPruneRule fires on every planning pass; re-collecting the
   // sidecar each time made the OPTIMIZER pay a file-count-sized driver
   // read per query (fine at sandbox scale, a planning-latency killer at
-  // 100 TB: ~10⁶ files × up-to-2¹⁶-entry int arrays). The probe map now
+  // 100 TB: ~10⁶ files × up-to-2¹⁶-entry int arrays). The probe map
   // loads once per (re)build: buildSidecar is the only writer and
-  // invalidates its entry on swap; DROP INDEX invalidates explicitly.
-
-  // entries carry the sidecar table's createTime: a sidecar dropped and
+  // invalidates its entry on swap; DROP INDEX invalidates explicitly,
+  // and ChDdl invalidates on any plain DROP TABLE of a sidecar name.
+  //
+  // r14 representation: per-file bits are the PACKED Array[Long] words
+  // (8 KB fixed, density-independent) probed by bit-test — the boxed
+  // Set[Int] form cost ~48 B/entry (≈3 MB per dense file, ~400× this).
+  // The cache is BOUNDED (LRU, MaxCachedSidecars entries): it can no
+  // longer grow one entry per sidecar forever in a long-lived session.
+  //
+  // entry identity = (createTime, location): a sidecar dropped and
   // re-created OUT-OF-BAND (not through buildSidecar/DROP INDEX, which
-  // invalidate explicitly) gets a fresh createTime, so the stale map is
-  // discarded instead of trusted on name identity alone — the check is
-  // one catalog metadata lookup per planning pass, never a data read
-  private val probeCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Long, Map[String, Set[Int]])]()
+  // invalidate explicitly) gets a fresh createTime — and if relocated,
+  // a fresh location — so the stale map is discarded instead of trusted
+  // on name identity alone. The check is one catalog metadata lookup
+  // per planning pass, never a data read. (Residual window: an
+  // out-of-band drop+recreate at the SAME location within the SAME
+  // millisecond is indistinguishable; builds through buildSidecar never
+  // hit it — they invalidate explicitly.)
+  private final case class SidecarId(createTime: Long, location: String)
+  private val MaxCachedSidecars = 64
+  private val probeCache = new java.util.LinkedHashMap[
+      String, (SidecarId, Map[String, Array[Long]])](16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String, (SidecarId, Map[String, Array[Long]])])
+        : Boolean = size() > MaxCachedSidecars
+  }
 
   /** Count of sidecar loads that actually hit the store (cache misses) —
     * the observability hook for the one-read-per-build pin. */
@@ -170,22 +191,51 @@ object BloomSkipIndex {
     new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Drop the cached probe map for a sidecar (rebuild/drop paths). */
-  def invalidate(side: String): Unit = probeCache.remove(side.toLowerCase)
+  def invalidate(side: String): Unit =
+    probeCache.synchronized { probeCache.remove(side.toLowerCase) }
 
-  private[plans] def probeMap(spark: SparkSession,
-      side: String): Map[String, Set[Int]] = {
-    val created = spark.sessionState.catalog.getTableMetadata(
+  /** True iff every bit position in `want` is set in the packed words. */
+  private[plans] def containsAll(bits: Array[Long], want: Set[Int]): Boolean =
+    want.forall { b =>
+      val w = b >>> 6
+      w < bits.length && (bits(w) & (1L << (b & 63))) != 0L
+    }
+
+  private[graft] def probeMap(spark: SparkSession,
+      side: String): Map[String, Array[Long]] = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(side.toLowerCase))
-      .createTime
-    probeCache.compute(side.toLowerCase, (_, prev) => {
-      if (prev != null && prev._1 == created) prev
-      else {
+    val id = SidecarId(meta.createTime,
+      meta.storage.locationUri.map(_.toString).getOrElse(""))
+    val key = side.toLowerCase
+    // optimistic load OUTSIDE the lock (r14 ADVICE): collecting a Spark
+    // job while holding the map's lock would block every concurrent
+    // planning thread for the job's duration (and a re-entrant load
+    // would deadlock); a racing duplicate load is rare and harmless —
+    // last writer wins with an identical map
+    probeCache.synchronized(Option(probeCache.get(key))) match {
+      case Some((cachedId, m)) if cachedId == id => m
+      case _ =>
         sidecarLoads.incrementAndGet()
-        (created, spark.table(side).collect()
-          .map(r => fileKey(r.getString(0)) -> r.getSeq[Int](1).toSet)
-          .toMap)
-      }
-    })._2
+        val df = spark.table(side)
+        val packed = df.schema(1).dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, _) => true
+          case _ => false // legacy unpacked sidecar (pre-r14 build)
+        }
+        val m = df.collect().map { r =>
+          val bits =
+            if (packed) r.getSeq[Long](1).toArray
+            else {
+              val words = new Array[Long](NumBits / 64)
+              r.getSeq[Int](1).foreach(b => words(b >>> 6) |= 1L << (b & 63))
+              words
+            }
+          fileKey(r.getString(0)) -> bits
+        }.toMap
+        probeCache.synchronized { probeCache.put(key, (id, m)) }
+        m
+    }
   }
 
   /** Register the pruning rule in a live session (idempotent). */
@@ -365,11 +415,11 @@ case class BloomPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val kept = probes.foldLeft(allFiles.toSeq) { case (files, (side, alts)) =>
       if (!spark.catalog.tableExists(side)) files // not materialized: keep
       else {
-        val bitsByFile: Map[String, Set[Int]] = probeMap(spark, side)
+        val bitsByFile: Map[String, Array[Long]] = probeMap(spark, side)
         files.filter { path =>
           bitsByFile.get(fileKey(path)) match {
             case None => true // file newer than the build: keep
-            case Some(bits) => alts.exists(_.subsetOf(bits))
+            case Some(bits) => alts.exists(containsAll(bits, _))
           }
         }
       }

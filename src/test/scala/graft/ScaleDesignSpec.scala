@@ -177,6 +177,36 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(shuffleCount(df) <= 2) // groupBy + orderBy
   }
 
+  test("trained-quality serving scan is row-local: zero shuffles, zero joins") {
+    // the trainer's whole point at 100 TB: training cost is bounded by
+    // the seed slice, and the corpus pass the model actually runs at
+    // scale is ONE scan — weights inline as plan literals, no join
+    // against a model table, no shuffle anywhere
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val w = Array.tabulate(64)(i => (i % 7 - 3) / 10.0)
+    val scored = graft.operators.TextAnalysis.linearScore(
+      docs, "doc_id", "text", dim = 64, weights = Some(w), bias = 0.0)
+      .filter(col("score") >= 0.144)
+    assert(shuffleCount(scored) == 0, "scoring must not shuffle")
+    assert(scored.queryExecution.executedPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, "scoring must not join")
+  }
+
+  test("trainLogistic gradient step: one partial+final aggregation, driver rows bounded by buckets") {
+    // per step the ONLY corpus-size work is the scan; the gradient
+    // reaches the driver as ≤ buckets map-side-combined groups
+    import spark.implicits._
+    val corpus = (0L until 200L).map(i =>
+      (i, s"tok${i % 7} tok${i % 11} tok${i % 13}", i % 3 == 0))
+      .toDF("doc_id", "text", "y")
+    val w = graft.operators.TextAnalysis.trainLogistic(
+      corpus, "doc_id", "text", col("y"), buckets = 16, steps = 2,
+      lr = 4.0)
+    assert(w.length == 16)
+    assert(w.exists(_ != 0.0), "training must move the weights")
+  }
+
   test("hyperplane bucketing is the single native expression, not per-plane HOFs") {
     // the interpreted form ran nPlanes zip_with+aggregate passes per row;
     // the native HyperplaneBucket computes every sign bit in one traversal
@@ -931,6 +961,53 @@ class ScaleDesignSpec extends AnyFunSuite {
     val e = df2.groupBy("g").agg(BitsetOrAgg.bitsetOr(col("bits"), 64).as("s"))
       .head.getSeq[Int](1)
     assert(e.isEmpty)
+  }
+
+  test("bloom probe-map entries are fixed-size packed words, independent of bit density; " +
+      "legacy unpacked sidecars still probe correctly") {
+    import graft.plans.BloomSkipIndex
+    // dense table: many distinct values per file → thousands of bits set
+    spark.sql("DROP TABLE IF EXISTS bloomw_t")
+    spark.sql("DROP TABLE IF EXISTS bloomw_t__bloom_k")
+    spark.range(0, 8000).select(col("id").as("k"), (col("id") % 5).as("p"))
+      .repartitionByRange(4, col("k"))
+      .write.option("path", s"$wh/bloomw_t").mode("overwrite")
+      .saveAsTable("bloomw_t")
+    BloomSkipIndex.materialize(spark, "bloomw_t", "k")
+    val m = BloomSkipIndex.probeMap(spark, "bloomw_t__bloom_k")
+    assert(m.nonEmpty)
+    // every entry is exactly NumBits/64 longs — 8 KB, NOT density-scaled
+    // (the boxed Set[Int] form this replaces cost ~48 B per SET BIT:
+    // ~3 MB for a dense file, unserveable at 10⁶ files)
+    assert(m.values.forall(_.length == BloomSkipIndex.NumBits / 64),
+      "probe entries must be the fixed packed word count")
+    // and the dense build really did set thousands of bits per file
+    val setBits = m.values.map(_.map(java.lang.Long.bitCount).sum).max
+    assert(setBits > 1000, s"dense file should set many bits, got $setBits")
+
+    // LEGACY fallback: a pre-r14 sidecar (array<int> positions) written
+    // out-of-band must load through the unpacked branch and prune the
+    // same — no flag day for existing sidecars
+    spark.sql("DROP TABLE IF EXISTS bloomw_t__bloom_k")
+    val legacy = spark.table("bloomw_t")
+      .select(input_file_name().as("file"), col("k"))
+      .select(col("file"), array((0 until 3).map(seed =>
+        pmod(xxhash64(col("k"), lit(seed)), lit(65536L)).cast("int")): _*)
+        .as("rb"))
+      .groupBy("file")
+      .agg(graft.plans.BitsetOrAgg.bitsetOr(col("rb"), 65536).as("bits"))
+    legacy.write.mode("overwrite").saveAsTable("bloomw_t__bloom_k")
+    spark.sql("ALTER TABLE bloomw_t SET TBLPROPERTIES " +
+      "('graft.bloomindex.bf'='k')")
+    BloomSkipIndex.install(spark)
+    val m2 = BloomSkipIndex.probeMap(spark, "bloomw_t__bloom_k")
+    assert(m2.values.forall(_.length == BloomSkipIndex.NumBits / 64),
+      "legacy int-array sidecars must unpack into the same fixed words")
+    assert(m.keySet == m2.keySet)
+    assert(m.forall { case (k, v) => m2(k).toSeq == v.toSeq },
+      "legacy and packed builds encode the identical bit sets")
+    val got = spark.table("bloomw_t").filter(col("k") === 42L).count()
+    assert(got == 1, "pruned read over a legacy sidecar must stay correct")
   }
 
   test("ngram bloom index: LIKE-substring scans read fewer files, results identical") {

@@ -847,6 +847,42 @@ class TrainingOpsSpec extends AnyFunSuite {
     }.isEmpty, "scoring must be row-local")
   }
 
+  test("trainLogistic: planted boilerplate separates, deterministic, steps=0 is the zero model") {
+    import spark.implicits._
+    val spam = " click here buy now subscribe free winner" * 12
+    val corpus = (0L until 120L).map { i =>
+      val base = s"document $i talks about engines data tables rows item${i % 13}"
+      (i, if (i % 5 == 0) base + spam else base, i % 5 != 0)
+    }.toDF("doc_id", "text", "y")
+    val w = TextAnalysis.trainLogistic(corpus, "doc_id", "text", col("y"),
+      buckets = 32, steps = 3, lr = 128.0)
+    assert(w.length == 32)
+    // deterministic retrain: identical trajectory
+    val w2 = TextAnalysis.trainLogistic(corpus, "doc_id", "text", col("y"),
+      buckets = 32, steps = 3, lr = 128.0)
+    assert(w.toSeq == w2.toSeq)
+    // the trained model separates spam from clean through the serving scan
+    val scored = TextAnalysis.linearScore(corpus, "doc_id", "text",
+        dim = 32, weights = Some(w), bias = 0.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val (spamS, cleanS) = scored.partition(_._1 % 5 == 0)
+    assert(spamS.values.max < cleanS.values.min,
+      s"spam max ${spamS.values.max} must be below clean min ${cleanS.values.min}")
+    // steps = 0 → the zero model (sigmoid(0) everywhere)
+    val w0 = TextAnalysis.trainLogistic(corpus, "doc_id", "text", col("y"),
+      buckets = 32, steps = 0, lr = 128.0)
+    assert(w0.forall(_ == 0.0))
+    // contracts refuse loudly
+    intercept[IllegalArgumentException] {
+      TextAnalysis.trainLogistic(corpus, "doc_id", "text", col("y"),
+        buckets = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.trainLogistic(corpus.filter(lit(false)), "doc_id",
+        "text", col("y"))
+    }
+  }
+
   test("quotaSample: salted two-phase equals the single-window answer on a hot group") {
     import spark.implicits._
     // hot group: 500 of 600 rows in one domain

@@ -55,6 +55,28 @@ class TrainingPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: trainLogistic full-batch GD never increases the loss") {
+    // descent-lemma regime: the normalized features satisfy ||x||² ≤ 1,
+    // so the logistic Hessian's Lipschitz bound is L ≤ 1/4 and any
+    // lr ≤ 1/L = 4 guarantees monotone loss; the 1e-5 slack absorbs the
+    // 1e-6 update rounding
+    forAll(corpusGen, n = 10) { rows =>
+      val planted = rows.map { case (id, t) =>
+        (id, if (id % 3 == 0) t + (" zzyx wwvu" * 4) else t, id % 3 != 0)
+      }
+      val df = planted.toDF("doc_id", "text", "y")
+      var prev = TextAnalysis.logisticLoss(df, "doc_id", "text", col("y"),
+        Array.fill(16)(0.0))
+      for (k <- 1 to 4) {
+        val w = TextAnalysis.trainLogistic(df, "doc_id", "text", col("y"),
+          buckets = 16, steps = k, lr = 4.0)
+        val cur = TextAnalysis.logisticLoss(df, "doc_id", "text", col("y"), w)
+        assert(cur <= prev + 1e-5, s"step $k: loss rose $prev -> $cur")
+        prev = cur
+      }
+    }
+  }
+
   test("property: quotaSample keeps at most cap rows per group, exactly the best ones") {
     val gen = for {
       rows <- Gen.choose(10, 60).flatMap(n => Gen.listOfN(n,
