@@ -7861,7 +7861,9 @@ object Queries {
        |    list_filter(regexp_split_to_array(trim(text), '\\s+'),
        |      t -> len(t) > 0) AS ws,
        |    list_filter(list_transform(string_split(
-       |        replace(text, chr(13) || chr(10), chr(10)), chr(10)),
+       |        replace(replace(replace(replace(text,
+       |          chr(13) || chr(10), chr(10)), chr(13), chr(10)),
+       |          chr(8232), chr(10)), chr(8233), chr(10)), chr(10)),
        |      l -> trim(l)), l -> len(l) > 0) AS ls
        |  FROM $src),
        |gm AS (SELECT doc_id, text,
@@ -7949,7 +7951,9 @@ object Queries {
         (5 to 10).map(n => s"gd$n"))
         .map(c => s"  LEFT JOIN $c ON $c.doc_id = w.doc_id").mkString("\n")
     s"""grn AS (SELECT doc_id, text,
-       |    replace(text, chr(13) || chr(10), chr(10)) AS nt
+       |    replace(replace(replace(replace(text,
+       |      chr(13) || chr(10), chr(10)), chr(13), chr(10)),
+       |      chr(8232), chr(10)), chr(8233), chr(10)) AS nt
        |  FROM $src),
        |grw AS (SELECT doc_id, text,
        |    list_filter(list_transform(string_split(nt, chr(10)),
@@ -8439,6 +8443,29 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // TRAINED language ID (the trained tier over t7's heuristic — real
+    // langid classifiers like fastText's lid.176 are trained, not
+    // rule-based): one-vs-rest logistic models per language over the
+    // shared 64-bucket hashed-token space, trained on the mixed-script
+    // fixture (the corpus whose accents/CJK actually mark language),
+    // served as a row-local argmax over the five sigmoid scores (ties
+    // to the alphabetically smallest language — matters only for
+    // empty-token docs where every model scores 0.5). 94% accuracy at
+    // sf0.01 vs the heuristic's script+stopword vote (pinned ≥ in
+    // ScalaTest). DuckDB replays all five training chains + the argmax.
+    "t34_trained_langid" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.mixedScriptFixture(col("text"), col("lang"))
+            .as("text"))
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val models = langs.map(l => l -> TextAnalysis.trainLogistic(docs,
+        "doc_id", "text", col("lang") === l, buckets = 64, steps = 8,
+        lr = 256.0))
+      TextAnalysis.langIdTrained(docs, "doc_id", "text", models)
+        .orderBy("doc_id")
+    }),
+
     // IVF-SQ8 (the faiss IndexIVFScalarQuantizer analog — the middle
     // memory tier between raw IVF and IVFADC): trained coarse codebook
     // (one Lloyd round), probed cells scan INT8 codes (per-dimension
@@ -8473,7 +8500,8 @@ object Queries {
     * between them. Emits CTEs ending in
     * `lg_sc(doc_id, n_tokens, score)`. */
   private def sqlLogisticChain(trainSrc: String, serveSrc: String,
-      buckets: Int, steps: Int, lr: Double, roundTo: Int = 6): String = {
+      buckets: Int, steps: Int, lr: Double, roundTo: Int = 6,
+      prefix: String = "lg"): String = {
     val zeros = Seq.fill(buckets)("0.0").mkString("[", ", ", "]")
     // z = token-mean of the bucket weights (no separate intercept: the
     // normalized features sum to 1, so the weight span contains it)
@@ -8483,40 +8511,42 @@ object Queries {
         |          bb -> w[CAST(bb AS INT) + 1])),
         |        (acc, x) -> acc + x) / n ELSE 0.0 END""".stripMargin
     def bucketsOf(src: String, out: String, cols: String): String =
-      s"""$out AS (SELECT doc_id, $cols bs, CAST(len(bs) AS DOUBLE) AS n
+      s"""$out AS MATERIALIZED (SELECT doc_id, $cols bs, CAST(len(bs) AS DOUBLE) AS n
          |  FROM (SELECT doc_id, $cols
          |    list_transform(list_filter(string_split_regex(trim(text),
          |        '\\s+'), t -> len(t) > 0),
          |      t -> ${sqlCharFold("t")} % $buckets) AS bs
          |  FROM $src))""".stripMargin
     val sb = new StringBuilder
-    sb.append(bucketsOf(trainSrc, "lg_tr", "y,") + ",\n")
+    sb.append(bucketsOf(trainSrc, s"${prefix}_tr", "y,") + ",\n")
     sb.append(
-      s"""lg_nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM lg_tr),
-         |lg_w0 AS (SELECT CAST($zeros AS DOUBLE[]) AS w),
+      s"""${prefix}_nd AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nd
+         |  FROM ${prefix}_tr),
+         |${prefix}_w0 AS MATERIALIZED (SELECT CAST($zeros AS DOUBLE[]) AS w),
          |""".stripMargin)
     for (k <- 1 to steps) {
       val p = k - 1
       sb.append(
-        s"""lg_e$k AS (SELECT doc_id, bs, n,
+        s"""${prefix}_e$k AS MATERIALIZED (SELECT doc_id, bs, n,
            |    1.0 / (1.0 + exp(-($zOf))) - y AS e
-           |  FROM lg_tr CROSS JOIN lg_w$p),
-           |lg_g$k AS (SELECT b, sum(g) AS gs FROM (
-           |    SELECT unnest(bs) AS b, e / n AS g FROM lg_e$k)
+           |  FROM ${prefix}_tr CROSS JOIN ${prefix}_w$p),
+           |${prefix}_g$k AS MATERIALIZED (SELECT b, sum(g) AS gs FROM (
+           |    SELECT unnest(bs) AS b, e / n AS g FROM ${prefix}_e$k)
            |  GROUP BY b),
-           |lg_w$k AS (SELECT
+           |${prefix}_w$k AS MATERIALIZED (SELECT
            |    (SELECT list(round(wp.w[gi.i + 1] - $lr * coalesce(g.gs, 0.0)
            |          / nd.nd, $roundTo) ORDER BY gi.i)
            |      FROM (SELECT unnest(range(0, $buckets)) AS i) gi
-           |      CROSS JOIN lg_w$p wp CROSS JOIN lg_nd nd
-           |      LEFT JOIN lg_g$k g ON g.b = gi.i) AS w),
+           |      CROSS JOIN ${prefix}_w$p wp CROSS JOIN ${prefix}_nd nd
+           |      LEFT JOIN ${prefix}_g$k g ON g.b = gi.i) AS w),
            |""".stripMargin)
     }
-    sb.append(bucketsOf(serveSrc, "lg_sv", "") + ",\n")
+    sb.append(bucketsOf(serveSrc, s"${prefix}_sv", "") + ",\n")
     sb.append(
-      s"""lg_sc AS (SELECT doc_id, CAST(len(bs) AS BIGINT) AS n_tokens,
+      s"""${prefix}_sc AS MATERIALIZED (SELECT doc_id, CAST(len(bs) AS BIGINT)
+         |      AS n_tokens,
          |    round(1.0 / (1.0 + exp(-($zOf))), $roundTo) AS score
-         |  FROM lg_sv CROSS JOIN lg_w$steps)""".stripMargin)
+         |  FROM ${prefix}_sv CROSS JOIN ${prefix}_w$steps)""".stripMargin)
     sb.toString
   }
 
@@ -8551,6 +8581,34 @@ object Queries {
          |SELECT doc_id, n_tokens, score FROM lg_sc
          |WHERE score >= (SELECT avg(y) FROM lg_tr)
          |ORDER BY doc_id""".stripMargin,
+
+    // five one-vs-rest training chains (ONE shared generator with the
+    // t33/p9 oracles — the trainer replay cannot drift), then the
+    // argmax rank ORDER BY (score DESC, lang ASC), the SQL twin of the
+    // Spark side's strictly-greater fold over lang-sorted models
+    "t34_trained_langid" -> {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val chains = langs.map { l =>
+        s"""lab_$l AS (SELECT doc_id,
+           |    CASE WHEN lang = '$l' THEN 1.0 ELSE 0.0 END AS y, text
+           |  FROM fxd),
+           |${sqlLogisticChain(s"lab_$l", "fxd", 64, 8, 256.0,
+               prefix = s"lg_$l")}""".stripMargin
+      }.mkString(",\n")
+      val union = langs.map(l =>
+        s"SELECT doc_id, '$l' AS lang, score FROM lg_${l}_sc")
+        .mkString("\n  UNION ALL ")
+      s"""WITH fxd AS (SELECT doc_id, lang, $sqlMixedScript AS text
+         |  FROM documents),
+         |$chains,
+         |allsc AS (
+         |  $union),
+         |rk AS (SELECT doc_id, lang, score, row_number() OVER (
+         |  PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+         |  FROM allsc)
+         |SELECT doc_id, lang AS lang_pred, score FROM rk WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // the v13/v19b coarse k-means replay (stride init → one rounded-mean
     // Lloyd round → re-assignment), the v11 int8 quantization per corpus

@@ -374,6 +374,21 @@ object Similarity {
         kmeansCodebook(corpus, idCol, vecCol, every, coarseIters, roundTo,
           maxLiteralCentroids)
       else strideCodebook(vecs, every)
+    ivfRangeSearchWith(corpus, idCol, vecCol, cids, cvs, queryPred, simMin,
+      roundTo, nprobe, maxLiteralCentroids)
+  }
+
+  /** [[ivfRangeSearch]] serving over a caller-supplied coarse codebook —
+    * the index/serve split (train once, serve many), same convention as
+    * [[ivfTopKWith]]/[[pqTopKWith]]. */
+  private[graft] def ivfRangeSearchWith(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cids: Array[Long], cvs: Array[Array[Double]],
+      queryPred: Column, simMin: Double,
+      roundTo: Int = 6, nprobe: Int = 1,
+      maxLiteralCentroids: Int = 64
+  ): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val assigned = assignWith(vecs, cids, cvs, nprobe, roundTo,
       maxLiteralCentroids)
     val cells = assigned
@@ -1003,14 +1018,28 @@ object Similarity {
       rerank: Int = 0, roundTo: Int = 6, nprobe: Int = 1,
       coarseIters: Int = 0, maxLiteralCentroids: Int = 64
   ): DataFrame = {
-    require(rerank == 0 || rerank >= k,
-      s"ivfSq8TopK: rerank ($rerank) must be 0 (off) or >= k ($k)")
     val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val (cids, cvs) =
       if (coarseIters > 0)
         kmeansCodebook(corpus, idCol, vecCol, centroidEvery, coarseIters,
           roundTo, maxLiteralCentroids)
       else strideCodebook(vecs, centroidEvery)
+    ivfSq8TopKWith(corpus, idCol, vecCol, cids, cvs, queryPred, k, rerank,
+      roundTo, nprobe, maxLiteralCentroids)
+  }
+
+  /** [[ivfSq8TopK]] serving over a caller-supplied coarse codebook (the
+    * index/serve split, [[ivfTopKWith]] convention). */
+  private[graft] def ivfSq8TopKWith(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cids: Array[Long], cvs: Array[Array[Double]],
+      queryPred: Column, k: Int,
+      rerank: Int = 0, roundTo: Int = 6, nprobe: Int = 1,
+      maxLiteralCentroids: Int = 64
+  ): DataFrame = {
+    require(rerank == 0 || rerank >= k,
+      s"ivfSq8TopK: rerank ($rerank) must be 0 (off) or >= k ($k)")
+    val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val assigned = assignWith(vecs, cids, cvs, nprobe, roundTo,
       maxLiteralCentroids)
     val cells = assigned
@@ -1071,13 +1100,65 @@ object Similarity {
       pqIters: Int = 0, coarseIters: Int = 0,
       maxLiteralCentroids: Int = 64
   ): DataFrame = {
-    val spark = corpus.sparkSession
     val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val (cids, cvs) =
       if (coarseIters > 0)
         kmeansCodebook(corpus, idCol, vecCol, coarseCentroidEvery,
           coarseIters, roundTo, maxLiteralCentroids)
       else strideCodebook(vecs, coarseCentroidEvery)
+    val cb = residualPqCodebooks(corpus, idCol, vecCol, cids, cvs, m,
+      pqCentroidEvery, pqIters, roundTo, maxLiteralCentroids)
+    ivfPqTopKResidualWith(corpus, idCol, vecCol, cids, cvs, cb, queryPred,
+      k, roundTo, nprobe, maxLiteralCentroids)
+  }
+
+  /** The residual tier's TRAINING half (r14 index/serve split): coarse
+    * assignment → row-local residuals → PQ codebooks over the residuals
+    * (stride init at offset 1, or `pqIters` Lloyd rounds). Exposed so a
+    * serving artifact can train ONCE and time serving separately — the
+    * same contract [[kmeansCodebook]]/[[pqCodebooksTrained]] give the
+    * non-residual tiers. */
+  private[graft] def residualPqCodebooks(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cids: Array[Long], cvs: Array[Array[Double]],
+      m: Int, pqCentroidEvery: Int, pqIters: Int = 0,
+      roundTo: Int = 6, maxLiteralCentroids: Int = 64
+  ): graft.plans.PqCodebooks = {
+    val spark = corpus.sparkSession
+    val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val bcCoarse = spark.sparkContext.broadcast(
+      new graft.plans.Codebook(cids, cvs))
+    val assigned = assignWith(vecs, cids, cvs, 1, roundTo,
+      maxLiteralCentroids)
+    val resid = assigned.withColumn("rv",
+      graft.plans.NativeExpressions.residual_bc(
+        col("v"), element_at(col("__cells"), 1), bcCoarse))
+    // PQ init strides at OFFSET 1: under a stride coarse codebook the
+    // coarse-centroid rows' residuals are identically ZERO (their
+    // nearest centroid is themselves), so offset-0 init would seed
+    // every subspace with C copies of the zero vector
+    if (pqIters > 0)
+      pqCodebooksTrained(resid.select(col("id"), col("rv")), "id", "rv",
+        m, pqCentroidEvery, pqIters, roundTo, strideOffset = 1)
+    else
+      pqCodebooks(resid.select(col("id"), col("rv")), "id", "rv",
+        m, pqCentroidEvery, strideOffset = 1)
+  }
+
+  /** [[ivfPqTopKResidual]] serving over caller-supplied codebooks (the
+    * r14 index/serve split — residual twin of [[ivfPqTopKWith]]): coarse
+    * assignment, residual encode, materialized code index, per-(query,
+    * probed-cell) residual LUTs, broadcast ADC join. */
+  private[graft] def ivfPqTopKResidualWith(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cids: Array[Long], cvs: Array[Array[Double]],
+      cb: graft.plans.PqCodebooks,
+      queryPred: Column, k: Int,
+      roundTo: Int = 6, nprobe: Int = 1,
+      maxLiteralCentroids: Int = 64
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val bcCoarse = spark.sparkContext.broadcast(
       new graft.plans.Codebook(cids, cvs))
     val assigned = assignWith(vecs, cids, cvs, nprobe, roundTo,
@@ -1086,17 +1167,6 @@ object Similarity {
     val resid = assigned.withColumn("rv",
       graft.plans.NativeExpressions.residual_bc(
         col("v"), element_at(col("__cells"), 1), bcCoarse))
-    // PQ init strides at OFFSET 1: under a stride coarse codebook the
-    // coarse-centroid rows' residuals are identically ZERO (their
-    // nearest centroid is themselves), so offset-0 init would seed
-    // every subspace with C copies of the zero vector
-    val cb =
-      if (pqIters > 0)
-        pqCodebooksTrained(resid.select(col("id"), col("rv")), "id", "rv",
-          m, pqCentroidEvery, pqIters, roundTo, strideOffset = 1)
-      else
-        pqCodebooks(resid.select(col("id"), col("rv")), "id", "rv",
-          m, pqCentroidEvery, strideOffset = 1)
     val bcCb = spark.sparkContext.broadcast(cb)
     // materialized code index: the ivfPqTopKWith contract (one pass,
     // n·(m+2) small values — the persisted artifact)

@@ -178,12 +178,17 @@ object TextAnalysis {
     val nW = size(ws).cast("double")
     val meanLen = aggregate(ws, lit(0L), (a, t) => a + length(t))
       .cast("double") / greatest(nW, lit(1.0))
-    // CRLF corpora (r13 ADVICE fix): normalize "\r\n" → "\n" ahead of
-    // the line split, or every line keeps a trailing \r and CRLF line
-    // breaks never split — the line-level rules would silently
-    // under-fire; word/symbol signals are unaffected (\r is \s+)
+    // Line-break normalization (r13 ADVICE fix; r14 extended): "\r\n",
+    // lone "\r" (classic-Mac corpora) and U+2028/U+2029 all become "\n"
+    // ahead of the line split — otherwise such corpora read as ONE line
+    // and the line-level rules silently under-fire; word/symbol signals
+    // stay on the raw text (\r is \s+ for the word split, and the
+    // oracle's word split mirrors that)
     val lines = filter(transform(
-      split(replace(text, lit("\r\n"), lit("\n")), "\n"), l => trim(l)),
+      split(replace(replace(replace(replace(text,
+        lit("\r\n"), lit("\n")), lit("\r"), lit("\n")),
+        lit("\u2028"), lit("\n")), lit("\u2029"), lit("\n")),
+        "\n"), l => trim(l)),
       l => length(l) > 0)
     val nL = size(lines).cast("double")
     val bulletFrac = size(filter(lines,
@@ -1380,6 +1385,46 @@ object TextAnalysis {
     val w = trainLogistic(df, idCol, textCol, label, buckets, steps,
       lr, roundTo)
     linearScore(df, idCol, textCol, buckets, Some(w), 0.0, roundTo)
+  }
+
+  /** TRAINED language-ID serving (r14, t34 — the trained tier over the
+    * [[langId]] heuristic): one-vs-rest [[trainLogistic]] models (one
+    * weight vector per language, all over the same B-bucket hashed-token
+    * space) served as an argmax over the per-language sigmoid scores.
+    * Ties break to the alphabetically SMALLEST language via a
+    * strictly-greater left-to-right fold over the lang-sorted models
+    * (matters for
+    * empty-token docs, where every model scores exactly 0.5); the SQL
+    * twin's rank ORDER BY (score DESC, lang ASC) replays the same rule.
+    * Scale shape: the scoring pass computes K dot-folds over ONE shared
+    * bucket array — row-local, zero joins, zero shuffles; model size is
+    * K·B doubles of plan literals. Returns (idCol, lang_pred, score). */
+  def langIdTrained(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, models: Seq[(String, Array[Double])],
+      roundTo: Int = 6): org.apache.spark.sql.DataFrame = {
+    require(models.nonEmpty, "langIdTrained: need at least one model")
+    val buckets = models.head._2.length
+    require(models.forall(_._2.length == buckets),
+      "langIdTrained: all models must share one bucket space")
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    val bucketArr = transform(toks,
+      t => pmod(PortableHash.charFold(t), lit(buckets.toLong)))
+    val n = size(bucketArr).cast("double")
+    val scored = models.sortBy(_._1).map { case (l, w) =>
+      val wLit = array(w.map(lit): _*)
+      val dot = aggregate(bucketArr, lit(0.0),
+        (acc, b) => acc + element_at(wLit, b.cast("int") + 1))
+      val z = when(n > 0, dot / n).otherwise(lit(0.0))
+      l -> round(lit(1.0) / (lit(1.0) + exp(-z)), roundTo)
+    }
+    var bestLang: Column = lit(scored.head._1)
+    var bestScore: Column = scored.head._2
+    for ((l, s) <- scored.tail) {
+      val nl = when(s > bestScore, lit(l)).otherwise(bestLang)
+      val ns = when(s > bestScore, s).otherwise(bestScore)
+      bestLang = nl; bestScore = ns
+    }
+    df.select(col(idCol), bestLang.as("lang_pred"), bestScore.as("score"))
   }
 
   /** Deterministic low-quality fixture for the trained-classifier tier

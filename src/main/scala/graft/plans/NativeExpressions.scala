@@ -658,10 +658,13 @@ object NativeExpressions {
     * of grams seen ≥ 2 times; all over max(text code points, 1). */
   def gopherRepetitionCompute(s0: UTF8String)
       : org.apache.spark.sql.catalyst.InternalRow = {
-    // CRLF normalization first (r13 ADVICE fix): "\r\n\r\n" must split
-    // paragraphs and CRLF must split lines; nc and unit lengths are
-    // measured on the normalized text (the oracle does the same)
-    val text = s0.toString.replace("\r\n", "\n")
+    // Newline normalization first (r13 ADVICE fix; r14 extended to lone
+    // \r — classic-Mac corpora — and the U+2028/U+2029 Unicode line/para
+    // separators): "\r\n\r\n" must split paragraphs, every line-break
+    // form must split lines; nc and unit lengths are measured on the
+    // normalized text (the oracle mirrors the same 4-step chain)
+    val text = s0.toString.replace("\r\n", "\n").replace('\r', '\n')
+      .replace(0x2028.toChar, '\n').replace(0x2029.toChar, '\n')
     def cpLen(x: String): Long =
       x.codePointCount(0, x.length).toLong
     val nc = math.max(cpLen(text).toDouble, 1.0)

@@ -78,7 +78,7 @@ object AnnOperatingPoints {
         .agg(avg("recall")).head().getDouble(0)
 
     val sb = new StringBuilder
-    sb.append("{\n \"round\": 13,\n")
+    sb.append("{\n \"round\": 14,\n")
     sb.append(" \"purpose\": \"recall@10 vs wall-time for the ANN tiers " +
       "across configurations and scales (VERDICT r9 next-3; r10 next-3 " +
       "added the perturbed-sf1 block)\",\n")
@@ -93,7 +93,10 @@ object AnnOperatingPoints {
       "sigma=0.05/dim Gaussian noise (0.4x per-dim std; " +
       "tools/make_sf1.py) so cross-scale recall comparisons stand on " +
       "non-degenerate ground truth -- read sf1_perturbed, not sf1, for " +
-      "scale trends\",\n")
+      "scale trends. r14: every trained tier now trains OUTSIDE the " +
+      "timed serve (train_sec recorded separately), so sec columns are " +
+      "serve-only and apples-to-apples across trained and untrained " +
+      "rows\",\n")
     sb.append(" \"scales\": {\n")
 
     val scaleJson = dirs.map { case (label, dir) =>
@@ -179,21 +182,29 @@ object AnnOperatingPoints {
         }
         // TRAINED-coarse range search (r13, v19b): same zero-window
         // serving plan, k-means codebook values — the pair-recall lift
-        // over the stride rows above is pure training quality. The
-        // codebook trains inside the timed call (range consumers are
-        // one-shot dedup-style jobs; still, read recall first).
-        for (np <- Seq(1, 2)) {
-          val (sec, df) = timed(() =>
-            Similarity.ivfRangeSearch(emb, "vec_id", "embedding", c = 10,
-              queryPred = qPred, simMin = simMin, nprobe = np, knownN = n,
-              coarseIters = 2))
-          val found = df.select("query_id", "neighbor_id").collect()
-            .map(r => (r.getLong(0), r.getLong(1))).toSet
-          val rec = if (truePairs.isEmpty) 1.0
-            else found.intersect(truePairs).size.toDouble / truePairs.size
-          cells += s"""  "range_trained_c10_nprobe${np}_sim025": {"sec": ${f"$sec%.3f"}, "n_pairs": ${found.size}, "pair_recall": ${f"$rec%.4f"}}"""
-          System.err.println(s"  range-trained c=10 np=$np: ${f"$sec%.3f"}s " +
-            s"pairs=${found.size} recall=${f"$rec%.4f"}")
+        // over the stride rows above is pure training quality. r14: the
+        // codebook trains OUTSIDE timed() (train_sec recorded) so the
+        // sec column is serve-only, apples-to-apples with the stride
+        // range rows.
+        {
+          val every = math.max(1L, n / 10).toInt
+          val t0 = System.nanoTime()
+          val (rcids, rcvs) = Similarity.kmeansCodebook(emb, "vec_id",
+            "embedding", every, iters = 2)
+          val trainSec = (System.nanoTime() - t0) / 1e9
+          for (np <- Seq(1, 2)) {
+            val (sec, df) = timed(() =>
+              Similarity.ivfRangeSearchWith(emb, "vec_id", "embedding",
+                rcids, rcvs, queryPred = qPred, simMin = simMin,
+                nprobe = np))
+            val found = df.select("query_id", "neighbor_id").collect()
+              .map(r => (r.getLong(0), r.getLong(1))).toSet
+            val rec = if (truePairs.isEmpty) 1.0
+              else found.intersect(truePairs).size.toDouble / truePairs.size
+            cells += s"""  "range_trained_c10_nprobe${np}_sim025": {"sec": ${f"$sec%.3f"}, "train_sec": ${f"$trainSec%.3f"}, "n_pairs": ${found.size}, "pair_recall": ${f"$rec%.4f"}}"""
+            System.err.println(s"  range-trained c=10 np=$np: ${f"$sec%.3f"}s " +
+              s"(train ${f"$trainSec%.3f"}s) pairs=${found.size} recall=${f"$rec%.4f"}")
+          }
         }
       }
 
@@ -267,12 +278,19 @@ object AnnOperatingPoints {
       // RESIDUAL IVFADC (r12, v16 — the Jégou et al. formulation): the
       // fine quantizer encodes x − centroid(cell). Untrained rows are
       // directly comparable to ivfpq_m4_* (same stride init, codebook
-      // built inside the timed call); the trained rows compose residual
-      // encoding with both trainings (codebooks also built inside the
-      // timed call — residual PQ training cannot precede coarse
-      // assignment, so the train/serve split does not apply; read the
-      // recall column, not sec, against the *_trained rows).
+      // built inside the timed call). r14: the trained rows now train
+      // BOTH codebooks outside timed() (kmeansCodebook +
+      // residualPqCodebooks — the index/serve split finally exists for
+      // the residual tier), so their sec is serve-only and directly
+      // comparable to every other trained row; train_sec records the
+      // full training chain.
       for ((cLabel, every) <- Seq("C10" -> every10, "C256" -> every256)) {
+        val t0 = System.nanoTime()
+        val (rcids, rcvs) = Similarity.kmeansCodebook(emb, "vec_id",
+          "embedding", every10, iters = 2)
+        val rcb = Similarity.residualPqCodebooks(emb, "vec_id", "embedding",
+          rcids, rcvs, m = 4, pqCentroidEvery = every, pqIters = 1)
+        val trainSec = (System.nanoTime() - t0) / 1e9
         for (np <- Seq(1, 2)) {
           val (sec, df) = timed(() =>
             Similarity.ivfPqTopKResidual(emb, "vec_id", "embedding", m = 4,
@@ -283,14 +301,12 @@ object AnnOperatingPoints {
           System.err.println(s"  ivfpq-residual $cLabel np=$np: " +
             s"${f"$sec%.3f"}s recall=${f"$r%.4f"}")
           val (tsec, tdf) = timed(() =>
-            Similarity.ivfPqTopKResidual(emb, "vec_id", "embedding", m = 4,
-              pqCentroidEvery = every, coarseCentroidEvery = every10,
-              queryPred = qPred, k = k, nprobe = np,
-              pqIters = 1, coarseIters = 2))
+            Similarity.ivfPqTopKResidualWith(emb, "vec_id", "embedding",
+              rcids, rcvs, rcb, queryPred = qPred, k = k, nprobe = np))
           val tr = meanRecall(exactL2, tdf)
-          cells += s"""  "ivfpq_residual_trained_m4_${cLabel}_nprobe$np": {"sec": ${f"$tsec%.3f"}, "recall_at_10": ${f"$tr%.4f"}}"""
+          cells += s"""  "ivfpq_residual_trained_m4_${cLabel}_nprobe$np": {"sec": ${f"$tsec%.3f"}, "train_sec": ${f"$trainSec%.3f"}, "recall_at_10": ${f"$tr%.4f"}}"""
           System.err.println(s"  ivfpq-residual-trained $cLabel np=$np: " +
-            s"${f"$tsec%.3f"}s recall=${f"$tr%.4f"}")
+            s"${f"$tsec%.3f"}s (train ${f"$trainSec%.3f"}s) recall=${f"$tr%.4f"}")
         }
       }
       // EXACT re-rank over the IVFADC shortlist (r12, v18 — faiss
@@ -310,18 +326,60 @@ object AnnOperatingPoints {
       // shortlist): residual encoding + both trainings produce the
       // shortlist, exact re-rank buys back the compression loss. Same
       // rerank/nprobe as the stride-refined rows for direct comparison;
-      // codebooks build inside the timed call (the residual caveat
-      // above applies — read recall first).
+      // r14: both codebooks train OUTSIDE timed() (train_sec recorded),
+      // the timed call is shortlist + refine serving only.
       for ((cLabel, every) <- Seq("C10" -> every10, "C256" -> every256)) {
+        val t0 = System.nanoTime()
+        val (rcids, rcvs) = Similarity.kmeansCodebook(emb, "vec_id",
+          "embedding", every10, iters = 2)
+        val rcb = Similarity.residualPqCodebooks(emb, "vec_id", "embedding",
+          rcids, rcvs, m = 4, pqCentroidEvery = every, pqIters = 1)
+        val trainSec = (System.nanoTime() - t0) / 1e9
         val (sec, df) = timed(() =>
-          Similarity.ivfPqTopKRefinedResidual(emb, "vec_id", "embedding",
-            m = 4, pqCentroidEvery = every, coarseCentroidEvery = every10,
-            queryPred = qPred, k = k, rerank = 50, nprobe = 2,
-            pqIters = 1, coarseIters = 2))
+          Similarity.refineExact(emb, "vec_id", "embedding",
+            Similarity.ivfPqTopKResidualWith(emb, "vec_id", "embedding",
+              rcids, rcvs, rcb, queryPred = qPred, k = 50, nprobe = 2),
+            queryPred = qPred, k = k))
         val r = meanRecall(exactL2, df)
-        cells += s"""  "ivfpq_refined_residual_trained_m4_${cLabel}_nprobe2_rerank50": {"sec": ${f"$sec%.3f"}, "recall_at_10": ${f"$r%.4f"}}"""
+        cells += s"""  "ivfpq_refined_residual_trained_m4_${cLabel}_nprobe2_rerank50": {"sec": ${f"$sec%.3f"}, "train_sec": ${f"$trainSec%.3f"}, "recall_at_10": ${f"$r%.4f"}}"""
         System.err.println(s"  ivfpq-refined-residual $cLabel: " +
-          s"${f"$sec%.3f"}s recall=${f"$r%.4f"}")
+          s"${f"$sec%.3f"}s (train ${f"$trainSec%.3f"}s) recall=${f"$r%.4f"}")
+      }
+      // IVF-SQ8 (r14, v21 — faiss IndexIVFScalarQuantizer): probed cells
+      // scan int8 codes, queries stay raw. Cosine tier → scored vs the
+      // exact COSINE top-10 (no-rerank rows rank by dequantized cosine);
+      // the refined row ranks by exact L2 → scored vs the L2 ground
+      // truth (the v18/v20 convention). Trained rows train the coarse
+      // codebook outside timed().
+      {
+        for (np <- Seq(1, 2)) {
+          val (sec, df) = timed(() =>
+            Similarity.ivfSq8TopK(emb, "vec_id", "embedding",
+              centroidEvery = every10, queryPred = qPred, k = k,
+              nprobe = np))
+          val r = meanRecall(exact, df)
+          cells += s"""  "ivf_sq8_c10_nprobe$np": {"sec": ${f"$sec%.3f"}, "recall_at_10": ${f"$r%.4f"}}"""
+          System.err.println(s"  ivf-sq8 c=10 np=$np: ${f"$sec%.3f"}s recall=${f"$r%.4f"}")
+        }
+        val t0 = System.nanoTime()
+        val (scids, scvs) = Similarity.kmeansCodebook(emb, "vec_id",
+          "embedding", every10, iters = 2)
+        val trainSec = (System.nanoTime() - t0) / 1e9
+        for (np <- Seq(1, 2)) {
+          val (sec, df) = timed(() =>
+            Similarity.ivfSq8TopKWith(emb, "vec_id", "embedding", scids,
+              scvs, queryPred = qPred, k = k, nprobe = np))
+          val r = meanRecall(exact, df)
+          cells += s"""  "ivf_sq8_trained_c10_nprobe$np": {"sec": ${f"$sec%.3f"}, "train_sec": ${f"$trainSec%.3f"}, "recall_at_10": ${f"$r%.4f"}}"""
+          System.err.println(s"  ivf-sq8-trained c=10 np=$np: ${f"$sec%.3f"}s" +
+            s" (train ${f"$trainSec%.3f"}s) recall=${f"$r%.4f"}")
+        }
+        val (rsec, rdf) = timed(() =>
+          Similarity.ivfSq8TopKWith(emb, "vec_id", "embedding", scids,
+            scvs, queryPred = qPred, k = k, rerank = 50, nprobe = 2))
+        val rr = meanRecall(exactL2, rdf)
+        cells += s"""  "ivf_sq8_refined_trained_c10_nprobe2_rerank50": {"sec": ${f"$rsec%.3f"}, "train_sec": ${f"$trainSec%.3f"}, "recall_at_10": ${f"$rr%.4f"}}"""
+        System.err.println(s"  ivf-sq8-refined c=10: ${f"$rsec%.3f"}s recall=${f"$rr%.4f"}")
       }
       exactL2.unpersist()
 

@@ -507,6 +507,34 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(trained.count() > 0)
   }
 
+  test("ivfSq8TopK: serving plan keeps raw IVF's wide-operator skeleton (int8 " +
+      "codes change WHAT the scan carries, not the shuffle/join structure)") {
+    // the SQ8 claim at 100 TB is memory bandwidth, not plan shape: the
+    // probed-cell join must stay the ivfTopKWith pipeline — one
+    // broadcast of the query side, one top-k window shuffle — with the
+    // int8 encode/dequantize riding as row-local projections (they may
+    // split a codegen stage, but must add NO wide operator)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val n = emb.count()
+    val wide = Set("Exchange", "BroadcastExchange", "Sort", "Window",
+      "WindowGroupLimit", "BroadcastHashJoin", "SortMergeJoin", "Generate",
+      "Scan parquet")
+    def skeleton(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect { case p => p.nodeName }
+        .filter(n => wide.exists(n.startsWith)).toSeq
+    val raw = Similarity.ivfTopKFixedC(emb, "vec_id", "embedding",
+      c = 10, queryPred = col("id") < 5, k = 3, nprobe = 2, knownN = n)
+    val sq8 = Similarity.ivfSq8TopK(emb, "vec_id", "embedding",
+      centroidEvery = math.max(1L, n / 10).toInt,
+      queryPred = col("id") < 5, k = 3, nprobe = 2)
+    assert(skeleton(sq8) == skeleton(raw),
+      s"wide-operator skeletons diverge:\n${skeleton(sq8)}\nvs\n${skeleton(raw)}")
+    assert(shuffleCount(sq8) == 1) // only the final top-k window
+    assert(sq8.queryExecution.executedPlan.collect {
+      case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+    assert(sq8.count() > 0)
+  }
+
   test("ivfPqTopKTrained: serving plan has the stride IVFADC's exact shape") {
     // the composed trained index (v15) must serve through the identical
     // operator sequence as v9 — assignment + materialized code index +

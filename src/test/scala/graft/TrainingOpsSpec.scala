@@ -610,6 +610,57 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(t.nonEmpty && t.forall(x => x._1 != x._2 && x._3 >= 0.0))
   }
 
+  test("ivfSq8TopK: planted near-copy ranks first, refine == manual exact re-rank, " +
+      "With ≡ inline, refusals") {
+    def vec(i: Long): Seq[Double] = {
+      val anchor = (i % 4).toInt
+      Seq.tabulate(8)(d =>
+        (if (d % 4 == anchor) 1.0 else 0.0) +
+          0.05 * math.sin(i * (d + 1) * 0.61))
+    }
+    val base = (0L until 96L).map(i => (i, vec(i)))
+    val planted = Seq((97L, vec(1L).map(_ + 1e-4)))
+    val df = spark.createDataFrame(base ++ planted)
+      .toDF("vec_id", "embedding")
+    // cosine tier (no rerank): near-copy must survive int8 quantization
+    val cosRows = Similarity.ivfSq8TopK(df, "vec_id", "embedding",
+        centroidEvery = 24, queryPred = col("id") < 4, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val q1 = cosRows.filter(_._1 == 1L).sortBy(t => (-t._3, t._2))
+    assert(q1.nonEmpty && q1.head._2 == 97L,
+      s"planted near-copy must top the int8 cosine list, got ${q1.toSeq}")
+    // refined tier ranks by exact L2 and equals refineExact over the
+    // cosine shortlist computed independently
+    val refined = Similarity.ivfSq8TopK(df, "vec_id", "embedding",
+        centroidEvery = 24, queryPred = col("id") < 4, k = 3, rerank = 8,
+        nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._3, t._2))
+    val short = Similarity.ivfSq8TopK(df, "vec_id", "embedding",
+      centroidEvery = 24, queryPred = col("id") < 4, k = 8, nprobe = 2)
+    val manual = Similarity.refineExact(df, "vec_id", "embedding", short,
+        queryPred = col("id") < 4, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._3, t._2))
+    assert(refined.sameElements(manual),
+      "rerank path must equal refineExact over the int8 shortlist")
+    // With-codebook serve ≡ the inline trained serve (index/serve split)
+    val (cids, cvs) = Similarity.kmeansCodebook(df, "vec_id", "embedding",
+      24, iters = 1)
+    val viaWith = Similarity.ivfSq8TopKWith(df, "vec_id", "embedding",
+        cids, cvs, queryPred = col("id") < 4, k = 3, nprobe = 2)
+      .collect().map(_.toString).sorted.toSeq
+    val inline = Similarity.ivfSq8TopK(df, "vec_id", "embedding",
+        centroidEvery = 24, queryPred = col("id") < 4, k = 3, nprobe = 2,
+        coarseIters = 1)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaWith == inline)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfSq8TopK(df, "vec_id", "embedding", centroidEvery = 24,
+        queryPred = col("id") < 4, k = 5, rerank = 3) // rerank < k
+    }
+  }
+
   test("quantizeInt8: codes bounded, round-trip error bounded by scale/2, shuffle-free") {
     val rows = Seq(
       (0L, Seq(0.5, -1.0, 0.25, 0.0)),
@@ -880,6 +931,45 @@ class TrainingOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TextAnalysis.trainLogistic(corpus.filter(lit(false)), "doc_id",
         "text", col("y"))
+    }
+  }
+
+  test("langIdTrained: beats the heuristic langId on the mixed-script fixture; " +
+      "ties break to the alphabetically smallest language") {
+    val fx = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.mixedScriptFixture(col("text"), col("lang")).as("text"))
+      .persist()
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val models = langs.map(l => l -> TextAnalysis.trainLogistic(fx,
+      "doc_id", "text", col("lang") === l, buckets = 64, steps = 8,
+      lr = 256.0))
+    val pred = TextAnalysis.langIdTrained(fx, "doc_id", "text", models)
+      .join(fx.select("doc_id", "lang"), "doc_id").persist()
+    val n = pred.count().toDouble
+    val accTrained =
+      pred.filter(col("lang_pred") === col("lang")).count() / n
+    val heur = fx.select(col("lang"), TextAnalysis.langId(col("text"))
+      .as("hp"))
+    val accHeur = heur.filter(col("hp") === col("lang")).count() / n
+    assert(accTrained >= accHeur,
+      s"trained $accTrained must not lose to heuristic $accHeur")
+    assert(accTrained >= 0.8,
+      s"trained langid should separate the fixture, got $accTrained")
+    pred.unpersist(); fx.unpersist()
+    // empty doc: every model scores sigmoid(0) = 0.5 → the tie must go
+    // to the alphabetically smallest language in BOTH engines
+    import spark.implicits._
+    val empty = Seq((0L, "")).toDF("doc_id", "text")
+    val r0 = TextAnalysis.langIdTrained(empty, "doc_id", "text", models)
+      .head()
+    assert(r0.getString(1) == "de" && r0.getDouble(2) == 0.5)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.langIdTrained(empty, "doc_id", "text", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.langIdTrained(empty, "doc_id", "text",
+        Seq("a" -> Array(0.0), "b" -> Array(0.0, 0.0)))
     }
   }
 
@@ -1404,7 +1494,15 @@ class TrainingOpsSpec extends AnyFunSuite {
       // CRLF paragraph breaks (r13 ADVICE fix): "\r\n\r\n" must split
       // paragraphs — without normalization this doc is ONE paragraph
       // and the duplicate-paragraph tier silently passes
-      (6L, "aaaa bbbb cccc dddd\r\n\r\nzz\r\n\r\nzz\r\n\r\nzz"))
+      (6L, "aaaa bbbb cccc dddd\r\n\r\nzz\r\n\r\nzz\r\n\r\nzz"),
+      // classic-Mac twin (r14 ADVICE extension): lone \r line breaks,
+      // \r\r paragraph breaks — must trip exactly like docs 1L/3L
+      (7L, "aaaa bbbb cccc dddd\r\rzz\r\rzz\r\rzz"),
+      (8L, (longP +: (1 to 8).map(i => s"ll$i") :+ longP).mkString("\r")),
+      // U+2029 paragraph-separator twin of doc 1L (doubled: each
+      // separator normalizes to one \n, so a pair forms the \n\n
+      // paragraph break -- the char-level contract the oracle mirrors)
+      (9L, "aaaa bbbb cccc dddd\u2029\u2029zz\u2029\u2029zz\u2029\u2029zz"))
       .toDF("doc_id", "text")
     val cols = TextAnalysis.gopherRepetitionRules(col("text"))
       .map { case (n, c) => c.as(n) }
@@ -1424,7 +1522,13 @@ class TrainingOpsSpec extends AnyFunSuite {
       assert(rule(5L, s"r_dup${n}gram_chars") == 0, s"dup$n must trip"))
     assert(rule(6L, "r_dup_paragraphs") == 0,
       "CRLF paragraph breaks must split (the doc 1L twin with \\r\\n)")
-    (1L to 6L).foreach(id => assert(rule(id, "keep_rep") == 0))
+    assert(rule(7L, "r_dup_paragraphs") == 0,
+      "classic-Mac \\r\\r paragraph breaks must split (doc 1L twin)")
+    assert(rule(8L, "r_dup_line_chars") == 0,
+      "classic-Mac \\r line breaks must split (doc 3L twin)")
+    assert(rule(9L, "r_dup_paragraphs") == 0,
+      "U+2029 paragraph separators must split (doc 1L twin)")
+    (1L to 9L).foreach(id => assert(rule(id, "keep_rep") == 0))
     // the full published gate: quality AND repetition
     val keepAll = rdocs.select(col("doc_id"),
         TextAnalysis.gopherKeepAll(col("text")).as("ka")).collect()

@@ -368,7 +368,8 @@ class TrainingPropertySpec extends AnyFunSuite {
       val ws = spTrim(text).split("\\s+").filter(_.nonEmpty).toSeq
       val nW = ws.size.toDouble
       val meanLen = ws.map(_.length.toLong).sum.toDouble / math.max(nW, 1.0)
-      val lines = text.replace("\r\n", "\n")
+      val lines = text.replace("\r\n", "\n").replace('\r', '\n')
+        .replace(0x2028.toChar, '\n').replace(0x2029.toChar, '\n')
         .split("\n", -1).map(spTrim).filter(_.nonEmpty).toSeq
       val nL = lines.size.toDouble
       val bulletFrac = lines.count(l =>
@@ -398,7 +399,7 @@ class TrainingPropertySpec extends AnyFunSuite {
       (bits :+ bits.forall(identity)).map(b => if (b) 1 else 0)
     }
     val docsGen = Gen.choose(3, 8)
-      .flatMap(n => Gen.listOfN(n, gopherDocGen))
+      .flatMap(n => Gen.listOfN(n, gopherDocGen.flatMap(withBreakStyle)))
       .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
     forAll(docsGen, n = 15) { rows =>
       val cols = TextAnalysis.gopherRules(col("text"))
@@ -438,18 +439,28 @@ class TrainingPropertySpec extends AnyFunSuite {
     }
   }
 
+  /** Rewrite a doc's "\n" breaks into one of the line-break forms the
+    * suites must normalize: CRLF, lone \r (classic-Mac), or the Unicode
+    * line/paragraph separators U+2028/U+2029 (r14 ADVICE extension). */
+  private def withBreakStyle(d: String): org.scalacheck.Gen[String] =
+    Gen.frequency(
+      4 -> Gen.const(d),
+      1 -> Gen.const(d.replace("\n", "\r\n")),
+      1 -> Gen.const(d.replace('\n', '\r')),
+      1 -> Gen.const(d.replace('\n', 0x2028.toChar)),
+      1 -> Gen.const(d.replace('\n', 0x2029.toChar)))
+
   private lazy val repDocGenCrlf: org.scalacheck.Gen[String] =
-    for {
-      d <- repDocGen
-      crlf <- Gen.frequency(3 -> Gen.const(false), 1 -> Gen.const(true))
-    } yield if (crlf) d.replace("\n", "\r\n") else d
+    repDocGen.flatMap(withBreakStyle)
 
   test("property: gopherRepetitionRules ≡ an independent driver-side " +
       "reimplementation of every repetition tier on random docs") {
     def spTrim(s: String): String =
       s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
     def expect(text0: String): Seq[Int] = {
-      val text = text0.replace("\r\n", "\n") // the r13 CRLF contract
+      // the r13 CRLF contract, extended r14 to lone \r and U+2028/29
+      val text = text0.replace("\r\n", "\n").replace('\r', '\n')
+        .replace(0x2028.toChar, '\n').replace(0x2029.toChar, '\n')
       val nc = math.max(text.length.toDouble, 1.0)
       val lines = text.split("\n", -1).map(spTrim).filter(_.nonEmpty).toSeq
       val paras = text.split("\n\n", -1).map(spTrim).filter(_.nonEmpty).toSeq
