@@ -8466,6 +8466,27 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // HNSW-routed IVF (the faiss IndexHNSWFlat-as-coarse-quantizer
+    // story — past a few thousand cells the brute-force O(C·d) per-row
+    // assignment dominates; the greedy graph walk costs O(M·log C·d)):
+    // a deterministic navigable graph over a 40-cell stride codebook
+    // (portable-hash geometric levels, top-M-by-rounded-cosine
+    // adjacency per layer, strict-improvement steepest-ascent descent),
+    // corpus rows land in their walk's layer-0 local maximum, queries
+    // probe it plus its best layer-0 neighbor. DuckDB replays the ENTIRE
+    // structure relationally — levels, per-layer adjacency ranks, entry
+    // point, and the walk itself as a recursive CTE over a precomputed
+    // (point, layer, node) → best-neighbor transition table — then the
+    // cell join + top-k tail.
+    "v22_ivf_hnsw" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val every = math.max(1L, emb.count() / 40).toInt
+      graft.operators.Similarity.ivfHnswTopK(emb, "vec_id", "embedding",
+          centroidEvery = every, m = 4, queryPred = col("id") < 10, k = 3,
+          nprobe = 2, maxLevelCap = 4)
+        .orderBy(col("query_id"), desc("sim"), col("neighbor_id"))
+    }),
+
     // IVF-SQ8 (the faiss IndexIVFScalarQuantizer analog — the middle
     // memory tier between raw IVF and IVFADC): trained coarse codebook
     // (one Lloyd round), probed cells scan INT8 codes (per-dimension
@@ -8581,6 +8602,86 @@ object Queries {
          |SELECT doc_id, n_tokens, score FROM lg_sc
          |WHERE score >= (SELECT avg(y) FROM lg_tr)
          |ORDER BY doc_id""".stripMargin,
+
+    // the full HNSW replay: portable-hash geometric levels over the
+    // stride codebook, per-layer top-M adjacency ranks, the max-level
+    // entry, a (point, layer, node) → best-neighbor transition table,
+    // the strict-improvement walk as a recursive CTE (move while the
+    // best neighbor strictly improves, else descend a layer, stop at
+    // layer 0), then probes = [local max, its best layer-0 neighbor]
+    // and the standard cell-join + top-k tail
+    "v22_ivf_hnsw" ->
+      s"""WITH RECURSIVE vecs AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |stride AS (SELECT GREATEST(1, count(*) // 40) AS s FROM vecs),
+         |nodes AS MATERIALIZED (SELECT id AS cid, v AS cv,
+         |    LEAST(CAST(floor(-ln((${sqlCharFold("CAST(id AS VARCHAR)")}
+         |        + 1) / 2147483648.0) / ln(4.0)) AS INT), 4) AS lvl
+         |  FROM vecs WHERE id % (SELECT s FROM stride) = 0),
+         |entry AS MATERIALIZED (SELECT cid FROM nodes
+         |  ORDER BY lvl DESC, cid LIMIT 1),
+         |npairs AS MATERIALIZED (SELECT a.cid AS i, b.cid AS j,
+         |    a.lvl AS li, b.lvl AS lj,
+         |    round(${sqlDot("a.cv", "b.cv")} /
+         |      (sqrt(${sqlNormSq("a.cv")}) * sqrt(${sqlNormSq("b.cv")})),
+         |      6) AS sim
+         |  FROM nodes a JOIN nodes b ON a.cid <> b.cid),
+         |adj AS MATERIALIZED (SELECT l, i, j FROM (
+         |    SELECT ls.l, p.i, p.j, row_number() OVER (
+         |      PARTITION BY ls.l, p.i ORDER BY p.sim DESC, p.j) AS rn
+         |    FROM (SELECT unnest(range(0, 5)) AS l) ls
+         |    JOIN npairs p ON p.li >= ls.l AND p.lj >= ls.l)
+         |  WHERE rn <= 4),
+         |psim AS MATERIALIZED (SELECT p.id AS pid, n.cid,
+         |    round(${sqlDot("p.v", "n.cv")} /
+         |      (sqrt(${sqlNormSq("p.v")}) * sqrt(${sqlNormSq("n.cv")})),
+         |      6) AS sim
+         |  FROM vecs p CROSS JOIN nodes n),
+         |trans AS MATERIALIZED (SELECT pid, l, cur, best, bsim FROM (
+         |    SELECT ps.pid, a.l, a.i AS cur, a.j AS best, ps.sim AS bsim,
+         |      row_number() OVER (PARTITION BY ps.pid, a.l, a.i
+         |        ORDER BY ps.sim DESC, a.j) AS rn
+         |    FROM adj a JOIN psim ps ON ps.cid = a.j)
+         |  WHERE rn = 1),
+         |walk AS (
+         |  SELECT ps.pid, 4 AS layer, e.cid AS cur, ps.sim AS csim
+         |  FROM entry e JOIN psim ps ON ps.cid = e.cid
+         |  UNION ALL
+         |  SELECT w.pid,
+         |    CASE WHEN coalesce(t.bsim, -2.0) > w.csim THEN w.layer
+         |      ELSE w.layer - 1 END,
+         |    CASE WHEN coalesce(t.bsim, -2.0) > w.csim THEN t.best
+         |      ELSE w.cur END,
+         |    CASE WHEN coalesce(t.bsim, -2.0) > w.csim THEN t.bsim
+         |      ELSE w.csim END
+         |  FROM walk w
+         |  LEFT JOIN trans t ON t.pid = w.pid AND t.l = w.layer
+         |    AND t.cur = w.cur
+         |  WHERE w.layer > 0 OR coalesce(t.bsim, -2.0) > w.csim),
+         |fin AS MATERIALIZED (SELECT w.pid, w.cur FROM walk w
+         |  LEFT JOIN trans t ON t.pid = w.pid AND t.l = 0
+         |    AND t.cur = w.cur
+         |  WHERE w.layer = 0 AND coalesce(t.bsim, -2.0) <= w.csim),
+         |corp AS (SELECT f.pid AS id, v.v, f.cur AS cell
+         |  FROM fin f JOIN vecs v ON v.id = f.pid),
+         |qp AS (SELECT f.pid AS query_id, v.v AS qv, pr.cell
+         |  FROM fin f JOIN vecs v ON v.id = f.pid,
+         |  LATERAL (SELECT f.cur AS cell
+         |           UNION ALL
+         |           SELECT t.best FROM trans t
+         |           WHERE t.pid = f.pid AND t.l = 0 AND t.cur = f.cur) pr
+         |  WHERE f.pid < 10),
+         |scored AS (SELECT query_id, c.id AS neighbor_id,
+         |  round(${sqlDot("qv", "c.v")} /
+         |    (sqrt(${sqlNormSq("qv")}) * sqrt(${sqlNormSq("c.v")})), 6)
+         |    AS sim
+         |  FROM qp JOIN corp c USING (cell) WHERE query_id <> c.id),
+         |rk AS (SELECT query_id, neighbor_id, sim, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, sim FROM rk WHERE rn <= 3
+         |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin,
 
     // five one-vs-rest training chains (ONE shared generator with the
     // t33/p9 oracles — the trainer replay cannot drift), then the

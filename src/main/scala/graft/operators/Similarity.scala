@@ -988,6 +988,116 @@ object Similarity {
       .drop("rn")
   }
 
+  /** Deterministic HNSW routing-graph BUILD over a coarse codebook
+    * (r14, v22 — the faiss `IndexHNSWFlat`-as-coarse-quantizer story:
+    * past a few thousand cells, brute-force O(C·d) per-row assignment
+    * dominates; the graph walk costs O(M·path·d) ≈ O(M·log C·d)).
+    * Fully engine-replayable:
+    *
+    *  - levels: the classic geometric assignment made DETERMINISTIC —
+    *    u = (charFold(str(cid)) + 1)/(Mod + 1) ∈ (0, 1],
+    *    level = min(⌊−ln(u)/ln(M)⌋, maxLevelCap) (the portable-hash
+    *    Gumbel/mixture trick; any SQL engine recomputes it);
+    *  - adjacency at layer l: among nodes of level ≥ l, each node's
+    *    top-M others by (ROUNDED cosine desc, cid asc) — the "naive"
+    *    HNSW neighbor rule (no diversity pruning), chosen because a
+    *    rank over pairs is exactly replayable relationally;
+    *  - entry: the max-level node, tie to the smallest cid.
+    *
+    * Build cost is O(C²·d) driver-side over the CODEBOOK (configuration
+    * scale, not corpus — the same boundedness contract as
+    * [[kmeansCodebook]]); at 100 TB the graph persists next to the
+    * codebook and serves many query batches. */
+  def buildHnswGraph(cids: Array[Long], cvs: Array[Array[Double]],
+      m: Int, maxLevelCap: Int = 4,
+      roundTo: Int = 6): graft.plans.HnswGraph = {
+    require(cids.nonEmpty, "buildHnswGraph: empty codebook")
+    require(m > 0, s"buildHnswGraph: need m > 0, got $m")
+    require(maxLevelCap >= 0,
+      s"buildHnswGraph: need maxLevelCap >= 0, got $maxLevelCap")
+    val n = cids.length
+    val mL = 1.0 / math.log(math.max(m, 2).toDouble)
+    val levels = cids.map { cid =>
+      val h = graft.plans.NativeExpressions.charFoldCompute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(cid.toString),
+        graft.functions.PortableHash.Mult, graft.functions.PortableHash.Mod)
+      val u = (h + 1).toDouble /
+        (graft.functions.PortableHash.Mod + 1).toDouble
+      math.min(math.floor(-math.log(u) * mL).toInt, maxLevelCap)
+    }
+    val norms = cvs.map(v => math.sqrt(v.map(x => x * x).sum))
+    def sim(i: Int, j: Int): Double = {
+      val a = cvs(i); val b = cvs(j)
+      var dp = 0.0; var k = 0
+      while (k < a.length) { dp += a(k) * b(k); k += 1 }
+      val denom = norms(i) * norms(j)
+      graft.plans.NativeExpressions.roundHalfUp(
+        if (denom == 0) 0.0 else dp / denom, roundTo)
+    }
+    val maxLevel = levels.max
+    val adj = Array.tabulate(maxLevelCap + 1) { l =>
+      val members = (0 until n).filter(levels(_) >= l)
+      Array.tabulate(n) { i =>
+        if (levels(i) < l) Array.empty[Int]
+        else members.filter(_ != i)
+          .sortBy(j => (-sim(i, j), cids(j))).take(m).toArray
+      }
+    }
+    val entry = (0 until n).minBy(i => (-levels(i), cids(i)))
+    new graft.plans.HnswGraph(cids, cvs, levels, adj, entry, maxLevel)
+  }
+
+  /** IVF top-k served through HNSW-routed assignment (r14, v22): the
+    * [[ivfTopKWith]] pipeline with the per-row brute-force centroid
+    * argmax replaced by the greedy graph walk
+    * ([[graft.plans.NativeExpressions.hnswAssignCompute]]) — corpus
+    * rows land in their walk's layer-0 local maximum, queries probe it
+    * plus its nearest layer-0 neighbors (nprobe total). Assignment is
+    * APPROXIMATE on both sides (the honest HNSW trade: recall bounded
+    * by the walk, measured in the ANN artifact), row-local, zero
+    * joins/shuffles; everything downstream is byte-identical to the
+    * IVF serve. */
+  def ivfHnswTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroidEvery: Int, m: Int, queryPred: Column, k: Int,
+      roundTo: Int = 6, nprobe: Int = 1, maxLevelCap: Int = 4
+  ): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val (cids, cvs) = strideCodebook(vecs, centroidEvery)
+    val graph = buildHnswGraph(cids, cvs, m, maxLevelCap, roundTo)
+    ivfHnswTopKWith(corpus, idCol, vecCol, graph, queryPred, k, roundTo,
+      nprobe)
+  }
+
+  /** [[ivfHnswTopK]] serving over a caller-supplied (persisted) graph —
+    * the index/serve split. */
+  private[graft] def ivfHnswTopKWith(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      graph: graft.plans.HnswGraph, queryPred: Column, k: Int,
+      roundTo: Int = 6, nprobe: Int = 1
+  ): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val bc = corpus.sparkSession.sparkContext.broadcast(graph)
+    val assigned = vecs.withColumn("__cells",
+      graft.plans.NativeExpressions.hnsw_assign_bc(col("v"), bc, nprobe,
+        roundTo))
+    val cells = assigned
+      .select(col("id"), col("v"), element_at(col("__cells"), 1).as("cell"))
+    val queries = assigned.filter(queryPred)
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        explode(col("__cells")).as("cell"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))
+    broadcast(queries)
+      .join(cells.select(col("id").as("neighbor_id"), col("v").as("cv"),
+        col("cell")), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), roundTo).as("sim"))
+      .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** IVF-SQ8 (r14) — the faiss `IndexIVFScalarQuantizer(QT_8bit)`
     * analog, the middle memory tier between raw IVF (8 B/dim here) and
     * IVFADC (m bytes/vector): probed cells scan INT8 codes. The index

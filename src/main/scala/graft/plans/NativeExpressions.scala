@@ -655,7 +655,19 @@ object NativeExpressions {
     * space; duplicate-unit char fractions count occurrences beyond the
     * first, top-n-gram = (count × len) of the most frequent gram (ties
     * to the longest), duplicate-n-gram fractions count ALL occurrences
-    * of grams seen ≥ 2 times; all over max(text code points, 1). */
+    * of grams seen ≥ 2 times; all over max(text code points, 1).
+    *
+    * DOCUMENTED DEVIATION from Rae et al. (r14 ADVICE note): the
+    * occurrence-count accounting (count × len over all occurrences)
+    * counts OVERLAPPING duplicated n-grams multiply, so the n-gram
+    * fractions can exceed 1 and sit STRICTLY ABOVE the
+    * character-coverage accounting most published reimplementations
+    * use (mark each covered character once). Near the 0.10-0.15
+    * thresholds this filter is therefore somewhat stricter than the
+    * published one — it can only drop MORE repetitive docs, never
+    * fewer. The DuckDB oracle mirrors the same accounting (parity is
+    * exact); the deviation is a fidelity note, not a correctness
+    * risk. */
   def gopherRepetitionCompute(s0: UTF8String)
       : org.apache.spark.sql.catalyst.InternalRow = {
     // Newline normalization first (r13 ADVICE fix; r14 extended to lone
@@ -900,6 +912,90 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** Greedy HNSW descent over a broadcast navigable graph — the scale
+    * path for LARGE coarse codebooks (r14, v22): brute-force assignment
+    * costs O(C·d) per row, the graph walk O(path·M·d) ≈ O(M·log C·d).
+    * Steepest-ascent by rounded cosine (sim desc, cid asc tie) from the
+    * entry node down the layers; probes = the layer-0 local maximum
+    * followed by its layer-0 neighbors ranked the same way. Every step
+    * is deterministic and SQL-replayable (the oracle walks the same
+    * graph with a recursive CTE). Returns up to nprobe cell ids. */
+  def hnswAssignCompute(vec: ArrayData, g: HnswGraph,
+      nprobe: Int, roundTo: Int): ArrayData = {
+    var vNormSq = 0.0
+    val d = vec.numElements()
+    val v = new Array[Double](d)
+    var i = 0
+    while (i < d) { v(i) = vec.getDouble(i); vNormSq += v(i) * v(i); i += 1 }
+    val vNorm = math.sqrt(vNormSq)
+    def simTo(pos: Int): Double = {
+      val cv = g.cvs(pos)
+      var dp = 0.0; var j = 0
+      while (j < cv.length) { dp += v(j) * cv(j); j += 1 }
+      val denom = vNorm * g.cnorms(pos)
+      roundHalfUp(if (denom == 0) 0.0 else dp / denom, roundTo)
+    }
+    var cur = g.entry
+    var curSim = simTo(cur)
+    var layer = g.maxLevel
+    while (layer >= 0) {
+      var improved = true
+      while (improved) {
+        improved = false
+        val nbs = g.adj(layer)(cur)
+        // steepest ascent: the best neighbor by (sim desc, cid asc);
+        // move only on STRICT sim improvement — ties never move, so
+        // the walk provably terminates and the SQL replay is one
+        // argmax + one strict comparison per step
+        var bestPos = -1; var bestSim = Double.NegativeInfinity
+        var k = 0
+        while (k < nbs.length) {
+          val nb = nbs(k)
+          val s = simTo(nb)
+          if (s > bestSim ||
+              (s == bestSim && bestPos >= 0 && g.cids(nb) < g.cids(bestPos))) {
+            bestPos = nb; bestSim = s
+          }
+          k += 1
+        }
+        if (bestPos >= 0 && bestSim > curSim) {
+          cur = bestPos; curSim = bestSim; improved = true
+        }
+      }
+      layer -= 1
+    }
+    // probes: the local max, then its layer-0 neighbors by (sim desc, cid)
+    val nbs0 = g.adj(0)(cur)
+    val scored = nbs0.map(p => (simTo(p), g.cids(p), p))
+      .sortBy(t => (-t._1, t._2))
+    val keep = math.min(nprobe, 1 + scored.length)
+    val out = new Array[Long](keep)
+    out(0) = g.cids(cur)
+    var o = 1
+    while (o < keep) { out(o) = scored(o - 1)._2; o += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  case class HnswAssignBC(child: Expression,
+      graph: org.apache.spark.broadcast.Broadcast[HnswGraph],
+      nprobe: Int, roundTo: Int) extends UnaryExpression {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(input: Any): Any =
+      hnswAssignCompute(input.asInstanceOf[ArrayData], graph.value,
+        nprobe, roundTo)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bcRef = ctx.addReferenceObj("hnswGraph", graph,
+        classOf[org.apache.spark.broadcast.Broadcast[HnswGraph]].getName)
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.NativeExpressions.hnswAssignCompute(" +
+          s"$c, (graft.plans.HnswGraph) $bcRef.value(), $nprobe, $roundTo)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): HnswAssignBC =
+      copy(child = newChild)
+  }
+
   case class NearestCentroidsBC(child: Expression,
       codebook: org.apache.spark.broadcast.Broadcast[Codebook],
       nprobe: Int, roundTo: Int) extends UnaryExpression {
@@ -975,6 +1071,11 @@ object NativeExpressions {
       nprobe: Int, roundTo: Int): Column =
     ColumnBridge.column(NearestCentroidsBC(
       ColumnBridge.expression(vec), codebook, nprobe, roundTo))
+  def hnsw_assign_bc(vec: Column,
+      graph: org.apache.spark.broadcast.Broadcast[HnswGraph],
+      nprobe: Int, roundTo: Int): Column =
+    ColumnBridge.column(HnswAssignBC(
+      ColumnBridge.expression(vec), graph, nprobe, roundTo))
   def bpe_encode_bc(toks: Column,
       model: org.apache.spark.broadcast.Broadcast[BpeModel]): Column =
     ColumnBridge.column(BpeEncodeBC(ColumnBridge.expression(toks), model))
@@ -1595,6 +1696,23 @@ final class Codebook(val cids: Array[Long], val cvs: Array[Array[Double]])
     val i = idIndex.get(java.lang.Long.valueOf(cell))
     require(i != null, s"Codebook: no centroid with id $cell")
     cvs(i.intValue)
+  }
+}
+
+/** HNSW routing graph over a coarse codebook (r14, v22): node `pos`
+  * carries cell id `cids(pos)`, vector `cvs(pos)`, level `levels(pos)`;
+  * `adj(layer)(pos)` lists neighbor POSITIONS ranked by (rounded cosine
+  * desc, cid asc), empty above the node's level. `entry` = the max-level
+  * node (tie to the smallest cid). Plain JVM arrays, top-level class —
+  * the [[Codebook]] transport/codegen rationale. Norms precomputed. */
+final class HnswGraph(
+    val cids: Array[Long], val cvs: Array[Array[Double]],
+    val levels: Array[Int], val adj: Array[Array[Array[Int]]],
+    val entry: Int, val maxLevel: Int) extends Serializable {
+  val cnorms: Array[Double] = cvs.map { v =>
+    var nsq = 0.0; var j = 0
+    while (j < v.length) { nsq += v(j) * v(j); j += 1 }
+    math.sqrt(nsq)
   }
 }
 

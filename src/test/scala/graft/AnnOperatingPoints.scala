@@ -383,6 +383,41 @@ object AnnOperatingPoints {
       }
       exactL2.unpersist()
 
+      // HNSW-routed IVF (r14, v22): greedy graph assignment at C=40
+      // cells vs the brute-force argmax at the same codebook — the cost
+      // claim is per-row assignment flops (O(M·logC·d) vs O(C·d), only
+      // visible at large C), the recall claim is how much the
+      // approximate walk loses. Graph builds outside timed()
+      // (train_sec).
+      {
+        val every40 = math.max(1L, n / 40).toInt
+        for (np <- Seq(1, 2)) {
+          val (sec, df) = timed(() =>
+            Similarity.ivfTopKFixedC(emb, "vec_id", "embedding", c = 40,
+              queryPred = qPred, k = k, nprobe = np, knownN = n))
+          val r = meanRecall(exact, df)
+          cells += s"""  "ivf_fixedC_c40_nprobe$np": {"sec": ${f"$sec%.3f"}, "recall_at_10": ${f"$r%.4f"}}"""
+          System.err.println(s"  ivf c=40 np=$np: ${f"$sec%.3f"}s recall=${f"$r%.4f"}")
+        }
+        val t0 = System.nanoTime()
+        val cents = emb.select(col("vec_id").as("id"),
+            Similarity.asDouble(col("embedding")).as("v"))
+          .filter(pmod(col("id"), lit(every40.toLong)) === 0)
+          .orderBy("id").collect()
+        val g = Similarity.buildHnswGraph(cents.map(_.getLong(0)),
+          cents.map(_.getSeq[Double](1).toArray), m = 8)
+        val trainSec = (System.nanoTime() - t0) / 1e9
+        for (np <- Seq(1, 2)) {
+          val (sec, df) = timed(() =>
+            Similarity.ivfHnswTopKWith(emb, "vec_id", "embedding", g,
+              queryPred = qPred, k = k, nprobe = np))
+          val r = meanRecall(exact, df)
+          cells += s"""  "ivf_hnsw_c40_m8_nprobe$np": {"sec": ${f"$sec%.3f"}, "train_sec": ${f"$trainSec%.3f"}, "recall_at_10": ${f"$r%.4f"}}"""
+          System.err.println(s"  ivf-hnsw c=40 m=8 np=$np: ${f"$sec%.3f"}s" +
+            s" (build ${f"$trainSec%.3f"}s) recall=${f"$r%.4f"}")
+        }
+      }
+
       exact.unpersist(); emb.unpersist()
       s""" "$label": {\n  "n_vectors": $n,\n${cells.result().mkString(",\n")}\n }"""
     }

@@ -535,6 +535,28 @@ class ScaleDesignSpec extends AnyFunSuite {
     assert(sq8.count() > 0)
   }
 
+  test("ivfHnswTopK: serving plan keeps raw IVF's wide-operator skeleton " +
+      "(graph routing changes per-row assignment COST O(C·d)→O(M·logC·d), " +
+      "not the shuffle/join structure)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val n = emb.count()
+    val wide = Set("Exchange", "BroadcastExchange", "Sort", "Window",
+      "WindowGroupLimit", "BroadcastHashJoin", "SortMergeJoin", "Generate",
+      "Scan parquet")
+    def skeleton(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect { case p => p.nodeName }
+        .filter(nm => wide.exists(nm.startsWith)).toSeq
+    val raw = Similarity.ivfTopKFixedC(emb, "vec_id", "embedding",
+      c = 10, queryPred = col("id") < 5, k = 3, nprobe = 2, knownN = n)
+    val hnsw = Similarity.ivfHnswTopK(emb, "vec_id", "embedding",
+      centroidEvery = math.max(1L, n / 10).toInt, m = 4,
+      queryPred = col("id") < 5, k = 3, nprobe = 2)
+    assert(skeleton(hnsw) == skeleton(raw),
+      s"wide-operator skeletons diverge:\n${skeleton(hnsw)}\nvs\n${skeleton(raw)}")
+    assert(shuffleCount(hnsw) == 1) // only the final top-k window
+    assert(hnsw.count() > 0)
+  }
+
   test("ivfPqTopKTrained: serving plan has the stride IVFADC's exact shape") {
     // the composed trained index (v15) must serve through the identical
     // operator sequence as v9 — assignment + materialized code index +

@@ -661,6 +661,74 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfHnswTopK: deterministic, planted near-copy found, walk lands on a " +
+      "layer-0 local maximum, With ≡ inline, refusals") {
+    def vec(i: Long): Seq[Double] = {
+      val anchor = (i % 4).toInt
+      Seq.tabulate(8)(d =>
+        (if (d % 4 == anchor) 1.0 else 0.0) +
+          0.05 * math.sin(i * (d + 1) * 0.61))
+    }
+    val base = (0L until 96L).map(i => (i, vec(i)))
+    val planted = Seq((97L, vec(1L).map(_ + 1e-4)))
+    val df = spark.createDataFrame(base ++ planted)
+      .toDF("vec_id", "embedding")
+    def run() = Similarity.ivfHnswTopK(df, "vec_id", "embedding",
+        centroidEvery = 8, m = 4, queryPred = col("id") < 4, k = 3,
+        nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, -t._3, t._2))
+    val a = run(); val b = run()
+    assert(a.sameElements(b), "hnsw serving must be deterministic")
+    val q1 = a.filter(_._1 == 1L)
+    assert(q1.nonEmpty && q1.head._2 == 97L,
+      s"planted near-copy must rank first for query 1, got ${q1.toSeq}")
+    // the walk's assigned cell is a LOCAL MAXIMUM of the layer-0 graph:
+    // no layer-0 neighbor of the cell is strictly closer to the vector
+    val vecs = df.select(col("vec_id").as("id"),
+      Similarity.asDouble(col("embedding")).as("v"))
+    val cids96 = vecs.filter(col("id") % 8 === 0).orderBy("id").collect()
+    val g = Similarity.buildHnswGraph(cids96.map(_.getLong(0)),
+      cids96.map(_.getSeq[Double](1).toArray), m = 4)
+    val bc = spark.sparkContext.broadcast(g)
+    val assigned = vecs.withColumn("__cells",
+        graft.plans.NativeExpressions.hnsw_assign_bc(col("v"), bc, 1, 6))
+      .collect().map(r => (r.getSeq[Double](1).toArray,
+        r.getSeq[Long](2).head))
+    def rsim(v: Array[Double], cv: Array[Double]): Double = {
+      val dp = v.zip(cv).map { case (x, y) => x * y }.sum
+      val dn = math.sqrt(v.map(x => x * x).sum) *
+        math.sqrt(cv.map(x => x * x).sum)
+      graft.plans.NativeExpressions.roundHalfUp(
+        if (dn == 0) 0.0 else dp / dn, 6)
+    }
+    val posOf = g.cids.zipWithIndex.toMap
+    assigned.foreach { case (v, cell) =>
+      val p = posOf(cell)
+      val s0 = rsim(v, g.cvs(p))
+      g.adj(0)(p).foreach { nb =>
+        assert(rsim(v, g.cvs(nb)) <= s0,
+          s"cell $cell is not a layer-0 local max for a vector")
+      }
+    }
+    // graph-reuse serve ≡ inline (index/serve split)
+    val viaWith = Similarity.ivfHnswTopKWith(df, "vec_id", "embedding", g,
+        queryPred = col("id") < 4, k = 3, nprobe = 2)
+      .collect().map(_.toString).sorted.toSeq
+    val inline = Similarity.ivfHnswTopK(df, "vec_id", "embedding",
+        centroidEvery = 8, m = 4, queryPred = col("id") < 4, k = 3,
+        nprobe = 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaWith == inline)
+    intercept[IllegalArgumentException] {
+      Similarity.buildHnswGraph(Array.empty[Long],
+        Array.empty[Array[Double]], m = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.buildHnswGraph(Array(1L), Array(Array(1.0)), m = 0)
+    }
+  }
+
   test("quantizeInt8: codes bounded, round-trip error bounded by scale/2, shuffle-free") {
     val rows = Seq(
       (0L, Seq(0.5, -1.0, 0.25, 0.0)),
