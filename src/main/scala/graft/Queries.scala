@@ -8459,9 +8459,13 @@ object Queries {
           TextAnalysis.mixedScriptFixture(col("text"), col("lang"))
             .as("text"))
       val langs = Seq("de", "en", "es", "fr", "zh")
-      val models = langs.map(l => l -> TextAnalysis.trainLogistic(docs,
-        "doc_id", "text", col("lang") === l, buckets = 64, steps = 8,
-        lr = 256.0))
+      // all five models train in ONE exploded aggregate per step
+      // (≤ 5·64 driver rows) — the trajectory is identical to five
+      // independent trainLogistic runs (pinned), so the oracle still
+      // replays the chains independently
+      val models = TextAnalysis.trainLogisticMulti(docs, "doc_id", "text",
+        langs.map(l => l -> (col("lang") === l)), buckets = 64, steps = 8,
+        lr = 256.0)
       TextAnalysis.langIdTrained(docs, "doc_id", "text", models)
         .orderBy("doc_id")
     }),

@@ -1387,6 +1387,64 @@ object TextAnalysis {
     linearScore(df, idCol, textCol, buckets, Some(w), 0.0, roundTo)
   }
 
+  /** One-vs-rest [[trainLogistic]] for K labels SHARING the feature
+    * pass (r14, t34): per step ONE exploded (label, bucket, err/n)
+    * aggregate computes every model's full-batch gradient together —
+    * ≤ K·B driver rows instead of K separate jobs per step (the
+    * trajectory is IDENTICAL to K independent trainLogistic runs: each
+    * label's error column uses its own weights, so the SQL oracle can
+    * still replay the chains independently). Returns label → weights,
+    * in input order. */
+  def trainLogisticMulti(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, labels: Seq[(String, Column)], buckets: Int = 64,
+      steps: Int = 3, lr: Double = 128.0,
+      roundTo: Int = 6): Seq[(String, Array[Double])] = {
+    require(labels.nonEmpty, "trainLogisticMulti: need at least one label")
+    require(buckets > 0 && steps >= 0 && lr > 0,
+      s"trainLogisticMulti: bad buckets=$buckets steps=$steps lr=$lr")
+    val k = labels.size
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    val bucketArr = transform(toks,
+      t => pmod(PortableHash.charFold(t), lit(buckets.toLong)))
+    val base = df
+      .select(array(labels.map(_._2.cast("double")): _*).as("ys"),
+        bucketArr.as("bs"))
+      .withColumn("n", size(col("bs")).cast("double"))
+      .persist()
+    try {
+      val nDocs = base.count().toDouble
+      require(nDocs > 0, "trainLogisticMulti: empty corpus")
+      val w = Array.fill(k, buckets)(0.0)
+      for (_ <- 0 until steps) {
+        // per label: e_l = sigmoid(dot_l / n) − y_l, over its OWN weights
+        val es = (0 until k).map { li =>
+          val wLit = array(w(li).map(lit): _*)
+          val dot = aggregate(col("bs"), lit(0.0),
+            (acc, b) => acc + element_at(wLit, b.cast("int") + 1))
+          val z = when(col("n") > 0, dot / col("n")).otherwise(lit(0.0))
+          lit(1.0) / (lit(1.0) + exp(-z)) -
+            element_at(col("ys"), li + 1)
+        }
+        val esArr = array(es: _*)
+        // one exploded (label, bucket, err/n) aggregate — ≤ K·B rows
+        val entries = flatten(transform(col("bs"), bb =>
+          transform(sequence(lit(0), lit(k - 1)), li =>
+            struct(li.as("l"), bb.as("b"),
+              (element_at(esArr, li + 1) / col("n")).as("g")))))
+        val g = base.select(explode(entries).as("eg"))
+          .groupBy(col("eg.l").as("l"), col("eg.b").as("b"))
+          .agg(sum(col("eg.g")).as("gs"))
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        for (li <- 0 until k; b <- 0 until buckets)
+          w(li)(b) = roundHalfUp(
+            w(li)(b) - lr * g.getOrElse((li, b.toLong), 0.0) / nDocs,
+            roundTo)
+      }
+      labels.map(_._1).zip(w.map(_.clone())).toSeq
+    } finally base.unpersist()
+  }
+
   /** TRAINED language-ID serving (r14, t34 — the trained tier over the
     * [[langId]] heuristic): one-vs-rest [[trainLogistic]] models (one
     * weight vector per language, all over the same B-bucket hashed-token

@@ -1002,6 +1002,28 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("trainLogisticMulti ≡ K independent trainLogistic runs, bit for bit") {
+    import spark.implicits._
+    val corpus = (0L until 150L).map { i =>
+      (i, s"tok${i % 7} tok${i % 11} marker${i % 3} tok${i % 13}")
+    }.toDF("doc_id", "text")
+    val labels = Seq(
+      "a" -> (col("doc_id") % 3 === 0),
+      "b" -> (col("doc_id") % 3 === 1),
+      "c" -> (col("doc_id") % 3 === 2))
+    val multi = TextAnalysis.trainLogisticMulti(corpus, "doc_id", "text",
+      labels, buckets = 16, steps = 4, lr = 128.0).toMap
+    labels.foreach { case (name, lab) =>
+      val solo = TextAnalysis.trainLogistic(corpus, "doc_id", "text", lab,
+        buckets = 16, steps = 4, lr = 128.0)
+      assert(multi(name).toSeq == solo.toSeq,
+        s"batched trajectory diverged for label $name")
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.trainLogisticMulti(corpus, "doc_id", "text", Seq.empty)
+    }
+  }
+
   test("langIdTrained: beats the heuristic langId on the mixed-script fixture; " +
       "ties break to the alphabetically smallest language") {
     val fx = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
