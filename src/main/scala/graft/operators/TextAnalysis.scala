@@ -820,9 +820,11 @@ object TextAnalysis {
     val wLit = array(w.map(lit): _*)
     val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
     val n = size(toks)
-    val dot = aggregate(toks, lit(0.0), (acc, t) =>
-      acc + element_at(wLit,
-        pmod(PortableHash.charFold(t), lit(dim.toLong)).cast("int") + 1))
+    // hash per token, then ONE codegen'd gather-sum (the HOF fold ran
+    // an interpreted lambda per token on the serving hot path)
+    val dot = graft.plans.NativeExpressions.bucket_gather_sum(
+      transform(toks, t => pmod(PortableHash.charFold(t), lit(dim.toLong))),
+      wLit)
     val z = when(n > 0, dot / n + bias).otherwise(lit(bias))
     df.select(col(idCol), n.cast("long").as("n_tokens"),
       round(lit(1.0) / (lit(1.0) + exp(-z)), roundTo).as("score"))
@@ -1325,6 +1327,10 @@ object TextAnalysis {
     val base = df
       .select(label.cast("double").as("y"), bucketArr.as("bs"))
       .withColumn("n", size(col("bs")).cast("double"))
+      // spread the per-document fold work across the cluster once: a
+      // single-file corpus otherwise trains on ONE task (the gradient
+      // math is per-row CPU, not IO — measured 8x wall at sf1)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .persist() // scanned once per step; feature arrays, not raw text
     try {
       val nDocs = base.count().toDouble
@@ -1332,16 +1338,19 @@ object TextAnalysis {
       var w = Array.fill(buckets)(0.0)
       for (_ <- 0 until steps) {
         val wLit = array(w.map(lit): _*)
-        val dot = aggregate(col("bs"), lit(0.0),
-          (acc, b) => acc + element_at(wLit, b.cast("int") + 1))
+        val dot = graft.plans.NativeExpressions.bucket_gather_sum(
+          col("bs"), wLit)
         val z = when(col("n") > 0, dot / col("n")).otherwise(lit(0.0))
         val e = lit(1.0) / (lit(1.0) + exp(-z)) - col("y")
         // one exploded (bucket, err/n) aggregate per step — ≤ buckets
-        // rows to the driver, map-side combined
-        val entries = transform(col("bs"),
-          bb => struct(bb.as("b"), (e / col("n")).as("g")))
-        val g = base.select(explode(entries).as("eg"))
-          .groupBy(col("eg.b").as("b")).agg(sum(col("eg.g")).as("gs"))
+        // rows to the driver, map-side combined. The err column rides
+        // through the Generate as a PASS-THROUGH value (evaluated once
+        // per document); referencing `e` inside a per-token lambda
+        // would re-run its O(tokens) interpreted dot-fold per TOKEN —
+        // the O(tokens²)-per-doc blowup this codebase keeps hunting
+        // (first measured here as a wedged sf1 bench pass)
+        val g = base.select((e / col("n")).as("g"), explode(col("bs")).as("b"))
+          .groupBy(col("b")).agg(sum(col("g")).as("gs"))
           .collect()
           .map(r => r.getLong(0) -> r.getDouble(1)).toMap
         w = Array.tabulate(buckets)(i =>
@@ -1365,8 +1374,8 @@ object TextAnalysis {
       t => pmod(PortableHash.charFold(t), lit(buckets.toLong)))
     val wLit = array(weights.map(lit): _*)
     val n = size(bucketArr).cast("double")
-    val dot = aggregate(bucketArr, lit(0.0),
-      (acc, b) => acc + element_at(wLit, b.cast("int") + 1))
+    val dot = graft.plans.NativeExpressions.bucket_gather_sum(
+      bucketArr, wLit)
     val z = when(n > 0, dot / n).otherwise(lit(0.0)) + lit(bias)
     val p = least(greatest(lit(1.0) / (lit(1.0) + exp(-z)), lit(1e-12)),
       lit(1.0 - 1e-12))
@@ -1410,6 +1419,8 @@ object TextAnalysis {
       .select(array(labels.map(_._2.cast("double")): _*).as("ys"),
         bucketArr.as("bs"))
       .withColumn("n", size(col("bs")).cast("double"))
+      // same single-file-corpus parallelism guard as [[trainLogistic]]
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .persist()
     try {
       val nDocs = base.count().toDouble
@@ -1419,23 +1430,28 @@ object TextAnalysis {
         // per label: e_l = sigmoid(dot_l / n) − y_l, over its OWN weights
         val es = (0 until k).map { li =>
           val wLit = array(w(li).map(lit): _*)
-          val dot = aggregate(col("bs"), lit(0.0),
-            (acc, b) => acc + element_at(wLit, b.cast("int") + 1))
+          val dot = graft.plans.NativeExpressions.bucket_gather_sum(
+            col("bs"), wLit)
           val z = when(col("n") > 0, dot / col("n")).otherwise(lit(0.0))
           lit(1.0) / (lit(1.0) + exp(-z)) -
             element_at(col("ys"), li + 1)
         }
-        val esArr = array(es: _*)
-        // one exploded (label, bucket, err/n) aggregate — ≤ K·B rows
-        val entries = flatten(transform(col("bs"), bb =>
-          transform(sequence(lit(0), lit(k - 1)), li =>
-            struct(li.as("l"), bb.as("b"),
-              (element_at(esArr, li + 1) / col("n")).as("g")))))
-        val g = base.select(explode(entries).as("eg"))
-          .groupBy(col("eg.l").as("l"), col("eg.b").as("b"))
-          .agg(sum(col("eg.g")).as("gs"))
+        // one token-exploded pass with K sums — ≤ B driver rows of K
+        // columns each. The K err/n values ride the Generate as ONE
+        // pass-through array computed per DOCUMENT; referencing the
+        // error expressions inside a per-token lambda re-ran their
+        // O(tokens) interpreted dot-folds per TOKEN — O(K·tokens²) per
+        // doc per step, first measured as a wedged sf1 bench pass —
+        // and exploding (label × token) rows cost K× the shuffle input
+        val gArr = array(es.map(_ / col("n")): _*)
+        val sums = (0 until k).map(li =>
+          sum(element_at(col("ga"), li + 1)).as(s"g$li"))
+        val g = base
+          .select(gArr.as("ga"), explode(col("bs")).as("b"))
+          .groupBy(col("b")).agg(sums.head, sums.tail: _*)
           .collect()
-          .map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+          .flatMap(r => (0 until k).map(li =>
+            (li, r.getLong(0)) -> r.getDouble(li + 1))).toMap
         for (li <- 0 until k; b <- 0 until buckets)
           w(li)(b) = roundHalfUp(
             w(li)(b) - lr * g.getOrElse((li, b.toLong), 0.0) / nDocs,
@@ -1470,8 +1486,8 @@ object TextAnalysis {
     val n = size(bucketArr).cast("double")
     val scored = models.sortBy(_._1).map { case (l, w) =>
       val wLit = array(w.map(lit): _*)
-      val dot = aggregate(bucketArr, lit(0.0),
-        (acc, b) => acc + element_at(wLit, b.cast("int") + 1))
+      val dot = graft.plans.NativeExpressions.bucket_gather_sum(
+        bucketArr, wLit)
       val z = when(n > 0, dot / n).otherwise(lit(0.0))
       l -> round(lit(1.0) / (lit(1.0) + exp(-z)), roundTo)
     }

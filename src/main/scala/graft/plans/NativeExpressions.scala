@@ -912,6 +912,44 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** Σ weights[b] over a bucket-id array — the hashed-feature dot
+    * product every linear-model surface here computes (linearScore
+    * serving, the logistic trainers' z, trained langid scoring). The
+    * HOF formulation `aggregate(bs, 0.0, acc + element_at(w, b+1))`
+    * runs an interpreted lambda per TOKEN (~1 µs each — 500M of them
+    * wedged the sf1 t34 bench pass); this is one codegen'd O(tokens)
+    * loop, value-identical (same left-to-right IEEE sum order). */
+  def bucketGatherSumCompute(bs: ArrayData, w: ArrayData): Double = {
+    val n = bs.numElements()
+    val wn = w.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val b = bs.getLong(i)
+      if (b < 0 || b >= wn)
+        throw new IllegalArgumentException(
+          s"bucket_gather_sum: bucket $b outside [0, $wn)")
+      s += w.getDouble(b.toInt)
+      i += 1
+    }
+    s
+  }
+
+  case class BucketGatherSum(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(bs: Any, w: Any): Any =
+      bucketGatherSumCompute(bs.asInstanceOf[ArrayData],
+        w.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (b, w) =>
+        s"graft.plans.NativeExpressions.bucketGatherSumCompute($b, $w)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): BucketGatherSum =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Greedy HNSW descent over a broadcast navigable graph — the scale
     * path for LARGE coarse codebooks (r14, v22): brute-force assignment
     * costs O(C·d) per row, the graph walk O(path·M·d) ≈ O(M·log C·d).
@@ -1071,6 +1109,9 @@ object NativeExpressions {
       nprobe: Int, roundTo: Int): Column =
     ColumnBridge.column(NearestCentroidsBC(
       ColumnBridge.expression(vec), codebook, nprobe, roundTo))
+  def bucket_gather_sum(bs: Column, w: Column): Column =
+    ColumnBridge.column(BucketGatherSum(
+      ColumnBridge.expression(bs), ColumnBridge.expression(w)))
   def hnsw_assign_bc(vec: Column,
       graph: org.apache.spark.broadcast.Broadcast[HnswGraph],
       nprobe: Int, roundTo: Int): Column =
