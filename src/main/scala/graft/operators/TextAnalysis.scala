@@ -823,7 +823,8 @@ object TextAnalysis {
     // hash per token, then ONE codegen'd gather-sum (the HOF fold ran
     // an interpreted lambda per token on the serving hot path)
     val dot = graft.plans.NativeExpressions.bucket_gather_sum(
-      transform(toks, t => pmod(PortableHash.charFold(t), lit(dim.toLong))),
+      graft.plans.NativeExpressions.hash_buckets(
+        toks, dim.toLong, PortableHash.Mult, PortableHash.Mod),
       wLit)
     val z = when(n > 0, dot / n + bias).otherwise(lit(bias))
     df.select(col(idCol), n.cast("long").as("n_tokens"),
@@ -1215,8 +1216,8 @@ object TextAnalysis {
       roundTo: Int = 6): org.apache.spark.sql.DataFrame = {
     require(buckets > 0, "dsirWeights: buckets must be positive")
     val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
-    val bucketArr = transform(toks,
-      t => pmod(PortableHash.charFold(t), lit(buckets.toLong)))
+    val bucketArr = graft.plans.NativeExpressions.hash_buckets(
+      toks, buckets.toLong, PortableHash.Mult, PortableHash.Mod)
     dsirProfileFold(df, idCol, bucketArr, target, buckets, roundTo)
   }
 
@@ -1322,8 +1323,8 @@ object TextAnalysis {
     require(steps >= 0, s"trainLogistic: need steps >= 0, got $steps")
     require(lr > 0, s"trainLogistic: need lr > 0, got $lr")
     val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
-    val bucketArr = transform(toks,
-      t => pmod(PortableHash.charFold(t), lit(buckets.toLong)))
+    val bucketArr = graft.plans.NativeExpressions.hash_buckets(
+      toks, buckets.toLong, PortableHash.Mult, PortableHash.Mod)
     val base = df
       .select(label.cast("double").as("y"), bucketArr.as("bs"))
       .withColumn("n", size(col("bs")).cast("double"))
@@ -1349,7 +1350,12 @@ object TextAnalysis {
         // would re-run its O(tokens) interpreted dot-fold per TOKEN —
         // the O(tokens²)-per-doc blowup this codebase keeps hunting
         // (first measured here as a wedged sf1 bench pass)
-        val g = base.select((e / col("n")).as("g"), explode(col("bs")).as("b"))
+        // two-step select: a single select-with-explode is analyzed as
+        // Project ABOVE the Generate, i.e. the err expression (one
+        // O(tokens) gather) would re-evaluate per TOKEN — the separate
+        // projection pins it below the Generate, once per document
+        val g = base.select((e / col("n")).as("g"), col("bs"))
+          .select(col("g"), explode(col("bs")).as("b"))
           .groupBy(col("b")).agg(sum(col("g")).as("gs"))
           .collect()
           .map(r => r.getLong(0) -> r.getDouble(1)).toMap
@@ -1370,8 +1376,8 @@ object TextAnalysis {
       bias: Double = 0.0): Double = {
     val buckets = weights.length
     val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
-    val bucketArr = transform(toks,
-      t => pmod(PortableHash.charFold(t), lit(buckets.toLong)))
+    val bucketArr = graft.plans.NativeExpressions.hash_buckets(
+      toks, buckets.toLong, PortableHash.Mult, PortableHash.Mod)
     val wLit = array(weights.map(lit): _*)
     val n = size(bucketArr).cast("double")
     val dot = graft.plans.NativeExpressions.bucket_gather_sum(
@@ -1413,8 +1419,8 @@ object TextAnalysis {
       s"trainLogisticMulti: bad buckets=$buckets steps=$steps lr=$lr")
     val k = labels.size
     val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
-    val bucketArr = transform(toks,
-      t => pmod(PortableHash.charFold(t), lit(buckets.toLong)))
+    val bucketArr = graft.plans.NativeExpressions.hash_buckets(
+      toks, buckets.toLong, PortableHash.Mult, PortableHash.Mod)
     val base = df
       .select(array(labels.map(_._2.cast("double")): _*).as("ys"),
         bucketArr.as("bs"))
@@ -1446,8 +1452,11 @@ object TextAnalysis {
         val gArr = array(es.map(_ / col("n")): _*)
         val sums = (0 until k).map(li =>
           sum(element_at(col("ga"), li + 1)).as(s"g$li"))
+        // two-step select — same per-document pinning as trainLogistic:
+        // analyzed as one select, the K gathers would run per TOKEN
         val g = base
-          .select(gArr.as("ga"), explode(col("bs")).as("b"))
+          .select(gArr.as("ga"), col("bs"))
+          .select(col("ga"), explode(col("bs")).as("b"))
           .groupBy(col("b")).agg(sums.head, sums.tail: _*)
           .collect()
           .flatMap(r => (0 until k).map(li =>
@@ -1481,8 +1490,8 @@ object TextAnalysis {
     require(models.forall(_._2.length == buckets),
       "langIdTrained: all models must share one bucket space")
     val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
-    val bucketArr = transform(toks,
-      t => pmod(PortableHash.charFold(t), lit(buckets.toLong)))
+    val bucketArr = graft.plans.NativeExpressions.hash_buckets(
+      toks, buckets.toLong, PortableHash.Mult, PortableHash.Mod)
     val n = size(bucketArr).cast("double")
     val scored = models.sortBy(_._1).map { case (l, w) =>
       val wLit = array(w.map(lit): _*)

@@ -912,6 +912,40 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** Token array → feature-bucket array: pmod(charFold(t), buckets) per
+    * element in one codegen'd loop. The HOF form
+    * `transform(toks, t => pmod(charFold(t), B))` pays an interpreted
+    * ArrayTransform lambda per TOKEN — measured as the dominant cost of
+    * the linear-model serving scan at sf1 (12.5M tokens through
+    * interpreted eval on a single input split). Value-identical. */
+  def hashBucketsCompute(toks: ArrayData, buckets: Long,
+      mult: Long, mod: Long): ArrayData = {
+    val n = toks.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val h = charFoldCompute(toks.getUTF8String(i), mult, mod)
+      out(i) = ((h % buckets) + buckets) % buckets
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  case class HashBuckets(child: Expression, buckets: Long,
+      mult: Long, mod: Long) extends UnaryExpression {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(input: Any): Any =
+      hashBucketsCompute(input.asInstanceOf[ArrayData], buckets, mult, mod)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.NativeExpressions.hashBucketsCompute(" +
+          s"$c, ${buckets}L, ${mult}L, ${mod}L)")
+    override protected def withNewChildInternal(newChild: Expression): HashBuckets =
+      copy(child = newChild)
+  }
+
   /** Σ weights[b] over a bucket-id array — the hashed-feature dot
     * product every linear-model surface here computes (linearScore
     * serving, the logistic trainers' z, trained langid scoring). The
@@ -1109,6 +1143,9 @@ object NativeExpressions {
       nprobe: Int, roundTo: Int): Column =
     ColumnBridge.column(NearestCentroidsBC(
       ColumnBridge.expression(vec), codebook, nprobe, roundTo))
+  def hash_buckets(toks: Column, buckets: Long, mult: Long, mod: Long): Column =
+    ColumnBridge.column(HashBuckets(ColumnBridge.expression(toks),
+      buckets, mult, mod))
   def bucket_gather_sum(bs: Column, w: Column): Column =
     ColumnBridge.column(BucketGatherSum(
       ColumnBridge.expression(bs), ColumnBridge.expression(w)))
