@@ -191,9 +191,17 @@ object Bench {
     // machine-readable record a reader should lift first.
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,$env}"""
-    try Files.writeString(Paths.get(outFile), fullJson + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    // hash the EXACT bytes written (trailing newline included) so
+    // `sha256sum <outFile>` matches the advertised digest (r15 — the
+    // r14 stamp hashed the string without the newline and could not be
+    // authenticated without stripping it); when the write fails the
+    // summary must not advertise a file/digest that does not exist
+    val fileBytes = (fullJson + "\n").getBytes("UTF-8")
+    val fileWritten =
+      try { Files.write(Paths.get(outFile), fileBytes); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+        false }
     // STDOUT protocol (r14 — seven rounds of driver tail-capture
     // truncation: ~280 queries × ~30 B of key+value ≈ 9 KB can NEVER
     // survive a ~2 KB tail window as one line). Emit:
@@ -220,15 +228,19 @@ object Bench {
         s""""queries":{${p.mkString(",")}}}""")
     }
     val sha = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(fullJson.getBytes("UTF-8"))
+      .digest(fileBytes)
       .map(b => f"$b%02x").mkString
     val top = results.sortBy(-_._2).take(20).map { case (k, v) =>
         "\"" + k + "\":" + (math.round(v * 10000) / 10000.0) }
       .mkString("{", ",", "}")
+    val fileInfo =
+      if (fileWritten)
+        s""""queries_file":"$outFile","queries_sha256":"$sha","""
+      else """"queries_file_write_failed":true,"""
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,""" +
       s""""queries_shown":"top20_by_sec","queries_n":${results.size},""" +
-      s""""queries_file":"$outFile","queries_sha256":"$sha",""" +
+      fileInfo +
       s""""sf":"$sfDir","runs":$runs,$env}""")
     spark.stop()
   }

@@ -8383,6 +8383,16 @@ object Queries {
 
   // ===== batch 17: round-14 — trained quality classifier (t33/p9) =====
 
+  // v22 tuning constants — ONE definition feeds BOTH the Spark query
+  // and the SQL oracle generator ([[sqlHnswOracle]]), so retuning the
+  // query cannot silently desynchronize the oracle (r15, ADVICE: the
+  // r14 oracle hardcoded m/cap/nprobe/ln(4.0) as literals)
+  private val V22Cells = 40
+  private val V22M = 4
+  private val V22Cap = 4
+  private val V22NProbe = 2
+  private val V22K = 3
+
   private val batch17: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // TRAINED quality classifier (the fastText curation recipe — the
@@ -8484,10 +8494,10 @@ object Queries {
     // cell join + top-k tail.
     "v22_ivf_hnsw" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      val every = math.max(1L, emb.count() / 40).toInt
+      val every = math.max(1L, emb.count() / V22Cells).toInt
       graft.operators.Similarity.ivfHnswTopK(emb, "vec_id", "embedding",
-          centroidEvery = every, m = 4, queryPred = col("id") < 10, k = 3,
-          nprobe = 2, maxLevelCap = 4)
+          centroidEvery = every, m = V22M, queryPred = col("id") < 10,
+          k = V22K, nprobe = V22NProbe, maxLevelCap = V22Cap)
         .orderBy(col("query_id"), desc("sim"), col("neighbor_id"))
     }),
 
@@ -8555,7 +8565,8 @@ object Queries {
         s"""${prefix}_e$k AS MATERIALIZED (SELECT doc_id, bs, n,
            |    1.0 / (1.0 + exp(-($zOf))) - y AS e
            |  FROM ${prefix}_tr CROSS JOIN ${prefix}_w$p),
-           |${prefix}_g$k AS MATERIALIZED (SELECT b, sum(g) AS gs FROM (
+           |${prefix}_g$k AS MATERIALIZED (SELECT b, round(sum(g), 9) AS gs
+           |  FROM (
            |    SELECT unnest(bs) AS b, e / n AS g FROM ${prefix}_e$k)
            |  GROUP BY b),
            |${prefix}_w$k AS MATERIALIZED (SELECT
@@ -8573,6 +8584,93 @@ object Queries {
          |    round(1.0 / (1.0 + exp(-($zOf))), $roundTo) AS score
          |  FROM ${prefix}_sv CROSS JOIN ${prefix}_w$steps)""".stripMargin)
     sb.toString
+  }
+
+  /** DuckDB replay of [[graft.operators.Similarity.ivfHnswTopK]],
+    * GENERATED from the tuning constants the Spark query passes
+    * (cells/m/cap/nprobe/k — r15, ADVICE: the r14 oracle spelled them
+    * as literals, so retuning the query could silently desynchronize
+    * it). `rkd` ranks every (point, layer, node)'s graph neighbors by
+    * (sim-to-point DESC, cid ASC) ONCE: rank 1 at the current layer is
+    * the walk transition; layer-0 ranks ≤ nprobe−1 are the extra
+    * probes beside the walk's local maximum. */
+  private def sqlHnswOracle(cells: Int, m: Int, cap: Int, nprobe: Int,
+      k: Int, roundTo: Int = 6): String = {
+    val lnBase = s"ln(${math.max(m, 2)}.0)"
+    s"""WITH RECURSIVE vecs AS (SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |stride AS (SELECT GREATEST(1, count(*) // $cells) AS s FROM vecs),
+       |nodes AS MATERIALIZED (SELECT id AS cid, v AS cv,
+       |    LEAST(CAST(floor(-ln((${sqlCharFold("CAST(id AS VARCHAR)")}
+       |        + 1) / 2147483648.0) / $lnBase) AS INT), $cap) AS lvl
+       |  FROM vecs WHERE id % (SELECT s FROM stride) = 0),
+       |entry AS MATERIALIZED (SELECT cid FROM nodes
+       |  ORDER BY lvl DESC, cid LIMIT 1),
+       |npairs AS MATERIALIZED (SELECT a.cid AS i, b.cid AS j,
+       |    a.lvl AS li, b.lvl AS lj,
+       |    round(${sqlDot("a.cv", "b.cv")} /
+       |      (sqrt(${sqlNormSq("a.cv")}) * sqrt(${sqlNormSq("b.cv")})),
+       |      $roundTo) AS sim
+       |  FROM nodes a JOIN nodes b ON a.cid <> b.cid),
+       |adj AS MATERIALIZED (SELECT l, i, j FROM (
+       |    SELECT ls.l, p.i, p.j, row_number() OVER (
+       |      PARTITION BY ls.l, p.i ORDER BY p.sim DESC, p.j) AS rn
+       |    FROM (SELECT unnest(range(0, ${cap + 1})) AS l) ls
+       |    JOIN npairs p ON p.li >= ls.l AND p.lj >= ls.l)
+       |  WHERE rn <= $m),
+       |psim AS MATERIALIZED (SELECT p.id AS pid, n.cid,
+       |    round(${sqlDot("p.v", "n.cv")} /
+       |      (sqrt(${sqlNormSq("p.v")}) * sqrt(${sqlNormSq("n.cv")})),
+       |      $roundTo) AS sim
+       |  FROM vecs p CROSS JOIN nodes n),
+       |rkd AS MATERIALIZED (SELECT ps.pid, a.l, a.i AS cur, a.j,
+       |    ps.sim,
+       |    row_number() OVER (PARTITION BY ps.pid, a.l, a.i
+       |      ORDER BY ps.sim DESC, a.j) AS rn
+       |  FROM adj a JOIN psim ps ON ps.cid = a.j),
+       |trans AS MATERIALIZED (SELECT pid, l, cur, j AS best,
+       |    sim AS bsim
+       |  FROM rkd WHERE rn = 1),
+       |walk AS (
+       |  SELECT ps.pid, $cap AS layer, e.cid AS cur, ps.sim AS csim
+       |  FROM entry e JOIN psim ps ON ps.cid = e.cid
+       |  UNION ALL
+       |  SELECT w.pid,
+       |    CASE WHEN coalesce(t.bsim, -2.0) > w.csim THEN w.layer
+       |      ELSE w.layer - 1 END,
+       |    CASE WHEN coalesce(t.bsim, -2.0) > w.csim THEN t.best
+       |      ELSE w.cur END,
+       |    CASE WHEN coalesce(t.bsim, -2.0) > w.csim THEN t.bsim
+       |      ELSE w.csim END
+       |  FROM walk w
+       |  LEFT JOIN trans t ON t.pid = w.pid AND t.l = w.layer
+       |    AND t.cur = w.cur
+       |  WHERE w.layer > 0 OR coalesce(t.bsim, -2.0) > w.csim),
+       |fin AS MATERIALIZED (SELECT w.pid, w.cur FROM walk w
+       |  LEFT JOIN trans t ON t.pid = w.pid AND t.l = 0
+       |    AND t.cur = w.cur
+       |  WHERE w.layer = 0 AND coalesce(t.bsim, -2.0) <= w.csim),
+       |corp AS (SELECT f.pid AS id, v.v, f.cur AS cell
+       |  FROM fin f JOIN vecs v ON v.id = f.pid),
+       |qp AS (SELECT f.pid AS query_id, v.v AS qv, pr.cell
+       |  FROM fin f JOIN vecs v ON v.id = f.pid,
+       |  LATERAL (SELECT f.cur AS cell
+       |           UNION ALL
+       |           SELECT r0.j FROM rkd r0
+       |           WHERE r0.pid = f.pid AND r0.l = 0 AND r0.cur = f.cur
+       |             AND r0.rn <= ${nprobe - 1}) pr
+       |  WHERE f.pid < 10),
+       |scored AS (SELECT query_id, c.id AS neighbor_id,
+       |  round(${sqlDot("qv", "c.v")} /
+       |    (sqrt(${sqlNormSq("qv")}) * sqrt(${sqlNormSq("c.v")})),
+       |    $roundTo) AS sim
+       |  FROM qp JOIN corp c USING (cell) WHERE query_id <> c.id),
+       |rk AS (SELECT query_id, neighbor_id, sim, row_number() OVER (
+       |  PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, sim FROM rk WHERE rn <= $k
+       |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin
   }
 
   private val oracles17: Map[String, String] = Map(
@@ -8609,83 +8707,14 @@ object Queries {
 
     // the full HNSW replay: portable-hash geometric levels over the
     // stride codebook, per-layer top-M adjacency ranks, the max-level
-    // entry, a (point, layer, node) → best-neighbor transition table,
-    // the strict-improvement walk as a recursive CTE (move while the
-    // best neighbor strictly improves, else descend a layer, stop at
-    // layer 0), then probes = [local max, its best layer-0 neighbor]
-    // and the standard cell-join + top-k tail
+    // entry, a (point, layer, node) → ranked-neighbor table (rank 1 is
+    // the walk transition, ranks ≤ nprobe−1 at layer 0 are the extra
+    // probes), the strict-improvement walk as a recursive CTE (move
+    // while the best neighbor strictly improves, else descend a layer,
+    // stop at layer 0), then the standard cell-join + top-k tail.
+    // GENERATED from the same V22* constants the Spark query passes.
     "v22_ivf_hnsw" ->
-      s"""WITH RECURSIVE vecs AS (SELECT vec_id AS id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings),
-         |stride AS (SELECT GREATEST(1, count(*) // 40) AS s FROM vecs),
-         |nodes AS MATERIALIZED (SELECT id AS cid, v AS cv,
-         |    LEAST(CAST(floor(-ln((${sqlCharFold("CAST(id AS VARCHAR)")}
-         |        + 1) / 2147483648.0) / ln(4.0)) AS INT), 4) AS lvl
-         |  FROM vecs WHERE id % (SELECT s FROM stride) = 0),
-         |entry AS MATERIALIZED (SELECT cid FROM nodes
-         |  ORDER BY lvl DESC, cid LIMIT 1),
-         |npairs AS MATERIALIZED (SELECT a.cid AS i, b.cid AS j,
-         |    a.lvl AS li, b.lvl AS lj,
-         |    round(${sqlDot("a.cv", "b.cv")} /
-         |      (sqrt(${sqlNormSq("a.cv")}) * sqrt(${sqlNormSq("b.cv")})),
-         |      6) AS sim
-         |  FROM nodes a JOIN nodes b ON a.cid <> b.cid),
-         |adj AS MATERIALIZED (SELECT l, i, j FROM (
-         |    SELECT ls.l, p.i, p.j, row_number() OVER (
-         |      PARTITION BY ls.l, p.i ORDER BY p.sim DESC, p.j) AS rn
-         |    FROM (SELECT unnest(range(0, 5)) AS l) ls
-         |    JOIN npairs p ON p.li >= ls.l AND p.lj >= ls.l)
-         |  WHERE rn <= 4),
-         |psim AS MATERIALIZED (SELECT p.id AS pid, n.cid,
-         |    round(${sqlDot("p.v", "n.cv")} /
-         |      (sqrt(${sqlNormSq("p.v")}) * sqrt(${sqlNormSq("n.cv")})),
-         |      6) AS sim
-         |  FROM vecs p CROSS JOIN nodes n),
-         |trans AS MATERIALIZED (SELECT pid, l, cur, best, bsim FROM (
-         |    SELECT ps.pid, a.l, a.i AS cur, a.j AS best, ps.sim AS bsim,
-         |      row_number() OVER (PARTITION BY ps.pid, a.l, a.i
-         |        ORDER BY ps.sim DESC, a.j) AS rn
-         |    FROM adj a JOIN psim ps ON ps.cid = a.j)
-         |  WHERE rn = 1),
-         |walk AS (
-         |  SELECT ps.pid, 4 AS layer, e.cid AS cur, ps.sim AS csim
-         |  FROM entry e JOIN psim ps ON ps.cid = e.cid
-         |  UNION ALL
-         |  SELECT w.pid,
-         |    CASE WHEN coalesce(t.bsim, -2.0) > w.csim THEN w.layer
-         |      ELSE w.layer - 1 END,
-         |    CASE WHEN coalesce(t.bsim, -2.0) > w.csim THEN t.best
-         |      ELSE w.cur END,
-         |    CASE WHEN coalesce(t.bsim, -2.0) > w.csim THEN t.bsim
-         |      ELSE w.csim END
-         |  FROM walk w
-         |  LEFT JOIN trans t ON t.pid = w.pid AND t.l = w.layer
-         |    AND t.cur = w.cur
-         |  WHERE w.layer > 0 OR coalesce(t.bsim, -2.0) > w.csim),
-         |fin AS MATERIALIZED (SELECT w.pid, w.cur FROM walk w
-         |  LEFT JOIN trans t ON t.pid = w.pid AND t.l = 0
-         |    AND t.cur = w.cur
-         |  WHERE w.layer = 0 AND coalesce(t.bsim, -2.0) <= w.csim),
-         |corp AS (SELECT f.pid AS id, v.v, f.cur AS cell
-         |  FROM fin f JOIN vecs v ON v.id = f.pid),
-         |qp AS (SELECT f.pid AS query_id, v.v AS qv, pr.cell
-         |  FROM fin f JOIN vecs v ON v.id = f.pid,
-         |  LATERAL (SELECT f.cur AS cell
-         |           UNION ALL
-         |           SELECT t.best FROM trans t
-         |           WHERE t.pid = f.pid AND t.l = 0 AND t.cur = f.cur) pr
-         |  WHERE f.pid < 10),
-         |scored AS (SELECT query_id, c.id AS neighbor_id,
-         |  round(${sqlDot("qv", "c.v")} /
-         |    (sqrt(${sqlNormSq("qv")}) * sqrt(${sqlNormSq("c.v")})), 6)
-         |    AS sim
-         |  FROM qp JOIN corp c USING (cell) WHERE query_id <> c.id),
-         |rk AS (SELECT query_id, neighbor_id, sim, row_number() OVER (
-         |  PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
-         |  FROM scored)
-         |SELECT query_id, neighbor_id, sim FROM rk WHERE rn <= 3
-         |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin,
+      sqlHnswOracle(V22Cells, V22M, V22Cap, V22NProbe, V22K),
 
     // five one-vs-rest training chains (ONE shared generator with the
     // t33/p9 oracles — the trainer replay cannot drift), then the

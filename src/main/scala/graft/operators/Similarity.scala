@@ -1016,14 +1016,18 @@ object Similarity {
     require(maxLevelCap >= 0,
       s"buildHnswGraph: need maxLevelCap >= 0, got $maxLevelCap")
     val n = cids.length
-    val mL = 1.0 / math.log(math.max(m, 2).toDouble)
+    // -ln(u) / ln(M) as a DIVISION, operation-identical to the SQL
+    // oracle's floor(-ln(u) / ln(M)) — a precomputed reciprocal
+    // multiply can differ by 1 ulp, which under floor() at an integer
+    // boundary would flip a node's level (r15, ADVICE)
+    val lnM = math.log(math.max(m, 2).toDouble)
     val levels = cids.map { cid =>
       val h = graft.plans.NativeExpressions.charFoldCompute(
         org.apache.spark.unsafe.types.UTF8String.fromString(cid.toString),
         graft.functions.PortableHash.Mult, graft.functions.PortableHash.Mod)
       val u = (h + 1).toDouble /
         (graft.functions.PortableHash.Mod + 1).toDouble
-      math.min(math.floor(-math.log(u) * mL).toInt, maxLevelCap)
+      math.min(math.floor(-math.log(u) / lnM).toInt, maxLevelCap)
     }
     val norms = cvs.map(v => math.sqrt(v.map(x => x * x).sum))
     def sim(i: Int, j: Int): Double = {

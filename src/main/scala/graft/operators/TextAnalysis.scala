@@ -1354,11 +1354,18 @@ object TextAnalysis {
         // Project ABOVE the Generate, i.e. the err expression (one
         // O(tokens) gather) would re-evaluate per TOKEN — the separate
         // projection pins it below the Generate, once per document
+        // the collected per-bucket sums are ROUNDED (9 decimals) before
+        // the update so the compared quantity is order-INSENSITIVE —
+        // partial-sum order varies across the repartitioned shuffle vs
+        // DuckDB's sequential fold, and the 1e-6 update rounding alone
+        // only absorbs ulp noise probabilistically (an update landing
+        // within ~1e-14 of a .5e-6 boundary could diverge); the oracle
+        // (sqlLogisticChain) applies the same round(sum, 9)
         val g = base.select((e / col("n")).as("g"), col("bs"))
           .select(col("g"), explode(col("bs")).as("b"))
           .groupBy(col("b")).agg(sum(col("g")).as("gs"))
           .collect()
-          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+          .map(r => r.getLong(0) -> roundHalfUp(r.getDouble(1), 9)).toMap
         w = Array.tabulate(buckets)(i =>
           roundHalfUp(w(i) - lr * g.getOrElse(i.toLong, 0.0) / nDocs,
             roundTo))
@@ -1459,8 +1466,10 @@ object TextAnalysis {
           .select(col("ga"), explode(col("bs")).as("b"))
           .groupBy(col("b")).agg(sums.head, sums.tail: _*)
           .collect()
+          // same order-insensitive round(sum, 9) as [[trainLogistic]]
           .flatMap(r => (0 until k).map(li =>
-            (li, r.getLong(0)) -> r.getDouble(li + 1))).toMap
+            (li, r.getLong(0)) ->
+              roundHalfUp(r.getDouble(li + 1), 9))).toMap
         for (li <- 0 until k; b <- 0 until buckets)
           w(li)(b) = roundHalfUp(
             w(li)(b) - lr * g.getOrElse((li, b.toLong), 0.0) / nDocs,
