@@ -94,12 +94,12 @@ object Queries {
   def all: Map[String, (SparkSession, String) => DataFrame] =
     batch1 ++ batch2 ++ batch3 ++ batch4 ++ batch5 ++ batch6 ++ batch7 ++
       batch8 ++ batch9 ++ batch10 ++ batch11 ++ batch12 ++ batch13 ++
-      batch14 ++ batch15 ++ batch16 ++ batch17
+      batch14 ++ batch15 ++ batch16 ++ batch17 ++ batch18
   def oracles: Map[String, String] =
     oracles1 ++ oracles2 ++ oracles3 ++ oracles4 ++ oracles5 ++ oracles6 ++
       oracles7 ++ oracles8 ++ oracles9 ++ oracles10 ++ oracles11 ++
       oracles12 ++ oracles13 ++ oracles14 ++ oracles15 ++ oracles16 ++
-      oracles17
+      oracles17 ++ oracles18
 
   private val batch1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -8455,14 +8455,19 @@ object Queries {
 
     // TRAINED language ID (the trained tier over t7's heuristic — real
     // langid classifiers like fastText's lid.176 are trained, not
-    // rule-based): one-vs-rest logistic models per language over the
-    // shared 64-bucket hashed-token space, trained on the mixed-script
-    // fixture (the corpus whose accents/CJK actually mark language),
-    // served as a row-local argmax over the five sigmoid scores (ties
-    // to the alphabetically smallest language — matters only for
-    // empty-token docs where every model scores 0.5). 94% accuracy at
-    // sf0.01 vs the heuristic's script+stopword vote (pinned ≥ in
-    // ScalaTest). DuckDB replays all five training chains + the argmax.
+    // rule-based), at its PRODUCTION shape (r15 — the r14 entry trained
+    // 8 steps × 5 models on the FULL corpus inside the timed query, the
+    // suite's most expensive row): one-vs-rest logistic models per
+    // language over the shared 64-bucket hashed-token space train on a
+    // BOUNDED SEED slice (doc_id < 250 — p9's distillation shape; cost
+    // capped by the seed, not the corpus), PERSIST to parquet
+    // (saveLinearModels — the v17 codebook convention; parquet
+    // round-trips doubles bit-exactly, load→serve ≡ train→serve
+    // pinned), and the FULL corpus serves from the loaded artifact: one
+    // row-local argmax scan over a broadcast weight matrix (zero joins,
+    // zero shuffles; ties to the alphabetically smallest language —
+    // matters only for empty-token docs where every model scores 0.5).
+    // DuckDB replays all five seed-training chains + the argmax serve.
     "t34_trained_langid" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
@@ -8473,10 +8478,14 @@ object Queries {
       // (≤ 5·64 driver rows) — the trajectory is identical to five
       // independent trainLogistic runs (pinned), so the oracle still
       // replays the chains independently
-      val models = TextAnalysis.trainLogisticMulti(docs, "doc_id", "text",
+      val seed = docs.filter(col("doc_id") < 250)
+      val models = TextAnalysis.trainLogisticMulti(seed, "doc_id", "text",
         langs.map(l => l -> (col("lang") === l)), buckets = 64, steps = 8,
         lr = 256.0)
-      TextAnalysis.langIdTrained(docs, "doc_id", "text", models)
+      val art = java.nio.file.Files.createTempDirectory("graft_lm").toString
+      TextAnalysis.saveLinearModels(s, art, models)
+      TextAnalysis.langIdTrained(docs, "doc_id", "text",
+          TextAnalysis.loadLinearModels(s, art))
         .orderBy("doc_id")
     }),
 
@@ -8716,16 +8725,18 @@ object Queries {
     "v22_ivf_hnsw" ->
       sqlHnswOracle(V22Cells, V22M, V22Cap, V22NProbe, V22K),
 
-    // five one-vs-rest training chains (ONE shared generator with the
-    // t33/p9 oracles — the trainer replay cannot drift), then the
-    // argmax rank ORDER BY (score DESC, lang ASC), the SQL twin of the
-    // Spark side's strictly-greater fold over lang-sorted models
+    // five one-vs-rest training chains over the BOUNDED SEED slice
+    // (ONE shared generator with the t33/p9 oracles — the trainer
+    // replay cannot drift), full-corpus serving, then the argmax rank
+    // ORDER BY (score DESC, lang ASC), the SQL twin of the Spark
+    // side's broadcast argmax (strictly-greater over lang-sorted
+    // models)
     "t34_trained_langid" -> {
       val langs = Seq("de", "en", "es", "fr", "zh")
       val chains = langs.map { l =>
         s"""lab_$l AS (SELECT doc_id,
            |    CASE WHEN lang = '$l' THEN 1.0 ELSE 0.0 END AS y, text
-           |  FROM fxd),
+           |  FROM fxd WHERE doc_id < 250),
            |${sqlLogisticChain(s"lab_$l", "fxd", 64, 8, 256.0,
                prefix = s"lg_$l")}""".stripMargin
       }.mkString(",\n")
@@ -8809,4 +8820,40 @@ object Queries {
          |  FROM ex)
          |SELECT query_id, neighbor_id, dist FROM rk3 WHERE rn <= 3
          |ORDER BY query_id, dist, neighbor_id""".stripMargin)
+
+  // ===== batch 18: round-15 — persisted indexes, gate eval, image dedup =====
+
+  private val batch18: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // HNSW graph PERSISTENCE (v22b — closes the r14 gap: the doc
+    // promised "at 100 TB the graph persists next to the codebook" but
+    // only IVFADC had save/load): build the deterministic navigable
+    // graph over the stride codebook ONCE, save it as parquet
+    // (pos, cid, cv, lvl, per-layer adjacency), reload, and serve the
+    // byte-identical ivfHnswTopKWith pipeline from the artifact.
+    // Parquet round-trips doubles/ints bit-exactly, so load→serve ≡
+    // build→serve — proven cross-engine by sharing v22's
+    // full-graph-replay oracle (the v17/v15 convention).
+    "v22b_hnsw_persist" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val vecs = emb.select(col("vec_id").as("id"),
+        graft.operators.Similarity.asDouble(col("embedding")).as("v"))
+      val every = math.max(1L, emb.count() / V22Cells).toInt
+      val (cids, cvs) = graft.operators.Similarity.strideCodebook(vecs, every)
+      val g = graft.operators.Similarity.buildHnswGraph(cids, cvs, V22M,
+        V22Cap)
+      val idx = java.nio.file.Files.createTempDirectory("graft_hnsw").toString
+      graft.operators.Similarity.saveHnswGraph(s, idx, g)
+      graft.operators.Similarity.ivfHnswTopKPersisted(emb, "vec_id",
+          "embedding", idx, queryPred = col("id") < 10, k = V22K,
+          nprobe = V22NProbe)
+        .orderBy(col("query_id"), desc("sim"), col("neighbor_id"))
+    }))
+
+  private val oracles18: Map[String, String] = Map(
+
+    // persistence is transparent to results — v22b IS v22's oracle
+    // (generated from the same V22* constants)
+    "v22b_hnsw_persist" ->
+      sqlHnswOracle(V22Cells, V22M, V22Cap, V22NProbe, V22K))
 }

@@ -192,7 +192,7 @@ object Similarity {
 
   /** Stride-sampled codebook rows: (id, vector) of every
     * `centroidEvery`-th vector, id-ordered. */
-  private def strideCodebook(
+  private[graft] def strideCodebook(
       vecs: DataFrame, centroidEvery: Int
   ): (Array[Long], Array[Array[Double]]) = {
     val centRows = vecs.filter(pmod(col("id"), lit(centroidEvery)) === 0)
@@ -1100,6 +1100,64 @@ object Similarity {
         round(cosine(col("qv"), col("cv")), roundTo).as("sim"))
       .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= k)
       .drop("rn")
+  }
+
+  /** Persist an HNSW routing graph as parquet rows
+    * (pos, cid, cv, lvl, adj) — adj is the per-LAYER neighbor-position
+    * lists, layers 0..maxLevelCap (r15, v22b: the doc has promised "at
+    * 100 TB the graph persists next to the codebook" since r14; this
+    * is the save half — the [[saveIvfPqIndex]] convention). Parquet
+    * round-trips doubles and ints bit-exactly, so load→serve ≡
+    * build→serve (pinned; v22b shares v22's oracle the way v17 shares
+    * v15's). `entry`/`maxLevel` are NOT stored: both are pure functions
+    * of (levels, cids) — re-derived on load exactly as
+    * [[buildHnswGraph]] derives them. */
+  def saveHnswGraph(spark: org.apache.spark.sql.SparkSession,
+      path: String, g: graft.plans.HnswGraph): Unit = {
+    import spark.implicits._
+    g.cids.indices.map { p =>
+      (p, g.cids(p), g.cvs(p).toSeq, g.levels(p),
+        g.adj.map(_(p).toSeq).toSeq)
+    }.toDF("pos", "cid", "cv", "lvl", "adj")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveHnswGraph]] artifact. Driver-bounded by construction:
+    * the graph is CODEBOOK-sized (C nodes × ≤(cap+1)·M neighbor ids),
+    * configuration scale, the same contract as [[loadCoarseCodebook]]. */
+  def loadHnswGraph(spark: org.apache.spark.sql.SparkSession,
+      path: String): graft.plans.HnswGraph = {
+    val rows = spark.read.parquet(path)
+      .select("pos", "cid", "cv", "lvl", "adj").collect()
+      .sortBy(_.getInt(0))
+    require(rows.nonEmpty, s"loadHnswGraph: empty artifact at $path")
+    require(rows.map(_.getInt(0)).toSeq == rows.indices.toSeq,
+      s"loadHnswGraph: non-contiguous node positions at $path")
+    val cids = rows.map(_.getLong(1))
+    val cvs = rows.map(_.getSeq[Double](2).toArray)
+    val levels = rows.map(_.getInt(3))
+    val layerCount = rows.head.getSeq[scala.collection.Seq[Int]](4).size
+    require(rows.forall(_.getSeq[scala.collection.Seq[Int]](4).size ==
+      layerCount), s"loadHnswGraph: ragged layer count at $path")
+    val adj = Array.tabulate(layerCount) { l =>
+      rows.map(_.getSeq[scala.collection.Seq[Int]](4)(l).toArray)
+    }
+    val entry = cids.indices.minBy(i => (-levels(i), cids(i)))
+    new graft.plans.HnswGraph(cids, cvs, levels, adj, entry, levels.max)
+  }
+
+  /** [[ivfHnswTopK]] over a PERSISTED graph — build once
+    * ([[buildHnswGraph]] + [[saveHnswGraph]]), serve every batch from
+    * the artifact through the byte-identical [[ivfHnswTopKWith]]
+    * pipeline (the v17 index/serve split). */
+  def ivfHnswTopKPersisted(
+      corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+      queryPred: Column, k: Int, roundTo: Int = 6, nprobe: Int = 1
+  ): DataFrame = {
+    val g = loadHnswGraph(corpus.sparkSession, dir)
+    ivfHnswTopKWith(corpus, idCol, vecCol, g, queryPred, k, roundTo,
+      nprobe)
   }
 
   /** IVF-SQ8 (r14) — the faiss `IndexIVFScalarQuantizer(QT_8bit)`

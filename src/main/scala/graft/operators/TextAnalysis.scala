@@ -1489,9 +1489,42 @@ object TextAnalysis {
     * empty-token docs, where every model scores exactly 0.5); the SQL
     * twin's rank ORDER BY (score DESC, lang ASC) replays the same rule.
     * Scale shape: the scoring pass computes K dot-folds over ONE shared
-    * bucket array — row-local, zero joins, zero shuffles; model size is
-    * K·B doubles of plan literals. Returns (idCol, lang_pred, score). */
+    * bucket array — row-local, zero joins, zero shuffles; the weight
+    * matrix rides ONE broadcast referenced from the codegen'd
+    * [[graft.plans.NativeExpressions.LangArgmaxBC]] (r15 — the r14 cut
+    * folded K·B doubles into plan literals re-serialized per task,
+    * which stops holding at lid.176 scale, K·B ≈ 11k; the
+    * [[graft.plans.BpeModel]] convention). Value-identical to the
+    * literal fold ([[langIdTrainedLiteral]], pinned). Returns
+    * (idCol, lang_pred, score). */
   def langIdTrained(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, models: Seq[(String, Array[Double])],
+      roundTo: Int = 6): org.apache.spark.sql.DataFrame = {
+    require(models.nonEmpty, "langIdTrained: need at least one model")
+    val buckets = models.head._2.length
+    require(models.forall(_._2.length == buckets),
+      "langIdTrained: all models must share one bucket space")
+    val sorted = models.sortBy(_._1)
+    val lm = new graft.plans.LinearModels(
+      sorted.map(_._1).toArray, sorted.map(_._2.clone()).toArray)
+    val bc = df.sparkSession.sparkContext.broadcast(lm)
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    val bucketArr = graft.plans.NativeExpressions.hash_buckets(
+      toks, buckets.toLong, PortableHash.Mult, PortableHash.Mod)
+    df.select(col(idCol),
+        graft.plans.NativeExpressions.lang_argmax_bc(bucketArr, bc,
+          roundTo).as("__p"))
+      .select(col(idCol), col("__p.lang_pred").as("lang_pred"),
+        col("__p.score").as("score"))
+  }
+
+  /** The r14 plan-literal formulation of [[langIdTrained]] (K
+    * bucket-gather dots over literal weight arrays + a when-chain
+    * argmax), kept ONLY as the equivalence witness for the broadcast
+    * path — TrainingOpsSpec pins value-identity and that the broadcast
+    * plan's size does not grow with K·B. */
+  private[graft] def langIdTrainedLiteral(
+      df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, models: Seq[(String, Array[Double])],
       roundTo: Int = 6): org.apache.spark.sql.DataFrame = {
     require(models.nonEmpty, "langIdTrained: need at least one model")
@@ -1517,6 +1550,41 @@ object TextAnalysis {
       bestLang = nl; bestScore = ns
     }
     df.select(col(idCol), bestLang.as("lang_pred"), bestScore.as("score"))
+  }
+
+  /** Persist trained linear-model weights (t33's single model, t34's
+    * one-vs-rest matrix) as parquet rows (model, bucket, weight) —
+    * the [[graft.operators.Similarity.saveCoarseCodebook]] convention:
+    * parquet round-trips doubles bit-exactly, so load→serve ≡
+    * train→serve (pinned). At 100 TB this is THE serving shape: train
+    * once on a bounded seed, persist, serve every batch from the
+    * artifact. */
+  def saveLinearModels(spark: org.apache.spark.sql.SparkSession,
+      path: String, models: Seq[(String, Array[Double])]): Unit = {
+    require(models.nonEmpty, "saveLinearModels: need at least one model")
+    import spark.implicits._
+    models.flatMap { case (name, w) =>
+      w.iterator.zipWithIndex.map { case (x, b) => (name, b, x) }
+    }.toDF("model", "bucket", "weight")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveLinearModels]] artifact: model → weights (bucket
+    * order), models sorted by name. Driver-bounded by construction —
+    * the artifact is K·B rows of configuration size. */
+  def loadLinearModels(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, Array[Double])] = {
+    val rows = spark.read.parquet(path)
+      .select("model", "bucket", "weight").collect()
+    require(rows.nonEmpty, s"loadLinearModels: empty artifact at $path")
+    rows.groupBy(_.getString(0)).toSeq.sortBy(_._1).map { case (m, rs) =>
+      val byBucket = rs.map(r => r.getInt(1) -> r.getDouble(2)).toMap
+      val n = byBucket.keys.max + 1
+      require(byBucket.size == n,
+        s"loadLinearModels: model $m has gaps in its bucket space")
+      m -> Array.tabulate(n)(byBucket)
+    }
   }
 
   /** Deterministic low-quality fixture for the trained-classifier tier

@@ -984,6 +984,69 @@ object NativeExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** One-vs-rest linear-model argmax over a broadcast weight matrix
+    * (r15, t34): K sequential-fold bucket-gather dots over ONE shared
+    * bucket array, sigmoid each at `roundTo` HALF_UP, strictly-greater
+    * fold in lang-sorted order (ties keep the earlier = alphabetically
+    * smaller language — empty docs score 0.5 everywhere). Value-
+    * identical to the per-model literal formulation
+    * (K × [[BucketGatherSum]] + Catalyst round/exp + a when-chain) —
+    * pinned in TrainingOpsSpec — but the model rides ONE broadcast
+    * instead of K·B plan literals re-serialized into every task, the
+    * [[BpeModel]]/[[Codebook]] convention, so the operator holds at
+    * lid.176 scale (K·B ≈ 11k doubles). */
+  def langArgmaxCompute(bs: ArrayData, m: LinearModels, roundTo: Int)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val n = bs.numElements()
+    val nd = n.toDouble
+    var best = 0
+    var bestScore = -1.0 // every sigmoid is > 0, so model 0 always wins it
+    var k = 0
+    while (k < m.w.length) {
+      val w = m.w(k)
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val b = bs.getLong(i)
+        if (b < 0 || b >= w.length)
+          throw new IllegalArgumentException(
+            s"lang_argmax: bucket $b outside [0, ${w.length})")
+        dot += w(b.toInt)
+        i += 1
+      }
+      val z = if (n > 0) dot / nd else 0.0
+      val s = roundHalfUp(1.0 / (1.0 + java.lang.Math.exp(-z)), roundTo)
+      if (s > bestScore) { best = k; bestScore = s }
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](m.langsUtf8(best), bestScore))
+  }
+
+  case class LangArgmaxBC(child: Expression,
+      models: org.apache.spark.broadcast.Broadcast[LinearModels],
+      roundTo: Int) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(
+      Seq(
+        org.apache.spark.sql.types.StructField("lang_pred",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("score", DoubleType,
+          nullable = false)))
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(input: Any): Any =
+      langArgmaxCompute(input.asInstanceOf[ArrayData], models.value,
+        roundTo)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bcRef = ctx.addReferenceObj("linearModels", models,
+        classOf[org.apache.spark.broadcast.Broadcast[LinearModels]].getName)
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.NativeExpressions.langArgmaxCompute(" +
+          s"$c, (graft.plans.LinearModels) $bcRef.value(), $roundTo)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): LangArgmaxBC =
+      copy(child = newChild)
+  }
+
   /** Greedy HNSW descent over a broadcast navigable graph — the scale
     * path for LARGE coarse codebooks (r14, v22): brute-force assignment
     * costs O(C·d) per row, the graph walk O(path·M·d) ≈ O(M·log C·d).
@@ -1154,6 +1217,11 @@ object NativeExpressions {
       nprobe: Int, roundTo: Int): Column =
     ColumnBridge.column(HnswAssignBC(
       ColumnBridge.expression(vec), graph, nprobe, roundTo))
+  def lang_argmax_bc(bs: Column,
+      models: org.apache.spark.broadcast.Broadcast[LinearModels],
+      roundTo: Int): Column =
+    ColumnBridge.column(LangArgmaxBC(
+      ColumnBridge.expression(bs), models, roundTo))
   def bpe_encode_bc(toks: Column,
       model: org.apache.spark.broadcast.Broadcast[BpeModel]): Column =
     ColumnBridge.column(BpeEncodeBC(ColumnBridge.expression(toks), model))
@@ -1792,6 +1860,26 @@ final class HnswGraph(
     while (j < v.length) { nsq += v(j) * v(j); j += 1 }
     math.sqrt(nsq)
   }
+}
+
+/** One-vs-rest linear-model weight matrix at SERVING shape (r15, t34):
+  * lang-SORTED rows over one shared B-bucket hashed-token space,
+  * broadcast once and referenced from the codegen'd
+  * [[NativeExpressions.LangArgmaxBC]] — the [[BpeModel]]/[[Codebook]]
+  * transport convention (plan literals re-serialize K·B doubles into
+  * every task; at fastText-lid scale, K=176, that is ~11k literals).
+  * The sort is a constructor CONTRACT because the argmax tie-break
+  * ("alphabetically smallest language wins") is positional. */
+final class LinearModels(val langs: Array[String],
+    val w: Array[Array[Double]]) extends Serializable {
+  require(langs.nonEmpty && langs.length == w.length,
+    s"LinearModels: ${langs.length} langs vs ${w.length} weight rows")
+  require(langs.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+    "LinearModels: langs must be strictly ascending")
+  require(w.forall(_.length == w(0).length),
+    "LinearModels: all models must share one bucket space")
+  @transient lazy val langsUtf8: Array[UTF8String] =
+    langs.map(UTF8String.fromString)
 }
 
 /** Product-quantization codebooks: `m` subspaces of `dsub` dims each;

@@ -729,6 +729,44 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("saveHnswGraph/loadHnswGraph: structure round-trips bit-exactly, " +
+      "load->serve ≡ build->serve (r15, v22b)") {
+    def vec(i: Long): Seq[Double] = {
+      val anchor = (i % 4).toInt
+      Seq.tabulate(8)(d =>
+        (if (d % 4 == anchor) 1.0 else 0.0) +
+          0.05 * math.sin(i * (d + 1) * 0.61))
+    }
+    val df = spark.createDataFrame((0L until 96L).map(i => (i, vec(i))))
+      .toDF("vec_id", "embedding")
+    val vecs = df.select(col("vec_id").as("id"),
+      Similarity.asDouble(col("embedding")).as("v"))
+    val cents = vecs.filter(col("id") % 8 === 0).orderBy("id").collect()
+    val g = Similarity.buildHnswGraph(cents.map(_.getLong(0)),
+      cents.map(_.getSeq[Double](1).toArray), m = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_t").toString
+    Similarity.saveHnswGraph(spark, dir, g)
+    val g2 = Similarity.loadHnswGraph(spark, dir)
+    assert(g2.cids.toSeq == g.cids.toSeq)
+    assert(g2.levels.toSeq == g.levels.toSeq)
+    assert(g2.cvs.map(_.toSeq).toSeq == g.cvs.map(_.toSeq).toSeq)
+    assert(g2.adj.map(_.map(_.toSeq).toSeq).toSeq ==
+      g.adj.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(g2.entry == g.entry && g2.maxLevel == g.maxLevel)
+    val fromArtifact = Similarity.ivfHnswTopKPersisted(df, "vec_id",
+        "embedding", dir, queryPred = col("id") < 4, k = 3, nprobe = 2)
+      .collect().map(_.toString).sorted.toSeq
+    val fromBuild = Similarity.ivfHnswTopKWith(df, "vec_id", "embedding",
+        g, queryPred = col("id") < 4, k = 3, nprobe = 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(fromArtifact == fromBuild,
+      "serving from the persisted graph diverged from the in-memory build")
+    intercept[Exception] { // empty dir: schema inference fails honestly
+      Similarity.loadHnswGraph(spark,
+        java.nio.file.Files.createTempDirectory("graft_hnsw_e").toString)
+    }
+  }
+
   test("quantizeInt8: codes bounded, round-trip error bounded by scale/2, shuffle-free") {
     val rows = Seq(
       (0L, Seq(0.5, -1.0, 0.25, 0.0)),
@@ -1060,6 +1098,50 @@ class TrainingOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TextAnalysis.langIdTrained(empty, "doc_id", "text",
         Seq("a" -> Array(0.0), "b" -> Array(0.0, 0.0)))
+    }
+  }
+
+  test("langIdTrained broadcast serve ≡ literal fold; plan size independent " +
+      "of K·B; persisted models round-trip bit-exactly (r15)") {
+    import spark.implicits._
+    val langs = Seq("aa", "bb", "cc")
+    val docs = (0L until 120L).map { i =>
+      val lang = langs((i % 3).toInt)
+      (i, lang, s"mark_$lang mark_$lang tok${i % 7} tok${i % 11}")
+    }.toDF("doc_id", "lang", "text")
+    val models = TextAnalysis.trainLogisticMulti(docs, "doc_id", "text",
+      langs.map(l => l -> (col("lang") === l)), buckets = 32, steps = 4,
+      lr = 128.0)
+    val bcOut = TextAnalysis.langIdTrained(docs, "doc_id", "text", models)
+      .orderBy("doc_id").collect().toSeq
+    val litOut = TextAnalysis.langIdTrainedLiteral(docs, "doc_id", "text",
+      models).orderBy("doc_id").collect().toSeq
+    assert(bcOut == litOut,
+      "broadcast argmax diverged from the literal when-chain fold")
+    // the broadcast plan must NOT inline the weight matrix: K× more
+    // models (and so K·B× more doubles) may not grow the plan text by
+    // more than the extra broadcast reference's name — the literal
+    // formulation grows by ~12 chars PER WEIGHT
+    def planLen(ms: Seq[(String, Array[Double])]): Int =
+      TextAnalysis.langIdTrained(docs, "doc_id", "text", ms)
+        .queryExecution.optimizedPlan.toString.length
+    val wide = (0 until 15).map(i => f"l$i%02d" -> models.head._2)
+    assert(math.abs(planLen(wide) - planLen(models)) < 200,
+      s"plan grew with K: ${planLen(models)} -> ${planLen(wide)}")
+    // parquet round-trip: weights bit-exact, load→serve ≡ train→serve
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm_t").toString
+    TextAnalysis.saveLinearModels(spark, dir, models)
+    val loaded = TextAnalysis.loadLinearModels(spark, dir)
+    assert(loaded.map(_._1) == langs.sorted)
+    val byName = models.toMap
+    loaded.foreach { case (l, w) =>
+      assert(w.toSeq == byName(l).toSeq, s"weights for $l drifted") }
+    val servedLoaded = TextAnalysis.langIdTrained(docs, "doc_id", "text",
+      loaded).orderBy("doc_id").collect().toSeq
+    assert(servedLoaded == bcOut, "load->serve diverged from train->serve")
+    intercept[Exception] { // empty dir: schema inference fails honestly
+      TextAnalysis.loadLinearModels(spark,
+        java.nio.file.Files.createTempDirectory("graft_lm_e").toString)
     }
   }
 
