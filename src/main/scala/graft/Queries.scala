@@ -8848,6 +8848,28 @@ object Queries {
           "embedding", idx, queryPred = col("id") < 10, k = V22K,
           nprobe = V22NProbe)
         .orderBy(col("query_id"), desc("sim"), col("neighbor_id"))
+    }),
+
+    // CLASSIFIER EVALUATION HARNESS (t35 — the annRecall analog for
+    // trained gates; closes the r14 gap "a user can't pick a gate
+    // threshold the way they pick nprobe"): t33's trained quality
+    // classifier scored against the planted GROUND TRUTH (doc_id%7≠0 =
+    // clean), swept over a 20-point threshold grid —
+    // precision/recall/F1/confusion per threshold. The grid is what
+    // justifies p9's label-prior operating point: recall collapses
+    // fast above the prior while precision is already ~1 below it.
+    // ONE map-combinable ⌊score·20⌋ bucket aggregate (≤ 20 groups),
+    // then conditional sums over the grid-sized table — no second
+    // data pass. DuckDB replays training → scoring → the grid.
+    "t35_gate_eval" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.spamFixture(col("text"), col("doc_id")).as("text"))
+      val scored = TextAnalysis.trainedQualityScore(docs, "doc_id",
+          "text", label = pmod(col("doc_id"), lit(7L)) =!= 0,
+          buckets = 64, steps = 3, lr = 128.0)
+        .withColumn("y", (pmod(col("doc_id"), lit(7L)) =!= 0).cast("int"))
+      TextAnalysis.classifierEval(scored, "score", "y", grid = 20)
     }))
 
   private val oracles18: Map[String, String] = Map(
@@ -8855,5 +8877,41 @@ object Queries {
     // persistence is transparent to results — v22b IS v22's oracle
     // (generated from the same V22* constants)
     "v22b_hnsw_persist" ->
-      sqlHnswOracle(V22Cells, V22M, V22Cap, V22NProbe, V22K))
+      sqlHnswOracle(V22Cells, V22M, V22Cap, V22NProbe, V22K),
+
+    // t33's training chain (the SHARED generator), then the threshold
+    // grid: bucket rows at ⌊score·20⌋, group-sum pos/neg, conditional
+    // sums per threshold; precision/recall computed UNROUNDED for the
+    // F1 division (as the Spark side does), all three rounded at 6
+    "t35_gate_eval" ->
+      s"""WITH ${sqlSpamFx("documents")},
+         |lab AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 7 <> 0 THEN 1.0 ELSE 0.0 END AS y, text
+         |  FROM sfx),
+         |${sqlLogisticChain("lab", "sfx", 64, 3, 128.0)},
+         |ev AS (SELECT
+         |    least(greatest(CAST(floor(score * 20) AS BIGINT), 0), 19)
+         |      AS b,
+         |    CASE WHEN doc_id % 7 <> 0 THEN 1.0 ELSE 0.0 END AS y
+         |  FROM lg_sc),
+         |cnt AS (SELECT b, sum(y) AS pos, sum(1.0 - y) AS neg
+         |  FROM ev GROUP BY b),
+         |th AS (SELECT unnest(range(0, 20)) AS i),
+         |cf AS (SELECT i,
+         |    sum(CASE WHEN c.b >= t.i THEN c.pos ELSE 0.0 END) AS tp,
+         |    sum(CASE WHEN c.b >= t.i THEN c.neg ELSE 0.0 END) AS fp,
+         |    sum(CASE WHEN c.b < t.i THEN c.pos ELSE 0.0 END) AS fn,
+         |    sum(CASE WHEN c.b < t.i THEN c.neg ELSE 0.0 END) AS tn
+         |  FROM th t CROSS JOIN cnt c GROUP BY i),
+         |pr AS (SELECT i, tp, fp, fn, tn,
+         |    CASE WHEN tp + fp > 0 THEN tp / (tp + fp) ELSE 0.0 END AS p,
+         |    CASE WHEN tp + fn > 0 THEN tp / (tp + fn) ELSE 0.0 END AS r
+         |  FROM cf)
+         |SELECT CAST(i AS DOUBLE) / 20 AS threshold,
+         |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         |  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+         |  round(p, 6) AS "precision", round(r, 6) AS recall,
+         |  round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r)
+         |    ELSE 0.0 END, 6) AS f1
+         |FROM pr ORDER BY threshold""".stripMargin)
 }

@@ -1587,6 +1587,59 @@ object TextAnalysis {
     }
   }
 
+  /** Classifier evaluation over a threshold grid (r15, t35 — the
+    * [[graft.operators.Similarity.annRecall]] analog for trained
+    * gates): precision/recall/F1 and the full confusion at every
+    * threshold i/grid, i ∈ [0, grid), for the rule "predict positive
+    * iff score ≥ threshold" — the harness a user reads to PICK a gate
+    * threshold (p9 gates at the label prior; this grid is how that
+    * choice is justified against the alternatives).
+    *
+    * Scale shape: ONE map-combinable aggregate buckets every row to
+    * ⌊score·grid⌋ (clamped) — ≤ grid map-side-combined groups — and
+    * the per-threshold confusion is conditional sums over that
+    * grid-sized table (broadcast cross-join, no second pass over the
+    * data). Counts are exact integer-valued doubles, so
+    * precision/recall/F1 divisions are bit-replayable in SQL; all
+    * three are rounded at `roundTo`.
+    *
+    * `scored` must expose `scoreCol` ∈ [0, 1] and a 0/1-castable
+    * `labelCol`. Returns (threshold, tp, fp, fn, tn, precision,
+    * recall, f1) ordered by threshold. */
+  def classifierEval(scored: org.apache.spark.sql.DataFrame,
+      scoreCol: String, labelCol: String, grid: Int = 20,
+      roundTo: Int = 6): org.apache.spark.sql.DataFrame = {
+    require(grid > 0, s"classifierEval: need grid > 0, got $grid")
+    val y = col(labelCol).cast("double")
+    val b = least(greatest(floor(col(scoreCol) * grid), lit(0L)),
+      lit(grid - 1L))
+    val counts = scored.select(b.as("b"), y.as("y"))
+      .groupBy("b").agg(sum(col("y")).as("pos"),
+        sum(lit(1.0) - col("y")).as("neg"))
+    val thresholds = scored.sparkSession.range(grid)
+      .select(col("id").as("i"))
+    val conf = thresholds.crossJoin(broadcast(counts))
+      .groupBy("i").agg(
+        sum(when(col("b") >= col("i"), col("pos")).otherwise(0.0)).as("tp"),
+        sum(when(col("b") >= col("i"), col("neg")).otherwise(0.0)).as("fp"),
+        sum(when(col("b") < col("i"), col("pos")).otherwise(0.0)).as("fn"),
+        sum(when(col("b") < col("i"), col("neg")).otherwise(0.0)).as("tn"))
+    val prec = when(col("tp") + col("fp") > 0,
+      col("tp") / (col("tp") + col("fp"))).otherwise(lit(0.0))
+    val rec = when(col("tp") + col("fn") > 0,
+      col("tp") / (col("tp") + col("fn"))).otherwise(lit(0.0))
+    val f1 = when(prec + rec > 0,
+      lit(2.0) * prec * rec / (prec + rec)).otherwise(lit(0.0))
+    conf.select(
+        (col("i").cast("double") / grid).as("threshold"),
+        col("tp").cast("long").as("tp"), col("fp").cast("long").as("fp"),
+        col("fn").cast("long").as("fn"), col("tn").cast("long").as("tn"),
+        round(prec, roundTo).as("precision"),
+        round(rec, roundTo).as("recall"),
+        round(f1, roundTo).as("f1"))
+      .orderBy("threshold")
+  }
+
   /** Deterministic low-quality fixture for the trained-classifier tier
     * (t33/p9): every 7th document gains a 20×-repeated spam/boilerplate
     * phrase — the dominated-by-boilerplate shape real quality

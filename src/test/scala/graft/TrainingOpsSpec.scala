@@ -1145,6 +1145,35 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("classifierEval: hand-checked confusion/precision/recall/F1 over a " +
+      "4-point grid (r15, t35)") {
+    import spark.implicits._
+    val df = Seq((0.1, 0), (0.3, 0), (0.6, 1), (0.8, 1), (0.9, 0),
+      (0.2, 1)).toDF("score", "y")
+    val out = TextAnalysis.classifierEval(df, "score", "y", grid = 4)
+      .collect()
+    val conf = out.map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq
+    assert(conf == Seq(
+      (0.0, 3L, 3L, 0L, 0L),   // everything predicted positive
+      (0.25, 2L, 2L, 1L, 1L),  // {0.3,0.6,0.8,0.9} positive
+      (0.5, 2L, 1L, 1L, 2L),   // {0.6,0.8,0.9} positive
+      (0.75, 1L, 1L, 2L, 2L))) // {0.8,0.9} positive
+    val at05 = out.find(_.getDouble(0) == 0.5).get
+    assert(at05.getDouble(5) == 0.666667 && at05.getDouble(6) == 0.666667
+      && at05.getDouble(7) == 0.666667)
+    // degenerate grid cell: no predicted positives → precision 0 by
+    // convention, not NaN
+    val none = TextAnalysis.classifierEval(
+      Seq((0.1, 1)).toDF("score", "y"), "score", "y", grid = 2)
+      .collect().find(_.getDouble(0) == 0.5).get
+    assert(none.getLong(1) == 0L && none.getDouble(5) == 0.0 &&
+      none.getDouble(6) == 0.0 && none.getDouble(7) == 0.0)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.classifierEval(df, "score", "y", grid = 0)
+    }
+  }
+
   test("quotaSample: salted two-phase equals the single-window answer on a hot group") {
     import spark.implicits._
     // hot group: 500 of 600 rows in one domain
