@@ -8870,9 +8870,137 @@ object Queries {
           buckets = 64, steps = 3, lr = 128.0)
         .withColumn("y", (pmod(col("doc_id"), lit(7L)) =!= 0).cast("int"))
       TextAnalysis.classifierEval(scored, "score", "y", grid = 20)
+    }),
+
+    // IMAGE PERCEPTUAL HASHING (x6 — multimodal dedup reaches operator
+    // depth; r14's x1-x5 decode and meta-extract but nothing DEDUPS
+    // media): REAL gray PNGs generated distributed (near-dup fixture:
+    // every 5th image is a corner-perturbed copy of its predecessor),
+    // REALLY decoded back through ImageIO, then dHash-64 (9×8
+    // floor-mean grid, horizontal-gradient bits) + aHash-64 (8×8 grid
+    // vs global mean) over the decoded rasters — row-local, zero
+    // shuffles. The whole derivation is exact integer arithmetic, so
+    // the oracle re-derives both hashes from the generator formulas
+    // (the x5 convention: SQL computes what only a real decode could
+    // otherwise produce).
+    "x6_image_phash" -> ((s, dir) =>
+      Multimodal.imagePHash(
+          Multimodal.syntheticPngsNearDup(
+            tbl(s, dir, "documents").filter(col("doc_id") < 400),
+            "doc_id"),
+          "doc_id")
+        .toDF().select("doc_id", "width", "height", "dhash", "ahash")
+        .orderBy("doc_id")),
+
+    // IMAGE NEAR-DUP PIPELINE (x7): decode → dHash → 16-bit LSH bands
+    // (reusing the text pipeline's bucket self-join WITH its hot-bucket
+    // guard) → exact-Hamming verify ≤ 10 — the t5 cascade shape over
+    // pixels instead of shingles. The corner perturbation only moves
+    // band-0 bits, so every planted near-copy collides in bands 1-3 by
+    // construction; unrelated ramps differ in ~half their bits and die
+    // at the verify stage. DuckDB replays hashes → bands → bucket join
+    // → Hamming end-to-end.
+    "x7_image_dedup" -> ((s, dir) => {
+      val hashes = Multimodal.imagePHash(
+        Multimodal.syntheticPngsNearDup(
+          tbl(s, dir, "documents").filter(col("doc_id") < 400),
+          "doc_id"),
+        "doc_id").toDF()
+      Multimodal.imageNearDuplicatesCapped(hashes, "doc_id")
+        .orderBy("id1", "id2")
     }))
 
+  /** DuckDB re-derivation of the x6 perceptual hashes from the
+    * [[graft.operators.Multimodal.syntheticPngsNearDup]] generator
+    * formulas (the x5 convention — SQL computes what only a real
+    * decode could otherwise produce). ONE definition feeds the x6 and
+    * x7 oracles so the hash replay cannot drift between them. Emits
+    * CTEs ending in `sig(doc_id, width, height, du, au, dhash, ahash)`
+    * — du/au the unsigned HUGEINT bit folds (banding needs unsigned
+    * shifts), dhash/ahash the signed-BIGINT two's-complement fold
+    * matching the Spark Longs. */
+  private def sqlImagePHash(maxDoc: Int): String = {
+    val signedOf = (u: String) =>
+      s"""(CASE WHEN $u >= 9223372036854775808::HUGEINT
+         |      THEN $u - 18446744073709551616::HUGEINT
+         |      ELSE $u END)::BIGINT""".stripMargin
+    s"""par AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 4 THEN doc_id - 1 ELSE doc_id END
+       |      AS base,
+       |    doc_id % 5 = 4 AS pert
+       |  FROM documents WHERE doc_id < $maxDoc),
+       |geo AS MATERIALIZED (SELECT doc_id, base, pert,
+       |    base % 32 + 16 AS w, base * 3 % 24 + 16 AS h,
+       |    (base % 13) * 2 + 5 AS mx, (base % 11) * 2 + 3 AS my
+       |  FROM par),
+       |px AS MATERIALIZED (SELECT g.doc_id, g.w, g.h, x.x AS x,
+       |    y.y AS y,
+       |    (g.base + x.x * g.mx + y.y * g.my +
+       |      CASE WHEN g.pert AND x.x < 3 AND y.y < 3
+       |        THEN 128 ELSE 0 END) % 256 AS gray
+       |  FROM geo g, range(0, 48) x(x), range(0, 40) y(y)
+       |  WHERE x.x < g.w AND y.y < g.h),
+       |dcell AS MATERIALIZED (SELECT doc_id, (x * 9) // w AS ci,
+       |    (y * 8) // h AS cj, sum(gray) // count(*) AS m
+       |  FROM px GROUP BY doc_id, (x * 9) // w, (y * 8) // h),
+       |dbit AS (SELECT a.doc_id, a.cj * 8 + a.ci AS k
+       |  FROM dcell a JOIN dcell b ON b.doc_id = a.doc_id
+       |    AND b.cj = a.cj AND b.ci = a.ci + 1
+       |  WHERE a.ci < 8 AND b.m > a.m),
+       |du AS (SELECT p.doc_id,
+       |    coalesce(sum(1::HUGEINT << CAST(k AS INT)), 0::HUGEINT) AS u
+       |  FROM par p LEFT JOIN dbit d ON d.doc_id = p.doc_id
+       |  GROUP BY p.doc_id),
+       |acell AS MATERIALIZED (SELECT doc_id, (x * 8) // w AS ci,
+       |    (y * 8) // h AS cj, sum(gray) // count(*) AS m
+       |  FROM px GROUP BY doc_id, (x * 8) // w, (y * 8) // h),
+       |aavg AS (SELECT doc_id, sum(m) // 64 AS avg FROM acell
+       |  GROUP BY doc_id),
+       |abit AS (SELECT c.doc_id, c.cj * 8 + c.ci AS k
+       |  FROM acell c JOIN aavg v ON v.doc_id = c.doc_id
+       |  WHERE c.m > v.avg),
+       |au AS (SELECT p.doc_id,
+       |    coalesce(sum(1::HUGEINT << CAST(k AS INT)), 0::HUGEINT) AS u
+       |  FROM par p LEFT JOIN abit a2 ON a2.doc_id = p.doc_id
+       |  GROUP BY p.doc_id),
+       |sig AS MATERIALIZED (SELECT g.doc_id,
+       |    CAST(g.w AS INT) AS width, CAST(g.h AS INT) AS height,
+       |    du.u AS du, au.u AS au,
+       |    ${signedOf("du.u")} AS dhash,
+       |    ${signedOf("au.u")} AS ahash
+       |  FROM geo g JOIN du ON du.doc_id = g.doc_id
+       |  JOIN au ON au.doc_id = g.doc_id)""".stripMargin
+  }
+
   private val oracles18: Map[String, String] = Map(
+
+    // generator formulas → pixel grid → floor-mean cells → gradient /
+    // above-average bits → HUGEINT bit fold → signed two's-complement
+    // BIGINT, per document
+    "x6_image_phash" ->
+      s"""WITH ${sqlImagePHash(400)}
+         |SELECT doc_id, width, height, dhash, ahash FROM sig
+         |ORDER BY doc_id""".stripMargin,
+
+    // the same hash derivation, then 16-bit bands of the UNSIGNED
+    // value (the Spark side's shiftrightunsigned twin), the distinct
+    // bucket self-join, and the exact-Hamming verify
+    "x7_image_dedup" ->
+      s"""WITH ${sqlImagePHash(400)},
+         |bnd AS (SELECT doc_id, b.b AS band_id,
+         |    CAST((du >> CAST(b.b * 16 AS INT)) % 65536 AS BIGINT)
+         |      AS band_hash
+         |  FROM sig, range(0, 4) b(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bnd a JOIN bnd b ON b.band_id = a.band_id
+         |    AND b.band_hash = a.band_hash AND a.doc_id < b.doc_id),
+         |hm AS (SELECT c.id1, c.id2,
+         |    CAST(bit_count(xor(s1.dhash, s2.dhash)) AS BIGINT)
+         |      AS hamming
+         |  FROM cand c JOIN sig s1 ON s1.doc_id = c.id1
+         |  JOIN sig s2 ON s2.doc_id = c.id2)
+         |SELECT id1, id2, hamming FROM hm WHERE hamming <= 10
+         |ORDER BY id1, id2""".stripMargin,
 
     // persistence is transparent to results — v22b IS v22's oracle
     // (generated from the same V22* constants)

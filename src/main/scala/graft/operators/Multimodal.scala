@@ -355,6 +355,249 @@ object Multimodal {
       }
   }
 
+  /** Synthetic NEAR-DUP image fixture (r15, x6/x7): one REAL gray PNG
+    * per row; every id ≡ 4 (mod 5) is a near-copy of id−1 — same
+    * dimensions, same base pixel ramp, only a 3×3 corner patch shifted
+    * by +128 gray levels — and every other id is a DISTINCT ramp
+    * (per-base odd multipliers vary the mod-256 wrap cadence, so
+    * unrelated images hash far apart). All parameters pure functions of
+    * the id (base = id−1 for near-copies; w = base%32+16,
+    * h = base·3%24+16, pixel(x,y) = (base + x·(2·(base%13)+5) +
+    * y·(2·(base%11)+3) [+128 on the perturbed patch]) % 256), so a SQL
+    * oracle re-derives the exact rasters the decoder must produce. 256
+    * gray levels fit TYPE_BYTE_GRAY PNG exactly — the round-trip is
+    * lossless. Distributed generation, like [[syntheticPngs]]. */
+  def syntheticPngsNearDup(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val base = if (id % 5 == 4) id - 1 else id
+        val pert = id % 5 == 4
+        val w = (base % 32 + 16).toInt
+        val h = (base * 3 % 24 + 16).toInt
+        val mx = (base % 13) * 2 + 5
+        val my = (base % 11) * 2 + 3
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val bump = if (pert && x < 3 && y < 3) 128L else 0L
+            raster.setSample(x, y, 0,
+              ((base + x * mx + y * my + bump) % 256).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        (id, out.toByteArray)
+      }
+    }.toDF(idCol, "payload")
+  }
+
+  /** Floor-mean cell grid over the decoded gray raster: cell (i, j)
+    * collects pixels with i = x·gw/w, j = y·gh/h (integer division —
+    * the exactly-replayable partition; every cell is nonempty when
+    * w ≥ gw and h ≥ gh), mean = sum/count floored. The whole
+    * derivation stays in exact integer arithmetic so any SQL engine
+    * reproduces it bit-for-bit — the deliberate divergence from
+    * interpolating resizers, whose rounding is library-specific. */
+  private def gridMeans(img: java.awt.image.BufferedImage,
+      gw: Int, gh: Int): Array[Array[Long]] = {
+    val w = img.getWidth; val h = img.getHeight
+    val sums = Array.ofDim[Long](gw, gh)
+    val cnts = Array.ofDim[Long](gw, gh)
+    // gray channel: the RAW band-0 sample for single-band (true gray)
+    // rasters — getRGB on TYPE_BYTE_GRAY routes through a gray→sRGB
+    // colorspace conversion, which is monotone (dHash comparisons
+    // survive) but NOT identity (aHash's global mean does not) — and
+    // the blue channel of getRGB for multi-band images, the
+    // GifFramesCodec convention
+    val raster = img.getRaster
+    val singleBand = raster.getNumBands == 1
+    var y = 0
+    while (y < h) {
+      val cj = y * gh / h
+      var x = 0
+      while (x < w) {
+        val ci = x * gw / w
+        sums(ci)(cj) +=
+          (if (singleBand) raster.getSample(x, y, 0)
+           else img.getRGB(x, y) & 0xFF)
+        cnts(ci)(cj) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(gw, gh)((i, j) => sums(i)(j) / cnts(i)(j))
+  }
+
+  /** dHash-64: 9×8 floor-mean grid, bit j·8+i set iff cell (i+1, j) is
+    * strictly brighter than cell (i, j) — the standard horizontal-
+    * gradient perceptual hash (8 comparisons × 8 rows = 64 bits). A
+    * local perturbation moves only the bits whose cells it touches,
+    * which is what makes Hamming distance a similarity measure — and
+    * what guarantees the untouched bands still collide in the LSH
+    * stage. */
+  def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val m = gridMeans(img, 9, 8)
+    var hash = 0L
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        if (m(i + 1)(j) > m(i)(j)) hash |= 1L << (j * 8 + i)
+        i += 1
+      }
+      j += 1
+    }
+    hash
+  }
+
+  /** aHash-64: 8×8 floor-mean grid, bit j·8+i set iff cell (i, j) is
+    * strictly brighter than the floor-mean of the 64 cell means — the
+    * average-hash companion to [[dHash64]] (global-brightness
+    * structure where dHash captures gradients). */
+  def aHash64(img: java.awt.image.BufferedImage): Long = {
+    val m = gridMeans(img, 8, 8)
+    var total = 0L
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) { total += m(i)(j); i += 1 }
+      j += 1
+    }
+    val avg = total / 64
+    var hash = 0L
+    j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        if (m(i)(j) > avg) hash |= 1L << (j * 8 + i)
+        i += 1
+      }
+      j += 1
+    }
+    hash
+  }
+
+  /** One perceptually-hashed image row; exactly one of (dhash, ahash)
+    * or `err` is meaningful. */
+  final case class ImageHashed(doc_id: Long, width: Int, height: Int,
+      dhash: Long, ahash: Long, err: String)
+
+  /** Batched perceptual hashing (r15, x6): REAL decode through the
+    * ImageIO reader, then [[dHash64]]/[[aHash64]] over the decoded
+    * raster — row-local, zero joins, zero shuffles; same
+    * partition-streaming batch shape and per-row error channel as
+    * [[extractMetaImage]]. Images smaller than the 9×8 grid refuse
+    * into the error channel rather than hashing degenerate cells. */
+  def imagePHash(df: DataFrame, idCol: String,
+      batchSize: Int = 256): Dataset[ImageHashed] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, payload) =>
+            ImageIoCodec.sniffFormat(payload) match {
+              case None =>
+                ImageHashed(id, -1, -1, 0L, 0L, "unrecognized magic bytes")
+              case Some(fmt) =>
+                try {
+                  val img = javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(payload))
+                  if (img == null)
+                    ImageHashed(id, -1, -1, 0L, 0L, s"undecodable $fmt payload")
+                  else if (img.getWidth < 9 || img.getHeight < 8)
+                    ImageHashed(id, img.getWidth, img.getHeight, 0L, 0L,
+                      s"image ${img.getWidth}x${img.getHeight} below the 9x8 hash grid")
+                  else ImageHashed(id, img.getWidth, img.getHeight,
+                    dHash64(img), aHash64(img), null)
+                } catch {
+                  case e: Exception =>
+                    ImageHashed(id, -1, -1, 0L, 0L,
+                      s"decode error: ${e.getMessage}")
+                }
+            }
+          }
+        }
+      }
+  }
+
+  /** 16-bit bands of a 64-bit perceptual hash — the LSH banding step
+    * for image near-dup (the [[graft.operators.Dedup.lshBands]] analog;
+    * emits the same (id, band_id, band_hash) shape so the bucket
+    * self-join and its hot-bucket guard are REUSED, not re-implemented).
+    * Unsigned shifts, so the SQL twin can band the unsigned hash value.
+    * Pigeonhole: hamming < `bands` GUARANTEES a shared band; beyond
+    * that, recall relies on near-dup bit flips being LOCALIZED (a
+    * perturbed corner moves only band-0 bits) — the honest LSH trade,
+    * measured on the planted fixture. */
+  def imageBands(hashes: DataFrame, idCol: String,
+      hashCol: String = "dhash", bands: Int = 4): DataFrame = {
+    require(bands > 1 && 64 % bands == 0,
+      s"imageBands: bands must divide 64 and exceed 1, got $bands")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val entries = (0 until bands).map { b =>
+      struct(lit(b).as("band_id"),
+        shiftrightunsigned(col(hashCol), b * width).bitwiseAND(lit(mask))
+          .as("band_hash"))
+    }
+    hashes.select(col(idCol), explode(array(entries: _*)).as("__b"))
+      .select(col(idCol), col("__b.band_id").as("band_id"),
+        col("__b.band_hash").as("band_hash"))
+  }
+
+  /** Image near-duplicate pairs (r15, x7): the MinHash-LSH cascade
+    * shape over perceptual hashes — [[imageBands]] → bucket self-join
+    * ([[graft.operators.Dedup.lshCandidatePairs]], including its
+    * hot-bucket guard) → verify by EXACT Hamming distance (one
+    * codegen'd bit_count(xor)) ≤ `maxHamming`. Candidates are
+    * LSH-bounded, so both hash lookups broadcast the pair side — the
+    * hash table streams, never shuffles (the
+    * [[graft.operators.Dedup.verifyPairs]] contract). Returns
+    * (id1, id2, hamming); duplicate CLUSTERS compose with
+    * [[graft.operators.Dedup.connectedComponents]] exactly as t9 does
+    * for text. */
+  def imageNearDuplicates(hashes: DataFrame, idCol: String,
+      hashCol: String = "dhash", maxHamming: Int = 10, bands: Int = 4,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(maxHamming >= 0,
+      s"imageNearDuplicates: need maxHamming >= 0, got $maxHamming")
+    val pairs = graft.operators.Dedup.lshCandidatePairs(
+      imageBands(hashes, idCol, hashCol, bands), idCol, maxBucketSize)
+    val hs = hashes.select(col(idCol), col(hashCol))
+    val withA = hs.join(broadcast(pairs), hs(idCol) === pairs("id1"))
+      .select(col("id1"), col("id2"), col(hashCol).as("__ha"))
+    val both = hs.join(broadcast(withA), hs(idCol) === withA("id2"))
+      .select(col("id1"), col("id2"), col("__ha"),
+        col(hashCol).as("__hb"))
+    both.select(col("id1"), col("id2"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** [[imageNearDuplicates]] with the hot-bucket guard ON by default —
+    * the 100 TB entry point (the
+    * [[graft.operators.Dedup.lshCandidatePairsCapped]] convention: a
+    * degenerate bucket — e.g. solid-color images all hashing to 0 —
+    * yields b² candidate rows; members of a dropped bucket still meet
+    * through their other, more selective bands). */
+  def imageNearDuplicatesCapped(hashes: DataFrame, idCol: String,
+      hashCol: String = "dhash", maxHamming: Int = 10, bands: Int = 4,
+      maxBucketSize: Int = graft.operators.Dedup.DefaultMaxBucketSize
+  ): DataFrame =
+    imageNearDuplicates(hashes, idCol, hashCol, maxHamming, bands,
+      maxBucketSize)
+
   /** Batched metadata extraction: partitions stream through the codec in
     * `batchSize` groups (bounded memory per batch, codec amortization —
     * the mapInPandas batch shape). One task per input partition; no

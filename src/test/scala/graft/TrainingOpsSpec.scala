@@ -209,6 +209,56 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out(901L).err != null && out(901L).format == null)
   }
 
+  test("imagePHash + imageNearDuplicates: planted near-copies found with " +
+      "band-0-local bit flips, hash pass shuffle-free, refusals (r15, x6/x7)") {
+    import spark.implicits._
+    val ids = (0L until 50L).toDF("doc_id")
+    val pngs = Multimodal.syntheticPngsNearDup(ids, "doc_id")
+    val hashes = Multimodal.imagePHash(pngs, "doc_id", batchSize = 8)
+    val rows = hashes.collect().map(h => h.doc_id -> h).toMap
+    assert(rows.values.forall(_.err == null))
+    // real decode on RAW raster samples: doc 0 is an unwrapped ramp
+    // (base 0, max pixel 120 < 256) → every horizontal gradient bit
+    // set → dhash is exactly -1; getRGB's gray→sRGB conversion would
+    // break the aHash mean but NOT this monotone check, so also pin a
+    // wrapped doc's ahash against the formula-derived value
+    assert(rows(0L).width == 16 && rows(0L).height == 16)
+    assert(rows(0L).dhash == -1L)
+    assert(rows(0L).ahash == -218150868210368320L) // formula-derived
+    for (id <- Seq(4L, 9L, 14L, 49L)) {
+      val d = java.lang.Long.bitCount(rows(id).dhash ^ rows(id - 1).dhash)
+      assert(d <= 6, s"near-copy $id drifted to hamming $d")
+      // the 3×3 corner patch lands in grid cells (≤1, ≤1) for every
+      // w,h ≥ 16, so only band-0 bits (k < 16) may flip
+      assert((rows(id).dhash >>> 16) == (rows(id - 1).dhash >>> 16),
+        s"near-copy $id moved bits outside band 0")
+    }
+    val pairs = Multimodal.imageNearDuplicatesCapped(hashes.toDF(),
+        "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (id <- 4L until 50L by 5L)
+      assert(pairs.contains((id - 1, id)), s"planted pair ${id - 1},$id missing")
+    // the perceptual-hash pass is row-local: no exchange in its plan
+    val plan = hashes.toDF().queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"imagePHash plan shuffles:\n$plan")
+    // below the 9×8 grid → error channel, not degenerate cells
+    val tinyImg = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(tinyImg, "png", bos)
+    val tiny = Multimodal.imagePHash(
+      Seq((7L, bos.toByteArray)).toDF("doc_id", "payload"), "doc_id")
+      .collect().head
+    assert(tiny.err != null && tiny.err.contains("below the 9x8"))
+    intercept[IllegalArgumentException] {
+      Multimodal.imageBands(hashes.toDF(), "doc_id", bands = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.imageNearDuplicates(hashes.toDF(), "doc_id",
+        maxHamming = -1)
+    }
+  }
+
   test("Wav codec: real PCM-16 round-trip, corrupt payloads hit the error channel") {
     import spark.implicits._
     val ids = Seq(0L, 7L, 44L).toDF("doc_id")
