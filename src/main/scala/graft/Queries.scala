@@ -8908,6 +8908,30 @@ object Queries {
         "doc_id").toDF()
       Multimodal.imageNearDuplicatesCapped(hashes, "doc_id")
         .orderBy("id1", "id2")
+    }),
+
+    // GOPHER DUP-N-GRAM CHARACTER-COVERAGE TIER (t36 — closes the last
+    // documented deviation from Rae et al. Table A1): the published
+    // accounting counts each character ONCE however many duplicated
+    // n-grams cover it; the default tier (t31b) charges overlapping
+    // duplicated grams multiply, strictly stricter. Both run here over
+    // the t31b repetition fixture — per-doc coverage fractions (5- to
+    // 10-gram), the coverage keep bit, and the strict keep bit side by
+    // side (strict=1 ⟹ coverage=1 on every row, the documented
+    // direction). Row-local codegen'd pass, zero shuffles. DuckDB
+    // replays the span interval-union per document.
+    "t36_gopher_rep_coverage" -> ((s, dir) => {
+      val cov = TextAnalysis.gopherDupCoverage(col("text"))
+      val strict = TextAnalysis.gopherRepetitionRules(col("text")).toMap
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.repetitionFixture(col("text")).as("text"))
+        .select((col("doc_id") +:
+          (5 to 10).map(n =>
+            cov.getField(s"cov${n}gram_frac").as(s"cov${n}gram_frac"))) ++
+          Seq(cov.getField("keep_rep_cov").as("keep_rep_cov"),
+            strict("keep_rep").as("keep_rep")): _*)
+        .orderBy("doc_id")
     }))
 
   /** DuckDB re-derivation of the x6 perceptual hashes from the
@@ -9001,6 +9025,59 @@ object Queries {
          |  JOIN sig s2 ON s2.doc_id = c.id2)
          |SELECT id1, id2, hamming FROM hm WHERE hamming <= 10
          |ORDER BY id1, id2""".stripMargin,
+
+    // the strict-tier CTEs (shared generators with t31b/p8) provide
+    // tokens + the strict keep bit; the coverage tier positions every
+    // duplicated-gram occurrence in the space-joined token rendering
+    // (cumulative token starts) and interval-unions the spans per
+    // document — each char counted once, the published accounting
+    "t36_gopher_rep_coverage" -> {
+      val covCtes = (5 to 10).map { n =>
+        s"""cg$n AS (SELECT doc_id, unnest(sh$n) AS gram,
+           |    unnest(range(1, len(sh$n) + 1)) AS i FROM gsh),
+           |cd$n AS (SELECT doc_id, gram FROM cg$n
+           |  GROUP BY doc_id, gram HAVING count(*) >= 2),
+           |cs$n AS (SELECT c.doc_id, st.s AS s, st.s + len(c.gram) AS e
+           |  FROM cg$n c JOIN cd$n d ON d.doc_id = c.doc_id
+           |    AND d.gram = c.gram
+           |  JOIN cst st ON st.doc_id = c.doc_id AND st.i = c.i),
+           |cu$n AS (SELECT doc_id,
+           |    sum(greatest(e - greatest(s, pm), 0)) AS cov
+           |  FROM (SELECT doc_id, s, e,
+           |      coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |        AS pm
+           |    FROM cs$n)
+           |  GROUP BY doc_id)""".stripMargin
+      }.mkString(",\n")
+      val covFracs = (5 to 10).map(n =>
+        s"round(coalesce(cu$n.cov, 0) / w.nc, 6) AS cov${n}gram_frac")
+        .mkString(",\n  ")
+      val covThr = Map(5 -> "0.15", 6 -> "0.14", 7 -> "0.13",
+        8 -> "0.12", 9 -> "0.11", 10 -> "0.10")
+      val covKeep = (5 to 10).map(n =>
+        s"coalesce(cu$n.cov, 0) / w.nc <= ${covThr(n)}").mkString(" AND ")
+      val covJoins = (5 to 10).map(n =>
+        s"LEFT JOIN cu$n ON cu$n.doc_id = w.doc_id").mkString("\n")
+      s"""WITH ${sqlRepFx("documents")},
+         |${sqlGopherRepMetrics("fx")},
+         |cst AS MATERIALIZED (SELECT doc_id, i2 AS i,
+         |    coalesce(sum(tl) OVER (PARTITION BY doc_id
+         |      ORDER BY i2 ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND 1 PRECEDING), 0) AS s
+         |  FROM (SELECT doc_id,
+         |      unnest(list_transform(ws, x -> len(x) + 1)) AS tl,
+         |      unnest(range(1, len(ws) + 1)) AS i2 FROM grw)),
+         |$covCtes
+         |SELECT w.doc_id,
+         |  $covFracs,
+         |  CAST(($covKeep) AS INTEGER) AS keep_rep_cov,
+         |  CAST(($sqlGopherRepKeep) AS INTEGER) AS keep_rep
+         |FROM grw w
+         |JOIN grm ON grm.doc_id = w.doc_id
+         |$covJoins
+         |ORDER BY w.doc_id""".stripMargin
+    },
 
     // persistence is transparent to results — v22b IS v22's oracle
     // (generated from the same V22* constants)

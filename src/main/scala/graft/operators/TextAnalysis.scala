@@ -275,6 +275,19 @@ object TextAnalysis {
       .map(f => f -> s.getField(f))
   }
 
+  /** Character-COVERAGE accounting for the duplicate-n-gram tiers
+    * (r15, t36 — the published Rae et al. Table A1 fidelity tier; see
+    * [[graft.plans.NativeExpressions.gopherDupCoverageCompute]]): each
+    * character counted once however many duplicated n-grams cover it,
+    * where the default [[gopherRepetitionRules]] accounting counts
+    * overlapping duplicated grams multiply (strictly stricter — drops
+    * MORE, never fewer; pinned). Returns the struct column
+    * (cov5gram_frac … cov10gram_frac, keep_rep_cov). Row-local, one
+    * codegen'd pass, zero shuffles — same plan contract as the strict
+    * tier. */
+  def gopherDupCoverage(text: Column): Column =
+    graft.plans.NativeExpressions.gopher_dup_coverage(text)
+
   /** The FULL published Gopher document filter: quality rules
     * ([[gopherRules]] `keep`) AND repetition rules
     * ([[gopherRepetitionRules]] `keep_rep`) — the gate a pretraining

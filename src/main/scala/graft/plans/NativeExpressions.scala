@@ -785,6 +785,113 @@ object NativeExpressions {
       (bits :+ keep).map(x => x: Any))
   }
 
+  /** Character-COVERAGE accounting for the Gopher duplicate-n-gram
+    * tiers (r15, t36 — the published Rae et al. Table A1 semantics:
+    * "fraction of characters contained within a duplicate n-gram",
+    * each character counted ONCE no matter how many duplicated grams
+    * cover it). The default tier ([[gopherRepetitionCompute]]) counts
+    * overlapping duplicated grams multiply — documented as strictly
+    * STRICTER (≥ coverage on every document, so it drops more, never
+    * fewer); this tier closes that last documented deviation. Spans of
+    * every occurrence of a gram seen ≥ 2 times, positioned in the
+    * single-space-joined token rendering (span length = the same
+    * cpLen(gram) the strict tier charges), interval-unioned per
+    * document in one left-to-right pass (occurrence starts ascend by
+    * construction). Fractions round at 6; keep bits compare the
+    * UNROUNDED fraction to the published thresholds (0.15 … 0.10),
+    * like the strict tier. Emits cov5..cov10 + keep_rep_cov. */
+  def gopherDupCoverageCompute(text: UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    // same 4-step newline normalization as [[gopherRepetitionCompute]]:
+    // nc must measure the normalized text or the two tiers' fractions
+    // would disagree on \r\n corpora
+    val t = text.toString.replace("\r\n", "\n").replace('\r', '\n')
+      .replace(0x2028.toChar, '\n').replace(0x2029.toChar, '\n')
+    def cpLen(x: String): Long = x.codePointCount(0, x.length).toLong
+    val nc = math.max(cpLen(t).toDouble, 1.0)
+    def isWs(c: Char): Boolean = c == ' ' || c == '\t' || c == '\n' ||
+      c == '\u000B' || c == '\f' || c == '\r'
+    val ws = {
+      val out = Array.newBuilder[String]
+      var i = 0
+      while (i < t.length) {
+        while (i < t.length && isWs(t.charAt(i))) i += 1
+        val start = i
+        while (i < t.length && !isWs(t.charAt(i))) i += 1
+        if (i > start) out += t.substring(start, i)
+      }
+      out.result()
+    }
+    // starts(i) = start of token i in the ' '-joined rendering;
+    // gram(i, n) spans [starts(i), starts(i+n) − 1)
+    val starts = new Array[Long](ws.length + 1)
+    var p = 0
+    while (p < ws.length) {
+      starts(p + 1) = starts(p) + cpLen(ws(p)) + 1
+      p += 1
+    }
+    val thresholds = Array(0.15, 0.14, 0.13, 0.12, 0.11, 0.10)
+    val out = new Array[Any](7)
+    var allKeep = true
+    var n = 5
+    while (n <= 10) {
+      var frac = 0.0
+      if (ws.length >= n) {
+        val cnt = new java.util.HashMap[String, Int]()
+        val grams = new Array[String](ws.length - n + 1)
+        var i = 0
+        while (i <= ws.length - n) {
+          val sb = new java.lang.StringBuilder
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(ws(i + j)); j += 1
+          }
+          grams(i) = sb.toString
+          cnt.merge(grams(i), 1, Integer.sum _)
+          i += 1
+        }
+        var cov = 0L
+        var curEnd = 0L
+        i = 0
+        while (i <= ws.length - n) {
+          if (cnt.get(grams(i)) >= 2) {
+            val s = starts(i)
+            val e = starts(i + n) - 1
+            if (s >= curEnd) { cov += e - s; curEnd = e }
+            else if (e > curEnd) { cov += e - curEnd; curEnd = e }
+          }
+          i += 1
+        }
+        frac = cov / nc
+      }
+      if (frac > thresholds(n - 5)) allKeep = false
+      out(n - 5) = roundHalfUp(frac, 6)
+      n += 1
+    }
+    out(6) = if (allKeep) 1 else 0
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+
+  val GopherDupCoverageFields: Seq[String] =
+    (5 to 10).map(n => s"cov${n}gram_frac") :+ "keep_rep_cov"
+
+  case class GopherDupCoverage(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(
+      GopherDupCoverageFields.map(f =>
+        org.apache.spark.sql.types.StructField(f,
+          if (f == "keep_rep_cov") org.apache.spark.sql.types.IntegerType
+          else DoubleType, nullable = false)))
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(input: Any): Any =
+      gopherDupCoverageCompute(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.NativeExpressions.gopherDupCoverageCompute($c)")
+    override protected def withNewChildInternal(newChild: Expression): GopherDupCoverage =
+      copy(child = newChild)
+  }
+
   val GopherRepetitionFields: Seq[String] = Seq(
     "r_dup_paragraphs", "r_dup_para_chars", "r_dup_line_chars",
     "r_top2gram_chars", "r_top3gram_chars", "r_top4gram_chars",
@@ -1230,6 +1337,8 @@ object NativeExpressions {
     ColumnBridge.column(BpeEncodeIdsBC(ColumnBridge.expression(toks), model))
   def int8_quant(vec: Column): Column =
     ColumnBridge.column(Int8Quant(ColumnBridge.expression(vec)))
+  def gopher_dup_coverage(text: Column): Column =
+    ColumnBridge.column(GopherDupCoverage(ColumnBridge.expression(text)))
   def gopher_repetition(text: Column): Column =
     ColumnBridge.column(GopherRepetition(ColumnBridge.expression(text)))
 

@@ -1720,6 +1720,49 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rule(9L, "r_dup_lines") == 0 && rule(9L, "keep") == 0)
   }
 
+  test("gopherDupCoverage: overlap counted once (hand-checked), coverage ≤ " +
+      "strict on every doc, strict-keep ⟹ coverage-keep (r15, t36)") {
+    import spark.implicits._
+    // 7 × "x": the three 5-gram occurrences are ALL "x x x x x"
+    // (count 3 ≥ 2) with overlapping spans [0,9) [2,11) [4,13) in the
+    // joined rendering → union 13 of 13 chars = 1.0; the strict tier
+    // charges 3·9/13 ≈ 2.08 — the multiply-counting the published
+    // accounting avoids
+    val docs = Seq(
+      (0L, Seq.fill(7)("x").mkString(" ")),
+      (1L, "the of " + (0 until 60).map(i => f"w$i%02d").mkString(" ")),
+      (2L, (0 until 10).map(i => s"ph$i").mkString(" ") * 1 + " " +
+        (0 until 10).map(i => s"ph$i").mkString(" "))).toDF("doc_id", "text")
+    val cov = TextAnalysis.gopherDupCoverage(col("text"))
+    val rows = docs.select(col("doc_id"),
+        cov.getField("cov5gram_frac").as("c5"),
+        cov.getField("keep_rep_cov").as("kc"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(0L).getDouble(1) == 1.0,
+      s"overlap union must be 1.0, got ${rows(0L).getDouble(1)}")
+    assert(rows(1L).getDouble(1) == 0.0 && rows(1L).getInt(2) == 1)
+    // coverage never exceeds the strict accounting; strict keep ⟹
+    // coverage keep — checked over the t31b fixture corpus
+    val fx = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        TextAnalysis.repetitionFixture(col("text")).as("text"))
+    val strict = TextAnalysis.gopherRepetitionRules(col("text")).toMap
+    val both = fx.select(col("doc_id"),
+        cov.getField("cov5gram_frac").as("c5"),
+        cov.getField("keep_rep_cov").as("kc"),
+        strict("keep_rep").as("ks"),
+        strict("r_dup5gram_chars").as("s5bit"))
+      .collect()
+    both.foreach { r =>
+      assert(!(r.getInt(3) == 1 && r.getInt(2) == 0),
+        s"strict kept doc ${r.getLong(0)} but coverage dropped it")
+      // the strict 5-gram bit failing while coverage stays under the
+      // bar is ALLOWED (that is the deviation); the reverse is not
+      assert(!(r.getInt(4) == 1 && r.getDouble(1) > 0.15),
+        s"coverage exceeded strict on doc ${r.getLong(0)}")
+    }
+  }
+
   test("gopherRepetitionRules: each planted repetition shape trips its " +
       "tier; the clean doc passes all thirteen") {
     val longP = "x" * 200
