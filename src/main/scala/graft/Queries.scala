@@ -8545,7 +8545,7 @@ object Queries {
     * `lg_sc(doc_id, n_tokens, score)`. */
   private def sqlLogisticChain(trainSrc: String, serveSrc: String,
       buckets: Int, steps: Int, lr: Double, roundTo: Int = 6,
-      prefix: String = "lg"): String = {
+      prefix: String = "lg", batches: Int = 1): String = {
     val zeros = Seq.fill(buckets)("0.0").mkString("[", ", ", "]")
     // z = token-mean of the bucket weights (no separate intercept: the
     // normalized features sum to 1, so the weight span contains it)
@@ -8562,18 +8562,42 @@ object Queries {
          |      t -> ${sqlCharFold("t")} % $buckets) AS bs
          |  FROM $src))""".stripMargin
     val sb = new StringBuilder
-    sb.append(bucketsOf(trainSrc, s"${prefix}_tr", "y,") + ",\n")
+    if (batches == 1) {
+      sb.append(bucketsOf(trainSrc, s"${prefix}_tr", "y,") + ",\n")
+      sb.append(
+        s"""${prefix}_nd AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nd
+           |  FROM ${prefix}_tr),
+           |""".stripMargin)
+    } else {
+      // mini-batch SGD (r15, t37): batch membership is the portable
+      // charFold of the doc id — deterministic, engine-replayable; the
+      // per-step gradient/update normalize by the BATCH size
+      sb.append(
+        s"""${prefix}_bx AS (SELECT doc_id, y, text,
+           |    ${sqlCharFold("CAST(doc_id AS VARCHAR)")} % $batches AS bt
+           |  FROM $trainSrc),
+           |""".stripMargin)
+      sb.append(bucketsOf(s"${prefix}_bx", s"${prefix}_tr", "y, bt,") +
+        ",\n")
+      sb.append(
+        s"""${prefix}_nd AS MATERIALIZED (SELECT bt,
+           |    CAST(count(*) AS DOUBLE) AS nd
+           |  FROM ${prefix}_tr GROUP BY bt),
+           |""".stripMargin)
+    }
     sb.append(
-      s"""${prefix}_nd AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nd
-         |  FROM ${prefix}_tr),
-         |${prefix}_w0 AS MATERIALIZED (SELECT CAST($zeros AS DOUBLE[]) AS w),
+      s"""${prefix}_w0 AS MATERIALIZED (SELECT CAST($zeros AS DOUBLE[]) AS w),
          |""".stripMargin)
     for (k <- 1 to steps) {
       val p = k - 1
+      val (eFrom, ndFrom) =
+        if (batches == 1) (s"${prefix}_tr", s"${prefix}_nd")
+        else (s"(SELECT * FROM ${prefix}_tr WHERE bt = ${p % batches})",
+          s"(SELECT nd FROM ${prefix}_nd WHERE bt = ${p % batches})")
       sb.append(
         s"""${prefix}_e$k AS MATERIALIZED (SELECT doc_id, bs, n,
            |    1.0 / (1.0 + exp(-($zOf))) - y AS e
-           |  FROM ${prefix}_tr CROSS JOIN ${prefix}_w$p),
+           |  FROM $eFrom tr$k CROSS JOIN ${prefix}_w$p),
            |${prefix}_g$k AS MATERIALIZED (SELECT b, round(sum(g), 9) AS gs
            |  FROM (
            |    SELECT unnest(bs) AS b, e / n AS g FROM ${prefix}_e$k)
@@ -8582,7 +8606,7 @@ object Queries {
            |    (SELECT list(round(wp.w[gi.i + 1] - $lr * coalesce(g.gs, 0.0)
            |          / nd.nd, $roundTo) ORDER BY gi.i)
            |      FROM (SELECT unnest(range(0, $buckets)) AS i) gi
-           |      CROSS JOIN ${prefix}_w$p wp CROSS JOIN ${prefix}_nd nd
+           |      CROSS JOIN ${prefix}_w$p wp CROSS JOIN $ndFrom nd
            |      LEFT JOIN ${prefix}_g$k g ON g.b = gi.i) AS w),
            |""".stripMargin)
     }
@@ -8932,6 +8956,28 @@ object Queries {
           Seq(cov.getField("keep_rep_cov").as("keep_rep_cov"),
             strict("keep_rep").as("keep_rep")): _*)
         .orderBy("doc_id")
+    }),
+
+    // MINI-BATCH SGD trainer tier (t37 — full-batch GD is the
+    // distillation demo; mini-batch is what the 100 TB recipe runs):
+    // t33's quality-classifier recipe trained by deterministic SGD —
+    // batch membership is the portable charFold of the doc id (the
+    // Gumbel-sampler determinism trick), 2 epochs × 4 in-order
+    // batches, per-step gradients over ONLY the batch normalized by
+    // the batch size, same rounded-update replay contract. batches=1
+    // reproduces t33's full-batch trajectory bit for bit (pinned).
+    // DuckDB replays all 8 batch steps through the SHARED chain
+    // generator (batches > 1 arm).
+    "t37_trained_sgd" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.spamFixture(col("text"), col("doc_id")).as("text"))
+      val w = TextAnalysis.trainLogisticSgd(docs, "doc_id", "text",
+        label = pmod(col("doc_id"), lit(7L)) =!= 0, buckets = 64,
+        epochs = 2, batches = 4, lr = 128.0)
+      TextAnalysis.linearScore(docs, "doc_id", "text", dim = 64,
+          weights = Some(w), bias = 0.0)
+        .orderBy("doc_id")
     }))
 
   /** DuckDB re-derivation of the x6 perceptual hashes from the
@@ -9078,6 +9124,18 @@ object Queries {
          |$covJoins
          |ORDER BY w.doc_id""".stripMargin
     },
+
+    // spam fixture → portable-hash batch assignment → 2 epochs × 4
+    // in-order batch steps (per-batch nd, rounded gradient sums and
+    // updates) → the linearScore sigmoid scan, replayed end-to-end
+    "t37_trained_sgd" ->
+      s"""WITH ${sqlSpamFx("documents")},
+         |lab AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 7 <> 0 THEN 1.0 ELSE 0.0 END AS y, text
+         |  FROM sfx),
+         |${sqlLogisticChain("lab", "sfx", 64, 8, 128.0, batches = 4)}
+         |SELECT doc_id, n_tokens, score FROM lg_sc
+         |ORDER BY doc_id""".stripMargin,
 
     // persistence is transparent to results — v22b IS v22's oracle
     // (generated from the same V22* constants)

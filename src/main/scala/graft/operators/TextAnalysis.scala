@@ -1387,6 +1387,73 @@ object TextAnalysis {
     } finally base.unpersist()
   }
 
+  /** Deterministic MINI-BATCH SGD tier over [[trainLogistic]]'s model
+    * (r15, t37 — full-batch GD at a handful of steps is fine for
+    * distillation demos; mini-batch is what the 100 TB recipe runs):
+    * batch membership is the portable charFold of the doc id mod
+    * `batches` (the same engine-replayable determinism trick as the
+    * Gumbel sampler), epochs sweep the batches IN ORDER, and each step
+    * is one map-combinable ≤ B-row gradient aggregate over ONLY that
+    * batch's rows — same replay contract as the full-batch trainer
+    * (rounded gradient sums, rounded updates; the oracle chain is the
+    * shared [[graft.Queries]] generator with `batches` > 1), updates
+    * normalized by the BATCH size. `batches = 1` reproduces
+    * [[trainLogistic]] with `steps = epochs` bit for bit (pinned).
+    * Refuses an empty batch honestly (the trajectory would diverge
+    * between engines on skip-vs-update semantics): lower `batches`.
+    *
+    * Scale shape: features persist once; each epoch scans the corpus
+    * once ACROSS its batches (each step's scan-side filter prunes to
+    * the batch), driver state stays ≤ B + `batches` rows. */
+  def trainLogisticSgd(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, label: Column, buckets: Int = 64, epochs: Int = 1,
+      batches: Int = 4, lr: Double = 128.0,
+      roundTo: Int = 6): Array[Double] = {
+    require(buckets > 0, s"trainLogisticSgd: need buckets > 0, got $buckets")
+    require(epochs >= 0, s"trainLogisticSgd: need epochs >= 0, got $epochs")
+    require(batches > 0, s"trainLogisticSgd: need batches > 0, got $batches")
+    require(lr > 0, s"trainLogisticSgd: need lr > 0, got $lr")
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    val bucketArr = graft.plans.NativeExpressions.hash_buckets(
+      toks, buckets.toLong, PortableHash.Mult, PortableHash.Mod)
+    val base = df
+      .select(label.cast("double").as("y"), bucketArr.as("bs"),
+        pmod(PortableHash.charFold(col(idCol).cast("string")),
+          lit(batches.toLong)).as("bt"))
+      .withColumn("n", size(col("bs")).cast("double"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .persist()
+    try {
+      val bn = base.groupBy("bt").agg(count(lit(1)).as("c")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1).toDouble).toMap
+      require(bn.values.sum > 0, "trainLogisticSgd: empty corpus")
+      require(bn.size == batches,
+        s"trainLogisticSgd: only ${bn.size} of $batches batches are " +
+          "non-empty — lower `batches`")
+      var w = Array.fill(buckets)(0.0)
+      for (_ <- 0 until epochs; b <- 0 until batches) {
+        val nB = bn(b.toLong)
+        val wLit = array(w.map(lit): _*)
+        val dot = graft.plans.NativeExpressions.bucket_gather_sum(
+          col("bs"), wLit)
+        val z = when(col("n") > 0, dot / col("n")).otherwise(lit(0.0))
+        val e = lit(1.0) / (lit(1.0) + exp(-z)) - col("y")
+        // same two-step select as trainLogistic: pin the err expression
+        // below the Generate (once per document, not per token)
+        val g = base.filter(col("bt") === b)
+          .select((e / col("n")).as("g"), col("bs"))
+          .select(col("g"), explode(col("bs")).as("b"))
+          .groupBy(col("b")).agg(sum(col("g")).as("gs"))
+          .collect()
+          .map(r => r.getLong(0) -> roundHalfUp(r.getDouble(1), 9)).toMap
+        w = Array.tabulate(buckets)(i =>
+          roundHalfUp(w(i) - lr * g.getOrElse(i.toLong, 0.0) / nB,
+            roundTo))
+      }
+      w
+    } finally base.unpersist()
+  }
+
   /** Mean log-loss of a (weights, bias) model over the corpus — the
     * trainer's objective, exposed so a property test can pin the
     * full-batch-GD loss-non-increase guarantee. One map-combinable

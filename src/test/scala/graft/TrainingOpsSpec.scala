@@ -1090,6 +1090,32 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("trainLogisticSgd: batches=1 ≡ full-batch trainLogistic bit for bit; " +
+      "deterministic; empty batch refuses (r15, t37)") {
+    import spark.implicits._
+    val corpus = (0L until 200L).map { i =>
+      (i, s"tok${i % 7} tok${i % 11} marker${i % 3} tok${i % 13}")
+    }.toDF("doc_id", "text")
+    val lab = col("doc_id") % 3 === 0
+    val full = TextAnalysis.trainLogistic(corpus, "doc_id", "text", lab,
+      buckets = 16, steps = 3, lr = 128.0)
+    val sgd1 = TextAnalysis.trainLogisticSgd(corpus, "doc_id", "text",
+      lab, buckets = 16, epochs = 3, batches = 1, lr = 128.0)
+    assert(sgd1.toSeq == full.toSeq,
+      "batches=1 SGD must reproduce the full-batch trajectory")
+    val a = TextAnalysis.trainLogisticSgd(corpus, "doc_id", "text", lab,
+      buckets = 16, epochs = 2, batches = 4, lr = 128.0)
+    val b = TextAnalysis.trainLogisticSgd(corpus, "doc_id", "text", lab,
+      buckets = 16, epochs = 2, batches = 4, lr = 128.0)
+    assert(a.toSeq == b.toSeq, "SGD trajectory must be deterministic")
+    assert(a.toSeq != full.toSeq,
+      "4-batch SGD should genuinely differ from full-batch GD")
+    intercept[IllegalArgumentException] { // 3 docs cannot fill 64 batches
+      TextAnalysis.trainLogisticSgd(corpus.filter(col("doc_id") < 3),
+        "doc_id", "text", lab, buckets = 16, epochs = 1, batches = 64)
+    }
+  }
+
   test("trainLogisticMulti ≡ K independent trainLogistic runs, bit for bit") {
     import spark.implicits._
     val corpus = (0L until 150L).map { i =>
