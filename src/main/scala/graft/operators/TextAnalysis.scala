@@ -830,7 +830,10 @@ object TextAnalysis {
       Array.tabulate(dim)(i => ((i * 2654435761L) % 1000L) / 1000.0 - 0.5))
     require(w.length == dim,
       s"linearScore: weights.length ${w.length} != dim $dim")
-    val wLit = array(w.map(lit): _*)
+    // typed array literal (reference-slot codegen): linearScore serves
+    // right after a trainer in t33/t37/p9, and the inlined-constant form
+    // forced one more fresh Janino compile per query (see trainLogistic)
+    val wLit = typedLit(w.toSeq)
     val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
     val n = size(toks)
     // hash per token, then ONE codegen'd gather-sum (the HOF fold ran
@@ -1281,9 +1284,13 @@ object TextAnalysis {
       math.log((tgt + 1.0) / (tgtTotal + buckets)) -
         math.log((raw + 1.0) / (rawTotal + buckets))
     }
-    val lrArr = array(logRatio.map(lit): _*)
-    val w = aggregate(bucketArr, lit(0.0),
-      (acc, b) => acc + element_at(lrArr, (b + lit(1L)).cast("int")))
+    // ONE codegen'd gather-sum over a typed array literal (r15): the
+    // `aggregate` HOF ran an interpreted lambda per TOKEN on the scoring
+    // hot path, and the B inlined double constants forced a fresh Janino
+    // compile per query. Same left-to-right IEEE fold over the same
+    // doubles (acc + lr[b], token order) — value-identical.
+    val lrArr = typedLit(logRatio.toSeq)
+    val w = graft.plans.NativeExpressions.bucket_gather_sum(bucketArr, lrArr)
     df.select(col(idCol), round(w, roundTo).as("weight"))
   }
 
@@ -1296,6 +1303,23 @@ object TextAnalysis {
   private def roundHalfUp(x: Double, roundTo: Int): Double =
     BigDecimal(x).setScale(roundTo, BigDecimal.RoundingMode.HALF_UP)
       .toDouble
+
+  /** Scale-adaptive partition count for the trainers' feature pass
+    * (r15, guide §2.2): the gradient fold is ~µs/doc of row-local CPU,
+    * so one task per ~1k docs already saturates it, while the per-STEP
+    * fixed cost scales with M×R shuffle blocks — the old constant
+    * `defaultParallelism` made a 250-doc seed pay 32 task launches and
+    * 32×32 tiny shuffle-file creations per step (thread-dumped as
+    * BypassMergeSortShuffleWriter NIO copies dominating executor CPU).
+    * A single-file corpus still fans out past ~32k docs exactly as the
+    * original guard intended (the 8x-wall sf1 lesson); partial-sum
+    * ORDER changes with the partitioning, which the trainers' round(sum,
+    * 9) already makes order-insensitive by design. */
+  private def featurePartitions(df: org.apache.spark.sql.DataFrame,
+      nDocs: Long): Int =
+    math.max(1L, math.min(
+      df.sparkSession.sparkContext.defaultParallelism.toLong,
+      nDocs / 1024L + 1L)).toInt
 
   /** Full-batch logistic-regression TRAINER over the hashed-bucket token
     * feature space ([[dsirWeights]]' B-bucket convention — the features
@@ -1338,20 +1362,33 @@ object TextAnalysis {
     val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
     val bucketArr = graft.plans.NativeExpressions.hash_buckets(
       toks, buckets.toLong, PortableHash.Mult, PortableHash.Mod)
+    // corpus size FIRST (column-pruned count — the projections and the
+    // label are dead code under count(1)), so the feature-pass fan-out
+    // can be derived from it instead of the cluster constant
+    val nDocsL = df.count()
+    require(nDocsL > 0, "trainLogistic: empty corpus")
     val base = df
       .select(label.cast("double").as("y"), bucketArr.as("bs"))
       .withColumn("n", size(col("bs")).cast("double"))
       // spread the per-document fold work across the cluster once: a
       // single-file corpus otherwise trains on ONE task (the gradient
-      // math is per-row CPU, not IO — measured 8x wall at sf1)
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      // math is per-row CPU, not IO — measured 8x wall at sf1);
+      // partition count derived from the corpus size ([[featurePartitions]])
+      .repartition(featurePartitions(df, nDocsL))
       .persist() // scanned once per step; feature arrays, not raw text
     try {
-      val nDocs = base.count().toDouble
-      require(nDocs > 0, "trainLogistic: empty corpus")
+      val nDocs = nDocsL.toDouble
       var w = Array.fill(buckets)(0.0)
       for (_ <- 0 until steps) {
-        val wLit = array(w.map(lit): _*)
+        // ONE ArrayType literal (reference-slot codegen), not B inlined
+        // double constants: inlined constants change the generated
+        // source every step, so each step paid a fresh Janino compile
+        // with every concurrent task stalled on the compile lock (r15 —
+        // profiled as ~150 ms × cores of fake executorRunTime per step);
+        // a typed literal rides the references array, the source is
+        // step-invariant, and the codegen cache hits from step 2 on.
+        // Same doubles, same fold order — value-identical.
+        val wLit = typedLit(w.toSeq)
         val dot = graft.plans.NativeExpressions.bucket_gather_sum(
           col("bs"), wLit)
         val z = when(col("n") > 0, dot / col("n")).otherwise(lit(0.0))
@@ -1421,7 +1458,8 @@ object TextAnalysis {
         pmod(PortableHash.charFold(col(idCol).cast("string")),
           lit(batches.toLong)).as("bt"))
       .withColumn("n", size(col("bs")).cast("double"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      // corpus-size-derived fan-out (see [[featurePartitions]])
+      .repartition(featurePartitions(df, df.count()))
       .persist()
     try {
       val bn = base.groupBy("bt").agg(count(lit(1)).as("c")).collect()
@@ -1433,7 +1471,9 @@ object TextAnalysis {
       var w = Array.fill(buckets)(0.0)
       for (_ <- 0 until epochs; b <- 0 until batches) {
         val nB = bn(b.toLong)
-        val wLit = array(w.map(lit): _*)
+        // typed array literal, not B inlined constants — step-invariant
+        // codegen source (see trainLogistic); value-identical
+        val wLit = typedLit(w.toSeq)
         val dot = graft.plans.NativeExpressions.bucket_gather_sum(
           col("bs"), wLit)
         val z = when(col("n") > 0, dot / col("n")).otherwise(lit(0.0))
@@ -1508,21 +1548,25 @@ object TextAnalysis {
     val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
     val bucketArr = graft.plans.NativeExpressions.hash_buckets(
       toks, buckets.toLong, PortableHash.Mult, PortableHash.Mod)
+    val nDocsL = df.count()
+    require(nDocsL > 0, "trainLogisticMulti: empty corpus")
     val base = df
       .select(array(labels.map(_._2.cast("double")): _*).as("ys"),
         bucketArr.as("bs"))
       .withColumn("n", size(col("bs")).cast("double"))
-      // same single-file-corpus parallelism guard as [[trainLogistic]]
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      // same single-file-corpus parallelism guard as [[trainLogistic]],
+      // corpus-size-derived (see [[featurePartitions]])
+      .repartition(featurePartitions(df, nDocsL))
       .persist()
     try {
-      val nDocs = base.count().toDouble
-      require(nDocs > 0, "trainLogisticMulti: empty corpus")
+      val nDocs = nDocsL.toDouble
       val w = Array.fill(k, buckets)(0.0)
       for (_ <- 0 until steps) {
         // per label: e_l = sigmoid(dot_l / n) − y_l, over its OWN weights
         val es = (0 until k).map { li =>
-          val wLit = array(w(li).map(lit): _*)
+          // typed array literal, not B inlined constants — step-invariant
+          // codegen source (see trainLogistic); value-identical
+          val wLit = typedLit(w(li).toSeq)
           val dot = graft.plans.NativeExpressions.bucket_gather_sum(
             col("bs"), wLit)
           val z = when(col("n") > 0, dot / col("n")).otherwise(lit(0.0))
