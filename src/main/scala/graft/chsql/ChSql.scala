@@ -1648,22 +1648,66 @@ object ChSql {
     }
     val maxDepth = 1000 // CH max_recursive_cte_evaluation_depth default
     val base0 = buildSetOp(spark, base, resolve, outerCtes)
-    var acc = (if (all) base0 else base0.distinct()).localCheckpoint(true)
-    var frontier = acc
+    // r15 job-shape rework (guide §2.4/§1.2): the old loop re-checkpointed
+    // the ACCUMULATED set every round — O(depth²) rows copied and ~4
+    // materializing jobs per round, profiled as 3.6k tasks for an
+    // 11-round scalar recursion. Rounds now checkpoint ONLY the frontier
+    // and collect the per-round frontiers, unioned once at the end
+    // (each leaf is already materialized, so the union is cheap and the
+    // plan stays depth-1-per-leaf). The UNION-distinct leg still needs
+    // the accumulated set each round for `except`; it references the
+    // running union of checkpointed leaves and re-checkpoints it only
+    // every `reanchorEvery` rounds to bound plan width. Frontier
+    // partition counts are derived from the PREVIOUS round's row count
+    // (narrow coalesce — one task per ~10k rows) instead of inheriting
+    // the base's cluster-constant partitioning forever: a scalar
+    // recursion runs 1-task rounds, a wide one keeps its fan-out.
+    var frontier = base0
+    var acc = if (all) base0 else base0.distinct()
+    var accParts = Vector.empty[org.apache.spark.sql.DataFrame]
+    var frontierN = -1L
+    def checkpointSized(df: org.apache.spark.sql.DataFrame,
+        prevRows: Long): org.apache.spark.sql.DataFrame = {
+      val np = df.rdd.getNumPartitions
+      val target =
+        if (prevRows < 0) np
+        else math.max(1L, math.min(np.toLong, prevRows / 10000L + 1L)).toInt
+      // LAZY checkpoint: the caller's count() right after materializes
+      // it, so each round pays ONE job (count-and-persist), not two
+      (if (target < np) df.coalesce(target.toInt) else df)
+        .localCheckpoint(false)
+    }
+    frontier = checkpointSized(frontier, -1L)
+    if (!all) acc = frontier
+    accParts = Vector(frontier)
+    frontierN = frontier.count()
     var depth = 0
-    while (!frontier.isEmpty) {
+    var sinceAnchor = 0
+    val reanchorEvery = 16
+    while (frontierN > 0) {
       depth += 1
       if (depth > maxDepth) throw new IllegalArgumentException(
         s"ChSql: recursive CTE $name exceeded $maxDepth iterations " +
           "(cyclic UNION ALL recursion?)")
       val produced = buildSetOp(spark, step, resolve,
         outerCtes + (name -> frontier))
-      val next = (if (all) produced else produced.except(acc))
-        .localCheckpoint(true)
+      val next = checkpointSized(
+        if (all) produced else produced.except(acc), frontierN)
+      frontierN = next.count()
       frontier = next
-      if (!next.isEmpty) acc = acc.unionByName(next).localCheckpoint(true)
+      if (frontierN > 0) {
+        accParts = accParts :+ next
+        if (!all) {
+          sinceAnchor += 1
+          if (sinceAnchor >= reanchorEvery) {
+            acc = accParts.reduce(_ unionByName _).localCheckpoint(true)
+            accParts = Vector(acc)
+            sinceAnchor = 0
+          } else acc = acc.unionByName(next)
+        }
+      }
     }
-    acc
+    accParts.reduce(_ unionByName _)
   }
 
   /** CH `SETTINGS` is statement-scoped; Spark confs are session-scoped.
