@@ -23,6 +23,15 @@ object Queries {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** [[tbl]] + [[graft.plans.ScaleShape.fanOut]] by `by` — the scan-side
+    * parallelism guard for queries whose hot cost is row-local compute
+    * over a corpus the driver ships as one single-row-group file (r15,
+    * guide §2.5). Only used where the query's cross-row aggregates are
+    * exact or rounded-per-row (see fanOut's doc). */
+  private def tblPar(s: SparkSession, dir: String, name: String,
+      by: String): DataFrame =
+    graft.plans.ScaleShape.fanOut(tbl(s, dir, name), col(by))
+
   /** The events table carries TIMESTAMP(NANOS) parquet values. Depending
     * on the runtime, the scan surfaces them either as LONG nanos (the
     * legacy `nanosAsLong` mode) or natively as TIMESTAMP_NTZ truncated
@@ -976,7 +985,7 @@ object Queries {
     // two-stage language ID: 8 non-Latin script signals + 12-language
     // Latin stopword vote (confusion matrix vs the labeled lang)
     "t7_langid" -> ((s, dir) =>
-      tbl(s, dir, "documents")
+      tblPar(s, dir, "documents", "doc_id")
         .select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
         .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
         .orderBy("lang", "pred")),
@@ -985,7 +994,7 @@ object Queries {
     "t8_quality" -> ((s, dir) => {
       val cols = TextAnalysis.qualityColumns(col("text"))
         .map { case (n, c) => c.as(n) }
-      tbl(s, dir, "documents")
+      tblPar(s, dir, "documents", "doc_id")
         .select(col("doc_id") +: cols: _*)
         .orderBy("doc_id")
     }),
@@ -2752,7 +2761,7 @@ object Queries {
     // row-local — the integration shape every stage above was built for.
     "p1_training_pipeline" -> ((s, dir) => {
       import graft.operators.Dedup
-      val docs = tbl(s, dir, "documents")
+      val docs = tblPar(s, dir, "documents", "doc_id")
       val keepers = docs.groupBy(md5(col("text")).as("digest"))
         .agg(min(col("doc_id")).as("doc_id"))
       // referenced by both the LSH stage and the final keep-set: persist
@@ -6462,7 +6471,7 @@ object Queries {
     // bigram hash combine (list_zip + the window-fingerprint fold) and
     // the whole estimator end-to-end.
     "t29b_dsir_ngram" -> ((s, dir) =>
-      TextAnalysis.dsirWeightsNgram(tbl(s, dir, "documents"), "doc_id",
+      TextAnalysis.dsirWeightsNgram(tblPar(s, dir, "documents", "doc_id"), "doc_id",
           "text", target = col("lang") === "en", buckets = 64, roundTo = 4)
         .orderBy("doc_id")),
 
@@ -6545,7 +6554,7 @@ object Queries {
     // sort — plan-pinned); DuckDB replays weights → noise → selection
     // end-to-end.
     "t30_dsir_resample" -> ((s, dir) => {
-      val w = TextAnalysis.dsirWeightsNgram(tbl(s, dir, "documents"),
+      val w = TextAnalysis.dsirWeightsNgram(tblPar(s, dir, "documents", "doc_id"),
         "doc_id", "text", target = col("lang") === "en", buckets = 64,
         roundTo = 4)
       TextAnalysis.dsirResample(w, "doc_id", "weight", k = 100,
@@ -6560,7 +6569,7 @@ object Queries {
     // here the full mix is the oracle-checked output). ONE broadcast
     // join (the k-row selection against the corpus), one group-by.
     "p5_dsir_curation" -> ((s, dir) => {
-      val docs = tbl(s, dir, "documents")
+      val docs = tblPar(s, dir, "documents", "doc_id")
       val w = TextAnalysis.dsirWeightsNgram(docs, "doc_id", "text",
         target = col("lang") === "en", buckets = 64, roundTo = 4)
       val sel = TextAnalysis.dsirResample(w, "doc_id", "weight", k = 150,
@@ -6595,7 +6604,7 @@ object Queries {
     // TakeOrderedAndProject selection + one broadcast semi-join + the
     // shard repartition; text never shuffles.
     "p7_pretrain_pipeline" -> ((s, dir) => {
-      val docs = tbl(s, dir, "documents")
+      val docs = tblPar(s, dir, "documents", "doc_id")
       val keep = docs.groupBy(md5(col("text")).as("digest"))
         .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
       val gated = docs.join(keep, Seq("doc_id"), "left_semi")
@@ -7774,7 +7783,7 @@ object Queries {
     "t31_gopher_rules" -> ((s, dir) => {
       val cols = TextAnalysis.gopherRules(col("text"))
         .map { case (n, c) => c.as(n) }
-      tbl(s, dir, "documents")
+      tblPar(s, dir, "documents", "doc_id")
         .select(col("doc_id"),
           TextAnalysis.multiLineFixture(col("text")).as("text"))
         .select(col("doc_id") +: cols: _*)
@@ -8435,7 +8444,7 @@ object Queries {
     "p9_trained_gate" -> ((s, dir) => {
       // p8's multi-line fixture (injects the stop words the synthetic
       // corpus lacks) composed with the planted-boilerplate spam fixture
-      val docs = tbl(s, dir, "documents")
+      val docs = tblPar(s, dir, "documents", "doc_id")
         .select(col("doc_id"),
           TextAnalysis.spamFixture(
             TextAnalysis.multiLineFixture(col("text")),
@@ -8469,7 +8478,7 @@ object Queries {
     // matters only for empty-token docs where every model scores 0.5).
     // DuckDB replays all five seed-training chains + the argmax serve.
     "t34_trained_langid" -> ((s, dir) => {
-      val docs = tbl(s, dir, "documents")
+      val docs = tblPar(s, dir, "documents", "doc_id")
         .select(col("doc_id"), col("lang"),
           TextAnalysis.mixedScriptFixture(col("text"), col("lang"))
             .as("text"))
@@ -8947,7 +8956,7 @@ object Queries {
     "t36_gopher_rep_coverage" -> ((s, dir) => {
       val cov = TextAnalysis.gopherDupCoverage(col("text"))
       val strict = TextAnalysis.gopherRepetitionRules(col("text")).toMap
-      tbl(s, dir, "documents")
+      tblPar(s, dir, "documents", "doc_id")
         .select(col("doc_id"),
           TextAnalysis.repetitionFixture(col("text")).as("text"))
         .select((col("doc_id") +:
@@ -8969,7 +8978,7 @@ object Queries {
     // DuckDB replays all 8 batch steps through the SHARED chain
     // generator (batches > 1 arm).
     "t37_trained_sgd" -> ((s, dir) => {
-      val docs = tbl(s, dir, "documents")
+      val docs = tblPar(s, dir, "documents", "doc_id")
         .select(col("doc_id"),
           TextAnalysis.spamFixture(col("text"), col("doc_id")).as("text"))
       val w = TextAnalysis.trainLogisticSgd(docs, "doc_id", "text",
