@@ -263,14 +263,25 @@ object Dedup {
       s"substringDedupSpans: minDocs must be >= 2 (cross-document), got $minDocs")
     val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
     val th = transform(toks, t => PortableHash.charFold(t))
-    val wins = docs
-      .select(col(idCol).as("doc_id"), th.as("__th"))
+    // r15 (guide §2.4/§2.5): `wins` feeds TWO consumers (the dup-count
+    // aggregate and the semi-join back), and per-branch column pruning
+    // pushes different projections below any shared exchange, so the
+    // tokenize+explode pass ran TWICE — and on a single-file corpus, as
+    // ONE task each. The corpus now fans out by doc id before the
+    // tokenize (no-op at production scan widths) and the window table is
+    // cached so the fingerprint pass runs once; integer window rows only
+    // (doc_id, pos, fp), never text.
+    val wins = graft.plans.ScaleShape
+      .fanOut(docs.select(col(idCol).as("doc_id"), col(textCol)),
+        col("doc_id"))
+      .select(col("doc_id"), th.as("__th"))
       .filter(size(col("__th")) >= k)
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(0), size(col("__th")) - k), i =>
           aggregate(slice(col("__th"), i + 1, lit(k)), lit(0L),
             (acc, x) => pmod(acc * lit(1000003L) + x, lit(PortableHash.Mod)))))
         .as(Seq("pos", "fp")))
+      .persist()
     val dup = wins.groupBy("fp")
       .agg(countDistinct(col("doc_id")).as("__nd"))
       .filter(col("__nd") >= minDocs)
