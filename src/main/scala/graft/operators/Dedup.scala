@@ -381,20 +381,44 @@ object Dedup {
     * (same discipline as DependencyGraph.doubledClosure). `maxRounds`
     * guards the adversarial case. */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 15): DataFrame = {
+    // localCheckpoint rather than persist (r15): a cached plan keeps its
+    // pre-AQE partitioning (canChangeCachedPlanOutputPartitioning is off
+    // by default), so `sym` cached at the session's shuffle-partition
+    // constant and every round's joins launched that many near-empty map
+    // tasks; the checkpoint materializes the AQE-coalesced output, so the
+    // loop's map width follows the edge set's actual size.
     val sym = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .distinct()
-      .persist()
+      .localCheckpoint(false)
+    // LAZY checkpoints throughout the loop (r15): the stats aggregate
+    // that drives fixpoint detection runs over every partition, so it
+    // both materializes the checkpoint and returns the round's
+    // (count, sum) in ONE action — the old eager checkpoint + separate
+    // stats pass paid two materializing jobs per round
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     def stats(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)), sum("cluster_id")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var prev = stats(labels)
+    // node-count-derived shuffle width for the round plans (r15, guide
+    // §2.2): the label set is output-bounded (candidate-pair nodes), yet
+    // every round's two joins planned at the session's shuffle-partition
+    // constant — dozens of near-empty tasks per round at bench scale. One
+    // reduce partition per ~20k nodes, capped at the session setting, and
+    // the session value is restored after the loop (the statement-scoped
+    // conf discipline of graft.plans.Settings.withSettings).
+    val sess = pairs.sparkSession
+    val savedSp = sess.conf.get("spark.sql.shuffle.partitions")
+    val roundSp = math.max(1L,
+      math.min(savedSp.toLong, prev._1 / 20000L + 1L))
     var done = false
     var i = 0
+    sess.conf.set("spark.sql.shuffle.partitions", roundSp.toString)
+    try {
     while (i < maxRounds && !done) {
       // neighbor's best label, folded into own
       val viaNeighbor = sym.join(labels, sym("b") === labels("id"))
@@ -407,14 +431,14 @@ object Dedup {
         .select(labels("id"),
           least(col("cluster_id"), coalesce(col("nl"), col("cluster_id")),
             col("jl")).as("cluster_id"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val cur = stats(next)
       done = cur == prev
       prev = cur
       labels = next
       i += 1
     }
-    sym.unpersist()
+    } finally sess.conf.set("spark.sql.shuffle.partitions", savedSp)
     labels
   }
 }
