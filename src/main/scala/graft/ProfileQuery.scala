@@ -23,6 +23,8 @@ object ProfileQuery {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("PROFILE_BYPASS_THRESHOLD", "200"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -677,8 +677,14 @@ object Similarity {
     val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val (cids, cvs) = kmeansCodebook(corpus, idCol, vecCol, centroidEvery,
       iters, roundTo, maxLiteralCentroids)
+    // lazy checkpoint (r15): `cells` feeds BOTH sides of the within-cell
+    // self-join AND the final keep-join — per-branch pushdown gave each
+    // its own copy of the assignment scan (3 passes); the checkpoint runs
+    // it once and materializes at AQE-sized width. A real pipeline
+    // materializes the assignment before the pairwise pass anyway.
     val cells = assignWith(vecs, cids, cvs, 1, roundTo, maxLiteralCentroids)
       .select(col("id"), col("v"), element_at(col("__cells"), 1).as("cell"))
+      .localCheckpoint(false)
     val l = cells.select(col("cell"), col("id").as("id1"), col("v").as("v1"))
     val r = cells.select(col("cell"), col("id").as("id2"), col("v").as("v2"))
     val dropped = l.join(r, Seq("cell"))
