@@ -2467,7 +2467,10 @@ object Queries {
     // end: PNG encode and decode both run per-partition.
     "x3_image_decode" -> ((s, dir) => {
       import graft.operators.Multimodal
-      val ids = tbl(s, dir, "documents").select("doc_id")
+      // fan out the id list (KB shuffle) so encode+decode run wide — safe
+      // now that ImageIO's per-image temp-file cache is off (row-local)
+      val ids = graft.plans.ScaleShape.fanOut(
+        tbl(s, dir, "documents").select("doc_id"), col("doc_id"))
       Multimodal.extractMetaImage(
           Multimodal.syntheticPngs(ids, "doc_id"), "doc_id")
         .toDF()

@@ -40,6 +40,15 @@ object Multimodal {
     }
   }
 
+  /** One-time per-JVM: ImageIO's stream cache defaults to a TEMP FILE per
+    * encode/decode — for the KB-sized in-memory payloads every x-tier row
+    * carries, that is one file create+write+delete per image and was the
+    * decode tier's dominant cost (r15, guide §1.2 per-task work). The
+    * memory cache is value-identical (same codec, same bytes). Referenced
+    * from every ImageIO call site so executors flip it before first use. */
+  private[operators] lazy val imageIoMemCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** REAL image codec over `javax.imageio` (ships in the JDK — no external
     * deps). Magic-byte sniff first (cheap reject of non-image payloads),
     * then a full decode; every failure mode lands in the Left error
@@ -55,7 +64,8 @@ object Multimodal {
       else None
 
     /** Decode to (format, width, height) or an error message. */
-    def decode(payload: Array[Byte]): Either[String, (String, Int, Int)] =
+    def decode(payload: Array[Byte]): Either[String, (String, Int, Int)] = {
+      imageIoMemCache
       sniffFormat(payload) match {
         case None => Left("unrecognized magic bytes")
         case Some(fmt) =>
@@ -68,6 +78,7 @@ object Multimodal {
             case e: Exception => Left(s"decode error: ${e.getMessage}")
           }
       }
+    }
   }
 
   /** REAL audio codec over `javax.sound.sampled` (ships in the JDK — the
@@ -176,6 +187,7 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      imageIoMemCache
       it.map { id =>
         val w = (id % 64 + 1).toInt
         val h = (id * 7 % 48 + 1).toInt
@@ -211,6 +223,7 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        imageIoMemCache
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { case (id, payload) =>
             ImageIoCodec.decode(payload) match {
@@ -291,6 +304,7 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      imageIoMemCache
       val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
       it.map { id =>
         val n = (id % 8 + 2).toInt
@@ -340,6 +354,7 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        imageIoMemCache
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.flatMap { case (id, payload) =>
             GifFramesCodec.decode(payload, maxSamples) match {
@@ -371,6 +386,7 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      imageIoMemCache
       it.map { id =>
         val base = if (id % 5 == 4) id - 1 else id
         val pert = id % 5 == 4
@@ -503,6 +519,7 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        imageIoMemCache
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { case (id, payload) =>
             ImageIoCodec.sniffFormat(payload) match {
@@ -608,6 +625,7 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        imageIoMemCache
         it.grouped(batchSize).flatMap { batch =>
           // batch boundary = codec invocation boundary (stub decodes
           // element-wise; a real vectorized codec would take the batch)
