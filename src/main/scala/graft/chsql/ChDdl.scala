@@ -397,7 +397,7 @@ object ChDdl {
                 .stripPrefix("(").stripSuffix(")")))
             .toSeq.flatMap(_.split(",")).map(_.trim)
             .filter(df.columns.contains)
-          val w = df.write.mode(SaveMode.ErrorIfExists)
+          val w = sizedWrite(df).write.mode(SaveMode.ErrorIfExists)
           (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
             .saveAsTable(name)
           spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES (" +
@@ -1015,7 +1015,7 @@ object ChDdl {
           // applies here like any INSERT — a NULL-producing view select
           // must not plant a NULL that declared non-Nullable reads
           // (readTable's AssertNotNull) would then throw on
-          guardNonNullableWrites(tablePropsSafe(spark, t), out, t)
+          sizedWrite(guardNonNullableWrites(tablePropsSafe(spark, t), out, t))
             .write.mode(SaveMode.Append).insertInto(t)
         case _ => out.createOrReplaceTempView(target.getOrElse(name))
       }
@@ -1434,7 +1434,7 @@ object ChDdl {
     // CH parity: an explicit (or SELECT-produced) NULL bound to a declared
     // non-Nullable column is an insert-time error, not a silent store
     val checked = guardNonNullableWrites(props, aligned, name)
-    checked.write.mode(SaveMode.Append).insertInto(name)
+    sizedWrite(checked).write.mode(SaveMode.Append).insertInto(name)
     maintainProjectionsOnInsert(spark, name, checked)
   }
 
@@ -2607,6 +2607,24 @@ object ChDdl {
     * column default at read time. Row-local when/raise_error over the
     * declared-Nullable list — codegen'd, no extra scan or shuffle.
     * Inactive (conservative) for pre-prop tables with no recorded list. */
+  /** Output-file sizing for the engine's writes (r15, guide §6): Spark
+    * plans a VALUES relation as min(rows, defaultParallelism) slices, so
+    * every small INSERT wrote (and later re-read) that many ~KB parquet
+    * part files — ch88's INSERT chain measured 117 write tasks for a few
+    * hundred rows of data. When the optimizer's size estimate says the
+    * write is tiny (≤ 8 MB), coalesce to ONE part file; anything larger
+    * — or of unknown size (stats default to Long.MaxValue) — keeps its
+    * incoming parallelism, so corpus-scale INSERT SELECTs are untouched
+    * at any scale. coalesce() never widens, and the 8 MB bound caps how
+    * much compute the single-slice write can serialize, so the guard is
+    * safe by construction. */
+  private def sizedWrite(df: DataFrame): DataFrame = {
+    val tiny =
+      try df.queryExecution.optimizedPlan.stats.sizeInBytes <= (8L << 20)
+      catch { case _: Throwable => false }
+    if (tiny) df.coalesce(1) else df
+  }
+
   private def guardNonNullableWrites(props: Map[String, String],
       df: DataFrame, table: String): DataFrame =
     declaredNullCols(props) match {

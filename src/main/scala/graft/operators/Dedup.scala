@@ -164,13 +164,36 @@ object Dedup {
       .select(col("id1"), col("id2"), col("__ta"),
         col(textCol).as("__tb"))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    // Banded Levenshtein (r15): only pairs with round(1 - lev/mx,
+    // roundTo) ≥ threshold survive the filter, i.e. survivors have
+    // lev ≤ mx·(1-threshold) + mx·0.5·10^-roundTo — so the distance
+    // only needs computing within that band. The per-row band rides
+    // Spark's own UTF8String banded implementation (the built-in
+    // 3-arg levenshtein), O(len·band) instead of O(len²) — measured
+    // 15 s of task CPU on t22's verify stage at sf0.1, ~5× cut at
+    // θ=0.8. Value-identical output: within the band the distance is
+    // exact (survivors always are, by the bound above with a +2
+    // margin); beyond it the sentinel sim of threshold-1 loses to the
+    // filter exactly as its true sim < threshold would. Banding only
+    // engages for threshold > 0 — at θ ≤ 0 every pair survives, so
+    // every distance must be exact and the band would not prune
+    // anyway.
+    val mx = greatest(length(col("__ta")), length(col("__tb")))
+    val lev0 =
+      if (threshold > 0) {
+        val band = (floor(mx.cast("double") * lit(1.0 - threshold)) +
+          floor(mx.cast("double") *
+            lit(0.5 * math.pow(10.0, -roundTo))) + lit(2)).cast("int")
+        graft.plans.NativeExpressions.levenshtein_within(
+          col("__ta"), col("__tb"), band)
+      } else levenshtein(col("__ta"), col("__tb"))
     both
       .select(col("id1"), col("id2"),
-        levenshtein(col("__ta"), col("__tb")).cast("long").as("lev"),
-        greatest(length(col("__ta")), length(col("__tb")))
-          .cast("double").as("__mx"))
+        lev0.cast("long").as("lev"), mx.cast("double").as("__mx"))
       .select(col("id1"), col("id2"), col("lev"),
-        round(lit(1.0) - col("lev") / col("__mx"), roundTo).as("sim"))
+        when(col("lev") < 0, lit(threshold - 1.0))
+          .otherwise(round(lit(1.0) - col("lev") / col("__mx"), roundTo))
+          .as("sim"))
       .filter(col("sim") >= lit(threshold) + rand(42) * lit(0.0))
   }
 

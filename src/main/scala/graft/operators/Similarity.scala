@@ -860,9 +860,22 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
+  // Reader schemas for the persisted-index artifacts (r15, guide §6):
+  // the WRITERS above fix these schemas exactly, so the loaders supply
+  // them instead of paying per-load parquet schema inference (measured
+  // ~100 ms/read on this runtime — pure metadata; the index data is
+  // still read from parquet on every load).
+  private val coarseIdxSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "cid BIGINT, cv ARRAY<DOUBLE>")
+  private val pqIdxSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "j INT, c INT, cv ARRAY<DOUBLE>")
+  private val hnswIdxSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "pos INT, cid BIGINT, cv ARRAY<DOUBLE>, lvl INT, adj ARRAY<ARRAY<INT>>")
+
   def loadCoarseCodebook(spark: org.apache.spark.sql.SparkSession,
       path: String): (Array[Long], Array[Array[Double]]) = {
-    val rows = spark.read.parquet(path).orderBy("cid").collect()
+    val rows = spark.read.schema(coarseIdxSchema).parquet(path)
+      .orderBy("cid").collect()
     require(rows.nonEmpty, s"loadCoarseCodebook: empty index at $path")
     (rows.map(_.getLong(0)), rows.map(_.getSeq[Double](1).toArray))
   }
@@ -879,7 +892,8 @@ object Similarity {
 
   def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
       path: String): graft.plans.PqCodebooks = {
-    val rows = spark.read.parquet(path).orderBy("j", "c").collect()
+    val rows = spark.read.schema(pqIdxSchema).parquet(path)
+      .orderBy("j", "c").collect()
     require(rows.nonEmpty, s"loadPqCodebooks: empty index at $path")
     val m = rows.map(_.getInt(0)).max + 1
     val cents = Array.tabulate(m) { j =>
@@ -1134,7 +1148,7 @@ object Similarity {
     * configuration scale, the same contract as [[loadCoarseCodebook]]. */
   def loadHnswGraph(spark: org.apache.spark.sql.SparkSession,
       path: String): graft.plans.HnswGraph = {
-    val rows = spark.read.parquet(path)
+    val rows = spark.read.schema(hnswIdxSchema).parquet(path)
       .select("pos", "cid", "cv", "lvl", "adj").collect()
       .sortBy(_.getInt(0))
     require(rows.nonEmpty, s"loadHnswGraph: empty artifact at $path")

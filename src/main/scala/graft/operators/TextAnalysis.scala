@@ -1699,7 +1699,12 @@ object TextAnalysis {
     * the artifact is K·B rows of configuration size. */
   def loadLinearModels(spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[(String, Array[Double])] = {
-    val rows = spark.read.parquet(path)
+    // writer-fixed schema supplied — skips per-load parquet schema
+    // inference (~100 ms; metadata only, the rows are still read)
+    val rows = spark.read.schema(
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "model STRING, bucket INT, weight DOUBLE"))
+      .parquet(path)
       .select("model", "bucket", "weight").collect()
     require(rows.nonEmpty, s"loadLinearModels: empty artifact at $path")
     rows.groupBy(_.getString(0)).toSeq.sortBy(_._1).map { case (m, rs) =>

@@ -1275,6 +1275,34 @@ object NativeExpressions {
       copy(first = newFirst, second = newSecond, third = newThird)
   }
 
+  /** Levenshtein distance with a PER-ROW band threshold (r15, guide
+    * §1.2 per-task work): delegates to Spark's own
+    * `UTF8String.levenshteinDistance(other, threshold)` — the exact
+    * banded implementation behind the built-in three-argument
+    * `levenshtein()` — so the value semantics are identical to the
+    * built-in by construction: the exact distance when it is ≤
+    * threshold, -1 otherwise, in O(len·threshold) instead of O(len²).
+    * The built-in only accepts a LITERAL threshold; near-dup
+    * verification needs `threshold ~ (1-θ)·max(len_a, len_b)` per pair,
+    * which is what this ternary form adds. */
+  case class LevenshteinWithin(first: Expression, second: Expression,
+      third: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.IntegerType
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(a: Any, b: Any, t: Any): Any =
+      a.asInstanceOf[UTF8String].levenshteinDistance(
+        b.asInstanceOf[UTF8String], t.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b, t) =>
+        s"$a.levenshteinDistance($b, $t)")
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression,
+        newThird: Expression): LevenshteinWithin =
+      copy(first = newFirst, second = newSecond, third = newThird)
+  }
+
   // Column wrappers
   def char_fold(c: Column, mult: Long, mod: Long): Column =
     ColumnBridge.column(CharFoldHash(ColumnBridge.expression(c), mult, mod))
@@ -1319,6 +1347,9 @@ object NativeExpressions {
   def bucket_gather_sum(bs: Column, w: Column): Column =
     ColumnBridge.column(BucketGatherSum(
       ColumnBridge.expression(bs), ColumnBridge.expression(w)))
+  def levenshtein_within(a: Column, b: Column, threshold: Column): Column =
+    ColumnBridge.column(LevenshteinWithin(ColumnBridge.expression(a),
+      ColumnBridge.expression(b), ColumnBridge.expression(threshold)))
   def hnsw_assign_bc(vec: Column,
       graph: org.apache.spark.broadcast.Broadcast[HnswGraph],
       nprobe: Int, roundTo: Int): Column =

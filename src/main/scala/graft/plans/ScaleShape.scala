@@ -28,4 +28,16 @@ object ScaleShape {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 <= p) df.repartition(p, by: _*) else df
   }
+
+  // NOTE (r15, negative result — kept so the next round doesn't retry
+  // it): an experiment pinned AQE off + shuffle width 1 around the
+  // iterative loops (trainers' gradient steps, k-means updates, the
+  // connected-components rounds) on the theory that their reduce sides
+  // are configuration-bounded and each AQE query stage costs a
+  // scheduler dispatch (~40-60 ms). Measured STRICTLY WORSE (t9 3.6 s
+  // -> 8.6 s, p2 2.5 s -> 8.2 s): AQE's runtime size stats are what
+  // convert the loops' joins to broadcast and keep upstream widths
+  // sane — the dispatch overhead it adds is the cheaper half of the
+  // trade. Reverted; job-count reduction must come from restructuring
+  // (fewer actions per round), not from planner pinning.
 }

@@ -143,4 +143,31 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(!m(Nil, adj))
     assert(!m(Seq(enc(1, 0)), adj))
   }
+
+  test("levenshteinWithin: exact within the band, -1 sentinel beyond, " +
+      "unicode-identical to the built-in") {
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      ("kitten", "sitting"),          // d = 3
+      ("", ""),                       // d = 0, empty edge
+      ("abc", ""),                    // d = 3, one side empty
+      ("straße", "strasse"),          // non-ASCII, d = 2
+      ("привет мир", "привет мip"),   // Cyrillic + Latin lookalikes
+      ("same text", "same text"),     // d = 0
+      ("wholly different content", "zzzz"))
+    val df = spark.createDataFrame(rows).toDF("a", "b")
+    val cmp = df.select(
+      levenshtein(col("a"), col("b")).as("ref"),
+      NativeExpressions.levenshtein_within(col("a"), col("b"),
+        lit(1000)).as("wide"),
+      NativeExpressions.levenshtein_within(col("a"), col("b"),
+        lit(2)).as("narrow")).collect()
+    cmp.foreach { r =>
+      // a band wider than any distance reproduces the built-in exactly
+      assert(r.getInt(1) == r.getInt(0), s"wide band diverged: $r")
+      // a narrow band is exact inside, the -1 sentinel outside
+      if (r.getInt(0) <= 2) assert(r.getInt(2) == r.getInt(0), s"$r")
+      else assert(r.getInt(2) == -1, s"expected sentinel: $r")
+    }
+  }
 }

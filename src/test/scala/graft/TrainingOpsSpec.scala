@@ -979,6 +979,40 @@ class TrainingOpsSpec extends AnyFunSuite {
       s"expected exactly one levenshtein in the analyzed plan, got $levCount")
   }
 
+  test("verifyPairs: banded distance ≡ unbanded reference on boundary " +
+      "and unicode pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, greatest, length, levenshtein, round, lit}
+    // survivors at exactly the bar, just above, just below, unicode,
+    // exact copies, and wholly-different decoys (banded to the sentinel)
+    val d = Seq(
+      (0L, "abcdefghij"), (1L, "abcdefghXX"),   // lev 2 / mx 10 → 0.8
+      (2L, "abcdefghij"), (3L, "abcdefgXXX"),   // lev 3 → 0.7 (dropped at .8)
+      (4L, "привет мир и еще слова тут"), (5L, "привет мip и еще слова тут"),
+      (6L, "copy of a text"), (7L, "copy of a text"),
+      (8L, "totally unrelated content here"), (9L, "zzz"))
+      .toDF("doc_id", "text")
+    val p = Seq((0L, 1L), (2L, 3L), (4L, 5L), (6L, 7L), (8L, 9L))
+      .toDF("id1", "id2")
+    for (th <- Seq(0.8, 0.5, 0.0)) {
+      val got = Dedup.verifyPairs(p, d, "doc_id", "text", th).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      // reference: the pre-r15 unbanded shape, computed inline
+      val texts = d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val ref = p.collect().map { r =>
+        val (a, b) = (texts(r.getLong(0)), texts(r.getLong(1)))
+        val lev = Seq((a, b)).toDF("x", "y")
+          .select(levenshtein(col("x"), col("y"))).head().getInt(0).toLong
+        val mx = math.max(a.length, b.length).toDouble
+        val sim = BigDecimal(1.0 - lev / mx)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (r.getLong(0), r.getLong(1), lev, sim)
+      }.filter(_._4 >= th).toSet
+      assert(got == ref, s"banded verify diverged at threshold $th")
+    }
+  }
+
   test("bm25TopK: empty corpus raises a clear error, not a NULL-sum NPE") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
