@@ -419,8 +419,15 @@ object Dedup {
     // both materializes the checkpoint and returns the round's
     // (count, sum) in ONE action — the old eager checkpoint + separate
     // stats pass paid two materializing jobs per round
-    var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
+    // Seeded init (r15): label_0(v) = min(v, min neighbor id) is
+    // EXACTLY what round 1 of the loop computes from self-labels
+    // (nl = min neighbor id, the jump maps v back to v), so seeding it
+    // as one groupBy absorbs the first round's two-join plan — one
+    // fewer round at any scale, identical fixpoint (the result is the
+    // min reachable id, independent of the round schedule).
+    var labels = sym.groupBy(col("a"))
+      .agg(min(col("b")).as("nb"))
+      .select(col("a").as("id"), least(col("a"), col("nb")).as("cluster_id"))
       .localCheckpoint(false)
     def stats(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)), sum("cluster_id")).head()

@@ -645,7 +645,16 @@ object Similarity {
       centroidEvery: Int, iters: Int, roundTo: Int = 6,
       maxLiteralCentroids: Int = 64
   ): (Array[Long], Array[Array[Double]]) = {
+    // lazy checkpoint (r15): the (id, v) projection re-derived the
+    // upstream embedding expressions on EVERY pass — the stride init
+    // plus one assignment scan per iteration, so a pipeline corpus
+    // (p2/v10: row-local embedding math over text) recomputed its
+    // vectors iters+1 times. Checkpointing materializes them once;
+    // every subsequent pass reads the stored doubles. Value-identical:
+    // same vectors, same partitioning (row-local projection preserves
+    // the scan splits), same per-partition fold order.
     val vecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .localCheckpoint(false)
     var (cids, cvs) = strideCodebook(vecs, centroidEvery)
     for (_ <- 0 until iters) {
       val assigned = assignWith(vecs, cids, cvs, 1, roundTo, maxLiteralCentroids)
