@@ -394,15 +394,17 @@ object Dedup {
     * id reachable through the pair graph as `cluster_id` (which is also
     * the canonical keeper). Returns (id, cluster_id).
     *
-    * Scale design: per round, one neighbor-propagation join + a POINTER
-    * JUMP (label := label of my label) — the jump contracts chains
+    * Scale design: per round, neighbor propagation + a POINTER JUMP
+    * (label := label of my label) — the jump contracts chains
     * geometrically, so convergence is O(log diameter) rounds, not
     * O(diameter) (verified: the natural-dup chains in the documents corpus
-    * take 6 plain-propagation rounds but 3 with jumping). Labels only ever
-    * DECREASE, so an unchanged (count, sum(label)) is a fixpoint — checked
-    * on the round's localCheckpoint, one materializing action per round
-    * (same discipline as DependencyGraph.doubledClosure). `maxRounds`
-    * guards the adversarial case. */
+    * take 6 plain-propagation rounds but 3 with jumping). Both are FUSED
+    * into ONE join + ONE aggregate by folding the pointer edges
+    * (v → label(v)) into the message edge set (see the round comment).
+    * Labels only ever DECREASE, so an unchanged (count, sum(label)) is a
+    * fixpoint — checked on the round's localCheckpoint, one materializing
+    * action per round (same discipline as DependencyGraph.doubledClosure).
+    * `maxRounds` guards the adversarial case. */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 15): DataFrame = {
     // localCheckpoint rather than persist (r15): a cached plan keeps its
     // pre-AQE partitioning (canChangeCachedPlanOutputPartitioning is off
@@ -450,17 +452,23 @@ object Dedup {
     sess.conf.set("spark.sql.shuffle.partitions", roundSp.toString)
     try {
     while (i < maxRounds && !done) {
-      // neighbor's best label, folded into own
-      val viaNeighbor = sym.join(labels, sym("b") === labels("id"))
-        .groupBy(col("a").as("id2")).agg(min("cluster_id").as("nl"))
-      // pointer jump: my label's own label (labels are always node ids
-      // present in `labels`, so the inner join always matches)
-      val jump = labels.select(col("id").as("jid"), col("cluster_id").as("jl"))
-      val next = labels.join(viaNeighbor, labels("id") === col("id2"), "left")
-        .join(jump, labels("cluster_id") === col("jid"))
-        .select(labels("id"),
-          least(col("cluster_id"), coalesce(col("nl"), col("cluster_id")),
-            col("jl")).as("cluster_id"))
+      // FUSED round (r15): one join + one aggregate instead of the
+      // 3-join form (sym ⋈ labels → agg, labels ⋈ viaNeighbor, ⋈ jump).
+      // Message edges = graph edges ∪ pointer edges (v → label(v)); then
+      //   next(v) = min over (v,b) of label(b)
+      //           = min(min neighbor label, label(label(v))).
+      // Identical per round to the 3-join form: its `least` also admitted
+      // own label(v), but label(u) ≤ u for every u (init is
+      // least(a, nb) ≤ a; updates only take mins of labels), so
+      // label(label(v)) ≤ label(v) and the own-label term never wins
+      // strictly. Every node keeps a row: v always has the pointer edge
+      // (v, label(v)) and label values are node ids present in `labels`,
+      // so the inner join always matches.
+      val msgs = sym.union(
+        labels.select(col("id").as("a"), col("cluster_id").as("b")))
+      val next = msgs.join(labels, msgs("b") === labels("id"))
+        .groupBy(msgs("a").as("id"))
+        .agg(min("cluster_id").as("cluster_id"))
         .localCheckpoint(false)
       val cur = stats(next)
       done = cur == prev

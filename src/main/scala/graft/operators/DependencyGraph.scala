@@ -75,9 +75,10 @@ object DependencyGraph {
     * (src, dst) connected by a path of ≤ 2^k edges, with depth = the
     * `shortest`-or-longest such path (min-plus / max-plus matrix squaring).
     * O(log diameter) rounds instead of the frontier form's O(diameter),
-    * and exactly ONE materializing action per round: the eager
-    * `localCheckpoint` pins the round's result, and the convergence stats
-    * (pair count + depth sum) read the pinned blocks — no recompute.
+    * and exactly ONE action per round: the convergence-stats aggregate
+    * (pair count + depth sum) materializes the round's LAZY
+    * `localCheckpoint` and returns the stats in the same job; later
+    * rounds read the pinned blocks — no recompute.
     * Convergence: depths only shrink (min) / grow (max) and the pair set
     * only grows, so an unchanged (count, sum) fixes the point. For min,
     * an unchanged pair set already implies every shortest path ≤ 2^(k-1),
@@ -88,29 +89,49 @@ object DependencyGraph {
   private def doubledClosure(edges: DataFrame, shortest: Boolean,
       maxRounds: Int): DataFrame = {
     val aggDepth = if (shortest) min(col("depth")) else max(col("depth"))
+    // LAZY checkpoints (r15, the connectedComponents convention): the
+    // convergence stats aggregate reads every partition, so it both
+    // materializes the round's checkpoint and returns (count, sum) in
+    // ONE action — the eager form paid a separate materializing job per
+    // round. Values are unchanged: (src, dst)-keyed exact min/max over
+    // integer depths is partition-layout-independent.
     var reach = edges.select(col("src"), col("dst"), lit(1).as("depth"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     def stats(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)), sum("depth")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var prev = stats(reach)
+    // pair-count-derived shuffle width for the round plans (r15, guide
+    // §2.2): the reach set here is catalog-metadata-scale, yet each
+    // round's self-join + groupBy planned at the session shuffle
+    // constant — near-empty reduce tasks per round. One reduce partition
+    // per ~20k reach pairs, re-derived each round from the live pair
+    // count (the closure can grow quadratically), capped at the session
+    // setting, which is restored after the loop.
+    val sess = edges.sparkSession
+    val savedSp = sess.conf.get("spark.sql.shuffle.partitions")
+    def roundSp(pairs: Long): String = math.max(1L,
+      math.min(savedSp.toLong, pairs / 20000L + 1L)).toString
     var i = 0
     var done = prev._1 == 0
-    while (i < maxRounds && !done) {
-      val hop = reach.alias("a")
-        .join(reach.alias("b"), col("a.dst") === col("b.src"))
-        .select(col("a.src").as("src"), col("b.dst").as("dst"),
-          (col("a.depth") + col("b.depth")).as("depth"))
-      val combined = reach.union(hop)
-        .groupBy("src", "dst").agg(aggDepth.as("depth"))
-        .localCheckpoint(true)
-      val cur = stats(combined)
-      if (cur == prev) done = true
-      prev = cur
-      reach = combined
-      i += 1
-    }
+    try {
+      while (i < maxRounds && !done) {
+        sess.conf.set("spark.sql.shuffle.partitions", roundSp(prev._1))
+        val hop = reach.alias("a")
+          .join(reach.alias("b"), col("a.dst") === col("b.src"))
+          .select(col("a.src").as("src"), col("b.dst").as("dst"),
+            (col("a.depth") + col("b.depth")).as("depth"))
+        val combined = reach.union(hop)
+          .groupBy("src", "dst").agg(aggDepth.as("depth"))
+          .localCheckpoint(false)
+        val cur = stats(combined)
+        if (cur == prev) done = true
+        prev = cur
+        reach = combined
+        i += 1
+      }
+    } finally sess.conf.set("spark.sql.shuffle.partitions", savedSp)
     reach
   }
 
