@@ -570,7 +570,16 @@ object TextAnalysis {
       .groupBy("t").agg(count(lit(1)).as("c"))
     val top = uni.orderBy(desc("c"), col("t")).limit(maxVocab).collect()
     val vocabSet = top.map(_.getString(0)).toSet
-    val totalToks = uni.agg(sum("c")).head().getLong(0)
+    // corpus scalars in ONE scan (r15): total token count == sum of the
+    // unigram counts (exact long — every token explodes to one row), and
+    // the non-empty-doc count, both straight off the token arrays. The
+    // old form re-ran the whole explode+groupBy unigram aggregation for
+    // the sum and paid a FOURTH tokenize pass for the doc count.
+    val st = tokRows.agg(
+      sum(size(col("__t")).cast("long")).as("tt"),
+      count(when(size(col("__t")) > 0, lit(1))).as("nd")).head()
+    val totalToks = if (st.isNullAt(0)) 0L else st.getLong(0)
+    val nDocs = st.getLong(1)
     val unkCount = totalToks - top.map(_.getLong(1)).sum
     val vocab = new java.util.HashMap[UTF8String, java.lang.Long]()
     top.foreach(r => vocab.put(UTF8String.fromString(r.getString(0)),
@@ -603,7 +612,6 @@ object TextAnalysis {
     val bigrams = new java.util.HashMap[UTF8String, java.lang.Long]()
     pairs.foreach(r => bigrams.put(UTF8String.fromString(r.getString(0)),
       java.lang.Long.valueOf(r.getLong(1))))
-    val nDocs = tokRows.filter(size(col("__t")) > 0).count()
     new graft.plans.BigramModel(vocab, bigrams, nDocs, vocab.size().toLong, k)
   }
 
