@@ -445,7 +445,7 @@ object ChDdl {
         // same guard as the ALTER ... UPDATE path: a NULL assigned to a
         // declared non-Nullable column must fail here too, or the stored
         // NULL makes every later readTable AssertNotNull read throw
-        val scope = mutateWhere(spark, name, p)(df =>
+        val scope = mutateWhere(spark, name, p, rowsPreserved = true)(df =>
           guardNonNullableWrites(tablePropsSafe(spark, name),
             graft.operators.Mutations.update(df, assignments, p), name))
         Some(status(s"updated $name (${
@@ -1575,7 +1575,7 @@ object ChDdl {
       // guard after the transform: UPDATE c = NULL on a declared
       // non-Nullable column must fail (CH parity), not store a NULL that
       // the addfill read rule would silently resurrect as the default
-      val scope = mutateWhere(spark, name, p)(df =>
+      val scope = mutateWhere(spark, name, p, rowsPreserved = true)(df =>
         guardNonNullableWrites(tablePropsSafe(spark, name),
           Mutations.update(df, assignments, p), name))
       status(s"mutation applied to $name (update ${
@@ -2003,7 +2003,7 @@ object ChDdl {
           if (colDeclaredNullable(props, c, field.nullable)) lit(null)
           else chTypeDefault(field.dataType))
       val dt = field.dataType
-      val scope = mutateWhere(spark, name, p)(df =>
+      val scope = mutateWhere(spark, name, p, rowsPreserved = true)(df =>
         df.withColumn(c, when(p, fill.cast(dt)).otherwise(col(c))))
       status(s"cleared column $c in partition (${vals.mkString(", ")}); $scope")
     } else throw new IllegalArgumentException(
@@ -2283,7 +2283,8 @@ object ChDdl {
     * Partitions the mutation empties entirely are dropped (dynamic
     * overwrite cannot express "this partition became empty").
     * Unpartitioned tables fall back to the full rewrite-and-swap. */
-  private def mutateWhere(spark: SparkSession, name: String, pred: Column)(
+  private def mutateWhere(spark: SparkSession, name: String, pred: Column,
+      rowsPreserved: Boolean = false)(
       transform: DataFrame => DataFrame): String = {
     require(!tablePropsSafe(spark, name)
       .getOrElse("graft.engine", "").equalsIgnoreCase("File"),
@@ -2315,8 +2316,17 @@ object ChDdl {
         // phase 2 (rewrite): read ONLY the affected partitions (pruned
         // scan), transform row-locally, dynamic-overwrite them in place
         val result = transform(full.filter(memberPred))
-        val remaining = result.select(pcols.map(col): _*)
-          .distinct().collect().map(key).toSet
+        // the emptied-partition sweep needs a SECOND full compute of
+        // `result` (distinct + collect before the write). Row-preserving
+        // mutations (UPDATE, CLEAR COLUMN, plain-compaction OPTIMIZE)
+        // cannot empty a partition — memberPred keeps whole partitions,
+        // every affected partition has ≥1 row, and the transform keeps
+        // every row — so the written set is exactly `affected` and the
+        // sweep is skipped (r15, guide §1.2: remove the pass outright).
+        val remaining =
+          if (rowsPreserved) affected.map(key).toSet
+          else result.select(pcols.map(col): _*)
+            .distinct().collect().map(key).toSet
         val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try result.write.mode(SaveMode.Overwrite).insertInto(name)
@@ -2927,7 +2937,8 @@ object ChDdl {
         // path reads and dynamically overwrites only its directory,
         // CH's per-partition merge cost
         val scope = mutateWhere(spark, name,
-          withPartitionScope(spark, name, Some(vals), lit(true)))(transform)
+          withPartitionScope(spark, name, Some(vals), lit(true)),
+          rowsPreserved = !fin && !dedup)(transform)
         s" partition (${vals.mkString(", ")}) — $scope"
       case None =>
         rewriteSwap(spark, name)(transform)
