@@ -32,9 +32,13 @@ object PlanAudit {
         // scan-speed rule suite, and the gopher/decontam pipeline's
         // broadcast-only probes
         "v19_ivf_range", "t31_gopher_rules", "p8_gopher_decontam_pack")
+    // SPARK_GRAFT_CPUS (default 4) — scale-adaptive operators (fanOut)
+    // shape plans by session parallelism, so auditing the bench's plan
+    // needs the bench's core count (r15)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

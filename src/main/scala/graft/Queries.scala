@@ -210,7 +210,11 @@ object Queries {
     "q3_top_orders" -> ((s, dir) => {
       val cust = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val orders = tbl(s, dir, "orders")
-      val li = tbl(s, dir, "lineitem")
+      // scan fan-out opt-in (r15): lineitem streams through the two
+      // broadcast probes as ONE task on the single-row-group file; the
+      // revenue aggregate is an exact Decimal(18,4) sum, so the spread
+      // is value-identical (guide §2.5)
+      val li = tblPar(s, dir, "lineitem", "l_orderkey")
       cust.join(orders, col("c_custkey") === col("o_custkey"))
         .join(li, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate").cast(DateType).as("o_date"))
@@ -3180,6 +3184,16 @@ object Queries {
   private def chsql(s: SparkSession, dir: String, text: String): DataFrame =
     graft.chsql.ChSql.sql(s, text)(n => tbl(s, dir, n))
 
+  /** [[chsql]] with [[tblPar]]'s scan fan-out on ONE named table — the
+    * SQL-surface twin of the tblPar opt-in (r15, guide §2.5): used only
+    * where the statement's cross-row aggregates are exact (counts,
+    * decimal sums), so the partial-sum order the repartition introduces
+    * cannot change a value. No-op at production scan widths. */
+  private def chsqlPar(s: SparkSession, dir: String, text: String,
+      parTable: String, parKey: String): DataFrame =
+    graft.chsql.ChSql.sql(s, text)(n =>
+      if (n == parTable) tblPar(s, dir, n, parKey) else tbl(s, dir, n))
+
   /** Statement-sequence runner for the DDL/DML text surface (ch32+):
     * each statement goes through [[graft.chsql.ChSql.statement]] with
     * catalog-first resolution (tables the sequence CREATEs shadow the
@@ -3392,13 +3406,18 @@ object Queries {
 
     // GROUP BY ROLLUP(...) as CH text — lowers onto Spark's grouping-set
     // aggregation, super-aggregate rows carry NULL keys
-    "ch19_sql_rollup" -> ((s, dir) => chsql(s, dir,
+    // scan fan-out opt-in (r15): the ROLLUP Expand triples the row count
+    // before the partial aggregate, and on the driver's single-row-group
+    // file that all ran as ONE task; count + Decimal sums are exact under
+    // any partial-sum order, so the spread is value-identical
+    "ch19_sql_rollup" -> ((s, dir) => chsqlPar(s, dir,
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS Decimal(18, 2))) AS Float64) AS sum_qty,
         |  count() AS n
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
-        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+      "lineitem", "l_orderkey")),
 
     // the WITH CUBE modifier form (GROUP BY a, b WITH CUBE)
     "ch20_sql_cube" -> ((s, dir) => chsql(s, dir,
