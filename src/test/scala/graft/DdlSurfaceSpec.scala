@@ -1234,6 +1234,38 @@ class DdlSurfaceSpec extends AnyFunSuite {
     chRun("DROP TABLE up_t")
   }
 
+  test("row-preserving mutations keep every partition; a DELETE that " +
+      "empties one drops it") {
+    // pins the r15 rowsPreserved fast path in mutateWhere: UPDATE and
+    // CLEAR COLUMN skip the emptied-partition sweep (they cannot empty a
+    // partition), while DELETE keeps it — an emptied directory must
+    // disappear from both results and the partition listing
+    chRun("DROP TABLE IF EXISTS rp_t")
+    chRun("""CREATE TABLE rp_t (k Int64, v Int64, part String)
+      |ENGINE = MergeTree ORDER BY k PARTITION BY part""".stripMargin)
+    chRun("""INSERT INTO rp_t VALUES (1, 10, 'a'), (2, 20, 'a'),
+      |  (3, 30, 'b'), (4, 40, 'c')""".stripMargin)
+    def parts(): Set[String] =
+      chRun("SELECT part FROM rp_t GROUP BY part ORDER BY part")
+        .map(_.getString(0)).toSet
+    // UPDATE matching EVERY row of partition 'a' — rows survive, values change
+    chRun("UPDATE rp_t SET v = v + 1 WHERE part = 'a'")
+    assert(parts() == Set("a", "b", "c"))
+    assert(chRun("SELECT CAST(sum(v) AS Int64) AS s FROM rp_t")
+      .head.getLong(0) == (11 + 21 + 30 + 40))
+    // CLEAR COLUMN resets values in place — partition stays
+    chRun("ALTER TABLE rp_t CLEAR COLUMN v IN PARTITION 'b'")
+    assert(parts() == Set("a", "b", "c"))
+    assert(chRun("SELECT CAST(sum(v) AS Int64) AS s FROM rp_t")
+      .head.getLong(0) == (11 + 21 + 0 + 40))
+    // DELETE that empties partition 'c' — the sweep must drop it
+    chRun("ALTER TABLE rp_t DELETE WHERE part = 'c'")
+    assert(parts() == Set("a", "b"))
+    assert(spark.sql("SHOW PARTITIONS rp_t").collect()
+      .map(_.getString(0)).forall(!_.contains("part=c")))
+    chRun("DROP TABLE rp_t")
+  }
+
   test("Memory engine and CREATE TEMPORARY TABLE: RAM-resident DML round-trip") {
     chRun("DROP TABLE IF EXISTS mem_t")
     chRun("CREATE TABLE mem_t (k Int64, name String) ENGINE = Memory")

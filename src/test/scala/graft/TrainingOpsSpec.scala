@@ -75,6 +75,32 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("connected components: random graph matches driver-side union-find " +
+      "(pins the r15 fused message-edge round)") {
+    // 80 nodes, sparse random edges (fixed seed): long chains, star hubs
+    // and singleton-free islands — shapes where the fused round's
+    // pointer-edge term (label of my label) does the contraction work
+    val rnd = new scala.util.Random(4242)
+    val edges = (0 until 90).map { _ =>
+      val a = rnd.nextInt(80).toLong; val b = rnd.nextInt(80).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    // driver-side union-find reference
+    val parent = Array.tabulate(80)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => v -> find(v.toInt).toLong).toMap
+    // min reachable id == union-find root here because unions always keep
+    // the smaller root as parent
+    val got = Dedup.connectedComponents(edges.toDF("id1", "id2")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("jaccard: identity 1.0, disjoint 0.0, near-dup in between") {
     val j = docs.as("a").crossJoin(docs.as("b"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
